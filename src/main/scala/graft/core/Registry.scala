@@ -1,0 +1,19 @@
+package graft.core
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** One engine query: a DataFrame program over a scale-factor directory plus
+  * (when SQL-expressible) an equivalent ANSI SQL oracle the driver runs in
+  * DuckDB over the same parquet tables. Column names/types must match the
+  * oracle exactly — the driver sorts columns by name and hash-compares values.
+  */
+final case class GQuery(
+    name: String,
+    fn: (SparkSession, String) => DataFrame,
+    oracle: Option[String],
+    /** Include in the sf0.1 Bench headline run. */
+    bench: Boolean = true)
+
+trait QueryModule {
+  def all: Seq[GQuery]
+}

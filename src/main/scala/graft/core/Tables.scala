@@ -1,0 +1,18 @@
+package graft.core
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Loader for the driver-generated TPC-H-ish testdata tables (TESTDATA.md).
+  * One parquet file per table under the scale-factor directory.
+  */
+object Tables {
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  /** Read one table. Schemas are fixed by the driver; plain parquet scan so
+    * Catalyst gets full pushdown/pruning.
+    */
+  def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+}

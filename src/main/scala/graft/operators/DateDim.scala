@@ -1,0 +1,67 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Date-dimension generator (SURVEY §2.8).
+  *
+  * Mirrors the reference's declared per-column calculations
+  * (`config/gold/schema/gold_dim_date_schema.json:20-117`): one row per day,
+  * date_key = yyyyMMdd int, calendar attributes, fiscal = calendar.
+  * Row generation via `sequence` + `explode` as specified in
+  * `config/gold/schema/README.md:291-296`.
+  *
+  * Note on `day_of_week`: the reference doc claims 1=Monday
+  * (`gold_dim_date_schema.json:67`) but its own calculation string is Spark's
+  * `dayofweek(date)` which is 1=Sunday — we reproduce the executable Spark
+  * semantics (1=Sunday..7=Saturday), as SURVEY §2.8 decides.
+  *
+  * Scale note: the spine is generated driver-free via `sequence`/`explode`
+  * (a few thousand rows for decades of days) — never a shuffle, broadcastable
+  * everywhere it is joined.
+  */
+object DateDim {
+
+  def build(spark: SparkSession, start: String, end: String): DataFrame = {
+    val spine = spark
+      .sql(s"SELECT explode(sequence(DATE'$start', DATE'$end', interval 1 day)) AS date")
+    spine.select(
+      col("date"),
+      date_format(col("date"), "yyyyMMdd").cast(IntegerType).as("date_key"),
+      year(col("date")).as("year"),
+      quarter(col("date")).as("quarter"),
+      month(col("date")).as("month"),
+      dayofmonth(col("date")).as("day"),
+      date_format(col("date"), "MMMM").as("month_name"),
+      date_format(col("date"), "EEEE").as("day_name"),
+      dayofweek(col("date")).as("day_of_week"),
+      weekofyear(col("date")).as("week_of_year"),
+      dayofweek(col("date")).isin(1, 7).as("is_weekend"),
+      lit(false).as("is_holiday"),
+      year(col("date")).as("fiscal_year"),
+      quarter(col("date")).as("fiscal_quarter"))
+  }
+
+  /** DuckDB-equivalent SQL for the same spine (oracle for the driver).
+    * DuckDB's dayofweek is 0=Sunday..6=Saturday → +1 aligns with Spark.
+    */
+  def oracleSql(start: String, end: String): String = s"""
+    SELECT CAST(d AS DATE) AS date,
+           CAST(strftime(d, '%Y%m%d') AS INT) AS date_key,
+           CAST(year(d) AS INT) AS year,
+           CAST(quarter(d) AS INT) AS quarter,
+           CAST(month(d) AS INT) AS month,
+           CAST(day(d) AS INT) AS day,
+           monthname(d) AS month_name,
+           dayname(d) AS day_name,
+           CAST(dayofweek(d) + 1 AS INT) AS day_of_week,
+           CAST(weekofyear(d) AS INT) AS week_of_year,
+           (dayofweek(d) + 1) IN (1, 7) AS is_weekend,
+           FALSE AS is_holiday,
+           CAST(year(d) AS INT) AS fiscal_year,
+           CAST(quarter(d) AS INT) AS fiscal_quarter
+    FROM (SELECT unnest(generate_series(DATE '$start', DATE '$end', INTERVAL 1 DAY)) AS d)
+    ORDER BY date
+  """.trim
+}

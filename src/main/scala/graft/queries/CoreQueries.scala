@@ -1,0 +1,122 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.core.{GQuery, QueryModule, Tables}
+
+/** Headline analytic queries: scan → filter → project → aggregate → sort.
+  * Covers SURVEY §2 rows A1/A2/A3/A5/A7, P13/P14, J2, W3.
+  *
+  * Determinism-vs-DuckDB notes (the driver hash-compares values):
+  *  - doubles are never summed directly: cast to exact DECIMAL first, sum,
+  *    and keep the output scale ≥ the intermediate scale (no rounding, so
+  *    no engine-specific rounding-mode edge).
+  *  - averages are emitted as one IEEE double division of two exact values
+  *    (decimal-sum cast to double, over a count), which is bit-reproducible.
+  */
+object CoreQueries extends QueryModule {
+  import Tables.t
+
+  private def dec(c: Column, p: Int = 12, s: Int = 2): Column =
+    c.cast(DecimalType(p, s))
+
+  override def all: Seq[GQuery] = Seq(
+    // --- A1 group-by SUM + P13 arithmetic + P14 filter (TPC-H Q1 flavor) ---
+    GQuery(
+      "q01_pricing_summary",
+      (spark, dir) => {
+        val li = t(spark, dir, "lineitem")
+        li.filter(col("l_shipdate") <= lit("1998-09-02").cast(TimestampType))
+          .groupBy(col("l_returnflag"), col("l_linestatus"))
+          .agg(
+            sum(dec(col("l_quantity"))).cast(DecimalType(18, 2)).as("sum_qty"),
+            sum(dec(col("l_extendedprice"))).cast(DecimalType(18, 2)).as("sum_base_price"),
+            sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))
+              .cast(DecimalType(22, 4)).as("sum_disc_price"),
+            sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount")))
+              * (lit(1) + dec(col("l_tax"))))
+              .cast(DecimalType(26, 6)).as("sum_charge"),
+            (sum(dec(col("l_quantity"))).cast(DoubleType) / count(lit(1))).as("avg_qty"),
+            count(lit(1)).as("count_order"))
+          .orderBy(col("l_returnflag"), col("l_linestatus"))
+      },
+      Some("""
+        SELECT l_returnflag, l_linestatus,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS sum_qty,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS sum_base_price,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DECIMAL(22,4)) AS sum_disc_price,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2))) * (1 + CAST(l_tax AS DECIMAL(12,2)))) AS DECIMAL(26,6)) AS sum_charge,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+               COUNT(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_returnflag, l_linestatus
+      """.trim)),
+
+    // --- J2 equi join (broadcast dim) + A2 COUNT + A3 AVG ---
+    GQuery(
+      "q02_segment_revenue",
+      (spark, dir) => {
+        val o = t(spark, dir, "orders")
+        val c = t(spark, dir, "customer")
+        o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+          .groupBy(col("c_mktsegment"))
+          .agg(
+            count(lit(1)).as("order_count"),
+            countDistinct(col("o_custkey")).as("customer_count"),
+            sum(dec(col("o_totalprice"))).cast(DecimalType(18, 2)).as("total_revenue"),
+            (sum(dec(col("o_totalprice"))).cast(DoubleType) / count(lit(1))).as("avg_order_value"))
+          .orderBy(col("c_mktsegment"))
+      },
+      Some("""
+        SELECT c_mktsegment,
+               COUNT(*) AS order_count,
+               COUNT(DISTINCT o_custkey) AS customer_count,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS total_revenue,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_order_value
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY c_mktsegment
+        ORDER BY c_mktsegment
+      """.trim)),
+
+    // --- A7/W3 time-series daily trend with multi-way star join ---
+    GQuery(
+      "q03_daily_trend",
+      (spark, dir) => {
+        val o = t(spark, dir, "orders")
+        o.groupBy(to_date(col("o_orderdate")).as("order_date"))
+          .agg(
+            count(lit(1)).as("order_count"),
+            sum(dec(col("o_totalprice"))).cast(DecimalType(18, 2)).as("daily_revenue"))
+          .orderBy(col("order_date"))
+      },
+      Some("""
+        SELECT CAST(o_orderdate AS DATE) AS order_date,
+               COUNT(*) AS order_count,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS daily_revenue
+        FROM orders
+        GROUP BY CAST(o_orderdate AS DATE)
+        ORDER BY order_date
+      """.trim)),
+
+    // --- A5 MIN/MAX range scan ---
+    GQuery(
+      "q04_date_bounds",
+      (spark, dir) => {
+        val o = t(spark, dir, "orders")
+        o.agg(
+          to_date(min(col("o_orderdate"))).as("min_order_date"),
+          to_date(max(col("o_orderdate"))).as("max_order_date"),
+          count(lit(1)).as("row_count"))
+      },
+      Some("""
+        SELECT CAST(MIN(o_orderdate) AS DATE) AS min_order_date,
+               CAST(MAX(o_orderdate) AS DATE) AS max_order_date,
+               COUNT(*) AS row_count
+        FROM orders
+      """.trim))
+  )
+}

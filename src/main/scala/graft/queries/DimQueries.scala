@@ -1,0 +1,20 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.core.{GQuery, QueryModule}
+import graft.operators.DateDim
+
+/** Dimension-building queries (SURVEY §2.8 date dimension). */
+object DimQueries extends QueryModule {
+
+  private val Start = "2024-01-01"
+  private val End = "2026-12-31"
+
+  override def all: Seq[GQuery] = Seq(
+    GQuery(
+      "q05_dim_date",
+      (spark, _) => DateDim.build(spark, Start, End).orderBy(col("date")),
+      Some(DateDim.oracleSql(Start, End)))
+  )
+}

@@ -1,0 +1,63 @@
+#!/usr/bin/env python3
+"""Local stand-in for the driver's correctness gate.
+
+Usage: python3 tools/check.py [sfdir] [outdir]
+
+Reads outdir/<name>/ parquet (written by graft.Verify) and
+outdir/oracle_sql.json, runs each oracle in DuckDB against the sfdir
+parquet tables, and strictly compares (columns sorted by name, rows
+sorted, exact values). NOT part of the shipped library — dev tooling.
+"""
+import sys, json, duckdb
+
+TABLES = ['region','nation','customer','supplier','part','orders',
+          'lineitem','events','documents','embeddings']
+
+def norm(df):
+    df = df.reindex(sorted(df.columns), axis=1)
+    df = df.astype(str)
+    df = df.sort_values(by=list(df.columns)).reset_index(drop=True)
+    return df
+
+def main():
+    sfdir = sys.argv[1] if len(sys.argv) > 1 else '/root/testdata/sf0.001'
+    outdir = sys.argv[2] if len(sys.argv) > 2 else '/tmp/verify_out'
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sfdir}/{t}.parquet')")
+    oracle = json.load(open(f'{outdir}/oracle_sql.json'))
+    npass = nfail = 0
+    for name in sorted(oracle):
+        try:
+            got = con.execute(f"SELECT * FROM read_parquet('{outdir}/{name}/*.parquet')").fetchdf()
+            exp = con.execute(oracle[name]).fetchdf()
+        except Exception as e:
+            print(f'FAIL {name}: {type(e).__name__}: {e}')
+            nfail += 1
+            continue
+        gn, en = norm(got), norm(exp)
+        if list(gn.columns) != list(en.columns):
+            print(f'FAIL {name}: columns got={list(gn.columns)} exp={list(en.columns)}')
+            nfail += 1
+            continue
+        if len(gn) != len(en):
+            print(f'FAIL {name}: rows got={len(gn)} exp={len(en)}')
+            nfail += 1
+            continue
+        if gn.equals(en):
+            print(f'PASS {name} ({len(gn)} rows)')
+            npass += 1
+        else:
+            diff = (gn != en)
+            cells = diff.sum().sum()
+            print(f'FAIL {name}: {cells} mismatched cells')
+            for col in gn.columns:
+                if diff[col].any():
+                    i = diff[col].idxmax()
+                    print(f'  col={col} row={i}: got={gn[col][i]!r} exp={en[col][i]!r}')
+            nfail += 1
+    print(f'--- {npass} pass / {nfail} fail')
+    sys.exit(1 if nfail else 0)
+
+if __name__ == '__main__':
+    main()
