@@ -13,7 +13,11 @@ object SparkEntry {
 
   val modules: Seq[QueryModule] = Seq(
     _root_.graft.queries.CoreQueries,
-    _root_.graft.queries.DimQueries)
+    _root_.graft.queries.DimQueries,
+    _root_.graft.queries.OperatorQueries,
+    _root_.graft.queries.WindowQueries,
+    _root_.graft.queries.DqQueries,
+    _root_.graft.queries.SourceQueries)
 
   lazy val registry: Seq[GQuery] = modules.flatMap(_.all)
 

@@ -15,4 +15,22 @@ object Tables {
     */
   def t(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
+
+  /** Read `events`, normalizing its TIMESTAMP(NANOS) `ts` column.
+    *
+    * Spark has no nanosecond timestamp type; with
+    * `spark.sql.legacy.parquet.nanosAsLong=true` (set in Verify/Bench) the
+    * column arrives as LongType nanos. Convert with integer division (a
+    * double roundtrip would lose precision at 1e18 magnitudes) to
+    * microseconds — exactly how DuckDB truncates nanos, so both engines see
+    * identical instants.
+    */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    val raw = t(spark, dir, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+      case _ => raw
+    }
+  }
 }

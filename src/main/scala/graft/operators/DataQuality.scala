@@ -1,0 +1,137 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Declarative data-quality engine (SURVEY §2.3, Q1-Q7).
+  *
+  * Reference spec: `config/silver/schema/README.md:47-53, 139-156, 176-180,
+  * 291-308` — rule families `null_checks`, `uniqueness_checks`,
+  * `value_constraints` (set membership + numeric comparison),
+  * `format_validations` (regex), `referential_integrity`, with three
+  * severity levels; failed rows are logged to an error table while valid
+  * rows continue (`README.md:296-298`); RI supports strict/permissive modes
+  * (`README.md:300-303`).
+  *
+  * Scale notes: all row-local rules evaluate as one codegen'd projection over
+  * the scan — zero shuffles. Uniqueness adds one hash-shuffle on the key;
+  * referential integrity is a left join against the parent's distinct keys
+  * (broadcast when the parent key set is small — dims usually are). Metrics
+  * come from a single-pass explode+aggregate, not one job per rule.
+  */
+object DataQuality {
+
+  sealed trait Rule {
+    def name: String
+    def severity: String
+    /** Blocking rules exclude violating rows from the valid output;
+      * non-blocking ("permissive") rules only log. Default: critical blocks.
+      */
+    def blocking: Boolean = severity == "critical"
+  }
+  final case class NullCheck(columns: Seq[String], name: String,
+      severity: String = "critical") extends Rule
+  final case class UniquenessCheck(keys: Seq[String], name: String,
+      severity: String = "critical") extends Rule
+  /** Set membership, e.g. status ∈ {pending,…}. NULLs pass (NullCheck owns them). */
+  final case class SetConstraint(column: String, allowed: Seq[String], name: String,
+      severity: String = "warning") extends Rule
+  /** Numeric comparison parsed from the reference's `"> 0"` strings. */
+  final case class RangeConstraint(column: String, op: String, operand: BigDecimal,
+      name: String, severity: String = "warning") extends Rule
+  final case class FormatValidation(column: String, regex: String, name: String,
+      severity: String = "warning") extends Rule
+  /** FK must exist in `parent` (matched by position with `parentCols`).
+    * strict → blocking; permissive → log-only
+    * (`config/silver/schema/README.md:300-303`).
+    */
+  final case class RefIntegrity(columns: Seq[String], parent: DataFrame,
+      parentCols: Seq[String], name: String, severity: String = "critical",
+      strict: Boolean = true) extends Rule {
+    override def blocking: Boolean = strict
+  }
+
+  final case class Result(valid: DataFrame, errors: DataFrame, metrics: DataFrame)
+
+  private def flagName(i: Int) = s"__dq_$i"
+
+  /** Column that is true when the row VIOLATES the rule (row-local rules). */
+  private def rowViolation(r: Rule): Option[Column] = r match {
+    case NullCheck(cols, _, _) =>
+      Some(cols.map(col(_).isNull).reduce(_ || _))
+    case SetConstraint(c, allowed, _, _) =>
+      Some(col(c).isNotNull && !col(c).isin(allowed: _*))
+    case RangeConstraint(c, op, v, _, _) =>
+      val cond = op.trim match {
+        case ">"  => col(c) > lit(v)
+        case ">=" => col(c) >= lit(v)
+        case "<"  => col(c) < lit(v)
+        case "<=" => col(c) <= lit(v)
+        case "="  => col(c) === lit(v)
+        case "!=" => col(c) =!= lit(v)
+        case other => throw new IllegalArgumentException(s"bad comparison op '$other'")
+      }
+      Some(col(c).isNotNull && !cond)
+    case FormatValidation(c, re, _, _) =>
+      Some(col(c).isNotNull && !col(c).rlike(re))
+    case _ => None
+  }
+
+  /** Evaluate all rules; returns (valid, errors, metrics).
+    *  - `errors`: every row violating ≥1 rule, plus `failed_rules` (comma
+    *    list in rule declaration order) — the `silver_dq_errors` shape.
+    *  - `valid`: rows violating no blocking rule.
+    *  - `metrics`: one row per rule — name, severity, violation_count,
+    *    row_count (Q7 pass-rate metrics).
+    */
+  def validate(df: DataFrame, rules: Seq[Rule]): Result = {
+    var flagged = df
+    rules.zipWithIndex.foreach { case (r, i) =>
+      val f = flagName(i)
+      r match {
+        case UniquenessCheck(keys, _, _) =>
+          val w = Window.partitionBy(keys.map(col): _*)
+          flagged = flagged.withColumn(f, count(lit(1)).over(w) > 1)
+        case ri: RefIntegrity =>
+          val parentKeys = ri.parent
+            .select(ri.parentCols.map(col): _*).distinct()
+            .toDF(ri.parentCols.map(c => s"__p_$c"): _*)
+            .withColumn("__dq_matched", lit(true))
+          val cond = ri.columns.zip(ri.parentCols)
+            .map { case (c, p) => flagged(c) === parentKeys(s"__p_$p") }
+            .reduce(_ && _)
+          flagged = flagged
+            .join(broadcast(parentKeys), cond, "left")
+            .withColumn(f,
+              ri.columns.map(col(_).isNotNull).reduce(_ && _) && col("__dq_matched").isNull)
+            .drop("__dq_matched")
+            .drop(ri.parentCols.map(c => s"__p_$c"): _*)
+        case r =>
+          flagged = flagged.withColumn(f, rowViolation(r).get)
+      }
+    }
+    val flags = rules.indices.map(i => col(flagName(i)))
+    val anyViolation = flags.reduce(_ || _)
+    val anyBlocking = rules.zipWithIndex.collect { case (r, i) if r.blocking => col(flagName(i)) }
+      .reduceOption(_ || _).getOrElse(lit(false))
+
+    val failedRules = concat_ws(",", rules.zipWithIndex.map { case (r, i) =>
+      when(col(flagName(i)), lit(r.name))
+    }: _*)
+    val errors = flagged.filter(anyViolation)
+      .withColumn("failed_rules", failedRules)
+      .drop(rules.indices.map(flagName): _*)
+    val valid = flagged.filter(!anyBlocking).drop(rules.indices.map(flagName): _*)
+
+    val metricStructs = rules.zipWithIndex.map { case (r, i) =>
+      struct(lit(r.name).as("rule_name"), lit(r.severity).as("severity"),
+        col(flagName(i)).cast("long").as("v"))
+    }
+    val metrics = flagged
+      .select(explode(array(metricStructs: _*)).as("m"))
+      .groupBy(col("m.rule_name"), col("m.severity"))
+      .agg(sum(col("m.v")).as("violation_count"), count(lit(1)).as("row_count"))
+    Result(valid, errors, metrics)
+  }
+}

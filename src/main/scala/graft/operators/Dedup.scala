@@ -1,0 +1,37 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators (SURVEY §2.4 J1, §2.12 exact dedup).
+  *
+  * Reference semantics: "Deduplicate within batch (keep latest by
+  * ingestion_timestamp)" — `config/silver/schema/README.md:113-122, 183-186`,
+  * keyed on the declared primary keys (`config/bronze/schema/README.md:160-162`).
+  *
+  * Scale notes: `keepLatest` is one hash-shuffle on the key columns followed
+  * by a per-partition sort — the minimal plan for keyed dedup; no global sort.
+  * At 100 TB, AQE skew-join/partition-coalescing handles hot keys; the window
+  * never materializes more than one partition's rows per task.
+  */
+object Dedup {
+
+  /** Keep exactly one row per key, the first under `order`. Deterministic
+    * (unlike `dropDuplicates`, which keeps an arbitrary row): callers pass a
+    * total order, e.g. ingestion_timestamp DESC with a unique tiebreaker.
+    */
+  def keepLatest(df: DataFrame, keys: Seq[String], order: Seq[Column]): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(order: _*)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+  }
+
+  /** Exact duplicate removal over a full row or column subset (hash groupBy).
+    * One shuffle on the dedup columns; map-side partial aggregation prunes
+    * duplicates before the exchange.
+    */
+  def exact(df: DataFrame, cols: Seq[String] = Nil): DataFrame =
+    if (cols.isEmpty) df.distinct() else df.dropDuplicates(cols)
+}

@@ -1,0 +1,49 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Point-in-time (as-of range) join (SURVEY §2.4 J3).
+  *
+  * Reference semantics (`config/gold/schema/README.md:197-213, 326-341`):
+  * pick the dimension version valid at the fact's transaction time —
+  * `f.key = d.key AND f.ts >= d.valid_from AND f.ts < d.valid_to`.
+  *
+  * Scale notes: executes as an equi-join on the business key with the range
+  * predicate as a post-join filter — Catalyst plans broadcast-hash when the
+  * dimension fits the threshold (SCD2 dims almost always do), otherwise
+  * sort-merge on the key. Because SCD2 guarantees non-overlapping validity
+  * ranges, each fact row matches at most one version: output cardinality =
+  * fact cardinality, so the join never amplifies. At 100 TB, bucket both
+  * sides by the business key to make it shuffle-free.
+  */
+object PointInTime {
+
+  def join(
+      fact: DataFrame,
+      dim: DataFrame,
+      keys: Seq[(String, String)],
+      factTime: Column,
+      validFrom: String = "valid_from",
+      validTo: String = "valid_to",
+      broadcastDim: Boolean = true,
+      joinType: String = "inner"): DataFrame = {
+    val d = if (broadcastDim) broadcast(dim) else dim
+    val cond = keys.map { case (fk, dk) => fact(fk) === d(dk) }.reduce(_ && _) &&
+      factTime >= d(validFrom) && factTime < d(validTo)
+    fact.join(d, cond, joinType)
+  }
+
+  /** Convenience: join against only the current versions (SURVEY J4). */
+  def joinCurrent(
+      fact: DataFrame,
+      dim: DataFrame,
+      keys: Seq[(String, String)],
+      isCurrent: String = "is_current",
+      broadcastDim: Boolean = true): DataFrame = {
+    val cur = dim.filter(col(isCurrent))
+    val d = if (broadcastDim) broadcast(cur) else cur
+    val cond = keys.map { case (fk, dk) => fact(fk) === d(dk) }.reduce(_ && _)
+    fact.join(d, cond)
+  }
+}

@@ -1,0 +1,122 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Slowly-Changing-Dimension Type 2 engine (SURVEY §2.7, the flagship
+  * composite operator).
+  *
+  * Reference spec: `config/gold/schema/README.md:131-189, 300-341`; config
+  * shape `gold_dim_customer_schema.json:158-187` (`scd_config` with
+  * `type2_columns`, `type1_columns`, hash over type2 columns joined by `|`).
+  *
+  * Semantics implemented:
+  *  - `hash_diff = md5(concat_ws("|", type2 columns))`, null-safe
+  *    (`README.md:137-147`);
+  *  - changed business key → close current row (`valid_to = loadTs`,
+  *    `is_current = false`) and insert a new current version
+  *    (`valid_from = loadTs`, `valid_to = 9999-12-31`) (`README.md:149-152`);
+  *  - type-1 columns overwrite in place across ALL versions, never creating a
+  *    row (`README.md:153-156`);
+  *  - unseen business key → first current version.
+  *
+  * Invariants (`README.md:345-351`, property-tested in Scd2Spec): exactly one
+  * current row per business key; no overlapping validity ranges; closed rows
+  * have `valid_to < sentinel`.
+  *
+  * Scale notes: pure set algebra — one join of the dimension against the
+  * incoming batch on the business key (dims broadcast at typical sizes;
+  * `config/gold/schema/README.md:365-367`), plus unions. No windows, no
+  * global sort, no driver-side iteration; idempotent when re-run with an
+  * unchanged batch (hash equality short-circuits to "kept").
+  */
+object Scd2 {
+
+  final case class Config(
+      businessKeys: Seq[String],
+      type2Cols: Seq[String],
+      type1Cols: Seq[String] = Nil,
+      validFrom: String = "valid_from",
+      validTo: String = "valid_to",
+      isCurrent: String = "is_current",
+      hashCol: String = "hash_diff",
+      sentinel: String = "9999-12-31 00:00:00") {
+    def payload: Seq[String] = businessKeys ++ type2Cols ++ type1Cols
+    def scdCols: Seq[String] = Seq(hashCol, validFrom, validTo, isCurrent)
+  }
+
+  /** Null-safe MD5 over the type-2 columns, `|`-delimited
+    * (`config/gold/schema/README.md:137-147`).
+    */
+  def hashDiff(type2Cols: Seq[String]): Column =
+    md5(concat_ws("|", type2Cols.map(c => coalesce(col(c).cast("string"), lit(""))): _*))
+
+  /** First load: every incoming row becomes the first current version. */
+  def initialize(incoming: DataFrame, cfg: Config, loadTs: Column): DataFrame =
+    incoming
+      .select(cfg.payload.map(col): _*)
+      .withColumn(cfg.hashCol, hashDiff(cfg.type2Cols))
+      .withColumn(cfg.validFrom, loadTs.cast("timestamp"))
+      .withColumn(cfg.validTo, lit(cfg.sentinel).cast("timestamp"))
+      .withColumn(cfg.isCurrent, lit(true))
+
+  /** Incremental load: merge `incoming` (one row per business key) into the
+    * existing dimension `dim` (shaped like [[initialize]] output).
+    */
+  def apply(dim: DataFrame, incoming: DataFrame, cfg: Config, loadTs: Column): DataFrame = {
+    val bk = cfg.businessKeys
+    val inc = incoming
+      .select(cfg.payload.map(col): _*)
+      .withColumn(cfg.hashCol, hashDiff(cfg.type2Cols))
+
+    val d = dim.alias("d")
+    val i = inc.alias("i")
+    val bkCond = bk.map(k => col(s"d.$k") <=> col(s"i.$k")).reduce(_ && _)
+    val joined = d.join(i, bkCond, "left")
+
+    // Type-1 columns take the incoming value when the key is in the batch.
+    def withType1(selectFrom: String): Seq[Column] =
+      bk.map(k => col(s"d.$k")) ++
+        cfg.type2Cols.map(c => col(s"$selectFrom.$c").as(c)) ++
+        cfg.type1Cols.map(c => coalesce(col(s"i.$c"), col(s"d.$c")).as(c))
+
+    val changed = col(s"i.${cfg.hashCol}").isNotNull &&
+      col(s"i.${cfg.hashCol}") =!= col(s"d.${cfg.hashCol}")
+
+    // Current rows whose type-2 hash changed → closed.
+    val closed = joined
+      .filter(col(s"d.${cfg.isCurrent}") && changed)
+      .select(withType1("d") ++ Seq(
+        col(s"d.${cfg.hashCol}").as(cfg.hashCol),
+        col(s"d.${cfg.validFrom}").as(cfg.validFrom),
+        loadTs.cast("timestamp").as(cfg.validTo),
+        lit(false).as(cfg.isCurrent)): _*)
+
+    // Everything else (history rows + unchanged current rows) passes through
+    // with type-1 refresh.
+    val kept = joined
+      .filter(!col(s"d.${cfg.isCurrent}") || !coalesce(changed, lit(false)))
+      .select(withType1("d") ++ cfg.scdCols.map(c => col(s"d.$c").as(c)): _*)
+
+    // Changed keys → new current version from the batch.
+    val currentHashes = dim.filter(col(cfg.isCurrent))
+      .select((bk.map(col) :+ col(cfg.hashCol).as("__cur_hash")): _*)
+    val newVersions = inc.join(currentHashes, bk)
+      .filter(col(cfg.hashCol) =!= col("__cur_hash"))
+      .drop("__cur_hash")
+      .withColumn(cfg.validFrom, loadTs.cast("timestamp"))
+      .withColumn(cfg.validTo, lit(cfg.sentinel).cast("timestamp"))
+      .withColumn(cfg.isCurrent, lit(true))
+
+    // Unseen keys → first version.
+    val firstVersions = inc.join(dim.select(bk.map(col): _*), bk, "left_anti")
+      .withColumn(cfg.validFrom, loadTs.cast("timestamp"))
+      .withColumn(cfg.validTo, lit(cfg.sentinel).cast("timestamp"))
+      .withColumn(cfg.isCurrent, lit(true))
+
+    val order = cfg.payload ++ cfg.scdCols
+    Seq(kept, closed, newVersions, firstVersions)
+      .map(_.select(order.map(col): _*))
+      .reduce(_ unionByName _)
+  }
+}

@@ -1,0 +1,45 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SaveMode}
+import org.apache.spark.sql.functions._
+
+/** Upsert (MERGE) semantics on plain DataFrames / Parquet (SURVEY §2.1 S7).
+  *
+  * Reference semantics: `MERGE WHEN MATCHED UPDATE / WHEN NOT MATCHED INSERT`
+  * keyed on primary keys — `config/silver/schema/README.md:113-122, 188-191`,
+  * `load_type:"upsert"` in `silver_orders_schema.json:5`. The reference runs
+  * on Delta; we reproduce the observable semantics with an anti-join rewrite:
+  * updated-or-inserted rows are exactly `updates`, untouched target rows are
+  * `target ANTI JOIN updates`.
+  *
+  * Scale notes: the anti join shuffles both sides on the key unless `updates`
+  * is small enough to broadcast (typical incremental batches are — Catalyst /
+  * AQE picks BroadcastHashJoin automatically, making the merge a single
+  * map-side pass over the target). With a date-partitioned target, restrict
+  * the rewrite to the partitions present in `updates` (dynamic partition
+  * overwrite) so a 100 TB table only rewrites touched partitions.
+  */
+object Upsert {
+
+  /** Last-writer-wins merge: every key present in `updates` takes the updates
+    * row; all other target rows pass through unchanged.
+    * Precondition: `updates` has at most one row per key (apply
+    * [[Dedup.keepLatest]] first — reference "latest wins",
+    * `config/silver/schema/README.md:119-121`).
+    */
+  def merge(target: DataFrame, updates: DataFrame, keys: Seq[String]): DataFrame = {
+    val untouched = target.join(updates.select(keys.map(col): _*), keys, "left_anti")
+    untouched.unionByName(updates.select(target.columns.map(col): _*))
+  }
+
+  /** Atomic read-modify-write of a partitioned Parquet table: only partitions
+    * present in the merged frame are replaced.
+    */
+  def mergeWrite(target: DataFrame, updates: DataFrame, keys: Seq[String],
+      path: String, partitionCols: Seq[String]): Unit =
+    merge(target, updates, keys)
+      .write.mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy(partitionCols: _*)
+      .parquet(path)
+}

@@ -1,0 +1,140 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.core.{GQuery, QueryModule, Tables}
+import graft.operators.DataQuality
+import graft.operators.DataQuality._
+
+/** Data-quality queries (SURVEY §2.3 Q1-Q7) running the declarative rule
+  * engine against the testdata, with DuckDB oracles replicating each rule's
+  * violation predicate.
+  */
+object DqQueries extends QueryModule {
+  import Tables.t
+
+  /** The shared rule set over `orders` (mix of passing and failing rules so
+    * both paths are exercised): null check, set membership, numeric
+    * comparison, regex format, referential integrity (against a customer
+    * subset so orphans exist), and uniqueness (over a constructed dup input).
+    */
+  private def orderRules(parent: org.apache.spark.sql.DataFrame): Seq[Rule] = Seq(
+    NullCheck(Seq("o_orderkey", "o_custkey"), "pk_not_null", "critical"),
+    SetConstraint("o_orderstatus", Seq("O", "F"), "status_known", "warning"),
+    RangeConstraint("o_totalprice", ">", BigDecimal(0), "price_positive", "critical"),
+    RangeConstraint("o_totalprice", "<=", BigDecimal(250000), "price_sane", "info"),
+    FormatValidation("o_orderpriority", "^[1-3]-", "priority_high_format", "warning"),
+    RefIntegrity(Seq("o_custkey"), parent, Seq("c_custkey"), "customer_exists",
+      "critical", strict = true))
+
+  override def all: Seq[GQuery] = Seq(
+
+    // --- Q1/Q3/Q4/Q5/Q6/Q7: one metrics row per rule ---
+    GQuery(
+      "q20_dq_metrics",
+      (spark, dir) => {
+        val o = t(spark, dir, "orders")
+        val parent = t(spark, dir, "customer").filter(col("c_custkey") % 4 =!= 0)
+        DataQuality.validate(o, orderRules(parent)).metrics
+          .orderBy(col("rule_name"))
+      },
+      Some("""
+        WITH parent AS (SELECT c_custkey FROM customer WHERE c_custkey % 4 <> 0),
+        flags AS (
+          SELECT
+            (o_orderkey IS NULL OR o_custkey IS NULL) AS f_pk,
+            (o_orderstatus IS NOT NULL AND o_orderstatus NOT IN ('O','F')) AS f_status,
+            (o_totalprice IS NOT NULL AND NOT (o_totalprice > 0)) AS f_pos,
+            (o_totalprice IS NOT NULL AND NOT (o_totalprice <= 250000)) AS f_sane,
+            (o_orderpriority IS NOT NULL AND NOT regexp_matches(o_orderpriority, '^[1-3]-')) AS f_fmt,
+            (o_custkey IS NOT NULL
+             AND NOT EXISTS (SELECT 1 FROM parent p WHERE p.c_custkey = o.o_custkey)) AS f_ri
+          FROM orders o)
+        SELECT * FROM (
+          SELECT 'pk_not_null' AS rule_name, 'critical' AS severity,
+                 CAST(SUM(CAST(f_pk AS BIGINT)) AS BIGINT) AS violation_count, COUNT(*) AS row_count FROM flags
+          UNION ALL
+          SELECT 'status_known', 'warning', CAST(SUM(CAST(f_status AS BIGINT)) AS BIGINT), COUNT(*) FROM flags
+          UNION ALL
+          SELECT 'price_positive', 'critical', CAST(SUM(CAST(f_pos AS BIGINT)) AS BIGINT), COUNT(*) FROM flags
+          UNION ALL
+          SELECT 'price_sane', 'info', CAST(SUM(CAST(f_sane AS BIGINT)) AS BIGINT), COUNT(*) FROM flags
+          UNION ALL
+          SELECT 'priority_high_format', 'warning', CAST(SUM(CAST(f_fmt AS BIGINT)) AS BIGINT), COUNT(*) FROM flags
+          UNION ALL
+          SELECT 'customer_exists', 'critical', CAST(SUM(CAST(f_ri AS BIGINT)) AS BIGINT), COUNT(*) FROM flags)
+        ORDER BY rule_name
+      """.trim)),
+
+    // --- the valid/error row split (valid excludes blocking violations only) ---
+    GQuery(
+      "q21_dq_split",
+      (spark, dir) => {
+        val o = t(spark, dir, "orders")
+        val parent = t(spark, dir, "customer").filter(col("c_custkey") % 4 =!= 0)
+        val res = DataQuality.validate(o, orderRules(parent))
+        val v = res.valid.agg(count(lit(1)).as("n")).select(lit("valid").as("bucket"), col("n"))
+        val e = res.errors.agg(count(lit(1)).as("n")).select(lit("errors").as("bucket"), col("n"))
+        v.unionByName(e).orderBy(col("bucket"))
+      },
+      Some("""
+        WITH parent AS (SELECT c_custkey FROM customer WHERE c_custkey % 4 <> 0),
+        flags AS (
+          SELECT
+            (o_orderkey IS NULL OR o_custkey IS NULL) AS f_pk,
+            (o_orderstatus IS NOT NULL AND o_orderstatus NOT IN ('O','F')) AS f_status,
+            (o_totalprice IS NOT NULL AND NOT (o_totalprice > 0)) AS f_pos,
+            (o_totalprice IS NOT NULL AND NOT (o_totalprice <= 250000)) AS f_sane,
+            (o_orderpriority IS NOT NULL AND NOT regexp_matches(o_orderpriority, '^[1-3]-')) AS f_fmt,
+            (o_custkey IS NOT NULL
+             AND NOT EXISTS (SELECT 1 FROM parent p WHERE p.c_custkey = o.o_custkey)) AS f_ri
+          FROM orders o)
+        SELECT 'errors' AS bucket, COUNT(*) AS n FROM flags
+        WHERE f_pk OR f_status OR f_pos OR f_sane OR f_fmt OR f_ri
+        UNION ALL
+        SELECT 'valid', COUNT(*) FROM flags WHERE NOT (f_pk OR f_pos OR f_ri)
+        ORDER BY bucket
+      """.trim)),
+
+    // --- Q6: referential-integrity orphan detail via left-anti join ---
+    GQuery(
+      "q22_ri_orphans",
+      (spark, dir) => {
+        val li = t(spark, dir, "lineitem")
+        val oSub = t(spark, dir, "orders").filter(col("o_orderkey") % 2 === 0)
+        li.join(oSub, li("l_orderkey") === oSub("o_orderkey"), "left_anti")
+          .groupBy(col("l_returnflag"))
+          .agg(count(lit(1)).as("orphan_lines"),
+            countDistinct(col("l_orderkey")).as("orphan_orders"))
+          .orderBy(col("l_returnflag"))
+      },
+      Some("""
+        SELECT l_returnflag, COUNT(*) AS orphan_lines,
+               COUNT(DISTINCT l_orderkey) AS orphan_orders
+        FROM lineitem
+        WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_orderkey = l_orderkey AND o_orderkey % 2 = 0)
+        GROUP BY l_returnflag
+        ORDER BY l_returnflag
+      """.trim)),
+
+    // --- Q2/A6: uniqueness check over a constructed duplicate input ---
+    GQuery(
+      "q23_uniqueness",
+      (spark, dir) => {
+        val o = t(spark, dir, "orders")
+        val withDups = o.unionByName(o.filter(col("o_orderkey") % 13 === 0))
+        val res = DataQuality.validate(withDups,
+          Seq(UniquenessCheck(Seq("o_orderkey"), "pk_unique", "critical")))
+        res.metrics.select(col("rule_name"), col("severity"),
+          col("violation_count"), col("row_count"))
+      },
+      Some("""
+        WITH withdups AS (
+          SELECT * FROM orders UNION ALL SELECT * FROM orders WHERE o_orderkey % 13 = 0),
+        f AS (SELECT COUNT(*) OVER (PARTITION BY o_orderkey) > 1 AS dup FROM withdups)
+        SELECT 'pk_unique' AS rule_name, 'critical' AS severity,
+               CAST(SUM(CAST(dup AS BIGINT)) AS BIGINT) AS violation_count, COUNT(*) AS row_count
+        FROM f
+      """.trim))
+  )
+}

@@ -1,0 +1,318 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.core.{GQuery, QueryModule, Tables}
+import graft.operators.{Dedup, PointInTime, Scd2, Upsert}
+
+/** Operator-level queries (SURVEY §2.4 J1-J7, §2.1 S7, §2.7 SCD2) driven by
+  * deterministic constructions over the testdata tables, each with a DuckDB
+  * oracle.
+  *
+  * Output policy: no raw TimestampType columns ever reach the compared output
+  * (timezone annotation differences between Spark-written parquet and DuckDB
+  * would break hash equality) — validity ranges are emitted as DateType.
+  */
+object OperatorQueries extends QueryModule {
+  import Tables.t
+
+  private def dec(c: Column, p: Int = 12, s: Int = 2): Column =
+    c.cast(DecimalType(p, s))
+
+  // Deterministic SCD2 scenario shared by q12/q13/q14:
+  // initial dim = all customers (v1 @2020-01-01); incremental batch =
+  // custkey%5==0 with a type-2 segment change + type-1 name uppercase, plus
+  // custkey%11==0 re-keyed +10M as brand-new business keys.
+  private val scd2Cfg = Scd2.Config(
+    businessKeys = Seq("c_custkey"),
+    type2Cols = Seq("c_mktsegment", "c_acctbal"),
+    type1Cols = Seq("c_name"))
+
+  private def scd2Initial(spark: SparkSession, dir: String): DataFrame =
+    Scd2.initialize(
+      t(spark, dir, "customer")
+        .select(col("c_custkey"), col("c_mktsegment"), dec(col("c_acctbal")).as("c_acctbal"),
+          col("c_name")),
+      scd2Cfg, lit("2020-01-01 00:00:00"))
+
+  private def scd2Batch(spark: SparkSession, dir: String): DataFrame = {
+    val c = t(spark, dir, "customer")
+    val changed = c.filter(col("c_custkey") % 5 === 0)
+      .select(col("c_custkey"), concat(lit("X_"), col("c_mktsegment")).as("c_mktsegment"),
+        dec(col("c_acctbal")).as("c_acctbal"), upper(col("c_name")).as("c_name"))
+    val fresh = c.filter(col("c_custkey") % 11 === 0)
+      .select((col("c_custkey") + 10000000).as("c_custkey"), lit("NEWSEG").as("c_mktsegment"),
+        dec(col("c_acctbal")).as("c_acctbal"), upper(col("c_name")).as("c_name"))
+    changed.unionByName(fresh)
+  }
+
+  private def scd2Result(spark: SparkSession, dir: String): DataFrame =
+    Scd2.apply(scd2Initial(spark, dir), scd2Batch(spark, dir), scd2Cfg,
+      lit("2024-06-01 00:00:00"))
+
+  /** DuckDB mirror of the scenario above, exposed as CTEs `old`/`new`. */
+  private val scd2OracleCtes = """
+    WITH init AS (
+      SELECT c_custkey, c_mktsegment, CAST(c_acctbal AS DECIMAL(12,2)) AS c_acctbal, c_name
+      FROM customer),
+    batch AS (
+      SELECT c_custkey, 'X_' || c_mktsegment AS c_mktsegment,
+             CAST(c_acctbal AS DECIMAL(12,2)) AS c_acctbal, upper(c_name) AS c_name
+      FROM customer WHERE c_custkey % 5 = 0
+      UNION ALL
+      SELECT c_custkey + 10000000, 'NEWSEG', CAST(c_acctbal AS DECIMAL(12,2)), upper(c_name)
+      FROM customer WHERE c_custkey % 11 = 0),
+    old AS (
+      SELECT *, md5(concat_ws('|', coalesce(CAST(c_mktsegment AS VARCHAR),''),
+                                   coalesce(CAST(c_acctbal AS VARCHAR),''))) AS hash_diff
+      FROM init),
+    new AS (
+      SELECT *, md5(concat_ws('|', coalesce(CAST(c_mktsegment AS VARCHAR),''),
+                                   coalesce(CAST(c_acctbal AS VARCHAR),''))) AS hash_diff
+      FROM batch)
+  """
+
+  override def all: Seq[GQuery] = Seq(
+
+    // --- J1/W1: keyed dedup, keep latest (deterministic window, not dropDuplicates) ---
+    GQuery(
+      "q10_dedup_keep_latest",
+      (spark, dir) => {
+        val o = t(spark, dir, "orders")
+        val dup = o.filter(col("o_orderkey") % 7 === 0)
+          .withColumn("o_orderdate", col("o_orderdate") + expr("interval 1 day"))
+          .withColumn("o_totalprice", col("o_totalprice") + lit(1000.0))
+        val withDups = o.unionByName(dup)
+        Dedup.keepLatest(withDups, Seq("o_orderkey"),
+            Seq(col("o_orderdate").desc))
+          .select(col("o_orderkey"), to_date(col("o_orderdate")).as("order_date"),
+            dec(col("o_totalprice")).as("total_price"))
+          .orderBy(col("o_orderkey"))
+      },
+      Some("""
+        WITH withdups AS (
+          SELECT o_orderkey, o_orderdate, o_totalprice FROM orders
+          UNION ALL
+          SELECT o_orderkey, o_orderdate + INTERVAL 1 DAY, o_totalprice + 1000.0
+          FROM orders WHERE o_orderkey % 7 = 0)
+        SELECT o_orderkey, CAST(o_orderdate AS DATE) AS order_date,
+               CAST(o_totalprice AS DECIMAL(12,2)) AS total_price
+        FROM withdups
+        QUALIFY row_number() OVER (PARTITION BY o_orderkey ORDER BY o_orderdate DESC) = 1
+        ORDER BY o_orderkey
+      """.trim)),
+
+    // --- S7: upsert / MERGE semantics via anti-join rewrite ---
+    GQuery(
+      "q11_upsert_merge",
+      (spark, dir) => {
+        val o = t(spark, dir, "orders")
+          .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+            dec(col("o_totalprice")).as("o_totalprice"))
+        val target = o.filter(col("o_orderkey") % 3 =!= 0)
+        val updates = o.filter(col("o_orderkey") % 2 === 0)
+          .withColumn("o_orderstatus", lit("U"))
+          .withColumn("o_totalprice", dec(col("o_totalprice") + lit(10)))
+        Upsert.merge(target, updates, Seq("o_orderkey"))
+          .orderBy(col("o_orderkey"))
+      },
+      Some("""
+        WITH target AS (
+          SELECT o_orderkey, o_custkey, o_orderstatus,
+                 CAST(o_totalprice AS DECIMAL(12,2)) AS o_totalprice
+          FROM orders WHERE o_orderkey % 3 <> 0),
+        updates AS (
+          SELECT o_orderkey, o_custkey, 'U' AS o_orderstatus,
+                 CAST(CAST(o_totalprice AS DECIMAL(12,2)) + 10 AS DECIMAL(12,2)) AS o_totalprice
+          FROM orders WHERE o_orderkey % 2 = 0)
+        SELECT * FROM updates
+        UNION ALL
+        SELECT t.* FROM target t
+        WHERE NOT EXISTS (SELECT 1 FROM updates u WHERE u.o_orderkey = t.o_orderkey)
+        ORDER BY o_orderkey
+      """.trim)),
+
+    // --- §2.7: full SCD Type 2 merge (close/open/type1/new-key paths) ---
+    GQuery(
+      "q12_scd2_apply",
+      (spark, dir) =>
+        scd2Result(spark, dir)
+          .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"), col("c_name"),
+            col("hash_diff"),
+            to_date(col("valid_from")).as("valid_from_date"),
+            to_date(col("valid_to")).as("valid_to_date"),
+            col("is_current"))
+          .orderBy(col("c_custkey"), col("valid_from_date")),
+      Some((scd2OracleCtes + """
+        , changed AS (
+          SELECT n.c_custkey, n.c_mktsegment, n.c_acctbal, n.c_name, n.hash_diff,
+                 o.c_mktsegment AS old_seg, o.c_acctbal AS old_bal, o.hash_diff AS old_hash
+          FROM new n JOIN old o USING (c_custkey) WHERE n.hash_diff <> o.hash_diff)
+        SELECT c_custkey, old_seg AS c_mktsegment, old_bal AS c_acctbal, c_name,
+               old_hash AS hash_diff, DATE '2020-01-01' AS valid_from_date,
+               DATE '2024-06-01' AS valid_to_date, FALSE AS is_current
+        FROM changed
+        UNION ALL
+        SELECT o.c_custkey, o.c_mktsegment, o.c_acctbal, coalesce(n.c_name, o.c_name),
+               o.hash_diff, DATE '2020-01-01', DATE '9999-12-31', TRUE
+        FROM old o LEFT JOIN new n USING (c_custkey)
+        WHERE n.c_custkey IS NULL OR n.hash_diff = o.hash_diff
+        UNION ALL
+        SELECT c_custkey, c_mktsegment, c_acctbal, c_name, hash_diff,
+               DATE '2024-06-01', DATE '9999-12-31', TRUE
+        FROM changed
+        UNION ALL
+        SELECT n.c_custkey, n.c_mktsegment, n.c_acctbal, n.c_name, n.hash_diff,
+               DATE '2024-06-01', DATE '9999-12-31', TRUE
+        FROM new n WHERE NOT EXISTS (SELECT 1 FROM old o WHERE o.c_custkey = n.c_custkey)
+        ORDER BY c_custkey, valid_from_date
+      """).trim)),
+
+    // --- J3: point-in-time join of facts against the SCD2 dimension ---
+    GQuery(
+      "q13_pit_join",
+      (spark, dir) => {
+        val dim = scd2Result(spark, dir)
+        val o = t(spark, dir, "orders")
+        // Shift order dates into the dim validity space deterministically:
+        // orders 1995-2001 → +28 years lands 2023-2029, straddling the
+        // 2024-06-01 version boundary.
+        val facts = o.select(col("o_orderkey"), col("o_custkey"),
+          (col("o_orderdate") + expr("interval 28 years")).as("eff_ts"),
+          dec(col("o_totalprice")).as("o_totalprice"))
+        PointInTime.join(facts, dim, Seq("o_custkey" -> "c_custkey"), col("eff_ts"))
+          .groupBy(col("c_mktsegment"), col("is_current"))
+          .agg(count(lit(1)).as("order_count"),
+            sum(col("o_totalprice")).cast(DecimalType(18, 2)).as("revenue"))
+          .orderBy(col("c_mktsegment"), col("is_current"))
+      },
+      Some((scd2OracleCtes + """
+        , dim AS (
+          SELECT o.c_custkey, o.c_mktsegment,
+                 TIMESTAMP '2020-01-01 00:00:00' AS valid_from,
+                 CASE WHEN n.hash_diff IS NOT NULL AND n.hash_diff <> o.hash_diff
+                      THEN TIMESTAMP '2024-06-01 00:00:00'
+                      ELSE TIMESTAMP '9999-12-31 00:00:00' END AS valid_to,
+                 (n.hash_diff IS NULL OR n.hash_diff = o.hash_diff) AS is_current
+          FROM old o LEFT JOIN new n USING (c_custkey)
+          UNION ALL
+          SELECT c_custkey, n.c_mktsegment, TIMESTAMP '2024-06-01 00:00:00',
+                 TIMESTAMP '9999-12-31 00:00:00', TRUE
+          FROM new n JOIN old o USING (c_custkey) WHERE n.hash_diff <> o.hash_diff
+          UNION ALL
+          SELECT c_custkey, c_mktsegment, TIMESTAMP '2024-06-01 00:00:00',
+                 TIMESTAMP '9999-12-31 00:00:00', TRUE
+          FROM new n WHERE NOT EXISTS (SELECT 1 FROM old o WHERE o.c_custkey = n.c_custkey)),
+        facts AS (
+          SELECT o_orderkey, o_custkey, o_orderdate + INTERVAL 28 YEAR AS eff_ts,
+                 CAST(o_totalprice AS DECIMAL(12,2)) AS o_totalprice
+          FROM orders)
+        SELECT d.c_mktsegment, d.is_current, COUNT(*) AS order_count,
+               CAST(SUM(f.o_totalprice) AS DECIMAL(18,2)) AS revenue
+        FROM facts f JOIN dim d
+          ON f.o_custkey = d.c_custkey AND f.eff_ts >= d.valid_from AND f.eff_ts < d.valid_to
+        GROUP BY d.c_mktsegment, d.is_current
+        ORDER BY c_mktsegment, is_current
+      """).trim)),
+
+    // --- J4: current-version-only dimension join ---
+    GQuery(
+      "q14_current_join",
+      (spark, dir) => {
+        val dim = scd2Result(spark, dir)
+        val o = t(spark, dir, "orders")
+        PointInTime.joinCurrent(o, dim, Seq("o_custkey" -> "c_custkey"))
+          .groupBy(col("c_mktsegment"))
+          .agg(count(lit(1)).as("order_count"))
+          .orderBy(col("c_mktsegment"))
+      },
+      Some((scd2OracleCtes + """
+        , current_dim AS (
+          SELECT o.c_custkey, coalesce(n.c_mktsegment, o.c_mktsegment) AS c_mktsegment
+          FROM old o LEFT JOIN new n USING (c_custkey)
+          UNION ALL
+          SELECT c_custkey, c_mktsegment FROM new n
+          WHERE NOT EXISTS (SELECT 1 FROM old o WHERE o.c_custkey = n.c_custkey))
+        SELECT d.c_mktsegment, COUNT(*) AS order_count
+        FROM orders o JOIN current_dim d ON o.o_custkey = d.c_custkey
+        GROUP BY d.c_mktsegment
+        ORDER BY c_mktsegment
+      """).trim)),
+
+    // --- J7: left-semi / left-anti ---
+    GQuery(
+      "q15_semi_anti",
+      (spark, dir) => {
+        val c = t(spark, dir, "customer")
+        val o = t(spark, dir, "orders").filter(col("o_totalprice") > 200000.0)
+        val withBig = c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+          .groupBy(col("c_nationkey")).agg(count(lit(1)).as("with_big_orders"))
+        val without = c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+          .groupBy(col("c_nationkey")).agg(count(lit(1)).as("without_big_orders"))
+        withBig.join(without, Seq("c_nationkey"), "full_outer")
+          .select(col("c_nationkey"),
+            coalesce(col("with_big_orders"), lit(0L)).as("with_big_orders"),
+            coalesce(col("without_big_orders"), lit(0L)).as("without_big_orders"))
+          .orderBy(col("c_nationkey"))
+      },
+      Some("""
+        WITH big AS (SELECT DISTINCT o_custkey FROM orders WHERE o_totalprice > 200000.0),
+        w AS (SELECT c_nationkey, COUNT(*) AS with_big_orders FROM customer
+              WHERE c_custkey IN (SELECT o_custkey FROM big) GROUP BY c_nationkey),
+        wo AS (SELECT c_nationkey, COUNT(*) AS without_big_orders FROM customer
+               WHERE c_custkey NOT IN (SELECT o_custkey FROM big) GROUP BY c_nationkey)
+        SELECT coalesce(w.c_nationkey, wo.c_nationkey) AS c_nationkey,
+               coalesce(with_big_orders, 0) AS with_big_orders,
+               coalesce(without_big_orders, 0) AS without_big_orders
+        FROM w FULL OUTER JOIN wo ON w.c_nationkey = wo.c_nationkey
+        ORDER BY c_nationkey
+      """.trim)),
+
+    // --- J6: fact-to-fact key lookup (lineitem → orders keys carried over) ---
+    GQuery(
+      "q16_fact_lookup",
+      (spark, dir) => {
+        val li = t(spark, dir, "lineitem")
+        val o = t(spark, dir, "orders")
+          .select(col("o_orderkey"), col("o_custkey"), to_date(col("o_orderdate")).as("order_date"))
+        li.join(o, li("l_orderkey") === o("o_orderkey"))
+          .groupBy(col("o_custkey"))
+          .agg(count(lit(1)).as("line_count"),
+            sum(dec(col("l_extendedprice"))).cast(DecimalType(18, 2)).as("gross"))
+          .orderBy(col("o_custkey"))
+      },
+      Some("""
+        SELECT o_custkey, COUNT(*) AS line_count,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS gross
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY o_custkey
+        ORDER BY o_custkey
+      """.trim)),
+
+    // --- J5: computed date-key join against the generated date dimension ---
+    GQuery(
+      "q17_datekey_join",
+      (spark, dir) => {
+        val dd = graft.operators.DateDim.build(spark, "1995-01-01", "2001-12-31")
+        val o = t(spark, dir, "orders")
+          .withColumn("order_date_key",
+            date_format(col("o_orderdate"), "yyyyMMdd").cast(IntegerType))
+        o.join(broadcast(dd), o("order_date_key") === dd("date_key"))
+          .groupBy(col("year"), col("quarter"))
+          .agg(count(lit(1)).as("order_count"),
+            sum(dec(col("o_totalprice"))).cast(DecimalType(18, 2)).as("revenue"))
+          .orderBy(col("year"), col("quarter"))
+      },
+      Some("""
+        SELECT CAST(year(o_orderdate) AS INT) AS year,
+               CAST(quarter(o_orderdate) AS INT) AS quarter,
+               COUNT(*) AS order_count,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS revenue
+        FROM orders
+        GROUP BY 1, 2
+        ORDER BY year, quarter
+      """.trim))
+  )
+}

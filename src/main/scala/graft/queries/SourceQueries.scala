@@ -1,0 +1,154 @@
+package graft.queries
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.core.{GQuery, QueryModule, Tables}
+
+/** Source/sink queries (SURVEY §2.1 S1-S8): each roundtrips testdata through
+  * the format/layout under test into a fresh temp dir, then reads it back
+  * with an enforced schema — proving scan + sink behavior against an oracle
+  * that reads the original table. Excluded from Bench (IO demos, not
+  * analytics).
+  */
+object SourceQueries extends QueryModule {
+  import Tables.t
+
+  private def tmp(prefix: String): String =
+    Files.createTempDirectory(s"graft_$prefix").toString
+
+  private def dec(c: Column, p: Int = 12, s: Int = 2): Column =
+    c.cast(DecimalType(p, s))
+
+  override def all: Seq[GQuery] = Seq(
+
+    // --- S1: CSV with custom delimiter + header, schema-on-read (never inferred) ---
+    GQuery(
+      "q40_csv_roundtrip",
+      (spark, dir) => {
+        val src = t(spark, dir, "customer")
+          .select(col("c_custkey"), col("c_name"), col("c_nationkey"),
+            dec(col("c_acctbal")).as("c_acctbal"), col("c_mktsegment"))
+        val path = tmp("csv")
+        src.write.mode(SaveMode.Overwrite)
+          .option("sep", "|").option("header", "true").csv(path)
+        val schema = StructType(Seq(
+          StructField("c_custkey", LongType), StructField("c_name", StringType),
+          StructField("c_nationkey", IntegerType),
+          StructField("c_acctbal", DecimalType(12, 2)),
+          StructField("c_mktsegment", StringType)))
+        spark.read.schema(schema)
+          .option("sep", "|").option("header", "true").csv(path)
+          .orderBy(col("c_custkey"))
+      },
+      Some("""
+        SELECT c_custkey, c_name, c_nationkey,
+               CAST(c_acctbal AS DECIMAL(12,2)) AS c_acctbal, c_mktsegment
+        FROM customer ORDER BY c_custkey
+      """.trim),
+      bench = false),
+
+    // --- S2: JSON scan with enforced schema ---
+    GQuery(
+      "q41_json_roundtrip",
+      (spark, dir) => {
+        val src = t(spark, dir, "nation")
+        val path = tmp("json")
+        src.write.mode(SaveMode.Overwrite).json(path)
+        val schema = StructType(Seq(
+          StructField("n_nationkey", IntegerType), StructField("n_name", StringType),
+          StructField("n_regionkey", IntegerType)))
+        spark.read.schema(schema).json(path)
+          .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+          .orderBy(col("n_nationkey"))
+      },
+      Some("SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey"),
+      bench = false),
+
+    // --- S3: parquet scan with projection+filter pushed to the reader ---
+    GQuery(
+      "q42_parquet_pushdown",
+      (spark, dir) =>
+        t(spark, dir, "part")
+          .filter(col("p_size") >= 25)
+          .select(col("p_partkey"), col("p_brand"), col("p_size"))
+          .orderBy(col("p_partkey")),
+      Some("""
+        SELECT p_partkey, p_brand, p_size FROM part WHERE p_size >= 25 ORDER BY p_partkey
+      """.trim)),
+
+    // --- S4: glob / multi-file scan in one pass ---
+    GQuery(
+      "q43_glob_scan",
+      (spark, dir) => {
+        val src = t(spark, dir, "supplier")
+        val path = tmp("glob")
+        src.repartition(4).write.mode(SaveMode.Overwrite).json(path)
+        val schema = StructType(Seq(
+          StructField("s_suppkey", LongType), StructField("s_name", StringType),
+          StructField("s_nationkey", IntegerType), StructField("s_acctbal", DoubleType)))
+        spark.read.schema(schema).json(s"$path/part-*.json")
+          .select(col("s_suppkey"), col("s_name"), col("s_nationkey"),
+            dec(col("s_acctbal")).as("s_acctbal"))
+          .orderBy(col("s_suppkey"))
+      },
+      Some("""
+        SELECT s_suppkey, s_name, s_nationkey, CAST(s_acctbal AS DECIMAL(12,2)) AS s_acctbal
+        FROM supplier ORDER BY s_suppkey
+      """.trim),
+      bench = false),
+
+    // --- S5: incremental pickup (batch watermark filter; streaming variant in StreamQueries) ---
+    GQuery(
+      "q44_incremental_pickup",
+      (spark, dir) =>
+        Tables.events(spark, dir)
+          .filter(col("ts") > lit("2024-01-15 00:00:00").cast(TimestampType))
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"), sum(dec(col("value"))).cast(DecimalType(18, 2)).as("total_value"))
+          .orderBy(col("event_type")),
+      Some("""
+        SELECT event_type, COUNT(*) AS n,
+               CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS total_value
+        FROM events WHERE ts > TIMESTAMP '2024-01-15 00:00:00'
+        GROUP BY event_type ORDER BY event_type
+      """.trim)),
+
+    // --- S6: partitioned sink + partition-pruned read-back ---
+    GQuery(
+      "q45_partitioned_sink",
+      (spark, dir) => {
+        val o = t(spark, dir, "orders")
+          .select(col("o_orderkey"), col("o_orderstatus"), dec(col("o_totalprice")).as("price"))
+        val path = tmp("part_sink")
+        o.write.mode(SaveMode.Overwrite).partitionBy("o_orderstatus").parquet(path)
+        // Read back only one partition — the scan must prune to it.
+        spark.read.parquet(path)
+          .filter(col("o_orderstatus") === "F")
+          .groupBy(col("o_orderstatus"))
+          .agg(count(lit(1)).as("n"), sum(col("price")).cast(DecimalType(18, 2)).as("revenue"))
+      },
+      Some("""
+        SELECT o_orderstatus, COUNT(*) AS n,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS revenue
+        FROM orders WHERE o_orderstatus = 'F' GROUP BY o_orderstatus
+      """.trim),
+      bench = false),
+
+    // --- S8: append-only sink (bronze audit layer) ---
+    GQuery(
+      "q46_append_sink",
+      (spark, dir) => {
+        val r = t(spark, dir, "region")
+        val path = tmp("append")
+        r.filter(col("r_regionkey") < 2).write.mode(SaveMode.Append).parquet(path)
+        r.filter(col("r_regionkey") >= 2).write.mode(SaveMode.Append).parquet(path)
+        spark.read.parquet(path).orderBy(col("r_regionkey"))
+      },
+      Some("SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey"),
+      bench = false)
+  )
+}

@@ -1,0 +1,153 @@
+package graft.queries
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.core.{GQuery, QueryModule, Tables}
+
+/** Window-function queries (SURVEY §2.6 W1-W4 + lead/lag from the general
+  * query layer). Every window has a total order (unique tiebreaker) so
+  * results are deterministic across engines.
+  */
+object WindowQueries extends QueryModule {
+  import Tables.t
+
+  private def dec(c: Column, p: Int = 12, s: Int = 2): Column =
+    c.cast(DecimalType(p, s))
+
+  override def all: Seq[GQuery] = Seq(
+
+    // --- W1: row_number top-k per group ---
+    GQuery(
+      "q30_topk_per_group",
+      (spark, dir) => {
+        val o = t(spark, dir, "orders")
+        val w = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        o.withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 3)
+          .select(col("o_custkey"), col("o_orderkey"),
+            dec(col("o_totalprice")).as("total_price"), col("rn"))
+          .orderBy(col("o_custkey"), col("rn"))
+      },
+      Some("""
+        SELECT o_custkey, o_orderkey, CAST(o_totalprice AS DECIMAL(12,2)) AS total_price,
+               CAST(row_number() OVER (PARTITION BY o_custkey
+                                       ORDER BY o_totalprice DESC, o_orderkey) AS INT) AS rn
+        FROM orders
+        QUALIFY rn <= 3
+        ORDER BY o_custkey, rn
+      """.trim)),
+
+    // --- W2: surrogate-key assignment (offset + row_number over stable order) ---
+    GQuery(
+      "q31_surrogate_keys",
+      (spark, dir) => {
+        val n = t(spark, dir, "nation")
+        val w = Window.orderBy(col("n_name"), col("n_nationkey"))
+        n.select(
+            (lit(1000L) + row_number().over(w)).as("nation_key"),
+            col("n_name"), col("n_nationkey"))
+          .orderBy(col("nation_key"))
+      },
+      Some("""
+        SELECT 1000 + row_number() OVER (ORDER BY n_name, n_nationkey) AS nation_key,
+               n_name, n_nationkey
+        FROM nation
+        ORDER BY nation_key
+      """.trim)),
+
+    // --- W4: running total (rows between unbounded preceding and current) ---
+    GQuery(
+      "q32_running_total",
+      (spark, dir) => {
+        val o = t(spark, dir, "orders")
+        val w = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_orderdate"), col("o_orderkey"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        o.select(col("o_custkey"), col("o_orderkey"),
+            to_date(col("o_orderdate")).as("order_date"),
+            sum(dec(col("o_totalprice"))).over(w).cast(DecimalType(18, 2)).as("running_revenue"))
+          .orderBy(col("o_custkey"), col("order_date"), col("o_orderkey"))
+      },
+      Some("""
+        SELECT o_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS order_date,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2)))
+                    OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS DECIMAL(18,2)) AS running_revenue
+        FROM orders
+        ORDER BY o_custkey, order_date, o_orderkey
+      """.trim)),
+
+    // --- lead/lag: days since previous order per customer ---
+    GQuery(
+      "q33_order_gaps",
+      (spark, dir) => {
+        val o = t(spark, dir, "orders")
+        val w = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_orderdate"), col("o_orderkey"))
+        o.select(col("o_custkey"), col("o_orderkey"),
+            datediff(to_date(col("o_orderdate")),
+              to_date(lag(col("o_orderdate"), 1).over(w))).cast(IntegerType).as("days_since_prev"))
+          .orderBy(col("o_custkey"), col("o_orderkey"))
+      },
+      Some("""
+        SELECT o_custkey, o_orderkey,
+               CAST(date_diff('day',
+                 CAST(lag(o_orderdate, 1) OVER (PARTITION BY o_custkey
+                        ORDER BY o_orderdate, o_orderkey) AS DATE),
+                 CAST(o_orderdate AS DATE)) AS INT) AS days_since_prev
+        FROM orders
+        ORDER BY o_custkey, o_orderkey
+      """.trim)),
+
+    // --- A4: LAST-value semi-additive (latest snapshot per entity) ---
+    GQuery(
+      "q34_latest_per_supplier",
+      (spark, dir) => {
+        val li = t(spark, dir, "lineitem")
+        val w = Window.partitionBy(col("l_suppkey"))
+          .orderBy(col("l_shipdate").desc, col("l_orderkey").desc, col("l_linenumber").desc)
+        li.withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select(col("l_suppkey"), to_date(col("l_shipdate")).as("last_ship_date"),
+            dec(col("l_quantity")).as("last_quantity"))
+          .orderBy(col("l_suppkey"))
+      },
+      Some("""
+        SELECT l_suppkey, CAST(l_shipdate AS DATE) AS last_ship_date,
+               CAST(l_quantity AS DECIMAL(12,2)) AS last_quantity
+        FROM lineitem
+        QUALIFY row_number() OVER (PARTITION BY l_suppkey
+                 ORDER BY l_shipdate DESC, l_orderkey DESC, l_linenumber DESC) = 1
+        ORDER BY l_suppkey
+      """.trim)),
+
+    // --- rank/dense_rank (general query layer, SURVEY §2.6 note) ---
+    GQuery(
+      "q35_rank_nations_by_revenue",
+      (spark, dir) => {
+        val o = t(spark, dir, "orders")
+        val c = t(spark, dir, "customer")
+        val rev = o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+          .groupBy(col("c_nationkey"))
+          .agg(sum(dec(col("o_totalprice"))).cast(DecimalType(18, 2)).as("revenue"))
+        rev.select(col("c_nationkey"), col("revenue"),
+            rank().over(Window.orderBy(col("revenue").desc, col("c_nationkey"))).as("rev_rank"))
+          .orderBy(col("rev_rank"))
+      },
+      Some("""
+        WITH rev AS (
+          SELECT c_nationkey, CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS revenue
+          FROM orders JOIN customer ON o_custkey = c_custkey
+          GROUP BY c_nationkey)
+        SELECT c_nationkey, revenue,
+               CAST(rank() OVER (ORDER BY revenue DESC, c_nationkey) AS INT) AS rev_rank
+        FROM rev
+        ORDER BY rev_rank
+      """.trim))
+  )
+}
