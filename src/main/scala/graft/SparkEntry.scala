@@ -17,7 +17,11 @@ object SparkEntry {
     _root_.graft.queries.OperatorQueries,
     _root_.graft.queries.WindowQueries,
     _root_.graft.queries.DqQueries,
-    _root_.graft.queries.SourceQueries)
+    _root_.graft.queries.SourceQueries,
+    _root_.graft.queries.ExpressionQueries,
+    _root_.graft.queries.TextQueries,
+    _root_.graft.queries.VectorQueries,
+    _root_.graft.queries.MultimodalQueries)
 
   lazy val registry: Seq[GQuery] = modules.flatMap(_.all)
 

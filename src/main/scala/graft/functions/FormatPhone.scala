@@ -1,0 +1,95 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.GraftSqlBridge
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** `format_phone` — the reference's single non-built-in scalar function
+  * (SURVEY §2.2 P10, §2.10): normalize a messy phone string to
+  * `XXX-XXX-XXXX` (`silver_customers_schema.json:44`, format spec
+  * `config/silver/schema/README.md:98`).
+  *
+  * Semantics: strip all non-digits; 10 digits → `AAA-BBB-CCCC`; 11 digits
+  * with leading country `1` → same on the trailing 10; anything else → NULL
+  * (unparseable phones surface to the DQ layer rather than passing through
+  * malformed).
+  *
+  * Provided two ways, per SURVEY §2.10:
+  *  - [[FormatPhoneExpr]]: a native Catalyst `UnaryExpression` with
+  *    `doGenCode` — stays inside whole-stage codegen, no UDF serialization,
+  *    single pass over the bytes (no regex engine).
+  *  - [[PhoneFunctions.formatPhoneCols]]: the same semantics composed from
+  *    built-in column functions, for engines/contexts where injecting
+  *    expressions is undesirable.
+  */
+case class FormatPhoneExpr(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String].toString
+    FormatPhoneExpr.format(s) match {
+      case null => null
+      case out => UTF8String.fromString(out)
+    }
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cls = FormatPhoneExpr.getClass.getName.stripSuffix("$")
+    nullSafeCodeGen(ctx, ev, c => {
+      s"""
+         |String ${ev.value}Str = $cls.format($c.toString());
+         |if (${ev.value}Str == null) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = org.apache.spark.unsafe.types.UTF8String.fromString(${ev.value}Str);
+         |}
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): FormatPhoneExpr =
+    copy(child = newChild)
+
+  override def prettyName: String = "format_phone"
+}
+
+object FormatPhoneExpr {
+  /** Shared by interpreted eval and generated code. */
+  def format(s: String): String = {
+    val digits = new java.lang.StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val ch = s.charAt(i)
+      if (ch >= '0' && ch <= '9') digits.append(ch)
+      i += 1
+    }
+    val d =
+      if (digits.length == 11 && digits.charAt(0) == '1') digits.substring(1)
+      else digits.toString
+    if (d.length != 10) null
+    else d.substring(0, 3) + "-" + d.substring(3, 6) + "-" + d.substring(6, 10)
+  }
+}
+
+object PhoneFunctions {
+  /** Codegen'd Catalyst-native form. */
+  def format_phone(c: Column): Column =
+    GraftSqlBridge.column(FormatPhoneExpr(GraftSqlBridge.expression(c)))
+
+  /** Same semantics from built-in column functions only. */
+  def formatPhoneCols(c: Column): Column = {
+    val digitsAll = regexp_replace(c, "[^0-9]", "")
+    val digits = when(length(digitsAll) === 11 && digitsAll.startsWith("1"),
+      substring(digitsAll, 2, 10)).otherwise(digitsAll)
+    when(length(digits) === 10,
+      concat_ws("-",
+        substring(digits, 1, 3), substring(digits, 4, 3), substring(digits, 7, 4)))
+      .otherwise(lit(null).cast(StringType))
+  }
+}

@@ -1,0 +1,90 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis column builders for LLM-training-data pipelines
+  * (builder-prompt mandate; SURVEY §2.12): language ID, quality scoring,
+  * token counting, document fingerprinting.
+  *
+  * Everything here is a pure column expression — codegen'd, shuffle-free,
+  * scales linearly over a 100 TB documents table. Heuristics are
+  * deterministic and exactly mirrored by DuckDB SQL in TextQueries'
+  * oracles (single-division / fixed-order float math only).
+  */
+object TextAnalysis {
+
+  /** Whitespace tokenization (single-space corpus; use `tokensRegex` for
+    * messy text).
+    */
+  def tokens(text: Column): Column = split(text, " ")
+
+  /** BPE-ish fallback tokenizer for arbitrary text: words / numbers /
+    * single non-space symbols.
+    */
+  def tokensRegex(text: Column): Column =
+    regexp_extract_all(text, lit("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"), lit(0))
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** Language marker dictionaries (tiny n-gram/stopword heuristic). */
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "and", "of", "is"),
+    "fr" -> Seq("le", "la", "et", "de", "un"),
+    "es" -> Seq("el", "los", "y", "que", "un"),
+    "de" -> Seq("der", "die", "und", "das", "ein"),
+    "zh" -> Seq("的", "是", "了", "在", "我"))
+
+  /** Occurrence count of `dict` words among the tokens (duplicates count). */
+  def markerScore(text: Column, dict: Seq[String]): Column = {
+    val d = array(dict.map(lit): _*)
+    size(filter(tokens(lower(text)), t => array_contains(d, t)))
+  }
+
+  /** Deterministic argmax language with fixed precedence (en,fr,es,de,zh);
+    * all-zero → "und".
+    */
+  def langId(text: Column): Column = {
+    val scores = langMarkers.map { case (l, d) => l -> markerScore(text, d) }
+    val allZero = scores.map(_._2 === 0).reduce(_ && _)
+    // precedence chain: a language wins if its score >= all later ones
+    val chain = scores.zipWithIndex.foldRight(lit("und")) { case (((l, s), i), elseCol) =>
+      val laterGe = scores.drop(i + 1).map { case (_, s2) => s >= s2 }
+        .reduceOption(_ && _).getOrElse(lit(true))
+      when(laterGe, lit(l)).otherwise(elseCol)
+    }
+    when(allZero, lit("und")).otherwise(chain)
+  }
+
+  /** Stopword-ish ratio: marker occurrences (all languages) / token count. */
+  def stopwordRatio(text: Column): Column = {
+    val all = langMarkers.flatMap(_._2).distinct
+    markerScore(text, all).cast("double") / tokenCount(text)
+  }
+
+  /** Lexical-diversity ratio: distinct tokens / tokens. */
+  def distinctRatio(text: Column): Column =
+    size(array_distinct(tokens(lower(text)))).cast("double") / tokenCount(text)
+
+  /** Composite quality score in [0,1]: length saturation + low-stopword +
+    * lexical diversity. Fixed-order double math for cross-engine parity.
+    */
+  def qualityScore(text: Column): Column =
+    lit(0.4) * least(lit(1.0), tokenCount(text).cast("double") / 100.0) +
+      lit(0.3) * (lit(1.0) - stopwordRatio(text)) +
+      lit(0.3) * distinctRatio(text)
+
+  /** OpenRefine-style fingerprint: md5 over sorted distinct lowercase
+    * tokens — canonical form for exact near-canonical dedup.
+    */
+  def fingerprint(text: Column): Column =
+    md5(concat_ws(" ", array_sort(array_distinct(tokens(lower(text))))))
+
+  /** `n`-token shingles (1-based positions, fixed order). */
+  def shingles(text: Column, n: Int): Column = {
+    val t = tokens(lower(text))
+    transform(
+      sequence(lit(1), greatest(size(t) - (n - 1), lit(1))),
+      i => concat_ws(" ", (0 until n).map(j => element_at(t, i + j)): _*))
+  }
+}

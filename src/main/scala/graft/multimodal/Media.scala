@@ -1,0 +1,68 @@
+package graft.multimodal
+
+import java.security.MessageDigest
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal column plumbing (builder-prompt mandate; SURVEY §2.12).
+  *
+  * Images/audio/video ride as opaque `binary` payload columns with a typed
+  * metadata struct — the flat-row model extends to media without schema
+  * changes. The decode step is STUBBED (no media libs in this container)
+  * behind [[Media.decodeStub]]: a deterministic fake that derives
+  * "dimensions" from a digest, so the Spark-side plumbing — schema,
+  * partitioning, batched per-partition processing (the Scala analogue of
+  * `mapInPandas` batches), feature output shape — is real and tested.
+  *
+  * Scale notes: payloads never shuffle — featurization is a narrow
+  * `mapPartitions` over the scan; only the small feature rows flow
+  * downstream. For 100 TB of media, partition input by content-addressed
+  * prefix so tasks stream batches without skew.
+  */
+object Media {
+
+  final case class MediaMeta(mimeType: String, sizeBytes: Long, lang: String)
+  final case class MediaRecord(id: Long, payload: Array[Byte], meta: MediaMeta)
+  final case class MediaFeature(id: Long, byteLen: Long, contentMd5: String,
+      fakeWidth: Int, fakeHeight: Int)
+
+  /** Wrap the documents table as a media table: binary payload + metadata. */
+  def fromDocuments(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id").as("id"),
+      col("text").cast("binary").as("payload"),
+      struct(
+        lit("text/plain").as("mimeType"),
+        octet_length(col("text")).cast("long").as("sizeBytes"),
+        col("lang").as("lang")).as("meta"))
+
+  /** STUB decode — deterministic fake dimensions from the payload digest.
+    * Replace with a real image/audio decoder where media libs exist; the
+    * signature (bytes in, typed features out) is the contract.
+    */
+  def decodeStub(payload: Array[Byte]): (Int, Int) = {
+    val d = MessageDigest.getInstance("MD5").digest(payload)
+    (64 + (d(0) & 0x7f), 64 + (d(1) & 0x7f))
+  }
+
+  private def md5Hex(payload: Array[Byte]): String =
+    MessageDigest.getInstance("MD5").digest(payload)
+      .map(b => f"$b%02x").mkString
+
+  /** Batched per-partition featurization — the `mapInPandas` analogue:
+    * each task walks its partition once, running the (stubbed) decoder.
+    */
+  def featurize(spark: SparkSession, media: DataFrame): Dataset[MediaFeature] = {
+    import spark.implicits._
+    media.select(col("id"), col("payload"),
+        col("meta.mimeType"), col("meta.sizeBytes"), col("meta.lang"))
+      .as[(Long, Array[Byte], String, Long, String)]
+      .mapPartitions { it =>
+        it.map { case (id, payload, _, _, _) =>
+          val (w, h) = decodeStub(payload)
+          MediaFeature(id, payload.length.toLong, md5Hex(payload), w, h)
+        }
+      }
+  }
+}

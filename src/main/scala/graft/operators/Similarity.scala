@@ -1,0 +1,98 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over embedding columns (builder-prompt mandate;
+  * SURVEY §2.12): brute-force cosine top-k baseline + IVF bucketed variant
+  * as the scale path.
+  *
+  * Float math discipline: arrays are cast to double element-wise, products
+  * are accumulated with an explicit left fold in index order — the same
+  * expression shape the DuckDB oracle uses, so scores are bit-identical
+  * across engines.
+  *
+  * Scale design: brute force is queries×corpus — fine when one side is a
+  * small query batch (broadcast), O(n²) otherwise. IVF assigns each vector
+  * to its nearest of `m` centroids (one narrow pass), then probes only
+  * `nProbe` buckets per query: the corpus side of the join is pre-filtered
+  * by bucket id, cutting compared pairs by ~m/nProbe. Centroids are a tiny
+  * broadcast table; nothing collects to the driver.
+  */
+object Similarity {
+
+  /** Element-wise double view of a float vector column. */
+  def asDouble(v: Column): Column = transform(v, x => x.cast("double"))
+
+  /** Dot product via explicit index-order left fold (deterministic). */
+  def dot(a: Column, b: Column, dim: Int): Column =
+    aggregate(
+      transform(sequence(lit(1), lit(dim)), i => element_at(a, i) * element_at(b, i)),
+      lit(0.0), (acc, x) => acc + x)
+
+  def norm(a: Column, dim: Int): Column = sqrt(dot(a, a, dim))
+
+  def cosine(a: Column, b: Column, dim: Int): Column =
+    dot(a, b, dim) / (norm(a, dim) * norm(b, dim))
+
+  /** Brute-force cosine top-k: for each query vector, the k nearest corpus
+    * vectors (excluding itself). Queries side is broadcast.
+    */
+  def bruteForceTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+      vecCol: String, dim: Int, k: Int): DataFrame = {
+    val q = broadcast(queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv")))
+    val c = corpus.select(col(idCol).as("neighbor_id"), asDouble(col(vecCol)).as("cv"))
+    val scored = q.join(c, col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine", cosine(col("qv"), col("cv"), dim))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank"))
+  }
+
+  /** IVF bucket assignment: nearest (max dot product) of the `centroids`
+    * rows (columns: centroid_id, cv as double array).
+    */
+  def ivfAssign(vectors: DataFrame, centroids: DataFrame, idCol: String,
+      vecCol: String, dim: Int): DataFrame = {
+    val v = vectors.select(col(idCol), asDouble(col(vecCol)).as("dv"))
+    val scored = v.join(broadcast(centroids))
+      .withColumn("score", dot(col("dv"), col("cv"), dim))
+    val w = Window.partitionBy(col(idCol)).orderBy(col("score").desc, col("centroid_id"))
+    scored.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col(idCol), col("dv"), col("centroid_id").as("bucket"))
+  }
+
+  /** Deterministic centroid seed: the first `m` corpus vectors by id.
+    * (A k-means refinement pass can replace this without changing the
+    * search path.)
+    */
+  def seedCentroids(corpus: DataFrame, idCol: String, vecCol: String, m: Int): DataFrame =
+    corpus.orderBy(col(idCol)).limit(m)
+      .select(col(idCol).as("centroid_id"), asDouble(col(vecCol)).as("cv"))
+
+  /** IVF search: probe the `nProbe` nearest buckets per query, brute-force
+    * within them.
+    */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame, centroids: DataFrame,
+      idCol: String, vecCol: String, dim: Int, k: Int, nProbe: Int): DataFrame = {
+    val assigned = ivfAssign(corpus, centroids, idCol, vecCol, dim)
+      .withColumnRenamed(idCol, "neighbor_id").withColumnRenamed("dv", "cv_doc")
+    val q = queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv"))
+    val qScored = broadcast(q).join(broadcast(centroids))
+      .withColumn("score", dot(col("qv"), col("cv"), dim))
+    val wq = Window.partitionBy(col("query_id")).orderBy(col("score").desc, col("centroid_id"))
+    val probes = qScored.withColumn("rn", row_number().over(wq))
+      .filter(col("rn") <= nProbe)
+      .select(col("query_id"), col("qv"), col("centroid_id").as("bucket"))
+    val scored = broadcast(probes).join(assigned, Seq("bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine", cosine(col("qv"), col("cv_doc"), dim))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank"))
+  }
+}

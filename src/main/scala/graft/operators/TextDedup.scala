@@ -1,0 +1,120 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextAnalysis
+
+/** Near-duplicate detection for document corpora (builder-prompt mandate;
+  * SURVEY §2.12): exact, n-gram Jaccard, MinHash+LSH, SimHash.
+  *
+  * Scale design:
+  *  - exact/fingerprint dedup: one hash-shuffle on the digest — the digest
+  *    (16 bytes) shuffles, never the document text.
+  *  - MinHash+LSH: per-doc signature is a narrow projection; candidate
+  *    generation explodes `bands` rows per doc (small constant) and
+  *    hash-joins on the band key — no O(n²) pair enumeration ever
+  *    materializes. Verification runs only on candidates.
+  *  - n-gram Jaccard self-join is quadratic per block — only used directly
+  *    for verification of candidates or under an explicit blocking key.
+  *
+  * Two hash families:
+  *  - `md5`-derived (slow, hex-string minima): used where a DuckDB oracle
+  *    must reproduce signatures bit-for-bit (lexicographic min of fixed-width
+  *    lowercase hex == numeric min).
+  *  - `xxhash64`-derived (fast, codegen'd): production path, validated by
+  *    ScalaTest against planted duplicates.
+  */
+object TextDedup {
+
+  /** Exact-duplicate groups over a digest of `text` (or any canonical
+    * column): keeps the smallest id as the representative.
+    */
+  def exactGroups(df: DataFrame, idCol: String, keyCol: Column): DataFrame =
+    df.groupBy(keyCol.as("dedup_key"))
+      .agg(min(col(idCol)).as("representative_id"), count(lit(1)).as("copies"))
+
+  /** MinHash signature as an array of `numHashes` hex-string minima over the
+    * shingle set. mdd5 family (oracle-reproducible).
+    */
+  def minhashSignatureMd5(text: Column, n: Int, numHashes: Int): Column = {
+    val sh = array_distinct(TextAnalysis.shingles(text, n))
+    array((0 until numHashes).map { i =>
+      array_min(transform(sh, s => md5(concat_ws(":", lit(i.toString), s))))
+    }: _*)
+  }
+
+  /** xxhash64 family (fast path): array of numeric minima. */
+  def minhashSignatureFast(text: Column, n: Int, numHashes: Int): Column = {
+    val sh = array_distinct(TextAnalysis.shingles(text, n))
+    array((0 until numHashes).map { i =>
+      array_min(transform(sh, s => xxhash64(lit(i), s)))
+    }: _*)
+  }
+
+  /** LSH banding: (id, band, band_key) rows — `numBands` rows per document;
+    * docs sharing a band key are near-dup candidates.
+    */
+  def lshBands(df: DataFrame, idCol: String, sigCol: Column, numBands: Int,
+      rowsPerBand: Int): DataFrame = {
+    val bandKeys = (0 until numBands).map { b =>
+      md5(concat_ws("|",
+        (0 until rowsPerBand).map(r => element_at(sigCol, b * rowsPerBand + r + 1)): _*))
+    }
+    df.select(col(idCol), posexplode(array(bandKeys: _*)).as(Seq("band", "band_key")))
+  }
+
+  /** Candidate pairs (id1 < id2) sharing ≥1 LSH band. */
+  def lshCandidates(bands: DataFrame, idCol: String): DataFrame = {
+    val a = bands.toDF(s"${idCol}_1", "band", "band_key")
+    val b = bands.toDF(s"${idCol}_2", "band", "band_key")
+    a.join(b, Seq("band", "band_key"))
+      .filter(col(s"${idCol}_1") < col(s"${idCol}_2"))
+      .select(col(s"${idCol}_1"), col(s"${idCol}_2"))
+      .distinct()
+  }
+
+  /** Exact n-gram Jaccard similarity between two shingle-array columns
+    * (single IEEE division — cross-engine deterministic).
+    */
+  def jaccard(sh1: Column, sh2: Column): Column =
+    size(array_intersect(sh1, sh2)).cast("double") / size(array_union(sh1, sh2))
+
+  /** Quadratic-per-block n-gram Jaccard join: pairs within the same
+    * `blockKey` whose Jaccard ≥ `threshold`. For bounded blocks only —
+    * use [[lshCandidates]] at corpus scale.
+    */
+  def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
+      blockKey: String, n: Int, threshold: Double): DataFrame = {
+    val withSh = df.select(col(idCol), col(blockKey),
+      array_distinct(TextAnalysis.shingles(col(textCol), n)).as("sh"))
+    val a = withSh.toDF(s"${idCol}_1", blockKey, "sh1")
+    val b = withSh.toDF(s"${idCol}_2", blockKey, "sh2")
+    a.join(b, blockKey)
+      .filter(col(s"${idCol}_1") < col(s"${idCol}_2"))
+      .withColumn("jaccard", jaccard(col("sh1"), col("sh2")))
+      .filter(col("jaccard") >= threshold)
+      .select(col(s"${idCol}_1"), col(s"${idCol}_2"), col("jaccard"))
+  }
+
+  /** 64-bit SimHash over the token multiset (xxhash64 token hashes, majority
+    * vote per bit). One shuffle (explode + groupBy id). Near-dups have small
+    * Hamming distance; pair generation via 16-bit chunk banding.
+    */
+  def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = df.select(col(idCol),
+      explode(TextAnalysis.tokens(lower(col(textCol)))).as("tok"))
+      .withColumn("h", xxhash64(col("tok")))
+    val bitSums = (0 until 64).map { b =>
+      sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$b")
+    }
+    val agg = toks.groupBy(col(idCol)).agg(bitSums.head, bitSums.tail: _*)
+    val sim = (0 until 64).map { b =>
+      when(col(s"b$b") > 0, shiftleft(lit(1L), b)).otherwise(lit(0L))
+    }.reduce(_.bitwiseOR(_))
+    agg.select(col(idCol), sim.as("simhash"))
+  }
+
+  /** Hamming distance between two 64-bit simhashes. */
+  def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+}

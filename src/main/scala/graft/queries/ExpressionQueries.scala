@@ -1,0 +1,133 @@
+package graft.queries
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.core.{GQuery, QueryModule, Tables}
+import graft.functions.PhoneFunctions
+
+/** Scalar-expression layer queries (SURVEY §2.2 P1-P14).
+  *
+  * The reference's silver cleanse is one wide `select` of per-column SQL
+  * expressions (`config/silver/schema/README.md:170-174`) — q50 reproduces
+  * that shape: trim/lower/upper/initcap, coalesce-with-default, literal
+  * columns, empty-string→NULL, casts, all in a single codegen'd projection
+  * (zero shuffles at any scale).
+  *
+  * DuckDB has no `initcap`; the oracle emulates Spark's exact semantics
+  * (whitespace-split words, first letter upper, rest lower).
+  */
+object ExpressionQueries extends QueryModule {
+  import Tables.t
+
+  private def dec(c: Column, p: Int = 12, s: Int = 2): Column =
+    c.cast(DecimalType(p, s))
+
+  override def all: Seq[GQuery] = Seq(
+
+    // --- P1-P9, P11, P12: the silver-cleanse projection ---
+    GQuery(
+      "q50_silver_cleanse",
+      (spark, dir) => {
+        val p = t(spark, dir, "part")
+        p.select(
+            col("p_partkey"),
+            trim(lower(col("p_name"))).as("name_clean"),
+            upper(col("p_brand")).as("brand_code"),
+            initcap(col("p_type")).as("type_title"),
+            coalesce(nullif(trim(col("p_type")), lit("")), lit("UNKNOWN")).as("type_defaulted"),
+            when(col("p_size") < 10, lit(null).cast(IntegerType))
+              .otherwise(col("p_size")).as("size_nullified"),
+            lit("part_catalog").as("record_source"),
+            dec(col("p_retailprice")).as("retail_price"),
+            col("p_retailprice").cast(StringType).as("price_as_string"))
+          .orderBy(col("p_partkey"))
+      },
+      Some("""
+        SELECT p_partkey,
+               trim(lower(p_name)) AS name_clean,
+               upper(p_brand) AS brand_code,
+               array_to_string(list_transform(string_split(lower(p_type), ' '),
+                 w -> upper(w[1]) || w[2:]), ' ') AS type_title,
+               coalesce(nullif(trim(p_type), ''), 'UNKNOWN') AS type_defaulted,
+               CASE WHEN p_size < 10 THEN NULL ELSE p_size END AS size_nullified,
+               'part_catalog' AS record_source,
+               CAST(p_retailprice AS DECIMAL(12,2)) AS retail_price,
+               CAST(p_retailprice AS VARCHAR) AS price_as_string
+        FROM part ORDER BY p_partkey
+      """.trim)),
+
+    // --- P10: format_phone custom Catalyst expression (codegen'd) ---
+    GQuery(
+      "q51_format_phone",
+      (spark, dir) => {
+        val c = t(spark, dir, "customer")
+        // Deterministic messy phone corpus derived from the key: four
+        // formats, one unparseable class (9 digits).
+        val digits = lpad(col("c_custkey").cast(StringType), 10, "7")
+        val messy = when(col("c_custkey") % 5 === 0,
+            concat(lit("("), substring(digits, 1, 3), lit(") "),
+              substring(digits, 4, 3), lit("-"), substring(digits, 7, 4)))
+          .when(col("c_custkey") % 5 === 1,
+            concat(substring(digits, 1, 3), lit("."),
+              substring(digits, 4, 3), lit("."), substring(digits, 7, 4)))
+          .when(col("c_custkey") % 5 === 2, concat(lit("1"), digits))
+          .when(col("c_custkey") % 5 === 3, concat(lit("  "), digits, lit(" ")))
+          .otherwise(substring(digits, 1, 9))
+        c.select(col("c_custkey"), messy.as("phone_raw"),
+            PhoneFunctions.format_phone(messy).as("phone_norm"),
+            PhoneFunctions.formatPhoneCols(messy).as("phone_norm_builtin"))
+          .orderBy(col("c_custkey"))
+      },
+      Some("""
+        WITH m AS (
+          SELECT c_custkey, lpad(CAST(c_custkey AS VARCHAR), 10, '7') AS d FROM customer),
+        raw AS (
+          SELECT c_custkey,
+                 CASE c_custkey % 5
+                   WHEN 0 THEN '(' || d[1:3] || ') ' || d[4:6] || '-' || d[7:10]
+                   WHEN 1 THEN d[1:3] || '.' || d[4:6] || '.' || d[7:10]
+                   WHEN 2 THEN '1' || d
+                   WHEN 3 THEN '  ' || d || ' '
+                   ELSE d[1:9] END AS phone_raw
+          FROM m),
+        norm AS (
+          SELECT c_custkey, phone_raw,
+                 CASE WHEN length(regexp_replace(phone_raw, '[^0-9]', '', 'g')) = 11
+                        AND regexp_replace(phone_raw, '[^0-9]', '', 'g') LIKE '1%'
+                      THEN regexp_replace(phone_raw, '[^0-9]', '', 'g')[2:11]
+                      ELSE regexp_replace(phone_raw, '[^0-9]', '', 'g') END AS digits
+          FROM raw)
+        SELECT c_custkey, phone_raw,
+               CASE WHEN length(digits) = 10
+                    THEN digits[1:3] || '-' || digits[4:6] || '-' || digits[7:10]
+                    ELSE NULL END AS phone_norm,
+               CASE WHEN length(digits) = 10
+                    THEN digits[1:3] || '-' || digits[4:6] || '-' || digits[7:10]
+                    ELSE NULL END AS phone_norm_builtin
+        FROM norm ORDER BY c_custkey
+      """.trim)),
+
+    // --- P13: decimal-preserving calculated measures ---
+    GQuery(
+      "q52_calculated_measures",
+      (spark, dir) => {
+        val li = t(spark, dir, "lineitem")
+        li.select(col("l_orderkey"), col("l_linenumber"),
+            (dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))
+              .cast(DecimalType(18, 4)).as("net_price"),
+            (dec(col("l_quantity")) * dec(col("l_tax"))).cast(DecimalType(18, 4)).as("qty_tax"),
+            (col("l_extendedprice") - col("l_discount") * col("l_extendedprice"))
+              .as("net_price_double"))
+          .orderBy(col("l_orderkey"), col("l_linenumber"))
+      },
+      Some("""
+        SELECT l_orderkey, l_linenumber,
+               CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2))) AS DECIMAL(18,4)) AS net_price,
+               CAST(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_tax AS DECIMAL(12,2)) AS DECIMAL(18,4)) AS qty_tax,
+               l_extendedprice - l_discount * l_extendedprice AS net_price_double
+        FROM lineitem ORDER BY l_orderkey, l_linenumber
+      """.trim))
+  )
+}

@@ -1,0 +1,33 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.core.{GQuery, QueryModule, Tables}
+import graft.multimodal.Media
+
+/** Multimodal plumbing query: documents → binary payload + metadata →
+  * batched featurization (stubbed decode). The oracle checks the REAL parts
+  * (byte length, content digest); the stubbed fake dimensions are excluded
+  * here and covered by ScalaTest.
+  */
+object MultimodalQueries extends QueryModule {
+  import Tables.t
+
+  override def all: Seq[GQuery] = Seq(
+    GQuery(
+      "q75_media_features",
+      (spark, dir) => {
+        val media = Media.fromDocuments(t(spark, dir, "documents"))
+        Media.featurize(spark, media)
+          .toDF()
+          .select(col("id"), col("byteLen").as("byte_len"),
+            col("contentMd5").as("content_md5"))
+          .orderBy(col("id"))
+      },
+      Some("""
+        SELECT doc_id AS id, CAST(strlen(text) AS BIGINT) AS byte_len,
+               md5(text) AS content_md5
+        FROM documents ORDER BY id
+      """.trim))
+  )
+}

@@ -1,0 +1,211 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.core.{GQuery, QueryModule, Tables}
+import graft.functions.TextAnalysis
+import graft.operators.TextDedup
+
+/** Text-analysis + document-dedup queries over the `documents` table
+  * (builder-prompt mandate; SURVEY §2.12). Exact/near duplicates are
+  * PLANTED deterministically (re-keyed copies / truncated mutants) so the
+  * detectors have real positives to find, and the DuckDB oracle replicates
+  * the planting + detection bit-for-bit.
+  */
+object TextQueries extends QueryModule {
+  import Tables.t
+
+  /** documents ∪ exact copies (doc_id%10==0, re-keyed +100000). */
+  private def withExactDups(spark: SparkSession, dir: String): DataFrame = {
+    val d = t(spark, dir, "documents")
+    d.unionByName(d.filter(col("doc_id") % 10 === 0)
+      .withColumn("doc_id", col("doc_id") + 100000))
+  }
+
+  /** documents ∪ near-dup mutants (doc_id%10==0, re-keyed, last 2 tokens
+    * dropped).
+    */
+  private def withNearDups(spark: SparkSession, dir: String): DataFrame = {
+    val d = t(spark, dir, "documents")
+    val toks = TextAnalysis.tokens(col("text"))
+    val mutant = d.filter(col("doc_id") % 10 === 0)
+      .withColumn("doc_id", col("doc_id") + 100000)
+      .withColumn("text", concat_ws(" ", slice(toks, lit(1), size(toks) - 2)))
+    d.unionByName(mutant)
+  }
+
+  private val dupSqlCtes = """
+    WITH docs AS (
+      SELECT doc_id, text, lang FROM documents
+      UNION ALL
+      SELECT doc_id + 100000, text, lang FROM documents WHERE doc_id % 10 = 0),
+    neardocs AS (
+      SELECT doc_id, text, lang FROM documents
+      UNION ALL
+      SELECT doc_id + 100000,
+             array_to_string(string_split(text,' ')[1:len(string_split(text,' '))-2], ' '),
+             lang
+      FROM documents WHERE doc_id % 10 = 0)
+  """
+
+  private val allMarkers =
+    TextAnalysis.langMarkers.flatMap(_._2).distinct.map(s => s"'$s'").mkString("[", ", ", "]")
+
+  override def all: Seq[GQuery] = Seq(
+
+    // --- token counting + lexical stats ---
+    GQuery(
+      "q60_token_stats",
+      (spark, dir) =>
+        t(spark, dir, "documents").select(
+            col("doc_id"),
+            TextAnalysis.tokenCount(col("text")).as("token_count"),
+            TextAnalysis.distinctRatio(col("text")).as("distinct_ratio"),
+            col("n_chars"))
+          .orderBy(col("doc_id")),
+      Some("""
+        SELECT doc_id,
+               CAST(len(string_split(text, ' ')) AS INT) AS token_count,
+               CAST(len(list_distinct(string_split(lower(text), ' '))) AS DOUBLE)
+                 / len(string_split(text, ' ')) AS distinct_ratio,
+               n_chars
+        FROM documents ORDER BY doc_id
+      """.trim)),
+
+    // --- language ID (marker-dictionary heuristic, fixed precedence) ---
+    GQuery(
+      "q61_lang_id",
+      (spark, dir) =>
+        t(spark, dir, "documents").select(
+            col("doc_id"), col("lang"),
+            TextAnalysis.langId(col("text")).as("lang_pred"))
+          .orderBy(col("doc_id")),
+      Some("""
+        WITH s AS (
+          SELECT doc_id, lang, string_split(lower(text), ' ') AS tk FROM documents),
+        sc AS (
+          SELECT doc_id, lang,
+            len(list_filter(tk, x -> list_contains(['the','a','and','of','is'], x))) AS s_en,
+            len(list_filter(tk, x -> list_contains(['le','la','et','de','un'], x))) AS s_fr,
+            len(list_filter(tk, x -> list_contains(['el','los','y','que','un'], x))) AS s_es,
+            len(list_filter(tk, x -> list_contains(['der','die','und','das','ein'], x))) AS s_de,
+            len(list_filter(tk, x -> list_contains(['的','是','了','在','我'], x))) AS s_zh
+          FROM s)
+        SELECT doc_id, lang,
+          CASE WHEN s_en=0 AND s_fr=0 AND s_es=0 AND s_de=0 AND s_zh=0 THEN 'und'
+               WHEN s_en >= s_fr AND s_en >= s_es AND s_en >= s_de AND s_en >= s_zh THEN 'en'
+               WHEN s_fr >= s_es AND s_fr >= s_de AND s_fr >= s_zh THEN 'fr'
+               WHEN s_es >= s_de AND s_es >= s_zh THEN 'es'
+               WHEN s_de >= s_zh THEN 'de'
+               ELSE 'zh' END AS lang_pred
+        FROM sc ORDER BY doc_id
+      """.trim)),
+
+    // --- quality scoring (length saturation + stopword + diversity) ---
+    GQuery(
+      "q62_quality_score",
+      (spark, dir) =>
+        t(spark, dir, "documents").select(
+            col("doc_id"),
+            TextAnalysis.qualityScore(col("text")).as("quality"))
+          .orderBy(col("doc_id")),
+      Some(s"""
+        WITH s AS (
+          SELECT doc_id, string_split(lower(text), ' ') AS tk FROM documents),
+        m AS (
+          SELECT doc_id,
+                 CAST(len(tk) AS INT) AS tc,
+                 CAST(len(list_filter(tk, x -> list_contains($allMarkers, x))) AS DOUBLE)
+                   / len(tk) AS stop_ratio,
+                 CAST(len(list_distinct(tk)) AS DOUBLE) / len(tk) AS dr
+          FROM s)
+        SELECT doc_id,
+               0.4 * least(1.0, CAST(tc AS DOUBLE) / 100.0)
+                 + 0.3 * (1.0 - stop_ratio)
+                 + 0.3 * dr AS quality
+        FROM m ORDER BY doc_id
+      """.trim)),
+
+    // --- fingerprint (canonical-form) exact dedup over planted copies ---
+    GQuery(
+      "q63_fingerprint_dedup",
+      (spark, dir) =>
+        TextDedup.exactGroups(withExactDups(spark, dir), "doc_id",
+            TextAnalysis.fingerprint(col("text")))
+          .filter(col("copies") > 1)
+          .orderBy(col("representative_id")),
+      Some((dupSqlCtes + """
+        SELECT md5(array_to_string(list_sort(list_distinct(string_split(lower(text),' '))), ' ')) AS dedup_key,
+               MIN(doc_id) AS representative_id, COUNT(*) AS copies
+        FROM docs
+        GROUP BY 1 HAVING COUNT(*) > 1
+        ORDER BY representative_id
+      """).trim)),
+
+    // --- exact n-gram Jaccard near-dup pairs (blocked self-join) ---
+    GQuery(
+      "q64_jaccard_pairs",
+      (spark, dir) =>
+        TextDedup.jaccardPairs(withNearDups(spark, dir), "doc_id", "text",
+            "lang", n = 3, threshold = 0.6)
+          .orderBy(col("doc_id_1"), col("doc_id_2")),
+      Some((dupSqlCtes + """
+        , tk AS (SELECT doc_id, lang, string_split(lower(text), ' ') AS tk FROM neardocs),
+        sh AS (
+          SELECT doc_id, lang,
+                 list_distinct(list_transform(
+                   generate_series(1, greatest(len(tk) - 2, 1)),
+                   i -> concat_ws(' ', tk[i], tk[i+1], tk[i+2]))) AS s
+          FROM tk)
+        SELECT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2,
+               CAST(len(list_distinct(list_intersect(a.s, b.s))) AS DOUBLE)
+                 / len(list_distinct(list_concat(a.s, b.s))) AS jaccard
+        FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id
+        WHERE CAST(len(list_distinct(list_intersect(a.s, b.s))) AS DOUBLE)
+                 / len(list_distinct(list_concat(a.s, b.s))) >= 0.6
+        ORDER BY doc_id_1, doc_id_2
+      """).trim)),
+
+    // --- MinHash + LSH banding candidates (md5 hash family, oracle-matched) ---
+    GQuery(
+      "q65_minhash_lsh",
+      (spark, dir) => {
+        val docs = withNearDups(spark, dir)
+          .withColumn("sig", TextDedup.minhashSignatureMd5(col("text"), n = 3, numHashes = 8))
+        val bands = TextDedup.lshBands(docs, "doc_id", col("sig"), numBands = 4, rowsPerBand = 2)
+        TextDedup.lshCandidates(bands, "doc_id")
+          .orderBy(col("doc_id_1"), col("doc_id_2"))
+      },
+      Some((dupSqlCtes + """
+        , tk AS (SELECT doc_id, string_split(lower(text), ' ') AS tk FROM neardocs),
+        sh AS (
+          SELECT doc_id,
+                 list_distinct(list_transform(
+                   generate_series(1, greatest(len(tk) - 2, 1)),
+                   i -> concat_ws(' ', tk[i], tk[i+1], tk[i+2]))) AS s
+          FROM tk),
+        sig AS (
+          SELECT doc_id,
+                 list_aggregate(list_transform(s, x -> md5('0:' || x)), 'min') AS h0,
+                 list_aggregate(list_transform(s, x -> md5('1:' || x)), 'min') AS h1,
+                 list_aggregate(list_transform(s, x -> md5('2:' || x)), 'min') AS h2,
+                 list_aggregate(list_transform(s, x -> md5('3:' || x)), 'min') AS h3,
+                 list_aggregate(list_transform(s, x -> md5('4:' || x)), 'min') AS h4,
+                 list_aggregate(list_transform(s, x -> md5('5:' || x)), 'min') AS h5,
+                 list_aggregate(list_transform(s, x -> md5('6:' || x)), 'min') AS h6,
+                 list_aggregate(list_transform(s, x -> md5('7:' || x)), 'min') AS h7
+          FROM sh),
+        bands AS (
+          SELECT doc_id, 0 AS band, md5(concat_ws('|', h0, h1)) AS band_key FROM sig
+          UNION ALL SELECT doc_id, 1, md5(concat_ws('|', h2, h3)) FROM sig
+          UNION ALL SELECT doc_id, 2, md5(concat_ws('|', h4, h5)) FROM sig
+          UNION ALL SELECT doc_id, 3, md5(concat_ws('|', h6, h7)) FROM sig)
+        SELECT DISTINCT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+        ORDER BY doc_id_1, doc_id_2
+      """).trim))
+  )
+}

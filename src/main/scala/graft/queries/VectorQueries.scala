@@ -1,0 +1,93 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.core.{GQuery, QueryModule, Tables}
+import graft.operators.Similarity
+
+/** Similarity-search queries over the `embeddings` table (64-dim float
+  * vectors). Brute-force cosine top-k has a bit-exact DuckDB oracle (same
+  * index-order fold); the IVF variant is the scale path, validated by
+  * ScalaTest recall tests (rows-only check here).
+  */
+object VectorQueries extends QueryModule {
+  import Tables.t
+
+  private val Dim = 64
+
+  override def all: Seq[GQuery] = Seq(
+
+    GQuery(
+      "q70_ann_bruteforce",
+      (spark, dir) => {
+        val e = t(spark, dir, "embeddings")
+        val queries = e.filter(col("vec_id") < 10)
+        Similarity.bruteForceTopK(queries, e, "vec_id", "embedding", Dim, k = 5)
+          .select(col("query_id"), col("neighbor_id"),
+            round(col("cosine"), 6).as("cosine_r"), col("rank"))
+          .orderBy(col("query_id"), col("rank"))
+      },
+      Some("""
+        WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        q AS (SELECT vec_id AS query_id, e AS qv FROM v WHERE vec_id < 10),
+        scored AS (
+          SELECT query_id, v.vec_id AS neighbor_id,
+                 list_sum(list_transform(generate_series(1, 64), i -> qv[i] * e[i]))
+                   / (sqrt(list_sum(list_transform(generate_series(1, 64), i -> qv[i] * qv[i])))
+                      * sqrt(list_sum(list_transform(generate_series(1, 64), i -> e[i] * e[i])))) AS cosine
+          FROM q JOIN v ON query_id <> v.vec_id),
+        ranked AS (
+          SELECT query_id, neighbor_id, cosine,
+                 CAST(row_number() OVER (PARTITION BY query_id
+                        ORDER BY cosine DESC, neighbor_id) AS INT) AS rank
+          FROM scored)
+        SELECT query_id, neighbor_id, round(cosine, 6) AS cosine_r, rank
+        FROM ranked WHERE rank <= 5
+        ORDER BY query_id, rank
+      """.trim)),
+
+    GQuery(
+      "q71_ann_ivf",
+      (spark, dir) => {
+        val e = t(spark, dir, "embeddings")
+        val queries = e.filter(col("vec_id") < 10)
+        val centroids = Similarity.seedCentroids(e, "vec_id", "embedding", m = 16)
+        Similarity.ivfTopK(queries, e, centroids, "vec_id", "embedding", Dim,
+            k = 5, nProbe = 4)
+          .select(col("query_id"), col("neighbor_id"),
+            round(col("cosine"), 6).as("cosine_r"), col("rank"))
+          .orderBy(col("query_id"), col("rank"))
+      },
+      oracle = None),
+
+    // --- embedding-cosine near-duplicate pairs (threshold, not top-k) ---
+    GQuery(
+      "q72_cosine_near_dups",
+      (spark, dir) => {
+        val e = t(spark, dir, "embeddings")
+        val a = e.select(col("vec_id").as("vec_id_1"),
+          Similarity.asDouble(col("embedding")).as("e1"), col("label").as("label_1"))
+        val b = e.select(col("vec_id").as("vec_id_2"),
+          Similarity.asDouble(col("embedding")).as("e2"), col("label").as("label_2"))
+        // Block on label (embeddings cluster by label) to avoid O(n²).
+        a.join(b, col("label_1") === col("label_2") && col("vec_id_1") < col("vec_id_2"))
+          .withColumn("cosine", Similarity.cosine(col("e1"), col("e2"), Dim))
+          .filter(col("cosine") >= 0.9)
+          .select(col("vec_id_1"), col("vec_id_2"), col("label_1").as("label"),
+            round(col("cosine"), 6).as("cosine_r"))
+          .orderBy(col("vec_id_1"), col("vec_id_2"))
+      },
+      Some("""
+        WITH v AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        pairs AS (
+          SELECT a.vec_id AS vec_id_1, b.vec_id AS vec_id_2, a.label,
+                 list_sum(list_transform(generate_series(1, 64), i -> a.e[i] * b.e[i]))
+                   / (sqrt(list_sum(list_transform(generate_series(1, 64), i -> a.e[i] * a.e[i])))
+                      * sqrt(list_sum(list_transform(generate_series(1, 64), i -> b.e[i] * b.e[i])))) AS cosine
+          FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id)
+        SELECT vec_id_1, vec_id_2, label, round(cosine, 6) AS cosine_r
+        FROM pairs WHERE cosine >= 0.9
+        ORDER BY vec_id_1, vec_id_2
+      """.trim))
+  )
+}
