@@ -21,7 +21,8 @@ object SparkEntry {
     _root_.graft.queries.ExpressionQueries,
     _root_.graft.queries.TextQueries,
     _root_.graft.queries.VectorQueries,
-    _root_.graft.queries.MultimodalQueries)
+    _root_.graft.queries.MultimodalQueries,
+    _root_.graft.queries.StreamQueries)
 
   lazy val registry: Seq[GQuery] = modules.flatMap(_.all)
 

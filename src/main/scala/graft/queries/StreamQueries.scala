@@ -1,0 +1,157 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, SaveMode}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.core.{GQuery, QueryModule}
+import graft.operators.{Dedup, Upsert}
+import graft.streaming.Streams
+
+/** Structured Streaming queries (SURVEY §2.9) — each runs a REAL streaming
+  * query (file source → Trigger.AvailableNow → memory/foreachBatch sink)
+  * inside the query function, with a DuckDB batch oracle.
+  *
+  * Watermark semantics in append mode are part of the contract: with
+  * AvailableNow, the final watermark is max(ts) − delay, so windows/sessions
+  * closing after it are withheld — the oracles reproduce that cutoff
+  * explicitly rather than pretending streaming equals batch.
+  */
+object StreamQueries extends QueryModule {
+
+  private def dec(c: Column, p: Int = 12, s: Int = 2): Column =
+    c.cast(DecimalType(p, s))
+
+  override def all: Seq[GQuery] = Seq(
+
+    // --- tumbling-window aggregation, complete mode ---
+    GQuery(
+      "q80_stream_window_agg",
+      (spark, dir) => {
+        val ev = Streams.eventsStream(spark, dir)
+        val agg = ev.groupBy(window(col("ts"), "1 hour"), col("event_type"))
+          .agg(count(lit(1)).as("n"), sum(dec(col("value"))).cast(DecimalType(18, 2)).as("total"))
+        Streams.runToMemory(spark, agg, "complete")
+          .select(unix_timestamp(col("window.start")).as("bucket_start"),
+            col("event_type"), col("n"), col("total"))
+          .orderBy(col("bucket_start"), col("event_type"))
+      },
+      Some("""
+        SELECT CAST(epoch(time_bucket(INTERVAL 1 HOUR, ts)) AS BIGINT) AS bucket_start,
+               event_type, COUNT(*) AS n,
+               CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS total
+        FROM events
+        GROUP BY 1, 2
+        ORDER BY bucket_start, event_type
+      """.trim),
+      bench = false),
+
+    // --- watermarked window agg, append mode: late windows withheld ---
+    GQuery(
+      "q81_stream_watermark_append",
+      (spark, dir) => {
+        val ev = Streams.eventsStream(spark, dir)
+        val agg = ev.withWatermark("ts", "1 hour")
+          .groupBy(window(col("ts"), "1 hour"))
+          .agg(count(lit(1)).as("n"))
+        Streams.runToMemory(spark, agg, "append")
+          .select(unix_timestamp(col("window.start")).as("bucket_start"), col("n"))
+          .orderBy(col("bucket_start"))
+      },
+      Some("""
+        WITH wm AS (SELECT max(ts) - INTERVAL 1 HOUR AS w FROM events)
+        SELECT CAST(epoch(time_bucket(INTERVAL 1 HOUR, ts)) AS BIGINT) AS bucket_start,
+               COUNT(*) AS n
+        FROM events
+        GROUP BY 1
+        HAVING time_bucket(INTERVAL 1 HOUR, min(ts)) + INTERVAL 1 HOUR <= (SELECT w FROM wm)
+        ORDER BY bucket_start
+      """.trim),
+      bench = false),
+
+    // --- dedup-in-stream (distinct keys via streaming dropDuplicates) ---
+    GQuery(
+      "q82_stream_dedup",
+      (spark, dir) => {
+        val ev = Streams.eventsStream(spark, dir)
+          .select(col("user_id"), col("event_type"))
+          .dropDuplicates("user_id", "event_type")
+        Streams.runToMemory(spark, ev, "append")
+          .orderBy(col("user_id"), col("event_type"))
+      },
+      Some("""
+        SELECT DISTINCT user_id, event_type FROM events ORDER BY user_id, event_type
+      """.trim),
+      bench = false),
+
+    // --- streaming upsert sink: foreachBatch MERGE into a parquet target ---
+    GQuery(
+      "q83_stream_upsert",
+      (spark, dir) => {
+        val path = java.nio.file.Files.createTempDirectory("graft_upsert").toString
+        val target = s"$path/target"
+        val ev = Streams.eventsStream(spark, dir)
+          .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+        Streams.runForeachBatch(spark, ev) { (batch, _) =>
+          val latest = Dedup.keepLatest(batch, Seq("user_id"),
+            Seq(col("ts").desc, col("event_id").desc))
+          val existing =
+            if (new java.io.File(target).exists) batch.sparkSession.read.parquet(target)
+            else latest.limit(0)
+          // Last-writer-wins across batches: incoming beats existing.
+          Upsert.merge(existing, latest, Seq("user_id"))
+            .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$path/tmp")
+          val fs = batch.sparkSession.read.parquet(s"$path/tmp")
+          fs.write.mode(SaveMode.Overwrite).parquet(target)
+        }
+        spark.read.parquet(target)
+          .select(col("user_id"), col("event_type"),
+            unix_micros(col("ts")).as("last_seen"), col("event_id"))
+          .orderBy(col("user_id"))
+      },
+      Some("""
+        SELECT user_id, event_type, epoch_us(CAST(ts AS TIMESTAMP)) AS last_seen, event_id
+        FROM events
+        QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
+        ORDER BY user_id
+      """.trim),
+      bench = false),
+
+    // --- session windows (30-min gap) with watermark cutoff ---
+    GQuery(
+      "q84_stream_sessions",
+      (spark, dir) => {
+        val ev = Streams.eventsStream(spark, dir)
+        val agg = ev.withWatermark("ts", "1 hour")
+          .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+          .agg(count(lit(1)).as("n_events"))
+        Streams.runToMemory(spark, agg, "append")
+          .select(col("user_id"),
+            unix_micros(col("session_window.start")).as("session_start"),
+            col("n_events"))
+          .orderBy(col("user_id"), col("session_start"))
+      },
+      Some("""
+        WITH wm AS (SELECT max(ts) - INTERVAL 1 HOUR AS w FROM events),
+        g AS (
+          SELECT user_id, ts,
+                 CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                        OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                           >= INTERVAL 30 MINUTE
+                      THEN 1 ELSE 0 END AS new_sess
+          FROM events),
+        s AS (
+          SELECT user_id, ts,
+                 SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                                     ROWS UNBOUNDED PRECEDING) AS sess_id
+          FROM g)
+        SELECT user_id, epoch_us(CAST(min(ts) AS TIMESTAMP)) AS session_start,
+               COUNT(*) AS n_events
+        FROM s
+        GROUP BY user_id, sess_id
+        HAVING max(ts) + INTERVAL 30 MINUTE <= (SELECT w FROM wm)
+        ORDER BY user_id, session_start
+      """.trim),
+      bench = false)
+  )
+}

@@ -1,0 +1,73 @@
+package graft.streaming
+
+import java.util.concurrent.atomic.AtomicInteger
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/** Structured Streaming surface (SURVEY §2.9).
+  *
+  * The reference models streaming-shaped ingestion — daily snapshot files,
+  * glob pickup, watermark-table incremental processing, late-arriving data
+  * (`config/silver/schema/README.md:265-268, 329-332`,
+  * `generate_sample_data.py:13`) — which maps to Spark file-stream sources
+  * with `Trigger.AvailableNow` + checkpoints (the checkpoint IS the
+  * watermark table), event-time watermarks for lateness, and `foreachBatch`
+  * upsert sinks.
+  *
+  * Scale notes: file streams list incrementally (no re-scan of processed
+  * files); windowed/session state is keyed by group and bounded by the
+  * watermark, so state size tracks active keys × open windows, not history.
+  */
+object Streams {
+
+  private val nameCounter = new AtomicInteger()
+
+  /** File-source stream over the events parquet (ts normalized from nanos,
+    * matching [[graft.core.Tables.events]]).
+    */
+  def eventsStream(spark: SparkSession, dir: String): DataFrame = {
+    val path = s"$dir/events.parquet"
+    // The file-stream source requires a directory; stage the (read-only)
+    // table file into a temp dir via symlink.
+    val stage = java.nio.file.Files.createTempDirectory("graft_stream_src")
+    java.nio.file.Files.createSymbolicLink(
+      stage.resolve("events.parquet"), java.nio.file.Paths.get(path))
+    val schema = spark.read.parquet(path).schema
+    val raw = spark.readStream.schema(schema).parquet(stage.toString)
+    if (schema("ts").dataType == org.apache.spark.sql.types.LongType)
+      raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    else raw
+  }
+
+  /** Run a streaming DataFrame to completion into a memory sink
+    * (Trigger.AvailableNow — process everything currently present, then
+    * stop) and return the materialized result.
+    */
+  def runToMemory(spark: SparkSession, df: DataFrame, outputMode: String): DataFrame = {
+    val name = s"graft_stream_${nameCounter.incrementAndGet()}"
+    val q = df.writeStream
+      .format("memory").queryName(name)
+      .outputMode(outputMode)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name)
+  }
+
+  /** Run a stream through `foreachBatch`, applying `merge` per micro-batch
+    * (the streaming upsert sink, S7 × S5).
+    */
+  def runForeachBatch(spark: SparkSession, df: DataFrame)
+      (onBatch: (DataFrame, Long) => Unit): Unit = {
+    val q = df.writeStream
+      .foreachBatch(onBatch)
+      .outputMode("update")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft_ckpt").toString)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+}
