@@ -1,0 +1,256 @@
+package graft.config
+
+import org.apache.spark.sql.types._
+import org.json4s._
+import org.json4s.jackson.JsonMethods
+
+/** Config layer: the reference's JSON schema dialect, decoded 1:1 so its 16
+  * schema files are directly usable (SURVEY §1.2).
+  *
+  * Mirrors `src/utils/schema_loader.py`: `load_schema` (37-62),
+  * `_parse_datatype` (64-102, incl. the `decimal\((\d+),(\d+)\)` regex at
+  * 87-96), `build_spark_schema` (105-133), `build_full_spark_schema`
+  * (136-162), and the accessors (165-302). Also closes the reference's
+  * latent gap where silver schemas say `bigint` but `DATATYPE_MAPPING` only
+  * lists `long` (SURVEY §1.2).
+  */
+object TableConfig {
+
+  final case class ColumnDef(
+      name: String,
+      datatype: String,
+      nullable: Boolean,
+      description: Option[String] = None,
+      transformation: Option[String] = None,
+      calculation: Option[String] = None,
+      isBusinessKey: Boolean = false,
+      isSurrogateKey: Boolean = false,
+      isDimensionKey: Boolean = false,
+      references: Option[DimensionRef] = None) {
+    def sparkType: DataType = parseDataType(datatype)
+    def field: StructField = {
+      val meta = description.map(d =>
+        new MetadataBuilder().putString("description", d).build())
+        .getOrElse(Metadata.empty)
+      StructField(name, sparkType, nullable, meta)
+    }
+  }
+
+  final case class DimensionRef(dimension: String, joinType: String, joinLogic: String)
+
+  final case class RefTarget(referenceTable: String, referenceColumn: String)
+
+  final case class DqRules(
+      nullChecks: Seq[String] = Nil,
+      uniquenessChecks: Seq[String] = Nil,
+      setConstraints: Map[String, Seq[String]] = Map.empty,
+      comparisonConstraints: Map[String, String] = Map.empty,
+      formatValidations: Map[String, String] = Map.empty,
+      referentialIntegrity: Map[String, RefTarget] = Map.empty)
+
+  final case class ScdConfig(
+      type2Columns: Seq[String],
+      type1Columns: Seq[String],
+      hashColumns: Seq[String],
+      hashDelimiter: String)
+
+  final case class DateRange(startDate: String, endDate: String)
+
+  final case class Measure(name: String, aggregation: String)
+
+  final case class Table(
+      tableName: String,
+      sourceTable: Option[String],
+      sourceSystem: Option[String],
+      fileFormat: Option[String],
+      filePath: Option[String],
+      delimiter: Option[String],
+      header: Boolean,
+      loadType: Option[String],
+      dimensionType: Option[String],
+      factType: Option[String],
+      grain: Option[String],
+      businessKey: Option[String],
+      surrogateKey: Option[String],
+      incrementalColumn: Option[String],
+      primaryKeys: Seq[String],
+      partitionBy: Seq[String],
+      columns: Seq[ColumnDef],
+      metadataColumns: Seq[ColumnDef],
+      dqRules: Option[DqRules],
+      scdConfig: Option[ScdConfig],
+      dateRange: Option[DateRange],
+      measures: Seq[Measure]) {
+
+    /** `build_spark_schema` — data columns only. */
+    def sparkSchema: StructType = StructType(columns.map(_.field))
+    /** `build_full_spark_schema` — data + metadata columns. */
+    def fullSparkSchema: StructType =
+      StructType((columns ++ metadataColumns).map(_.field))
+    def columnNames: Seq[String] = columns.map(_.name)
+    def metadataColumnNames: Seq[String] = metadataColumns.map(_.name)
+    def nullableColumns: Seq[String] = columns.filter(_.nullable).map(_.name)
+    def requiredColumns: Seq[String] = columns.filterNot(_.nullable).map(_.name)
+  }
+
+  private val DecimalRe = """decimal\((\d+),\s*(\d+)\)""".r
+
+  /** `_parse_datatype` — accepts the reference's spellings plus the
+    * silver-layer `bigint`/`int` aliases.
+    */
+  def parseDataType(s: String): DataType = s.trim.toLowerCase match {
+    case "string" => StringType
+    case "long" | "bigint" => LongType
+    case "integer" | "int" => IntegerType
+    case "date" => DateType
+    case "timestamp" => TimestampType
+    case "boolean" => BooleanType
+    case "double" => DoubleType
+    case "float" => FloatType
+    case "binary" => BinaryType
+    case DecimalRe(p, sc) => DecimalType(p.toInt, sc.toInt)
+    case other => throw new IllegalArgumentException(s"Unsupported datatype: '$other'")
+  }
+
+  /** `load_schema` — JSON file → [[Table]]; errors on missing/invalid files. */
+  def load(path: String): Table = {
+    val f = new java.io.File(path)
+    require(f.exists, s"Schema file not found: $path")
+    fromJson(JsonMethods.parse(f))
+  }
+
+  def fromJsonString(json: String): Table = fromJson(JsonMethods.parse(json))
+
+  private def fromJson(j: JValue): Table = {
+    implicit val fmt: Formats = DefaultFormats
+    def str(k: String): Option[String] = (j \ k) match {
+      case JString(s) => Some(s)
+      case _ => None
+    }
+    def strs(k: String): Seq[String] = (j \ k) match {
+      case JArray(xs) => xs.collect { case JString(s) => s }
+      case _ => Nil
+    }
+    def cols(k: String): Seq[ColumnDef] = (j \ k) match {
+      case JArray(xs) => xs.map(decodeColumn)
+      case _ => Nil
+    }
+    val dq = (j \ "data_quality_rules") match {
+      case JNothing | JNull => None
+      case r =>
+        val (sets, cmps) = (r \ "value_constraints") match {
+          case JObject(fields) =>
+            val s = fields.collect { case (k, JArray(vs)) =>
+              k -> vs.collect { case JString(v) => v } }.toMap
+            val c = fields.collect { case (k, JString(v)) => k -> v }.toMap
+            (s, c)
+          case _ => (Map.empty[String, Seq[String]], Map.empty[String, String])
+        }
+        val fmts = (r \ "format_validations") match {
+          case JObject(fields) => fields.collect { case (k, JString(v)) => k -> v }.toMap
+          case _ => Map.empty[String, String]
+        }
+        val ri = (r \ "referential_integrity") match {
+          case JObject(fields) => fields.map { case (k, v) =>
+            k -> RefTarget(
+              (v \ "reference_table").extract[String],
+              (v \ "reference_column").extract[String])
+          }.toMap
+          case _ => Map.empty[String, RefTarget]
+        }
+        Some(DqRules(
+          nullChecks = (r \ "null_checks") match {
+            case JArray(xs) => xs.collect { case JString(s) => s }
+            case _ => Nil
+          },
+          uniquenessChecks = (r \ "uniqueness_checks") match {
+            case JArray(xs) => xs.collect { case JString(s) => s }
+            case JArray(_) | JNothing | JNull => Nil
+            case _ => Nil
+          },
+          setConstraints = sets,
+          comparisonConstraints = cmps,
+          formatValidations = fmts,
+          referentialIntegrity = ri))
+    }
+    val scd = (j \ "scd_config") match {
+      case JNothing | JNull => None
+      case s => Some(ScdConfig(
+        type2Columns = (s \ "type2_columns").extract[Seq[String]],
+        type1Columns = (s \ "type1_columns").extract[Seq[String]],
+        hashColumns = (s \ "hash_columns").extract[Seq[String]],
+        hashDelimiter = (s \ "hash_delimiter").extractOrElse[String]("|")))
+    }
+    val dr = (j \ "date_range") match {
+      case JNothing | JNull => None
+      case d => Some(DateRange(
+        (d \ "start_date").extract[String], (d \ "end_date").extract[String]))
+    }
+    val ms = (j \ "measures") match {
+      case JArray(xs) => xs.map(m => Measure(
+        (m \ "name").extract[String], (m \ "aggregation").extract[String]))
+      case _ => Nil
+    }
+    // uniqueness_checks may contain composite keys as nested arrays
+    // (`silver_inventory_schema.json:82-84`) — flatten to joined form.
+    val uniq = (j \ "data_quality_rules" \ "uniqueness_checks") match {
+      case JArray(xs) => xs.collect {
+        case JString(s) => s
+        case JArray(ys) => ys.collect { case JString(s) => s }.mkString(",")
+      }
+      case _ => Nil
+    }
+    Table(
+      tableName = (j \ "table_name").extract[String],
+      sourceTable = str("source_table"),
+      sourceSystem = str("source_system"),
+      fileFormat = str("file_format"),
+      filePath = str("file_path"),
+      delimiter = str("delimiter"),
+      header = (j \ "header") match { case JBool(b) => b; case _ => false },
+      loadType = str("load_type"),
+      dimensionType = str("dimension_type"),
+      factType = str("fact_type"),
+      grain = str("grain"),
+      businessKey = str("business_key"),
+      surrogateKey = str("surrogate_key"),
+      incrementalColumn = str("incremental_column"),
+      primaryKeys = strs("primary_keys"),
+      partitionBy = strs("partition_by"),
+      columns = cols("columns"),
+      metadataColumns = cols("metadata_columns"),
+      dqRules = dq.map(d => d.copy(uniquenessChecks = uniq)),
+      scdConfig = scd,
+      dateRange = dr,
+      measures = ms)
+  }
+
+  private def decodeColumn(j: JValue): ColumnDef = {
+    implicit val fmt: Formats = DefaultFormats
+    def optStr(k: String): Option[String] = (j \ k) match {
+      case JString(s) => Some(s)
+      case _ => None
+    }
+    def bool(k: String): Boolean = (j \ k) match {
+      case JBool(b) => b
+      case _ => false
+    }
+    ColumnDef(
+      name = (j \ "name").extract[String],
+      datatype = (j \ "datatype").extract[String],
+      nullable = (j \ "nullable") match { case JBool(b) => b; case _ => true },
+      description = optStr("description"),
+      transformation = optStr("transformation"),
+      calculation = optStr("calculation"),
+      isBusinessKey = bool("is_business_key"),
+      isSurrogateKey = bool("is_surrogate_key"),
+      isDimensionKey = bool("is_dimension_key"),
+      references = (j \ "references") match {
+        case JNothing | JNull => None
+        case r => Some(DimensionRef(
+          (r \ "dimension").extract[String],
+          (r \ "join_type").extract[String],
+          (r \ "join_logic").extract[String]))
+      })
+  }
+}

@@ -1,0 +1,30 @@
+package graft.functions
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+
+/** SQL registration for graft's native expressions, so config-driven
+  * transformation strings (e.g. `format_phone(phone)` in
+  * `silver_customers_schema.json:44`) resolve like built-ins.
+  */
+object GraftFunctions {
+
+  /** Imperative registration on an existing session (idempotent). */
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "format_phone", exprs => FormatPhoneExpr(exprs.head), "scala_udf")
+}
+
+/** `SparkSessionExtensions` entry point — usable via
+  * `spark.sql.extensions=graft.functions.GraftExtensions`.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectFunction((
+      FunctionIdentifier("format_phone"),
+      new ExpressionInfo(classOf[FormatPhoneExpr].getName, "format_phone"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        FormatPhoneExpr(exprs.head)))
+  }
+}

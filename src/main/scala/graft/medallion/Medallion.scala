@@ -1,0 +1,203 @@
+package graft.medallion
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.config.TableConfig
+import graft.config.TableConfig.{ColumnDef, Table}
+import graft.operators.{DataQuality, Dedup, PointInTime, Scd2, Upsert}
+
+/** Config-driven medallion engine (SURVEY §3): the three entry points the
+  * reference frameworks expose — Bronze ingest, Silver
+  * transform/validate/dedup/upsert, Gold dimensional build — re-expressed as
+  * lazy DataFrame programs. Each returns DataFrames so a whole
+  * bronze→silver→gold load composes into one Catalyst plan per action.
+  *
+  * Determinism: wall-clock metadata (`ingestion_timestamp`, SCD validity)
+  * is injectable (`loadTs`) per SURVEY §7 "non-determinism control", so
+  * golden tests and re-runs are exact.
+  */
+object Medallion {
+
+  // ------------------------------------------------------------------ bronze
+  /** EP1 (`config/bronze/schema/README.md:62-87`): schema-enforced file scan
+    * + audit metadata columns. No business logic in bronze (`:89-97`).
+    */
+  def bronzeIngest(spark: SparkSession, cfg: Table, baseDir: String,
+      loadTs: Column = current_timestamp()): DataFrame = {
+    val path = s"$baseDir/${cfg.filePath.getOrElse(sys.error(s"${cfg.tableName}: no file_path"))}"
+    val schema = cfg.sparkSchema
+    val raw = cfg.fileFormat.getOrElse("parquet") match {
+      case "csv" =>
+        spark.read.schema(schema)
+          .option("sep", cfg.delimiter.getOrElse(","))
+          .option("header", cfg.header.toString)
+          .csv(path)
+      case "json" =>
+        // Reference generators emit JSON *array* files → multiLine
+        // (`generate_sample_data.py:81-82`, FIXTURES A3).
+        spark.read.schema(schema).option("multiLine", "true").json(path)
+      case "parquet" =>
+        // Parquet carries physical types (int64/float64) — enforce the
+        // declared logical types by casting (FIXTURES A4).
+        val df = spark.read.parquet(path)
+        df.select(cfg.columns.map(c => col(c.name).cast(c.sparkType).as(c.name)): _*)
+      case other => sys.error(s"${cfg.tableName}: unsupported file_format $other")
+    }
+    raw
+      .withColumn("ingestion_timestamp", loadTs.cast("timestamp"))
+      .withColumn("ingestion_date", to_date(loadTs))
+      .withColumn("source_file", input_file_name())
+      .withColumn("record_source", lit(cfg.sourceSystem.getOrElse("unknown")))
+  }
+
+  // ------------------------------------------------------------------ silver
+  final case class SilverResult(valid: DataFrame, errors: DataFrame, metrics: DataFrame)
+
+  /** Per-column SQL-expression cleanse (`config/silver/schema/README.md:
+    * 170-174`): one wide select of `expr(transformation ?? name)` cast to the
+    * declared type — a single codegen'd projection.
+    */
+  def silverTransform(bronze: DataFrame, cfg: Table): DataFrame = {
+    graft.functions.GraftFunctions.register(bronze.sparkSession)
+    bronze.select(cfg.columns.map { c =>
+      expr(c.transformation.getOrElse(c.name)).cast(c.sparkType).as(c.name)
+    } :+ col("ingestion_timestamp"): _*)
+  }
+
+  /** Declared DQ rules → engine rules (`README.md:139-156`). Severities per
+    * the reference: null/uniqueness/RI critical, constraints warning.
+    */
+  def dqRulesOf(cfg: Table, parents: Map[String, DataFrame]): Seq[DataQuality.Rule] = {
+    val r = cfg.dqRules.getOrElse(TableConfig.DqRules())
+    val nulls =
+      if (r.nullChecks.nonEmpty)
+        Seq(DataQuality.NullCheck(r.nullChecks, s"${cfg.tableName}_null_checks", "critical"))
+      else Nil
+    // Uniqueness is logged but non-blocking: dedup (keep-latest, J1) is the
+    // remediation step and runs after validation (`README.md:183-186`); a
+    // blocking rule would drop BOTH copies before dedup could pick one.
+    val uniq = r.uniquenessChecks.map(k =>
+      DataQuality.UniquenessCheck(k.split(",").toSeq, s"unique_$k", "warning"))
+    val sets = r.setConstraints.map { case (c, vs) =>
+      DataQuality.SetConstraint(c, vs, s"set_$c", "warning")
+    }.toSeq
+    val cmps = r.comparisonConstraints.map { case (c, s) =>
+      val Array(op, operand) = s.trim.split("\\s+", 2)
+      DataQuality.RangeConstraint(c, op, BigDecimal(operand), s"range_$c", "warning")
+    }.toSeq
+    val fmts = r.formatValidations.map { case (c, re) =>
+      DataQuality.FormatValidation(c, re, s"format_$c", "warning")
+    }.toSeq
+    val ris = r.referentialIntegrity.flatMap { case (c, tgt) =>
+      parents.get(tgt.referenceTable).map(p =>
+        DataQuality.RefIntegrity(Seq(c), p, Seq(tgt.referenceColumn),
+          s"ri_${c}_${tgt.referenceTable}", "critical", strict = true))
+    }.toSeq
+    nulls ++ uniq ++ sets ++ cmps ++ fmts ++ ris
+  }
+
+  /** EP2 (`config/silver/schema/README.md:160-191`): transform → validate →
+    * dedup (keep latest per PK by ingestion_timestamp).
+    */
+  def silverLoad(bronze: DataFrame, cfg: Table,
+      parents: Map[String, DataFrame] = Map.empty): SilverResult = {
+    val cleansed = silverTransform(bronze, cfg)
+    val res = DataQuality.validate(cleansed, dqRulesOf(cfg, parents))
+    val deduped = Dedup.keepLatest(res.valid, cfg.primaryKeys,
+      Seq(col("ingestion_timestamp").desc) ++ cfg.primaryKeys.map(col(_).asc))
+      .drop("ingestion_timestamp")
+    SilverResult(deduped, res.errors, res.metrics)
+  }
+
+  /** Silver upsert into an existing target (`README.md:113-122`). */
+  def silverUpsert(target: DataFrame, updates: DataFrame, cfg: Table): DataFrame =
+    Upsert.merge(target, updates, cfg.primaryKeys)
+
+  // -------------------------------------------------------------------- gold
+  /** Date dimension from declared range + per-column `calculation`
+    * expressions (`gold_dim_date_schema.json`).
+    */
+  def goldDimDate(spark: SparkSession, cfg: Table): DataFrame = {
+    val dr = cfg.dateRange.getOrElse(sys.error(s"${cfg.tableName}: no date_range"))
+    val spine = spark.sql(
+      s"SELECT explode(sequence(DATE'${dr.startDate}', DATE'${dr.endDate}', interval 1 day)) AS date")
+    spine.select(cfg.columns.map { c =>
+      c.calculation.map(expr).getOrElse(col(c.name)).cast(c.sparkType).as(c.name)
+    }: _*)
+  }
+
+  /** SCD2 dimension load (initial or incremental) with surrogate-key
+    * assignment: `maxExistingKey + row_number` over (business key,
+    * valid_from) — contiguous "auto-increment" per SURVEY §2.6 W2.
+    */
+  def goldDimScd2(existing: Option[DataFrame], incoming: DataFrame, cfg: Table,
+      loadTs: Column): DataFrame = {
+    val scd = cfg.scdConfig.getOrElse(sys.error(s"${cfg.tableName}: no scd_config"))
+    val bk = cfg.businessKey.getOrElse(sys.error(s"${cfg.tableName}: no business_key"))
+    val sk = cfg.surrogateKey.getOrElse(sys.error(s"${cfg.tableName}: no surrogate_key"))
+    val c = Scd2.Config(
+      businessKeys = Seq(bk),
+      type2Cols = scd.type2Columns,
+      type1Cols = scd.type1Columns.filter(n => incoming.columns.contains(n)),
+      sentinel = "9999-12-31 00:00:00")
+    val dim = existing match {
+      case None => Scd2.initialize(incoming, c, loadTs)
+      case Some(d) => Scd2.apply(d.drop(sk), incoming, c, loadTs)
+    }
+    // Deterministic surrogate keys over the whole rewritten dim (dims are
+    // small — SURVEY §2.7; at scale, key-assignment would be incremental).
+    val w = Window.orderBy(col(bk), col(c.validFrom))
+    dim.withColumn(sk, row_number().over(w).cast("long"))
+      .select((sk +: (c.payload ++ c.scdCols)).map(col): _*)
+  }
+
+  /** Fact build (EP3): resolve each declared dimension key per its
+    * `references` join type — `point_in_time` (J3) against SCD2 dims,
+    * `direct` (J5) computed keys — then select declared columns.
+    */
+  def goldFact(silver: DataFrame, cfg: Table, dims: Map[String, DataFrame],
+      dimBusinessKeys: Map[String, String], factTimeCol: String): DataFrame = {
+    var df = silver
+    cfg.columns.filter(_.isDimensionKey).foreach { kc =>
+      kc.references.foreach { ref =>
+        ref.joinType match {
+          case "point_in_time" =>
+            val dim = dims(ref.dimension)
+            val bk = dimBusinessKeys(ref.dimension)
+            // Facts can predate the dimension's first load (the reference's
+            // own sample data does: orders 2025-08, dim loaded 2025-10) —
+            // floor the FIRST version's valid_from so early facts resolve
+            // to the earliest known version.
+            val wFirst = Window.partitionBy(col(bk)).orderBy(col("valid_from"))
+            val floored = dim
+              .withColumn("__vn", row_number().over(wFirst))
+              .withColumn("valid_from",
+                when(col("__vn") === 1, lit("0001-01-01 00:00:00").cast("timestamp"))
+                  .otherwise(col("valid_from")))
+              .drop("__vn")
+            val dimSel = floored.select(col(bk).as(s"__bk_${kc.name}"),
+              col("valid_from"), col("valid_to"),
+              dim.columns.filter(_.endsWith("_key")).map(col).head.as(kc.name))
+            df = PointInTime.join(df, dimSel, Seq(bk -> s"__bk_${kc.name}"),
+                col(factTimeCol).cast("timestamp"))
+              .drop(s"__bk_${kc.name}", "valid_from", "valid_to")
+          case "direct" =>
+            // join_logic like `date_key = cast(date_format(order_date,'yyyyMMdd') as int)`
+            val rhs = ref.joinLogic.split("=", 2)(1).trim
+            df = df.withColumn(kc.name, expr(rhs).cast(kc.sparkType))
+          case other => sys.error(s"unsupported join_type $other")
+        }
+      }
+    }
+    // Surrogate key for the fact itself, then declared columns.
+    val sk = cfg.columns.find(_.isSurrogateKey)
+    sk.foreach { k =>
+      val pkOrder = cfg.columns.find(_.isBusinessKey).map(_.name).getOrElse(df.columns.head)
+      df = df.withColumn(k.name, row_number().over(Window.orderBy(col(pkOrder))).cast("long"))
+    }
+    df.select(cfg.columns.filter(c => df.columns.contains(c.name))
+      .map(c => col(c.name).cast(c.sparkType).as(c.name)): _*)
+  }
+}

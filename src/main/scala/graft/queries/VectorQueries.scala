@@ -60,11 +60,15 @@ object VectorQueries extends QueryModule {
       },
       oracle = None),
 
-    // --- embedding-cosine near-duplicate pairs (threshold, not top-k) ---
+    // --- embedding-cosine near-duplicate pairs (threshold, not top-k).
+    // Real intra-label cosines top out ~0.45, so near-dups are PLANTED
+    // (exact copies re-keyed +10000) like the text-dedup fixtures. ---
     GQuery(
       "q72_cosine_near_dups",
       (spark, dir) => {
-        val e = t(spark, dir, "embeddings")
+        val e0 = t(spark, dir, "embeddings")
+        val e = e0.unionByName(e0.filter(col("vec_id") % 25 === 0)
+          .withColumn("vec_id", col("vec_id") + 10000))
         val a = e.select(col("vec_id").as("vec_id_1"),
           Similarity.asDouble(col("embedding")).as("e1"), col("label").as("label_1"))
         val b = e.select(col("vec_id").as("vec_id_2"),
@@ -72,13 +76,17 @@ object VectorQueries extends QueryModule {
         // Block on label (embeddings cluster by label) to avoid O(n²).
         a.join(b, col("label_1") === col("label_2") && col("vec_id_1") < col("vec_id_2"))
           .withColumn("cosine", Similarity.cosine(col("e1"), col("e2"), Dim))
-          .filter(col("cosine") >= 0.9)
+          .filter(col("cosine") >= 0.99)
           .select(col("vec_id_1"), col("vec_id_2"), col("label_1").as("label"),
             round(col("cosine"), 6).as("cosine_r"))
           .orderBy(col("vec_id_1"), col("vec_id_2"))
       },
       Some("""
-        WITH v AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        WITH v AS (
+          SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+          UNION ALL
+          SELECT vec_id + 10000, label, CAST(embedding AS DOUBLE[]) AS e
+          FROM embeddings WHERE vec_id % 25 = 0),
         pairs AS (
           SELECT a.vec_id AS vec_id_1, b.vec_id AS vec_id_2, a.label,
                  list_sum(list_transform(generate_series(1, 64), i -> a.e[i] * b.e[i]))
@@ -86,7 +94,7 @@ object VectorQueries extends QueryModule {
                       * sqrt(list_sum(list_transform(generate_series(1, 64), i -> b.e[i] * b.e[i])))) AS cosine
           FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id)
         SELECT vec_id_1, vec_id_2, label, round(cosine, 6) AS cosine_r
-        FROM pairs WHERE cosine >= 0.9
+        FROM pairs WHERE cosine >= 0.99
         ORDER BY vec_id_1, vec_id_2
       """.trim))
   )

@@ -1,0 +1,39 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.multimodal.Media
+
+/** Registry contract + smoke over sf0.001 (mirrors the driver's t1). */
+class SparkEntrySpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("registry names unique; every oracle key has a query") {
+    val names = SparkEntry.registry.map(_.name)
+    assert(names.distinct.length == names.length)
+    assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
+  }
+
+  test("entry() returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("every registered query returns rows at sf0.001") {
+    val failures = SparkEntry.registry.flatMap { q =>
+      try {
+        if (q.fn(spark, TestSpark.SfDir).count() > 0) None else Some(s"${q.name}: 0 rows")
+      } catch { case e: Throwable => Some(s"${q.name}: ${e.getMessage.take(100)}") }
+    }
+    assert(failures.isEmpty, failures.mkString("; "))
+  }
+
+  test("media featurize stub produces deterministic fake dimensions") {
+    val docs = spark.read.parquet(s"${TestSpark.SfDir}/documents.parquet")
+    val feats = Media.featurize(spark, Media.fromDocuments(docs))
+    val f1 = feats.filter(_.id == 0L).collect().head
+    val f2 = feats.filter(_.id == 0L).collect().head
+    assert(f1 == f2)
+    assert(f1.fakeWidth >= 64 && f1.fakeWidth < 192)
+    assert(f1.contentMd5.length == 32)
+  }
+}

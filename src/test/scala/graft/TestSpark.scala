@@ -1,0 +1,25 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+object TestSpark {
+  lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[8]")
+      .appName("graft-test")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  val RefDir = "/root/reference"
+  val RefData = s"$RefDir/data"
+  val SfDir = "/root/testdata/sf0.001"
+
+  def refSchema(layer: String, name: String): String =
+    s"$RefDir/config/$layer/schema/${layer}_${name}_schema.json"
+}

@@ -1,0 +1,107 @@
+package graft.config
+
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** Config layer vs the reference's own 16 schema files (SURVEY §5 item 1). */
+class TableConfigSpec extends AnyFunSuite {
+
+  private val all16 = Seq(
+    "bronze" -> Seq("orders", "order_items", "customers", "products", "inventory"),
+    "silver" -> Seq("orders", "order_items", "customers", "products", "inventory"),
+    "gold" -> Seq("dim_customer", "dim_product", "dim_date",
+      "fact_orders", "fact_order_items", "fact_inventory"))
+
+  test("all 16 reference schema files parse") {
+    for ((layer, names) <- all16; n <- names) {
+      val cfg = TableConfig.load(TestSpark.refSchema(layer, n))
+      assert(cfg.tableName.nonEmpty, s"$layer/$n")
+      assert(cfg.columns.nonEmpty, s"$layer/$n")
+      assert(cfg.sparkSchema.fields.length == cfg.columns.length)
+    }
+  }
+
+  test("bronze_orders: csv source decl round-trips") {
+    val cfg = TableConfig.load(TestSpark.refSchema("bronze", "orders"))
+    assert(cfg.fileFormat.contains("csv"))
+    assert(cfg.delimiter.contains("|"))
+    assert(cfg.header)
+    assert(cfg.primaryKeys == Seq("order_id"))
+    assert(cfg.partitionBy == Seq("ingestion_date"))
+    assert(cfg.sparkSchema("order_total").dataType == DecimalType(10, 2))
+    assert(cfg.sparkSchema("order_date").dataType == DateType)
+    assert(!cfg.sparkSchema("order_id").nullable)
+  }
+
+  test("bronze_customers: metadata columns appended in full schema") {
+    val cfg = TableConfig.load(TestSpark.refSchema("bronze", "customers"))
+    assert(cfg.metadataColumnNames ==
+      Seq("ingestion_timestamp", "ingestion_date", "source_file", "record_source"))
+    assert(cfg.fullSparkSchema.fields.length ==
+      cfg.columns.length + cfg.metadataColumns.length)
+  }
+
+  test("silver bigint alias parses as LongType (reference's latent gap)") {
+    val cfg = TableConfig.load(TestSpark.refSchema("silver", "orders"))
+    assert(cfg.sparkSchema("order_id").dataType == LongType)
+    assert(cfg.incrementalColumn.contains("ingestion_date"))
+    assert(cfg.loadType.contains("upsert"))
+  }
+
+  test("silver_orders DQ rules decode") {
+    val dq = TableConfig.load(TestSpark.refSchema("silver", "orders")).dqRules.get
+    assert(dq.nullChecks.contains("order_id"))
+    assert(dq.uniquenessChecks == Seq("order_id"))
+    assert(dq.setConstraints("order_status").contains("cancelled"))
+    assert(dq.comparisonConstraints("order_total") == ">= 0")
+    assert(dq.formatValidations.contains("order_time"))
+    assert(dq.referentialIntegrity("customer_id").referenceTable == "silver_customers")
+  }
+
+  test("composite uniqueness key decodes (silver_inventory)") {
+    val dq = TableConfig.load(TestSpark.refSchema("silver", "inventory")).dqRules.get
+    assert(dq.uniquenessChecks.exists(_.split(",").toSeq == Seq("snapshot_date", "product_id")))
+  }
+
+  test("gold_dim_customer: scd_config decodes") {
+    val cfg = TableConfig.load(TestSpark.refSchema("gold", "dim_customer"))
+    val scd = cfg.scdConfig.get
+    assert(scd.type2Columns.contains("customer_tier"))
+    assert(scd.type1Columns.contains("email"))
+    assert(scd.hashDelimiter == "|")
+    assert(cfg.businessKey.contains("customer_id"))
+    assert(cfg.surrogateKey.contains("customer_key"))
+    assert(cfg.dimensionType.contains("scd_type2"))
+  }
+
+  test("gold_dim_date: date_range + calculations decode") {
+    val cfg = TableConfig.load(TestSpark.refSchema("gold", "dim_date"))
+    assert(cfg.dateRange.get.startDate == "2024-01-01")
+    assert(cfg.dateRange.get.endDate == "2026-12-31")
+    assert(cfg.columns.find(_.name == "date_key").get.calculation.nonEmpty)
+  }
+
+  test("gold_fact_orders: dimension references decode") {
+    val cfg = TableConfig.load(TestSpark.refSchema("gold", "fact_orders"))
+    val ck = cfg.columns.find(_.name == "customer_key").get
+    assert(ck.isDimensionKey)
+    assert(ck.references.get.joinType == "point_in_time")
+    val dk = cfg.columns.find(_.name == "order_date_key").get
+    assert(dk.references.get.joinType == "direct")
+    assert(cfg.measures.exists(m => m.name == "order_total" && m.aggregation == "SUM"))
+  }
+
+  test("decimal regex edge cases + bad type errors") {
+    assert(TableConfig.parseDataType("decimal(12, 4)") == DecimalType(12, 4))
+    assert(TableConfig.parseDataType("decimal(8,2)") == DecimalType(8, 2))
+    assert(TableConfig.parseDataType("DECIMAL(10,2)") == DecimalType(10, 2))
+    intercept[IllegalArgumentException](TableConfig.parseDataType("varchar(10)"))
+    intercept[IllegalArgumentException](TableConfig.parseDataType("decimal(10)"))
+  }
+
+  test("missing schema file errors") {
+    intercept[IllegalArgumentException](TableConfig.load("/nonexistent.json"))
+  }
+}

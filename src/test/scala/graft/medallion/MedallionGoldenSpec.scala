@@ -1,0 +1,150 @@
+package graft.medallion
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+import graft.config.TableConfig
+
+/** End-to-end golden medallion run over the reference's own deterministic
+  * sample data (seed 42) — FIXTURES.md §A6 expected outcomes.
+  */
+class MedallionGoldenSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val data = TestSpark.RefData
+
+  private def cfg(layer: String, n: String) =
+    TableConfig.load(TestSpark.refSchema(layer, n))
+
+  private lazy val bronzeOrders = Medallion.bronzeIngest(
+    spark, cfg("bronze", "orders"), data, lit("2025-10-01 00:00:00"))
+  private lazy val bronzeItems = Medallion.bronzeIngest(
+    spark, cfg("bronze", "order_items"), data, lit("2025-10-01 00:00:00"))
+  private lazy val bronzeCustomersInitial = Medallion.bronzeIngest(
+    spark, cfg("bronze", "customers"), data, lit("2025-10-01 00:00:00"))
+  private lazy val bronzeProducts = Medallion.bronzeIngest(
+    spark, cfg("bronze", "products"), data, lit("2025-10-01 00:00:00"))
+  private lazy val bronzeInventory = Medallion.bronzeIngest(
+    spark, cfg("bronze", "inventory"), data, lit("2025-10-01 00:00:00"))
+
+  test("bronze ingest golden counts (FIXTURES A1-A5)") {
+    assert(bronzeOrders.count() == 2040) // 2,000 + ~2% duplicates
+    assert(bronzeItems.count() == 5955)
+    assert(bronzeCustomersInitial.count() == 500)
+    assert(bronzeProducts.count() == 100)
+    assert(bronzeInventory.count() == 700) // 7 daily files × 100 via glob
+    // audit metadata present
+    assert(bronzeOrders.columns.contains("ingestion_timestamp"))
+    assert(bronzeOrders.select("source_file").distinct().count() == 1)
+    assert(bronzeInventory.select("source_file").distinct().count() == 7)
+  }
+
+  test("bronze products: declared decimal types enforced over parquet physicals") {
+    val schema = bronzeProducts.schema
+    assert(schema("unit_price").dataType.typeName == "decimal(10,2)")
+    assert(schema("created_date").dataType.typeName == "date")
+  }
+
+  private lazy val silverCustomers =
+    Medallion.silverLoad(bronzeCustomersInitial, cfg("silver", "customers")).valid
+  private lazy val silverOrders = {
+    val sc = cfg("silver", "orders")
+    Medallion.silverLoad(bronzeOrders, sc,
+      parents = Map("silver_customers" -> silverCustomers))
+  }
+
+  test("silver orders: dedup to exactly 2,000; DQ clean on generator output") {
+    assert(silverOrders.valid.count() == 2000)
+    // deduped PK unique
+    assert(silverOrders.valid.select("order_id").distinct().count() == 2000)
+    // RI: all orders reference existing customers
+    val ri = silverOrders.metrics
+      .filter(col("rule_name").startsWith("ri_")).select("violation_count")
+      .collect().map(_.getLong(0)).sum
+    assert(ri == 0)
+  }
+
+  test("silver transformations standardize (lower status, trimmed)") {
+    val statuses = silverOrders.valid.select("order_status").distinct()
+      .collect().map(_.getString(0)).toSet
+    assert(statuses.subsetOf(
+      Set("pending", "processing", "shipped", "delivered", "cancelled")))
+  }
+
+  private lazy val dimCustomerV1 = Medallion.goldDimScd2(
+    None,
+    silverCustomers.withColumn("record_source", lit("crm")),
+    cfg("gold", "dim_customer"), lit("2025-10-01 00:00:00"))
+
+  private lazy val dimCustomerV2 = {
+    // SCD2 update batch: customers_update.json re-issues 61 customers with
+    // changed address/tier (FIXTURES A3).
+    val bcfg = cfg("bronze", "customers")
+    val updCfg = bcfg.copy(filePath = Some("raw/customers_update.json"))
+    val bronzeUpd = Medallion.bronzeIngest(spark, updCfg, data, lit("2025-10-02 00:00:00"))
+    val silverUpd = Medallion.silverLoad(bronzeUpd, cfg("silver", "customers")).valid
+    Medallion.goldDimScd2(
+      Some(dimCustomerV1),
+      silverUpd.withColumn("record_source", lit("crm")),
+      cfg("gold", "dim_customer"), lit("2025-10-02 00:00:00"))
+  }
+
+  test("SCD2 golden: 500 v1 rows, then 561 after the 61-record update load") {
+    assert(dimCustomerV1.count() == 500)
+    assert(dimCustomerV2.count() == 561)
+    assert(dimCustomerV2.filter(col("is_current")).count() == 500)
+    assert(dimCustomerV2.filter(!col("is_current")).count() == 61)
+  }
+
+  test("SCD2 invariants: one current row per key, no overlapping ranges") {
+    val perKey = dimCustomerV2.groupBy("customer_id")
+      .agg(sum(when(col("is_current"), 1).otherwise(0)).as("cur"))
+    assert(perKey.filter(col("cur") =!= 1).count() == 0)
+    // closed rows end where the next begins (no overlap, no gap)
+    val closed = dimCustomerV2.filter(!col("is_current"))
+      .select(col("customer_id"), col("valid_to"))
+    val opened = dimCustomerV2.filter(col("is_current"))
+      .select(col("customer_id"), col("valid_from"))
+    val joined = closed.join(opened, "customer_id")
+      .filter(col("valid_to") =!= col("valid_from"))
+    assert(joined.count() == 0)
+    // surrogate keys unique + contiguous
+    assert(dimCustomerV2.select("customer_key").distinct().count() == 561)
+    val mk = dimCustomerV2.agg(min("customer_key"), max("customer_key")).head()
+    assert(mk.getLong(0) == 1 && mk.getLong(1) == 561)
+  }
+
+  test("dim_date: 1,096 rows (2024-2026 incl. leap year), calculations applied") {
+    val dd = Medallion.goldDimDate(spark, cfg("gold", "dim_date"))
+    assert(dd.count() == 1096)
+    val r = dd.filter(col("date") === "2024-02-29").head()
+    assert(r.getAs[Int]("month") == 2)
+    assert(r.getAs[Int]("date_key") == 20240229)
+  }
+
+  test("fact_orders: PIT-resolved keys, one row per silver order") {
+    val fact = Medallion.goldFact(
+      silverOrders.valid,
+      cfg("gold", "fact_orders"),
+      dims = Map("dim_customer" -> dimCustomerV2),
+      dimBusinessKeys = Map("dim_customer" -> "customer_id"),
+      factTimeCol = "order_date")
+    assert(fact.count() == 2000)
+    assert(fact.filter(col("customer_key").isNull).count() == 0)
+    assert(fact.filter(col("order_date_key").isNull).count() == 0)
+    // No orphaned facts: every customer_key exists in the dim (J7 check)
+    assert(fact.join(dimCustomerV2, Seq("customer_key"), "left_anti").count() == 0)
+  }
+
+  test("README BI query shape: current-state tier analysis runs") {
+    // `config/gold/schema/README.md:399-408`
+    dimCustomerV2.createOrReplaceTempView("dim_customer")
+    val out = spark.sql("""
+      SELECT customer_tier, COUNT(*) AS customer_count
+      FROM dim_customer WHERE is_current = true
+      GROUP BY customer_tier ORDER BY customer_tier
+    """)
+    assert(out.count() > 0)
+    assert(out.agg(sum("customer_count")).head().getLong(0) == 500)
+  }
+}

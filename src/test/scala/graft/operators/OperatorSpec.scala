@@ -1,0 +1,109 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+import graft.functions.{FormatPhoneExpr, PhoneFunctions}
+
+class OperatorSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("format_phone: formats, country code, junk, null") {
+    val cases = Seq(
+      "(212) 555-0187" -> "212-555-0187",
+      "212.555.0187" -> "212-555-0187",
+      "12125550187" -> "212-555-0187", // 11 digits leading 1
+      "  2125550187 " -> "212-555-0187",
+      "001-581-896-0013x3890" -> null, // reference-style messy: too many digits
+      "555-0187" -> null,
+      "" -> null)
+    cases.foreach { case (in, want) =>
+      assert(FormatPhoneExpr.format(in) == want, s"for '$in'")
+    }
+    // Catalyst expression path (codegen) == builtin-composed path
+    val df = cases.map(_._1).toDF("p")
+      .select(PhoneFunctions.format_phone($"p").as("a"),
+        PhoneFunctions.formatPhoneCols($"p").as("b"))
+    assert(df.filter(!($"a" <=> $"b")).count() == 0)
+    assert(df.filter($"a" === "212-555-0187").count() == 4)
+  }
+
+  test("dedup keepLatest is deterministic under ties") {
+    val df = Seq((1, "a", 10), (1, "b", 10), (2, "c", 5)).toDF("k", "v", "ts")
+    // tie on ts broken by v desc — result stable across runs
+    val out = Dedup.keepLatest(df, Seq("k"), Seq($"ts".desc, $"v".desc))
+      .orderBy($"k").collect()
+    assert(out.map(_.getString(1)).toSeq == Seq("b", "c"))
+  }
+
+  test("upsert merge: last-writer-wins, inserts new keys, preserves others") {
+    val target = Seq((1, "old"), (2, "keep")).toDF("k", "v")
+    val updates = Seq((1, "new"), (3, "ins")).toDF("k", "v")
+    val out = Upsert.merge(target, updates, Seq("k"))
+      .orderBy($"k").collect().map(r => (r.getInt(0), r.getString(1))).toSeq
+    assert(out == Seq((1, "new"), (2, "keep"), (3, "ins")))
+  }
+
+  test("upsert is idempotent") {
+    val target = Seq((1, "a"), (2, "b")).toDF("k", "v")
+    val updates = Seq((1, "x")).toDF("k", "v")
+    val once = Upsert.merge(target, updates, Seq("k"))
+    val twice = Upsert.merge(once, updates, Seq("k"))
+    assert(once.orderBy($"k").collect().toSeq == twice.orderBy($"k").collect().toSeq)
+  }
+
+  test("scd2: re-applying an unchanged batch is a no-op (idempotence)") {
+    val cfg = Scd2.Config(Seq("k"), Seq("seg"), Seq("name"))
+    val v0 = Seq((1L, "A", "n1"), (2L, "B", "n2")).toDF("k", "seg", "name")
+    val dim1 = Scd2.initialize(v0, cfg, lit("2024-01-01 00:00:00"))
+    val dim2 = Scd2.apply(dim1, v0, cfg, lit("2024-02-01 00:00:00"))
+    assert(dim2.count() == 2)
+    assert(dim2.filter($"is_current").count() == 2)
+    assert(dim2.filter($"valid_from" === "2024-01-01 00:00:00").count() == 2)
+  }
+
+  test("scd2: type1 backfills all versions without new rows") {
+    val cfg = Scd2.Config(Seq("k"), Seq("seg"), Seq("name"))
+    val v0 = Seq((1L, "A", "n1")).toDF("k", "seg", "name")
+    val dim1 = Scd2.initialize(v0, cfg, lit("2024-01-01 00:00:00"))
+    val v1 = Seq((1L, "B", "n1")).toDF("k", "seg", "name") // type2 change
+    val dim2 = Scd2.apply(dim1, v1, cfg, lit("2024-02-01 00:00:00"))
+    val v2 = Seq((1L, "B", "RENAMED")).toDF("k", "seg", "name") // type1 only
+    val dim3 = Scd2.apply(dim2, v2, cfg, lit("2024-03-01 00:00:00"))
+    assert(dim3.count() == 2) // no new version for a type1-only change
+    assert(dim3.filter($"name" === "RENAMED").count() == 2) // both versions updated
+    assert(dim3.filter($"is_current" && $"seg" === "B").count() == 1)
+  }
+
+  test("DQ: valid ∪ errors covers input; blocking vs non-blocking") {
+    import DataQuality._
+    val df = Seq((1, "ok", 5.0), (2, null, 3.0), (3, "ok", -1.0)).toDF("k", "s", "v")
+    val res = validate(df, Seq(
+      NullCheck(Seq("s"), "s_null", "critical"),
+      RangeConstraint("v", ">", BigDecimal(0), "v_pos", "warning")))
+    assert(res.valid.count() == 2) // only the null (blocking) row removed
+    assert(res.errors.count() == 2) // null row + negative row logged
+    val m = res.metrics.collect().map(r =>
+      r.getString(0) -> r.getLong(2)).toMap
+    assert(m("s_null") == 1 && m("v_pos") == 1)
+    val failed = res.errors.filter($"k" === 3).head().getAs[String]("failed_rules")
+    assert(failed == "v_pos")
+  }
+
+  test("point-in-time join picks the valid version, never amplifies") {
+    val dim = Seq(
+      (1L, "v1", "2020-01-01 00:00:00", "2024-01-01 00:00:00", false),
+      (1L, "v2", "2024-01-01 00:00:00", "9999-12-31 00:00:00", true))
+      .toDF("k", "ver", "valid_from", "valid_to", "is_current")
+      .withColumn("valid_from", $"valid_from".cast("timestamp"))
+      .withColumn("valid_to", $"valid_to".cast("timestamp"))
+    val facts = Seq((10L, 1L, "2023-06-01 00:00:00"), (11L, 1L, "2024-06-01 00:00:00"))
+      .toDF("fid", "k", "ts").withColumn("ts", $"ts".cast("timestamp"))
+    val out = PointInTime.join(facts, dim, Seq("k" -> "k"), $"ts")
+    assert(out.count() == 2)
+    assert(out.filter($"fid" === 10 && $"ver" === "v1").count() == 1)
+    assert(out.filter($"fid" === 11 && $"ver" === "v2").count() == 1)
+  }
+}

@@ -1,0 +1,81 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+import graft.functions.TextAnalysis
+
+/** Fast-hash-family (xxhash64) dedup paths — validated against planted
+  * duplicates since their signatures are engine-internal (the md5 family is
+  * oracle-checked in TextQueries).
+  */
+class TextDedupSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private lazy val docs = {
+    val d = spark.read.parquet(s"${TestSpark.SfDir}/documents.parquet")
+    val toks = TextAnalysis.tokens(col("text"))
+    val mutant = d.filter(col("doc_id") % 10 === 0)
+      .withColumn("doc_id", col("doc_id") + 100000)
+      .withColumn("text", concat_ws(" ", slice(toks, lit(1), size(toks) - 2)))
+    d.unionByName(mutant).cache()
+  }
+
+  test("minhash fast family: LSH candidates recover most planted near-dups") {
+    val sigs = docs.withColumn("sig",
+      TextDedup.minhashSignatureFast(col("text"), n = 3, numHashes = 8))
+    val bands = TextDedup.lshBands(sigs, "doc_id", col("sig"), numBands = 4, rowsPerBand = 2)
+    val cands = TextDedup.lshCandidates(bands, "doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val planted = docs.filter(col("doc_id") >= 100000)
+      .select((col("doc_id") - 100000).as("a"), col("doc_id").as("b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = planted.count(cands.contains).toDouble / planted.size
+    assert(recall >= 0.8, s"recall $recall over ${planted.size} planted pairs")
+  }
+
+  test("simhash: planted near-dups have small hamming distance, random pairs large") {
+    val sh = TextDedup.simhash(docs, "doc_id", "text").cache()
+    val a = sh.toDF("id_a", "sim_a")
+    val b = sh.toDF("id_b", "sim_b")
+    val planted = a.join(b, col("id_b") === col("id_a") + 100000)
+      .select(TextDedup.hamming(col("sim_a"), col("sim_b")).as("d"))
+    val avgPlanted = planted.agg(avg($"d")).head().getDouble(0)
+    val random = a.filter($"id_a" < 20).join(b.filter($"id_b".between(100, 120)))
+      .select(TextDedup.hamming(col("sim_a"), col("sim_b")).as("d"))
+    val avgRandom = random.agg(avg($"d")).head().getDouble(0)
+    assert(avgPlanted < avgRandom / 2,
+      s"planted avg $avgPlanted should be well under random avg $avgRandom")
+  }
+
+  test("jaccard pairs find exactly the planted mutants at high threshold") {
+    val pairs = TextDedup.jaccardPairs(docs, "doc_id", "text", "lang", 3, 0.6)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val planted = docs.filter(col("doc_id") >= 100000)
+      .select((col("doc_id") - 100000).as("a"), col("doc_id").as("b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(planted.subsetOf(pairs))
+  }
+
+  test("IVF topk recall vs brute force ≥ 0.8") {
+    val e = spark.read.parquet(s"${TestSpark.SfDir}/embeddings.parquet")
+    val queries = e.filter(col("vec_id") < 20)
+    val bf = Similarity.bruteForceTopK(queries, e, "vec_id", "embedding", 64, 5)
+      .select("query_id", "neighbor_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val cents = Similarity.seedCentroids(e, "vec_id", "embedding", 16)
+    val ivf = Similarity.ivfTopK(queries, e, cents, "vec_id", "embedding", 64, 5, 4)
+      .select("query_id", "neighbor_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = bf.count(ivf.contains).toDouble / bf.size
+    assert(recall >= 0.8, s"recall $recall")
+  }
+
+  test("lang markers: langId returns a value for every doc; quality in [0,1]") {
+    val out = docs.select(
+      TextAnalysis.langId(col("text")).as("l"),
+      TextAnalysis.qualityScore(col("text")).as("q"))
+    assert(out.filter($"l".isNull).count() == 0)
+    assert(out.filter($"q" < 0 || $"q" > 1).count() == 0)
+  }
+}
