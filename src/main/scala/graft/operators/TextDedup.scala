@@ -34,22 +34,35 @@ object TextDedup {
     df.groupBy(keyCol.as("dedup_key"))
       .agg(min(col(idCol)).as("representative_id"), count(lit(1)).as("copies"))
 
-  /** MinHash signature as an array of `numHashes` hex-string minima over the
-    * shingle set. mdd5 family (oracle-reproducible).
+  /** MinHash signatures as a DataFrame op: explode shingles once, compute
+    * all `numHashes` hashes in a single projection over each (doc, shingle)
+    * row, then one groupBy with `numHashes` MIN aggregates (map-side partial
+    * aggregation → the shuffle carries one narrow row per doc per partition,
+    * never the shingles). Returns (idCol, sig array<string>).
+    *
+    * md5 family: hex-string minima are oracle-reproducible in DuckDB
+    * (lexicographic min of fixed-width lowercase hex == numeric min).
     */
-  def minhashSignatureMd5(text: Column, n: Int, numHashes: Int): Column = {
-    val sh = array_distinct(TextAnalysis.shingles(text, n))
-    array((0 until numHashes).map { i =>
-      array_min(transform(sh, s => md5(concat_ws(":", lit(i.toString), s))))
-    }: _*)
+  def minhashSignaturesMd5(df: DataFrame, idCol: String, textCol: String,
+      n: Int, numHashes: Int): DataFrame = {
+    val sh = df.select(col(idCol),
+      explode(array_distinct(TextAnalysis.shingles(col(textCol), n))).as("s"))
+    val mins = (0 until numHashes).map(i =>
+      min(md5(concat_ws(":", lit(i.toString), col("s")))).as(s"h$i"))
+    sh.groupBy(col(idCol))
+      .agg(mins.head, mins.tail: _*)
+      .select(col(idCol), array((0 until numHashes).map(i => col(s"h$i")): _*).as("sig"))
   }
 
-  /** xxhash64 family (fast path): array of numeric minima. */
-  def minhashSignatureFast(text: Column, n: Int, numHashes: Int): Column = {
-    val sh = array_distinct(TextAnalysis.shingles(text, n))
-    array((0 until numHashes).map { i =>
-      array_min(transform(sh, s => xxhash64(lit(i), s)))
-    }: _*)
+  /** xxhash64 family (fast path): numeric minima, same single-pass shape. */
+  def minhashSignaturesFast(df: DataFrame, idCol: String, textCol: String,
+      n: Int, numHashes: Int): DataFrame = {
+    val sh = df.select(col(idCol),
+      explode(array_distinct(TextAnalysis.shingles(col(textCol), n))).as("s"))
+    val mins = (0 until numHashes).map(i => min(xxhash64(lit(i), col("s"))).as(s"h$i"))
+    sh.groupBy(col(idCol))
+      .agg(mins.head, mins.tail: _*)
+      .select(col(idCol), array((0 until numHashes).map(i => col(s"h$i")): _*).as("sig"))
   }
 
   /** LSH banding: (id, band, band_key) rows — `numBands` rows per document;
@@ -85,12 +98,14 @@ object TextDedup {
     * use [[lshCandidates]] at corpus scale.
     */
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
-      blockKey: String, n: Int, threshold: Double): DataFrame = {
-    val withSh = df.select(col(idCol), col(blockKey),
-      array_distinct(TextAnalysis.shingles(col(textCol), n)).as("sh"))
-    val a = withSh.toDF(s"${idCol}_1", blockKey, "sh1")
-    val b = withSh.toDF(s"${idCol}_2", blockKey, "sh2")
-    a.join(b, blockKey)
+      blockKeys: Seq[Column], n: Int, threshold: Double): DataFrame = {
+    val withSh = df.select(col(idCol) +: blockKeys.zipWithIndex.map {
+        case (k, i) => k.as(s"__blk_$i")
+      } :+ array_distinct(TextAnalysis.shingles(col(textCol), n)).as("sh"): _*)
+    val blockCols = blockKeys.indices.map(i => s"__blk_$i")
+    val a = withSh.toDF(Seq(s"${idCol}_1") ++ blockCols ++ Seq("sh1"): _*)
+    val b = withSh.toDF(Seq(s"${idCol}_2") ++ blockCols ++ Seq("sh2"): _*)
+    a.join(b, blockCols)
       .filter(col(s"${idCol}_1") < col(s"${idCol}_2"))
       .withColumn("jaccard", jaccard(col("sh1"), col("sh2")))
       .filter(col("jaccard") >= threshold)

@@ -144,17 +144,24 @@ object TextQueries extends QueryModule {
         ORDER BY representative_id
       """).trim)),
 
-    // --- exact n-gram Jaccard near-dup pairs (blocked self-join) ---
+    // --- exact n-gram Jaccard near-dup pairs. Blocking = (lang, 3-token
+    // prefix): mutants keep their prefix, unrelated docs almost never share
+    // one, so blocks stay tiny and the quadratic term never materializes
+    // (the unblocked scale path is q65's LSH). ---
     GQuery(
       "q64_jaccard_pairs",
-      (spark, dir) =>
+      (spark, dir) => {
+        val toks = TextAnalysis.tokens(lower(col("text")))
+        val prefix = concat_ws(" ", element_at(toks, 1), element_at(toks, 2), element_at(toks, 3))
         TextDedup.jaccardPairs(withNearDups(spark, dir), "doc_id", "text",
-            "lang", n = 3, threshold = 0.6)
-          .orderBy(col("doc_id_1"), col("doc_id_2")),
+            Seq(col("lang"), prefix), n = 3, threshold = 0.6)
+          .orderBy(col("doc_id_1"), col("doc_id_2"))
+      },
       Some((dupSqlCtes + """
         , tk AS (SELECT doc_id, lang, string_split(lower(text), ' ') AS tk FROM neardocs),
         sh AS (
           SELECT doc_id, lang,
+                 concat_ws(' ', tk[1], tk[2], tk[3]) AS prefix,
                  list_distinct(list_transform(
                    generate_series(1, greatest(len(tk) - 2, 1)),
                    i -> concat_ws(' ', tk[i], tk[i+1], tk[i+2]))) AS s
@@ -162,7 +169,8 @@ object TextQueries extends QueryModule {
         SELECT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2,
                CAST(len(list_distinct(list_intersect(a.s, b.s))) AS DOUBLE)
                  / len(list_distinct(list_concat(a.s, b.s))) AS jaccard
-        FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id
+        FROM sh a JOIN sh b
+          ON a.lang = b.lang AND a.prefix = b.prefix AND a.doc_id < b.doc_id
         WHERE CAST(len(list_distinct(list_intersect(a.s, b.s))) AS DOUBLE)
                  / len(list_distinct(list_concat(a.s, b.s))) >= 0.6
         ORDER BY doc_id_1, doc_id_2
@@ -172,9 +180,9 @@ object TextQueries extends QueryModule {
     GQuery(
       "q65_minhash_lsh",
       (spark, dir) => {
-        val docs = withNearDups(spark, dir)
-          .withColumn("sig", TextDedup.minhashSignatureMd5(col("text"), n = 3, numHashes = 8))
-        val bands = TextDedup.lshBands(docs, "doc_id", col("sig"), numBands = 4, rowsPerBand = 2)
+        val sigs = TextDedup.minhashSignaturesMd5(withNearDups(spark, dir),
+          "doc_id", "text", n = 3, numHashes = 8)
+        val bands = TextDedup.lshBands(sigs, "doc_id", col("sig"), numBands = 4, rowsPerBand = 2)
         TextDedup.lshCandidates(bands, "doc_id")
           .orderBy(col("doc_id_1"), col("doc_id_2"))
       },

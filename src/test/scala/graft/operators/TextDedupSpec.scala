@@ -24,8 +24,7 @@ class TextDedupSpec extends AnyFunSuite {
   }
 
   test("minhash fast family: LSH candidates recover most planted near-dups") {
-    val sigs = docs.withColumn("sig",
-      TextDedup.minhashSignatureFast(col("text"), n = 3, numHashes = 8))
+    val sigs = TextDedup.minhashSignaturesFast(docs, "doc_id", "text", n = 3, numHashes = 8)
     val bands = TextDedup.lshBands(sigs, "doc_id", col("sig"), numBands = 4, rowsPerBand = 2)
     val cands = TextDedup.lshCandidates(bands, "doc_id").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
@@ -51,7 +50,7 @@ class TextDedupSpec extends AnyFunSuite {
   }
 
   test("jaccard pairs find exactly the planted mutants at high threshold") {
-    val pairs = TextDedup.jaccardPairs(docs, "doc_id", "text", "lang", 3, 0.6)
+    val pairs = TextDedup.jaccardPairs(docs, "doc_id", "text", Seq(col("lang")), 3, 0.6)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val planted = docs.filter(col("doc_id") >= 100000)
       .select((col("doc_id") - 100000).as("a"), col("doc_id").as("b"))
