@@ -22,7 +22,8 @@ object SparkEntry {
     _root_.graft.queries.TextQueries,
     _root_.graft.queries.VectorQueries,
     _root_.graft.queries.MultimodalQueries,
-    _root_.graft.queries.StreamQueries)
+    _root_.graft.queries.StreamQueries,
+    _root_.graft.queries.MedallionQueries)
 
   lazy val registry: Seq[GQuery] = modules.flatMap(_.all)
 

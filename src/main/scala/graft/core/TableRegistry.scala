@@ -1,0 +1,27 @@
+package graft.core
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Named-table registry + SQL passthrough (SURVEY §3 "our engine: a
+  * TableRegistry of named DataFrames" and the BI query surface of EP3).
+  * Registering testdata tables as temp views makes the whole platform
+  * queryable with `spark.sql` — the reference's notebook-SQL layer.
+  */
+object TableRegistry {
+
+  /** Register every testdata table (plus normalized `events`) as a temp
+    * view; idempotent.
+    */
+  def registerAll(spark: SparkSession, dir: String): Unit = {
+    Tables.names.filterNot(_ == "events").foreach { n =>
+      Tables.t(spark, dir, n).createOrReplaceTempView(n)
+    }
+    Tables.events(spark, dir).createOrReplaceTempView("events")
+    graft.functions.GraftFunctions.register(spark)
+  }
+
+  def register(spark: SparkSession, name: String, df: DataFrame): Unit =
+    df.createOrReplaceTempView(name)
+
+  def sql(spark: SparkSession, query: String): DataFrame = spark.sql(query)
+}

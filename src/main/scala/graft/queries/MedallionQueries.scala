@@ -1,0 +1,278 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.config.TableConfig
+import graft.core.{GQuery, QueryModule, TableRegistry, Tables}
+import graft.medallion.Medallion
+
+/** Driver-gated proof of the CONFIG-DRIVEN engine: inline JSON configs (the
+  * reference's dialect) drive bronze→silver→gold over the testdata tables,
+  * with plain-SQL DuckDB oracles. (The reference's own 16 configs + sample
+  * data are covered by MedallionGoldenSpec; these queries put the same code
+  * path behind the hash-compare gate.)
+  */
+object MedallionQueries extends QueryModule {
+  import Tables.t
+
+  private val bronzeOrdersCfg = TableConfig.fromJsonString("""
+    {
+      "table_name": "bronze_sf_orders",
+      "source_system": "tpch",
+      "file_format": "parquet",
+      "file_path": "orders.parquet",
+      "primary_keys": ["o_orderkey"],
+      "partition_by": ["ingestion_date"],
+      "columns": [
+        {"name": "o_orderkey", "datatype": "long", "nullable": false},
+        {"name": "o_custkey", "datatype": "long", "nullable": false},
+        {"name": "o_orderstatus", "datatype": "string", "nullable": true},
+        {"name": "o_totalprice", "datatype": "decimal(12,2)", "nullable": true},
+        {"name": "o_orderdate", "datatype": "timestamp", "nullable": true},
+        {"name": "o_orderpriority", "datatype": "string", "nullable": true}
+      ]
+    }""")
+
+  private val silverOrdersCfg = TableConfig.fromJsonString("""
+    {
+      "table_name": "silver_sf_orders",
+      "source_table": "bronze_sf_orders",
+      "load_type": "upsert",
+      "primary_keys": ["o_orderkey"],
+      "incremental_column": "ingestion_date",
+      "columns": [
+        {"name": "o_orderkey", "datatype": "bigint", "nullable": false, "transformation": null},
+        {"name": "o_custkey", "datatype": "bigint", "nullable": false, "transformation": null},
+        {"name": "order_status", "datatype": "string", "nullable": true,
+         "transformation": "lower(trim(o_orderstatus))"},
+        {"name": "order_priority", "datatype": "string", "nullable": true,
+         "transformation": "upper(trim(o_orderpriority))"},
+        {"name": "total_price", "datatype": "decimal(12,2)", "nullable": true,
+         "transformation": "o_totalprice"},
+        {"name": "order_date", "datatype": "date", "nullable": true,
+         "transformation": "cast(o_orderdate as date)"}
+      ],
+      "data_quality_rules": {
+        "null_checks": ["o_orderkey", "o_custkey"],
+        "uniqueness_checks": ["o_orderkey"],
+        "value_constraints": {
+          "order_status": ["o", "f", "p"],
+          "total_price": ">= 0"
+        },
+        "format_validations": {"order_priority": "^[1-5]-"},
+        "referential_integrity": {
+          "o_custkey": {"reference_table": "silver_customers", "reference_column": "c_custkey"}
+        }
+      }
+    }""")
+
+  private val dimCustomerCfg = TableConfig.fromJsonString("""
+    {
+      "table_name": "dim_sf_customer",
+      "source_table": "silver_sf_customers",
+      "dimension_type": "scd_type2",
+      "business_key": "c_custkey",
+      "surrogate_key": "customer_key",
+      "columns": [],
+      "scd_config": {
+        "type2_columns": ["c_mktsegment", "c_acctbal"],
+        "type1_columns": ["c_name"],
+        "hash_columns": ["c_mktsegment", "c_acctbal"],
+        "hash_delimiter": "|"
+      }
+    }""")
+
+  private val factOrdersCfg = TableConfig.fromJsonString("""
+    {
+      "table_name": "fact_sf_orders",
+      "source_table": "silver_sf_orders",
+      "fact_type": "transaction",
+      "grain": "one row per order",
+      "partition_by": ["order_date_key"],
+      "columns": [
+        {"name": "order_key", "datatype": "bigint", "nullable": false, "is_surrogate_key": true},
+        {"name": "o_orderkey", "datatype": "bigint", "nullable": false, "is_business_key": true},
+        {"name": "customer_key", "datatype": "bigint", "nullable": false,
+         "is_dimension_key": true,
+         "references": {"dimension": "dim_sf_customer", "join_type": "point_in_time",
+                        "join_logic": "eff_ts BETWEEN valid_from AND valid_to"}},
+        {"name": "order_date_key", "datatype": "integer", "nullable": false,
+         "is_dimension_key": true,
+         "references": {"dimension": "dim_date", "join_type": "direct",
+                        "join_logic": "order_date_key = cast(date_format(eff_ts, 'yyyyMMdd') as int)"}},
+        {"name": "o_totalprice", "datatype": "decimal(12,2)", "nullable": true}
+      ],
+      "measures": [{"name": "o_totalprice", "aggregation": "SUM"}]
+    }""")
+
+  override def all: Seq[GQuery] = Seq(
+
+    // --- EP1+EP2 config-driven: bronze (two loads of the same file) →
+    // silver cleanse + DQ + keep-latest dedup ---
+    GQuery(
+      "q90_medallion_silver",
+      (spark, dir) => {
+        val b1 = Medallion.bronzeIngest(spark, bronzeOrdersCfg, dir, lit("2025-01-01 00:00:00"))
+        val b2 = Medallion.bronzeIngest(spark, bronzeOrdersCfg, dir, lit("2025-01-02 00:00:00"))
+        val bronze = b1.unionByName(b2) // duplicate batch → dedup must keep the later load
+        val customers = t(spark, dir, "customer")
+        val res = Medallion.silverLoad(bronze, silverOrdersCfg,
+          parents = Map("silver_customers" -> customers))
+        res.valid.orderBy(col("o_orderkey"))
+      },
+      Some("""
+        SELECT o_orderkey, o_custkey,
+               lower(trim(o_orderstatus)) AS order_status,
+               upper(trim(o_orderpriority)) AS order_priority,
+               CAST(o_totalprice AS DECIMAL(12,2)) AS total_price,
+               CAST(o_orderdate AS DATE) AS order_date
+        FROM orders ORDER BY o_orderkey
+      """.trim)),
+
+    // --- EP3 config-driven: SCD2 dim with surrogate keys + fact build with
+    // point_in_time and direct key resolution ---
+    GQuery(
+      "q91_medallion_fact",
+      (spark, dir) => {
+        val c = t(spark, dir, "customer")
+        val initial = c.select(col("c_custkey"), col("c_mktsegment"),
+          col("c_acctbal").cast(DecimalType(12, 2)).as("c_acctbal"), col("c_name"))
+        val batch = c.filter(col("c_custkey") % 5 === 0)
+          .select(col("c_custkey"), concat(lit("X_"), col("c_mktsegment")).as("c_mktsegment"),
+            col("c_acctbal").cast(DecimalType(12, 2)).as("c_acctbal"),
+            upper(col("c_name")).as("c_name"))
+        val dimV1 = Medallion.goldDimScd2(None, initial, dimCustomerCfg,
+          lit("2020-01-01 00:00:00"))
+        val dim = Medallion.goldDimScd2(Some(dimV1), batch, dimCustomerCfg,
+          lit("2024-06-01 00:00:00"))
+        val silver = t(spark, dir, "orders")
+          .select(col("o_orderkey"), col("o_custkey"),
+            (col("o_orderdate") + expr("interval 28 years")).as("eff_ts"),
+            col("o_totalprice").cast(DecimalType(12, 2)).as("o_totalprice"))
+          .withColumn("c_custkey", col("o_custkey"))
+        val fact = Medallion.goldFact(silver, factOrdersCfg,
+          dims = Map("dim_sf_customer" -> dim),
+          dimBusinessKeys = Map("dim_sf_customer" -> "c_custkey"),
+          factTimeCol = "eff_ts")
+        fact.orderBy(col("o_orderkey"))
+      },
+      Some("""
+        WITH init AS (
+          SELECT c_custkey, c_mktsegment, CAST(c_acctbal AS DECIMAL(12,2)) AS c_acctbal, c_name
+          FROM customer),
+        batch AS (
+          SELECT c_custkey, 'X_' || c_mktsegment AS c_mktsegment,
+                 CAST(c_acctbal AS DECIMAL(12,2)) AS c_acctbal, upper(c_name) AS c_name
+          FROM customer WHERE c_custkey % 5 = 0),
+        old AS (
+          SELECT *, md5(concat_ws('|', coalesce(CAST(c_mktsegment AS VARCHAR),''),
+                                       coalesce(CAST(c_acctbal AS VARCHAR),''))) AS hash_diff
+          FROM init),
+        new AS (
+          SELECT *, md5(concat_ws('|', coalesce(CAST(c_mktsegment AS VARCHAR),''),
+                                       coalesce(CAST(c_acctbal AS VARCHAR),''))) AS hash_diff
+          FROM batch),
+        dim AS (
+          SELECT o.c_custkey,
+                 TIMESTAMP '2020-01-01 00:00:00' AS valid_from,
+                 CASE WHEN n.hash_diff IS NOT NULL AND n.hash_diff <> o.hash_diff
+                      THEN TIMESTAMP '2024-06-01 00:00:00'
+                      ELSE TIMESTAMP '9999-12-31 00:00:00' END AS valid_to
+          FROM old o LEFT JOIN new n USING (c_custkey)
+          UNION ALL
+          SELECT c_custkey, TIMESTAMP '2024-06-01 00:00:00', TIMESTAMP '9999-12-31 00:00:00'
+          FROM new n JOIN old o USING (c_custkey) WHERE n.hash_diff <> o.hash_diff),
+        keyed AS (
+          SELECT c_custkey, valid_to,
+                 CASE WHEN valid_from = min(valid_from) OVER (PARTITION BY c_custkey)
+                      THEN TIMESTAMP '0001-01-01 00:00:00' ELSE valid_from END AS valid_from_eff,
+                 row_number() OVER (ORDER BY c_custkey, valid_from) AS customer_key
+          FROM dim),
+        facts AS (
+          SELECT o_orderkey, o_custkey, o_orderdate + INTERVAL 28 YEAR AS eff_ts,
+                 CAST(o_totalprice AS DECIMAL(12,2)) AS o_totalprice
+          FROM orders)
+        SELECT row_number() OVER (ORDER BY f.o_orderkey) AS order_key,
+               f.o_orderkey, k.customer_key,
+               CAST(strftime(f.eff_ts, '%Y%m%d') AS INT) AS order_date_key,
+               f.o_totalprice
+        FROM facts f JOIN keyed k
+          ON f.o_custkey = k.c_custkey
+         AND f.eff_ts >= k.valid_from_eff AND f.eff_ts < k.valid_to
+        ORDER BY o_orderkey
+      """.trim)),
+
+    // --- SQL BI surface over the registered table catalog (EP3 queries) ---
+    GQuery(
+      "q92_sql_bi_surface",
+      (spark, dir) => {
+        TableRegistry.registerAll(spark, dir)
+        TableRegistry.sql(spark, """
+          SELECT n.n_name AS nation,
+                 COUNT(DISTINCT o.o_custkey) AS customers,
+                 COUNT(*) AS orders,
+                 CAST(SUM(CAST(o.o_totalprice AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS revenue
+          FROM orders o
+          JOIN customer c ON o.o_custkey = c.c_custkey
+          JOIN nation n ON c.c_nationkey = n.n_nationkey
+          JOIN region r ON n.n_regionkey = r.r_regionkey
+          WHERE r.r_name IN ('AMERICA', 'ASIA')
+          GROUP BY n.n_name
+          ORDER BY revenue DESC, nation
+        """)
+      },
+      Some("""
+        SELECT n.n_name AS nation,
+               COUNT(DISTINCT o.o_custkey) AS customers,
+               COUNT(*) AS orders,
+               CAST(SUM(CAST(o.o_totalprice AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS revenue
+        FROM orders o
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        JOIN region r ON n.n_regionkey = r.r_regionkey
+        WHERE r.r_name IN ('AMERICA', 'ASIA')
+        GROUP BY n.n_name
+        ORDER BY revenue DESC, nation
+      """.trim)),
+
+    // --- set operations + grouping sets (general query layer) ---
+    GQuery(
+      "q93_set_ops",
+      (spark, dir) => {
+        val o = t(spark, dir, "orders")
+        val a = o.filter(col("o_totalprice") > 150000.0).select(col("o_custkey"))
+        val b = o.filter(col("o_orderstatus") === "F").select(col("o_custkey"))
+        val u = a.union(b).distinct().agg(count(lit(1)).as("n")).select(lit("union").as("op"), col("n"))
+        val i = a.intersect(b).agg(count(lit(1)).as("n")).select(lit("intersect").as("op"), col("n"))
+        val e = a.except(b).agg(count(lit(1)).as("n")).select(lit("except").as("op"), col("n"))
+        u.unionByName(i).unionByName(e).orderBy(col("op"))
+      },
+      Some("""
+        WITH a AS (SELECT o_custkey FROM orders WHERE o_totalprice > 150000.0),
+        b AS (SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')
+        SELECT 'union' AS op, COUNT(*) AS n FROM (SELECT DISTINCT o_custkey FROM (SELECT * FROM a UNION ALL SELECT * FROM b))
+        UNION ALL
+        SELECT 'intersect', COUNT(*) FROM (SELECT DISTINCT o_custkey FROM a INTERSECT SELECT DISTINCT o_custkey FROM b)
+        UNION ALL
+        SELECT 'except', COUNT(*) FROM (SELECT DISTINCT o_custkey FROM a EXCEPT SELECT DISTINCT o_custkey FROM b)
+        ORDER BY op
+      """.trim)),
+
+    // --- rollup + approx_count_distinct exposed (free Spark built-ins) ---
+    GQuery(
+      "q94_rollup",
+      (spark, dir) => {
+        val o = t(spark, dir, "orders")
+        o.rollup(col("o_orderstatus"), col("o_orderpriority"))
+          .agg(count(lit(1)).as("n"))
+          .orderBy(col("o_orderstatus").asc_nulls_first, col("o_orderpriority").asc_nulls_first)
+      },
+      Some("""
+        SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+        FROM orders
+        GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+        ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
+      """.trim))
+  )
+}
