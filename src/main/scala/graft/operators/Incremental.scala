@@ -1,0 +1,55 @@
+package graft.operators
+
+import java.nio.file.{Files, Paths, StandardOpenOption}
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Batch incremental pickup with a persistent watermark store (SURVEY §2.1
+  * S5): the reference's "watermark table for progress tracking"
+  * (`config/silver/schema/README.md:265-268, 329-332`). The streaming
+  * equivalent is a checkpointed file stream (graft.streaming.Streams);
+  * this is the batch path: filter `incremental_column > lastWatermark`,
+  * then advance the stored watermark to the batch max.
+  *
+  * Scale notes: the watermark predicate is pushed into the scan (partition
+  * pruning when the table is partitioned by the incremental column —
+  * `partition_by: ingestion_date` in every bronze schema), so each run
+  * touches only new partitions. The store holds one scalar per source; the
+  * only driver-side materialization is that scalar.
+  */
+final class Incremental(storeDir: String) {
+
+  private def pathFor(source: String) =
+    Paths.get(storeDir, s"$source.watermark")
+
+  /** Last recorded watermark for `source` (string-encoded, lexicographically
+    * comparable encodings expected: ISO dates/timestamps, zero-padded ids).
+    */
+  def lastWatermark(source: String): Option[String] = {
+    val p = pathFor(source)
+    if (Files.exists(p)) Some(Files.readString(p).trim).filter(_.nonEmpty) else None
+  }
+
+  def setWatermark(source: String, value: String): Unit = {
+    Files.createDirectories(Paths.get(storeDir))
+    Files.writeString(pathFor(source), value,
+      StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
+  }
+
+  /** New rows since the stored watermark. Call [[advance]] after a
+    * successful downstream commit (watermark moves only on success, so a
+    * failed run reprocesses — at-least-once, reconciled by the upsert sink).
+    */
+  def pickup(df: DataFrame, source: String, incrementalCol: Column): DataFrame =
+    lastWatermark(source) match {
+      case Some(w) => df.filter(incrementalCol > lit(w).cast("timestamp"))
+      case None => df
+    }
+
+  /** Advance the watermark to the max of the processed batch. */
+  def advance(processed: DataFrame, source: String, incrementalCol: Column): Unit = {
+    val mx = processed.agg(max(incrementalCol).cast("string")).head()
+    if (!mx.isNullAt(0)) setWatermark(source, mx.getString(0))
+  }
+}

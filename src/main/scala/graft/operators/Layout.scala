@@ -1,0 +1,50 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SaveMode}
+import org.apache.spark.sql.functions._
+
+/** Physical-layout operators: the Parquet re-expression of the reference's
+  * Delta `OPTIMIZE ... ZORDER BY` guidance (`config/gold/schema/README.md:
+  * 381-389`, SURVEY §4).
+  *
+  * Real Z-ordering (bit-interleaved curve value) rather than a plain
+  * lexicographic sort: range-partitioning by the interleaved value keeps
+  * locality in BOTH dimensions, so min/max row-group stats prune scans on
+  * either column. At cluster scale this is exactly the compaction job you
+  * run after ingest; file counts map to `numFiles`.
+  */
+object Layout {
+
+  /** Interleave the low `bitsPerCol` bits of two non-negative integral
+    * columns into a Z-curve value (codegen'd bit arithmetic, no UDF).
+    */
+  def zValue(a: Column, b: Column, bitsPerCol: Int = 16): Column = {
+    val az = a.cast("long").bitwiseAND((1L << bitsPerCol) - 1)
+    val bz = b.cast("long").bitwiseAND((1L << bitsPerCol) - 1)
+    (0 until bitsPerCol).map { i =>
+      val abit = shiftleft(shiftright(az, i).bitwiseAND(1), 2 * i)
+      val bbit = shiftleft(shiftright(bz, i).bitwiseAND(1), 2 * i + 1)
+      abit.bitwiseOR(bbit)
+    }.reduce(_.bitwiseOR(_))
+  }
+
+  /** Rewrite a DataFrame into `numFiles` Z-ordered files: range-partition by
+    * the Z-value, sort within partitions, drop the helper column on write.
+    */
+  def zorderWrite(df: DataFrame, path: String, zCols: (Column, Column),
+      numFiles: Int, partitionCols: Seq[String] = Nil): Unit = {
+    val withZ = df.withColumn("__z", zValue(zCols._1, zCols._2))
+      .repartitionByRange(numFiles, col("__z"))
+      .sortWithinPartitions(col("__z"))
+      .drop("__z")
+    val w = withZ.write.mode(SaveMode.Overwrite)
+    (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w).parquet(path)
+  }
+
+  /** Plain clustered rewrite (single-column sort layout). */
+  def clusteredWrite(df: DataFrame, path: String, sortCols: Seq[Column],
+      numFiles: Int): Unit =
+    df.repartitionByRange(numFiles, sortCols: _*)
+      .sortWithinPartitions(sortCols: _*)
+      .write.mode(SaveMode.Overwrite).parquet(path)
+}

@@ -1,0 +1,34 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Skew mitigation for hot join keys (builder-prompt scale mandate).
+  *
+  * First line of defense is AQE's runtime skew-join splitting
+  * (`spark.sql.adaptive.skewJoin.enabled`, on by default in our sessions).
+  * This explicit salted join is for the planner-visible cases AQE can't fix
+  * (e.g. a broadcast-ineligible dimension with one whale key): the left
+  * (skewed) side spreads each key over `buckets` deterministic salts, the
+  * right side replicates each row `buckets` times — shuffle partitions then
+  * hold ~1/buckets of the whale key each.
+  */
+object Skew {
+
+  /** Deterministic salt from the row content (xxhash64 of all columns), so
+    * re-runs place rows identically.
+    */
+  private def saltCol(df: DataFrame, buckets: Int): Column =
+    pmod(xxhash64(df.columns.map(col): _*), lit(buckets)).cast("int")
+
+  /** Equi inner join with the left side salted, semantically identical to
+    * `left.join(right, keys)`.
+    */
+  def saltedJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
+      buckets: Int): DataFrame = {
+    val l = left.withColumn("__salt", saltCol(left, buckets))
+    val r = right.withColumn("__salt",
+      explode(array((0 until buckets).map(lit): _*)))
+    l.join(r, keys :+ "__salt").drop("__salt")
+  }
+}

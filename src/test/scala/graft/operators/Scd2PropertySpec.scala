@@ -1,0 +1,91 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, rng}
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** Property-style tests (SURVEY §5 item 2): SCD2 invariants under random
+  * update sequences, dedup idempotence, upsert last-writer-wins. Scenarios
+  * are generated with ScalaCheck Gens under a FIXED seed so failures are
+  * reproducible.
+  */
+class Scd2PropertySpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val cfg = Scd2.Config(Seq("k"), Seq("seg", "tier"), Seq("name"))
+
+  private val keyGen = Gen.choose(1L, 8L)
+  private val segGen = Gen.oneOf("A", "B", "C")
+  private val tierGen = Gen.oneOf("t1", "t2")
+  private val nameGen = Gen.oneOf("n1", "n2", "n3")
+
+  private def batchGen: Gen[Seq[(Long, String, String, String)]] =
+    Gen.nonEmptyListOf(for {
+      k <- keyGen; s <- segGen; t <- tierGen; n <- nameGen
+    } yield (k, s, t, n)).map(_.distinctBy(_._1))
+
+  private def sample[T](g: Gen[T], seed: Long): T =
+    g.pureApply(Gen.Parameters.default, rng.Seed(seed))
+
+  private def checkInvariants(dim: DataFrame, label: String): Unit = {
+    // exactly one current row per key
+    val bad = dim.groupBy("k")
+      .agg(sum(when(col("is_current"), 1).otherwise(0)).as("cur"))
+      .filter(col("cur") =!= 1).count()
+    assert(bad == 0, s"$label: keys without exactly one current row")
+    // closed rows end strictly after they begin, and before the sentinel
+    assert(dim.filter(col("valid_from") >= col("valid_to")).count() == 0, label)
+    assert(dim.filter(!col("is_current") &&
+      col("valid_to") >= "9999-12-31 00:00:00").count() == 0, label)
+    // no overlapping ranges per key: count versions == count distinct valid_from
+    val overlap = dim.groupBy("k").agg(
+      count(lit(1)).as("n"), countDistinct("valid_from").as("d"))
+      .filter(col("n") =!= col("d")).count()
+    assert(overlap == 0, s"$label: overlapping/duplicate validity starts")
+  }
+
+  test("SCD2 invariants hold across random update sequences") {
+    (1 to 4).foreach { scenario =>
+      val batches = (0 to 3).map(i => sample(batchGen, scenario * 100L + i))
+      var dim = Scd2.initialize(
+        batches.head.toDF("k", "seg", "tier", "name"), cfg, lit("2024-01-01 00:00:00"))
+      batches.tail.zipWithIndex.foreach { case (b, i) =>
+        dim = Scd2.apply(dim, b.toDF("k", "seg", "tier", "name"), cfg,
+          lit(f"2024-0${i + 2}%s-01 00:00:00"))
+        checkInvariants(dim, s"scenario $scenario batch $i")
+      }
+      // version count never shrinks and history is append-only in size
+      assert(dim.count() >= batches.head.size)
+    }
+  }
+
+  test("dedup is idempotent under any order column") {
+    val rows = sample(Gen.listOfN(200, for {
+      k <- Gen.choose(1, 30); v <- Gen.choose(0, 1000)
+    } yield (k, v)), 42L)
+    val df = rows.toDF("k", "v")
+    val once = Dedup.keepLatest(df, Seq("k"), Seq($"v".desc, $"k"))
+    val twice = Dedup.keepLatest(once, Seq("k"), Seq($"v".desc, $"k"))
+    assert(once.collect().toSet == twice.collect().toSet)
+    assert(once.groupBy("k").count().filter($"count" > 1).count() == 0)
+  }
+
+  test("upsert sequence ≡ applying only the last write per key") {
+    val batches = (0 until 3).map(i =>
+      sample(Gen.listOfN(20, for {
+        k <- Gen.choose(1, 10); v <- Gen.alphaStr.map(s => s"$i-${s.take(4)}")
+      } yield (k, v)), 7L + i).distinctBy(_._1))
+    var target = Seq.empty[(Int, String)].toDF("k", "v")
+    batches.foreach(b => target = Upsert.merge(target, b.toDF("k", "v"), Seq("k")))
+    // expected: for each key, the value from the LAST batch containing it
+    val expected = batches.zipWithIndex
+      .flatMap { case (b, i) => b.map { case (k, v) => (k, (i, v)) } }
+      .groupBy(_._1).map { case (k, vs) => (k, vs.maxBy(_._2._1)._2._2) }
+    val got = target.collect().map(r => (r.getInt(0), r.getString(1))).toMap
+    assert(got == expected)
+  }
+}
