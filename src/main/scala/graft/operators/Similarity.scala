@@ -36,15 +36,25 @@ object Similarity {
   def cosine(a: Column, b: Column, dim: Int): Column =
     dot(a, b, dim) / (norm(a, dim) * norm(b, dim))
 
+  /** Cosine from a precomputed-norm layout: norms are a deterministic
+    * function of each vector, so hoisting them out of the pair loop yields
+    * bit-identical scores to inline computation at a third of the work.
+    */
+  def cosinePrenormed(a: Column, b: Column, na: Column, nb: Column, dim: Int): Column =
+    dot(a, b, dim) / (na * nb)
+
   /** Brute-force cosine top-k: for each query vector, the k nearest corpus
-    * vectors (excluding itself). Queries side is broadcast.
+    * vectors (excluding itself). Queries side is broadcast; norms are
+    * computed once per vector, not per pair.
     */
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
       vecCol: String, dim: Int, k: Int): DataFrame = {
-    val q = broadcast(queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv")))
+    val q = broadcast(queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv"))
+      .withColumn("qn", norm(col("qv"), dim)))
     val c = corpus.select(col(idCol).as("neighbor_id"), asDouble(col(vecCol)).as("cv"))
+      .withColumn("cn", norm(col("cv"), dim))
     val scored = q.join(c, col("query_id") =!= col("neighbor_id"))
-      .withColumn("cosine", cosine(col("qv"), col("cv"), dim))
+      .withColumn("cosine", cosinePrenormed(col("qv"), col("cv"), col("qn"), col("cn"), dim))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w))
@@ -80,16 +90,18 @@ object Similarity {
       idCol: String, vecCol: String, dim: Int, k: Int, nProbe: Int): DataFrame = {
     val assigned = ivfAssign(corpus, centroids, idCol, vecCol, dim)
       .withColumnRenamed(idCol, "neighbor_id").withColumnRenamed("dv", "cv_doc")
+      .withColumn("cn", norm(col("cv_doc"), dim))
     val q = queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv"))
+      .withColumn("qn", norm(col("qv"), dim))
     val qScored = broadcast(q).join(broadcast(centroids))
       .withColumn("score", dot(col("qv"), col("cv"), dim))
     val wq = Window.partitionBy(col("query_id")).orderBy(col("score").desc, col("centroid_id"))
     val probes = qScored.withColumn("rn", row_number().over(wq))
       .filter(col("rn") <= nProbe)
-      .select(col("query_id"), col("qv"), col("centroid_id").as("bucket"))
+      .select(col("query_id"), col("qv"), col("qn"), col("centroid_id").as("bucket"))
     val scored = broadcast(probes).join(assigned, Seq("bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("cosine", cosine(col("qv"), col("cv_doc"), dim))
+      .withColumn("cosine", cosinePrenormed(col("qv"), col("cv_doc"), col("qn"), col("cn"), dim))
     val w = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)

@@ -71,11 +71,14 @@ object VectorQueries extends QueryModule {
           .withColumn("vec_id", col("vec_id") + 10000))
         val a = e.select(col("vec_id").as("vec_id_1"),
           Similarity.asDouble(col("embedding")).as("e1"), col("label").as("label_1"))
+          .withColumn("n1", Similarity.norm(col("e1"), Dim))
         val b = e.select(col("vec_id").as("vec_id_2"),
           Similarity.asDouble(col("embedding")).as("e2"), col("label").as("label_2"))
+          .withColumn("n2", Similarity.norm(col("e2"), Dim))
         // Block on label (embeddings cluster by label) to avoid O(n²).
         a.join(b, col("label_1") === col("label_2") && col("vec_id_1") < col("vec_id_2"))
-          .withColumn("cosine", Similarity.cosine(col("e1"), col("e2"), Dim))
+          .withColumn("cosine",
+            Similarity.cosinePrenormed(col("e1"), col("e2"), col("n1"), col("n2"), Dim))
           .filter(col("cosine") >= 0.99)
           .select(col("vec_id_1"), col("vec_id_2"), col("label_1").as("label"),
             round(col("cosine"), 6).as("cosine_r"))
