@@ -152,6 +152,23 @@ object StreamQueries extends QueryModule {
         HAVING max(ts) + INTERVAL 30 MINUTE <= (SELECT w FROM wm)
         ORDER BY user_id, session_start
       """.trim),
+      bench = false),
+
+    // --- custom keyed state: flatMapGroupsWithState running counters.
+    // Doubles folded in iterator order are batch-order-dependent, so the
+    // compared output is the exact event count; value totals are covered by
+    // StreamingSpec. ---
+    GQuery(
+      "q85_stream_stateful",
+      (spark, dir) => {
+        val out = graft.streaming.Stateful.runToCompletion(spark, dir)
+        out.groupBy(col("user_id"))
+          .agg(max(col("events")).as("events"))
+          .orderBy(col("user_id"))
+      },
+      Some("""
+        SELECT user_id, COUNT(*) AS events FROM events GROUP BY user_id ORDER BY user_id
+      """.trim),
       bench = false)
   )
 }

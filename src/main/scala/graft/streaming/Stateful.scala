@@ -1,0 +1,49 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Custom keyed state over streams (SURVEY §2.9 "custom state" row):
+  * `flatMapGroupsWithState` maintaining an arbitrary per-key accumulator —
+  * the escape hatch when windowed/dedup built-ins can't express the
+  * semantics (e.g. cross-batch running counters, CDC-style folds).
+  *
+  * Scale notes: state is partitioned by key in the state store; per trigger
+  * each task touches only its keys' state. Pair with watermark-based state
+  * timeout (`GroupStateTimeout.EventTimeTimeout`) to bound the store on
+  * unbounded key spaces.
+  */
+object Stateful {
+
+  final case class UserEvent(user_id: Long, event_type: String, value: Double)
+  final case class UserRunning(user_id: Long, events: Long, total_value: Double)
+
+  /** Running per-user totals across micro-batches. Emits the updated
+    * accumulator for every key seen in the batch (update-mode semantics).
+    */
+  def runningUserTotals(spark: SparkSession, events: DataFrame): Dataset[UserRunning] = {
+    import spark.implicits._
+    events.select(col("user_id"), col("event_type"), col("value"))
+      .as[UserEvent]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[UserEvent], state: GroupState[UserRunning]) =>
+          val prev = state.getOption.getOrElse(UserRunning(user, 0L, 0.0))
+          var n = prev.events
+          var total = prev.total_value
+          rows.foreach { e => n += 1; total += e.value }
+          val next = UserRunning(user, n, total)
+          state.update(next)
+          Iterator.single(next)
+      }
+  }
+
+  /** Run the stateful stream to completion (AvailableNow) and return the
+    * final per-user accumulators.
+    */
+  def runToCompletion(spark: SparkSession, dir: String): DataFrame = {
+    val out = runningUserTotals(spark, Streams.eventsStream(spark, dir))
+    Streams.runToMemory(spark, out.toDF(), "update")
+  }
+}

@@ -1,0 +1,43 @@
+package graft.streaming
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+class StreamingSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("flatMapGroupsWithState running totals match batch aggregation") {
+    val got = Stateful.runToCompletion(spark, TestSpark.SfDir)
+    // update-mode memory sink may hold one row per key per batch; the LAST
+    // state per user is the final accumulator
+    val finalPerUser = got.groupBy("user_id")
+      .agg(max("events").as("events"))
+    val expected = graft.core.Tables.events(spark, TestSpark.SfDir)
+      .groupBy("user_id").agg(count(lit(1)).as("events"))
+    val diff = finalPerUser.join(expected, "user_id")
+      .filter(finalPerUser("events") =!= expected("events"))
+    assert(diff.count() == 0)
+    assert(finalPerUser.count() == expected.count())
+  }
+
+  test("bucketed tables co-locate the join: no shuffle exchange in the plan") {
+    val wh = java.nio.file.Files.createTempDirectory("graft_wh").toString
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    spark.sql("DROP TABLE IF EXISTS b_lineitem")
+    val o = spark.read.parquet(s"${TestSpark.SfDir}/orders.parquet")
+    val li = spark.read.parquet(s"${TestSpark.SfDir}/lineitem.parquet")
+    o.write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+      .option("path", s"$wh/b_orders").saveAsTable("b_orders")
+    li.write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+      .option("path", s"$wh/b_lineitem").saveAsTable("b_lineitem")
+    val joined = spark.table("b_lineitem")
+      .join(spark.table("b_orders"),
+        col("l_orderkey") === col("o_orderkey"))
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"bucketed join should not shuffle:\n${plan.take(2000)}")
+    assert(joined.count() == li.count())
+  }
+}
