@@ -23,7 +23,8 @@ object SparkEntry {
     _root_.graft.queries.VectorQueries,
     _root_.graft.queries.MultimodalQueries,
     _root_.graft.queries.StreamQueries,
-    _root_.graft.queries.MedallionQueries)
+    _root_.graft.queries.MedallionQueries,
+    _root_.graft.queries.SemiStructuredQueries)
 
   lazy val registry: Seq[GQuery] = modules.flatMap(_.all)
 

@@ -99,14 +99,23 @@ object TextDedup {
     */
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
       blockKeys: Seq[Column], n: Int, threshold: Double): DataFrame = {
-    val withSh = df.select(col(idCol) +: blockKeys.zipWithIndex.map {
-        case (k, i) => k.as(s"__blk_$i")
-      } :+ array_distinct(TextAnalysis.shingles(col(textCol), n)).as("sh"): _*)
+    // Pair on narrow (id, blockKey) rows first — the shingle arrays join in
+    // afterwards, keyed by id, so wide arrays never ride the blocked
+    // self-join shuffle.
+    val ids = df.select(col(idCol) +: blockKeys.zipWithIndex.map {
+      case (k, i) => k.as(s"__blk_$i")
+    }: _*)
     val blockCols = blockKeys.indices.map(i => s"__blk_$i")
-    val a = withSh.toDF(Seq(s"${idCol}_1") ++ blockCols ++ Seq("sh1"): _*)
-    val b = withSh.toDF(Seq(s"${idCol}_2") ++ blockCols ++ Seq("sh2"): _*)
-    a.join(b, blockCols)
+    val a = ids.toDF(s"${idCol}_1" +: blockCols: _*)
+    val b = ids.toDF(s"${idCol}_2" +: blockCols: _*)
+    val pairs = a.join(b, blockCols)
       .filter(col(s"${idCol}_1") < col(s"${idCol}_2"))
+      .select(col(s"${idCol}_1"), col(s"${idCol}_2"))
+    val withSh = df.select(col(idCol),
+      array_distinct(TextAnalysis.shingles(col(textCol), n)).as("sh"))
+    val sh1 = withSh.toDF(s"${idCol}_1", "sh1")
+    val sh2 = withSh.toDF(s"${idCol}_2", "sh2")
+    pairs.join(sh1, s"${idCol}_1").join(sh2, s"${idCol}_2")
       .withColumn("jaccard", jaccard(col("sh1"), col("sh2")))
       .filter(col("jaccard") >= threshold)
       .select(col(s"${idCol}_1"), col(s"${idCol}_2"), col("jaccard"))

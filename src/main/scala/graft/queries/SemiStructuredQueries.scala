@@ -1,0 +1,93 @@
+package graft.queries
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.core.{GQuery, QueryModule, Tables}
+import graft.functions.TextAnalysis
+
+/** Semi-structured + reshaping + corpus-statistics queries (general query
+  * layer): JSON extraction from the events `props` column, pivot, corpus
+  * n-gram frequencies, and length histograms.
+  */
+object SemiStructuredQueries extends QueryModule {
+  import Tables.t
+
+  private def dec(c: Column, p: Int = 12, s: Int = 2): Column =
+    c.cast(DecimalType(p, s))
+
+  override def all: Seq[GQuery] = Seq(
+
+    // --- JSON field extraction (events.props is a JSON string) ---
+    GQuery(
+      "q47_json_extract",
+      (spark, dir) => {
+        val ev = Tables.events(spark, dir)
+        ev.select(col("event_id"),
+            get_json_object(col("props"), "$.k").cast(IntegerType).as("k"))
+          .groupBy((col("k") % 10).as("k_mod"))
+          .agg(count(lit(1)).as("n"), sum(col("k")).as("k_sum"))
+          .orderBy(col("k_mod"))
+      },
+      Some("""
+        SELECT CAST(props->>'k' AS INT) % 10 AS k_mod,
+               COUNT(*) AS n, CAST(SUM(CAST(props->>'k' AS INT)) AS BIGINT) AS k_sum
+        FROM events GROUP BY 1 ORDER BY k_mod
+      """.trim)),
+
+    // --- pivot / reshape (status × priority matrix) ---
+    GQuery(
+      "q48_pivot",
+      (spark, dir) => {
+        val o = t(spark, dir, "orders")
+        o.groupBy(col("o_orderpriority"))
+          .pivot("o_orderstatus", Seq("F", "O", "P"))
+          .agg(count(lit(1)))
+          .na.fill(0L)
+          .orderBy(col("o_orderpriority"))
+      },
+      Some("""
+        SELECT o_orderpriority,
+               COUNT(*) FILTER (o_orderstatus = 'F') AS "F",
+               COUNT(*) FILTER (o_orderstatus = 'O') AS "O",
+               COUNT(*) FILTER (o_orderstatus = 'P') AS "P"
+        FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+      """.trim)),
+
+    // --- corpus-wide top n-grams (explode → count → deterministic top-k) ---
+    GQuery(
+      "q66_top_ngrams",
+      (spark, dir) => {
+        val d = t(spark, dir, "documents")
+        d.select(explode(TextAnalysis.shingles(col("text"), 2)).as("ngram"))
+          .groupBy(col("ngram")).agg(count(lit(1)).as("n"))
+          .orderBy(col("n").desc, col("ngram"))
+          .limit(20)
+      },
+      Some("""
+        WITH tk AS (SELECT doc_id, string_split(lower(text), ' ') AS tk FROM documents),
+        ng AS (
+          SELECT unnest(list_transform(
+            generate_series(1, greatest(len(tk) - 1, 1)),
+            i -> concat_ws(' ', tk[i], tk[i+1]))) AS ngram
+          FROM tk)
+        SELECT ngram, COUNT(*) AS n FROM ng GROUP BY ngram
+        ORDER BY n DESC, ngram LIMIT 20
+      """.trim)),
+
+    // --- document length histogram (bucketed counts) ---
+    GQuery(
+      "q67_length_histogram",
+      (spark, dir) => {
+        val d = t(spark, dir, "documents")
+        d.select((floor(col("n_chars") / 100) * 100).cast(IntegerType).as("bucket"))
+          .groupBy(col("bucket")).agg(count(lit(1)).as("n"))
+          .orderBy(col("bucket"))
+      },
+      Some("""
+        SELECT CAST(floor(n_chars / 100) * 100 AS INT) AS bucket, COUNT(*) AS n
+        FROM documents GROUP BY 1 ORDER BY bucket
+      """.trim))
+  )
+}
