@@ -24,7 +24,8 @@ object SparkEntry {
     _root_.graft.queries.MultimodalQueries,
     _root_.graft.queries.StreamQueries,
     _root_.graft.queries.MedallionQueries,
-    _root_.graft.queries.SemiStructuredQueries)
+    _root_.graft.queries.SemiStructuredQueries,
+    _root_.graft.queries.SamplingQueries)
 
   lazy val registry: Seq[GQuery] = modules.flatMap(_.all)
 

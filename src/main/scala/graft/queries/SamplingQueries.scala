@@ -1,0 +1,111 @@
+package graft.queries
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.core.{GQuery, QueryModule, Tables}
+
+/** Dataset-splitting, fuzzy matching, date arithmetic, and sketch queries.
+  *
+  * The train/val/test split is content-hash based (md5 of the key), so
+  * assignment is stable under repartitioning, re-runs, and engine choice —
+  * the property a training-data pipeline needs so examples never migrate
+  * between splits when the corpus grows.
+  */
+object SamplingQueries extends QueryModule {
+  import Tables.t
+
+  /** Deterministic bucket in [0,100) from the md5 of a key column —
+    * identical in Spark and DuckDB (ascii over the first two hex chars).
+    */
+  private def hashBucket(key: Column): Column =
+    (ascii(substring(md5(key.cast(StringType)), 1, 1)) * 256 +
+      ascii(substring(md5(key.cast(StringType)), 2, 1))) % 100
+
+  override def all: Seq[GQuery] = Seq(
+
+    // --- stable train/val/test split (80/10/10 by content hash) ---
+    GQuery(
+      "q68_dataset_split",
+      (spark, dir) => {
+        val d = t(spark, dir, "documents")
+        val bucket = hashBucket(col("doc_id"))
+        d.select(col("doc_id"),
+            when(bucket < 80, "train").when(bucket < 90, "valid")
+              .otherwise("test").as("split"))
+          .groupBy(col("split"))
+          .agg(count(lit(1)).as("n"), min(col("doc_id")).as("min_id"))
+          .orderBy(col("split"))
+      },
+      Some("""
+        WITH b AS (
+          SELECT doc_id,
+                 (ascii(substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) * 256 +
+                  ascii(substr(md5(CAST(doc_id AS VARCHAR)), 2, 1))) % 100 AS bucket
+          FROM documents)
+        SELECT CASE WHEN bucket < 80 THEN 'train'
+                    WHEN bucket < 90 THEN 'valid' ELSE 'test' END AS split,
+               COUNT(*) AS n, MIN(doc_id) AS min_id
+        FROM b GROUP BY 1 ORDER BY split
+      """.trim)),
+
+    // --- fuzzy matching (levenshtein ≤ 1 within a nation block) ---
+    GQuery(
+      "q69_fuzzy_name_pairs",
+      (spark, dir) => {
+        val c = t(spark, dir, "customer")
+          .select(col("c_custkey"), col("c_nationkey"), col("c_name"))
+        val a = c.toDF("k1", "c_nationkey", "n1")
+        val b = c.toDF("k2", "c_nationkey", "n2")
+        a.join(b, Seq("c_nationkey"))
+          .filter(col("k1") < col("k2"))
+          .filter(levenshtein(col("n1"), col("n2")) <= 1)
+          .groupBy(col("c_nationkey"))
+          .agg(count(lit(1)).as("fuzzy_pairs"))
+          .orderBy(col("c_nationkey"))
+      },
+      Some("""
+        SELECT a.c_nationkey, COUNT(*) AS fuzzy_pairs
+        FROM customer a JOIN customer b
+          ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey
+        WHERE levenshtein(a.c_name, b.c_name) <= 1
+        GROUP BY a.c_nationkey ORDER BY a.c_nationkey
+      """.trim)),
+
+    // --- date arithmetic battery ---
+    GQuery(
+      "q49_date_functions",
+      (spark, dir) => {
+        val o = t(spark, dir, "orders").filter(col("o_orderkey") % 100 === 0)
+        o.select(col("o_orderkey"),
+            to_date(date_trunc("month", col("o_orderdate"))).as("order_month"),
+            add_months(to_date(col("o_orderdate")), 1).as("plus_month"),
+            last_day(to_date(col("o_orderdate"))).as("month_end"),
+            dayofyear(col("o_orderdate")).as("doy"))
+          .orderBy(col("o_orderkey"))
+      },
+      Some("""
+        SELECT o_orderkey,
+               CAST(date_trunc('month', o_orderdate) AS DATE) AS order_month,
+               CAST(o_orderdate + INTERVAL 1 MONTH AS DATE) AS plus_month,
+               last_day(CAST(o_orderdate AS DATE)) AS month_end,
+               CAST(dayofyear(o_orderdate) AS INT) AS doy
+        FROM orders WHERE o_orderkey % 100 = 0 ORDER BY o_orderkey
+      """.trim)),
+
+    // --- sketches: HLL distinct + approximate percentiles (engine-internal
+    // estimates → rows-only check; error bounds asserted in SketchSpec) ---
+    GQuery(
+      "q96_approx_sketches",
+      (spark, dir) => {
+        val o = t(spark, dir, "orders")
+        o.groupBy(col("o_orderstatus"))
+          .agg(
+            approx_count_distinct(col("o_custkey")).as("approx_customers"),
+            percentile_approx(col("o_totalprice"), lit(0.5), lit(1000)).as("median_price"))
+          .orderBy(col("o_orderstatus"))
+      },
+      oracle = None)
+  )
+}

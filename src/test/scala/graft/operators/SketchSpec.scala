@@ -1,0 +1,30 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** Sketch accuracy bounds (approx results are engine-internal, so the
+  * oracle gate only row-checks them; accuracy is asserted here).
+  */
+class SketchSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("approx_count_distinct within 5% of exact") {
+    val o = spark.read.parquet(s"${TestSpark.SfDir}/orders.parquet")
+    val exact = o.agg(countDistinct($"o_custkey")).head().getLong(0)
+    val approx = o.agg(approx_count_distinct($"o_custkey")).head().getLong(0)
+    assert(math.abs(approx - exact).toDouble / exact < 0.05,
+      s"approx=$approx exact=$exact")
+  }
+
+  test("percentile_approx within 5% of exact median") {
+    val o = spark.read.parquet(s"${TestSpark.SfDir}/orders.parquet")
+    val exact = o.stat.approxQuantile("o_totalprice", Array(0.5), 0.0).head
+    val approx = o.agg(percentile_approx($"o_totalprice", lit(0.5), lit(1000)))
+      .head().getDouble(0)
+    assert(math.abs(approx - exact) / exact < 0.05, s"approx=$approx exact=$exact")
+  }
+}
