@@ -1,0 +1,32 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** CDC apply: fold an ordered stream of change events (insert / update /
+  * delete op codes) into a snapshot — the general form of the reference's
+  * upsert load (`load_type:"upsert"` + "latest wins",
+  * `config/silver/schema/README.md:113-122`), extended with deletes, as a
+  * Delta-CDF-style capability on plain Parquet.
+  *
+  * Scale notes: one keyed window over the change batch (which is
+  * incremental, i.e. small relative to the target) + one anti/merge join
+  * against the target — broadcast when the batch fits, and with a
+  * partitioned target only touched partitions rewrite via
+  * [[Upsert.mergeWrite]].
+  */
+object Cdc {
+
+  /** Apply `changes` to `target`. Per key, the LAST change under `order`
+    * wins: op `D` removes the key; anything else upserts the row.
+    * `changes` must contain `target`'s columns plus `opCol`.
+    */
+  def applyChanges(target: DataFrame, changes: DataFrame, keys: Seq[String],
+      opCol: String, order: Seq[Column], deleteOp: String = "D"): DataFrame = {
+    val latest = Dedup.keepLatest(changes, keys, order)
+    val upserts = latest.filter(col(opCol) =!= deleteOp).drop(opCol)
+    val deletes = latest.filter(col(opCol) === deleteOp).select(keys.map(col): _*)
+    Upsert.merge(target, upserts, keys)
+      .join(deletes, keys, "left_anti")
+  }
+}

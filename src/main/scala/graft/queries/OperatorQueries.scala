@@ -291,6 +291,52 @@ object OperatorQueries extends QueryModule {
         ORDER BY o_custkey
       """.trim)),
 
+    // --- CDC apply: ordered I/U/D change events folded into a snapshot ---
+    GQuery(
+      "q18_cdc_apply",
+      (spark, dir) => {
+        val o = t(spark, dir, "orders")
+          .select(col("o_orderkey"), col("o_orderstatus"), dec(col("o_totalprice")).as("price"))
+        val target = o.filter(col("o_orderkey") % 2 === 1)
+        // Two change versions per sampled key; the later one wins. Keys
+        // divisible by 6 end in a delete.
+        val v1 = o.filter(col("o_orderkey") % 3 === 0)
+          .withColumn("op", lit("U")).withColumn("ver", lit(1))
+          .withColumn("price", dec(col("price") + lit(5)))
+        val v2 = o.filter(col("o_orderkey") % 3 === 0 && col("o_orderkey") % 2 === 1)
+          .withColumn("op", lit("D")).withColumn("ver", lit(2))
+        val changes = v1.unionByName(v2)
+        graft.operators.Cdc.applyChanges(target, changes, Seq("o_orderkey"),
+            "op", Seq(col("ver").desc))
+          .drop("ver")
+          .orderBy(col("o_orderkey"))
+      },
+      Some("""
+        WITH base AS (
+          SELECT o_orderkey, o_orderstatus, CAST(o_totalprice AS DECIMAL(12,2)) AS price
+          FROM orders),
+        target AS (SELECT * FROM base WHERE o_orderkey % 2 = 1),
+        changes AS (
+          SELECT o_orderkey, o_orderstatus,
+                 CAST(price + 5 AS DECIMAL(12,2)) AS price, 'U' AS op, 1 AS ver
+          FROM base WHERE o_orderkey % 3 = 0
+          UNION ALL
+          SELECT o_orderkey, o_orderstatus, price, 'D', 2 FROM base
+          WHERE o_orderkey % 3 = 0 AND o_orderkey % 2 = 1),
+        latest AS (
+          SELECT * FROM changes
+          QUALIFY row_number() OVER (PARTITION BY o_orderkey ORDER BY ver DESC) = 1),
+        merged AS (
+          SELECT o_orderkey, o_orderstatus, price FROM latest WHERE op <> 'D'
+          UNION ALL
+          SELECT t.o_orderkey, t.o_orderstatus, t.price FROM target t
+          WHERE NOT EXISTS (SELECT 1 FROM latest l WHERE l.o_orderkey = t.o_orderkey))
+        SELECT m.* FROM merged m
+        WHERE NOT EXISTS (SELECT 1 FROM latest l
+                          WHERE l.o_orderkey = m.o_orderkey AND l.op = 'D')
+        ORDER BY o_orderkey
+      """.trim)),
+
     // --- J5: computed date-key join against the generated date dimension ---
     GQuery(
       "q17_datekey_join",
