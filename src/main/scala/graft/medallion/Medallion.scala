@@ -154,12 +154,39 @@ object Medallion {
   }
 
   /** Fact build (EP3): resolve each declared dimension key per its
-    * `references` join type — `point_in_time` (J3) against SCD2 dims,
-    * `direct` (J5) computed keys — then select declared columns.
+    * `references` join type, then apply calculated measures, then select
+    * declared columns.
+    *
+    * Join types (all observed in the reference's gold schemas):
+    *  - `point_in_time` (J3): SCD2 dim version valid at the fact time;
+    *  - `direct` with an `=` expression (J5): computed key, no join;
+    *  - `direct` without an expression (J6, e.g. "order_id match"):
+    *    equi-lookup into another fact/dim on its business key;
+    *  - `current` (J4): only `is_current` dim rows.
+    *
+    * Lookup-style joins also CARRY any column the fact declares but the
+    * source lacks (denormalized keys like `customer_key` from fact_orders,
+    * semi-additive inputs like `unit_cost` from the dim); `carryExtra` adds
+    * undeclared helper columns (e.g. `order_date` for a later PIT join).
     */
   def goldFact(silver: DataFrame, cfg: Table, dims: Map[String, DataFrame],
-      dimBusinessKeys: Map[String, String], factTimeCol: String): DataFrame = {
+      dimBusinessKeys: Map[String, String], factTimeCol: String,
+      carryExtra: Map[String, Seq[String]] = Map.empty): DataFrame = {
     var df = silver
+
+    def surrogateOf(dim: DataFrame, keyName: String): String =
+      if (dim.columns.contains(keyName)) keyName
+      else dim.columns.find(_.endsWith("_key"))
+        .getOrElse(sys.error(s"no surrogate column in dimension for $keyName"))
+
+    def carryCols(dim: DataFrame, kc: ColumnDef): Seq[String] = {
+      val declaredMissing = cfg.columns.map(_.name)
+        .filter(n => n != kc.name && !df.columns.contains(n) && dim.columns.contains(n))
+      val extra = kc.references.toSeq.flatMap(r => carryExtra.getOrElse(r.dimension, Nil))
+        .filter(n => !df.columns.contains(n) && dim.columns.contains(n))
+      (declaredMissing ++ extra).distinct
+    }
+
     cfg.columns.filter(_.isDimensionKey).foreach { kc =>
       kc.references.foreach { ref =>
         ref.joinType match {
@@ -177,24 +204,53 @@ object Medallion {
                 when(col("__vn") === 1, lit("0001-01-01 00:00:00").cast("timestamp"))
                   .otherwise(col("valid_from")))
               .drop("__vn")
-            val dimSel = floored.select(col(bk).as(s"__bk_${kc.name}"),
+            val carried = carryCols(dim, kc)
+            val dimSel = floored.select(Seq(col(bk).as(s"__bk_${kc.name}"),
               col("valid_from"), col("valid_to"),
-              dim.columns.filter(_.endsWith("_key")).map(col).head.as(kc.name))
+              col(surrogateOf(dim, kc.name)).as(kc.name)) ++ carried.map(col): _*)
             df = PointInTime.join(df, dimSel, Seq(bk -> s"__bk_${kc.name}"),
                 col(factTimeCol).cast("timestamp"))
               .drop(s"__bk_${kc.name}", "valid_from", "valid_to")
-          case "direct" =>
-            // join_logic like `date_key = cast(date_format(order_date,'yyyyMMdd') as int)`
+          case "current" =>
+            val dim = dims(ref.dimension).filter(col("is_current"))
+            val bk = dimBusinessKeys(ref.dimension)
+            val carried = carryCols(dim, kc)
+            val dimSel = dim.select(Seq(col(bk).as(s"__bk_${kc.name}"),
+              col(surrogateOf(dim, kc.name)).as(kc.name)) ++ carried.map(col): _*)
+            df = df.join(broadcast(dimSel), df(bk) === dimSel(s"__bk_${kc.name}"))
+              .drop(s"__bk_${kc.name}")
+          case "direct" if ref.joinLogic.contains("=") =>
+            // e.g. `date_key = cast(date_format(order_date,'yyyyMMdd') as int)`
             val rhs = ref.joinLogic.split("=", 2)(1).trim
             df = df.withColumn(kc.name, expr(rhs).cast(kc.sparkType))
+          case "direct" =>
+            // fact-to-fact equi-lookup (J6), e.g. order_items → fact_orders
+            val parent = dims(ref.dimension)
+            val bk = dimBusinessKeys(ref.dimension)
+            val carried = carryCols(parent, kc)
+            val sel = parent.select(Seq(col(bk).as(s"__bk_${kc.name}"),
+              col(surrogateOf(parent, kc.name)).as(kc.name)) ++ carried.map(col): _*)
+            df = df.join(sel, df(bk) === sel(s"__bk_${kc.name}"))
+              .drop(s"__bk_${kc.name}")
           case other => sys.error(s"unsupported join_type $other")
         }
       }
     }
+    // Calculated measures (P13) once every input column is resolved. Some
+    // reference calculations are prose, not SQL (`gold_fact_orders` item_count:
+    // "count(order_items) per order") — only SQL-parseable ones apply; prose
+    // ones are aggregation documentation (computed by the BI layer, A2).
+    cfg.columns.filter(c => c.calculation.nonEmpty && !df.columns.contains(c.name))
+      .foreach { c =>
+        scala.util.Try(expr(c.calculation.get)).toOption
+          .filter(e => scala.util.Try(df.select(e).schema).isSuccess)
+          .foreach(e => df = df.withColumn(c.name, e.cast(c.sparkType)))
+      }
     // Surrogate key for the fact itself, then declared columns.
     val sk = cfg.columns.find(_.isSurrogateKey)
     sk.foreach { k =>
-      val pkOrder = cfg.columns.find(_.isBusinessKey).map(_.name).getOrElse(df.columns.head)
+      val pkOrder = cfg.columns.find(_.isBusinessKey).map(_.name)
+        .filter(df.columns.contains).getOrElse(df.columns.head)
       df = df.withColumn(k.name, row_number().over(Window.orderBy(col(pkOrder))).cast("long"))
     }
     df.select(cfg.columns.filter(c => df.columns.contains(c.name))

@@ -136,6 +136,70 @@ class MedallionGoldenSpec extends AnyFunSuite {
     assert(fact.join(dimCustomerV2, Seq("customer_key"), "left_anti").count() == 0)
   }
 
+  private lazy val silverItems =
+    Medallion.silverLoad(bronzeItems, cfg("silver", "order_items"),
+      parents = Map("silver_orders" -> silverOrders.valid)).valid
+  private lazy val silverProducts =
+    Medallion.silverLoad(bronzeProducts, cfg("silver", "products")).valid
+  private lazy val silverInventory =
+    Medallion.silverLoad(bronzeInventory, cfg("silver", "inventory"),
+      parents = Map("silver_products" -> silverProducts)).valid
+
+  private lazy val dimProduct = Medallion.goldDimScd2(
+    None, silverProducts.withColumn("record_source", lit("catalog")),
+    cfg("gold", "dim_product"), lit("2025-10-01 00:00:00"))
+
+  private lazy val factOrders = Medallion.goldFact(
+    silverOrders.valid,
+    cfg("gold", "fact_orders"),
+    dims = Map("dim_customer" -> dimCustomerV2),
+    dimBusinessKeys = Map("dim_customer" -> "customer_id"),
+    factTimeCol = "order_date")
+
+  test("full star schema: fact_order_items resolves parent-fact and PIT product keys") {
+    val fact = Medallion.goldFact(
+      silverItems
+        .withColumn("record_source", lit("order_management"))
+        .withColumn("loaded_timestamp", lit("2025-10-02 00:00:00").cast("timestamp")),
+      cfg("gold", "fact_order_items"),
+      dims = Map(
+        "fact_orders" -> factOrders,
+        "dim_product" -> dimProduct.withColumnRenamed("cost", "product_cost")),
+      dimBusinessKeys = Map("fact_orders" -> "order_id", "dim_product" -> "product_id"),
+      factTimeCol = "order_date",
+      carryExtra = Map("fact_orders" -> Seq("order_date")))
+    assert(fact.count() == silverItems.count())
+    assert(fact.filter(col("order_key").isNull || col("product_key").isNull ||
+      col("customer_key").isNull || col("order_date_key").isNull).count() == 0)
+    // profit = (unit_price - product_cost) * quantity, decimal-preserved
+    val bad = fact.filter(col("profit") =!=
+      ((col("unit_price") - col("product_cost")) * col("quantity")).cast("decimal(10,2)"))
+    assert(bad.count() == 0)
+    assert(fact.schema("profit").dataType.typeName == "decimal(10,2)")
+  }
+
+  test("fact_inventory: periodic snapshot with current-join and calculated measures") {
+    val fact = Medallion.goldFact(
+      silverInventory
+        .withColumn("record_source", lit("warehouse"))
+        .withColumn("loaded_timestamp", lit("2025-10-02 00:00:00").cast("timestamp")),
+      cfg("gold", "fact_inventory"),
+      dims = Map("dim_product" -> dimProduct.withColumnRenamed("cost", "unit_cost")),
+      dimBusinessKeys = Map("dim_product" -> "product_id"),
+      factTimeCol = "snapshot_date")
+    assert(fact.count() == 700) // 7 daily snapshots × 100 products
+    assert(fact.filter(col("quantity_available") =!=
+      col("quantity_on_hand") - col("quantity_reserved")).count() == 0)
+    assert(fact.filter(col("stock_value").isNotNull)
+      .filter(col("stock_value") =!=
+        (col("quantity_on_hand") * col("unit_cost")).cast("decimal(12,2)")).count() == 0)
+    // semi-additive A4: latest snapshot per product == last snapshot date
+    val latest = graft.operators.Dedup.keepLatest(fact, Seq("product_id"),
+      Seq(col("snapshot_date").desc))
+    assert(latest.count() == 100)
+    assert(latest.select(countDistinct(col("snapshot_date"))).head().getLong(0) == 1)
+  }
+
   test("README BI query shape: current-state tier analysis runs") {
     // `config/gold/schema/README.md:399-408`
     dimCustomerV2.createOrReplaceTempView("dim_customer")
