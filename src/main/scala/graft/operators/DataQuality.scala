@@ -78,6 +78,20 @@ object DataQuality {
     case _ => None
   }
 
+  /** Attach violation counters for ROW-LOCAL rules as a side observation
+    * (SURVEY Q7's "optionally Spark observe() API"): metrics ride the next
+    * action on the returned frame — no second pass, and the same call works
+    * on streaming frames. Uniqueness/RI rules need joins/windows and go
+    * through [[validate]] instead.
+    */
+  def observed(df: DataFrame, rules: Seq[Rule], obs: org.apache.spark.sql.Observation): DataFrame = {
+    val counters = rules.flatMap { r =>
+      rowViolation(r).map(v => sum(when(v, 1L).otherwise(0L)).as(s"viol_${r.name}"))
+    }
+    require(counters.nonEmpty, "observed() needs at least one row-local rule")
+    df.observe(obs, counters.head, counters.tail: _*)
+  }
+
   /** Evaluate all rules; returns (valid, errors, metrics).
     *  - `errors`: every row violating ≥1 rule, plus `failed_rules` (comma
     *    list in rule declaration order) — the `silver_dq_errors` shape.

@@ -1,0 +1,69 @@
+package graft.medallion
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.Observation
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+import graft.config.TableConfig
+import graft.operators.DataQuality
+
+/** Bronze-layer robustness: malformed source rows, schema evolution, and
+  * single-pass observe() DQ metrics.
+  */
+class BronzeRobustnessSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("malformed CSV rows surface as nulls and are caught by DQ, not crashes") {
+    val dir = Files.createTempDirectory("graft_badcsv")
+    Files.createDirectories(Paths.get(s"$dir/raw"))
+    Files.writeString(Paths.get(s"$dir/raw/bad.csv"),
+      """id|amount|when
+        |1|10.50|2024-01-01
+        |2|notanumber|2024-01-02
+        |3|30.00|notadate
+        |""".stripMargin)
+    val cfg = TableConfig.fromJsonString("""
+      {"table_name": "bronze_bad", "source_system": "t", "file_format": "csv",
+       "file_path": "raw/bad.csv", "delimiter": "|", "header": true,
+       "primary_keys": ["id"], "partition_by": [],
+       "columns": [
+         {"name": "id", "datatype": "long", "nullable": false},
+         {"name": "amount", "datatype": "decimal(10,2)", "nullable": true},
+         {"name": "when", "datatype": "date", "nullable": true}]}""")
+    val bronze = Medallion.bronzeIngest(spark, cfg, dir.toString, lit("2025-01-01 00:00:00"))
+    assert(bronze.count() == 3) // PERMISSIVE: bad cells null out, rows survive
+    val res = DataQuality.validate(bronze, Seq(
+      DataQuality.NullCheck(Seq("amount"), "amount_present", "critical"),
+      DataQuality.NullCheck(Seq("when"), "when_present", "critical")))
+    assert(res.errors.count() == 2)
+    assert(res.valid.count() == 1)
+  }
+
+  test("schema evolution: mergeSchema unions columns across file generations") {
+    val dir = Files.createTempDirectory("graft_evo").toString
+    Seq((1L, "a")).toDF("id", "v1").write.parquet(s"$dir/p=1")
+    Seq((2L, "b", 9.9)).toDF("id", "v1", "v2_added").write.parquet(s"$dir/p=2")
+    val merged = spark.read.option("mergeSchema", "true").parquet(dir)
+    assert(merged.columns.toSet == Set("id", "v1", "v2_added", "p"))
+    assert(merged.filter($"v2_added".isNull).count() == 1)
+  }
+
+  test("observe(): DQ counters ride a single action") {
+    val o = spark.read.parquet(s"${TestSpark.SfDir}/orders.parquet")
+    val obs = Observation("dq")
+    val observed = DataQuality.observed(o, Seq(
+      DataQuality.RangeConstraint("o_totalprice", ">", BigDecimal(0), "price_pos", "warning"),
+      DataQuality.RangeConstraint("o_totalprice", "<=", BigDecimal(250000), "price_sane", "info")),
+      obs)
+    val n = observed.count() // one action; metrics come along for free
+    val m = obs.get
+    assert(m("viol_price_pos") == 0L)
+    val sane = m("viol_price_sane").asInstanceOf[Long]
+    val exact = o.filter($"o_totalprice" > 250000).count()
+    assert(sane == exact, s"observed $sane vs exact $exact over $n rows")
+  }
+}
