@@ -163,9 +163,13 @@ object TableConfig {
             case JArray(xs) => xs.collect { case JString(s) => s }
             case _ => Nil
           },
+          // single + composite (nested-array) keys, the latter as
+          // comma-joined form (`silver_inventory_schema.json:82-84`)
           uniquenessChecks = (r \ "uniqueness_checks") match {
-            case JArray(xs) => xs.collect { case JString(s) => s }
-            case JArray(_) | JNothing | JNull => Nil
+            case JArray(xs) => xs.collect {
+              case JString(s) => s
+              case JArray(ys) => ys.collect { case JString(s) => s }.mkString(",")
+            }
             case _ => Nil
           },
           setConstraints = sets,
@@ -191,15 +195,6 @@ object TableConfig {
         (m \ "name").extract[String], (m \ "aggregation").extract[String]))
       case _ => Nil
     }
-    // uniqueness_checks may contain composite keys as nested arrays
-    // (`silver_inventory_schema.json:82-84`) — flatten to joined form.
-    val uniq = (j \ "data_quality_rules" \ "uniqueness_checks") match {
-      case JArray(xs) => xs.collect {
-        case JString(s) => s
-        case JArray(ys) => ys.collect { case JString(s) => s }.mkString(",")
-      }
-      case _ => Nil
-    }
     Table(
       tableName = (j \ "table_name").extract[String],
       sourceTable = str("source_table"),
@@ -219,7 +214,7 @@ object TableConfig {
       partitionBy = strs("partition_by"),
       columns = cols("columns"),
       metadataColumns = cols("metadata_columns"),
-      dqRules = dq.map(d => d.copy(uniquenessChecks = uniq)),
+      dqRules = dq,
       scdConfig = scd,
       dateRange = dr,
       measures = ms)

@@ -1,6 +1,7 @@
 package graft.core
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.types.DecimalType
 
 /** One engine query: a DataFrame program over a scale-factor directory plus
   * (when SQL-expressible) an equivalent ANSI SQL oracle the driver runs in
@@ -16,4 +17,11 @@ final case class GQuery(
 
 trait QueryModule {
   def all: Seq[GQuery]
+
+  /** The DuckDB-parity decimal discipline (see CoreQueries scaladoc): cast
+    * doubles to exact decimals BEFORE aggregating. One definition — the
+    * default precision/scale is a policy, not a per-module choice.
+    */
+  protected def dec(c: Column, p: Int = 12, s: Int = 2): Column =
+    c.cast(DecimalType(p, s))
 }

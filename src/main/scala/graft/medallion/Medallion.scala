@@ -83,9 +83,15 @@ object Medallion {
     val sets = r.setConstraints.map { case (c, vs) =>
       DataQuality.SetConstraint(c, vs, s"set_$c", "warning")
     }.toSeq
+    val CmpRe = """(<=|>=|!=|=|<|>)\s*(.+)""".r
     val cmps = r.comparisonConstraints.map { case (c, s) =>
-      val Array(op, operand) = s.trim.split("\\s+", 2)
-      DataQuality.RangeConstraint(c, op, BigDecimal(operand), s"range_$c", "warning")
+      s.trim match {
+        case CmpRe(op, operand) =>
+          DataQuality.RangeConstraint(c, op, BigDecimal(operand.trim), s"range_$c", "warning")
+        case other =>
+          throw new IllegalArgumentException(
+            s"${cfg.tableName}.$c: unparseable value constraint '$other'")
+      }
     }.toSeq
     val fmts = r.formatValidations.map { case (c, re) =>
       DataQuality.FormatValidation(c, re, s"format_$c", "warning")
@@ -93,7 +99,9 @@ object Medallion {
     val ris = r.referentialIntegrity.flatMap { case (c, tgt) =>
       parents.get(tgt.referenceTable).map(p =>
         DataQuality.RefIntegrity(Seq(c), p, Seq(tgt.referenceColumn),
-          s"ri_${c}_${tgt.referenceTable}", "critical", strict = true))
+          s"ri_${c}_${tgt.referenceTable}", "critical", strict = true,
+          // reference RI parents are dimension tables — small by contract
+          broadcastParent = true))
     }.toSeq
     nulls ++ uniq ++ sets ++ cmps ++ fmts ++ ris
   }
@@ -105,8 +113,12 @@ object Medallion {
       parents: Map[String, DataFrame] = Map.empty): SilverResult = {
     val cleansed = silverTransform(bronze, cfg)
     val res = DataQuality.validate(cleansed, dqRulesOf(cfg, parents))
+    // Tiebreaker: within one batch every row shares ingestion_timestamp, so
+    // same-PK rows with different payloads need a content-derived total
+    // order (a PK tiebreaker is constant within the window partition).
+    val contentHash = xxhash64(cfg.columns.map(c => col(c.name)): _*)
     val deduped = Dedup.keepLatest(res.valid, cfg.primaryKeys,
-      Seq(col("ingestion_timestamp").desc) ++ cfg.primaryKeys.map(col(_).asc))
+      Seq(col("ingestion_timestamp").desc, contentHash.desc))
       .drop("ingestion_timestamp")
     SilverResult(deduped, res.errors, res.metrics)
   }

@@ -17,13 +17,15 @@ import org.apache.spark.sql.functions._
   */
 object Cdc {
 
-  /** Apply `changes` to `target`. Per key, the LAST change under `order`
-    * wins: op `D` removes the key; anything else upserts the row.
-    * `changes` must contain `target`'s columns plus `opCol`.
+  /** Apply `changes` to `target`. Per key, the FIRST row under
+    * `newestFirst` wins — pass a descending version/timestamp order so the
+    * newest change sorts first (e.g. `Seq(col("ver").desc)`). Op `D`
+    * removes the key; anything else upserts the row. `changes` must contain
+    * `target`'s columns plus `opCol`.
     */
   def applyChanges(target: DataFrame, changes: DataFrame, keys: Seq[String],
-      opCol: String, order: Seq[Column], deleteOp: String = "D"): DataFrame = {
-    val latest = Dedup.keepLatest(changes, keys, order)
+      opCol: String, newestFirst: Seq[Column], deleteOp: String = "D"): DataFrame = {
+    val latest = Dedup.keepLatest(changes, keys, newestFirst)
     val upserts = latest.filter(col(opCol) =!= deleteOp).drop(opCol)
     val deletes = latest.filter(col(opCol) === deleteOp).select(keys.map(col): _*)
     Upsert.merge(target, upserts, keys)

@@ -45,10 +45,14 @@ object DataQuality {
   /** FK must exist in `parent` (matched by position with `parentCols`).
     * strict → blocking; permissive → log-only
     * (`config/silver/schema/README.md:300-303`).
+    * `broadcastParent` forces a broadcast of the parent's distinct keys —
+    * only set it when the caller KNOWS the key set is small (dims); by
+    * default Catalyst/AQE picks the strategy, so a fact-sized parent
+    * sort-merges instead of OOMing the driver.
     */
   final case class RefIntegrity(columns: Seq[String], parent: DataFrame,
       parentCols: Seq[String], name: String, severity: String = "critical",
-      strict: Boolean = true) extends Rule {
+      strict: Boolean = true, broadcastParent: Boolean = false) extends Rule {
     override def blocking: Boolean = strict
   }
 
@@ -85,6 +89,9 @@ object DataQuality {
     * through [[validate]] instead.
     */
   def observed(df: DataFrame, rules: Seq[Rule], obs: org.apache.spark.sql.Observation): DataFrame = {
+    val nonLocal = rules.filter(rowViolation(_).isEmpty)
+    require(nonLocal.isEmpty,
+      s"observed() only supports row-local rules; use validate() for: ${nonLocal.map(_.name).mkString(", ")}")
     val counters = rules.flatMap { r =>
       rowViolation(r).map(v => sum(when(v, 1L).otherwise(0L)).as(s"viol_${r.name}"))
     }
@@ -108,15 +115,16 @@ object DataQuality {
           val w = Window.partitionBy(keys.map(col): _*)
           flagged = flagged.withColumn(f, count(lit(1)).over(w) > 1)
         case ri: RefIntegrity =>
-          val parentKeys = ri.parent
+          val parentKeys0 = ri.parent
             .select(ri.parentCols.map(col): _*).distinct()
             .toDF(ri.parentCols.map(c => s"__p_$c"): _*)
             .withColumn("__dq_matched", lit(true))
+          val parentKeys = if (ri.broadcastParent) broadcast(parentKeys0) else parentKeys0
           val cond = ri.columns.zip(ri.parentCols)
             .map { case (c, p) => flagged(c) === parentKeys(s"__p_$p") }
             .reduce(_ && _)
           flagged = flagged
-            .join(broadcast(parentKeys), cond, "left")
+            .join(parentKeys, cond, "left")
             .withColumn(f,
               ri.columns.map(col(_).isNotNull).reduce(_ && _) && col("__dq_matched").isNull)
             .drop("__dq_matched")

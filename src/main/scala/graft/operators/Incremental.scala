@@ -40,10 +40,17 @@ final class Incremental(storeDir: String) {
   /** New rows since the stored watermark. Call [[advance]] after a
     * successful downstream commit (watermark moves only on success, so a
     * failed run reprocesses — at-least-once, reconciled by the upsert sink).
+    *
+    * The stored string is cast to the incremental column's OWN type before
+    * comparing, so timestamp, date, and numeric/id watermarks all work (a
+    * fixed timestamp cast would null out id watermarks and silently filter
+    * every row).
     */
   def pickup(df: DataFrame, source: String, incrementalCol: Column): DataFrame =
     lastWatermark(source) match {
-      case Some(w) => df.filter(incrementalCol > lit(w).cast("timestamp"))
+      case Some(w) =>
+        val dt = df.select(incrementalCol.as("__wm")).schema.head.dataType
+        df.filter(incrementalCol > lit(w).cast(dt))
       case None => df
     }
 

@@ -98,18 +98,24 @@ object Scd2 {
       .filter(!col(s"d.${cfg.isCurrent}") || !coalesce(changed, lit(false)))
       .select(withType1("d") ++ cfg.scdCols.map(c => col(s"d.$c").as(c)): _*)
 
-    // Changed keys → new current version from the batch.
+    // Changed keys → new current version from the batch. All business-key
+    // joins here are null-safe (<=>) to match the main join — mixing plain
+    // equality would let a NULL business key fall through the anti join and
+    // gain a second current row.
     val currentHashes = dim.filter(col(cfg.isCurrent))
-      .select((bk.map(col) :+ col(cfg.hashCol).as("__cur_hash")): _*)
-    val newVersions = inc.join(currentHashes, bk)
+      .select((bk.map(k => col(k).as(s"__ch_$k")) :+ col(cfg.hashCol).as("__cur_hash")): _*)
+    val chCond = bk.map(k => col(k) <=> col(s"__ch_$k")).reduce(_ && _)
+    val newVersions = inc.join(currentHashes, chCond)
       .filter(col(cfg.hashCol) =!= col("__cur_hash"))
-      .drop("__cur_hash")
+      .drop(bk.map(k => s"__ch_$k") :+ "__cur_hash": _*)
       .withColumn(cfg.validFrom, loadTs.cast("timestamp"))
       .withColumn(cfg.validTo, lit(cfg.sentinel).cast("timestamp"))
       .withColumn(cfg.isCurrent, lit(true))
 
-    // Unseen keys → first version.
-    val firstVersions = inc.join(dim.select(bk.map(col): _*), bk, "left_anti")
+    // Unseen keys → first version (null-safe anti join).
+    val dimKeys = dim.select(bk.map(k => col(k).as(s"__dk_$k")): _*)
+    val fvCond = bk.map(k => col(k) <=> col(s"__dk_$k")).reduce(_ && _)
+    val firstVersions = inc.join(dimKeys, fvCond, "left_anti")
       .withColumn(cfg.validFrom, loadTs.cast("timestamp"))
       .withColumn(cfg.validTo, lit(cfg.sentinel).cast("timestamp"))
       .withColumn(cfg.isCurrent, lit(true))

@@ -19,8 +19,6 @@ import graft.core.{GQuery, QueryModule, Tables}
 object CoreQueries extends QueryModule {
   import Tables.t
 
-  private def dec(c: Column, p: Int = 12, s: Int = 2): Column =
-    c.cast(DecimalType(p, s))
 
   override def all: Seq[GQuery] = Seq(
     // --- A1 group-by SUM + P13 arithmetic + P14 filter (TPC-H Q1 flavor) ---

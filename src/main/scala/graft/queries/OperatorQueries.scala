@@ -18,8 +18,6 @@ import graft.operators.{Dedup, PointInTime, Scd2, Upsert}
 object OperatorQueries extends QueryModule {
   import Tables.t
 
-  private def dec(c: Column, p: Int = 12, s: Int = 2): Column =
-    c.cast(DecimalType(p, s))
 
   // Deterministic SCD2 scenario shared by q12/q13/q14:
   // initial dim = all customers (v1 @2020-01-01); incremental batch =

@@ -16,12 +16,30 @@ import graft.core.{GQuery, QueryModule, Tables}
 object SamplingQueries extends QueryModule {
   import Tables.t
 
-  /** Deterministic bucket in [0,100) from the md5 of a key column —
-    * identical in Spark and DuckDB (ascii over the first two hex chars).
+  /** Deterministic bucket in [0,100) from the md5 of a key column: the
+    * first 4 hex digits decoded to a 16-bit value (ascii arithmetic — no
+    * hex-parse builtin is common to both engines) mod 100. 65536 values mod
+    * 100 is uniform to ±0.04%, so the 80/10/10 split holds; a naive
+    * ascii-code scheme would skew it by several points since hex chars
+    * occupy only 16 of 256 codes.
     */
-  private def hashBucket(key: Column): Column =
-    (ascii(substring(md5(key.cast(StringType)), 1, 1)) * 256 +
-      ascii(substring(md5(key.cast(StringType)), 2, 1))) % 100
+  private def hexVal(c: Column): Column = {
+    val a = ascii(c)
+    a - when(a >= 97, 87).otherwise(48)
+  }
+  private def hashBucket(key: Column): Column = {
+    val h = md5(key.cast(StringType))
+    val v = (1 to 4).map(i => hexVal(substring(h, i, 1)))
+    (v(0) * 4096 + v(1) * 256 + v(2) * 16 + v(3)) % 100
+  }
+
+  /** DuckDB rendering of [[hashBucket]]. */
+  private def hashBucketSql(keyExpr: String): String = {
+    def hv(i: Int) =
+      s"(ascii(substr(md5(CAST($keyExpr AS VARCHAR)), $i, 1)) - " +
+        s"CASE WHEN ascii(substr(md5(CAST($keyExpr AS VARCHAR)), $i, 1)) >= 97 THEN 87 ELSE 48 END)"
+    s"(${hv(1)} * 4096 + ${hv(2)} * 256 + ${hv(3)} * 16 + ${hv(4)}) % 100"
+  }
 
   override def all: Seq[GQuery] = Seq(
 
@@ -38,11 +56,9 @@ object SamplingQueries extends QueryModule {
           .agg(count(lit(1)).as("n"), min(col("doc_id")).as("min_id"))
           .orderBy(col("split"))
       },
-      Some("""
+      Some(s"""
         WITH b AS (
-          SELECT doc_id,
-                 (ascii(substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) * 256 +
-                  ascii(substr(md5(CAST(doc_id AS VARCHAR)), 2, 1))) % 100 AS bucket
+          SELECT doc_id, ${hashBucketSql("doc_id")} AS bucket
           FROM documents)
         SELECT CASE WHEN bucket < 80 THEN 'train'
                     WHEN bucket < 90 THEN 'valid' ELSE 'test' END AS split,

@@ -14,8 +14,6 @@ import graft.functions.TextAnalysis
 object SemiStructuredQueries extends QueryModule {
   import Tables.t
 
-  private def dec(c: Column, p: Int = 12, s: Int = 2): Column =
-    c.cast(DecimalType(p, s))
 
   override def all: Seq[GQuery] = Seq(
 

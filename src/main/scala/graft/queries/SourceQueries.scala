@@ -20,8 +20,6 @@ object SourceQueries extends QueryModule {
   private def tmp(prefix: String): String =
     Files.createTempDirectory(s"graft_$prefix").toString
 
-  private def dec(c: Column, p: Int = 12, s: Int = 2): Column =
-    c.cast(DecimalType(p, s))
 
   override def all: Seq[GQuery] = Seq(
 

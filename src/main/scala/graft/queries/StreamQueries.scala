@@ -19,8 +19,6 @@ import graft.streaming.Streams
   */
 object StreamQueries extends QueryModule {
 
-  private def dec(c: Column, p: Int = 12, s: Int = 2): Column =
-    c.cast(DecimalType(p, s))
 
   override def all: Seq[GQuery] = Seq(
 

@@ -77,6 +77,30 @@ class OperatorSpec extends AnyFunSuite {
     assert(dim3.filter($"is_current" && $"seg" === "B").count() == 1)
   }
 
+  test("scd2: NULL business key stays a single current row (null-safe joins)") {
+    val cfg = Scd2.Config(Seq("k"), Seq("seg"), Seq("name"))
+    val v0 = Seq((Option(1L), "A", "n1"), (Option.empty[Long], "B", "n2"))
+      .toDF("k", "seg", "name")
+    val dim1 = Scd2.initialize(v0, cfg, lit("2024-01-01 00:00:00"))
+    // unchanged batch containing the NULL key → must NOT spawn a duplicate
+    val dim2 = Scd2.apply(dim1, v0, cfg, lit("2024-02-01 00:00:00"))
+    assert(dim2.count() == 2)
+    assert(dim2.filter($"k".isNull && $"is_current").count() == 1)
+    // changed NULL-key row → closed + new version, still one current
+    val v1 = Seq((Option.empty[Long], "CHANGED", "n2")).toDF("k", "seg", "name")
+    val dim3 = Scd2.apply(dim2, v1, cfg, lit("2024-03-01 00:00:00"))
+    assert(dim3.filter($"k".isNull).count() == 2)
+    assert(dim3.filter($"k".isNull && $"is_current").count() == 1)
+  }
+
+  test("incremental pickup works for non-timestamp (id) watermarks") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_wm2").toString
+    val inc = new Incremental(dir)
+    val df = Seq(1L, 5L, 9L).toDF("id")
+    inc.setWatermark("ids", "5")
+    assert(inc.pickup(df, "ids", col("id")).collect().map(_.getLong(0)).toSeq == Seq(9L))
+  }
+
   test("DQ: valid ∪ errors covers input; blocking vs non-blocking") {
     import DataQuality._
     val df = Seq((1, "ok", 5.0), (2, null, 3.0), (3, "ok", -1.0)).toDF("k", "s", "v")
