@@ -124,6 +124,57 @@ object WindowQueries extends QueryModule {
         ORDER BY l_suppkey
       """.trim)),
 
+    // --- exact percentiles (continuous interpolation, same formula both
+    // engines: lo + (hi-lo)*frac over the sorted values) ---
+    GQuery(
+      "q36_percentiles",
+      (spark, dir) => {
+        val o = t(spark, dir, "orders")
+        o.groupBy(col("o_orderstatus"))
+          .agg(
+            expr("percentile(o_totalprice, 0.5)").as("p50"),
+            expr("percentile(o_totalprice, 0.9)").as("p90"),
+            count(lit(1)).as("n"))
+          .orderBy(col("o_orderstatus"))
+      },
+      Some("""
+        SELECT o_orderstatus,
+               quantile_cont(o_totalprice, 0.5) AS p50,
+               quantile_cont(o_totalprice, 0.9) AS p90,
+               COUNT(*) AS n
+        FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+      """.trim)),
+
+    // --- moment statistics from EXACT decimal sums (variance/stddev via
+    // sum and sum-of-squares, so no float accumulation-order divergence) ---
+    GQuery(
+      "q37_moment_stats",
+      (spark, dir) => {
+        val o = t(spark, dir, "orders")
+        val x = dec(col("o_totalprice"))
+        val agg = o.groupBy(col("o_orderstatus")).agg(
+          sum(x).cast(DecimalType(22, 2)).as("s1"),
+          sum((x * x).cast(DecimalType(30, 4))).cast(DecimalType(34, 4)).as("s2"),
+          count(lit(1)).as("n"))
+        agg.select(col("o_orderstatus"), col("n"),
+            (col("s1").cast(DoubleType) / col("n")).as("mean"),
+            ((col("s2").cast(DoubleType) - col("s1").cast(DoubleType) *
+              col("s1").cast(DoubleType) / col("n")) / (col("n") - 1)).as("variance"))
+          .orderBy(col("o_orderstatus"))
+      },
+      Some("""
+        WITH a AS (
+          SELECT o_orderstatus,
+                 CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(22,2)) AS s1,
+                 CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * CAST(o_totalprice AS DECIMAL(12,2)) AS DECIMAL(30,4))) AS DECIMAL(34,4)) AS s2,
+                 COUNT(*) AS n
+          FROM orders GROUP BY o_orderstatus)
+        SELECT o_orderstatus, n,
+               CAST(s1 AS DOUBLE) / n AS mean,
+               (CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n) / (n - 1) AS variance
+        FROM a ORDER BY o_orderstatus
+      """.trim)),
+
     // --- rank/dense_rank (general query layer, SURVEY §2.6 note) ---
     GQuery(
       "q35_rank_nations_by_revenue",
