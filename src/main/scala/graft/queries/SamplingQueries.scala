@@ -66,11 +66,15 @@ object SamplingQueries extends QueryModule {
         FROM b GROUP BY 1 ORDER BY split
       """.trim)),
 
-    // --- fuzzy matching (levenshtein ≤ 1 within a nation block) ---
+    // --- fuzzy matching (levenshtein ≤ 1 within a nation block). The
+    // blocked self-join is quadratic per block, so the query runs on a
+    // deterministic 1-in-4 key sample; at corpus scale you'd block harder
+    // (prefix bands / deletion neighborhoods) before edit distance. ---
     GQuery(
       "q69_fuzzy_name_pairs",
       (spark, dir) => {
         val c = t(spark, dir, "customer")
+          .filter(col("c_custkey") % 4 === 0)
           .select(col("c_custkey"), col("c_nationkey"), col("c_name"))
         val a = c.toDF("k1", "c_nationkey", "n1")
         val b = c.toDF("k2", "c_nationkey", "n2")
@@ -82,8 +86,9 @@ object SamplingQueries extends QueryModule {
           .orderBy(col("c_nationkey"))
       },
       Some("""
+        WITH s AS (SELECT * FROM customer WHERE c_custkey % 4 = 0)
         SELECT a.c_nationkey, COUNT(*) AS fuzzy_pairs
-        FROM customer a JOIN customer b
+        FROM s a JOIN s b
           ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey
         WHERE levenshtein(a.c_name, b.c_name) <= 1
         GROUP BY a.c_nationkey ORDER BY a.c_nationkey

@@ -182,7 +182,11 @@ object TextQueries extends QueryModule {
       (spark, dir) => {
         val sigs = TextDedup.minhashSignaturesMd5(withNearDups(spark, dir),
           "doc_id", "text", n = 3, numHashes = 8)
-        val bands = TextDedup.lshBands(sigs, "doc_id", col("sig"), numBands = 4, rowsPerBand = 2)
+        // Persist: the candidate generation self-joins the bands, and
+        // without materialization each side would recompute the whole
+        // shingle+hash lineage.
+        val bands = TextDedup.lshBands(sigs, "doc_id", col("sig"),
+          numBands = 4, rowsPerBand = 2).persist()
         TextDedup.lshCandidates(bands, "doc_id")
           .orderBy(col("doc_id_1"), col("doc_id_2"))
       },
