@@ -46,6 +46,23 @@ object Media {
     (64 + (d(0) & 0x7f), 64 + (d(1) & 0x7f))
   }
 
+  /** STUB frame sampler — deterministic evenly-spaced byte offsets standing
+    * in for video frame extraction; the batch shape (payload in, bounded
+    * frame list out) is the real contract.
+    */
+  def frameSampleStub(payload: Array[Byte], frames: Int): Seq[Int] =
+    if (payload.isEmpty) Nil
+    else (0 until frames).map(i => (i.toLong * payload.length / frames).toInt)
+
+  /** STUB resize — deterministic target-dims passthrough for the decode
+    * stub's fake dimensions.
+    */
+  def resizeStub(dims: (Int, Int), maxSide: Int): (Int, Int) = {
+    val (w, h) = dims
+    val scale = math.min(1.0, maxSide.toDouble / math.max(w, h))
+    (math.max(1, (w * scale).toInt), math.max(1, (h * scale).toInt))
+  }
+
   private def md5Hex(payload: Array[Byte]): String =
     MessageDigest.getInstance("MD5").digest(payload)
       .map(b => f"$b%02x").mkString

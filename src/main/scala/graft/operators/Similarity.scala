@@ -83,6 +83,28 @@ object Similarity {
     corpus.orderBy(col(idCol)).limit(m)
       .select(col(idCol).as("centroid_id"), asDouble(col(vecCol)).as("cv"))
 
+  /** Lloyd iterations over the current centroids — assignment (max dot) +
+    * per-bucket element-wise mean, entirely as DataFrame algebra: explode
+    * dimensions, average per (bucket, position), reassemble the vector by
+    * sorted position. Buckets that lose all members drop out. One narrow
+    * shuffle per iteration; nothing collects to the driver.
+    */
+  def kmeansRefine(corpus: DataFrame, centroids: DataFrame, idCol: String,
+      vecCol: String, dim: Int, iterations: Int): DataFrame = {
+    var cents = centroids
+    (0 until iterations).foreach { _ =>
+      val assigned = ivfAssign(corpus, cents, idCol, vecCol, dim)
+      cents = assigned
+        .select(col("bucket"), posexplode(col("dv")).as(Seq("pos", "v")))
+        .groupBy(col("bucket"), col("pos")).agg(avg(col("v")).as("v"))
+        .groupBy(col("bucket"))
+        .agg(array_sort(collect_list(struct(col("pos"), col("v")))).as("pv"))
+        .select(col("bucket").as("centroid_id"),
+          transform(col("pv"), s => s.getField("v")).as("cv"))
+    }
+    cents
+  }
+
   /** IVF search: probe the `nProbe` nearest buckets per query, brute-force
     * within them.
     */

@@ -70,6 +70,30 @@ class TextDedupSpec extends AnyFunSuite {
     assert(recall >= 0.8, s"recall $recall")
   }
 
+  test("kmeans-refined IVF centroids keep recall ≥ 0.8") {
+    val e = spark.read.parquet(s"${TestSpark.SfDir}/embeddings.parquet")
+    val queries = e.filter(col("vec_id") < 20)
+    val bf = Similarity.bruteForceTopK(queries, e, "vec_id", "embedding", 64, 5)
+      .select("query_id", "neighbor_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val seed = Similarity.seedCentroids(e, "vec_id", "embedding", 16)
+    val refined = Similarity.kmeansRefine(e, seed, "vec_id", "embedding", 64, iterations = 2)
+    assert(refined.count() <= 16 && refined.count() > 1)
+    val ivf = Similarity.ivfTopK(queries, e, refined, "vec_id", "embedding", 64, 5, 4)
+      .select("query_id", "neighbor_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = bf.count(ivf.contains).toDouble / bf.size
+    assert(recall >= 0.8, s"refined-centroid recall $recall")
+  }
+
+  test("media frame-sample and resize stubs are deterministic and bounded") {
+    import graft.multimodal.Media
+    val payload = Array.tabulate[Byte](1000)(_.toByte)
+    val frames = Media.frameSampleStub(payload, 8)
+    assert(frames == Media.frameSampleStub(payload, 8))
+    assert(frames.size == 8 && frames.forall(o => o >= 0 && o < 1000))
+    assert(Media.resizeStub((1920, 1080), 256) == ((256, 144)))
+    assert(Media.resizeStub((100, 50), 256) == ((100, 50)))
+  }
+
   test("lang markers: langId returns a value for every doc; quality in [0,1]") {
     val out = docs.select(
       TextAnalysis.langId(col("text")).as("l"),
