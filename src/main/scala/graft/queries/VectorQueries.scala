@@ -60,6 +60,34 @@ object VectorQueries extends QueryModule {
       },
       oracle = None),
 
+    // --- per-dimension corpus diagnostics (posexplode over the vector
+    // column; means from exact decimal sums) ---
+    GQuery(
+      "q73_embedding_dim_stats",
+      (spark, dir) => {
+        val e = t(spark, dir, "embeddings")
+        e.select(posexplode(col("embedding")).as(Seq("dim", "v")))
+          .filter(col("dim") < 8)
+          .groupBy(col("dim"))
+          .agg(
+            min(col("v").cast("double")).as("v_min"),
+            max(col("v").cast("double")).as("v_max"),
+            (sum(col("v").cast("double").cast("decimal(20,10)")).cast("double") / count(lit(1))).as("v_mean"),
+            count(lit(1)).as("n"))
+          .orderBy(col("dim"))
+      },
+      Some("""
+        WITH d AS (SELECT unnest(generate_series(1, 8)) AS i),
+        x AS (SELECT i - 1 AS dim, embedding[i] AS v FROM embeddings, d)
+        SELECT CAST(dim AS INT) AS dim,
+               MIN(CAST(v AS DOUBLE)) AS v_min,
+               MAX(CAST(v AS DOUBLE)) AS v_max,
+               CAST(SUM(CAST(CAST(v AS DOUBLE) AS DECIMAL(20,10))) AS DOUBLE) / COUNT(*) AS v_mean,
+               COUNT(*) AS n
+        FROM x WHERE dim < 8
+        GROUP BY dim ORDER BY dim
+      """.trim)),
+
     // --- embedding-cosine near-duplicate pairs (threshold, not top-k).
     // Real intra-label cosines top out ~0.45, so near-dups are PLANTED
     // (exact copies re-keyed +10000) like the text-dedup fixtures. ---
