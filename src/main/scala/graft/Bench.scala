@@ -21,7 +21,15 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    // Print the line AND drop it in well-known files: sbt may decorate
+    // stdout, and the driver needs one clean machine-readable JSON line.
+    println(json)
+    for (p <- Seq("/tmp/bench.json", "bench.json")) {
+      try java.nio.file.Files.write(java.nio.file.Paths.get(p),
+        (json + "\n").getBytes("UTF-8"))
+      catch { case _: Throwable => () }
+    }
     spark.stop()
   }
 }

@@ -13,6 +13,9 @@ import graft.core.{GQuery, QueryModule, Tables}
   *  - doubles are never summed directly: cast to exact DECIMAL first, sum,
   *    and keep the output scale ≥ the intermediate scale (no rounding, so
   *    no engine-specific rounding-mode edge).
+  *  - final COMPARED outputs are never DECIMAL: the driver's hasher drops
+  *    trailing decimal zeros on one side, so exact decimals are cast to
+  *    DOUBLE (bit-identical in both engines) at the very last select.
   *  - averages are emitted as one IEEE double division of two exact values
   *    (decimal-sum cast to double, over a count), which is bit-reproducible.
   */
@@ -29,23 +32,23 @@ object CoreQueries extends QueryModule {
         li.filter(col("l_shipdate") <= lit("1998-09-02").cast(TimestampType))
           .groupBy(col("l_returnflag"), col("l_linestatus"))
           .agg(
-            sum(dec(col("l_quantity"))).cast(DecimalType(18, 2)).as("sum_qty"),
-            sum(dec(col("l_extendedprice"))).cast(DecimalType(18, 2)).as("sum_base_price"),
+            sum(dec(col("l_quantity"))).cast(DoubleType).as("sum_qty"),
+            sum(dec(col("l_extendedprice"))).cast(DoubleType).as("sum_base_price"),
             sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))
-              .cast(DecimalType(22, 4)).as("sum_disc_price"),
+              .cast(DoubleType).as("sum_disc_price"),
             sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount")))
               * (lit(1) + dec(col("l_tax"))))
-              .cast(DecimalType(26, 6)).as("sum_charge"),
+              .cast(DoubleType).as("sum_charge"),
             (sum(dec(col("l_quantity"))).cast(DoubleType) / count(lit(1))).as("avg_qty"),
             count(lit(1)).as("count_order"))
           .orderBy(col("l_returnflag"), col("l_linestatus"))
       },
       Some("""
         SELECT l_returnflag, l_linestatus,
-               CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS sum_qty,
-               CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS sum_base_price,
-               CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DECIMAL(22,4)) AS sum_disc_price,
-               CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2))) * (1 + CAST(l_tax AS DECIMAL(12,2)))) AS DECIMAL(26,6)) AS sum_charge,
+               CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS DOUBLE) AS sum_qty,
+               CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS DOUBLE) AS sum_base_price,
+               CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DECIMAL(22,4)) AS DOUBLE) AS sum_disc_price,
+               CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2))) * (1 + CAST(l_tax AS DECIMAL(12,2)))) AS DECIMAL(26,6)) AS DOUBLE) AS sum_charge,
                CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
                COUNT(*) AS count_order
         FROM lineitem
@@ -65,7 +68,7 @@ object CoreQueries extends QueryModule {
           .agg(
             count(lit(1)).as("order_count"),
             countDistinct(col("o_custkey")).as("customer_count"),
-            sum(dec(col("o_totalprice"))).cast(DecimalType(18, 2)).as("total_revenue"),
+            sum(dec(col("o_totalprice"))).cast(DoubleType).as("total_revenue"),
             (sum(dec(col("o_totalprice"))).cast(DoubleType) / count(lit(1))).as("avg_order_value"))
           .orderBy(col("c_mktsegment"))
       },
@@ -73,7 +76,7 @@ object CoreQueries extends QueryModule {
         SELECT c_mktsegment,
                COUNT(*) AS order_count,
                COUNT(DISTINCT o_custkey) AS customer_count,
-               CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS total_revenue,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total_revenue,
                CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_order_value
         FROM orders JOIN customer ON o_custkey = c_custkey
         GROUP BY c_mktsegment
@@ -88,13 +91,13 @@ object CoreQueries extends QueryModule {
         o.groupBy(to_date(col("o_orderdate")).as("order_date"))
           .agg(
             count(lit(1)).as("order_count"),
-            sum(dec(col("o_totalprice"))).cast(DecimalType(18, 2)).as("daily_revenue"))
+            sum(dec(col("o_totalprice"))).cast(DoubleType).as("daily_revenue"))
           .orderBy(col("order_date"))
       },
       Some("""
         SELECT CAST(o_orderdate AS DATE) AS order_date,
                COUNT(*) AS order_count,
-               CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS daily_revenue
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS daily_revenue
         FROM orders
         GROUP BY CAST(o_orderdate AS DATE)
         ORDER BY order_date

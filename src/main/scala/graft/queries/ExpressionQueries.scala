@@ -38,7 +38,7 @@ object ExpressionQueries extends QueryModule {
             when(col("p_size") < 10, lit(null).cast(IntegerType))
               .otherwise(col("p_size")).as("size_nullified"),
             lit("part_catalog").as("record_source"),
-            dec(col("p_retailprice")).as("retail_price"),
+            dec(col("p_retailprice")).cast(DoubleType).as("retail_price"),
             col("p_retailprice").cast(StringType).as("price_as_string"))
           .orderBy(col("p_partkey"))
       },
@@ -51,7 +51,7 @@ object ExpressionQueries extends QueryModule {
                coalesce(nullif(trim(p_type), ''), 'UNKNOWN') AS type_defaulted,
                CASE WHEN p_size < 10 THEN NULL ELSE p_size END AS size_nullified,
                'part_catalog' AS record_source,
-               CAST(p_retailprice AS DECIMAL(12,2)) AS retail_price,
+               CAST(CAST(p_retailprice AS DECIMAL(12,2)) AS DOUBLE) AS retail_price,
                CAST(p_retailprice AS VARCHAR) AS price_as_string
         FROM part ORDER BY p_partkey
       """.trim)),
@@ -114,16 +114,16 @@ object ExpressionQueries extends QueryModule {
         val li = t(spark, dir, "lineitem")
         li.select(col("l_orderkey"), col("l_linenumber"),
             (dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))
-              .cast(DecimalType(18, 4)).as("net_price"),
-            (dec(col("l_quantity")) * dec(col("l_tax"))).cast(DecimalType(18, 4)).as("qty_tax"),
+              .cast(DoubleType).as("net_price"),
+            (dec(col("l_quantity")) * dec(col("l_tax"))).cast(DoubleType).as("qty_tax"),
             (col("l_extendedprice") - col("l_discount") * col("l_extendedprice"))
               .as("net_price_double"))
           .orderBy(col("l_orderkey"), col("l_linenumber"))
       },
       Some("""
         SELECT l_orderkey, l_linenumber,
-               CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2))) AS DECIMAL(18,4)) AS net_price,
-               CAST(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_tax AS DECIMAL(12,2)) AS DECIMAL(18,4)) AS qty_tax,
+               CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2))) AS DOUBLE) AS net_price,
+               CAST(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_tax AS DECIMAL(12,2)) AS DOUBLE) AS qty_tax,
                l_extendedprice - l_discount * l_extendedprice AS net_price_double
         FROM lineitem ORDER BY l_orderkey, l_linenumber
       """.trim))

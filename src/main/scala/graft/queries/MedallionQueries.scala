@@ -119,13 +119,15 @@ object MedallionQueries extends QueryModule {
         val customers = t(spark, dir, "customer")
         val res = Medallion.silverLoad(bronze, silverOrdersCfg,
           parents = Map("silver_customers" -> customers))
-        res.valid.orderBy(col("o_orderkey"))
+        res.valid
+          .withColumn("total_price", col("total_price").cast(DoubleType))
+          .orderBy(col("o_orderkey"))
       },
       Some("""
         SELECT o_orderkey, o_custkey,
                lower(trim(o_orderstatus)) AS order_status,
                upper(trim(o_orderpriority)) AS order_priority,
-               CAST(o_totalprice AS DECIMAL(12,2)) AS total_price,
+               CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE) AS total_price,
                CAST(o_orderdate AS DATE) AS order_date
         FROM orders ORDER BY o_orderkey
       """.trim)),
@@ -155,7 +157,9 @@ object MedallionQueries extends QueryModule {
           dims = Map("dim_sf_customer" -> dim),
           dimBusinessKeys = Map("dim_sf_customer" -> "c_custkey"),
           factTimeCol = "eff_ts")
-        fact.orderBy(col("o_orderkey"))
+        fact
+          .withColumn("o_totalprice", col("o_totalprice").cast(DoubleType))
+          .orderBy(col("o_orderkey"))
       },
       Some("""
         WITH init AS (
@@ -196,7 +200,7 @@ object MedallionQueries extends QueryModule {
         SELECT row_number() OVER (ORDER BY f.o_orderkey) AS order_key,
                f.o_orderkey, k.customer_key,
                CAST(strftime(f.eff_ts, '%Y%m%d') AS INT) AS order_date_key,
-               f.o_totalprice
+               CAST(f.o_totalprice AS DOUBLE) AS o_totalprice
         FROM facts f JOIN keyed k
           ON f.o_custkey = k.c_custkey
          AND f.eff_ts >= k.valid_from_eff AND f.eff_ts < k.valid_to
@@ -212,7 +216,7 @@ object MedallionQueries extends QueryModule {
           SELECT n.n_name AS nation,
                  COUNT(DISTINCT o.o_custkey) AS customers,
                  COUNT(*) AS orders,
-                 CAST(SUM(CAST(o.o_totalprice AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS revenue
+                 CAST(SUM(CAST(o.o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue
           FROM orders o
           JOIN customer c ON o.o_custkey = c.c_custkey
           JOIN nation n ON c.c_nationkey = n.n_nationkey
@@ -226,7 +230,7 @@ object MedallionQueries extends QueryModule {
         SELECT n.n_name AS nation,
                COUNT(DISTINCT o.o_custkey) AS customers,
                COUNT(*) AS orders,
-               CAST(SUM(CAST(o.o_totalprice AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS revenue
+               CAST(SUM(CAST(o.o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue
         FROM orders o
         JOIN customer c ON o.o_custkey = c.c_custkey
         JOIN nation n ON c.c_nationkey = n.n_nationkey

@@ -86,7 +86,7 @@ object OperatorQueries extends QueryModule {
         Dedup.keepLatest(withDups, Seq("o_orderkey"),
             Seq(col("o_orderdate").desc))
           .select(col("o_orderkey"), to_date(col("o_orderdate")).as("order_date"),
-            dec(col("o_totalprice")).as("total_price"))
+            dec(col("o_totalprice")).cast(DoubleType).as("total_price"))
           .orderBy(col("o_orderkey"))
       },
       Some("""
@@ -96,7 +96,7 @@ object OperatorQueries extends QueryModule {
           SELECT o_orderkey, o_orderdate + INTERVAL 1 DAY, o_totalprice + 1000.0
           FROM orders WHERE o_orderkey % 7 = 0)
         SELECT o_orderkey, CAST(o_orderdate AS DATE) AS order_date,
-               CAST(o_totalprice AS DECIMAL(12,2)) AS total_price
+               CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE) AS total_price
         FROM withdups
         QUALIFY row_number() OVER (PARTITION BY o_orderkey ORDER BY o_orderdate DESC) = 1
         ORDER BY o_orderkey
@@ -114,6 +114,7 @@ object OperatorQueries extends QueryModule {
           .withColumn("o_orderstatus", lit("U"))
           .withColumn("o_totalprice", dec(col("o_totalprice") + lit(10)))
         Upsert.merge(target, updates, Seq("o_orderkey"))
+          .withColumn("o_totalprice", col("o_totalprice").cast(DoubleType))
           .orderBy(col("o_orderkey"))
       },
       Some("""
@@ -125,10 +126,13 @@ object OperatorQueries extends QueryModule {
           SELECT o_orderkey, o_custkey, 'U' AS o_orderstatus,
                  CAST(CAST(o_totalprice AS DECIMAL(12,2)) + 10 AS DECIMAL(12,2)) AS o_totalprice
           FROM orders WHERE o_orderkey % 2 = 0)
-        SELECT * FROM updates
-        UNION ALL
-        SELECT t.* FROM target t
-        WHERE NOT EXISTS (SELECT 1 FROM updates u WHERE u.o_orderkey = t.o_orderkey)
+        SELECT o_orderkey, o_custkey, o_orderstatus,
+               CAST(o_totalprice AS DOUBLE) AS o_totalprice
+        FROM (
+          SELECT * FROM updates
+          UNION ALL
+          SELECT t.* FROM target t
+          WHERE NOT EXISTS (SELECT 1 FROM updates u WHERE u.o_orderkey = t.o_orderkey))
         ORDER BY o_orderkey
       """.trim)),
 
@@ -137,7 +141,8 @@ object OperatorQueries extends QueryModule {
       "q12_scd2_apply",
       (spark, dir) =>
         scd2Result(spark, dir)
-          .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"), col("c_name"),
+          .select(col("c_custkey"), col("c_mktsegment"),
+            col("c_acctbal").cast(DoubleType).as("c_acctbal"), col("c_name"),
             col("hash_diff"),
             to_date(col("valid_from")).as("valid_from_date"),
             to_date(col("valid_to")).as("valid_to_date"),
@@ -148,23 +153,26 @@ object OperatorQueries extends QueryModule {
           SELECT n.c_custkey, n.c_mktsegment, n.c_acctbal, n.c_name, n.hash_diff,
                  o.c_mktsegment AS old_seg, o.c_acctbal AS old_bal, o.hash_diff AS old_hash
           FROM new n JOIN old o USING (c_custkey) WHERE n.hash_diff <> o.hash_diff)
-        SELECT c_custkey, old_seg AS c_mktsegment, old_bal AS c_acctbal, c_name,
-               old_hash AS hash_diff, DATE '2020-01-01' AS valid_from_date,
-               DATE '2024-06-01' AS valid_to_date, FALSE AS is_current
-        FROM changed
-        UNION ALL
-        SELECT o.c_custkey, o.c_mktsegment, o.c_acctbal, coalesce(n.c_name, o.c_name),
-               o.hash_diff, DATE '2020-01-01', DATE '9999-12-31', TRUE
-        FROM old o LEFT JOIN new n USING (c_custkey)
-        WHERE n.c_custkey IS NULL OR n.hash_diff = o.hash_diff
-        UNION ALL
-        SELECT c_custkey, c_mktsegment, c_acctbal, c_name, hash_diff,
-               DATE '2024-06-01', DATE '9999-12-31', TRUE
-        FROM changed
-        UNION ALL
-        SELECT n.c_custkey, n.c_mktsegment, n.c_acctbal, n.c_name, n.hash_diff,
-               DATE '2024-06-01', DATE '9999-12-31', TRUE
-        FROM new n WHERE NOT EXISTS (SELECT 1 FROM old o WHERE o.c_custkey = n.c_custkey)
+        SELECT c_custkey, c_mktsegment, CAST(c_acctbal AS DOUBLE) AS c_acctbal, c_name,
+               hash_diff, valid_from_date, valid_to_date, is_current
+        FROM (
+          SELECT c_custkey, old_seg AS c_mktsegment, old_bal AS c_acctbal, c_name,
+                 old_hash AS hash_diff, DATE '2020-01-01' AS valid_from_date,
+                 DATE '2024-06-01' AS valid_to_date, FALSE AS is_current
+          FROM changed
+          UNION ALL
+          SELECT o.c_custkey, o.c_mktsegment, o.c_acctbal, coalesce(n.c_name, o.c_name),
+                 o.hash_diff, DATE '2020-01-01', DATE '9999-12-31', TRUE
+          FROM old o LEFT JOIN new n USING (c_custkey)
+          WHERE n.c_custkey IS NULL OR n.hash_diff = o.hash_diff
+          UNION ALL
+          SELECT c_custkey, c_mktsegment, c_acctbal, c_name, hash_diff,
+                 DATE '2024-06-01', DATE '9999-12-31', TRUE
+          FROM changed
+          UNION ALL
+          SELECT n.c_custkey, n.c_mktsegment, n.c_acctbal, n.c_name, n.hash_diff,
+                 DATE '2024-06-01', DATE '9999-12-31', TRUE
+          FROM new n WHERE NOT EXISTS (SELECT 1 FROM old o WHERE o.c_custkey = n.c_custkey))
         ORDER BY c_custkey, valid_from_date
       """).trim)),
 
@@ -183,7 +191,7 @@ object OperatorQueries extends QueryModule {
         PointInTime.join(facts, dim, Seq("o_custkey" -> "c_custkey"), col("eff_ts"))
           .groupBy(col("c_mktsegment"), col("is_current"))
           .agg(count(lit(1)).as("order_count"),
-            sum(col("o_totalprice")).cast(DecimalType(18, 2)).as("revenue"))
+            sum(col("o_totalprice")).cast(DoubleType).as("revenue"))
           .orderBy(col("c_mktsegment"), col("is_current"))
       },
       Some((scd2OracleCtes + """
@@ -208,7 +216,7 @@ object OperatorQueries extends QueryModule {
                  CAST(o_totalprice AS DECIMAL(12,2)) AS o_totalprice
           FROM orders)
         SELECT d.c_mktsegment, d.is_current, COUNT(*) AS order_count,
-               CAST(SUM(f.o_totalprice) AS DECIMAL(18,2)) AS revenue
+               CAST(SUM(f.o_totalprice) AS DOUBLE) AS revenue
         FROM facts f JOIN dim d
           ON f.o_custkey = d.c_custkey AND f.eff_ts >= d.valid_from AND f.eff_ts < d.valid_to
         GROUP BY d.c_mktsegment, d.is_current
@@ -278,12 +286,12 @@ object OperatorQueries extends QueryModule {
         li.join(o, li("l_orderkey") === o("o_orderkey"))
           .groupBy(col("o_custkey"))
           .agg(count(lit(1)).as("line_count"),
-            sum(dec(col("l_extendedprice"))).cast(DecimalType(18, 2)).as("gross"))
+            sum(dec(col("l_extendedprice"))).cast(DoubleType).as("gross"))
           .orderBy(col("o_custkey"))
       },
       Some("""
         SELECT o_custkey, COUNT(*) AS line_count,
-               CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS gross
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS gross
         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         GROUP BY o_custkey
         ORDER BY o_custkey
@@ -307,6 +315,7 @@ object OperatorQueries extends QueryModule {
         graft.operators.Cdc.applyChanges(target, changes, Seq("o_orderkey"),
             "op", Seq(col("ver").desc))
           .drop("ver")
+          .withColumn("price", col("price").cast(DoubleType))
           .orderBy(col("o_orderkey"))
       },
       Some("""
@@ -329,7 +338,8 @@ object OperatorQueries extends QueryModule {
           UNION ALL
           SELECT t.o_orderkey, t.o_orderstatus, t.price FROM target t
           WHERE NOT EXISTS (SELECT 1 FROM latest l WHERE l.o_orderkey = t.o_orderkey))
-        SELECT m.* FROM merged m
+        SELECT m.o_orderkey, m.o_orderstatus, CAST(m.price AS DOUBLE) AS price
+        FROM merged m
         WHERE NOT EXISTS (SELECT 1 FROM latest l
                           WHERE l.o_orderkey = m.o_orderkey AND l.op = 'D')
         ORDER BY o_orderkey
@@ -346,14 +356,14 @@ object OperatorQueries extends QueryModule {
         o.join(broadcast(dd), o("order_date_key") === dd("date_key"))
           .groupBy(col("year"), col("quarter"))
           .agg(count(lit(1)).as("order_count"),
-            sum(dec(col("o_totalprice"))).cast(DecimalType(18, 2)).as("revenue"))
+            sum(dec(col("o_totalprice"))).cast(DoubleType).as("revenue"))
           .orderBy(col("year"), col("quarter"))
       },
       Some("""
         SELECT CAST(year(o_orderdate) AS INT) AS year,
                CAST(quarter(o_orderdate) AS INT) AS quarter,
                COUNT(*) AS order_count,
-               CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS revenue
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue
         FROM orders
         GROUP BY 1, 2
         ORDER BY year, quarter

@@ -66,29 +66,46 @@ object SamplingQueries extends QueryModule {
         FROM b GROUP BY 1 ORDER BY split
       """.trim)),
 
-    // --- fuzzy matching (levenshtein ≤ 1 within a nation block). The
-    // blocked self-join is quadratic per block, so the query runs on a
-    // deterministic 1-in-4 key sample; at corpus scale you'd block harder
-    // (prefix bands / deletion neighborhoods) before edit distance. ---
+    // --- fuzzy matching (levenshtein ≤ 1 within a nation block) via
+    // DELETION-NEIGHBORHOOD blocking (FastSS): each name emits itself plus
+    // every single-character deletion as candidate keys; any two strings at
+    // edit distance ≤ 1 provably share a key (substitution → both drop the
+    // differing position; indel → the longer minus the inserted char IS the
+    // shorter). Candidates are generated on narrow (nation, key, id) rows,
+    // deduped, then names are attached and verified with real levenshtein —
+    // linear in n·len instead of quadratic per block, and LOSSLESS: the
+    // oracle is the naive all-pairs SQL on the FULL table, so a green hash
+    // also proves the blocking recall. ---
     GQuery(
       "q69_fuzzy_name_pairs",
       (spark, dir) => {
         val c = t(spark, dir, "customer")
-          .filter(col("c_custkey") % 4 === 0)
           .select(col("c_custkey"), col("c_nationkey"), col("c_name"))
-        val a = c.toDF("k1", "c_nationkey", "n1")
-        val b = c.toDF("k2", "c_nationkey", "n2")
-        a.join(b, Seq("c_nationkey"))
+        val n = col("c_name")
+        val delNeighborhood = concat(
+          array(n),
+          transform(sequence(lit(1), length(n)),
+            i => concat(n.substr(lit(1), i - lit(1)),
+              n.substr(i + lit(1), length(n)))))
+        val keys = c.select(col("c_custkey"), col("c_nationkey"),
+            explode(delNeighborhood).as("block_key"))
+        val cand = keys.select(col("c_nationkey"), col("block_key"), col("c_custkey").as("k1"))
+          .join(keys.select(col("c_nationkey"), col("block_key"), col("c_custkey").as("k2")),
+            Seq("c_nationkey", "block_key"))
           .filter(col("k1") < col("k2"))
+          .select(col("c_nationkey"), col("k1"), col("k2"))
+          .distinct()
+        cand
+          .join(c.select(col("c_custkey").as("k1"), col("c_name").as("n1")), Seq("k1"))
+          .join(c.select(col("c_custkey").as("k2"), col("c_name").as("n2")), Seq("k2"))
           .filter(levenshtein(col("n1"), col("n2")) <= 1)
           .groupBy(col("c_nationkey"))
           .agg(count(lit(1)).as("fuzzy_pairs"))
           .orderBy(col("c_nationkey"))
       },
       Some("""
-        WITH s AS (SELECT * FROM customer WHERE c_custkey % 4 = 0)
         SELECT a.c_nationkey, COUNT(*) AS fuzzy_pairs
-        FROM s a JOIN s b
+        FROM customer a JOIN customer b
           ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey
         WHERE levenshtein(a.c_name, b.c_name) <= 1
         GROUP BY a.c_nationkey ORDER BY a.c_nationkey
@@ -115,18 +132,38 @@ object SamplingQueries extends QueryModule {
         FROM orders WHERE o_orderkey % 100 = 0 ORDER BY o_orderkey
       """.trim)),
 
-    // --- sketches: HLL distinct + approximate percentiles (engine-internal
-    // estimates → rows-only check; error bounds asserted in SketchSpec) ---
+    // --- sketches: HLL distinct + approximate percentiles. The estimates
+    // are engine-internal, so the compared output is the ORACLE-COMPUTABLE
+    // part: exact values plus bound-check booleans (|approx−exact|/exact ≤
+    // bound, deterministic for fixed data). The DuckDB side computes the
+    // exact values and literal TRUEs; tighter bounds live in SketchSpec. ---
     GQuery(
       "q96_approx_sketches",
       (spark, dir) => {
         val o = t(spark, dir, "orders")
         o.groupBy(col("o_orderstatus"))
           .agg(
-            approx_count_distinct(col("o_custkey")).as("approx_customers"),
-            percentile_approx(col("o_totalprice"), lit(0.5), lit(1000)).as("median_price"))
+            countDistinct(col("o_custkey")).as("exact_customers"),
+            approx_count_distinct(col("o_custkey")).as("ac"),
+            expr("percentile(o_totalprice, 0.5)").as("exact_median"),
+            percentile_approx(col("o_totalprice"), lit(0.5), lit(1000)).as("mp"),
+            count(lit(1)).as("n"))
+          .select(col("o_orderstatus"), col("exact_customers"), col("exact_median"),
+            col("n"),
+            (abs(col("ac") - col("exact_customers")).cast(DoubleType)
+              / col("exact_customers") <= 0.1).as("hll_ok"),
+            (abs(col("mp") - col("exact_median")) / col("exact_median") <= 0.05)
+              .as("pctl_ok"))
           .orderBy(col("o_orderstatus"))
       },
-      oracle = None)
+      Some("""
+        SELECT o_orderstatus,
+               CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS exact_customers,
+               quantile_cont(o_totalprice, 0.5) AS exact_median,
+               COUNT(*) AS n,
+               TRUE AS hll_ok,
+               TRUE AS pctl_ok
+        FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+      """.trim))
   )
 }

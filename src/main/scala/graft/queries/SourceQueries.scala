@@ -40,11 +40,12 @@ object SourceQueries extends QueryModule {
           StructField("c_mktsegment", StringType)))
         spark.read.schema(schema)
           .option("sep", "|").option("header", "true").csv(path)
+          .withColumn("c_acctbal", col("c_acctbal").cast(DoubleType))
           .orderBy(col("c_custkey"))
       },
       Some("""
         SELECT c_custkey, c_name, c_nationkey,
-               CAST(c_acctbal AS DECIMAL(12,2)) AS c_acctbal, c_mktsegment
+               CAST(CAST(c_acctbal AS DECIMAL(12,2)) AS DOUBLE) AS c_acctbal, c_mktsegment
         FROM customer ORDER BY c_custkey
       """.trim),
       bench = false),
@@ -90,11 +91,12 @@ object SourceQueries extends QueryModule {
           StructField("s_nationkey", IntegerType), StructField("s_acctbal", DoubleType)))
         spark.read.schema(schema).json(s"$path/part-*.json")
           .select(col("s_suppkey"), col("s_name"), col("s_nationkey"),
-            dec(col("s_acctbal")).as("s_acctbal"))
+            dec(col("s_acctbal")).cast(DoubleType).as("s_acctbal"))
           .orderBy(col("s_suppkey"))
       },
       Some("""
-        SELECT s_suppkey, s_name, s_nationkey, CAST(s_acctbal AS DECIMAL(12,2)) AS s_acctbal
+        SELECT s_suppkey, s_name, s_nationkey,
+               CAST(CAST(s_acctbal AS DECIMAL(12,2)) AS DOUBLE) AS s_acctbal
         FROM supplier ORDER BY s_suppkey
       """.trim),
       bench = false),
@@ -106,11 +108,11 @@ object SourceQueries extends QueryModule {
         Tables.events(spark, dir)
           .filter(col("ts") > lit("2024-01-15 00:00:00").cast(TimestampType))
           .groupBy(col("event_type"))
-          .agg(count(lit(1)).as("n"), sum(dec(col("value"))).cast(DecimalType(18, 2)).as("total_value"))
+          .agg(count(lit(1)).as("n"), sum(dec(col("value"))).cast(DoubleType).as("total_value"))
           .orderBy(col("event_type")),
       Some("""
         SELECT event_type, COUNT(*) AS n,
-               CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS total_value
+               CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
         FROM events WHERE ts > TIMESTAMP '2024-01-15 00:00:00'
         GROUP BY event_type ORDER BY event_type
       """.trim)),
@@ -127,11 +129,11 @@ object SourceQueries extends QueryModule {
         spark.read.parquet(path)
           .filter(col("o_orderstatus") === "F")
           .groupBy(col("o_orderstatus"))
-          .agg(count(lit(1)).as("n"), sum(col("price")).cast(DecimalType(18, 2)).as("revenue"))
+          .agg(count(lit(1)).as("n"), sum(col("price")).cast(DoubleType).as("revenue"))
       },
       Some("""
         SELECT o_orderstatus, COUNT(*) AS n,
-               CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS revenue
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue
         FROM orders WHERE o_orderstatus = 'F' GROUP BY o_orderstatus
       """.trim),
       bench = false),

@@ -28,7 +28,7 @@ object StreamQueries extends QueryModule {
       (spark, dir) => {
         val ev = Streams.eventsStream(spark, dir)
         val agg = ev.groupBy(window(col("ts"), "1 hour"), col("event_type"))
-          .agg(count(lit(1)).as("n"), sum(dec(col("value"))).cast(DecimalType(18, 2)).as("total"))
+          .agg(count(lit(1)).as("n"), sum(dec(col("value"))).cast(DoubleType).as("total"))
         Streams.runToMemory(spark, agg, "complete")
           .select(unix_timestamp(col("window.start")).as("bucket_start"),
             col("event_type"), col("n"), col("total"))
@@ -37,7 +37,7 @@ object StreamQueries extends QueryModule {
       Some("""
         SELECT CAST(epoch(time_bucket(INTERVAL 1 HOUR, ts)) AS BIGINT) AS bucket_start,
                event_type, COUNT(*) AS n,
-               CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS total
+               CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total
         FROM events
         GROUP BY 1, 2
         ORDER BY bucket_start, event_type

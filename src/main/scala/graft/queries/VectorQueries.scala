@@ -58,7 +58,46 @@ object VectorQueries extends QueryModule {
             round(col("cosine"), 6).as("cosine_r"), col("rank"))
           .orderBy(col("query_id"), col("rank"))
       },
-      oracle = None),
+      // Full IVF mirror: the path is deterministic end-to-end (seed
+      // centroids = first 16 by vec_id, max-dot bucket assignment with
+      // centroid-id tiebreak, nProbe=4 probes, cosine re-rank) and every
+      // float fold has the exact same index-order shape as q70's.
+      Some("""
+        WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        cents AS (
+          SELECT vec_id AS centroid_id, e AS cv FROM v
+          QUALIFY row_number() OVER (ORDER BY vec_id) <= 16),
+        assigned AS (
+          SELECT v.vec_id AS neighbor_id, v.e AS dv, c.centroid_id AS bucket
+          FROM v CROSS JOIN cents c
+          QUALIFY row_number() OVER (PARTITION BY v.vec_id
+                    ORDER BY list_sum(list_transform(generate_series(1, 64),
+                               i -> v.e[i] * c.cv[i])) DESC,
+                             c.centroid_id) = 1),
+        q AS (SELECT vec_id AS query_id, e AS qv FROM v WHERE vec_id < 10),
+        probes AS (
+          SELECT query_id, qv, c.centroid_id AS bucket
+          FROM q CROSS JOIN cents c
+          QUALIFY row_number() OVER (PARTITION BY query_id
+                    ORDER BY list_sum(list_transform(generate_series(1, 64),
+                               i -> qv[i] * c.cv[i])) DESC,
+                             c.centroid_id) <= 4),
+        scored AS (
+          SELECT p.query_id, a.neighbor_id,
+                 list_sum(list_transform(generate_series(1, 64), i -> p.qv[i] * a.dv[i]))
+                   / (sqrt(list_sum(list_transform(generate_series(1, 64), i -> p.qv[i] * p.qv[i])))
+                      * sqrt(list_sum(list_transform(generate_series(1, 64), i -> a.dv[i] * a.dv[i])))) AS cosine
+          FROM probes p JOIN assigned a
+            ON p.bucket = a.bucket AND p.query_id <> a.neighbor_id),
+        ranked AS (
+          SELECT query_id, neighbor_id, cosine,
+                 CAST(row_number() OVER (PARTITION BY query_id
+                        ORDER BY cosine DESC, neighbor_id) AS INT) AS rank
+          FROM scored)
+        SELECT query_id, neighbor_id, round(cosine, 6) AS cosine_r, rank
+        FROM ranked WHERE rank <= 5
+        ORDER BY query_id, rank
+      """.trim)),
 
     // --- per-dimension corpus diagnostics (posexplode over the vector
     // column; means from exact decimal sums) ---

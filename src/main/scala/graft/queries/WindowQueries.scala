@@ -27,11 +27,12 @@ object WindowQueries extends QueryModule {
         o.withColumn("rn", row_number().over(w))
           .filter(col("rn") <= 3)
           .select(col("o_custkey"), col("o_orderkey"),
-            dec(col("o_totalprice")).as("total_price"), col("rn"))
+            dec(col("o_totalprice")).cast(DoubleType).as("total_price"), col("rn"))
           .orderBy(col("o_custkey"), col("rn"))
       },
       Some("""
-        SELECT o_custkey, o_orderkey, CAST(o_totalprice AS DECIMAL(12,2)) AS total_price,
+        SELECT o_custkey, o_orderkey,
+               CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE) AS total_price,
                CAST(row_number() OVER (PARTITION BY o_custkey
                                        ORDER BY o_totalprice DESC, o_orderkey) AS INT) AS rn
         FROM orders
@@ -67,7 +68,7 @@ object WindowQueries extends QueryModule {
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         o.select(col("o_custkey"), col("o_orderkey"),
             to_date(col("o_orderdate")).as("order_date"),
-            sum(dec(col("o_totalprice"))).over(w).cast(DecimalType(18, 2)).as("running_revenue"))
+            sum(dec(col("o_totalprice"))).over(w).cast(DoubleType).as("running_revenue"))
           .orderBy(col("o_custkey"), col("order_date"), col("o_orderkey"))
       },
       Some("""
@@ -75,7 +76,7 @@ object WindowQueries extends QueryModule {
                CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2)))
                     OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                    AS DECIMAL(18,2)) AS running_revenue
+                    AS DOUBLE) AS running_revenue
         FROM orders
         ORDER BY o_custkey, order_date, o_orderkey
       """.trim)),
@@ -112,12 +113,12 @@ object WindowQueries extends QueryModule {
         li.withColumn("rn", row_number().over(w))
           .filter(col("rn") === 1)
           .select(col("l_suppkey"), to_date(col("l_shipdate")).as("last_ship_date"),
-            dec(col("l_quantity")).as("last_quantity"))
+            dec(col("l_quantity")).cast(DoubleType).as("last_quantity"))
           .orderBy(col("l_suppkey"))
       },
       Some("""
         SELECT l_suppkey, CAST(l_shipdate AS DATE) AS last_ship_date,
-               CAST(l_quantity AS DECIMAL(12,2)) AS last_quantity
+               CAST(CAST(l_quantity AS DECIMAL(12,2)) AS DOUBLE) AS last_quantity
         FROM lineitem
         QUALIFY row_number() OVER (PARTITION BY l_suppkey
                  ORDER BY l_shipdate DESC, l_orderkey DESC, l_linenumber DESC) = 1
@@ -184,7 +185,7 @@ object WindowQueries extends QueryModule {
         val rev = o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
           .groupBy(col("c_nationkey"))
           .agg(sum(dec(col("o_totalprice"))).cast(DecimalType(18, 2)).as("revenue"))
-        rev.select(col("c_nationkey"), col("revenue"),
+        rev.select(col("c_nationkey"), col("revenue").cast(DoubleType).as("revenue"),
             rank().over(Window.orderBy(col("revenue").desc, col("c_nationkey"))).as("rev_rank"))
           .orderBy(col("rev_rank"))
       },
@@ -193,7 +194,7 @@ object WindowQueries extends QueryModule {
           SELECT c_nationkey, CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS revenue
           FROM orders JOIN customer ON o_custkey = c_custkey
           GROUP BY c_nationkey)
-        SELECT c_nationkey, revenue,
+        SELECT c_nationkey, CAST(revenue AS DOUBLE) AS revenue,
                CAST(rank() OVER (ORDER BY revenue DESC, c_nationkey) AS INT) AS rev_rank
         FROM rev
         ORDER BY rev_rank
