@@ -141,8 +141,11 @@ object Medallion {
   }
 
   /** SCD2 dimension load (initial or incremental) with surrogate-key
-    * assignment: `maxExistingKey + row_number` over (business key,
-    * valid_from) — contiguous "auto-increment" per SURVEY §2.6 W2.
+    * assignment: existing rows KEEP their surrogate key across loads (the
+    * reference's auto-increment contract — "unique keys even across multiple
+    * loads"; previously persisted fact rows must not dangle), and only newly
+    * inserted versions get `maxExistingKey + row_number` over (business key,
+    * valid_from).
     */
   def goldDimScd2(existing: Option[DataFrame], incoming: DataFrame, cfg: Table,
       loadTs: Column): DataFrame = {
@@ -153,16 +156,35 @@ object Medallion {
       businessKeys = Seq(bk),
       type2Cols = scd.type2Columns,
       type1Cols = scd.type1Columns.filter(n => incoming.columns.contains(n)),
-      sentinel = "9999-12-31 00:00:00")
-    val dim = existing match {
-      case None => Scd2.initialize(incoming, c, loadTs)
-      case Some(d) => Scd2.apply(d.drop(sk), incoming, c, loadTs)
+      sentinel = "9999-12-31 00:00:00",
+      hashColumns = Option(scd.hashColumns).filter(_.nonEmpty),
+      hashDelimiter = scd.hashDelimiter)
+    // Global windows below are over the DIMENSION, small by contract
+    // (SURVEY §2.7) — and only over NEW rows on incremental loads.
+    val ordered = Seq(col(bk), col(c.validFrom))
+    existing match {
+      case None =>
+        val init = Scd2.initialize(incoming, c, loadTs)
+        init.withColumn(sk, row_number().over(Window.orderBy(ordered: _*)).cast("long"))
+          .select((sk +: (c.payload ++ c.scdCols)).map(col): _*)
+      case Some(d) =>
+        val applied = Scd2.apply(d.drop(sk), incoming, c, loadTs)
+        // Kept/closed rows are identified by (business key, valid_from) —
+        // Scd2.apply never rewrites valid_from, so the pair is a stable
+        // identity for every pre-existing version.
+        val keys = d.select(col(bk).as("__sk_bk"), col(c.validFrom).as("__sk_vf"),
+          col(sk).as("__sk_old"))
+        val maxKey = d.agg(coalesce(max(col(sk)), lit(0L)).cast("long").as("__sk_max"))
+        val wNew = Window.partitionBy(col("__sk_old").isNull).orderBy(ordered: _*)
+        applied
+          .join(broadcast(keys),
+            col(bk) <=> col("__sk_bk") && col(c.validFrom) === col("__sk_vf"), "left")
+          .crossJoin(broadcast(maxKey))
+          .withColumn(sk,
+            coalesce(col("__sk_old"),
+              col("__sk_max") + row_number().over(wNew)).cast("long"))
+          .select((sk +: (c.payload ++ c.scdCols)).map(col): _*)
     }
-    // Deterministic surrogate keys over the whole rewritten dim (dims are
-    // small — SURVEY §2.7; at scale, key-assignment would be incremental).
-    val w = Window.orderBy(col(bk), col(c.validFrom))
-    dim.withColumn(sk, row_number().over(w).cast("long"))
-      .select((sk +: (c.payload ++ c.scdCols)).map(col): _*)
   }
 
   /** Fact build (EP3): resolve each declared dimension key per its
@@ -258,12 +280,15 @@ object Medallion {
           .filter(e => scala.util.Try(df.select(e).schema).isSuccess)
           .foreach(e => df = df.withColumn(c.name, e.cast(c.sparkType)))
       }
-    // Surrogate key for the fact itself, then declared columns.
+    // Surrogate key for the fact itself, then declared columns. Facts are
+    // NOT small-by-contract, so the key comes from the distributed
+    // rank-by-offset assignment (SurrogateKeys), never a global
+    // unpartitioned window.
     val sk = cfg.columns.find(_.isSurrogateKey)
     sk.foreach { k =>
       val pkOrder = cfg.columns.find(_.isBusinessKey).map(_.name)
         .filter(df.columns.contains).getOrElse(df.columns.head)
-      df = df.withColumn(k.name, row_number().over(Window.orderBy(col(pkOrder))).cast("long"))
+      df = graft.operators.SurrogateKeys.sequential(df, k.name, Seq(col(pkOrder)))
     }
     df.select(cfg.columns.filter(c => df.columns.contains(c.name))
       .map(c => col(c.name).cast(c.sparkType).as(c.name)): _*)

@@ -40,22 +40,28 @@ object Scd2 {
       validTo: String = "valid_to",
       isCurrent: String = "is_current",
       hashCol: String = "hash_diff",
-      sentinel: String = "9999-12-31 00:00:00") {
+      sentinel: String = "9999-12-31 00:00:00",
+      // `scd_config.hash_columns` / `hash_delimiter` from the reference
+      // config dialect (`gold_dim_customer_schema.json:158-187`); default =
+      // the type-2 columns joined by '|'.
+      hashColumns: Option[Seq[String]] = None,
+      hashDelimiter: String = "|") {
     def payload: Seq[String] = businessKeys ++ type2Cols ++ type1Cols
     def scdCols: Seq[String] = Seq(hashCol, validFrom, validTo, isCurrent)
+    def effectiveHashCols: Seq[String] = hashColumns.getOrElse(type2Cols)
   }
 
-  /** Null-safe MD5 over the type-2 columns, `|`-delimited
+  /** Null-safe MD5 over the configured hash columns, delimiter-joined
     * (`config/gold/schema/README.md:137-147`).
     */
-  def hashDiff(type2Cols: Seq[String]): Column =
-    md5(concat_ws("|", type2Cols.map(c => coalesce(col(c).cast("string"), lit(""))): _*))
+  def hashDiff(hashCols: Seq[String], delimiter: String = "|"): Column =
+    md5(concat_ws(delimiter, hashCols.map(c => coalesce(col(c).cast("string"), lit(""))): _*))
 
   /** First load: every incoming row becomes the first current version. */
   def initialize(incoming: DataFrame, cfg: Config, loadTs: Column): DataFrame =
     incoming
       .select(cfg.payload.map(col): _*)
-      .withColumn(cfg.hashCol, hashDiff(cfg.type2Cols))
+      .withColumn(cfg.hashCol, hashDiff(cfg.effectiveHashCols, cfg.hashDelimiter))
       .withColumn(cfg.validFrom, loadTs.cast("timestamp"))
       .withColumn(cfg.validTo, lit(cfg.sentinel).cast("timestamp"))
       .withColumn(cfg.isCurrent, lit(true))
@@ -67,18 +73,23 @@ object Scd2 {
     val bk = cfg.businessKeys
     val inc = incoming
       .select(cfg.payload.map(col): _*)
-      .withColumn(cfg.hashCol, hashDiff(cfg.type2Cols))
+      .withColumn(cfg.hashCol, hashDiff(cfg.effectiveHashCols, cfg.hashDelimiter))
 
     val d = dim.alias("d")
     val i = inc.alias("i")
     val bkCond = bk.map(k => col(s"d.$k") <=> col(s"i.$k")).reduce(_ && _)
     val joined = d.join(i, bkCond, "left")
 
-    // Type-1 columns take the incoming value when the key is in the batch.
+    // Type-1 columns take the incoming value when the key is in the batch —
+    // gated on batch MEMBERSHIP (hash non-null), not on the incoming value's
+    // null-ness, so a batch that legitimately sets a type-1 column to NULL
+    // still overwrites in place per the reference spec.
     def withType1(selectFrom: String): Seq[Column] =
       bk.map(k => col(s"d.$k")) ++
         cfg.type2Cols.map(c => col(s"$selectFrom.$c").as(c)) ++
-        cfg.type1Cols.map(c => coalesce(col(s"i.$c"), col(s"d.$c")).as(c))
+        cfg.type1Cols.map(c =>
+          when(col(s"i.${cfg.hashCol}").isNotNull, col(s"i.$c"))
+            .otherwise(col(s"d.$c")).as(c))
 
     val changed = col(s"i.${cfg.hashCol}").isNotNull &&
       col(s"i.${cfg.hashCol}") =!= col(s"d.${cfg.hashCol}")

@@ -1,0 +1,43 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.types.LongType
+
+/** Scalable sequential surrogate-key assignment (SURVEY §2.6 W2 at fact
+  * scale).
+  *
+  * The naive `row_number().over(Window.orderBy(...))` moves the ENTIRE table
+  * through one task — fine for a 25-row dimension, an OOM at 100 TB. This
+  * operator produces the same 1-based dense sequence with no single-task
+  * stage: a distributed range-partitioned sort (partition `p` holds a
+  * contiguous key range, rows ordered within it), then `zipWithIndex` adds
+  * the global position — one lightweight count job over the sorted shuffle
+  * output plus per-partition offsets, never a global single-partition pass.
+  *
+  * `zipWithIndex` (not a second DataFrame branch with per-partition counts)
+  * is deliberate: both its count job and its data pass read the SAME
+  * materialized shuffle, so the partition bounds — which range partitioning
+  * derives from sampling — are fixed once. Two independent plan branches
+  * would each sample their own bounds and could disagree on partition
+  * counts, corrupting the offsets.
+  *
+  * Deterministic as long as `order` is a total order (e.g. includes a unique
+  * business key): the assigned key equals the global rank by `order`
+  * regardless of where the range bounds fall.
+  */
+object SurrogateKeys {
+
+  /** Adds `keyCol` = `startAt` + global rank of the row under `order`. */
+  def sequential(df: DataFrame, keyCol: String, order: Seq[Column],
+      startAt: Long = 0L, numPartitions: Option[Int] = None): DataFrame = {
+    val spark = df.sparkSession
+    val parts = numPartitions.getOrElse(
+      spark.conf.get("spark.sql.shuffle.partitions", "200").toInt)
+    val sorted = df.repartitionByRange(parts, order: _*).sortWithinPartitions(order: _*)
+    val schema = sorted.schema.add(keyCol, LongType, nullable = false)
+    val keyed = sorted.rdd.zipWithIndex().map { case (row, idx) =>
+      Row.fromSeq(row.toSeq :+ (startAt + idx + 1L))
+    }
+    spark.createDataFrame(keyed, schema)
+  }
+}

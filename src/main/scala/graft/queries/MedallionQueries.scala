@@ -177,22 +177,23 @@ object MedallionQueries extends QueryModule {
           SELECT *, md5(concat_ws('|', coalesce(CAST(c_mktsegment AS VARCHAR),''),
                                        coalesce(CAST(c_acctbal AS VARCHAR),''))) AS hash_diff
           FROM batch),
-        dim AS (
+        keyed AS (
+          -- Stable surrogate keys: v1 rows keep their initial-load key
+          -- (rank by business key) across the incremental load; only the
+          -- new 2024-06-01 versions get max-existing + rank.
           SELECT o.c_custkey,
-                 TIMESTAMP '2020-01-01 00:00:00' AS valid_from,
                  CASE WHEN n.hash_diff IS NOT NULL AND n.hash_diff <> o.hash_diff
                       THEN TIMESTAMP '2024-06-01 00:00:00'
-                      ELSE TIMESTAMP '9999-12-31 00:00:00' END AS valid_to
+                      ELSE TIMESTAMP '9999-12-31 00:00:00' END AS valid_to,
+                 TIMESTAMP '0001-01-01 00:00:00' AS valid_from_eff,
+                 row_number() OVER (ORDER BY o.c_custkey) AS customer_key
           FROM old o LEFT JOIN new n USING (c_custkey)
           UNION ALL
-          SELECT c_custkey, TIMESTAMP '2024-06-01 00:00:00', TIMESTAMP '9999-12-31 00:00:00'
+          SELECT n.c_custkey,
+                 TIMESTAMP '9999-12-31 00:00:00',
+                 TIMESTAMP '2024-06-01 00:00:00',
+                 (SELECT COUNT(*) FROM old) + row_number() OVER (ORDER BY n.c_custkey)
           FROM new n JOIN old o USING (c_custkey) WHERE n.hash_diff <> o.hash_diff),
-        keyed AS (
-          SELECT c_custkey, valid_to,
-                 CASE WHEN valid_from = min(valid_from) OVER (PARTITION BY c_custkey)
-                      THEN TIMESTAMP '0001-01-01 00:00:00' ELSE valid_from END AS valid_from_eff,
-                 row_number() OVER (ORDER BY c_custkey, valid_from) AS customer_key
-          FROM dim),
         facts AS (
           SELECT o_orderkey, o_custkey, o_orderdate + INTERVAL 28 YEAR AS eff_ts,
                  CAST(o_totalprice AS DECIMAL(12,2)) AS o_totalprice

@@ -1,0 +1,50 @@
+package graft.operators
+
+import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+class SurrogateKeysSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("sequential equals global row_number over the same order") {
+    // Unique, shuffled business keys (multiplication by a unit mod a prime
+    // is a bijection), so the order is total and the expected rank exact.
+    val df = spark.range(0, 10000)
+      .select(((col("id") * 7919) % 10007).as("bk"), col("id").as("payload"))
+    val keyed = SurrogateKeys.sequential(df, "sk", Seq(col("bk")), numPartitions = Some(8))
+    val expected = df.withColumn("exp", row_number().over(Window.orderBy(col("bk"))).cast("long"))
+    assert(keyed.count() == 10000)
+    assert(keyed.join(expected, Seq("bk")).filter(col("sk") =!= col("exp")).count() == 0)
+  }
+
+  test("startAt offsets the sequence") {
+    val df = spark.range(0, 100).select(col("id").as("bk"))
+    val keyed = SurrogateKeys.sequential(df, "sk", Seq(col("bk")), startAt = 500L)
+    val mm = keyed.agg(min("sk"), max("sk")).head()
+    assert(mm.getLong(0) == 501 && mm.getLong(1) == 600)
+  }
+
+  test("no global window appears anywhere in the assignment plan") {
+    val df = spark.range(0, 10000).select(col("id").as("bk"))
+    val keyed = SurrogateKeys.sequential(df, "sk", Seq(col("bk")))
+    val windows = keyed.queryExecution.optimizedPlan.collect { case w: LWindow => w }
+    assert(windows.isEmpty, s"unexpected window in surrogate-key plan")
+  }
+
+  test("keys stay consistent when the input's task order is not deterministic") {
+    // A join output has no stable row order across recomputations — the
+    // regression this guards: two independent plan branches sampling their
+    // own range bounds and disagreeing on partition offsets.
+    val a = spark.range(0, 5000).select(((col("id") * 4409) % 5003).as("bk"))
+    val b = spark.range(0, 5000).select(((col("id") * 2111) % 5003).as("k2"))
+    val joined = a.join(b, col("bk") === col("k2")).drop("k2").repartition(16)
+    val keyed = SurrogateKeys.sequential(joined, "sk", Seq(col("bk")), numPartitions = Some(8))
+    val expected = joined.withColumn("exp",
+      row_number().over(Window.orderBy(col("bk"))).cast("long"))
+    assert(keyed.join(expected, Seq("bk")).filter(col("sk") =!= col("exp")).count() == 0)
+  }
+}
