@@ -92,6 +92,7 @@ object Similarity {
   def kmeansRefine(corpus: DataFrame, centroids: DataFrame, idCol: String,
       vecCol: String, dim: Int, iterations: Int): DataFrame = {
     var cents = centroids
+    val persisted = scala.collection.mutable.Buffer.empty[DataFrame]
     (0 until iterations).foreach { _ =>
       val assigned = ivfAssign(corpus, cents, idCol, vecCol, dim)
       cents = assigned
@@ -101,8 +102,85 @@ object Similarity {
         .agg(array_sort(collect_list(struct(col("pos"), col("v")))).as("pv"))
         .select(col("bucket").as("centroid_id"),
           transform(col("pv"), s => s.getField("v")).as("cv"))
+        // Materialize each Lloyd iteration: without this the plan re-derives
+        // the WHOLE iteration lineage per step (exponential plan growth);
+        // centroids are m tiny rows, so the cache cost is nil.
+        .persist()
+      persisted += cents
+    }
+    if (persisted.nonEmpty) {
+      cents.count() // force the chain once so earlier iterations can unpin
+      persisted.dropRight(1).foreach(_.unpersist(blocking = false))
     }
     cents
+  }
+
+  /** Random-projection (sign-bit) LSH bands for cosine similarity — the
+    * scale path for near-duplicate detection over embeddings (replaces
+    * any label/metadata-blocked all-pairs join, which is quadratic within
+    * a block as the corpus grows).
+    *
+    * `numBits` fixed Rademacher (±1) hyperplanes are generated driver-side
+    * from `seed` (deterministic across runs and engines); bit b of a
+    * vector's signature is the sign of its projection onto plane b. The
+    * signature is split into `numBands` keys of `numBits/numBands` bits:
+    * vectors at cosine ≥ t agree on each bit with probability
+    * 1 − arccos(t)/π (≈0.955 at t=0.99), so near-dups share ≥1 band with
+    * probability ~1 − (1 − p^rows)^bands (≈0.9999 for 8×8), while far
+    * pairs (cluster-mates at cos≈0.45, p≈0.65) rarely collide — candidate
+    * generation is a hash join on the band key, never O(n²). EXACT copies
+    * share every band, so recall on planted duplicates is 1.0.
+    *
+    * Returns (idCol, band, band_key) — compose with a self-join on
+    * (band, band_key) + distinct for candidate pairs, then verify with
+    * [[cosinePrenormed]].
+    */
+  def rpLshBands(vectors: DataFrame, idCol: String, vecCol: Column, dim: Int,
+      numBits: Int = 64, numBands: Int = 8, seed: Long = 42L): DataFrame = {
+    require(numBits % numBands == 0, "numBits must divide into numBands")
+    val rowsPerBand = numBits / numBands
+    val rnd = new scala.util.Random(seed)
+    val planes: Seq[Seq[Double]] =
+      Seq.fill(numBits)(Seq.fill(dim)(if (rnd.nextBoolean()) 1.0 else -1.0))
+    // One pass: project onto every plane via zip_with/aggregate (array-sized
+    // expression, not numBits*dim scalar terms — keeps codegen bounded).
+    val planesCol = typedLit(planes)
+    val sig = transform(planesCol, p =>
+      when(aggregate(zip_with(vecCol, p, (x, y) => x * y),
+        lit(0.0), (acc, x) => acc + x) >= 0, lit(1)).otherwise(lit(0)))
+    val withSig = vectors.withColumn("__rp_sig", sig)
+    val bandKeys = (0 until numBands).map { b =>
+      concat_ws("",
+        (0 until rowsPerBand).map(r =>
+          element_at(col("__rp_sig"), b * rowsPerBand + r + 1).cast("string")): _*)
+    }
+    withSig.select(col(idCol), posexplode(array(bandKeys: _*)).as(Seq("band", "band_key")))
+  }
+
+  /** Candidate pairs (id1 < id2) sharing ≥1 RP-LSH band — narrow id rows
+    * only; attach vectors after the distinct. `maxBucket` drops degenerate
+    * buckets whole (see [[TextDedup.lshCandidates]] for the rationale).
+    */
+  def rpLshCandidates(bands: DataFrame, idCol: String,
+      maxBucket: Option[Int] = None): DataFrame = {
+    val pruned = maxBucket match {
+      case Some(cap) =>
+        val ok = bands.groupBy(col("band"), col("band_key"))
+          .agg(count(lit(1)).as("__bucket_width"))
+          .filter(col("__bucket_width") <= cap)
+          .drop("__bucket_width")
+        bands.join(ok, Seq("band", "band_key"))
+      case None => bands
+    }
+    // explicit column order — the cap join moves the join keys first, and
+    // toDF renames positionally
+    val narrow = pruned.select(col(s"$idCol"), col("band"), col("band_key"))
+    val a = narrow.toDF(s"${idCol}_1", "band", "band_key")
+    val b = narrow.toDF(s"${idCol}_2", "band", "band_key")
+    a.join(b, Seq("band", "band_key"))
+      .filter(col(s"${idCol}_1") < col(s"${idCol}_2"))
+      .select(col(s"${idCol}_1"), col(s"${idCol}_2"))
+      .distinct()
   }
 
   /** IVF search: probe the `nProbe` nearest buckets per query, brute-force

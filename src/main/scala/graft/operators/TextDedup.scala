@@ -77,10 +77,32 @@ object TextDedup {
     df.select(col(idCol), posexplode(array(bandKeys: _*)).as(Seq("band", "band_key")))
   }
 
-  /** Candidate pairs (id1 < id2) sharing ≥1 LSH band. */
-  def lshCandidates(bands: DataFrame, idCol: String): DataFrame = {
-    val a = bands.toDF(s"${idCol}_1", "band", "band_key")
-    val b = bands.toDF(s"${idCol}_2", "band", "band_key")
+  /** Candidate pairs (id1 < id2) sharing ≥1 LSH band.
+    *
+    * `maxBucket` caps the width of a single (band, band_key) bucket: a
+    * degenerate key (e.g. every near-empty doc minhashing identically)
+    * would otherwise contribute O(width²) pairs from one bucket. Buckets
+    * over the cap are non-discriminative and are dropped whole — their
+    * members still pair through their other, selective bands. The filter
+    * is a count aggregate joined back on the same key the self-join uses,
+    * so the pruning reuses the bucket partitioning.
+    */
+  def lshCandidates(bands: DataFrame, idCol: String,
+      maxBucket: Option[Int] = None): DataFrame = {
+    val pruned = maxBucket match {
+      case Some(cap) =>
+        val ok = bands.groupBy(col("band"), col("band_key"))
+          .agg(count(lit(1)).as("__bucket_width"))
+          .filter(col("__bucket_width") <= cap)
+          .drop("__bucket_width")
+        bands.join(ok, Seq("band", "band_key"))
+      case None => bands
+    }
+    // explicit column order — the cap join moves the join keys first, and
+    // toDF renames positionally
+    val narrow = pruned.select(col(s"$idCol"), col("band"), col("band_key"))
+    val a = narrow.toDF(s"${idCol}_1", "band", "band_key")
+    val b = narrow.toDF(s"${idCol}_2", "band", "band_key")
     a.join(b, Seq("band", "band_key"))
       .filter(col(s"${idCol}_1") < col(s"${idCol}_2"))
       .select(col(s"${idCol}_1"), col(s"${idCol}_2"))

@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -187,7 +187,7 @@ object TextQueries extends QueryModule {
         // shingle+hash lineage.
         val bands = TextDedup.lshBands(sigs, "doc_id", col("sig"),
           numBands = 4, rowsPerBand = 2).persist()
-        TextDedup.lshCandidates(bands, "doc_id")
+        TextDedup.lshCandidates(bands, "doc_id", maxBucket = Some(100))
           .orderBy(col("doc_id_1"), col("doc_id_2"))
       },
       Some((dupSqlCtes + """
@@ -213,11 +213,72 @@ object TextQueries extends QueryModule {
           SELECT doc_id, 0 AS band, md5(concat_ws('|', h0, h1)) AS band_key FROM sig
           UNION ALL SELECT doc_id, 1, md5(concat_ws('|', h2, h3)) FROM sig
           UNION ALL SELECT doc_id, 2, md5(concat_ws('|', h4, h5)) FROM sig
-          UNION ALL SELECT doc_id, 3, md5(concat_ws('|', h6, h7)) FROM sig)
+          UNION ALL SELECT doc_id, 3, md5(concat_ws('|', h6, h7)) FROM sig),
+        capped AS (
+          SELECT doc_id, band, band_key FROM bands
+          QUALIFY COUNT(*) OVER (PARTITION BY band, band_key) <= 100)
         SELECT DISTINCT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2
-        FROM bands a JOIN bands b
+        FROM capped a JOIN capped b
           ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
         ORDER BY doc_id_1, doc_id_2
-      """).trim))
+      """).trim)),
+
+    // --- SimHash on planted duplicates. The 64-bit signatures are
+    // xxhash64-internal (not DuckDB-replicable), but their BEHAVIOR on the
+    // planted corpus is deterministic and oracle-able, q96-style: exact
+    // copies have identical token multisets, hence identical bit votes,
+    // hamming 0 and all four 16-bit chunks equal BY CONSTRUCTION; truncated
+    // mutants move each bit-vote sum by at most 2×(tokens removed), so
+    // their hamming stays well under the 16 bound. The oracle computes the
+    // planted-pair counts and literal TRUEs. ---
+    GQuery(
+      "q97_simhash_planted",
+      (spark, dir) => {
+        val d = t(spark, dir, "documents").select(col("doc_id"), col("text"))
+        val toks = TextAnalysis.tokens(col("text"))
+        val copies = d.filter(col("doc_id") % 10 === 0)
+          .withColumn("doc_id", col("doc_id") + 100000)
+        val mutants = d.filter(col("doc_id") % 10 === 5)
+          .withColumn("text", concat_ws(" ", slice(toks, lit(1), size(toks) - 2)))
+          .withColumn("doc_id", col("doc_id") + 200000)
+        val corpus = d.unionByName(copies).unionByName(mutants)
+        val sh = TextDedup.simhash(corpus, "doc_id", "text")
+        val base = sh.toDF("id_a", "sim_a").filter(col("id_a") < 100000)
+        val derived = sh.toDF("id_b", "sim_b")
+        def chunk(c: Column, k: Int): Column =
+          shiftright(c, k * 16).bitwiseAND(lit(0xFFFFL))
+        val bandsShared = (0 until 4)
+          .map(k => when(chunk(col("sim_a"), k) === chunk(col("sim_b"), k), 1).otherwise(0))
+          .reduce(_ + _)
+        base.join(derived,
+            col("id_b") === col("id_a") + 100000 || col("id_b") === col("id_a") + 200000)
+          .withColumn("kind",
+            when(col("id_b") < 200000, "exact_copy").otherwise("mutant"))
+          .withColumn("d", TextDedup.hamming(col("sim_a"), col("sim_b")))
+          .withColumn("bands", bandsShared)
+          .groupBy(col("kind"))
+          .agg(
+            count(lit(1)).as("pairs"),
+            // copies: hamming 0 by construction; mutants: observed max 13
+            // at sf0.01 (removing 2 tokens shifts each bit vote by ≤2)
+            min(when(col("kind") === "exact_copy", col("d") === 0)
+              .otherwise(col("d") <= 16)).as("all_within_bound"),
+            // copies share all 4 chunks by construction; for mutants chunk
+            // recall is distribution-level (a pair CAN flip a bit in every
+            // chunk) — observed ≥0.86 across SFs, gated at 0.8
+            when(max(col("kind")) === "exact_copy", min(col("bands") === 4))
+              .otherwise(avg((col("bands") >= 1).cast("int")) >= 0.8)
+              .as("chunk_recall_ok"))
+          .orderBy(col("kind"))
+      },
+      Some("""
+        SELECT 'exact_copy' AS kind, COUNT(*) AS pairs,
+               TRUE AS all_within_bound, TRUE AS chunk_recall_ok
+        FROM documents WHERE doc_id % 10 = 0
+        UNION ALL
+        SELECT 'mutant', COUNT(*), TRUE, TRUE
+        FROM documents WHERE doc_id % 10 = 5
+        ORDER BY kind
+      """.trim))
   )
 }

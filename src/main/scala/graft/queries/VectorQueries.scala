@@ -129,25 +129,32 @@ object VectorQueries extends QueryModule {
 
     // --- embedding-cosine near-duplicate pairs (threshold, not top-k).
     // Real intra-label cosines top out ~0.45, so near-dups are PLANTED
-    // (exact copies re-keyed +10000) like the text-dedup fixtures. ---
+    // (exact copies re-keyed +10000) like the text-dedup fixtures.
+    // Candidate generation is RANDOM-PROJECTION LSH (sign-bit bands), not a
+    // label-blocked all-pairs join — the bucketed plan is the 100 TB path.
+    // The oracle is the UNBLOCKED naive all-pairs scan, so a green hash also
+    // proves the LSH recall at this threshold (exact copies share every
+    // band deterministically). ---
     GQuery(
       "q72_cosine_near_dups",
       (spark, dir) => {
         val e0 = t(spark, dir, "embeddings")
         val e = e0.unionByName(e0.filter(col("vec_id") % 25 === 0)
           .withColumn("vec_id", col("vec_id") + 10000))
-        val a = e.select(col("vec_id").as("vec_id_1"),
-          Similarity.asDouble(col("embedding")).as("e1"), col("label").as("label_1"))
+        val v = e.select(col("vec_id"), Similarity.asDouble(col("embedding")).as("ev"),
+          col("label"))
+        val bands = Similarity.rpLshBands(v, "vec_id", col("ev"), Dim)
+        val cand = Similarity.rpLshCandidates(bands, "vec_id")
+        val s1 = v.select(col("vec_id").as("vec_id_1"), col("ev").as("e1"),
+          col("label").as("label"))
           .withColumn("n1", Similarity.norm(col("e1"), Dim))
-        val b = e.select(col("vec_id").as("vec_id_2"),
-          Similarity.asDouble(col("embedding")).as("e2"), col("label").as("label_2"))
+        val s2 = v.select(col("vec_id").as("vec_id_2"), col("ev").as("e2"))
           .withColumn("n2", Similarity.norm(col("e2"), Dim))
-        // Block on label (embeddings cluster by label) to avoid O(n²).
-        a.join(b, col("label_1") === col("label_2") && col("vec_id_1") < col("vec_id_2"))
+        cand.join(s1, Seq("vec_id_1")).join(s2, Seq("vec_id_2"))
           .withColumn("cosine",
             Similarity.cosinePrenormed(col("e1"), col("e2"), col("n1"), col("n2"), Dim))
           .filter(col("cosine") >= 0.99)
-          .select(col("vec_id_1"), col("vec_id_2"), col("label_1").as("label"),
+          .select(col("vec_id_1"), col("vec_id_2"), col("label"),
             round(col("cosine"), 6).as("cosine_r"))
           .orderBy(col("vec_id_1"), col("vec_id_2"))
       },
@@ -162,7 +169,7 @@ object VectorQueries extends QueryModule {
                  list_sum(list_transform(generate_series(1, 64), i -> a.e[i] * b.e[i]))
                    / (sqrt(list_sum(list_transform(generate_series(1, 64), i -> a.e[i] * a.e[i])))
                       * sqrt(list_sum(list_transform(generate_series(1, 64), i -> b.e[i] * b.e[i])))) AS cosine
-          FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id)
+          FROM v a JOIN v b ON a.vec_id < b.vec_id)
         SELECT vec_id_1, vec_id_2, label, round(cosine, 6) AS cosine_r
         FROM pairs WHERE cosine >= 0.99
         ORDER BY vec_id_1, vec_id_2

@@ -84,6 +84,25 @@ class TextDedupSpec extends AnyFunSuite {
     assert(recall >= 0.8, s"refined-centroid recall $recall")
   }
 
+  test("RP-LSH: planted exact copies are always candidates; cluster-mates rarely are") {
+    val e0 = spark.read.parquet(s"${TestSpark.SfDir}/embeddings.parquet")
+    val e = e0.unionByName(e0.filter(col("vec_id") % 25 === 0)
+      .withColumn("vec_id", col("vec_id") + 10000))
+    val v = e.select(col("vec_id"), Similarity.asDouble(col("embedding")).as("ev"))
+    val bands = Similarity.rpLshBands(v, "vec_id", col("ev"), 64)
+    val cands = Similarity.rpLshCandidates(bands, "vec_id")
+    val candSet = cands.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val planted = e.filter(col("vec_id") >= 10000)
+      .select((col("vec_id") - 10000).as("a"), col("vec_id").as("b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // exact copies share every band → recall 1.0 by construction
+    assert(planted.forall(candSet.contains), "a planted exact copy missed the candidate set")
+    // the candidate set must stay far from all-pairs (that's the point)
+    val nVecs = v.count()
+    assert(candSet.size < nVecs * nVecs / 20,
+      s"${candSet.size} candidates for $nVecs vectors — bucketing is degenerate")
+  }
+
   test("media frame-sample and resize stubs are deterministic and bounded") {
     import graft.multimodal.Media
     val payload = Array.tabulate[Byte](1000)(_.toByte)
