@@ -56,7 +56,18 @@ object TableConfig {
 
   final case class DateRange(startDate: String, endDate: String)
 
-  final case class Measure(name: String, aggregation: String)
+  final case class Measure(name: String, aggregation: String,
+      aggregationNote: Option[String] = None) {
+    /** The reference flags semi-additivity in prose
+      * (`gold_fact_inventory_schema.json`: "Can sum across products, use
+      * AVG/LAST for time dimension") — a measure whose note mentions the
+      * time dimension must NOT be summed when collapsing time.
+      */
+    def semiAdditiveOverTime: Boolean =
+      aggregationNote.exists(n =>
+        n.toUpperCase.contains("TIME DIMENSION") &&
+          (n.toUpperCase.contains("LAST") || n.toUpperCase.contains("AVG")))
+  }
 
   final case class Table(
       tableName: String,
@@ -192,7 +203,11 @@ object TableConfig {
     }
     val ms = (j \ "measures") match {
       case JArray(xs) => xs.map(m => Measure(
-        (m \ "name").extract[String], (m \ "aggregation").extract[String]))
+        (m \ "name").extract[String], (m \ "aggregation").extract[String],
+        (m \ "aggregation_note") match {
+          case JString(s) => Some(s)
+          case _ => None
+        }))
       case _ => Nil
     }
     Table(

@@ -187,6 +187,44 @@ object Medallion {
     }
   }
 
+  /** Measure-metadata-driven aggregation: `summarize(fact, dims)` respects
+    * each declared measure's additivity (`gold_fact_inventory_schema.json:
+    * 61,134`): fully additive measures aggregate with their declared
+    * function over all rows; SEMI-additive measures (note: "use AVG/LAST
+    * for time dimension") are first reduced to the LAST row per
+    * `entityKeys` by `timeOrder` (the A4 machinery) and only then
+    * aggregated across entities — so collapsing the time dimension never
+    * sums a stock level over snapshots.
+    *
+    * Scale: one keep-latest window per entity + two hash aggregates joined
+    * on the (low-cardinality) dims.
+    */
+  def summarize(fact: DataFrame, cfg: Table, dims: Seq[String],
+      entityKeys: Seq[String] = Nil, timeOrder: Seq[Column] = Nil): DataFrame = {
+    val measures = cfg.measures.filter(m => fact.columns.contains(m.name))
+    require(measures.nonEmpty, s"${cfg.tableName}: no declared measures present in the frame")
+    def aggOf(m: TableConfig.Measure): Column = (m.aggregation.toUpperCase match {
+      case "SUM"   => sum(col(m.name))
+      case "AVG"   => avg(col(m.name))
+      case "MIN"   => min(col(m.name))
+      case "MAX"   => max(col(m.name))
+      case "COUNT" => count(col(m.name))
+      case other   => sys.error(s"${cfg.tableName}.${m.name}: unsupported aggregation $other")
+    }).as(m.name)
+    val collapseTime = timeOrder.nonEmpty && entityKeys.nonEmpty
+    val (semi, additive) = measures.partition(m => collapseTime && m.semiAdditiveOverTime)
+    val parts = Seq(
+      if (additive.nonEmpty)
+        Some(fact.groupBy(dims.map(col): _*).agg(aggOf(additive.head), additive.tail.map(aggOf): _*))
+      else None,
+      if (semi.nonEmpty) {
+        val latest = Dedup.keepLatest(fact, entityKeys, timeOrder)
+        Some(latest.groupBy(dims.map(col): _*).agg(aggOf(semi.head), semi.tail.map(aggOf): _*))
+      } else None
+    ).flatten
+    parts.reduce((a, b) => a.join(b, dims, "full_outer"))
+  }
+
   /** Fact build (EP3): resolve each declared dimension key per its
     * `references` join type, then apply calculated measures, then select
     * declared columns.

@@ -156,4 +156,50 @@ object DataQuality {
       .agg(sum(col("m.v")).as("violation_count"), count(lit(1)).as("row_count"))
     Result(valid, errors, metrics)
   }
+
+  private def columnsOf(r: Rule): Seq[String] = r match {
+    case NullCheck(cs, _, _)           => cs
+    case UniquenessCheck(ks, _, _)     => ks
+    case SetConstraint(c, _, _, _)     => Seq(c)
+    case RangeConstraint(c, _, _, _, _) => Seq(c)
+    case FormatValidation(c, _, _, _)  => Seq(c)
+    case ri: RefIntegrity              => ri.columns
+  }
+
+  /** The `silver_dq_errors` error-table shape
+    * (`config/silver/schema/README.md:296-298`): one row per (failed row,
+    * violated rule) with table, column(s), rule, failed value, timestamp,
+    * plus `run_date` for partitioning. Input is [[Result]].errors; original
+    * columns pass through so failed rows remain reprocessable. The failed
+    * value is the rule's columns as a JSON object of strings (cross-engine
+    * stable rendering).
+    */
+  def errorTable(errors: DataFrame, rules: Seq[Rule], tableName: String,
+      runTs: Column = current_timestamp()): DataFrame = {
+    val exploded = errors.withColumn("rule_name",
+      explode(split(col("failed_rules"), ",")))
+    def perRule(f: Rule => Column): Column =
+      coalesce(rules.map(r => when(col("rule_name") === r.name, f(r))): _*)
+    exploded
+      .withColumn("table_name", lit(tableName))
+      .withColumn("severity", perRule(r => lit(r.severity)))
+      .withColumn("error_column", perRule(r => lit(columnsOf(r).mkString(","))))
+      .withColumn("failed_value", perRule(r =>
+        to_json(struct(columnsOf(r).map(c => col(c).cast("string").as(c)): _*))))
+      .withColumn("error_timestamp", runTs.cast("timestamp"))
+      .withColumn("run_date", to_date(runTs))
+      .drop("failed_rules")
+  }
+
+  /** Append-only, `run_date`-partitioned persistence of [[errorTable]] —
+    * the operating posture the reference prescribes (log failures, continue
+    * processing valid records). Returns the written frame for inspection.
+    */
+  def writeErrors(errors: DataFrame, rules: Seq[Rule], path: String,
+      tableName: String, runTs: Column = current_timestamp()): DataFrame = {
+    val et = errorTable(errors, rules, tableName, runTs)
+    et.write.mode(org.apache.spark.sql.SaveMode.Append)
+      .partitionBy("run_date").parquet(path)
+    et
+  }
 }

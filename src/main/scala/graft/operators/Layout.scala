@@ -47,4 +47,17 @@ object Layout {
     df.repartitionByRange(numFiles, sortCols: _*)
       .sortWithinPartitions(sortCols: _*)
       .write.mode(SaveMode.Overwrite).parquet(path)
+
+  /** Table-statistics maintenance (`config/gold/schema/README.md:391`:
+    * `ANALYZE TABLE ... COMPUTE STATISTICS` after each load): refresh
+    * table-level stats — and per-column min/max/ndv histogram inputs when
+    * `columns` are given — so Catalyst's CBO picks broadcast/join orders
+    * from real sizes. Runs against any registered table or view name.
+    */
+  def analyzeTable(spark: org.apache.spark.sql.SparkSession, table: String,
+      columns: Seq[String] = Nil): Unit = {
+    val base = s"ANALYZE TABLE $table COMPUTE STATISTICS"
+    if (columns.isEmpty) spark.sql(base)
+    else spark.sql(base + s" FOR COLUMNS ${columns.mkString(", ")}")
+  }
 }

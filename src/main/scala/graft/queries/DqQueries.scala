@@ -135,6 +135,44 @@ object DqQueries extends QueryModule {
         SELECT 'pk_unique' AS rule_name, 'critical' AS severity,
                CAST(SUM(CAST(dup AS BIGINT)) AS BIGINT) AS violation_count, COUNT(*) AS row_count
         FROM f
+      """.trim)),
+
+    // --- Q7 operating posture: the persistent `silver_dq_errors` table
+    // shape — one row per (failed row, violated rule) with run metadata
+    // (`config/silver/schema/README.md:296-298`). runTs is injected so the
+    // audit timestamp is deterministic under the gate. ---
+    GQuery(
+      "q24_dq_error_table",
+      (spark, dir) => {
+        val o = t(spark, dir, "orders")
+        val rules: Seq[Rule] = Seq(
+          SetConstraint("o_orderstatus", Seq("O", "F"), "status_known", "warning"),
+          FormatValidation("o_orderpriority", "^[1-3]-", "priority_format", "warning"))
+        val res = DataQuality.validate(o, rules)
+        DataQuality.errorTable(res.errors, rules, "silver_sf_orders",
+            lit("2025-01-01 00:00:00"))
+          .select(col("o_orderkey"), col("table_name"), col("rule_name"),
+            col("severity"), col("error_column"), col("failed_value"),
+            col("run_date"))
+          .orderBy(col("o_orderkey"), col("rule_name"))
+      },
+      Some("""
+        WITH e1 AS (
+          SELECT o_orderkey, 'status_known' AS rule_name, 'warning' AS severity,
+                 'o_orderstatus' AS error_column,
+                 to_json(struct_pack(o_orderstatus := CAST(o_orderstatus AS VARCHAR))) AS failed_value
+          FROM orders
+          WHERE o_orderstatus IS NOT NULL AND o_orderstatus NOT IN ('O', 'F')),
+        e2 AS (
+          SELECT o_orderkey, 'priority_format', 'warning', 'o_orderpriority',
+                 to_json(struct_pack(o_orderpriority := CAST(o_orderpriority AS VARCHAR)))
+          FROM orders
+          WHERE o_orderpriority IS NOT NULL
+            AND NOT regexp_matches(o_orderpriority, '^[1-3]-'))
+        SELECT o_orderkey, 'silver_sf_orders' AS table_name, rule_name, severity,
+               error_column, failed_value, DATE '2025-01-01' AS run_date
+        FROM (SELECT * FROM e1 UNION ALL SELECT * FROM e2)
+        ORDER BY o_orderkey, rule_name
       """.trim))
   )
 }

@@ -278,6 +278,55 @@ object MedallionQueries extends QueryModule {
         FROM orders
         GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
         ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
+      """.trim)),
+
+    // --- measure-metadata-driven aggregation: declared additivity decides
+    // the plan. `qty` is flagged semi-additive over time (the reference's
+    // inventory pattern) → LAST row per supplier first, THEN summed across
+    // suppliers; `gross` is fully additive → summed over all rows. ---
+    GQuery(
+      "q95_summarize_measures",
+      (spark, dir) => {
+        val cfg = TableConfig.fromJsonString("""
+          {
+            "table_name": "fact_sf_supply",
+            "columns": [],
+            "measures": [
+              {"name": "qty", "aggregation": "SUM",
+               "aggregation_note": "Can sum across suppliers, use LAST for time dimension"},
+              {"name": "gross", "aggregation": "SUM"}
+            ]
+          }""")
+        val li = t(spark, dir, "lineitem").select(
+          col("l_suppkey"), col("l_returnflag"), col("l_shipdate"),
+          col("l_orderkey"), col("l_linenumber"),
+          dec(col("l_quantity")).as("qty"), dec(col("l_extendedprice")).as("gross"))
+        Medallion.summarize(li, cfg, dims = Seq("l_returnflag"),
+            entityKeys = Seq("l_suppkey"),
+            timeOrder = Seq(col("l_shipdate").desc, col("l_orderkey").desc,
+              col("l_linenumber").desc))
+          .select(col("l_returnflag"),
+            col("qty").cast(DoubleType).as("qty"),
+            col("gross").cast(DoubleType).as("gross"))
+          .orderBy(col("l_returnflag"))
+      },
+      Some("""
+        WITH li AS (
+          SELECT l_suppkey, l_returnflag, l_shipdate, l_orderkey, l_linenumber,
+                 CAST(l_quantity AS DECIMAL(12,2)) AS qty,
+                 CAST(l_extendedprice AS DECIMAL(12,2)) AS gross
+          FROM lineitem),
+        latest AS (
+          SELECT * FROM li
+          QUALIFY row_number() OVER (PARTITION BY l_suppkey
+                    ORDER BY l_shipdate DESC, l_orderkey DESC, l_linenumber DESC) = 1),
+        s AS (SELECT l_returnflag, CAST(SUM(qty) AS DOUBLE) AS qty
+              FROM latest GROUP BY l_returnflag),
+        a AS (SELECT l_returnflag, CAST(SUM(gross) AS DOUBLE) AS gross
+              FROM li GROUP BY l_returnflag)
+        SELECT l_returnflag, s.qty, a.gross
+        FROM a FULL OUTER JOIN s USING (l_returnflag)
+        ORDER BY l_returnflag
       """.trim))
   )
 }

@@ -1,0 +1,61 @@
+package graft.operators
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+import graft.operators.DataQuality._
+
+/** Persistent DQ error-table sink: the `silver_dq_errors` contract —
+  * partitioned, append-only, run metadata, one row per (failed row, rule).
+  */
+class DqErrorSinkSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val rules: Seq[Rule] = Seq(
+    NullCheck(Seq("name"), "name_not_null", "critical"),
+    SetConstraint("status", Seq("a", "b"), "status_known", "warning"))
+
+  private def batch(ids: Seq[Int], badStatus: Boolean) =
+    ids.map(i => (i.toLong,
+      if (i % 3 == 0) null else s"n$i",
+      if (badStatus && i % 2 == 0) "z" else "a"))
+      .toDF("id", "name", "status")
+
+  test("errorTable: one row per failed row per rule, with metadata") {
+    val res = DataQuality.validate(batch(1 to 12, badStatus = true), rules)
+    val et = DataQuality.errorTable(res.errors, rules, "t1", lit("2025-05-01 00:00:00"))
+    // ids 3,6,9,12 fail the null check; 2,4,6,8,10,12 fail status
+    assert(et.filter($"rule_name" === "name_not_null").count() == 4)
+    assert(et.filter($"rule_name" === "status_known").count() == 6)
+    // a row failing both rules appears once per rule
+    assert(et.filter($"id" === 6).count() == 2)
+    val r = et.filter($"id" === 4).head()
+    assert(r.getAs[String]("table_name") == "t1")
+    assert(r.getAs[String]("severity") == "warning")
+    assert(r.getAs[String]("error_column") == "status")
+    assert(r.getAs[String]("failed_value") == """{"status":"z"}""")
+    assert(r.getAs[java.sql.Date]("run_date").toString == "2025-05-01")
+    // original columns pass through for reprocessing
+    assert(et.columns.contains("name") && et.columns.contains("status"))
+  }
+
+  test("writeErrors: append-only across runs, partitioned by run_date") {
+    val path = Files.createTempDirectory("graft_dq_errors").toString
+    val r1 = DataQuality.validate(batch(1 to 12, badStatus = true), rules)
+    DataQuality.writeErrors(r1.errors, rules, path, "t1", lit("2025-05-01 00:00:00"))
+    val r2 = DataQuality.validate(batch(13 to 24, badStatus = false), rules)
+    DataQuality.writeErrors(r2.errors, rules, path, "t1", lit("2025-05-02 00:00:00"))
+    val back = spark.read.parquet(path)
+    // second run appended, first run untouched
+    assert(back.select("run_date").distinct().count() == 2)
+    val day1 = back.filter($"run_date" === "2025-05-01")
+    assert(day1.count() == 10) // 4 null + 6 status
+    val day2 = back.filter($"run_date" === "2025-05-02")
+    assert(day2.filter($"rule_name" === "status_known").count() == 0)
+    assert(day2.count() == 4) // only the null-check failures
+  }
+}

@@ -55,4 +55,16 @@ class ScaleOpsSpec extends AnyFunSuite {
     val sSum = salted.agg(sum($"l_quantity"), sum($"o_totalprice")).head()
     assert(pSum.getDouble(0) == sSum.getDouble(0))
   }
+
+  test("analyzeTable records table and column statistics for the CBO") {
+    spark.range(0, 1000).toDF("id").write.mode("overwrite").saveAsTable("t_stats")
+    Layout.analyzeTable(spark, "t_stats")
+    Layout.analyzeTable(spark, "t_stats", Seq("id"))
+    val ext = spark.sql("DESCRIBE EXTENDED t_stats")
+      .filter($"col_name" === "Statistics").collect()
+    assert(ext.nonEmpty, "no table-level statistics recorded")
+    val colStats = spark.sql("DESCRIBE EXTENDED t_stats id")
+      .filter($"info_name" === "distinct_count").collect()
+    assert(colStats.nonEmpty && colStats.head.getString(1) != "NULL")
+  }
 }
