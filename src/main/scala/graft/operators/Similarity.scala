@@ -25,11 +25,14 @@ object Similarity {
   /** Element-wise double view of a float vector column. */
   def asDouble(v: Column): Column = transform(v, x => x.cast("double"))
 
-  /** Dot product via explicit index-order left fold (deterministic). */
+  /** Dot product in strict index order (deterministic): a native codegen'd
+    * expression whose multiply-add sequence is bit-identical to the
+    * `aggregate`/`transform` fold it replaces and to the DuckDB oracle's
+    * `list_sum(list_transform(...))`. `dim` documents the expected vector
+    * width; the loop runs over the arrays' (equal) length.
+    */
   def dot(a: Column, b: Column, dim: Int): Column =
-    aggregate(
-      transform(sequence(lit(1), lit(dim)), i => element_at(a, i) * element_at(b, i)),
-      lit(0.0), (acc, x) => acc + x)
+    graft.functions.VectorFunctions.dot_product(a, b)
 
   def norm(a: Column, dim: Int): Column = sqrt(dot(a, a, dim))
 
@@ -142,12 +145,12 @@ object Similarity {
     val rnd = new scala.util.Random(seed)
     val planes: Seq[Seq[Double]] =
       Seq.fill(numBits)(Seq.fill(dim)(if (rnd.nextBoolean()) 1.0 else -1.0))
-    // One pass: project onto every plane via zip_with/aggregate (array-sized
-    // expression, not numBits*dim scalar terms — keeps codegen bounded).
+    // One pass: project onto every plane with the native dot product
+    // (array-sized expression, not numBits*dim scalar terms).
     val planesCol = typedLit(planes)
     val sig = transform(planesCol, p =>
-      when(aggregate(zip_with(vecCol, p, (x, y) => x * y),
-        lit(0.0), (acc, x) => acc + x) >= 0, lit(1)).otherwise(lit(0)))
+      when(graft.functions.VectorFunctions.dot_product(vecCol, p) >= 0,
+        lit(1)).otherwise(lit(0)))
     val withSig = vectors.withColumn("__rp_sig", sig)
     val bandKeys = (0 until numBands).map { b =>
       concat_ws("",

@@ -1,0 +1,51 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+class DotProductSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("bit-identical to the index-order aggregate/transform fold") {
+    val e = spark.read.parquet(s"${TestSpark.SfDir}/embeddings.parquet")
+      .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
+    val a = e.toDF("id_a", "va").filter($"id_a" < 50)
+    val b = e.toDF("id_b", "vb").filter($"id_b".between(50, 99))
+    val pairs = a.crossJoin(b)
+    val fold = aggregate(
+      transform(sequence(lit(1), lit(64)),
+        i => element_at($"va", i) * element_at($"vb", i)),
+      lit(0.0), (acc, x) => acc + x)
+    val native = VectorFunctions.dot_product($"va", $"vb")
+    // exact equality, not tolerance: same IEEE rounding sequence
+    assert(pairs.filter(fold =!= native).count() == 0)
+    assert(pairs.count() == 2500)
+  }
+
+  test("null array → null; null element → null") {
+    val df = Seq(
+      (Some(Seq(1.0, 2.0)), Some(Seq(3.0, 4.0))),
+      (None, Some(Seq(3.0, 4.0)))
+    ).toDF("a", "b")
+    val out = df.select(VectorFunctions.dot_product($"a", $"b").as("d")).collect()
+    assert(out(0).getDouble(0) == 11.0)
+    assert(out(1).isNullAt(0))
+    val withNullElem = spark.sql(
+      "SELECT array(1.0d, CAST(NULL AS DOUBLE)) AS a, array(2.0d, 3.0d) AS b")
+      .select(VectorFunctions.dot_product($"a", $"b").as("d")).collect()
+    assert(withNullElem(0).isNullAt(0))
+  }
+
+  test("stays inside whole-stage codegen") {
+    val e = spark.read.parquet(s"${TestSpark.SfDir}/embeddings.parquet")
+      .select(transform(col("embedding"), x => x.cast("double")).as("v"))
+    val plan = e.select(VectorFunctions.dot_product($"v", $"v").as("d"))
+      .queryExecution.executedPlan.toString
+    // the "*(n)" marker on the projection = inside a WholeStageCodegen span
+    assert(plan.split("\n").exists(l => l.trim.matches("""\*\(\d+\) Project \[dot_product.*""")),
+      s"dot_product projection not codegen'd:\n$plan")
+  }
+}
