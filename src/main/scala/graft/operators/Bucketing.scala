@@ -1,0 +1,33 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+
+/** Bucketed-table layout for co-located joins (SURVEY §4; the scale answer
+  * to "this fact joins that fact on the same key every day").
+  *
+  * Writing both sides bucketed (and sorted) by the join key pins rows to
+  * deterministic buckets, so Catalyst plans the join with ZERO exchanges —
+  * at 100 TB the recurring join cost drops from two full shuffles to a
+  * bucket-local sort-merge. Bucket counts must match (or divide) across
+  * the tables being joined.
+  */
+object Bucketing {
+
+  /** Persist `df` as a bucketed, sorted table backed by `path`. */
+  def writeBucketed(df: DataFrame, table: String, path: String, buckets: Int,
+      keys: Seq[String], sortCols: Seq[String] = Nil): Unit = {
+    require(keys.nonEmpty, "bucketing needs at least one key")
+    val s = if (sortCols.nonEmpty) sortCols else keys
+    df.write.mode(SaveMode.Overwrite)
+      .bucketBy(buckets, keys.head, keys.tail: _*)
+      .sortBy(s.head, s.tail: _*)
+      .option("path", path)
+      .saveAsTable(table)
+  }
+
+  /** True when no hash-partitioning exchange appears in the executed plan —
+    * the property bucketed joins buy; used by tests and operational checks.
+    */
+  def shuffleFree(df: DataFrame): Boolean =
+    !df.queryExecution.executedPlan.toString.contains("Exchange hashpartitioning")
+}

@@ -28,16 +28,15 @@ class StreamingSpec extends AnyFunSuite {
     spark.sql("DROP TABLE IF EXISTS b_lineitem")
     val o = spark.read.parquet(s"${TestSpark.SfDir}/orders.parquet")
     val li = spark.read.parquet(s"${TestSpark.SfDir}/lineitem.parquet")
-    o.write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
-      .option("path", s"$wh/b_orders").saveAsTable("b_orders")
-    li.write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
-      .option("path", s"$wh/b_lineitem").saveAsTable("b_lineitem")
+    graft.operators.Bucketing.writeBucketed(o, "b_orders", s"$wh/b_orders", 8,
+      Seq("o_orderkey"))
+    graft.operators.Bucketing.writeBucketed(li, "b_lineitem", s"$wh/b_lineitem", 8,
+      Seq("l_orderkey"))
     val joined = spark.table("b_lineitem")
       .join(spark.table("b_orders"),
         col("l_orderkey") === col("o_orderkey"))
-    val plan = joined.queryExecution.executedPlan.toString
-    assert(!plan.contains("Exchange hashpartitioning"),
-      s"bucketed join should not shuffle:\n${plan.take(2000)}")
+    assert(graft.operators.Bucketing.shuffleFree(joined),
+      s"bucketed join should not shuffle:\n${joined.queryExecution.executedPlan.toString.take(2000)}")
     assert(joined.count() == li.count())
   }
 }
