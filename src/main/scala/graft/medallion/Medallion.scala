@@ -78,8 +78,11 @@ object Medallion {
     // Uniqueness is logged but non-blocking: dedup (keep-latest, J1) is the
     // remediation step and runs after validation (`README.md:183-186`); a
     // blocking rule would drop BOTH copies before dedup could pick one.
+    // '+'-joined in the rule NAME: names ride the comma-separated
+    // failed_rules column, so a comma inside one would shred it there
     val uniq = r.uniquenessChecks.map(k =>
-      DataQuality.UniquenessCheck(k.split(",").toSeq, s"unique_$k", "warning"))
+      DataQuality.UniquenessCheck(k.split(",").toSeq,
+        s"unique_${k.split(",").mkString("+")}", "warning"))
     val sets = r.setConstraints.map { case (c, vs) =>
       DataQuality.SetConstraint(c, vs, s"set_$c", "warning")
     }.toSeq
@@ -169,16 +172,21 @@ object Medallion {
           .select((sk +: (c.payload ++ c.scdCols)).map(col): _*)
       case Some(d) =>
         val applied = Scd2.apply(d.drop(sk), incoming, c, loadTs)
-        // Kept/closed rows are identified by (business key, valid_from) —
-        // Scd2.apply never rewrites valid_from, so the pair is a stable
-        // identity for every pre-existing version.
+        // Kept/closed rows are identified by (business key, valid_from,
+        // hash_diff) — Scd2.apply never rewrites valid_from or the type-2
+        // hash of a pre-existing version, and the hash disambiguates the
+        // edge where a retry re-applies a CHANGED batch with the same
+        // loadTs as the version it replaces: the closed row keeps the old
+        // hash (and its key), the replacement carries the new hash (and
+        // must get a fresh key) even though both share (bk, valid_from).
         val keys = d.select(col(bk).as("__sk_bk"), col(c.validFrom).as("__sk_vf"),
-          col(sk).as("__sk_old"))
+          col(c.hashCol).as("__sk_h"), col(sk).as("__sk_old"))
         val maxKey = d.agg(coalesce(max(col(sk)), lit(0L)).cast("long").as("__sk_max"))
         val wNew = Window.partitionBy(col("__sk_old").isNull).orderBy(ordered: _*)
         applied
           .join(broadcast(keys),
-            col(bk) <=> col("__sk_bk") && col(c.validFrom) === col("__sk_vf"), "left")
+            col(bk) <=> col("__sk_bk") && col(c.validFrom) === col("__sk_vf") &&
+              col(c.hashCol) === col("__sk_h"), "left")
           .crossJoin(broadcast(maxKey))
           .withColumn(sk,
             coalesce(col("__sk_old"),
@@ -190,14 +198,14 @@ object Medallion {
   /** Measure-metadata-driven aggregation: `summarize(fact, dims)` respects
     * each declared measure's additivity (`gold_fact_inventory_schema.json:
     * 61,134`): fully additive measures aggregate with their declared
-    * function over all rows; SEMI-additive measures (note: "use AVG/LAST
-    * for time dimension") are first reduced to the LAST row per
-    * `entityKeys` by `timeOrder` (the A4 machinery) and only then
-    * aggregated across entities — so collapsing the time dimension never
-    * sums a stock level over snapshots.
+    * function over all rows; SEMI-additive measures are first reduced over
+    * the time dimension per `entityKeys` — to the LAST row by `timeOrder`
+    * when the note names LAST (the A4 machinery), or to the per-entity
+    * time-AVERAGE when it names only AVG — and only then aggregated across
+    * entities, so collapsing time never sums a stock level over snapshots.
     *
-    * Scale: one keep-latest window per entity + two hash aggregates joined
-    * on the (low-cardinality) dims.
+    * Scale: one keep-latest window / one per-entity aggregate + hash
+    * aggregates joined on the (low-cardinality) dims.
     */
   def summarize(fact: DataFrame, cfg: Table, dims: Seq[String],
       entityKeys: Seq[String] = Nil, timeOrder: Seq[Column] = Nil): DataFrame = {
@@ -212,14 +220,27 @@ object Medallion {
       case other   => sys.error(s"${cfg.tableName}.${m.name}: unsupported aggregation $other")
     }).as(m.name)
     val collapseTime = timeOrder.nonEmpty && entityKeys.nonEmpty
+    def noteHasLast(m: TableConfig.Measure): Boolean =
+      m.aggregationNote.exists(_.toUpperCase.contains("LAST"))
     val (semi, additive) = measures.partition(m => collapseTime && m.semiAdditiveOverTime)
+    val (semiLast, semiAvg) = semi.partition(noteHasLast)
     val parts = Seq(
       if (additive.nonEmpty)
         Some(fact.groupBy(dims.map(col): _*).agg(aggOf(additive.head), additive.tail.map(aggOf): _*))
       else None,
-      if (semi.nonEmpty) {
+      if (semiLast.nonEmpty) {
         val latest = Dedup.keepLatest(fact, entityKeys, timeOrder)
-        Some(latest.groupBy(dims.map(col): _*).agg(aggOf(semi.head), semi.tail.map(aggOf): _*))
+        Some(latest.groupBy(dims.map(col): _*)
+          .agg(aggOf(semiLast.head), semiLast.tail.map(aggOf): _*))
+      } else None,
+      if (semiAvg.nonEmpty) {
+        // per-entity time average first (dims are functionally dependent on
+        // the entity within a group), then the declared agg across entities
+        val perEntity = fact.groupBy((entityKeys ++ dims).map(col): _*)
+          .agg(avg(col(semiAvg.head.name)).as(semiAvg.head.name),
+            semiAvg.tail.map(m => avg(col(m.name)).as(m.name)): _*)
+        Some(perEntity.groupBy(dims.map(col): _*)
+          .agg(aggOf(semiAvg.head), semiAvg.tail.map(aggOf): _*))
       } else None
     ).flatten
     parts.reduce((a, b) => a.join(b, dims, "full_outer"))

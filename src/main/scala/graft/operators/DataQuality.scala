@@ -107,6 +107,10 @@ object DataQuality {
     *    row_count (Q7 pass-rate metrics).
     */
   def validate(df: DataFrame, rules: Seq[Rule]): Result = {
+    // Rule names travel through the comma-joined `failed_rules` column; a
+    // comma in a name would shred it on the error-table explode.
+    require(rules.forall(!_.name.contains(",")),
+      s"rule names must not contain ',': ${rules.map(_.name).filter(_.contains(","))}")
     var flagged = df
     rules.zipWithIndex.foreach { case (r, i) =>
       val f = flagName(i)
@@ -185,7 +189,10 @@ object DataQuality {
       .withColumn("severity", perRule(r => lit(r.severity)))
       .withColumn("error_column", perRule(r => lit(columnsOf(r).mkString(","))))
       .withColumn("failed_value", perRule(r =>
-        to_json(struct(columnsOf(r).map(c => col(c).cast("string").as(c)): _*))))
+        // keep null fields: a NullCheck violation must record WHICH column
+        // was null ({"name":null}), not collapse to "{}"
+        to_json(struct(columnsOf(r).map(c => col(c).cast("string").as(c)): _*),
+          Map("ignoreNullFields" -> "false"))))
       .withColumn("error_timestamp", runTs.cast("timestamp"))
       .withColumn("run_date", to_date(runTs))
       .drop("failed_rules")

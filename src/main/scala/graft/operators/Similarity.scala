@@ -95,7 +95,6 @@ object Similarity {
   def kmeansRefine(corpus: DataFrame, centroids: DataFrame, idCol: String,
       vecCol: String, dim: Int, iterations: Int): DataFrame = {
     var cents = centroids
-    val persisted = scala.collection.mutable.Buffer.empty[DataFrame]
     (0 until iterations).foreach { _ =>
       val assigned = ivfAssign(corpus, cents, idCol, vecCol, dim)
       cents = assigned
@@ -105,15 +104,11 @@ object Similarity {
         .agg(array_sort(collect_list(struct(col("pos"), col("v")))).as("pv"))
         .select(col("bucket").as("centroid_id"),
           transform(col("pv"), s => s.getField("v")).as("cv"))
-        // Materialize each Lloyd iteration: without this the plan re-derives
-        // the WHOLE iteration lineage per step (exponential plan growth);
-        // centroids are m tiny rows, so the cache cost is nil.
-        .persist()
-      persisted += cents
-    }
-    if (persisted.nonEmpty) {
-      cents.count() // force the chain once so earlier iterations can unpin
-      persisted.dropRight(1).foreach(_.unpersist(blocking = false))
+        // Eager localCheckpoint per Lloyd iteration: truncates the lineage
+        // (without it the plan re-derives the WHOLE iteration chain per
+        // step), needs no manual unpersist bookkeeping (blocks free when
+        // the RDD is unreferenced), and centroids are m tiny rows.
+        .localCheckpoint(true)
     }
     cents
   }
@@ -161,30 +156,13 @@ object Similarity {
   }
 
   /** Candidate pairs (id1 < id2) sharing ≥1 RP-LSH band — narrow id rows
-    * only; attach vectors after the distinct. `maxBucket` drops degenerate
-    * buckets whole (see [[TextDedup.lshCandidates]] for the rationale).
+    * only; attach vectors after the distinct. Same (band, band_key) shape
+    * as text LSH, so this IS [[TextDedup.lshCandidates]] (incl. the
+    * `maxBucket` degenerate-bucket cap).
     */
   def rpLshCandidates(bands: DataFrame, idCol: String,
-      maxBucket: Option[Int] = None): DataFrame = {
-    val pruned = maxBucket match {
-      case Some(cap) =>
-        val ok = bands.groupBy(col("band"), col("band_key"))
-          .agg(count(lit(1)).as("__bucket_width"))
-          .filter(col("__bucket_width") <= cap)
-          .drop("__bucket_width")
-        bands.join(ok, Seq("band", "band_key"))
-      case None => bands
-    }
-    // explicit column order — the cap join moves the join keys first, and
-    // toDF renames positionally
-    val narrow = pruned.select(col(s"$idCol"), col("band"), col("band_key"))
-    val a = narrow.toDF(s"${idCol}_1", "band", "band_key")
-    val b = narrow.toDF(s"${idCol}_2", "band", "band_key")
-    a.join(b, Seq("band", "band_key"))
-      .filter(col(s"${idCol}_1") < col(s"${idCol}_2"))
-      .select(col(s"${idCol}_1"), col(s"${idCol}_2"))
-      .distinct()
-  }
+      maxBucket: Option[Int] = None): DataFrame =
+    TextDedup.lshCandidates(bands, idCol, maxBucket)
 
   /** IVF search: probe the `nProbe` nearest buckets per query, brute-force
     * within them.

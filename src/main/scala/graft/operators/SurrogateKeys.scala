@@ -33,7 +33,10 @@ object SurrogateKeys {
     val spark = df.sparkSession
     val parts = numPartitions.getOrElse(
       spark.conf.get("spark.sql.shuffle.partitions", "200").toInt)
-    val sorted = df.repartitionByRange(parts, order: _*).sortWithinPartitions(order: _*)
+    // replace an existing column of the same name (matching withColumn
+    // semantics) instead of emitting a duplicate
+    val base = if (df.columns.contains(keyCol)) df.drop(keyCol) else df
+    val sorted = base.repartitionByRange(parts, order: _*).sortWithinPartitions(order: _*)
     val schema = sorted.schema.add(keyCol, LongType, nullable = false)
     val keyed = sorted.rdd.zipWithIndex().map { case (row, idx) =>
       Row.fromSeq(row.toSeq :+ (startAt + idx + 1L))

@@ -161,7 +161,8 @@ object OperatorQueries extends QueryModule {
                  DATE '2024-06-01' AS valid_to_date, FALSE AS is_current
           FROM changed
           UNION ALL
-          SELECT o.c_custkey, o.c_mktsegment, o.c_acctbal, coalesce(n.c_name, o.c_name),
+          SELECT o.c_custkey, o.c_mktsegment, o.c_acctbal,
+                 CASE WHEN n.hash_diff IS NOT NULL THEN n.c_name ELSE o.c_name END,
                  o.hash_diff, DATE '2020-01-01', DATE '9999-12-31', TRUE
           FROM old o LEFT JOIN new n USING (c_custkey)
           WHERE n.c_custkey IS NULL OR n.hash_diff = o.hash_diff
@@ -236,7 +237,9 @@ object OperatorQueries extends QueryModule {
       },
       Some((scd2OracleCtes + """
         , current_dim AS (
-          SELECT o.c_custkey, coalesce(n.c_mktsegment, o.c_mktsegment) AS c_mktsegment
+          SELECT o.c_custkey,
+                 CASE WHEN n.hash_diff IS NOT NULL THEN n.c_mktsegment
+                      ELSE o.c_mktsegment END AS c_mktsegment
           FROM old o LEFT JOIN new n USING (c_custkey)
           UNION ALL
           SELECT c_custkey, c_mktsegment FROM new n

@@ -143,7 +143,10 @@ object VectorQueries extends QueryModule {
           .withColumn("vec_id", col("vec_id") + 10000))
         val v = e.select(col("vec_id"), Similarity.asDouble(col("embedding")).as("ev"),
           col("label"))
-        val bands = Similarity.rpLshBands(v, "vec_id", col("ev"), Dim)
+        // Persist: the candidate self-join would otherwise recompute the
+        // 64-plane signature projection for each side (same reason q65
+        // persists its minhash bands).
+        val bands = Similarity.rpLshBands(v, "vec_id", col("ev"), Dim).persist()
         val cand = Similarity.rpLshCandidates(bands, "vec_id")
         val s1 = v.select(col("vec_id").as("vec_id_1"), col("ev").as("e1"),
           col("label").as("label"))

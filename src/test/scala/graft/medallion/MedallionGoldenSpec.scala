@@ -114,6 +114,33 @@ class MedallionGoldenSpec extends AnyFunSuite {
     assert(mk.getLong(0) == 1 && mk.getLong(1) == 561)
   }
 
+  test("SCD2 stable keys: v1 keys survive the incremental load; new versions extend") {
+    // every v1 surrogate key must still exist, bound to the same business key
+    val v1Keys = dimCustomerV1.select("customer_key", "customer_id")
+    val v2Keys = dimCustomerV2.select("customer_key", "customer_id")
+    assert(v1Keys.join(v2Keys, Seq("customer_key", "customer_id")).count() == 500)
+  }
+
+  test("SCD2 keys stay unique when a changed batch retries with the SAME loadTs") {
+    // regression: closed row and its replacement share (bk, valid_from) when
+    // the retry's loadTs equals the version's valid_from — the hash_diff
+    // part of the key-identity join must disambiguate them
+    val ts = lit("2025-10-02 00:00:00")
+    val batch = silverCustomers
+      .withColumn("record_source", lit("crm"))
+      .limit(20)
+      .withColumn("customer_tier", lit("retry_tier"))
+    val cfgDim = cfg("gold", "dim_customer")
+    val v2 = Medallion.goldDimScd2(Some(dimCustomerV1), batch, cfgDim, ts)
+    val v3 = Medallion.goldDimScd2(Some(v2), batch
+      .withColumn("customer_tier", lit("retry_tier_2")), cfgDim, ts)
+    assert(v3.select("customer_key").distinct().count() == v3.count(),
+      "duplicate surrogate keys after same-loadTs retry")
+    val perKey = v3.groupBy("customer_id")
+      .agg(sum(when(col("is_current"), 1).otherwise(0)).as("cur"))
+    assert(perKey.filter(col("cur") =!= 1).count() == 0)
+  }
+
   test("dim_date: 1,096 rows (2024-2026 incl. leap year), calculations applied") {
     val dd = Medallion.goldDimDate(spark, cfg("gold", "dim_date"))
     assert(dd.count() == 1096)

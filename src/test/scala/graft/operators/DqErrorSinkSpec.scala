@@ -39,6 +39,9 @@ class DqErrorSinkSpec extends AnyFunSuite {
     assert(r.getAs[String]("error_column") == "status")
     assert(r.getAs[String]("failed_value") == """{"status":"z"}""")
     assert(r.getAs[java.sql.Date]("run_date").toString == "2025-05-01")
+    // a null-check violation records WHICH column was null, not "{}"
+    val nullRow = et.filter($"id" === 3 && $"rule_name" === "name_not_null").head()
+    assert(nullRow.getAs[String]("failed_value") == """{"name":null}""")
     // original columns pass through for reprocessing
     assert(et.columns.contains("name") && et.columns.contains("status"))
   }
