@@ -25,6 +25,19 @@ object Tables {
     * microseconds — exactly how DuckDB truncates nanos, so both engines see
     * identical instants.
     */
+  /** Read `documents` spread across all cores.
+    *
+    * The testdata file is a SINGLE parquet row group, and a row group is
+    * the atomic scan-split unit — so every downstream CPU-bound text op
+    * (shingling, per-shingle hashing, tokenizing) would run in ONE task no
+    * matter how many cores the session has. The round-robin repartition
+    * moves only a few hundred KB here; at real corpus scale the source has
+    * many files/row-groups and the natural scan parallelism makes this
+    * spread unnecessary — use `t` there.
+    */
+  def docs(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents").repartition(spark.sparkContext.defaultParallelism)
+
   def events(spark: SparkSession, dir: String): DataFrame = {
     val raw = t(spark, dir, "events")
     raw.schema("ts").dataType match {

@@ -34,35 +34,38 @@ object TextDedup {
     df.groupBy(keyCol.as("dedup_key"))
       .agg(min(col(idCol)).as("representative_id"), count(lit(1)).as("copies"))
 
-  /** MinHash signatures as a DataFrame op: explode shingles once, compute
-    * all `numHashes` hashes in a single projection over each (doc, shingle)
-    * row, then one groupBy with `numHashes` MIN aggregates (map-side partial
-    * aggregation → the shuffle carries one narrow row per doc per partition,
-    * never the shingles). Returns (idCol, sig array<string>).
+  /** MinHash signatures as a PER-DOCUMENT projection: each of the
+    * `numHashes` minima is `array_min(transform(shingles, md5(i:s)))`
+    * computed row-locally — no explode, no shuffle, embarrassingly
+    * parallel (the former explode + groupBy-MIN shape moved one row per
+    * (doc, shingle) through an exchange; this moves nothing). Returns
+    * (idCol, sig array<string>).
     *
     * md5 family: hex-string minima are oracle-reproducible in DuckDB
-    * (lexicographic min of fixed-width lowercase hex == numeric min).
+    * (lexicographic min of fixed-width lowercase hex == numeric min);
+    * the oracle's `list_aggregate(list_transform(...), 'min')` is this
+    * exact formulation.
     */
   def minhashSignaturesMd5(df: DataFrame, idCol: String, textCol: String,
       n: Int, numHashes: Int): DataFrame = {
-    val sh = df.select(col(idCol),
-      explode(array_distinct(TextAnalysis.shingles(col(textCol), n))).as("s"))
-    val mins = (0 until numHashes).map(i =>
-      min(md5(concat_ws(":", lit(i.toString), col("s")))).as(s"h$i"))
-    sh.groupBy(col(idCol))
-      .agg(mins.head, mins.tail: _*)
-      .select(col(idCol), array((0 until numHashes).map(i => col(s"h$i")): _*).as("sig"))
+    val withSh = df.select(col(idCol),
+      array_distinct(TextAnalysis.shingles(col(textCol), n)).as("__sh"))
+    withSh.select(col(idCol),
+      array((0 until numHashes).map(i =>
+        array_min(transform(col("__sh"),
+          s => md5(concat_ws(":", lit(i.toString), s))))): _*).as("sig"))
   }
 
-  /** xxhash64 family (fast path): numeric minima, same single-pass shape. */
+  /** xxhash64 family (fast path): numeric minima, same shuffle-free
+    * per-document shape.
+    */
   def minhashSignaturesFast(df: DataFrame, idCol: String, textCol: String,
       n: Int, numHashes: Int): DataFrame = {
-    val sh = df.select(col(idCol),
-      explode(array_distinct(TextAnalysis.shingles(col(textCol), n))).as("s"))
-    val mins = (0 until numHashes).map(i => min(xxhash64(lit(i), col("s"))).as(s"h$i"))
-    sh.groupBy(col(idCol))
-      .agg(mins.head, mins.tail: _*)
-      .select(col(idCol), array((0 until numHashes).map(i => col(s"h$i")): _*).as("sig"))
+    val withSh = df.select(col(idCol),
+      array_distinct(TextAnalysis.shingles(col(textCol), n)).as("__sh"))
+    withSh.select(col(idCol),
+      array((0 until numHashes).map(i =>
+        array_min(transform(col("__sh"), s => xxhash64(lit(i), s)))): _*).as("sig"))
   }
 
   /** LSH banding: (id, band, band_key) rows — `numBands` rows per document;

@@ -47,7 +47,7 @@ object SamplingQueries extends QueryModule {
     GQuery(
       "q68_dataset_split",
       (spark, dir) => {
-        val d = t(spark, dir, "documents")
+        val d = Tables.docs(spark, dir)
         val bucket = hashBucket(col("doc_id"))
         d.select(col("doc_id"),
             when(bucket < 80, "train").when(bucket < 90, "valid")

@@ -57,7 +57,7 @@ object SemiStructuredQueries extends QueryModule {
     GQuery(
       "q66_top_ngrams",
       (spark, dir) => {
-        val d = t(spark, dir, "documents")
+        val d = Tables.docs(spark, dir)
         d.select(explode(TextAnalysis.shingles(col("text"), 2)).as("ngram"))
           .groupBy(col("ngram")).agg(count(lit(1)).as("n"))
           .orderBy(col("n").desc, col("ngram"))
@@ -78,7 +78,7 @@ object SemiStructuredQueries extends QueryModule {
     GQuery(
       "q67_length_histogram",
       (spark, dir) => {
-        val d = t(spark, dir, "documents")
+        val d = Tables.docs(spark, dir)
         d.select((floor(col("n_chars") / 100) * 100).cast(IntegerType).as("bucket"))
           .groupBy(col("bucket")).agg(count(lit(1)).as("n"))
           .orderBy(col("bucket"))

@@ -19,7 +19,7 @@ object TextQueries extends QueryModule {
 
   /** documents ∪ exact copies (doc_id%10==0, re-keyed +100000). */
   private def withExactDups(spark: SparkSession, dir: String): DataFrame = {
-    val d = t(spark, dir, "documents")
+    val d = Tables.docs(spark, dir)
     d.unionByName(d.filter(col("doc_id") % 10 === 0)
       .withColumn("doc_id", col("doc_id") + 100000))
   }
@@ -28,7 +28,7 @@ object TextQueries extends QueryModule {
     * dropped).
     */
   private def withNearDups(spark: SparkSession, dir: String): DataFrame = {
-    val d = t(spark, dir, "documents")
+    val d = Tables.docs(spark, dir)
     val toks = TextAnalysis.tokens(col("text"))
     val mutant = d.filter(col("doc_id") % 10 === 0)
       .withColumn("doc_id", col("doc_id") + 100000)
@@ -59,7 +59,7 @@ object TextQueries extends QueryModule {
     GQuery(
       "q60_token_stats",
       (spark, dir) =>
-        t(spark, dir, "documents").select(
+        Tables.docs(spark, dir).select(
             col("doc_id"),
             TextAnalysis.tokenCount(col("text")).as("token_count"),
             TextAnalysis.distinctRatio(col("text")).as("distinct_ratio"),
@@ -78,7 +78,7 @@ object TextQueries extends QueryModule {
     GQuery(
       "q61_lang_id",
       (spark, dir) =>
-        t(spark, dir, "documents").select(
+        Tables.docs(spark, dir).select(
             col("doc_id"), col("lang"),
             TextAnalysis.langId(col("text")).as("lang_pred"))
           .orderBy(col("doc_id")),
@@ -107,7 +107,7 @@ object TextQueries extends QueryModule {
     GQuery(
       "q62_quality_score",
       (spark, dir) =>
-        t(spark, dir, "documents").select(
+        Tables.docs(spark, dir).select(
             col("doc_id"),
             TextAnalysis.qualityScore(col("text")).as("quality"))
           .orderBy(col("doc_id")),
@@ -234,7 +234,7 @@ object TextQueries extends QueryModule {
     GQuery(
       "q97_simhash_planted",
       (spark, dir) => {
-        val d = t(spark, dir, "documents").select(col("doc_id"), col("text"))
+        val d = Tables.docs(spark, dir).select(col("doc_id"), col("text"))
         val toks = TextAnalysis.tokens(col("text"))
         val copies = d.filter(col("doc_id") % 10 === 0)
           .withColumn("doc_id", col("doc_id") + 100000)
