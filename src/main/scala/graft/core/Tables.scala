@@ -38,6 +38,13 @@ object Tables {
   def docs(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "documents").repartition(spark.sparkContext.defaultParallelism)
 
+  /** Read `embeddings` spread across all cores — same single-row-group
+    * rationale as [[docs]]; the downstream per-vector projections
+    * (signatures, norms, dot products) are CPU-bound.
+    */
+  def embs(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "embeddings").repartition(spark.sparkContext.defaultParallelism)
+
   def events(spark: SparkSession, dir: String): DataFrame = {
     val raw = t(spark, dir, "events")
     raw.schema("ts").dataType match {

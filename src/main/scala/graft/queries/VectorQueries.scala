@@ -20,7 +20,7 @@ object VectorQueries extends QueryModule {
     GQuery(
       "q70_ann_bruteforce",
       (spark, dir) => {
-        val e = t(spark, dir, "embeddings")
+        val e = Tables.embs(spark, dir)
         val queries = e.filter(col("vec_id") < 10)
         Similarity.bruteForceTopK(queries, e, "vec_id", "embedding", Dim, k = 5)
           .select(col("query_id"), col("neighbor_id"),
@@ -49,7 +49,7 @@ object VectorQueries extends QueryModule {
     GQuery(
       "q71_ann_ivf",
       (spark, dir) => {
-        val e = t(spark, dir, "embeddings")
+        val e = Tables.embs(spark, dir)
         val queries = e.filter(col("vec_id") < 10)
         val centroids = Similarity.seedCentroids(e, "vec_id", "embedding", m = 16)
         Similarity.ivfTopK(queries, e, centroids, "vec_id", "embedding", Dim,
@@ -104,7 +104,7 @@ object VectorQueries extends QueryModule {
     GQuery(
       "q73_embedding_dim_stats",
       (spark, dir) => {
-        val e = t(spark, dir, "embeddings")
+        val e = Tables.embs(spark, dir)
         e.select(posexplode(col("embedding")).as(Seq("dim", "v")))
           .filter(col("dim") < 8)
           .groupBy(col("dim"))
@@ -138,7 +138,7 @@ object VectorQueries extends QueryModule {
     GQuery(
       "q72_cosine_near_dups",
       (spark, dir) => {
-        val e0 = t(spark, dir, "embeddings")
+        val e0 = Tables.embs(spark, dir)
         val e = e0.unionByName(e0.filter(col("vec_id") % 25 === 0)
           .withColumn("vec_id", col("vec_id") + 10000))
         val v = e.select(col("vec_id"), Similarity.asDouble(col("embedding")).as("ev"),
