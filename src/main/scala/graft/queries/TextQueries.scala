@@ -223,6 +223,71 @@ object TextQueries extends QueryModule {
         ORDER BY doc_id_1, doc_id_2
       """).trim)),
 
+    // --- the COMPOSED near-dup pipeline, end-to-end under the gate: LSH
+    // candidate generation (the scale path) feeding exact n-gram Jaccard
+    // verification (the quadratic step, now bounded by candidate count) —
+    // the production shape PERF.md prescribes for 100 TB corpora. ---
+    GQuery(
+      "q98_neardup_pipeline",
+      (spark, dir) => {
+        val docs = withNearDups(spark, dir)
+        val sigs = TextDedup.minhashSignaturesMd5(docs, "doc_id", "text",
+          n = 3, numHashes = 8)
+        val bands = TextDedup.lshBands(sigs, "doc_id", col("sig"),
+          numBands = 4, rowsPerBand = 2).persist()
+        val cand = TextDedup.lshCandidates(bands, "doc_id", maxBucket = Some(100))
+        val withSh = docs.select(col("doc_id"),
+          array_distinct(TextAnalysis.shingles(col("text"), 3)).as("sh"))
+        cand
+          .join(withSh.select(col("doc_id").as("doc_id_1"), col("sh").as("sh1")), Seq("doc_id_1"))
+          .join(withSh.select(col("doc_id").as("doc_id_2"), col("sh").as("sh2")), Seq("doc_id_2"))
+          .withColumn("jaccard", TextDedup.jaccard(col("sh1"), col("sh2")))
+          .filter(col("jaccard") >= 0.6)
+          .select(col("doc_id_1"), col("doc_id_2"), col("jaccard"))
+          .orderBy(col("doc_id_1"), col("doc_id_2"))
+      },
+      Some((dupSqlCtes + """
+        , tk AS (SELECT doc_id, string_split(lower(text), ' ') AS tk FROM neardocs),
+        sh AS (
+          SELECT doc_id,
+                 list_distinct(list_transform(
+                   generate_series(1, greatest(len(tk) - 2, 1)),
+                   i -> concat_ws(' ', tk[i], tk[i+1], tk[i+2]))) AS s
+          FROM tk),
+        sig AS (
+          SELECT doc_id,
+                 list_aggregate(list_transform(s, x -> md5('0:' || x)), 'min') AS h0,
+                 list_aggregate(list_transform(s, x -> md5('1:' || x)), 'min') AS h1,
+                 list_aggregate(list_transform(s, x -> md5('2:' || x)), 'min') AS h2,
+                 list_aggregate(list_transform(s, x -> md5('3:' || x)), 'min') AS h3,
+                 list_aggregate(list_transform(s, x -> md5('4:' || x)), 'min') AS h4,
+                 list_aggregate(list_transform(s, x -> md5('5:' || x)), 'min') AS h5,
+                 list_aggregate(list_transform(s, x -> md5('6:' || x)), 'min') AS h6,
+                 list_aggregate(list_transform(s, x -> md5('7:' || x)), 'min') AS h7
+          FROM sh),
+        bands AS (
+          SELECT doc_id, 0 AS band, md5(concat_ws('|', h0, h1)) AS band_key FROM sig
+          UNION ALL SELECT doc_id, 1, md5(concat_ws('|', h2, h3)) FROM sig
+          UNION ALL SELECT doc_id, 2, md5(concat_ws('|', h4, h5)) FROM sig
+          UNION ALL SELECT doc_id, 3, md5(concat_ws('|', h6, h7)) FROM sig),
+        capped AS (
+          SELECT doc_id, band, band_key FROM bands
+          QUALIFY COUNT(*) OVER (PARTITION BY band, band_key) <= 100),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2
+          FROM capped a JOIN capped b
+            ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id)
+        SELECT c.doc_id_1, c.doc_id_2,
+               CAST(len(list_distinct(list_intersect(x.s, y.s))) AS DOUBLE)
+                 / len(list_distinct(list_concat(x.s, y.s))) AS jaccard
+        FROM cand c
+        JOIN sh x ON x.doc_id = c.doc_id_1
+        JOIN sh y ON y.doc_id = c.doc_id_2
+        WHERE CAST(len(list_distinct(list_intersect(x.s, y.s))) AS DOUBLE)
+                / len(list_distinct(list_concat(x.s, y.s))) >= 0.6
+        ORDER BY doc_id_1, doc_id_2
+      """).trim)),
+
     // --- SimHash on planted duplicates. The 64-bit signatures are
     // xxhash64-internal (not DuckDB-replicable), but their BEHAVIOR on the
     // planted corpus is deterministic and oracle-able, q96-style: exact
