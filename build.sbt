@@ -15,6 +15,10 @@ run / fork := true
 // sbt's logger — keeps graft.Bench's single JSON line free of "[info] "
 // prefixes so the driver can parse it.
 run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+// Suppress sbt's "[success] Total time ..." footer: graft.Bench's JSON
+// metric line must be the FINAL stdout line of the sbt invocation so the
+// driver's parser always finds it (BENCH_r01/r02 recorded parsed:null).
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -2,10 +2,10 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.GraftSqlBridge
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{DataType, DoubleType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
 
 /** Native dot product over two `array<double>` columns (SURVEY §2.12 vector
   * path).
@@ -21,15 +21,28 @@ import org.apache.spark.sql.types.{DataType, DoubleType}
   * of IEEE roundings.
   */
 case class DotProductExpr(left: Expression, right: Expression)
-    extends BinaryExpression {
+    extends BinaryExpression with ExpectsInputTypes {
 
   override def dataType: DataType = DoubleType
   override def nullable: Boolean = true
 
+  /** Declared input types make the analyzer CAST other element types
+    * (e.g. `array<float>` straight off a parquet embedding column) to
+    * `array<double>` — without this, `ArrayData.getDouble` over 4-byte
+    * float slots would silently misread memory in UnsafeArrayData.
+    */
+  // covariant override: Seq[DataType] <: Seq[AbstractDataType]
+  // (AbstractDataType itself is private[sql] in Spark 4)
+  override def inputTypes: Seq[DataType] =
+    Seq(ArrayType(DoubleType), ArrayType(DoubleType))
+
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    // Length mismatch → NULL (a corrupt/truncated vector must surface as
+    // missing, never as a plausible partial score).
+    if (x.numElements() != y.numElements()) return null
+    val n = x.numElements()
     var s = 0.0
     var i = 0
     while (i < n) {
@@ -47,10 +60,10 @@ case class DotProductExpr(left: Expression, right: Expression)
       val i = ctx.freshName("i")
       val bad = ctx.freshName("nullElem")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |boolean $bad = $a.numElements() != $b.numElements();
+         |int $n = $a.numElements();
          |double $sum = 0.0;
-         |boolean $bad = false;
-         |for (int $i = 0; $i < $n; $i++) {
+         |for (int $i = 0; !$bad && $i < $n; $i++) {
          |  if ($a.isNullAt($i) || $b.isNullAt($i)) { $bad = true; break; }
          |  $sum += $a.getDouble($i) * $b.getDouble($i);
          |}

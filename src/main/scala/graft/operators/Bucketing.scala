@@ -1,6 +1,9 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
 
 /** Bucketed-table layout for co-located joins (SURVEY §4; the scale answer
   * to "this fact joins that fact on the same key every day").
@@ -25,9 +28,23 @@ object Bucketing {
       .saveAsTable(table)
   }
 
-  /** True when no hash-partitioning exchange appears in the executed plan —
-    * the property bucketed joins buy; used by tests and operational checks.
+  /** Number of shuffle exchanges in the executed plan — a typed walk over
+    * the plan tree (descending into AQE wrappers), NOT a substring match,
+    * so range exchanges, AQE-renamed nodes, and rendering changes across
+    * Spark versions all count correctly.
     */
-  def shuffleFree(df: DataFrame): Boolean =
-    !df.queryExecution.executedPlan.toString.contains("Exchange hashpartitioning")
+  def exchangeCount(df: DataFrame): Int = {
+    def count(p: SparkPlan): Int = p match {
+      case a: AdaptiveSparkPlanExec => count(a.executedPlan)
+      case s: ShuffleExchangeLike => 1 + s.children.map(count).sum
+      case other => other.children.map(count).sum
+    }
+    count(df.queryExecution.executedPlan)
+  }
+
+  /** True when NO shuffle exchange of any kind appears in the executed
+    * plan — the property bucketed joins buy; used by tests and operational
+    * checks.
+    */
+  def shuffleFree(df: DataFrame): Boolean = exchangeCount(df) == 0
 }

@@ -29,7 +29,8 @@ object Similarity {
     * expression whose multiply-add sequence is bit-identical to the
     * `aggregate`/`transform` fold it replaces and to the DuckDB oracle's
     * `list_sum(list_transform(...))`. `dim` documents the expected vector
-    * width; the loop runs over the arrays' (equal) length.
+    * width; a corrupt/short vector (length mismatch between the arrays)
+    * yields NULL — never a plausible partial score.
     */
   def dot(a: Column, b: Column, dim: Int): Column =
     graft.functions.VectorFunctions.dot_product(a, b)

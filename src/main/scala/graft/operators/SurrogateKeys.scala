@@ -1,6 +1,8 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions.{col, row_number}
 import org.apache.spark.sql.types.LongType
 
 /** Scalable sequential surrogate-key assignment (SURVEY §2.6 W2 at fact
@@ -21,13 +23,28 @@ import org.apache.spark.sql.types.LongType
   * would each sample their own bounds and could disagree on partition
   * counts, corrupting the offsets.
   *
-  * Deterministic as long as `order` is a total order (e.g. includes a unique
-  * business key): the assigned key equals the global rank by `order`
-  * regardless of where the range bounds fall.
+  * Only a NARROW projection (the order columns + a tie disambiguator) takes
+  * the RDD round-trip: the wide payload never leaves Catalyst/Tungsten —
+  * keys are assigned on (order-tuple, disambiguator, key) rows and
+  * hash-joined back, so the fact's full width stays in whole-stage codegen
+  * and columnar exchange instead of paying a Row-serialization pass per
+  * payload column.
+  *
+  * Tie safety: a `row_number` PARTITIONED by the order tuple (never a
+  * global window) numbers rows within each tie group on both the narrow and
+  * the wide side. The SET of (tuple, d) values is {(t, 1..count(t))} on
+  * either side regardless of evaluation order, so the join-back is exactly
+  * 1:1 even when `order` is not unique; which tied payload row receives
+  * which key is arbitrary — the same contract the direct zipWithIndex pass
+  * had. When `order` IS a total order (the recommended usage: include a
+  * unique business key), d ≡ 1 and the assigned key is the deterministic
+  * global rank by `order`.
   */
 object SurrogateKeys {
 
-  /** Adds `keyCol` = `startAt` + global rank of the row under `order`. */
+  /** Adds `keyCol` = `startAt` + global rank of the row under `order`
+    * (ties broken arbitrarily but uniquely).
+    */
   def sequential(df: DataFrame, keyCol: String, order: Seq[Column],
       startAt: Long = 0L, numPartitions: Option[Int] = None): DataFrame = {
     val spark = df.sparkSession
@@ -36,11 +53,34 @@ object SurrogateKeys {
     // replace an existing column of the same name (matching withColumn
     // semantics) instead of emitting a duplicate
     val base = if (df.columns.contains(keyCol)) df.drop(keyCol) else df
-    val sorted = base.repartitionByRange(parts, order: _*).sortWithinPartitions(order: _*)
+    val ordNames = order.indices.map(i => s"__sk_o$i")
+    val named = order.zip(ordNames).map { case (c, n) => c.as(n) }
+    val ordCols = ordNames.map(col)
+    // Partitioned (per-tie-group) disambiguator — orderBy equals the
+    // partition key, so it is constant within the frame and row_number
+    // just numbers the group 1..k.
+    val w = Window.partitionBy(ordCols: _*).orderBy(ordCols: _*)
+    val narrow = base.select(named: _*)
+      .withColumn("__sk_d", row_number().over(w))
+    val sortCols = ordCols :+ col("__sk_d")
+    val sorted = narrow.repartitionByRange(parts, sortCols: _*)
+      .sortWithinPartitions(sortCols: _*)
     val schema = sorted.schema.add(keyCol, LongType, nullable = false)
-    val keyed = sorted.rdd.zipWithIndex().map { case (row, idx) =>
+    val keyedRdd = sorted.rdd.zipWithIndex().map { case (row, idx) =>
       Row.fromSeq(row.toSeq :+ (startAt + idx + 1L))
     }
-    spark.createDataFrame(keyed, schema)
+    val keys = spark.createDataFrame(keyedRdd, schema)
+      .toDF(order.indices.map(i => s"__sk_k$i") ++ Seq("__sk_kd", keyCol): _*)
+    // Null-safe join back on (order tuple, disambiguator); the wide side
+    // only re-evaluates the order expressions + the partitioned window,
+    // never round-trips through rows.
+    val wide = base.select(col("*") +: named: _*)
+      .withColumn("__sk_d", row_number().over(w))
+    val cond = order.indices
+      .map(i => col(s"__sk_o$i") <=> col(s"__sk_k$i"))
+      .reduce(_ && _) && col("__sk_d") === col("__sk_kd")
+    wide.join(keys, cond)
+      .drop(order.indices.flatMap(i => Seq(s"__sk_o$i", s"__sk_k$i")) ++
+        Seq("__sk_d", "__sk_kd"): _*)
   }
 }

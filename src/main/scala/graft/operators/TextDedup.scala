@@ -146,23 +146,38 @@ object TextDedup {
       .select(col(s"${idCol}_1"), col(s"${idCol}_2"), col("jaccard"))
   }
 
-  /** 64-bit SimHash over the token multiset (xxhash64 token hashes, majority
-    * vote per bit). One shuffle (explode + groupBy id). Near-dups have small
-    * Hamming distance; pair generation via 16-bit chunk banding.
+  /** Per-document SimHash bit-vote sums: `votes[b]` = (#tokens with bit b
+    * set) − (#tokens with bit b clear) over the xxhash64 token hashes. The
+    * signature is the sign vector of `votes`; exposing the raw sums lets
+    * callers derive CONSTRUCTION-EXACT robustness bounds (editing k tokens
+    * shifts each vote by ≤ k, so only bits with |vote| ≤ k can flip).
+    * One shuffle (explode + groupBy id).
     */
-  def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+  def simhashVotes(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val toks = df.select(col(idCol),
       explode(TextAnalysis.tokens(lower(col(textCol)))).as("tok"))
       .withColumn("h", xxhash64(col("tok")))
     val bitSums = (0 until 64).map { b =>
       sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$b")
     }
-    val agg = toks.groupBy(col(idCol)).agg(bitSums.head, bitSums.tail: _*)
-    val sim = (0 until 64).map { b =>
-      when(col(s"b$b") > 0, shiftleft(lit(1L), b)).otherwise(lit(0L))
-    }.reduce(_.bitwiseOR(_))
-    agg.select(col(idCol), sim.as("simhash"))
+    toks.groupBy(col(idCol)).agg(bitSums.head, bitSums.tail: _*)
+      .select(col(idCol),
+        array((0 until 64).map(b => col(s"b$b").cast("long")): _*).as("votes"))
   }
+
+  /** Packs a 64-long vote array into the 64-bit SimHash signature. */
+  def simhashFromVotes(votes: Column): Column =
+    (0 until 64).map { b =>
+      when(element_at(votes, b + 1) > 0, shiftleft(lit(1L), b)).otherwise(lit(0L))
+    }.reduce(_.bitwiseOR(_))
+
+  /** 64-bit SimHash over the token multiset (xxhash64 token hashes, majority
+    * vote per bit). One shuffle (explode + groupBy id). Near-dups have small
+    * Hamming distance; pair generation via 16-bit chunk banding.
+    */
+  def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    simhashVotes(df, idCol, textCol)
+      .select(col(idCol), simhashFromVotes(col("votes")).as("simhash"))
 
   /** Hamming distance between two 64-bit simhashes. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))

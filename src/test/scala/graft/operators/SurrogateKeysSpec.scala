@@ -28,11 +28,33 @@ class SurrogateKeysSpec extends AnyFunSuite {
     assert(mm.getLong(0) == 501 && mm.getLong(1) == 600)
   }
 
-  test("no global window appears anywhere in the assignment plan") {
+  test("no global (unpartitioned) window appears anywhere in the assignment plan") {
+    // Partitioned windows (the per-tie-group disambiguator) are fine — they
+    // scale with the partition key; an EMPTY partitionSpec is the
+    // single-task scale-killer this guards against.
     val df = spark.range(0, 10000).select(col("id").as("bk"))
     val keyed = SurrogateKeys.sequential(df, "sk", Seq(col("bk")))
-    val windows = keyed.queryExecution.optimizedPlan.collect { case w: LWindow => w }
-    assert(windows.isEmpty, s"unexpected window in surrogate-key plan")
+    val globals = keyed.queryExecution.optimizedPlan.collect {
+      case w: LWindow if w.partitionSpec.isEmpty => w
+    }
+    assert(globals.isEmpty, s"unexpected global window in surrogate-key plan")
+  }
+
+  test("non-unique order: keys are still dense, unique, and rank-ranged per tie group") {
+    // 1000 rows over 10 distinct order values (100-way ties) — the shape
+    // that fan-out on a naive tuple join-back would explode 100×.
+    val df = spark.range(0, 1000)
+      .select((col("id") % 10).as("grp"), col("id").as("payload"))
+    val keyed = SurrogateKeys.sequential(df, "sk", Seq(col("grp")), numPartitions = Some(8))
+    assert(keyed.count() == 1000)
+    assert(keyed.select("sk").distinct().count() == 1000)
+    val mm = keyed.agg(min("sk"), max("sk")).head()
+    assert(mm.getLong(0) == 1 && mm.getLong(1) == 1000)
+    // every tie group occupies exactly its rank range [100*grp+1, 100*(grp+1)]
+    val bad = keyed.filter(col("sk") <= col("grp") * 100 || col("sk") > (col("grp") + 1) * 100)
+    assert(bad.count() == 0)
+    // payloads survive intact (no duplication/loss from the join-back)
+    assert(keyed.select("payload").distinct().count() == 1000)
   }
 
   test("keys stay consistent when the input's task order is not deterministic") {
