@@ -80,6 +80,22 @@ object TextDedup {
     df.select(col(idCol), posexplode(array(bandKeys: _*)).as(Seq("band", "band_key")))
   }
 
+  /** LSH banding for the xxhash64 fast family: band keys are one codegen'd
+    * `xxhash64(band, sig[b*r+1..])` over the numeric minima — no md5, no
+    * string materialization. Same (id, band, band_key) shape as [[lshBands]]
+    * (band_key is a long instead of a hex string), so it composes with
+    * [[lshCandidates]] unchanged. This is the production banding path; the
+    * md5 variant exists for DuckDB-oracle reproducibility.
+    */
+  def lshBandsFast(df: DataFrame, idCol: String, sigCol: Column, numBands: Int,
+      rowsPerBand: Int): DataFrame = {
+    val bandKeys = (0 until numBands).map { b =>
+      xxhash64(lit(b) +: (0 until rowsPerBand).map(r =>
+        element_at(sigCol, b * rowsPerBand + r + 1)): _*)
+    }
+    df.select(col(idCol), posexplode(array(bandKeys: _*)).as(Seq("band", "band_key")))
+  }
+
   /** Candidate pairs (id1 < id2) sharing ≥1 LSH band.
     *
     * `maxBucket` caps the width of a single (band, band_key) bucket: a

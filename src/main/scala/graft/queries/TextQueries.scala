@@ -349,6 +349,52 @@ object TextQueries extends QueryModule {
         SELECT 'mutant', COUNT(*), TRUE, TRUE
         FROM documents WHERE doc_id % 10 = 5
         ORDER BY kind
+      """.trim)),
+
+    // --- The PRODUCTION MinHash family (xxhash64 numeric minima + xxhash64
+    // band keys — zero md5, fully codegen'd), end-to-end through LSH
+    // banding and candidate generation. The signatures are engine-internal,
+    // so the gate uses construction-exact invariants on planted exact
+    // copies (q96/q97 pattern): a copy has the identical shingle set →
+    // identical signature → shares ALL bands with its base, so the pair
+    // MUST surface as a candidate whenever at least one of its band
+    // buckets survives the degenerate-bucket cap (a capped bucket is
+    // non-discriminative by definition, and a copy pair occupies the SAME
+    // buckets in every band — "recoverable" = min bucket width ≤ cap).
+    // The oracle computes the planted-pair count plus literal TRUEs. ---
+    GQuery(
+      "q99_minhash_fast",
+      (spark, dir) => {
+        val cap = 100
+        val docs = withExactDups(spark, dir)
+        val sigs = TextDedup.minhashSignaturesFast(docs, "doc_id", "text",
+          n = 3, numHashes = 8)
+        val bands = TextDedup.lshBandsFast(sigs, "doc_id", col("sig"),
+          numBands = 4, rowsPerBand = 2).persist()
+        val cand = TextDedup.lshCandidates(bands, "doc_id", maxBucket = Some(cap))
+          .withColumn("__found", lit(1))
+        val planted = Tables.docs(spark, dir).filter(col("doc_id") % 10 === 0)
+          .select(col("doc_id").as("doc_id_1"), (col("doc_id") + 100000).as("doc_id_2"))
+        // narrowest bucket the base doc occupies — the copy occupies the
+        // exact same buckets, so ≤ cap ⇒ the pair survives pruning
+        val widths = bands.groupBy(col("band"), col("band_key"))
+          .agg(count(lit(1)).as("__w"))
+        val recoverable = bands.join(widths, Seq("band", "band_key"))
+          .groupBy(col("doc_id")).agg(min(col("__w")).as("__minw"))
+          .select(col("doc_id").as("doc_id_1"), (col("__minw") <= cap).as("__rec"))
+        planted
+          .join(recoverable, Seq("doc_id_1"))
+          .join(cand, Seq("doc_id_1", "doc_id_2"), "left")
+          .agg(
+            count(lit(1)).as("pairs"),
+            min(when(col("__rec"), col("__found").isNotNull).otherwise(lit(true)))
+              .as("all_recoverable_found"))
+          .select(lit("exact_copy").as("kind"), col("pairs"),
+            col("all_recoverable_found"))
+      },
+      Some("""
+        SELECT 'exact_copy' AS kind, COUNT(*) AS pairs, TRUE AS all_recoverable_found
+        FROM documents WHERE doc_id % 10 = 0
       """.trim))
   )
 }
