@@ -38,7 +38,16 @@ object TableConfig {
 
   final case class DimensionRef(dimension: String, joinType: String, joinLogic: String)
 
-  final case class RefTarget(referenceTable: String, referenceColumn: String)
+  /** RI handling per `config/silver/schema/README.md:300-303`: `strict`
+    * rejects orphan records; `permissive` allows them through, flagged for
+    * review (logged to the error table, retained in the valid output).
+    * Configurable per foreign key via an optional `mode` field on the
+    * `referential_integrity` entry; absent = strict, the reference default.
+    */
+  final case class RefTarget(referenceTable: String, referenceColumn: String,
+      mode: String = "strict") {
+    def permissive: Boolean = mode.equalsIgnoreCase("permissive")
+  }
 
   final case class DqRules(
       nullChecks: Seq[String] = Nil,
@@ -165,7 +174,11 @@ object TableConfig {
           case JObject(fields) => fields.map { case (k, v) =>
             k -> RefTarget(
               (v \ "reference_table").extract[String],
-              (v \ "reference_column").extract[String])
+              (v \ "reference_column").extract[String],
+              mode = (v \ "mode") match {
+                case JString(m) => m
+                case _ => "strict"
+              })
           }.toMap
           case _ => Map.empty[String, RefTarget]
         }

@@ -99,10 +99,15 @@ object Medallion {
     val fmts = r.formatValidations.map { case (c, re) =>
       DataQuality.FormatValidation(c, re, s"format_$c", "warning")
     }.toSeq
+    // Strict vs permissive is per-FK from config (`README.md:300-303`):
+    // strict orphans are rejected (blocking, critical); permissive orphans
+    // are allowed through flagged for review (log-only, warning).
     val ris = r.referentialIntegrity.flatMap { case (c, tgt) =>
       parents.get(tgt.referenceTable).map(p =>
         DataQuality.RefIntegrity(Seq(c), p, Seq(tgt.referenceColumn),
-          s"ri_${c}_${tgt.referenceTable}", "critical", strict = true,
+          s"ri_${c}_${tgt.referenceTable}",
+          severity = if (tgt.permissive) "warning" else "critical",
+          strict = !tgt.permissive,
           // reference RI parents are dimension tables — small by contract
           broadcastParent = true))
     }.toSeq

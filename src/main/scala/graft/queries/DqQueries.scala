@@ -173,6 +173,60 @@ object DqQueries extends QueryModule {
                error_column, failed_value, DATE '2025-01-01' AS run_date
         FROM (SELECT * FROM e1 UNION ALL SELECT * FROM e2)
         ORDER BY o_orderkey, rule_name
+      """.trim)),
+
+    // --- Permissive referential integrity FROM CONFIG
+    // (`config/silver/schema/README.md:300-303` option 2: allow orphans,
+    // flag for review, configurable per foreign key). The rule enters
+    // through the JSON config dialect (`mode: permissive`), is threaded by
+    // Medallion.dqRulesOf to a non-blocking warning rule, and the gate
+    // asserts the full posture: every orphan is flagged in the error table
+    // AND retained in the valid output (row counts + orphan counts). ---
+    GQuery(
+      "q25_ri_permissive",
+      (spark, dir) => {
+        val cfg = graft.config.TableConfig.fromJsonString("""{
+          "table_name": "silver_orders_permissive",
+          "data_quality_rules": {
+            "referential_integrity": {
+              "o_custkey": {
+                "reference_table": "customer",
+                "reference_column": "c_custkey",
+                "mode": "permissive"
+              }
+            }
+          }
+        }""")
+        val o = t(spark, dir, "orders")
+        val parent = t(spark, dir, "customer").filter(col("c_custkey") % 4 =!= 0)
+        val rules = graft.medallion.Medallion.dqRulesOf(cfg, Map("customer" -> parent))
+        val res = DataQuality.validate(o, rules)
+        val errorsLogged = DataQuality.errorTable(res.errors, rules,
+            cfg.tableName, lit("2025-01-01 00:00:00"))
+          .agg(count(lit(1)).as("n"))
+          .select(lit("errors_logged").as("bucket"), col("n"))
+        // orphans retained: the valid output still contains every flagged key
+        val orphansRetained = res.valid
+          .join(parent.select(col("c_custkey")),
+            col("o_custkey") === col("c_custkey"), "left_anti")
+          .filter(col("o_custkey").isNotNull)
+          .agg(count(lit(1)).as("n"))
+          .select(lit("orphans_retained").as("bucket"), col("n"))
+        val validRows = res.valid.agg(count(lit(1)).as("n"))
+          .select(lit("valid").as("bucket"), col("n"))
+        errorsLogged.unionByName(orphansRetained).unionByName(validRows)
+          .orderBy(col("bucket"))
+      },
+      Some("""
+        WITH parent AS (SELECT c_custkey FROM customer WHERE c_custkey % 4 <> 0),
+        orph AS (
+          SELECT (o_custkey IS NOT NULL
+                  AND NOT EXISTS (SELECT 1 FROM parent p WHERE p.c_custkey = o.o_custkey)) AS f
+          FROM orders o)
+        SELECT 'errors_logged' AS bucket, COUNT(*) AS n FROM orph WHERE f
+        UNION ALL SELECT 'orphans_retained', COUNT(*) FROM orph WHERE f
+        UNION ALL SELECT 'valid', COUNT(*) FROM orph
+        ORDER BY bucket
       """.trim))
   )
 }

@@ -104,4 +104,30 @@ class TableConfigSpec extends AnyFunSuite {
   test("missing schema file errors") {
     intercept[IllegalArgumentException](TableConfig.load("/nonexistent.json"))
   }
+
+  test("referential-integrity mode decodes: permissive, explicit strict, absent=strict") {
+    val cfg = TableConfig.fromJsonString("""{
+      "table_name": "t",
+      "data_quality_rules": {
+        "referential_integrity": {
+          "a_id": {"reference_table": "pa", "reference_column": "id", "mode": "permissive"},
+          "b_id": {"reference_table": "pb", "reference_column": "id", "mode": "strict"},
+          "c_id": {"reference_table": "pc", "reference_column": "id"}
+        }
+      }
+    }""")
+    val ri = cfg.dqRules.get.referentialIntegrity
+    assert(ri("a_id").permissive)
+    assert(!ri("b_id").permissive)
+    assert(!ri("c_id").permissive)
+    // threading: permissive → non-blocking warning rule; strict → blocking critical
+    val spark = TestSpark.spark
+    val parent = spark.range(1).toDF("id")
+    val rules = graft.medallion.Medallion.dqRulesOf(cfg,
+      Map("pa" -> parent, "pb" -> parent, "pc" -> parent))
+    val byName = rules.collect { case r: graft.operators.DataQuality.RefIntegrity => r.name -> r }.toMap
+    assert(!byName("ri_a_id_pa").blocking && byName("ri_a_id_pa").severity == "warning")
+    assert(byName("ri_b_id_pb").blocking && byName("ri_b_id_pb").severity == "critical")
+    assert(byName("ri_c_id_pc").blocking && byName("ri_c_id_pc").severity == "critical")
+  }
 }
