@@ -45,10 +45,32 @@ object Scd2 {
       // config dialect (`gold_dim_customer_schema.json:158-187`); default =
       // the type-2 columns joined by '|'.
       hashColumns: Option[Seq[String]] = None,
-      hashDelimiter: String = "|") {
+      hashDelimiter: String = "|",
+      // Which of several same-key rows in ONE batch wins (e.g.
+      // `col("ingestion_timestamp").desc` when a glob pass picks up
+      // multiple update files): the first row under this order is kept.
+      // Empty = deterministic content-hash pick (stable, but arbitrary
+      // among genuinely conflicting rows — prefer declaring an order).
+      incomingOrder: Seq[Column] = Nil) {
     def payload: Seq[String] = businessKeys ++ type2Cols ++ type1Cols
     def scdCols: Seq[String] = Seq(hashCol, validFrom, validTo, isCurrent)
     def effectiveHashCols: Seq[String] = hashColumns.getOrElse(type2Cols)
+  }
+
+  /** Fold a batch to ONE row per business key — SCD2 versions within a
+    * single apply all share `valid_from = loadTs`, so multiple versions of
+    * a key per batch cannot coexist as rows; the latest (by
+    * `cfg.incomingOrder`) wins and intermediate versions collapse, exactly
+    * as if the batch had been the final state. Runs BEFORE the payload
+    * projection so order columns outside the payload (ingestion metadata)
+    * are still visible. A batch already unique per key passes through
+    * unchanged (row_number ≡ 1).
+    */
+  private def foldIncoming(incoming: DataFrame, cfg: Config): DataFrame = {
+    val order =
+      if (cfg.incomingOrder.nonEmpty) cfg.incomingOrder
+      else Seq(xxhash64(cfg.payload.map(c => coalesce(col(c).cast("string"), lit(""))): _*).desc)
+    Dedup.keepLatest(incoming, cfg.businessKeys, order)
   }
 
   /** Null-safe MD5 over the configured hash columns, delimiter-joined
@@ -57,21 +79,25 @@ object Scd2 {
   def hashDiff(hashCols: Seq[String], delimiter: String = "|"): Column =
     md5(concat_ws(delimiter, hashCols.map(c => coalesce(col(c).cast("string"), lit(""))): _*))
 
-  /** First load: every incoming row becomes the first current version. */
+  /** First load: every incoming key becomes the first current version
+    * (batches folded to latest-per-key first).
+    */
   def initialize(incoming: DataFrame, cfg: Config, loadTs: Column): DataFrame =
-    incoming
+    foldIncoming(incoming, cfg)
       .select(cfg.payload.map(col): _*)
       .withColumn(cfg.hashCol, hashDiff(cfg.effectiveHashCols, cfg.hashDelimiter))
       .withColumn(cfg.validFrom, loadTs.cast("timestamp"))
       .withColumn(cfg.validTo, lit(cfg.sentinel).cast("timestamp"))
       .withColumn(cfg.isCurrent, lit(true))
 
-  /** Incremental load: merge `incoming` (one row per business key) into the
-    * existing dimension `dim` (shaped like [[initialize]] output).
+  /** Incremental load: merge `incoming` into the existing dimension `dim`
+    * (shaped like [[initialize]] output). Batches carrying several versions
+    * of one business key (e.g. multiple update files in one glob pass) are
+    * folded to the latest per key first — see [[foldIncoming]].
     */
   def apply(dim: DataFrame, incoming: DataFrame, cfg: Config, loadTs: Column): DataFrame = {
     val bk = cfg.businessKeys
-    val inc = incoming
+    val inc = foldIncoming(incoming, cfg)
       .select(cfg.payload.map(col): _*)
       .withColumn(cfg.hashCol, hashDiff(cfg.effectiveHashCols, cfg.hashDelimiter))
 

@@ -23,10 +23,12 @@ class Scd2PropertySpec extends AnyFunSuite {
   private val tierGen = Gen.oneOf("t1", "t2")
   private val nameGen = Gen.oneOf("n1", "n2", "n3")
 
+  // NOT distinct per key: batches may carry several versions of one key
+  // (the multi-file glob-pass shape) — Scd2.foldIncoming must handle it
   private def batchGen: Gen[Seq[(Long, String, String, String)]] =
     Gen.nonEmptyListOf(for {
       k <- keyGen; s <- segGen; t <- tierGen; n <- nameGen
-    } yield (k, s, t, n)).map(_.distinctBy(_._1))
+    } yield (k, s, t, n))
 
   private def sample[T](g: Gen[T], seed: Long): T =
     g.pureApply(Gen.Parameters.default, rng.Seed(seed))
@@ -59,8 +61,36 @@ class Scd2PropertySpec extends AnyFunSuite {
         checkInvariants(dim, s"scenario $scenario batch $i")
       }
       // version count never shrinks and history is append-only in size
-      assert(dim.count() >= batches.head.size)
+      assert(dim.count() >= batches.head.map(_._1).distinct.size)
     }
+  }
+
+  test("a batch with two versions of one key folds to the declared latest") {
+    val cfgOrd = cfg.copy(incomingOrder = Seq(col("ing").desc))
+    var dim = Scd2.initialize(
+      Seq((1L, "A", "t1", "n1")).toDF("k", "seg", "tier", "name"),
+      cfg, lit("2024-01-01 00:00:00"))
+    // one glob pass picked up two update files: k=1 changed twice (the
+    // 10:00 row must win), k=2 is new with two candidate rows (09:30 wins)
+    val batch = Seq(
+      (1L, "B", "t1", "n1", "2024-02-01 09:00:00"),
+      (1L, "C", "t2", "n2", "2024-02-01 10:00:00"),
+      (2L, "X", "t1", "n1", "2024-02-01 09:30:00"),
+      (2L, "Y", "t1", "n1", "2024-02-01 08:00:00")
+    ).toDF("k", "seg", "tier", "name", "ing")
+    dim = Scd2.apply(dim, batch, cfgOrd, lit("2024-02-02 00:00:00"))
+    checkInvariants(dim, "multi-version batch")
+    val cur1 = dim.filter($"k" === 1 && $"is_current").collect()
+    assert(cur1.length == 1 && cur1(0).getAs[String]("seg") === "C",
+      "latest same-key row in the batch must win")
+    assert(dim.filter($"k" === 1).count() == 2, "exactly one version added for k=1")
+    val rows2 = dim.filter($"k" === 2).collect()
+    assert(rows2.length == 1 && rows2(0).getAs[String]("seg") === "X",
+      "new key takes its latest in-batch row as first version")
+    // initialize with a multi-version batch folds the same way
+    val init2 = Scd2.initialize(batch, cfgOrd, lit("2024-01-01 00:00:00"))
+    assert(init2.count() == 2)
+    assert(init2.filter($"k" === 1).head().getAs[String]("seg") === "C")
   }
 
   test("dedup is idempotent under any order column") {
