@@ -87,6 +87,38 @@ object Similarity {
     corpus.orderBy(col(idCol)).limit(m)
       .select(col(idCol).as("centroid_id"), asDouble(col(vecCol)).as("cv"))
 
+  /** IVF centroid count as a function of corpus size: ⌈√n⌉ clamped to
+    * [minM, maxM]. At m = √n both the assignment work (n·m dot products)
+    * and the per-probe bucket width (n/m) grow at the √n rate — neither
+    * explodes as the corpus scales, which is why fixed-m indexes degrade
+    * at 100 TB: a constant m turns buckets into n/m-sized brute-force
+    * scans. ~1e10 vectors → m ≈ 1e5: still a tiny broadcast table.
+    */
+  def centroidCount(n: Long, minM: Int = 4, maxM: Int = 1 << 17): Int =
+    math.max(minM, math.min(maxM, math.ceil(math.sqrt(n.toDouble)).toInt))
+
+  /** Default probe count for an auto-sized index: a constant FRACTION of
+    * the buckets (m/4, floor 4) rather than a constant count — as m scales
+    * with √n, a fixed nProbe would shrink the probed share toward zero and
+    * recall with it; a fixed fraction keeps recall stable while still
+    * cutting compared pairs 4×.
+    */
+  def probeCount(m: Int): Int = math.max(4, math.ceil(m / 4.0).toInt)
+
+  /** Build an IVF index over a corpus: centroid count auto-scaled to √n
+    * (one count job — a single scalar to the driver) unless pinned via
+    * `m`, deterministic seed, optional Lloyd refinement. Returns the
+    * centroid table for [[ivfAssign]]/[[ivfTopK]].
+    */
+  def ivfIndex(corpus: DataFrame, idCol: String, vecCol: String, dim: Int,
+      m: Option[Int] = None, kmeansIterations: Int = 0): DataFrame = {
+    val mm = m.getOrElse(centroidCount(corpus.count()))
+    val seed = seedCentroids(corpus, idCol, vecCol, mm)
+    if (kmeansIterations > 0)
+      kmeansRefine(corpus, seed, idCol, vecCol, dim, kmeansIterations)
+    else seed
+  }
+
   /** Lloyd iterations over the current centroids — assignment (max dot) +
     * per-bucket element-wise mean, entirely as DataFrame algebra: explode
     * dimensions, average per (bucket, position), reassemble the vector by

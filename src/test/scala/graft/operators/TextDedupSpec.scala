@@ -84,6 +84,32 @@ class TextDedupSpec extends AnyFunSuite {
     assert(recall >= 0.8, s"refined-centroid recall $recall")
   }
 
+  test("auto-sized IVF (√n centroids) keeps recall ≥ 0.8 at two corpus sizes, no retuning") {
+    // Same code path at both sizes: m = ⌈√n⌉ from ivfIndex's internal
+    // count, probes = m/4. The 3× corpus adds genuinely distinct vectors
+    // (reversed and negated copies) so buckets, not ties, decide recall.
+    val e0 = spark.read.parquet(s"${TestSpark.SfDir}/embeddings.parquet")
+    val rev = e0.withColumn("embedding", reverse(col("embedding")))
+      .withColumn("vec_id", col("vec_id") + 10000)
+    val neg = e0.withColumn("embedding", transform(col("embedding"), x => -x))
+      .withColumn("vec_id", col("vec_id") + 20000)
+    def recallOf(corpus: org.apache.spark.sql.DataFrame): Double = {
+      val queries = e0.filter(col("vec_id") < 20)
+      val bf = Similarity.bruteForceTopK(queries, corpus, "vec_id", "embedding", 64, 5)
+        .select("query_id", "neighbor_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val m = Similarity.centroidCount(corpus.count())
+      val cents = Similarity.ivfIndex(corpus, "vec_id", "embedding", 64)
+      val ivf = Similarity.ivfTopK(queries, corpus, cents, "vec_id", "embedding",
+          64, 5, Similarity.probeCount(m))
+        .select("query_id", "neighbor_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      bf.count(ivf.contains).toDouble / bf.size
+    }
+    val rSmall = recallOf(e0)
+    val rLarge = recallOf(e0.unionByName(rev).unionByName(neg))
+    assert(rSmall >= 0.8, s"recall at 1× corpus: $rSmall")
+    assert(rLarge >= 0.8, s"recall at 3× corpus: $rLarge")
+  }
+
   test("RP-LSH: planted exact copies are always candidates; cluster-mates rarely are") {
     val e0 = spark.read.parquet(s"${TestSpark.SfDir}/embeddings.parquet")
     val e = e0.unionByName(e0.filter(col("vec_id") % 25 === 0)
