@@ -67,4 +67,40 @@ class ScaleOpsSpec extends AnyFunSuite {
       .filter($"info_name" === "distinct_count").collect()
     assert(colStats.nonEmpty && colStats.head.getString(1) != "NULL")
   }
+
+  test("ANALYZE column stats flip a join to broadcast via CBO selectivity") {
+    // The posture check the stats maintenance exists FOR: a selective
+    // filter over a fact joined to another fact. Without column stats the
+    // filtered side is estimated at full relation size (> the broadcast
+    // threshold) → sort-merge join; with min/max/ndv stats the CBO
+    // estimates the filter's output as tiny → broadcast hash join. The
+    // assertion diffs the COMPILE-TIME plan (sparkPlan, pre-AQE) so the
+    // flip is attributable to CBO statistics, not runtime adaptation.
+    def hasBroadcast(df: org.apache.spark.sql.DataFrame): Boolean =
+      df.queryExecution.sparkPlan.exists(
+        _.isInstanceOf[org.apache.spark.sql.execution.joins.BroadcastHashJoinExec])
+    val saved = Seq("spark.sql.cbo.enabled", "spark.sql.autoBroadcastJoinThreshold")
+      .map(k => k -> spark.conf.getOption(k)).toMap
+    try {
+      spark.conf.set("spark.sql.cbo.enabled", "true")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", (256 * 1024).toString)
+      // k is multiplied by a large odd constant so parquet can't
+      // delta/dictionary-compress it below the broadcast threshold
+      val fact = spark.range(0, 300000).select(
+        (col("id") * 2654435761L).as("k"), (col("id") % 1000).as("v"))
+      fact.write.mode("overwrite").saveAsTable("cbo_fact_a")
+      fact.write.mode("overwrite").saveAsTable("cbo_fact_b")
+      def q() = spark.table("cbo_fact_a").filter($"v" < 5)
+        .join(spark.table("cbo_fact_b"), "k")
+      assert(!hasBroadcast(q()),
+        "without stats both sides should exceed the broadcast threshold")
+      Layout.analyzeTable(spark, "cbo_fact_a", Seq("k", "v"))
+      Layout.analyzeTable(spark, "cbo_fact_b", Seq("k", "v"))
+      assert(hasBroadcast(q()),
+        "with column stats the CBO should broadcast the filtered side")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
 }
