@@ -1,0 +1,179 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+import graft.functions.TextAnalysis
+
+/** Empirical scale proof for the heavy operators (the gap between "plans
+  * look right" and "plans ARE right"): each operator runs on its base input
+  * and on a 10×-amplified input, asserting
+  *
+  *  1. the amplified plan has the SAME shuffle-exchange count — growing
+  *     data must not grow the number of wide stages; and
+  *  2. wall time grows ≲ linearly (4× slack over proportional, plus a 5 s
+  *     floor for fixed overheads at these test sizes) — a quadratic
+  *     operator would blow two orders of magnitude past this at 10×.
+  *
+  * Amplified copies are DISTINCT content (per-copy character bijections for
+  * text, array rotations for vectors), not duplicates: duplicated content
+  * would plant cross-copy near-dup clusters whose pair output is
+  * legitimately quadratic in copy count — measuring the dataset, not the
+  * operator. Bijections preserve within-copy structure, so true output
+  * grows exactly linearly.
+  *
+  * `autoBroadcastJoinThreshold` is disabled while measuring so strategy
+  * choices can't flip between sizes — explicit broadcast() hints (the
+  * operators' own scale posture) are unaffected.
+  */
+class ScaleCurveSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val Sf = "/root/testdata/sf0.01"
+  private val Amp = 10
+
+  /** Raw single-row-group scan — amplification happens on raw scans and
+    * [[spread]] is applied ONCE afterwards, so base and amplified inputs
+    * carry exactly one input exchange each and any count difference is the
+    * operator's own doing.
+    */
+  private def table(name: String): DataFrame =
+    spark.read.parquet(s"$Sf/$name.parquet")
+
+  private def spread(df: DataFrame): DataFrame =
+    df.repartition(spark.sparkContext.defaultParallelism)
+
+  /** Copy i rewrites digits by rotation and '#' to a per-copy letter — a
+    * character bijection per copy: within-copy similarity structure (edit
+    * distances, shingle overlaps) is preserved exactly; cross-copy strings
+    * differ in many positions.
+    */
+  private def ampText(df: DataFrame, idCol: String, textCols: Seq[String],
+      shift: Long): DataFrame = {
+    val digits = "0123456789"
+    (0 until Amp).map { i =>
+      val rot = digits.drop(i) + digits.take(i)
+      textCols.foldLeft(df.withColumn(idCol, col(idCol) + lit(i * shift))) {
+        (d, tc) => d.withColumn(tc, translate(col(tc), digits + "#", rot + "abcdefghij" (i)))
+      }
+    }.reduce(_ unionByName _)
+  }
+
+  private def timed(df: DataFrame): (Double, Int) = {
+    val t0 = System.nanoTime()
+    df.count()
+    ((System.nanoTime() - t0) / 1e9, Bucketing.exchangeCount(df))
+  }
+
+  private def curve(label: String, op: DataFrame => DataFrame,
+      base: DataFrame, amp: DataFrame): Unit = {
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val saved = spark.conf.getOption(key)
+    spark.conf.set(key, "-1")
+    try {
+      op(spread(base)).count() // warm: codegen + scan path out of the measurement
+      val (t1, x1) = timed(op(spread(base)))
+      val (tN, xN) = timed(op(spread(amp)))
+      info(f"$label: 1x=$t1%.2fs ${Amp}x=$tN%.2fs exchanges=$x1/$xN")
+      assert(xN == x1, s"$label: ${Amp}x plan changed exchange count ($x1 -> $xN)")
+      assert(tN <= math.max(4.0 * Amp * t1, Amp * t1 + 5.0),
+        f"$label: super-linear growth 1x=$t1%.2fs ${Amp}x=$tN%.2fs")
+    } finally saved match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
+  test("near-dup pipeline (MinHash LSH -> Jaccard verify) scales ~linearly") {
+    val docs = table("documents").select($"doc_id", $"text")
+    val amp = ampText(docs, "doc_id", Seq("text"), 1000000L)
+    def op(d: DataFrame): DataFrame = {
+      val sigs = TextDedup.minhashSignaturesFast(d, "doc_id", "text", n = 3, numHashes = 8)
+      val bands = TextDedup.lshBandsFast(sigs, "doc_id", col("sig"),
+        numBands = 4, rowsPerBand = 2)
+      val cand = TextDedup.lshCandidates(bands, "doc_id", maxBucket = Some(100))
+      val sh = d.select($"doc_id", array_distinct(TextAnalysis.shingles($"text", 3)).as("sh"))
+      cand.join(sh.select($"doc_id".as("doc_id_1"), $"sh".as("sh1")), Seq("doc_id_1"))
+        .join(sh.select($"doc_id".as("doc_id_2"), $"sh".as("sh2")), Seq("doc_id_2"))
+        .withColumn("j", TextDedup.jaccard($"sh1", $"sh2"))
+        .filter($"j" >= 0.6)
+    }
+    curve("neardup_pipeline", op, docs, amp)
+  }
+
+  test("fuzzy deletion-neighborhood matching scales ~linearly") {
+    val c = table("customer").select($"c_custkey", $"c_nationkey", $"c_name")
+    val amp = ampText(c, "c_custkey", Seq("c_name"), 10000000L)
+    def op(d: DataFrame): DataFrame = {
+      val n = col("c_name")
+      val delNeighborhood = concat(
+        array(n),
+        transform(sequence(lit(1), length(n)),
+          i => concat(n.substr(lit(1), i - lit(1)), n.substr(i + lit(1), length(n)))))
+      val keys = d.select($"c_custkey", $"c_nationkey", explode(delNeighborhood).as("bk"))
+      val cand = keys.select($"c_nationkey", $"bk", $"c_custkey".as("k1"))
+        .join(keys.select($"c_nationkey", $"bk", $"c_custkey".as("k2")), Seq("c_nationkey", "bk"))
+        .filter($"k1" < $"k2")
+        .select($"c_nationkey", $"k1", $"k2").distinct()
+      cand
+        .join(d.select($"c_custkey".as("k1"), $"c_name".as("n1")), Seq("k1"))
+        .join(d.select($"c_custkey".as("k2"), $"c_name".as("n2")), Seq("k2"))
+        .filter(levenshtein($"n1", $"n2") <= 1)
+        .groupBy($"c_nationkey").agg(count(lit(1)).as("fuzzy_pairs"))
+    }
+    curve("fuzzy_pairs", op, c, amp)
+  }
+
+  test("fact surrogate keys + point-in-time dim resolve scale ~linearly") {
+    val o = table("orders").select($"o_orderkey", $"o_custkey", $"o_orderdate", $"o_totalprice")
+    val amp = (0 until Amp).map(i =>
+      o.withColumn("o_orderkey", $"o_orderkey" + lit(i * 100000000L)))
+      .reduce(_ unionByName _)
+    // two-version SCD2-shaped dim over the customer keys (small by contract)
+    val dim = {
+      val c = table("customer").select($"c_custkey".as("bk"))
+      c.withColumn("valid_from", lit("0001-01-01 00:00:00").cast("timestamp"))
+        .withColumn("valid_to", lit("2024-06-01 00:00:00").cast("timestamp"))
+        .withColumn("ck", $"bk" * 10)
+        .unionByName(
+          c.withColumn("valid_from", lit("2024-06-01 00:00:00").cast("timestamp"))
+            .withColumn("valid_to", lit("9999-12-31 00:00:00").cast("timestamp"))
+            .withColumn("ck", $"bk" * 10 + 1))
+    }
+    def op(d: DataFrame): DataFrame = {
+      val resolved = PointInTime.join(d, dim, Seq("o_custkey" -> "bk"),
+          $"o_orderdate".cast("timestamp"))
+        .drop("bk", "valid_from", "valid_to")
+      SurrogateKeys.sequential(resolved, "order_key", Seq($"o_orderkey"))
+    }
+    curve("fact_keys_pit", op, o, amp)
+  }
+
+  test("RP-LSH vector near-dups scale ~linearly") {
+    val e = table("embeddings")
+      .select($"vec_id", Similarity.asDouble($"embedding").as("ev"))
+    // copy i rotates the vector by i positions: cosine structure within a
+    // copy is preserved (both sides rotated), cross-copy pairs decorrelate
+    val amp = (0 until Amp).map { i =>
+      val rotated = if (i == 0) $"ev"
+        else concat(slice($"ev", i + 1, 64 - i), slice($"ev", 1, i))
+      e.withColumn("vec_id", $"vec_id" + lit(i * 1000000L)).withColumn("ev", rotated)
+    }.reduce(_ unionByName _)
+    def op(d: DataFrame): DataFrame = {
+      val bands = Similarity.rpLshBands(d, "vec_id", col("ev"), 64)
+      val cand = Similarity.rpLshCandidates(bands, "vec_id", maxBucket = Some(200))
+      val s1 = d.select($"vec_id".as("vec_id_1"), $"ev".as("e1"))
+        .withColumn("n1", Similarity.norm($"e1", 64))
+      val s2 = d.select($"vec_id".as("vec_id_2"), $"ev".as("e2"))
+        .withColumn("n2", Similarity.norm($"e2", 64))
+      cand.join(s1, Seq("vec_id_1")).join(s2, Seq("vec_id_2"))
+        .withColumn("cosine",
+          Similarity.cosinePrenormed($"e1", $"e2", $"n1", $"n2", 64))
+        .filter($"cosine" >= 0.99)
+    }
+    curve("rp_lsh_neardup", op, e, amp)
+  }
+}
