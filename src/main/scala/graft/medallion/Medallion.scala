@@ -350,9 +350,15 @@ object Medallion {
     // unpartitioned window.
     val sk = cfg.columns.find(_.isSurrogateKey)
     sk.foreach { k =>
-      val pkOrder = cfg.columns.find(_.isBusinessKey).map(_.name)
-        .filter(df.columns.contains).getOrElse(df.columns.head)
-      df = graft.operators.SurrogateKeys.sequential(df, k.name, Seq(col(pkOrder)))
+      val bkOrder = cfg.columns.find(_.isBusinessKey).map(_.name)
+        .filter(df.columns.contains)
+      val pkOrder = bkOrder.getOrElse(df.columns.head)
+      // A declared business key is unique post-silver-dedup (silver dedups
+      // on the primary key), so the tie-disambiguator pass — one wide
+      // window shuffle — is skipped; fallback orders (fact_inventory has
+      // no business key) keep it.
+      df = graft.operators.SurrogateKeys.sequential(df, k.name, Seq(col(pkOrder)),
+        assumeUnique = bkOrder.nonEmpty)
     }
     df.select(cfg.columns.filter(c => df.columns.contains(c.name))
       .map(c => col(c.name).cast(c.sparkType).as(c.name)): _*)

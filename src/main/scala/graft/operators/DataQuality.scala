@@ -150,14 +150,20 @@ object DataQuality {
       .drop(rules.indices.map(flagName): _*)
     val valid = flagged.filter(!anyBlocking).drop(rules.indices.map(flagName): _*)
 
-    val metricStructs = rules.zipWithIndex.map { case (r, i) =>
-      struct(lit(r.name).as("rule_name"), lit(r.severity).as("severity"),
-        col(flagName(i)).cast("long").as("v"))
-    }
+    // One partial-aggregated pass (a single scalar row crosses the
+    // exchange), then fan the per-rule counters out to rows — NOT an
+    // explode of |rules| structs per input row, which would shuffle
+    // |rules|×n rows to compute |rules| numbers.
+    val counters = rules.indices.map(i =>
+      sum(col(flagName(i)).cast("long")).as(s"__v_$i")) :+ count(lit(1)).as("__n")
     val metrics = flagged
-      .select(explode(array(metricStructs: _*)).as("m"))
-      .groupBy(col("m.rule_name"), col("m.severity"))
-      .agg(sum(col("m.v")).as("violation_count"), count(lit(1)).as("row_count"))
+      .agg(counters.head, counters.tail: _*)
+      .select(explode(array(rules.zipWithIndex.map { case (r, i) =>
+        struct(lit(r.name).as("rule_name"), lit(r.severity).as("severity"),
+          col(s"__v_$i").as("violation_count"), col("__n").as("row_count"))
+      }: _*)).as("m"))
+      .select(col("m.rule_name"), col("m.severity"),
+        col("m.violation_count"), col("m.row_count"))
     Result(valid, errors, metrics)
   }
 

@@ -2,7 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.expressions.Window
-import org.apache.spark.sql.functions.{col, row_number}
+import org.apache.spark.sql.functions.{col, lit, row_number}
 import org.apache.spark.sql.types.LongType
 
 /** Scalable sequential surrogate-key assignment (SURVEY §2.6 W2 at fact
@@ -44,9 +44,17 @@ object SurrogateKeys {
 
   /** Adds `keyCol` = `startAt` + global rank of the row under `order`
     * (ties broken arbitrarily but uniquely).
+    *
+    * `assumeUnique = true` declares `order` a unique total order (e.g. the
+    * deduped business key): the per-tie-group disambiguator — and with it
+    * one wide window shuffle — is skipped and the join-back keys on the
+    * order tuple alone. ONLY assert this when uniqueness is guaranteed
+    * upstream (silver dedup on the primary key): a lying caller fans the
+    * join out by the duplicate count instead of failing.
     */
   def sequential(df: DataFrame, keyCol: String, order: Seq[Column],
-      startAt: Long = 0L, numPartitions: Option[Int] = None): DataFrame = {
+      startAt: Long = 0L, numPartitions: Option[Int] = None,
+      assumeUnique: Boolean = false): DataFrame = {
     val spark = df.sparkSession
     val parts = numPartitions.getOrElse(
       spark.conf.get("spark.sql.shuffle.partitions", "200").toInt)
@@ -60,8 +68,10 @@ object SurrogateKeys {
     // partition key, so it is constant within the frame and row_number
     // just numbers the group 1..k.
     val w = Window.partitionBy(ordCols: _*).orderBy(ordCols: _*)
-    val narrow = base.select(named: _*)
-      .withColumn("__sk_d", row_number().over(w))
+    def disambiguate(d: DataFrame): DataFrame =
+      if (assumeUnique) d.withColumn("__sk_d", lit(1))
+      else d.withColumn("__sk_d", row_number().over(w))
+    val narrow = disambiguate(base.select(named: _*))
     val sortCols = ordCols :+ col("__sk_d")
     val sorted = narrow.repartitionByRange(parts, sortCols: _*)
       .sortWithinPartitions(sortCols: _*)
@@ -71,16 +81,20 @@ object SurrogateKeys {
     }
     val keys = spark.createDataFrame(keyedRdd, schema)
       .toDF(order.indices.map(i => s"__sk_k$i") ++ Seq("__sk_kd", keyCol): _*)
-    // Null-safe join back on (order tuple, disambiguator); the wide side
-    // only re-evaluates the order expressions + the partitioned window,
-    // never round-trips through rows.
-    val wide = base.select(col("*") +: named: _*)
-      .withColumn("__sk_d", row_number().over(w))
-    val cond = order.indices
+    // Null-safe join back on the order tuple (+ disambiguator when ties
+    // are possible); the wide side only re-evaluates the order expressions
+    // (and, for non-unique orders, the partitioned window), never
+    // round-trips through rows.
+    val wide = disambiguate(base.select(col("*") +: named: _*))
+    val tupleCond = order.indices
       .map(i => col(s"__sk_o$i") <=> col(s"__sk_k$i"))
-      .reduce(_ && _) && col("__sk_d") === col("__sk_kd")
-    wide.join(keys, cond)
-      .drop(order.indices.flatMap(i => Seq(s"__sk_o$i", s"__sk_k$i")) ++
-        Seq("__sk_d", "__sk_kd"): _*)
+      .reduce(_ && _)
+    val joined =
+      if (assumeUnique)
+        wide.drop("__sk_d").join(keys.drop("__sk_kd"), tupleCond)
+      else
+        wide.join(keys, tupleCond && col("__sk_d") === col("__sk_kd"))
+    joined.drop(order.indices.flatMap(i => Seq(s"__sk_o$i", s"__sk_k$i")) ++
+      Seq("__sk_d", "__sk_kd"): _*)
   }
 }

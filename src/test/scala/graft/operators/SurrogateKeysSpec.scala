@@ -57,6 +57,22 @@ class SurrogateKeysSpec extends AnyFunSuite {
     assert(keyed.select("payload").distinct().count() == 1000)
   }
 
+  test("assumeUnique fast path matches the general path on a unique order") {
+    val df = spark.range(0, 10000)
+      .select(((col("id") * 7919) % 10007).as("bk"), col("id").as("payload"))
+    val fast = SurrogateKeys.sequential(df, "sk", Seq(col("bk")),
+      numPartitions = Some(8), assumeUnique = true)
+    val general = SurrogateKeys.sequential(df, "sk", Seq(col("bk")),
+      numPartitions = Some(8))
+    assert(fast.join(general.withColumnRenamed("sk", "sk2"), Seq("bk"))
+      .filter(col("sk") =!= col("sk2")).count() == 0)
+    // the fast path must not plan the per-tie-group window at all
+    val windows = fast.queryExecution.optimizedPlan.collect {
+      case w: LWindow => w
+    }
+    assert(windows.isEmpty, "assumeUnique path should skip the disambiguator window")
+  }
+
   test("keys stay consistent when the input's task order is not deterministic") {
     // A join output has no stable row order across recomputations — the
     // regression this guards: two independent plan branches sampling their
