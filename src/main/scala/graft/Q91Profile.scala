@@ -1,0 +1,60 @@
+package graft
+
+// Dev-only profiling main for q91's stages (not part of the library).
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+object Q91Profile {
+  def main(args: Array[String]): Unit = {
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import graft.medallion.Medallion
+    import graft.core.Tables.t
+    val dimCustomerCfg = graft.queries.MedallionQueries.dimCustomerCfg
+    val factOrdersCfg = graft.queries.MedallionQueries.factOrdersCfg
+
+    def timeIt(label: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime(); val n = f
+      println(f"$label%-28s ${(System.nanoTime() - t0) / 1e9}%6.2f s  ($n rows)")
+    }
+
+    val c = t(spark, dir, "customer")
+    val initial = c.select(col("c_custkey"), col("c_mktsegment"),
+      col("c_acctbal").cast(DecimalType(12, 2)).as("c_acctbal"), col("c_name"))
+    val batch = c.filter(col("c_custkey") % 5 === 0)
+      .select(col("c_custkey"), concat(lit("X_"), col("c_mktsegment")).as("c_mktsegment"),
+        col("c_acctbal").cast(DecimalType(12, 2)).as("c_acctbal"),
+        upper(col("c_name")).as("c_name"))
+    def dimOf() = Medallion.goldDimScd2(
+      Some(Medallion.goldDimScd2(None, initial, dimCustomerCfg, lit("2020-01-01 00:00:00"))),
+      batch, dimCustomerCfg, lit("2024-06-01 00:00:00"))
+    val silver = t(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"),
+        (col("o_orderdate") + expr("interval 28 years")).as("eff_ts"),
+        col("o_totalprice").cast(DecimalType(12, 2)).as("o_totalprice"))
+      .withColumn("c_custkey", col("o_custkey"))
+
+    // warm
+    dimOf().count(); silver.count()
+    timeIt("dim (2 SCD2 loads)")(dimOf().count())
+    val dim = dimOf().localCheckpoint(true)
+    timeIt("dim materialized")(dim.count())
+    val fact = Medallion.goldFact(silver, factOrdersCfg,
+      dims = Map("dim_sf_customer" -> dim),
+      dimBusinessKeys = Map("dim_sf_customer" -> "c_custkey"), factTimeCol = "eff_ts")
+    timeIt("fact w/ cached dim")(fact.count())
+    val factFresh = Medallion.goldFact(silver, factOrdersCfg,
+      dims = Map("dim_sf_customer" -> dimOf()),
+      dimBusinessKeys = Map("dim_sf_customer" -> "c_custkey"), factTimeCol = "eff_ts")
+    timeIt("fact w/ fresh dim")(factFresh.count())
+    timeIt("fact + orderBy")(factFresh.orderBy(col("o_orderkey")).count())
+    spark.stop()
+  }
+}

@@ -67,7 +67,7 @@ object MedallionQueries extends QueryModule {
       }
     }""")
 
-  private val dimCustomerCfg = TableConfig.fromJsonString("""
+  private[graft] val dimCustomerCfg = TableConfig.fromJsonString("""
     {
       "table_name": "dim_sf_customer",
       "source_table": "silver_sf_customers",
@@ -83,7 +83,7 @@ object MedallionQueries extends QueryModule {
       }
     }""")
 
-  private val factOrdersCfg = TableConfig.fromJsonString("""
+  private[graft] val factOrdersCfg = TableConfig.fromJsonString("""
     {
       "table_name": "fact_sf_orders",
       "source_table": "silver_sf_orders",
@@ -144,10 +144,15 @@ object MedallionQueries extends QueryModule {
           .select(col("c_custkey"), concat(lit("X_"), col("c_mktsegment")).as("c_mktsegment"),
             col("c_acctbal").cast(DecimalType(12, 2)).as("c_acctbal"),
             upper(col("c_name")).as("c_name"))
+        // Each dim load is MATERIALIZED (as a real pipeline persists the
+        // dimension table per load): the incremental apply and the fact's
+        // broadcast each reference the dim plan several times, and without
+        // materialization Catalyst re-derives the whole prior load per
+        // reference.
         val dimV1 = Medallion.goldDimScd2(None, initial, dimCustomerCfg,
-          lit("2020-01-01 00:00:00"))
+          lit("2020-01-01 00:00:00")).localCheckpoint(true)
         val dim = Medallion.goldDimScd2(Some(dimV1), batch, dimCustomerCfg,
-          lit("2024-06-01 00:00:00"))
+          lit("2024-06-01 00:00:00")).localCheckpoint(true)
         val silver = t(spark, dir, "orders")
           .select(col("o_orderkey"), col("o_custkey"),
             (col("o_orderdate") + expr("interval 28 years")).as("eff_ts"),
