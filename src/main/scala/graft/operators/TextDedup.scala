@@ -197,4 +197,48 @@ object TextDedup {
 
   /** Hamming distance between two 64-bit simhashes. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** Connected components over verified near-dup pairs — the step that
+    * turns pairs into dedup CLUSTERS (then "keep one doc per cluster" is a
+    * filter on `id === component`).
+    *
+    * Min-label propagation as pure DataFrame algebra: every vertex starts
+    * labeled with itself; each round pushes labels across the (symmetric)
+    * edge list and keeps the per-vertex minimum, until a round changes
+    * nothing. Rounds needed = graph diameter — near-dup graphs are
+    * near-star-shaped (copies of one base), so this converges in 2-3
+    * rounds; `maxIterations` bounds adversarial chains. Each round is one
+    * join + one min-aggregate (two key shuffles) over the edge list, the
+    * driver sees only a changed-count scalar, and `localCheckpoint`
+    * truncates the per-round lineage (same discipline as the Lloyd loop in
+    * Similarity.kmeansRefine).
+    *
+    * Returns (idCol, component) for every vertex that appears in `pairs`;
+    * component = smallest id reachable, so it doubles as the canonical
+    * representative.
+    */
+  def connectedComponents(pairs: DataFrame, idCol1: String, idCol2: String,
+      maxIterations: Int = 20): DataFrame = {
+    val und = pairs.select(col(idCol1).as("__src"), col(idCol2).as("__dst"))
+      .unionByName(pairs.select(col(idCol2).as("__src"), col(idCol1).as("__dst")))
+      .distinct()
+      .localCheckpoint(true) // edges are reused every round
+    var labels = und.select(col("__src").as("id")).distinct()
+      .withColumn("component", col("id"))
+      .localCheckpoint(true)
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < maxIterations) {
+      val msgs = und.join(labels.withColumnRenamed("id", "__src"), "__src")
+        .select(col("__dst").as("id"), col("component"))
+      val next = labels.unionByName(msgs)
+        .groupBy(col("id")).agg(min(col("component")).as("component"))
+        .localCheckpoint(true)
+      changed = next.join(labels.withColumnRenamed("component", "__old"), "id")
+        .filter(col("component") =!= col("__old")).count()
+      labels = next
+      iter += 1
+    }
+    labels
+  }
 }

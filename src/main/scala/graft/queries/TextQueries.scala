@@ -53,6 +53,26 @@ object TextQueries extends QueryModule {
   private val allMarkers =
     TextAnalysis.langMarkers.flatMap(_._2).distinct.map(s => s"'$s'").mkString("[", ", ", "]")
 
+  /** The composed near-dup pipeline shared by q98 (pair output) and q76
+    * (cluster output): md5-family MinHash signatures → LSH banding →
+    * capped candidates → exact n-gram Jaccard verification at ≥ 0.6.
+    */
+  private def neardupVerifiedPairs(spark: SparkSession, dir: String): DataFrame = {
+    val docs = withNearDups(spark, dir)
+    val sigs = TextDedup.minhashSignaturesMd5(docs, "doc_id", "text",
+      n = 3, numHashes = 8)
+    val bands = TextDedup.lshBands(sigs, "doc_id", col("sig"),
+      numBands = 4, rowsPerBand = 2).persist()
+    val cand = TextDedup.lshCandidates(bands, "doc_id", maxBucket = Some(100))
+    val withSh = docs.select(col("doc_id"),
+      array_distinct(TextAnalysis.shingles(col("text"), 3)).as("sh"))
+    cand
+      .join(withSh.select(col("doc_id").as("doc_id_1"), col("sh").as("sh1")), Seq("doc_id_1"))
+      .join(withSh.select(col("doc_id").as("doc_id_2"), col("sh").as("sh2")), Seq("doc_id_2"))
+      .withColumn("jaccard", TextDedup.jaccard(col("sh1"), col("sh2")))
+      .filter(col("jaccard") >= 0.6)
+  }
+
   override def all: Seq[GQuery] = Seq(
 
     // --- token counting + lexical stats ---
@@ -229,23 +249,10 @@ object TextQueries extends QueryModule {
     // the production shape PERF.md prescribes for 100 TB corpora. ---
     GQuery(
       "q98_neardup_pipeline",
-      (spark, dir) => {
-        val docs = withNearDups(spark, dir)
-        val sigs = TextDedup.minhashSignaturesMd5(docs, "doc_id", "text",
-          n = 3, numHashes = 8)
-        val bands = TextDedup.lshBands(sigs, "doc_id", col("sig"),
-          numBands = 4, rowsPerBand = 2).persist()
-        val cand = TextDedup.lshCandidates(bands, "doc_id", maxBucket = Some(100))
-        val withSh = docs.select(col("doc_id"),
-          array_distinct(TextAnalysis.shingles(col("text"), 3)).as("sh"))
-        cand
-          .join(withSh.select(col("doc_id").as("doc_id_1"), col("sh").as("sh1")), Seq("doc_id_1"))
-          .join(withSh.select(col("doc_id").as("doc_id_2"), col("sh").as("sh2")), Seq("doc_id_2"))
-          .withColumn("jaccard", TextDedup.jaccard(col("sh1"), col("sh2")))
-          .filter(col("jaccard") >= 0.6)
+      (spark, dir) =>
+        neardupVerifiedPairs(spark, dir)
           .select(col("doc_id_1"), col("doc_id_2"), col("jaccard"))
-          .orderBy(col("doc_id_1"), col("doc_id_2"))
-      },
+          .orderBy(col("doc_id_1"), col("doc_id_2")),
       Some((dupSqlCtes + """
         , tk AS (SELECT doc_id, string_split(lower(text), ' ') AS tk FROM neardocs),
         sh AS (
@@ -395,6 +402,74 @@ object TextQueries extends QueryModule {
       Some("""
         SELECT 'exact_copy' AS kind, COUNT(*) AS pairs, TRUE AS all_recoverable_found
         FROM documents WHERE doc_id % 10 = 0
-      """.trim))
+      """.trim)),
+
+    // --- Dedup CLUSTERS: the step a 100 TB pipeline runs after pair
+    // verification — connected components over the verified near-dup
+    // pairs, giving one canonical representative (min id) per duplicate
+    // group; "keep one per cluster" is then `id === component`. The
+    // Spark side is iterative min-label propagation (DataFrame algebra,
+    // two key shuffles per round, rounds = graph diameter); the oracle
+    // computes the same components with a recursive CTE over the same
+    // verified pairs. ---
+    GQuery(
+      "q76_neardup_clusters",
+      (spark, dir) => {
+        val pairs = neardupVerifiedPairs(spark, dir)
+        TextDedup.connectedComponents(pairs, "doc_id_1", "doc_id_2")
+          .groupBy(col("component")).agg(count(lit(1)).as("members"))
+          .select(col("component").as("cluster_rep"), col("members"))
+          .orderBy(col("cluster_rep"))
+      },
+      Some((dupSqlCtes + """
+        , tk AS (SELECT doc_id, string_split(lower(text), ' ') AS tk FROM neardocs),
+        sh AS (
+          SELECT doc_id,
+                 list_distinct(list_transform(
+                   generate_series(1, greatest(len(tk) - 2, 1)),
+                   i -> concat_ws(' ', tk[i], tk[i+1], tk[i+2]))) AS s
+          FROM tk),
+        sig AS (
+          SELECT doc_id,
+                 list_aggregate(list_transform(s, x -> md5('0:' || x)), 'min') AS h0,
+                 list_aggregate(list_transform(s, x -> md5('1:' || x)), 'min') AS h1,
+                 list_aggregate(list_transform(s, x -> md5('2:' || x)), 'min') AS h2,
+                 list_aggregate(list_transform(s, x -> md5('3:' || x)), 'min') AS h3,
+                 list_aggregate(list_transform(s, x -> md5('4:' || x)), 'min') AS h4,
+                 list_aggregate(list_transform(s, x -> md5('5:' || x)), 'min') AS h5,
+                 list_aggregate(list_transform(s, x -> md5('6:' || x)), 'min') AS h6,
+                 list_aggregate(list_transform(s, x -> md5('7:' || x)), 'min') AS h7
+          FROM sh),
+        bands AS (
+          SELECT doc_id, 0 AS band, md5(concat_ws('|', h0, h1)) AS band_key FROM sig
+          UNION ALL SELECT doc_id, 1, md5(concat_ws('|', h2, h3)) FROM sig
+          UNION ALL SELECT doc_id, 2, md5(concat_ws('|', h4, h5)) FROM sig
+          UNION ALL SELECT doc_id, 3, md5(concat_ws('|', h6, h7)) FROM sig),
+        capped AS (
+          SELECT doc_id, band, band_key FROM bands
+          QUALIFY COUNT(*) OVER (PARTITION BY band, band_key) <= 100),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2
+          FROM capped a JOIN capped b
+            ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+        verified AS (
+          SELECT c.doc_id_1, c.doc_id_2
+          FROM cand c
+          JOIN sh x ON x.doc_id = c.doc_id_1
+          JOIN sh y ON y.doc_id = c.doc_id_2
+          WHERE CAST(len(list_distinct(list_intersect(x.s, y.s))) AS DOUBLE)
+                  / len(list_distinct(list_concat(x.s, y.s))) >= 0.6),
+        edges AS (
+          SELECT doc_id_1 AS src, doc_id_2 AS dst FROM verified
+          UNION SELECT doc_id_2, doc_id_1 FROM verified),
+        nodes AS (SELECT DISTINCT src AS id FROM edges),
+        reach AS (
+          SELECT id, id AS comp FROM nodes
+          UNION
+          SELECT e.dst, r.comp FROM reach r JOIN edges e ON e.src = r.id),
+        cc AS (SELECT id, MIN(comp) AS component FROM reach GROUP BY id)
+        SELECT component AS cluster_rep, COUNT(*) AS members
+        FROM cc GROUP BY component ORDER BY cluster_rep
+      """).trim.replaceFirst("WITH", "WITH RECURSIVE")))
   )
 }

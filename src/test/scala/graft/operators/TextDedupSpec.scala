@@ -84,6 +84,18 @@ class TextDedupSpec extends AnyFunSuite {
     assert(recall >= 0.8, s"refined-centroid recall $recall")
   }
 
+  test("connected components: chains, stars, and separate components resolve to min id") {
+    import spark.implicits._
+    // component A: chain 1-2-3-4 (diameter 3, needs >1 round);
+    // component B: star 10-{11,12,13}; component C: single edge 20-21
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (10L, 12L),
+      (10L, 13L), (20L, 21L)).toDF("a", "b")
+    val cc = TextDedup.connectedComponents(pairs, "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 13L -> 10L, 20L -> 20L, 21L -> 20L))
+  }
+
   test("auto-sized IVF (√n centroids) keeps recall ≥ 0.8 at two corpus sizes, no retuning") {
     // Same code path at both sizes: m = ⌈√n⌉ from ivfIndex's internal
     // count, probes = m/4. The 3× corpus adds genuinely distinct vectors
