@@ -1,0 +1,50 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextAnalysis
+
+/** Corpus-level term statistics (SURVEY §2.12 text analysis): TF-IDF style
+  * term salience with a DETERMINISTIC scoring variant.
+  *
+  * The classic `tf·ln(N/df)` pivots on `ln`, whose last-ulp result can
+  * differ between math libraries — unacceptable for a bit-exact gate. The
+  * linear-idf variant `tf·N/df` (a known tf-idf family member) ranks
+  * almost identically for top-term extraction and is exact IEEE
+  * arithmetic: tf·N is an exact integer product (< 2^53 at any realistic
+  * corpus) and the single division is bit-identical in every IEEE-754
+  * engine.
+  *
+  * Scale: two hash shuffles (term frequency per doc, document frequency
+  * per term) + one window keyed by doc for the top-k — df per term is a
+  * broadcast-sized table (vocabulary, not corpus, cardinality); N rides
+  * along as a broadcast scalar, never a driver collect.
+  */
+object CorpusStats {
+
+  /** Top-`k` terms per document by `tf·N/df`, ties broken by term. Returns
+    * (idCol, term, score, rank).
+    */
+  def tfidfTopTerms(docs: DataFrame, idCol: String, textCol: String,
+      k: Int): DataFrame = {
+    val toks = docs.select(col(idCol),
+      explode(TextAnalysis.tokens(lower(col(textCol)))).as("term"))
+    val tf = toks.groupBy(col(idCol), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("term"))
+      .agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("__n"))
+    val scored = tf
+      .join(broadcast(dfreq), "term")
+      .crossJoin(broadcast(n))
+      .withColumn("score",
+        (col("tf") * col("__n")).cast("double") / col("df"))
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col("score").desc, col("term"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col(idCol), col("term"), col("score"), col("rank"))
+  }
+}

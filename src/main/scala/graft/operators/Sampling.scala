@@ -1,0 +1,41 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Dataset-curation sampling for training-data pipelines (SURVEY §2.12
+  * adjacency; complements the content-hash train/val/test split).
+  *
+  * Exact-n stratified sampling, deterministically: within each stratum keep
+  * the `n` rows smallest under a content-derived order (e.g. `md5(id)`), so
+  * the sample is stable across runs, re-partitioning, and engines — unlike
+  * `DataFrame.sample`/`sampleBy`, whose output depends on partition layout.
+  * A balanced multilingual training mix ("20k docs per language") is one
+  * call.
+  *
+  * Scale: one hash shuffle on the strata columns + a per-partition sort —
+  * the same minimal plan as keyed dedup; no global sort, no driver
+  * involvement. Skewed strata are bounded by the window's per-partition
+  * top-n (nothing materializes beyond each task's heap).
+  */
+object Sampling {
+
+  /** Keep the `n` rows per stratum smallest under `order` (append a unique
+    * tiebreaker for full determinism, e.g. the primary key).
+    */
+  def stratifiedTake(df: DataFrame, strata: Seq[Column], order: Seq[Column],
+      n: Int): DataFrame = {
+    val w = Window.partitionBy(strata: _*).orderBy(order: _*)
+    df.withColumn("__sn", row_number().over(w))
+      .filter(col("__sn") <= n)
+      .drop("__sn")
+  }
+
+  /** Deterministic pseudo-random order for [[stratifiedTake]]: the md5 hex
+    * of the key (optionally salted) — uniform, content-derived, and
+    * reproducible in any engine with md5.
+    */
+  def hashOrder(key: Column, salt: String = ""): Column =
+    md5(concat(lit(salt), key.cast("string")))
+}

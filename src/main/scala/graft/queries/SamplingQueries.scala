@@ -43,6 +43,27 @@ object SamplingQueries extends QueryModule {
 
   override def all: Seq[GQuery] = Seq(
 
+    // --- exact-n stratified sampling, deterministic: per language, the 20
+    // docs smallest under a salted content hash — the "balanced training
+    // mix" primitive. Unlike sample()/sampleBy(), the result is invariant
+    // to partitioning and engine (md5 order is reproducible in DuckDB). ---
+    GQuery(
+      "q77_stratified_sample",
+      (spark, dir) => {
+        import graft.operators.Sampling
+        val d = t(spark, dir, "documents").select(col("doc_id"), col("lang"))
+        Sampling.stratifiedTake(d, Seq(col("lang")),
+            Seq(Sampling.hashOrder(col("doc_id"), "s1"), col("doc_id")), n = 20)
+          .orderBy(col("lang"), col("doc_id"))
+      },
+      Some("""
+        SELECT doc_id, lang FROM documents
+        QUALIFY row_number() OVER (
+          PARTITION BY lang
+          ORDER BY md5('s1' || CAST(doc_id AS VARCHAR)), doc_id) <= 20
+        ORDER BY lang, doc_id
+      """.trim)),
+
     // --- stable train/val/test split (80/10/10 by content hash) ---
     GQuery(
       "q68_dataset_split",

@@ -404,6 +404,34 @@ object TextQueries extends QueryModule {
         FROM documents WHERE doc_id % 10 = 0
       """.trim)),
 
+    // --- TF-IDF top terms per document (linear-idf variant tf·N/df: exact
+    // integer product + one IEEE division = bit-identical across engines,
+    // where ln's last ulp is not; ranking is near-identical for top-term
+    // extraction). Two hash shuffles + one per-doc window. ---
+    GQuery(
+      "q78_tfidf_top_terms",
+      (spark, dir) =>
+        graft.operators.CorpusStats
+          .tfidfTopTerms(Tables.docs(spark, dir), "doc_id", "text", k = 3)
+          .orderBy(col("doc_id"), col("rank")),
+      Some("""
+        WITH toks AS (
+          SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term FROM documents),
+        tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+        dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+        n AS (SELECT COUNT(*) AS n FROM documents),
+        scored AS (
+          SELECT t.doc_id, t.term, CAST(t.tf * n.n AS DOUBLE) / d.df AS score
+          FROM tf t JOIN dfreq d USING (term) CROSS JOIN n),
+        ranked AS (
+          SELECT doc_id, term, score,
+                 CAST(row_number() OVER (
+                   PARTITION BY doc_id ORDER BY score DESC, term) AS INT) AS rank
+          FROM scored)
+        SELECT doc_id, term, score, rank FROM ranked WHERE rank <= 3
+        ORDER BY doc_id, rank
+      """.trim)),
+
     // --- Dedup CLUSTERS: the step a 100 TB pipeline runs after pair
     // verification — connected components over the verified near-dup
     // pairs, giving one canonical representative (min id) per duplicate
