@@ -1,0 +1,34 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Batch sessionization (the batch analog of the streaming session windows
+  * in `graft.streaming.Streams`): group each key's events into sessions
+  * separated by inactivity gaps longer than `gapMicros`.
+  *
+  * Classic two-window formulation: a boundary flag (event starts a session
+  * iff no predecessor within the gap) and its running sum as the session
+  * sequence number. Both windows are PARTITIONED by the key — one hash
+  * shuffle total, per-key ordering inside each task, no global sort. At
+  * 100 TB this is the standard "sessionize a day of clickstream" plan:
+  * state never exceeds one key's events per task, and AQE handles hot keys.
+  */
+object Sessionize {
+
+  /** Adds `session_seq` (1-based per key) to `df`. `order` must totally
+    * order events within a key (e.g. timestamp + event id) with the
+    * timestamp expression first being `tsMicros`.
+    */
+  def sessions(df: DataFrame, keys: Seq[Column], tsMicros: Column,
+      tiebreak: Seq[Column], gapMicros: Long): DataFrame = {
+    val w = Window.partitionBy(keys: _*).orderBy(tsMicros +: tiebreak: _*)
+    val prev = lag(tsMicros, 1).over(w)
+    val boundary = when(prev.isNull || tsMicros - prev > gapMicros, 1).otherwise(0)
+    df.withColumn("__b", boundary)
+      .withColumn("session_seq",
+        sum(col("__b")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .drop("__b")
+  }
+}

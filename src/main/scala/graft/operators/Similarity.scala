@@ -146,6 +146,34 @@ object Similarity {
     cents
   }
 
+  /** Symmetric int8 quantization of a double vector — the memory half of
+    * the 100 TB ANN recipe (IVF partitions the corpus; int8 shrinks each
+    * vector 8×, so a 1e10-vector index fits a cluster's RAM). Deterministic
+    * across engines: scale = 127/max|x|, q = floor(x·scale + 0.5) — every
+    * step exact IEEE arithmetic with no library-dependent rounding.
+    * Returns `array<int>` in [-127, 127] (empty/zero vectors quantize to
+    * zeros via the scale-1 guard).
+    */
+  def quantizeInt8(v: Column): Column = {
+    val scale = quantScale(v)
+    transform(v, x => floor(x * scale + lit(0.5)).cast("int"))
+  }
+
+  /** The quantization scale 127/max|x| (1.0 for all-zero vectors). */
+  def quantScale(v: Column): Column = {
+    val m = array_max(transform(v, x => abs(x)))
+    when(m > 0, lit(127.0) / m).otherwise(lit(1.0))
+  }
+
+  /** Largest absolute reconstruction error of [[quantizeInt8]] — the
+    * per-vector quality bound (≤ 0.5/scale by construction).
+    */
+  def quantMaxError(v: Column): Column = {
+    val scale = quantScale(v)
+    array_max(zip_with(v, quantizeInt8(v),
+      (x, q) => abs(x - q.cast("double") / scale)))
+  }
+
   /** Random-projection (sign-bit) LSH bands for cosine similarity — the
     * scale path for near-duplicate detection over embeddings (replaces
     * any label/metadata-blocked all-pairs join, which is quadratic within

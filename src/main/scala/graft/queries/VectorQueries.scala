@@ -17,6 +17,44 @@ object VectorQueries extends QueryModule {
 
   override def all: Seq[GQuery] = Seq(
 
+    // --- int8 symmetric quantization (the memory half of the 100 TB ANN
+    // recipe: IVF partitions the corpus, int8 shrinks vectors 8×). Every
+    // step is exact IEEE arithmetic (max/abs fold, one division,
+    // floor(x·s + 0.5)) so the quantized codes, their checksum, and the
+    // max reconstruction error hash-match the DuckDB mirror exactly. ---
+    GQuery(
+      "q79_embedding_quantize",
+      (spark, dir) => {
+        val v = Tables.embs(spark, dir)
+          .select(col("vec_id"), Similarity.asDouble(col("embedding")).as("ev"))
+        v.withColumn("qv", Similarity.quantizeInt8(col("ev")))
+          .select(col("vec_id"),
+            aggregate(col("qv"), lit(0L), (a, x) => a + x).as("q_checksum"),
+            array_max(col("qv")).as("q_max"),
+            Similarity.quantMaxError(col("ev")).as("recon_err_max"))
+          .orderBy(col("vec_id"))
+      },
+      Some("""
+        WITH v AS (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        s AS (
+          SELECT vec_id, e,
+                 CASE WHEN list_max(list_transform(e, x -> abs(x))) > 0
+                      THEN 127.0 / list_max(list_transform(e, x -> abs(x)))
+                      ELSE 1.0 END AS scale
+          FROM v),
+        q AS (
+          SELECT vec_id, scale, e,
+                 list_transform(e, x -> CAST(floor(x * scale + 0.5) AS INT)) AS qv
+          FROM s)
+        SELECT vec_id,
+               CAST(list_sum(qv) AS BIGINT) AS q_checksum,
+               CAST(list_max(qv) AS INT) AS q_max,
+               list_max(list_transform(generate_series(1, len(e)),
+                 i -> abs(e[i] - qv[i] / scale))) AS recon_err_max
+        FROM q ORDER BY vec_id
+      """.trim)),
+
     GQuery(
       "q70_ann_bruteforce",
       (spark, dir) => {

@@ -17,6 +17,48 @@ object WindowQueries extends QueryModule {
 
   override def all: Seq[GQuery] = Seq(
 
+    // --- batch sessionization over the event stream: per-user sessions
+    // split at >30 min inactivity gaps (the batch analog of q84's
+    // streaming session windows). One hash shuffle on user_id; session
+    // boundaries + running session number are two windows over the same
+    // partitioning. Timestamps compared in microseconds (unix_micros ≡
+    // DuckDB epoch_us, exact). ---
+    GQuery(
+      "q38_sessionize",
+      (spark, dir) => {
+        val e = Tables.events(spark, dir)
+        val s = graft.operators.Sessionize.sessions(
+          e.withColumn("tus", unix_micros(col("ts"))),
+          keys = Seq(col("user_id")), tsMicros = col("tus"),
+          tiebreak = Seq(col("event_id")), gapMicros = 1800L * 1000000L)
+        s.groupBy(col("user_id"), col("session_seq"))
+          .agg(
+            min(col("tus")).as("session_start_us"),
+            max(col("tus")).as("session_end_us"),
+            count(lit(1)).as("n_events"),
+            sum(dec(col("value"))).cast(DoubleType).as("total_value"))
+          .orderBy(col("user_id"), col("session_seq"))
+      },
+      Some("""
+        WITH e AS (
+          SELECT user_id, event_id, epoch_us(ts) AS tus, value FROM events),
+        m AS (
+          SELECT *, CASE WHEN lag(tus) OVER w IS NULL
+                           OR tus - lag(tus) OVER w > 1800000000
+                         THEN 1 ELSE 0 END AS ns
+          FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id)),
+        s AS (
+          SELECT *, CAST(SUM(ns) OVER (PARTITION BY user_id ORDER BY tus, event_id
+                                       ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+          FROM m)
+        SELECT user_id, session_seq,
+               MIN(tus) AS session_start_us, MAX(tus) AS session_end_us,
+               COUNT(*) AS n_events,
+               CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+        FROM s GROUP BY user_id, session_seq
+        ORDER BY user_id, session_seq
+      """.trim)),
+
     // --- W1: row_number top-k per group ---
     GQuery(
       "q30_topk_per_group",
