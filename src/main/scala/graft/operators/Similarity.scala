@@ -174,6 +174,33 @@ object Similarity {
       (x, q) => abs(x - q.cast("double") / scale)))
   }
 
+  /** Integer dot product over two int8-quantized vectors — exact integer
+    * arithmetic (per-element products ≤ 127², 64-element sums ≪ 2^63), so
+    * quantized similarity scores are deterministic in ANY engine, unlike
+    * float folds which demand matching evaluation order. The compute half
+    * of the int8 ANN recipe: 8× less memory traffic per comparison, exact
+    * ranking within quantization error.
+    */
+  def quantizedDot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x * y).cast("long")), lit(0L), (s, x) => s + x)
+
+  /** Brute-force top-k by quantized dot product (queries broadcast),
+    * deterministic ties by neighbor id. Re-rank the survivors with the
+    * float [[cosinePrenormed]] when exact order matters.
+    */
+  def quantizedTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+      qvCol: String, k: Int): DataFrame = {
+    val q = broadcast(queries.select(col(idCol).as("query_id"), col(qvCol).as("__qq")))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(qvCol).as("__qv"))
+    val scored = q.join(c, col("query_id") =!= col("neighbor_id"))
+      .withColumn("qdot", quantizedDot(col("__qq"), col("__qv")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("qdot").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("qdot"), col("rank"))
+  }
+
   /** Random-projection (sign-bit) LSH bands for cosine similarity — the
     * scale path for near-duplicate detection over embeddings (replaces
     * any label/metadata-blocked all-pairs join, which is quadratic within

@@ -55,6 +55,45 @@ object VectorQueries extends QueryModule {
         FROM q ORDER BY vec_id
       """.trim)),
 
+    // --- ANN over the int8 codes: top-5 by quantized dot product. Integer
+    // scores are EXACT in any engine (no float-fold ordering concerns), so
+    // the whole search — quantize, score, rank — is hash-gated. ---
+    GQuery(
+      "q74_ann_quantized",
+      (spark, dir) => {
+        val v = Tables.embs(spark, dir)
+          .select(col("vec_id"), Similarity.asDouble(col("embedding")).as("ev"))
+          .withColumn("qv", Similarity.quantizeInt8(col("ev")))
+        val queries = v.filter(col("vec_id") < 10)
+        Similarity.quantizedTopK(queries, v, "vec_id", "qv", k = 5)
+          .orderBy(col("query_id"), col("rank"))
+      },
+      Some("""
+        WITH v AS (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        s AS (
+          SELECT vec_id, e,
+                 CASE WHEN list_max(list_transform(e, x -> abs(x))) > 0
+                      THEN 127.0 / list_max(list_transform(e, x -> abs(x)))
+                      ELSE 1.0 END AS scale
+          FROM v),
+        q AS (
+          SELECT vec_id,
+                 list_transform(e, x -> CAST(floor(x * scale + 0.5) AS INT)) AS qv
+          FROM s),
+        scored AS (
+          SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+                 CAST(list_sum(list_transform(generate_series(1, len(a.qv)),
+                   i -> a.qv[i] * b.qv[i])) AS BIGINT) AS qdot
+          FROM q a JOIN q b ON a.vec_id < 10 AND b.vec_id <> a.vec_id),
+        ranked AS (
+          SELECT *, CAST(row_number() OVER (
+            PARTITION BY query_id ORDER BY qdot DESC, neighbor_id) AS INT) AS rank
+          FROM scored)
+        SELECT query_id, neighbor_id, qdot, rank FROM ranked
+        WHERE rank <= 5 ORDER BY query_id, rank
+      """.trim)),
+
     GQuery(
       "q70_ann_bruteforce",
       (spark, dir) => {

@@ -62,8 +62,12 @@ class ScaleCurveSpec extends AnyFunSuite {
     }.reduce(_ unionByName _)
   }
 
-  private def timed(df: DataFrame): (Double, Int) = {
+  private def timed(mk: => DataFrame): (Double, Int) = {
+    // by-name: operators with EAGER internal actions (the connected-
+    // components loop) must run inside the timer, not at argument
+    // evaluation time
     val t0 = System.nanoTime()
+    val df = mk
     df.count()
     ((System.nanoTime() - t0) / 1e9, Bucketing.exchangeCount(df))
   }
@@ -150,6 +154,37 @@ class ScaleCurveSpec extends AnyFunSuite {
       SurrogateKeys.sequential(resolved, "order_key", Seq($"o_orderkey"))
     }
     curve("fact_keys_pit", op, o, amp)
+  }
+
+  test("batch sessionization scales ~linearly") {
+    val e = graft.core.Tables.events(spark, Sf)
+      .select($"event_id", $"user_id", unix_micros($"ts").as("tus"), $"value")
+    // copy i shifts users and event ids: same per-user event sequences,
+    // 10× the users → sessions grow exactly linearly
+    val amp = (0 until Amp).map(i =>
+      e.withColumn("user_id", $"user_id" + lit(i * 1000000L))
+        .withColumn("event_id", $"event_id" + lit(i * 100000000L)))
+      .reduce(_ unionByName _)
+    def op(d: DataFrame): DataFrame =
+      Sessionize.sessions(d, Seq($"user_id"), $"tus", Seq($"event_id"),
+          gapMicros = 1800L * 1000000L)
+        .groupBy($"user_id", $"session_seq")
+        .agg(count(lit(1)).as("n"))
+    curve("sessionize", op, e, amp)
+  }
+
+  test("connected components scale ~linearly at fixed diameter") {
+    // 2k star clusters of 5 (diameter 2 → same round count at any size);
+    // copies shift ids, so components multiply without deepening.
+    val base = spark.range(0, 2000).select($"id".as("c"))
+      .select($"c", explode(array((1 to 4).map(j => $"c" * 10 + j): _*)).as("m"))
+      .select(($"c" * 10).as("a"), $"m".as("b"))
+    val amp = (0 until Amp).map(i =>
+      base.select(($"a" + lit(i * 100000L)).as("a"), ($"b" + lit(i * 100000L)).as("b")))
+      .reduce(_ unionByName _)
+    def op(d: DataFrame): DataFrame =
+      TextDedup.connectedComponents(d, "a", "b")
+    curve("connected_components", op, base, amp)
   }
 
   test("RP-LSH vector near-dups scale ~linearly") {
