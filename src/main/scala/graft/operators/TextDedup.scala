@@ -219,8 +219,13 @@ object TextDedup {
     */
   def connectedComponents(pairs: DataFrame, idCol1: String, idCol2: String,
       maxIterations: Int = 20): DataFrame = {
-    val und = pairs.select(col(idCol1).as("__src"), col(idCol2).as("__dst"))
-      .unionByName(pairs.select(col(idCol2).as("__src"), col(idCol1).as("__dst")))
+    // Materialize the narrow pair list FIRST: the symmetric closure below
+    // references it twice, and the pairs plan upstream (LSH + verify) is
+    // the expensive part — two id columns checkpoint for pennies.
+    val p = pairs.select(col(idCol1).as("__src"), col(idCol2).as("__dst"))
+      .localCheckpoint(true)
+    val und = p
+      .unionByName(p.select(col("__dst").as("__src"), col("__src").as("__dst")))
       .distinct()
       .localCheckpoint(true) // edges are reused every round
     var labels = und.select(col("__src").as("id")).distinct()
