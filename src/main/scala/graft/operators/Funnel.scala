@@ -1,0 +1,45 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Ordered-funnel analysis over an event stream: for a declared step
+  * sequence (view → click → purchase), each step counts only events
+  * strictly AFTER the user's first completion of the previous step — the
+  * standard conversion-funnel semantics.
+  *
+  * Executes as one aggregate per step, each joined to the previous step's
+  * per-user minimum. Every join and aggregate keys on the user column, so
+  * after the first exchange the per-user partitioning is reusable across
+  * all steps (Catalyst/AQE elide the redundant shuffles); per-step state is
+  * one row per surviving user, shrinking monotonically down the funnel.
+  */
+object Funnel {
+
+  /** Per-user first-completion times: returns one DataFrame per step with
+    * (userCol, t) — step i counts only events with ts strictly greater
+    * than the user's step-(i−1) time.
+    */
+  def steps(events: DataFrame, userCol: String, typeCol: String, tsCol: Column,
+      stepTypes: Seq[String]): Seq[DataFrame] =
+    stepTypes.zipWithIndex.foldLeft(Seq.empty[DataFrame]) { case (acc, (st, i)) =>
+      val mine = events.filter(col(typeCol) === st)
+        .select(col(userCol), tsCol.as("__ts"))
+      val gated = acc.lastOption match {
+        case None => mine
+        case Some(prev) =>
+          mine.join(prev.select(col(userCol), col("t").as("__prev")), userCol)
+            .filter(col("__ts") > col("__prev"))
+      }
+      acc :+ gated.groupBy(col(userCol)).agg(min(col("__ts")).as("t"))
+    }
+
+  /** Stage → surviving-user counts for the declared step sequence. */
+  def counts(events: DataFrame, userCol: String, typeCol: String, tsCol: Column,
+      stepTypes: Seq[String]): DataFrame =
+    steps(events, userCol, typeCol, tsCol, stepTypes).zipWithIndex.map {
+      case (d, i) =>
+        d.agg(count(lit(1)).as("users"))
+          .select(lit(s"${i + 1}_${stepTypes(i)}").as("stage"), col("users"))
+    }.reduce(_ unionByName _)
+}

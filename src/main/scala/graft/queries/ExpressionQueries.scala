@@ -126,6 +126,39 @@ object ExpressionQueries extends QueryModule {
                CAST(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_tax AS DECIMAL(12,2)) AS DOUBLE) AS qty_tax,
                l_extendedprice - l_discount * l_extendedprice AS net_price_double
         FROM lineitem ORDER BY l_orderkey, l_linenumber
+      """.trim)),
+
+    // --- unpivot / melt (the inverse of q48's pivot): wide measure
+    // columns to (measure, value) rows via Spark's native unpivot — a
+    // narrow per-row expansion, no shuffle. ---
+    GQuery(
+      "q53_unpivot",
+      (spark, dir) => {
+        val li = t(spark, dir, "lineitem").filter(col("l_orderkey") % 500 === 0)
+          .select(col("l_orderkey"), col("l_linenumber"),
+            dec(col("l_quantity")).cast(DoubleType).as("quantity"),
+            dec(col("l_extendedprice")).cast(DoubleType).as("extendedprice"),
+            dec(col("l_discount")).cast(DoubleType).as("discount"))
+        li.unpivot(
+            Array(col("l_orderkey"), col("l_linenumber")),
+            Array(col("quantity"), col("extendedprice"), col("discount")),
+            "measure", "value")
+          .orderBy(col("l_orderkey"), col("l_linenumber"), col("measure"))
+      },
+      Some("""
+        WITH w AS (
+          SELECT l_orderkey, l_linenumber,
+                 CAST(CAST(l_quantity AS DECIMAL(12,2)) AS DOUBLE) AS quantity,
+                 CAST(CAST(l_extendedprice AS DECIMAL(12,2)) AS DOUBLE) AS extendedprice,
+                 CAST(CAST(l_discount AS DECIMAL(12,2)) AS DOUBLE) AS discount
+          FROM lineitem WHERE l_orderkey % 500 = 0)
+        SELECT l_orderkey, l_linenumber, measure, value FROM (
+          SELECT l_orderkey, l_linenumber, 'quantity' AS measure, quantity AS value FROM w
+          UNION ALL
+          SELECT l_orderkey, l_linenumber, 'extendedprice', extendedprice FROM w
+          UNION ALL
+          SELECT l_orderkey, l_linenumber, 'discount', discount FROM w)
+        ORDER BY l_orderkey, l_linenumber, measure
       """.trim))
   )
 }

@@ -17,6 +17,32 @@ object WindowQueries extends QueryModule {
 
   override def all: Seq[GQuery] = Seq(
 
+    // --- ordered conversion funnel view → click → purchase: each stage
+    // counts users whose first qualifying event is strictly after their
+    // first completion of the previous stage. One user-keyed aggregate per
+    // stage; partitioning reused across the chain. ---
+    GQuery(
+      "q39_funnel",
+      (spark, dir) => {
+        val e = Tables.events(spark, dir)
+          .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("tus"))
+        graft.operators.Funnel.counts(e, "user_id", "event_type", col("tus"),
+            Seq("view", "click", "purchase"))
+          .orderBy(col("stage"))
+      },
+      Some("""
+        WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS tus FROM events),
+        v AS (SELECT user_id, MIN(tus) AS t1 FROM e WHERE event_type = 'view' GROUP BY 1),
+        c AS (SELECT e.user_id, MIN(tus) AS t2 FROM e JOIN v USING (user_id)
+              WHERE event_type = 'click' AND tus > t1 GROUP BY 1),
+        p AS (SELECT e.user_id, MIN(tus) AS t3 FROM e JOIN c USING (user_id)
+              WHERE event_type = 'purchase' AND tus > t2 GROUP BY 1)
+        SELECT '1_view' AS stage, COUNT(*) AS users FROM v
+        UNION ALL SELECT '2_click', COUNT(*) FROM c
+        UNION ALL SELECT '3_purchase', COUNT(*) FROM p
+        ORDER BY stage
+      """.trim)),
+
     // --- batch sessionization over the event stream: per-user sessions
     // split at >30 min inactivity gaps (the batch analog of q84's
     // streaming session windows). One hash shuffle on user_id; session
