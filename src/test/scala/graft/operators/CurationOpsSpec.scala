@@ -1,0 +1,87 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** Edge cases for the dataset-curation operators (the gate queries cover
+  * the happy paths at corpus scale).
+  */
+class CurationOpsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("stratifiedTake: exact n per stratum, short strata whole, repartition-invariant") {
+    val df = (1 to 100).map(i => (i.toLong, if (i <= 90) "big" else "small")).toDF("id", "s")
+    val order = Seq(Sampling.hashOrder($"id", "x"), $"id")
+    val taken = Sampling.stratifiedTake(df, Seq($"s"), order, 20)
+    val bySize = taken.groupBy("s").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bySize == Map("big" -> 20, "small" -> 10)) // small stratum has only 10
+    val again = Sampling.stratifiedTake(df.repartition(7), Seq($"s"), order, 20)
+    assert(taken.select("id").collect().map(_.getLong(0)).sorted.toSeq ==
+      again.select("id").collect().map(_.getLong(0)).sorted.toSeq)
+  }
+
+  test("sessionize: gap boundary is strict (> gap splits, == gap does not)") {
+    val gap = 100L
+    val df = Seq((1L, 1L, 0L), (1L, 2L, 100L), (1L, 3L, 201L), (1L, 4L, 250L))
+      .toDF("user", "eid", "tus")
+    val s = Sessionize.sessions(df, Seq($"user"), $"tus", Seq($"eid"), gap)
+      .select($"eid", $"session_seq").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // 0→100 is exactly the gap (same session); 100→201 exceeds it (new session)
+    assert(s == Map(1L -> 1L, 2L -> 1L, 3L -> 2L, 4L -> 2L))
+  }
+
+  test("funnel: steps only count events strictly after the prior step's first time") {
+    val e = Seq(
+      (1L, "view", 10L), (1L, "click", 20L), (1L, "purchase", 30L), // full funnel
+      (2L, "click", 5L), (2L, "view", 10L), (2L, "purchase", 20L),  // click BEFORE view → stops at view
+      (3L, "view", 10L), (3L, "click", 10L)                         // click not strictly after
+    ).toDF("user_id", "event_type", "tus")
+    val counts = Funnel.counts(e, "user_id", "event_type", $"tus",
+        Seq("view", "click", "purchase"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts == Map("1_view" -> 3L, "2_click" -> 1L, "3_purchase" -> 1L))
+  }
+
+  test("quantizeInt8: codes bounded, error ≤ 0.5/scale, zero vector safe") {
+    val df = Seq(
+      (1L, Seq(0.3, -1.7, 0.0, 2.4)),
+      (2L, Seq(0.0, 0.0, 0.0, 0.0)),
+      (3L, Seq(-0.001, 0.001, 1e-9, -1e-9))
+    ).toDF("id", "v")
+    val r = df.select($"id",
+        Similarity.quantizeInt8($"v").as("q"),
+        Similarity.quantScale($"v").as("s"),
+        Similarity.quantMaxError($"v").as("err"))
+      .collect().map(x => x.getLong(0) ->
+        (x.getSeq[Int](1), x.getDouble(2), x.getDouble(3))).toMap
+    for ((_, (q, s, err)) <- r) {
+      assert(q.forall(c => c >= -127 && c <= 127))
+      assert(err <= 0.5 / s + 1e-12)
+    }
+    assert(r(2L)._1 == Seq(0, 0, 0, 0)) // all-zero vector → zeros, scale guard
+    // the max-magnitude element always quantizes to ±127
+    assert(r(1L)._1.max == 127 || r(1L)._1.min == -127)
+  }
+
+  test("tfidf: corpus-wide terms rank below distinctive terms") {
+    val docs = Seq(
+      (1L, "common alpha alpha"),
+      (2L, "common beta beta"),
+      (3L, "common gamma gamma")
+    ).toDF("doc_id", "text")
+    val top = CorpusStats.tfidfTopTerms(docs, "doc_id", "text", 1)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // 'common' appears in every doc (df=3); each distinctive term has
+    // tf=2, df=1 → score 6 vs common's 2·3/3=2 — distinctive wins
+    assert(top == Map(1L -> "alpha", 2L -> "beta", 3L -> "gamma"))
+  }
+
+  test("quantizedDot matches the exact integer sum") {
+    val df = Seq((Seq(1, -2, 3), Seq(4, 5, -6))).toDF("a", "b")
+    val d = df.select(Similarity.quantizedDot($"a", $"b")).head().getLong(0)
+    assert(d == (4 - 10 - 18))
+  }
+}
