@@ -19,6 +19,12 @@ object Funnel {
   /** Per-user first-completion times: returns one DataFrame per step with
     * (userCol, t) — step i counts only events with ts strictly greater
     * than the user's step-(i−1) time.
+    *
+    * Each step's minima are MATERIALIZED (two narrow columns, one row per
+    * surviving user, shrinking down the funnel): step i+1's plan references
+    * step i, and without materialization a k-step funnel re-derives every
+    * prior stage per reference — the same lazy-chain blowup the SCD2 load
+    * sequence avoids by persisting the dim between loads.
     */
   def steps(events: DataFrame, userCol: String, typeCol: String, tsCol: Column,
       stepTypes: Seq[String]): Seq[DataFrame] =
@@ -32,6 +38,7 @@ object Funnel {
             .filter(col("__ts") > col("__prev"))
       }
       acc :+ gated.groupBy(col(userCol)).agg(min(col("__ts")).as("t"))
+        .localCheckpoint(true)
     }
 
   /** Stage → surviving-user counts for the declared step sequence. */
