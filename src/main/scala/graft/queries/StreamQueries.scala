@@ -167,6 +167,44 @@ object StreamQueries extends QueryModule {
       Some("""
         SELECT user_id, COUNT(*) AS events FROM events GROUP BY user_id ORDER BY user_id
       """.trim),
+      bench = false),
+
+    // --- stream-stream interval join: clicks joined to the same user's
+    // purchases within 30 minutes. Both sides watermarked + an event-time
+    // range condition, as Spark requires for state cleanup; with
+    // AvailableNow all data arrives before the watermark advances, so the
+    // inner-join output equals the batch interval join the oracle runs.
+    // Join state at scale is bounded by watermark delay × arrival rate per
+    // side, not history. ---
+    GQuery(
+      "q86_stream_join",
+      (spark, dir) => {
+        val clicks = Streams.eventsStream(spark, dir)
+          .filter(col("event_type") === "click")
+          .select(col("user_id").as("c_user"), col("ts").as("c_ts"))
+          .withWatermark("c_ts", "1 hour")
+        val purchases = Streams.eventsStream(spark, dir)
+          .filter(col("event_type") === "purchase")
+          .select(col("user_id").as("p_user"), col("ts").as("p_ts"))
+          .withWatermark("p_ts", "1 hour")
+        val joined = clicks.join(purchases,
+          col("p_user") === col("c_user") &&
+            col("p_ts") > col("c_ts") &&
+            col("p_ts") <= col("c_ts") + expr("interval 30 minutes"))
+        Streams.runToMemory(spark, joined, "append")
+          .select(col("c_user").as("user_id"),
+            unix_micros(col("c_ts")).as("click_us"),
+            unix_micros(col("p_ts")).as("purchase_us"))
+          .orderBy(col("user_id"), col("click_us"), col("purchase_us"))
+      },
+      Some("""
+        SELECT c.user_id, epoch_us(c.ts) AS click_us, epoch_us(p.ts) AS purchase_us
+        FROM events c JOIN events p
+          ON c.event_type = 'click' AND p.event_type = 'purchase'
+         AND p.user_id = c.user_id
+         AND p.ts > c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
+        ORDER BY c.user_id, click_us, purchase_us
+      """.trim),
       bench = false)
   )
 }
