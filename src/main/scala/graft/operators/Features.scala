@@ -1,0 +1,45 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
+
+/** Per-group feature scaling for training-data preparation: z-score and
+  * min-max normalization, computed with cross-engine-deterministic
+  * arithmetic.
+  *
+  * Determinism discipline (the repo-wide decimal rules): group sums run
+  * over EXACT decimals (order-free), convert to double once (correctly
+  * rounded in every engine), and the remaining ops are a fixed sequence of
+  * IEEE operations — subtraction, multiplication, division, sqrt (sqrt is
+  * correctly rounded per IEEE-754) — so normalized values are bit-identical
+  * wherever the same formula shape runs. Never sum raw doubles: partial
+  * order differs per partitioning and the total drifts.
+  *
+  * Scale: one hash shuffle on the group columns (window aggregates);
+  * per-row normalization is a codegen'd projection.
+  */
+object Features {
+
+  private def dec(c: Column): Column = c.cast(DecimalType(12, 2))
+
+  /** Adds `<prefix>_z` (population-variance z-score over the group) and
+    * `<prefix>_mm` (min-max position in [0,1]; NULL for constant groups).
+    */
+  def scaled(df: DataFrame, groups: Seq[Column], value: Column,
+      prefix: String): DataFrame = {
+    val w = Window.partitionBy(groups: _*)
+    val x = value.cast(DoubleType)
+    val n = count(lit(1)).over(w).cast(DoubleType)
+    val s = sum(dec(value)).over(w).cast(DoubleType)
+    val sq = sum(dec(value) * dec(value)).over(w).cast(DoubleType)
+    val mean = s / n
+    val variance = (sq - s * s / n) / n
+    val lo = min(x).over(w)
+    val hi = max(x).over(w)
+    df.withColumn(s"${prefix}_z", (x - mean) / sqrt(variance))
+      .withColumn(s"${prefix}_mm",
+        when(hi > lo, (x - lo) / (hi - lo)))
+  }
+}

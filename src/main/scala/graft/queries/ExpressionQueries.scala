@@ -128,6 +128,38 @@ object ExpressionQueries extends QueryModule {
         FROM lineitem ORDER BY l_orderkey, l_linenumber
       """.trim)),
 
+    // --- per-group feature scaling (z-score + min-max) with the decimal
+    // discipline: exact decimal group sums → one double conversion → a
+    // fixed IEEE op sequence (sqrt is correctly rounded), so normalized
+    // values hash-match the oracle bit for bit with no rounding step. ---
+    GQuery(
+      "q54_feature_scaling",
+      (spark, dir) => {
+        val li = t(spark, dir, "lineitem").filter(col("l_orderkey") % 100 === 0)
+        graft.operators.Features.scaled(li,
+            Seq(col("l_returnflag")), col("l_extendedprice"), "price")
+          .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+            col("price_z"), col("price_mm"))
+          .orderBy(col("l_orderkey"), col("l_linenumber"))
+      },
+      Some("""
+        WITH f AS (SELECT * FROM lineitem WHERE l_orderkey % 100 = 0),
+        s AS (
+          SELECT l_orderkey, l_linenumber, l_returnflag,
+                 CAST(l_extendedprice AS DOUBLE) AS x,
+                 CAST(COUNT(*) OVER w AS DOUBLE) AS n,
+                 CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) OVER w AS DOUBLE) AS sm,
+                 CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                          * CAST(l_extendedprice AS DECIMAL(12,2))) OVER w AS DOUBLE) AS sq,
+                 MIN(CAST(l_extendedprice AS DOUBLE)) OVER w AS lo,
+                 MAX(CAST(l_extendedprice AS DOUBLE)) OVER w AS hi
+          FROM f WINDOW w AS (PARTITION BY l_returnflag))
+        SELECT l_orderkey, l_linenumber, l_returnflag,
+               (x - sm / n) / sqrt((sq - sm * sm / n) / n) AS price_z,
+               CASE WHEN hi > lo THEN (x - lo) / (hi - lo) END AS price_mm
+        FROM s ORDER BY l_orderkey, l_linenumber
+      """.trim)),
+
     // --- unpivot / melt (the inverse of q48's pivot): wide measure
     // columns to (measure, value) rows via Spark's native unpivot — a
     // narrow per-row expansion, no shuffle. ---
