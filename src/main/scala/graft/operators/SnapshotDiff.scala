@@ -1,0 +1,37 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Snapshot reconciliation: classify every business key across two table
+  * versions as inserted / deleted / changed / unchanged — the audit
+  * primitive behind "what did this load actually do?" and the batch
+  * complement of CDC apply (which consumes a change feed; this DERIVES one
+  * from two snapshots).
+  *
+  * Executes as one null-safe full outer join on the keys comparing
+  * null-safe md5 content hashes (the SCD2 hash-diff discipline, Scd2.scala)
+  * — only keys + 32-byte hashes ride the shuffle, never the payload. At
+  * 100 TB, bucket both snapshots by the key to make the join co-located.
+  */
+object SnapshotDiff {
+
+  /** Returns one row per business key present in either snapshot:
+    * key columns + `change_type`.
+    */
+  def diff(old: DataFrame, current: DataFrame, keys: Seq[String],
+      compareCols: Seq[String]): DataFrame = {
+    def hashed(df: DataFrame, side: String): DataFrame =
+      df.select(keys.map(k => col(k).as(s"${side}_$k")) :+
+        Scd2.hashDiff(compareCols).as(s"${side}_hash"): _*)
+    val o = hashed(old, "o")
+    val n = hashed(current, "n")
+    val cond = keys.map(k => col(s"o_$k") <=> col(s"n_$k")).reduce(_ && _)
+    o.join(n, cond, "full_outer")
+      .select(keys.map(k => coalesce(col(s"n_$k"), col(s"o_$k")).as(k)) :+
+        when(col("o_hash").isNull, "inserted")
+          .when(col("n_hash").isNull, "deleted")
+          .when(col("o_hash") =!= col("n_hash"), "changed")
+          .otherwise("unchanged").as("change_type"): _*)
+  }
+}

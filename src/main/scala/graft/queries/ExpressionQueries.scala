@@ -160,6 +160,38 @@ object ExpressionQueries extends QueryModule {
         FROM s ORDER BY l_orderkey, l_linenumber
       """.trim)),
 
+    // --- time-RANGE rolling aggregate (W4's range sibling): 7-day rolling
+    // revenue over the daily series, rangeBetween on epoch-day so sparse
+    // dates window by TIME distance, not row count. The window orders the
+    // daily aggregate (calendar-bounded — ≤36.5k rows/century at any data
+    // scale); sums stay decimal inside the frame so frame-order never
+    // perturbs the total, cast to double once at the end. ---
+    GQuery(
+      "q55_rolling_window",
+      (spark, dir) => {
+        val o = t(spark, dir, "orders")
+        val daily = o.groupBy(to_date(col("o_orderdate")).as("day"))
+          .agg(sum(dec(col("o_totalprice"))).as("rev"))
+          .withColumn("epoch_day", datediff(col("day"), lit("1970-01-01")).cast("long"))
+        val w = org.apache.spark.sql.expressions.Window
+          .orderBy(col("epoch_day")).rangeBetween(-6, 0)
+        daily.select(col("day"),
+            col("rev").cast(DoubleType).as("day_revenue"),
+            sum(col("rev")).over(w).cast(DoubleType).as("rolling_7d"))
+          .orderBy(col("day"))
+      },
+      Some("""
+        WITH daily AS (
+          SELECT CAST(o_orderdate AS DATE) AS day,
+                 SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS rev,
+                 CAST(datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS epoch_day
+          FROM orders GROUP BY 1)
+        SELECT day, CAST(rev AS DOUBLE) AS day_revenue,
+               CAST(SUM(rev) OVER (ORDER BY epoch_day
+                 RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS DOUBLE) AS rolling_7d
+        FROM daily ORDER BY day
+      """.trim)),
+
     // --- unpivot / melt (the inverse of q48's pivot): wide measure
     // columns to (measure, value) rows via Spark's native unpivot — a
     // narrow per-row expansion, no shuffle. ---

@@ -304,6 +304,59 @@ object OperatorQueries extends QueryModule {
         ORDER BY o_custkey
       """.trim)),
 
+    // --- snapshot diff: derive inserted/deleted/changed/unchanged between
+    // two table versions (the batch complement of q18's CDC apply, which
+    // consumes a change feed — this derives one). Deterministic synthetic
+    // "current" version: %7 keys deleted, %11 prices bumped, %13 re-keyed
+    // as inserts. ---
+    GQuery(
+      "q19_snapshot_diff",
+      (spark, dir) => {
+        val o = t(spark, dir, "orders")
+          .select(col("o_orderkey"), col("o_orderstatus"),
+            dec(col("o_totalprice")).as("o_totalprice"))
+        val current = o.filter(col("o_orderkey") % 7 =!= 0)
+          .withColumn("o_totalprice",
+            when(col("o_orderkey") % 11 === 0, col("o_totalprice") + lit(1))
+              .otherwise(col("o_totalprice")))
+          .unionByName(o.filter(col("o_orderkey") % 13 === 0)
+            .withColumn("o_orderkey", col("o_orderkey") + 10000000))
+        graft.operators.SnapshotDiff.diff(o, current,
+            Seq("o_orderkey"), Seq("o_orderstatus", "o_totalprice"))
+          .groupBy(col("change_type"))
+          .agg(count(lit(1)).as("n"), min(col("o_orderkey")).as("min_key"))
+          .orderBy(col("change_type"))
+      },
+      Some("""
+        WITH o AS (
+          SELECT o_orderkey, o_orderstatus,
+                 CAST(o_totalprice AS DECIMAL(12,2)) AS o_totalprice
+          FROM orders),
+        cur AS (
+          SELECT o_orderkey, o_orderstatus,
+                 CASE WHEN o_orderkey % 11 = 0 THEN o_totalprice + 1
+                      ELSE o_totalprice END AS o_totalprice
+          FROM o WHERE o_orderkey % 7 <> 0
+          UNION ALL
+          SELECT o_orderkey + 10000000, o_orderstatus, o_totalprice
+          FROM o WHERE o_orderkey % 13 = 0),
+        oh AS (SELECT o_orderkey, md5(concat_ws('|',
+                 coalesce(CAST(o_orderstatus AS VARCHAR), ''),
+                 coalesce(CAST(o_totalprice AS VARCHAR), ''))) AS h FROM o),
+        nh AS (SELECT o_orderkey, md5(concat_ws('|',
+                 coalesce(CAST(o_orderstatus AS VARCHAR), ''),
+                 coalesce(CAST(o_totalprice AS VARCHAR), ''))) AS h FROM cur),
+        d AS (
+          SELECT coalesce(nh.o_orderkey, oh.o_orderkey) AS k,
+                 CASE WHEN oh.h IS NULL THEN 'inserted'
+                      WHEN nh.h IS NULL THEN 'deleted'
+                      WHEN oh.h <> nh.h THEN 'changed'
+                      ELSE 'unchanged' END AS change_type
+          FROM oh FULL OUTER JOIN nh ON oh.o_orderkey = nh.o_orderkey)
+        SELECT change_type, COUNT(*) AS n, MIN(k) AS min_key
+        FROM d GROUP BY change_type ORDER BY change_type
+      """.trim)),
+
     // --- CDC apply: ordered I/U/D change events folded into a snapshot ---
     GQuery(
       "q18_cdc_apply",
