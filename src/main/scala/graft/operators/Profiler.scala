@@ -1,0 +1,38 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Column profiling: per-column null counts, distinct counts, and min/max
+  * rendered to strings — the "what is in this table?" first pass every
+  * ingestion pipeline runs before declaring schemas and DQ rules.
+  *
+  * Single aggregate pass over the input (one row crosses the exchange with
+  * 4 counters per column), then a narrow fan-out to one row per column —
+  * the same no-explode discipline as the DQ metrics pass. Exact distinct
+  * counts; swap in approx_count_distinct for a 100 TB first pass where 2%
+  * error is acceptable.
+  */
+object Profiler {
+
+  /** One row per profiled column: (col_name, n_rows, n_nulls, n_distinct,
+    * min_value, max_value) — min/max as strings for a uniform schema.
+    */
+  def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    val counters = cols.flatMap { c =>
+      Seq(
+        sum(col(c).isNull.cast("long")).as(s"__nn_$c"),
+        count_distinct(col(c)).as(s"__nd_$c"),
+        min(col(c)).cast("string").as(s"__mn_$c"),
+        max(col(c)).cast("string").as(s"__mx_$c"))
+    } :+ count(lit(1)).as("__n")
+    df.agg(counters.head, counters.tail: _*)
+      .select(explode(array(cols.map { c =>
+        struct(lit(c).as("col_name"), col("__n").as("n_rows"),
+          col(s"__nn_$c").as("n_nulls"), col(s"__nd_$c").as("n_distinct"),
+          col(s"__mn_$c").as("min_value"), col(s"__mx_$c").as("max_value"))
+      }: _*)).as("p"))
+      .select(col("p.col_name"), col("p.n_rows"), col("p.n_nulls"),
+        col("p.n_distinct"), col("p.min_value"), col("p.max_value"))
+  }
+}

@@ -175,6 +175,44 @@ object DqQueries extends QueryModule {
         ORDER BY o_orderkey, rule_name
       """.trim)),
 
+    // --- column profiling: the "what is in this table?" pass run before
+    // declaring schemas and DQ rules — per-column null/distinct counts and
+    // min/max in ONE aggregate pass (one row crosses the exchange), fanned
+    // out to a row per column. Profiled columns avoid raw doubles so the
+    // string rendering of min/max is engine-stable. ---
+    GQuery(
+      "q26_profile",
+      (spark, dir) => {
+        val c = t(spark, dir, "customer")
+        graft.operators.Profiler.profile(c,
+            Seq("c_custkey", "c_name", "c_mktsegment", "c_nationkey"))
+          .orderBy(col("col_name"))
+      },
+      Some("""
+        WITH a AS (
+          SELECT COUNT(*) AS n,
+            CAST(SUM(CAST(c_custkey IS NULL AS BIGINT)) AS BIGINT) AS nn1,
+            CAST(COUNT(DISTINCT c_custkey) AS BIGINT) AS nd1,
+            CAST(MIN(c_custkey) AS VARCHAR) AS mn1, CAST(MAX(c_custkey) AS VARCHAR) AS mx1,
+            CAST(SUM(CAST(c_name IS NULL AS BIGINT)) AS BIGINT) AS nn2,
+            CAST(COUNT(DISTINCT c_name) AS BIGINT) AS nd2,
+            CAST(MIN(c_name) AS VARCHAR) AS mn2, CAST(MAX(c_name) AS VARCHAR) AS mx2,
+            CAST(SUM(CAST(c_mktsegment IS NULL AS BIGINT)) AS BIGINT) AS nn3,
+            CAST(COUNT(DISTINCT c_mktsegment) AS BIGINT) AS nd3,
+            CAST(MIN(c_mktsegment) AS VARCHAR) AS mn3, CAST(MAX(c_mktsegment) AS VARCHAR) AS mx3,
+            CAST(SUM(CAST(c_nationkey IS NULL AS BIGINT)) AS BIGINT) AS nn4,
+            CAST(COUNT(DISTINCT c_nationkey) AS BIGINT) AS nd4,
+            CAST(MIN(c_nationkey) AS VARCHAR) AS mn4, CAST(MAX(c_nationkey) AS VARCHAR) AS mx4
+          FROM customer)
+        SELECT col_name, n_rows, n_nulls, n_distinct, min_value, max_value FROM (
+          SELECT 'c_custkey' AS col_name, n AS n_rows, nn1 AS n_nulls, nd1 AS n_distinct,
+                 mn1 AS min_value, mx1 AS max_value FROM a
+          UNION ALL SELECT 'c_name', n, nn2, nd2, mn2, mx2 FROM a
+          UNION ALL SELECT 'c_mktsegment', n, nn3, nd3, mn3, mx3 FROM a
+          UNION ALL SELECT 'c_nationkey', n, nn4, nd4, mn4, mx4 FROM a)
+        ORDER BY col_name
+      """.trim)),
+
     // --- Permissive referential integrity FROM CONFIG
     // (`config/silver/schema/README.md:300-303` option 2: allow orphans,
     // flag for review, configurable per foreign key). The rule enters

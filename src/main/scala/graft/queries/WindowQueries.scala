@@ -244,6 +244,72 @@ object WindowQueries extends QueryModule {
         FROM a ORDER BY o_orderstatus
       """.trim)),
 
+    // --- pairwise Pearson correlations from EXACT decimal moment sums
+    // (q37's discipline): one aggregate pass collects s_x/s_y/s_xy/s_xx/
+    // s_yy per pair, then the correlation is a fixed double op sequence
+    // (sqrt correctly rounded) — bit-exact cross-engine, unlike corr()
+    // builtins whose accumulation order varies with partitioning. ---
+    GQuery(
+      "q56_correlations",
+      (spark, dir) => {
+        val li = t(spark, dir, "lineitem")
+        val cols = Seq("l_quantity", "l_extendedprice", "l_discount")
+        def d30(c: Column): Column = c.cast(DecimalType(30, 4))
+        val pairs = Seq(("l_quantity", "l_extendedprice"),
+          ("l_quantity", "l_discount"), ("l_extendedprice", "l_discount"))
+        val sums = cols.flatMap { c =>
+          Seq(sum(dec(col(c))).cast(DecimalType(22, 2)).as(s"__s_$c"),
+            sum(d30(dec(col(c)) * dec(col(c)))).cast(DecimalType(34, 4)).as(s"__ss_$c"))
+        } ++ pairs.map { case (a, b) =>
+          sum(d30(dec(col(a)) * dec(col(b)))).cast(DecimalType(34, 4)).as(s"__sp_${a}_$b")
+        } :+ count(lit(1)).as("__n")
+        val agg = li.agg(sums.head, sums.tail: _*)
+        def dd(name: String): Column = col(name).cast(DoubleType)
+        val rows = pairs.map { case (a, b) =>
+          struct(lit(s"$a~$b").as("pair"),
+            ((col("__n") * dd(s"__sp_${a}_$b") - dd(s"__s_$a") * dd(s"__s_$b")) /
+              (sqrt(col("__n") * dd(s"__ss_$a") - dd(s"__s_$a") * dd(s"__s_$a")) *
+               sqrt(col("__n") * dd(s"__ss_$b") - dd(s"__s_$b") * dd(s"__s_$b"))))
+              .as("pearson_r"))
+        }
+        agg.select(explode(array(rows: _*)).as("r"))
+          .select(col("r.pair"), col("r.pearson_r"))
+          .orderBy(col("pair"))
+      },
+      Some("""
+        WITH a AS (
+          SELECT COUNT(*) AS n,
+            CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(22,2)) AS sq,
+            CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(22,2)) AS se,
+            CAST(SUM(CAST(l_discount AS DECIMAL(12,2))) AS DECIMAL(22,2)) AS sd,
+            CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2)) AS DECIMAL(30,4))) AS DECIMAL(34,4)) AS sqq,
+            CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2)) AS DECIMAL(30,4))) AS DECIMAL(34,4)) AS see,
+            CAST(SUM(CAST(CAST(l_discount AS DECIMAL(12,2)) * CAST(l_discount AS DECIMAL(12,2)) AS DECIMAL(30,4))) AS DECIMAL(34,4)) AS sdd,
+            CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2)) AS DECIMAL(30,4))) AS DECIMAL(34,4)) AS sqe,
+            CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_discount AS DECIMAL(12,2)) AS DECIMAL(30,4))) AS DECIMAL(34,4)) AS sqd,
+            CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_discount AS DECIMAL(12,2)) AS DECIMAL(30,4))) AS DECIMAL(34,4)) AS sed
+          FROM lineitem)
+        SELECT pair, pearson_r FROM (
+          SELECT 'l_quantity~l_extendedprice' AS pair,
+                 (n * CAST(sqe AS DOUBLE) - CAST(sq AS DOUBLE) * CAST(se AS DOUBLE)) /
+                 (sqrt(n * CAST(sqq AS DOUBLE) - CAST(sq AS DOUBLE) * CAST(sq AS DOUBLE)) *
+                  sqrt(n * CAST(see AS DOUBLE) - CAST(se AS DOUBLE) * CAST(se AS DOUBLE))) AS pearson_r
+          FROM a
+          UNION ALL
+          SELECT 'l_quantity~l_discount',
+                 (n * CAST(sqd AS DOUBLE) - CAST(sq AS DOUBLE) * CAST(sd AS DOUBLE)) /
+                 (sqrt(n * CAST(sqq AS DOUBLE) - CAST(sq AS DOUBLE) * CAST(sq AS DOUBLE)) *
+                  sqrt(n * CAST(sdd AS DOUBLE) - CAST(sd AS DOUBLE) * CAST(sd AS DOUBLE)))
+          FROM a
+          UNION ALL
+          SELECT 'l_extendedprice~l_discount',
+                 (n * CAST(sed AS DOUBLE) - CAST(se AS DOUBLE) * CAST(sd AS DOUBLE)) /
+                 (sqrt(n * CAST(see AS DOUBLE) - CAST(se AS DOUBLE) * CAST(se AS DOUBLE)) *
+                  sqrt(n * CAST(sdd AS DOUBLE) - CAST(sd AS DOUBLE) * CAST(sd AS DOUBLE)))
+          FROM a)
+        ORDER BY pair
+      """.trim)),
+
     // --- rank/dense_rank (general query layer, SURVEY §2.6 note) ---
     GQuery(
       "q35_rank_nations_by_revenue",
