@@ -7,22 +7,26 @@ import org.apache.spark.sql.functions._
   * rendered to strings — the "what is in this table?" first pass every
   * ingestion pipeline runs before declaring schemas and DQ rules.
   *
-  * Single aggregate pass over the input (one row crosses the exchange with
-  * 4 counters per column), then a narrow fan-out to one row per column —
-  * the same no-explode discipline as the DQ metrics pass. Exact distinct
-  * counts; swap in approx_count_distinct for a 100 TB first pass where 2%
-  * error is acceptable.
+  * One aggregate job; only a single counters row crosses the final
+  * exchange, then a narrow fan-out to one row per column (the DQ-metrics
+  * no-explode discipline). Caveat for exactness: multiple exact
+  * COUNT(DISTINCT)s in one aggregate plan an Expand that replays input
+  * rows once per distinct column — at 100 TB profile with
+  * `approxDistinct = true` (HLL, ~2% error, no Expand), which is the right
+  * first-pass trade anyway.
   */
 object Profiler {
 
   /** One row per profiled column: (col_name, n_rows, n_nulls, n_distinct,
     * min_value, max_value) — min/max as strings for a uniform schema.
     */
-  def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
+  def profile(df: DataFrame, cols: Seq[String],
+      approxDistinct: Boolean = false): DataFrame = {
     val counters = cols.flatMap { c =>
       Seq(
         sum(col(c).isNull.cast("long")).as(s"__nn_$c"),
-        count_distinct(col(c)).as(s"__nd_$c"),
+        (if (approxDistinct) approx_count_distinct(col(c))
+         else count_distinct(col(c))).as(s"__nd_$c"),
         min(col(c)).cast("string").as(s"__mn_$c"),
         max(col(c)).cast("string").as(s"__mx_$c"))
     } :+ count(lit(1)).as("__n")
