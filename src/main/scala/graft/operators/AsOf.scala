@@ -1,0 +1,64 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** General as-of join: each left row picks the LATEST right row with
+  * `rightTs <= leftTs` on the same key (optionally within a tolerance) —
+  * "the sensor reading / price / event in effect at transaction time"
+  * against an ordinary event table (PointInTime covers the SCD2-range
+  * special case, where validity intervals are precomputed).
+  *
+  * Spark-first formulation: instead of a range join (whose naive plan
+  * explodes to every pair within the window before picking one), both
+  * sides UNION into one stream tagged by side, and a single window over
+  * (key, ts) back-fills each left row with the last preceding right-side
+  * payload via `last(ignoreNulls)`. One hash shuffle on the key, linear
+  * state, no pair blow-up — the same plan at 100 TB. Right rows at the
+  * exact left timestamp match (<=): the side tag orders right before left
+  * within a timestamp tie.
+  */
+object AsOf {
+
+  /** Left rows + `rightCols` payload back-filled from the latest prior
+    * right row (plus `__asof_ts`, its timestamp, for inspection); rows
+    * with no match in `(leftTs - tolerance, leftTs]` keep NULL payload
+    * when `toleranceMicros` is set, or match any prior row when None.
+    * `tsMicros` columns must be epoch-microsecond longs; `tiebreak`
+    * breaks right-side timestamp ties (latest wins).
+    */
+  def joinLatestPrior(left: DataFrame, right: DataFrame, keys: Seq[String],
+      leftTsMicros: Column, rightTsMicros: Column, rightCols: Seq[String],
+      tiebreak: Seq[Column] = Nil, toleranceMicros: Option[Long] = None): DataFrame = {
+    val payload = rightCols.map(c => s"__asof_$c")
+    val r = right.select(
+      keys.map(col) ++
+        Seq(rightTsMicros.as("__ts"), lit(0).as("__side")) ++
+        tiebreak.zipWithIndex.map { case (t, i) => t.as(s"__tb_$i") } ++
+        rightCols.zip(payload).map { case (c, p) => col(c).as(p) }: _*)
+      .withColumn("__asof_ts", col("__ts"))
+    val l = left
+      .withColumn("__ts", leftTsMicros)
+      .withColumn("__side", lit(1))
+    val u = l.unionByName(r, allowMissingColumns = true)
+    // right rows sort before left at the same ts (side 0 < 1); among
+    // right ties the LAST under tiebreak wins the back-fill
+    val ord = Seq(col("__ts").asc, col("__side").asc) ++
+      tiebreak.indices.map(i => col(s"__tb_$i").asc)
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(ord: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val filled = (payload :+ "__asof_ts").foldLeft(u) { (d, p) =>
+      d.withColumn(p, last(col(p), ignoreNulls = true).over(w))
+    }
+    val within = toleranceMicros match {
+      case Some(t) => col("__asof_ts").isNotNull && col("__asof_ts") > col("__ts") - t
+      case None => lit(true)
+    }
+    val result = filled.filter(col("__side") === 1)
+    (payload :+ "__asof_ts").foldLeft(result) { (d, p) =>
+        d.withColumn(p, when(within, col(p)))
+      }
+      .drop("__ts" +: "__side" +: tiebreak.indices.map(i => s"__tb_$i"): _*)
+  }
+}

@@ -304,6 +304,49 @@ object OperatorQueries extends QueryModule {
         ORDER BY o_custkey
       """.trim)),
 
+    // --- general as-of join (union-tag + one window, never a range-join
+    // pair explosion): each order picks the customer's latest event at or
+    // before the order instant, within a 90-day tolerance. The oracle is
+    // the naive range join + row_number, proving the single-window
+    // formulation picks identical rows. ---
+    GQuery(
+      "q57_asof_join",
+      (spark, dir) => {
+        // order dates shifted +28y into the events' epoch (the q91
+        // convention) so the as-of window actually selects rows
+        val o = t(spark, dir, "orders").filter(col("o_custkey") <= 99)
+          .select(col("o_orderkey"), col("o_custkey"),
+            unix_micros((col("o_orderdate") + expr("interval 28 years"))
+              .cast("timestamp")).as("ots"))
+        val e = Tables.events(spark, dir)
+          .select(col("user_id").as("o_custkey"), col("event_id"),
+            unix_micros(col("ts")).as("ets"))
+        val joined = graft.operators.AsOf.joinLatestPrior(
+          o, e, keys = Seq("o_custkey"),
+          leftTsMicros = col("ots"), rightTsMicros = col("ets"),
+          rightCols = Seq("event_id"), tiebreak = Seq(col("event_id")),
+          toleranceMicros = Some(90L * 86400L * 1000000L))
+        joined.select(col("o_orderkey"), col("o_custkey"),
+            col("__asof_event_id").as("event_id"), col("__asof_ts").as("event_us"))
+          .filter(col("event_id").isNotNull)
+          .orderBy(col("o_orderkey"))
+      },
+      Some("""
+        WITH l AS (
+          SELECT o_orderkey, o_custkey,
+                 epoch_us(CAST(o_orderdate + INTERVAL 28 YEAR AS TIMESTAMP)) AS ots
+          FROM orders WHERE o_custkey <= 99),
+        c AS (
+          SELECT l.o_orderkey, l.o_custkey, e.event_id, epoch_us(e.ts) AS event_us,
+                 row_number() OVER (PARTITION BY l.o_orderkey
+                   ORDER BY e.ts DESC, e.event_id DESC) AS rn
+          FROM l JOIN events e ON e.user_id = l.o_custkey
+           AND epoch_us(e.ts) <= l.ots
+           AND epoch_us(e.ts) > l.ots - 7776000000000)
+        SELECT o_orderkey, o_custkey, event_id, event_us
+        FROM c WHERE rn = 1 ORDER BY o_orderkey
+      """.trim)),
+
     // --- snapshot diff: derive inserted/deleted/changed/unchanged between
     // two table versions (the batch complement of q18's CDC apply, which
     // consumes a change feed — this derives one). Deterministic synthetic

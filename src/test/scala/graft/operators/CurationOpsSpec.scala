@@ -79,6 +79,22 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(top == Map(1L -> "alpha", 2L -> "beta", 3L -> "gamma"))
   }
 
+  test("as-of join: inclusive match, tolerance cutoff, tie goes to latest") {
+    val right = Seq((1L, 10L, 100L), (1L, 20L, 200L), (1L, 20L, 201L))
+      .toDF("k", "ts", "rid")
+    val left = Seq((1L, 25L, "in_window"), (1L, 35L, "expired"), (1L, 20L, "exact_tie"),
+      (2L, 50L, "no_right_rows")).toDF("k", "ts", "label")
+    val out = AsOf.joinLatestPrior(left, right, Seq("k"),
+        leftTsMicros = $"ts", rightTsMicros = $"ts", rightCols = Seq("rid"),
+        tiebreak = Seq($"rid"), toleranceMicros = Some(10L))
+      .select($"label", $"__asof_rid")
+      .collect().map(r => r.getString(0) -> Option(r.get(1))).toMap
+    assert(out("in_window") == Some(201L))  // latest ts=20, tie → larger rid
+    assert(out("exact_tie") == Some(201L))  // rightTs == leftTs matches (<=)
+    assert(out("expired") == None)          // latest prior is 20 <= 35-10
+    assert(out("no_right_rows") == None)
+  }
+
   test("quantizedDot matches the exact integer sum") {
     val df = Seq((Seq(1, -2, 3), Seq(4, 5, -6))).toDF("a", "b")
     val d = df.select(Similarity.quantizedDot($"a", $"b")).head().getLong(0)
