@@ -187,6 +187,39 @@ class ScaleCurveSpec extends AnyFunSuite {
     curve("connected_components", op, base, amp)
   }
 
+  test("as-of join scales ~linearly") {
+    val e = graft.core.Tables.events(spark, Sf)
+      .select($"user_id", $"event_id", unix_micros($"ts").as("ets"))
+    val o = table("orders").filter($"o_custkey" <= 99)
+      .select($"o_orderkey", $"o_custkey",
+        unix_micros(($"o_orderdate" + expr("interval 28 years")).cast("timestamp")).as("ots"))
+    def ampBoth(df: DataFrame, user: String, id: String): DataFrame =
+      (0 until Amp).map(i =>
+        df.withColumn(user, col(user) + lit(i * 1000000L))
+          .withColumn(id, col(id) + lit(i * 100000000L)))
+        .reduce(_ unionByName _)
+    def op(in: (DataFrame, DataFrame)): DataFrame =
+      AsOf.joinLatestPrior(in._1, in._2.withColumnRenamed("user_id", "o_custkey"),
+        Seq("o_custkey"), $"ots", $"ets", Seq("event_id"),
+        tiebreak = Seq($"event_id"), toleranceMicros = Some(90L * 86400L * 1000000L))
+    // curve() takes single frames; close over the right side per size
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val saved = spark.conf.getOption(key)
+    spark.conf.set(key, "-1")
+    try {
+      op((spread(o), spread(e))).count() // warm
+      val (t1, x1) = timed(op((spread(o), spread(e))))
+      val (tN, xN) = timed(op((spread(ampBoth(o, "o_custkey", "o_orderkey")),
+        spread(ampBoth(e, "user_id", "event_id")))))
+      info(f"asof_join: 1x=$t1%.2fs ${Amp}x=$tN%.2fs exchanges=$x1/$xN")
+      assert(xN == x1)
+      assert(tN <= math.max(4.0 * Amp * t1, Amp * t1 + 5.0))
+    } finally saved match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   test("RP-LSH vector near-dups scale ~linearly") {
     val e = table("embeddings")
       .select($"vec_id", Similarity.asDouble($"embedding").as("ev"))
