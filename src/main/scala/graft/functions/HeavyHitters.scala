@@ -1,0 +1,148 @@
+package graft.functions
+
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream, DataInputStream, DataOutputStream}
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.GraftSqlBridge
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Misra-Gries heavy-hitters sketch as a native Catalyst
+  * `TypedImperativeAggregate` (SURVEY §2.12 sketches; the custom-AGGREGATE
+  * counterpart to the custom scalar expressions `format_phone` and
+  * `dot_product`).
+  *
+  * One pass, `k` counters per partition, mergeable partial states — the
+  * 100 TB way to find frequent items without a full `groupBy` over every
+  * distinct key (whose shuffle carries the entire key cardinality; this
+  * carries ≤ k entries per partition).
+  *
+  * Published guarantees (deterministic regardless of arrival/merge order,
+  * which is what the correctness gate checks):
+  *  - every item with true count > n/(k+1) is present in the summary;
+  *  - estimates never overestimate: est ≤ true;
+  *  - underestimation is bounded: true − est ≤ n/(k+1).
+  * The exact per-item estimates ARE arrival-order dependent (as with any
+  * MG sketch) — callers needing exact counts re-count just the summary's
+  * candidates in a second cheap pass.
+  *
+  * Update is amortized O(1): each decrement-all step spends previously
+  * added counts, so total decrement work over n updates is O(n). Merge is
+  * the mergeable-summaries rule (union-add, subtract the (k+1)-largest,
+  * drop non-positive).
+  */
+case class MisraGriesTopK(
+    child: Expression,
+    k: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[mutable.HashMap[String, Long]] {
+
+  require(k > 0, "k must be positive")
+
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("item", StringType, nullable = false),
+    StructField("est", LongType, nullable = false))))
+
+  override def createAggregationBuffer(): mutable.HashMap[String, Long] =
+    mutable.HashMap.empty
+
+  override def update(buf: mutable.HashMap[String, Long],
+      input: InternalRow): mutable.HashMap[String, Long] = {
+    val v = child.eval(input)
+    if (v != null) {
+      val item = v.toString
+      buf.get(item) match {
+        case Some(c) => buf.update(item, c + 1)
+        case None if buf.size < k => buf.update(item, 1L)
+        case None =>
+          // decrement-all; drop zeros (amortized O(1) per update)
+          val dead = mutable.ArrayBuffer.empty[String]
+          buf.keysIterator.foreach { key =>
+            val c = buf(key) - 1
+            if (c <= 0) dead += key else buf.update(key, c)
+          }
+          dead.foreach(buf.remove)
+      }
+    }
+    buf
+  }
+
+  override def merge(buf: mutable.HashMap[String, Long],
+      other: mutable.HashMap[String, Long]): mutable.HashMap[String, Long] = {
+    other.foreach { case (item, c) =>
+      buf.update(item, buf.getOrElse(item, 0L) + c)
+    }
+    if (buf.size > k) {
+      // subtract the (k+1)-th largest count, keep positives (≤ k survive)
+      val counts = buf.values.toArray.sorted(Ordering[Long].reverse)
+      val cut = counts(k)
+      val dead = mutable.ArrayBuffer.empty[String]
+      buf.keysIterator.foreach { key =>
+        val c = buf(key) - cut
+        if (c <= 0) dead += key else buf.update(key, c)
+      }
+      dead.foreach(buf.remove)
+    }
+    buf
+  }
+
+  override def eval(buf: mutable.HashMap[String, Long]): Any = {
+    // deterministic ORDER of the emitted summary: est desc, item asc
+    val rows = buf.toArray.sortBy { case (item, c) => (-c, item) }
+      .map { case (item, c) =>
+        InternalRow(UTF8String.fromString(item), c)
+      }
+    new GenericArrayData(rows.asInstanceOf[Array[Any]])
+  }
+
+  override def serialize(buf: mutable.HashMap[String, Long]): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val out = new DataOutputStream(bos)
+    out.writeInt(buf.size)
+    buf.foreach { case (item, c) =>
+      val b = item.getBytes("UTF-8")
+      out.writeInt(b.length); out.write(b); out.writeLong(c)
+    }
+    out.flush()
+    bos.toByteArray
+  }
+
+  override def deserialize(bytes: Array[Byte]): mutable.HashMap[String, Long] = {
+    val in = new DataInputStream(new ByteArrayInputStream(bytes))
+    val n = in.readInt()
+    val buf = mutable.HashMap.empty[String, Long]
+    (0 until n).foreach { _ =>
+      val len = in.readInt()
+      val b = new Array[Byte](len); in.readFully(b)
+      buf.update(new String(b, "UTF-8"), in.readLong())
+    }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): MisraGriesTopK =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): MisraGriesTopK =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): MisraGriesTopK =
+    copy(child = newChildren.head)
+  override def prettyName: String = "mg_topk"
+}
+
+object HeavyHitters {
+  /** Aggregate a string column into a ≤ k-entry Misra-Gries summary:
+    * array<struct<item, est>> ordered (est desc, item asc).
+    */
+  def mgTopK(c: Column, k: Int): Column =
+    GraftSqlBridge.column(
+      MisraGriesTopK(GraftSqlBridge.expression(c), k).toAggregateExpression())
+}

@@ -43,6 +43,47 @@ object SamplingQueries extends QueryModule {
 
   override def all: Seq[GQuery] = Seq(
 
+    // --- heavy hitters via the native Misra-Gries TypedImperativeAggregate
+    // (one pass, ≤ k counters per partition, mergeable states — no full
+    // groupBy shuffle over the whole vocabulary). Per-item estimates are
+    // arrival-order dependent, but the PUBLISHED guarantees are not, and
+    // they are what the gate checks against exact counts: every token with
+    // true count > n/(k+1) is in the summary; estimates never exceed true
+    // counts; underestimation ≤ n/(k+1). Integer-exact comparisons
+    // (cnt·(k+1) vs n), no float thresholds. ---
+    GQuery(
+      "q58_heavy_hitters",
+      (spark, dir) => {
+        import graft.functions.{HeavyHitters, TextAnalysis}
+        val k = 200
+        val toks = Tables.docs(spark, dir)
+          .select(explode(TextAnalysis.tokens(lower(col("text")))).as("tok"))
+        val summary = toks.agg(HeavyHitters.mgTopK(col("tok"), k).as("s"))
+          .select(explode(col("s")).as("e"))
+          .select(col("e.item").as("tok"), col("e.est").as("est"))
+        val exact = toks.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+        val tot = toks.agg(count(lit(1)).as("n"))
+        val heavy = exact.crossJoin(broadcast(tot))
+          .filter(col("cnt") * (k + 1) > col("n"))
+        val found = heavy.join(summary, Seq("tok"), "left")
+          .agg(count(lit(1)).as("heavy_count"),
+            coalesce(min(col("est").isNotNull), lit(true)).as("all_heavy_found"))
+        val bounds = summary.join(exact, Seq("tok")).crossJoin(broadcast(tot))
+          .agg(
+            coalesce(min(col("est") <= col("cnt")), lit(true)).as("no_overestimate"),
+            coalesce(min((col("cnt") - col("est")) * (k + 1) <= col("n")), lit(true))
+              .as("error_bounded"))
+        found.crossJoin(bounds)
+      },
+      Some("""
+        WITH toks AS (
+          SELECT unnest(string_split(lower(text), ' ')) AS tok FROM documents),
+        tot AS (SELECT COUNT(*) AS n FROM toks),
+        exact AS (SELECT tok, COUNT(*) AS cnt FROM toks GROUP BY 1)
+        SELECT CAST((SELECT COUNT(*) FROM exact, tot WHERE cnt * 201 > n) AS BIGINT) AS heavy_count,
+               TRUE AS all_heavy_found, TRUE AS no_overestimate, TRUE AS error_bounded
+      """.trim)),
+
     // --- exact-n stratified sampling, deterministic: per language, the 20
     // docs smallest under a salted content hash — the "balanced training
     // mix" primitive. Unlike sample()/sampleBy(), the result is invariant

@@ -95,6 +95,30 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(out("no_right_rows") == None)
   }
 
+  test("Misra-Gries guarantees hold on a skewed stream across many partitions") {
+    import graft.functions.HeavyHitters
+    // 30% 'a', 20% 'b', 50% spread over 1000 tail items; k=20 →
+    // threshold n/21 ≈ 4.76%, so exactly {a, b} are guaranteed present
+    val n = 100000
+    val df = spark.range(0, n).repartition(16)
+      .selectExpr("""CASE WHEN id % 10 < 3 THEN 'a'
+                          WHEN id % 10 < 5 THEN 'b'
+                          ELSE concat('t', CAST(id % 1000 AS STRING)) END AS tok""")
+    val summary = df.agg(HeavyHitters.mgTopK($"tok", 20).as("s"))
+      .select(explode($"s").as("e"))
+      .select($"e.item".as("tok"), $"e.est".as("est"))
+    val exact = df.groupBy($"tok").agg(count(lit(1)).as("cnt"))
+    val joined = summary.join(exact, "tok").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val items = joined.map(_._1).toSet
+    assert(items.contains("a") && items.contains("b"))
+    assert(joined.size <= 20)
+    for ((tok, est, cnt) <- joined) {
+      assert(est <= cnt, s"$tok overestimated: $est > $cnt")
+      assert((cnt - est) * 21 <= n, s"$tok error too large: $cnt - $est")
+    }
+  }
+
   test("quantizedDot matches the exact integer sum") {
     val df = Seq((Seq(1, -2, 3), Seq(4, 5, -6))).toDF("a", "b")
     val d = df.select(Similarity.quantizedDot($"a", $"b")).head().getLong(0)
