@@ -1,9 +1,15 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
+
+  /** Median of three samples without sorting allocations. */
+  private def median3(a: Double, b: Double, c: Double): Double =
+    math.max(math.min(a, b), math.min(math.max(a, b), c))
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val repeats = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPEATS", "3").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -19,29 +25,73 @@ object Bench {
     // round-over-round comparisons. One representative query end-to-end
     // warms the session, codegen compiler, and the scan path.
     SparkEntry.benchQueries.headOption.foreach { case (_, fn) =>
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
+      try { fn(spark, sfDir).queryExecution.toRdd.count() }
+      catch { case _: Throwable => () }
     }
+    // Per query: run `repeats` times and keep the MEDIAN, so one contended
+    // sample (r3's uniform ~3× driver-run inflation; q64's 21× excursion)
+    // can't poison round-over-round comparison. Materialize through
+    // `queryExecution.toRdd.count()` — unlike `df.count()`, which lets
+    // Catalyst prune every unconsumed column and drop the final sort, the
+    // InternalRow RDD must produce ALL output columns, so projection-shaped
+    // queries (q60-q62, q49) actually execute their expressions.
     val results = SparkEntry.benchQueries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      def once(): Double = {
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).queryExecution.toRdd.count() }
+        catch { case _: Throwable => () }
+        (System.nanoTime() - t0) / 1e9
+      }
+      val sec =
+        if (repeats >= 3) median3(once(), once(), once())
+        else if (repeats == 2) { val (a, b) = (once(), once()); math.min(a, b) }
+        else once()
+      // Cache hygiene: a query definition that persists without
+      // unpersisting would otherwise pin storage memory for the remaining
+      // ~75 queries. clearCache() drops CacheManager entries (df.persist);
+      // the explicit unpersist sweep also frees localCheckpoint blocks
+      // (result backings from reap/connected-components), which live
+      // outside the CacheManager.
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
+      name -> sec
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+    // Leak check: after clearCache nothing may remain pinned. Surface it in
+    // the JSON (a boolean costs 20 bytes) instead of failing the bench.
+    val leakedRdds = spark.sparkContext.getPersistentRDDs.size
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
-    // Drop the line in well-known files first: sbt may decorate stdout,
-    // and the driver needs one clean machine-readable JSON line.
+    def queriesJson(shorten: Boolean): String = results.map { case (k, v) =>
+      val key = if (shorten) k.takeWhile(_ != '_') else k
+      "\"" + key + "\":" + f"$v%.3f"
+    }.mkString("{", ",", "}")
+    // The committed record keeps full query names for humans and the judge.
+    val fileJson =
+      s"""{"metric":"total","value":$total,"unit":"sec","repeats":$repeats,"leaked_rdds":$leakedRdds,"queries":${queriesJson(false)},"sf":"$sfDir"}"""
+    // The STDOUT line is what the driver tail-captures, and its buffer is
+    // exactly 2000 chars (BENCH_r03: 2.5 KB line → truncated → parsed:null
+    // three rounds running). Full names + full-precision doubles cannot
+    // fit 76+ queries in 2000 bytes, so the stdout line uses the contract's
+    // own short keys ({"q1":sec,…}) and 3-decimal seconds: ~1 KB total,
+    // with headroom for many more queries. qNN prefixes are unique
+    // (asserted below) and map 1:1 onto CORRECTNESS ids.
+    val shortKeys = results.keys.map(_.takeWhile(_ != '_')).toSeq
+    require(shortKeys.distinct.size == shortKeys.size,
+      "bench short keys must be unique")
+    val stdoutJson =
+      s"""{"metric":"total","value":$total,"unit":"sec","repeats":$repeats,"leaked_rdds":$leakedRdds,"queries":${queriesJson(true)},"sf":"$sfDir"}"""
+    // Drop the full record in well-known files first: sbt may decorate
+    // stdout, and the driver needs one clean machine-readable JSON line.
     for (p <- Seq("/tmp/bench.json", "bench.json")) {
       try java.nio.file.Files.write(java.nio.file.Paths.get(p),
-        (json + "\n").getBytes("UTF-8"))
+        (fileJson + "\n").getBytes("UTF-8"))
       catch { case _: Throwable => () }
     }
     // Stop Spark BEFORE printing so no executor/cleaner output can land
     // after the JSON line; with build.sbt's `showSuccess := false` this
     // makes it the FINAL stdout line of the whole sbt invocation.
     spark.stop()
-    println(json)
+    println(stdoutJson)
     System.out.flush()
   }
 }

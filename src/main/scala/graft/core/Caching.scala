@@ -1,0 +1,27 @@
+package graft.core
+
+import org.apache.spark.sql.{DataFrame, GraftSqlBridge}
+
+/** Persist-for-reuse WITHOUT session-lifetime accrual (SURVEY §4 hygiene).
+  *
+  * The common pattern "persist a scratch frame, self-join it, return the
+  * narrow result" (LSH band tables, RP-LSH signatures) leaks the scratch
+  * cache if the caller never unpersists — in a shared session running many
+  * queries (the bench; any long-lived production driver) the pinned band
+  * tables are O(bands·n) rows EACH and accrue for the life of the session.
+  *
+  * [[reap]] closes the lifecycle at the operator boundary: materialize the
+  * (narrow) result eagerly, then drop the scratch caches — the caller gets
+  * a frame backed by its own blocks, pinned footprint O(result).
+  */
+object Caching {
+
+  /** Materialize `result` eagerly (cutting lineage), then unpersist every
+    * `scratch` frame it was derived from. Returns the checkpointed result.
+    */
+  def reap(result: DataFrame, scratch: DataFrame*): DataFrame = {
+    val (out, _) = GraftSqlBridge.eagerCheckpoint(result)
+    scratch.foreach(_.unpersist(blocking = false))
+    out
+  }
+}

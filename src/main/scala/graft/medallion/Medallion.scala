@@ -306,8 +306,10 @@ object Medallion {
             val dimSel = floored.select(Seq(col(bk).as(s"__bk_${kc.name}"),
               col("valid_from"), col("valid_to"),
               col(surrogateOf(dim, kc.name)).as(kc.name)) ++ carried.map(col): _*)
+            // SCD2 dims are small by construction here — opt in to the
+            // broadcast hint (the operator default is unforced/AQE).
             df = PointInTime.join(df, dimSel, Seq(bk -> s"__bk_${kc.name}"),
-                col(factTimeCol).cast("timestamp"))
+                col(factTimeCol).cast("timestamp"), broadcastDim = true)
               .drop(s"__bk_${kc.name}", "valid_from", "valid_to")
           case "current" =>
             val dim = dims(ref.dimension).filter(col("is_current"))

@@ -1,23 +1,30 @@
 package graft.multimodal
 
+import java.io.ByteArrayInputStream
 import java.security.MessageDigest
+
+import javax.imageio.ImageIO
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Multimodal column plumbing (builder-prompt mandate; SURVEY §2.12).
   *
-  * Images/audio/video ride as opaque `binary` payload columns with a typed
+  * Images/audio/video ride as opaque `binary` columns with a typed
   * metadata struct — the flat-row model extends to media without schema
-  * changes. The decode step is STUBBED (no media libs in this container)
-  * behind [[Media.decodeStub]]: a deterministic fake that derives
-  * "dimensions" from a digest, so the Spark-side plumbing — schema,
-  * partitioning, batched per-partition processing (the Scala analogue of
-  * `mapInPandas` batches), feature output shape — is real and tested.
+  * changes. Image decode is REAL for the formats the JDK ships codecs for
+  * (javax.imageio: PNG/JPEG/GIF/BMP — no external media libs needed);
+  * payloads the JDK cannot decode (text stand-ins, audio, video) fall back
+  * to [[Media.decodeStub]], a deterministic digest-derived fake, so the
+  * Spark-side plumbing — schema, partitioning, batched per-partition
+  * processing (the Scala analogue of `mapInPandas` batches), feature
+  * output shape — is exercised end-to-end either way. The `decoded` flag
+  * on every feature row says which path ran.
   *
   * Scale notes: payloads never shuffle — featurization is a narrow
   * `mapPartitions` over the scan; only the small feature rows flow
-  * downstream. For 100 TB of media, partition input by content-addressed
+  * downstream. The codec probe is gated on a declared image MIME type, so
+  * a 100 TB text corpus never pays ImageIO stream-probing per row. For media at that scale, partition input by content-addressed
   * prefix so tasks stream batches without skew.
   */
 object Media {
@@ -25,7 +32,7 @@ object Media {
   final case class MediaMeta(mimeType: String, sizeBytes: Long, lang: String)
   final case class MediaRecord(id: Long, payload: Array[Byte], meta: MediaMeta)
   final case class MediaFeature(id: Long, byteLen: Long, contentMd5: String,
-      fakeWidth: Int, fakeHeight: Int)
+      width: Int, height: Int, decoded: Boolean)
 
   /** Wrap the documents table as a media table: binary payload + metadata. */
   def fromDocuments(docs: DataFrame): DataFrame =
@@ -37,9 +44,20 @@ object Media {
         octet_length(col("text")).cast("long").as("sizeBytes"),
         col("lang").as("lang")).as("meta"))
 
-  /** STUB decode — deterministic fake dimensions from the payload digest.
-    * Replace with a real image/audio decoder where media libs exist; the
-    * signature (bytes in, typed features out) is the contract.
+  /** REAL image decode via the JDK's bundled codecs (PNG/JPEG/GIF/BMP).
+    * `None` when no installed reader recognizes the bytes — the caller
+    * falls back to the stub, so corrupt or unsupported payloads degrade
+    * instead of failing the task.
+    */
+  def decodeImage(payload: Array[Byte]): Option[(Int, Int)] =
+    try Option(ImageIO.read(new ByteArrayInputStream(payload)))
+      .map(img => (img.getWidth, img.getHeight))
+    catch { case _: Throwable => None }
+
+  /** STUB decode — deterministic fake dimensions from the payload digest,
+    * for payload kinds with no in-JVM codec (audio/video; the text corpus
+    * standing in for media in the gates). Pinned by a golden test so any
+    * future real-decoder swap is a deliberate one-file change.
     */
   def decodeStub(payload: Array[Byte]): (Int, Int) = {
     val d = MessageDigest.getInstance("MD5").digest(payload)
@@ -54,8 +72,8 @@ object Media {
     if (payload.isEmpty) Nil
     else (0 until frames).map(i => (i.toLong * payload.length / frames).toInt)
 
-  /** STUB resize — deterministic target-dims passthrough for the decode
-    * stub's fake dimensions.
+  /** Resize to fit `maxSide`, preserving aspect ratio — works on real or
+    * stubbed dimensions alike.
     */
   def resizeStub(dims: (Int, Int), maxSide: Int): (Int, Int) = {
     val (w, h) = dims
@@ -68,7 +86,10 @@ object Media {
       .map(b => f"$b%02x").mkString
 
   /** Batched per-partition featurization — the `mapInPandas` analogue:
-    * each task walks its partition once, running the (stubbed) decoder.
+    * each task walks its partition once. Payloads declaring an image MIME
+    * type go through the REAL JDK decoder (stub fallback if the bytes
+    * don't parse); everything else goes straight to the stub without
+    * paying a codec probe.
     */
   def featurize(spark: SparkSession, media: DataFrame): Dataset[MediaFeature] = {
     import spark.implicits._
@@ -76,9 +97,14 @@ object Media {
         col("meta.mimeType"), col("meta.sizeBytes"), col("meta.lang"))
       .as[(Long, Array[Byte], String, Long, String)]
       .mapPartitions { it =>
-        it.map { case (id, payload, _, _, _) =>
-          val (w, h) = decodeStub(payload)
-          MediaFeature(id, payload.length.toLong, md5Hex(payload), w, h)
+        it.map { case (id, payload, mimeType, _, _) =>
+          val real =
+            if (mimeType != null && mimeType.startsWith("image/"))
+              decodeImage(payload)
+            else None
+          val (w, h) = real.getOrElse(decodeStub(payload))
+          MediaFeature(id, payload.length.toLong, md5Hex(payload), w, h,
+            decoded = real.isDefined)
         }
       }
   }

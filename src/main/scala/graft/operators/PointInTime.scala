@@ -16,6 +16,14 @@ import org.apache.spark.sql.functions._
   * ranges, each fact row matches at most one version: output cardinality =
   * fact cardinality, so the join never amplifies. At 100 TB, bucket both
   * sides by the business key to make it shuffle-free.
+  *
+  * `broadcastDim` defaults to FALSE: unhinted, AQE picks broadcast-hash
+  * from runtime stats whenever the dimension actually fits (ScaleOpsSpec
+  * proves stats flip the decision), while a forced `broadcast()` on a
+  * general-purpose operator is an OOM trap the first time someone points
+  * it at a large right side. Opt in (as Medallion does for its SCD2 dims,
+  * which are small by construction) when the caller KNOWS the dimension
+  * is broadcastable.
   */
 object PointInTime {
 
@@ -26,7 +34,7 @@ object PointInTime {
       factTime: Column,
       validFrom: String = "valid_from",
       validTo: String = "valid_to",
-      broadcastDim: Boolean = true,
+      broadcastDim: Boolean = false,
       joinType: String = "inner"): DataFrame = {
     val d = if (broadcastDim) broadcast(dim) else dim
     val cond = keys.map { case (fk, dk) => fact(fk) === d(dk) }.reduce(_ && _) &&
@@ -34,13 +42,15 @@ object PointInTime {
     fact.join(d, cond, joinType)
   }
 
-  /** Convenience: join against only the current versions (SURVEY J4). */
+  /** Convenience: join against only the current versions (SURVEY J4).
+    * Same unforced-broadcast default as [[join]].
+    */
   def joinCurrent(
       fact: DataFrame,
       dim: DataFrame,
       keys: Seq[(String, String)],
       isCurrent: String = "is_current",
-      broadcastDim: Boolean = true): DataFrame = {
+      broadcastDim: Boolean = false): DataFrame = {
     val cur = dim.filter(col(isCurrent))
     val d = if (broadcastDim) broadcast(cur) else cur
     val cond = keys.map { case (fk, dk) => fact(fk) === d(dk) }.reduce(_ && _)

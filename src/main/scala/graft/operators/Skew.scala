@@ -31,4 +31,31 @@ object Skew {
       explode(array((0 until buckets).map(lit): _*)))
     l.join(r, keys :+ "__salt").drop("__salt")
   }
+
+  /** Skew-robust "latest row per key" — the AGGREGATION answer to the
+    * `row_number() = 1` window shape.
+    *
+    * A keyed window sorts each key's ENTIRE partition on one task, so a
+    * whale key (and 100 TB data always has one) means one straggler task
+    * spilling the whole hot partition. `max_by` partials instead combine
+    * map-side: every input task keeps O(1) state per key it sees, the one
+    * exchange carries one partial per (task, key), and the whale costs the
+    * same as any other key. Same single-exchange plan shape, no
+    * skew-proportional task.
+    *
+    * `ordering` MUST be unique per key (include a tiebreaker in the
+    * encoding) — with ties, `max_by` picks an arbitrary winner where a
+    * row_number window with a total order would be deterministic.
+    *
+    * @param payload   (output name, value expression) pairs, each resolved
+    *                  from the ordering-max row of its key
+    * @param extraAggs additional whole-key aggregates (counts, sums) to
+    *                  compute in the same single pass
+    */
+  def latestPerKey(df: DataFrame, keys: Seq[String], ordering: Column,
+      payload: Seq[(String, Column)], extraAggs: Seq[Column] = Nil): DataFrame = {
+    require(payload.nonEmpty, "latestPerKey needs at least one payload column")
+    val aggs = payload.map { case (n, c) => max_by(c, ordering).as(n) } ++ extraAggs
+    df.groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
+  }
 }

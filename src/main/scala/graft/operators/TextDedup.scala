@@ -219,31 +219,97 @@ object TextDedup {
     */
   def connectedComponents(pairs: DataFrame, idCol1: String, idCol2: String,
       maxIterations: Int = 20): DataFrame = {
+    import org.apache.spark.sql.GraftSqlBridge.eagerCheckpoint
     // Materialize the narrow pair list FIRST: the symmetric closure below
     // references it twice, and the pairs plan upstream (LSH + verify) is
-    // the expensive part — two id columns checkpoint for pennies.
-    val p = pairs.select(col(idCol1).as("__src"), col(idCol2).as("__dst"))
-      .localCheckpoint(true)
-    val und = p
+    // the expensive part — two id columns checkpoint for pennies. Every
+    // checkpoint here keeps its RDD handle so superseded rounds are freed
+    // immediately: pinned storage stays O(one round), not O(rounds) — on a
+    // long-lived 100 TB session the per-round blocks would otherwise
+    // accrue until executors evict or OOM.
+    val (p, pHandle) = eagerCheckpoint(
+      pairs.select(col(idCol1).as("__src"), col(idCol2).as("__dst")))
+    val (und, undHandle) = eagerCheckpoint(p
       .unionByName(p.select(col("__dst").as("__src"), col("__src").as("__dst")))
-      .distinct()
-      .localCheckpoint(true) // edges are reused every round
-    var labels = und.select(col("__src").as("id")).distinct()
-      .withColumn("component", col("id"))
-      .localCheckpoint(true)
+      .distinct()) // edges are reused every round
+    pHandle.unpersist(blocking = false) // subsumed by the symmetric closure
+    var (labels, labelsHandle) = eagerCheckpoint(
+      und.select(col("__src").as("id")).distinct()
+        .withColumn("component", col("id")))
     var changed = 1L
     var iter = 0
     while (changed > 0 && iter < maxIterations) {
       val msgs = und.join(labels.withColumnRenamed("id", "__src"), "__src")
         .select(col("__dst").as("id"), col("component"))
-      val next = labels.unionByName(msgs)
-        .groupBy(col("id")).agg(min(col("component")).as("component"))
-        .localCheckpoint(true)
+      val (next, nextHandle) = eagerCheckpoint(labels.unionByName(msgs)
+        .groupBy(col("id")).agg(min(col("component")).as("component")))
       changed = next.join(labels.withColumnRenamed("component", "__old"), "id")
         .filter(col("component") =!= col("__old")).count()
+      labelsHandle.unpersist(blocking = false) // superseded round, free it
       labels = next
+      labelsHandle = nextHandle
       iter += 1
     }
+    undHandle.unpersist(blocking = false)
+    // The returned frame stays backed by its own (final-round) blocks —
+    // the only storage this operator leaves pinned.
     labels
   }
+
+  /** The COMPOSED corpus-dedup entry point — the full 100 TB recipe as one
+    * call: MinHash signatures → LSH banding → capped candidate pairs →
+    * exact n-gram Jaccard verification → (lazily) connected-component
+    * clusters. Until now the composition lived only in a gated query
+    * definition; a library user had to reassemble the persist/verify
+    * ordering by hand.
+    *
+    * Cache lifecycle is handled INTERNALLY: the band table (the one
+    * self-joined scratch frame) is persisted for candidate generation and
+    * unpersisted the moment the verified pairs are materialized — after
+    * `dedupCorpus` returns, the only pinned storage is the narrow pair
+    * list backing the result (and, once accessed, the final cluster
+    * labels). `keepOnePerCluster` is then just
+    * `docs.join(clusters, id === component || no-cluster)`.
+    *
+    * @param fastHashes xxhash64 signature family (production: codegen'd,
+    *                   no md5/hex materialization); `false` = md5 family
+    *                   (DuckDB-oracle-reproducible, used by the gates).
+    */
+  def dedupCorpus(docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, numHashes: Int = 8, numBands: Int = 4, rowsPerBand: Int = 2,
+      jaccardThreshold: Double = 0.6, maxBucket: Option[Int] = Some(100),
+      fastHashes: Boolean = true): CorpusDedup = {
+    require(numBands * rowsPerBand <= numHashes,
+      s"bands×rows ($numBands×$rowsPerBand) exceeds signature width $numHashes")
+    val sigs =
+      if (fastHashes) minhashSignaturesFast(docs, idCol, textCol, n, numHashes)
+      else minhashSignaturesMd5(docs, idCol, textCol, n, numHashes)
+    val bands =
+      (if (fastHashes) lshBandsFast(sigs, idCol, col("sig"), numBands, rowsPerBand)
+       else lshBands(sigs, idCol, col("sig"), numBands, rowsPerBand)).persist()
+    val cand = lshCandidates(bands, idCol, maxBucket)
+    val withSh = docs.select(col(idCol),
+      array_distinct(TextAnalysis.shingles(col(textCol), n)).as("__sh"))
+    val verified = cand
+      .join(withSh.select(col(idCol).as(s"${idCol}_1"), col("__sh").as("__sh1")),
+        Seq(s"${idCol}_1"))
+      .join(withSh.select(col(idCol).as(s"${idCol}_2"), col("__sh").as("__sh2")),
+        Seq(s"${idCol}_2"))
+      .withColumn("jaccard", jaccard(col("__sh1"), col("__sh2")))
+      .filter(col("jaccard") >= jaccardThreshold)
+      .select(col(s"${idCol}_1"), col(s"${idCol}_2"), col("jaccard"))
+    // Materialize the narrow verified pairs, then drop the band cache.
+    val pairs = graft.core.Caching.reap(verified, bands)
+    new CorpusDedup(pairs, idCol)
+  }
+}
+
+/** Result of [[TextDedup.dedupCorpus]]: verified near-dup `pairs`
+  * (`<id>_1, <id>_2, jaccard`), with `clusters` (`id, component`) derived
+  * lazily so pair-only callers never pay the iterative component step.
+  */
+final class CorpusDedup(val pairs: DataFrame, idCol: String) {
+  lazy val clusters: DataFrame =
+    TextDedup.connectedComponents(pairs, s"${idCol}_1", s"${idCol}_2")
+      .withColumnRenamed("id", idCol)
 }

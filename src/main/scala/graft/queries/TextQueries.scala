@@ -54,24 +54,17 @@ object TextQueries extends QueryModule {
     TextAnalysis.langMarkers.flatMap(_._2).distinct.map(s => s"'$s'").mkString("[", ", ", "]")
 
   /** The composed near-dup pipeline shared by q98 (pair output) and q76
-    * (cluster output): md5-family MinHash signatures → LSH banding →
-    * capped candidates → exact n-gram Jaccard verification at ≥ 0.6.
+    * (cluster output), now via the library's single entry point
+    * [[TextDedup.dedupCorpus]]: md5-family MinHash signatures → LSH
+    * banding → capped candidates → exact n-gram Jaccard verification at
+    * ≥ 0.6 → (for q76) connected-component clusters. Cache lifecycle is
+    * handled inside the operator — the band table is unpersisted once the
+    * verified pairs materialize.
     */
-  private def neardupVerifiedPairs(spark: SparkSession, dir: String): DataFrame = {
-    val docs = withNearDups(spark, dir)
-    val sigs = TextDedup.minhashSignaturesMd5(docs, "doc_id", "text",
-      n = 3, numHashes = 8)
-    val bands = TextDedup.lshBands(sigs, "doc_id", col("sig"),
-      numBands = 4, rowsPerBand = 2).persist()
-    val cand = TextDedup.lshCandidates(bands, "doc_id", maxBucket = Some(100))
-    val withSh = docs.select(col("doc_id"),
-      array_distinct(TextAnalysis.shingles(col("text"), 3)).as("sh"))
-    cand
-      .join(withSh.select(col("doc_id").as("doc_id_1"), col("sh").as("sh1")), Seq("doc_id_1"))
-      .join(withSh.select(col("doc_id").as("doc_id_2"), col("sh").as("sh2")), Seq("doc_id_2"))
-      .withColumn("jaccard", TextDedup.jaccard(col("sh1"), col("sh2")))
-      .filter(col("jaccard") >= 0.6)
-  }
+  private def neardupDedup(spark: SparkSession, dir: String): graft.operators.CorpusDedup =
+    TextDedup.dedupCorpus(withNearDups(spark, dir), "doc_id", "text",
+      n = 3, numHashes = 8, numBands = 4, rowsPerBand = 2,
+      jaccardThreshold = 0.6, maxBucket = Some(100), fastHashes = false)
 
   override def all: Seq[GQuery] = Seq(
 
@@ -204,10 +197,13 @@ object TextQueries extends QueryModule {
           "doc_id", "text", n = 3, numHashes = 8)
         // Persist: the candidate generation self-joins the bands, and
         // without materialization each side would recompute the whole
-        // shingle+hash lineage.
+        // shingle+hash lineage. `reap` closes the lifecycle — the band
+        // cache is dropped once the narrow candidate list materializes.
         val bands = TextDedup.lshBands(sigs, "doc_id", col("sig"),
           numBands = 4, rowsPerBand = 2).persist()
-        TextDedup.lshCandidates(bands, "doc_id", maxBucket = Some(100))
+        graft.core.Caching.reap(
+            TextDedup.lshCandidates(bands, "doc_id", maxBucket = Some(100)),
+            bands)
           .orderBy(col("doc_id_1"), col("doc_id_2"))
       },
       Some((dupSqlCtes + """
@@ -250,8 +246,7 @@ object TextQueries extends QueryModule {
     GQuery(
       "q98_neardup_pipeline",
       (spark, dir) =>
-        neardupVerifiedPairs(spark, dir)
-          .select(col("doc_id_1"), col("doc_id_2"), col("jaccard"))
+        neardupDedup(spark, dir).pairs
           .orderBy(col("doc_id_1"), col("doc_id_2")),
       Some((dupSqlCtes + """
         , tk AS (SELECT doc_id, string_split(lower(text), ' ') AS tk FROM neardocs),
@@ -389,7 +384,7 @@ object TextQueries extends QueryModule {
         val recoverable = bands.join(widths, Seq("band", "band_key"))
           .groupBy(col("doc_id")).agg(min(col("__w")).as("__minw"))
           .select(col("doc_id").as("doc_id_1"), (col("__minw") <= cap).as("__rec"))
-        planted
+        val gate = planted
           .join(recoverable, Seq("doc_id_1"))
           .join(cand, Seq("doc_id_1", "doc_id_2"), "left")
           .agg(
@@ -398,6 +393,8 @@ object TextQueries extends QueryModule {
               .as("all_recoverable_found"))
           .select(lit("exact_copy").as("kind"), col("pairs"),
             col("all_recoverable_found"))
+        // one-row gate result; reap drops the band cache behind it
+        graft.core.Caching.reap(gate, bands)
       },
       Some("""
         SELECT 'exact_copy' AS kind, COUNT(*) AS pairs, TRUE AS all_recoverable_found
@@ -442,13 +439,11 @@ object TextQueries extends QueryModule {
     // verified pairs. ---
     GQuery(
       "q76_neardup_clusters",
-      (spark, dir) => {
-        val pairs = neardupVerifiedPairs(spark, dir)
-        TextDedup.connectedComponents(pairs, "doc_id_1", "doc_id_2")
+      (spark, dir) =>
+        neardupDedup(spark, dir).clusters
           .groupBy(col("component")).agg(count(lit(1)).as("members"))
           .select(col("component").as("cluster_rep"), col("members"))
-          .orderBy(col("cluster_rep"))
-      },
+          .orderBy(col("cluster_rep")),
       Some((dupSqlCtes + """
         , tk AS (SELECT doc_id, string_split(lower(text), ' ') AS tk FROM neardocs),
         sh AS (

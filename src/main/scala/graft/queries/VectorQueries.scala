@@ -222,9 +222,11 @@ object VectorQueries extends QueryModule {
           col("label"))
         // Persist: the candidate self-join would otherwise recompute the
         // 64-plane signature projection for each side (same reason q65
-        // persists its minhash bands).
+        // persists its minhash bands). `reap` materializes the narrow
+        // candidate list then drops the band cache — no session accrual.
         val bands = Similarity.rpLshBands(v, "vec_id", col("ev"), Dim).persist()
-        val cand = Similarity.rpLshCandidates(bands, "vec_id")
+        val cand = graft.core.Caching.reap(
+          Similarity.rpLshCandidates(bands, "vec_id"), bands)
         val s1 = v.select(col("vec_id").as("vec_id_1"), col("ev").as("e1"),
           col("label").as("label"))
           .withColumn("n1", Similarity.norm(col("e1"), Dim))

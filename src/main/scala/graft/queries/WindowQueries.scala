@@ -193,6 +193,48 @@ object WindowQueries extends QueryModule {
         ORDER BY l_suppkey
       """.trim)),
 
+    // --- SKEW-STRESS latest-per-key: 80% of lineitem rows are planted on
+    // one whale key (the Zipf head every 100 TB dataset has), then "latest
+    // row per key" runs as Skew.latestPerKey — max_by partials that
+    // combine map-side, so the whale never concentrates on one task the
+    // way the q34 row_number window would. The ordering encodes
+    // (ship epoch-day, orderkey, linenumber) into one BIGINT: unique per
+    // row → deterministic winner, and exact integer arithmetic both
+    // engines. SkewStressSpec asserts the plan shape (single exchange,
+    // partial aggregation) on a 10× Zipf-amplified input. ---
+    GQuery(
+      "q59_skewed_latest",
+      (spark, dir) => {
+        val li = t(spark, dir, "lineitem")
+        val keyed = li
+          .withColumn("hot_key",
+            when(col("l_orderkey") % 5 =!= 0, lit(0L))
+              .otherwise(col("l_suppkey").cast(LongType)))
+          .withColumn("__ord",
+            unix_date(to_date(col("l_shipdate"))).cast(LongType) * lit(1000000000000L)
+              + col("l_orderkey").cast(LongType) * lit(10000L)
+              + col("l_linenumber").cast(LongType))
+        graft.operators.Skew.latestPerKey(keyed, Seq("hot_key"), col("__ord"),
+            payload = Seq(
+              "last_ship_date" -> to_date(col("l_shipdate")),
+              "last_quantity" -> dec(col("l_quantity")).cast(DoubleType)),
+            extraAggs = Seq(count(lit(1)).as("n_rows")))
+          .orderBy(col("hot_key"))
+      },
+      Some("""
+        WITH k AS (
+          SELECT CAST(CASE WHEN l_orderkey % 5 <> 0 THEN 0 ELSE l_suppkey END AS BIGINT) AS hot_key,
+                 CAST(l_shipdate AS DATE) AS sd,
+                 CAST(CAST(l_quantity AS DECIMAL(12,2)) AS DOUBLE) AS qty,
+                 date_diff('day', DATE '1970-01-01', CAST(l_shipdate AS DATE)) * 1000000000000
+                   + l_orderkey * 10000 + l_linenumber AS ord
+          FROM lineitem)
+        SELECT hot_key, max_by(sd, ord) AS last_ship_date,
+               max_by(qty, ord) AS last_quantity,
+               CAST(COUNT(*) AS BIGINT) AS n_rows
+        FROM k GROUP BY hot_key ORDER BY hot_key
+      """.trim)),
+
     // --- exact percentiles (continuous interpolation, same formula both
     // engines: lo + (hi-lo)*frac over the sorted values) ---
     GQuery(

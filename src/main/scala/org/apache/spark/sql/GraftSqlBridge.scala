@@ -1,5 +1,6 @@
 package org.apache.spark.sql
 
+import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.catalyst.expressions.Expression
 
 /** Bridge into Spark's `private[sql]` Column ↔ Catalyst Expression
@@ -9,4 +10,28 @@ import org.apache.spark.sql.catalyst.expressions.Expression
 object GraftSqlBridge {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+
+  /** Eager local checkpoint that RETURNS THE PERSISTED RDD HANDLE alongside
+    * the checkpointed frame.
+    *
+    * `Dataset.localCheckpoint(true)` hides the RDD it pins, so an iterative
+    * operator that checkpoints per round (connected components, Lloyd
+    * iterations, composed SCD2 loads) can never free superseded rounds —
+    * the blocks accrue in storage memory for the life of the session, which
+    * at the 100 TB posture is a leak. With the handle, the caller
+    * `unpersist`s each round's checkpoint the moment the next one is
+    * materialized, keeping the pinned footprint O(one round), not
+    * O(rounds).
+    *
+    * Same mechanics as `Dataset.localCheckpoint`: copy the reused
+    * `InternalRow`s, pin + materialize the RDD, rewrap as a `LogicalRDD`
+    * scan (which also CUTS LINEAGE — downstream plans re-read the blocks
+    * instead of re-deriving the upstream plan).
+    */
+  def eagerCheckpoint(df: DataFrame): (DataFrame, RDD[_]) = {
+    val session = df.sparkSession.asInstanceOf[classic.SparkSession]
+    val rdd = df.queryExecution.toRdd.map(_.copy()).localCheckpoint()
+    rdd.count() // materialize now, while the inputs it reads are still cached
+    (session.internalCreateDataFrame(rdd, df.schema), rdd)
+  }
 }

@@ -33,7 +33,52 @@ class SparkEntrySpec extends AnyFunSuite {
     val f1 = feats.filter(_.id == 0L).collect().head
     val f2 = feats.filter(_.id == 0L).collect().head
     assert(f1 == f2)
-    assert(f1.fakeWidth >= 64 && f1.fakeWidth < 192)
+    assert(f1.width >= 64 && f1.width < 192)
     assert(f1.contentMd5.length == 32)
+    // text/plain payloads must take the stub path, flagged as such
+    assert(!f1.decoded)
+  }
+
+  test("media featurize REALLY decodes image payloads (JDK codecs)") {
+    import org.apache.spark.sql.functions._
+    import java.io.ByteArrayOutputStream
+    import javax.imageio.ImageIO
+    // Render real PNG and JPEG bytes with the JDK, round-trip them through
+    // the full distributed featurize path, and expect the TRUE dimensions.
+    def imageBytes(w: Int, h: Int, fmt: String): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      (0 until w).foreach(x => (0 until h).foreach(y =>
+        img.setRGB(x, y, (x * 31 + y * 17) & 0xffffff)))
+      val out = new ByteArrayOutputStream()
+      assert(ImageIO.write(img, fmt, out), s"JDK has no $fmt writer")
+      out.toByteArray
+    }
+    val rows = Seq(
+      (1L, imageBytes(37, 21, "png"), "image/png"),
+      (2L, imageBytes(64, 48, "jpg"), "image/jpeg"),
+      (3L, "not an image at all".getBytes("UTF-8"), "image/png"), // corrupt
+      (4L, "plain text payload".getBytes("UTF-8"), "text/plain"))
+    val media = spark.createDataFrame(rows).toDF("id", "payload", "mt")
+      .select(col("id"), col("payload"),
+        struct(col("mt").as("mimeType"),
+          length(col("payload")).cast("long").as("sizeBytes"),
+          lit("en").as("lang")).as("meta"))
+    val feats = Media.featurize(spark, media).collect().map(f => f.id -> f).toMap
+    assert(feats(1L).decoded && feats(1L).width == 37 && feats(1L).height == 21)
+    assert(feats(2L).decoded && feats(2L).width == 64 && feats(2L).height == 48)
+    // corrupt image bytes degrade to the stub instead of failing the task
+    assert(!feats(3L).decoded)
+    // non-image MIME never pays the codec probe
+    assert(!feats(4L).decoded)
+  }
+
+  test("media decode stub contract is pinned (golden)") {
+    // Any future real-decoder swap for audio/video must be a deliberate
+    // change to these literals, never an accident: md5("hello world") =
+    // 5eb63bbb... → width = 64 + (0x5e & 0x7f), height = 64 + (0xb6 & 0x7f).
+    assert(Media.decodeStub("hello world".getBytes("UTF-8")) == ((158, 118)))
+    assert(Media.decodeStub(Array.emptyByteArray) ==
+      ((64 + (0xd4 & 0x7f), 64 + (0x1d & 0x7f))))
   }
 }

@@ -220,6 +220,36 @@ class ScaleCurveSpec extends AnyFunSuite {
     }
   }
 
+  test("skewed latest-per-key scales ~linearly as the whale key grows 10x") {
+    // The scale curve's other rows amplify VOLUME; 100 TB data also
+    // amplifies SKEW. Copies here shift l_orderkey by multiples of 5, so
+    // every copy's 80% whale share lands on the SAME hot key: at 10x the
+    // whale key holds 10x the rows while distinct keys stay constant —
+    // a Zipf head growing superlinearly relative to the key count. The
+    // aggregation shape (Skew.latestPerKey = max_by partials) must keep
+    // the same single-exchange plan and ~linear time; the row_number
+    // window shape would concentrate the whole whale on one task.
+    val li = table("lineitem")
+      .select($"l_orderkey", $"l_suppkey", $"l_linenumber", $"l_quantity")
+    val amp = (0 until Amp).map(i =>
+      li.withColumn("l_orderkey", $"l_orderkey" + lit(i * 100000000L)))
+      .reduce(_ unionByName _)
+    def op(d: DataFrame): DataFrame = {
+      val keyed = d
+        .withColumn("hot_key",
+          when($"l_orderkey" % 5 =!= 0, lit(0L)).otherwise($"l_suppkey".cast("long")))
+        .withColumn("__ord", $"l_orderkey" * 10 + $"l_linenumber")
+      Skew.latestPerKey(keyed, Seq("hot_key"), $"__ord",
+        payload = Seq("last_quantity" -> $"l_quantity"),
+        extraAggs = Seq(count(lit(1)).as("n_rows")))
+    }
+    curve("skewed_latest", op, li, amp)
+    // the operator itself contributes exactly ONE exchange (the spread()
+    // repartition in curve() is the other): partial max_by → shuffle →
+    // final, never a per-key global sort
+    assert(Bucketing.exchangeCount(op(spread(li))) == 2)
+  }
+
   test("RP-LSH vector near-dups scale ~linearly") {
     val e = table("embeddings")
       .select($"vec_id", Similarity.asDouble($"embedding").as("ev"))

@@ -141,6 +141,51 @@ class TextDedupSpec extends AnyFunSuite {
       s"${candSet.size} candidates for $nVecs vectors — bucketing is degenerate")
   }
 
+  test("dedupCorpus: one-call pipeline matches the hand-composed recipe and leaks no caches") {
+    // Hand-composed reference: fast-family signatures → bands → capped
+    // candidates → jaccard ≥ 0.6 (the exact steps dedupCorpus wraps).
+    val sigs = TextDedup.minhashSignaturesFast(docs, "doc_id", "text", n = 3, numHashes = 8)
+    val bands = TextDedup.lshBandsFast(sigs, "doc_id", col("sig"), numBands = 4, rowsPerBand = 2)
+    val cand = TextDedup.lshCandidates(bands, "doc_id", maxBucket = Some(100))
+    val withSh = docs.select(col("doc_id"),
+      array_distinct(TextAnalysis.shingles(col("text"), 3)).as("sh"))
+    val expected = cand
+      .join(withSh.select(col("doc_id").as("doc_id_1"), col("sh").as("sh1")), Seq("doc_id_1"))
+      .join(withSh.select(col("doc_id").as("doc_id_2"), col("sh").as("sh2")), Seq("doc_id_2"))
+      .filter(TextDedup.jaccard(col("sh1"), col("sh2")) >= 0.6)
+      .select("doc_id_1", "doc_id_2")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val result = TextDedup.dedupCorpus(docs, "doc_id", "text", fastHashes = true)
+    val got = result.pairs.select("doc_id_1", "doc_id_2")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == expected)
+    // Lifecycle: after the pairs materialize, the ONLY storage the call may
+    // leave pinned is the narrow pair list backing the result — the band
+    // cache must be gone (it is O(bands·n) and would accrue per call in a
+    // long-lived session).
+    val afterPairs = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(afterPairs.size <= 1,
+      s"dedupCorpus leaked ${afterPairs.size} cached RDDs beyond the result backing")
+    // clusters: every planted mutant lands in its base doc's component
+    val comp = result.clusters.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val planted = docs.filter(col("doc_id") >= 100000)
+      .select((col("doc_id") - 100000).as("a"), col("doc_id").as("b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val paired = planted.filter(p => got.contains(p))
+    assert(paired.nonEmpty)
+    paired.foreach { case (a, b) =>
+      assert(comp.get(a).isDefined && comp.get(a) == comp.get(b),
+        s"pair ($a,$b) not in one cluster")
+    }
+    // connected components frees its per-round checkpoints: pinned growth
+    // stays O(results), not O(rounds)
+    val afterClusters = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(afterClusters.size <= 2,
+      s"clusters left ${afterClusters.size} cached RDDs pinned (want ≤ 2: pairs + labels)")
+  }
+
   test("media frame-sample and resize stubs are deterministic and bounded") {
     import graft.multimodal.Media
     val payload = Array.tabulate[Byte](1000)(_.toByte)
