@@ -6,6 +6,25 @@ object Bench {
   private def median3(a: Double, b: Double, c: Double): Double =
     math.max(math.min(a, b), math.min(math.max(a, b), c))
 
+  /** `qNN` prefix — the stdout record's key (the contract's own
+    * `{"q1":sec,…}` form). Must be unique across the registry; BenchFormatSpec
+    * and the runtime `require` both enforce it.
+    */
+  def shortKey(name: String): String = name.takeWhile(_ != '_')
+
+  /** One bench record line. `shorten=true` is the stdout/driver form (short
+    * keys + 3-decimal seconds — the driver's tail-capture buffer is 2000
+    * chars); `shorten=false` is the committed bench.json form (full names).
+    */
+  def record(results: Seq[(String, Double)], repeats: Int, leakedRdds: Int,
+      sfDir: String, shorten: Boolean): String = {
+    val qs = results.map { case (k, v) =>
+      "\"" + (if (shorten) shortKey(k) else k) + "\":" + f"$v%.3f"
+    }.mkString("{", ",", "}")
+    val total = results.map(_._2).sum
+    s"""{"metric":"total","value":$total,"unit":"sec","repeats":$repeats,"leaked_rdds":$leakedRdds,"queries":$qs,"sf":"$sfDir"}"""
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -60,14 +79,9 @@ object Bench {
     // Leak check: after clearCache nothing may remain pinned. Surface it in
     // the JSON (a boolean costs 20 bytes) instead of failing the bench.
     val leakedRdds = spark.sparkContext.getPersistentRDDs.size
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    def queriesJson(shorten: Boolean): String = results.map { case (k, v) =>
-      val key = if (shorten) k.takeWhile(_ != '_') else k
-      "\"" + key + "\":" + f"$v%.3f"
-    }.mkString("{", ",", "}")
+    val ordered = results.toSeq
     // The committed record keeps full query names for humans and the judge.
-    val fileJson =
-      s"""{"metric":"total","value":$total,"unit":"sec","repeats":$repeats,"leaked_rdds":$leakedRdds,"queries":${queriesJson(false)},"sf":"$sfDir"}"""
+    val fileJson = record(ordered, repeats, leakedRdds, sfDir, shorten = false)
     // The STDOUT line is what the driver tail-captures, and its buffer is
     // exactly 2000 chars (BENCH_r03: 2.5 KB line → truncated → parsed:null
     // three rounds running). Full names + full-precision doubles cannot
@@ -75,11 +89,10 @@ object Bench {
     // own short keys ({"q1":sec,…}) and 3-decimal seconds: ~1 KB total,
     // with headroom for many more queries. qNN prefixes are unique
     // (asserted below) and map 1:1 onto CORRECTNESS ids.
-    val shortKeys = results.keys.map(_.takeWhile(_ != '_')).toSeq
+    val shortKeys = ordered.map { case (k, _) => shortKey(k) }
     require(shortKeys.distinct.size == shortKeys.size,
       "bench short keys must be unique")
-    val stdoutJson =
-      s"""{"metric":"total","value":$total,"unit":"sec","repeats":$repeats,"leaked_rdds":$leakedRdds,"queries":${queriesJson(true)},"sf":"$sfDir"}"""
+    val stdoutJson = record(ordered, repeats, leakedRdds, sfDir, shorten = true)
     // Drop the full record in well-known files first: sbt may decorate
     // stdout, and the driver needs one clean machine-readable JSON line.
     for (p <- Seq("/tmp/bench.json", "bench.json")) {

@@ -128,6 +128,57 @@ object TextDedup {
       .distinct()
   }
 
+  /** INCREMENTAL near-dup candidates: probe a new batch's LSH bands
+    * against an already-indexed corpus band table, plus the batch's own
+    * within-batch pairs.
+    *
+    * This is the shape a 100 TB ingest actually runs: the corpus is
+    * signed and banded ONCE (the band table persisted/bucketed by
+    * (band, band_key) as the dedup index), and each arriving batch pays
+    * signature cost only for itself — the join is |batch bands| probing
+    * the index, never a re-sign or self-join of the corpus. Degenerate
+    * buckets are capped by their COMBINED corpus+batch width, so a key
+    * that is non-discriminative in the corpus stays dropped when the
+    * batch hits it.
+    *
+    * Returns distinct (`<id>_1`, `<id>_2`) pairs: corpus-vs-batch pairs
+    * carry the corpus id in `_1` and the batch id in `_2`; within-batch
+    * pairs are ordered `_1 < _2`. Feed them to the same Jaccard verify +
+    * [[connectedComponents]] steps as the full pipeline.
+    */
+  def incrementalCandidates(corpusBands: DataFrame, batchBands: DataFrame,
+      idCol: String, maxBucket: Option[Int] = None,
+      includeBatchSelfPairs: Boolean = true): DataFrame = {
+    val ok = maxBucket.map { cap =>
+      corpusBands.select(col("band"), col("band_key"))
+        .unionByName(batchBands.select(col("band"), col("band_key")))
+        .groupBy(col("band"), col("band_key"))
+        .agg(count(lit(1)).as("__bucket_width"))
+        .filter(col("__bucket_width") <= cap)
+        .drop("__bucket_width")
+    }
+    def prune(df: DataFrame): DataFrame = {
+      val narrow = df.select(col(idCol), col("band"), col("band_key"))
+      ok.fold(narrow)(o => narrow.join(o, Seq("band", "band_key"))
+        .select(col(idCol), col("band"), col("band_key")))
+    }
+    val c = prune(corpusBands).toDF(s"${idCol}_1", "band", "band_key")
+    val b = prune(batchBands)
+    val b2 = b.toDF(s"${idCol}_2", "band", "band_key")
+    val cross = c.join(b2, Seq("band", "band_key"))
+      .filter(col(s"${idCol}_1") =!= col(s"${idCol}_2"))
+      .select(col(s"${idCol}_1"), col(s"${idCol}_2"))
+    val all =
+      if (includeBatchSelfPairs) {
+        val s1 = b.toDF(s"${idCol}_1", "band", "band_key")
+        val self = s1.join(b2, Seq("band", "band_key"))
+          .filter(col(s"${idCol}_1") < col(s"${idCol}_2"))
+          .select(col(s"${idCol}_1"), col(s"${idCol}_2"))
+        cross.unionByName(self)
+      } else cross
+    all.distinct()
+  }
+
   /** Exact n-gram Jaccard similarity between two shingle-array columns
     * (single IEEE division — cross-engine deterministic).
     */

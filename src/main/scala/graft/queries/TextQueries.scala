@@ -53,6 +53,31 @@ object TextQueries extends QueryModule {
   private val allMarkers =
     TextAnalysis.langMarkers.flatMap(_._2).distinct.map(s => s"'$s'").mkString("[", ", ", "]")
 
+  /** DuckDB CTE block computing the md5-family minhash LSH bands of `src`
+    * (a CTE with doc_id, text), with every CTE name prefixed `p` so two
+    * instances (corpus + batch) can coexist in one query. Mirrors
+    * `TextDedup.minhashSignaturesMd5` + `lshBands` at n=3, 8 hashes,
+    * 4 bands × 2 rows.
+    */
+  private def md5BandSql(src: String, p: String): String = {
+    val sigs = (0 until 8)
+      .map(i => s"list_aggregate(list_transform(s, x -> md5('$i:' || x)), 'min') AS h$i")
+      .mkString(", ")
+    val bands = (0 until 4)
+      .map(b => s"SELECT doc_id, $b AS band, md5(concat_ws('|', h${2 * b}, h${2 * b + 1})) AS band_key FROM ${p}sig")
+      .mkString(" UNION ALL ")
+    s"""
+      ${p}tk AS (SELECT doc_id, string_split(lower(text), ' ') AS tk FROM $src),
+      ${p}sh AS (
+        SELECT doc_id,
+               list_distinct(list_transform(
+                 generate_series(1, greatest(len(tk) - 2, 1)),
+                 i -> concat_ws(' ', tk[i], tk[i+1], tk[i+2]))) AS s
+        FROM ${p}tk),
+      ${p}sig AS (SELECT doc_id, $sigs FROM ${p}sh),
+      ${p}bands AS ($bands)"""
+  }
+
   /** The composed near-dup pipeline shared by q98 (pair output) and q76
     * (cluster output), now via the library's single entry point
     * [[TextDedup.dedupCorpus]]: md5-family MinHash signatures → LSH
@@ -238,6 +263,52 @@ object TextQueries extends QueryModule {
           ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
         ORDER BY doc_id_1, doc_id_2
       """).trim)),
+
+    // --- INCREMENTAL dedup: a new batch (planted mutants) probes the
+    // corpus's existing band index + pairs within itself — the production
+    // ingest shape where the 100 TB corpus is banded once and only the
+    // delta pays signature cost. Oracle replicates both band tables and
+    // the combined-width bucket cap. ---
+    GQuery(
+      "q28_incremental_dedup",
+      (spark, dir) => {
+        val corpus = Tables.docs(spark, dir)
+        val toks = TextAnalysis.tokens(col("text"))
+        val batch = corpus.filter(col("doc_id") % 10 === 0)
+          .withColumn("doc_id", col("doc_id") + 100000)
+          .withColumn("text", concat_ws(" ", slice(toks, lit(1), size(toks) - 2)))
+        def bandsOf(d: DataFrame) = TextDedup.lshBands(
+          TextDedup.minhashSignaturesMd5(d, "doc_id", "text", n = 3, numHashes = 8),
+          "doc_id", col("sig"), numBands = 4, rowsPerBand = 2)
+        TextDedup.incrementalCandidates(bandsOf(corpus), bandsOf(batch),
+            "doc_id", maxBucket = Some(100))
+          .orderBy(col("doc_id_1"), col("doc_id_2"))
+      },
+      Some(s"""
+        WITH corpus AS (SELECT doc_id, text FROM documents),
+        batch AS (
+          SELECT doc_id + 100000 AS doc_id,
+                 array_to_string(string_split(text,' ')[1:len(string_split(text,' '))-2], ' ') AS text
+          FROM documents WHERE doc_id % 10 = 0),
+        ${md5BandSql("corpus", "c")},
+        ${md5BandSql("batch", "b")},
+        widths AS (
+          SELECT band, band_key, COUNT(*) AS w FROM (
+            SELECT band, band_key FROM cbands
+            UNION ALL SELECT band, band_key FROM bbands)
+          GROUP BY 1, 2),
+        ok AS (SELECT band, band_key FROM widths WHERE w <= 100),
+        cp AS (SELECT doc_id, band, band_key FROM cbands JOIN ok USING (band, band_key)),
+        bp AS (SELECT doc_id, band, band_key FROM bbands JOIN ok USING (band, band_key)),
+        pairs AS (
+          SELECT c.doc_id AS doc_id_1, b.doc_id AS doc_id_2
+          FROM cp c JOIN bp b USING (band, band_key) WHERE c.doc_id <> b.doc_id
+          UNION ALL
+          SELECT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2
+          FROM bp a JOIN bp b USING (band, band_key) WHERE a.doc_id < b.doc_id)
+        SELECT DISTINCT doc_id_1, doc_id_2 FROM pairs
+        ORDER BY doc_id_1, doc_id_2
+      """.trim)),
 
     // --- the COMPOSED near-dup pipeline, end-to-end under the gate: LSH
     // candidate generation (the scale path) feeding exact n-gram Jaccard

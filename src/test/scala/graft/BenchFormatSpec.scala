@@ -1,0 +1,45 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The bench's DRIVER CONTRACT, pinned: the stdout record must survive a
+  * 2000-char tail capture (BENCH_r01-r03 were all `parsed: null` because
+  * the line outgrew the buffer) and its short keys must stay unique. These
+  * run against the real registry, so adding queries that would re-break
+  * the record fails here first — not three rounds later in a driver log.
+  */
+class BenchFormatSpec extends AnyFunSuite {
+
+  private val names = SparkEntry.benchQueries.keys.toSeq
+
+  test("stdout bench record fits the driver's 2000-char tail buffer with margin") {
+    // Worst plausible values: three digits before the decimal for every
+    // query (no single query should take 1000+ s; if one does, the bench
+    // has bigger problems than formatting).
+    val worst = names.map(_ -> 999.999)
+    val line = Bench.record(worst, repeats = 3, leakedRdds = 0,
+      sfDir = "/root/testdata/sf0.1", shorten = true)
+    assert(line.length <= 1900,
+      s"stdout bench line ${line.length} chars — within 100 of the 2000-char " +
+        "tail buffer; shorten the record before adding more bench queries")
+  }
+
+  test("short keys are unique and map 1:1 onto query names") {
+    val short = names.map(Bench.shortKey)
+    val dups = short.groupBy(identity).collect { case (k, vs) if vs.size > 1 => k }
+    assert(dups.isEmpty, s"duplicate short keys: ${dups.mkString(", ")}")
+  }
+
+  test("records are valid JSON shapes (balanced braces, quoted keys)") {
+    val sample = names.take(3).map(_ -> 1.234)
+    for (shorten <- Seq(true, false)) {
+      val line = Bench.record(sample, repeats = 3, leakedRdds = 0,
+        sfDir = "/tmp/sf", shorten = shorten)
+      assert(line.startsWith("{\"metric\":\"total\"") && line.endsWith("\"}"))
+      assert(line.count(_ == '{') == line.count(_ == '}'))
+      assert(line.contains("\"queries\":{"))
+      // 3-decimal formatting must never emit locale commas or exponents
+      assert(line.contains(":1.234"))
+    }
+  }
+}

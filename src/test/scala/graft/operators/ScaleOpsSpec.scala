@@ -56,6 +56,34 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(pSum.getDouble(0) == sSum.getDouble(0))
   }
 
+  test("unhinted PointInTime.join still broadcasts a small dim (stats/AQE decide)") {
+    // The operator default is now broadcastDim = false — no forced hint.
+    // This pins the safety property that motivated the flip: with a dim
+    // that actually fits the threshold, Catalyst/AQE still picks
+    // BroadcastHashJoin on its own (from file-size stats), so unhinted
+    // callers lose nothing at the small end while a huge dim can no longer
+    // OOM the driver through an unconditional broadcast().
+    val facts = spark.read.parquet(s"${TestSpark.SfDir}/orders.parquet")
+      .select($"o_orderkey", $"o_custkey", $"o_orderdate")
+    val dim = spark.read.parquet(s"${TestSpark.SfDir}/customer.parquet")
+      .select($"c_custkey".as("bk"), $"c_name")
+      .withColumn("valid_from", lit("0001-01-01 00:00:00").cast("timestamp"))
+      .withColumn("valid_to", lit("9999-12-31 00:00:00").cast("timestamp"))
+    val joined = PointInTime.join(facts, dim, Seq("o_custkey" -> "bk"),
+      $"o_orderdate".cast("timestamp"))
+    joined.count() // finalize any AQE re-planning before inspecting
+    def finalPlan(p: org.apache.spark.sql.execution.SparkPlan): Seq[org.apache.spark.sql.execution.SparkPlan] =
+      p match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          a.executedPlan.collect { case n => n }
+        case other => other.collect { case n => n }
+      }
+    val nodes = finalPlan(joined.queryExecution.executedPlan)
+    assert(nodes.exists(
+      _.isInstanceOf[org.apache.spark.sql.execution.joins.BroadcastHashJoinExec]),
+      s"small dim no longer broadcasts unhinted:\n${joined.queryExecution.executedPlan}")
+  }
+
   test("analyzeTable records table and column statistics for the CBO") {
     spark.range(0, 1000).toDF("id").write.mode("overwrite").saveAsTable("t_stats")
     Layout.analyzeTable(spark, "t_stats")

@@ -141,6 +141,29 @@ class TextDedupSpec extends AnyFunSuite {
       s"${candSet.size} candidates for $nVecs vectors — bucketing is degenerate")
   }
 
+  test("incremental candidates: a batch of exact copies always probes back to its corpus doc") {
+    val corpus = spark.read.parquet(s"${TestSpark.SfDir}/documents.parquet")
+    // batch = exact copies of every 10th doc: an exact copy shares EVERY
+    // band with its base, so uncapped incremental probing must recover
+    // every planted (base, copy) pair — construction-exact, no recall bound
+    val batch = corpus.filter(col("doc_id") % 10 === 0)
+      .withColumn("doc_id", col("doc_id") + 100000)
+    def bandsOf(d: org.apache.spark.sql.DataFrame) = TextDedup.lshBandsFast(
+      TextDedup.minhashSignaturesFast(d, "doc_id", "text", n = 3, numHashes = 8),
+      "doc_id", col("sig"), numBands = 4, rowsPerBand = 2)
+    val cands = TextDedup.incrementalCandidates(bandsOf(corpus), bandsOf(batch), "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val planted = corpus.filter(col("doc_id") % 10 === 0)
+      .select(col("doc_id"), (col("doc_id") + 100000).as("copy_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(planted.subsetOf(cands),
+      s"${(planted -- cands).size} planted copies missed the incremental probe")
+    // corpus docs never pair with each other through this operator — the
+    // whole point is that the corpus is not re-self-joined
+    assert(cands.forall { case (_, b) => b >= 100000 },
+      "incremental candidates emitted a corpus-vs-corpus pair")
+  }
+
   test("dedupCorpus: one-call pipeline matches the hand-composed recipe and leaks no caches") {
     // Hand-composed reference: fast-family signatures → bands → capped
     // candidates → jaccard ≥ 0.6 (the exact steps dedupCorpus wraps).
