@@ -252,6 +252,36 @@ object Similarity {
       maxBucket: Option[Int] = None): DataFrame =
     TextDedup.lshCandidates(bands, idCol, maxBucket)
 
+  /** The composed VECTOR dedup entry point — the embedding analogue of
+    * [[TextDedup.dedupCorpus]], as one call: RP-LSH sign-bit banding →
+    * capped candidate pairs → exact cosine verification → (lazily)
+    * connected-component clusters. Cache lifecycle handled internally:
+    * the band table is persisted for the candidate self-join and dropped
+    * the moment the narrow candidate list materializes; vectors attach to
+    * surviving candidates only, so embeddings never ride the pair
+    * shuffle.
+    */
+  def dedupVectors(vectors: DataFrame, idCol: String, vecCol: Column, dim: Int,
+      cosineThreshold: Double = 0.99, maxBucket: Option[Int] = None,
+      numBits: Int = 64, numBands: Int = 8, seed: Long = 42L): VectorDedup = {
+    val v = vectors.select(col(idCol), asDouble(vecCol).as("__ev"))
+    val bands = rpLshBands(v, idCol, col("__ev"), dim, numBits, numBands, seed)
+      .persist()
+    val cand = graft.core.Caching.reap(
+      rpLshCandidates(bands, idCol, maxBucket), bands)
+    val s1 = v.select(col(idCol).as(s"${idCol}_1"), col("__ev").as("__e1"))
+      .withColumn("__n1", norm(col("__e1"), dim))
+    val s2 = v.select(col(idCol).as(s"${idCol}_2"), col("__ev").as("__e2"))
+      .withColumn("__n2", norm(col("__e2"), dim))
+    val pairs = cand
+      .join(s1, Seq(s"${idCol}_1")).join(s2, Seq(s"${idCol}_2"))
+      .withColumn("cosine",
+        cosinePrenormed(col("__e1"), col("__e2"), col("__n1"), col("__n2"), dim))
+      .filter(col("cosine") >= cosineThreshold)
+      .select(col(s"${idCol}_1"), col(s"${idCol}_2"), col("cosine"))
+    new VectorDedup(pairs, idCol)
+  }
+
   /** IVF search: probe the `nProbe` nearest buckets per query, brute-force
     * within them.
     */
@@ -276,4 +306,23 @@ object Similarity {
       .filter(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank"))
   }
+}
+
+/** Result of [[Similarity.dedupVectors]]: verified cosine near-dup `pairs`
+  * (`<id>_1, <id>_2, cosine`), with `clusters` (`id, component`) derived
+  * lazily so pair-only callers never pay the iterative component step.
+  */
+final class VectorDedup(val pairs: DataFrame, idCol: String) {
+  lazy val clusters: DataFrame =
+    TextDedup.connectedComponents(pairs, s"${idCol}_1", s"${idCol}_2")
+      .withColumnRenamed("id", idCol)
+
+  /** The vector set with every non-representative cluster member dropped
+    * (same anti-join shape as [[CorpusDedup.keepOne]] — embeddings never
+    * shuffle against the cluster table).
+    */
+  def keepOne(vectors: DataFrame): DataFrame =
+    vectors.join(
+      clusters.filter(col(idCol) =!= col("component")).select(col(idCol)),
+      Seq(idCol), "left_anti")
 }

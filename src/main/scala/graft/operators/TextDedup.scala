@@ -363,4 +363,15 @@ final class CorpusDedup(val pairs: DataFrame, idCol: String) {
   lazy val clusters: DataFrame =
     TextDedup.connectedComponents(pairs, s"${idCol}_1", s"${idCol}_2")
       .withColumnRenamed("id", idCol)
+
+  /** The corpus with every non-representative cluster member dropped —
+    * the step a training pipeline actually wants. A LEFT ANTI against the
+    * (tiny) non-representative id list: docs in no cluster pass through
+    * untouched, and the wide document payload never shuffles against the
+    * cluster table (anti-join keys only).
+    */
+  def keepOne(docs: DataFrame): DataFrame =
+    docs.join(
+      clusters.filter(col(idCol) =!= col("component")).select(col(idCol)),
+      Seq(idCol), "left_anti")
 }

@@ -218,24 +218,13 @@ object VectorQueries extends QueryModule {
         val e0 = Tables.embs(spark, dir)
         val e = e0.unionByName(e0.filter(col("vec_id") % 25 === 0)
           .withColumn("vec_id", col("vec_id") + 10000))
-        val v = e.select(col("vec_id"), Similarity.asDouble(col("embedding")).as("ev"),
-          col("label"))
-        // Persist: the candidate self-join would otherwise recompute the
-        // 64-plane signature projection for each side (same reason q65
-        // persists its minhash bands). `reap` materializes the narrow
-        // candidate list then drops the band cache — no session accrual.
-        val bands = Similarity.rpLshBands(v, "vec_id", col("ev"), Dim).persist()
-        val cand = graft.core.Caching.reap(
-          Similarity.rpLshCandidates(bands, "vec_id"), bands)
-        val s1 = v.select(col("vec_id").as("vec_id_1"), col("ev").as("e1"),
-          col("label").as("label"))
-          .withColumn("n1", Similarity.norm(col("e1"), Dim))
-        val s2 = v.select(col("vec_id").as("vec_id_2"), col("ev").as("e2"))
-          .withColumn("n2", Similarity.norm(col("e2"), Dim))
-        cand.join(s1, Seq("vec_id_1")).join(s2, Seq("vec_id_2"))
-          .withColumn("cosine",
-            Similarity.cosinePrenormed(col("e1"), col("e2"), col("n1"), col("n2"), Dim))
-          .filter(col("cosine") >= 0.99)
+        // The library's single entry point: RP-LSH bands → capped
+        // candidates → exact cosine verify, with the band-cache
+        // persist/unpersist lifecycle handled inside the operator.
+        val pairs = Similarity.dedupVectors(e, "vec_id", col("embedding"), Dim,
+          cosineThreshold = 0.99).pairs
+        pairs
+          .join(e.select(col("vec_id").as("vec_id_1"), col("label")), Seq("vec_id_1"))
           .select(col("vec_id_1"), col("vec_id_2"), col("label"),
             round(col("cosine"), 6).as("cosine_r"))
           .orderBy(col("vec_id_1"), col("vec_id_2"))

@@ -200,8 +200,8 @@ object WindowQueries extends QueryModule {
     // way the q34 row_number window would. The ordering encodes
     // (ship epoch-day, orderkey, linenumber) into one BIGINT: unique per
     // row → deterministic winner, and exact integer arithmetic both
-    // engines. SkewStressSpec asserts the plan shape (single exchange,
-    // partial aggregation) on a 10× Zipf-amplified input. ---
+    // engines. ScaleCurveSpec's skew row asserts the plan shape (single
+    // exchange) holds as the whale alone grows 10×. ---
     GQuery(
       "q59_skewed_latest",
       (spark, dir) => {

@@ -207,6 +207,42 @@ class TextDedupSpec extends AnyFunSuite {
     val afterClusters = spark.sparkContext.getPersistentRDDs.keySet -- before
     assert(afterClusters.size <= 2,
       s"clusters left ${afterClusters.size} cached RDDs pinned (want ≤ 2: pairs + labels)")
+    // keepOne: exactly the non-representative cluster members are dropped;
+    // docs outside any cluster pass through untouched
+    val kept = result.keepOne(docs)
+    val nonRep = comp.count { case (id, c) => id != c }
+    assert(kept.count() == docs.count() - nonRep)
+    val keptIds = kept.select("doc_id").collect().map(_.getLong(0)).toSet
+    comp.foreach { case (id, c) =>
+      assert(keptIds.contains(id) == (id == c),
+        s"doc $id (component $c) kept=${keptIds.contains(id)}")
+    }
+  }
+
+  test("dedupVectors: planted exact copies survive verify; no cache leak beyond the result") {
+    val e0 = spark.read.parquet(s"${TestSpark.SfDir}/embeddings.parquet")
+    val e = e0.unionByName(e0.filter(col("vec_id") % 25 === 0)
+      .withColumn("vec_id", col("vec_id") + 10000))
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val result = Similarity.dedupVectors(e, "vec_id", col("embedding"), 64,
+      cosineThreshold = 0.99)
+    val pairs = result.pairs.collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val planted = e0.filter(col("vec_id") % 25 === 0)
+      .select(col("vec_id"), (col("vec_id") + 10000).as("b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // exact copies share every sign band AND score cosine 1.0 — recall is
+    // construction-exact, not probabilistic
+    assert(planted.subsetOf(pairs),
+      s"${(planted -- pairs).size} planted copies missed verification")
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(leaked.size <= 1,
+      s"dedupVectors leaked ${leaked.size} cached RDDs beyond the candidate backing")
+    // clusters resolve each planted pair into one component
+    val comp = result.clusters.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    planted.foreach { case (a, b) =>
+      assert(comp.get(a) == comp.get(b) && comp.contains(a))
+    }
   }
 
   test("media frame-sample and resize stubs are deterministic and bounded") {
