@@ -145,6 +145,12 @@ object TextDedup {
     * carry the corpus id in `_1` and the batch id in `_2`; within-batch
     * pairs are ordered `_1 < _2`. Feed them to the same Jaccard verify +
     * [[connectedComponents]] steps as the full pipeline.
+    *
+    * Plan shape (verified with Explain): the batch bands BROADCAST against
+    * the corpus index — the corpus side never shuffles for the probe. The
+    * width cap aggregates over corpus + batch bands, so pass a
+    * persisted/stored band table (not a recompute-from-text plan) as
+    * `corpusBands`; in production the widths live with the stored index.
     */
   def incrementalCandidates(corpusBands: DataFrame, batchBands: DataFrame,
       idCol: String, maxBucket: Option[Int] = None,

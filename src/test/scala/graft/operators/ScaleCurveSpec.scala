@@ -250,6 +250,24 @@ class ScaleCurveSpec extends AnyFunSuite {
     assert(Bucketing.exchangeCount(op(spread(li))) == 2)
   }
 
+  test("incremental dedup: fixed batch probing a 10x corpus scales ~linearly") {
+    // The incremental claim: a constant-size batch pays signature cost
+    // once; probing a corpus index that grows 10x must not change the
+    // plan (batch side broadcasts either way) and costs at most the
+    // corpus scan growth — never a corpus self-join.
+    val docs = table("documents").select($"doc_id", $"text")
+    val ampCorpus = ampText(docs, "doc_id", Seq("text"), 1000000L)
+    val batch = docs.filter($"doc_id" % 10 === 0)
+      .withColumn("doc_id", $"doc_id" + 50000000L)
+    def bandsOf(d: DataFrame): DataFrame = TextDedup.lshBandsFast(
+      TextDedup.minhashSignaturesFast(d, "doc_id", "text", n = 3, numHashes = 8),
+      "doc_id", col("sig"), numBands = 4, rowsPerBand = 2)
+    def op(corpus: DataFrame): DataFrame =
+      TextDedup.incrementalCandidates(bandsOf(corpus), bandsOf(spread(batch)),
+        "doc_id", maxBucket = Some(100))
+    curve("incremental_dedup", op, docs, ampCorpus)
+  }
+
   test("RP-LSH vector near-dups scale ~linearly") {
     val e = table("embeddings")
       .select($"vec_id", Similarity.asDouble($"embedding").as("ev"))
