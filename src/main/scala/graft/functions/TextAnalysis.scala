@@ -87,4 +87,15 @@ object TextAnalysis {
       sequence(lit(1), greatest(size(t) - (n - 1), lit(1))),
       i => concat_ws(" ", (0 until n).map(j => element_at(t, i + j)): _*))
   }
+
+  /** Intra-document repetition: the fraction of n-gram shingles that are
+    * duplicates of an earlier shingle in the same document (the
+    * C4/Gopher-style "repetitious text" quality rule — boilerplate, stutter
+    * loops, and template spam score high). Per-row projection, zero
+    * shuffle; the single int→double division is cross-engine exact.
+    */
+  def repetitionRatio(text: Column, n: Int): Column = {
+    val sh = shingles(text, n)
+    (size(sh) - size(array_distinct(sh))).cast("double") / size(sh)
+  }
 }

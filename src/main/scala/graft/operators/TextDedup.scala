@@ -185,6 +185,31 @@ object TextDedup {
     all.distinct()
   }
 
+  /** Train/eval CONTAMINATION check (decontamination): corpus documents
+    * sharing at least `minShared` distinct n-gram shingles with any
+    * benchmark document — the filter a training pipeline runs so eval
+    * questions don't leak into the training set.
+    *
+    * Scale shape: the benchmark side is tiny by definition (eval suites
+    * are thousands of rows, the corpus is the 100 TB side), so it
+    * BROADCASTS — the corpus explodes to narrow (id, shingle) rows that
+    * are filtered by the broadcast hash join immediately at the scan, and
+    * only matching (corpus, bench) shingle hits reach the one aggregation
+    * exchange. Shingle arrays are distinct per doc, so the per-pair count
+    * IS the distinct shared-shingle count.
+    */
+  def contamination(corpus: DataFrame, bench: DataFrame, corpusIdCol: String,
+      benchIdCol: String, textCol: String, n: Int, minShared: Int): DataFrame = {
+    def shingleRows(df: DataFrame, idCol: String): DataFrame =
+      df.select(col(idCol),
+        explode(array_distinct(TextAnalysis.shingles(col(textCol), n))).as("__sh"))
+    shingleRows(corpus, corpusIdCol)
+      .join(broadcast(shingleRows(bench, benchIdCol)), Seq("__sh"))
+      .groupBy(col(corpusIdCol), col(benchIdCol))
+      .agg(count(lit(1)).as("shared_ngrams"))
+      .filter(col("shared_ngrams") >= minShared)
+  }
+
   /** Exact n-gram Jaccard similarity between two shingle-array columns
     * (single IEEE division — cross-engine deterministic).
     */

@@ -264,6 +264,81 @@ object TextQueries extends QueryModule {
         ORDER BY doc_id_1, doc_id_2
       """).trim)),
 
+    // --- intra-doc repetition score (C4/Gopher-style quality rule):
+    // planted repetitive docs (text doubled) score ~0.5, clean docs near
+    // 0 — boilerplate and template spam are what a 100 TB crawl filters
+    // FIRST. Pure per-row projection. ---
+    GQuery(
+      "q27_repetition",
+      (spark, dir) => {
+        val d = Tables.docs(spark, dir)
+        val doubled = d.filter(col("doc_id") % 10 === 0)
+          .withColumn("doc_id", col("doc_id") + 100000)
+          .withColumn("text", concat_ws(" ", col("text"), col("text")))
+        d.unionByName(doubled)
+          .select(col("doc_id"),
+            TextAnalysis.repetitionRatio(col("text"), 3).as("rep3"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""
+        WITH docs AS (
+          SELECT doc_id, text FROM documents
+          UNION ALL
+          SELECT doc_id + 100000, text || ' ' || text
+          FROM documents WHERE doc_id % 10 = 0),
+        tk AS (SELECT doc_id, string_split(lower(text), ' ') AS tk FROM docs),
+        sh AS (
+          SELECT doc_id,
+                 list_transform(
+                   generate_series(1, greatest(len(tk) - 2, 1)),
+                   i -> concat_ws(' ', tk[i], tk[i+1], tk[i+2])) AS s
+          FROM tk)
+        SELECT doc_id,
+               CAST(len(s) - len(list_distinct(s)) AS DOUBLE) / len(s) AS rep3
+        FROM sh ORDER BY doc_id
+      """.trim)),
+
+    // --- train/eval CONTAMINATION (decontamination): benchmark "questions"
+    // are 8-token snippets extracted from every 50th doc; the check flags
+    // corpus docs sharing ≥ 3 distinct 3-gram shingles with any benchmark
+    // row. Benchmark side broadcasts; the corpus never self-joins. ---
+    GQuery(
+      "q29_contamination",
+      (spark, dir) => {
+        val d = Tables.docs(spark, dir)
+        val bench = d.filter(col("doc_id") % 50 === 0)
+          .select((col("doc_id") + 500000).as("bench_id"),
+            concat_ws(" ", slice(TextAnalysis.tokens(col("text")), 1, 8)).as("text"))
+        TextDedup.contamination(d, bench, "doc_id", "bench_id", "text",
+            n = 3, minShared = 3)
+          .orderBy(col("doc_id"), col("bench_id"))
+      },
+      Some("""
+        WITH bench AS (
+          SELECT doc_id + 500000 AS bench_id,
+                 array_to_string(string_split(text, ' ')[1:8], ' ') AS text
+          FROM documents WHERE doc_id % 50 = 0),
+        btk AS (SELECT bench_id, string_split(lower(text), ' ') AS tk FROM bench),
+        bsh AS (
+          SELECT bench_id,
+                 unnest(list_distinct(list_transform(
+                   generate_series(1, greatest(len(tk) - 2, 1)),
+                   i -> concat_ws(' ', tk[i], tk[i+1], tk[i+2])))) AS sh
+          FROM btk),
+        ctk AS (SELECT doc_id, string_split(lower(text), ' ') AS tk FROM documents),
+        csh AS (
+          SELECT doc_id,
+                 unnest(list_distinct(list_transform(
+                   generate_series(1, greatest(len(tk) - 2, 1)),
+                   i -> concat_ws(' ', tk[i], tk[i+1], tk[i+2])))) AS sh
+          FROM ctk)
+        SELECT c.doc_id, b.bench_id, CAST(COUNT(*) AS BIGINT) AS shared_ngrams
+        FROM csh c JOIN bsh b USING (sh)
+        GROUP BY 1, 2
+        HAVING COUNT(*) >= 3
+        ORDER BY doc_id, bench_id
+      """.trim)),
+
     // --- INCREMENTAL dedup: a new batch (planted mutants) probes the
     // corpus's existing band index + pairs within itself — the production
     // ingest shape where the 100 TB corpus is banded once and only the

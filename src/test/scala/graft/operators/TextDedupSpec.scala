@@ -255,6 +255,43 @@ class TextDedupSpec extends AnyFunSuite {
     assert(Media.resizeStub((100, 50), 256) == ((100, 50)))
   }
 
+  test("repetition ratio separates doubled text from originals") {
+    val d = spark.read.parquet(s"${TestSpark.SfDir}/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val scored = d
+      .withColumn("orig", TextAnalysis.repetitionRatio(col("text"), 3))
+      .withColumn("doubled", TextAnalysis.repetitionRatio(
+        concat_ws(" ", col("text"), col("text")), 3))
+    // doubling a document repeats every shingle at least once: for a doc
+    // of t tokens the doubled text has 2t-2 shingles of which at most t+1
+    // are distinct → ratio ≥ (t-3)/(2t-2), approaching 0.5. Originals are
+    // organic text and must score strictly lower than their doubles.
+    val rows = scored.filter(size(split(col("text"), " ")) >= 10)
+      .select(col("orig"), col("doubled"))
+    assert(rows.filter(col("doubled") < 0.4).count() == 0,
+      "a doubled doc scored under 0.4")
+    assert(rows.filter(col("doubled") <= col("orig")).count() == 0,
+      "doubling failed to raise some doc's repetition score")
+  }
+
+  test("contamination flags every doc whose text a benchmark snippet was cut from") {
+    val d = spark.read.parquet(s"${TestSpark.SfDir}/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val bench = d.filter(col("doc_id") % 50 === 0)
+      .select((col("doc_id") + 500000).as("bench_id"),
+        concat_ws(" ", slice(TextAnalysis.tokens(col("text")), 1, 8)).as("text"))
+    val hits = TextDedup.contamination(d, bench, "doc_id", "bench_id", "text",
+        n = 3, minShared = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected = d.filter(col("doc_id") % 50 === 0)
+      .select(col("doc_id"), (col("doc_id") + 500000).as("b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // an 8-token snippet shares all 6 of its 3-gram shingles with its
+    // source — construction-exact recall on the planted leaks
+    assert(expected.subsetOf(hits),
+      s"${(expected -- hits).size} planted eval leaks missed")
+  }
+
   test("lang markers: langId returns a value for every doc; quality in [0,1]") {
     val out = docs.select(
       TextAnalysis.langId(col("text")).as("l"),
