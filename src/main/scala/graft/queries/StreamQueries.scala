@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, SaveMode}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
-import graft.core.{GQuery, QueryModule}
+import graft.core.{GQuery, QueryModule, Tables}
 import graft.operators.{Dedup, Upsert}
 import graft.streaming.Streams
 
@@ -204,6 +204,39 @@ object StreamQueries extends QueryModule {
          AND p.user_id = c.user_id
          AND p.ts > c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
         ORDER BY c.user_id, click_us, purchase_us
+      """.trim),
+      bench = false),
+
+    // --- STREAMING corpus dedup: arriving documents stream-static
+    // anti-join (left_outer + IS NULL — the supported stream-static shape)
+    // against the STATIC corpus fingerprint index. The streaming face of
+    // q28's incremental dedup: the 100 TB corpus index is a static table
+    // the stream probes per micro-batch, stateless — no stream state grows
+    // with corpus size. Corpus = even doc_ids; a streamed doc passes only
+    // if its content fingerprint is unseen there. ---
+    GQuery(
+      "q87_stream_dedup_vs_corpus",
+      (spark, dir) => {
+        val corpusFp = Tables.t(spark, dir, "documents")
+          .filter(col("doc_id") % 2 === 0)
+          .select(md5(col("text")).as("fp")).distinct()
+          .withColumn("__hit", lit(1))
+        val incoming = Streams.tableStream(spark, dir, "documents")
+          .select(col("doc_id"), col("lang"), md5(col("text")).as("fp"))
+        val fresh = incoming.join(corpusFp, Seq("fp"), "left_outer")
+          .filter(col("__hit").isNull)
+          .select(col("doc_id"), col("lang"))
+        Streams.runToMemory(spark, fresh, "append")
+          .orderBy(col("doc_id"))
+      },
+      Some("""
+        SELECT d.doc_id, d.lang
+        FROM documents d
+        LEFT JOIN (SELECT DISTINCT md5(text) AS fp FROM documents
+                   WHERE doc_id % 2 = 0) c
+          ON md5(d.text) = c.fp
+        WHERE c.fp IS NULL
+        ORDER BY d.doc_id
       """.trim),
       bench = false)
   )

@@ -24,19 +24,25 @@ object Streams {
 
   private val nameCounter = new AtomicInteger()
 
+  /** File-source stream over any testdata table parquet. The file-stream
+    * source requires a directory; stage the (read-only) table file into a
+    * temp dir via symlink.
+    */
+  def tableStream(spark: SparkSession, dir: String, table: String): DataFrame = {
+    val path = s"$dir/$table.parquet"
+    val stage = java.nio.file.Files.createTempDirectory("graft_stream_src")
+    java.nio.file.Files.createSymbolicLink(
+      stage.resolve(s"$table.parquet"), java.nio.file.Paths.get(path))
+    val schema = spark.read.parquet(path).schema
+    spark.readStream.schema(schema).parquet(stage.toString)
+  }
+
   /** File-source stream over the events parquet (ts normalized from nanos,
     * matching [[graft.core.Tables.events]]).
     */
   def eventsStream(spark: SparkSession, dir: String): DataFrame = {
-    val path = s"$dir/events.parquet"
-    // The file-stream source requires a directory; stage the (read-only)
-    // table file into a temp dir via symlink.
-    val stage = java.nio.file.Files.createTempDirectory("graft_stream_src")
-    java.nio.file.Files.createSymbolicLink(
-      stage.resolve("events.parquet"), java.nio.file.Paths.get(path))
-    val schema = spark.read.parquet(path).schema
-    val raw = spark.readStream.schema(schema).parquet(stage.toString)
-    if (schema("ts").dataType == org.apache.spark.sql.types.LongType)
+    val raw = tableStream(spark, dir, "events")
+    if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
       raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
     else raw
   }
