@@ -98,4 +98,29 @@ object TextAnalysis {
     val sh = shingles(text, n)
     (size(sh) - size(array_distinct(sh))).cast("double") / size(sh)
   }
+
+  /** PII patterns for the scan/redaction pass a training pipeline runs
+    * before anything else. Deliberately simple syntax (character classes +
+    * bounded quantifiers only) so Java regex and RE2-family engines agree
+    * exactly.
+    */
+  val EmailPattern = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+  val PhonePattern = "\\d{3}-\\d{3}-\\d{4}"
+
+  /** Count of email-shaped substrings (per-row projection, zero shuffle). */
+  def emailHits(text: Column): Column =
+    size(regexp_extract_all(text, lit(EmailPattern), lit(0)))
+
+  /** Count of NANP-style phone substrings. */
+  def phoneHits(text: Column): Column =
+    size(regexp_extract_all(text, lit(PhonePattern), lit(0)))
+
+  /** Text with all email/phone matches replaced by typed placeholders —
+    * redaction keeps the document usable for training while removing the
+    * identifier itself. Order (emails first) is part of the contract.
+    */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(text, EmailPattern, "<EMAIL>"),
+      PhonePattern, "<PHONE>")
 }

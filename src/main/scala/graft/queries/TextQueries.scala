@@ -264,6 +264,47 @@ object TextQueries extends QueryModule {
         ORDER BY doc_id_1, doc_id_2
       """).trim)),
 
+    // --- PII scan + redaction: the pass a training pipeline runs FIRST.
+    // Planted docs get a deterministic email + phone appended; the scan
+    // counts pattern hits and the redaction replaces them with typed
+    // placeholders (gated via md5 of the redacted text). Patterns use
+    // character classes + bounded quantifiers only, so Java regex (Spark)
+    // and RE2 (DuckDB) agree exactly. Pure per-row projection. ---
+    GQuery(
+      "q06_pii_scan",
+      (spark, dir) => {
+        val d = Tables.docs(spark, dir)
+        val planted = d.filter(col("doc_id") % 10 === 3)
+          .withColumn("doc_id", col("doc_id") + 100000)
+          .withColumn("text", concat(col("text"),
+            lit(" contact: user"), col("doc_id").cast("string"),
+            lit("@example.com or 555-123-4567")))
+        d.unionByName(planted)
+          .select(col("doc_id"),
+            TextAnalysis.emailHits(col("text")).as("email_hits"),
+            TextAnalysis.phoneHits(col("text")).as("phone_hits"),
+            md5(TextAnalysis.redactPii(col("text"))).as("redacted_md5"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""
+        WITH docs AS (
+          SELECT doc_id, text FROM documents
+          UNION ALL
+          SELECT doc_id + 100000,
+                 text || ' contact: user' || CAST(doc_id + 100000 AS VARCHAR)
+                      || '@example.com or 555-123-4567'
+          FROM documents WHERE doc_id % 10 = 3)
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(text,
+                 '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}')) AS INT) AS email_hits,
+               CAST(len(regexp_extract_all(text, '\d{3}-\d{3}-\d{4}')) AS INT) AS phone_hits,
+               md5(regexp_replace(
+                     regexp_replace(text,
+                       '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}', '<EMAIL>', 'g'),
+                     '\d{3}-\d{3}-\d{4}', '<PHONE>', 'g')) AS redacted_md5
+        FROM docs ORDER BY doc_id
+      """.trim)),
+
     // --- intra-doc repetition score (C4/Gopher-style quality rule):
     // planted repetitive docs (text doubled) score ~0.5, clean docs near
     // 0 — boilerplate and template spam are what a 100 TB crawl filters
