@@ -1,0 +1,39 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextAnalysis
+
+/** One-pass corpus curation filter (builder-prompt mandate; SURVEY §2.12) —
+  * the standard pre-training text filter chain (language allowlist, quality
+  * floor, repetition ceiling, length band) composed the way it must run at
+  * 100 TB: every predicate is a per-row projection computed in ONE pass
+  * over the scan, so the whole filter is shuffle-free and whole-stage
+  * codegen'd. Survivors keep their scores attached for auditability
+  * (`lang_pred`, `quality`, `rep3`, `tokens`); downstream dedup
+  * ([[TextDedup.dedupCorpus]] → `keepOne`) then runs on a corpus that is
+  * already an order of magnitude smaller.
+  */
+object Curation {
+
+  final case class Rules(
+      allowedLangs: Seq[String],
+      minQuality: Double,
+      maxRepetition: Double,
+      minTokens: Int,
+      maxTokens: Int)
+
+  def filter(docs: DataFrame, textCol: String, rules: Rules): DataFrame = {
+    val t = col(textCol)
+    docs
+      .withColumn("lang_pred", TextAnalysis.langId(t))
+      .withColumn("quality", TextAnalysis.qualityScore(t))
+      .withColumn("rep3", TextAnalysis.repetitionRatio(t, 3))
+      .withColumn("tokens", TextAnalysis.tokenCount(t))
+      .filter(col("lang_pred").isin(rules.allowedLangs: _*) &&
+        col("quality") >= rules.minQuality &&
+        col("rep3") <= rules.maxRepetition &&
+        col("tokens").between(rules.minTokens, rules.maxTokens))
+  }
+}

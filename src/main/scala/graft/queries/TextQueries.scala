@@ -264,6 +264,71 @@ object TextQueries extends QueryModule {
         ORDER BY doc_id_1, doc_id_2
       """).trim)),
 
+    // --- END-TO-END curation filter: the composed pre-training pass
+    // (language allowlist + quality floor + repetition ceiling + length
+    // band) in one shuffle-free projection — the filter analogue of q98's
+    // composed dedup. Planted doubled-text docs must be evicted by the
+    // repetition ceiling; every score is bit-identical across engines, so
+    // the threshold comparisons are too. ---
+    GQuery(
+      "q07_curation_filter",
+      (spark, dir) => {
+        val d = Tables.docs(spark, dir)
+        val doubled = d.filter(col("doc_id") % 10 === 0)
+          .withColumn("doc_id", col("doc_id") + 100000)
+          .withColumn("text", concat_ws(" ", col("text"), col("text")))
+        graft.operators.Curation.filter(
+            d.unionByName(doubled), "text",
+            graft.operators.Curation.Rules(
+              allowedLangs = Seq("en", "fr", "es", "de", "zh"),
+              minQuality = 0.5, maxRepetition = 0.2,
+              minTokens = 20, maxTokens = 10000))
+          .select(col("doc_id"), col("lang_pred"), col("quality"),
+            col("rep3"), col("tokens"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""
+        WITH docs AS (
+          SELECT doc_id, text FROM documents
+          UNION ALL
+          SELECT doc_id + 100000, text || ' ' || text
+          FROM documents WHERE doc_id % 10 = 0),
+        s AS (SELECT doc_id, string_split(lower(text), ' ') AS tk FROM docs),
+        sc AS (
+          SELECT doc_id,
+            len(list_filter(tk, x -> list_contains(['the','a','and','of','is'], x))) AS s_en,
+            len(list_filter(tk, x -> list_contains(['le','la','et','de','un'], x))) AS s_fr,
+            len(list_filter(tk, x -> list_contains(['el','los','y','que','un'], x))) AS s_es,
+            len(list_filter(tk, x -> list_contains(['der','die','und','das','ein'], x))) AS s_de,
+            len(list_filter(tk, x -> list_contains(['的','是','了','在','我'], x))) AS s_zh,
+            CAST(len(tk) AS INT) AS tc,
+            CAST(len(list_filter(tk, x -> list_contains($allMarkers, x))) AS DOUBLE)
+              / len(tk) AS stop_ratio,
+            CAST(len(list_distinct(tk)) AS DOUBLE) / len(tk) AS dr,
+            list_transform(
+              generate_series(1, greatest(len(tk) - 2, 1)),
+              i -> concat_ws(' ', tk[i], tk[i+1], tk[i+2])) AS sh
+          FROM s),
+        scored AS (
+          SELECT doc_id,
+            CASE WHEN s_en=0 AND s_fr=0 AND s_es=0 AND s_de=0 AND s_zh=0 THEN 'und'
+                 WHEN s_en >= s_fr AND s_en >= s_es AND s_en >= s_de AND s_en >= s_zh THEN 'en'
+                 WHEN s_fr >= s_es AND s_fr >= s_de AND s_fr >= s_zh THEN 'fr'
+                 WHEN s_es >= s_de AND s_es >= s_zh THEN 'es'
+                 WHEN s_de >= s_zh THEN 'de'
+                 ELSE 'zh' END AS lang_pred,
+            0.4 * least(1.0, CAST(tc AS DOUBLE) / 100.0)
+              + 0.3 * (1.0 - stop_ratio) + 0.3 * dr AS quality,
+            CAST(len(sh) - len(list_distinct(sh)) AS DOUBLE) / len(sh) AS rep3,
+            tc AS tokens
+          FROM sc)
+        SELECT doc_id, lang_pred, quality, rep3, tokens
+        FROM scored
+        WHERE lang_pred IN ('en','fr','es','de','zh')
+          AND quality >= 0.5 AND rep3 <= 0.2 AND tokens BETWEEN 20 AND 10000
+        ORDER BY doc_id
+      """.trim)),
+
     // --- PII scan + redaction: the pass a training pipeline runs FIRST.
     // Planted docs get a deterministic email + phone appended; the scan
     // counts pattern hits and the redaction replaces them with typed
