@@ -35,17 +35,27 @@ object TextAnalysis {
     "de" -> Seq("der", "die", "und", "das", "ein"),
     "zh" -> Seq("的", "是", "了", "在", "我"))
 
-  /** Occurrence count of `dict` words among the tokens (duplicates count). */
-  def markerScore(text: Column, dict: Seq[String]): Column = {
+  /** Occurrence count of `dict` words in a lowercased-token-array column
+    * (duplicates count). The `Tk` variants exist so a composed pass
+    * ([[graft.operators.Curation]]) can tokenize ONCE into a column and
+    * derive every metric from the array — the text-based wrappers inline
+    * `split(lower(text))` per use, which higher-order functions re-evaluate
+    * (no subexpression elimination across lambdas).
+    */
+  def markerScoreTk(tk: Column, dict: Seq[String]): Column = {
     val d = array(dict.map(lit): _*)
-    size(filter(tokens(lower(text)), t => array_contains(d, t)))
+    size(filter(tk, t => array_contains(d, t)))
   }
 
+  /** Occurrence count of `dict` words among the tokens (duplicates count). */
+  def markerScore(text: Column, dict: Seq[String]): Column =
+    markerScoreTk(tokens(lower(text)), dict)
+
   /** Deterministic argmax language with fixed precedence (en,fr,es,de,zh);
-    * all-zero → "und".
+    * all-zero → "und". Array-based core.
     */
-  def langId(text: Column): Column = {
-    val scores = langMarkers.map { case (l, d) => l -> markerScore(text, d) }
+  def langIdTk(tk: Column): Column = {
+    val scores = langMarkers.map { case (l, d) => l -> markerScoreTk(tk, d) }
     val allZero = scores.map(_._2 === 0).reduce(_ && _)
     // precedence chain: a language wins if its score >= all later ones
     val chain = scores.zipWithIndex.foldRight(lit("und")) { case (((l, s), i), elseCol) =>
@@ -55,6 +65,20 @@ object TextAnalysis {
     }
     when(allZero, lit("und")).otherwise(chain)
   }
+
+  def langId(text: Column): Column = langIdTk(tokens(lower(text)))
+
+  /** Composite quality score from the token array + raw token count —
+    * bit-identical to [[qualityScore]] (same operand values, same IEEE
+    * order); the raw count equals `size(tk)` because lowering never
+    * changes the token count.
+    */
+  def qualityScoreTk(tk: Column, rawTokenCount: Column): Column =
+    lit(0.4) * least(lit(1.0), rawTokenCount.cast("double") / 100.0) +
+      lit(0.3) * (lit(1.0) -
+        markerScoreTk(tk, langMarkers.flatMap(_._2).distinct).cast("double")
+          / rawTokenCount) +
+      lit(0.3) * (size(array_distinct(tk)).cast("double") / rawTokenCount)
 
   /** Stopword-ish ratio: marker occurrences (all languages) / token count. */
   def stopwordRatio(text: Column): Column = {
@@ -70,9 +94,7 @@ object TextAnalysis {
     * lexical diversity. Fixed-order double math for cross-engine parity.
     */
   def qualityScore(text: Column): Column =
-    lit(0.4) * least(lit(1.0), tokenCount(text).cast("double") / 100.0) +
-      lit(0.3) * (lit(1.0) - stopwordRatio(text)) +
-      lit(0.3) * distinctRatio(text)
+    qualityScoreTk(tokens(lower(text)), tokenCount(text))
 
   /** OpenRefine-style fingerprint: md5 over sorted distinct lowercase
     * tokens — canonical form for exact near-canonical dedup.
@@ -80,13 +102,15 @@ object TextAnalysis {
   def fingerprint(text: Column): Column =
     md5(concat_ws(" ", array_sort(array_distinct(tokens(lower(text))))))
 
-  /** `n`-token shingles (1-based positions, fixed order). */
-  def shingles(text: Column, n: Int): Column = {
-    val t = tokens(lower(text))
+  /** `n`-token shingles from a lowercased-token-array column. */
+  def shinglesTk(tk: Column, n: Int): Column =
     transform(
-      sequence(lit(1), greatest(size(t) - (n - 1), lit(1))),
-      i => concat_ws(" ", (0 until n).map(j => element_at(t, i + j)): _*))
-  }
+      sequence(lit(1), greatest(size(tk) - (n - 1), lit(1))),
+      i => concat_ws(" ", (0 until n).map(j => element_at(tk, i + j)): _*))
+
+  /** `n`-token shingles (1-based positions, fixed order). */
+  def shingles(text: Column, n: Int): Column =
+    shinglesTk(tokens(lower(text)), n)
 
   /** Intra-document repetition: the fraction of n-gram shingles that are
     * duplicates of an earlier shingle in the same document (the
@@ -94,10 +118,12 @@ object TextAnalysis {
     * loops, and template spam score high). Per-row projection, zero
     * shuffle; the single int→double division is cross-engine exact.
     */
-  def repetitionRatio(text: Column, n: Int): Column = {
-    val sh = shingles(text, n)
+  def repetitionRatio(text: Column, n: Int): Column =
+    repetitionFromShingles(shingles(text, n))
+
+  /** Repetition from a prebuilt shingle-array column. */
+  def repetitionFromShingles(sh: Column): Column =
     (size(sh) - size(array_distinct(sh))).cast("double") / size(sh)
-  }
 
   /** PII patterns for the scan/redaction pass a training pipeline runs
     * before anything else. Deliberately simple syntax (character classes +

@@ -8,12 +8,21 @@ import graft.functions.TextAnalysis
 /** One-pass corpus curation filter (builder-prompt mandate; SURVEY §2.12) —
   * the standard pre-training text filter chain (language allowlist, quality
   * floor, repetition ceiling, length band) composed the way it must run at
-  * 100 TB: every predicate is a per-row projection computed in ONE pass
-  * over the scan, so the whole filter is shuffle-free and whole-stage
-  * codegen'd. Survivors keep their scores attached for auditability
-  * (`lang_pred`, `quality`, `rep3`, `tokens`); downstream dedup
-  * ([[TextDedup.dedupCorpus]] → `keepOne`) then runs on a corpus that is
-  * already an order of magnitude smaller.
+  * 100 TB: tokenize ONCE into an array column, derive every metric from
+  * the array, filter on the computed columns. Shuffle-free; survivors keep
+  * their scores attached for auditability (`lang_pred`, `quality`, `rep3`,
+  * `tokens`); downstream dedup ([[TextDedup.dedupCorpus]] → `keepOne`)
+  * then runs on a corpus that is already an order of magnitude smaller.
+  *
+  * Why the explicit `__tk`/`__sh3` staging: higher-order functions (the
+  * marker filters, the shingle transform) re-evaluate free subexpressions
+  * in their lambda body PER ELEMENT — building metrics straight from
+  * `text` re-runs `split(lower(text))` for every lambda invocation, and
+  * predicate pushdown then clones all of it into the filter (first cut of
+  * q07: 19 s at sf0.1). Materializing tokens and shingles as multi-
+  * referenced alias columns keeps them computed once per row:
+  * `CollapseProject`/pushdown will not inline a non-trivial alias that is
+  * referenced more than once.
   */
 object Curation {
 
@@ -24,16 +33,40 @@ object Curation {
       minTokens: Int,
       maxTokens: Int)
 
-  def filter(docs: DataFrame, textCol: String, rules: Rules): DataFrame = {
-    val t = col(textCol)
+  /** Scores every document (no filtering): appends `lang_pred`, `quality`,
+    * `rep3`, `tokens`.
+    */
+  def score(docs: DataFrame, textCol: String): DataFrame =
     docs
-      .withColumn("lang_pred", TextAnalysis.langId(t))
-      .withColumn("quality", TextAnalysis.qualityScore(t))
-      .withColumn("rep3", TextAnalysis.repetitionRatio(t, 3))
-      .withColumn("tokens", TextAnalysis.tokenCount(t))
-      .filter(col("lang_pred").isin(rules.allowedLangs: _*) &&
+      .withColumn("__tk", TextAnalysis.tokens(lower(col(textCol))))
+      .withColumn("__raw_tc", TextAnalysis.tokenCount(col(textCol)))
+      // Pushdown fence: predicate pushdown has no expression-cost guard —
+      // without this, a filter over the score columns is substituted
+      // straight through the __tk projection down to the scan, cloning
+      // the full metric battery re-expanded from raw text (measured 19 s
+      // vs 2 s at sf0.1). A non-deterministic field pins the boundary;
+      // [[filter]] keeps it referenced so column pruning cannot remove it
+      // and re-enable the pushdown.
+      .withColumn("__curation_fence", monotonically_increasing_id())
+      .withColumn("__sh3", TextAnalysis.shinglesTk(col("__tk"), 3))
+      .withColumn("lang_pred", TextAnalysis.langIdTk(col("__tk")))
+      .withColumn("quality",
+        TextAnalysis.qualityScoreTk(col("__tk"), col("__raw_tc")))
+      .withColumn("rep3", TextAnalysis.repetitionFromShingles(col("__sh3")))
+      .withColumn("tokens", col("__raw_tc"))
+      .drop("__tk", "__raw_tc", "__sh3")
+
+  /** Scored-and-filtered corpus: only documents passing every rule. */
+  def filter(docs: DataFrame, textCol: String, rules: Rules): DataFrame =
+    score(docs, textCol)
+      // `__curation_fence >= 0` is always true (ids are non-negative) but
+      // non-deterministic, so this conjunct cannot be pushed and keeps the
+      // fence column alive against pruning; the deterministic conjuncts
+      // stop at the fence projection and evaluate on the computed columns.
+      .filter(col("__curation_fence") >= 0 &&
+        col("lang_pred").isin(rules.allowedLangs: _*) &&
         col("quality") >= rules.minQuality &&
         col("rep3") <= rules.maxRepetition &&
         col("tokens").between(rules.minTokens, rules.maxTokens))
-  }
+      .drop("__curation_fence")
 }
