@@ -44,7 +44,8 @@ object Curation {
       // without this, a filter over the score columns is substituted
       // straight through the __tk projection down to the scan, cloning
       // the full metric battery re-expanded from raw text (measured 19 s
-      // vs 2 s at sf0.1). A non-deterministic field pins the boundary;
+      // unfenced vs 0.6 s fenced at sf0.1). A non-deterministic field
+      // pins the boundary;
       // [[filter]] keeps it referenced so column pruning cannot remove it
       // and re-enable the pushdown.
       .withColumn("__curation_fence", monotonically_increasing_id())
