@@ -458,9 +458,14 @@ object TextQueries extends QueryModule {
         val batch = corpus.filter(col("doc_id") % 10 === 0)
           .withColumn("doc_id", col("doc_id") + 100000)
           .withColumn("text", concat_ws(" ", slice(toks, lit(1), size(toks) - 2)))
-        def bandsOf(d: DataFrame) = TextDedup.lshBands(
+        // Materialize each band table once — incrementalCandidates reads
+        // them up to three times (width cap, prune, probe), and the md5
+        // signature lineage is the expensive part. Mirrors the production
+        // contract: the corpus band table is a STORED index, not a
+        // recompute-from-text plan.
+        def bandsOf(d: DataFrame) = graft.core.Caching.reap(TextDedup.lshBands(
           TextDedup.minhashSignaturesMd5(d, "doc_id", "text", n = 3, numHashes = 8),
-          "doc_id", col("sig"), numBands = 4, rowsPerBand = 2)
+          "doc_id", col("sig"), numBands = 4, rowsPerBand = 2))
         TextDedup.incrementalCandidates(bandsOf(corpus), bandsOf(batch),
             "doc_id", maxBucket = Some(100))
           .orderBy(col("doc_id_1"), col("doc_id_2"))
