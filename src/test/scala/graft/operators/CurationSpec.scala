@@ -1,0 +1,51 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** Pins the two properties that make [[Curation]] viable as the first pass
+  * over a 100 TB corpus: the plan tokenizes each document exactly once
+  * (the pushdown fence holds), and the whole pass is shuffle-free.
+  * Breaking either re-introduces a measured 30× regression (19 s → 0.6 s
+  * at sf0.1) without failing any correctness gate — so it must fail HERE.
+  */
+class CurationSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private val rules = Curation.Rules(
+    allowedLangs = Seq("en", "fr", "es", "de", "zh"),
+    minQuality = 0.5, maxRepetition = 0.2, minTokens = 20, maxTokens = 10000)
+
+  test("curation filter plan tokenizes exactly once and is shuffle-free") {
+    val docs = spark.read.parquet(s"${TestSpark.SfDir}/documents.parquet")
+    val filtered = Curation.filter(docs, "text", rules)
+    val plan = filtered.queryExecution.executedPlan.toString
+    val splits = "split\\(lower".r.findAllIn(plan).length
+    assert(splits <= 1,
+      s"curation plan re-tokenizes ($splits `split(lower` occurrences) — " +
+        "the pushdown fence is broken; see Curation.scala scaladoc")
+    assert(Bucketing.shuffleFree(filtered), "curation pass must not shuffle")
+  }
+
+  test("filter = score + thresholds; fence column never leaks to callers") {
+    val docs = spark.read.parquet(s"${TestSpark.SfDir}/documents.parquet")
+    val scored = Curation.score(docs, "text")
+    val filtered = Curation.filter(docs, "text", rules)
+    assert(!filtered.columns.contains("__curation_fence"))
+    val expected = scored
+      .filter(col("lang_pred").isin(rules.allowedLangs: _*) &&
+        col("quality") >= rules.minQuality &&
+        col("rep3") <= rules.maxRepetition &&
+        col("tokens").between(rules.minTokens, rules.maxTokens))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val got = filtered.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(got == expected)
+    // survivors keep audit scores in sane ranges
+    val bad = filtered.filter(col("quality") < rules.minQuality ||
+      col("rep3") > rules.maxRepetition ||
+      !col("lang_pred").isin(rules.allowedLangs: _*)).count()
+    assert(bad == 0)
+  }
+}
