@@ -116,9 +116,15 @@ object TextQueries extends QueryModule {
     GQuery(
       "q61_lang_id",
       (spark, dir) =>
-        Tables.docs(spark, dir).select(
+        // Stage the token array once: langId's CASE chain references the
+        // tokens ~40×, and each inline reference would re-split per
+        // higher-order-function call. The multi-referenced alias is safe
+        // from CollapseProject inlining (non-cheap, used > once).
+        Tables.docs(spark, dir)
+          .withColumn("__tk", TextAnalysis.tokens(lower(col("text"))))
+          .select(
             col("doc_id"), col("lang"),
-            TextAnalysis.langId(col("text")).as("lang_pred"))
+            TextAnalysis.langIdTk(col("__tk")).as("lang_pred"))
           .orderBy(col("doc_id")),
       Some("""
         WITH s AS (
@@ -145,9 +151,14 @@ object TextQueries extends QueryModule {
     GQuery(
       "q62_quality_score",
       (spark, dir) =>
-        Tables.docs(spark, dir).select(
+        // Same staging as q61: tokens and the raw count each feed the
+        // score multiple times; alias them so they compute once per row.
+        Tables.docs(spark, dir)
+          .withColumn("__tk", TextAnalysis.tokens(lower(col("text"))))
+          .withColumn("__raw_tc", TextAnalysis.tokenCount(col("text")))
+          .select(
             col("doc_id"),
-            TextAnalysis.qualityScore(col("text")).as("quality"))
+            TextAnalysis.qualityScoreTk(col("__tk"), col("__raw_tc")).as("quality"))
           .orderBy(col("doc_id")),
       Some(s"""
         WITH s AS (
@@ -381,9 +392,14 @@ object TextQueries extends QueryModule {
         val doubled = d.filter(col("doc_id") % 10 === 0)
           .withColumn("doc_id", col("doc_id") + 100000)
           .withColumn("text", concat_ws(" ", col("text"), col("text")))
+        // Stage tokens then shingles: building shingles straight from text
+        // re-splits per element_at call (O(tokens²) per doc); both aliases
+        // are multi-referenced so neither gets inlined.
         d.unionByName(doubled)
+          .withColumn("__tk", TextAnalysis.tokens(lower(col("text"))))
+          .withColumn("__sh3", TextAnalysis.shinglesTk(col("__tk"), 3))
           .select(col("doc_id"),
-            TextAnalysis.repetitionRatio(col("text"), 3).as("rep3"))
+            TextAnalysis.repetitionFromShingles(col("__sh3")).as("rep3"))
           .orderBy(col("doc_id"))
       },
       Some("""
