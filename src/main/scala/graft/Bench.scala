@@ -12,17 +12,27 @@ object Bench {
     */
   def shortKey(name: String): String = name.takeWhile(_ != '_')
 
+  /** Sentinel recorded for a query whose execution THREW: a broken query
+    * must surface as visibly broken in the bench record, not as a phantom
+    * near-zero time. -1 stays valid JSON, is unmistakable as a duration,
+    * and keeps the record parseable by the driver.
+    */
+  val ErrSentinel: Double = -1.0
+
   /** One bench record line. `shorten=true` is the stdout/driver form (short
     * keys + 3-decimal seconds — the driver's tail-capture buffer is 2000
     * chars); `shorten=false` is the committed bench.json form (full names).
+    * Errored queries carry the -1 sentinel and are EXCLUDED from the total;
+    * their count is surfaced as `"errors":N`.
     */
   def record(results: Seq[(String, Double)], repeats: Int, leakedRdds: Int,
       sfDir: String, shorten: Boolean): String = {
     val qs = results.map { case (k, v) =>
       "\"" + (if (shorten) shortKey(k) else k) + "\":" + f"$v%.3f"
     }.mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    s"""{"metric":"total","value":$total,"unit":"sec","repeats":$repeats,"leaked_rdds":$leakedRdds,"queries":$qs,"sf":"$sfDir"}"""
+    val total = results.collect { case (_, v) if v >= 0 => v }.sum
+    val errors = results.count(_._2 < 0)
+    s"""{"metric":"total","value":$total,"unit":"sec","repeats":$repeats,"errors":$errors,"leaked_rdds":$leakedRdds,"queries":$qs,"sf":"$sfDir"}"""
   }
 
   def main(args: Array[String]): Unit = {
@@ -55,16 +65,26 @@ object Bench {
     // InternalRow RDD must produce ALL output columns, so projection-shaped
     // queries (q60-q62, q49) actually execute their expressions.
     val results = SparkEntry.benchQueries.map { case (name, fn) =>
+      // A throwing query records the -1 error sentinel, not the time spent
+      // failing: a phantom duration would read as a (suspiciously fast)
+      // pass. Once any sample errs the query is marked errored — medianing
+      // a sentinel with real times would be meaningless.
       def once(): Double = {
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).queryExecution.toRdd.count() }
-        catch { case _: Throwable => () }
-        (System.nanoTime() - t0) / 1e9
+        try {
+          fn(spark, sfDir).queryExecution.toRdd.count()
+          (System.nanoTime() - t0) / 1e9
+        } catch { case _: Throwable => ErrSentinel }
       }
-      val sec =
-        if (repeats >= 3) median3(once(), once(), once())
-        else if (repeats == 2) { val (a, b) = (once(), once()); math.min(a, b) }
-        else once()
+      def sample(): Double =
+        if (repeats >= 3) {
+          val (a, b, c) = (once(), once(), once())
+          if (a < 0 || b < 0 || c < 0) ErrSentinel else median3(a, b, c)
+        } else if (repeats == 2) {
+          val (a, b) = (once(), once())
+          if (a < 0 || b < 0) ErrSentinel else math.min(a, b)
+        } else once()
+      val sec = sample()
       // Cache hygiene: a query definition that persists without
       // unpersisting would otherwise pin storage memory for the remaining
       // ~75 queries. clearCache() drops CacheManager entries (df.persist);

@@ -1,0 +1,41 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Dev tool: time selected queries end-to-end (same materialization as the
+  * bench: `queryExecution.toRdd.count()` + cache sweep between queries) —
+  * `runMain graft.Time [sfDir] [name...]`. The single-query feedback loop
+  * for plan iteration without running the full 80-query bench.
+  */
+object Time {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val names = if (args.length > 1) args.drop(1).toSeq else Seq("q01_pricing_summary")
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    // warmup (same reasoning as Bench)
+    SparkEntry.benchQueries.headOption.foreach { case (_, fn) =>
+      try { fn(spark, sfDir).queryExecution.toRdd.count() }
+      catch { case _: Throwable => () }
+    }
+    names.foreach { n =>
+      val samples = (1 to 3).map { _ =>
+        val t0 = System.nanoTime()
+        SparkEntry.queries(n)(spark, sfDir).queryExecution.toRdd.count()
+        val s = (System.nanoTime() - t0) / 1e9
+        spark.catalog.clearCache()
+        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+        s
+      }
+      println(f"TIME $n%s: ${samples.map(x => f"$x%.2f").mkString(" ")} median=${samples.sorted.apply(1)}%.2f")
+    }
+    spark.stop()
+  }
+}

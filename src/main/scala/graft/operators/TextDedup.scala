@@ -50,10 +50,7 @@ object TextDedup {
       n: Int, numHashes: Int): DataFrame = {
     val withSh = df.select(col(idCol),
       array_distinct(TextAnalysis.shingles(col(textCol), n)).as("__sh"))
-    withSh.select(col(idCol),
-      array((0 until numHashes).map(i =>
-        array_min(transform(col("__sh"),
-          s => md5(concat_ws(":", lit(i.toString), s))))): _*).as("sig"))
+    withSh.select(col(idCol), sigFromShinglesMd5(col("__sh"), numHashes).as("sig"))
   }
 
   /** xxhash64 family (fast path): numeric minima, same shuffle-free
@@ -63,10 +60,23 @@ object TextDedup {
       n: Int, numHashes: Int): DataFrame = {
     val withSh = df.select(col(idCol),
       array_distinct(TextAnalysis.shingles(col(textCol), n)).as("__sh"))
-    withSh.select(col(idCol),
-      array((0 until numHashes).map(i =>
-        array_min(transform(col("__sh"), s => xxhash64(lit(i), s)))): _*).as("sig"))
+    withSh.select(col(idCol), sigFromShinglesFast(col("__sh"), numHashes).as("sig"))
   }
+
+  /** MinHash signature expression over an ALREADY-STAGED distinct-shingle
+    * array column (md5 family). Factoring the expression out of
+    * [[minhashSignaturesMd5]] lets [[dedupCorpus]] compute the shingle
+    * arrays ONCE and feed both signature derivation and Jaccard
+    * verification from the same staged frame.
+    */
+  def sigFromShinglesMd5(sh: Column, numHashes: Int): Column =
+    array((0 until numHashes).map(i =>
+      array_min(transform(sh, s => md5(concat_ws(":", lit(i.toString), s))))): _*)
+
+  /** xxhash64-family signature expression over a staged shingle column. */
+  def sigFromShinglesFast(sh: Column, numHashes: Int): Column =
+    array((0 until numHashes).map(i =>
+      array_min(transform(sh, s => xxhash64(lit(i), s)))): _*)
 
   /** LSH banding: (id, band, band_key) rows — `numBands` rows per document;
     * docs sharing a band key are near-dup candidates.
@@ -345,8 +355,10 @@ object TextDedup {
     * definition; a library user had to reassemble the persist/verify
     * ordering by hand.
     *
-    * Cache lifecycle is handled INTERNALLY: the band table (the one
-    * self-joined scratch frame) is persisted for candidate generation and
+    * Cache lifecycle is handled INTERNALLY: the staged shingle frame
+    * (shared by signature derivation and Jaccard verification — shingling
+    * is computed exactly once) and the band table (the one self-joined
+    * scratch frame) are persisted for the pipeline's duration and
     * unpersisted the moment the verified pairs are materialized — after
     * `dedupCorpus` returns, the only pinned storage is the narrow pair
     * list backing the result (and, once accessed, the final cluster
@@ -363,15 +375,23 @@ object TextDedup {
       fastHashes: Boolean = true): CorpusDedup = {
     require(numBands * rowsPerBand <= numHashes,
       s"bands×rows ($numBands×$rowsPerBand) exceeds signature width $numHashes")
-    val sigs =
-      if (fastHashes) minhashSignaturesFast(docs, idCol, textCol, n, numHashes)
-      else minhashSignaturesMd5(docs, idCol, textCol, n, numHashes)
+    // Stage the distinct shingle arrays ONCE. Signature derivation and
+    // Jaccard verification both consume them, and shingling (tokenize +
+    // n-gram assembly + array_distinct over the whole corpus) is the
+    // dominant CPU of the pipeline — computing it twice roughly doubled
+    // the end-to-end cost. The staged frame is persisted (MEMORY_AND_DISK,
+    // so oversized partitions spill rather than OOM) for the life of the
+    // operator only: `Caching.reap` below frees it the moment the narrow
+    // verified pairs are materialized.
+    val withSh = docs.select(col(idCol),
+      array_distinct(TextAnalysis.shingles(col(textCol), n)).as("__sh")).persist()
+    val sigs = withSh.select(col(idCol),
+      (if (fastHashes) sigFromShinglesFast(col("__sh"), numHashes)
+       else sigFromShinglesMd5(col("__sh"), numHashes)).as("sig"))
     val bands =
       (if (fastHashes) lshBandsFast(sigs, idCol, col("sig"), numBands, rowsPerBand)
        else lshBands(sigs, idCol, col("sig"), numBands, rowsPerBand)).persist()
     val cand = lshCandidates(bands, idCol, maxBucket)
-    val withSh = docs.select(col(idCol),
-      array_distinct(TextAnalysis.shingles(col(textCol), n)).as("__sh"))
     val verified = cand
       .join(withSh.select(col(idCol).as(s"${idCol}_1"), col("__sh").as("__sh1")),
         Seq(s"${idCol}_1"))
@@ -380,8 +400,9 @@ object TextDedup {
       .withColumn("jaccard", jaccard(col("__sh1"), col("__sh2")))
       .filter(col("jaccard") >= jaccardThreshold)
       .select(col(s"${idCol}_1"), col(s"${idCol}_2"), col("jaccard"))
-    // Materialize the narrow verified pairs, then drop the band cache.
-    val pairs = graft.core.Caching.reap(verified, bands)
+    // Materialize the narrow verified pairs, then drop the band + shingle
+    // caches — after this the operator pins only O(pairs).
+    val pairs = graft.core.Caching.reap(verified, bands, withSh)
     new CorpusDedup(pairs, idCol)
   }
 }

@@ -42,4 +42,16 @@ class BenchFormatSpec extends AnyFunSuite {
       assert(line.contains(":1.234"))
     }
   }
+
+  test("an errored query surfaces as -1, is excluded from the total, and counted") {
+    val results = Seq("q01_ok" -> 2.0, "q02_broken" -> Bench.ErrSentinel, "q03_ok" -> 3.0)
+    val line = Bench.record(results, repeats = 3, leakedRdds = 0,
+      sfDir = "/tmp/sf", shorten = false)
+    assert(line.contains("\"q02_broken\":-1.000"),
+      "a throwing query must record the -1 sentinel, not a phantom time")
+    assert(line.contains("\"value\":5.0"), s"total must exclude errored queries: $line")
+    assert(line.contains("\"errors\":1"))
+    // the record must stay a parseable JSON shape with the sentinel present
+    assert(line.count(_ == '{') == line.count(_ == '}'))
+  }
 }
