@@ -195,6 +195,96 @@ object TextDedup {
     all.distinct()
   }
 
+  /** A STORED dedup index on disk: the corpus band table and its
+    * per-bucket widths, both written bucketed on (band, band_key) — the
+    * durable form of the "corpus is signed and banded ONCE" contract that
+    * [[incrementalCandidates]]'s docstring promises. An in-memory cache
+    * dies with the session; a 100 TB ingest pipeline probes the same index
+    * for months. (Reference analogue: the watermark/incremental contract,
+    * `config/silver/schema/README.md:329-332` — state that outlives a run
+    * lives in storage, not in a cache.)
+    */
+  final case class BandIndex(bands: DataFrame, widths: DataFrame)
+
+  /** Persist a corpus band table as a stored index: `<name>_bands`
+    * (id, band, band_key) and `<name>_widths` (band, band_key,
+    * corpus_width), both disk-bucketed on (band, band_key) so probes scan
+    * them bucket-locally with no corpus-side exchange. Widths are
+    * precomputed AT WRITE TIME — the probe must not re-aggregate the
+    * corpus to learn bucket widths.
+    */
+  def writeBandIndex(bands: DataFrame, idCol: String, name: String,
+      path: String, buckets: Int = 32): Unit = {
+    Bucketing.writeBucketed(
+      bands.select(col(idCol), col("band"), col("band_key")),
+      s"${name}_bands", s"$path/bands", buckets, Seq("band", "band_key"))
+    Bucketing.writeBucketed(
+      bands.groupBy(col("band"), col("band_key"))
+        .agg(count(lit(1)).as("corpus_width")),
+      s"${name}_widths", s"$path/widths", buckets, Seq("band", "band_key"))
+  }
+
+  /** Reopen a stored index written by [[writeBandIndex]]. */
+  def readBandIndex(spark: org.apache.spark.sql.SparkSession, name: String): BandIndex =
+    BandIndex(spark.table(s"${name}_bands"), spark.table(s"${name}_widths"))
+
+  /** Probe a STORED index with a batch's bands — the disk-backed face of
+    * [[incrementalCandidates]], identical pair semantics (combined
+    * corpus+batch width cap; corpus id in `_1`, batch id in `_2`;
+    * optional within-batch pairs).
+    *
+    * Plan shape (asserted by BandIndexSpec): every corpus-side access is a
+    * bucketed scan feeding a broadcast-hash join whose BUILD side is
+    * batch-derived — the corpus never shuffles, so probe cost is
+    * O(index scan + batch²-within-buckets) regardless of corpus size, and
+    * the exchange count is corpus-size-invariant. The width cap reads the
+    * stored `corpus_width` column; only buckets the batch actually touches
+    * are consulted.
+    */
+  def probeBandIndex(index: BandIndex, batchBands: DataFrame, idCol: String,
+      maxBucket: Option[Int] = None,
+      includeBatchSelfPairs: Boolean = true): DataFrame = {
+    val b = batchBands.select(col(idCol), col("band"), col("band_key"))
+    val ok = maxBucket.map { cap =>
+      val batchW = b.groupBy(col("band"), col("band_key"))
+        .agg(count(lit(1)).as("__bw"))
+      // Stored widths for the buckets the batch touches: bucketed scan ⨝
+      // broadcast(batch widths) — small output (≤ batch buckets), no
+      // corpus-side exchange.
+      val hit = index.widths.join(broadcast(batchW), Seq("band", "band_key"))
+        .select(col("band"), col("band_key"),
+          (col("corpus_width") + col("__bw")).as("__w"))
+      // Buckets the corpus has never seen: corpus width 0. The anti join
+      // runs small-vs-small (batch widths vs the hit list), never against
+      // the stored table.
+      val missed = batchW
+        .join(broadcast(hit.select(col("band"), col("band_key"))),
+          Seq("band", "band_key"), "left_anti")
+        .select(col("band"), col("band_key"), col("__bw").as("__w"))
+      hit.unionByName(missed).filter(col("__w") <= cap)
+        .select(col("band"), col("band_key"))
+    }
+    // Pruning the BATCH by eligible buckets prunes the corpus implicitly:
+    // a cross pair needs a batch row in the bucket, and the corpus scan
+    // only meets buckets the broadcast batch side carries.
+    val bOk = ok.fold(b)(o => b.join(broadcast(o), Seq("band", "band_key"))
+      .select(col(idCol), col("band"), col("band_key")))
+    val b2 = bOk.toDF(s"${idCol}_2", "band", "band_key")
+    val cross = index.bands.toDF(s"${idCol}_1", "band", "band_key")
+      .join(broadcast(b2), Seq("band", "band_key"))
+      .filter(col(s"${idCol}_1") =!= col(s"${idCol}_2"))
+      .select(col(s"${idCol}_1"), col(s"${idCol}_2"))
+    val all =
+      if (includeBatchSelfPairs) {
+        val s1 = bOk.toDF(s"${idCol}_1", "band", "band_key")
+        val self = s1.join(broadcast(b2), Seq("band", "band_key"))
+          .filter(col(s"${idCol}_1") < col(s"${idCol}_2"))
+          .select(col(s"${idCol}_1"), col(s"${idCol}_2"))
+        cross.unionByName(self)
+      } else cross
+    all.distinct()
+  }
+
   /** Train/eval CONTAMINATION check (decontamination): corpus documents
     * sharing at least `minShared` distinct n-gram shingles with any
     * benchmark document — the filter a training pipeline runs so eval

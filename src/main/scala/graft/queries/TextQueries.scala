@@ -501,9 +501,11 @@ object TextQueries extends QueryModule {
           .withColumn("text", concat_ws(" ", slice(toks, lit(1), size(toks) - 2)))
         // Materialize each band table once — incrementalCandidates reads
         // them up to three times (width cap, prune, probe), and the md5
-        // signature lineage is the expensive part. Mirrors the production
-        // contract: the corpus band table is a STORED index, not a
-        // recompute-from-text plan.
+        // signature lineage is the expensive part. The production contract
+        // — the corpus band table as a STORED index probed from DISK with
+        // zero corpus-side exchanges — is TextDedup.writeBandIndex /
+        // probeBandIndex, proven pair-for-pair equivalent to this path by
+        // BandIndexSpec.
         def bandsOf(d: DataFrame) = graft.core.Caching.reap(TextDedup.lshBands(
           TextDedup.minhashSignaturesMd5(d, "doc_id", "text", n = 3, numHashes = 8),
           "doc_id", col("sig"), numBands = 4, rowsPerBand = 2))
