@@ -168,7 +168,13 @@ object Medallion {
       hashColumns = Option(scd.hashColumns).filter(_.nonEmpty),
       hashDelimiter = scd.hashDelimiter)
     // Global windows below are over the DIMENSION, small by contract
-    // (SURVEY §2.7) — and only over NEW rows on incremental loads.
+    // (SURVEY §2.7) — and only over NEW rows on incremental loads. The
+    // contract is ENFORCED: a fact-sized input must fail loudly here, not
+    // silently single-partition a 100 TB frame through a global window
+    // (the distributed path for fact-scale keys is
+    // SurrogateKeys.sequential, used by goldFact below).
+    graft.operators.Broadcasting.requireSmall(incoming,
+      s"${cfg.tableName} dim batch (goldDimScd2)")
     val ordered = Seq(col(bk), col(c.validFrom))
     existing match {
       case None =>
@@ -189,7 +195,9 @@ object Medallion {
         val maxKey = d.agg(coalesce(max(col(sk)), lit(0L)).cast("long").as("__sk_max"))
         val wNew = Window.partitionBy(col("__sk_old").isNull).orderBy(ordered: _*)
         applied
-          .join(broadcast(keys),
+          // keys spans the whole existing dim — size-guarded broadcast
+          // (requireSmall above bounds `incoming`, not the accumulated dim)
+          .join(graft.operators.Broadcasting.ifSmall(keys),
             col(bk) <=> col("__sk_bk") && col(c.validFrom) === col("__sk_vf") &&
               col(c.hashCol) === col("__sk_h"), "left")
           .crossJoin(broadcast(maxKey))
@@ -317,7 +325,8 @@ object Medallion {
             val carried = carryCols(dim, kc)
             val dimSel = dim.select(Seq(col(bk).as(s"__bk_${kc.name}"),
               col(surrogateOf(dim, kc.name)).as(kc.name)) ++ carried.map(col): _*)
-            df = df.join(broadcast(dimSel), df(bk) === dimSel(s"__bk_${kc.name}"))
+            df = df.join(graft.operators.Broadcasting.ifSmall(dimSel),
+                df(bk) === dimSel(s"__bk_${kc.name}"))
               .drop(s"__bk_${kc.name}")
           case "direct" if ref.joinLogic.contains("=") =>
             // e.g. `date_key = cast(date_format(order_date,'yyyyMMdd') as int)`

@@ -1,0 +1,56 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.broadcast
+
+/** Size-aware broadcast guard for the "small by contract" join sides
+  * (SCD2 dims, key maps, batch band tables).
+  *
+  * A forced `broadcast()` is the right call while the contract holds and
+  * an OOM-the-driver trap the first time it doesn't — a dimension that
+  * grew 100× between design time and today would be collected to the
+  * driver and shipped to every executor before anything fails. The guard
+  * checks the ACTUAL row count with a bounded probe (`limit(max+1).count()`
+  * — early-terminating, never a full scan of a big input) and falls back
+  * to the unhinted plan when the side is over the cap, letting
+  * AQE/sort-merge handle it (the bucketed sort-merge path is the proven
+  * alternative — see StreamingSpec's no-exchange assertion).
+  *
+  * The probe costs one tiny job per decision; callers sit on dim-load /
+  * fact-build paths where that is noise. Deliberately a ROW cap, not a
+  * stats-bytes cap: Catalyst's size estimates for freshly built dims
+  * (windows over joins) can be off by orders of magnitude in both
+  * directions, while a bounded count is exact and costs what the dim
+  * costs to produce — which the join pays anyway.
+  */
+object Broadcasting {
+
+  /** Default cap: 1M rows. At typical dim row widths (~100-500 B) this is
+    * 100-500 MB broadcast — the outer edge of sane for a production
+    * driver/executor; anything bigger should sort-merge or bucket.
+    */
+  val DefaultMaxRows: Long = 1000000L
+
+  /** True when `df` has at most `maxRows` rows, established by an
+    * early-terminating bounded probe.
+    */
+  def isSmall(df: DataFrame, maxRows: Long = DefaultMaxRows): Boolean = {
+    val probe = math.min(maxRows + 1, Int.MaxValue.toLong).toInt
+    df.limit(probe).count() <= maxRows
+  }
+
+  /** `broadcast(df)` when the probe says it fits; `df` unhinted otherwise. */
+  def ifSmall(df: DataFrame, maxRows: Long = DefaultMaxRows): DataFrame =
+    if (isSmall(df, maxRows)) broadcast(df) else df
+
+  /** Contract assertion for small-by-contract code paths (global-window
+    * surrogate keys over dims): fail LOUDLY instead of silently
+    * single-partitioning a fact-sized input through a global window.
+    */
+  def requireSmall(df: DataFrame, what: String,
+      maxRows: Long = DefaultMaxRows): Unit =
+    require(isSmall(df, maxRows),
+      s"$what exceeds $maxRows rows — this path is small-by-contract " +
+        "(global window / forced broadcast). Use the distributed path " +
+        "(SurrogateKeys.sequential / an unhinted join) for fact-sized inputs.")
+}

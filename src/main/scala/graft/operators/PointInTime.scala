@@ -35,8 +35,12 @@ object PointInTime {
       validFrom: String = "valid_from",
       validTo: String = "valid_to",
       broadcastDim: Boolean = false,
-      joinType: String = "inner"): DataFrame = {
-    val d = if (broadcastDim) broadcast(dim) else dim
+      joinType: String = "inner",
+      maxBroadcastRows: Long = Broadcasting.DefaultMaxRows): DataFrame = {
+    // Even an opted-in broadcast is size-guarded: a dim that outgrew its
+    // contract falls back to the unhinted (AQE / sort-merge) plan instead
+    // of OOMing the driver.
+    val d = if (broadcastDim) Broadcasting.ifSmall(dim, maxBroadcastRows) else dim
     val cond = keys.map { case (fk, dk) => fact(fk) === d(dk) }.reduce(_ && _) &&
       factTime >= d(validFrom) && factTime < d(validTo)
     fact.join(d, cond, joinType)
@@ -50,9 +54,10 @@ object PointInTime {
       dim: DataFrame,
       keys: Seq[(String, String)],
       isCurrent: String = "is_current",
-      broadcastDim: Boolean = false): DataFrame = {
+      broadcastDim: Boolean = false,
+      maxBroadcastRows: Long = Broadcasting.DefaultMaxRows): DataFrame = {
     val cur = dim.filter(col(isCurrent))
-    val d = if (broadcastDim) broadcast(cur) else cur
+    val d = if (broadcastDim) Broadcasting.ifSmall(cur, maxBroadcastRows) else cur
     val cond = keys.map { case (fk, dk) => fact(fk) === d(dk) }.reduce(_ && _)
     fact.join(d, cond)
   }

@@ -109,6 +109,11 @@ object WindowQueries extends QueryModule {
       """.trim)),
 
     // --- W2: surrogate-key assignment (offset + row_number over stable order) ---
+    // Global window BY CONTRACT: nation is a 25-row dimension at every SF
+    // (TPC-H fixed cardinality). Fact-sized key assignment must use
+    // SurrogateKeys.sequential (distributed rank-by-offset); the enforced
+    // cap for library dim paths lives in Medallion.goldDimScd2
+    // (Broadcasting.requireSmall).
     GQuery(
       "q31_surrogate_keys",
       (spark, dir) => {
@@ -353,6 +358,9 @@ object WindowQueries extends QueryModule {
       """.trim)),
 
     // --- rank/dense_rank (general query layer, SURVEY §2.6 note) ---
+    // Global window BY CONTRACT: ranks 25 per-nation aggregates (fixed
+    // cardinality at every SF) — the window input is post-aggregation,
+    // never fact-sized.
     GQuery(
       "q35_rank_nations_by_revenue",
       (spark, dir) => {

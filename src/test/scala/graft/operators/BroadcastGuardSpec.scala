@@ -1,0 +1,97 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** The size-aware broadcast fallback (round-5 mandate): an opted-in
+  * `broadcastDim = true` must still broadcast a contract-sized dim, and
+  * must FALL BACK to the unhinted sort-merge plan — not OOM the driver —
+  * when the dim outgrows the row cap. Plans asserted on the executed
+  * (post-AQE) tree with the auto-broadcast threshold disabled, so the
+  * only source of a broadcast join is the guard's own hint.
+  */
+class BroadcastGuardSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def dim(rows: Int): DataFrame =
+    spark.range(rows.toLong).toDF("k")
+      .withColumn("v", concat(lit("name_"), col("k")))
+      .withColumn("valid_from", to_timestamp(lit("2020-01-01 00:00:00")))
+      .withColumn("valid_to", to_timestamp(lit("9999-12-31 00:00:00")))
+
+  private def fact(rows: Int, dimRows: Int): DataFrame =
+    spark.range(rows.toLong).toDF("id")
+      .withColumn("k", col("id") % dimRows)
+      .withColumn("ts", to_timestamp(lit("2024-06-01 12:00:00")))
+
+  private def joins(df: DataFrame): (Int, Int) = {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
+    import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, SortMergeJoinExec}
+    def kids(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+      case q: QueryStageExec => Seq(q.plan)
+      case r: ReusedExchangeExec => Seq(r.child)
+      case o => o.children
+    }
+    def walk(p: SparkPlan): Seq[SparkPlan] = p +: kids(p).flatMap(walk)
+    val nodes = walk(df.queryExecution.executedPlan)
+    (nodes.count(_.isInstanceOf[BroadcastHashJoinExec]),
+      nodes.count(_.isInstanceOf[SortMergeJoinExec]))
+  }
+
+  private def withNoAutoBroadcast[A](body: => A): A = {
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val saved = spark.conf.getOption(key)
+    spark.conf.set(key, "-1")
+    try body
+    finally saved.fold(spark.conf.unset(key))(spark.conf.set(key, _))
+  }
+
+  test("opted-in broadcast still broadcasts a dim within the cap") {
+    withNoAutoBroadcast {
+      val j = PointInTime.join(fact(1000, 50), dim(50), Seq("k" -> "k"),
+        col("ts"), broadcastDim = true)
+      j.count()
+      val (bhj, _) = joins(j)
+      assert(bhj >= 1, "guarded broadcast must keep the broadcast-hash plan for a small dim")
+    }
+  }
+
+  test("a dim over the row cap falls back to the unhinted sort-merge plan") {
+    withNoAutoBroadcast {
+      val j = PointInTime.join(fact(1000, 50), dim(50), Seq("k" -> "k"),
+        col("ts"), broadcastDim = true, maxBroadcastRows = 10)
+      j.count()
+      val (bhj, smj) = joins(j)
+      assert(bhj == 0, "an over-cap dim must NOT be broadcast")
+      assert(smj >= 1, "the fallback is the sort-merge plan")
+    }
+  }
+
+  test("joinCurrent applies the same guard") {
+    withNoAutoBroadcast {
+      val d = dim(50).withColumn("is_current", lit(true))
+      val cur = PointInTime.joinCurrent(fact(1000, 50), d, Seq("k" -> "k"),
+        broadcastDim = true)
+      cur.count()
+      assert(joins(cur)._1 >= 1)
+      val over = PointInTime.joinCurrent(fact(1000, 50), d, Seq("k" -> "k"),
+        broadcastDim = true, maxBroadcastRows = 10)
+      over.count()
+      assert(joins(over)._1 == 0)
+    }
+  }
+
+  test("requireSmall fails loudly when a 'small by contract' input is not") {
+    Broadcasting.requireSmall(dim(50), "test dim", maxRows = 100)
+    val e = intercept[IllegalArgumentException] {
+      Broadcasting.requireSmall(dim(500), "test dim", maxRows = 100)
+    }
+    assert(e.getMessage.contains("small-by-contract"))
+  }
+}
