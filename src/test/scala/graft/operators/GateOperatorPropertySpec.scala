@@ -1,0 +1,195 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, rng}
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** Property coverage for the operators that previously had only a green
+  * driver gate (round-5 mandate): CDC apply, snapshot diff, funnel,
+  * profiler, stratified sampling. Scenarios are ScalaCheck Gens under
+  * FIXED seeds (the Scd2PropertySpec discipline) so failures reproduce.
+  *
+  * The load-bearing properties:
+  *  - CDC: a fold matches the per-key newest-wins/delete model, and
+  *    re-applying the same batch is a no-op (idempotence — the retry
+  *    story of every ingest pipeline).
+  *  - SnapshotDiff: `apply(old, feed(diff(old, new))) == new` — the diff
+  *    really is the change feed that turns old into new (diff ∘ apply
+  *    identity), and its change_type partition is exact.
+  *  - Funnel: user counts are monotonically non-increasing down the steps.
+  *  - Profiler: per-column counters match exact recomputation.
+  *  - stratifiedTake: exactly min(n, |stratum|) rows per stratum, stable
+  *    under physical re-partitioning (the determinism contract that
+  *    DataFrame.sample breaks).
+  */
+class GateOperatorPropertySpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def sample[T](g: Gen[T], seed: Long): T =
+    g.pureApply(Gen.Parameters.default, rng.Seed(seed))
+
+  // ---------------------------------------------------------------- CDC
+
+  private val targetGen: Gen[Seq[(Long, String)]] =
+    Gen.listOf(Gen.zip(Gen.choose(1L, 12L), Gen.oneOf("a", "b", "c")))
+      .map(_.distinctBy(_._1))
+
+  /** Change batches with UNIQUE versions per key so newest-wins is
+    * deterministic; ops weighted toward upserts.
+    */
+  private val changesGen: Gen[Seq[(Long, String, Long, String)]] =
+    Gen.listOf(for {
+      k <- Gen.choose(1L, 15L)
+      v <- Gen.oneOf("x", "y", "z")
+      op <- Gen.frequency(3 -> Gen.const("U"), 1 -> Gen.const("D"))
+    } yield (k, v, op)).map(_.zipWithIndex.map { case ((k, v, op), i) =>
+      (k, v, i.toLong, op)
+    })
+
+  private def cdcModel(target: Seq[(Long, String)],
+      changes: Seq[(Long, String, Long, String)]): Set[(Long, String)] = {
+    val latest = changes.groupBy(_._1).map { case (k, cs) => k -> cs.maxBy(_._3) }
+    val survivors = target.filter { case (k, _) => !latest.get(k).exists(_._4 == "D") }
+      .map { case (k, v) => k -> latest.get(k).map(_._2).getOrElse(v) }
+    val inserts = latest.collect {
+      case (k, (_, v, _, op)) if op != "D" && !target.exists(_._1 == k) => k -> v
+    }
+    (survivors ++ inserts).toSet
+  }
+
+  test("CDC apply matches the newest-wins/delete model across random batches") {
+    (1 to 5).foreach { scenario =>
+      val t = sample(targetGen, 1000L + scenario)
+      val c = sample(changesGen, 2000L + scenario)
+      val target = t.toDF("k", "v")
+      val changes = c.toDF("k", "v", "ver", "op")
+      val got = Cdc.applyChanges(target, changes, Seq("k"), "op", Seq(col("ver").desc))
+        .select("k", "v").as[(Long, String)].collect().toSet
+      assert(got == cdcModel(t, c), s"scenario $scenario")
+    }
+  }
+
+  test("CDC apply is idempotent: re-applying the same batch is a no-op") {
+    (1 to 3).foreach { scenario =>
+      val target = sample(targetGen, 3000L + scenario).toDF("k", "v")
+      val changes = sample(changesGen, 4000L + scenario).toDF("k", "v", "ver", "op")
+      val once = Cdc.applyChanges(target, changes, Seq("k"), "op", Seq(col("ver").desc))
+      val twice = Cdc.applyChanges(once, changes, Seq("k"), "op", Seq(col("ver").desc))
+      assert(twice.select("k", "v").as[(Long, String)].collect().sorted.toSeq ==
+        once.select("k", "v").as[(Long, String)].collect().sorted.toSeq,
+        s"scenario $scenario")
+    }
+  }
+
+  // ------------------------------------------------------- SnapshotDiff
+
+  private val snapshotGen: Gen[Seq[(Long, String)]] =
+    Gen.listOf(Gen.zip(Gen.choose(1L, 20L), Gen.oneOf("p", "q", "r", "s")))
+      .map(_.distinctBy(_._1))
+
+  test("diff ∘ apply = identity: the derived change feed turns old into new") {
+    (1 to 5).foreach { scenario =>
+      val o = sample(snapshotGen, 5000L + scenario)
+      val n = sample(snapshotGen, 6000L + scenario)
+      val old = o.toDF("k", "v")
+      val cur = n.toDF("k", "v")
+      val d = SnapshotDiff.diff(old, cur, Seq("k"), Seq("v"))
+      // change feed: inserted/changed keys carry the new row (op U),
+      // deleted keys an op-D tombstone — exactly what CDC consumes.
+      val upserts = cur.join(
+        d.filter(col("change_type").isin("inserted", "changed")).select("k"), "k")
+        .withColumn("ver", lit(1L)).withColumn("op", lit("U"))
+      val deletes = d.filter(col("change_type") === "deleted")
+        .select(col("k"), lit(null).cast("string").as("v"),
+          lit(1L).as("ver"), lit("D").as("op"))
+      val rebuilt = Cdc.applyChanges(old, upserts.unionByName(deletes),
+        Seq("k"), "op", Seq(col("ver").desc))
+      assert(rebuilt.select("k", "v").as[(Long, String)].collect().toSet == n.toSet,
+        s"scenario $scenario")
+      // the classification partition is exact
+      val types = d.as[(Long, String)].collect().toMap
+      val om = o.toMap; val nm = n.toMap
+      assert(types.count(_._2 == "inserted") == (nm.keySet -- om.keySet).size)
+      assert(types.count(_._2 == "deleted") == (om.keySet -- nm.keySet).size)
+      assert(types.count(_._2 == "changed") ==
+        (om.keySet & nm.keySet).count(k => om(k) != nm(k)))
+    }
+  }
+
+  // ------------------------------------------------------------- Funnel
+
+  private val eventsGen: Gen[Seq[(Long, String, Int)]] =
+    Gen.listOf(for {
+      u <- Gen.choose(1L, 10L)
+      t <- Gen.oneOf("view", "click", "purchase", "noise")
+    } yield (u, t)).map(_.zipWithIndex.map { case ((u, t), i) => (u, t, i) })
+
+  test("funnel user counts are monotonically non-increasing down the steps") {
+    (1 to 5).foreach { scenario =>
+      val events = sample(eventsGen, 7000L + scenario).toDF("user", "etype", "ts")
+      val counts = Funnel.counts(events, "user", "etype", col("ts"),
+          Seq("view", "click", "purchase"))
+        .orderBy("stage").select("users").as[Long].collect()
+      assert(counts.sameElements(counts.sorted.reverse),
+        s"scenario $scenario: funnel grew down-stage: ${counts.mkString(",")}")
+    }
+  }
+
+  test("funnel step 1 counts exactly the users with that event type") {
+    val events = sample(eventsGen, 7100L).toDF("user", "etype", "ts")
+    val first = Funnel.counts(events, "user", "etype", col("ts"), Seq("view"))
+      .select("users").as[Long].head()
+    val expected = events.filter(col("etype") === "view")
+      .select("user").distinct().count()
+    assert(first == expected)
+  }
+
+  // ----------------------------------------------------------- Profiler
+
+  test("profiler counters match exact recomputation (exact and approx paths)") {
+    val df = Seq[(java.lang.Long, String)](
+      (1L, "a"), (2L, "b"), (3L, null), (4L, "a"), (null, "c"), (null, null)
+    ).toDF("num", "str")
+    val p = Profiler.profile(df, Seq("num", "str"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    val num = p("num"); val str = p("str")
+    assert(num.getLong(1) == 6 && num.getLong(2) == 2 && num.getLong(3) == 4)
+    assert(num.getString(4) == "1" && num.getString(5) == "4")
+    assert(str.getLong(2) == 2 && str.getLong(3) == 3)
+    assert(str.getString(4) == "a" && str.getString(5) == "c")
+    // HLL path: same schema, distinct counts within tolerance at this size
+    val approx = Profiler.profile(df, Seq("num", "str"), approxDistinct = true)
+      .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(math.abs(approx("num") - 4L) <= 1 && math.abs(approx("str") - 3L) <= 1)
+  }
+
+  // ----------------------------------------------------------- Sampling
+
+  private val docsGen: Gen[Seq[(Long, String)]] =
+    Gen.listOf(Gen.zip(Gen.choose(1L, 500L), Gen.oneOf("en", "de", "fr")))
+      .map(_.distinctBy(_._1))
+
+  test("stratifiedTake keeps exactly min(n, |stratum|) rows, stable under repartition") {
+    (1 to 3).foreach { scenario =>
+      val rows = sample(docsGen, 8000L + scenario)
+      val df = rows.toDF("id", "lang")
+      val order = Seq(Sampling.hashOrder(col("id")), col("id"))
+      val taken = Sampling.stratifiedTake(df, Seq(col("lang")), order, n = 3)
+        .as[(Long, String)].collect().toSet
+      // exact per-stratum cardinality
+      val sizes = rows.groupBy(_._2).view.mapValues(_.size).toMap
+      taken.groupBy(_._2).foreach { case (lang, s) =>
+        assert(s.size == math.min(3, sizes(lang)), s"scenario $scenario lang $lang")
+      }
+      assert(taken.subsetOf(rows.toSet))
+      // physical layout must not change the sample
+      val shuffled = Sampling.stratifiedTake(df.repartition(13), Seq(col("lang")),
+        order, n = 3).as[(Long, String)].collect().toSet
+      assert(shuffled == taken, s"scenario $scenario: sample depends on partitioning")
+    }
+  }
+}
