@@ -108,6 +108,22 @@ class ScaleCurveSpec extends AnyFunSuite {
     curve("neardup_pipeline", op, docs, amp)
   }
 
+  test("composed curation filter scales ~linearly") {
+    // THE first pass over a raw corpus (q07 shape): language allowlist +
+    // quality floor + repetition ceiling + length band, tokenize-once
+    // with the pushdown fence. Shuffle-free by design — the exchange
+    // assertion pins the fence against a future CollapseProject/pushdown
+    // regression re-inlining the metric battery into the scan.
+    val docs = table("documents").select($"doc_id", $"text")
+    val amp = ampText(docs, "doc_id", Seq("text"), 1000000L)
+    val rules = Curation.Rules(allowedLangs = Seq("en", "fr", "es", "de", "zh"),
+      minQuality = 0.5, maxRepetition = 0.2, minTokens = 20, maxTokens = 10000)
+    def op(d: DataFrame): DataFrame =
+      Curation.filter(d, "text", rules)
+        .select($"doc_id", $"lang_pred", $"quality", $"rep3", $"tokens")
+    curve("curation_filter", op, docs, amp)
+  }
+
   test("fuzzy deletion-neighborhood matching scales ~linearly") {
     val c = table("customer").select($"c_custkey", $"c_nationkey", $"c_name")
     val amp = ampText(c, "c_custkey", Seq("c_name"), 10000000L)
