@@ -38,4 +38,53 @@ object Sampling {
     */
   def hashOrder(key: Column, salt: String = ""): Column =
     md5(concat(lit(salt), key.cast("string")))
+
+  /** Deterministic uniform value in [0, 65536): the first 4 hex digits of
+    * `md5(salt || key)` decoded with ascii arithmetic — no hex-parse
+    * builtin is common across engines, so the decode is spelled out and
+    * reproducible anywhere md5 is (the q68 split discipline). Content-
+    * derived: stable under repartitioning, re-runs, corpus growth, and
+    * engine choice.
+    */
+  def hash16(key: Column, salt: String = ""): Column = {
+    val h = md5(concat(lit(salt), key.cast("string")))
+    def hexVal(c: Column): Column = {
+      val a = ascii(c)
+      a - when(a >= 97, 87).otherwise(48)
+    }
+    val v = (1 to 4).map(i => hexVal(substring(h, i, 1)))
+    v(0) * 4096 + v(1) * 256 + v(2) * 16 + v(3)
+  }
+
+  /** Deterministic bucket in [0, buckets): [[hash16]] mod buckets. 65536
+    * hash values over small bucket counts are uniform to ±buckets/65536.
+    */
+  def hashBucket(key: Column, buckets: Int, salt: String = ""): Column =
+    hash16(key, salt) % buckets
+
+  /** Keep a deterministic `rate` fraction of rows by content hash —
+    * the sampling primitive whose output NEVER migrates as the corpus
+    * grows (unlike `DataFrame.sample`, which re-draws per layout).
+    */
+  def keepFraction(df: DataFrame, keyCol: String, rate: Double,
+      salt: String = ""): DataFrame = {
+    require(rate >= 0.0 && rate <= 1.0, s"rate $rate outside [0,1]")
+    df.filter(hash16(col(keyCol), salt) < math.round(rate * 65536).toInt)
+  }
+
+  /** Weighted SOURCE MIXTURE — the training-mix primitive ("30% web, 100%
+    * books, 5% logs"): each source keeps its deterministic hash fraction,
+    * then the survivors union. Salted PER SOURCE, so a document present in
+    * two sources draws independently in each. All sources must share a
+    * schema (align upstream). Scale: a filter per source + union — no
+    * shuffle, no driver involvement; at 100 TB each source's filter rides
+    * its own scan.
+    */
+  def weightedMix(sources: Seq[(DataFrame, Double)], keyCol: String,
+      salt: String = "mix"): DataFrame = {
+    require(sources.nonEmpty, "weightedMix needs at least one source")
+    sources.zipWithIndex.map { case ((df, rate), i) =>
+      keepFraction(df, keyCol, rate, s"$salt$i")
+    }.reduce(_ unionByName _)
+  }
 }

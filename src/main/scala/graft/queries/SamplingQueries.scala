@@ -23,22 +23,23 @@ object SamplingQueries extends QueryModule {
     * ascii-code scheme would skew it by several points since hex chars
     * occupy only 16 of 256 codes.
     */
-  private def hexVal(c: Column): Column = {
-    val a = ascii(c)
-    a - when(a >= 97, 87).otherwise(48)
-  }
-  private def hashBucket(key: Column): Column = {
-    val h = md5(key.cast(StringType))
-    val v = (1 to 4).map(i => hexVal(substring(h, i, 1)))
-    (v(0) * 4096 + v(1) * 256 + v(2) * 16 + v(3)) % 100
-  }
+  private def hashBucket(key: Column): Column =
+    graft.operators.Sampling.hashBucket(key, 100)
 
   /** DuckDB rendering of [[hashBucket]]. */
-  private def hashBucketSql(keyExpr: String): String = {
+  private def hashBucketSql(keyExpr: String): String =
+    s"(${hash16Sql(keyExpr, "")}) % 100"
+
+  /** DuckDB rendering of `Sampling.hash16` (salted md5, ascii-decoded
+    * first 4 hex digits) — the shared primitive behind the split, the
+    * weighted mix, and shard assignment.
+    */
+  private def hash16Sql(keyExpr: String, salt: String): String = {
+    val m = s"md5('$salt' || CAST($keyExpr AS VARCHAR))"
     def hv(i: Int) =
-      s"(ascii(substr(md5(CAST($keyExpr AS VARCHAR)), $i, 1)) - " +
-        s"CASE WHEN ascii(substr(md5(CAST($keyExpr AS VARCHAR)), $i, 1)) >= 97 THEN 87 ELSE 48 END)"
-    s"(${hv(1)} * 4096 + ${hv(2)} * 256 + ${hv(3)} * 16 + ${hv(4)}) % 100"
+      s"(ascii(substr($m, $i, 1)) - " +
+        s"CASE WHEN ascii(substr($m, $i, 1)) >= 97 THEN 87 ELSE 48 END)"
+    s"(${hv(1)} * 4096 + ${hv(2)} * 256 + ${hv(3)} * 16 + ${hv(4)})"
   }
 
   override def all: Seq[GQuery] = Seq(
@@ -104,6 +105,62 @@ object SamplingQueries extends QueryModule {
           ORDER BY md5('s1' || CAST(doc_id AS VARCHAR)), doc_id) <= 20
         ORDER BY lang, doc_id
       """.trim)),
+
+    // --- weighted SOURCE MIXTURE: the training-mix primitive ("50% of
+    // the en slice, all of de, a quarter of the rest") via per-source
+    // salted content-hash fractions — deterministic, shuffle-free, and
+    // reproduced exactly by the oracle's md5 arithmetic. ---
+    GQuery(
+      "q08_weighted_mix",
+      (spark, dir) => {
+        import graft.operators.Sampling
+        val d = Tables.docs(spark, dir).select(col("doc_id"), col("lang"))
+        Sampling.weightedMix(Seq(
+            d.filter(col("lang") === "en") -> 0.5,
+            d.filter(col("lang") === "de") -> 1.0,
+            d.filter(!col("lang").isin("en", "de")) -> 0.25),
+            "doc_id")
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("n"), min(col("doc_id")).as("min_id"))
+          .orderBy(col("lang"))
+      },
+      Some(s"""
+        WITH u AS (
+          SELECT doc_id, lang FROM documents
+          WHERE lang = 'en' AND ${hash16Sql("doc_id", "mix0")} < 32768
+          UNION ALL
+          SELECT doc_id, lang FROM documents
+          WHERE lang = 'de' AND ${hash16Sql("doc_id", "mix1")} < 65536
+          UNION ALL
+          SELECT doc_id, lang FROM documents
+          WHERE lang NOT IN ('en', 'de') AND ${hash16Sql("doc_id", "mix2")} < 16384)
+        SELECT lang, CAST(COUNT(*) AS BIGINT) AS n, MIN(doc_id) AS min_id
+        FROM u GROUP BY lang ORDER BY lang
+      """.trim)),
+
+    // --- training-shard writer round trip: deterministic shard
+    // assignment (content-hash bucket) + partitioned write + read-back.
+    // The oracle recomputes the assignment directly; the Spark side must
+    // survive the filesystem round trip with identical per-shard
+    // histograms. ---
+    GQuery(
+      "q09_shard_roundtrip",
+      (spark, dir) => {
+        import graft.operators.Sharding
+        val d = Tables.docs(spark, dir).select(col("doc_id"), col("lang"))
+        val path = java.nio.file.Files.createTempDirectory("graft_shards").toString
+        Sharding.writeShards(d, "doc_id", numShards = 8, path)
+        spark.read.parquet(path)
+          .groupBy(col("shard").cast(IntegerType).as("shard"))
+          .agg(count(lit(1)).as("n"), min(col("doc_id")).as("min_id"))
+          .orderBy(col("shard"))
+      },
+      Some(s"""
+        SELECT CAST(${hash16Sql("doc_id", "")} % 8 AS INT) AS shard,
+               CAST(COUNT(*) AS BIGINT) AS n, MIN(doc_id) AS min_id
+        FROM documents GROUP BY 1 ORDER BY shard
+      """.trim),
+      bench = false),
 
     // --- stable train/val/test split (80/10/10 by content hash) ---
     GQuery(
