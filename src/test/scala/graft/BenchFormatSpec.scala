@@ -18,7 +18,8 @@ class BenchFormatSpec extends AnyFunSuite {
     // has bigger problems than formatting).
     val worst = names.map(_ -> 999.999)
     val line = Bench.record(worst, repeats = 3, leakedRdds = 0,
-      sfDir = "/root/testdata/sf0.1", shorten = true)
+      sfDir = "/root/testdata/sf0.1", shorten = true,
+      calib = Seq(999.999, 999.999), rechecked = 99)
     assert(line.length <= 1900,
       s"stdout bench line ${line.length} chars — within 100 of the 2000-char " +
         "tail buffer; shorten the record before adding more bench queries")
@@ -53,5 +54,27 @@ class BenchFormatSpec extends AnyFunSuite {
     assert(line.contains("\"errors\":1"))
     // the record must stay a parseable JSON shape with the sentinel present
     assert(line.count(_ == '{') == line.count(_ == '}'))
+  }
+
+  test("contention canary and recheck count ride the record") {
+    val line = Bench.record(Seq("q01_ok" -> 2.0), repeats = 3, leakedRdds = 0,
+      sfDir = "/tmp/sf", shorten = false, calib = Seq(0.1234, 0.5678), rechecked = 2)
+    assert(line.contains("\"calib\":[0.123,0.568]"),
+      "the start/end calibration pair must be in the record for the judge to normalize by")
+    assert(line.contains("\"rechecked\":2"))
+    assert(line.count(_ == '[') == line.count(_ == ']'))
+  }
+
+  test("priorTimes reads a committed bench.json and survives garbage") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_bench_prior")
+    val ok = dir.resolve("bench.json")
+    java.nio.file.Files.writeString(ok,
+      """{"metric":"total","value":5.0,"unit":"sec","repeats":3,"errors":0,"leaked_rdds":0,"queries":{"q01_a":1.500,"q02_b":-1.000},"sf":"/tmp/sf"}""")
+    val p = Bench.priorTimes(ok.toString)
+    assert(p == Map("q01_a" -> 1.5, "q02_b" -> -1.0))
+    val bad = dir.resolve("garbage.json")
+    java.nio.file.Files.writeString(bad, "not json at all {{{")
+    assert(Bench.priorTimes(bad.toString).isEmpty)
+    assert(Bench.priorTimes(dir.resolve("missing.json").toString).isEmpty)
   }
 }
