@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode}
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextAnalysis
@@ -224,6 +224,43 @@ object TextDedup {
       s"${name}_widths", s"$path/widths", buckets, Seq("band", "band_key"))
   }
 
+  /** Absorb a new batch into a STORED index — the maintenance path a
+    * months-long ingest runs after each batch clears dedup: append the
+    * batch's (id, band, band_key) rows to `<name>_bands` and the batch's
+    * per-bucket counts to `<name>_widths`, both preserving the bucketed
+    * layout (bucket count read from the CATALOG, so an append can never
+    * silently diverge from the initial layout).
+    *
+    * Widths MERGE by summation-at-probe, not rewrite-at-append: each
+    * append adds partial (band, band_key, corpus_width) rows and
+    * [[probeBandIndex]] sums them per bucket — a bucket-local aggregate
+    * (zero exchange: the bucketed scan already hash-partitions on the
+    * group keys), so append cost is O(batch) while an eager width rewrite
+    * would re-materialize the O(distinct buckets) table on EVERY batch.
+    *
+    * Appends are not transactional (plain Parquet): a retried append
+    * double-counts its batch, the same caveat as any non-transactional
+    * sink (the reference platform delegates exactly-once to Delta MERGE;
+    * on Parquet, dedup retries at the orchestrator).
+    */
+  def appendToBandIndex(spark: org.apache.spark.sql.SparkSession,
+      batchBands: DataFrame, idCol: String, name: String): Unit = {
+    import org.apache.spark.sql.catalyst.TableIdentifier
+    val spec = spark.sessionState.catalog
+      .getTableMetadata(TableIdentifier(s"${name}_bands")).bucketSpec
+      .getOrElse(sys.error(s"${name}_bands is not a bucketed table"))
+    val buckets = spec.numBuckets
+    batchBands.select(col(idCol), col("band"), col("band_key"))
+      .write.mode(SaveMode.Append)
+      .bucketBy(buckets, "band", "band_key").sortBy("band", "band_key")
+      .saveAsTable(s"${name}_bands")
+    batchBands.groupBy(col("band"), col("band_key"))
+      .agg(count(lit(1)).as("corpus_width"))
+      .write.mode(SaveMode.Append)
+      .bucketBy(buckets, "band", "band_key").sortBy("band", "band_key")
+      .saveAsTable(s"${name}_widths")
+  }
+
   /** Reopen a stored index written by [[writeBandIndex]]. */
   def readBandIndex(spark: org.apache.spark.sql.SparkSession, name: String): BandIndex =
     BandIndex(spark.table(s"${name}_bands"), spark.table(s"${name}_widths"))
@@ -248,10 +285,17 @@ object TextDedup {
     val ok = maxBucket.map { cap =>
       val batchW = b.groupBy(col("band"), col("band_key"))
         .agg(count(lit(1)).as("__bw"))
+      // Stored widths may hold PARTIAL rows per bucket (one per
+      // appendToBandIndex batch); merge by summation. The aggregate is
+      // bucket-local — the bucketed scan already hash-partitions on the
+      // group keys, so no exchange enters the corpus side (asserted by
+      // BandIndexSpec).
+      val storedW = index.widths.groupBy(col("band"), col("band_key"))
+        .agg(sum(col("corpus_width")).as("corpus_width"))
       // Stored widths for the buckets the batch touches: bucketed scan ⨝
       // broadcast(batch widths) — small output (≤ batch buckets), no
       // corpus-side exchange.
-      val hit = index.widths.join(broadcast(batchW), Seq("band", "band_key"))
+      val hit = storedW.join(broadcast(batchW), Seq("band", "band_key"))
         .select(col("band"), col("band_key"),
           (col("corpus_width") + col("__bw")).as("__w"))
       // Buckets the corpus has never seen: corpus width 0. The anti join
