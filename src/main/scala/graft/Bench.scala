@@ -36,16 +36,28 @@ object Bench {
     * transient, so a genuine regression survives the recheck while an
     * unlucky sample does not.
     */
+  /** 3-decimal seconds, locale-pinned: the default-locale `f` interpolator
+    * emits decimal COMMAS under e.g. a German default locale, silently
+    * turning the record into invalid JSON on a differently-configured box.
+    */
+  private def fmt3(v: Double): String =
+    String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+
   def record(results: Seq[(String, Double)], repeats: Int, leakedRdds: Int,
       sfDir: String, shorten: Boolean, calib: Seq[Double] = Nil,
-      rechecked: Int = 0): String = {
-    val qs = results.map { case (k, v) =>
-      "\"" + (if (shorten) shortKey(k) else k) + "\":" + f"$v%.3f"
+      rechecked: Int = 0, raw: Seq[(String, Double)] = Nil): String = {
+    def qmap(entries: Seq[(String, Double)]): String = entries.map { case (k, v) =>
+      "\"" + (if (shorten) shortKey(k) else k) + "\":" + fmt3(v)
     }.mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
     val errors = results.count(_._2 < 0)
-    val calibJson = calib.map(v => f"$v%.3f").mkString("[", ",", "]")
-    s"""{"metric":"total","value":$total,"unit":"sec","repeats":$repeats,"errors":$errors,"rechecked":$rechecked,"calib":$calibJson,"leaked_rdds":$leakedRdds,"queries":$qs,"sf":"$sfDir"}"""
+    val calibJson = calib.map(fmt3).mkString("[", ",", "]")
+    // `raw` holds the PRE-recheck median for every rechecked query. The
+    // recheck keeps min(median, fresh samples) — an asymmetric statistic
+    // that, with bench.json doubling as the next run's baseline, would
+    // otherwise ratchet reported times down with no audit trail; the judge
+    // can compare raw vs kept and spot a masked genuine regression.
+    s"""{"metric":"total","value":$total,"unit":"sec","repeats":$repeats,"errors":$errors,"rechecked":$rechecked,"raw":${qmap(raw)},"calib":$calibJson,"leaked_rdds":$leakedRdds,"queries":${qmap(results)},"sf":"$sfDir"}"""
   }
 
   /** Fixed calibration job: 1e8-row range sum over PINNED 32 partitions —
@@ -117,6 +129,7 @@ object Bench {
       }
     }
     var rechecked = 0
+    val rawMedians = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
     // Per query: run `repeats` times and keep the MEDIAN, so one contended
     // sample (r3's uniform ~3× driver-run inflation; q64's 21× excursion)
     // can't poison round-over-round comparison. Materialize through
@@ -155,6 +168,7 @@ object Bench {
       prior.get(name).foreach { p =>
         if (sec > 0 && p > 0.05 && sec > 3 * p && sec > 0.2) {
           rechecked += 1
+          rawMedians += name -> sec
           val re = Seq(once(), once()).filter(_ >= 0)
           if (re.nonEmpty) sec = math.min(sec, re.min)
         }
@@ -178,7 +192,8 @@ object Bench {
     val ordered = results.toSeq
     // The committed record keeps full query names for humans and the judge.
     val fileJson = record(ordered, repeats, leakedRdds, sfDir,
-      shorten = false, calib = calib, rechecked = rechecked)
+      shorten = false, calib = calib, rechecked = rechecked,
+      raw = rawMedians.toSeq)
     // The STDOUT line is what the driver tail-captures, and its buffer is
     // exactly 2000 chars (BENCH_r03: 2.5 KB line → truncated → parsed:null
     // three rounds running). Full names + full-precision doubles cannot
@@ -189,8 +204,12 @@ object Bench {
     val shortKeys = ordered.map { case (k, _) => shortKey(k) }
     require(shortKeys.distinct.size == shortKeys.size,
       "bench short keys must be unique")
+    // stdout raw is capped (most-inflated first) so a pathologically
+    // contended run — every query rechecked — cannot blow the 2000-char
+    // tail buffer; bench.json always carries the full list.
     val stdoutJson = record(ordered, repeats, leakedRdds, sfDir,
-      shorten = true, calib = calib, rechecked = rechecked)
+      shorten = true, calib = calib, rechecked = rechecked,
+      raw = rawMedians.toSeq.sortBy(-_._2).take(8))
     // Drop the full record in well-known files first: sbt may decorate
     // stdout, and the driver needs one clean machine-readable JSON line.
     for (p <- Seq("/tmp/bench.json", "bench.json")) {

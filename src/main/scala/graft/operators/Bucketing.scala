@@ -16,12 +16,22 @@ import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
   */
 object Bucketing {
 
-  /** Persist `df` as a bucketed, sorted table backed by `path`. */
+  /** Persist `df` as a bucketed, sorted table backed by `path`.
+    *
+    * The input is repartitioned onto the bucket keys first: a bucketBy
+    * write otherwise emits one file PER INPUT PARTITION per bucket (32
+    * partitions × 32 buckets = 1024 near-empty files per write), and every
+    * later scan pays the listing/open cost. Repartitioning uses the same
+    * Murmur3 hash the bucket id does, so each task holds exactly one
+    * bucket's rows → exactly `buckets` files — the layout a 100 TB table
+    * needs for bucket-local joins to stay scan-bound, not open-bound.
+    */
   def writeBucketed(df: DataFrame, table: String, path: String, buckets: Int,
       keys: Seq[String], sortCols: Seq[String] = Nil): Unit = {
     require(keys.nonEmpty, "bucketing needs at least one key")
     val s = if (sortCols.nonEmpty) sortCols else keys
-    df.write.mode(SaveMode.Overwrite)
+    df.repartition(buckets, keys.map(org.apache.spark.sql.functions.col): _*)
+      .write.mode(SaveMode.Overwrite)
       .bucketBy(buckets, keys.head, keys.tail: _*)
       .sortBy(s.head, s.tail: _*)
       .option("path", path)

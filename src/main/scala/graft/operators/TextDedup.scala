@@ -250,12 +250,23 @@ object TextDedup {
       .getTableMetadata(TableIdentifier(s"${name}_bands")).bucketSpec
       .getOrElse(sys.error(s"${name}_bands is not a bucketed table"))
     val buckets = spec.numBuckets
-    batchBands.select(col(idCol), col("band"), col("band_key"))
+    // Materialize the batch's bands ONCE before the two writes: bands and
+    // widths must agree row-for-row, and a non-deterministic upstream plan
+    // (or a source re-read between the writes) would otherwise let them
+    // diverge — a silent skew of the combined-width bucket cap.
+    val bb = graft.core.Caching.reap(
+      batchBands.select(col(idCol), col("band"), col("band_key")))
+    // Repartition onto the bucket keys (same rationale as
+    // Bucketing.writeBucketed): one file per bucket per append, not one
+    // per input partition per bucket — over months of appends the
+    // difference is whether the index stays scannable.
+    bb.repartition(buckets, col("band"), col("band_key"))
       .write.mode(SaveMode.Append)
       .bucketBy(buckets, "band", "band_key").sortBy("band", "band_key")
       .saveAsTable(s"${name}_bands")
-    batchBands.groupBy(col("band"), col("band_key"))
+    bb.groupBy(col("band"), col("band_key"))
       .agg(count(lit(1)).as("corpus_width"))
+      .repartition(buckets, col("band"), col("band_key"))
       .write.mode(SaveMode.Append)
       .bucketBy(buckets, "band", "band_key").sortBy("band", "band_key")
       .saveAsTable(s"${name}_widths")

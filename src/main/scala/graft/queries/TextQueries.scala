@@ -499,18 +499,27 @@ object TextQueries extends QueryModule {
         val batch = corpus.filter(col("doc_id") % 10 === 0)
           .withColumn("doc_id", col("doc_id") + 100000)
           .withColumn("text", concat_ws(" ", slice(toks, lit(1), size(toks) - 2)))
-        // Materialize each band table once — incrementalCandidates reads
-        // them up to three times (width cap, prune, probe), and the md5
-        // signature lineage is the expensive part. The production contract
-        // — the corpus band table as a STORED index probed from DISK with
-        // zero corpus-side exchanges — is TextDedup.writeBandIndex /
-        // probeBandIndex, proven pair-for-pair equivalent to this path by
-        // BandIndexSpec.
+        // Materialize each band table once — the md5 signature lineage is
+        // the expensive part and each band table feeds several plan arms.
         def bandsOf(d: DataFrame) = graft.core.Caching.reap(TextDedup.lshBands(
           TextDedup.minhashSignaturesMd5(d, "doc_id", "text", n = 3, numHashes = 8),
           "doc_id", col("sig"), numBands = 4, rowsPerBand = 2))
-        TextDedup.incrementalCandidates(bandsOf(corpus), bandsOf(batch),
-            "doc_id", maxBucket = Some(100))
+        // The PRODUCTION path, certified by the oracle since round 7: the
+        // corpus band table is persisted as a disk-bucketed STORED index —
+        // written from half the corpus, the other half absorbed via
+        // appendToBandIndex (so the probe's sum-over-partial-widths merge
+        // is on the certified path) — and the batch probes it from disk
+        // with zero corpus-side exchanges. Pair semantics are identical to
+        // the in-memory incrementalCandidates (BandIndexSpec holds parity),
+        // so the oracle SQL is unchanged.
+        val cb = bandsOf(corpus)
+        val path = java.nio.file.Files.createTempDirectory("graft_q28idx").toString
+        TextDedup.writeBandIndex(cb.filter(col("doc_id") % 2 === 0), "doc_id",
+          "q28idx", path, buckets = 8)
+        TextDedup.appendToBandIndex(spark, cb.filter(col("doc_id") % 2 =!= 0),
+          "doc_id", "q28idx")
+        TextDedup.probeBandIndex(TextDedup.readBandIndex(spark, "q28idx"),
+            bandsOf(batch), "doc_id", maxBucket = Some(100))
           .orderBy(col("doc_id_1"), col("doc_id_2"))
       },
       Some(s"""

@@ -17,9 +17,11 @@ class BenchFormatSpec extends AnyFunSuite {
     // query (no single query should take 1000+ s; if one does, the bench
     // has bigger problems than formatting).
     val worst = names.map(_ -> 999.999)
+    // raw is capped at 8 entries on the stdout record (Bench.main) so a
+    // pathologically contended run can't blow the tail buffer.
     val line = Bench.record(worst, repeats = 3, leakedRdds = 0,
       sfDir = "/root/testdata/sf0.1", shorten = true,
-      calib = Seq(999.999, 999.999), rechecked = 99)
+      calib = Seq(999.999, 999.999), rechecked = 99, raw = worst.take(8))
     assert(line.length <= 1900,
       s"stdout bench line ${line.length} chars — within 100 of the 2000-char " +
         "tail buffer; shorten the record before adding more bench queries")
@@ -63,6 +65,35 @@ class BenchFormatSpec extends AnyFunSuite {
       "the start/end calibration pair must be in the record for the judge to normalize by")
     assert(line.contains("\"rechecked\":2"))
     assert(line.count(_ == '[') == line.count(_ == ']'))
+  }
+
+  test("rechecked queries carry their pre-recheck median in the raw field") {
+    // The recheck keeps min(median, fresh) — without the raw medians the
+    // record would ratchet downward with no audit trail for the judge.
+    val line = Bench.record(Seq("q01_ok" -> 2.0, "q02_hot" -> 1.1), repeats = 3,
+      leakedRdds = 0, sfDir = "/tmp/sf", shorten = false,
+      rechecked = 1, raw = Seq("q02_hot" -> 9.876))
+    assert(line.contains("\"raw\":{\"q02_hot\":9.876}"),
+      s"pre-recheck median must be auditable in the record: $line")
+    assert(line.contains("\"q02_hot\":1.1"), "kept value must still be the queries entry")
+    // with no rechecks the field stays a constant-shape empty object
+    val none = Bench.record(Seq("q01_ok" -> 2.0), repeats = 3, leakedRdds = 0,
+      sfDir = "/tmp/sf", shorten = false)
+    assert(none.contains("\"raw\":{}"))
+  }
+
+  test("record stays valid JSON under a comma-decimal default locale") {
+    val saved = java.util.Locale.getDefault
+    try {
+      java.util.Locale.setDefault(java.util.Locale.GERMANY)
+      val line = Bench.record(Seq("q01_a" -> 1.234), repeats = 3, leakedRdds = 0,
+        sfDir = "/tmp/sf", shorten = false, calib = Seq(0.5))
+      assert(line.contains("\"q01_a\":1.234"),
+        s"query times must be locale-pinned (no decimal commas): $line")
+      assert(line.contains("\"calib\":[0.500]"),
+        s"calib must be locale-pinned: $line")
+      assert(!line.contains("0,5"), s"no comma-decimal artifacts allowed: $line")
+    } finally java.util.Locale.setDefault(saved)
   }
 
   test("priorTimes reads a committed bench.json and survives garbage") {

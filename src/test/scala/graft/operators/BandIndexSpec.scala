@@ -103,6 +103,55 @@ class BandIndexSpec extends AnyFunSuite {
       "stored-index probe must reproduce the in-memory candidate set bit-for-bit")
   }
 
+  test("probe after append == rebuild from scratch, with partial width rows actually merged") {
+    val corpus = docs
+    val batch = batchOf(corpus)
+    val bb = graft.core.Caching.reap(bandsOf(batch))
+    val cb = graft.core.Caching.reap(bandsOf(corpus))
+    // Rebuilt-from-scratch index over the whole corpus: the ground truth.
+    val full = writeIndex("bidx_full", corpus)
+    // Grown index: initial write on the even half, the odd half absorbed
+    // by appendToBandIndex — buckets touched by both halves now hold TWO
+    // partial corpus_width rows, so probeBandIndex's sum-merge is
+    // exercised with real partials, not a single-write degenerate case.
+    val path = java.nio.file.Files.createTempDirectory("graft_bidx_grown").toString
+    TextDedup.writeBandIndex(cb.filter(col("doc_id") % 2 === 0), "doc_id",
+      "bidx_grown", path, buckets = 4)
+    TextDedup.appendToBandIndex(spark, cb.filter(col("doc_id") % 2 =!= 0),
+      "doc_id", "bidx_grown")
+    val grown = TextDedup.readBandIndex(spark, "bidx_grown")
+    val widthRows = grown.widths.groupBy(col("band"), col("band_key"))
+      .agg(count(lit(1)).as("parts"))
+    assert(widthRows.filter(col("parts") > 1).count() > 0,
+      "append must leave partial width rows per bucket — otherwise this " +
+        "test is not exercising the sum-merge")
+    val expected = TextDedup.probeBandIndex(full, bb, "doc_id", maxBucket = Some(100))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    val pGrown = TextDedup.probeBandIndex(grown, bb, "doc_id", maxBucket = Some(100))
+    val got = pGrown.collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    assert(expected.nonEmpty, "append-parity test needs real candidate pairs")
+    assert(got.toSeq == expected.toSeq,
+      "probe of write-then-append index must equal probe of a rebuilt index pair-for-pair")
+    // Appends must not degrade the probe plan: still exactly the one
+    // narrow pair-dedup exchange above the stored scans, and the same
+    // total exchange count as the single-write index's probe.
+    val sh = corpusShuffles(pGrown, "bidx_grown")
+    assert(sh.size == 1,
+      s"expected exactly the final pair-dedup exchange above the appended index scan, got ${sh.size}")
+    assert(sh.head.output.size == 2,
+      s"the exchange above the appended index must carry only the narrow id pair, " +
+        s"got ${sh.head.output.map(_.name).mkString(", ")}")
+    // Fresh (unexecuted) plans on BOTH sides: an executed AQE plan hides
+    // its exchanges inside query stages, so comparing executed-vs-fresh
+    // would always read 0 vs N regardless of the real plan shape.
+    val eGrown = Bucketing.exchangeCount(
+      TextDedup.probeBandIndex(grown, bb, "doc_id", maxBucket = Some(100)))
+    val eFull = Bucketing.exchangeCount(
+      TextDedup.probeBandIndex(full, bb, "doc_id", maxBucket = Some(100)))
+    assert(eGrown == eFull,
+      s"probing an appended index must cost the same exchanges as a rebuilt one: $eGrown vs $eFull")
+  }
+
   test("probe never shuffles the stored corpus; exchange count is corpus-size-invariant") {
     val batch = batchOf(docs)
     val bb = graft.core.Caching.reap(bandsOf(batch))
