@@ -162,4 +162,102 @@ object Scd2 {
       .map(_.select(order.map(col): _*))
       .reduce(_ unionByName _)
   }
+
+  /** Business keys whose CURRENT version starts after `loadTs` — the
+    * detector for a late-arriving (retro-dated) batch. [[apply]] assumes
+    * batches arrive in effective-date order; feeding it a batch whose
+    * loadTs precedes a key's current `valid_from` would close that row
+    * with a retroactive date (an overlap violation). Route such batches
+    * to [[applyOutOfOrder]] instead:
+    * `if (retroKeys(...).isEmpty) apply(...) else applyOutOfOrder(...)`.
+    * Cost: one broadcast-sized semi join on the (folded) batch keys.
+    */
+  def retroKeys(dim: DataFrame, incoming: DataFrame, cfg: Config,
+      loadTs: Column): DataFrame = {
+    val bk = cfg.businessKeys
+    val incKeys = incoming.select(bk.map(k => col(k).as(s"__rk_$k")): _*).distinct()
+    val cond = bk.map(k => col(k) <=> col(s"__rk_$k")).reduce(_ && _)
+    dim.filter(col(cfg.isCurrent) && col(cfg.validFrom) > loadTs.cast("timestamp"))
+      .join(incKeys, cond, "left_semi")
+      .select(bk.map(col): _*)
+  }
+
+  /** The LATE-ARRIVING-DIMENSION path (`data/generators/README.md:114`,
+    * listed among the reference's advanced patterns without specified
+    * semantics — defined here): merge a batch whose `loadTs` may predate
+    * a key's current version by REBUILDING the per-key version timeline.
+    *
+    * Semantics, per business key:
+    *  - the incoming row becomes a version effective at `loadTs`, spliced
+    *    between its temporal neighbors;
+    *  - the version previously covering `loadTs` is truncated to end
+    *    there (`valid_to = loadTs`); successors are untouched;
+    *  - a retro version whose type-2 hash equals the version in effect
+    *    just before it collapses away (observing a non-change inserts no
+    *    row — re-applying the same batch is a no-op), and a successor
+    *    whose hash now equals the spliced version collapses into it (its
+    *    "change" is retro-known to have happened earlier);
+    *  - if `loadTs` ties an existing version's `valid_from`, the incoming
+    *    row REPLACES that version's type-2 payload (a correction);
+    *  - type-1 columns overwrite in place across all versions of keys in
+    *    the batch, exactly as in [[apply]];
+    *  - `valid_to`/`is_current` are recomputed from the spliced sequence
+    *    (`valid_to = next valid_from`, sentinel-open tail current).
+    *
+    * For an in-order batch this reduces to [[apply]] row-for-row
+    * (property-tested), so it is safe as the general path; [[apply]]
+    * remains the cheaper set-algebra fast path for the common case.
+    *
+    * Scale shape: ONE hash shuffle on the business key feeds a chained
+    * window stack (tie-drop, run-collapse, valid_to/lead) that reuses the
+    * same partitioning — no global sort, no driver iteration. Dimension
+    * tables are the small side of a warehouse by construction; the facts
+    * never enter this plan.
+    */
+  def applyOutOfOrder(dim: DataFrame, incoming: DataFrame, cfg: Config,
+      loadTs: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val bk = cfg.businessKeys
+    val inc = foldIncoming(incoming, cfg)
+      .select(cfg.payload.map(col): _*)
+      .withColumn(cfg.hashCol, hashDiff(cfg.effectiveHashCols, cfg.hashDelimiter))
+      .withColumn(cfg.validFrom, loadTs.cast("timestamp"))
+      .withColumn("__src", lit(1))
+
+    // Type-1 refresh across ALL existing versions of keys in the batch —
+    // gated on membership, not value null-ness (the apply() contract).
+    val t1 = inc.select(bk.map(k => col(k).as(s"__t1_$k")) ++
+      cfg.type1Cols.map(c => col(c).as(s"__t1v_$c")) :+ lit(1).as("__t1m"): _*)
+    val t1Cond = bk.map(k => col(k) <=> col(s"__t1_$k")).reduce(_ && _)
+    val dimRefreshed = dim.join(t1, t1Cond, "left")
+      .select(bk.map(col) ++ cfg.type2Cols.map(col) ++
+        cfg.type1Cols.map(c =>
+          when(col("__t1m").isNotNull, col(s"__t1v_$c")).otherwise(col(c)).as(c)) ++
+        Seq(col(cfg.hashCol), col(cfg.validFrom), lit(0).as("__src")): _*)
+
+    val candidates = dimRefreshed.unionByName(
+      inc.select(dimRefreshed.columns.map(col): _*))
+
+    // One window partitioning, three chained passes (Catalyst plans them
+    // over a single exchange): (1) a valid_from tie keeps the incoming
+    // row — the correction drops the old payload; (2) a version whose
+    // hash equals its surviving predecessor's is a non-change and
+    // collapses (run heads survive — transitive, so one lag pass
+    // suffices); (3) valid_to/is_current recomputed from the final
+    // sequence.
+    val w = Window.partitionBy(bk.map(col): _*)
+      .orderBy(col(cfg.validFrom), col("__src").desc)
+    val tied = candidates
+      .withColumn("__tie", lag(col(cfg.validFrom), 1).over(w))
+      .filter(col("__tie").isNull || col("__tie") =!= col(cfg.validFrom))
+    val collapsed = tied
+      .withColumn("__prev_hash", lag(col(cfg.hashCol), 1).over(w))
+      .filter(col("__prev_hash").isNull || col("__prev_hash") =!= col(cfg.hashCol))
+    val sentinelTs = lit(cfg.sentinel).cast("timestamp")
+    collapsed
+      .withColumn(cfg.validTo,
+        coalesce(lead(col(cfg.validFrom), 1).over(w), sentinelTs))
+      .withColumn(cfg.isCurrent, col(cfg.validTo) === sentinelTs)
+      .select((cfg.payload ++ cfg.scdCols).map(col): _*)
+  }
 }

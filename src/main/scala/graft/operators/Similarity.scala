@@ -290,6 +290,17 @@ object Similarity {
     val assigned = ivfAssign(corpus, centroids, idCol, vecCol, dim)
       .withColumnRenamed(idCol, "neighbor_id").withColumnRenamed("dv", "cv_doc")
       .withColumn("cn", norm(col("cv_doc"), dim))
+    probeAssigned(assigned, centroids, queries, idCol, vecCol, dim, k, nProbe)
+  }
+
+  /** Rank probed buckets and brute-force within them — the shared search
+    * tail of [[ivfTopK]] (session-local assignments) and [[probeIvfIndex]]
+    * (assignments read from disk). `assigned` columns: neighbor_id,
+    * cv_doc, cn, bucket.
+    */
+  private def probeAssigned(assigned: DataFrame, centroids: DataFrame,
+      queries: DataFrame, idCol: String, vecCol: String, dim: Int, k: Int,
+      nProbe: Int): DataFrame = {
     val q = queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv"))
       .withColumn("qn", norm(col("qv"), dim))
     val qScored = broadcast(q).join(broadcast(centroids))
@@ -305,6 +316,108 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank"))
+  }
+
+  // ------------------------------------------------------------------
+  // STORED IVF index — the durable form of [[ivfIndex]]/[[ivfTopK]],
+  // giving the vector side the same contract text dedup got with
+  // writeBandIndex: a 100 TB embedding corpus is assigned to buckets
+  // ONCE, the assignment lives on disk, and every later query batch (or
+  // ingest batch) probes/extends it without touching corpus vectors
+  // that aren't in a probed bucket.
+  // ------------------------------------------------------------------
+
+  /** A stored IVF index reopened from disk: the tiny `centroids` table
+    * (centroid_id, cv) and the bucketed `assignments` table
+    * (neighbor_id, cv_doc, cn, bucket) — norms precomputed at WRITE time
+    * so probes never recompute per-vector math the index already paid
+    * for.
+    */
+  final case class StoredIvf(centroids: DataFrame, assignments: DataFrame)
+
+  /** Persist an IVF index: `<name>_centroids` (m rows — one file) and
+    * `<name>_assign`, disk-bucketed on `bucket` so a probe's
+    * `bucket IN (...)` filter prunes at the FILE level
+    * (SelectedBucketsCount in the scan) — at 100 TB the probe reads
+    * nProbe/m of the index, not all of it. Pass the centroids explicitly
+    * (from [[ivfIndex]]/[[seedCentroids]]/[[kmeansRefine]]); assignment
+    * happens here so index content is always consistent with its own
+    * centroid table.
+    */
+  def writeIvfIndex(corpus: DataFrame, centroids: DataFrame, idCol: String,
+      vecCol: String, dim: Int, name: String, path: String,
+      buckets: Int = 32): Unit = {
+    centroids.coalesce(1).write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .option("path", s"$path/centroids").saveAsTable(s"${name}_centroids")
+    val assigned = ivfAssign(corpus, centroids, idCol, vecCol, dim)
+      .withColumnRenamed(idCol, "neighbor_id").withColumnRenamed("dv", "cv_doc")
+      .withColumn("cn", norm(col("cv_doc"), dim))
+      .select(col("neighbor_id"), col("cv_doc"), col("cn"), col("bucket"))
+    Bucketing.writeBucketed(assigned, s"${name}_assign", s"$path/assign",
+      buckets, Seq("bucket"))
+  }
+
+  /** Absorb a new vector batch into a STORED index — the ingest
+    * maintenance path: assign the batch against the index's OWN stored
+    * centroids (so an append can never drift from the layout the index
+    * was built with) and append the rows preserving the bucketed layout
+    * (bucket count read from the catalog, the [[TextDedup.appendToBandIndex]]
+    * discipline). Append cost is O(batch): existing assignments are
+    * never rewritten. Centroids are frozen — the IVF trade: recall
+    * degrades only if the batch distribution drifts from the corpus the
+    * centroids summarize, in which case rebuild with fresh centroids.
+    */
+  def appendToIvfIndex(spark: org.apache.spark.sql.SparkSession,
+      batch: DataFrame, idCol: String, vecCol: String, dim: Int,
+      name: String): Unit = {
+    import org.apache.spark.sql.catalyst.TableIdentifier
+    val buckets = spark.sessionState.catalog
+      .getTableMetadata(TableIdentifier(s"${name}_assign")).bucketSpec
+      .getOrElse(sys.error(s"${name}_assign is not a bucketed table")).numBuckets
+    val centroids = spark.table(s"${name}_centroids")
+    ivfAssign(batch, centroids, idCol, vecCol, dim)
+      .withColumnRenamed(idCol, "neighbor_id").withColumnRenamed("dv", "cv_doc")
+      .withColumn("cn", norm(col("cv_doc"), dim))
+      .select(col("neighbor_id"), col("cv_doc"), col("cn"), col("bucket"))
+      .repartition(buckets, col("bucket"))
+      .write.mode(org.apache.spark.sql.SaveMode.Append)
+      .bucketBy(buckets, "bucket").sortBy("bucket")
+      .saveAsTable(s"${name}_assign")
+  }
+
+  /** Reopen a stored index written by [[writeIvfIndex]]. */
+  def readIvfIndex(spark: org.apache.spark.sql.SparkSession, name: String): StoredIvf =
+    StoredIvf(spark.table(s"${name}_centroids"), spark.table(s"${name}_assign"))
+
+  /** IVF search against a STORED index — identical ranking semantics (and
+    * bit-identical scores: the stored `cn` was computed by the same
+    * expression) to [[ivfTopK]], but the corpus side is the bucketed
+    * assignments table read straight from Parquet.
+    *
+    * With `pruneBuckets` the distinct probed bucket ids — a driver-side
+    * read bounded by min(m, |queries|·nProbe), both broadcast-small by
+    * contract — become a `bucket IN (...)` filter that Spark turns into
+    * BUCKET PRUNING on the stored scan: only the probed buckets' files
+    * are opened, which is the entire point of an IVF index at corpus
+    * scale. Disable it only to keep a single fully-lazy plan.
+    */
+  def probeIvfIndex(index: StoredIvf, queries: DataFrame, idCol: String,
+      vecCol: String, dim: Int, k: Int, nProbe: Int,
+      pruneBuckets: Boolean = true): DataFrame = {
+    val assigned =
+      if (!pruneBuckets) index.assignments
+      else {
+        val q = queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv"))
+        val qScored = broadcast(q).join(broadcast(index.centroids))
+          .withColumn("score", dot(col("qv"), col("cv"), dim))
+        val wq = Window.partitionBy(col("query_id"))
+          .orderBy(col("score").desc, col("centroid_id"))
+        val bucketIds = qScored.withColumn("rn", row_number().over(wq))
+          .filter(col("rn") <= nProbe)
+          .select(col("centroid_id")).distinct().collect().map(_.get(0))
+        index.assignments.filter(col("bucket").isin(bucketIds.toSeq: _*))
+      }
+    probeAssigned(assigned, index.centroids, queries, idCol, vecCol, dim, k, nProbe)
   }
 }
 

@@ -129,8 +129,20 @@ object VectorQueries extends QueryModule {
         val e = Tables.embs(spark, dir)
         val queries = e.filter(col("vec_id") < 10)
         val centroids = Similarity.seedCentroids(e, "vec_id", "embedding", m = 16)
-        Similarity.ivfTopK(queries, e, centroids, "vec_id", "embedding", Dim,
-            k = 5, nProbe = 4)
+        // The PRODUCTION path, certified by the oracle since round 7: the
+        // corpus assignments are persisted as a disk-bucketed STORED index
+        // — written from half the corpus, the other half absorbed via
+        // appendToIvfIndex against the index's own stored centroids — and
+        // queries probe it from Parquet with bucket pruning. Per-row
+        // assignment is deterministic given the centroids, so the result
+        // (and the oracle SQL) is identical to the session-local ivfTopK.
+        val path = java.nio.file.Files.createTempDirectory("graft_q71ivf").toString
+        Similarity.writeIvfIndex(e.filter(col("vec_id") % 2 === 0), centroids,
+          "vec_id", "embedding", Dim, "q71ivf", path, buckets = 8)
+        Similarity.appendToIvfIndex(spark, e.filter(col("vec_id") % 2 =!= 0),
+          "vec_id", "embedding", Dim, "q71ivf")
+        Similarity.probeIvfIndex(Similarity.readIvfIndex(spark, "q71ivf"),
+            queries, "vec_id", "embedding", Dim, k = 5, nProbe = 4)
           .select(col("query_id"), col("neighbor_id"),
             round(col("cosine"), 6).as("cosine_r"), col("rank"))
           .orderBy(col("query_id"), col("rank"))

@@ -1,0 +1,129 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** The STORED IVF index, proven from DISK (round-5 verdict item #5): the
+  * corpus bucket assignments + centroids are written as Parquet tables,
+  * reopened, and probed — not served from a session-local frame. Asserts
+  *
+  *  1. result parity (scores bitwise — the stored norms were computed by
+  *     the same expression) with the in-memory [[Similarity.ivfTopK]];
+  *  2. probe-after-append ≡ rebuild-from-scratch, the BandIndexSpec
+  *     standard for index maintenance;
+  *  3. recall ≥ 0.8 vs brute force THROUGH the disk path;
+  *  4. the probe plan reads only the probed buckets' files
+  *     (SelectedBucketsCount < total) and its exchange count is
+  *     corpus-size-invariant — the structural reason the index works at
+  *     100 TB: probe cost follows nProbe/m of the index, not its size.
+  */
+class IvfIndexSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val Dim = 64
+
+  private def embs: DataFrame =
+    spark.read.parquet(s"${TestSpark.SfDir}/embeddings.parquet")
+
+  private def queriesOf(e: DataFrame): DataFrame = e.filter(col("vec_id") < 10)
+
+  /** 3× corpus as distinct ids (content may repeat — these are plan-shape
+    * and ranking tests, not recall ones).
+    */
+  private def amp(e: DataFrame, copies: Int): DataFrame =
+    (0 until copies).map(i => e.withColumn("vec_id", col("vec_id") + lit(i * 1000000L)))
+      .reduce(_ unionByName _)
+
+  private def buildIndex(name: String, corpus: DataFrame,
+      centroids: DataFrame): Similarity.StoredIvf = {
+    val path = java.nio.file.Files.createTempDirectory(s"graft_$name").toString
+    Similarity.writeIvfIndex(corpus, centroids, "vec_id", "embedding", Dim,
+      name, path, buckets = 8)
+    Similarity.readIvfIndex(spark, name)
+  }
+
+  private def rows(df: DataFrame): Seq[(Long, Long, Double, Int)] =
+    df.select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+      .sortBy(t => (t._1, t._4)).toSeq
+
+  test("disk-backed probe returns exactly the in-memory ivfTopK result, scores bitwise") {
+    val e = embs
+    val cents = Similarity.seedCentroids(e, "vec_id", "embedding", m = 16)
+    val idx = buildIndex("ividx_parity", e, cents)
+    val expected = rows(Similarity.ivfTopK(queriesOf(e), e, cents,
+      "vec_id", "embedding", Dim, k = 5, nProbe = 4))
+    val got = rows(Similarity.probeIvfIndex(idx, queriesOf(e),
+      "vec_id", "embedding", Dim, k = 5, nProbe = 4))
+    assert(expected.nonEmpty, "parity test needs real neighbors")
+    assert(got == expected,
+      "stored-index probe must reproduce the in-memory IVF result bit-for-bit")
+  }
+
+  test("probe after append == rebuild from scratch") {
+    val e = embs
+    val cents = Similarity.seedCentroids(e, "vec_id", "embedding", m = 16)
+    val full = buildIndex("ividx_full", e, cents)
+    // Grown index: even half written, odd half absorbed by
+    // appendToIvfIndex — which must assign against the STORED centroids,
+    // so the grown index is row-for-row the rebuilt one.
+    val path = java.nio.file.Files.createTempDirectory("graft_ividx_grown").toString
+    Similarity.writeIvfIndex(e.filter(col("vec_id") % 2 === 0), cents,
+      "vec_id", "embedding", Dim, "ividx_grown", path, buckets = 8)
+    Similarity.appendToIvfIndex(spark, e.filter(col("vec_id") % 2 =!= 0),
+      "vec_id", "embedding", Dim, "ividx_grown")
+    val grown = Similarity.readIvfIndex(spark, "ividx_grown")
+    val expected = rows(Similarity.probeIvfIndex(full, queriesOf(e),
+      "vec_id", "embedding", Dim, k = 5, nProbe = 4))
+    val got = rows(Similarity.probeIvfIndex(grown, queriesOf(e),
+      "vec_id", "embedding", Dim, k = 5, nProbe = 4))
+    assert(got == expected,
+      "probe of write-then-append index must equal probe of a rebuilt index")
+    // Appends must not degrade the probe plan.
+    val eGrown = Bucketing.exchangeCount(Similarity.probeIvfIndex(grown,
+      queriesOf(e), "vec_id", "embedding", Dim, k = 5, nProbe = 4))
+    val eFull = Bucketing.exchangeCount(Similarity.probeIvfIndex(full,
+      queriesOf(e), "vec_id", "embedding", Dim, k = 5, nProbe = 4))
+    assert(eGrown == eFull,
+      s"probing an appended index must cost the same exchanges as a rebuilt one: $eGrown vs $eFull")
+  }
+
+  test("recall ≥ 0.8 vs brute force through the disk path") {
+    val e = embs
+    val cents = Similarity.seedCentroids(e, "vec_id", "embedding", m = 16)
+    val idx = buildIndex("ividx_recall", e, cents)
+    val bf = Similarity.bruteForceTopK(queriesOf(e), e, "vec_id", "embedding", Dim, k = 5)
+      .select("query_id", "neighbor_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val ivf = Similarity.probeIvfIndex(idx, queriesOf(e),
+        "vec_id", "embedding", Dim, k = 5, nProbe = 4)
+      .select("query_id", "neighbor_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = bf.count(ivf.contains).toDouble / bf.length
+    assert(recall >= 0.8, s"disk-path recall $recall")
+  }
+
+  test("probe prunes to the probed buckets' files; exchange count is corpus-size-invariant") {
+    val e = embs
+    val cents = Similarity.seedCentroids(e, "vec_id", "embedding", m = 16)
+    val idx1 = buildIndex("ividx_1x", e, cents)
+    val idx3 = buildIndex("ividx_3x", amp(e, 3), cents)
+    val p1 = Similarity.probeIvfIndex(idx1, queriesOf(e),
+      "vec_id", "embedding", Dim, k = 5, nProbe = 4)
+    val p3 = Similarity.probeIvfIndex(idx3, queriesOf(e),
+      "vec_id", "embedding", Dim, k = 5, nProbe = 4)
+    p1.count(); p3.count()
+    // Bucket pruning reached the stored scan: the executed plan reports
+    // fewer selected buckets than the table has. (10 queries × nProbe=4
+    // over 16 centroids can touch at most 16, but the point is the
+    // mechanism — a probe of FEW queries at production m reads a sliver.)
+    val plan = p1.queryExecution.executedPlan.toString
+    val sel = "SelectedBucketsCount: (\\d+) out of (\\d+)".r
+    val hits = sel.findAllMatchIn(plan).map(m => (m.group(1).toInt, m.group(2).toInt)).toSeq
+    assert(hits.nonEmpty, s"expected a bucket-pruned scan in:\n$plan")
+    assert(hits.forall { case (s, t) => s < t },
+      s"probe must read fewer buckets than the table holds, got $hits")
+    val (e1, e3) = (Bucketing.exchangeCount(p1), Bucketing.exchangeCount(p3))
+    assert(e1 == e3, s"probe exchange count grew with the corpus: $e1 -> $e3")
+  }
+}

@@ -93,6 +93,124 @@ class Scd2PropertySpec extends AnyFunSuite {
     assert(init2.filter($"k" === 1).head().getAs[String]("seg") === "C")
   }
 
+  // ---------------------------------------------------------------
+  // Late-arriving dimension rows (reference "Advanced Patterns",
+  // data/generators/README.md:114): Scd2.applyOutOfOrder splices a
+  // retro-dated version between its temporal neighbors.
+  // ---------------------------------------------------------------
+
+  /** k=1: A effective 2024-01-01, B effective 2024-03-01 (current). */
+  private def twoVersionDim: DataFrame = {
+    var dim = Scd2.initialize(
+      Seq((1L, "A", "t1", "n1")).toDF("k", "seg", "tier", "name"),
+      cfg, lit("2024-01-01 00:00:00"))
+    Scd2.apply(dim, Seq((1L, "B", "t1", "n1")).toDF("k", "seg", "tier", "name"),
+      cfg, lit("2024-03-01 00:00:00"))
+  }
+
+  private def versions(dim: DataFrame): Seq[(String, String, String, Boolean)] =
+    dim.filter($"k" === 1).orderBy("valid_from")
+      .select(col("seg"), col("valid_from").cast("string"),
+        col("valid_to").cast("string"), col("is_current"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getBoolean(3)))
+      .toSeq
+
+  test("a retro-dated version splices between its temporal neighbors") {
+    val dim = Scd2.applyOutOfOrder(twoVersionDim,
+      Seq((1L, "C", "t1", "n1")).toDF("k", "seg", "tier", "name"),
+      cfg, lit("2024-02-01 00:00:00"))
+    checkInvariants(dim, "retro splice")
+    assert(versions(dim) == Seq(
+      ("A", "2024-01-01 00:00:00", "2024-02-01 00:00:00", false),
+      ("C", "2024-02-01 00:00:00", "2024-03-01 00:00:00", false),
+      ("B", "2024-03-01 00:00:00", "9999-12-31 00:00:00", true)),
+      "the covering version truncates at the retro date; successors are untouched")
+    // the detector flags this batch as retro; re-applying it is a no-op
+    assert(Scd2.retroKeys(twoVersionDim,
+      Seq((1L, "C", "t1", "n1")).toDF("k", "seg", "tier", "name"),
+      cfg, lit("2024-02-01 00:00:00")).count() == 1)
+    val again = Scd2.applyOutOfOrder(dim,
+      Seq((1L, "C", "t1", "n1")).toDF("k", "seg", "tier", "name"),
+      cfg, lit("2024-02-01 00:00:00"))
+    assert(versions(again) == versions(dim), "retro apply must be idempotent")
+  }
+
+  test("a retro non-change inserts nothing; a successor made redundant collapses") {
+    // same hash as the version in effect just before the retro date
+    val noop = Scd2.applyOutOfOrder(twoVersionDim,
+      Seq((1L, "A", "t1", "n1")).toDF("k", "seg", "tier", "name"),
+      cfg, lit("2024-02-01 00:00:00"))
+    assert(versions(noop) == versions(twoVersionDim),
+      "observing a non-change must not create a version")
+    // retro B at 02-01: the 03-01 B successor's change is now known to
+    // have happened earlier — it collapses into the spliced version
+    val collapsed = Scd2.applyOutOfOrder(twoVersionDim,
+      Seq((1L, "B", "t1", "n1")).toDF("k", "seg", "tier", "name"),
+      cfg, lit("2024-02-01 00:00:00"))
+    checkInvariants(collapsed, "successor collapse")
+    assert(versions(collapsed) == Seq(
+      ("A", "2024-01-01 00:00:00", "2024-02-01 00:00:00", false),
+      ("B", "2024-02-01 00:00:00", "9999-12-31 00:00:00", true)))
+  }
+
+  test("a valid_from tie replaces that version's payload; type-1 refreshes all versions") {
+    val dim = Scd2.applyOutOfOrder(twoVersionDim,
+      Seq((1L, "D", "t1", "n9")).toDF("k", "seg", "tier", "name"),
+      cfg, lit("2024-03-01 00:00:00"))
+    checkInvariants(dim, "tie correction")
+    assert(versions(dim) == Seq(
+      ("A", "2024-01-01 00:00:00", "2024-03-01 00:00:00", false),
+      ("D", "2024-03-01 00:00:00", "9999-12-31 00:00:00", true)),
+      "an equal-valid_from batch corrects that version in place")
+    assert(dim.filter($"k" === 1 && $"name" =!= "n9").count() == 0,
+      "type-1 columns overwrite across ALL versions, as in apply()")
+  }
+
+  test("for in-order batches applyOutOfOrder reduces to apply, row-for-row") {
+    (1 to 4).foreach { scenario =>
+      val batches = (0 to 3).map(i => sample(batchGen, 9000L + scenario * 100L + i))
+      var viaApply = Scd2.initialize(
+        batches.head.toDF("k", "seg", "tier", "name"), cfg, lit("2024-01-01 00:00:00"))
+      var viaOoo = viaApply
+      batches.tail.zipWithIndex.foreach { case (b, i) =>
+        val ts = lit(f"2024-0${i + 2}%s-01 00:00:00")
+        viaApply = Scd2.apply(viaApply, b.toDF("k", "seg", "tier", "name"), cfg, ts)
+        viaOoo = Scd2.applyOutOfOrder(viaOoo, b.toDF("k", "seg", "tier", "name"), cfg, ts)
+        // no retro keys in an in-order sequence
+        assert(Scd2.retroKeys(viaApply, b.toDF("k", "seg", "tier", "name"),
+          cfg, ts).count() == 0)
+      }
+      val a = viaApply.collect().map(_.toSeq).toSet
+      val o = viaOoo.collect().map(_.toSeq).toSet
+      assert(a == o, s"scenario $scenario: general path diverged from the fast path")
+      checkInvariants(viaOoo, s"scenario $scenario (out-of-order path)")
+    }
+  }
+
+  test("SCD2 invariants hold across random RETRO-dated update sequences") {
+    (1 to 3).foreach { scenario =>
+      // months applied in a scrambled order — every batch is potentially late
+      val months = Seq("2024-03-01", "2024-01-15", "2024-05-01", "2024-02-01", "2024-04-01")
+      var dim = Scd2.initialize(
+        sample(batchGen, 7000L + scenario).toDF("k", "seg", "tier", "name"),
+        cfg, lit("2024-01-01 00:00:00"))
+      months.zipWithIndex.foreach { case (m, i) =>
+        val b = sample(batchGen, 7100L + scenario * 10L + i)
+        dim = Scd2.applyOutOfOrder(dim, b.toDF("k", "seg", "tier", "name"),
+          cfg, lit(s"$m 00:00:00"))
+        checkInvariants(dim, s"retro scenario $scenario after $m")
+        // contiguity: every non-current valid_to equals the next valid_from
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("k").orderBy("valid_from")
+        val gaps = dim.withColumn("__next", lead(col("valid_from"), 1).over(w))
+          .filter(col("__next").isNotNull && col("valid_to") =!= col("__next"))
+          .count()
+        assert(gaps == 0, s"retro scenario $scenario after $m: timeline gaps/overlaps")
+      }
+    }
+  }
+
   test("dedup is idempotent under any order column") {
     val rows = sample(Gen.listOfN(200, for {
       k <- Gen.choose(1, 30); v <- Gen.choose(0, 1000)
