@@ -57,4 +57,19 @@ object Bucketing {
     * checks.
     */
   def shuffleFree(df: DataFrame): Boolean = exchangeCount(df) == 0
+
+  /** Number of broadcast exchanges in the (fresh) physical plan — the
+    * companion to [[exchangeCount]] for pinning a query's join strategy:
+    * a broadcast that silently degrades to a shuffle join moves a count
+    * from here to there, and a pinned pair catches it.
+    */
+  def broadcastCount(df: DataFrame): Int = {
+    import org.apache.spark.sql.execution.exchange.BroadcastExchangeLike
+    def count(p: SparkPlan): Int = p match {
+      case a: AdaptiveSparkPlanExec => count(a.executedPlan)
+      case b: BroadcastExchangeLike => 1 + b.children.map(count).sum
+      case other => other.children.map(count).sum
+    }
+    count(df.queryExecution.executedPlan)
+  }
 }

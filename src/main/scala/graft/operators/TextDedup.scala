@@ -276,6 +276,43 @@ object TextDedup {
   def readBandIndex(spark: org.apache.spark.sql.SparkSession, name: String): BandIndex =
     BandIndex(spark.table(s"${name}_bands"), spark.table(s"${name}_widths"))
 
+  /** Persist an EXACT-dedup membership index: the corpus's distinct
+    * content fingerprints, disk-bucketed on `fp`. The stored face of the
+    * exact/fingerprint path ([[exactGroups]]) the way [[writeBandIndex]]
+    * is for the LSH path — and the static side a STREAMING dedup probes
+    * per micro-batch (q87's shape): membership state lives in a table
+    * that outlives any one run, not in stream state that grows with the
+    * corpus.
+    */
+  def writeFingerprintIndex(corpus: DataFrame, fpCol: org.apache.spark.sql.Column,
+      name: String, path: String, buckets: Int = 32): Unit =
+    Bucketing.writeBucketed(corpus.select(fpCol.as("fp")).distinct(),
+      s"${name}_fp", s"$path/fp", buckets, Seq("fp"))
+
+  /** Append a batch's fingerprints to a stored membership index (catalog
+    * bucket count, [[appendToBandIndex]] discipline). The batch is
+    * deduped against ITSELF only — cross-append duplicates are permitted
+    * because membership probes (semi/anti join on `fp`) are set-semantics:
+    * a fingerprint present twice answers exactly like one present once.
+    * Compact with a rewrite when duplicate mass matters for scan cost.
+    */
+  def appendToFingerprintIndex(spark: org.apache.spark.sql.SparkSession,
+      batch: DataFrame, fpCol: org.apache.spark.sql.Column, name: String): Unit = {
+    import org.apache.spark.sql.catalyst.TableIdentifier
+    val buckets = spark.sessionState.catalog
+      .getTableMetadata(TableIdentifier(s"${name}_fp")).bucketSpec
+      .getOrElse(sys.error(s"${name}_fp is not a bucketed table")).numBuckets
+    batch.select(fpCol.as("fp")).distinct()
+      .repartition(buckets, col("fp"))
+      .write.mode(SaveMode.Append)
+      .bucketBy(buckets, "fp").sortBy("fp")
+      .saveAsTable(s"${name}_fp")
+  }
+
+  /** Reopen a stored fingerprint index: one `fp` column, bucketed. */
+  def readFingerprintIndex(spark: org.apache.spark.sql.SparkSession,
+      name: String): DataFrame = spark.table(s"${name}_fp")
+
   /** Probe a STORED index with a batch's bands — the disk-backed face of
     * [[incrementalCandidates]], identical pair semantics (combined
     * corpus+batch width cap; corpus id in `_1`, batch id in `_2`;

@@ -1,0 +1,62 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.{SparkEntry, TestSpark}
+
+/** Plan-shape pinning for the most expensive gate queries (round-5
+  * verdict item #7): ScaleCurveSpec pins exchange counts on operator
+  * SHAPES; this pins the exchange/broadcast counts of the top gate
+  * queries themselves, so a Catalyst-fence break (the q07
+  * CollapseProject trap), a lost broadcast hint, or a join-strategy
+  * regression fails `sbt test` instead of surfacing as a bench diff two
+  * rounds later.
+  *
+  * Counts are taken from the FRESH physical plan (AQE unexecuted — an
+  * executed AQE plan hides exchanges inside query stages), at sf0.001,
+  * shuffle.partitions=8: fully deterministic for a fixed Spark version.
+  * If an intentional plan improvement changes a count, re-pin it in the
+  * same commit and say why in the message.
+  */
+class GatePlanSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  /** (shuffle exchanges, broadcast exchanges) per gate query — recorded
+    * at sf0.001 on Spark 4.1.2. Notes on the load-bearing ones:
+    *  - q07: 2 of the 3 exchanges are the distinct-count sketch + final
+    *    order; the curation PASS itself stays shuffle-free (CurationSpec).
+    *  - q28/q71: include the index WRITE side (bucketed repartitions) —
+    *    the probes themselves are pinned shuffle-free against the corpus
+    *    in BandIndexSpec/IvfIndexSpec.
+    *  - q76/q98: post-cache plans (the pipeline stages behind a persist
+    *    boundary are pinned by ScaleCurveSpec); the counts here cover the
+    *    final assembly.
+    *  - q99: 0/0 — the minhash aggregate collapses into one scan +
+    *    partial agg, the best possible shape.
+    */
+  private val pinned: Map[String, (Int, Int)] = Map(
+    "q07_curation_filter" -> (3, 0),
+    "q16_fact_lookup" -> (2, 1),
+    "q28_incremental_dedup" -> (11, 14),
+    "q65_minhash_lsh" -> (1, 0),
+    "q71_ann_ivf" -> (4, 2),
+    "q72_cosine_near_dups" -> (7, 3),
+    "q76_neardup_clusters" -> (2, 0),
+    "q91_medallion_fact" -> (4, 1),
+    "q96_approx_sketches" -> (3, 0),
+    "q98_neardup_pipeline" -> (1, 0),
+    "q99_minhash_fast" -> (0, 0))
+
+  test("top gate queries keep their pinned exchange/broadcast counts") {
+    val got = pinned.keys.toSeq.sorted.map { n =>
+      val df = SparkEntry.queries(n)(spark, TestSpark.SfDir)
+      n -> (Bucketing.exchangeCount(df), Bucketing.broadcastCount(df))
+    }
+    val diffs = got.filter { case (n, c) => pinned(n) != c }
+    assert(diffs.isEmpty,
+      diffs.map { case (n, (e, b)) =>
+        val (pe, pb) = pinned(n)
+        s"$n: exchanges $pe->$e, broadcasts $pb->$b"
+      }.mkString("plan drift — re-pin ONLY with an intentional plan change:\n", "\n", ""))
+  }
+}
