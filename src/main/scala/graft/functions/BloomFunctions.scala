@@ -1,0 +1,45 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.GraftSqlBridge
+import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal, XxHash64}
+import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+
+/** Column wrappers over Spark's OWN Bloom-filter expressions — the pair
+  * Catalyst itself uses for runtime row-level filtering
+  * (`InjectRuntimeFilter`): `BloomFilterAggregate` builds a mergeable
+  * sketch of xxhash64 values map-side, `BloomFilterMightContain` is a
+  * codegen'd membership predicate. Exposed as library functions so
+  * operators can build the same prefilter DECLARATIVELY where the
+  * optimizer's heuristics would not inject one (e.g. decontamination,
+  * where the "join" we are avoiding is semantic, not a physical join
+  * Catalyst can see).
+  *
+  * Both sides hash with the same fixed-seed [[XxHash64]], so a value
+  * inserted by [[bloom_agg]] is always found by [[might_contain]] —
+  * false NEGATIVES are impossible by construction; false positives are
+  * bounded by the `numBits`/`expectedItems` sizing and must be removed
+  * by an exact verify step when exactness matters.
+  */
+object BloomFunctions {
+
+  /** Aggregate a column into one serialized Bloom filter (binary).
+    * `numBits` is the sketch size — independent of the number of rows,
+    * which is what makes the broadcast-a-bloom pattern work when the
+    * item SET is too big to broadcast as a hash table.
+    */
+  def bloom_agg(c: Column, expectedItems: Long, numBits: Long): Column =
+    GraftSqlBridge.column(new BloomFilterAggregate(
+      new XxHash64(Seq(GraftSqlBridge.expression(c))),
+      Literal(expectedItems), Literal(numBits)).toAggregateExpression())
+
+  /** Membership probe against a bloom built by [[bloom_agg]]. The bloom
+    * side must be a constant or scalar subquery (pass
+    * `bloomDf.scalar()`) — the expression's own contract, inherited from
+    * its runtime-filter role.
+    */
+  def might_contain(bloom: Column, c: Column): Column =
+    GraftSqlBridge.column(BloomFilterMightContain(
+      GraftSqlBridge.expression(bloom),
+      new XxHash64(Seq(GraftSqlBridge.expression(c)))))
+}

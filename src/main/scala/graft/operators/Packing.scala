@@ -1,0 +1,64 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Sequence packing for LLM pre-training (builder-prompt §2.12 family):
+  * documents are concatenated in a deterministic order and chopped into
+  * fixed-size token windows — the GPT/C4 training-batch layout, where a
+  * document may span adjacent windows and a window may hold several
+  * documents. The output is a packing MANIFEST (which slice of which
+  * document fills which window), not the token stream itself: the
+  * manifest is what a loader needs, and it keeps the operator pure
+  * column algebra over (id, token_count) — text never enters the plan.
+  *
+  * Scale shape: packing is per-shard (the caller's `shard` expression —
+  * a key hash in production, so shards are balanced and stable under
+  * repartitioning). ONE hash shuffle on the shard key feeds a running
+  * token sum (window over (shard, id)) and a per-row `sequence()`
+  * explode; window ids never cross shards, so 100 TB packs as
+  * embarrassingly-parallel per-shard streams. No global sort, no
+  * driver-side state.
+  *
+  * Determinism: every column is integer arithmetic on the cumulative
+  * token count (floor-div window math is exact below 2^53 tokens per
+  * shard — a bound even a 100 TB shard does not approach).
+  */
+object Packing {
+
+  /** The packing manifest. Output columns:
+    *  - `shard`, `win` — the training window's coordinates (window ids
+    *    are consecutive per shard, starting at 0);
+    *  - `<idCol>` — the contributing document;
+    *  - `doc_offset` — first token of the document in this window
+    *    (0 unless the document spilled over from the previous window);
+    *  - `take` — number of tokens the window takes from the document.
+    *
+    * Per shard: sum(take) over a window == `budget` (except the final
+    * partial window), and sum(take) per document == its token count —
+    * both property-tested in PackingSpec. Zero-token documents are
+    * dropped (they contribute nothing to any window).
+    */
+  def packManifest(docs: DataFrame, idCol: String, tokensCol: Column,
+      shardCol: Column, budget: Int): DataFrame = {
+    require(budget > 0, "window budget must be positive")
+    val d = docs
+      .select(col(idCol), tokensCol.cast("long").as("__tok"), shardCol.as("shard"))
+      .filter(col("__tok") > 0)
+    val w = Window.partitionBy(col("shard")).orderBy(col(idCol))
+    val withCum = d.withColumn("__cum", sum(col("__tok")).over(w))
+      .withColumn("__bef", col("__cum") - col("__tok"))
+    val b = lit(budget.toLong)
+    withCum
+      .withColumn("__w0", floor(col("__bef") / b).cast("long"))
+      .withColumn("__w1", floor((col("__cum") - 1) / b).cast("long"))
+      .select(col("shard"), col(idCol), col("__bef"), col("__cum"),
+        explode(sequence(col("__w0"), col("__w1"))).as("win"))
+      .select(
+        col("shard"), col("win"), col(idCol),
+        greatest(col("win") * b - col("__bef"), lit(0L)).as("doc_offset"),
+        (least(col("__cum"), col("win") * b + b) -
+          greatest(col("__bef"), col("win") * b)).as("take"))
+  }
+}

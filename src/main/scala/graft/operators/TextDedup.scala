@@ -402,6 +402,47 @@ object TextDedup {
       .filter(col("shared_ngrams") >= minShared)
   }
 
+  /** Decontamination for a benchmark side TOO BIG to broadcast as a hash
+    * table — the complement of [[contamination]] (which assumes eval
+    * suites of thousands of rows). When the "benchmark" is itself
+    * corpus-sized (a held-out split, a licensed-content blocklist, all
+    * eval suites ever published), its shingle SET no longer fits an
+    * executor as a broadcast hash relation — but a Bloom filter of it
+    * fits by construction (`numBits` is chosen, not data-driven: 1e9
+    * shingles at 10 bits each ≈ 1.2 GB vs tens of GB as a hash table).
+    *
+    * Plan: (1) one aggregation builds the bloom (mergeable map-side
+    * partials — Spark's own BloomFilterAggregate); (2) the corpus's
+    * exploded shingles are prefiltered by the codegen'd
+    * `might_contain` predicate BEFORE any join — the scan-side kill
+    * shot: non-colliding shingles (the overwhelming majority) never
+    * leave their partition; (3) survivors — true matches plus the
+    * bounded false-positive margin — meet the bench shingles in an
+    * ordinary equi join that Catalyst sizes freely (sort-merge at
+    * scale), and the exact join REMOVES every false positive, so the
+    * result is EXACTLY [[contamination]]'s (property-tested even with a
+    * deliberately undersized, collision-heavy bloom).
+    */
+  def contaminationBloom(corpus: DataFrame, bench: DataFrame,
+      corpusIdCol: String, benchIdCol: String, textCol: String, n: Int,
+      minShared: Int, expectedItems: Long = 1L << 20,
+      numBits: Long = 1L << 23): DataFrame = {
+    def shingleRows(df: DataFrame, idCol: String): DataFrame =
+      df.select(col(idCol),
+        explode(array_distinct(TextAnalysis.shingles(col(textCol), n))).as("__sh"))
+    val benchSh = shingleRows(bench, benchIdCol)
+    val bloom = benchSh
+      .agg(graft.functions.BloomFunctions.bloom_agg(col("__sh"),
+        expectedItems, numBits).as("bf"))
+      .scalar()
+    shingleRows(corpus, corpusIdCol)
+      .filter(graft.functions.BloomFunctions.might_contain(bloom, col("__sh")))
+      .join(benchSh, Seq("__sh"))
+      .groupBy(col(corpusIdCol), col(benchIdCol))
+      .agg(count(lit(1)).as("shared_ngrams"))
+      .filter(col("shared_ngrams") >= minShared)
+  }
+
   /** Exact n-gram Jaccard similarity between two shingle-array columns
     * (single IEEE division — cross-engine deterministic).
     */

@@ -44,6 +44,48 @@ object SamplingQueries extends QueryModule {
 
   override def all: Seq[GQuery] = Seq(
 
+    // --- GPT-style sequence packing: documents concatenated per shard in
+    // id order, chopped into 512-token training windows, a document
+    // spanning windows when it straddles a boundary. The gate checks the
+    // full packing MANIFEST (window coordinates, per-document slice
+    // offsets and lengths) — integer window math over one running
+    // token-count sum, so the DuckDB mirror is exact. Shard here is
+    // doc_id % 4 for oracle parity; production uses the content-hash
+    // shard from Sharding.assign. ---
+    GQuery(
+      "q88_sequence_pack",
+      (spark, dir) => {
+        import graft.functions.TextAnalysis
+        graft.operators.Packing.packManifest(
+            Tables.docs(spark, dir), "doc_id",
+            size(TextAnalysis.tokens(col("text"))),
+            pmod(col("doc_id"), lit(4)).cast("long"), budget = 512)
+          .orderBy(col("shard"), col("win"), col("doc_id"))
+      },
+      Some("""
+        WITH d AS (
+          SELECT doc_id, doc_id % 4 AS shard,
+                 CAST(len(string_split(text, ' ')) AS BIGINT) AS tok
+          FROM documents
+          WHERE len(string_split(text, ' ')) > 0),
+        c AS (
+          SELECT doc_id, shard, tok,
+                 -- DuckDB SUM(BIGINT) yields HUGEINT, which pandas floats;
+                 -- pin BIGINT so the hash compare sees integers
+                 CAST(SUM(tok) OVER (PARTITION BY shard ORDER BY doc_id) AS BIGINT) AS cum
+          FROM d),
+        m AS (
+          SELECT doc_id, shard, tok, cum, cum - tok AS bef,
+                 CAST(floor((cum - tok) / 512.0) AS BIGINT) AS w0,
+                 CAST(floor((cum - 1) / 512.0) AS BIGINT) AS w1
+          FROM c)
+        SELECT shard, win, doc_id,
+               CAST(GREATEST(win * 512 - bef, 0) AS BIGINT) AS doc_offset,
+               CAST(LEAST(cum, win * 512 + 512) - GREATEST(bef, win * 512) AS BIGINT) AS take
+        FROM m, unnest(generate_series(w0, w1)) AS t(win)
+        ORDER BY shard, win, doc_id
+      """.trim)),
+
     // --- heavy hitters via the native Misra-Gries TypedImperativeAggregate
     // (one pass, ≤ k counters per partition, mergeable states — no full
     // groupBy shuffle over the whole vocabulary). Per-item estimates are

@@ -486,6 +486,52 @@ object TextQueries extends QueryModule {
         ORDER BY doc_id, bench_id
       """.trim)),
 
+    // --- decontamination with a bench side TOO BIG to broadcast as a
+    // hash table: a Bloom filter of the bench shingles (Spark's own
+    // BloomFilterAggregate / might_contain pair) prefilters the corpus
+    // shingles at the scan, and the exact join over the survivors removes
+    // every false positive — so the result (and the oracle) is EXACTLY
+    // the q29 semantics, while the plan scales to a corpus-sized
+    // blocklist. The bloom here is deliberately small (2^14 bits) so the
+    // gate exercises real false-positive traffic through the verify
+    // join. ---
+    GQuery(
+      "q89_bloom_decontam",
+      (spark, dir) => {
+        val d = Tables.docs(spark, dir)
+        val bench = d.filter(col("doc_id") % 40 === 0)
+          .select((col("doc_id") + 700000).as("bench_id"),
+            concat_ws(" ", slice(TextAnalysis.tokens(col("text")), 2, 8)).as("text"))
+        TextDedup.contaminationBloom(d, bench, "doc_id", "bench_id", "text",
+            n = 3, minShared = 3, expectedItems = 1L << 10, numBits = 1L << 14)
+          .orderBy(col("doc_id"), col("bench_id"))
+      },
+      Some("""
+        WITH bench AS (
+          SELECT doc_id + 700000 AS bench_id,
+                 array_to_string(string_split(text, ' ')[2:9], ' ') AS text
+          FROM documents WHERE doc_id % 40 = 0),
+        btk AS (SELECT bench_id, string_split(lower(text), ' ') AS tk FROM bench),
+        bsh AS (
+          SELECT bench_id,
+                 unnest(list_distinct(list_transform(
+                   generate_series(1, greatest(len(tk) - 2, 1)),
+                   i -> concat_ws(' ', tk[i], tk[i+1], tk[i+2])))) AS sh
+          FROM btk),
+        ctk AS (SELECT doc_id, string_split(lower(text), ' ') AS tk FROM documents),
+        csh AS (
+          SELECT doc_id,
+                 unnest(list_distinct(list_transform(
+                   generate_series(1, greatest(len(tk) - 2, 1)),
+                   i -> concat_ws(' ', tk[i], tk[i+1], tk[i+2])))) AS sh
+          FROM ctk)
+        SELECT c.doc_id, b.bench_id, CAST(COUNT(*) AS BIGINT) AS shared_ngrams
+        FROM csh c JOIN bsh b USING (sh)
+        GROUP BY 1, 2
+        HAVING COUNT(*) >= 3
+        ORDER BY doc_id, bench_id
+      """.trim)),
+
     // --- INCREMENTAL dedup: a new batch (planted mutants) probes the
     // corpus's existing band index + pairs within itself — the production
     // ingest shape where the 100 TB corpus is banded once and only the

@@ -1,0 +1,59 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+import graft.functions.TextAnalysis
+
+/** Bloom-prefiltered decontamination: exact-result parity with the
+  * broadcast path under any bloom sizing (false positives die in the
+  * verify join; false negatives are impossible — both sides hash with
+  * the same fixed-seed xxhash64), and the prefilter actually reaches the
+  * corpus side of the plan.
+  */
+class BloomDecontamSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def docs: DataFrame =
+    spark.read.parquet(s"${TestSpark.SfDir}/documents.parquet")
+
+  private def bench: DataFrame =
+    docs.filter(col("doc_id") % 25 === 0)
+      .select((col("doc_id") + 900000).as("bench_id"),
+        concat_ws(" ", slice(TextAnalysis.tokens(col("text")), 1, 10)).as("text"))
+
+  private def rows(df: DataFrame): Set[(Long, Long, Long)] =
+    df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+
+  test("bloom path returns exactly the broadcast-path contamination result") {
+    val expected = rows(TextDedup.contamination(docs, bench,
+      "doc_id", "bench_id", "text", n = 3, minShared = 3))
+    val got = rows(TextDedup.contaminationBloom(docs, bench,
+      "doc_id", "bench_id", "text", n = 3, minShared = 3))
+    assert(expected.nonEmpty, "parity test needs real contamination hits")
+    assert(got == expected)
+  }
+
+  test("a deliberately undersized, collision-heavy bloom still yields the exact result") {
+    val expected = rows(TextDedup.contamination(docs, bench,
+      "doc_id", "bench_id", "text", n = 3, minShared = 3))
+    // 64 bits for thousands of shingles: nearly every probe is a false
+    // positive, so the verify join sees ~the whole corpus — correctness
+    // must not depend on the bloom's selectivity, only cost does.
+    val got = rows(TextDedup.contaminationBloom(docs, bench,
+      "doc_id", "bench_id", "text", n = 3, minShared = 3,
+      expectedItems = 8, numBits = 64))
+    assert(got == expected)
+  }
+
+  test("the might_contain prefilter is present in the executed plan") {
+    val df = TextDedup.contaminationBloom(docs, bench,
+      "doc_id", "bench_id", "text", n = 3, minShared = 3)
+    df.count()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("might_contain"),
+      s"bloom prefilter missing from the plan:\n$plan")
+  }
+}

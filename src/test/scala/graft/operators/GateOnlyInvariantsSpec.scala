@@ -1,0 +1,140 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** Spec coverage for operators that until now were proven ONLY by their
+  * driver-gate oracle rows (round-5 verdict item #6): exact percentiles,
+  * JSON extraction, pivot/unpivot, range-frame rolling windows, and the
+  * J4/J6 join shapes. The gate proves end-to-end equality on one dataset;
+  * these pin the INVARIANTS that make the operators safe to reuse —
+  * partition invariance, inverse round-trips, frame-edge behavior, and
+  * no-amplification guarantees.
+  */
+class GateOnlyInvariantsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def orders: DataFrame =
+    spark.read.parquet(s"${TestSpark.SfDir}/orders.parquet")
+
+  // --- q36: exact percentiles -------------------------------------
+
+  test("percentile: continuous interpolation matches the closed form; partition-invariant") {
+    val xs = (1 to 10).map(_.toDouble).toDF("x")
+    val got = xs.agg(
+      expr("percentile(x, 0.5)").as("p50"),
+      expr("percentile(x, 0.9)").as("p90")).head()
+    assert(got.getDouble(0) == 5.5 && got.getDouble(1) == 9.1,
+      "lo + (hi-lo)*frac over the sorted values")
+    // exact percentiles must not depend on physical layout
+    val base = orders.select(col("o_totalprice").cast("double").as("x"))
+    val a = base.repartition(1).agg(expr("percentile(x, 0.73)")).head().getDouble(0)
+    val b = base.repartition(13).agg(expr("percentile(x, 0.73)")).head().getDouble(0)
+    assert(a == b, "percentile diverged under repartitioning")
+  }
+
+  // --- q47: JSON extraction ---------------------------------------
+
+  test("get_json_object: nested paths, missing keys, malformed input") {
+    val j = Seq(
+      ("""{"a": {"b": 7}, "k": 3}""", 1),
+      ("""{"k": 4}""", 2),
+      ("""not json""", 3)).toDF("js", "id")
+    val got = j.select(col("id"),
+        get_json_object(col("js"), "$.a.b").as("nested"),
+        get_json_object(col("js"), "$.missing").as("miss"),
+        get_json_object(col("js"), "$.k").cast("int").as("k"))
+      .orderBy("id").collect()
+    assert(got(0).getString(1) == "7" && got(0).getInt(3) == 3)
+    assert(got(0).isNullAt(2), "absent key must be NULL, not empty string")
+    assert(got(1).isNullAt(1) && got(1).getInt(3) == 4)
+    assert(got(2).isNullAt(1) && got(2).isNullAt(2) && got(2).isNullAt(3),
+      "malformed JSON must surface as NULL, never as a parse error")
+  }
+
+  // --- q48 ∘ q53: pivot and unpivot are inverses ------------------
+
+  test("unpivot ∘ pivot = identity on the present combinations") {
+    val long0 = orders.groupBy(col("o_orderpriority").as("prio"),
+        col("o_orderstatus").as("status"))
+      .agg(count(lit(1)).as("n"))
+    val statuses = Seq("F", "O", "P")
+    val wide = long0.groupBy("prio").pivot("status", statuses).agg(first("n"))
+    val back = wide.unpivot(Array(col("prio")),
+        statuses.map(col).toArray, "status", "n")
+      .filter(col("n").isNotNull) // combos absent pre-pivot round-trip to NULL
+    val a = long0.collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    val b = back.collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(a == b, "pivot must lose nothing unpivot cannot recover")
+    assert(a.nonEmpty)
+  }
+
+  // --- q55: range-frame rolling windows ---------------------------
+
+  test("rangeBetween frames respect VALUE distance through gaps and at series edges") {
+    // days with a hole: 0,1,2 then 10,12 — a 7-day frame must not leak
+    // across the gap the way a rowsBetween frame would
+    val daily = Seq((0L, 1.0), (1L, 2.0), (2L, 4.0), (10L, 8.0), (12L, 16.0))
+      .toDF("epoch_day", "rev")
+    val w = Window.orderBy(col("epoch_day")).rangeBetween(-6, 0)
+    val got = daily.withColumn("r7", sum("rev").over(w))
+      .orderBy("epoch_day").collect()
+      .map(r => (r.getLong(0), r.getDouble(2))).toSeq
+    assert(got == Seq((0L, 1.0), (1L, 3.0), (2L, 7.0), (10L, 8.0), (12L, 24.0)),
+      "frame at the first row = itself; day 10 sees nothing ≤ day 4; day 12 sees day 10")
+    // cross-check the whole frame semantics against a brute-force range join
+    val a = daily.as("a"); val b = daily.as("b")
+    val brute = a.join(b,
+        col("b.epoch_day") >= col("a.epoch_day") - 6 &&
+        col("b.epoch_day") <= col("a.epoch_day"))
+      .groupBy(col("a.epoch_day").as("epoch_day"))
+      .agg(sum(col("b.rev")).as("r7"))
+      .orderBy("epoch_day").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(brute == got, "window frame must equal the naive range self-join")
+  }
+
+  // --- J4: current-version join -----------------------------------
+
+  test("joinCurrent ≡ point-in-time join at a time after every change") {
+    val cfg = Scd2.Config(Seq("k"), Seq("seg"))
+    var dim = Scd2.initialize(Seq((1L, "A"), (2L, "X")).toDF("k", "seg"),
+      cfg, lit("2024-01-01 00:00:00"))
+    dim = Scd2.apply(dim, Seq((1L, "B")).toDF("k", "seg"), cfg,
+      lit("2024-02-01 00:00:00"))
+    val facts = Seq((1L, 10.0), (1L, 20.0), (2L, 30.0)).toDF("fk", "amt")
+    val viaCurrent = PointInTime.joinCurrent(facts, dim, Seq("fk" -> "k"))
+      .select("fk", "amt", "seg")
+    val viaPit = PointInTime.join(facts, dim, Seq("fk" -> "k"),
+        lit("2025-01-01 00:00:00").cast("timestamp"))
+      .select("fk", "amt", "seg")
+    val a = viaCurrent.collect().map(_.toSeq).toSet
+    val b = viaPit.collect().map(_.toSeq).toSet
+    assert(a == b, "J4 must be the t=∞ slice of J3")
+    assert(viaCurrent.count() == facts.count(),
+      "SCD2's one-current-row invariant makes J4 amplification-free")
+  }
+
+  // --- J6: fact-to-fact key lookup --------------------------------
+
+  test("fact-to-fact lookup on a unique key neither drops nor amplifies") {
+    val li = spark.read.parquet(s"${TestSpark.SfDir}/lineitem.parquet")
+    val o = orders
+    val firstLine = li.groupBy(col("l_orderkey"))
+      .agg(min(col("l_linenumber")).as("first_line"))
+    val joined = o.join(firstLine,
+      o("o_orderkey") === firstLine("l_orderkey"), "left")
+    assert(joined.count() == o.count(),
+      "left lookup against a per-key-unique build side is row-preserving")
+    // unmatched rows surface as NULLs, one per lineitem-less order —
+    // exactly the left-anti count, never dropped and never duplicated
+    val orphans = o.join(li, o("o_orderkey") === li("l_orderkey"), "left_anti").count()
+    assert(joined.filter(col("first_line").isNull).count() == orphans,
+      "NULL lookups must be exactly the keys absent from the build side")
+  }
+}

@@ -1,0 +1,77 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+import graft.functions.TextAnalysis
+
+/** Sequence-packing manifest invariants: the windows tile the token
+  * stream exactly — every document is fully consumed in contiguous
+  * slices, every window is exactly `budget` tokens except each shard's
+  * final one, window ids are dense per shard, and the manifest is
+  * invariant to input partitioning (the 100 TB property: packing is a
+  * pure function of (shard, id, token_count), not of physical layout).
+  */
+class PackingSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val Budget = 512
+
+  private def docs: DataFrame =
+    spark.read.parquet(s"${TestSpark.SfDir}/documents.parquet")
+
+  private def manifest(d: DataFrame): DataFrame =
+    Packing.packManifest(d, "doc_id",
+      size(TextAnalysis.tokens(col("text"))),
+      pmod(xxhash64(col("doc_id")), lit(4)), Budget)
+
+  test("slices cover every document exactly, in contiguous order") {
+    val m = manifest(docs)
+    val toks = docs.select(col("doc_id"),
+      size(TextAnalysis.tokens(col("text"))).cast("long").as("tok"))
+    // sum(take) per doc == its token count
+    val bad = m.groupBy("doc_id").agg(sum("take").as("got"))
+      .join(toks, Seq("doc_id"))
+      .filter(col("got") =!= col("tok")).count()
+    assert(bad == 0, "every document must be fully consumed")
+    // slices are contiguous: next slice starts where the previous ended,
+    // and the first starts at 0
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("win")
+    val holes = m
+      .withColumn("__expected", coalesce(
+        lag(col("doc_offset") + col("take"), 1).over(w), lit(0L)))
+      .filter(col("doc_offset") =!= col("__expected")).count()
+    assert(holes == 0, "per-document slices must tile [0, tok) in window order")
+  }
+
+  test("every window is full except each shard's last; window ids are dense") {
+    val m = manifest(docs)
+    val perWin = m.groupBy("shard", "win").agg(sum("take").as("t"))
+    val lastWin = perWin.groupBy("shard").agg(max("win").as("last"))
+    val short = perWin.join(lastWin, Seq("shard"))
+      .filter(col("win") =!= col("last") && col("t") =!= Budget).count()
+    assert(short == 0, s"non-final windows must hold exactly $Budget tokens")
+    val dense = perWin.groupBy("shard")
+      .agg(count(lit(1)).as("n"), max("win").as("mx"), min("win").as("mn"))
+      .filter(col("mn") =!= 0 || col("n") =!= col("mx") + 1).count()
+    assert(dense == 0, "window ids must be 0..max with no holes per shard")
+  }
+
+  test("manifest is invariant to input partitioning") {
+    val a = manifest(docs).collect().map(_.toSeq).toSet
+    val b = manifest(docs.repartition(13)).collect().map(_.toSeq).toSet
+    assert(a == b, "packing must be a pure function of the data, not its layout")
+    assert(a.nonEmpty)
+  }
+
+  test("zero-token documents are dropped; budget 1 degenerates to one window per token") {
+    import spark.implicits._
+    val tiny = Seq((1L, 3L), (2L, 0L), (3L, 2L)).toDF("doc_id", "tok")
+    val m = Packing.packManifest(tiny, "doc_id", col("tok"), lit(0L), budget = 1)
+    assert(m.filter(col("doc_id") === 2L).count() == 0)
+    assert(m.count() == 5, "3 + 2 tokens at budget 1 = 5 single-token windows")
+    assert(m.groupBy().agg(max("take")).head().getLong(0) == 1L)
+  }
+}
