@@ -284,6 +284,38 @@ class ScaleCurveSpec extends AnyFunSuite {
     curve("incremental_dedup", op, docs, ampCorpus)
   }
 
+  test("sequence packing scales ~linearly") {
+    // Packing is a pure function of (shard, id, token_count); amplified
+    // copies shift ids so every copy adds fresh documents across the
+    // same shard space. One exchange (the shard hash) regardless of
+    // volume; manifest rows grow exactly linearly.
+    val docs = table("documents").select($"doc_id", $"text")
+    val amp = (0 until Amp).map(i =>
+      docs.withColumn("doc_id", $"doc_id" + lit(i * 1000000L)))
+      .reduce(_ unionByName _)
+    def op(d: DataFrame): DataFrame =
+      Packing.packManifest(d, "doc_id",
+        size(TextAnalysis.tokens($"text")),
+        pmod(xxhash64($"doc_id"), lit(32)), budget = 512)
+    curve("sequence_pack", op, docs, amp)
+  }
+
+  test("bloom decontamination: fixed bench vs a 10x corpus scales ~linearly") {
+    // The claim behind contaminationBloom: corpus growth changes only the
+    // volume flowing through the scan-side might_contain prefilter —
+    // never the plan (the bloom is one scalar; the verify join sees only
+    // survivors). 10x corpus, same bench, same exchange count.
+    val docs = table("documents").select($"doc_id", $"text")
+    val ampCorpus = ampText(docs, "doc_id", Seq("text"), 1000000L)
+    val bench = docs.filter($"doc_id" % 50 === 0)
+      .select(($"doc_id" + 500000).as("bench_id"),
+        concat_ws(" ", slice(TextAnalysis.tokens($"text"), 1, 8)).as("text"))
+    def op(corpus: DataFrame): DataFrame =
+      TextDedup.contaminationBloom(corpus, bench, "doc_id", "bench_id",
+        "text", n = 3, minShared = 3)
+    curve("bloom_decontam", op, docs, ampCorpus)
+  }
+
   test("RP-LSH vector near-dups scale ~linearly") {
     val e = table("embeddings")
       .select($"vec_id", Similarity.asDouble($"embedding").as("ev"))
