@@ -61,4 +61,37 @@ object Packing {
         (least(col("__cum"), col("win") * b + b) -
           greatest(col("__bef"), col("win") * b)).as("take"))
   }
+
+  /** Per-document chunking manifest with overlap — the retrieval/eval
+    * counterpart of [[packManifest]]: instead of concatenating documents
+    * into a training stream, each document is split into windows of
+    * `budget` tokens where consecutive chunks share `overlap` tokens
+    * (the sliding-window layout embedding and long-context eval
+    * pipelines use). Chunk `i` covers
+    * `[i·(budget−overlap), min(i·(budget−overlap)+budget, tok))`; a
+    * document shorter than `budget` yields exactly one chunk.
+    *
+    * Purely per-row column algebra (`sequence` + `explode`) — ZERO
+    * shuffles at any corpus size, because chunks never cross documents.
+    * Output: (`<idCol>`, chunk, chunk_start, take).
+    */
+  def chunkManifest(docs: DataFrame, idCol: String, tokensCol: Column,
+      budget: Int, overlap: Int): DataFrame = {
+    require(budget > 0 && overlap >= 0 && overlap < budget,
+      "need 0 <= overlap < budget")
+    val step = lit((budget - overlap).toLong)
+    val d = docs.select(col(idCol), tokensCol.cast("long").as("__tok"))
+      .filter(col("__tok") > 0)
+    // smallest n with n*step + overlap >= tok, floored at 1:
+    // n = max(1, ceil((tok - overlap) / step))
+    val n = greatest(
+      floor((col("__tok") - lit(overlap.toLong) + step - 1) / step).cast("long"),
+      lit(1L))
+    d.select(col(idCol), col("__tok"),
+        explode(sequence(lit(0L), n - 1)).as("chunk"))
+      .select(col(idCol), col("chunk"),
+        (col("chunk") * step).as("chunk_start"),
+        (least(col("chunk") * step + lit(budget.toLong), col("__tok")) -
+          col("chunk") * step).as("take"))
+  }
 }

@@ -86,6 +86,35 @@ object SamplingQueries extends QueryModule {
         ORDER BY shard, win, doc_id
       """.trim)),
 
+    // --- per-document sliding-window chunking (the retrieval/eval layout:
+    // fixed 128-token chunks, 32 shared between neighbors). Chunks never
+    // cross documents, so the operator is pure per-row algebra — zero
+    // shuffles at any corpus size (the plan pin in GatePlanSpec holds it
+    // to the output sort only). ---
+    GQuery(
+      "q100_doc_chunks",
+      (spark, dir) => {
+        import graft.functions.TextAnalysis
+        graft.operators.Packing.chunkManifest(
+            Tables.docs(spark, dir), "doc_id",
+            size(TextAnalysis.tokens(col("text"))), budget = 128, overlap = 32)
+          .orderBy(col("doc_id"), col("chunk"))
+      },
+      Some("""
+        WITH d AS (
+          SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS tok
+          FROM documents
+          WHERE len(string_split(text, ' ')) > 0),
+        n AS (
+          SELECT doc_id, tok,
+                 GREATEST(CAST(floor((tok - 32 + 95) / 96.0) AS BIGINT), 1) AS nch
+          FROM d)
+        SELECT doc_id, chunk, chunk * 96 AS chunk_start,
+               LEAST(chunk * 96 + 128, tok) - chunk * 96 AS take
+        FROM n, unnest(generate_series(0, nch - 1)) AS t(chunk)
+        ORDER BY doc_id, chunk
+      """.trim)),
+
     // --- heavy hitters via the native Misra-Gries TypedImperativeAggregate
     // (one pass, ≤ k counters per partition, mergeable states — no full
     // groupBy shuffle over the whole vocabulary). Per-item estimates are

@@ -45,7 +45,15 @@ class GatePlanSpec extends AnyFunSuite {
     "q91_medallion_fact" -> (4, 1),
     "q96_approx_sketches" -> (3, 0),
     "q98_neardup_pipeline" -> (1, 0),
-    "q99_minhash_fast" -> (0, 0))
+    "q99_minhash_fast" -> (0, 0),
+    // round-7 additions (each includes the Tables.docs single-row-group
+    // spread + the gate's output sort): packing adds ONE shard shuffle;
+    // chunking adds NOTHING (the operator is shuffle-free — PackingSpec
+    // pins its own count at 0); bloom decontamination adds the shingle
+    // agg + survivor join, bench side broadcast at this scale
+    "q88_sequence_pack" -> (3, 0),
+    "q100_doc_chunks" -> (2, 0),
+    "q89_bloom_decontam" -> (4, 1))
 
   test("top gate queries keep their pinned exchange/broadcast counts") {
     val got = pinned.keys.toSeq.sorted.map { n =>

@@ -66,6 +66,44 @@ class PackingSpec extends AnyFunSuite {
     assert(a.nonEmpty)
   }
 
+  test("chunk manifest: sliding windows cover each document with exact overlap, shuffle-free") {
+    val Budget = 128; val Overlap = 32; val Step = Budget - Overlap
+    val toks = docs.select(col("doc_id"),
+      size(TextAnalysis.tokens(col("text"))).cast("long").as("tok"))
+    val m = Packing.chunkManifest(docs, "doc_id",
+      size(TextAnalysis.tokens(col("text"))), Budget, Overlap)
+    // chunks start on the stride grid and are budget-sized except the last
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("chunk")
+    val badGrid = m.filter(col("chunk_start") =!= col("chunk") * Step).count()
+    assert(badGrid == 0, "chunk i must start at i*(budget-overlap)")
+    val badSize = m
+      .withColumn("__next", lead(col("chunk"), 1).over(w))
+      .filter(col("__next").isNotNull && col("take") =!= Budget).count()
+    assert(badSize == 0, "every non-final chunk must be exactly budget tokens")
+    // full coverage: the last chunk ends at the document's token count…
+    val ends = m.groupBy("doc_id")
+      .agg(max(col("chunk_start") + col("take")).as("end"),
+        count(lit(1)).as("n_chunks"))
+      .join(toks, Seq("doc_id"))
+    assert(ends.filter(col("end") =!= col("tok")).count() == 0,
+      "chunks must cover the document exactly to its last token")
+    // …and the chunk count matches the closed form max(1, ceil((tok-ov)/step))
+    val badN = ends.filter(col("n_chunks") =!=
+      greatest(ceil((col("tok") - Overlap).cast("double") / Step).cast("long"),
+        lit(1L))).count()
+    assert(badN == 0, "chunk count must match the closed form")
+    // per-document algebra: no exchange anywhere in the operator's plan
+    assert(Bucketing.exchangeCount(m) == 0,
+      "chunking must stay shuffle-free — chunks never cross documents")
+    // a doc shorter than the budget yields exactly one (full-doc) chunk
+    import spark.implicits._
+    val short = Packing.chunkManifest(
+      Seq((7L, 50L)).toDF("doc_id", "tok"), "doc_id", col("tok"), Budget, Overlap)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(short == Seq((0L, 0L, 50L)))
+  }
+
   test("zero-token documents are dropped; budget 1 degenerates to one window per token") {
     import spark.implicits._
     val tiny = Seq((1L, 3L), (2L, 0L), (3L, 2L)).toDF("doc_id", "tok")
