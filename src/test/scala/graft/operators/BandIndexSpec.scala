@@ -152,6 +152,32 @@ class BandIndexSpec extends AnyFunSuite {
       s"probing an appended index must cost the same exchanges as a rebuilt one: $eGrown vs $eFull")
   }
 
+  test("stored fingerprint index: membership probes match in-memory; duplicate appends are harmless") {
+    val d = docs
+    val corpus = d.filter(col("doc_id") % 2 === 0)
+    val fp = md5(col("text"))
+    val path = java.nio.file.Files.createTempDirectory("graft_fpidx").toString
+    TextDedup.writeFingerprintIndex(corpus.filter(col("doc_id") % 4 === 0),
+      fp, "fpidx", path, buckets = 4)
+    TextDedup.appendToFingerprintIndex(spark,
+      corpus.filter(col("doc_id") % 4 =!= 0), fp, "fpidx")
+    def freshAgainst(index: DataFrame): Set[Long] =
+      d.select(col("doc_id"), fp.as("fp"))
+        .join(index.withColumn("__hit", lit(1)), Seq("fp"), "left_outer")
+        .filter(col("__hit").isNull)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+    val expected = freshAgainst(corpus.select(fp.as("fp")).distinct())
+    val got = freshAgainst(TextDedup.readFingerprintIndex(spark, "fpidx"))
+    assert(expected.nonEmpty && got == expected,
+      "disk-backed membership must equal the in-memory distinct-fp probe")
+    // re-appending an overlapping batch leaves duplicate fp rows in the
+    // table — set-semantics probes must be unaffected
+    TextDedup.appendToFingerprintIndex(spark, corpus, fp, "fpidx")
+    val afterDup = freshAgainst(TextDedup.readFingerprintIndex(spark, "fpidx"))
+    assert(afterDup == expected,
+      "duplicate fingerprints across appends must not change membership answers")
+  }
+
   test("probe never shuffles the stored corpus; exchange count is corpus-size-invariant") {
     val batch = batchOf(docs)
     val bb = graft.core.Caching.reap(bandsOf(batch))
