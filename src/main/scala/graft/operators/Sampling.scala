@@ -87,4 +87,41 @@ object Sampling {
       keepFraction(df, keyCol, rate, s"$salt$i")
     }.reduce(_ unionByName _)
   }
+
+  /** TOKEN-budget source mixing — pretraining mixes are specified in
+    * TOKENS, not documents ("200B web tokens, 30B code tokens"), and
+    * [[weightedMix]]'s per-document fractions drift when sources have
+    * different document-length distributions. This operator takes, per
+    * source, the hash-ordered PREFIX of documents whose cumulative token
+    * count first reaches the source's budget: the first document crossing
+    * the budget line is included (so a source delivers ≥ its budget
+    * whenever it has the tokens; overshoot < one document).
+    *
+    * Determinism: the prefix is ordered by ([[hash16]], id) — content-
+    * derived, so the selection is stable under repartitioning, re-runs,
+    * and corpus GROWTH (new documents insert into the hash order and only
+    * displace docs near the budget line, they do not reshuffle the whole
+    * selection); raising a budget only ADDS documents (prefix
+    * monotonicity — property-tested).
+    *
+    * Scale: one hash shuffle on the source column + a running sum over
+    * the same partitioning — the keyed-dedup plan shape. A source's
+    * budget line is found inside the window; no counts or totals ever
+    * reach the driver.
+    */
+  def tokenBudget(df: DataFrame, keyCol: String, tokensCol: Column,
+      sourceCol: Column, budgets: Map[String, Long],
+      salt: String = "tok"): DataFrame = {
+    require(budgets.nonEmpty, "tokenBudget needs at least one source budget")
+    val budget = budgets.foldLeft(lit(null).cast("long")) {
+      case (acc, (s, b)) => when(sourceCol === s, lit(b)).otherwise(acc)
+    }
+    val w = Window.partitionBy(sourceCol)
+      .orderBy(hash16(col(keyCol), salt), col(keyCol))
+    df.withColumn("__budget", budget)
+      .filter(col("__budget").isNotNull)
+      .withColumn("__cum", sum(tokensCol.cast("long")).over(w))
+      .filter(col("__cum") - tokensCol.cast("long") < col("__budget"))
+      .drop("__budget", "__cum")
+  }
 }

@@ -86,6 +86,39 @@ object SamplingQueries extends QueryModule {
         ORDER BY shard, win, doc_id
       """.trim)),
 
+    // --- TOKEN-budget source mixing: pretraining mixes are specified in
+    // tokens, not documents. Per language, the hash-ordered document
+    // prefix whose cumulative tokens first reaches the budget (the
+    // crossing document included). Deterministic: hash order is content-
+    // derived, so the DuckDB mirror replays the same prefix exactly. ---
+    GQuery(
+      "q101_token_budget",
+      (spark, dir) => {
+        import graft.functions.TextAnalysis
+        import graft.operators.Sampling
+        val d = Tables.docs(spark, dir)
+        val tok = size(TextAnalysis.tokens(col("text"))).cast("long")
+        Sampling.tokenBudget(d.withColumn("tok", tok), "doc_id", col("tok"),
+            col("lang"), Map("en" -> 30000L, "fr" -> 12000L))
+          .select(col("doc_id"), col("lang"), col("tok"))
+          .orderBy(col("lang"), col("doc_id"))
+      },
+      Some(s"""
+        WITH d AS (
+          SELECT doc_id, lang,
+                 CAST(len(string_split(text, ' ')) AS BIGINT) AS tok,
+                 CASE lang WHEN 'en' THEN 30000 WHEN 'fr' THEN 12000 END AS budget,
+                 ${hash16Sql("doc_id", "tok")} AS h
+          FROM documents WHERE lang IN ('en', 'fr')),
+        c AS (
+          SELECT doc_id, lang, tok, budget,
+                 CAST(SUM(tok) OVER (PARTITION BY lang ORDER BY h, doc_id) AS BIGINT) AS cum
+          FROM d)
+        SELECT doc_id, lang, tok FROM c
+        WHERE cum - tok < budget
+        ORDER BY lang, doc_id
+      """.trim)),
+
     // --- per-document sliding-window chunking (the retrieval/eval layout:
     // fixed 128-token chunks, 32 shared between neighbors). Chunks never
     // cross documents, so the operator is pure per-row algebra — zero

@@ -68,6 +68,37 @@ class ShardingSpec extends AnyFunSuite {
     assert(stored == expected, "within-shard order must be the deterministic hash order")
   }
 
+  test("tokenBudget delivers each source's budget with < one document of overshoot") {
+    val d = spark.read.parquet(s"${TestSpark.SfDir}/documents.parquet")
+      .select($"doc_id", $"lang",
+        size(split($"text", " ")).cast("long").as("tok"))
+    val budgets = Map("en" -> 4000L, "fr" -> 1500L)
+    val got = Sampling.tokenBudget(d, "doc_id", $"tok", $"lang", budgets)
+    val sums = got.groupBy("lang")
+      .agg(sum("tok").as("t"), max("tok").as("mx"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    for ((langKey, b) <- budgets; (t, mx) <- sums.get(langKey)) {
+      assert(t >= b, s"$langKey delivered $t < budget $b despite available tokens")
+      assert(t < b + mx, s"$langKey overshot by ≥ one document: $t vs $b (max doc $mx)")
+    }
+    // layout invariance
+    val a = got.select("doc_id").as[Long].collect().sorted.toSeq
+    val b2 = Sampling.tokenBudget(d.repartition(13), "doc_id", $"tok", $"lang", budgets)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(a == b2, "selection must not depend on physical layout")
+    // prefix monotonicity: raising a budget only ADDS documents
+    val bigger = Sampling.tokenBudget(d, "doc_id", $"tok", $"lang",
+        budgets.map { case (k, v) => k -> v * 2 })
+      .select("doc_id").as[Long].collect().toSet
+    assert(a.forall(bigger.contains),
+      "a larger budget must be a superset — the hash-prefix property")
+    // an exhausted source keeps everything it has
+    val all = Sampling.tokenBudget(d, "doc_id", $"tok", $"lang",
+      Map("en" -> Long.MaxValue / 2))
+    assert(all.count() == d.filter($"lang" === "en").count(),
+      "a budget above the source's total keeps the whole source")
+  }
+
   test("weightedMix keeps ~rate per source, deterministically") {
     val en = docs.filter($"lang" === "en")
     val rest = docs.filter($"lang" =!= "en")
