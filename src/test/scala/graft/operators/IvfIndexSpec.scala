@@ -103,6 +103,35 @@ class IvfIndexSpec extends AnyFunSuite {
     assert(recall >= 0.8, s"disk-path recall $recall")
   }
 
+  test("incremental VECTOR dedup composes with the stored band index — no new operator needed") {
+    // rpLshBands emits exactly the (id, band, band_key) schema the text
+    // band index stores, so a 100 TB embedding corpus gets incremental
+    // near-dup ingest by COMPOSITION: band the corpus once, persist via
+    // writeBandIndex, and probe each arriving vector batch from disk.
+    val e = embs.select(col("vec_id"), Similarity.asDouble(col("embedding")).as("ev"))
+    val batch = e.filter(col("vec_id") % 25 === 0)
+      .withColumn("vec_id", col("vec_id") + 10000)
+    def bandsOf(d: org.apache.spark.sql.DataFrame) =
+      Similarity.rpLshBands(d, "vec_id", col("ev"), Dim)
+    val path = java.nio.file.Files.createTempDirectory("graft_vecband").toString
+    TextDedup.writeBandIndex(bandsOf(e), "vec_id", "vecband", path, buckets = 4)
+    val stored = TextDedup.probeBandIndex(
+      TextDedup.readBandIndex(spark, "vecband"), bandsOf(batch), "vec_id",
+      maxBucket = Some(200), includeBatchSelfPairs = false)
+    val inMem = TextDedup.incrementalCandidates(bandsOf(e), bandsOf(batch),
+      "vec_id", maxBucket = Some(200), includeBatchSelfPairs = false)
+    val a = stored.collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val b = inMem.collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(a.nonEmpty && a == b,
+      "vector batch probing the stored RP-LSH band index must equal the in-memory path")
+    // every planted copy collides with its source in ≥1 band (exact
+    // copies share every band), so the candidate set finds all of them
+    val found = a.map { case (c, bb) => (c, bb) }.toSet
+    val planted = batch.select((col("vec_id") - 10000).as("src"), col("vec_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(planted.subsetOf(found), "exact copies must all surface as candidates")
+  }
+
   test("probe prunes to the probed buckets' files; exchange count is corpus-size-invariant") {
     val e = embs
     val cents = Similarity.seedCentroids(e, "vec_id", "embedding", m = 16)
