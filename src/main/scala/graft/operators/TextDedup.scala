@@ -402,6 +402,42 @@ object TextDedup {
       .filter(col("shared_ngrams") >= minShared)
   }
 
+  /** SEGMENT-level exact dedup — the C4/Dolma "remove repeated spans"
+    * step, which document-level dedup cannot express: boilerplate
+    * (headers, licenses, navigation) repeats ACROSS documents that are
+    * otherwise distinct, so the unit of deduplication must be a span
+    * within the document. Each document is segmented into fixed
+    * `segTokens`-token pieces; a segment's FIRST corpus occurrence (by
+    * (id, position) order — deterministic) survives, every later exact
+    * repeat is dropped, and surviving segments reassemble in original
+    * order. Documents whose every segment was seen elsewhere vanish.
+    *
+    * Scale shape: one explode to (id, pos, segment) rows, ONE hash
+    * shuffle on the segment fingerprint for the first-occurrence window,
+    * one shuffle back on the id to reassemble — no self-join, nothing
+    * quadratic; the md5 window key keeps full segment text off the
+    * first shuffle's sort keys.
+    */
+  def segmentDedup(docs: DataFrame, idCol: String, textCol: String,
+      segTokens: Int = 16): DataFrame = {
+    require(segTokens > 0, "segment length must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val toks = split(col(textCol), " ")
+    val nseg = ceil(size(toks) / lit(segTokens.toDouble)).cast("int")
+    val segs = docs.select(col(idCol), posexplode(
+        transform(sequence(lit(0), nseg - 1),
+          i => concat_ws(" ", slice(toks, i * segTokens + 1, lit(segTokens)))))
+        .as(Seq("pos", "seg")))
+      .filter(col("seg") =!= "")
+    val w = Window.partitionBy(md5(col("seg"))).orderBy(col(idCol), col("pos"))
+    segs.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .groupBy(col(idCol))
+      .agg(concat_ws(" ",
+        transform(array_sort(collect_list(struct(col("pos"), col("seg")))),
+          s => s.getField("seg"))).as("clean_text"))
+  }
+
   /** Decontamination for a benchmark side TOO BIG to broadcast as a hash
     * table — the complement of [[contamination]] (which assumes eval
     * suites of thousands of rows). When the "benchmark" is itself

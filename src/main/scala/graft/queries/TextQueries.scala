@@ -486,6 +486,40 @@ object TextQueries extends QueryModule {
         ORDER BY doc_id, bench_id
       """.trim)),
 
+    // --- SEGMENT-level exact dedup (the C4/Dolma repeated-span removal):
+    // 16-token segments, first corpus occurrence survives, documents
+    // reassemble from their surviving segments. Planted full copies
+    // (every 10th doc re-keyed) lose ALL their segments; naturally
+    // repeated spans dedup to their (doc_id, pos)-first occurrence. ---
+    GQuery(
+      "q102_segment_dedup",
+      (spark, dir) => {
+        val d = Tables.docs(spark, dir).select(col("doc_id"), col("text"))
+        val planted = d.unionByName(
+          d.filter(col("doc_id") % 10 === 0)
+            .withColumn("doc_id", col("doc_id") + 200000))
+        TextDedup.segmentDedup(planted, "doc_id", "text", segTokens = 16)
+          .orderBy(col("doc_id"))
+      },
+      Some("""
+        WITH all_docs AS (
+          SELECT doc_id, text FROM documents
+          UNION ALL
+          SELECT doc_id + 200000 AS doc_id, text FROM documents WHERE doc_id % 10 = 0),
+        tk AS (SELECT doc_id, string_split(text, ' ') AS tk FROM all_docs),
+        seg AS (
+          SELECT doc_id, i - 1 AS pos,
+                 array_to_string(tk[(i-1)*16+1 : least(i*16, len(tk))], ' ') AS seg
+          FROM tk, unnest(generate_series(1, CAST(ceil(len(tk) / 16.0) AS BIGINT))) AS t(i)),
+        keep AS (
+          SELECT doc_id, pos, seg,
+                 row_number() OVER (PARTITION BY seg ORDER BY doc_id, pos) AS rn
+          FROM seg WHERE seg <> '')
+        SELECT doc_id, string_agg(seg, ' ' ORDER BY pos) AS clean_text
+        FROM keep WHERE rn = 1
+        GROUP BY doc_id ORDER BY doc_id
+      """.trim)),
+
     // --- decontamination with a bench side TOO BIG to broadcast as a
     // hash table: a Bloom filter of the bench shingles (Spark's own
     // BloomFilterAggregate / might_contain pair) prefilters the corpus

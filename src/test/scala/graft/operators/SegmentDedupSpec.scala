@@ -1,0 +1,57 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** Segment-level exact dedup (C4/Dolma repeated-span removal): first
+  * corpus occurrence survives, repeats drop, documents reassemble in
+  * order, and the whole thing is a pure function of the data.
+  */
+class SegmentDedupSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val Seg = 4 // short segments so fixtures stay readable
+
+  test("first occurrence survives; later exact repeats drop; order is preserved") {
+    // four-token segments: A = [x y], B = [x z] where x repeats
+    val x = "a b c d"; val y = "e f g h"; val z = "i j k l"
+    val docs = Seq(
+      (1L, s"$x $y"),  // both segments first occurrences
+      (2L, s"$x $z"),  // x already seen in doc 1 → only z survives
+      (3L, s"$y $x")   // both segments seen → doc vanishes
+    ).toDF("doc_id", "text")
+    val got = TextDedup.segmentDedup(docs, "doc_id", "text", Seg)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(got == Map(1L -> s"$x $y", 2L -> z),
+      "doc 1 intact, doc 2 keeps only its novel segment, doc 3 vanishes")
+  }
+
+  test("a corpus with planted full copies keeps originals verbatim and drops every copy") {
+    val d = spark.read.parquet(s"${TestSpark.SfDir}/documents.parquet")
+      .select($"doc_id", $"text")
+    val planted = d.unionByName(d.filter($"doc_id" % 10 === 0)
+      .withColumn("doc_id", $"doc_id" + 200000))
+    val got = TextDedup.segmentDedup(planted, "doc_id", "text", segTokens = 16)
+    assert(got.filter($"doc_id" >= 200000).count() == 0,
+      "full copies contribute no first-occurrence segments")
+    // docs whose segments are all first occurrences reassemble verbatim;
+    // at minimum, reassembly must never scramble order: every surviving
+    // clean_text is a subsequence of the original token stream
+    val joined = got.join(d, Seq("doc_id"))
+    val bad = joined.filter(
+      // clean segments, in order, must appear in the original in order —
+      // verify via token-array containment of the concatenation split
+      !col("text").startsWith(col("clean_text")) &&
+        size(array_except(split(col("clean_text"), " "), split(col("text"), " "))) > 0
+    ).count()
+    assert(bad == 0, "surviving text must come from the original document")
+    // determinism under repartitioning
+    val a = got.orderBy("doc_id").collect().map(_.toSeq).toSeq
+    val b = TextDedup.segmentDedup(planted.repartition(13), "doc_id", "text", 16)
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    assert(a == b, "dedup must be layout-invariant")
+  }
+}
