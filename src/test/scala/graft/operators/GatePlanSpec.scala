@@ -53,7 +53,11 @@ class GatePlanSpec extends AnyFunSuite {
     // agg + survivor join, bench side broadcast at this scale
     "q88_sequence_pack" -> (3, 0),
     "q100_doc_chunks" -> (2, 0),
-    "q89_bloom_decontam" -> (4, 1))
+    "q89_bloom_decontam" -> (4, 1),
+    // token-budget mix = spread + per-source window + output sort;
+    // segment dedup = spread + fingerprint window + reassembly agg + sort
+    "q101_token_budget" -> (3, 0),
+    "q102_segment_dedup" -> (5, 0))
 
   test("top gate queries keep their pinned exchange/broadcast counts") {
     val got = pinned.keys.toSeq.sorted.map { n =>
