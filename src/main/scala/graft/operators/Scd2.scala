@@ -208,6 +208,16 @@ object Scd2 {
     * (property-tested), so it is safe as the general path; [[apply]]
     * remains the cheaper set-algebra fast path for the common case.
     *
+    * Arrival-order independence holds exactly when every observation is
+    * a genuine change (property-tested): then splices commute. The
+    * boundary: a retro batch RE-OBSERVING a then-unchanged state
+    * collapses as a non-change, and if an intermediate change arrives
+    * even later, the dropped observation cannot resurface — SCD2
+    * versions assert changes, so a re-observation is not a durable
+    * fact. A pipeline that must reconstruct exactly under such races
+    * keeps its stamped batches and rebuilds the affected window
+    * (initialize + fold), which is deterministic by construction.
+    *
     * Scale shape: ONE hash shuffle on the business key feeds a chained
     * window stack (tie-drop, run-collapse, valid_to/lead) that reuses the
     * same partitioning — no global sort, no driver iteration. Dimension

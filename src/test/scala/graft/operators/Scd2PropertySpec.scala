@@ -211,6 +211,46 @@ class Scd2PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("applyOutOfOrder is order-independent when every observation is a genuine change") {
+    // The commutativity that HOLDS: when each stamped batch carries a
+    // value its key had at no other time, arrival order cannot matter —
+    // splices and appends commute because nothing ever collapses. (The
+    // boundary is real and documented on the operator: a retro batch
+    // RE-OBSERVING an unchanged state is dropped as a non-change, and if
+    // an intermediate change arrives even later, that dropped
+    // observation cannot resurface — versions assert CHANGES, so
+    // re-observations are not durable facts. Pipelines that need exact
+    // reconstruction under such races rebuild the window from all
+    // stamped batches.) Type-1 columns excluded: last-applied-wins is
+    // deliberately order-dependent.
+    val cfg2 = Scd2.Config(Seq("k"), Seq("seg", "tier"))
+    (1 to 3).foreach { scenario =>
+      // batch i writes value "v<i>" — unique per effective date, so every
+      // observation differs from every temporal neighbor
+      val stamped = Seq("2024-02-01", "2024-03-01", "2024-04-01", "2024-05-01")
+        .zipWithIndex.map { case (m, i) =>
+          val keys = sample(batchGen, 8800L + scenario * 10L + i).map(_._1).distinct
+          (lit(s"$m 00:00:00"), keys.map(k => (k, s"v$i", s"t$i")))
+        }
+      val init = Scd2.initialize(
+        (1L to 8L).map(k => (k, "v-init", "t-init")).toDF("k", "seg", "tier"),
+        cfg2, lit("2024-01-01 00:00:00"))
+      def runIn(order: Seq[Int]): Set[Seq[Any]] = {
+        var dim = init
+        order.foreach { i =>
+          val (ts, rows) = stamped(i)
+          dim = Scd2.applyOutOfOrder(dim, rows.toDF("k", "seg", "tier"), cfg2, ts)
+        }
+        dim.collect().map(_.toSeq).toSet
+      }
+      val inOrder = runIn(Seq(0, 1, 2, 3))
+      assert(runIn(Seq(2, 0, 3, 1)) == inOrder,
+        s"scenario $scenario: scrambled arrival diverged from in-order")
+      assert(runIn(Seq(3, 2, 1, 0)) == inOrder,
+        s"scenario $scenario: reversed arrival diverged from in-order")
+    }
+  }
+
   test("dedup is idempotent under any order column") {
     val rows = sample(Gen.listOfN(200, for {
       k <- Gen.choose(1, 30); v <- Gen.choose(0, 1000)
