@@ -67,13 +67,23 @@ object StreamQueries extends QueryModule {
       """.trim),
       bench = false),
 
-    // --- dedup-in-stream (distinct keys via streaming dropDuplicates) ---
+    // --- dedup-in-stream with BOUNDED state: watermark +
+    // dropDuplicatesWithinWatermark (SURVEY §2.9's mapping for the
+    // late-arriving-data contract, `config/silver/schema/README.md:329-332`).
+    // State per key is evicted once the watermark passes its event time +
+    // delay, so state size tracks keys active within the delay window, not
+    // all keys ever seen (StreamingSpec pins the eviction behavior). With
+    // AvailableNow over one staged file the whole table is one micro-batch,
+    // so no key's state expires mid-run and the output equals batch
+    // DISTINCT — which is what the oracle checks. ---
     GQuery(
       "q82_stream_dedup",
       (spark, dir) => {
         val ev = Streams.eventsStream(spark, dir)
+          .select(col("user_id"), col("event_type"), col("ts"))
+          .withWatermark("ts", "1 hour")
+          .dropDuplicatesWithinWatermark("user_id", "event_type")
           .select(col("user_id"), col("event_type"))
-          .dropDuplicates("user_id", "event_type")
         Streams.runToMemory(spark, ev, "append")
           .orderBy(col("user_id"), col("event_type"))
       },

@@ -22,6 +22,41 @@ class StreamingSpec extends AnyFunSuite {
     assert(finalPerUser.count() == expected.count())
   }
 
+  test("dropDuplicatesWithinWatermark evicts state past the watermark (bounded state)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    val src = MemoryStream[(java.sql.Timestamp, String)]
+    val deduped = src.toDF().toDF("ts", "key")
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("key")
+
+    val q = deduped.writeStream
+      .format("memory").queryName("graft_wm_dedup")
+      .outputMode(OutputMode.Append())
+      .start()
+    def t(h: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:00:00")
+    try {
+      // batch 1: key A first seen, plus an in-window duplicate → one row out
+      src.addData((t(0), "A"), (t(0), "A"))
+      q.processAllAvailable()
+      // batch 2: unrelated key 10h later advances the watermark to 09:00,
+      // far past A's expiry (event time 00:00 + 1h delay)
+      src.addData((t(10), "B"))
+      q.processAllAvailable()
+      // batch 3: A again — its state was evicted, so it is RE-emitted.
+      // Unbounded dropDuplicates would have suppressed this row forever.
+      src.addData((t(10), "A"))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val out = spark.table("graft_wm_dedup").select("key").as[String].collect().sorted
+    assert(out.toSeq == Seq("A", "A", "B"),
+      s"expected A re-emitted after state eviction, got ${out.toSeq}")
+  }
+
   test("bucketed tables co-locate the join: no shuffle exchange in the plan") {
     val wh = java.nio.file.Files.createTempDirectory("graft_wh").toString
     spark.sql("DROP TABLE IF EXISTS b_orders")
