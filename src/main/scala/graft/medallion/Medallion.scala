@@ -182,7 +182,16 @@ object Medallion {
         init.withColumn(sk, row_number().over(Window.orderBy(ordered: _*)).cast("long"))
           .select((sk +: (c.payload ++ c.scdCols)).map(col): _*)
       case Some(d) =>
-        val applied = Scd2.apply(d.drop(sk), incoming, c, loadTs)
+        // Late-arriving dimension updates (`data/generators/README.md:
+        // 113-117`): a batch whose loadTs does not strictly follow every
+        // affected key's current valid_from routes to the splice path,
+        // which rebuilds the per-key timeline instead of retro-closing
+        // the current row. retroKeys is one semi join on the (small by
+        // contract) dim — the isEmpty probe is a limit-1 job, not a scan.
+        val inOrder = Scd2.retroKeys(d, incoming, c, loadTs).isEmpty
+        val applied =
+          if (inOrder) Scd2.apply(d.drop(sk), incoming, c, loadTs)
+          else Scd2.applyOutOfOrder(d.drop(sk), incoming, c, loadTs)
         // Kept/closed rows are identified by (business key, valid_from,
         // hash_diff) — Scd2.apply never rewrites valid_from or the type-2
         // hash of a pre-existing version, and the hash disambiguates the

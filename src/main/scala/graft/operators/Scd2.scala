@@ -163,12 +163,15 @@ object Scd2 {
       .reduce(_ unionByName _)
   }
 
-  /** Business keys whose CURRENT version starts after `loadTs` — the
-    * detector for a late-arriving (retro-dated) batch. [[apply]] assumes
-    * batches arrive in effective-date order; feeding it a batch whose
-    * loadTs precedes a key's current `valid_from` would close that row
-    * with a retroactive date (an overlap violation). Route such batches
-    * to [[applyOutOfOrder]] instead:
+  /** Business keys whose CURRENT version starts at or after `loadTs` — the
+    * detector for a late-arriving (retro- or tie-dated) batch. [[apply]]
+    * assumes batches arrive in strictly increasing effective-date order;
+    * feeding it a batch whose loadTs precedes a key's current `valid_from`
+    * would close that row with a retroactive date (an overlap violation),
+    * and a batch whose loadTs TIES it would close the current row at its
+    * own valid_from (a zero-length version) instead of the in-place
+    * replacement [[applyOutOfOrder]] defines for ties — hence `>=`, so
+    * both cases route to the path that implements their semantics:
     * `if (retroKeys(...).isEmpty) apply(...) else applyOutOfOrder(...)`.
     * Cost: one broadcast-sized semi join on the (folded) batch keys.
     */
@@ -177,7 +180,7 @@ object Scd2 {
     val bk = cfg.businessKeys
     val incKeys = incoming.select(bk.map(k => col(k).as(s"__rk_$k")): _*).distinct()
     val cond = bk.map(k => col(k) <=> col(s"__rk_$k")).reduce(_ && _)
-    dim.filter(col(cfg.isCurrent) && col(cfg.validFrom) > loadTs.cast("timestamp"))
+    dim.filter(col(cfg.isCurrent) && col(cfg.validFrom) >= loadTs.cast("timestamp"))
       .join(incKeys, cond, "left_semi")
       .select(bk.map(col): _*)
   }

@@ -141,6 +141,41 @@ class MedallionGoldenSpec extends AnyFunSuite {
     assert(perKey.filter(col("cur") =!= 1).count() == 0)
   }
 
+  test("late-arriving dim batch routes through the splice path (config entry point)") {
+    // Keys updated on 2025-10-02 have current valid_from = 10-02; a batch
+    // effective 10-01 12:00 for those keys is late-arriving, so goldDimScd2
+    // must detect it (retroKeys) and splice (applyOutOfOrder) instead of
+    // retro-closing the current row.
+    val lateKeys = dimCustomerV2.filter(!col("is_current"))
+      .select("customer_id").limit(10)
+    val lateBatch = silverCustomers.join(lateKeys, "customer_id")
+      .withColumn("record_source", lit("crm"))
+      .withColumn("customer_tier", lit("late_tier"))
+    val spliceTs = "2025-10-01 12:00:00"
+    val v3 = Medallion.goldDimScd2(Some(dimCustomerV2), lateBatch,
+      cfg("gold", "dim_customer"), lit(spliceTs))
+
+    // exactly 10 spliced historical versions appear; golden totals extend
+    assert(v3.count() == dimCustomerV2.count() + 10)
+    val spliced = v3.filter(col("valid_from") === lit(spliceTs).cast("timestamp"))
+    assert(spliced.count() == 10)
+    // the splice is historical: closed at the successor's valid_from, and
+    // the 10-02 versions stay current — no retro-closing
+    assert(spliced.filter(col("is_current")).count() == 0)
+    assert(spliced.filter(
+      col("valid_to") =!= lit("2025-10-02 00:00:00").cast("timestamp")).count() == 0)
+    assert(v3.filter(col("is_current")).count() == 500)
+    // invariants: one current row per key, surrogate keys unique, and every
+    // pre-existing key survives bound to the same business key
+    val perKey = v3.groupBy("customer_id")
+      .agg(sum(when(col("is_current"), 1).otherwise(0)).as("cur"))
+    assert(perKey.filter(col("cur") =!= 1).count() == 0)
+    assert(v3.select("customer_key").distinct().count() == v3.count())
+    val v2k = dimCustomerV2.select("customer_key", "customer_id")
+    assert(v2k.join(v3.select("customer_key", "customer_id"),
+      Seq("customer_key", "customer_id")).count() == dimCustomerV2.count())
+  }
+
   test("dim_date: 1,096 rows (2024-2026 incl. leap year), calculations applied") {
     val dd = Medallion.goldDimDate(spark, cfg("gold", "dim_date"))
     assert(dd.count() == 1096)

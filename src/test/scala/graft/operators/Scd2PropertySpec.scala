@@ -175,11 +175,12 @@ class Scd2PropertySpec extends AnyFunSuite {
       var viaOoo = viaApply
       batches.tail.zipWithIndex.foreach { case (b, i) =>
         val ts = lit(f"2024-0${i + 2}%s-01 00:00:00")
-        viaApply = Scd2.apply(viaApply, b.toDF("k", "seg", "tier", "name"), cfg, ts)
-        viaOoo = Scd2.applyOutOfOrder(viaOoo, b.toDF("k", "seg", "tier", "name"), cfg, ts)
-        // no retro keys in an in-order sequence
+        // the detector runs BEFORE routing: a strictly later batch is
+        // in-order (retroKeys also flags ties, which route to the splice)
         assert(Scd2.retroKeys(viaApply, b.toDF("k", "seg", "tier", "name"),
           cfg, ts).count() == 0)
+        viaApply = Scd2.apply(viaApply, b.toDF("k", "seg", "tier", "name"), cfg, ts)
+        viaOoo = Scd2.applyOutOfOrder(viaOoo, b.toDF("k", "seg", "tier", "name"), cfg, ts)
       }
       val a = viaApply.collect().map(_.toSeq).toSet
       val o = viaOoo.collect().map(_.toSeq).toSet
