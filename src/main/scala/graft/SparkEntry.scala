@@ -46,4 +46,12 @@ object SparkEntry {
   /** Subset used by Bench at sf0.1. */
   def benchQueries: Map[String, (SparkSession, String) => DataFrame] =
     registry.filter(_.bench).map(q => q.name -> q.fn).toMap
+
+  /** Bench queries with a build/probe split (stored-index certification):
+    * Bench runs build once outside its repeat loop and times the probe,
+    * so the recorded median is query latency, not re-paid ingest writes.
+    */
+  def benchIndexed: Map[String, GQuery.IndexedParts] =
+    registry.filter(_.bench)
+      .flatMap(q => q.indexed.map(q.name -> _)).toMap
 }

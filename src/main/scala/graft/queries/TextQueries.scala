@@ -116,6 +116,47 @@ object TextQueries extends QueryModule {
   private val neardupMemo =
     scala.collection.concurrent.TrieMap.empty[String, graft.operators.CorpusDedup]
 
+  /** Materialize a band table once — the md5 signature lineage is the
+    * expensive part and each band table feeds several plan arms.
+    */
+  private def q28Bands(d: DataFrame): DataFrame =
+    graft.core.Caching.reap(TextDedup.lshBands(
+      TextDedup.minhashSignaturesMd5(d, "doc_id", "text", n = 3, numHashes = 8),
+      "doc_id", col("sig"), numBands = 4, rowsPerBand = 2))
+
+  /** q28's index BUILD half (GQuery.indexed): persist the corpus band
+    * table as a disk-bucketed STORED index — written from half the corpus,
+    * the other half absorbed via appendToBandIndex, so the probe's
+    * sum-over-partial-widths merge is on the certified path. This is the
+    * one-time ingest cost of the production shape; the bench runs it once
+    * outside its repeat loop.
+    */
+  private[queries] def q28Build(spark: SparkSession, dir: String): Unit = {
+    val cb = q28Bands(Tables.docs(spark, dir))
+    val path = java.nio.file.Files.createTempDirectory("graft_q28idx").toString
+    TextDedup.writeBandIndex(cb.filter(col("doc_id") % 2 === 0), "doc_id",
+      "q28idx", path, buckets = 8)
+    TextDedup.appendToBandIndex(spark, cb.filter(col("doc_id") % 2 =!= 0),
+      "doc_id", "q28idx")
+  }
+
+  /** q28's PROBE half: the delta batch (planted mutants) pays signature
+    * cost and probes the stored index from disk with zero corpus-side
+    * exchanges. Pair semantics are identical to the in-memory
+    * incrementalCandidates (BandIndexSpec holds parity), so the oracle SQL
+    * is unchanged.
+    */
+  private[queries] def q28Probe(spark: SparkSession, dir: String): DataFrame = {
+    val corpus = Tables.docs(spark, dir)
+    val toks = TextAnalysis.tokens(col("text"))
+    val batch = corpus.filter(col("doc_id") % 10 === 0)
+      .withColumn("doc_id", col("doc_id") + 100000)
+      .withColumn("text", concat_ws(" ", slice(toks, lit(1), size(toks) - 2)))
+    TextDedup.probeBandIndex(TextDedup.readBandIndex(spark, "q28idx"),
+        q28Bands(batch), "doc_id", maxBucket = Some(100))
+      .orderBy(col("doc_id_1"), col("doc_id_2"))
+  }
+
   override def all: Seq[GQuery] = Seq(
 
     // --- token counting + lexical stats ---
@@ -573,35 +614,7 @@ object TextQueries extends QueryModule {
     // the combined-width bucket cap. ---
     GQuery(
       "q28_incremental_dedup",
-      (spark, dir) => {
-        val corpus = Tables.docs(spark, dir)
-        val toks = TextAnalysis.tokens(col("text"))
-        val batch = corpus.filter(col("doc_id") % 10 === 0)
-          .withColumn("doc_id", col("doc_id") + 100000)
-          .withColumn("text", concat_ws(" ", slice(toks, lit(1), size(toks) - 2)))
-        // Materialize each band table once — the md5 signature lineage is
-        // the expensive part and each band table feeds several plan arms.
-        def bandsOf(d: DataFrame) = graft.core.Caching.reap(TextDedup.lshBands(
-          TextDedup.minhashSignaturesMd5(d, "doc_id", "text", n = 3, numHashes = 8),
-          "doc_id", col("sig"), numBands = 4, rowsPerBand = 2))
-        // The PRODUCTION path, certified by the oracle since round 7: the
-        // corpus band table is persisted as a disk-bucketed STORED index —
-        // written from half the corpus, the other half absorbed via
-        // appendToBandIndex (so the probe's sum-over-partial-widths merge
-        // is on the certified path) — and the batch probes it from disk
-        // with zero corpus-side exchanges. Pair semantics are identical to
-        // the in-memory incrementalCandidates (BandIndexSpec holds parity),
-        // so the oracle SQL is unchanged.
-        val cb = bandsOf(corpus)
-        val path = java.nio.file.Files.createTempDirectory("graft_q28idx").toString
-        TextDedup.writeBandIndex(cb.filter(col("doc_id") % 2 === 0), "doc_id",
-          "q28idx", path, buckets = 8)
-        TextDedup.appendToBandIndex(spark, cb.filter(col("doc_id") % 2 =!= 0),
-          "doc_id", "q28idx")
-        TextDedup.probeBandIndex(TextDedup.readBandIndex(spark, "q28idx"),
-            bandsOf(batch), "doc_id", maxBucket = Some(100))
-          .orderBy(col("doc_id_1"), col("doc_id_2"))
-      },
+      (spark, dir) => { q28Build(spark, dir); q28Probe(spark, dir) },
       Some(s"""
         WITH corpus AS (SELECT doc_id, text FROM documents),
         batch AS (
@@ -626,7 +639,8 @@ object TextQueries extends QueryModule {
           FROM bp a JOIN bp b USING (band, band_key) WHERE a.doc_id < b.doc_id)
         SELECT DISTINCT doc_id_1, doc_id_2 FROM pairs
         ORDER BY doc_id_1, doc_id_2
-      """.trim)),
+      """.trim),
+      indexed = Some(graft.core.GQuery.IndexedParts(q28Build, q28Probe))),
 
     // --- the COMPOSED near-dup pipeline, end-to-end under the gate: LSH
     // candidate generation (the scale path) feeding exact n-gram Jaccard

@@ -15,6 +15,39 @@ object VectorQueries extends QueryModule {
 
   private val Dim = 64
 
+  /** q71's index BUILD half (GQuery.indexed): persist the corpus IVF
+    * assignments as a disk-bucketed STORED index — written from half the
+    * corpus, the other half absorbed via appendToIvfIndex against the
+    * index's own stored centroids. One-time ingest cost; the bench runs
+    * it once outside its repeat loop.
+    */
+  private[queries] def q71Build(spark: org.apache.spark.sql.SparkSession,
+      dir: String): Unit = {
+    val e = Tables.embs(spark, dir)
+    val centroids = Similarity.seedCentroids(e, "vec_id", "embedding", m = 16)
+    val path = java.nio.file.Files.createTempDirectory("graft_q71ivf").toString
+    Similarity.writeIvfIndex(e.filter(col("vec_id") % 2 === 0), centroids,
+      "vec_id", "embedding", Dim, "q71ivf", path, buckets = 8)
+    Similarity.appendToIvfIndex(spark, e.filter(col("vec_id") % 2 =!= 0),
+      "vec_id", "embedding", Dim, "q71ivf")
+  }
+
+  /** q71's PROBE half: queries probe the stored index from Parquet with
+    * bucket pruning. Per-row assignment is deterministic given the
+    * centroids, so the result (and the oracle SQL) is identical to the
+    * session-local ivfTopK.
+    */
+  private[queries] def q71Probe(spark: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    val e = Tables.embs(spark, dir)
+    val queries = e.filter(col("vec_id") < 10)
+    Similarity.probeIvfIndex(Similarity.readIvfIndex(spark, "q71ivf"),
+        queries, "vec_id", "embedding", Dim, k = 5, nProbe = 4)
+      .select(col("query_id"), col("neighbor_id"),
+        round(col("cosine"), 6).as("cosine_r"), col("rank"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   override def all: Seq[GQuery] = Seq(
 
     // --- int8 symmetric quantization (the memory half of the 100 TB ANN
@@ -123,30 +156,13 @@ object VectorQueries extends QueryModule {
         ORDER BY query_id, rank
       """.trim)),
 
+    // The PRODUCTION path, certified by the oracle since round 7: build
+    // persists the disk-bucketed stored index, probe reads it back — see
+    // q71Build/q71Probe above. fn runs both so the gate certifies the
+    // full stored path end-to-end.
     GQuery(
       "q71_ann_ivf",
-      (spark, dir) => {
-        val e = Tables.embs(spark, dir)
-        val queries = e.filter(col("vec_id") < 10)
-        val centroids = Similarity.seedCentroids(e, "vec_id", "embedding", m = 16)
-        // The PRODUCTION path, certified by the oracle since round 7: the
-        // corpus assignments are persisted as a disk-bucketed STORED index
-        // — written from half the corpus, the other half absorbed via
-        // appendToIvfIndex against the index's own stored centroids — and
-        // queries probe it from Parquet with bucket pruning. Per-row
-        // assignment is deterministic given the centroids, so the result
-        // (and the oracle SQL) is identical to the session-local ivfTopK.
-        val path = java.nio.file.Files.createTempDirectory("graft_q71ivf").toString
-        Similarity.writeIvfIndex(e.filter(col("vec_id") % 2 === 0), centroids,
-          "vec_id", "embedding", Dim, "q71ivf", path, buckets = 8)
-        Similarity.appendToIvfIndex(spark, e.filter(col("vec_id") % 2 =!= 0),
-          "vec_id", "embedding", Dim, "q71ivf")
-        Similarity.probeIvfIndex(Similarity.readIvfIndex(spark, "q71ivf"),
-            queries, "vec_id", "embedding", Dim, k = 5, nProbe = 4)
-          .select(col("query_id"), col("neighbor_id"),
-            round(col("cosine"), 6).as("cosine_r"), col("rank"))
-          .orderBy(col("query_id"), col("rank"))
-      },
+      (spark, dir) => { q71Build(spark, dir); q71Probe(spark, dir) },
       // Full IVF mirror: the path is deterministic end-to-end (seed
       // centroids = first 16 by vec_id, max-dot bucket assignment with
       // centroid-id tiebreak, nProbe=4 probes, cosine re-rank) and every
@@ -186,7 +202,8 @@ object VectorQueries extends QueryModule {
         SELECT query_id, neighbor_id, round(cosine, 6) AS cosine_r, rank
         FROM ranked WHERE rank <= 5
         ORDER BY query_id, rank
-      """.trim)),
+      """.trim),
+      indexed = Some(graft.core.GQuery.IndexedParts(q71Build, q71Probe))),
 
     // --- per-dimension corpus diagnostics (posexplode over the vector
     // column; means from exact decimal sums) ---

@@ -18,10 +18,13 @@ class BenchFormatSpec extends AnyFunSuite {
     // has bigger problems than formatting).
     val worst = names.map(_ -> 999.999)
     // raw is capped at 8 entries on the stdout record (Bench.main) so a
-    // pathologically contended run can't blow the tail buffer.
+    // pathologically contended run can't blow the tail buffer; builds
+    // carries one entry per GQuery.indexed bench query.
+    val worstBuilds = SparkEntry.benchIndexed.keys.toSeq.map(_ -> 999.999)
     val line = Bench.record(worst, repeats = 3, leakedRdds = 0,
       sfDir = "/root/testdata/sf0.1", shorten = true,
-      calib = Seq(999.999, 999.999), rechecked = 99, raw = worst.take(8))
+      calib = Seq(999.999, 999.999), rechecked = 99, raw = worst.take(8),
+      builds = worstBuilds)
     assert(line.length <= 1900,
       s"stdout bench line ${line.length} chars — within 100 of the 2000-char " +
         "tail buffer; shorten the record before adding more bench queries")
@@ -80,6 +83,27 @@ class BenchFormatSpec extends AnyFunSuite {
     val none = Bench.record(Seq("q01_ok" -> 2.0), repeats = 3, leakedRdds = 0,
       sfDir = "/tmp/sf", shorten = false)
     assert(none.contains("\"raw\":{}"))
+  }
+
+  test("index build components ride the record and stay out of the total") {
+    // Stored-index queries report probe-only medians in `queries`; the
+    // one-time build cost lives in `build` and must NOT inflate `value`
+    // (re-paying certification writes per repeat was the round-7
+    // phantom-regression source for q28/q71).
+    val line = Bench.record(Seq("q28_incremental_dedup" -> 1.0), repeats = 3,
+      leakedRdds = 0, sfDir = "/tmp/sf", shorten = false,
+      builds = Seq("q28_incremental_dedup" -> 7.5))
+    assert(line.contains("\"build\":{\"q28_incremental_dedup\":7.500}"),
+      s"build component must be auditable in the record: $line")
+    assert(line.contains("\"value\":1.0"),
+      s"build cost must not inflate the query-latency total: $line")
+    // with no indexed queries the field stays a constant-shape empty object
+    val none = Bench.record(Seq("q01_ok" -> 2.0), repeats = 3, leakedRdds = 0,
+      sfDir = "/tmp/sf", shorten = false)
+    assert(none.contains("\"build\":{}"))
+    // the registry exposes exactly the split queries
+    assert(SparkEntry.benchIndexed.keySet ==
+      Set("q28_incremental_dedup", "q71_ann_ivf"))
   }
 
   test("record stays valid JSON under a comma-decimal default locale") {
