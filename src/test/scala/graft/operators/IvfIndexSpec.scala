@@ -132,6 +132,64 @@ class IvfIndexSpec extends AnyFunSuite {
     assert(planted.subsetOf(found), "exact copies must all surface as candidates")
   }
 
+  test("k-means-refined centroids through the stored index: quantization error drops, recall floor and parity hold") {
+    // writeIvfIndex accepts arbitrary centroids; this certifies the
+    // REFINED ones through the stored path. What Lloyd iterations buy is
+    // centroids that SUMMARIZE the data: the quantization error (mean
+    // squared distance of each vector to its assigned centroid — the
+    // k-means objective) must drop vs the raw seed, and bucket balance
+    // must never worsen (a degenerate bucket is an embedded brute-force
+    // scan — it can inflate recall at test size precisely because it
+    // reads everything, which is the failure mode at 100 TB; recall at a
+    // fixed nProbe is therefore asserted as a floor, not superiority).
+    // The disk probe must stay bit-identical to the in-memory search over
+    // the same refined centroids, at 1x and 3x corpus.
+    for ((copies, label) <- Seq(1 -> "1x", 3 -> "3x")) {
+      val corpus = if (copies == 1) embs else amp(embs, copies)
+      val n = corpus.count().toDouble
+      val refined = Similarity.ivfIndex(corpus, "vec_id", "embedding", Dim,
+        m = Some(16), kmeansIterations = 3)
+      val seed = Similarity.seedCentroids(corpus, "vec_id", "embedding", m = 16)
+      val q = queriesOf(embs)
+      def assignStats(cents: DataFrame): (Double, Double) = {
+        val a = Similarity.ivfAssign(corpus, cents, "vec_id", "embedding", Dim)
+          .join(broadcast(cents), col("bucket") === col("centroid_id"))
+          .withColumn("sqerr", aggregate(
+            zip_with(col("dv"), col("cv"), (x, y) => (x - y) * (x - y)),
+            lit(0.0), (acc, v) => acc + v))
+        val share = a.groupBy("bucket").count()
+          .agg(max("count")).head().getLong(0) / n
+        val mse = a.agg(avg("sqerr")).head().getDouble(0)
+        (share, mse)
+      }
+      val (seedShare, seedMse) = assignStats(seed)
+      val (refShare, refMse) = assignStats(refined)
+      assert(refMse < seedMse,
+        s"$label: refinement must reduce quantization error: $refMse vs $seedMse")
+      assert(refShare <= seedShare,
+        s"$label: refinement must not worsen bucket balance: $refShare vs $seedShare")
+      val bf = Similarity.bruteForceTopK(q, corpus, "vec_id", "embedding", Dim, k = 5)
+        .select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      val idx = buildIndex(s"ividx_kref_$label", corpus, refined)
+      val probed = Similarity.probeIvfIndex(idx, q,
+          "vec_id", "embedding", Dim, k = 5, nProbe = 4)
+        .select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val recall = bf.count(probed.contains).toDouble / bf.length
+      assert(recall >= 0.8, s"$label: refined recall $recall (seed maxShare " +
+        s"$seedShare -> refined $refShare)")
+      // stored-probe parity with the in-memory search over refined centroids
+      val expected = rows(Similarity.ivfTopK(q, corpus, refined,
+        "vec_id", "embedding", Dim, k = 5, nProbe = 4))
+      val got = rows(Similarity.probeIvfIndex(
+        Similarity.readIvfIndex(spark, s"ividx_kref_$label"), q,
+        "vec_id", "embedding", Dim, k = 5, nProbe = 4))
+      assert(got == expected,
+        s"$label: stored probe of the refined index diverged from in-memory ivfTopK")
+    }
+  }
+
   test("probe prunes to the probed buckets' files; exchange count is corpus-size-invariant") {
     val e = embs
     val cents = Similarity.seedCentroids(e, "vec_id", "embedding", m = 16)
