@@ -313,6 +313,61 @@ object TextDedup {
   def readFingerprintIndex(spark: org.apache.spark.sql.SparkSession,
       name: String): DataFrame = spark.table(s"${name}_fp")
 
+  /** Rewrite a stored table's content into fresh bucket files at `path`
+    * and atomically (catalog-level) take over its name: write the new
+    * bucketed table under a temp name with the ORIGINAL's bucket count
+    * (read from the catalog — compaction must never change the layout
+    * contract appends rely on), then drop-and-rename. The swapped-out
+    * files are left behind (plain Parquet has no transaction log to
+    * reclaim through); the swap itself is metadata-only.
+    */
+  private def swapCompacted(spark: org.apache.spark.sql.SparkSession,
+      table: String, compacted: DataFrame, path: String,
+      keys: Seq[String]): Unit = {
+    import org.apache.spark.sql.catalyst.TableIdentifier
+    val buckets = spark.sessionState.catalog
+      .getTableMetadata(TableIdentifier(table)).bucketSpec
+      .getOrElse(sys.error(s"$table is not a bucketed table")).numBuckets
+    val tmp = s"${table}__compact"
+    Bucketing.writeBucketed(compacted, tmp, path, buckets, keys)
+    spark.sql(s"DROP TABLE $table")
+    spark.sql(s"ALTER TABLE $tmp RENAME TO $table")
+  }
+
+  /** Compact a stored band index: collapse the accumulated per-append
+    * PARTIAL width rows back to one row per (band, band_key) — probe-time
+    * sum-merge keeps answers exact regardless, but months of appends
+    * multiply the widths scan for no information — and rewrite the bands
+    * table into fresh bucket files (each append adds a file per bucket;
+    * compaction restores the buckets-files invariant a scan's open cost
+    * depends on). Content-preserving by construction: probe pairs before
+    * == after, same bucket layout, same plan shape (BandIndexSpec pins
+    * all three). Cost is O(index) — run it at the cadence append volume
+    * warrants, from the orchestrator's single-writer window (the swap,
+    * like the appends, is not transactional on plain Parquet).
+    */
+  def compactBandIndex(spark: org.apache.spark.sql.SparkSession,
+      name: String, path: String): Unit = {
+    swapCompacted(spark, s"${name}_widths",
+      spark.table(s"${name}_widths")
+        .groupBy(col("band"), col("band_key"))
+        .agg(sum(col("corpus_width")).as("corpus_width")),
+      s"$path/widths", Seq("band", "band_key"))
+    swapCompacted(spark, s"${name}_bands",
+      spark.table(s"${name}_bands"), s"$path/bands", Seq("band", "band_key"))
+  }
+
+  /** Compact a stored fingerprint index: drop the duplicate fingerprints
+    * overlapping appends accumulate (membership probes are set-semantic,
+    * so duplicates never change answers — they only pay scan cost) and
+    * rewrite into fresh bucket files. Same contract as
+    * [[compactBandIndex]]: content-equivalent, layout-preserving.
+    */
+  def compactFingerprintIndex(spark: org.apache.spark.sql.SparkSession,
+      name: String, path: String): Unit =
+    swapCompacted(spark, s"${name}_fp",
+      spark.table(s"${name}_fp").distinct(), path, Seq("fp"))
+
   /** Probe a STORED index with a batch's bands — the disk-backed face of
     * [[incrementalCandidates]], identical pair semantics (combined
     * corpus+batch width cap; corpus id in `_1`, batch id in `_2`;

@@ -178,6 +178,79 @@ class BandIndexSpec extends AnyFunSuite {
       "duplicate fingerprints across appends must not change membership answers")
   }
 
+  test("compaction collapses width partials and duplicate fps; probe answers and plan unchanged") {
+    val corpus = docs
+    val batch = batchOf(corpus)
+    val bb = graft.core.Caching.reap(bandsOf(batch))
+    val cb = graft.core.Caching.reap(bandsOf(corpus))
+    // initial write + three appends: buckets touched by several quarters
+    // hold several partial width rows
+    val path = java.nio.file.Files.createTempDirectory("graft_bidx_comp").toString
+    TextDedup.writeBandIndex(cb.filter(col("doc_id") % 4 === 0), "doc_id",
+      "bidx_comp", path, buckets = 4)
+    (1 to 3).foreach { r =>
+      TextDedup.appendToBandIndex(spark, cb.filter(col("doc_id") % 4 === r),
+        "doc_id", "bidx_comp")
+    }
+    val before = TextDedup.probeBandIndex(TextDedup.readBandIndex(spark, "bidx_comp"),
+        bb, "doc_id", maxBucket = Some(100))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    val widthsBefore = spark.table("bidx_comp_widths").count()
+    val distinctBuckets = spark.table("bidx_comp_widths")
+      .select("band", "band_key").distinct().count()
+    assert(widthsBefore > distinctBuckets,
+      "appends must have accumulated partial width rows — otherwise " +
+        "compaction has nothing to collapse and this test is vacuous")
+
+    val cPath = java.nio.file.Files.createTempDirectory("graft_bidx_comp2").toString
+    TextDedup.compactBandIndex(spark, "bidx_comp", cPath)
+
+    // widths collapsed to one row per bucket key; bucket layout preserved
+    assert(spark.table("bidx_comp_widths").count() == distinctBuckets,
+      "compaction must leave exactly one width row per (band, band_key)")
+    import org.apache.spark.sql.catalyst.TableIdentifier
+    for (t <- Seq("bidx_comp_widths", "bidx_comp_bands")) {
+      val spec = spark.sessionState.catalog
+        .getTableMetadata(TableIdentifier(t)).bucketSpec
+      assert(spec.exists(_.numBuckets == 4),
+        s"$t must keep its catalog bucket layout through compaction: $spec")
+    }
+    // probe answers identical, and the plan invariants still hold: the
+    // only exchange fed by the stored index is the final pair dedup
+    val pAfter = TextDedup.probeBandIndex(TextDedup.readBandIndex(spark, "bidx_comp"),
+      bb, "doc_id", maxBucket = Some(100))
+    val after = pAfter.collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    assert(before.nonEmpty && after.toSeq == before.toSeq,
+      "compaction must be content-preserving: probe pairs before == after")
+    val sh = corpusShuffles(pAfter, "graft_bidx_comp2")
+    assert(sh.size == 1 && sh.head.output.size == 2,
+      s"compacted-index probe must keep the broadcast-probe plan shape, got ${sh.size}")
+
+    // fingerprint index: overlapping appends leave duplicates; compaction
+    // drops them without changing membership answers
+    val fp = md5(col("text"))
+    val fPath = java.nio.file.Files.createTempDirectory("graft_fpidx_comp").toString
+    TextDedup.writeFingerprintIndex(corpus.filter(col("doc_id") % 2 === 0),
+      fp, "fpidx_comp", fPath, buckets = 4)
+    TextDedup.appendToFingerprintIndex(spark, corpus, fp, "fpidx_comp")
+    val fpRowsBefore = spark.table("fpidx_comp_fp").count()
+    val fpDistinct = spark.table("fpidx_comp_fp").distinct().count()
+    assert(fpRowsBefore > fpDistinct, "overlapping append must leave duplicate fps")
+    def membership(): Set[Long] =
+      docs.select(col("doc_id"), fp.as("fp"))
+        .join(TextDedup.readFingerprintIndex(spark, "fpidx_comp")
+          .withColumn("__hit", lit(1)), Seq("fp"), "left_outer")
+        .filter(col("__hit").isNull)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+    val mBefore = membership()
+    val fcPath = java.nio.file.Files.createTempDirectory("graft_fpidx_comp2").toString
+    TextDedup.compactFingerprintIndex(spark, "fpidx_comp", fcPath)
+    assert(spark.table("fpidx_comp_fp").count() == fpDistinct,
+      "compaction must leave exactly one row per fingerprint")
+    assert(membership() == mBefore,
+      "compaction must not change membership answers")
+  }
+
   test("probe never shuffles the stored corpus; exchange count is corpus-size-invariant") {
     val batch = batchOf(docs)
     val bb = graft.core.Caching.reap(bandsOf(batch))
