@@ -468,10 +468,14 @@ object TextDedup {
     * order. Documents whose every segment was seen elsewhere vanish.
     *
     * Scale shape: one explode to (id, pos, segment) rows, ONE hash
-    * shuffle on the segment fingerprint for the first-occurrence window,
-    * one shuffle back on the id to reassemble — no self-join, nothing
-    * quadratic; the md5 window key keeps full segment text off the
-    * first shuffle's sort keys.
+    * shuffle on the segment value for the first-occurrence window, one
+    * shuffle back on the id to reassemble — no self-join, nothing
+    * quadratic. The window partitions on the segment TEXT, not a digest:
+    * Spark hashes the partition key for the shuffle anyway (the rows
+    * carry the segment either way — it must survive for reassembly), and
+    * a digest key would let a hash collision between two distinct
+    * segments silently drop a non-duplicate span from an operator
+    * documented as EXACT.
     */
   def segmentDedup(docs: DataFrame, idCol: String, textCol: String,
       segTokens: Int = 16): DataFrame = {
@@ -484,7 +488,7 @@ object TextDedup {
           i => concat_ws(" ", slice(toks, i * segTokens + 1, lit(segTokens)))))
         .as(Seq("pos", "seg")))
       .filter(col("seg") =!= "")
-    val w = Window.partitionBy(md5(col("seg"))).orderBy(col(idCol), col("pos"))
+    val w = Window.partitionBy(col("seg")).orderBy(col(idCol), col("pos"))
     segs.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)
       .groupBy(col(idCol))

@@ -470,6 +470,80 @@ object OperatorQueries extends QueryModule {
         FROM orders
         GROUP BY 1, 2
         ORDER BY year, quarter
-      """.trim))
+      """.trim)),
+
+    // --- §4 physical design, CONTENT-certified (the plan half — range
+    // partitioning, salt spread, stats-flipped broadcasts — stays pinned
+    // in ScaleOpsSpec/StreamingSpec): the Z-order rewrite must be an
+    // identity on content (the oracle reads the ORIGINAL table), ANALYZE
+    // must refresh stats without touching results, and the salted join is
+    // semantically the plain equi join. Gate-only (bench=false): layout
+    // rewrites are ingest-time jobs; timing their writes per repeat would
+    // measure ingest, not queries (the q28 lesson). ---
+    GQuery(
+      "q103_zorder_salted",
+      (spark, dir) => {
+        val o = t(spark, dir, "orders")
+        val path = java.nio.file.Files.createTempDirectory("graft_q103z").toString
+        graft.operators.Layout.zorderWrite(o, s"$path/z",
+          (col("o_custkey"), col("o_orderkey")), numFiles = 8)
+        spark.sql("DROP TABLE IF EXISTS q103_z")
+        spark.sql(s"CREATE TABLE q103_z USING parquet LOCATION '$path/z'")
+        graft.operators.Layout.analyzeTable(spark, "q103_z", Seq("o_custkey"))
+        val z = spark.table("q103_z")
+        val seg = t(spark, dir, "customer")
+          .select(col("c_custkey").as("o_custkey"), col("c_mktsegment"))
+        graft.operators.Skew.saltedJoin(z, seg, Seq("o_custkey"), buckets = 4)
+          .groupBy(col("c_mktsegment"))
+          .agg(count(lit(1)).as("order_count"),
+            sum(dec(col("o_totalprice"))).cast(DoubleType).as("total_revenue"))
+          .orderBy(col("c_mktsegment"))
+      },
+      Some("""
+        SELECT c_mktsegment,
+               COUNT(*) AS order_count,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total_revenue
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY c_mktsegment
+        ORDER BY c_mktsegment
+      """.trim),
+      bench = false),
+
+    // --- §4 bucketed co-located join, CONTENT-certified: both fact sides
+    // written bucketed on the join key and joined through the catalog —
+    // the recurring-join layout whose zero-exchange property StreamingSpec
+    // asserts; here the oracle certifies the joined CONTENT survives the
+    // bucketed write/read roundtrip. ---
+    GQuery(
+      "q104_bucketed_join",
+      (spark, dir) => {
+        val wh = java.nio.file.Files.createTempDirectory("graft_q104b").toString
+        spark.sql("DROP TABLE IF EXISTS q104_o")
+        spark.sql("DROP TABLE IF EXISTS q104_l")
+        graft.operators.Bucketing.writeBucketed(
+          t(spark, dir, "orders").select(col("o_orderkey"), col("o_orderpriority")),
+          "q104_o", s"$wh/o", 8, Seq("o_orderkey"))
+        graft.operators.Bucketing.writeBucketed(
+          t(spark, dir, "lineitem")
+            .select(col("l_orderkey"), col("l_quantity"), col("l_extendedprice")),
+          "q104_l", s"$wh/l", 8, Seq("l_orderkey"))
+        spark.table("q104_l")
+          .join(spark.table("q104_o"), col("l_orderkey") === col("o_orderkey"))
+          .groupBy(col("o_orderpriority"))
+          .agg(count(lit(1)).as("item_count"),
+            sum(dec(col("l_quantity"))).cast(DoubleType).as("sum_qty"),
+            sum(dec(col("l_extendedprice"))).cast(DoubleType).as("sum_price"))
+          .orderBy(col("o_orderpriority"))
+      },
+      Some("""
+        SELECT o_orderpriority,
+               COUNT(*) AS item_count,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+      """.trim),
+      bench = false)
   )
 }
