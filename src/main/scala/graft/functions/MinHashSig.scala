@@ -1,0 +1,130 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.GraftSqlBridge
+import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Fused MinHash signature: all `numHashes` xxhash64 minima over a
+  * distinct-shingle array in ONE pass (SURVEY §2.12, the production
+  * signature family).
+  *
+  * Replaces `array((0 until k).map(i => array_min(transform(sh, s =>
+  * xxhash64(lit(i), s)))))`, which walks the shingle array k times and
+  * materializes k intermediate hash arrays per row. This expression loads
+  * each shingle's bytes once and updates the k running minima in place —
+  * no intermediate arrays, one traversal, whole-stage-codegen'd.
+  *
+  * VALUES ARE BIT-IDENTICAL to the composition it replaces: Spark's
+  * `xxhash64(lit(i), s)` folds seed 42 through `XXH64.hashInt(i, 42)`
+  * (the Int literal) then `XXH64.hashUnsafeBytes(s, seedI)` — this
+  * expression precomputes the per-i seeds and applies the same second
+  * step, so stored band indexes built before and after the swap agree
+  * row-for-row. A null shingle leaves the running hash at the seed
+  * (Spark's null-skipping hash semantics); an empty shingle array yields
+  * all-null minima (`array_min` of empty) — both replicated exactly.
+  */
+case class MinHashSigExpr(child: Expression, numHashes: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  require(numHashes > 0, "minhash_sig needs at least one hash")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = true)
+  override def nullable: Boolean = child.nullable
+
+  // covariant override, the DotProductExpr pattern (AbstractDataType is
+  // private[sql] in Spark 4)
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(StringType))
+
+  /** Per-i seeds: xxhash64's fold of the IntegerType literal `i` under
+    * Spark's fixed seed 42.
+    */
+  private lazy val seeds: Array[Long] =
+    Array.tabulate(numHashes)(i => XXH64.hashInt(i, 42L))
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    if (n == 0) return new GenericArrayData(new Array[Any](numHashes))
+    val minima = Array.fill(numHashes)(Long.MaxValue)
+    var j = 0
+    while (j < n) {
+      if (arr.isNullAt(j)) {
+        var i = 0
+        while (i < numHashes) {
+          if (seeds(i) < minima(i)) minima(i) = seeds(i)
+          i += 1
+        }
+      } else {
+        val s = arr.getUTF8String(j)
+        val base = s.getBaseObject
+        val off = s.getBaseOffset
+        val len = s.numBytes
+        var i = 0
+        while (i < numHashes) {
+          val h = XXH64.hashUnsafeBytes(base, off, len, seeds(i))
+          if (h < minima(i)) minima(i) = h
+          i += 1
+        }
+      }
+      j += 1
+    }
+    new GenericArrayData(minima)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val seedsRef = ctx.addReferenceObj("mhSeeds", seeds, "long[]")
+    val xxh = classOf[XXH64].getName
+    val gad = classOf[GenericArrayData].getName
+    val utf8 = classOf[UTF8String].getName
+    nullSafeCodeGen(ctx, ev, a => {
+      val n = ctx.freshName("n")
+      val minima = ctx.freshName("minima")
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val s = ctx.freshName("s")
+      val h = ctx.freshName("h")
+      s"""
+         |int $n = $a.numElements();
+         |if ($n == 0) {
+         |  ${ev.value} = new $gad(new Object[$numHashes]);
+         |} else {
+         |  long[] $minima = new long[$numHashes];
+         |  java.util.Arrays.fill($minima, Long.MAX_VALUE);
+         |  for (int $j = 0; $j < $n; $j++) {
+         |    if ($a.isNullAt($j)) {
+         |      for (int $i = 0; $i < $numHashes; $i++) {
+         |        if ($seedsRef[$i] < $minima[$i]) $minima[$i] = $seedsRef[$i];
+         |      }
+         |    } else {
+         |      $utf8 $s = $a.getUTF8String($j);
+         |      for (int $i = 0; $i < $numHashes; $i++) {
+         |        long $h = $xxh.hashUnsafeBytes($s.getBaseObject(),
+         |          $s.getBaseOffset(), $s.numBytes(), $seedsRef[$i]);
+         |        if ($h < $minima[$i]) $minima[$i] = $h;
+         |      }
+         |    }
+         |  }
+         |  ${ev.value} = new $gad($minima);
+         |}
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashSigExpr =
+    copy(child = newChild)
+
+  override def prettyName: String = "minhash_sig"
+}
+
+object MinHashFunctions {
+  /** Fused one-pass xxhash64 MinHash signature over an `array<string>`
+    * shingle column; bit-identical to the k-pass transform/array_min
+    * composition it replaces.
+    */
+  def minhash_sig(sh: Column, numHashes: Int): Column =
+    GraftSqlBridge.column(MinHashSigExpr(GraftSqlBridge.expression(sh), numHashes))
+}

@@ -73,10 +73,15 @@ object TextDedup {
     array((0 until numHashes).map(i =>
       array_min(transform(sh, s => md5(concat_ws(":", lit(i.toString), s))))): _*)
 
-  /** xxhash64-family signature expression over a staged shingle column. */
+  /** xxhash64-family signature expression over a staged shingle column:
+    * the fused one-pass native [[graft.functions.MinHashSigExpr]] — all
+    * `numHashes` minima from a single traversal of the shingle array,
+    * bit-identical to the k-pass `array_min(transform(...))` composition
+    * it replaced (TextDedupSpec pins the parity), so stored band indexes
+    * written before the swap still probe correctly.
+    */
   def sigFromShinglesFast(sh: Column, numHashes: Int): Column =
-    array((0 until numHashes).map(i =>
-      array_min(transform(sh, s => xxhash64(lit(i), s)))): _*)
+    graft.functions.MinHashFunctions.minhash_sig(sh, numHashes)
 
   /** LSH banding: (id, band, band_key) rows — `numBands` rows per document;
     * docs sharing a band key are near-dup candidates.

@@ -35,6 +35,35 @@ class TextDedupSpec extends AnyFunSuite {
     assert(recall >= 0.8, s"recall $recall over ${planted.size} planted pairs")
   }
 
+  test("fused minhash_sig is bit-identical to the k-pass transform/array_min composition") {
+    // the legacy formulation the fused native expression replaced — kept
+    // here as the parity oracle
+    def legacy(sh: org.apache.spark.sql.Column, k: Int) =
+      array((0 until k).map(i =>
+        array_min(transform(sh, s => xxhash64(lit(i), s)))): _*)
+    val sh = array_distinct(TextAnalysis.shingles(col("text"), 3))
+    val mismatches = docs
+      .select(TextDedup.sigFromShinglesFast(sh, 8).as("fused"),
+        legacy(sh, 8).as("leg"))
+      .filter(col("fused") =!= col("leg"))
+      .count()
+    assert(mismatches == 0,
+      "fused signature diverged from the transform/array_min composition")
+    // edge cases the corpus does not cover: empty shingle array (all-null
+    // minima, array_min-of-empty semantics) and a null shingle (hash
+    // stays at the per-i seed, Spark's null-skipping fold)
+    val edge = Seq(
+      (1L, Seq.empty[String]),
+      (2L, Seq(null.asInstanceOf[String], "abc")),
+      (3L, Seq("abc"))).toDF("id", "sh")
+    val edgeMismatch = edge
+      .select(TextDedup.sigFromShinglesFast(col("sh"), 4).as("fused"),
+        legacy(col("sh"), 4).as("leg"))
+      .filter(!(col("fused") <=> col("leg")))
+      .count()
+    assert(edgeMismatch == 0, "edge-case parity (empty array / null shingle) failed")
+  }
+
   test("simhash: planted near-dups have small hamming distance, random pairs large") {
     val sh = TextDedup.simhash(docs, "doc_id", "text").cache()
     val a = sh.toDF("id_a", "sim_a")
