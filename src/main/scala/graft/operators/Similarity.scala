@@ -389,6 +389,34 @@ object Similarity {
   def readIvfIndex(spark: org.apache.spark.sql.SparkSession, name: String): StoredIvf =
     StoredIvf(spark.table(s"${name}_centroids"), spark.table(s"${name}_assign"))
 
+  /** Distribution-drift probe for an append-only IVF index — the "when to
+    * rebuild" signal [[appendToIvfIndex]]'s frozen-centroid trade calls
+    * for. Assigns `batch` against the index's own stored centroids and
+    * returns one row of quantization diagnostics: `n`, `mse` (mean squared
+    * distance to the assigned centroid — the k-means objective on the
+    * batch) and `max_share` (largest bucket's fraction — skew the probes
+    * would inherit). Compare against the same stats on a corpus sample
+    * (or the values recorded at build time): a drifted batch scores a
+    * visibly higher mse / more skewed share, and the orchestrator
+    * rebuilds with fresh centroids. One broadcast join + one aggregate —
+    * O(batch), never touches stored assignments.
+    */
+  def ivfDriftStats(spark: org.apache.spark.sql.SparkSession, batch: DataFrame,
+      idCol: String, vecCol: String, dim: Int, name: String): DataFrame = {
+    val cents = spark.table(s"${name}_centroids")
+    val assigned = ivfAssign(batch, cents, idCol, vecCol, dim)
+      .join(broadcast(cents), col("bucket") === col("centroid_id"))
+      .withColumn("__sqerr", aggregate(
+        zip_with(col("dv"), col("cv"), (x, y) => (x - y) * (x - y)),
+        lit(0.0), (acc, v) => acc + v))
+    val perBucket = assigned.groupBy(col("bucket"))
+      .agg(count(lit(1)).as("__n"), sum(col("__sqerr")).as("__se"))
+    perBucket.agg(
+      sum(col("__n")).cast("long").as("n"),
+      (sum(col("__se")) / sum(col("__n"))).as("mse"),
+      (max(col("__n")).cast("double") / sum(col("__n"))).as("max_share"))
+  }
+
   /** IVF search against a STORED index — identical ranking semantics (and
     * bit-identical scores: the stored `cn` was computed by the same
     * expression) to [[ivfTopK]], but the corpus side is the bucketed

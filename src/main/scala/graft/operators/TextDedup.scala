@@ -549,6 +549,54 @@ object TextDedup {
   def jaccard(sh1: Column, sh2: Column): Column =
     size(array_intersect(sh1, sh2)).cast("double") / size(array_union(sh1, sh2))
 
+  /** Shingle CONTAINMENT: |A∩B| / min(|A|, |B|) — the asymmetric overlap
+    * measure. A document fully contained in one 3× its size scores
+    * Jaccard ≈ 1/3 but containment 1.0, so truncations, quotations, and
+    * partial mirrors that symmetric Jaccard under-scores clear a
+    * containment threshold. Single IEEE division, cross-engine exact.
+    */
+  def containment(sh1: Column, sh2: Column): Column =
+    size(array_intersect(sh1, sh2)).cast("double") /
+      least(size(sh1), size(sh2))
+
+  /** CONTAINMENT-verified near-dup pairs (C4/RefinedWeb-style partial-
+    * overlap dedup): LSH candidate generation, then exact containment on
+    * the candidates — same staging discipline as [[dedupCorpus]] (shingles
+    * computed once, band cache reaped once the narrow pairs materialize).
+    *
+    * Recall honesty: MinHash band-collision probability follows JACCARD,
+    * so candidate generation surfaces the truncation/partial-mirror band
+    * where Jaccard is still moderate (the planted-mutant regime) but NOT
+    * the tiny-doc-inside-huge-doc extreme (J → 0 while containment → 1).
+    * For that regime use the shingle-join [[contamination]] path, which
+    * is containment-complete by construction — `minShared` there IS an
+    * absolute containment floor.
+    */
+  def containmentPairs(docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, numHashes: Int = 8, numBands: Int = 4, rowsPerBand: Int = 2,
+      threshold: Double = 0.9, maxBucket: Option[Int] = Some(100),
+      fastHashes: Boolean = true): DataFrame = {
+    require(numBands * rowsPerBand <= numHashes,
+      s"bands×rows ($numBands×$rowsPerBand) exceeds signature width $numHashes")
+    val withSh = docs.select(col(idCol),
+      array_distinct(TextAnalysis.shingles(col(textCol), n)).as("__sh")).persist()
+    val sigs = withSh.select(col(idCol),
+      (if (fastHashes) sigFromShinglesFast(col("__sh"), numHashes)
+       else sigFromShinglesMd5(col("__sh"), numHashes)).as("sig"))
+    val bands =
+      (if (fastHashes) lshBandsFast(sigs, idCol, col("sig"), numBands, rowsPerBand)
+       else lshBands(sigs, idCol, col("sig"), numBands, rowsPerBand)).persist()
+    val verified = lshCandidates(bands, idCol, maxBucket)
+      .join(withSh.select(col(idCol).as(s"${idCol}_1"), col("__sh").as("__sh1")),
+        Seq(s"${idCol}_1"))
+      .join(withSh.select(col(idCol).as(s"${idCol}_2"), col("__sh").as("__sh2")),
+        Seq(s"${idCol}_2"))
+      .withColumn("containment", containment(col("__sh1"), col("__sh2")))
+      .filter(col("containment") >= threshold)
+      .select(col(s"${idCol}_1"), col(s"${idCol}_2"), col("containment"))
+    graft.core.Caching.reap(verified, bands, withSh)
+  }
+
   /** Quadratic-per-block n-gram Jaccard join: pairs within the same
     * `blockKey` whose Jaccard ≥ `threshold`. For bounded blocks only —
     * use [[lshCandidates]] at corpus scale.

@@ -341,6 +341,61 @@ object TextQueries extends QueryModule {
         ORDER BY doc_id_1, doc_id_2
       """).trim)),
 
+    // --- CONTAINMENT-verified near-dup pairs (md5 family for the oracle;
+    // production uses fastHashes=true): the asymmetric-overlap dedup that
+    // catches truncations and partial mirrors Jaccard under-scores — the
+    // planted mutants (last two tokens dropped) have shingle sets fully
+    // contained in their base doc, so each scores containment 1.0 where
+    // its Jaccard is already < 1. ---
+    GQuery(
+      "q105_containment_pairs",
+      (spark, dir) =>
+        TextDedup.containmentPairs(withNearDups(spark, dir), "doc_id", "text",
+            n = 3, numHashes = 8, numBands = 4, rowsPerBand = 2,
+            threshold = 0.9, maxBucket = Some(100), fastHashes = false)
+          .orderBy(col("doc_id_1"), col("doc_id_2")),
+      Some((dupSqlCtes + """
+        , tk AS (SELECT doc_id, string_split(lower(text), ' ') AS tk FROM neardocs),
+        sh AS (
+          SELECT doc_id,
+                 list_distinct(list_transform(
+                   generate_series(1, greatest(len(tk) - 2, 1)),
+                   i -> concat_ws(' ', tk[i], tk[i+1], tk[i+2]))) AS s
+          FROM tk),
+        sig AS (
+          SELECT doc_id,
+                 list_aggregate(list_transform(s, x -> md5('0:' || x)), 'min') AS h0,
+                 list_aggregate(list_transform(s, x -> md5('1:' || x)), 'min') AS h1,
+                 list_aggregate(list_transform(s, x -> md5('2:' || x)), 'min') AS h2,
+                 list_aggregate(list_transform(s, x -> md5('3:' || x)), 'min') AS h3,
+                 list_aggregate(list_transform(s, x -> md5('4:' || x)), 'min') AS h4,
+                 list_aggregate(list_transform(s, x -> md5('5:' || x)), 'min') AS h5,
+                 list_aggregate(list_transform(s, x -> md5('6:' || x)), 'min') AS h6,
+                 list_aggregate(list_transform(s, x -> md5('7:' || x)), 'min') AS h7
+          FROM sh),
+        bands AS (
+          SELECT doc_id, 0 AS band, md5(concat_ws('|', h0, h1)) AS band_key FROM sig
+          UNION ALL SELECT doc_id, 1, md5(concat_ws('|', h2, h3)) FROM sig
+          UNION ALL SELECT doc_id, 2, md5(concat_ws('|', h4, h5)) FROM sig
+          UNION ALL SELECT doc_id, 3, md5(concat_ws('|', h6, h7)) FROM sig),
+        capped AS (
+          SELECT doc_id, band, band_key FROM bands
+          QUALIFY COUNT(*) OVER (PARTITION BY band, band_key) <= 100),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2
+          FROM capped a JOIN capped b
+            ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id)
+        SELECT c.doc_id_1, c.doc_id_2,
+               CAST(len(list_distinct(list_intersect(s1.s, s2.s))) AS DOUBLE)
+                 / least(len(s1.s), len(s2.s)) AS containment
+        FROM cand c
+        JOIN sh s1 ON s1.doc_id = c.doc_id_1
+        JOIN sh s2 ON s2.doc_id = c.doc_id_2
+        WHERE CAST(len(list_distinct(list_intersect(s1.s, s2.s))) AS DOUBLE)
+                 / least(len(s1.s), len(s2.s)) >= 0.9
+        ORDER BY doc_id_1, doc_id_2
+      """).trim)),
+
     // --- END-TO-END curation filter: the composed pre-training pass
     // (language allowlist + quality floor + repetition ceiling + length
     // band) in one shuffle-free projection — the filter analogue of q98's

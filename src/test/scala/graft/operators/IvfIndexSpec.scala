@@ -190,6 +190,27 @@ class IvfIndexSpec extends AnyFunSuite {
     }
   }
 
+  test("ivfDriftStats flags a drifted batch against the stored centroids") {
+    val e = embs
+    val cents = Similarity.seedCentroids(e, "vec_id", "embedding", m = 16)
+    buildIndex("ividx_drift", e, cents)
+    val batch = e.filter(col("vec_id") % 7 === 0)
+    val inStats = Similarity.ivfDriftStats(spark, batch,
+      "vec_id", "embedding", Dim, "ividx_drift").head()
+    // drifted batch: negate and shift every dimension — far from any
+    // centroid the index was built with
+    val drifted = batch.withColumn("embedding",
+      transform(col("embedding"), x => x * lit(-1.0) + lit(2.0)))
+    val dStats = Similarity.ivfDriftStats(spark, drifted,
+      "vec_id", "embedding", Dim, "ividx_drift").head()
+    assert(inStats.getAs[Long]("n") == dStats.getAs[Long]("n"))
+    assert(dStats.getAs[Double]("mse") > 2 * inStats.getAs[Double]("mse"),
+      s"drifted mse ${dStats.getAs[Double]("mse")} should dwarf " +
+        s"in-distribution ${inStats.getAs[Double]("mse")}")
+    assert(inStats.getAs[Double]("max_share") <= 1.0 &&
+      dStats.getAs[Double]("max_share") <= 1.0)
+  }
+
   test("probe prunes to the probed buckets' files; exchange count is corpus-size-invariant") {
     val e = embs
     val cents = Similarity.seedCentroids(e, "vec_id", "embedding", m = 16)

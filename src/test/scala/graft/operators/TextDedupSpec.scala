@@ -78,6 +78,24 @@ class TextDedupSpec extends AnyFunSuite {
       s"planted avg $avgPlanted should be well under random avg $avgRandom")
   }
 
+  test("containment pairs (fast family) score every planted truncation at exactly 1.0") {
+    // mutants drop the last two tokens, so their shingle set is a strict
+    // subset of the base doc's — containment must be exactly 1.0 even
+    // though Jaccard is already < 1
+    val pairs = TextDedup.containmentPairs(docs, "doc_id", "text",
+        threshold = 0.9, fastHashes = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val byPair = pairs.map { case (a, b, c) => (a, b) -> c }.toMap
+    val planted = docs.filter(col("doc_id") >= 100000)
+      .select((col("doc_id") - 100000).as("a"), col("doc_id").as("b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val found = planted.filter(byPair.contains)
+    assert(found.length.toDouble / planted.length >= 0.8,
+      s"containment recall ${found.length}/${planted.length}")
+    assert(found.forall(p => byPair(p) == 1.0),
+      "a truncation's shingle set is a strict subset — containment must be exactly 1.0")
+  }
+
   test("jaccard pairs find exactly the planted mutants at high threshold") {
     val pairs = TextDedup.jaccardPairs(docs, "doc_id", "text", Seq(col("lang")), 3, 0.6)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
