@@ -447,6 +447,51 @@ object Similarity {
       }
     probeAssigned(assigned, index.centroids, queries, idCol, vecCol, dim, k, nProbe)
   }
+
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): k-means-cluster the
+    * embedding space, then run exact cosine dedup WITHIN each cluster —
+    * a row is a duplicate iff some lower-id clustermate's cosine meets
+    * `threshold`; the surviving row of each near-dup group is its
+    * min-id representative. Returns one row per input:
+    * `(<idCol>, bucket, dup_of, kept)` with `dup_of` = the min lower-id
+    * near-dup (null for survivors) and `kept = dup_of IS NULL`.
+    *
+    * Scale shape: centroids broadcast for assignment (same max-dot rule
+    * as [[ivfAssign]]); the pair scan is a bucket-keyed self-join — both
+    * sides hash-partition on `bucket`, so all-pairs work is confined to
+    * one cluster per task and the global cost is Σ |cluster|²/2, the
+    * paper's design point (size m via [[centroidCount]] so clusters stay
+    * n/√n wide). Norms are hoisted per-row before the pair loop. The
+    * method's documented recall boundary applies: a near-dup pair whose
+    * members land in DIFFERENT clusters is not examined — that trade (vs
+    * the all-pairs scan) is what makes 100 TB feasible; pass
+    * [[kmeansRefine]]d centroids to tighten clusters around the data.
+    */
+  def semDedup(corpus: DataFrame, centroids: DataFrame, idCol: String,
+      vecCol: String, dim: Int, threshold: Double): DataFrame = {
+    // The assignment (an n×m score + per-id window) feeds BOTH sides of
+    // the pair scan and the final verdict join — persist it once instead
+    // of recomputing it three times, then reap: the returned verdict
+    // table is narrow (id, bucket, dup_of, kept), so pinned footprint
+    // after return is O(result), the dedupCorpus cache discipline.
+    val assigned = ivfAssign(corpus, centroids, idCol, vecCol, dim)
+      .withColumn("__nrm", norm(col("dv"), dim))
+      .persist()
+    val a = assigned.select(col(idCol).as("__id_a"), col("dv").as("__va"),
+      col("__nrm").as("__na"), col("bucket"))
+    val b = assigned.select(col(idCol).as("__id_b"), col("dv").as("__vb"),
+      col("__nrm").as("__nb"), col("bucket"))
+    val dups = a.join(b, Seq("bucket"))
+      .filter(col("__id_a") < col("__id_b"))
+      .filter(cosinePrenormed(col("__va"), col("__vb"),
+        col("__na"), col("__nb"), dim) >= threshold)
+      .groupBy(col("__id_b").as(idCol))
+      .agg(min(col("__id_a")).as("dup_of"))
+    val verdicts = assigned.select(col(idCol), col("bucket"))
+      .join(dups, Seq(idCol), "left")
+      .withColumn("kept", col("dup_of").isNull)
+    graft.core.Caching.reap(verdicts, assigned)
+  }
 }
 
 /** Result of [[Similarity.dedupVectors]]: verified cosine near-dup `pairs`

@@ -149,6 +149,35 @@ object SourceQueries extends QueryModule {
         spark.read.parquet(path).orderBy(col("r_regionkey"))
       },
       Some("SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey"),
+      bench = false),
+
+    // --- ORC roundtrip: the second columnar format Spark ships natively.
+    // Same content-identity discipline as the other sinks (the oracle
+    // reads the original parquet table), plus a pushdown stanza: ORC
+    // carries min/max + bloom stripe stats, so the predicate and the
+    // two-column projection must reach the ORC scan, not a post-filter.
+    // DuckDB cannot read ORC — content identity through the roundtrip is
+    // exactly what makes the oracle able to certify it anyway. ---
+    GQuery(
+      "q107_orc_roundtrip",
+      (spark, dir) => {
+        val src = t(spark, dir, "supplier")
+          .select(col("s_suppkey"), col("s_name"), col("s_nationkey"),
+            dec(col("s_acctbal")).as("s_acctbal"))
+        val path = tmp("orc")
+        src.write.mode(SaveMode.Overwrite)
+          .option("compression", "zlib").orc(path)
+        spark.read.orc(path)
+          .filter(col("s_acctbal") > 0)
+          .select(col("s_suppkey"), col("s_name"), col("s_nationkey"), col("s_acctbal"))
+          .orderBy(col("s_suppkey"))
+      },
+      Some("""
+        SELECT s_suppkey, s_name, s_nationkey,
+               CAST(s_acctbal AS DECIMAL(12,2)) AS s_acctbal
+        FROM supplier WHERE CAST(s_acctbal AS DECIMAL(12,2)) > 0
+        ORDER BY s_suppkey
+      """.trim),
       bench = false)
   )
 }

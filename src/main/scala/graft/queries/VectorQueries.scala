@@ -273,6 +273,53 @@ object VectorQueries extends QueryModule {
         SELECT vec_id_1, vec_id_2, label, round(cosine, 6) AS cosine_r
         FROM pairs WHERE cosine >= 0.99
         ORDER BY vec_id_1, vec_id_2
+      """.trim)),
+
+    // --- SemDeDup (cluster-then-dedup): k-means buckets confine the exact
+    // cosine pair scan, the published semantic-dedup recipe for web-scale
+    // corpora. Deterministic end-to-end (seeded centroids = first 16 by
+    // id, max-dot assignment with centroid-id tiebreak, min-lower-id
+    // representative), so the FULL per-row verdict table — assignment,
+    // duplicate source, kept flag — hash-matches a DuckDB replay. Planted
+    // exact copies (re-keyed +10000) land in their original's bucket by
+    // construction and must all be marked dup_of=original. ---
+    GQuery(
+      "q106_semdedup",
+      (spark, dir) => {
+        val e0 = Tables.embs(spark, dir)
+        val e = e0.unionByName(e0.filter(col("vec_id") % 25 === 0)
+          .withColumn("vec_id", col("vec_id") + 10000))
+        val cents = Similarity.seedCentroids(e, "vec_id", "embedding", m = 16)
+        Similarity.semDedup(e, cents, "vec_id", "embedding", Dim, threshold = 0.99)
+          .orderBy(col("vec_id"))
+      },
+      Some("""
+        WITH v AS (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+          UNION ALL
+          SELECT vec_id + 10000, CAST(embedding AS DOUBLE[]) AS e
+          FROM embeddings WHERE vec_id % 25 = 0),
+        cents AS (
+          SELECT vec_id AS centroid_id, e AS cv FROM v
+          QUALIFY row_number() OVER (ORDER BY vec_id) <= 16),
+        assigned AS (
+          SELECT v.vec_id, v.e, c.centroid_id AS bucket
+          FROM v CROSS JOIN cents c
+          QUALIFY row_number() OVER (PARTITION BY v.vec_id
+                    ORDER BY list_sum(list_transform(generate_series(1, 64),
+                               i -> v.e[i] * c.cv[i])) DESC,
+                             c.centroid_id) = 1),
+        dups AS (
+          SELECT b.vec_id, MIN(a.vec_id) AS dup_of
+          FROM assigned a JOIN assigned b
+            ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+          WHERE list_sum(list_transform(generate_series(1, 64), i -> a.e[i] * b.e[i]))
+                  / (sqrt(list_sum(list_transform(generate_series(1, 64), i -> a.e[i] * a.e[i])))
+                     * sqrt(list_sum(list_transform(generate_series(1, 64), i -> b.e[i] * b.e[i])))) >= 0.99
+          GROUP BY b.vec_id)
+        SELECT s.vec_id, s.bucket, d.dup_of, d.dup_of IS NULL AS kept
+        FROM assigned s LEFT JOIN dups d USING (vec_id)
+        ORDER BY s.vec_id
       """.trim))
   )
 }

@@ -234,4 +234,46 @@ class IvfIndexSpec extends AnyFunSuite {
     val (e1, e3) = (Bucketing.exchangeCount(p1), Bucketing.exchangeCount(p3))
     assert(e1 == e3, s"probe exchange count grew with the corpus: $e1 -> $e3")
   }
+
+  test("semDedup drops every planted copy, keeps every original, and reaps its assignment cache") {
+    val e0 = embs
+    val planted = e0.filter(col("vec_id") % 25 === 0)
+      .withColumn("vec_id", col("vec_id") + 10000)
+    val e = e0.unionByName(planted)
+    val cents = Similarity.seedCentroids(e, "vec_id", "embedding", m = 16)
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val verdicts = Similarity.semDedup(e, cents, "vec_id", "embedding", Dim, 0.99)
+
+    val rows = verdicts.collect()
+    assert(rows.length == e.count(), "one verdict per input row")
+    val byId = rows.map(r => r.getLong(0) -> r).toMap
+    // Identical vectors share an assignment (same max-dot, same tiebreak),
+    // so every planted copy must be marked a duplicate of its original:
+    // the original is the min lower-id clustermate at cosine 1.0. Real
+    // intra-label cosines top out ~0.45, far under the 0.99 threshold.
+    planted.select(col("vec_id")).collect().map(_.getLong(0)).foreach { cid =>
+      val r = byId(cid)
+      assert(!r.getBoolean(3), s"planted copy $cid survived")
+      assert(r.getLong(2) == cid - 10000, s"copy $cid dup_of ${r.get(2)}, expected ${cid - 10000}")
+    }
+    e0.select(col("vec_id")).collect().map(_.getLong(0)).foreach { oid =>
+      assert(byId(oid).getBoolean(3), s"original $oid was dropped")
+      assert(byId(oid).isNullAt(2), s"original $oid has dup_of ${byId(oid).get(2)}")
+    }
+    // The internal assignment persist is reaped at the operator boundary:
+    // the only blocks pinned after return back the O(n)-narrow verdict
+    // checkpoint itself, never the vector-carrying assignment frame.
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(leaked.size <= 1, s"semDedup leaked ${leaked.size} persisted RDDs")
+    // The all-pairs scan is confined to clusters: the self-join keys on
+    // `bucket`, never a cartesian over the corpus (checked on the
+    // pre-checkpoint shape, which the reap hides from the returned plan).
+    val assigned = Similarity.ivfAssign(e, cents, "vec_id", "embedding", Dim)
+    val pairPlan = assigned.select(col("vec_id").as("a"), col("bucket"))
+      .join(assigned.select(col("vec_id").as("b"), col("bucket")), Seq("bucket"))
+      .filter(col("a") < col("b"))
+      .queryExecution.executedPlan.toString
+    assert(!pairPlan.contains("CartesianProduct"),
+      s"semDedup pair scan must be bucket-keyed, got cartesian:\n$pairPlan")
+  }
 }
