@@ -70,4 +70,28 @@ object Curation {
         col("rep3") <= rules.maxRepetition &&
         col("tokens").between(rules.minTokens, rules.maxTokens))
       .drop("__curation_fence")
+
+  /** Corpus-RELATIVE quality floor (the FineWeb/DCLM discipline): keep
+    * rows whose `scoreCol` meets the corpus's own `q`-quantile, so the
+    * threshold adapts to the distribution instead of being hand-tuned per
+    * source. Two jobs by construction — a scalar quantile aggregate, then
+    * a broadcast-scalar filter pass; the corpus is never shuffled.
+    *
+    * `exact = true` uses `percentile` (linear interpolation, the DuckDB
+    * `quantile_cont` definition): it aggregates a per-value count map, so
+    * it is only for BOUNDED-CARDINALITY scores (integer lengths, token
+    * counts) — exact and deterministic there. For unbounded doubles at
+    * corpus scale leave the default `approx_percentile` path (mergeable
+    * KLL-style sketch, bounded memory per partition), whose threshold is
+    * within `accuracy`-rank error — CurationOpsSpec pins the band.
+    */
+  def quantileFloor(docs: DataFrame, scoreCol: String, q: Double,
+      exact: Boolean = false, accuracy: Int = 10000): DataFrame = {
+    val thr =
+      if (exact) expr(s"percentile($scoreCol, $q)")
+      else percentile_approx(col(scoreCol), lit(q), lit(accuracy))
+    docs.crossJoin(broadcast(docs.agg(thr.as("__thr"))))
+      .filter(col(scoreCol) >= col("__thr"))
+      .drop("__thr")
+  }
 }

@@ -797,4 +797,27 @@ final class CorpusDedup(val pairs: DataFrame, idCol: String) {
     docs.join(
       clusters.filter(col(idCol) =!= col("component")).select(col(idCol)),
       Seq(idCol), "left_anti")
+
+  /** Canonicalization POLICY variant of [[keepOne]]: instead of the
+    * min-id representative, keep each cluster's best member by `score`
+    * (higher wins; ties break to the min id, so the result is
+    * deterministic for any score column). The practical policy for
+    * training corpora — near-dup groups keep their longest / highest-
+    * quality / most-recent variant, not whichever crawled first.
+    *
+    * Same scale shape as keepOne: only (id, score) joins the cluster
+    * table, the per-component window runs over cluster-sized groups, and
+    * the wide document payload sees one LEFT ANTI on ids.
+    */
+  def keepBest(docs: DataFrame, score: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val narrow = docs.select(col(idCol), score.as("__score"))
+    val w = Window.partitionBy(col("component"))
+      .orderBy(col("__score").desc, col(idCol))
+    val losers = clusters.join(narrow, Seq(idCol))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") > 1)
+      .select(col(idCol))
+    docs.join(losers, Seq(idCol), "left_anti")
+  }
 }

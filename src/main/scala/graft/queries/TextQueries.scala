@@ -964,6 +964,98 @@ object TextQueries extends QueryModule {
         cc AS (SELECT id, MIN(comp) AS component FROM reach GROUP BY id)
         SELECT component AS cluster_rep, COUNT(*) AS members
         FROM cc GROUP BY component ORDER BY cluster_rep
-      """).trim.replaceFirst("WITH", "WITH RECURSIVE")))
+      """).trim.replaceFirst("WITH", "WITH RECURSIVE"))),
+
+    // --- keep-BEST canonicalization: near-dup clusters keep their
+    // highest-scoring member (here: most distinct tokens — "the richest
+    // variant wins"), not the min-id one. Same cluster mirror as q76,
+    // then the policy window replayed in SQL. Gate-only: the pipeline
+    // cost is already benched via q76/q98; this adds one narrow window +
+    // anti join on top, and benching it would just re-pay the pipeline. ---
+    GQuery(
+      "q108_keep_best",
+      (spark, dir) => {
+        val d = withNearDups(spark, dir)
+        neardupDedup(spark, dir)
+          .keepBest(d, size(array_distinct(TextAnalysis.tokens(lower(col("text"))))))
+          .select(col("doc_id"), col("lang"))
+          .orderBy(col("doc_id"))
+      },
+      Some((dupSqlCtes + """
+        , tk AS (SELECT doc_id, string_split(lower(text), ' ') AS tk FROM neardocs),
+        sh AS (
+          SELECT doc_id,
+                 list_distinct(list_transform(
+                   generate_series(1, greatest(len(tk) - 2, 1)),
+                   i -> concat_ws(' ', tk[i], tk[i+1], tk[i+2]))) AS s
+          FROM tk),
+        sig AS (
+          SELECT doc_id,
+                 list_aggregate(list_transform(s, x -> md5('0:' || x)), 'min') AS h0,
+                 list_aggregate(list_transform(s, x -> md5('1:' || x)), 'min') AS h1,
+                 list_aggregate(list_transform(s, x -> md5('2:' || x)), 'min') AS h2,
+                 list_aggregate(list_transform(s, x -> md5('3:' || x)), 'min') AS h3,
+                 list_aggregate(list_transform(s, x -> md5('4:' || x)), 'min') AS h4,
+                 list_aggregate(list_transform(s, x -> md5('5:' || x)), 'min') AS h5,
+                 list_aggregate(list_transform(s, x -> md5('6:' || x)), 'min') AS h6,
+                 list_aggregate(list_transform(s, x -> md5('7:' || x)), 'min') AS h7
+          FROM sh),
+        bands AS (
+          SELECT doc_id, 0 AS band, md5(concat_ws('|', h0, h1)) AS band_key FROM sig
+          UNION ALL SELECT doc_id, 1, md5(concat_ws('|', h2, h3)) FROM sig
+          UNION ALL SELECT doc_id, 2, md5(concat_ws('|', h4, h5)) FROM sig
+          UNION ALL SELECT doc_id, 3, md5(concat_ws('|', h6, h7)) FROM sig),
+        capped AS (
+          SELECT doc_id, band, band_key FROM bands
+          QUALIFY COUNT(*) OVER (PARTITION BY band, band_key) <= 100),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2
+          FROM capped a JOIN capped b
+            ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+        verified AS (
+          SELECT c.doc_id_1, c.doc_id_2
+          FROM cand c
+          JOIN sh x ON x.doc_id = c.doc_id_1
+          JOIN sh y ON y.doc_id = c.doc_id_2
+          WHERE CAST(len(list_distinct(list_intersect(x.s, y.s))) AS DOUBLE)
+                  / len(list_distinct(list_concat(x.s, y.s))) >= 0.6),
+        edges AS (
+          SELECT doc_id_1 AS src, doc_id_2 AS dst FROM verified
+          UNION SELECT doc_id_2, doc_id_1 FROM verified),
+        nodes AS (SELECT DISTINCT src AS id FROM edges),
+        reach AS (
+          SELECT id, id AS comp FROM nodes
+          UNION
+          SELECT e.dst, r.comp FROM reach r JOIN edges e ON e.src = r.id),
+        cc AS (SELECT id, MIN(comp) AS component FROM reach GROUP BY id),
+        scored AS (
+          SELECT doc_id, len(list_distinct(tk)) AS score FROM tk),
+        losers AS (
+          SELECT cc.id AS doc_id FROM cc JOIN scored s ON s.doc_id = cc.id
+          QUALIFY row_number() OVER (PARTITION BY cc.component
+                    ORDER BY s.score DESC, cc.id) > 1)
+        SELECT doc_id, lang FROM neardocs
+        WHERE doc_id NOT IN (SELECT doc_id FROM losers)
+        ORDER BY doc_id
+      """).trim.replaceFirst("WITH", "WITH RECURSIVE")),
+      bench = false),
+
+    // --- corpus-relative quality floor (FineWeb/DCLM discipline): the
+    // keep threshold is the corpus's own quantile, not a hand constant.
+    // Exact-percentile path gated (integer scores — deterministic linear
+    // interpolation both engines); the approx_percentile production path
+    // for unbounded doubles is pinned in CurationOpsSpec. ---
+    GQuery(
+      "q109_quantile_floor",
+      (spark, dir) =>
+        graft.operators.Curation.quantileFloor(
+            Tables.docs(spark, dir), "n_chars", q = 0.25, exact = true)
+          .select(col("doc_id"), col("lang"), col("n_chars"))
+          .orderBy(col("doc_id")),
+      Some("""
+        SELECT doc_id, lang, n_chars FROM documents
+        WHERE n_chars >= (SELECT quantile_cont(n_chars, 0.25) FROM documents)
+        ORDER BY doc_id
+      """.trim))
   )
 }

@@ -124,4 +124,38 @@ class CurationOpsSpec extends AnyFunSuite {
     val d = df.select(Similarity.quantizedDot($"a", $"b")).head().getLong(0)
     assert(d == (4 - 10 - 18))
   }
+
+  test("quantileFloor: exact path keeps exactly the top (1-q) ranks; approx within rank-error band") {
+    // 1..1000 scores: p25 of 1..1000 via linear interpolation = 250.75,
+    // so the exact floor keeps 251..1000 — 750 rows precisely.
+    val df = (1 to 1000).map(i => (i.toLong, i.toLong)).toDF("id", "score")
+    val exact = Curation.quantileFloor(df, "score", 0.25, exact = true)
+    assert(exact.count() == 750)
+    assert(exact.agg(min($"score")).head().getLong(0) == 251L)
+    // Approx path: the sketch guarantees the returned value's RANK is
+    // within n/accuracy of the target — accuracy=10000 on n=1000 is
+    // sub-rank, but assert the documented band, not the lucky exactness.
+    val approx = Curation.quantileFloor(df, "score", 0.25, exact = false)
+    val kept = approx.count()
+    assert(math.abs(kept - 750) <= 1000 / 100,
+      s"approx floor kept $kept of an expected ~750")
+    // Threshold adapts to the distribution: shift every score up and the
+    // same call keeps the same ROWS (corpus-relative, not absolute).
+    val shifted = Curation.quantileFloor(
+      df.withColumn("score", $"score" + 1000000L), "score", 0.25, exact = true)
+    assert(shifted.count() == 750)
+  }
+
+  test("keepBest keeps the top-score member (not min id) and passes unclustered docs through") {
+    // Components: {1,2,3} (3 has the best score — must win over min-id 1)
+    // and {10,11} (tie on score — min id 10 wins). Doc 99 is in no
+    // cluster and must pass through.
+    val pairs = Seq((1L, 2L, 1.0), (2L, 3L, 1.0), (10L, 11L, 1.0))
+      .toDF("doc_id_1", "doc_id_2", "jaccard")
+    val docs = Seq((1L, 5), (2L, 7), (3L, 9), (10L, 4), (11L, 4), (99L, 1))
+      .toDF("doc_id", "score")
+    val kept = new CorpusDedup(pairs, "doc_id").keepBest(docs, $"score")
+      .select($"doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(3L, 10L, 99L), s"got $kept")
+  }
 }
