@@ -383,6 +383,13 @@ object Similarity {
       .write.mode(org.apache.spark.sql.SaveMode.Append)
       .bucketBy(buckets, "bucket").sortBy("bucket")
       .saveAsTable(s"${name}_assign")
+    // The write executes on the BATCH's session (under foreachBatch, a
+    // streaming clone with its own table-relation cache); only that clone
+    // self-invalidates. Refresh on the session handle the caller probes
+    // through, so a probe right after an append never reads a stale file
+    // list. (Other concurrent sessions keep Spark's standard contract:
+    // refreshTable before relying on cross-session appends.)
+    spark.catalog.refreshTable(s"${name}_assign")
   }
 
   /** Reopen a stored index written by [[writeIvfIndex]]. */

@@ -275,6 +275,12 @@ object TextDedup {
       .write.mode(SaveMode.Append)
       .bucketBy(buckets, "band", "band_key").sortBy("band", "band_key")
       .saveAsTable(s"${name}_widths")
+    // Under foreachBatch the writes execute on the streaming clone
+    // session, which invalidates only ITS table-relation cache — refresh
+    // on the caller's handle so a probe right after the append sees the
+    // new files (same contract as Similarity.appendToIvfIndex).
+    spark.catalog.refreshTable(s"${name}_bands")
+    spark.catalog.refreshTable(s"${name}_widths")
   }
 
   /** Reopen a stored index written by [[writeBandIndex]]. */
@@ -312,6 +318,9 @@ object TextDedup {
       .write.mode(SaveMode.Append)
       .bucketBy(buckets, "fp").sortBy("fp")
       .saveAsTable(s"${name}_fp")
+    // Clone-session append (foreachBatch) leaves the caller's relation
+    // cache stale — refresh on the caller's handle (see appendToBandIndex).
+    spark.catalog.refreshTable(s"${name}_fp")
   }
 
   /** Reopen a stored fingerprint index: one `fp` column, bucketed. */

@@ -235,6 +235,49 @@ class IvfIndexSpec extends AnyFunSuite {
     assert(e1 == e3, s"probe exchange count grew with the corpus: $e1 -> $e3")
   }
 
+  test("streaming vector ingest maintains the stored IVF index: foreachBatch appends == one-shot build") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    val e = embs
+    val cents = Similarity.seedCentroids(e, "vec_id", "embedding", m = 16)
+    // Seed the stored index from the first half of the corpus; the second
+    // half arrives as a STREAM of (id, vector) rows — the continuous-
+    // ingest shape (new embeddings appended as they are computed), the
+    // vector face of q87's streaming fingerprint maintenance.
+    val idx = buildIndex("ividx_stream", e.filter(col("vec_id") < 250), cents)
+    val late = e.filter(col("vec_id") >= 250)
+      .select(col("vec_id"), col("embedding"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1)))
+
+    val src = MemoryStream[(Long, Seq[Float])]
+    val q = src.toDF().toDF("vec_id", "embedding")
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        Similarity.appendToIvfIndex(spark, batch, "vec_id", "embedding",
+          Dim, "ividx_stream")
+      }
+      .start()
+    try {
+      val (b1, b2) = late.splitAt(late.length / 2)
+      src.addData(b1.toSeq); q.processAllAvailable()
+      src.addData(b2.toSeq); q.processAllAvailable()
+    } finally q.stop()
+    assert(spark.table("ividx_stream_assign").count() == e.count(),
+      "streamed appends did not land in the stored assignments table")
+
+    // The streamed index answers exactly like one built over the full
+    // corpus in one shot (same centroids → same assignments → same
+    // stored scores): streaming maintenance loses nothing.
+    val oneShot = buildIndex("ividx_oneshot", e, cents)
+    val got = rows(Similarity.probeIvfIndex(Similarity.readIvfIndex(spark,
+      "ividx_stream"), queriesOf(e), "vec_id", "embedding", Dim, k = 5, nProbe = 4))
+    val want = rows(Similarity.probeIvfIndex(oneShot, queriesOf(e),
+      "vec_id", "embedding", Dim, k = 5, nProbe = 4))
+    assert(got == want, "streamed appends diverged from the one-shot build")
+  }
+
   test("semDedup drops every planted copy, keeps every original, and reaps its assignment cache") {
     val e0 = embs
     val planted = e0.filter(col("vec_id") % 25 === 0)
