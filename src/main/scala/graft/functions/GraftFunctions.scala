@@ -11,9 +11,12 @@ import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 object GraftFunctions {
 
   /** Imperative registration on an existing session (idempotent). */
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "format_phone", exprs => FormatPhoneExpr(exprs.head), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "nfc_normalize", exprs => NfcNormalizeExpr(exprs.head), "scala_udf")
+  }
 }
 
 /** `SparkSessionExtensions` entry point — usable via
@@ -26,5 +29,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[FormatPhoneExpr].getName, "format_phone"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         FormatPhoneExpr(exprs.head)))
+    e.injectFunction((
+      FunctionIdentifier("nfc_normalize"),
+      new ExpressionInfo(classOf[NfcNormalizeExpr].getName, "nfc_normalize"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        NfcNormalizeExpr(exprs.head)))
   }
 }

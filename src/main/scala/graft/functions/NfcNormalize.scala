@@ -1,0 +1,61 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.GraftSqlBridge
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.{DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** `nfc_normalize` — Unicode NFC canonicalization as a native Catalyst
+  * expression (SURVEY §2.10 native-expression policy; §2.12 text dedup).
+  *
+  * Why it is load-bearing for dedup: the SAME visible text can arrive
+  * precomposed (`é` U+00E9) or decomposed (`e` + U+0301) depending on the
+  * source (macOS filenames, some OCR, some web frameworks emit NFD), and
+  * every digest-based operator in this engine — [[graft.operators.TextDedup]]
+  * exact groups, fingerprints, MinHash shingles — hashes BYTES. Without a
+  * canonical form, byte-distinct encodings of identical text silently
+  * defeat exact dedup. CCNet/ccnet-style pipelines normalize before
+  * hashing for exactly this reason.
+  *
+  * Implementation notes: `java.text.Normalizer.isNormalized` is a cheap
+  * scan (ASCII — the overwhelming majority of corpus text — short-
+  * circuits fast) and skips the allocating `normalize` call; only rows
+  * that actually need composing pay for it. Stays inside whole-stage
+  * codegen, one JVM static call per row, no UDF serialization.
+  */
+case class NfcNormalizeExpr(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = child.nullable
+
+  override def nullSafeEval(input: Any): Any =
+    NfcNormalizeExpr.nfc(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cls = NfcNormalizeExpr.getClass.getName.stripSuffix("$")
+    defineCodeGen(ctx, ev, c => s"$cls.nfc($c)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): NfcNormalizeExpr =
+    copy(child = newChild)
+
+  override def prettyName: String = "nfc_normalize"
+}
+
+object NfcNormalizeExpr {
+  /** Shared by interpreted eval and generated code. */
+  def nfc(s: UTF8String): UTF8String = {
+    val str = s.toString
+    if (java.text.Normalizer.isNormalized(str, java.text.Normalizer.Form.NFC)) s
+    else UTF8String.fromString(
+      java.text.Normalizer.normalize(str, java.text.Normalizer.Form.NFC))
+  }
+}
+
+object UnicodeFunctions {
+  /** Codegen'd Catalyst-native NFC normalization. */
+  def nfc_normalize(c: Column): Column =
+    GraftSqlBridge.column(NfcNormalizeExpr(GraftSqlBridge.expression(c)))
+}

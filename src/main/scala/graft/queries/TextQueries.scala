@@ -1056,6 +1056,42 @@ object TextQueries extends QueryModule {
         SELECT doc_id, lang, n_chars FROM documents
         WHERE n_chars >= (SELECT quantile_cont(n_chars, 0.25) FROM documents)
         ORDER BY doc_id
+      """.trim)),
+
+    // --- Unicode NFC canonicalization (native codegen'd expression):
+    // byte-distinct encodings of the SAME visible text (precomposed é vs
+    // e+combining-acute) silently defeat every digest-based dedup op, so
+    // CCNet-style pipelines normalize before hashing. Planted decomposed
+    // suffixes must compose (already_nfc=false, md5 changes); the ASCII
+    // corpus must pass through untouched. Both engines hash the UTF-8
+    // bytes of their own NFC result — agreement certifies the forms
+    // match, not just the flags. ---
+    GQuery(
+      "q110_nfc_normalize",
+      (spark, dir) => {
+        import graft.functions.UnicodeFunctions.nfc_normalize
+        val d = Tables.docs(spark, dir)
+        val planted = d.filter(col("doc_id") % 10 === 0)
+          .withColumn("doc_id", col("doc_id") + 100000)
+          // the literal is DECOMPOSED on purpose: cafe+U+0301, nai+U+0308+ve
+          .withColumn("text", concat(col("text"), lit(" café naïve")))
+        d.unionByName(planted)
+          .select(col("doc_id"),
+            md5(nfc_normalize(col("text"))).as("nfc_md5"),
+            (nfc_normalize(col("text")) === col("text")).as("already_nfc"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""
+        WITH docs AS (
+          SELECT doc_id, text FROM documents
+          UNION ALL
+          SELECT doc_id + 100000,
+                 text || ' cafe' || chr(769) || ' nai' || chr(776) || 've'
+          FROM documents WHERE doc_id % 10 = 0)
+        SELECT doc_id,
+               md5(nfc_normalize(text)) AS nfc_md5,
+               nfc_normalize(text) = text AS already_nfc
+        FROM docs ORDER BY doc_id
       """.trim))
   )
 }

@@ -1,0 +1,58 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+import graft.functions.UnicodeFunctions.nfc_normalize
+
+class NfcNormalizeSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val decomposedCafe = "cafe\u0301" // e + combining acute
+  private val composedCafe = "caf\u00e9"    // precomposed
+
+  test("decomposed input composes; composed and ASCII pass through unchanged") {
+    val df = Seq(
+      ("dec", decomposedCafe),
+      ("pre", composedCafe),
+      ("ascii", "plain ascii text"),
+      ("empty", "")).toDF("k", "s")
+    val got = df.select($"k", nfc_normalize($"s").as("n"), ($"s" === nfc_normalize($"s")).as("same"))
+      .collect().map(r => r.getString(0) -> (r.getString(1), r.getBoolean(2))).toMap
+    assert(got("dec") == ((composedCafe, false)))
+    assert(got("pre") == ((composedCafe, true)))
+    assert(got("ascii") == (("plain ascii text", true)))
+    assert(got("empty") == (("", true)))
+  }
+
+  test("digest-based exact dedup is defeated without NFC and restored with it") {
+    val df = Seq((1L, decomposedCafe), (2L, composedCafe)).toDF("id", "text")
+    assert(df.select(md5($"text")).distinct().count() == 2,
+      "byte-distinct encodings must hash apart raw")
+    assert(df.select(md5(nfc_normalize($"text"))).distinct().count() == 1,
+      "NFC must make the visibly-identical texts hash together")
+  }
+
+  test("null propagates; non-BMP text (surrogate pairs) survives") {
+    val df = Seq((1L, Option("ok 😀 emoji")), (2L, None))
+      .toDF("id", "s")
+    val rows = df.select($"id", nfc_normalize($"s").as("n"))
+      .collect().map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    assert(rows(1L).contains("ok 😀 emoji"))
+    assert(rows(2L).isEmpty)
+  }
+
+  test("interpreted eval matches codegen and SQL registration resolves") {
+    GraftFunctions.register(spark)
+    val viaSql = spark.sql(
+      s"SELECT nfc_normalize('$decomposedCafe')").head().getString(0)
+    assert(viaSql == composedCafe)
+    // interpreted path (no codegen): evaluate the expression directly
+    val expr = NfcNormalizeExpr(
+      org.apache.spark.sql.catalyst.expressions.Literal.create(
+        decomposedCafe, org.apache.spark.sql.types.StringType))
+    assert(expr.eval(null).toString == composedCafe)
+  }
+}
