@@ -396,6 +396,21 @@ object Similarity {
   def readIvfIndex(spark: org.apache.spark.sql.SparkSession, name: String): StoredIvf =
     StoredIvf(spark.table(s"${name}_centroids"), spark.table(s"${name}_assign"))
 
+  /** Compact a stored IVF index's assignments table: appends never add
+    * duplicate ROWS (each vector is assigned once), but every
+    * [[appendToIvfIndex]] adds one FILE per bucket, so months of appends
+    * multiply a probe's file-open cost for no information. Rewrites the
+    * assignments into fresh bucket files at `path` preserving the catalog
+    * bucket layout, then swaps the table name — the
+    * [[TextDedup.compactBandIndex]] contract (content-equivalent,
+    * layout-preserving, single-writer window; centroids are one tiny file
+    * and never need compaction).
+    */
+  def compactIvfIndex(spark: org.apache.spark.sql.SparkSession,
+      name: String, path: String): Unit =
+    TextDedup.swapCompacted(spark, s"${name}_assign", identity,
+      path, Seq("bucket"))
+
   /** Distribution-drift probe for an append-only IVF index — the "when to
     * rebuild" signal [[appendToIvfIndex]]'s frozen-centroid trade calls
     * for. Assigns `batch` against the index's own stored centroids and

@@ -335,15 +335,29 @@ object TextDedup {
     * files are left behind (plain Parquet has no transaction log to
     * reclaim through); the swap itself is metadata-only.
     */
-  private def swapCompacted(spark: org.apache.spark.sql.SparkSession,
-      table: String, compacted: DataFrame, path: String,
+  /** Rewrite `table`'s content (through `transform` — identity for pure
+    * file compaction, an aggregate for width/duplicate collapse) into
+    * fresh bucket files at `path` and take over its name.
+    *
+    * The input is read as PLAIN PARQUET from the table's location, not
+    * via `spark.table`: a bucketed scan already satisfies the rewrite's
+    * hash distribution, so the planner ELIDES the explicit repartition —
+    * and then disables bucketed reading as unused, leaving raw file
+    * splits. The write then emits one file per (scan split × bucket),
+    * the exact multiplication compaction exists to erase. Stripping the
+    * bucket metadata from the read keeps the real exchange in the plan:
+    * exactly one file per populated bucket comes out.
+    */
+  private[operators] def swapCompacted(spark: org.apache.spark.sql.SparkSession,
+      table: String, transform: DataFrame => DataFrame, path: String,
       keys: Seq[String]): Unit = {
     import org.apache.spark.sql.catalyst.TableIdentifier
-    val buckets = spark.sessionState.catalog
-      .getTableMetadata(TableIdentifier(table)).bucketSpec
+    val meta = spark.sessionState.catalog.getTableMetadata(TableIdentifier(table))
+    val buckets = meta.bucketSpec
       .getOrElse(sys.error(s"$table is not a bucketed table")).numBuckets
+    val plainRead = spark.read.parquet(meta.location.toString)
     val tmp = s"${table}__compact"
-    Bucketing.writeBucketed(compacted, tmp, path, buckets, keys)
+    Bucketing.writeBucketed(transform(plainRead), tmp, path, buckets, keys)
     spark.sql(s"DROP TABLE $table")
     spark.sql(s"ALTER TABLE $tmp RENAME TO $table")
   }
@@ -363,12 +377,11 @@ object TextDedup {
   def compactBandIndex(spark: org.apache.spark.sql.SparkSession,
       name: String, path: String): Unit = {
     swapCompacted(spark, s"${name}_widths",
-      spark.table(s"${name}_widths")
-        .groupBy(col("band"), col("band_key"))
+      _.groupBy(col("band"), col("band_key"))
         .agg(sum(col("corpus_width")).as("corpus_width")),
       s"$path/widths", Seq("band", "band_key"))
-    swapCompacted(spark, s"${name}_bands",
-      spark.table(s"${name}_bands"), s"$path/bands", Seq("band", "band_key"))
+    swapCompacted(spark, s"${name}_bands", identity,
+      s"$path/bands", Seq("band", "band_key"))
   }
 
   /** Compact a stored fingerprint index: drop the duplicate fingerprints
@@ -379,8 +392,7 @@ object TextDedup {
     */
   def compactFingerprintIndex(spark: org.apache.spark.sql.SparkSession,
       name: String, path: String): Unit =
-    swapCompacted(spark, s"${name}_fp",
-      spark.table(s"${name}_fp").distinct(), path, Seq("fp"))
+    swapCompacted(spark, s"${name}_fp", _.distinct(), path, Seq("fp"))
 
   /** Probe a STORED index with a batch's bands — the disk-backed face of
     * [[incrementalCandidates]], identical pair semantics (combined

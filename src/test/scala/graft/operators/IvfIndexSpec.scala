@@ -235,6 +235,58 @@ class IvfIndexSpec extends AnyFunSuite {
     assert(e1 == e3, s"probe exchange count grew with the corpus: $e1 -> $e3")
   }
 
+  test("compactIvfIndex collapses per-append files; probe answers and layout unchanged") {
+    val e = embs
+    val cents = Similarity.seedCentroids(e, "vec_id", "embedding", m = 16)
+    val path = java.nio.file.Files.createTempDirectory("graft_ividx_comp").toString
+    Similarity.writeIvfIndex(e.filter(col("vec_id") % 4 === 0), cents,
+      "vec_id", "embedding", Dim, "ividx_comp", path, buckets = 4)
+    (1 to 3).foreach { r =>
+      Similarity.appendToIvfIndex(spark, e.filter(col("vec_id") % 4 === r),
+        "vec_id", "embedding", Dim, "ividx_comp")
+    }
+    def assignFiles(): Int = {
+      import org.apache.spark.sql.catalyst.TableIdentifier
+      val loc = spark.sessionState.catalog
+        .getTableMetadata(TableIdentifier("ividx_comp_assign")).location
+      new java.io.File(loc).listFiles().count(_.getName.endsWith(".parquet"))
+    }
+    val before = rows(Similarity.probeIvfIndex(Similarity.readIvfIndex(spark,
+      "ividx_comp"), queriesOf(e), "vec_id", "embedding", Dim, k = 5, nProbe = 4))
+    val filesBefore = assignFiles()
+    assert(filesBefore > 4,
+      "appends must have multiplied bucket files — otherwise compaction is vacuous")
+
+    val cPath = java.nio.file.Files.createTempDirectory("graft_ividx_comp2").toString
+    Similarity.compactIvfIndex(spark, "ividx_comp", cPath)
+
+    // The floor is a FRESH one-shot build's file count (the writer emits
+    // one file per populated (task, bucket) pair — a property of the
+    // write path, not of append history): compaction must land exactly
+    // back on it, erasing the per-append multiplication.
+    val fPath = java.nio.file.Files.createTempDirectory("graft_ividx_fresh").toString
+    Similarity.writeIvfIndex(e, cents, "vec_id", "embedding", Dim,
+      "ividx_fresh", fPath, buckets = 4)
+    val freshFiles = {
+      import org.apache.spark.sql.catalyst.TableIdentifier
+      val loc = spark.sessionState.catalog
+        .getTableMetadata(TableIdentifier("ividx_fresh_assign")).location
+      new java.io.File(loc).listFiles().count(_.getName.endsWith(".parquet"))
+    }
+    assert(assignFiles() == freshFiles && assignFiles() < filesBefore,
+      s"compaction must restore the fresh-build file count ($freshFiles), " +
+        s"got ${assignFiles()} from $filesBefore")
+    import org.apache.spark.sql.catalyst.TableIdentifier
+    val spec = spark.sessionState.catalog
+      .getTableMetadata(TableIdentifier("ividx_comp_assign")).bucketSpec
+    assert(spec.exists(_.numBuckets == 4),
+      s"assignments must keep their catalog bucket layout: $spec")
+    val after = rows(Similarity.probeIvfIndex(Similarity.readIvfIndex(spark,
+      "ividx_comp"), queriesOf(e), "vec_id", "embedding", Dim, k = 5, nProbe = 4))
+    assert(before.nonEmpty && after == before,
+      "compaction must be content-preserving: probe results before == after")
+  }
+
   test("streaming vector ingest maintains the stored IVF index: foreachBatch appends == one-shot build") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
