@@ -1092,6 +1092,66 @@ object TextQueries extends QueryModule {
                md5(nfc_normalize(text)) AS nfc_md5,
                nfc_normalize(text) = text AS already_nfc
         FROM docs ORDER BY doc_id
+      """.trim)),
+
+    // --- per-source corpus report (the "data card" a training-mix owner
+    // reads): docs, token mass, quality, language spread + dominant
+    // language per source, in two aggregation passes (metrics; lang
+    // mode). Decimal-sum discipline for the quality mean (CoreQueries
+    // scaladoc); the lang mode breaks ties deterministically (max count,
+    // then lexicographic). Per-source = embarrassingly partitionable at
+    // any corpus size. ---
+    GQuery(
+      "q111_corpus_report",
+      (spark, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val d = Tables.docs(spark, dir)
+        val scored = d
+          .withColumn("__tk", TextAnalysis.tokens(lower(col("text"))))
+          .withColumn("__raw_tc", TextAnalysis.tokenCount(col("text")))
+          .select(col("source"), col("lang"), col("__raw_tc").as("tokens"),
+            TextAnalysis.qualityScoreTk(col("__tk"), col("__raw_tc")).as("q"))
+        val metrics = scored.groupBy(col("source")).agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("tokens")).cast("long").as("total_tokens"),
+          min(col("tokens")).as("min_tokens"),
+          max(col("tokens")).as("max_tokens"),
+          (sum(col("q").cast("decimal(20,10)")).cast("double") / count(lit(1)))
+            .as("mean_quality"),
+          countDistinct(col("lang")).as("n_langs"))
+        val byLang = scored.groupBy(col("source"), col("lang"))
+          .agg(count(lit(1)).as("__n"))
+        val w = Window.partitionBy(col("source"))
+          .orderBy(col("__n").desc, col("lang"))
+        val topLang = byLang.withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") === 1)
+          .select(col("source"), col("lang").as("top_lang"))
+        metrics.join(topLang, Seq("source")).orderBy(col("source"))
+      },
+      Some(s"""
+        WITH s AS (
+          SELECT source, lang, string_split(lower(text), ' ') AS tk FROM documents),
+        m AS (
+          SELECT source, lang,
+                 CAST(len(tk) AS INT) AS tokens,
+                 0.4 * least(1.0, CAST(CAST(len(tk) AS INT) AS DOUBLE) / 100.0)
+                   + 0.3 * (1.0 - CAST(len(list_filter(tk, x -> list_contains($allMarkers, x))) AS DOUBLE) / len(tk))
+                   + 0.3 * CAST(len(list_distinct(tk)) AS DOUBLE) / len(tk) AS q
+          FROM s),
+        metrics AS (
+          SELECT source, COUNT(*) AS n_docs,
+                 CAST(SUM(tokens) AS BIGINT) AS total_tokens,
+                 MIN(tokens) AS min_tokens, MAX(tokens) AS max_tokens,
+                 CAST(SUM(CAST(q AS DECIMAL(20,10))) AS DOUBLE) / COUNT(*) AS mean_quality,
+                 COUNT(DISTINCT lang) AS n_langs
+          FROM m GROUP BY source),
+        top AS (
+          SELECT source, lang AS top_lang FROM (
+            SELECT source, lang, COUNT(*) AS n FROM m GROUP BY source, lang)
+          QUALIFY row_number() OVER (PARTITION BY source ORDER BY n DESC, lang) = 1)
+        SELECT metrics.*, top.top_lang
+        FROM metrics JOIN top USING (source)
+        ORDER BY source
       """.trim))
   )
 }
