@@ -146,6 +146,46 @@ object Similarity {
     cents
   }
 
+  /** Per-label mean centroids with DECIMAL-EXACT dimension sums: unlike
+    * [[kmeansRefine]]'s IEEE `avg` (fine for an internal refinement loop,
+    * order-dependent in the last ulp), each dimension's mean here is one
+    * exact decimal sum followed by a single IEEE division — deterministic
+    * under any partitioning AND reproducible by an external engine, which
+    * is what lets the classifier below be oracle-certified end to end.
+    * Returns (label, cv double array). One explode + one narrow shuffle
+    * on (label, pos); labels × dim rows — broadcast-small output.
+    */
+  def labelCentroids(df: DataFrame, labelCol: String, vecCol: String,
+      dim: Int): DataFrame =
+    df.select(col(labelCol).as("__lbl"),
+        posexplode(asDouble(col(vecCol))).as(Seq("pos", "v")))
+      .groupBy(col("__lbl"), col("pos"))
+      .agg((sum(col("v").cast("decimal(30,15)")).cast("double") / count(lit(1))).as("c"))
+      .groupBy(col("__lbl"))
+      .agg(array_sort(collect_list(struct(col("pos"), col("c")))).as("pv"))
+      .select(col("__lbl").as("label"),
+        transform(col("pv"), s => s.getField("c")).as("cv"))
+
+  /** Nearest-centroid label assignment (the weak-supervision / sanity-
+    * check classifier a corpus owner runs over an embedding column):
+    * argmax cosine against the (broadcast) label centroids, ties to the
+    * lexicographically smallest label. Returns one row per input:
+    * `(<idCol>, <labelCol>, pred_label, correct)`.
+    */
+  def classifyByCentroid(df: DataFrame, centroids: DataFrame, idCol: String,
+      labelCol: String, vecCol: String, dim: Int): DataFrame = {
+    val v = df.select(col(idCol), col(labelCol),
+      asDouble(col(vecCol)).as("__dv"))
+    val c = broadcast(centroids.select(col("label").as("__clbl"), col("cv")))
+    val scored = v.join(c)
+      .withColumn("__cos", cosine(col("__dv"), col("cv"), dim))
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col("__cos").desc, col("__clbl"))
+    scored.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
+      .select(col(idCol), col(labelCol), col("__clbl").as("pred_label"),
+        (col(labelCol) === col("__clbl")).as("correct"))
+  }
+
   /** Symmetric int8 quantization of a double vector — the memory half of
     * the 100 TB ANN recipe (IVF partitions the corpus; int8 shrinks each
     * vector 8×, so a 1e10-vector index fits a cluster's RAM). Deterministic

@@ -320,6 +320,45 @@ object VectorQueries extends QueryModule {
         SELECT s.vec_id, s.bucket, d.dup_of, d.dup_of IS NULL AS kept
         FROM assigned s LEFT JOIN dups d USING (vec_id)
         ORDER BY s.vec_id
+      """.trim)),
+
+    // --- nearest-centroid label classifier: per-label mean centroids from
+    // DECIMAL-EXACT dimension sums (one IEEE division each — partitioning-
+    // invariant and engine-reproducible, unlike a float avg fold), then
+    // argmax-cosine assignment with a lexicographic tie-break. The full
+    // per-row verdict (true label, predicted, correct) hash-matches the
+    // DuckDB replay. ---
+    GQuery(
+      "q112_centroid_classify",
+      (spark, dir) => {
+        val e = Tables.embs(spark, dir)
+        val cents = Similarity.labelCentroids(e, "label", "embedding", Dim)
+        Similarity.classifyByCentroid(e, cents, "vec_id", "label", "embedding", Dim)
+          .orderBy(col("vec_id"))
+      },
+      Some("""
+        WITH v AS (
+          SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        x AS (
+          SELECT label, g.i AS pos, e[g.i] AS val
+          FROM v, generate_series(1, 64) g(i)),
+        dims AS (
+          SELECT label, pos,
+                 CAST(SUM(CAST(val AS DECIMAL(30,15))) AS DOUBLE) / COUNT(*) AS c
+          FROM x GROUP BY label, pos),
+        cents AS (
+          SELECT label AS clbl, list(c ORDER BY pos) AS cv
+          FROM dims GROUP BY label),
+        scored AS (
+          SELECT v.vec_id, v.label, c.clbl,
+                 list_sum(list_transform(generate_series(1, 64), i -> v.e[i] * c.cv[i]))
+                   / (sqrt(list_sum(list_transform(generate_series(1, 64), i -> v.e[i] * v.e[i])))
+                      * sqrt(list_sum(list_transform(generate_series(1, 64), i -> c.cv[i] * c.cv[i])))) AS cos
+          FROM v CROSS JOIN cents c)
+        SELECT vec_id, label, clbl AS pred_label, label = clbl AS correct
+        FROM scored
+        QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, clbl) = 1
+        ORDER BY vec_id
       """.trim))
   )
 }

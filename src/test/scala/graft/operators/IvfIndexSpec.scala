@@ -235,6 +235,22 @@ class IvfIndexSpec extends AnyFunSuite {
     assert(e1 == e3, s"probe exchange count grew with the corpus: $e1 -> $e3")
   }
 
+  test("centroid classifier beats chance on the labeled corpus; verdicts are complete and consistent") {
+    val e = embs
+    val cents = Similarity.labelCentroids(e, "label", "embedding", Dim)
+    assert(cents.count() == e.select(col("label")).distinct().count())
+    val verdicts = Similarity.classifyByCentroid(e, cents, "vec_id", "label",
+      "embedding", Dim).collect()
+    assert(verdicts.length == e.count(), "one verdict per vector")
+    assert(verdicts.forall(r => r.getBoolean(3) == (r.get(1) == r.get(2))))
+    val nLabels = cents.count().toDouble
+    val acc = verdicts.count(_.getBoolean(3)).toDouble / verdicts.length
+    // The synthetic labels carry real cluster structure (intra-label
+    // cosine ~0.45): nearest-centroid must beat chance by a wide margin
+    // (measured 0.41 vs 0.20 chance at 5 labels).
+    assert(acc > 1.5 / nLabels, f"accuracy $acc%.3f is not above chance")
+  }
+
   test("compactIvfIndex collapses per-append files; probe answers and layout unchanged") {
     val e = embs
     val cents = Similarity.seedCentroids(e, "vec_id", "embedding", m = 16)
