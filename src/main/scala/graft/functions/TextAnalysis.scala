@@ -125,6 +125,47 @@ object TextAnalysis {
   def repetitionFromShingles(sh: Column): Column =
     (size(sh) - size(array_distinct(sh))).cast("double") / size(sh)
 
+  /** Gopher/MassiveText repetition-free quality rules (Rae et al. 2021,
+    * §A1.1), each a per-row projection over integers with ONE final IEEE
+    * division — exact cross-engine, zero shuffle. The composite
+    * [[gopherPass]] applies the published thresholds.
+    */
+  def meanWordLengthTk(tk: Column): Column =
+    aggregate(tk, lit(0), (acc, x) => acc + length(x)).cast("double") / size(tk)
+
+  /** Symbol-to-word ratio: '#' and '...' occurrences per token. */
+  def symbolRatioTk(text: Column, tk: Column): Column =
+    (regexp_count(text, lit("#")) + regexp_count(text, lit("\\.\\.\\.")))
+      .cast("double") / size(tk)
+
+  /** Fraction of lines starting with a bullet marker. */
+  def bulletLineRatio(text: Column): Column = {
+    val lines = split(text, "\n")
+    size(filter(lines, l => l.startsWith("- ") || l.startsWith("* ")))
+      .cast("double") / size(lines)
+  }
+
+  /** Fraction of lines ending in an ellipsis. */
+  def ellipsisLineRatio(text: Column): Column = {
+    val lines = split(text, "\n")
+    size(filter(lines, l => l.endsWith("..."))).cast("double") / size(lines)
+  }
+
+  /** Fraction of words containing at least one alphabetic character. */
+  def alphaWordRatioTk(tk: Column): Column =
+    size(filter(tk, x => x.rlike("[a-zA-Z]"))).cast("double") / size(tk)
+
+  /** The Gopher rule battery at its published thresholds: mean word
+    * length in [3, 10], symbol ratio < 0.1, ≤ 90% bullet lines, ≤ 30%
+    * ellipsis lines, ≥ 80% alphabetic words.
+    */
+  def gopherPass(text: Column, tk: Column): Column =
+    meanWordLengthTk(tk).between(3.0, 10.0) &&
+      symbolRatioTk(text, tk) < 0.1 &&
+      bulletLineRatio(text) <= 0.9 &&
+      ellipsisLineRatio(text) <= 0.3 &&
+      alphaWordRatioTk(tk) >= 0.8
+
   /** PII patterns for the scan/redaction pass a training pipeline runs
     * before anything else. Deliberately simple syntax (character classes +
     * bounded quantifiers only) so Java regex and RE2-family engines agree

@@ -1152,6 +1152,67 @@ object TextQueries extends QueryModule {
         SELECT metrics.*, top.top_lang
         FROM metrics JOIN top USING (source)
         ORDER BY source
+      """.trim)),
+
+    // --- Gopher rule battery (Rae et al. 2021 §A1.1): mean word length,
+    // symbol-to-word ratio, bullet/ellipsis line fractions, alphabetic-
+    // word fraction, and the composite pass flag at the published
+    // thresholds. Violators are PLANTED (bullet list, symbol spam,
+    // single-letter words) since the corpus fixture is clean prose;
+    // every metric is integer arithmetic + one IEEE division, so the
+    // full table hash-matches. ---
+    GQuery(
+      "q113_gopher_rules",
+      (spark, dir) => {
+        val d = Tables.docs(spark, dir)
+        val planted = d.filter(col("doc_id").isin(0, 10, 20)).select(
+          (col("doc_id") + 200000).as("doc_id"),
+          when(col("doc_id") === 0, lit("- one thing\n- two things\n- three things"))
+            .when(col("doc_id") === 10, lit("#### ranked best... ## top... ### list..."))
+            .otherwise(lit("a b c d e f g h i j")).as("text"),
+          col("lang"), col("source"), col("n_chars"))
+        d.unionByName(planted)
+          .withColumn("__tk", TextAnalysis.tokens(lower(col("text"))))
+          .select(col("doc_id"),
+            TextAnalysis.meanWordLengthTk(col("__tk")).as("mean_wlen"),
+            TextAnalysis.symbolRatioTk(col("text"), col("__tk")).as("symbol_ratio"),
+            TextAnalysis.bulletLineRatio(col("text")).as("bullet_ratio"),
+            TextAnalysis.ellipsisLineRatio(col("text")).as("ellipsis_ratio"),
+            TextAnalysis.alphaWordRatioTk(col("__tk")).as("alpha_ratio"),
+            TextAnalysis.gopherPass(col("text"), col("__tk")).as("gopher_pass"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""
+        WITH docs AS (
+          SELECT doc_id, text FROM documents
+          UNION ALL
+          SELECT doc_id + 200000,
+                 CASE doc_id
+                   WHEN 0 THEN '- one thing' || chr(10) || '- two things' || chr(10) || '- three things'
+                   WHEN 10 THEN '#### ranked best... ## top... ### list...'
+                   ELSE 'a b c d e f g h i j' END
+          FROM documents WHERE doc_id IN (0, 10, 20)),
+        m AS (
+          SELECT doc_id, text,
+                 string_split(lower(text), ' ') AS tk,
+                 string_split(text, chr(10)) AS ln
+          FROM docs),
+        r AS (
+          SELECT doc_id,
+                 CAST(list_sum(list_transform(tk, x -> len(x))) AS DOUBLE) / len(tk) AS mean_wlen,
+                 CAST(len(regexp_extract_all(text, '#')) + len(regexp_extract_all(text, '\.\.\.')) AS DOUBLE)
+                   / len(tk) AS symbol_ratio,
+                 CAST(len(list_filter(ln, x -> starts_with(x, '- ') OR starts_with(x, '* '))) AS DOUBLE)
+                   / len(ln) AS bullet_ratio,
+                 CAST(len(list_filter(ln, x -> x LIKE '%...')) AS DOUBLE) / len(ln) AS ellipsis_ratio,
+                 CAST(len(list_filter(tk, x -> regexp_matches(x, '[a-zA-Z]'))) AS DOUBLE)
+                   / len(tk) AS alpha_ratio
+          FROM m)
+        SELECT doc_id, mean_wlen, symbol_ratio, bullet_ratio, ellipsis_ratio, alpha_ratio,
+               (mean_wlen BETWEEN 3.0 AND 10.0) AND symbol_ratio < 0.1
+                 AND bullet_ratio <= 0.9 AND ellipsis_ratio <= 0.3
+                 AND alpha_ratio >= 0.8 AS gopher_pass
+        FROM r ORDER BY doc_id
       """.trim))
   )
 }

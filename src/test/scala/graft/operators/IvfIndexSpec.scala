@@ -235,6 +235,23 @@ class IvfIndexSpec extends AnyFunSuite {
     assert(e1 == e3, s"probe exchange count grew with the corpus: $e1 -> $e3")
   }
 
+  test("semDedup pair-scan exchange count is corpus-size-invariant (3x)") {
+    // The reap checkpoint hides the internal plan, so pin the pair-scan
+    // SHAPE the operator is built from: exchanges must not grow with the
+    // corpus — per-cluster widening is data growth inside fixed stages.
+    def pairScan(d: DataFrame): DataFrame = {
+      val cents = Similarity.seedCentroids(d, "vec_id", "embedding", m = 16)
+      val assigned = Similarity.ivfAssign(d, cents, "vec_id", "embedding", Dim)
+      assigned.select(col("vec_id").as("a"), col("bucket"))
+        .join(assigned.select(col("vec_id").as("b"), col("bucket")), Seq("bucket"))
+        .filter(col("a") < col("b"))
+    }
+    val e = embs
+    val (x1, x3) = (Bucketing.exchangeCount(pairScan(e)),
+      Bucketing.exchangeCount(pairScan(amp(e, 3))))
+    assert(x1 == x3, s"semDedup pair scan exchange count grew: $x1 -> $x3")
+  }
+
   test("centroid classifier beats chance on the labeled corpus; verdicts are complete and consistent") {
     val e = embs
     val cents = Similarity.labelCentroids(e, "label", "embedding", Dim)
