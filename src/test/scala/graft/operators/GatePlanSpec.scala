@@ -57,7 +57,14 @@ class GatePlanSpec extends AnyFunSuite {
     // token-budget mix = spread + per-source window + output sort;
     // segment dedup = spread + fingerprint window + reassembly agg + sort
     "q101_token_budget" -> (3, 0),
-    "q102_segment_dedup" -> (5, 0))
+    "q102_segment_dedup" -> (5, 0),
+    // round-8 additions: q109 = scalar agg + broadcast-scalar filter +
+    // output sort; q110/q113 = pure per-row projections + output sort
+    // (plus the docs spread); q111 = two agg passes + mode window + join
+    "q109_quantile_floor" -> (4, 1),
+    "q110_nfc_normalize" -> (3, 0),
+    "q111_corpus_report" -> (7, 1),
+    "q113_gopher_rules" -> (3, 0))
 
   test("top gate queries keep their pinned exchange/broadcast counts") {
     val got = pinned.keys.toSeq.sorted.map { n =>
