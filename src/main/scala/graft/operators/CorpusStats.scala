@@ -47,4 +47,61 @@ object CorpusStats {
       .filter(col("rank") <= k)
       .select(col(idCol), col("term"), col("score"), col("rank"))
   }
+
+  /** Overlapping char-bigram array of a string column (1-based, index
+    * order; a length-<2 string yields its single char — consistent with
+    * `substring(s, 1, 2)` on both engines).
+    */
+  def charBigrams(s: Column): Column =
+    transform(sequence(lit(1), greatest(length(s) - 1, lit(1))),
+      i => s.substr(i, lit(2)))
+
+  /** Corpus-trained char-bigram frequency model — the CCNet-style
+    * statistical quality signal reduced to its distributable core: one
+    * count aggregate over exploded bigrams. The vocabulary is CHARACTER
+    * pairs, so the model stays broadcast-sized (≤ a few million rows even
+    * with CJK) no matter how many documents trained it. Returns
+    * (bg, cnt).
+    */
+  def charBigramModel(docs: DataFrame, textCol: String): DataFrame =
+    docs.select(explode(charBigrams(lower(col(textCol)))).as("bg"))
+      .groupBy(col("bg")).agg(count(lit(1)).as("cnt"))
+
+  /** Score documents against a trained bigram model with add-one
+    * smoothing: per-bigram probability p = (cnt+1)/(N+D) (N = total
+    * bigram tokens, D = distinct bigrams; unseen bigrams get the
+    * 1/(N+D) floor). Returns per doc:
+    *
+    *  - `avg_prob` — mean bigram probability, the GATE-certified metric:
+    *    every p is one IEEE division on exact integers and the mean is a
+    *    decimal-exact sum + one division, so it is bit-reproducible in
+    *    any engine (the tfidf linear-idf discipline above — `ln` is NOT,
+    *    its last ulp is math-library-specific);
+    *  - `avg_logp` — the conventional LM score (mean log probability),
+    *    for production ranking/thresholds where cross-engine bit parity
+    *    is not required. Monotone with per-doc typicality the same way.
+    *
+    * Scale: model + totals broadcast; docs explode to (id, bigram) rows
+    * that join the broadcast model and re-aggregate on the id — one hash
+    * shuffle keyed by doc id, text never rides it.
+    */
+  def charBigramScore(docs: DataFrame, idCol: String, textCol: String,
+      model: DataFrame): DataFrame = {
+    val totals = model.agg(
+      sum(col("cnt")).cast("long").as("__n"),
+      count(lit(1)).as("__d"))
+    docs.select(col(idCol), explode(charBigrams(lower(col(textCol)))).as("bg"))
+      .join(broadcast(model), Seq("bg"), "left")
+      .crossJoin(broadcast(totals))
+      .withColumn("__p",
+        (coalesce(col("cnt"), lit(0L)) + 1).cast("double")
+          / (col("__n") + col("__d")).cast("double"))
+      .groupBy(col(idCol))
+      .agg(
+        (sum(col("__p").cast("decimal(30,15)")).cast("double") / count(lit(1)))
+          .as("avg_prob"),
+        (sum(log(col("__p")).cast("decimal(30,15)")).cast("double") / count(lit(1)))
+          .as("avg_logp"),
+        count(lit(1)).as("n_bigrams"))
+  }
 }

@@ -1213,6 +1213,54 @@ object TextQueries extends QueryModule {
                  AND bullet_ratio <= 0.9 AND ellipsis_ratio <= 0.3
                  AND alpha_ratio >= 0.8 AS gopher_pass
         FROM r ORDER BY doc_id
+      """.trim)),
+
+    // --- corpus-trained char-bigram LM scoring (CCNet's statistical
+    // quality signal, distributable core): train on the corpus, score
+    // corpus ∪ one planted gibberish doc. The certified metric is the
+    // ln-free mean bigram probability (exact IEEE divisions + decimal
+    // sum — the tfidf linear-idf discipline); the spec covers the
+    // conventional log variant's ranking. Gibberish must score at the
+    // smoothing floor, well under every prose doc. ---
+    GQuery(
+      "q114_charlm_score",
+      (spark, dir) => {
+        val d = Tables.docs(spark, dir)
+        val planted = d.filter(col("doc_id") === 0).select(
+          lit(300000L).as("doc_id"), lit("zq xj qzv wkx jzx vqk xzj kqv").as("text"),
+          col("lang"), col("source"), col("n_chars"))
+        val model = graft.operators.CorpusStats.charBigramModel(d, "text")
+        graft.operators.CorpusStats
+          .charBigramScore(d.unionByName(planted), "doc_id", "text", model)
+          .select(col("doc_id"), col("avg_prob"), col("n_bigrams"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""
+        WITH train AS (SELECT lower(text) AS s FROM documents),
+        score_docs AS (
+          SELECT doc_id, lower(text) AS s FROM documents
+          UNION ALL
+          SELECT 300000, 'zq xj qzv wkx jzx vqk xzj kqv'),
+        train_bg AS (
+          SELECT unnest(list_transform(generate_series(1, greatest(len(s) - 1, 1)),
+                   i -> substring(s, i, 2))) AS bg
+          FROM train),
+        model AS (SELECT bg, COUNT(*) AS cnt FROM train_bg GROUP BY bg),
+        tot AS (
+          SELECT CAST(SUM(cnt) AS BIGINT) AS n, COUNT(*) AS d FROM model),
+        bg AS (
+          SELECT doc_id,
+                 unnest(list_transform(generate_series(1, greatest(len(s) - 1, 1)),
+                   i -> substring(s, i, 2))) AS bg
+          FROM score_docs),
+        p AS (
+          SELECT doc_id,
+                 CAST(COALESCE(cnt, 0) + 1 AS DOUBLE) / CAST(n + d AS DOUBLE) AS pr
+          FROM bg LEFT JOIN model USING (bg) CROSS JOIN tot)
+        SELECT doc_id,
+               CAST(SUM(CAST(pr AS DECIMAL(30,15))) AS DOUBLE) / COUNT(*) AS avg_prob,
+               COUNT(*) AS n_bigrams
+        FROM p GROUP BY doc_id ORDER BY doc_id
       """.trim))
   )
 }

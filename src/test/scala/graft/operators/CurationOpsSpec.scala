@@ -146,6 +146,25 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(shifted.count() == 750)
   }
 
+  test("charBigramScore: gibberish ranks at the bottom on both prob and log metrics; floor = unseen smoothing") {
+    val docs = spark.read.parquet(s"${graft.TestSpark.SfDir}/documents.parquet")
+    val gib = Seq((300000L, "zq xj qzv wkx jzx vqk xzj kqv")).toDF("doc_id", "text")
+    val model = CorpusStats.charBigramModel(docs, "text")
+    val scored = CorpusStats.charBigramScore(
+      docs.select($"doc_id", $"text").unionByName(gib), "doc_id", "text", model)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2))).toSeq
+    val (gibRow, prose) = scored.partition(_._1 == 300000L)
+    assert(gibRow.size == 1)
+    // The planted gibberish is built from bigrams the corpus (mostly)
+    // never produced: it must rank strictly below every prose doc on
+    // BOTH metrics — the certified prob mean and the conventional LM
+    // log mean agree on ordering here.
+    assert(prose.forall(_._2 > gibRow.head._2),
+      "gibberish must have the lowest mean bigram probability")
+    assert(prose.forall(_._3 > gibRow.head._3),
+      "gibberish must have the lowest mean log probability")
+  }
+
   test("keepBest keeps the top-score member (not min id) and passes unclustered docs through") {
     // Components: {1,2,3} (3 has the best score — must win over min-id 1)
     // and {10,11} (tie on score — min id 10 wins). Doc 99 is in no
