@@ -16,6 +16,8 @@ object GraftFunctions {
       "format_phone", exprs => FormatPhoneExpr(exprs.head), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "nfc_normalize", exprs => NfcNormalizeExpr(exprs.head), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "luhn_valid", exprs => LuhnValidExpr(exprs.head), "scala_udf")
   }
 }
 
@@ -34,5 +36,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[NfcNormalizeExpr].getName, "nfc_normalize"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         NfcNormalizeExpr(exprs.head)))
+    e.injectFunction((
+      FunctionIdentifier("luhn_valid"),
+      new ExpressionInfo(classOf[LuhnValidExpr].getName, "luhn_valid"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        LuhnValidExpr(exprs.head)))
   }
 }

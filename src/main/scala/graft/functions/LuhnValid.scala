@@ -1,0 +1,78 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.GraftSqlBridge
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.{BooleanType, DataType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** `luhn_valid` — Luhn (mod-10) checksum validation as a native Catalyst
+  * expression, the check that separates a REAL payment-card number from
+  * any other 13-19 digit run (PII scan family, SURVEY §2.12; §2.10
+  * native-expression policy). A regex alone cannot express it: the
+  * checksum folds every digit, so digit-run extraction (regex) and
+  * validation (this) compose in [[graft.functions.TextAnalysis]]-style
+  * per-row projections.
+  *
+  * Semantics: true iff the input is a non-empty all-digit string whose
+  * Luhn checksum is 0 (double every second digit from the right,
+  * subtract 9 when the double exceeds 9, sum mod 10). Any non-digit
+  * character → false, never an exception — scan operators feed raw
+  * regex captures.
+  */
+case class LuhnValidExpr(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = BooleanType
+  override def nullable: Boolean = child.nullable
+
+  override def nullSafeEval(input: Any): Any =
+    LuhnValidExpr.luhn(input.asInstanceOf[UTF8String].toString)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cls = LuhnValidExpr.getClass.getName.stripSuffix("$")
+    defineCodeGen(ctx, ev, c => s"$cls.luhn($c.toString())")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): LuhnValidExpr =
+    copy(child = newChild)
+
+  override def prettyName: String = "luhn_valid"
+}
+
+object LuhnValidExpr {
+  /** Shared by interpreted eval and generated code. */
+  def luhn(s: String): Boolean = {
+    if (s.isEmpty) return false
+    var sum = 0
+    var alt = false
+    var i = s.length - 1
+    while (i >= 0) {
+      val ch = s.charAt(i)
+      if (ch < '0' || ch > '9') return false
+      var d = ch - '0'
+      if (alt) { d *= 2; if (d > 9) d -= 9 }
+      sum += d
+      alt = !alt
+      i -= 1
+    }
+    sum % 10 == 0
+  }
+}
+
+object PiiFunctions {
+  /** Codegen'd Catalyst-native Luhn validation. */
+  def luhn_valid(c: Column): Column =
+    GraftSqlBridge.column(LuhnValidExpr(GraftSqlBridge.expression(c)))
+
+  /** Count of Luhn-VALID 13-19 digit runs in `text` — the card-number
+    * scan: digit runs come from one regex extraction (no lookarounds, so
+    * RE2-family oracle engines agree), length-banded, then checksum-
+    * validated per candidate.
+    */
+  def cardHits(text: Column): Column = {
+    import org.apache.spark.sql.functions._
+    size(filter(regexp_extract_all(text, lit("\\d+"), lit(0)),
+      d => length(d).between(13, 19) && luhn_valid(d)))
+  }
+}

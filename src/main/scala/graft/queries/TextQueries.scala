@@ -1261,6 +1261,59 @@ object TextQueries extends QueryModule {
                CAST(SUM(CAST(pr AS DECIMAL(30,15))) AS DOUBLE) / COUNT(*) AS avg_prob,
                COUNT(*) AS n_bigrams
         FROM p GROUP BY doc_id ORDER BY doc_id
+      """.trim)),
+
+    // --- Luhn-validated card-number scan (PII family): a regex finds
+    // 13-19 digit runs, but only the mod-10 checksum — a native codegen'd
+    // expression, inexpressible as a regex — separates real card numbers
+    // from order ids. Plants one VALID card, one single-digit-off
+    // invalid, and one Luhn-failing 16-digit run per target doc; the
+    // oracle replays the checksum digit fold in SQL. No lookarounds, so
+    // Java regex and DuckDB's RE2 agree on extraction. ---
+    GQuery(
+      "q115_card_scan",
+      (spark, dir) => {
+        import graft.functions.PiiFunctions.cardHits
+        val d = Tables.docs(spark, dir)
+        val planted = d.filter(col("doc_id") % 10 === 7)
+          .withColumn("doc_id", col("doc_id") + 100000)
+          .withColumn("text", concat(col("text"),
+            lit(" card 4539578763621486 amex 378282246310005" +
+              " typo 4539578763621487 order 1234567890123456")))
+        d.unionByName(planted)
+          .select(col("doc_id"),
+            cardHits(col("text")).as("card_hits"),
+            (cardHits(col("text")) > 0).as("has_card"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""
+        WITH docs AS (
+          SELECT doc_id, text FROM documents
+          UNION ALL
+          SELECT doc_id + 100000,
+                 text || ' card 4539578763621486 amex 378282246310005'
+                      || ' typo 4539578763621487 order 1234567890123456'
+          FROM documents WHERE doc_id % 10 = 7),
+        runs AS (
+          SELECT doc_id, unnest(regexp_extract_all(text, '\d+')) AS d FROM docs),
+        checked AS (
+          SELECT doc_id,
+                 len(d) BETWEEN 13 AND 19
+                 AND list_sum(list_transform(generate_series(1, len(d)), i ->
+                       CASE WHEN (len(d) - i) % 2 = 1
+                            THEN CASE WHEN CAST(substring(d, i, 1) AS INT) > 4
+                                      THEN CAST(substring(d, i, 1) AS INT) * 2 - 9
+                                      ELSE CAST(substring(d, i, 1) AS INT) * 2 END
+                            ELSE CAST(substring(d, i, 1) AS INT) END)) % 10 = 0
+                   AS ok
+          FROM runs),
+        hits AS (
+          SELECT doc_id, CAST(COUNT(*) FILTER (ok) AS INT) AS card_hits
+          FROM checked GROUP BY doc_id)
+        SELECT d.doc_id, COALESCE(h.card_hits, 0) AS card_hits,
+               COALESCE(h.card_hits, 0) > 0 AS has_card
+        FROM docs d LEFT JOIN hits h USING (doc_id)
+        ORDER BY d.doc_id
       """.trim))
   )
 }

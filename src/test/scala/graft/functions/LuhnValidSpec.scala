@@ -1,0 +1,48 @@
+package graft.functions
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+import graft.functions.PiiFunctions.{cardHits, luhn_valid}
+
+class LuhnValidSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("checksum verdicts: known-valid cards pass, off-by-one and non-digits fail") {
+    val cases = Seq(
+      ("4539578763621486", true),   // Visa test number
+      ("378282246310005", true),    // Amex test number
+      ("4539578763621487", false),  // last digit off
+      ("1234567890123456", false),
+      ("0", true),                  // degenerate but checksum-0
+      ("", false),
+      ("4539x78763621486", false))  // non-digit inside
+    val got = cases.toDF("s", "want")
+      .select($"s", $"want", luhn_valid($"s").as("got"))
+      .collect()
+    got.foreach(r => assert(r.getBoolean(2) == r.getBoolean(1), s"luhn(${r.getString(0)})"))
+  }
+
+  test("null propagates; interpreted eval matches codegen; SQL resolves") {
+    val n = Seq((1L, Option.empty[String])).toDF("id", "s")
+      .select(luhn_valid($"s")).head()
+    assert(n.isNullAt(0))
+    val expr = LuhnValidExpr(
+      org.apache.spark.sql.catalyst.expressions.Literal.create(
+        "4539578763621486", org.apache.spark.sql.types.StringType))
+    assert(expr.eval(null) == true)
+    GraftFunctions.register(spark)
+    assert(spark.sql("SELECT luhn_valid('4539578763621486')").head().getBoolean(0))
+  }
+
+  test("cardHits counts only length-banded Luhn-valid runs") {
+    val df = Seq(
+      "card 4539578763621486 and 378282246310005",  // 2 valid
+      "order 1234567890123456 code 12345",          // 16-digit invalid + short run
+      "id 4539578763621487",                        // off-by-one
+      "no digits at all").toDF("text")
+    val got = df.select(cardHits($"text")).collect().map(_.getInt(0)).toSeq
+    assert(got == Seq(2, 0, 0, 0))
+  }
+}
