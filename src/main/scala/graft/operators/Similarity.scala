@@ -436,6 +436,47 @@ object Similarity {
   def readIvfIndex(spark: org.apache.spark.sql.SparkSession, name: String): StoredIvf =
     StoredIvf(spark.table(s"${name}_centroids"), spark.table(s"${name}_assign"))
 
+  /** INCREMENTAL SemDeDup: mark which rows of a NEW batch are semantic
+    * duplicates of the already-indexed corpus — the vector-semantic
+    * analog of [[TextDedup.incrementalCandidates]], and the check an
+    * ingest pipeline runs before admitting a batch. Each batch vector is
+    * assigned to its stored-centroid bucket (same max-dot rule the index
+    * was built with, so an exact copy of a corpus vector lands in its
+    * original's bucket by construction) and compared by exact cosine
+    * ONLY against that bucket's stored assignments. Returns one row per
+    * batch vector: `(<idCol>, bucket, dup_of, kept)` with `dup_of` = the
+    * min corpus id at/above `threshold` (null → kept).
+    *
+    * Scale shape: the batch broadcasts twice (assignment, then probe);
+    * the corpus side is the stored assignments table read bucket-pruned
+    * from Parquet — `bucket IN (batch's buckets)` becomes file-level
+    * bucket pruning, and the corpus NEVER shuffles. Within-batch pairs
+    * are [[semDedup]]'s job (run it on the batch alone); this operator
+    * answers only "is it already in the corpus", which is what keeps it
+    * O(batch × bucket width).
+    */
+  def semDedupIncremental(index: StoredIvf, batch: DataFrame, idCol: String,
+      vecCol: String, dim: Int, threshold: Double,
+      pruneBuckets: Boolean = true): DataFrame = {
+    val assigned = ivfAssign(batch, index.centroids, idCol, vecCol, dim)
+      .withColumn("__bn", norm(col("dv"), dim))
+    val corpus =
+      if (!pruneBuckets) index.assignments
+      else {
+        val bucketIds = assigned.select(col("bucket")).distinct()
+          .collect().map(_.get(0))
+        index.assignments.filter(col("bucket").isin(bucketIds.toSeq: _*))
+      }
+    val dups = broadcast(assigned).join(corpus, Seq("bucket"))
+      .filter(cosinePrenormed(col("dv"), col("cv_doc"),
+        col("__bn"), col("cn"), dim) >= threshold)
+      .groupBy(col(idCol))
+      .agg(min(col("neighbor_id")).as("dup_of"))
+    assigned.select(col(idCol), col("bucket"))
+      .join(dups, Seq(idCol), "left")
+      .withColumn("kept", col("dup_of").isNull)
+  }
+
   /** Compact a stored IVF index's assignments table: appends never add
     * duplicate ROWS (each vector is assigned once), but every
     * [[appendToIvfIndex]] adds one FILE per bucket, so months of appends

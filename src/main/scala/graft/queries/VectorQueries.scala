@@ -48,6 +48,36 @@ object VectorQueries extends QueryModule {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** q116's index BUILD half: the corpus IVF assignments as a stored
+    * disk-bucketed table (one-time ingest; bench runs it outside the
+    * repeat loop).
+    */
+  private[queries] def q116Build(spark: org.apache.spark.sql.SparkSession,
+      dir: String): Unit = {
+    val e = Tables.embs(spark, dir)
+    val centroids = Similarity.seedCentroids(e, "vec_id", "embedding", m = 16)
+    val path = java.nio.file.Files.createTempDirectory("graft_q116ivf").toString
+    Similarity.writeIvfIndex(e, centroids, "vec_id", "embedding", Dim,
+      "q116ivf", path, buckets = 8)
+  }
+
+  /** q116's PROBE half: the batch (planted copies + rotated fresh rows)
+    * probes the stored assignments bucket-pruned.
+    */
+  private[queries] def q116Probe(spark: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    val e = Tables.embs(spark, dir)
+    val copies = e.filter(col("vec_id") % 25 === 0)
+      .withColumn("vec_id", col("vec_id") + 10000)
+    val fresh = e.filter(col("vec_id") % 25 === 1)
+      .withColumn("vec_id", col("vec_id") + 20000)
+      .withColumn("embedding",
+        concat(slice(col("embedding"), 33, 32), slice(col("embedding"), 1, 32)))
+    Similarity.semDedupIncremental(Similarity.readIvfIndex(spark, "q116ivf"),
+        copies.unionByName(fresh), "vec_id", "embedding", Dim, threshold = 0.99)
+      .orderBy(col("vec_id"))
+  }
+
   override def all: Seq[GQuery] = Seq(
 
     // --- int8 symmetric quantization (the memory half of the 100 TB ANN
@@ -359,6 +389,52 @@ object VectorQueries extends QueryModule {
         FROM scored
         QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, clbl) = 1
         ORDER BY vec_id
-      """.trim))
+      """.trim)),
+
+    // --- INCREMENTAL SemDeDup: a new batch asks "is this already in the
+    // corpus, semantically?" against the STORED IVF assignments — batch
+    // broadcasts, corpus scan is bucket-pruned, corpus never shuffles
+    // (the vector-semantic q28). Batch = planted exact copies (must
+    // resolve to their originals) + rotated vectors (decorrelated — must
+    // be admitted). Deterministic end-to-end; the oracle replays
+    // seed→assign→probe in SQL. ---
+    GQuery(
+      "q116_semdedup_incremental",
+      (spark, dir) => { q116Build(spark, dir); q116Probe(spark, dir) },
+      Some("""
+        WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        cents AS (
+          SELECT vec_id AS centroid_id, e AS cv FROM v
+          QUALIFY row_number() OVER (ORDER BY vec_id) <= 16),
+        corpus AS (
+          SELECT v.vec_id AS neighbor_id, v.e AS dv, c.centroid_id AS bucket
+          FROM v CROSS JOIN cents c
+          QUALIFY row_number() OVER (PARTITION BY v.vec_id
+                    ORDER BY list_sum(list_transform(generate_series(1, 64),
+                               i -> v.e[i] * c.cv[i])) DESC,
+                             c.centroid_id) = 1),
+        batch AS (
+          SELECT vec_id + 10000 AS vec_id, e FROM v WHERE vec_id % 25 = 0
+          UNION ALL
+          SELECT vec_id + 20000, e[33:64] || e[1:32] FROM v WHERE vec_id % 25 = 1),
+        bassign AS (
+          SELECT b.vec_id, b.e, c.centroid_id AS bucket
+          FROM batch b CROSS JOIN cents c
+          QUALIFY row_number() OVER (PARTITION BY b.vec_id
+                    ORDER BY list_sum(list_transform(generate_series(1, 64),
+                               i -> b.e[i] * c.cv[i])) DESC,
+                             c.centroid_id) = 1),
+        dups AS (
+          SELECT b.vec_id, MIN(a.neighbor_id) AS dup_of
+          FROM bassign b JOIN corpus a ON a.bucket = b.bucket
+          WHERE list_sum(list_transform(generate_series(1, 64), i -> b.e[i] * a.dv[i]))
+                  / (sqrt(list_sum(list_transform(generate_series(1, 64), i -> b.e[i] * b.e[i])))
+                     * sqrt(list_sum(list_transform(generate_series(1, 64), i -> a.dv[i] * a.dv[i])))) >= 0.99
+          GROUP BY b.vec_id)
+        SELECT s.vec_id, s.bucket, d.dup_of, d.dup_of IS NULL AS kept
+        FROM bassign s LEFT JOIN dups d USING (vec_id)
+        ORDER BY s.vec_id
+      """.trim),
+      indexed = Some(graft.core.GQuery.IndexedParts(q116Build, q116Probe)))
   )
 }

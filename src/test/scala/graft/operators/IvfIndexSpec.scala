@@ -252,6 +252,46 @@ class IvfIndexSpec extends AnyFunSuite {
     assert(x1 == x3, s"semDedup pair scan exchange count grew: $x1 -> $x3")
   }
 
+  test("semDedupIncremental: batch copies resolve to their corpus originals through the bucket-pruned stored scan") {
+    val e = embs
+    val cents = Similarity.seedCentroids(e, "vec_id", "embedding", m = 16)
+    val idx = buildIndex("ividx_semi", e, cents)
+    // batch = 20 exact copies of corpus vectors (re-keyed) + 20 rotated
+    // vectors (decorrelated from every corpus vector — must be kept)
+    val copies = e.filter(col("vec_id") % 25 === 0)
+      .withColumn("vec_id", col("vec_id") + 10000)
+    val fresh = e.filter(col("vec_id") % 25 === 1)
+      .withColumn("vec_id", col("vec_id") + 20000)
+      .withColumn("embedding",
+        concat(slice(col("embedding"), 33, 32), slice(col("embedding"), 1, 32)))
+    val batch = copies.unionByName(fresh)
+    val verdicts = Similarity.semDedupIncremental(idx, batch,
+      "vec_id", "embedding", Dim, threshold = 0.99)
+    verdicts.count()
+    val byId = verdicts.collect().map(r => r.getLong(0) -> r).toMap
+    assert(byId.size == batch.count())
+    copies.select(col("vec_id")).collect().map(_.getLong(0)).foreach { cid =>
+      assert(!byId(cid).getBoolean(3), s"copy $cid admitted")
+      assert(byId(cid).getLong(2) == cid - 10000, s"copy $cid dup_of ${byId(cid).get(2)}")
+    }
+    fresh.select(col("vec_id")).collect().map(_.getLong(0)).foreach { fid =>
+      assert(byId(fid).getBoolean(3), s"fresh $fid wrongly flagged")
+    }
+    // The corpus side is a bucket-pruned stored scan, never a shuffle of
+    // the assignments table.
+    val plan = verdicts.queryExecution.executedPlan.toString
+    assert("SelectedBucketsCount: (\\d+) out of (\\d+)".r.findFirstIn(plan).isDefined,
+      s"expected a bucket-pruned stored scan in:\n$plan")
+    // Unpruned path agrees (the pruning is an IO optimization, not a
+    // semantic one).
+    val full = Similarity.semDedupIncremental(idx, batch,
+      "vec_id", "embedding", Dim, threshold = 0.99, pruneBuckets = false)
+      .collect().map(r => (r.getLong(0), Option(r.get(2)), r.getBoolean(3))).sortBy(_._1)
+    val pruned = byId.values.map(r => (r.getLong(0), Option(r.get(2)), r.getBoolean(3)))
+      .toSeq.sortBy(_._1)
+    assert(full.toSeq == pruned)
+  }
+
   test("centroid classifier beats chance on the labeled corpus; verdicts are complete and consistent") {
     val e = embs
     val cents = Similarity.labelCentroids(e, "label", "embedding", Dim)
