@@ -449,9 +449,11 @@ object Similarity {
     *
     * Scale shape: the batch broadcasts twice (assignment, then probe);
     * the corpus side is the stored assignments table read bucket-pruned
-    * from Parquet — `bucket IN (batch's buckets)` becomes file-level
-    * bucket pruning, and the corpus NEVER shuffles. Within-batch pairs
-    * are [[semDedup]]'s job (run it on the batch alone); this operator
+    * from Parquet — the distinct batch-bucket ids (a driver-side read
+    * bounded by min(m, |batch|), the [[probeIvfIndex]] contract) become
+    * a `bucket IN (...)` filter the scan turns into file-level bucket
+    * pruning, and the corpus NEVER shuffles. Within-batch pairs are
+    * [[semDedup]]'s job (run it on the batch alone); this operator
     * answers only "is it already in the corpus", which is what keeps it
     * O(batch × bucket width).
     */
