@@ -103,7 +103,7 @@ class BenchFormatSpec extends AnyFunSuite {
     assert(none.contains("\"build\":{}"))
     // the registry exposes exactly the split queries
     assert(SparkEntry.benchIndexed.keySet ==
-      Set("q28_incremental_dedup", "q71_ann_ivf"))
+      Set("q28_incremental_dedup", "q71_ann_ivf", "q116_semdedup_incremental"))
   }
 
   test("record stays valid JSON under a comma-decimal default locale") {
