@@ -460,8 +460,13 @@ object Similarity {
   def semDedupIncremental(index: StoredIvf, batch: DataFrame, idCol: String,
       vecCol: String, dim: Int, threshold: Double,
       pruneBuckets: Boolean = true): DataFrame = {
+    // The batch assignment (n×m score + per-id window) feeds the bucket
+    // list, the probe join, and the verdict join — persist it once and
+    // reap at the boundary (the semDedup discipline; the batch is small
+    // by contract, but 3× its assignment cost is still pure waste).
     val assigned = ivfAssign(batch, index.centroids, idCol, vecCol, dim)
       .withColumn("__bn", norm(col("dv"), dim))
+      .persist()
     val corpus =
       if (!pruneBuckets) index.assignments
       else {
@@ -474,9 +479,10 @@ object Similarity {
         col("__bn"), col("cn"), dim) >= threshold)
       .groupBy(col(idCol))
       .agg(min(col("neighbor_id")).as("dup_of"))
-    assigned.select(col(idCol), col("bucket"))
+    val verdicts = assigned.select(col(idCol), col("bucket"))
       .join(dups, Seq(idCol), "left")
       .withColumn("kept", col("dup_of").isNull)
+    graft.core.Caching.reap(verdicts, assigned)
   }
 
   /** Compact a stored IVF index's assignments table: appends never add
