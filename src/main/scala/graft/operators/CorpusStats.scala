@@ -84,13 +84,20 @@ object CorpusStats {
     * Scale: model + totals broadcast; docs explode to (id, bigram) rows
     * that join the broadcast model and re-aggregate on the id — one hash
     * shuffle keyed by doc id, text never rides it.
+    *
+    * Contract: one row per input doc. A NULL-text doc (whose explode
+    * yields no bigram rows) surfaces as `avg_prob/avg_logp = NULL,
+    * n_bigrams = 0` — unscoreable, not silently absent — so a curation
+    * pipeline joining verdicts back on the id can tell "filtered by
+    * policy" from "never scored". The join-back side is (id) only.
     */
   def charBigramScore(docs: DataFrame, idCol: String, textCol: String,
       model: DataFrame): DataFrame = {
     val totals = model.agg(
       sum(col("cnt")).cast("long").as("__n"),
       count(lit(1)).as("__d"))
-    docs.select(col(idCol), explode(charBigrams(lower(col(textCol)))).as("bg"))
+    val scored = docs
+      .select(col(idCol), explode(charBigrams(lower(col(textCol)))).as("bg"))
       .join(broadcast(model), Seq("bg"), "left")
       .crossJoin(broadcast(totals))
       .withColumn("__p",
@@ -103,5 +110,7 @@ object CorpusStats {
         (sum(log(col("__p")).cast("decimal(30,15)")).cast("double") / count(lit(1)))
           .as("avg_logp"),
         count(lit(1)).as("n_bigrams"))
+    docs.select(col(idCol)).join(scored, Seq(idCol), "left")
+      .withColumn("n_bigrams", coalesce(col("n_bigrams"), lit(0L)))
   }
 }

@@ -87,8 +87,10 @@ object Curation {
     */
   def quantileFloor(docs: DataFrame, scoreCol: String, q: Double,
       exact: Boolean = false, accuracy: Int = 10000): DataFrame = {
+    // Column-based on both paths (not string-interpolated SQL) so a score
+    // column needing backticks resolves identically to the approx path.
     val thr =
-      if (exact) expr(s"percentile($scoreCol, $q)")
+      if (exact) percentile(col(scoreCol), lit(q))
       else percentile_approx(col(scoreCol), lit(q), lit(accuracy))
     docs.crossJoin(broadcast(docs.agg(thr.as("__thr"))))
       .filter(col(scoreCol) >= col("__thr"))

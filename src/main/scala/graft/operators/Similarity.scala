@@ -157,7 +157,11 @@ object Similarity {
     */
   def labelCentroids(df: DataFrame, labelCol: String, vecCol: String,
       dim: Int): DataFrame =
-    df.select(col(labelCol).as("__lbl"),
+    // The dim filter is the width contract: a corrupt/short vector is
+    // excluded from the mean instead of silently producing a ragged
+    // per-label centroid array (the dot/dim NULL-score discipline).
+    df.filter(size(asDouble(col(vecCol))) === dim)
+      .select(col(labelCol).as("__lbl"),
         posexplode(asDouble(col(vecCol))).as(Seq("pos", "v")))
       .groupBy(col("__lbl"), col("pos"))
       .agg((sum(col("v").cast("decimal(30,15)")).cast("double") / count(lit(1))).as("c"))
@@ -467,6 +471,10 @@ object Similarity {
     val assigned = ivfAssign(batch, index.centroids, idCol, vecCol, dim)
       .withColumn("__bn", norm(col("dv"), dim))
       .persist()
+    // The batch is small-by-contract (it broadcasts below); fail loudly
+    // the first time that contract breaks instead of OOMing the driver —
+    // the Broadcasting discipline every Medallion dim broadcast follows.
+    Broadcasting.requireSmall(assigned, "semDedupIncremental batch")
     val corpus =
       if (!pruneBuckets) index.assignments
       else {
@@ -547,6 +555,9 @@ object Similarity {
       if (!pruneBuckets) index.assignments
       else {
         val q = queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv"))
+        // Queries are broadcast-small by contract — assert it loudly
+        // (Broadcasting discipline) before forcing the broadcast.
+        Broadcasting.requireSmall(q, "probeIvfIndex query set")
         val qScored = broadcast(q).join(broadcast(index.centroids))
           .withColumn("score", dot(col("qv"), col("cv"), dim))
         val wq = Window.partitionBy(col("query_id"))

@@ -167,14 +167,19 @@ object SourceQueries extends QueryModule {
         val path = tmp("orc")
         src.write.mode(SaveMode.Overwrite)
           .option("compression", "zlib").orc(path)
+        // The filter runs against the DECIMAL-typed ORC column (so the
+        // predicate hits the stripe stats); the final DOUBLE cast is
+        // gate-parity only — the driver's hash renders decimals
+        // differently per engine (same discipline as q40/q43).
         spark.read.orc(path)
           .filter(col("s_acctbal") > 0)
-          .select(col("s_suppkey"), col("s_name"), col("s_nationkey"), col("s_acctbal"))
+          .select(col("s_suppkey"), col("s_name"), col("s_nationkey"),
+            col("s_acctbal").cast(DoubleType).as("s_acctbal"))
           .orderBy(col("s_suppkey"))
       },
       Some("""
         SELECT s_suppkey, s_name, s_nationkey,
-               CAST(s_acctbal AS DECIMAL(12,2)) AS s_acctbal
+               CAST(CAST(s_acctbal AS DECIMAL(12,2)) AS DOUBLE) AS s_acctbal
         FROM supplier WHERE CAST(s_acctbal AS DECIMAL(12,2)) > 0
         ORDER BY s_suppkey
       """.trim),

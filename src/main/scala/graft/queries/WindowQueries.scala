@@ -118,7 +118,10 @@ object WindowQueries extends QueryModule {
       "q31_surrogate_keys",
       (spark, dir) => {
         val n = t(spark, dir, "nation")
-        val w = Window.orderBy(col("n_name"), col("n_nationkey"))
+        // partitionBy(lit(1)): same single partition, but declared — keeps
+        // "WindowExec: No Partition Defined" out of the bench log so real
+        // (accidental) global windows stay visible when they appear.
+        val w = Window.partitionBy(lit(1)).orderBy(col("n_name"), col("n_nationkey"))
         n.select(
             (lit(1000L) + row_number().over(w)).as("nation_key"),
             col("n_name"), col("n_nationkey"))
@@ -370,7 +373,10 @@ object WindowQueries extends QueryModule {
           .groupBy(col("c_nationkey"))
           .agg(sum(dec(col("o_totalprice"))).cast(DecimalType(18, 2)).as("revenue"))
         rev.select(col("c_nationkey"), col("revenue").cast(DoubleType).as("revenue"),
-            rank().over(Window.orderBy(col("revenue").desc, col("c_nationkey"))).as("rev_rank"))
+            // lit(1) partition: silences the global-window warning on this
+            // 25-row post-aggregate frame (see q31).
+            rank().over(Window.partitionBy(lit(1))
+              .orderBy(col("revenue").desc, col("c_nationkey"))).as("rev_rank"))
           .orderBy(col("rev_rank"))
       },
       Some("""
