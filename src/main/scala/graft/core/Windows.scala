@@ -1,0 +1,33 @@
+package graft.core
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Declared single-partition window key for SMALL-BY-CONTRACT frames
+  * (post-aggregate few-row windows, requireSmall-guarded dim ranks).
+  *
+  * `Window.orderBy` with no partition floods every bench log with
+  * `WindowExec: No Partition Defined` WARNs, drowning the one case where
+  * that warning matters (an ACCIDENTAL global window over a fact-sized
+  * frame). `partitionBy(lit(1))` does not help on Spark 4: the
+  * `EliminateWindowPartitions` optimizer rule removes FOLDABLE partition
+  * expressions and the warning returns — and arithmetic shapes like
+  * `col * 0` fold too when the column is non-nullable (measured on
+  * 4.1.2; `coalesce(length(cast) * 0, 0)` survives only for NULLABLE
+  * inputs). This key is constant in VALUE (always 0) but column-derived
+  * through a hash the optimizer cannot see through: one declared
+  * partition, bit-identical results, and the warning stays meaningful
+  * wherever it still appears.
+  */
+object Windows {
+
+  /** A non-foldable all-rows-equal partition key derived from `c`:
+    * `pmod(xxhash64(c), 1)` is 0 for every row (xxhash64 maps NULL to
+    * the non-null seed hash, so NULL inputs share the partition), and
+    * neither hash nor pmod participates in any algebraic simplification
+    * rule. Cost: one hash per row, noise on the small-by-contract frames
+    * this is for.
+    */
+  def singlePartition(c: Column): Column =
+    pmod(xxhash64(c), lit(1))
+}

@@ -179,7 +179,15 @@ object Medallion {
     existing match {
       case None =>
         val init = Scd2.initialize(incoming, c, loadTs)
-        init.withColumn(sk, row_number().over(Window.orderBy(ordered: _*)).cast("long"))
+        // Declared single partition (core.Windows; keyed off the BUSINESS
+        // KEY — validFrom is the foldable loadTs literal here, and a
+        // foldable key would be optimized away): the partition the
+        // requireSmall contract already implies, minus the bench-log
+        // warning; key assignment unchanged.
+        init.withColumn(sk, row_number()
+            .over(Window
+              .partitionBy(graft.core.Windows.singlePartition(ordered.head))
+              .orderBy(ordered: _*)).cast("long"))
           .select((sk +: (c.payload ++ c.scdCols)).map(col): _*)
       case Some(d) =>
         // Late-arriving dimension updates (`data/generators/README.md:

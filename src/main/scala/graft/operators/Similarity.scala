@@ -79,6 +79,24 @@ object Similarity {
       .select(col(idCol), col("dv"), col("centroid_id").as("bucket"))
   }
 
+  /** Top-`n` IVF bucket assignments per vector (max-dot order, ties to
+    * the smaller centroid id — row n=1 is exactly [[ivfAssign]]'s
+    * verdict). Returns `(<idCol>, dv, bucket, rn)` with `rn` the
+    * assignment rank. The [[semDedup]] boundary-recall option's
+    * engine: a pair scan over `rn <= 2` examines near-dups straddling a
+    * centroid boundary (each at most doubles its bucket membership, so
+    * pair-scan cost grows ~2×, never toward all-pairs).
+    */
+  def ivfAssignN(vectors: DataFrame, centroids: DataFrame, idCol: String,
+      vecCol: String, dim: Int, n: Int): DataFrame = {
+    val v = vectors.select(col(idCol), asDouble(col(vecCol)).as("dv"))
+    val scored = v.join(broadcast(centroids))
+      .withColumn("score", dot(col("dv"), col("cv"), dim))
+    val w = Window.partitionBy(col(idCol)).orderBy(col("score").desc, col("centroid_id"))
+    scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= n)
+      .select(col(idCol), col("dv"), col("centroid_id").as("bucket"), col("rn"))
+  }
+
   /** Deterministic centroid seed: the first `m` corpus vectors by id.
     * (A k-means refinement pass can replace this without changing the
     * search path.)
@@ -463,7 +481,8 @@ object Similarity {
     */
   def semDedupIncremental(index: StoredIvf, batch: DataFrame, idCol: String,
       vecCol: String, dim: Int, threshold: Double,
-      pruneBuckets: Boolean = true): DataFrame = {
+      pruneBuckets: Boolean = true,
+      maxBroadcastRows: Long = Broadcasting.DefaultMaxRows): DataFrame = {
     // The batch assignment (n×m score + per-id window) feeds the bucket
     // list, the probe join, and the verdict join — persist it once and
     // reap at the boundary (the semDedup discipline; the batch is small
@@ -474,7 +493,11 @@ object Similarity {
     // The batch is small-by-contract (it broadcasts below); fail loudly
     // the first time that contract breaks instead of OOMing the driver —
     // the Broadcasting discipline every Medallion dim broadcast follows.
-    Broadcasting.requireSmall(assigned, "semDedupIncremental batch")
+    // Unpin the assignment cache before propagating, so the loud failure
+    // doesn't also leak the over-cap frame's blocks.
+    try Broadcasting.requireSmall(assigned, "semDedupIncremental batch",
+      maxBroadcastRows)
+    catch { case t: Throwable => assigned.unpersist(); throw t }
     val corpus =
       if (!pruneBuckets) index.assignments
       else {
@@ -550,14 +573,16 @@ object Similarity {
     */
   def probeIvfIndex(index: StoredIvf, queries: DataFrame, idCol: String,
       vecCol: String, dim: Int, k: Int, nProbe: Int,
-      pruneBuckets: Boolean = true): DataFrame = {
+      pruneBuckets: Boolean = true,
+      maxBroadcastRows: Long = Broadcasting.DefaultMaxRows): DataFrame = {
     val assigned =
       if (!pruneBuckets) index.assignments
       else {
         val q = queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv"))
         // Queries are broadcast-small by contract — assert it loudly
         // (Broadcasting discipline) before forcing the broadcast.
-        Broadcasting.requireSmall(q, "probeIvfIndex query set")
+        Broadcasting.requireSmall(q, "probeIvfIndex query set",
+          maxBroadcastRows)
         val qScored = broadcast(q).join(broadcast(index.centroids))
           .withColumn("score", dot(col("qv"), col("cv"), dim))
         val wq = Window.partitionBy(col("query_id"))
@@ -588,15 +613,26 @@ object Similarity {
     * members land in DIFFERENT clusters is not examined — that trade (vs
     * the all-pairs scan) is what makes 100 TB feasible; pass
     * [[kmeansRefine]]d centroids to tighten clusters around the data.
+    *
+    * `nAssign` softens that boundary the FineWeb way: each vector joins
+    * the pair scan under its top-`nAssign` centroids (via
+    * [[ivfAssignN]]), so a pair straddling one centroid boundary IS
+    * examined whenever their assignment sets overlap — at ≤ nAssign×
+    * bucket membership (~nAssign²× pair-scan cost) with the SAME plan
+    * shape: the scan stays keyed on `bucket`, never all-pairs. Verdicts
+    * keep their form — one row per input, `bucket` = the PRIMARY
+    * (rank-1) assignment, `dup_of` = the min near-dup found across any
+    * shared bucket. Default 1 is the paper's exact algorithm.
     */
   def semDedup(corpus: DataFrame, centroids: DataFrame, idCol: String,
-      vecCol: String, dim: Int, threshold: Double): DataFrame = {
+      vecCol: String, dim: Int, threshold: Double,
+      nAssign: Int = 1): DataFrame = {
     // The assignment (an n×m score + per-id window) feeds BOTH sides of
     // the pair scan and the final verdict join — persist it once instead
     // of recomputing it three times, then reap: the returned verdict
     // table is narrow (id, bucket, dup_of, kept), so pinned footprint
     // after return is O(result), the dedupCorpus cache discipline.
-    val assigned = ivfAssign(corpus, centroids, idCol, vecCol, dim)
+    val assigned = ivfAssignN(corpus, centroids, idCol, vecCol, dim, nAssign)
       .withColumn("__nrm", norm(col("dv"), dim))
       .persist()
     val a = assigned.select(col(idCol).as("__id_a"), col("dv").as("__va"),
@@ -609,7 +645,8 @@ object Similarity {
         col("__na"), col("__nb"), dim) >= threshold)
       .groupBy(col("__id_b").as(idCol))
       .agg(min(col("__id_a")).as("dup_of"))
-    val verdicts = assigned.select(col(idCol), col("bucket"))
+    val verdicts = assigned.filter(col("rn") === 1)
+      .select(col(idCol), col("bucket"))
       .join(dups, Seq(idCol), "left")
       .withColumn("kept", col("dup_of").isNull)
     graft.core.Caching.reap(verdicts, assigned)

@@ -347,16 +347,32 @@ object TextDedup {
     * the exact multiplication compaction exists to erase. Stripping the
     * bucket metadata from the read keeps the real exchange in the plan:
     * exactly one file per populated bucket comes out.
+    *
+    * RE-ENTRANT under the single-writer contract: the DROP → RENAME
+    * window is not transactional on plain Parquet, so a crash between
+    * the two statements leaves the name dangling with the finished
+    * compacted table still under its temp name. A re-run detects that
+    * torn state (temp exists, original gone — the temp is complete by
+    * then: `saveAsTable` registers it only after its write commits) and
+    * finishes the rename instead of failing on the missing original; a
+    * crash BEFORE the drop needs nothing special — the original is still
+    * authoritative and the Overwrite write replaces any partial temp.
     */
   private[operators] def swapCompacted(spark: org.apache.spark.sql.SparkSession,
       table: String, transform: DataFrame => DataFrame, path: String,
       keys: Seq[String]): Unit = {
     import org.apache.spark.sql.catalyst.TableIdentifier
-    val meta = spark.sessionState.catalog.getTableMetadata(TableIdentifier(table))
+    val catalog = spark.sessionState.catalog
+    val tmp = s"${table}__compact"
+    if (catalog.tableExists(TableIdentifier(tmp)) &&
+        !catalog.tableExists(TableIdentifier(table))) {
+      spark.sql(s"ALTER TABLE $tmp RENAME TO $table")
+      return
+    }
+    val meta = catalog.getTableMetadata(TableIdentifier(table))
     val buckets = meta.bucketSpec
       .getOrElse(sys.error(s"$table is not a bucketed table")).numBuckets
     val plainRead = spark.read.parquet(meta.location.toString)
-    val tmp = s"${table}__compact"
     Bucketing.writeBucketed(transform(plainRead), tmp, path, buckets, keys)
     spark.sql(s"DROP TABLE $table")
     spark.sql(s"ALTER TABLE $tmp RENAME TO $table")

@@ -173,7 +173,11 @@ object ExpressionQueries extends QueryModule {
         val daily = o.groupBy(to_date(col("o_orderdate")).as("day"))
           .agg(sum(dec(col("o_totalprice"))).as("rev"))
           .withColumn("epoch_day", datediff(col("day"), lit("1970-01-01")).cast("long"))
+        // Declared single-partition frame over ~2.4k daily aggregate rows
+        // (non-foldable key — see core.Windows): keeps the global-window
+        // warning out of the bench log.
         val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(graft.core.Windows.singlePartition(col("epoch_day")))
           .orderBy(col("epoch_day")).rangeBetween(-6, 0)
         daily.select(col("day"),
             col("rev").cast(DoubleType).as("day_revenue"),

@@ -435,6 +435,92 @@ object VectorQueries extends QueryModule {
         FROM bassign s LEFT JOIN dups d USING (vec_id)
         ORDER BY s.vec_id
       """.trim),
-      indexed = Some(graft.core.GQuery.IndexedParts(q116Build, q116Probe)))
+      indexed = Some(graft.core.GQuery.IndexedParts(q116Build, q116Probe))),
+
+    // --- SemDeDup boundary recall (nAssign): the paper's exact algorithm
+    // cannot examine a near-dup pair straddling a centroid boundary; top-2
+    // multi-assignment recovers it at ~2x bucket membership, same plan
+    // shape. The gate PLANTS that pair: two anchor centroids (unit axes
+    // e1/e2, ids 900001/900002, joined to the 16-seed table) and a vector
+    // pair at (0.71, 0.705)/(0.705, 0.71) — cosine ≈ 0.99998, but max-dot
+    // assignment splits them across the anchors (their dot on any real
+    // seed centroid is ≤ ~0.30 at sf0.01 and ≤ ~0.55 at sf0.1, so the
+    // anchors win deterministically). Both modes' verdicts ship side by
+    // side: nAssign=1 keeps both members (the documented miss), nAssign=2
+    // marks 910002 dup_of 910001. Real corpus pairs sit far below the
+    // 0.999 threshold either way. ---
+    GQuery(
+      "q117_semdedup_boundary",
+      (spark, dir) => {
+        val e = Tables.embs(spark, dir)
+          .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+        def planted(x: Double, y: Double) =
+          array(lit(x) +: lit(y) +: Seq.fill(Dim - 2)(lit(0.0)): _*)
+        val pair = spark.range(1).select(lit(910001L).as("vec_id"),
+            planted(0.71, 0.705).as("embedding"))
+          .unionByName(spark.range(1).select(lit(910002L).as("vec_id"),
+            planted(0.705, 0.71).as("embedding")))
+        val corpus = e.unionByName(pair)
+        val anchors = spark.range(1).select(lit(900001L).as("centroid_id"),
+            planted(1.0, 0.0).as("cv"))
+          .unionByName(spark.range(1).select(lit(900002L).as("centroid_id"),
+            planted(0.0, 1.0).as("cv")))
+        val cents = Similarity.seedCentroids(e, "vec_id", "embedding", m = 16)
+          .unionByName(anchors)
+        def run(n: Int) = Similarity.semDedup(corpus, cents, "vec_id",
+          "embedding", Dim, threshold = 0.999, nAssign = n)
+          .withColumn("n_assign", lit(n))
+        run(1).unionByName(run(2)).orderBy(col("n_assign"), col("vec_id"))
+      },
+      Some("""
+        WITH v0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        pl AS (
+          SELECT 910001 AS vec_id,
+                 list_concat([0.71, 0.705], list_transform(generate_series(1, 62), i -> 0.0)) AS e
+          UNION ALL
+          SELECT 910002,
+                 list_concat([0.705, 0.71], list_transform(generate_series(1, 62), i -> 0.0))),
+        v AS (SELECT * FROM v0 UNION ALL SELECT * FROM pl),
+        seed AS (
+          SELECT vec_id AS centroid_id, e AS cv FROM v0
+          QUALIFY row_number() OVER (ORDER BY vec_id) <= 16),
+        cents AS (
+          SELECT * FROM seed
+          UNION ALL
+          SELECT 900001, list_concat([1.0, 0.0], list_transform(generate_series(1, 62), i -> 0.0))
+          UNION ALL
+          SELECT 900002, list_concat([0.0, 1.0], list_transform(generate_series(1, 62), i -> 0.0))),
+        ranked AS (
+          SELECT v.vec_id, v.e, c.centroid_id AS bucket,
+                 row_number() OVER (PARTITION BY v.vec_id
+                   ORDER BY list_sum(list_transform(generate_series(1, 64),
+                              i -> v.e[i] * c.cv[i])) DESC,
+                            c.centroid_id) AS rn
+          FROM v CROSS JOIN cents c),
+        dups1 AS (
+          SELECT b.vec_id, MIN(a.vec_id) AS dup_of
+          FROM ranked a JOIN ranked b
+            ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+          WHERE a.rn = 1 AND b.rn = 1
+            AND list_sum(list_transform(generate_series(1, 64), i -> a.e[i] * b.e[i]))
+                  / (sqrt(list_sum(list_transform(generate_series(1, 64), i -> a.e[i] * a.e[i])))
+                     * sqrt(list_sum(list_transform(generate_series(1, 64), i -> b.e[i] * b.e[i])))) >= 0.999
+          GROUP BY b.vec_id),
+        dups2 AS (
+          SELECT b.vec_id, MIN(a.vec_id) AS dup_of
+          FROM ranked a JOIN ranked b
+            ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+          WHERE a.rn <= 2 AND b.rn <= 2
+            AND list_sum(list_transform(generate_series(1, 64), i -> a.e[i] * b.e[i]))
+                  / (sqrt(list_sum(list_transform(generate_series(1, 64), i -> a.e[i] * a.e[i])))
+                     * sqrt(list_sum(list_transform(generate_series(1, 64), i -> b.e[i] * b.e[i])))) >= 0.999
+          GROUP BY b.vec_id)
+        SELECT s.vec_id, s.bucket, d.dup_of, d.dup_of IS NULL AS kept, 1 AS n_assign
+        FROM ranked s LEFT JOIN dups1 d USING (vec_id) WHERE s.rn = 1
+        UNION ALL
+        SELECT s.vec_id, s.bucket, d.dup_of, d.dup_of IS NULL AS kept, 2 AS n_assign
+        FROM ranked s LEFT JOIN dups2 d USING (vec_id) WHERE s.rn = 1
+        ORDER BY n_assign, vec_id
+      """.trim))
   )
 }

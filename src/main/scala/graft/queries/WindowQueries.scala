@@ -118,10 +118,12 @@ object WindowQueries extends QueryModule {
       "q31_surrogate_keys",
       (spark, dir) => {
         val n = t(spark, dir, "nation")
-        // partitionBy(lit(1)): same single partition, but declared — keeps
-        // "WindowExec: No Partition Defined" out of the bench log so real
-        // (accidental) global windows stay visible when they appear.
-        val w = Window.partitionBy(lit(1)).orderBy(col("n_name"), col("n_nationkey"))
+        // Declared single-partition key (non-foldable — see core.Windows):
+        // keeps "WindowExec: No Partition Defined" out of the bench log so
+        // real (accidental) global windows stay visible when they appear.
+        val w = Window
+          .partitionBy(graft.core.Windows.singlePartition(col("n_nationkey")))
+          .orderBy(col("n_name"), col("n_nationkey"))
         n.select(
             (lit(1000L) + row_number().over(w)).as("nation_key"),
             col("n_name"), col("n_nationkey"))
@@ -373,9 +375,10 @@ object WindowQueries extends QueryModule {
           .groupBy(col("c_nationkey"))
           .agg(sum(dec(col("o_totalprice"))).cast(DecimalType(18, 2)).as("revenue"))
         rev.select(col("c_nationkey"), col("revenue").cast(DoubleType).as("revenue"),
-            // lit(1) partition: silences the global-window warning on this
-            // 25-row post-aggregate frame (see q31).
-            rank().over(Window.partitionBy(lit(1))
+            // Declared single partition: silences the global-window warning
+            // on this 25-row post-aggregate frame (see q31 / core.Windows).
+            rank().over(Window
+              .partitionBy(graft.core.Windows.singlePartition(col("c_nationkey")))
               .orderBy(col("revenue").desc, col("c_nationkey"))).as("rev_rank"))
           .orderBy(col("rev_rank"))
       },

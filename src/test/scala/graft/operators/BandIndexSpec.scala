@@ -251,6 +251,51 @@ class BandIndexSpec extends AnyFunSuite {
       "compaction must not change membership answers")
   }
 
+  test("swapCompacted recovers a torn DROP->RENAME window: re-run finishes the swap") {
+    // The swap is documented single-writer and non-transactional: a crash
+    // between DROP TABLE and RENAME leaves the index name dangling while
+    // the finished compacted table sits under its temp name. The recovery
+    // recipe is simply "run compaction again" — swapCompacted detects the
+    // torn state and completes the rename instead of failing on the
+    // missing original.
+    val corpus = docs
+    val fp = md5(col("text"))
+    val path = java.nio.file.Files.createTempDirectory("graft_fpidx_torn").toString
+    TextDedup.writeFingerprintIndex(corpus.filter(col("doc_id") % 2 === 0),
+      fp, "fpidx_torn", path, buckets = 4)
+    TextDedup.appendToFingerprintIndex(spark, corpus, fp, "fpidx_torn")
+    val expect = spark.table("fpidx_torn_fp").distinct().count()
+
+    // Reproduce swapCompacted's steps up to the crash point: compacted
+    // temp written, original dropped, RENAME never ran.
+    import org.apache.spark.sql.catalyst.TableIdentifier
+    val meta = spark.sessionState.catalog
+      .getTableMetadata(TableIdentifier("fpidx_torn_fp"))
+    val cPath = java.nio.file.Files.createTempDirectory("graft_fpidx_torn2").toString
+    Bucketing.writeBucketed(
+      spark.read.parquet(meta.location.toString).distinct(),
+      "fpidx_torn_fp__compact", cPath, 4, Seq("fp"))
+    spark.sql("DROP TABLE fpidx_torn_fp")
+    assert(!spark.catalog.tableExists("fpidx_torn_fp"), "torn state: name dangling")
+
+    // Recovery: the orchestrator just re-runs the compaction.
+    TextDedup.compactFingerprintIndex(spark, "fpidx_torn",
+      java.nio.file.Files.createTempDirectory("graft_fpidx_torn3").toString)
+    assert(spark.catalog.tableExists("fpidx_torn_fp"), "recovery must restore the name")
+    assert(spark.table("fpidx_torn_fp").count() == expect,
+      "recovered table must hold exactly the compacted content")
+    val spec = spark.sessionState.catalog
+      .getTableMetadata(TableIdentifier("fpidx_torn_fp")).bucketSpec
+    assert(spec.exists(_.numBuckets == 4),
+      s"recovered table must keep the bucket layout: $spec")
+
+    // And the recovered index compacts normally on the next cadence — the
+    // re-entry path leaves no residue that breaks a clean run.
+    TextDedup.compactFingerprintIndex(spark, "fpidx_torn",
+      java.nio.file.Files.createTempDirectory("graft_fpidx_torn4").toString)
+    assert(spark.table("fpidx_torn_fp").count() == expect)
+  }
+
   test("probe never shuffles the stored corpus; exchange count is corpus-size-invariant") {
     val batch = batchOf(docs)
     val bb = graft.core.Caching.reap(bandsOf(batch))

@@ -66,6 +66,34 @@ class GatePlanSpec extends AnyFunSuite {
     "q111_corpus_report" -> (7, 1),
     "q113_gopher_rules" -> (3, 0))
 
+  test("q107's ORC read-back pushes its predicate and projection into the scan") {
+    import org.apache.spark.sql.functions.col
+    // The gate query's comment promises the filter reaches the ORC scan
+    // (stripe min/max stats) — pin it as a plan fact, the exchange-count
+    // standard above. The scan must be ORC with the s_acctbal predicate
+    // in PushedFilters, not a post-scan Filter over a full read.
+    val df = SparkEntry.queries("q107_orc_roundtrip")(spark, TestSpark.SfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("FileScan orc"), s"expected an ORC file scan in:\n$plan")
+    assert(plan.contains("PushedFilters: [IsNotNull(s_acctbal), GreaterThan(s_acctbal"),
+      s"expected the s_acctbal predicate pushed to the ORC scan in:\n$plan")
+    // Column pruning, proven on a narrower projection over a FULL-width
+    // ORC write (the gate writes 4 columns, so its own ReadSchema cannot
+    // distinguish pruning from coincidence): only the two selected
+    // columns may appear in the scan's ReadSchema.
+    val src = spark.read.parquet(s"${TestSpark.SfDir}/supplier.parquet")
+    val p = java.nio.file.Files.createTempDirectory("graft_orc_plan").toString
+    src.write.mode("overwrite").orc(p)
+    val narrow = spark.read.orc(p)
+      .filter(col("s_acctbal") > 0).select("s_suppkey", "s_acctbal")
+    val rs = "ReadSchema: ([^\\n]*)".r
+      .findFirstMatchIn(narrow.queryExecution.executedPlan.toString)
+      .map(_.group(1)).getOrElse("")
+    assert(rs.contains("s_suppkey") && rs.contains("s_acctbal") &&
+      !rs.contains("s_name"),
+      s"ORC scan must prune to the projected columns, ReadSchema: $rs")
+  }
+
   test("top gate queries keep their pinned exchange/broadcast counts") {
     val got = pinned.keys.toSeq.sorted.map { n =>
       val df = SparkEntry.queries(n)(spark, TestSpark.SfDir)

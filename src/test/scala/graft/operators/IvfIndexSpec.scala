@@ -302,6 +302,38 @@ class IvfIndexSpec extends AnyFunSuite {
     assert(full.toSeq == pruned)
   }
 
+  test("over-cap forced broadcasts fail loudly with the contract message, not an OOM") {
+    // semDedupIncremental broadcasts the batch and probeIvfIndex the query
+    // set — both small-by-contract. The guard must surface a contract
+    // violation as require() text (the BroadcastGuardSpec standard for
+    // Medallion dims), and must not leave the batch assignment pinned.
+    val e = embs
+    val cents = Similarity.seedCentroids(e, "vec_id", "embedding", m = 16)
+    val idx = buildIndex("ividx_guard", e, cents)
+    val batch = e.filter(col("vec_id") % 25 === 0)
+      .withColumn("vec_id", col("vec_id") + 10000)
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val e1 = intercept[IllegalArgumentException] {
+      Similarity.semDedupIncremental(idx, batch, "vec_id", "embedding", Dim,
+        threshold = 0.99, maxBroadcastRows = 5)
+    }
+    assert(e1.getMessage.contains("small-by-contract") &&
+      e1.getMessage.contains("semDedupIncremental"))
+    assert((spark.sparkContext.getPersistentRDDs.keySet -- before).isEmpty,
+      "the guard's throw path must unpin the batch assignment cache")
+    val e2 = intercept[IllegalArgumentException] {
+      Similarity.probeIvfIndex(idx, queriesOf(e), "vec_id", "embedding", Dim,
+        k = 5, nProbe = 4, maxBroadcastRows = 5)
+    }
+    assert(e2.getMessage.contains("small-by-contract") &&
+      e2.getMessage.contains("probeIvfIndex"))
+    // At the default cap both paths still run (the guard is a backstop,
+    // not a tax): same verdicts as the unguarded contract run.
+    val ok = Similarity.semDedupIncremental(idx, batch, "vec_id", "embedding",
+      Dim, threshold = 0.99)
+    assert(ok.count() == batch.count())
+  }
+
   test("centroid classifier beats chance on the labeled corpus; verdicts are complete and consistent") {
     val e = embs
     val cents = Similarity.labelCentroids(e, "label", "embedding", Dim)
@@ -411,6 +443,47 @@ class IvfIndexSpec extends AnyFunSuite {
     val want = rows(Similarity.probeIvfIndex(oneShot, queriesOf(e),
       "vec_id", "embedding", Dim, k = 5, nProbe = 4))
     assert(got == want, "streamed appends diverged from the one-shot build")
+  }
+
+  test("semDedup nAssign=2 recovers a planted boundary pair that nAssign=1 misses; pair scan shape unchanged") {
+    import spark.implicits._
+    // 2-D corpus built around the cluster boundary: centroids are e1/e2
+    // (the two lowest ids — seedCentroids), and the planted near-dup pair
+    // sits at 44°/46°, straddling the 45° decision line: cosine(a,b) =
+    // cos 2° ≈ 0.99939, yet a max-dot-assigns to e1 and b to e2, so the
+    // paper's exact algorithm (nAssign=1) never examines the pair — the
+    // documented recall trade. Top-2 assignment overlaps their bucket
+    // sets and recovers it, dedup verdict form unchanged.
+    val rad = math.Pi / 180
+    def v(deg: Double) = Seq(math.cos(deg * rad).toFloat, math.sin(deg * rad).toFloat)
+    val corpus = Seq(
+      (1L, v(0)), (2L, v(90)),
+      (10L, v(44)), (11L, v(46))).toDF("vec_id", "embedding")
+    val cents = Similarity.seedCentroids(corpus, "vec_id", "embedding", m = 2)
+    def verdicts(n: Int): Map[Long, (Option[Any], Boolean)] =
+      Similarity.semDedup(corpus, cents, "vec_id", "embedding", 2,
+          threshold = 0.999, nAssign = n)
+        .collect().map(r => r.getLong(0) -> (Option(r.get(2)), r.getBoolean(3))).toMap
+    val v1 = verdicts(1)
+    assert(v1.size == 4 && v1.values.forall(_._2),
+      s"nAssign=1 must MISS the straddling pair (the documented trade): $v1")
+    val v2 = verdicts(2)
+    assert(v2(11L) == (Some(10L), false),
+      s"nAssign=2 must catch the boundary pair: ${v2(11L)}")
+    assert(v2(10L)._2 && v2(1L)._2 && v2(2L)._2,
+      s"only the higher-id boundary member may be dropped: $v2")
+    // Same plan shape either way: the pair scan is keyed on bucket —
+    // multi-assignment widens bucket membership (data), never the plan.
+    def pairShape(n: Int) = {
+      val assigned = Similarity.ivfAssignN(corpus, cents, "vec_id", "embedding", 2, n)
+      assigned.select(col("vec_id").as("a"), col("bucket"))
+        .join(assigned.select(col("vec_id").as("b"), col("bucket")), Seq("bucket"))
+        .filter(col("a") < col("b"))
+    }
+    assert(Bucketing.exchangeCount(pairShape(1)) == Bucketing.exchangeCount(pairShape(2)),
+      "nAssign must not change the pair-scan exchange count")
+    assert(!pairShape(2).queryExecution.executedPlan.toString.contains("CartesianProduct"),
+      "multi-assign pair scan must stay bucket-keyed")
   }
 
   test("semDedup drops every planted copy, keeps every original, and reaps its assignment cache") {
