@@ -263,6 +263,293 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("qdot"), col("rank"))
   }
 
+  // ---------------------------------------------------------------------
+  // Product quantization (Jégou, Douze, Schmid 2011, "Product Quantization
+  // for Nearest Neighbor Search", IEEE TPAMI). The OTHER memory half of
+  // the 100 TB ANN recipe, beyond [[quantizeInt8]]'s byte-per-dimension:
+  // split each vector into `numSub` subvectors, quantize each subvector to
+  // its nearest entry in a per-subspace codebook of `ksub` centroids, and
+  // store only the `numSub` code indices — dim=64 at numSub=8 is 8 small
+  // ints per vector (~8 B after Parquet bit-packing) vs 64 B int8 / 512 B
+  // float64, so a 1e10-vector corpus' codes fit where even int8 cannot.
+  // Query-time scoring is asymmetric distance computation (ADC): the
+  // query precomputes its dot product against every codebook entry ONCE
+  // (numSub×ksub values — the lookup table), and each corpus vector's
+  // approximate score is numSub table lookups + adds, no per-pair float
+  // vector math at all. Composes with IVF the FAISS IVF-PQ way: bucket
+  // pruning cuts the candidate set, ADC scans the survivors' codes.
+  // ---------------------------------------------------------------------
+
+  /** `(<idCol>, sub, sv)` — each vector split into `numSub` contiguous
+    * subvectors of width dim/numSub (strict slicing: a short/corrupt
+    * vector is excluded by the width filter, the [[labelCentroids]]
+    * discipline).
+    */
+  private[operators] def pqSubvectors(vectors: DataFrame, idCol: String,
+      vecCol: String, dim: Int, numSub: Int): DataFrame = {
+    require(dim % numSub == 0, s"numSub ($numSub) must divide dim ($dim)")
+    val sd = dim / numSub
+    vectors.filter(size(asDouble(col(vecCol))) === dim)
+      .select(col(idCol), asDouble(col(vecCol)).as("__dv"))
+      .select(col(idCol), posexplode(
+        transform(sequence(lit(0), lit(numSub - 1)),
+          s => slice(col("__dv"), s * sd + lit(1), lit(sd)))).as(Seq("sub", "sv")))
+  }
+
+  /** Deterministic per-subspace PQ codebooks: `(sub, code, cv)` with
+    * `code` in [0, ksub) — the [[seedCentroids]] convention applied per
+    * subspace (code c = the subvector of the c-th corpus vector by id),
+    * so an external engine can replay the codebook exactly. Refine with
+    * [[pqRefine]] when quality matters more than oracle replay.
+    */
+  def pqCodebook(corpus: DataFrame, idCol: String, vecCol: String, dim: Int,
+      numSub: Int, ksub: Int): DataFrame = {
+    val seed = corpus.orderBy(col(idCol)).limit(ksub)
+    val w = Window
+      .partitionBy(graft.core.Windows.singlePartition(col(idCol)))
+      .orderBy(col(idCol))
+    val coded = seed.withColumn("code", row_number().over(w) - 1)
+    pqSubvectors(coded, idCol, vecCol, dim, numSub)
+      .join(coded.select(col(idCol), col("code")), Seq(idCol))
+      .select(col("sub"), col("code"), col("sv").as("cv"))
+  }
+
+  /** `(<idCol>, sub, sv, code, dist2)` — each subvector labeled with its
+    * nearest codebook entry (min L2², ties to the smaller code; the
+    * argmin is a partial-aggregating min over `struct(dist2, code)`, not
+    * a window — no per-(id,sub) sort). Codebook broadcasts (numSub×ksub
+    * rows — 2048 at 8×256).
+    */
+  private[operators] def pqAssign(vectors: DataFrame, codebook: DataFrame,
+      idCol: String, vecCol: String, dim: Int, numSub: Int): DataFrame = {
+    val sd = dim / numSub
+    val sv = pqSubvectors(vectors, idCol, vecCol, dim, numSub)
+    val scored = sv.join(broadcast(codebook), Seq("sub"))
+      .withColumn("__d", zip_with(col("sv"), col("cv"), (x, c) => x - c))
+      .withColumn("dist2", dot(col("__d"), col("__d"), sd))
+    scored.groupBy(col(idCol), col("sub"))
+      .agg(min(struct(col("dist2"), col("code"))).as("__best"),
+        first(col("sv")).as("sv"))
+      .select(col(idCol), col("sub"), col("sv"),
+        col("__best.code").as("code"), col("__best.dist2").as("dist2"))
+  }
+
+  /** PQ-encode a corpus: `(<idCol>, codes)` with `codes` the
+    * `numSub`-length int array of nearest codebook entries. One explode +
+    * two hash aggregations keyed by the id — a one-time ingest cost (the
+    * shuffled rows are subvector-sized, ~the input's own bytes); the
+    * encoded table it emits is what a 100 TB scan actually reads.
+    */
+  def pqEncode(vectors: DataFrame, codebook: DataFrame, idCol: String,
+      vecCol: String, dim: Int, numSub: Int): DataFrame =
+    pqAssign(vectors, codebook, idCol, vecCol, dim, numSub)
+      .groupBy(col(idCol))
+      .agg(array_sort(collect_list(struct(col("sub"), col("code")))).as("__sc"))
+      .select(col(idCol), transform(col("__sc"), s => s.getField("code")).as("codes"))
+
+  /** Mean squared quantization distortion of a codebook over a corpus
+    * (the standard PQ quality scalar: Σ per-subvector L2² / vectors).
+    * One aggregated row: `(mse)`. Lower is better; [[pqRefine]] should
+    * drive it down.
+    */
+  def pqDistortion(corpus: DataFrame, codebook: DataFrame, idCol: String,
+      vecCol: String, dim: Int, numSub: Int): DataFrame =
+    pqAssign(corpus, codebook, idCol, vecCol, dim, numSub)
+      .agg((sum(col("dist2")) / countDistinct(col(idCol))).as("mse"))
+
+  /** Lloyd refinement of a PQ codebook — per-subspace k-means, all
+    * subspaces in one pass per iteration: assign (min-L2² over the
+    * broadcast codebook), then recenter each (sub, code) cell on the
+    * element-wise mean of its members ([[kmeansRefine]]'s shape, keyed by
+    * (sub, code, pos)). Cells that lose all members drop out, matching
+    * [[kmeansRefine]]; eager localCheckpoint per iteration truncates the
+    * lineage.
+    */
+  def pqRefine(corpus: DataFrame, codebook: DataFrame, idCol: String,
+      vecCol: String, dim: Int, numSub: Int, iterations: Int): DataFrame = {
+    var cb = codebook
+    (0 until iterations).foreach { _ =>
+      cb = pqAssign(corpus, cb, idCol, vecCol, dim, numSub)
+        .select(col("sub"), col("code"), posexplode(col("sv")).as(Seq("pos", "v")))
+        .groupBy(col("sub"), col("code"), col("pos")).agg(avg(col("v")).as("v"))
+        .groupBy(col("sub"), col("code"))
+        .agg(array_sort(collect_list(struct(col("pos"), col("v")))).as("pv"))
+        .select(col("sub"), col("code"),
+          transform(col("pv"), s => s.getField("v")).as("cv"))
+        .localCheckpoint(true)
+    }
+    cb
+  }
+
+  /** Per-query ADC lookup table: `(query_id, lut)` with
+    * `lut[sub][code+1]` = dot(query subvector `sub`, codebook entry
+    * `code`) — numSub×ksub doubles per query, assembled once and
+    * broadcast into the scan. Inner-product tables because the corpus
+    * embeddings are unit-normalized (dot ≈ cosine); the table, not the
+    * metric, is the PQ contract.
+    */
+  def pqLut(queries: DataFrame, codebook: DataFrame, idCol: String,
+      vecCol: String, dim: Int, numSub: Int): DataFrame = {
+    val sd = dim / numSub
+    pqSubvectors(queries, idCol, vecCol, dim, numSub)
+      .withColumnRenamed(idCol, "query_id")
+      .join(broadcast(codebook), Seq("sub"))
+      .withColumn("__p", dot(col("sv"), col("cv"), sd))
+      .groupBy(col("query_id"), col("sub"))
+      .agg(array_sort(collect_list(struct(col("code"), col("__p")))).as("__cp"))
+      .groupBy(col("query_id"))
+      .agg(array_sort(collect_list(struct(col("sub"),
+        transform(col("__cp"), s => s.getField("__p")).as("ps")))).as("__sl"))
+      .select(col("query_id"),
+        transform(col("__sl"), s => s.getField("ps")).as("lut"))
+  }
+
+  /** PQ top-k by asymmetric distance computation: each encoded corpus row
+    * scores against a query as `numSub` table lookups summed — zero float
+    * vector math in the scan, the whole point of PQ. The per-(query, row)
+    * sum folds each lookup through an EXACT decimal accumulator
+    * (`decimal(30,15)`, the [[labelCentroids]] discipline) so scores are
+    * bit-identical under any evaluation order AND replayable by an
+    * external engine's order-free decimal SUM. Queries' LUTs broadcast;
+    * ranking is the [[bruteForceTopK]] window. Scores are approximate
+    * (quantized) dots — re-rank survivors with [[cosinePrenormed]] against
+    * the full vectors when exact order matters, as with [[quantizedTopK]].
+    */
+  /** The ADC sum: `codes[sub]` looks up `lut[sub]`, folded through an
+    * EXACT decimal accumulator (`decimal(30,15)`, the [[labelCentroids]]
+    * discipline) so scores are bit-identical under any evaluation order
+    * AND replayable by an external engine's order-free decimal SUM. The
+    * per-step cast-back is required (decimal + decimal widens to (31,15)
+    * and `aggregate()` demands a merge closed under the accumulator
+    * type) and exact ((30,15) has headroom for any numSub-term sum).
+    */
+  private def adcScore(codes: Column, lut: Column): Column =
+    aggregate(
+      zip_with(codes, lut, (cd, l) => element_at(l, cd + 1)),
+      lit(0).cast("decimal(30,15)"),
+      (s, x) => (s + x.cast("decimal(30,15)")).cast("decimal(30,15)"))
+      .cast("double")
+
+  def pqTopK(queries: DataFrame, encoded: DataFrame, codebook: DataFrame,
+      idCol: String, vecCol: String, dim: Int, numSub: Int, k: Int,
+      maxBroadcastRows: Long = Broadcasting.DefaultMaxRows): DataFrame = {
+    val lut = pqLut(queries, codebook, idCol, vecCol, dim, numSub)
+    Broadcasting.requireSmall(lut, "pqTopK query LUT", maxBroadcastRows)
+    val c = encoded.select(col(idCol).as("neighbor_id"), col("codes"))
+    val scored = broadcast(lut).join(c, col("query_id") =!= col("neighbor_id"))
+      .withColumn("pq_score", adcScore(col("codes"), col("lut")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("pq_score").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("pq_score"), col("rank"))
+  }
+
+  /** PQ candidate generation + exact re-rank — the deployment shape that
+    * closes PQ's quantization gap (PqSpec measures it: direct 80-bit
+    * PQ@10 ≈ 0.5 on this corpus, candidates@50 ≥ 0.9): the ADC scan
+    * ([[pqTopK]]) nominates `kCand` candidates per query from CODES
+    * ALONE, and only those |queries|×kCand pairs are re-scored with the
+    * exact float cosine against the full vectors. A true top-k neighbor
+    * that makes the candidate list always survives the re-rank (it can
+    * be displaced only by a strictly nearer vector, itself top-k), so
+    * end recall equals candidate recall.
+    *
+    * Scale shape: the scan reads codes only (numSub small ints/row); the
+    * full `corpus` vectors enter ONLY through a broadcast-candidate join
+    * keyed on the neighbor id — the corpus never shuffles and no
+    * per-pair float math happens outside the kCand·|queries| re-rank
+    * rows. [[quantizedTopK]]'s re-rank discipline, one memory tier
+    * further down.
+    */
+  def pqRerankTopK(queries: DataFrame, corpus: DataFrame, encoded: DataFrame,
+      codebook: DataFrame, idCol: String, vecCol: String, dim: Int,
+      numSub: Int, k: Int, kCand: Int,
+      maxBroadcastRows: Long = Broadcasting.DefaultMaxRows): DataFrame = {
+    val cands = pqTopK(queries, encoded, codebook, idCol, vecCol, dim,
+        numSub, kCand, maxBroadcastRows)
+      .select(col("query_id"), col("neighbor_id"))
+    val q = queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv"))
+      .withColumn("qn", norm(col("qv"), dim))
+    val candQ = cands.join(q, Seq("query_id"))
+    Broadcasting.requireSmall(candQ, "pqRerankTopK candidate set",
+      maxBroadcastRows)
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+        asDouble(col(vecCol)).as("nv"))
+      .withColumn("nn", norm(col("nv"), dim))
+    val scored = broadcast(candQ).join(c, Seq("neighbor_id"))
+      .withColumn("cosine", cosinePrenormed(col("qv"), col("nv"),
+        col("qn"), col("nn"), dim))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank"))
+  }
+
+  /** IVF-PQ: the two 100 TB levers composed the FAISS way — IVF bucket
+    * pruning decides WHICH rows are examined (nProbe/m of the corpus),
+    * PQ ADC decides how CHEAPLY each examined row scores (numSub table
+    * lookups). Corpus rows carry `(bucket, codes)`; each query picks its
+    * top-`nProbe` buckets (max centroid dot, the [[probeIvfIndex]]
+    * discipline) and its LUT, both broadcast, and candidates flow
+    * through a `bucket` equi-join — never a corpus shuffle, never
+    * all-pairs. At nProbe = m (all buckets) the result is EXACTLY
+    * [[pqTopK]]'s (spec-pinned); smaller nProbe trades recall for a
+    * proportionally smaller scan, on top of PQ's own quantization trade.
+    *
+    * This is the "IVFFlat + global codebook" variant: codes quantize the
+    * raw vectors, not the per-bucket residuals (residual PQ tightens
+    * cells further but its codebook is no longer replayable without the
+    * coarse assignment — a quality knob to add behind the same API if
+    * needed). Persist `(bucket, codes)` disk-bucketed on `bucket` (the
+    * [[writeIvfIndex]] layout) and the probe prunes FILES, not just rows.
+    */
+  def ivfPqTopK(queries: DataFrame, corpus: DataFrame, centroids: DataFrame,
+      codebook: DataFrame, idCol: String, vecCol: String, dim: Int,
+      numSub: Int, k: Int, nProbe: Int,
+      maxBroadcastRows: Long = Broadcasting.DefaultMaxRows): DataFrame = {
+    val encB = pqEncode(corpus, codebook, idCol, vecCol, dim, numSub)
+      .join(ivfAssign(corpus, centroids, idCol, vecCol, dim)
+        .select(col(idCol), col("bucket")), Seq(idCol))
+      .select(col(idCol).as("neighbor_id"), col("codes"), col("bucket"))
+    adcProbe(encB, centroids, codebook, queries, idCol, vecCol, dim, numSub,
+      k, nProbe, maxBroadcastRows)
+  }
+
+  /** The shared probe half of [[ivfPqTopK]] and [[probeIvfPqIndex]]:
+    * given coded corpus rows `(neighbor_id, codes, bucket)` — in-memory
+    * or read back from a stored index — pick each query's top-`nProbe`
+    * buckets, broadcast the probe×LUT pairs into a `bucket` equi-join,
+    * and rank the decimal-exact ADC scores. One code path means the
+    * stored probe is bit-identical to the in-memory composition by
+    * construction, the [[probeIvfIndex]]/[[ivfTopK]] parity discipline.
+    */
+  private def adcProbe(codedRows: DataFrame, centroids: DataFrame,
+      codebook: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
+      dim: Int, numSub: Int, k: Int, nProbe: Int,
+      maxBroadcastRows: Long): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv"))
+    Broadcasting.requireSmall(q, "ivfPqTopK query set", maxBroadcastRows)
+    val wq = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("centroid_id"))
+    val probes = broadcast(q).join(broadcast(centroids))
+      .withColumn("score", dot(col("qv"), col("cv"), dim))
+      .withColumn("rn", row_number().over(wq)).filter(col("rn") <= nProbe)
+      .select(col("query_id"), col("centroid_id").as("bucket"))
+    val lut = pqLut(queries, codebook, idCol, vecCol, dim, numSub)
+    val probeLut = probes.join(lut, Seq("query_id"))
+    Broadcasting.requireSmall(probeLut, "ivfPqTopK probe LUT", maxBroadcastRows)
+    val scored = broadcast(probeLut).join(codedRows, Seq("bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("pq_score", adcScore(col("codes"), col("lut")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("pq_score").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("pq_score"), col("rank"))
+  }
+
   /** Random-projection (sign-bit) LSH bands for cosine similarity — the
     * scale path for near-duplicate detection over embeddings (replaces
     * any label/metadata-blocked all-pairs join, which is quadratic within
@@ -593,6 +880,135 @@ object Similarity {
         index.assignments.filter(col("bucket").isin(bucketIds.toSeq: _*))
       }
     probeAssigned(assigned, index.centroids, queries, idCol, vecCol, dim, k, nProbe)
+  }
+
+  /** A persisted IVF-PQ index: `centroids` (m rows), `codebook`
+    * (numSub×ksub rows), and the `codes` table
+    * `(neighbor_id, codes, bucket)` disk-bucketed on `bucket`.
+    */
+  final case class StoredIvfPq(centroids: DataFrame, codebook: DataFrame,
+      codes: DataFrame)
+
+  /** The stored-row shape shared by [[writeIvfPqIndex]] and
+    * [[appendToIvfPqIndex]]: each vector PQ-encoded against `codebook`
+    * and bucket-assigned against `centroids`.
+    */
+  private def ivfPqRows(vectors: DataFrame, centroids: DataFrame,
+      codebook: DataFrame, idCol: String, vecCol: String, dim: Int,
+      numSub: Int): DataFrame =
+    pqEncode(vectors, codebook, idCol, vecCol, dim, numSub)
+      .join(ivfAssign(vectors, centroids, idCol, vecCol, dim)
+        .select(col(idCol), col("bucket")), Seq(idCol))
+      .select(col(idCol).as("neighbor_id"), col("codes"), col("bucket"))
+
+  /** Persist an IVF-PQ index — the full 100 TB ANN serving layout:
+    * `<name>_centroids` and `<name>_codebook` (both tiny, one file each)
+    * plus `<name>_codes`, disk-bucketed on `bucket` so a probe's
+    * `bucket IN (...)` filter prunes FILES ([[writeIvfIndex]]'s layout).
+    * The codes table is the only corpus-sized artifact and it is numSub
+    * small ints per vector — the memory tier that lets a 1e10-vector
+    * corpus' index fit where even int8 vectors cannot. Pass centroids
+    * and codebook explicitly (seeded or [[kmeansRefine]]/[[pqRefine]]d);
+    * encoding happens here so index content is always consistent with
+    * its own stored artifacts.
+    */
+  def writeIvfPqIndex(corpus: DataFrame, centroids: DataFrame,
+      codebook: DataFrame, idCol: String, vecCol: String, dim: Int,
+      numSub: Int, name: String, path: String, buckets: Int = 32): Unit = {
+    centroids.coalesce(1).write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .option("path", s"$path/centroids").saveAsTable(s"${name}_centroids")
+    codebook.coalesce(1).write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .option("path", s"$path/codebook").saveAsTable(s"${name}_codebook")
+    Bucketing.writeBucketed(
+      ivfPqRows(corpus, centroids, codebook, idCol, vecCol, dim, numSub),
+      s"${name}_codes", s"$path/codes", buckets, Seq("bucket"))
+  }
+
+  /** numSub as recorded by the stored codebook itself (max sub + 1) — a
+    * one-row agg on a numSub×ksub table, read driver-side so appends and
+    * probes can never slice with a width the index wasn't built with.
+    */
+  private def storedNumSub(codebook: DataFrame): Int =
+    codebook.agg(max(col("sub"))).head.getInt(0) + 1
+
+  /** Absorb a new vector batch into a STORED IVF-PQ index: the batch is
+    * encoded against the index's OWN stored codebook and assigned
+    * against its OWN stored centroids (numSub read back from the
+    * codebook — an append can never drift from the layout the index was
+    * built with), then appended preserving the bucketed layout. O(batch);
+    * existing codes are never rewritten. Codebook and centroids are
+    * frozen — the IVF-PQ trade: distribution drift degrades quantization
+    * quality ([[ivfDriftStats]] on the batch is the rebuild signal).
+    */
+  def appendToIvfPqIndex(spark: org.apache.spark.sql.SparkSession,
+      batch: DataFrame, idCol: String, vecCol: String, dim: Int,
+      name: String): Unit = {
+    import org.apache.spark.sql.catalyst.TableIdentifier
+    val buckets = spark.sessionState.catalog
+      .getTableMetadata(TableIdentifier(s"${name}_codes")).bucketSpec
+      .getOrElse(sys.error(s"${name}_codes is not a bucketed table")).numBuckets
+    val centroids = spark.table(s"${name}_centroids")
+    val codebook = spark.table(s"${name}_codebook")
+    ivfPqRows(batch, centroids, codebook, idCol, vecCol, dim,
+        storedNumSub(codebook))
+      .repartition(buckets, col("bucket"))
+      .write.mode(org.apache.spark.sql.SaveMode.Append)
+      .bucketBy(buckets, "bucket").sortBy("bucket")
+      .saveAsTable(s"${name}_codes")
+    // Same cross-session-cache contract as [[appendToIvfIndex]]: refresh
+    // on the handle the caller probes through so a probe right after an
+    // append never reads a stale file list.
+    spark.catalog.refreshTable(s"${name}_codes")
+  }
+
+  /** Reopen a stored index written by [[writeIvfPqIndex]]. */
+  def readIvfPqIndex(spark: org.apache.spark.sql.SparkSession,
+      name: String): StoredIvfPq =
+    StoredIvfPq(spark.table(s"${name}_centroids"),
+      spark.table(s"${name}_codebook"), spark.table(s"${name}_codes"))
+
+  /** Rewrite a stored codes table grown ragged by appends back to its
+    * bucketed one-file-per-bucket layout ([[compactIvfIndex]]'s swap).
+    */
+  def compactIvfPqIndex(spark: org.apache.spark.sql.SparkSession,
+      name: String, path: String): Unit =
+    TextDedup.swapCompacted(spark, s"${name}_codes", identity,
+      path, Seq("bucket"))
+
+  /** ADC search against a STORED IVF-PQ index — identical ranking (and
+    * bit-identical scores: ADC folds through the exact decimal
+    * accumulator on both paths, and the probe half IS [[ivfPqTopK]]'s
+    * via [[adcProbe]]) to the in-memory composition, but the corpus side
+    * is the stored codes table read straight from Parquet. With
+    * `pruneBuckets` the distinct probed bucket ids (a driver-side read
+    * bounded by min(m, |queries|·nProbe), the [[probeIvfIndex]]
+    * contract) become a `bucket IN (...)` filter the scan turns into
+    * file-level bucket pruning — the probe reads nProbe/m of the index's
+    * FILES, and each surviving row costs numSub table lookups. That
+    * product — pruned files × lookup-only scoring — is the stored ANN
+    * endgame at 100 TB.
+    */
+  def probeIvfPqIndex(index: StoredIvfPq, queries: DataFrame, idCol: String,
+      vecCol: String, dim: Int, k: Int, nProbe: Int,
+      pruneBuckets: Boolean = true,
+      maxBroadcastRows: Long = Broadcasting.DefaultMaxRows): DataFrame = {
+    val numSub = storedNumSub(index.codebook)
+    val codedRows =
+      if (!pruneBuckets) index.codes
+      else {
+        val q = queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv"))
+        Broadcasting.requireSmall(q, "probeIvfPqIndex query set",
+          maxBroadcastRows)
+        val wq = Window.partitionBy(col("query_id"))
+          .orderBy(col("score").desc, col("centroid_id"))
+        val bucketIds = broadcast(q).join(broadcast(index.centroids))
+          .withColumn("score", dot(col("qv"), col("cv"), dim))
+          .withColumn("rn", row_number().over(wq)).filter(col("rn") <= nProbe)
+          .select(col("centroid_id")).distinct().collect().map(_.get(0))
+        index.codes.filter(col("bucket").isin(bucketIds.toSeq: _*))
+      }
+    adcProbe(codedRows, index.centroids, index.codebook, queries, idCol,
+      vecCol, dim, numSub, k, nProbe, maxBroadcastRows)
   }
 
   /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): k-means-cluster the

@@ -78,6 +78,42 @@ object VectorQueries extends QueryModule {
       .orderBy(col("vec_id"))
   }
 
+  /** q120's index BUILD half: a STORED IVF-PQ index — centroids +
+    * codebook persisted tiny, codes disk-bucketed on `bucket` — written
+    * from half the corpus, the other half absorbed via
+    * appendToIvfPqIndex against the index's own stored artifacts (frozen
+    * centroids AND codebook, numSub read back from the codebook), so the
+    * gate certifies that append cannot drift from the built layout.
+    */
+  private[queries] def q120Build(spark: org.apache.spark.sql.SparkSession,
+      dir: String): Unit = {
+    val e = Tables.embs(spark, dir)
+    val cb = Similarity.pqCodebook(e, "vec_id", "embedding", Dim,
+      numSub = 8, ksub = 16)
+    val cents = Similarity.seedCentroids(e, "vec_id", "embedding", m = 16)
+    val path = java.nio.file.Files.createTempDirectory("graft_q120ivfpq").toString
+    Similarity.writeIvfPqIndex(e.filter(col("vec_id") % 2 === 0), cents, cb,
+      "vec_id", "embedding", Dim, numSub = 8, "q120ivfpq", path, buckets = 8)
+    Similarity.appendToIvfPqIndex(spark, e.filter(col("vec_id") % 2 =!= 0),
+      "vec_id", "embedding", Dim, "q120ivfpq")
+  }
+
+  /** q120's PROBE half: ADC search over the stored codes, bucket-pruned
+    * from Parquet. Encoding and assignment are deterministic given the
+    * stored artifacts, so the result is identical to the in-memory
+    * ivfPqTopK — and the oracle SQL is q119's.
+    */
+  private[queries] def q120Probe(spark: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    val e = Tables.embs(spark, dir)
+    Similarity.probeIvfPqIndex(Similarity.readIvfPqIndex(spark, "q120ivfpq"),
+        e.filter(col("vec_id") < 5), "vec_id", "embedding", Dim,
+        k = 5, nProbe = 4)
+      .select(col("query_id"), col("neighbor_id"),
+        round(col("pq_score"), 6).as("pq_score_r"), col("rank"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   override def all: Seq[GQuery] = Seq(
 
     // --- int8 symmetric quantization (the memory half of the 100 TB ANN
@@ -521,6 +557,261 @@ object VectorQueries extends QueryModule {
         SELECT s.vec_id, s.bucket, d.dup_of, d.dup_of IS NULL AS kept, 2 AS n_assign
         FROM ranked s LEFT JOIN dups2 d USING (vec_id) WHERE s.rn = 1
         ORDER BY n_assign, vec_id
+      """.trim)),
+
+    // --- Product quantization ANN (Jégou et al. 2011): 8 subquantizers ×
+    // 16 codes (the gate's oracle-replayable seed codebook — production
+    // adds pqRefine). The whole pipeline is certified end to end: seed
+    // codebook → per-subspace argmin encode (ties to the smaller code) →
+    // per-query LUT → ADC scores summed through an EXACT decimal
+    // accumulator (order-free on both engines) → top-5. PQ scores are the
+    // quantized approximation — the gate certifies the mechanism, PqSpec
+    // certifies recall (candidates@50 ≥ 0.85 under the production
+    // 16×32 config). ---
+    GQuery(
+      "q118_pq_topk",
+      (spark, dir) => {
+        val e = Tables.embs(spark, dir)
+        val cb = Similarity.pqCodebook(e, "vec_id", "embedding", Dim,
+          numSub = 8, ksub = 16)
+        val enc = Similarity.pqEncode(e, cb, "vec_id", "embedding", Dim, 8)
+        val q = e.filter(col("vec_id") < 5)
+        Similarity.pqTopK(q, enc, cb, "vec_id", "embedding", Dim, 8, k = 5)
+          .select(col("query_id"), col("neighbor_id"),
+            round(col("pq_score"), 6).as("pq_score_r"), col("rank"))
+          .orderBy(col("query_id"), col("rank"))
+      },
+      Some("""
+        WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        subs AS (SELECT unnest(generate_series(0, 7)) AS sub),
+        seed AS (
+          SELECT vec_id, e, CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS code
+          FROM v QUALIFY row_number() OVER (ORDER BY vec_id) <= 16),
+        cb AS (
+          SELECT s.sub, seed.code, list_slice(seed.e, s.sub*8 + 1, s.sub*8 + 8) AS cv
+          FROM seed CROSS JOIN subs s),
+        sv AS (
+          SELECT v.vec_id, s.sub, list_slice(v.e, s.sub*8 + 1, s.sub*8 + 8) AS sv
+          FROM v CROSS JOIN subs s),
+        dist AS (
+          SELECT sv.vec_id, sv.sub, cb.code,
+                 list_sum(list_transform(generate_series(1, 8),
+                   i -> (sv.sv[i] - cb.cv[i]) * (sv.sv[i] - cb.cv[i]))) AS dist2
+          FROM sv JOIN cb ON sv.sub = cb.sub),
+        enc AS (
+          SELECT vec_id, sub, code
+          FROM dist
+          QUALIFY row_number() OVER (PARTITION BY vec_id, sub ORDER BY dist2, code) = 1),
+        q AS (SELECT vec_id AS query_id, e FROM v WHERE vec_id < 5),
+        qsv AS (
+          SELECT q.query_id, s.sub, list_slice(q.e, s.sub*8 + 1, s.sub*8 + 8) AS sv
+          FROM q CROSS JOIN subs s),
+        lut AS (
+          SELECT qsv.query_id, qsv.sub, cb.code,
+                 list_sum(list_transform(generate_series(1, 8),
+                   i -> qsv.sv[i] * cb.cv[i])) AS pdot
+          FROM qsv JOIN cb ON qsv.sub = cb.sub),
+        scored AS (
+          SELECT l.query_id, enc.vec_id AS neighbor_id,
+                 CAST(SUM(CAST(l.pdot AS DECIMAL(30,15))) AS DOUBLE) AS pq_score
+          FROM enc JOIN lut l ON enc.sub = l.sub AND enc.code = l.code
+          WHERE l.query_id <> enc.vec_id
+          GROUP BY l.query_id, enc.vec_id),
+        ranked AS (
+          SELECT query_id, neighbor_id, pq_score,
+                 CAST(row_number() OVER (PARTITION BY query_id
+                        ORDER BY pq_score DESC, neighbor_id) AS INT) AS rank
+          FROM scored)
+        SELECT query_id, neighbor_id, round(pq_score, 6) AS pq_score_r, rank
+        FROM ranked WHERE rank <= 5
+        ORDER BY query_id, rank
+      """.trim)),
+
+    // --- IVF-PQ composition (the FAISS architecture): IVF bucket pruning
+    // picks WHICH corpus rows each query examines (top-4 of 16 buckets),
+    // PQ ADC scores the survivors via table lookups. The oracle replays
+    // the whole composition: seed centroids → max-dot bucket assignment →
+    // per-query probe set → PQ encode → LUT → decimal-exact ADC within
+    // probed buckets → top-5. PqSpec pins nProbe=m ≡ flat pqTopK; this
+    // gate certifies the PRUNED path end to end. ---
+    GQuery(
+      "q119_ivfpq_topk",
+      (spark, dir) => {
+        val e = Tables.embs(spark, dir)
+        val cb = Similarity.pqCodebook(e, "vec_id", "embedding", Dim,
+          numSub = 8, ksub = 16)
+        val cents = Similarity.seedCentroids(e, "vec_id", "embedding", m = 16)
+        val q = e.filter(col("vec_id") < 5)
+        Similarity.ivfPqTopK(q, e, cents, cb, "vec_id", "embedding", Dim,
+            numSub = 8, k = 5, nProbe = 4)
+          .select(col("query_id"), col("neighbor_id"),
+            round(col("pq_score"), 6).as("pq_score_r"), col("rank"))
+          .orderBy(col("query_id"), col("rank"))
+      },
+      Some(IvfPqOracleSql)),
+
+    // --- STORED IVF-PQ (the production serving path): build persists
+    // centroids + codebook + disk-bucketed codes, probe reads them back
+    // bucket-pruned from Parquet — see q120Build/q120Probe above. fn
+    // runs both so the gate certifies the full stored path end to end.
+    // The oracle is q119's SQL verbatim: centroids and codebook are
+    // frozen at build time, so per-row encode/assign is deterministic
+    // and half-write + half-append ≡ the full in-memory composition
+    // (append==rebuild is additionally spec-pinned in PqSpec). ---
+    GQuery(
+      "q120_ivfpq_stored",
+      (spark, dir) => { q120Build(spark, dir); q120Probe(spark, dir) },
+      Some(IvfPqOracleSql),
+      indexed = Some(graft.core.GQuery.IndexedParts(q120Build, q120Probe))),
+
+    // --- PQ + exact re-rank (the deployment composition): the ADC scan
+    // nominates 20 candidates per query from codes alone, and only those
+    // pairs are re-scored with the exact float cosine — end recall equals
+    // candidate recall (a true neighbor that makes the list can only be
+    // displaced by a nearer one). The oracle replays q118's candidate
+    // pipeline (deterministic: decimal-exact ADC, row_number ties on
+    // neighbor_id) and re-ranks with the same index-order cosine fold as
+    // q70's. ---
+    GQuery(
+      "q121_pq_rerank",
+      (spark, dir) => {
+        val e = Tables.embs(spark, dir)
+        val cb = Similarity.pqCodebook(e, "vec_id", "embedding", Dim,
+          numSub = 8, ksub = 16)
+        val enc = Similarity.pqEncode(e, cb, "vec_id", "embedding", Dim, 8)
+        val q = e.filter(col("vec_id") < 5)
+        Similarity.pqRerankTopK(q, e, enc, cb, "vec_id", "embedding", Dim,
+            numSub = 8, k = 5, kCand = 20)
+          .select(col("query_id"), col("neighbor_id"),
+            round(col("cosine"), 6).as("cosine_r"), col("rank"))
+          .orderBy(col("query_id"), col("rank"))
+      },
+      Some("""
+        WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        subs AS (SELECT unnest(generate_series(0, 7)) AS sub),
+        seed AS (
+          SELECT vec_id, e, CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS code
+          FROM v QUALIFY row_number() OVER (ORDER BY vec_id) <= 16),
+        cb AS (
+          SELECT s.sub, seed.code, list_slice(seed.e, s.sub*8 + 1, s.sub*8 + 8) AS cv
+          FROM seed CROSS JOIN subs s),
+        sv AS (
+          SELECT v.vec_id, s.sub, list_slice(v.e, s.sub*8 + 1, s.sub*8 + 8) AS sv
+          FROM v CROSS JOIN subs s),
+        dist AS (
+          SELECT sv.vec_id, sv.sub, cb.code,
+                 list_sum(list_transform(generate_series(1, 8),
+                   i -> (sv.sv[i] - cb.cv[i]) * (sv.sv[i] - cb.cv[i]))) AS dist2
+          FROM sv JOIN cb ON sv.sub = cb.sub),
+        enc AS (
+          SELECT vec_id, sub, code
+          FROM dist
+          QUALIFY row_number() OVER (PARTITION BY vec_id, sub ORDER BY dist2, code) = 1),
+        q AS (SELECT vec_id AS query_id, e FROM v WHERE vec_id < 5),
+        qsv AS (
+          SELECT q.query_id, s.sub, list_slice(q.e, s.sub*8 + 1, s.sub*8 + 8) AS sv
+          FROM q CROSS JOIN subs s),
+        lut AS (
+          SELECT qsv.query_id, qsv.sub, cb.code,
+                 list_sum(list_transform(generate_series(1, 8),
+                   i -> qsv.sv[i] * cb.cv[i])) AS pdot
+          FROM qsv JOIN cb ON qsv.sub = cb.sub),
+        adc AS (
+          SELECT l.query_id, enc.vec_id AS neighbor_id,
+                 CAST(SUM(CAST(l.pdot AS DECIMAL(30,15))) AS DOUBLE) AS pq_score
+          FROM enc JOIN lut l ON enc.sub = l.sub AND enc.code = l.code
+          WHERE l.query_id <> enc.vec_id
+          GROUP BY l.query_id, enc.vec_id),
+        cand AS (
+          SELECT query_id, neighbor_id
+          FROM adc
+          QUALIFY row_number() OVER (PARTITION BY query_id
+                    ORDER BY pq_score DESC, neighbor_id) <= 20),
+        rer AS (
+          SELECT c.query_id, c.neighbor_id,
+                 list_sum(list_transform(generate_series(1, 64), i -> qe.e[i] * ne.e[i]))
+                   / (sqrt(list_sum(list_transform(generate_series(1, 64), i -> qe.e[i] * qe.e[i])))
+                      * sqrt(list_sum(list_transform(generate_series(1, 64), i -> ne.e[i] * ne.e[i])))) AS cosine
+          FROM cand c
+          JOIN v qe ON qe.vec_id = c.query_id
+          JOIN v ne ON ne.vec_id = c.neighbor_id),
+        rranked AS (
+          SELECT query_id, neighbor_id, cosine,
+                 CAST(row_number() OVER (PARTITION BY query_id
+                        ORDER BY cosine DESC, neighbor_id) AS INT) AS rank
+          FROM rer)
+        SELECT query_id, neighbor_id, round(cosine, 6) AS cosine_r, rank
+        FROM rranked WHERE rank <= 5
+        ORDER BY query_id, rank
       """.trim))
   )
+
+  /** The deterministic DuckDB replay of the IVF-PQ composition (q119 and
+    * q120 — the in-memory and stored paths produce identical rows by
+    * construction): seed centroids → max-dot bucket assignment →
+    * per-query probe sets → seed codebook → argmin encode → LUT →
+    * decimal-exact ADC within probed buckets → top-5.
+    */
+  private val IvfPqOracleSql: String = ("""
+        WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        subs AS (SELECT unnest(generate_series(0, 7)) AS sub),
+        seed AS (
+          SELECT vec_id, e, CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS code
+          FROM v QUALIFY row_number() OVER (ORDER BY vec_id) <= 16),
+        cb AS (
+          SELECT s.sub, seed.code, list_slice(seed.e, s.sub*8 + 1, s.sub*8 + 8) AS cv
+          FROM seed CROSS JOIN subs s),
+        cents AS (SELECT vec_id AS centroid_id, e AS cv FROM seed),
+        vassign AS (
+          SELECT v.vec_id, c.centroid_id AS bucket
+          FROM v CROSS JOIN cents c
+          QUALIFY row_number() OVER (PARTITION BY v.vec_id
+            ORDER BY list_sum(list_transform(generate_series(1, 64),
+                       i -> v.e[i] * c.cv[i])) DESC, c.centroid_id) = 1),
+        sv AS (
+          SELECT v.vec_id, s.sub, list_slice(v.e, s.sub*8 + 1, s.sub*8 + 8) AS sv
+          FROM v CROSS JOIN subs s),
+        dist AS (
+          SELECT sv.vec_id, sv.sub, cb.code,
+                 list_sum(list_transform(generate_series(1, 8),
+                   i -> (sv.sv[i] - cb.cv[i]) * (sv.sv[i] - cb.cv[i]))) AS dist2
+          FROM sv JOIN cb ON sv.sub = cb.sub),
+        enc AS (
+          SELECT vec_id, sub, code
+          FROM dist
+          QUALIFY row_number() OVER (PARTITION BY vec_id, sub ORDER BY dist2, code) = 1),
+        q AS (SELECT vec_id AS query_id, e FROM v WHERE vec_id < 5),
+        probes AS (
+          SELECT q.query_id, c.centroid_id AS bucket
+          FROM q CROSS JOIN cents c
+          QUALIFY row_number() OVER (PARTITION BY q.query_id
+            ORDER BY list_sum(list_transform(generate_series(1, 64),
+                       i -> q.e[i] * c.cv[i])) DESC, c.centroid_id) <= 4),
+        qsv AS (
+          SELECT q.query_id, s.sub, list_slice(q.e, s.sub*8 + 1, s.sub*8 + 8) AS sv
+          FROM q CROSS JOIN subs s),
+        lut AS (
+          SELECT qsv.query_id, qsv.sub, cb.code,
+                 list_sum(list_transform(generate_series(1, 8),
+                   i -> qsv.sv[i] * cb.cv[i])) AS pdot
+          FROM qsv JOIN cb ON qsv.sub = cb.sub),
+        scored AS (
+          SELECT p.query_id, enc.vec_id AS neighbor_id,
+                 CAST(SUM(CAST(l.pdot AS DECIMAL(30,15))) AS DOUBLE) AS pq_score
+          FROM enc
+          JOIN vassign va ON enc.vec_id = va.vec_id
+          JOIN probes p ON va.bucket = p.bucket
+          JOIN lut l ON l.query_id = p.query_id
+                    AND l.sub = enc.sub AND l.code = enc.code
+          WHERE p.query_id <> enc.vec_id
+          GROUP BY p.query_id, enc.vec_id),
+        ranked AS (
+          SELECT query_id, neighbor_id, pq_score,
+                 CAST(row_number() OVER (PARTITION BY query_id
+                        ORDER BY pq_score DESC, neighbor_id) AS INT) AS rank
+          FROM scored)
+        SELECT query_id, neighbor_id, round(pq_score, 6) AS pq_score_r, rank
+        FROM ranked WHERE rank <= 5
+        ORDER BY query_id, rank
+      """).trim
 }

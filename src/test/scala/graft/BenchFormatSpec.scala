@@ -103,7 +103,8 @@ class BenchFormatSpec extends AnyFunSuite {
     assert(none.contains("\"build\":{}"))
     // the registry exposes exactly the split queries
     assert(SparkEntry.benchIndexed.keySet ==
-      Set("q28_incremental_dedup", "q71_ann_ivf", "q116_semdedup_incremental"))
+      Set("q28_incremental_dedup", "q71_ann_ivf", "q116_semdedup_incremental",
+        "q120_ivfpq_stored"))
   }
 
   test("record stays valid JSON under a comma-decimal default locale") {

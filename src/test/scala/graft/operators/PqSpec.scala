@@ -1,0 +1,362 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** Product quantization (Jégou et al. 2011) over the real embeddings
+  * corpus. The properties that make PQ trustworthy at 100 TB:
+  *
+  *  1. the codebook is a deterministic function of the corpus (an
+  *     external engine can replay it — the oracle contract);
+  *  2. encoding is partitioning-invariant and emits exactly one
+  *     numSub-length code row per input vector;
+  *  3. exact copies encode to identical codes, so a duplicated query's
+  *     ADC top-1 is its copy — the dedup-shaped guarantee;
+  *  4. Lloyd refinement ([[Similarity.pqRefine]]) drives distortion DOWN
+  *     and recall UP, without changing any plan shape;
+  *  5. the ADC scan is a broadcast-LUT + table-lookup projection — no
+  *     cartesian, no per-pair float vector math, corpus never reshuffled.
+  */
+class PqSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val Dim = 64
+  private val NumSub = 8
+  private val Ksub = 16
+
+  private def embs: DataFrame =
+    spark.read.parquet(s"${TestSpark.SfDir}/embeddings.parquet")
+
+  private def codebookOf(e: DataFrame): DataFrame =
+    Similarity.pqCodebook(e, "vec_id", "embedding", Dim, NumSub, Ksub)
+
+  test("codebook is deterministic, complete, and subvector-shaped") {
+    val e = embs
+    val cb = codebookOf(e).collect()
+    assert(cb.length == NumSub * Ksub, s"expected ${NumSub * Ksub} entries, got ${cb.length}")
+    val bySub = cb.groupBy(_.getInt(0))
+    assert(bySub.keySet == (0 until NumSub).toSet)
+    assert(bySub.values.forall(_.map(_.getInt(1)).toSet == (0 until Ksub).toSet),
+      "every subspace must carry codes 0..ksub-1")
+    assert(cb.forall(_.getSeq[Double](2).length == Dim / NumSub),
+      "codebook entries must be dim/numSub wide")
+    // Replay: a second build is value-identical (the oracle contract).
+    val again = codebookOf(e).collect()
+    assert(cb.map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2))).sortBy(t => (t._1, t._2)).toSeq ==
+      again.map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2))).sortBy(t => (t._1, t._2)).toSeq)
+  }
+
+  test("encode: one row per vector, numSub codes in range, partitioning-invariant") {
+    val e = embs
+    val cb = codebookOf(e)
+    val enc = Similarity.pqEncode(e, cb, "vec_id", "embedding", Dim, NumSub)
+    assert(enc.count() == e.count(), "one code row per input vector")
+    val bad = enc.filter(size(col("codes")) =!= NumSub ||
+      exists(col("codes"), c => c < 0 || c >= Ksub)).count()
+    assert(bad == 0, "codes must be numSub ints in [0, ksub)")
+    val shuffled = Similarity.pqEncode(e.repartition(7), cb,
+      "vec_id", "embedding", Dim, NumSub)
+    val a = enc.collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    val b = shuffled.collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    assert(a == b, "encoding must not depend on physical layout")
+  }
+
+  test("exact copies share codes, and a duplicated query's ADC top-1 is its copy") {
+    val e = embs
+    val cb = codebookOf(e)
+    val copies = e.filter(col("vec_id") % 25 === 0)
+      .withColumn("vec_id", col("vec_id") + 100000L)
+    val corpus = e.unionByName(copies)
+    val enc = Similarity.pqEncode(corpus, cb, "vec_id", "embedding", Dim, NumSub)
+    val codeOf = enc.collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    codeOf.keys.filter(_ >= 100000L).foreach { id =>
+      assert(codeOf(id) == codeOf(id - 100000L), s"copy $id must share its original's codes")
+    }
+    // The duplicated vectors, asked for their nearest neighbor, must rank
+    // their own copy first (same codes => the maximum achievable ADC
+    // score; ties broken by id would only promote ANOTHER code-identical
+    // vector, which is the same quantization cell — accept either by
+    // checking the codes, not the id).
+    val queries = e.filter(col("vec_id") % 25 === 0)
+    val top = Similarity.pqTopK(queries, enc, cb, "vec_id", "embedding",
+      Dim, NumSub, k = 1)
+    val top1 = top.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    queries.select(col("vec_id")).collect().map(_.getLong(0)).foreach { q =>
+      val n = top1(q)
+      assert(codeOf(n) == codeOf(q), s"query $q top-1 ($n) must sit in the same quantization cell")
+    }
+  }
+
+  test("pqRefine reduces distortion and does not hurt planted-copy recall") {
+    val e = embs
+    val cb0 = codebookOf(e)
+    val cb2 = Similarity.pqRefine(e, cb0, "vec_id", "embedding", Dim, NumSub, 2)
+    val mse0 = Similarity.pqDistortion(e, cb0, "vec_id", "embedding", Dim, NumSub)
+      .collect()(0).getDouble(0)
+    val mse2 = Similarity.pqDistortion(e, cb2, "vec_id", "embedding", Dim, NumSub)
+      .collect()(0).getDouble(0)
+    assert(mse2 <= mse0, s"Lloyd must not increase distortion: $mse0 -> $mse2")
+    assert(mse2 < mse0 * 0.95, s"two Lloyd rounds should visibly tighten cells: $mse0 -> $mse2")
+  }
+
+  test("PQ recall vs float brute force is real, and refinement improves it") {
+    val e = embs
+    val k = 10
+    val queries = e.filter(col("vec_id") < 10)
+    val exact = Similarity.bruteForceTopK(queries, e, "vec_id", "embedding", Dim, k)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).map { case (q, ns) => q -> ns.map(_._2).toSet }
+    def recallWith(cb: DataFrame, kCand: Int, ns: Int): Double = {
+      val enc = Similarity.pqEncode(e, cb, "vec_id", "embedding", Dim, ns)
+      val got = Similarity.pqTopK(queries, enc, cb, "vec_id", "embedding",
+          Dim, ns, kCand)
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+        .groupBy(_._1).map { case (q, ns) => q -> ns.map(_._2).toSet }
+      exact.map { case (q, want) =>
+        got.get(q).map(h => (h intersect want).size.toDouble / want.size).getOrElse(0.0)
+      }.sum / exact.size
+    }
+    // Production-shaped config: 16 subquantizers × 32 codes = 80-bit codes
+    // (32× smaller than float64). PQ's contract is CANDIDATE GENERATION:
+    // asking PQ for k' = 50 candidates and re-ranking them with the exact
+    // float cosine recovers every true top-10 member that made the
+    // candidate list (a true neighbor can only be displaced by an even
+    // nearer vector, which is itself top-10) — so candidates@50 recall IS
+    // the post-re-rank recall@10. Measured on this corpus: seed 0.92,
+    // refined 0.95, direct (unre-ranked) PQ@10 ≈ 0.5 — the gap is what
+    // re-ranking is for.
+    val ns = 16
+    val cb0 = Similarity.pqCodebook(e, "vec_id", "embedding", Dim, ns, 32)
+    val cb3 = Similarity.pqRefine(e, cb0, "vec_id", "embedding", Dim, ns, 3)
+    val seedCand = recallWith(cb0, 50, ns)
+    val refinedCand = recallWith(cb3, 50, ns)
+    assert(recallWith(cb3, k, ns) >= 0.4,
+      "direct PQ recall@10 collapsed below the 80-bit floor")
+    assert(seedCand >= 0.8, s"seed candidates@50 must carry the true top-10: $seedCand")
+    assert(refinedCand >= 0.85,
+      s"refined candidates@50 must carry the true top-10: $refinedCand")
+    assert(refinedCand >= seedCand - 0.05,
+      s"Lloyd refinement must not hurt candidate recall: $seedCand -> $refinedCand")
+  }
+
+  test("ADC scan plan: broadcast LUT, no cartesian, encoded side never reshuffles") {
+    val e = embs
+    val cb = codebookOf(e)
+    val enc = Similarity.pqEncode(e, cb, "vec_id", "embedding", Dim, NumSub)
+      .localCheckpoint(true)
+    val queries = e.filter(col("vec_id") < 10)
+    val top = Similarity.pqTopK(queries, enc, cb, "vec_id", "embedding",
+      Dim, NumSub, k = 5)
+    val plan = top.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"),
+      s"ADC scan must be a broadcast join, not a cartesian:\n$plan")
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"),
+      s"expected the LUT broadcast in:\n$plan")
+    // Exactly 3 exchanges, all query-proportional or result-proportional:
+    // 2 assembling the per-query LUT (few-row frames keyed by query_id)
+    // and 1 for the top-k window. The ENCODED CORPUS side contributes
+    // none (checkpointed input, flat lineage) — corpus scale changes scan
+    // width, never the exchange structure.
+    assert(Bucketing.exchangeCount(top) == 3,
+      s"ADC scan must carry only LUT-assembly + window exchanges:\n$plan")
+  }
+
+  test("ivfPqTopK at nProbe=m equals pqTopK exactly; pruning scans buckets, not pairs") {
+    val e = embs
+    val m = 16
+    val cb = codebookOf(e)
+    val cents = Similarity.seedCentroids(e, "vec_id", "embedding", m)
+    val queries = e.filter(col("vec_id") < 10)
+    def rows(df: DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+      .sortBy(t => (t._1, t._4)).toSeq
+    // All buckets probed => the candidate set is the whole corpus => the
+    // composition must reproduce the flat ADC scan bit for bit.
+    val enc = Similarity.pqEncode(e, cb, "vec_id", "embedding", Dim, NumSub)
+    val flat = rows(Similarity.pqTopK(queries, enc, cb, "vec_id", "embedding",
+      Dim, NumSub, k = 5))
+    val full = rows(Similarity.ivfPqTopK(queries, e, cents, cb, "vec_id",
+      "embedding", Dim, NumSub, k = 5, nProbe = m))
+    assert(flat.nonEmpty && flat == full,
+      "nProbe=m IVF-PQ must equal the flat ADC scan")
+    // Pruned probe: every returned neighbor must sit in one of the
+    // query's nProbe nearest buckets (the structural pruning contract),
+    // and the scan plan is a broadcast EQUI-join on bucket — no
+    // cartesian, corpus side unshuffled past its encode.
+    val nProbe = 4
+    val pruned = Similarity.ivfPqTopK(queries, e, cents, cb, "vec_id",
+      "embedding", Dim, NumSub, k = 5, nProbe = nProbe)
+    val assigned = Similarity.ivfAssignN(e, cents, "vec_id", "embedding",
+        Dim, n = nProbe)
+      .select(col("vec_id"), col("bucket"))
+    val qBuckets = assigned.filter(col("vec_id") < 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1)
+      .map { case (q, bs) => q -> bs.map(_._2).toSet }
+    val vBucket = Similarity.ivfAssign(e, cents, "vec_id", "embedding", Dim)
+      .select(col("vec_id"), col("bucket")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    pruned.collect().foreach { r =>
+      val (q, n) = (r.getLong(0), r.getLong(1))
+      assert(qBuckets(q).contains(vBucket(n)),
+        s"neighbor $n of query $q came from an unprobed bucket")
+    }
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), s"IVF-PQ scan went cartesian:\n$plan")
+  }
+
+  test("pqRerankTopK: exact order within candidates, so end recall = candidate recall") {
+    val e = embs
+    val k = 10
+    val kCand = 50
+    val cb = codebookOf(e)
+    val enc = Similarity.pqEncode(e, cb, "vec_id", "embedding", Dim, NumSub)
+    val queries = e.filter(col("vec_id") < 10)
+    def byQuery(df: DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).map { case (q, ns) => q -> ns.map(_._2).toSet }
+    val cand = byQuery(Similarity.pqTopK(queries, enc, cb, "vec_id",
+      "embedding", Dim, NumSub, kCand))
+    val exact = byQuery(Similarity.bruteForceTopK(queries, e, "vec_id",
+      "embedding", Dim, k))
+    val rerank = byQuery(Similarity.pqRerankTopK(queries, e, enc, cb,
+      "vec_id", "embedding", Dim, NumSub, k, kCand))
+    rerank.foreach { case (q, got) =>
+      assert(got.subsetOf(cand(q)),
+        s"query $q re-ranked a vector that was never a candidate")
+      // A true top-k member that made the candidate list can only be
+      // displaced by a strictly nearer vector (itself top-k), so the
+      // re-rank must surface ALL of exact ∩ candidates — the property
+      // that makes candidates@kCand THE end-recall number.
+      val due = exact(q) intersect cand(q)
+      assert(due.subsetOf(got),
+        s"query $q dropped true neighbors the candidates carried: ${due diff got}")
+    }
+    // And the composition is a real ANN even under this test's cheap
+    // 64-bit seed codebook (8×16, unrefined — measured 0.70 here; the
+    // production 16×32 + refine config is pinned at ≥0.85 candidates@50
+    // by the recall test above, and re-rank recall EQUALS candidate
+    // recall by the subset property just proven).
+    val recall = exact.map { case (q, want) =>
+      (rerank(q) intersect want).size.toDouble / want.size }.sum / exact.size
+    assert(recall >= 0.6, s"re-ranked recall@10 fell to $recall")
+  }
+
+  test("stored IVF-PQ: append==rebuild, probe == in-memory bit-for-bit, scan bucket-pruned") {
+    val e = embs
+    val m = 16
+    val cb = codebookOf(e)
+    val cents = Similarity.seedCentroids(e, "vec_id", "embedding", m)
+    val p1 = java.nio.file.Files.createTempDirectory("pqspec_full").toString
+    val p2 = java.nio.file.Files.createTempDirectory("pqspec_inc").toString
+    Similarity.writeIvfPqIndex(e, cents, cb, "vec_id", "embedding", Dim,
+      NumSub, "pqspec_full", p1, buckets = 8)
+    Similarity.writeIvfPqIndex(e.filter(col("vec_id") % 2 === 0), cents, cb,
+      "vec_id", "embedding", Dim, NumSub, "pqspec_inc", p2, buckets = 8)
+    Similarity.appendToIvfPqIndex(spark, e.filter(col("vec_id") % 2 =!= 0),
+      "vec_id", "embedding", Dim, "pqspec_inc")
+    // Append against the stored artifacts (frozen centroids + codebook,
+    // numSub read back from the codebook) must land on EXACTLY the rows a
+    // from-scratch build of the full corpus produces — the BandIndexSpec
+    // maintenance standard.
+    def codesOf(n: String) = spark.table(s"${n}_codes").collect()
+      .map(r => (r.getLong(0), r.getSeq[Int](1), r.getLong(2)))
+      .sortBy(_._1).toSeq
+    assert(codesOf("pqspec_inc").nonEmpty &&
+      codesOf("pqspec_full") == codesOf("pqspec_inc"),
+      "append must equal rebuild")
+    // The disk path must change nothing: stored probe == in-memory
+    // ivfPqTopK bit for bit (ADC folds through the exact decimal
+    // accumulator on both, and the probe half is the same code).
+    val queries = e.filter(col("vec_id") < 10)
+    def rows(df: DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+      .sortBy(t => (t._1, t._4)).toSeq
+    val mem = rows(Similarity.ivfPqTopK(queries, e, cents, cb, "vec_id",
+      "embedding", Dim, NumSub, k = 5, nProbe = 4))
+    val probe = Similarity.probeIvfPqIndex(
+      Similarity.readIvfPqIndex(spark, "pqspec_inc"), queries,
+      "vec_id", "embedding", Dim, k = 5, nProbe = 4)
+    assert(mem.nonEmpty && rows(probe) == mem,
+      "stored probe must equal the in-memory composition")
+    // Bucket pruning reached the stored scan: the executed plan reports
+    // fewer selected buckets than the table holds (the IvfIndexSpec pin —
+    // the structural reason a probe reads nProbe/m of the index's FILES).
+    val plan = probe.queryExecution.executedPlan.toString
+    val sel = "SelectedBucketsCount: (\\d+) out of (\\d+)".r
+    val hits = sel.findAllMatchIn(plan).map(h => (h.group(1).toInt, h.group(2).toInt)).toSeq
+    assert(hits.nonEmpty, s"expected a bucket-pruned scan in:\n$plan")
+    assert(hits.forall { case (s, t) => s < t },
+      s"probe must read fewer buckets than the table holds, got $hits")
+  }
+
+  test("streaming vector ingest maintains the stored IVF-PQ index: foreachBatch appends == one-shot build") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    val e = embs
+    val cb = codebookOf(e)
+    val cents = Similarity.seedCentroids(e, "vec_id", "embedding", m = 16)
+    // Seed the stored index from the first half of the corpus; the second
+    // half arrives as a STREAM of (id, vector) rows — the continuous-
+    // ingest shape, IvfIndexSpec's streaming case one memory tier down:
+    // appends encode against the STORED codebook, so a micro-batch can
+    // never drift the quantization layout.
+    val p = java.nio.file.Files.createTempDirectory("pqspec_stream").toString
+    Similarity.writeIvfPqIndex(e.filter(col("vec_id") < 250), cents, cb,
+      "vec_id", "embedding", Dim, NumSub, "pqidx_stream", p, buckets = 8)
+    val late = e.filter(col("vec_id") >= 250)
+      .select(col("vec_id"), col("embedding"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1)))
+
+    val src = MemoryStream[(Long, Seq[Float])]
+    val q = src.toDF().toDF("vec_id", "embedding")
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        Similarity.appendToIvfPqIndex(spark, batch, "vec_id", "embedding",
+          Dim, "pqidx_stream")
+      }
+      .start()
+    try {
+      val (b1, b2) = late.splitAt(late.length / 2)
+      src.addData(b1.toSeq); q.processAllAvailable()
+      src.addData(b2.toSeq); q.processAllAvailable()
+    } finally q.stop()
+    assert(spark.table("pqidx_stream_codes").count() == e.count(),
+      "streamed appends did not land in the stored codes table")
+
+    // The streamed index answers exactly like one built over the full
+    // corpus in one shot (frozen centroids + codebook → same codes →
+    // same decimal-exact ADC scores): streaming maintenance loses
+    // nothing.
+    val p2 = java.nio.file.Files.createTempDirectory("pqspec_oneshot").toString
+    Similarity.writeIvfPqIndex(e, cents, cb, "vec_id", "embedding", Dim,
+      NumSub, "pqidx_oneshot", p2, buckets = 8)
+    def rows(df: DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+      .sortBy(t => (t._1, t._4)).toSeq
+    val queries = e.filter(col("vec_id") < 10)
+    val got = rows(Similarity.probeIvfPqIndex(
+      Similarity.readIvfPqIndex(spark, "pqidx_stream"), queries,
+      "vec_id", "embedding", Dim, k = 5, nProbe = 4))
+    val want = rows(Similarity.probeIvfPqIndex(
+      Similarity.readIvfPqIndex(spark, "pqidx_oneshot"), queries,
+      "vec_id", "embedding", Dim, k = 5, nProbe = 4))
+    assert(got.nonEmpty && got == want,
+      "streamed appends diverged from the one-shot build")
+  }
+
+  test("an over-cap query LUT fails loudly with the contract message") {
+    val e = embs
+    val cb = codebookOf(e)
+    val enc = Similarity.pqEncode(e, cb, "vec_id", "embedding", Dim, NumSub)
+    val err = intercept[IllegalArgumentException] {
+      Similarity.pqTopK(e, enc, cb, "vec_id", "embedding", Dim, NumSub,
+        k = 5, maxBroadcastRows = 5)
+    }
+    assert(err.getMessage.contains("small-by-contract") &&
+      err.getMessage.contains("pqTopK"))
+  }
+}
