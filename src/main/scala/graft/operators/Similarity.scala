@@ -335,13 +335,60 @@ object Similarity {
   }
 
   /** PQ-encode a corpus: `(<idCol>, codes)` with `codes` the
-    * `numSub`-length int array of nearest codebook entries. One explode +
-    * two hash aggregations keyed by the id — a one-time ingest cost (the
-    * shuffled rows are subvector-sized, ~the input's own bytes); the
-    * encoded table it emits is what a 100 TB scan actually reads.
+    * `numSub`-length int array of nearest codebook entries.
+    *
+    * ZERO-SHUFFLE: the codebook (numSub×ksub rows — tiny by
+    * construction, 128-2048 entries at production configs) is collected
+    * driver-side and inlined as literal arrays, so encoding is a pure
+    * row-local projection — the corpus is never exploded, joined, or
+    * re-aggregated, and the one-time 100 TB ingest carries zero
+    * exchanges (spec-pinned). The per-cell arithmetic (zip_with diff +
+    * native dot fold, fold ascending by code with strict `<` so ties go
+    * to the smaller code) is bit-identical to [[pqAssign]]'s
+    * min-of-struct argmin, which remains the row-expanded path for
+    * refinement/diagnostics. Codebooks past the projection-size guard
+    * (beyond any sane numSub×ksub) take the expanded join path instead.
     */
   def pqEncode(vectors: DataFrame, codebook: DataFrame, idCol: String,
-      vecCol: String, dim: Int, numSub: Int): DataFrame =
+      vecCol: String, dim: Int, numSub: Int): DataFrame = {
+    require(dim % numSub == 0, s"numSub ($numSub) must divide dim ($dim)")
+    val sd = dim / numSub
+    val entries = codebook.select(col("sub"), col("code"), col("cv")).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2)))
+    require(entries.nonEmpty, "pqEncode: empty codebook")
+    val bySub = entries.groupBy(_._1)
+    require(bySub.keySet == (0 until numSub).toSet,
+      s"pqEncode: codebook must cover subs 0..${numSub - 1}, got ${bySub.keySet}")
+    if (entries.length > 8192) pqEncodeExpanded(vectors, codebook, idCol, vecCol, dim, numSub)
+    else {
+      val codeCols = (0 until numSub).map { s =>
+        val sv = slice(col("__dv"), s * sd + 1, sd)
+        // argmin as array_min over (dist2, code) structs — lexicographic
+        // struct ordering IS pqAssign's min(struct(dist2, code)), ties to
+        // the smaller code, and the expression stays LINEAR in ksub (a
+        // when-chain fold would re-embed the accumulator per step and go
+        // exponential).
+        val cells = bySub(s).sortBy(_._2).map { case (_, c, cv) =>
+          require(cv.length == sd, s"pqEncode: codebook entry ($s,$c) is ${cv.length}-wide, want $sd")
+          val d = zip_with(sv, typedLit(cv), (x, cc) => x - cc)
+          struct(dot(d, d, sd).as("d"), lit(c).as("c"))
+        }
+        array_min(array(cells: _*)).getField("c")
+      }
+      vectors.filter(size(asDouble(col(vecCol))) === dim)
+        .select(col(idCol), asDouble(col(vecCol)).as("__dv"))
+        .select(col(idCol), array(codeCols: _*).as("codes"))
+    }
+  }
+
+  /** The row-expanded encode ([[pqAssign]] + re-aggregate) — the shape
+    * the inline projection replaced; kept as the fallback for codebooks
+    * too large to inline and as the differential-test witness that the
+    * two paths agree.
+    */
+  private[operators] def pqEncodeExpanded(vectors: DataFrame,
+      codebook: DataFrame, idCol: String, vecCol: String, dim: Int,
+      numSub: Int): DataFrame =
     pqAssign(vectors, codebook, idCol, vecCol, dim, numSub)
       .groupBy(col(idCol))
       .agg(array_sort(collect_list(struct(col("sub"), col("code")))).as("__sc"))
@@ -465,14 +512,28 @@ object Similarity {
   def pqRerankTopK(queries: DataFrame, corpus: DataFrame, encoded: DataFrame,
       codebook: DataFrame, idCol: String, vecCol: String, dim: Int,
       numSub: Int, k: Int, kCand: Int,
-      maxBroadcastRows: Long = Broadcasting.DefaultMaxRows): DataFrame = {
-    val cands = pqTopK(queries, encoded, codebook, idCol, vecCol, dim,
-        numSub, kCand, maxBroadcastRows)
-      .select(col("query_id"), col("neighbor_id"))
+      maxBroadcastRows: Long = Broadcasting.DefaultMaxRows): DataFrame =
+    rerankExact(
+      pqTopK(queries, encoded, codebook, idCol, vecCol, dim, numSub, kCand,
+          maxBroadcastRows)
+        .select(col("query_id"), col("neighbor_id")),
+      queries, corpus, idCol, vecCol, dim, k, maxBroadcastRows,
+      "pqRerankTopK")
+
+  /** The exact-cosine re-rank shared by [[pqRerankTopK]] and
+    * [[hammingRerankTopK]]: `cands` is a `(query_id, neighbor_id)`
+    * nomination set — |queries|×kCand rows, small by contract — that
+    * broadcasts into a neighbor-id equi-join with the full corpus
+    * vectors, so the corpus never shuffles and float math touches only
+    * the nominated pairs.
+    */
+  private def rerankExact(cands: DataFrame, queries: DataFrame,
+      corpus: DataFrame, idCol: String, vecCol: String, dim: Int, k: Int,
+      maxBroadcastRows: Long, label: String): DataFrame = {
     val q = queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv"))
       .withColumn("qn", norm(col("qv"), dim))
     val candQ = cands.join(q, Seq("query_id"))
-    Broadcasting.requireSmall(candQ, "pqRerankTopK candidate set",
+    Broadcasting.requireSmall(candQ, s"$label candidate set",
       maxBroadcastRows)
     val c = corpus.select(col(idCol).as("neighbor_id"),
         asDouble(col(vecCol)).as("nv"))
@@ -486,6 +547,77 @@ object Similarity {
       .filter(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank"))
   }
+
+  // ---------------------------------------------------------------------
+  // Binary (sign-bit) quantization — the 1-bit-per-dimension memory tier
+  // below PQ (FAISS IndexBinaryFlat's layout): a vector becomes dim/32
+  // packed 32-bit words (dim=64 → 8 bytes — 64× smaller than float64),
+  // and distance is Hamming via XOR + popcount, integer-exact on any
+  // engine. For unit-normalized embeddings P[sign mismatch on a random
+  // axis] = arccos(cos θ)/π, so Hamming distance is a monotone estimator
+  // of angular distance — the same geometry [[rpLshBands]] exploits for
+  // banding, used here for a LINEAR scan + exact re-rank instead of
+  // bucketing. Codes are a pure row-local projection of the DIMENSIONS
+  // themselves (no random planes), so an external engine can replay them
+  // bit for bit.
+  // ---------------------------------------------------------------------
+
+  /** `dim/32` packed sign words (bit j of word w = sign of dimension
+    * `w*32 + j`, MSB-first): a zero-shuffle projection. 32-bit words in
+    * longs keep every fold comfortably inside exact integer range on
+    * both engines (no 2^63 sign-bit wrap, no ANSI overflow).
+    */
+  def signWords(v: Column, dim: Int): Column = {
+    require(dim % 32 == 0, s"signWords packs 32-bit words; dim ($dim) must be a multiple of 32")
+    transform(sequence(lit(0), lit(dim / 32 - 1)), w =>
+      aggregate(sequence(lit(0), lit(31)), lit(0L),
+        (acc, j) => acc * 2 + when(element_at(v, w * 32 + j + 1) > 0, 1L).otherwise(0L)))
+  }
+
+  /** Hamming distance between two packed-sign-word arrays: Σ popcount
+    * (XOR) per word — integer-exact in any fold order.
+    */
+  def hammingDistance(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => bit_count(x.bitwiseXOR(y))),
+      lit(0), (acc, d) => acc + d)
+
+  /** Binary top-k: each query's `k` nearest corpus vectors by Hamming
+    * distance over sign words (ties to the smaller neighbor id). The
+    * scan reads 8 bytes per corpus vector at dim=64 and scores with two
+    * XOR+popcounts — the cheapest tier of the ANN ladder; compose with
+    * [[rerankExact]] via [[hammingRerankTopK]] when exact order matters.
+    */
+  def hammingTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+      vecCol: String, dim: Int, k: Int,
+      maxBroadcastRows: Long = Broadcasting.DefaultMaxRows): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"),
+      signWords(asDouble(col(vecCol)), dim).as("qw"))
+    Broadcasting.requireSmall(q, "hammingTopK query set", maxBroadcastRows)
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+      signWords(asDouble(col(vecCol)), dim).as("nw"))
+    val scored = broadcast(q).join(c, col("query_id") =!= col("neighbor_id"))
+      .withColumn("hamming", hammingDistance(col("qw"), col("nw")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("hamming").asc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("hamming"), col("rank"))
+  }
+
+  /** Binary nomination + exact re-rank: Hamming picks `kCand` candidates
+    * from 1-bit codes, [[rerankExact]] restores exact cosine order over
+    * only those pairs — end recall = candidate recall, the
+    * [[pqRerankTopK]] contract one memory tier down.
+    */
+  def hammingRerankTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+      vecCol: String, dim: Int, k: Int, kCand: Int,
+      maxBroadcastRows: Long = Broadcasting.DefaultMaxRows): DataFrame =
+    rerankExact(
+      hammingTopK(queries, corpus, idCol, vecCol, dim, kCand,
+          maxBroadcastRows)
+        .select(col("query_id"), col("neighbor_id")),
+      queries, corpus, idCol, vecCol, dim, k, maxBroadcastRows,
+      "hammingRerankTopK")
 
   /** IVF-PQ: the two 100 TB levers composed the FAISS way — IVF bucket
     * pruning decides WHICH rows are examined (nProbe/m of the corpus),

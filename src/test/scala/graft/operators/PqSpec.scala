@@ -61,6 +61,17 @@ class PqSpec extends AnyFunSuite {
     val a = enc.collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
     val b = shuffled.collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
     assert(a == b, "encoding must not depend on physical layout")
+    // The inline-codebook projection is the 100 TB ingest shape: ZERO
+    // exchanges — the corpus is never exploded, joined, or re-aggregated.
+    assert(Bucketing.exchangeCount(enc) == 0,
+      "pqEncode must be a pure row-local projection")
+    // And it is code-for-code identical to the row-expanded argmin path
+    // (same diff + native-dot fold, same ties-to-smaller-code rule) —
+    // the differential witness for the fallback.
+    val expanded = Similarity.pqEncodeExpanded(e, cb,
+        "vec_id", "embedding", Dim, NumSub)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    assert(a == expanded, "inline and expanded encodes must agree exactly")
   }
 
   test("exact copies share codes, and a duplicated query's ADC top-1 is its copy") {
