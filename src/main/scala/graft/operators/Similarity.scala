@@ -631,11 +631,11 @@ object Similarity {
     * proportionally smaller scan, on top of PQ's own quantization trade.
     *
     * This is the "IVFFlat + global codebook" variant: codes quantize the
-    * raw vectors, not the per-bucket residuals (residual PQ tightens
-    * cells further but its codebook is no longer replayable without the
-    * coarse assignment — a quality knob to add behind the same API if
-    * needed). Persist `(bucket, codes)` disk-bucketed on `bucket` (the
-    * [[writeIvfIndex]] layout) and the probe prunes FILES, not just rows.
+    * raw vectors, not the per-bucket residuals. [[ivfPqResidualTopK]] is
+    * the residual variant — tighter cells at the same bits, replayable
+    * because the coarse assignment is itself deterministic. Persist
+    * `(bucket, codes)` disk-bucketed on `bucket` (the [[writeIvfIndex]]
+    * layout) and the probe prunes FILES, not just rows.
     */
   def ivfPqTopK(queries: DataFrame, corpus: DataFrame, centroids: DataFrame,
       codebook: DataFrame, idCol: String, vecCol: String, dim: Int,
@@ -647,6 +647,83 @@ object Similarity {
       .select(col(idCol).as("neighbor_id"), col("codes"), col("bucket"))
     adcProbe(encB, centroids, codebook, queries, idCol, vecCol, dim, numSub,
       k, nProbe, maxBroadcastRows)
+  }
+
+  /** Per-vector IVF residuals: `(<idCol>, bucket, rv)` with
+    * `rv = vector − assigned centroid` (element-wise, index order) —
+    * deterministic given the centroids because [[ivfAssign]] is.
+    */
+  private def ivfResiduals(vectors: DataFrame, centroids: DataFrame,
+      idCol: String, vecCol: String, dim: Int): DataFrame =
+    ivfAssign(vectors, centroids, idCol, vecCol, dim)
+      .join(broadcast(centroids), col("bucket") === col("centroid_id"))
+      .select(col(idCol), col("bucket"),
+        zip_with(col("dv"), col("cv"), (x, c) => x - c).as("rv"))
+
+  /** PQ codebook trained on IVF RESIDUALS — [[pqCodebook]]'s seed rule
+    * applied to `vector − assigned centroid`. Residuals concentrate near
+    * zero (the coarse quantizer absorbed the between-cluster spread), so
+    * the same numSub×ksub budget buys visibly lower distortion
+    * (spec-measured) — the FAISS IVF-PQ default. Replayable by an
+    * external engine because the coarse assignment is deterministic;
+    * refine with [[pqRefine]] over the residual frame when quality
+    * matters more than replay.
+    */
+  def pqResidualCodebook(corpus: DataFrame, centroids: DataFrame,
+      idCol: String, vecCol: String, dim: Int, numSub: Int,
+      ksub: Int): DataFrame =
+    // Zero residuals are excluded from the seed: a vector that IS a
+    // centroid (exactly the case when the centroids were seeded from the
+    // corpus prefix) has rv = 0, and seeding from the same prefix would
+    // otherwise emit an all-zero codebook — ADC would collapse to the
+    // centroid dot alone. One near-zero CELL is useful; ksub of them is
+    // degenerate.
+    pqCodebook(ivfResiduals(corpus, centroids, idCol, vecCol, dim)
+      .filter(dot(col("rv"), col("rv"), dim) > 0)
+      .select(col(idCol), col("rv")), idCol, "rv", dim, numSub, ksub)
+
+  /** Residual IVF-PQ top-k: codes quantize `vector − centroid`, and the
+    * inner-product score DECOMPOSES exactly —
+    * `q·(c + r) = q·c + q·r` — so each candidate scores as the probe's
+    * already-computed centroid dot (`q·c`, one double) plus the standard
+    * ADC table-lookup sum over the RESIDUAL codebook. Same plan shape as
+    * [[ivfPqTopK]] (broadcast probe×LUT into a bucket equi-join; the
+    * corpus side adds only the one-time residual subtraction to its
+    * encode), same exchanges, tighter quantization cells at identical
+    * bits. Scores stay engine-replayable: one IEEE addition of two
+    * deterministic terms.
+    */
+  def ivfPqResidualTopK(queries: DataFrame, corpus: DataFrame,
+      centroids: DataFrame, codebook: DataFrame, idCol: String,
+      vecCol: String, dim: Int, numSub: Int, k: Int, nProbe: Int,
+      maxBroadcastRows: Long = Broadcasting.DefaultMaxRows): DataFrame = {
+    val res = ivfResiduals(corpus, centroids, idCol, vecCol, dim)
+    val encB = pqEncode(res.select(col(idCol), col("rv")), codebook,
+        idCol, "rv", dim, numSub)
+      .join(res.select(col(idCol), col("bucket")), Seq(idCol))
+      .select(col(idCol).as("neighbor_id"), col("codes"), col("bucket"))
+    val q = queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv"))
+    Broadcasting.requireSmall(q, "ivfPqResidualTopK query set",
+      maxBroadcastRows)
+    val wq = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("centroid_id"))
+    val probes = broadcast(q).join(broadcast(centroids))
+      .withColumn("score", dot(col("qv"), col("cv"), dim))
+      .withColumn("rn", row_number().over(wq)).filter(col("rn") <= nProbe)
+      .select(col("query_id"), col("centroid_id").as("bucket"),
+        col("score").as("qc"))
+    val lut = pqLut(queries, codebook, idCol, vecCol, dim, numSub)
+    val probeLut = probes.join(lut, Seq("query_id"))
+    Broadcasting.requireSmall(probeLut, "ivfPqResidualTopK probe LUT",
+      maxBroadcastRows)
+    val scored = broadcast(probeLut).join(encB, Seq("bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("pq_score", col("qc") + adcScore(col("codes"), col("lut")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("pq_score").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("pq_score"), col("rank"))
   }
 
   /** The shared probe half of [[ivfPqTopK]] and [[probeIvfPqIndex]]:

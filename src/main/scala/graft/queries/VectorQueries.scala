@@ -743,6 +743,158 @@ object VectorQueries extends QueryModule {
         SELECT query_id, neighbor_id, round(cosine, 6) AS cosine_r, rank
         FROM rranked WHERE rank <= 5
         ORDER BY query_id, rank
+      """.trim)),
+
+    // --- Binary (sign-bit) quantization + exact re-rank: the 1-bit memory
+    // tier (dim=64 → two packed 32-bit words = 8 B/vector). Codes are a
+    // pure projection of the dimensions' signs (no random planes), Hamming
+    // is XOR+popcount — every step integer-exact, so the oracle replays
+    // the nomination AND the re-rank bit for bit. Candidates@20 from
+    // Hamming (ties to smaller id), exact cosine restores order. ---
+    GQuery(
+      "q122_hamming_rerank",
+      (spark, dir) => {
+        val e = Tables.embs(spark, dir)
+        Similarity.hammingRerankTopK(e.filter(col("vec_id") < 5), e,
+            "vec_id", "embedding", Dim, k = 5, kCand = 20)
+          .select(col("query_id"), col("neighbor_id"),
+            round(col("cosine"), 6).as("cosine_r"), col("rank"))
+          .orderBy(col("query_id"), col("rank"))
+      },
+      Some("""
+        WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        words AS (
+          SELECT vec_id,
+                 list_transform(generate_series(0, 1), w ->
+                   CAST(list_sum(list_transform(generate_series(0, 31),
+                     j -> CASE WHEN e[w*32 + j + 1] > 0
+                               THEN CAST(1 AS BIGINT) << (31 - j)
+                               ELSE CAST(0 AS BIGINT) END)) AS BIGINT)) AS wds
+          FROM v),
+        q AS (SELECT vec_id AS query_id, wds AS qw FROM words WHERE vec_id < 5),
+        scored AS (
+          SELECT q.query_id, w.vec_id AS neighbor_id,
+                 CAST(list_sum(list_transform(generate_series(1, 2),
+                   i -> bit_count(xor(q.qw[i], w.wds[i])))) AS INT) AS hamming
+          FROM q JOIN words w ON q.query_id <> w.vec_id),
+        cand AS (
+          SELECT query_id, neighbor_id
+          FROM scored
+          QUALIFY row_number() OVER (PARTITION BY query_id
+                    ORDER BY hamming, neighbor_id) <= 20),
+        rer AS (
+          SELECT c.query_id, c.neighbor_id,
+                 list_sum(list_transform(generate_series(1, 64), i -> qe.e[i] * ne.e[i]))
+                   / (sqrt(list_sum(list_transform(generate_series(1, 64), i -> qe.e[i] * qe.e[i])))
+                      * sqrt(list_sum(list_transform(generate_series(1, 64), i -> ne.e[i] * ne.e[i])))) AS cosine
+          FROM cand c
+          JOIN v qe ON qe.vec_id = c.query_id
+          JOIN v ne ON ne.vec_id = c.neighbor_id),
+        rranked AS (
+          SELECT query_id, neighbor_id, cosine,
+                 CAST(row_number() OVER (PARTITION BY query_id
+                        ORDER BY cosine DESC, neighbor_id) AS INT) AS rank
+          FROM rer)
+        SELECT query_id, neighbor_id, round(cosine, 6) AS cosine_r, rank
+        FROM rranked WHERE rank <= 5
+        ORDER BY query_id, rank
+      """.trim)),
+
+    // --- Residual IVF-PQ (the FAISS IVF-PQ default): codes quantize
+    // vector − assigned centroid, and the inner-product score decomposes
+    // exactly as q·c + q·r̂ — the probe's centroid dot plus the standard
+    // ADC sum over the RESIDUAL codebook. The residual seed skips zero
+    // residuals (centroid-coincident vectors) so the codebook cannot
+    // collapse to all-zero cells. Every stage is deterministic, so the
+    // oracle replays assignment → residuals → seed codebook → argmin
+    // encode → probes (keeping q·c) → LUT → decimal-exact ADC + one IEEE
+    // addition → top-5. ---
+    GQuery(
+      "q123_ivfpq_residual",
+      (spark, dir) => {
+        val e = Tables.embs(spark, dir)
+        val cents = Similarity.seedCentroids(e, "vec_id", "embedding", m = 16)
+        val rcb = Similarity.pqResidualCodebook(e, cents, "vec_id",
+          "embedding", Dim, numSub = 8, ksub = 16)
+        Similarity.ivfPqResidualTopK(e.filter(col("vec_id") < 5), e, cents,
+            rcb, "vec_id", "embedding", Dim, numSub = 8, k = 5, nProbe = 4)
+          .select(col("query_id"), col("neighbor_id"),
+            round(col("pq_score"), 6).as("pq_score_r"), col("rank"))
+          .orderBy(col("query_id"), col("rank"))
+      },
+      Some("""
+        WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        subs AS (SELECT unnest(generate_series(0, 7)) AS sub),
+        seed AS (
+          SELECT vec_id, e, CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS code
+          FROM v QUALIFY row_number() OVER (ORDER BY vec_id) <= 16),
+        cents AS (SELECT vec_id AS centroid_id, e AS cv FROM seed),
+        vassign AS (
+          SELECT v.vec_id, c.centroid_id AS bucket
+          FROM v CROSS JOIN cents c
+          QUALIFY row_number() OVER (PARTITION BY v.vec_id
+            ORDER BY list_sum(list_transform(generate_series(1, 64),
+                       i -> v.e[i] * c.cv[i])) DESC, c.centroid_id) = 1),
+        res AS (
+          SELECT va.vec_id, va.bucket,
+                 list_transform(generate_series(1, 64), i -> v.e[i] - c.cv[i]) AS r
+          FROM vassign va JOIN v ON v.vec_id = va.vec_id
+          JOIN cents c ON va.bucket = c.centroid_id),
+        rseed AS (
+          SELECT vec_id, r, CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS code
+          FROM res
+          WHERE list_sum(list_transform(generate_series(1, 64), i -> r[i]*r[i])) > 0
+          QUALIFY row_number() OVER (ORDER BY vec_id) <= 16),
+        rcb AS (
+          SELECT s.sub, rseed.code, list_slice(rseed.r, s.sub*8 + 1, s.sub*8 + 8) AS cv
+          FROM rseed CROSS JOIN subs s),
+        rsv AS (
+          SELECT res.vec_id, s.sub, list_slice(res.r, s.sub*8 + 1, s.sub*8 + 8) AS sv
+          FROM res CROSS JOIN subs s),
+        rdist AS (
+          SELECT rsv.vec_id, rsv.sub, rcb.code,
+                 list_sum(list_transform(generate_series(1, 8),
+                   i -> (rsv.sv[i] - rcb.cv[i]) * (rsv.sv[i] - rcb.cv[i]))) AS dist2
+          FROM rsv JOIN rcb ON rsv.sub = rcb.sub),
+        renc AS (
+          SELECT vec_id, sub, code
+          FROM rdist
+          QUALIFY row_number() OVER (PARTITION BY vec_id, sub ORDER BY dist2, code) = 1),
+        q AS (SELECT vec_id AS query_id, e FROM v WHERE vec_id < 5),
+        probes AS (
+          SELECT q.query_id, c.centroid_id AS bucket,
+                 list_sum(list_transform(generate_series(1, 64),
+                   i -> q.e[i] * c.cv[i])) AS qc
+          FROM q CROSS JOIN cents c
+          QUALIFY row_number() OVER (PARTITION BY q.query_id
+            ORDER BY list_sum(list_transform(generate_series(1, 64),
+                       i -> q.e[i] * c.cv[i])) DESC, c.centroid_id) <= 4),
+        qsv AS (
+          SELECT q.query_id, s.sub, list_slice(q.e, s.sub*8 + 1, s.sub*8 + 8) AS sv
+          FROM q CROSS JOIN subs s),
+        lut AS (
+          SELECT qsv.query_id, qsv.sub, rcb.code,
+                 list_sum(list_transform(generate_series(1, 8),
+                   i -> qsv.sv[i] * rcb.cv[i])) AS pdot
+          FROM qsv JOIN rcb ON qsv.sub = rcb.sub),
+        scored AS (
+          SELECT p.query_id, renc.vec_id AS neighbor_id,
+                 ANY_VALUE(p.qc) + CAST(SUM(CAST(l.pdot AS DECIMAL(30,15))) AS DOUBLE) AS pq_score
+          FROM renc
+          JOIN vassign va ON renc.vec_id = va.vec_id
+          JOIN probes p ON va.bucket = p.bucket
+          JOIN lut l ON l.query_id = p.query_id
+                    AND l.sub = renc.sub AND l.code = renc.code
+          WHERE p.query_id <> renc.vec_id
+          GROUP BY p.query_id, renc.vec_id),
+        ranked AS (
+          SELECT query_id, neighbor_id, pq_score,
+                 CAST(row_number() OVER (PARTITION BY query_id
+                        ORDER BY pq_score DESC, neighbor_id) AS INT) AS rank
+          FROM scored)
+        SELECT query_id, neighbor_id, round(pq_score, 6) AS pq_score_r, rank
+        FROM ranked WHERE rank <= 5
+        ORDER BY query_id, rank
       """.trim))
   )
 

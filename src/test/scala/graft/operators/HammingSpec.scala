@@ -1,0 +1,111 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** Binary (sign-bit) quantization over the real embeddings corpus — the
+  * 1-bit memory tier of the ANN ladder. What makes it trustworthy at
+  * 100 TB:
+  *
+  *  1. packing is a deterministic, zero-shuffle projection of the
+  *     dimensions' signs (engine-replayable — no random planes);
+  *  2. Hamming geometry holds: an exact copy is at distance 0, a negated
+  *     vector at distance dim (every sign flips);
+  *  3. nomination + re-rank keeps the [[Similarity.pqRerankTopK]]
+  *     contract: re-ranked output ⊆ candidates, and every true top-k
+  *     member the candidates carried survives — end recall = candidate
+  *     recall;
+  *  4. the scan is a broadcast join over 8-byte codes — no cartesian
+  *     blow-up beyond the intended |q|×n score loop, corpus never
+  *     reshuffled.
+  */
+class HammingSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val Dim = 64
+
+  private def embs: DataFrame =
+    spark.read.parquet(s"${TestSpark.SfDir}/embeddings.parquet")
+
+  test("signWords packs MSB-first 32-bit words, zero exchanges") {
+    import spark.implicits._
+    // +,-,+,-,... alternating signs: each 32-bit word is 0b1010...10 =
+    // 0xAAAAAAAA = 2863311530.
+    val v = Seq((1L, (0 until Dim).map(i => if (i % 2 == 0) 1.0f else -1.0f)))
+      .toDF("vec_id", "embedding")
+    val words = v.select(Similarity.signWords(
+      Similarity.asDouble(col("embedding")), Dim).as("w"))
+    assert(words.collect()(0).getSeq[Long](0) == Seq(2863311530L, 2863311530L))
+    val e = embs
+    val proj = e.select(col("vec_id"),
+      Similarity.signWords(Similarity.asDouble(col("embedding")), Dim).as("w"))
+    assert(Bucketing.exchangeCount(proj) == 0,
+      "sign packing must be a pure row-local projection")
+    assert(proj.count() == e.count())
+  }
+
+  test("copy at distance 0 (and top-1), negation at distance dim") {
+    import spark.implicits._
+    val base = (0 until Dim).map(i => (if (i % 3 == 0) -1.0 else 1.0) * (i + 1))
+    val df = Seq(
+      (1L, base.map(_.toFloat)),
+      (2L, base.map(_.toFloat)),            // exact copy
+      (3L, base.map(x => (-x).toFloat))     // negation: every sign flips
+    ).toDF("vec_id", "embedding")
+    val w = df.select(col("vec_id"), Similarity.signWords(
+      Similarity.asDouble(col("embedding")), Dim).as("w"))
+    val byId = w.collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val d12 = df.sparkSession.range(1).select(Similarity.hammingDistance(
+      typedLit(byId(1L)), typedLit(byId(2L)))).collect()(0).getInt(0)
+    val d13 = df.sparkSession.range(1).select(Similarity.hammingDistance(
+      typedLit(byId(1L)), typedLit(byId(3L)))).collect()(0).getInt(0)
+    assert(d12 == 0, "an exact copy must be at Hamming distance 0")
+    assert(d13 == Dim, "a negated vector must flip every sign bit")
+    // And through the operator: 1's nearest neighbor is its copy 2.
+    val top = Similarity.hammingTopK(df.filter(col("vec_id") === 1), df,
+      "vec_id", "embedding", Dim, k = 1).collect()(0)
+    assert(top.getLong(1) == 2L && top.getInt(2) == 0)
+  }
+
+  test("rerank ⊆ candidates, carries all of exact ∩ candidates, recall is real") {
+    val e = embs
+    val k = 10
+    val kCand = 50
+    val queries = e.filter(col("vec_id") < 10)
+    def byQuery(df: DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).map { case (q, ns) => q -> ns.map(_._2).toSet }
+    val cand = byQuery(Similarity.hammingTopK(queries, e, "vec_id",
+      "embedding", Dim, kCand))
+    val exact = byQuery(Similarity.bruteForceTopK(queries, e, "vec_id",
+      "embedding", Dim, k))
+    val rerank = byQuery(Similarity.hammingRerankTopK(queries, e, "vec_id",
+      "embedding", Dim, k, kCand))
+    rerank.foreach { case (q, got) =>
+      assert(got.subsetOf(cand(q)),
+        s"query $q re-ranked a vector that was never a candidate")
+      val due = exact(q) intersect cand(q)
+      assert(due.subsetOf(got),
+        s"query $q dropped true neighbors the candidates carried: ${due diff got}")
+    }
+    // 64 sign bits carry real angular signal on this corpus (candidate
+    // recall is the end recall by the subset property above). Floor set
+    // from measurement; PQ/int8 are the tighter tiers — this one buys
+    // 8-byte codes and XOR-popcount scans.
+    val recall = exact.map { case (q, want) =>
+      (rerank(q) intersect want).size.toDouble / want.size }.sum / exact.size
+    assert(recall >= 0.3, s"binary-tier recall@10 fell to $recall")
+  }
+
+  test("an over-cap query set fails loudly with the contract message") {
+    val e = embs
+    val err = intercept[IllegalArgumentException] {
+      Similarity.hammingTopK(e, e, "vec_id", "embedding", Dim, k = 5,
+        maxBroadcastRows = 5)
+    }
+    assert(err.getMessage.contains("small-by-contract") &&
+      err.getMessage.contains("hammingTopK"))
+  }
+}

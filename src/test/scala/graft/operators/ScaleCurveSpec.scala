@@ -316,6 +316,30 @@ class ScaleCurveSpec extends AnyFunSuite {
     curve("bloom_decontam", op, docs, ampCorpus)
   }
 
+  test("PQ encode + ADC scan scales ~linearly with exchange count fixed") {
+    val e = table("embeddings")
+      .select($"vec_id", Similarity.asDouble($"embedding").as("ev"))
+    // rotation amplification (the RP-LSH scheme below): per-copy cosine
+    // structure preserved, cross-copy decorrelated
+    val amp = (0 until Amp).map { i =>
+      val rotated = if (i == 0) $"ev"
+        else concat(slice($"ev", i + 1, 64 - i), slice($"ev", 1, i))
+      e.withColumn("vec_id", $"vec_id" + lit(i * 1000000L)).withColumn("ev", rotated)
+    }.reduce(_ unionByName _)
+    // Codebook and queries frozen from the BASE corpus so the measured
+    // object is the encode + scan alone: encode is the zero-exchange
+    // inline projection, the ADC scan's exchanges are query-/result-
+    // proportional — corpus growth must change NEITHER.
+    val cb = Similarity.pqCodebook(e, "vec_id", "ev", 64, numSub = 8, ksub = 16)
+      .localCheckpoint(true)
+    val queries = e.filter($"vec_id" < 5).localCheckpoint(true)
+    def op(d: DataFrame): DataFrame =
+      Similarity.pqTopK(queries,
+        Similarity.pqEncode(d, cb, "vec_id", "ev", 64, 8),
+        cb, "vec_id", "ev", 64, 8, k = 5)
+    curve("pq_adc_scan", op, e, amp)
+  }
+
   test("RP-LSH vector near-dups scale ~linearly") {
     val e = table("embeddings")
       .select($"vec_id", Similarity.asDouble($"embedding").as("ev"))
