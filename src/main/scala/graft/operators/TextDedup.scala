@@ -539,6 +539,106 @@ object TextDedup {
           s => s.getField("seg"))).as("clean_text"))
   }
 
+  /** Duplicated-SPAN detection — the distributed face of exact substring
+    * dedup (Lee et al. 2022, "Deduplicating Training Data Makes Language
+    * Models Better", builds suffix arrays on one machine; overlapping
+    * k-gram matching is the shuffle-friendly equivalent at corpus scale).
+    * [[segmentDedup]] tiles documents into NON-overlapping segments, so a
+    * duplicated passage straddling a tile boundary escapes detection;
+    * here every k-token sliding window is a key, so ANY duplicated run of
+    * ≥ k tokens is covered end to end, wherever it starts.
+    *
+    * Output: one row per MAXIMAL duplicated span —
+    * `(idCol, span_start, span_end, span_tokens)`, 0-based token indices,
+    * both ends inclusive. A span is a maximal contiguous run of tokens
+    * each covered by some k-gram that occurs ≥ 2 times corpus-wide
+    * (within-document repeats count — a doc that repeats itself is
+    * duplicated text too, exactly as in the paper).
+    *
+    * Scale shape: the k-gram explode is a zero-shuffle projection (n−k+1
+    * rows per doc); the duplicate set comes from a count aggregate on the
+    * gram STRING (map-side partials shrink the exchange; grouping on the
+    * text, not a digest, keeps the operator exact — [[segmentDedup]]'s
+    * collision argument); duplicated grams join back to the position rows
+    * (AQE broadcasts when the duplicate set is small — the common case in
+    * a mostly-clean corpus); the per-document interval merge is two
+    * windows on `idCol` (running-max end → span-break flags → span ids)
+    * over ONLY the duplicated positions, a frame that is duplicate-sized,
+    * not corpus-sized.
+    */
+  def duplicateSpans(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 8): DataFrame = {
+    require(k > 0, "k-gram length must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val toks = split(col(textCol), " ")
+    val grams = docs
+      .filter(size(toks) >= k)
+      .select(col(idCol), posexplode(
+          transform(sequence(lit(0), size(toks) - k),
+            i => concat_ws(" ", slice(toks, i + 1, lit(k)))))
+        .as(Seq("pos", "gram")))
+    val dupGrams = grams.groupBy(col("gram"))
+      .agg(count(lit(1)).as("__cnt"))
+      .filter(col("__cnt") >= 2)
+      .select(col("gram"))
+    val wDoc = Window.partitionBy(col(idCol)).orderBy(col("pos"))
+    grams.join(dupGrams, Seq("gram"))
+      .select(col(idCol), col("pos"))
+      .withColumn("__prev_end", max(col("pos") + lit(k - 1))
+        .over(wDoc.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("__new", when(col("__prev_end").isNull ||
+        col("pos") > col("__prev_end") + 1, 1).otherwise(0))
+      .withColumn("__span", sum(col("__new"))
+        .over(wDoc.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col(idCol), col("__span"))
+      .agg(min(col("pos")).cast("int").as("span_start"),
+        (max(col("pos")) + lit(k - 1)).cast("int").as("span_end"))
+      .select(col(idCol), col("span_start"), col("span_end"),
+        (col("span_end") - col("span_start") + 1).as("span_tokens"))
+  }
+
+  /** Excise duplicated spans — the destructive half of
+    * [[duplicateSpans]]: spans of at least `minSpanTokens` covered tokens
+    * are cut from the text, everything else keeps its original order
+    * (span-level surgery, not whole-document dropping — the Lee et al.
+    * finding is that most duplication lives INSIDE otherwise-unique
+    * documents). Output: one row per input document,
+    * `(idCol, clean_text, removed_tokens)` — untouched documents carry
+    * `removed_tokens = 0`, fully-duplicated documents come back with
+    * `clean_text = ''` (both copies: exact substring dedup removes every
+    * occurrence; pair with [[exactGroups]] keep-first when one survivor
+    * is wanted).
+    *
+    * The cut is an equi anti-join on (id, token position): qualifying
+    * spans explode to their covered positions — a frame bounded by total
+    * duplicated footprint, tiny next to the corpus — so no range join and
+    * no per-token predicate over span bounds. Reassembly is
+    * [[segmentDedup]]'s sort-by-position fold.
+    */
+  def removeDuplicateSpans(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 8, minSpanTokens: Int = 16): DataFrame = {
+    require(minSpanTokens >= k, "a span is at least one full k-gram")
+    val covered = duplicateSpans(docs, idCol, textCol, k)
+      .filter(col("span_tokens") >= minSpanTokens)
+      .select(col(idCol),
+        explode(sequence(col("span_start"), col("span_end"))).as("__tpos"))
+    val kept = docs
+      .select(col(idCol), posexplode(split(col(textCol), " "))
+        .as(Seq("__tpos", "__tok")))
+      .join(covered, Seq(idCol, "__tpos"), "left_anti")
+      .groupBy(col(idCol))
+      .agg(concat_ws(" ",
+          transform(array_sort(collect_list(struct(col("__tpos"), col("__tok")))),
+            s => s.getField("__tok"))).as("clean_text"),
+        count(lit(1)).as("__kept"))
+    docs.select(col(idCol), size(split(col(textCol), " ")).as("__n"))
+      .join(kept, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        (col("__n") - coalesce(col("__kept"), lit(0L))).cast("int")
+          .as("removed_tokens"))
+  }
+
   /** Decontamination for a benchmark side TOO BIG to broadcast as a hash
     * table — the complement of [[contamination]] (which assumes eval
     * suites of thousands of rows). When the "benchmark" is itself

@@ -1314,6 +1314,127 @@ object TextQueries extends QueryModule {
                COALESCE(h.card_hits, 0) > 0 AS has_card
         FROM docs d LEFT JOIN hits h USING (doc_id)
         ORDER BY d.doc_id
+      """.trim)),
+
+    // --- Duplicated-SPAN detection (distributed exact substring dedup,
+    // Lee et al. 2022): every 8-token sliding window is a key; windows
+    // occurring >= 2 times corpus-wide mark their tokens, maximal covered
+    // runs merge into spans via running-max/flag/sum windows. Planted
+    // full copies (every 10th doc re-keyed) surface as whole-document
+    // spans on BOTH copies; the corpus's ~1k naturally repeated 8-grams
+    // surface as shorter spans. Oracle replays explode -> count -> join
+    // -> interval merge with identical window frames. ---
+    GQuery(
+      "q124_dup_spans",
+      (spark, dir) => {
+        val d = Tables.docs(spark, dir).select(col("doc_id"), col("text"))
+        val planted = d.unionByName(
+          d.filter(col("doc_id") % 10 === 0)
+            .withColumn("doc_id", col("doc_id") + 200000))
+        TextDedup.duplicateSpans(planted, "doc_id", "text", k = 8)
+          .orderBy(col("doc_id"), col("span_start"))
+      },
+      Some("""
+        WITH all_docs AS (
+          SELECT doc_id, text FROM documents
+          UNION ALL
+          SELECT doc_id + 200000 AS doc_id, text FROM documents WHERE doc_id % 10 = 0),
+        tk AS (SELECT doc_id, string_split(text, ' ') AS tk FROM all_docs),
+        g AS (
+          SELECT doc_id, i AS pos, array_to_string(tk[i+1 : i+8], ' ') AS gram
+          FROM tk, unnest(generate_series(0, len(tk) - 8)) AS t(i)
+          WHERE len(tk) >= 8),
+        dup AS (SELECT gram FROM g GROUP BY gram HAVING COUNT(*) >= 2),
+        ds AS (SELECT g.doc_id, g.pos FROM g JOIN dup USING (gram)),
+        m AS (
+          SELECT doc_id, pos,
+                 max(pos + 7) OVER (PARTITION BY doc_id ORDER BY pos
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+          FROM ds),
+        f AS (
+          SELECT doc_id, pos,
+                 CASE WHEN prev_end IS NULL OR pos > prev_end + 1
+                      THEN 1 ELSE 0 END AS nw
+          FROM m),
+        s AS (
+          SELECT doc_id, pos,
+                 SUM(nw) OVER (PARTITION BY doc_id ORDER BY pos
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS span
+          FROM f)
+        SELECT doc_id, CAST(MIN(pos) AS INT) AS span_start,
+               CAST(MAX(pos) + 7 AS INT) AS span_end,
+               CAST(MAX(pos) + 7 - MIN(pos) + 1 AS INT) AS span_tokens
+        FROM s GROUP BY doc_id, span ORDER BY doc_id, span_start
+      """.trim)),
+
+    // --- Span EXCISION (the destructive half): spans of >= 16 covered
+    // tokens are cut from the text via an (id, position) anti-join,
+    // everything else reassembles in order. Planted full copies erase
+    // entirely on both sides (clean_text = ''); docs whose only
+    // duplication is shorter than the floor pass through untouched with
+    // removed_tokens = 0. ---
+    GQuery(
+      "q125_dup_span_removal",
+      (spark, dir) => {
+        val d = Tables.docs(spark, dir).select(col("doc_id"), col("text"))
+        val planted = d.unionByName(
+          d.filter(col("doc_id") % 10 === 0)
+            .withColumn("doc_id", col("doc_id") + 200000))
+        TextDedup.removeDuplicateSpans(planted, "doc_id", "text",
+            k = 8, minSpanTokens = 16)
+          .orderBy(col("doc_id"))
+      },
+      Some("""
+        WITH all_docs AS (
+          SELECT doc_id, text FROM documents
+          UNION ALL
+          SELECT doc_id + 200000 AS doc_id, text FROM documents WHERE doc_id % 10 = 0),
+        tk AS (SELECT doc_id, string_split(text, ' ') AS tk FROM all_docs),
+        g AS (
+          SELECT doc_id, i AS pos, array_to_string(tk[i+1 : i+8], ' ') AS gram
+          FROM tk, unnest(generate_series(0, len(tk) - 8)) AS t(i)
+          WHERE len(tk) >= 8),
+        dup AS (SELECT gram FROM g GROUP BY gram HAVING COUNT(*) >= 2),
+        ds AS (SELECT g.doc_id, g.pos FROM g JOIN dup USING (gram)),
+        m AS (
+          SELECT doc_id, pos,
+                 max(pos + 7) OVER (PARTITION BY doc_id ORDER BY pos
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+          FROM ds),
+        f AS (
+          SELECT doc_id, pos,
+                 CASE WHEN prev_end IS NULL OR pos > prev_end + 1
+                      THEN 1 ELSE 0 END AS nw
+          FROM m),
+        s AS (
+          SELECT doc_id, pos,
+                 SUM(nw) OVER (PARTITION BY doc_id ORDER BY pos
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS span
+          FROM f),
+        spans AS (
+          SELECT doc_id, MIN(pos) AS span_start, MAX(pos) + 7 AS span_end
+          FROM s GROUP BY doc_id, span
+          HAVING MAX(pos) + 7 - MIN(pos) + 1 >= 16),
+        covered AS (
+          SELECT doc_id, unnest(generate_series(span_start, span_end)) AS tpos
+          FROM spans),
+        toks AS (
+          SELECT tk.doc_id, i - 1 AS tpos, tk.tk[i] AS tok
+          FROM tk, unnest(generate_series(1, len(tk.tk))) AS t(i)),
+        kept AS (
+          SELECT t.doc_id,
+                 string_agg(t.tok, ' ' ORDER BY t.tpos) AS clean_text,
+                 COUNT(*) AS kept_n
+          FROM toks t
+          ANTI JOIN covered c ON t.doc_id = c.doc_id AND t.tpos = c.tpos
+          GROUP BY t.doc_id)
+        SELECT a.doc_id,
+               COALESCE(k.clean_text, '') AS clean_text,
+               CAST(len(tk.tk) - COALESCE(k.kept_n, 0) AS INT) AS removed_tokens
+        FROM all_docs a
+        JOIN tk ON a.doc_id = tk.doc_id
+        LEFT JOIN kept k ON a.doc_id = k.doc_id
+        ORDER BY a.doc_id
       """.trim))
   )
 }

@@ -1,0 +1,122 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** Duplicated-span detection / excision — distributed exact substring
+  * dedup (Lee et al. 2022). The properties that make it trustworthy:
+  *
+  *  1. a passage shared between two documents surfaces as a span with
+  *     EXACT token bounds in BOTH documents — including passages that
+  *     straddle [[TextDedup.segmentDedup]]'s tile boundaries (the gap
+  *     this operator exists to close);
+  *  2. spans are MAXIMAL: overlapping duplicated windows merge into one
+  *     span, disjoint duplications stay separate;
+  *  3. excision is exactly the span inventory: removed_tokens equals the
+  *     summed footprint of qualifying spans, untouched docs pass through
+  *     byte-identical, fully-duplicated docs erase on BOTH sides;
+  *  4. the plan is join+window shaped — no cartesian anywhere, and the
+  *     interval-merge windows run over only the duplicated positions.
+  */
+class SpanDedupSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def docsOf(rows: (Long, String)*): DataFrame = {
+    import spark.implicits._
+    rows.toDF("doc_id", "text")
+  }
+
+  private def words(prefix: String, n: Int): String =
+    (0 until n).map(i => s"$prefix$i").mkString(" ")
+
+  test("shared passage straddling segment tiles: exact bounds in both docs") {
+    // Doc 1: 10 unique + 12 shared + 10 unique; doc 2: 5 unique + the
+    // same 12 shared + 5 unique. The shared run starts at token 10 in
+    // doc 1 — mid-tile for segTokens=16 — so segmentDedup's tiling
+    // cannot see it as a repeated segment, but k=4 windows cover it.
+    val shared = words("dup", 12)
+    val d = docsOf(
+      1L -> s"${words("a", 10)} $shared ${words("b", 10)}",
+      2L -> s"${words("c", 5)} $shared ${words("d", 5)}")
+    val spans = TextDedup.duplicateSpans(d, "doc_id", "text", k = 4)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet
+    assert(spans == Set((1L, 10, 21), (2L, 5, 16)))
+
+    // The tiled detector misses it: every 16-token tile of doc 1 mixes
+    // shared and unique words, so nothing dedups.
+    val tiled = TextDedup.segmentDedup(d, "doc_id", "text", segTokens = 16)
+    assert(tiled.filter(col("doc_id") === 1L).select("clean_text")
+      .head().getString(0) == d.filter(col("doc_id") === 1L)
+      .head().getString(1))
+  }
+
+  test("maximality: overlap merges, disjoint repeats stay separate") {
+    // Doc 3 repeats doc 4's opening AND its ending, with unique middle:
+    // two disjoint spans, not one.
+    val head = words("h", 6)
+    val tail = words("t", 6)
+    val d = docsOf(
+      3L -> s"$head ${words("x", 8)} $tail",
+      4L -> s"$head ${words("y", 8)} $tail")
+    val spans = TextDedup.duplicateSpans(d, "doc_id", "text", k = 4)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet
+    assert(spans == Set((3L, 0, 5), (3L, 14, 19), (4L, 0, 5), (4L, 14, 19)))
+  }
+
+  test("clean corpus yields no spans; self-repetition within one doc counts") {
+    val clean = docsOf(5L -> words("u", 30), 6L -> words("v", 30))
+    assert(TextDedup.duplicateSpans(clean, "doc_id", "text", k = 4).isEmpty)
+
+    val selfRep = docsOf(7L -> s"${words("r", 5)} ${words("r", 5)}")
+    val spans = TextDedup.duplicateSpans(selfRep, "doc_id", "text", k = 5)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSeq
+    // "r0..r4 r0..r4": windows at 0 and 5 are the same 5-gram; positions
+    // 0..4 and 5..9 merge into one maximal covered run.
+    assert(spans == Seq((7L, 0, 9)))
+  }
+
+  test("excision: inventory-exact removal, pass-through, full erasure") {
+    val shared = words("s", 20)
+    val d = docsOf(
+      10L -> s"${words("p", 4)} $shared ${words("q", 4)}", // 20-token span cut
+      11L -> s"${words("m", 3)} $shared",                  // 20-token span cut
+      12L -> words("z", 25),                               // untouched
+      13L -> words("w", 30),                               // full duplicate pair:
+      14L -> words("w", 30))                               // both erased
+    val out = TextDedup.removeDuplicateSpans(d, "doc_id", "text",
+        k = 4, minSpanTokens = 16)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getInt(2)))).toMap
+    assert(out(10L) == ((s"${words("p", 4)} ${words("q", 4)}", 20)))
+    assert(out(11L) == ((words("m", 3), 20)))
+    assert(out(12L) == ((words("z", 25), 0)))
+    assert(out(13L) == (("", 30)))
+    assert(out(14L) == (("", 30)))
+  }
+
+  test("short duplication under the floor survives excision") {
+    val small = words("k", 8) // >= k(4) but < minSpanTokens(16)
+    val d = docsOf(
+      20L -> s"$small ${words("e", 10)}",
+      21L -> s"${words("f", 10)} $small")
+    val out = TextDedup.removeDuplicateSpans(d, "doc_id", "text",
+        k = 4, minSpanTokens = 16)
+      .collect().map(r => (r.getLong(0), r.getInt(2))).toMap
+    assert(out == Map(20L -> 0, 21L -> 0))
+    // ...but the spans themselves ARE reported by the detector.
+    assert(TextDedup.duplicateSpans(d, "doc_id", "text", k = 4)
+      .count() == 2)
+  }
+
+  test("plan shape: join+window, no cartesian product") {
+    val d = spark.read.parquet(s"${TestSpark.SfDir}/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val plan = TextDedup.duplicateSpans(d, "doc_id", "text", k = 8)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"))
+    assert(!plan.contains("BroadcastNestedLoopJoin"))
+  }
+}
