@@ -45,12 +45,26 @@ object Tables {
   def embs(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "embeddings").repartition(spark.sparkContext.defaultParallelism)
 
-  def events(spark: SparkSession, dir: String): DataFrame = {
-    val raw = t(spark, dir, "events")
-    raw.schema("ts").dataType match {
+  def events(spark: SparkSession, dir: String): DataFrame =
+    normalizeTs(t(spark, dir, "events"), "ts")
+
+  /** Normalize a parquet timestamp column to session-TZ TIMESTAMP whatever
+    * physical layout the generator used: LongType when the file carries
+    * TIMESTAMP(NANOS) under `nanosAsLong` (integer-divide — a double
+    * roundtrip would lose precision at 1e18 magnitudes), TIMESTAMP_NTZ
+    * when it carries unannotated micros under Spark 4's NTZ inference
+    * (cast; the session TZ is pinned UTC everywhere, so the wall-clock
+    * reinterprets as the identical instant DuckDB sees). Both conversions
+    * are row-local projections — nothing about the scan changes.
+    */
+  def normalizeTs(raw: DataFrame, c: String): DataFrame =
+    raw.schema(c).dataType match {
       case org.apache.spark.sql.types.LongType =>
-        raw.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+        raw.withColumn(c, org.apache.spark.sql.functions.expr(s"timestamp_micros($c div 1000)"))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn(c,
+          org.apache.spark.sql.functions.col(c)
+            .cast(org.apache.spark.sql.types.TimestampType))
       case _ => raw
     }
-  }
 }

@@ -37,15 +37,14 @@ object Streams {
     spark.readStream.schema(schema).parquet(stage.toString)
   }
 
-  /** File-source stream over the events parquet (ts normalized from nanos,
-    * matching [[graft.core.Tables.events]]).
+  /** File-source stream over the events parquet (ts normalized to
+    * session-TZ TIMESTAMP from whichever physical layout the generator
+    * used — nanos-as-long or NTZ micros — matching
+    * [[graft.core.Tables.normalizeTs]]; event-time watermarks require the
+    * TIMESTAMP type).
     */
-  def eventsStream(spark: SparkSession, dir: String): DataFrame = {
-    val raw = tableStream(spark, dir, "events")
-    if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-    else raw
-  }
+  def eventsStream(spark: SparkSession, dir: String): DataFrame =
+    graft.core.Tables.normalizeTs(tableStream(spark, dir, "events"), "ts")
 
   /** Run a streaming DataFrame to completion into a memory sink
     * (Trigger.AvailableNow — process everything currently present, then
