@@ -25,7 +25,8 @@ object SparkEntry {
     _root_.graft.queries.StreamQueries,
     _root_.graft.queries.MedallionQueries,
     _root_.graft.queries.SemiStructuredQueries,
-    _root_.graft.queries.SamplingQueries)
+    _root_.graft.queries.SamplingQueries,
+    _root_.graft.queries.CurationQueries)
 
   lazy val registry: Seq[GQuery] = modules.flatMap(_.all)
 

@@ -113,4 +113,91 @@ object CorpusStats {
     docs.select(col(idCol)).join(scored, Seq(idCol), "left")
       .withColumn("n_bigrams", coalesce(col("n_bigrams"), lit(0L)))
   }
+
+  /** Top-`n` corpus vocabulary by raw token frequency (lowercased
+    * whitespace tokens — the repo's one tokenization), ties broken by the
+    * token itself so the cut line is deterministic. Returns
+    * (term, cnt, rank).
+    *
+    * Scale: one hash aggregate over exploded tokens (term-cardinality
+    * output) + a top-n on a vocabulary-sized frame. The window is global
+    * but runs AFTER the aggregate, on vocabulary rows, not corpus rows —
+    * the post-aggregate-few-row exemption (WindowQueries discipline);
+    * partitioned on a literal so the plan carries no
+    * no-partition-defined warning.
+    */
+  def vocabulary(docs: DataFrame, textCol: String, n: Int): DataFrame = {
+    val freq = docs
+      .select(explode(TextAnalysis.tokens(lower(col(textCol)))).as("term"))
+      .filter(col("term") =!= "")
+      .groupBy(col("term")).agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy(lit(1))
+      .orderBy(col("cnt").desc, col("term"))
+    freq.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= n)
+  }
+
+  /** Per-document out-of-vocabulary rate against a vocabulary frame (one
+    * `term` column): the coverage signal that tells a tokenizer-training
+    * or quality-filter pass how well a fixed vocabulary explains each
+    * document. Returns (idCol, n_tokens, n_oov, oov_ratio).
+    *
+    * Contract (the [[charBigramScore]] discipline): one row per input
+    * doc — a NULL-text doc surfaces as `n_tokens = 0, n_oov = 0,
+    * oov_ratio = NULL` (unscoreable, not silently absent).
+    *
+    * Scale: vocab broadcasts (it is top-n by construction); docs explode
+    * to (id, token) rows that left-join the broadcast and re-aggregate on
+    * the id — one hash shuffle keyed by doc id, text never rides it. The
+    * ratio is one IEEE division of exact longs (bit-reproducible).
+    */
+  def oovRate(docs: DataFrame, idCol: String, textCol: String,
+      vocab: DataFrame): DataFrame = {
+    val v = broadcast(
+      vocab.select(col("term")).distinct().withColumn("__inv", lit(1)))
+    val scored = docs
+      .select(col(idCol),
+        explode(TextAnalysis.tokens(lower(col(textCol)))).as("term"))
+      .filter(col("term") =!= "")
+      .join(v, Seq("term"), "left")
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        count(when(col("__inv").isNull, 1)).as("n_oov"))
+      .withColumn("oov_ratio",
+        col("n_oov").cast("double") / col("n_tokens").cast("double"))
+    docs.select(col(idCol)).join(scored, Seq(idCol), "left")
+      .withColumn("n_tokens", coalesce(col("n_tokens"), lit(0L)))
+      .withColumn("n_oov", coalesce(col("n_oov"), lit(0L)))
+  }
+
+  /** Corpus source-diversity report — one row: how concentrated is the
+    * corpus over a grouping column (source, domain, language)? Metrics are
+    * the SIMPSON family, not Shannon entropy, deliberately: entropy pivots
+    * on `ln`, whose last ulp is math-library-specific, while Simpson
+    * concentration Σ p_i² is pure exact-ratio arithmetic — decimal-exact
+    * sum of single-rounded squares, bit-reproducible in any IEEE engine.
+    *
+    *  - `simpson` — Σ p_i², the probability two random docs share a group
+    *    (1/k for a uniform k-group corpus, →1 as one group dominates);
+    *  - `gini_simpson` — 1 − Σ p_i², the complementary diversity index;
+    *  - `effective_groups` — 1/Σ p_i² (inverse-Simpson), the "equivalent
+    *    number of equally-sized groups" a mixing plan actually has.
+    *
+    * Scale: one hash aggregate to group counts (vocabulary-sized), then a
+    * scalar reduction — nothing corpus-sized moves.
+    */
+  def sourceDiversity(docs: DataFrame, groupCol: String): DataFrame = {
+    val counts = docs.groupBy(col(groupCol)).agg(count(lit(1)).as("__n"))
+    val n = docs.agg(count(lit(1)).as("__total"))
+    counts.crossJoin(broadcast(n))
+      .withColumn("__p", col("__n").cast("double") / col("__total"))
+      .agg(
+        count(lit(1)).as("n_groups"),
+        first(col("__total")).as("n_docs"),
+        sum((col("__p") * col("__p")).cast("decimal(30,15)"))
+          .cast("double").as("simpson"))
+      .withColumn("gini_simpson", lit(1.0) - col("simpson"))
+      .withColumn("effective_groups", lit(1.0) / col("simpson"))
+  }
 }

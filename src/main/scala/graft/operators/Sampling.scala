@@ -124,4 +124,52 @@ object Sampling {
       .filter(col("__cum") - tokensCol.cast("long") < col("__budget"))
       .drop("__budget", "__cum")
   }
+
+  /** TEMPERATURE-flattened source mixture at α = 0.5 — the multilingual
+    * pretraining rebalance (mC4/XLM-R style): target share w_i ∝ p_i^α
+    * upsamples rare sources relative to their natural frequency, and each
+    * source keeps the deterministic hash fraction that lands its EXPECTED
+    * selected count at `targetDocs · w_i` (capped at keeping the whole
+    * source — a rare source cannot be upsampled past 100% without
+    * replication, which is a different operator).
+    *
+    * α is FIXED at 0.5 because `sqrt` is the one fractional power IEEE 754
+    * requires to be correctly rounded — `pow(x, α)`'s last ulp is
+    * math-library-specific, and the per-source thresholds must be
+    * bit-reproducible across engines for the selection to be
+    * deterministic. The threshold pipeline is engineered for cross-engine
+    * bit parity: integerize `floor(sqrt(n_i)·1000)`, exact integer sum,
+    * then ONE parenthesization-pinned double expression
+    * `floor(65536·T·s_i / (S·n_i))` — every step is a single
+    * correctly-rounded IEEE op on identical operands, so any IEEE-754
+    * engine lands the identical threshold.
+    *
+    * Scale: one count aggregate (source-cardinality rows) broadcast back
+    * over the corpus as a per-source threshold; selection is then a
+    * row-local `hash16 < t` filter riding the scan — zero corpus
+    * shuffles, no driver involvement, and content-derived selection
+    * (stable under repartitioning and re-runs).
+    */
+  def temperatureMixSqrt(df: DataFrame, keyCol: String, sourceCol: String,
+      targetDocs: Long, salt: String = "temp"): DataFrame = {
+    require(targetDocs > 0, s"targetDocs $targetDocs must be positive")
+    val counts = df.groupBy(col(sourceCol))
+      .agg(count(lit(1)).as("__n"))
+      .withColumn("__s",
+        floor(sqrt(col("__n").cast("double")) * 1000.0).cast("long"))
+    // Source cardinality is vocabulary-sized by contract; the exact total
+    // rides along as a broadcast scalar (same shape as tfidf's N). The
+    // re-alias breaks the self-join lineage (counts × agg-of-counts would
+    // otherwise make `__s` ambiguous).
+    val total = counts.select(col("__s").as("__s0")).agg(sum(col("__s0")).as("__stot"))
+    val thresholds = counts.crossJoin(broadcast(total))
+      .withColumn("__t",
+        floor((lit(65536.0) * targetDocs.toDouble * col("__s").cast("double"))
+          / (col("__stot").cast("double") * col("__n").cast("double")))
+          .cast("long"))
+      .select(col(sourceCol).as("__src"), col("__t"))
+    df.join(broadcast(thresholds), col(sourceCol) === col("__src"))
+      .filter(hash16(col(keyCol), salt) < col("__t"))
+      .drop("__src", "__t")
+  }
 }

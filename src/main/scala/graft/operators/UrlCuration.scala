@@ -1,0 +1,136 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** URL / domain curation for web-corpus pipelines (SURVEY §2.12 adjacency —
+  * the CCNet / RefinedWeb front door): every large-scale web training set
+  * starts by parsing document URLs, rolling quality statistics up to the
+  * REGISTERED DOMAIN (the acquisition/ownership unit — `news.bbc.co.uk` and
+  * `www.bbc.co.uk` are one publisher), and dropping blocklisted domains.
+  *
+  * Parsing uses Spark's codegen'd `parse_url` (HOST / PATH / QUERY
+  * components per RFC 3986); the registered domain is the last two host
+  * labels, widened to three under a configurable multi-part public-suffix
+  * set (`co.uk`-style). The full public-suffix list is data, not code —
+  * production passes its own suffix set; the default covers the common
+  * ccTLD second-level registries. A NULL/unparseable URL yields NULL parts
+  * (curation treats "no URL" as its own bucket rather than erroring a
+  * 100 TB pass).
+  *
+  * Scale: every extraction is a row-local projection (no shuffle, stays in
+  * whole-stage codegen). `domainStats` is one hash aggregate keyed by
+  * registered domain — domain cardinality is ~10⁷ for the full web, far
+  * under corpus cardinality, so the rollup output is dashboard-sized.
+  * `dropBlockedDomains` broadcasts the blocklist (requireSmall-guarded) —
+  * an anti-join that rides the scan; the corpus never shuffles.
+  */
+object UrlCuration {
+
+  /** Host component (authority minus userinfo/port), lowercased. */
+  def host(url: Column): Column = lower(parse_url(url, lit("HOST")))
+
+  /** Path component (leading `/` included, query/fragment excluded). */
+  def path(url: Column): Column = parse_url(url, lit("PATH"))
+
+  /** Raw query string (NULL when the URL has none). */
+  def queryString(url: Column): Column = parse_url(url, lit("QUERY"))
+
+  /** ccTLD second-level registries under which the registered domain takes
+    * THREE labels (`bbc.co.uk`), not two. Deliberately minimal — pass the
+    * full public-suffix list where exactness matters.
+    */
+  val defaultMultiPartSuffixes: Seq[String] = Seq(
+    "co.uk", "org.uk", "ac.uk", "gov.uk", "co.jp", "or.jp", "ne.jp",
+    "com.au", "net.au", "org.au", "com.br", "com.cn", "com.mx", "co.in",
+    "co.kr", "co.nz", "com.sg", "com.tw", "co.za")
+
+  /** Registered domain of a HOST column: last two labels, or last three
+    * when the last two form a multi-part public suffix. Hosts of ≤ 2
+    * labels register as themselves (bare `localhost`, apex `bbc.com`) —
+    * guarded explicitly, because `slice` with a negative start PAST the
+    * array head returns empty, not the whole array.
+    */
+  def registeredDomainOfHost(hostCol: Column,
+      multiPartSuffixes: Seq[String] = defaultMultiPartSuffixes): Column = {
+    val labels = split(hostCol, "\\.")
+    val last2 = concat_ws(".", slice(labels, -2, 2))
+    val last3 = concat_ws(".", slice(labels, -3, 3))
+    when(hostCol.isNull, lit(null))
+      .when(size(labels) <= 2, hostCol)
+      .when(last2.isin(multiPartSuffixes: _*), last3)
+      .otherwise(last2)
+  }
+
+  /** Registered domain straight from a URL column. */
+  def registeredDomain(url: Column,
+      multiPartSuffixes: Seq[String] = defaultMultiPartSuffixes): Column =
+    registeredDomainOfHost(host(url), multiPartSuffixes)
+
+  /** Number of non-empty path segments (`/a/b/` → 2; `/` and `""` → 0).
+    * Deep paths correlate with template/forum noise — a standard
+    * RefinedWeb-style quality feature.
+    */
+  def pathDepth(url: Column): Column = {
+    val p = coalesce(path(url), lit(""))
+    size(filter(split(p, "/"), s => s =!= ""))
+  }
+
+  /** Number of `&`-separated query parameters (0 when no query string).
+    * Heavy tracking-parameter counts flag syndication/spam URLs.
+    */
+  def queryParamCount(url: Column): Column = {
+    val q = queryString(url)
+    when(q.isNull || q === "", lit(0))
+      .otherwise(size(filter(split(q, "&"), s => s =!= "")))
+  }
+
+  /** Attach the standard URL curation features to `df`:
+    * `url_host`, `url_domain`, `path_depth`, `n_params`.
+    */
+  def withUrlFeatures(df: DataFrame, urlCol: String,
+      multiPartSuffixes: Seq[String] = defaultMultiPartSuffixes): DataFrame = {
+    val u = col(urlCol)
+    df.withColumn("url_host", host(u))
+      .withColumn("url_domain",
+        registeredDomainOfHost(col("url_host"), multiPartSuffixes))
+      .withColumn("path_depth", pathDepth(u))
+      .withColumn("n_params", queryParamCount(u))
+  }
+
+  /** Per-registered-domain rollup: document count, distinct host count,
+    * and min/max/mean path depth — the table a curation run eyeballs (and
+    * thresholds) before committing a corpus. One hash aggregate keyed by
+    * domain; the mean uses the decimal-exact-sum discipline so the rollup
+    * is partitioning-invariant.
+    */
+  def domainStats(df: DataFrame, urlCol: String,
+      multiPartSuffixes: Seq[String] = defaultMultiPartSuffixes): DataFrame =
+    withUrlFeatures(df, urlCol, multiPartSuffixes)
+      .groupBy(col("url_domain"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(col("url_host")).as("n_hosts"),
+        min(col("path_depth")).as("min_depth"),
+        max(col("path_depth")).as("max_depth"),
+        (sum(col("path_depth").cast("decimal(30,15)")).cast("double")
+          / count(lit(1))).as("avg_depth"))
+
+  /** Drop documents whose registered domain appears in `blocked` (one
+    * `domain` string column) — the blocklist step of every web-corpus
+    * pipeline. The blocklist is broadcast (requireSmall-guarded: blocklists
+    * are 10⁴-10⁶ rows, never corpus-sized) and the corpus side stays a
+    * scan + anti-join with zero exchanges.
+    */
+  def dropBlockedDomains(df: DataFrame, urlCol: String, blocked: DataFrame,
+      multiPartSuffixes: Seq[String] = defaultMultiPartSuffixes,
+      maxBlocklistRows: Long = 10000000L): DataFrame = {
+    Broadcasting.requireSmall(blocked, "dropBlockedDomains blocklist",
+      maxBlocklistRows)
+    val b = broadcast(
+      blocked.select(lower(col("domain")).as("__blocked_domain")).distinct())
+    df.withColumn("__dom", registeredDomain(col(urlCol), multiPartSuffixes))
+      .join(b, col("__dom") === col("__blocked_domain"), "left_anti")
+      .drop("__dom")
+  }
+}

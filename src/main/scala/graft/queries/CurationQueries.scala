@@ -1,0 +1,238 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.core.{GQuery, QueryModule, Tables}
+import graft.operators.{CorpusStats, Sampling, UrlCuration}
+
+/** Web-corpus curation gates: URL/domain parsing and rollups, blocklist
+  * filtering, vocabulary coverage, temperature-flattened source mixing, and
+  * corpus diversity — the acquisition-side front door of a training-data
+  * pipeline (the operators in [[graft.operators.UrlCuration]],
+  * [[graft.operators.CorpusStats]], [[graft.operators.Sampling]]).
+  *
+  * The testdata carries no URL column, so the URL gates DERIVE one
+  * deterministically from (source, lang, doc_id) — `www.`/ccTLD/query-string
+  * variation keyed on doc_id residues — and both engines parse it back
+  * independently: Spark through `parse_url` (codegen'd RFC-3986 component
+  * extraction), DuckDB through anchored regexes. Agreement certifies the
+  * parse, the registered-domain fold, and the rollup together.
+  */
+object CurationQueries extends QueryModule {
+
+  /** DuckDB rendering of [[graft.operators.Sampling.hash16]] (the q68/q08
+    * split-and-mix discipline; one definition per module keeps each
+    * oracle self-contained and greppable next to its query).
+    */
+  private def hash16Sql(keyExpr: String, salt: String): String = {
+    val m = s"md5('$salt' || CAST($keyExpr AS VARCHAR))"
+    def hv(i: Int) =
+      s"(ascii(substr($m, $i, 1)) - " +
+        s"CASE WHEN ascii(substr($m, $i, 1)) >= 97 THEN 87 ELSE 48 END)"
+    s"(${hv(1)} * 4096 + ${hv(2)} * 256 + ${hv(3)} * 16 + ${hv(4)})"
+  }
+
+  /** The derived URL, Spark side. ~1/7 of docs get a `www.` subdomain,
+    * ~1/5 a multi-part ccTLD (`.co.uk`), ~1/3 a two-parameter query string
+    * — every (suffix × subdomain × query) combination is exercised.
+    */
+  private def urlCol = concat(
+    lit("https://"),
+    when(col("doc_id") % 7 === 0, lit("www.")).otherwise(lit("")),
+    col("source"),
+    when(col("doc_id") % 5 === 0, lit(".co.uk")).otherwise(lit(".com")),
+    lit("/"), col("lang"), lit("/"), col("doc_id").cast("string"),
+    when(col("doc_id") % 3 === 0, lit("?ref=rss&utm_source=feed"))
+      .otherwise(lit("")))
+
+  /** The derived URL, DuckDB side (same construction, SQL rendering). */
+  private val urlSql =
+    "'https://' || CASE WHEN doc_id % 7 = 0 THEN 'www.' ELSE '' END" +
+      " || source || CASE WHEN doc_id % 5 = 0 THEN '.co.uk' ELSE '.com' END" +
+      " || '/' || lang || '/' || CAST(doc_id AS VARCHAR)" +
+      " || CASE WHEN doc_id % 3 = 0 THEN '?ref=rss&utm_source=feed' ELSE '' END"
+
+  /** DuckDB rendering of the registered-domain fold over a host expr:
+    * last two labels, widened to three under a multi-part suffix (the
+    * [[UrlCuration.registeredDomainOfHost]] contract; list slicing with
+    * negative bounds is end-relative in DuckDB).
+    */
+  private def regDomainSql(hostExpr: String): String =
+    s"""CASE
+          WHEN len(string_split($hostExpr, '.')) <= 2 THEN $hostExpr
+          WHEN array_to_string(string_split($hostExpr, '.')[-2:], '.')
+               IN ('co.uk', 'org.uk', 'ac.uk', 'gov.uk', 'co.jp', 'or.jp',
+                   'ne.jp', 'com.au', 'net.au', 'org.au', 'com.br', 'com.cn',
+                   'com.mx', 'co.in', 'co.kr', 'co.nz', 'com.sg', 'com.tw',
+                   'co.za')
+            THEN array_to_string(string_split($hostExpr, '.')[-3:], '.')
+          ELSE array_to_string(string_split($hostExpr, '.')[-2:], '.')
+        END"""
+
+  override def all: Seq[GQuery] = Seq(
+
+    // --- URL parse + registered-domain rollup: hosts fold to their
+    // ownership unit (www.X.co.uk and X.co.uk are ONE domain row), path
+    // depth and query-parameter counts aggregate per domain. The curation
+    // dashboard every web-corpus run reads before thresholding. ---
+    GQuery(
+      "q126_url_domains",
+      (spark, dir) =>
+        UrlCuration.domainStats(
+            Tables.docs(spark, dir).withColumn("url", urlCol), "url")
+          .orderBy(col("url_domain")),
+      Some(s"""
+        WITH u AS (
+          SELECT doc_id, $urlSql AS url FROM documents),
+        parts AS (
+          SELECT doc_id,
+                 lower(regexp_extract(url, '^[a-z]+://([^/?#]+)', 1)) AS host,
+                 regexp_extract(url, '^[a-z]+://[^/?#]+(/[^?#]*)', 1) AS path
+          FROM u),
+        feat AS (
+          SELECT doc_id, host,
+                 ${regDomainSql("host")} AS url_domain,
+                 len(list_filter(string_split(path, '/'), s -> s <> ''))
+                   AS path_depth
+          FROM parts)
+        SELECT url_domain,
+               COUNT(*) AS n_docs,
+               COUNT(DISTINCT host) AS n_hosts,
+               CAST(MIN(path_depth) AS INT) AS min_depth,
+               CAST(MAX(path_depth) AS INT) AS max_depth,
+               CAST(SUM(CAST(path_depth AS DECIMAL(30,15))) AS DOUBLE)
+                 / COUNT(*) AS avg_depth
+        FROM feat GROUP BY url_domain ORDER BY url_domain
+      """.trim)),
+
+    // --- domain blocklist drop: broadcast anti-join on the registered
+    // domain (blocklists are 10^4-10^6 rows against a corpus-sized scan;
+    // the corpus side never shuffles). Survivor counts per language prove
+    // both engines agree on WHICH docs died, not just how many. ---
+    GQuery(
+      "q127_domain_blocklist",
+      (spark, dir) => {
+        import spark.implicits._
+        val blocked = Seq("src1.com", "src1.co.uk", "src7.com",
+          "src12.co.uk", "src19.com").toDF("domain")
+        UrlCuration.dropBlockedDomains(
+            Tables.docs(spark, dir).withColumn("url", urlCol), "url", blocked)
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("min_id"))
+          .orderBy(col("lang"))
+      },
+      Some(s"""
+        WITH u AS (
+          SELECT doc_id, lang, $urlSql AS url FROM documents),
+        feat AS (
+          SELECT doc_id, lang,
+                 ${regDomainSql(
+                   "lower(regexp_extract(url, '^[a-z]+://([^/?#]+)', 1))")}
+                   AS url_domain
+          FROM u)
+        SELECT lang, COUNT(*) AS n_docs, MIN(doc_id) AS min_id
+        FROM feat
+        WHERE url_domain NOT IN ('src1.com', 'src1.co.uk', 'src7.com',
+                                 'src12.co.uk', 'src19.com')
+        GROUP BY lang ORDER BY lang
+      """.trim)),
+
+    // --- vocabulary coverage: top-20 corpus vocabulary by frequency
+    // (deterministic tie-break on the token), then each document's
+    // out-of-vocabulary rate against it. The corpus vocabulary here is 31
+    // distinct tokens, so a top-20 cut leaves real OOV mass in every
+    // document — the gate is non-degenerate by construction. ---
+    GQuery(
+      "q128_oov_rate",
+      (spark, dir) => {
+        val docs = Tables.docs(spark, dir)
+        val vocab = CorpusStats.vocabulary(docs, "text", 20)
+        CorpusStats.oovRate(docs, "doc_id", "text", vocab)
+          .orderBy(col("doc_id"))
+      },
+      Some("""
+        WITH tok AS (
+          SELECT doc_id, t.term
+          FROM documents, UNNEST(string_split(lower(text), ' ')) AS t(term)
+          WHERE t.term <> ''),
+        vocab AS (
+          SELECT term FROM (
+            SELECT term, COUNT(*) AS cnt FROM tok GROUP BY term)
+          QUALIFY row_number() OVER (ORDER BY cnt DESC, term) <= 20),
+        scored AS (
+          SELECT tok.doc_id,
+                 COUNT(*) AS n_tokens,
+                 COUNT(*) FILTER (WHERE v.term IS NULL) AS n_oov
+          FROM tok LEFT JOIN vocab v ON tok.term = v.term
+          GROUP BY tok.doc_id)
+        SELECT d.doc_id,
+               COALESCE(s.n_tokens, 0) AS n_tokens,
+               COALESCE(s.n_oov, 0) AS n_oov,
+               CAST(s.n_oov AS DOUBLE) / CAST(s.n_tokens AS DOUBLE)
+                 AS oov_ratio
+        FROM documents d LEFT JOIN scored s ON d.doc_id = s.doc_id
+        ORDER BY d.doc_id
+      """.trim)),
+
+    // --- temperature-flattened language mix at alpha = 0.5 (the
+    // mC4/XLM-R multilingual rebalance): rare languages keep a larger
+    // hash fraction than their natural share. en is 44% of this corpus
+    // but sqrt-weighting budgets it ~32% of the target — the selected
+    // counts certify the threshold arithmetic end to end, min_id that
+    // both engines picked the same documents. ---
+    GQuery(
+      "q129_temperature_mix",
+      (spark, dir) =>
+        Sampling.temperatureMixSqrt(
+            Tables.docs(spark, dir).select(col("doc_id"), col("lang")),
+            "doc_id", "lang", targetDocs = 200L)
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_sel"), min(col("doc_id")).as("min_id"))
+          .orderBy(col("lang")),
+      Some(s"""
+        WITH c AS (
+          SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang),
+        s AS (
+          SELECT lang, n,
+                 CAST(FLOOR(SQRT(CAST(n AS DOUBLE)) * 1000.0) AS BIGINT) AS sv
+          FROM c),
+        thr AS (
+          SELECT lang,
+                 CAST(FLOOR((65536.0 * 200.0 * CAST(sv AS DOUBLE))
+                   / (CAST(SUM(sv) OVER () AS DOUBLE) * CAST(n AS DOUBLE)))
+                   AS BIGINT) AS t
+          FROM s)
+        SELECT d.lang, COUNT(*) AS n_sel, MIN(d.doc_id) AS min_id
+        FROM documents d JOIN thr ON d.lang = thr.lang
+        WHERE ${hash16Sql("doc_id", "temp")} < thr.t
+        GROUP BY d.lang ORDER BY d.lang
+      """.trim)),
+
+    // --- corpus diversity report (Simpson family — exact-ratio
+    // arithmetic, deliberately not Shannon entropy whose ln is
+    // math-library-specific): concentration, Gini-Simpson diversity, and
+    // the effective number of equally-sized groups. ---
+    GQuery(
+      "q130_source_diversity",
+      (spark, dir) =>
+        CorpusStats.sourceDiversity(Tables.docs(spark, dir), "lang"),
+      Some("""
+        WITH c AS (
+          SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang),
+        p AS (
+          SELECT CAST(n AS DOUBLE)
+                   / (SELECT COUNT(*) FROM documents) AS pv,
+                 (SELECT COUNT(*) FROM documents) AS total
+          FROM c),
+        agg AS (
+          SELECT COUNT(*) AS n_groups,
+                 MIN(total) AS n_docs,
+                 CAST(SUM(CAST(pv * pv AS DECIMAL(30,15))) AS DOUBLE)
+                   AS simpson
+          FROM p)
+        SELECT n_groups, n_docs, simpson,
+               1.0 - simpson AS gini_simpson,
+               1.0 / simpson AS effective_groups
+        FROM agg
+      """.trim)))
+}

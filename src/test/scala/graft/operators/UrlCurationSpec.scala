@@ -1,0 +1,128 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** [[UrlCuration]] / vocabulary-coverage / temperature-mix / diversity
+  * contracts: the parse edge cases a regex-mirrored oracle can't probe
+  * (NULLs, short hosts), the loud-failure broadcast guard, the
+  * one-row-per-doc scoring contract, and the determinism + expected-count
+  * properties of the sqrt-temperature mixture.
+  */
+class UrlCurationSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("registered domain: suffix fold, short hosts, null") {
+    val rows = Seq(
+      "https://www.bbc.co.uk/news/uk-12345",
+      "https://news.bbc.co.uk/live?x=1",
+      "https://example.com/a/b",
+      "https://sub.a.example.com/",
+      "https://localhost/admin",
+      null)
+      .toDF("url")
+      .select(
+        UrlCuration.host(col("url")).as("h"),
+        UrlCuration.registeredDomain(col("url")).as("d"),
+        UrlCuration.pathDepth(col("url")).as("pd"),
+        UrlCuration.queryParamCount(col("url")).as("np"))
+      .collect()
+    assert(rows(0).getString(1) === "bbc.co.uk")
+    assert(rows(1).getString(1) === "bbc.co.uk")
+    assert(rows(2).getString(1) === "example.com")
+    assert(rows(3).getString(1) === "example.com")
+    assert(rows(4).getString(1) === "localhost")
+    assert(rows(5).isNullAt(1))
+    assert(rows(0).getInt(2) === 2 && rows(4).getInt(2) === 1)
+    assert(rows(1).getInt(3) === 1 && rows(0).getInt(3) === 0)
+  }
+
+  test("domain rollup folds subdomains into one ownership row") {
+    val docs = Seq(
+      (1L, "https://www.bbc.co.uk/a"),
+      (2L, "https://news.bbc.co.uk/b/c"),
+      (3L, "https://example.com/x"))
+      .toDF("doc_id", "url")
+    val stats = UrlCuration.domainStats(docs, "url")
+      .orderBy(col("url_domain")).collect()
+    assert(stats.length === 2)
+    assert(stats(0).getString(0) === "bbc.co.uk")
+    assert(stats(0).getLong(1) === 2L) // n_docs
+    assert(stats(0).getLong(2) === 2L) // n_hosts
+  }
+
+  test("blocklist drop removes exactly the blocked domains; guard is loud") {
+    val docs = Seq(
+      (1L, "https://www.bad.com/x"),
+      (2L, "https://bad.com/y"),
+      (3L, "https://good.com/z"))
+      .toDF("doc_id", "url")
+    val kept = UrlCuration.dropBlockedDomains(
+      docs, "url", Seq("bad.com").toDF("domain"))
+    assert(kept.select("doc_id").as[Long].collect().toSeq === Seq(3L))
+    val big = spark.range(0, 100).select(concat(lit("d"),
+      col("id").cast("string"), lit(".com")).as("domain"))
+    val e = intercept[IllegalArgumentException] {
+      UrlCuration.dropBlockedDomains(docs, "url", big, maxBlocklistRows = 10)
+    }
+    assert(e.getMessage.contains("small-by-contract"))
+  }
+
+  test("vocabulary cut line is deterministic under frequency ties") {
+    val docs = Seq("b a", "a c", "c b").toDF("text")
+    // all three tokens tie at freq 2; rank order must be the token order
+    val v = CorpusStats.vocabulary(docs, "text", 2)
+      .orderBy(col("rank")).collect()
+    assert(v.map(_.getString(0)).toSeq === Seq("a", "b"))
+  }
+
+  test("oovRate: one row per input doc, null text unscoreable, exact ratio") {
+    val docs = Seq((1L, "a a b zz"), (2L, null), (3L, "zz qq"))
+      .toDF("doc_id", "text")
+    val vocab = Seq("a", "b").toDF("term")
+    val out = CorpusStats.oovRate(docs, "doc_id", "text", vocab)
+      .orderBy(col("doc_id")).collect()
+    assert(out.length === 3)
+    assert(out(0).getLong(1) === 4L && out(0).getLong(2) === 1L &&
+      out(0).getDouble(3) === 0.25)
+    assert(out(1).getLong(1) === 0L && out(1).getLong(2) === 0L &&
+      out(1).isNullAt(3))
+    assert(out(2).getDouble(3) === 1.0)
+  }
+
+  test("temperature mix: rare sources upsampled, deterministic, capped") {
+    val docs = graft.core.Tables.docs(spark, TestSpark.SfDir)
+      .select(col("doc_id"), col("lang"))
+    val sel = Sampling.temperatureMixSqrt(docs, "doc_id", "lang", 40L)
+    val byLang = sel.groupBy("lang").count()
+      .as[(String, Long)].collect().toMap
+    val natural = docs.groupBy("lang").count()
+      .as[(String, Long)].collect().toMap
+    // kept FRACTION must be strictly higher for the rarest language than
+    // for the most common (the whole point of temperature flattening)
+    val en = byLang.getOrElse("en", 0L).toDouble / natural("en")
+    val rare = natural.minBy(_._2)._1
+    val rf = byLang.getOrElse(rare, 0L).toDouble / natural(rare)
+    assert(rf > en, s"rare=$rare frac $rf should exceed en frac $en")
+    // deterministic under repartitioning
+    val again = Sampling.temperatureMixSqrt(
+      docs.repartition(7), "doc_id", "lang", 40L)
+    assert(again.select("doc_id").as[Long].collect().sorted.toSeq ===
+      sel.select("doc_id").as[Long].collect().sorted.toSeq)
+    // an unreachable target caps at keeping every document
+    val all = Sampling.temperatureMixSqrt(docs, "doc_id", "lang", 1000000L)
+    assert(all.count() === docs.count())
+  }
+
+  test("diversity: uniform k groups => simpson = 1/k, effective = k") {
+    val docs = spark.range(0, 120)
+      .select((col("id") % 4).cast("string").as("g"))
+    val r = CorpusStats.sourceDiversity(docs, "g").collect().head
+    assert(r.getAs[Long]("n_groups") === 4L)
+    assert(math.abs(r.getAs[Double]("simpson") - 0.25) < 1e-12)
+    assert(math.abs(r.getAs[Double]("effective_groups") - 4.0) < 1e-9)
+  }
+}
