@@ -40,8 +40,14 @@ object Bench {
     * emits decimal COMMAS under e.g. a German default locale, silently
     * turning the record into invalid JSON on a differently-configured box.
     */
-  private def fmt3(v: Double): String =
-    String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+  private def fmt3(v: Double): String = {
+    // Adaptive precision: ms resolution where it means something (sub-10 s
+    // medians), centisecond above — a 100 s outlier needs no ms digits,
+    // and the saved chars keep the whole record inside the driver's
+    // 2000-char stdout tail buffer as the query count grows.
+    val pattern = if (math.abs(v) < 10) "%.3f" else if (math.abs(v) < 100) "%.2f" else "%.1f"
+    String.format(java.util.Locale.ROOT, pattern, Double.box(v))
+  }
 
   def record(results: Seq[(String, Double)], repeats: Int, leakedRdds: Int,
       sfDir: String, shorten: Boolean, calib: Seq[Double] = Nil,

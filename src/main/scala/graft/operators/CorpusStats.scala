@@ -171,6 +171,37 @@ object CorpusStats {
       .withColumn("n_oov", coalesce(col("n_oov"), lit(0L)))
   }
 
+  /** Corpus-wide ADJACENT-token-pair counts — the first merge step of
+    * BPE-style tokenizer training (count every neighboring pair, merge
+    * the most frequent) reduced to its distributable core. Returns the
+    * top-`k` pairs as (t1, t2, cnt, rank), ties broken on (t1, t2) so
+    * the cut line is deterministic.
+    *
+    * Pairs are built row-locally (an index walk over the token array —
+    * no self-join, no positional shuffle: the (doc, pos) self-join
+    * formulation would shuffle the corpus TWICE on a synthetic key),
+    * then one hash aggregate to pair counts. Pair vocabulary ≈ vocab²
+    * upper-bounded but Zipf-concentrated in practice — the aggregate
+    * output is table-sized, not corpus-sized; the final top-k window
+    * runs post-aggregate on a literal partition (the [[vocabulary]]
+    * discipline).
+    */
+  def tokenPairCounts(docs: DataFrame, textCol: String, k: Int): DataFrame = {
+    val toks = TextAnalysis.tokens(lower(col(textCol)))
+    val pairs = docs
+      .select(filter(toks, t => t =!= "").as("__t"))
+      .filter(size(col("__t")) >= 2)
+      .select(explode(transform(sequence(lit(1), size(col("__t")) - 1),
+        i => struct(element_at(col("__t"), i).as("t1"),
+          element_at(col("__t"), i + 1).as("t2")))).as("p"))
+      .select(col("p.t1"), col("p.t2"))
+      .groupBy(col("t1"), col("t2")).agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy(lit(1))
+      .orderBy(col("cnt").desc, col("t1"), col("t2"))
+    pairs.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
   /** Corpus source-diversity report — one row: how concentrated is the
     * corpus over a grouping column (source, domain, language)? Metrics are
     * the SIMPSON family, not Shannon entropy, deliberately: entropy pivots

@@ -94,4 +94,43 @@ object Packing {
         (least(col("chunk") * step + lit(budget.toLong), col("__tok")) -
           col("chunk") * step).as("take"))
   }
+
+  /** LENGTH-BUCKETED batch assignment — the inference/embedding-serving
+    * counterpart of [[packManifest]]: group documents of similar token
+    * length into fixed-size batches so per-batch padding waste is bounded
+    * by the bucket width (a batch pads every member to its longest member;
+    * mixing a 10-token and a 2000-token doc wastes ~99% of the compute).
+    *
+    * Assignment: `bucket = n_tokens div bucketWidth`, then each bucket is
+    * SUB-SHARDED deterministically (`shard = hash16(id) mod nShards`) and
+    * batches are numbered within (bucket, shard) in content-hash order.
+    * The sub-sharding is the scale design: a single window per bucket
+    * would serialize the whole bucket through one task (buckets are
+    * few and huge — the exact skew a 100 TB corpus has), while
+    * (bucket × shard) keys give nShards-way parallelism per bucket at the
+    * cost of ≤ nShards partial tail batches per bucket — bounded waste,
+    * unbounded parallelism. One hash shuffle on the composite key; the
+    * per-task state is the running row count, nothing materializes.
+    *
+    * Determinism: hash-ordered within shard, so assignment is stable
+    * under repartitioning and re-runs (the [[Sampling.hash16]]
+    * discipline). Output: (idCol, n_tokens, bucket, shard, batch_seq) —
+    * a batch is globally identified by (bucket, shard, batch_seq), and
+    * every batch holds ≤ `batchSize` docs whose lengths differ by
+    * < `bucketWidth`.
+    */
+  def lengthBucketBatches(docs: DataFrame, idCol: String, tokensCol: Column,
+      bucketWidth: Int, batchSize: Int, nShards: Int,
+      salt: String = "lbb"): DataFrame = {
+    require(bucketWidth > 0 && batchSize > 0 && nShards > 0,
+      "bucketWidth, batchSize, nShards must all be positive")
+    val d = docs.select(col(idCol), tokensCol.cast("long").as("n_tokens"))
+      .withColumn("bucket", floor(col("n_tokens") / bucketWidth).cast("long"))
+      .withColumn("shard",
+        (Sampling.hash16(col(idCol), salt) % nShards).cast("int"))
+    val w = Window.partitionBy(col("bucket"), col("shard"))
+      .orderBy(Sampling.hash16(col(idCol), salt + "o"), col(idCol))
+    d.withColumn("batch_seq",
+      floor((row_number().over(w) - 1) / batchSize).cast("long"))
+  }
 }

@@ -158,11 +158,12 @@ object Sampling {
       .withColumn("__s",
         floor(sqrt(col("__n").cast("double")) * 1000.0).cast("long"))
     // Source cardinality is vocabulary-sized by contract; the exact total
-    // rides along as a broadcast scalar (same shape as tfidf's N). The
-    // re-alias breaks the self-join lineage (counts × agg-of-counts would
-    // otherwise make `__s` ambiguous).
-    val total = counts.select(col("__s").as("__s0")).agg(sum(col("__s0")).as("__stot"))
-    val thresholds = counts.crossJoin(broadcast(total))
+    // is a literal-partitioned window over that tiny frame — ONE pass
+    // (a scalar-agg branch would compute the counts twice; a self-
+    // crossJoin makes the lineage ambiguous).
+    val wAll = Window.partitionBy(lit(1))
+    val thresholds = counts
+      .withColumn("__stot", sum(col("__s")).over(wAll))
       .withColumn("__t",
         floor((lit(65536.0) * targetDocs.toDouble * col("__s").cast("double"))
           / (col("__stot").cast("double") * col("__n").cast("double")))

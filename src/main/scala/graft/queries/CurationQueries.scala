@@ -234,5 +234,66 @@ object CurationQueries extends QueryModule {
                1.0 - simpson AS gini_simpson,
                1.0 / simpson AS effective_groups
         FROM agg
+      """.trim)),
+
+    // --- BPE first-merge candidates: corpus-wide adjacent-token-pair
+    // counts, top-20 (the tokenizer-training primitive). Pairs build
+    // row-locally (no positional self-join); both engines walk the
+    // SAME filtered token list so empty tokens can never split
+    // adjacency differently. ---
+    GQuery(
+      "q131_bpe_pairs",
+      (spark, dir) =>
+        CorpusStats.tokenPairCounts(Tables.docs(spark, dir), "text", 20)
+          .orderBy(col("rank")),
+      Some("""
+        WITH fl AS (
+          SELECT list_filter(string_split(lower(text), ' '), s -> s <> '')
+                   AS t
+          FROM documents),
+        pairs AS (
+          SELECT t[i] AS t1, t[i + 1] AS t2
+          FROM fl, UNNEST(range(1, len(t))) AS r(i)
+          WHERE len(t) >= 2),
+        cnts AS (
+          SELECT t1, t2, COUNT(*) AS cnt FROM pairs GROUP BY t1, t2)
+        SELECT t1, t2, cnt,
+               CAST(row_number() OVER (ORDER BY cnt DESC, t1, t2) AS INT)
+                 AS rank
+        FROM cnts
+        QUALIFY rank <= 20
+        ORDER BY rank
+      """.trim)),
+
+    // --- length-bucketed batch assignment for inference/embedding
+    // serving: docs of similar token length share a batch (padding waste
+    // bounded by the bucket width), buckets sub-sharded for parallelism
+    // (the skew design — see Packing.lengthBucketBatches). The full
+    // assignment table is compared, so both engines must agree on every
+    // doc's (bucket, shard, batch_seq). ---
+    GQuery(
+      "q132_length_batches",
+      (spark, dir) =>
+        graft.operators.Packing.lengthBucketBatches(
+            Tables.docs(spark, dir), "doc_id",
+            graft.functions.TextAnalysis.tokenCount(col("text")),
+            bucketWidth = 16, batchSize = 8, nShards = 2)
+          .orderBy(col("doc_id")),
+      Some(s"""
+        WITH d AS (
+          SELECT doc_id,
+                 CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+          FROM documents),
+        a AS (
+          SELECT doc_id, n_tokens,
+                 CAST(FLOOR(n_tokens / 16) AS BIGINT) AS bucket,
+                 CAST(${hash16Sql("doc_id", "lbb")} % 2 AS INT) AS shard
+          FROM d)
+        SELECT doc_id, n_tokens, bucket, shard,
+               CAST(FLOOR((row_number() OVER (
+                 PARTITION BY bucket, shard
+                 ORDER BY ${hash16Sql("doc_id", "lbbo")}, doc_id) - 1) / 8)
+                 AS BIGINT) AS batch_seq
+        FROM a ORDER BY doc_id
       """.trim)))
 }

@@ -64,7 +64,18 @@ class GatePlanSpec extends AnyFunSuite {
     "q109_quantile_floor" -> (4, 1),
     "q110_nfc_normalize" -> (3, 0),
     "q111_corpus_report" -> (7, 1),
-    "q113_gopher_rules" -> (3, 0))
+    "q113_gopher_rules" -> (3, 0),
+    // round-9 additions (docs spread + output sort included): q126 =
+    // spread + two-phase countDistinct agg + sort, zero joins; q127 =
+    // blocklist distinct (small side) + LeftAnti BROADCAST join — the
+    // corpus side carries no exchange beyond the spread; q129 = counts
+    // agg + literal-window total + ONE broadcast threshold join +
+    // selected-counts agg + sort — the corpus never shuffles on the mix
+    // itself, and the counts frame is computed exactly once (a scalar-agg
+    // branch would scan it twice)
+    "q126_url_domains" -> (4, 0),
+    "q127_domain_blocklist" -> (4, 1),
+    "q129_temperature_mix" -> (6, 1))
 
   test("q107's ORC read-back pushes its predicate and projection into the scan") {
     import org.apache.spark.sql.functions.col

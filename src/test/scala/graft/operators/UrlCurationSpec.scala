@@ -117,6 +117,40 @@ class UrlCurationSpec extends AnyFunSuite {
     assert(all.count() === docs.count())
   }
 
+  test("token pair counts: golden mini-corpus, deterministic tie order") {
+    val docs = Seq("a b a b", "b a", "x").toDF("text")
+    // pairs: (a,b)x2, (b,a)x2  [doc1: ab, ba, ab; doc2: ba] -> (a,b)=2,(b,a)=2
+    val out = CorpusStats.tokenPairCounts(docs, "text", 10)
+      .orderBy(col("rank")).collect()
+    assert(out.map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+      === Seq(("a", "b", 2L), ("b", "a", 2L)))
+    assert(out.map(_.getInt(3)).toSeq === Seq(1, 2))
+  }
+
+  test("length-bucket batches: size cap, bounded spread, deterministic") {
+    val docs = graft.core.Tables.docs(spark, TestSpark.SfDir)
+    val a = Packing.lengthBucketBatches(docs, "doc_id",
+      graft.functions.TextAnalysis.tokenCount(col("text")),
+      bucketWidth = 16, batchSize = 8, nShards = 2)
+    val batches = a.groupBy("bucket", "shard", "batch_seq")
+      .agg(count(lit(1)).as("n"),
+        (max(col("n_tokens")) - min(col("n_tokens"))).as("spread"))
+      .collect()
+    assert(batches.forall(_.getLong(3) <= 8L), "batch size cap violated")
+    assert(batches.forall(_.getLong(4) < 16L),
+      "within-batch token spread must stay under the bucket width")
+    // every (bucket, shard) has at most ONE partial batch (the tail)
+    val partials = batches.filter(_.getLong(3) < 8L)
+      .groupBy(r => (r.getLong(0), r.getInt(1)))
+    assert(partials.forall(_._2.length <= 1), "more than one tail batch")
+    // deterministic under repartitioning
+    val b = Packing.lengthBucketBatches(docs.repartition(7), "doc_id",
+      graft.functions.TextAnalysis.tokenCount(col("text")),
+      bucketWidth = 16, batchSize = 8, nShards = 2)
+    assert(b.orderBy("doc_id").collect().toSeq ===
+      a.orderBy("doc_id").collect().toSeq)
+  }
+
   test("diversity: uniform k groups => simpson = 1/k, effective = k") {
     val docs = spark.range(0, 120)
       .select((col("id") % 4).cast("string").as("g"))
