@@ -96,4 +96,35 @@ object Curation {
       .filter(col(scoreCol) >= col("__thr"))
       .drop("__thr")
   }
+
+  /** CURRICULUM phase assignment: bucket the corpus into `nPhases`
+    * quality tiers by corpus-relative quantile thresholds (curriculum
+    * training feeds phase 0 — the cleanest tier — first). Adds a
+    * `phase` column in [0, nPhases): phase = number of interior
+    * thresholds strictly above the row's score, so phase 0 holds the TOP
+    * `1/nPhases` of the distribution.
+    *
+    * This is deliberately NOT `ntile` over a global window — a global
+    * sort that serializes the corpus through one task is the canonical
+    * 100 TB scale-killer. Instead: one scalar aggregate computes the
+    * `nPhases−1` interior quantile thresholds (same exact/approx split
+    * as [[quantileFloor]] — exact only for bounded-cardinality scores),
+    * the tiny threshold array broadcasts, and phase assignment is a
+    * row-local fold riding the scan. Ties at a threshold land in the
+    * LOWER-quality phase deterministically (ntile's tie behavior is
+    * position-dependent, not content-derived).
+    */
+  def curriculumPhases(docs: DataFrame, scoreCol: String, nPhases: Int,
+      exact: Boolean = false, accuracy: Int = 10000): DataFrame = {
+    require(nPhases >= 2, s"nPhases $nPhases must be at least 2")
+    val qs = (1 until nPhases).map(i => i.toDouble / nPhases)
+    val thr =
+      if (exact) percentile(col(scoreCol), lit(qs.toArray))
+      else percentile_approx(col(scoreCol), lit(qs.toArray), lit(accuracy))
+    docs.crossJoin(broadcast(docs.agg(thr.as("__thrs"))))
+      .withColumn("phase",
+        aggregate(col("__thrs"), lit(0),
+          (acc, t) => acc + when(t > col(scoreCol), 1).otherwise(0)))
+      .drop("__thrs")
+  }
 }

@@ -295,5 +295,34 @@ object CurationQueries extends QueryModule {
                  ORDER BY ${hash16Sql("doc_id", "lbbo")}, doc_id) - 1) / 8)
                  AS BIGINT) AS batch_seq
         FROM a ORDER BY doc_id
+      """.trim)),
+
+    // --- curriculum phase assignment: 4 quality tiers by corpus-relative
+    // EXACT quantile thresholds (n_chars is bounded-cardinality, the
+    // exact-percentile contract) — phase 0 = top quartile. Deliberately
+    // not ntile: a scalar threshold aggregate + broadcast fold, never a
+    // global sort (see Curation.curriculumPhases). Per-phase extents
+    // certify both engines cut the distribution identically. ---
+    GQuery(
+      "q133_curriculum",
+      (spark, dir) =>
+        graft.operators.Curation.curriculumPhases(
+            Tables.docs(spark, dir), "n_chars", nPhases = 4, exact = true)
+          .groupBy(col("phase"))
+          .agg(count(lit(1)).as("n_docs"),
+            min(col("n_chars")).as("min_chars"),
+            max(col("n_chars")).as("max_chars"))
+          .orderBy(col("phase")),
+      Some("""
+        WITH thr AS (
+          SELECT quantile_cont(n_chars, [0.25, 0.5, 0.75]) AS t
+          FROM documents),
+        a AS (
+          SELECT doc_id, n_chars,
+                 CAST(len(list_filter(t, x -> x > n_chars)) AS INT) AS phase
+          FROM documents, thr)
+        SELECT phase, COUNT(*) AS n_docs,
+               MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars
+        FROM a GROUP BY phase ORDER BY phase
       """.trim)))
 }

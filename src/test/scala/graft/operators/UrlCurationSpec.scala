@@ -151,6 +151,31 @@ class UrlCurationSpec extends AnyFunSuite {
       a.orderBy("doc_id").collect().toSeq)
   }
 
+  test("curriculum phases: balanced tiers, monotone ranges, no global sort") {
+    val docs = graft.core.Tables.docs(spark, TestSpark.SfDir)
+    val p = Curation.curriculumPhases(docs, "n_chars", 4, exact = true)
+    val stats = p.groupBy("phase")
+      .agg(count(lit(1)).as("n"), min("n_chars").as("lo"),
+        max("n_chars").as("hi"))
+      .orderBy("phase").collect()
+    assert(stats.map(_.getInt(0)).toSeq === Seq(0, 1, 2, 3))
+    val n = docs.count()
+    assert(stats.forall(r => math.abs(r.getLong(1) - n / 4.0) <= n / 8.0),
+      "phases should be roughly quartile-sized")
+    // phase 0 is the TOP tier; ranges must descend and never interleave
+    // beyond the shared threshold boundary
+    stats.sliding(2).foreach { case Array(hiT, loT) =>
+      assert(hiT.getLong(2) >= loT.getLong(3),
+        s"phase ${hiT.getInt(0)} min should be >= phase ${loT.getInt(0)} max")
+    }
+    // scale contract: no window/global sort in the assignment plan
+    val plan = p.queryExecution.executedPlan.toString
+    // (a Window-free plan rules out ntile by construction — ntile only
+    // exists as a window function)
+    assert(!plan.contains("Window"),
+      "curriculum assignment must not use a global window")
+  }
+
   test("diversity: uniform k groups => simpson = 1/k, effective = k") {
     val docs = spark.range(0, 120)
       .select((col("id") % 4).cast("string").as("g"))
