@@ -231,4 +231,93 @@ object CorpusStats {
       .withColumn("gini_simpson", lit(1.0) - col("simpson"))
       .withColumn("effective_groups", lit(1.0) / col("simpson"))
   }
+
+  /** A corpus-trained WORD-level language model: bigram counts
+    * (t1, t2, cnt) and unigram counts (t, cnt) over the repo's one
+    * tokenization (lowercased whitespace tokens, empties dropped).
+    *
+    * Scale: two hash aggregates whose outputs are vocabulary-sized
+    * (vocab and vocab-pair cardinality), never corpus-sized. Word-bigram
+    * models are broadcast-able for bounded vocabularies (the testdata,
+    * most curated corpora after vocabulary truncation); for open-domain
+    * web text prune the model to observed-pair counts ≥ 2 before
+    * broadcasting, or score with an unhinted join.
+    */
+  final case class WordLm(bigrams: DataFrame, unigrams: DataFrame)
+
+  def wordLm(docs: DataFrame, textCol: String): WordLm = {
+    val toks = filter(TextAnalysis.tokens(lower(col(textCol))), t => t =!= "")
+    val uni = docs.select(explode(toks).as("t"))
+      .groupBy(col("t")).agg(count(lit(1)).as("cnt"))
+    val bi = docs.select(toks.as("__t"))
+      .filter(size(col("__t")) >= 2)
+      .select(explode(transform(sequence(lit(1), size(col("__t")) - 1),
+        i => struct(element_at(col("__t"), i).as("t1"),
+          element_at(col("__t"), i + 1).as("t2")))).as("p"))
+      .select(col("p.t1"), col("p.t2"))
+      .groupBy(col("t1"), col("t2")).agg(count(lit(1)).as("cnt"))
+    WordLm(bi, uni)
+  }
+
+  /** Stupid-Backoff bigram scoring (Brants et al. 2007 — the web-scale
+    * LM score that deliberately drops normalization so it needs NO
+    * discounting pass): per adjacent token pair (w1, w2),
+    *
+    *   S(w2|w1) = cnt(w1,w2) / cnt(w1)         when the bigram was seen,
+    *            = alpha * cnt(w2) / N           backed off to the unigram
+    *                                            (0 for OOV w2; N = total
+    *                                            corpus tokens).
+    *
+    * Returns one row per input doc: (idCol, avg_sb, n_bigrams), where
+    * `avg_sb` is the MEAN of S — the gate-certified form: every S is one
+    * or two IEEE operations on exact integers (a division, or a division
+    * and one multiply by alpha), and the mean is a decimal-exact sum +
+    * one division, bit-reproducible in any engine. The conventional
+    * mean-log form pivots on `ln` (math-library-specific last ulp — the
+    * [[charBigramScore]]/[[tfidfTopTerms]] discipline), and Stupid
+    * Backoff's scores are already unnormalized, so the exact mean loses
+    * nothing the log form had.
+    *
+    * Contract: one row per input doc; a doc with < 2 tokens surfaces as
+    * `avg_sb = NULL, n_bigrams = 0` (unscoreable, not silently absent).
+    *
+    * Scale: model + totals broadcast (vocabulary-sized — see [[wordLm]]);
+    * docs explode to (id, pair) rows that join the broadcast model and
+    * re-aggregate on the id — one hash shuffle keyed by doc id, text
+    * never rides it.
+    */
+  def stupidBackoffScore(docs: DataFrame, idCol: String, textCol: String,
+      lm: WordLm, alpha: Double = 0.4): DataFrame = {
+    val totals = lm.unigrams.agg(sum(col("cnt")).cast("long").as("__n"))
+    val toks = filter(TextAnalysis.tokens(lower(col(textCol))), t => t =!= "")
+    val pairs = docs
+      .select(col(idCol), toks.as("__t"))
+      .filter(size(col("__t")) >= 2)
+      .select(col(idCol),
+        explode(transform(sequence(lit(1), size(col("__t")) - 1),
+          i => struct(element_at(col("__t"), i).as("t1"),
+            element_at(col("__t"), i + 1).as("t2")))).as("p"))
+      .select(col(idCol), col("p.t1"), col("p.t2"))
+    val scored = pairs
+      .join(broadcast(lm.bigrams.withColumnRenamed("cnt", "__bc")),
+        Seq("t1", "t2"), "left")
+      .join(broadcast(lm.unigrams.select(col("t").as("t1"),
+        col("cnt").as("__u1"))), Seq("t1"), "left")
+      .join(broadcast(lm.unigrams.select(col("t").as("t2"),
+        col("cnt").as("__u2"))), Seq("t2"), "left")
+      .crossJoin(broadcast(totals))
+      .withColumn("__s",
+        when(col("__bc").isNotNull,
+          col("__bc").cast("double") / col("__u1").cast("double"))
+          .otherwise(lit(alpha)
+            * (coalesce(col("__u2"), lit(0L)).cast("double")
+              / col("__n").cast("double"))))
+      .groupBy(col(idCol))
+      .agg(
+        (sum(col("__s").cast("decimal(30,15)")).cast("double")
+          / count(lit(1))).as("avg_sb"),
+        count(lit(1)).as("n_bigrams"))
+    docs.select(col(idCol)).join(scored, Seq(idCol), "left")
+      .withColumn("n_bigrams", coalesce(col("n_bigrams"), lit(0L)))
+  }
 }

@@ -324,5 +324,79 @@ object CurationQueries extends QueryModule {
         SELECT phase, COUNT(*) AS n_docs,
                MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars
         FROM a GROUP BY phase ORDER BY phase
+      """.trim)),
+
+    // --- Stupid-Backoff word-bigram LM scoring (Brants et al. 2007 — the
+    // CCNet-style perplexity filter in its web-scale, normalization-free
+    // form). Model trained on the corpus itself; scoring covers the
+    // corpus PLUS two planted probes: an all-OOV doc (every pair backs
+    // off to an unseen unigram → exact 0) and a one-token doc (< 2
+    // tokens → NULL avg_sb, n_bigrams = 0 — the unscoreable contract).
+    // Gate metric is the exact MEAN of S, not mean-log (ln's last ulp is
+    // math-library-specific — the sourceDiversity/tfidf discipline). ---
+    GQuery(
+      "q134_backoff_lm",
+      (spark, dir) => {
+        val d = Tables.docs(spark, dir)
+        def plant(id: Long, text: String) =
+          d.filter(col("doc_id") === 0).select(
+            lit(id).as("doc_id"), lit(text).as("text"),
+            col("lang"), col("source"), col("n_chars"))
+        val lm = CorpusStats.wordLm(d, "text")
+        CorpusStats.stupidBackoffScore(
+            d.unionByName(plant(400001L, "zzz qqq xxx zzz"))
+              .unionByName(plant(400002L, "solo")),
+            "doc_id", "text", lm)
+          .select(col("doc_id"), col("avg_sb"), col("n_bigrams"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""
+        WITH train AS (
+          SELECT list_filter(string_split(lower(text), ' '), s -> s <> '')
+                   AS t
+          FROM documents),
+        score_docs AS (
+          SELECT doc_id,
+                 list_filter(string_split(lower(text), ' '), s -> s <> '')
+                   AS t
+          FROM documents
+          UNION ALL SELECT 400001, ['zzz', 'qqq', 'xxx', 'zzz']
+          UNION ALL SELECT 400002, ['solo']),
+        unic AS (
+          SELECT w, COUNT(*) AS cnt
+          FROM (SELECT unnest(t) AS w FROM train) GROUP BY w),
+        tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n FROM unic),
+        bic AS (
+          SELECT t1, t2, COUNT(*) AS cnt
+          FROM (SELECT t[i] AS t1, t[i + 1] AS t2
+                FROM train, UNNEST(range(1, len(t))) AS r(i)
+                WHERE len(t) >= 2)
+          GROUP BY t1, t2),
+        pairs AS (
+          SELECT doc_id, t[i] AS t1, t[i + 1] AS t2
+          FROM score_docs, UNNEST(range(1, len(t))) AS r(i)
+          WHERE len(t) >= 2),
+        s AS (
+          SELECT p.doc_id,
+                 CASE WHEN b.cnt IS NOT NULL
+                      THEN CAST(b.cnt AS DOUBLE) / CAST(u1.cnt AS DOUBLE)
+                      ELSE CAST(0.4 AS DOUBLE)
+                           * (CAST(COALESCE(u2.cnt, 0) AS DOUBLE)
+                              / CAST(tot.n AS DOUBLE)) END AS sv
+          FROM pairs p
+          LEFT JOIN bic b USING (t1, t2)
+          LEFT JOIN unic u1 ON p.t1 = u1.w
+          LEFT JOIN unic u2 ON p.t2 = u2.w
+          CROSS JOIN tot),
+        agg AS (
+          SELECT doc_id,
+                 CAST(SUM(CAST(sv AS DECIMAL(30,15))) AS DOUBLE) / COUNT(*)
+                   AS avg_sb,
+                 COUNT(*) AS n_bigrams
+          FROM s GROUP BY doc_id)
+        SELECT d.doc_id, a.avg_sb, COALESCE(a.n_bigrams, 0) AS n_bigrams
+        FROM (SELECT doc_id FROM score_docs) d
+        LEFT JOIN agg a USING (doc_id)
+        ORDER BY doc_id
       """.trim)))
 }

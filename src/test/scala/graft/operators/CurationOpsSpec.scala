@@ -165,6 +165,31 @@ class CurationOpsSpec extends AnyFunSuite {
       "gibberish must have the lowest mean log probability")
   }
 
+  test("stupidBackoff: seen bigrams score cnt/cnt, OOV backs off to 0, short docs unscoreable") {
+    // Tiny corpus with known counts: "a b" ×2, "a c" ×1 →
+    //   cnt(a)=3, cnt(b)=2, cnt(c)=1, N=6; S(b|a)=2/3, S(c|a)=1/3.
+    val train = Seq((1L, "a b"), (2L, "a b"), (3L, "a c"))
+      .toDF("doc_id", "text")
+    val lm = CorpusStats.wordLm(train, "text")
+    val probes = Seq(
+      (10L, "a b"),   // seen bigram: S = 2/3
+      (11L, "b a"),   // unseen bigram, seen unigram a: 0.4 * 3/6 = 0.2
+      (12L, "a zz"),  // unseen bigram, OOV continuation: exact 0
+      (13L, "solo"))  // < 2 tokens: unscoreable
+      .toDF("doc_id", "text")
+    val out = CorpusStats.stupidBackoffScore(probes, "doc_id", "text", lm)
+      .collect().map(r => r.getLong(0) ->
+        (Option(r.get(1)).map(_.asInstanceOf[Double]), r.getLong(2))).toMap
+    // The mean rides a decimal(30,15) sum (cross-engine exactness), so
+    // expectations carry that rounding.
+    def close(a: Option[Double], b: Double) =
+      a.exists(v => math.abs(v - b) < 1e-12)
+    assert(close(out(10L)._1, 2.0 / 3.0) && out(10L)._2 == 1L)
+    assert(close(out(11L)._1, 0.4 * (3.0 / 6.0)) && out(11L)._2 == 1L)
+    assert(out(12L) === ((Some(0.0), 1L)))
+    assert(out(13L) === ((None, 0L)), "one-token doc: NULL score, 0 bigrams")
+  }
+
   test("keepBest keeps the top-score member (not min id) and passes unclustered docs through") {
     // Components: {1,2,3} (3 has the best score — must win over min-id 1)
     // and {10,11} (tie on score — min id 10 wins). Doc 99 is in no
