@@ -127,4 +127,92 @@ object Curation {
           (acc, t) => acc + when(t > col(scoreCol), 1).otherwise(0)))
       .drop("__thrs")
   }
+
+  /** DSIR-style importance weighting (Xie et al. 2023, "Data Selection
+    * for Language Models via Importance Resampling"): score every raw
+    * document by how much more likely its HASHED n-gram features are
+    * under a small target corpus than under the raw corpus, so a
+    * downstream sampler can tilt the mixture toward target-like data
+    * without training a classifier.
+    *
+    * Features are word-bigram OCCURRENCES (a bag, the paper's choice)
+    * hashed into `buckets` buckets by the engine-portable
+    * [[Sampling.hash16]]; both corpora reduce to `buckets`-sized count
+    * tables with add-one smoothing:
+    *
+    *   p_t(b) = (cnt_target(b) + 1) / (T_target + buckets)
+    *   p_r(b) = (cnt_raw(b)    + 1) / (T_raw    + buckets)
+    *
+    * Per doc this returns `(idCol, avg_ratio, log_weight, n_feats)`:
+    *
+    *  - `avg_ratio` — the mean per-feature likelihood ratio p_t/p_r, the
+    *    GATE-certified metric. Each ratio is three IEEE operations on
+    *    exact integers; the MEAN rides 30-fractional-bit fixed point
+    *    (`floor(ratio·2³⁰)` summed as integers): scaling by a power of
+    *    two and `floor` are both exact, and an integer sum is
+    *    order-independent — bit-reproducible in any engine. A
+    *    decimal(30,15) sum (the repo's usual device) is NOT safe here:
+    *    ratios sit near 1.0, where double→decimal rounding of the 16th
+    *    significant digit is engine-specific (Spark rounds the shortest
+    *    string repr half-up, DuckDB rounds the exact binary value);
+    *  - `log_weight` — Σ log(p_t/p_r), the paper's importance log-weight
+    *    for production resampling (`ln`'s last ulp is math-library-
+    *    specific, so it is reported but not gate-compared — the
+    *    [[CorpusStats.charBigramScore]] discipline).
+    *
+    * Contract: one row per raw doc; < 2 tokens → `n_feats = 0`, NULL
+    * scores (unscoreable, not silently absent).
+    *
+    * Scale: the two feature-count tables are `buckets`-sized regardless
+    * of corpus size — that hashing collapse is the entire point of DSIR
+    * at 100 TB — and broadcast; the raw corpus explodes to (id, bucket)
+    * rows that join the broadcasts and re-aggregate on the id: one hash
+    * shuffle keyed by doc id, text never rides it.
+    */
+  def dsirWeights(docs: DataFrame, target: DataFrame, idCol: String,
+      textCol: String, buckets: Int = 256,
+      salt: String = "dsir"): DataFrame = {
+    require(buckets >= 2, s"buckets $buckets must be at least 2")
+    // `functions.filter` spelled out: Curation.filter shadows the HOF.
+    val toks = org.apache.spark.sql.functions.filter(
+      TextAnalysis.tokens(lower(col(textCol))), t => t =!= "")
+    def feats(df: DataFrame, keep: Seq[String]): DataFrame = df
+      .select(keep.map(col) :+ toks.as("__t"): _*)
+      .filter(size(col("__t")) >= 2)
+      .select(keep.map(col) :+
+        explode(transform(sequence(lit(1), size(col("__t")) - 1),
+          i => Sampling.hash16(
+            concat(element_at(col("__t"), i), lit(" "),
+              element_at(col("__t"), i + 1)), salt) % buckets))
+          .as("__b"): _*)
+    def model(df: DataFrame) = feats(df, Seq.empty)
+      .groupBy(col("__b")).agg(count(lit(1)).as("__c"))
+    val tgt = model(target)
+    val raw = model(docs)
+    val totals = raw.agg(sum(col("__c")).cast("long").as("__tr"))
+      .crossJoin(tgt.agg(sum(col("__c")).cast("long").as("__tt")))
+    val scored = feats(docs, Seq(idCol))
+      .join(broadcast(tgt.withColumnRenamed("__c", "__ct")), Seq("__b"), "left")
+      .join(broadcast(raw.withColumnRenamed("__c", "__cr")), Seq("__b"), "left")
+      .crossJoin(broadcast(totals))
+      .withColumn("__pt",
+        (coalesce(col("__ct"), lit(0L)) + 1).cast("double")
+          / (col("__tt") + buckets).cast("double"))
+      .withColumn("__pr",
+        (coalesce(col("__cr"), lit(0L)) + 1).cast("double")
+          / (col("__tr") + buckets).cast("double"))
+      .withColumn("__ratio", col("__pt") / col("__pr"))
+      // 2^30 fixed point; ratios are bounded by the smoothed count
+      // tables (≲ T/buckets), so terms and their sum stay far under
+      // 2^53 for any corpus this runs on.
+      .withColumn("__rq", floor(col("__ratio") * lit(1073741824.0)).cast("long"))
+      .groupBy(col(idCol))
+      .agg(
+        (sum(col("__rq")).cast("double")
+          / (count(lit(1)) * lit(1073741824.0))).as("avg_ratio"),
+        sum(log(col("__ratio"))).as("log_weight"),
+        count(lit(1)).as("n_feats"))
+    docs.select(col(idCol)).join(scored, Seq(idCol), "left")
+      .withColumn("n_feats", coalesce(col("n_feats"), lit(0L)))
+  }
 }

@@ -398,5 +398,67 @@ object CurationQueries extends QueryModule {
         FROM (SELECT doc_id FROM score_docs) d
         LEFT JOIN agg a USING (doc_id)
         ORDER BY doc_id
+      """.trim)),
+
+    // --- DSIR importance weights (Xie et al. 2023): hashed word-bigram
+    // bag features, target = the English slice, raw = the whole corpus;
+    // per-doc mean target/raw likelihood ratio with add-one smoothing
+    // over 256 hash buckets. The gate compares the exact-arithmetic
+    // avg_ratio (the log-weight column exists for production resampling
+    // but ln is not gate-comparable — the q114/q130 discipline). Both
+    // engines hash with the portable md5-derived hash16, so bucket ids —
+    // and therefore every count the ratios are built from — agree
+    // bit-for-bit. The mean rides 2^30 fixed point, not a decimal sum:
+    // ratios sit near 1.0, where double→DECIMAL rounding of the 16th
+    // significant digit is engine-specific (see Curation.dsirWeights). ---
+    GQuery(
+      "q135_dsir_weights",
+      (spark, dir) => {
+        val d = Tables.docs(spark, dir)
+        graft.operators.Curation.dsirWeights(
+            d, d.filter(col("lang") === "en"), "doc_id", "text")
+          .select(col("doc_id"), col("avg_ratio"), col("n_feats"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""
+        WITH d AS (
+          SELECT doc_id,
+                 list_filter(string_split(lower(text), ' '), s -> s <> '')
+                   AS t
+          FROM documents),
+        feats AS (
+          SELECT doc_id,
+                 ${hash16Sql("t[i] || ' ' || t[i + 1]", "dsir")} % 256 AS b
+          FROM d, UNNEST(range(1, len(t))) AS r(i)
+          WHERE len(t) >= 2),
+        tfeats AS (
+          SELECT b FROM feats JOIN documents USING (doc_id)
+          WHERE lang = 'en'),
+        raw AS (SELECT b, COUNT(*) AS c FROM feats GROUP BY b),
+        tgt AS (SELECT b, COUNT(*) AS c FROM tfeats GROUP BY b),
+        tot AS (
+          SELECT (SELECT CAST(SUM(c) AS BIGINT) FROM raw) AS tr,
+                 (SELECT CAST(SUM(c) AS BIGINT) FROM tgt) AS tt),
+        s AS (
+          SELECT f.doc_id,
+                 (CAST(COALESCE(t.c, 0) + 1 AS DOUBLE)
+                    / CAST(tot.tt + 256 AS DOUBLE))
+                 / (CAST(COALESCE(rw.c, 0) + 1 AS DOUBLE)
+                    / CAST(tot.tr + 256 AS DOUBLE)) AS ratio
+          FROM feats f
+          LEFT JOIN tgt t USING (b)
+          LEFT JOIN raw rw USING (b)
+          CROSS JOIN tot),
+        agg AS (
+          SELECT doc_id,
+                 CAST(SUM(CAST(FLOOR(ratio * 1073741824.0) AS BIGINT))
+                        AS DOUBLE)
+                   / (COUNT(*) * CAST(1073741824 AS DOUBLE)) AS avg_ratio,
+                 COUNT(*) AS n_feats
+          FROM s GROUP BY doc_id)
+        SELECT d0.doc_id, a.avg_ratio, COALESCE(a.n_feats, 0) AS n_feats
+        FROM (SELECT doc_id FROM documents) d0
+        LEFT JOIN agg a USING (doc_id)
+        ORDER BY doc_id
       """.trim)))
 }

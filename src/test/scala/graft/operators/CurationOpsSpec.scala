@@ -190,6 +190,25 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(out(13L) === ((None, 0L)), "one-token doc: NULL score, 0 bigrams")
   }
 
+  test("dsirWeights: target-like docs outweigh off-target docs; short docs unscoreable") {
+    // Raw corpus: 3 "target-style" docs (aa bb) + 3 off-target (cc dd).
+    // Target = the aa-bb slice. A target-like doc's features are
+    // over-represented in the target model vs raw → ratio > 1; an
+    // off-target doc's are absent from it → ratio < 1.
+    val raw = Seq(
+      (1L, "aa bb aa bb"), (2L, "aa bb aa"), (3L, "bb aa bb"),
+      (4L, "cc dd cc dd"), (5L, "dd cc dd"), (6L, "x"))
+      .toDF("doc_id", "text")
+    val target = raw.filter($"doc_id" <= 3)
+    val out = Curation.dsirWeights(raw, target, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (Option(r.get(1)).map(_.asInstanceOf[Double]), r.getLong(3))).toMap
+    assert(out(1L)._1.get > 1.0 && out(2L)._1.get > 1.0)
+    assert(out(4L)._1.get < 1.0 && out(5L)._1.get < 1.0)
+    assert(out(1L)._2 == 3L, "n_feats = adjacent-pair occurrences")
+    assert(out(6L) === ((None, 0L)), "one-token doc: NULL weight, 0 feats")
+  }
+
   test("keepBest keeps the top-score member (not min id) and passes unclustered docs through") {
     // Components: {1,2,3} (3 has the best score — must win over min-id 1)
     // and {10,11} (tie on score — min id 10 wins). Doc 99 is in no
