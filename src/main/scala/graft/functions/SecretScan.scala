@@ -1,0 +1,61 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Credential / secret detection over free text (the leak-scrubbing pass a
+  * training-data pipeline runs beside the PII scan — the reference's DQ
+  * pattern-rule battery (`/root/reference/config/silver/schema`
+  * validation rules) generalized to secrets).
+  *
+  * A CANDIDATE is a maximal run of 16+ credential-alphabet characters
+  * (`[A-Za-z0-9+/=_-]`). Candidates classify by precedence:
+  *
+  *  1. `aws_key`   — `AKIA` + 16 uppercase base-36 chars (the published
+  *                   AWS access-key-id shape);
+  *  2. `hex_secret` — 32+ hex chars (API tokens, digests);
+  *  3. `high_entropy` — 20+ chars whose character COLLISION score
+  *                   Σ (cnt_c/len)² is ≤ 1/8 (effective alphabet ≥ 8).
+  *
+  * Why collision, not Shannon entropy: entropy pivots on `ln`/`log2`,
+  * whose last ulp is math-library-specific, while the collision score is
+  * the Simpson concentration — exact-ratio arithmetic summed in decimal,
+  * bit-reproducible in any IEEE engine (the
+  * [[graft.operators.CorpusStats.sourceDiversity]] discipline applied per
+  * token). The decimal accumulator also makes the sum independent of the
+  * engine's distinct-char ordering.
+  *
+  * All patterns are lookaround-free so Java regex and RE2 oracles agree
+  * on extraction (the LuhnValid discipline). Everything is a per-row
+  * projection — no shuffle, scales with the scan.
+  */
+object SecretScan {
+
+  /** Maximal credential-alphabet runs of 16+ chars. */
+  def secretCandidates(text: Column): Column =
+    regexp_extract_all(text, lit("[A-Za-z0-9+/=_-]{16,}"), lit(0))
+
+  /** Character collision score Σ (cnt_c / len)² over a token — 1.0 for a
+    * single repeated char, → 1/alphabet for uniform use. Exact decimal
+    * sum of single-rounded squares.
+    */
+  def collisionScore(tok: Column): Column =
+    aggregate(
+      array_distinct(split(tok, "")),
+      lit(0).cast("decimal(30,15)"),
+      (acc, c) => {
+        val cnt = (length(tok) - length(replace(tok, c, lit("")))).cast("double")
+        val p = cnt / length(tok).cast("double")
+        // re-cast: decimal addition widens to (31,15), which the fold's
+        // accumulator type rejects; values are ≤ 1 so the cast is exact
+        (acc + (p * p).cast("decimal(30,15)")).cast("decimal(30,15)")
+      }).cast("double")
+
+  /** Candidate classification by precedence; NULL for non-secrets. */
+  def secretKind(tok: Column): Column =
+    when(tok.rlike("^AKIA[0-9A-Z]{16}$"), lit("aws_key"))
+      .when(tok.rlike("^[0-9a-fA-F]{32,}$"), lit("hex_secret"))
+      .when(length(tok) >= 20 && collisionScore(tok) <= 0.125,
+        lit("high_entropy"))
+      .otherwise(lit(null).cast("string"))
+}

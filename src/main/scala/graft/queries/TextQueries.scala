@@ -1435,6 +1435,102 @@ object TextQueries extends QueryModule {
         JOIN tk ON a.doc_id = tk.doc_id
         LEFT JOIN kept k ON a.doc_id = k.doc_id
         ORDER BY a.doc_id
+      """.trim)),
+
+    // --- Credential/secret scan (the leak-scrubbing sibling of the PII
+    // battery): 16+-char credential-alphabet runs classify as AWS key /
+    // hex secret / high-entropy blob by precedence; "entropy" is the
+    // exact-arithmetic character COLLISION score, not Shannon entropy
+    // (ln's last ulp is math-library-specific — see SecretScan). Plants
+    // per target doc: one derived AWS key, one 32-hex token, one base64
+    // blob, and a 20-char single-char decoy that must match the
+    // candidate alphabet but fail every class. Patterns are
+    // lookaround-free (Java regex ≡ RE2 — the q115 discipline). ---
+    GQuery(
+      "q136_secret_scan",
+      (spark, dir) => {
+        import graft.functions.SecretScan
+        val d = Tables.docs(spark, dir).select(col("doc_id"), col("text"))
+        val planted = d.filter(col("doc_id") % 10 === 4)
+          .withColumn("doc_id", col("doc_id") + 200000)
+          .withColumn("text", concat(col("text"),
+            lit(" akid AKIA"),
+            upper(substring(md5(col("doc_id").cast("string")), 1, 16)),
+            lit(" tok "),
+            md5(concat(lit("sek"), col("doc_id").cast("string"))),
+            lit(" b64 QWxhZGRpbjpvcGVuIHNlc2FtZQ=="),
+            lit(" pad aaaaaaaaaaaaaaaaaaaa")))
+        val docs = d.unionByName(planted)
+        val perCand = docs
+          .select(col("doc_id"),
+            explode(SecretScan.secretCandidates(col("text"))).as("cand"))
+          .withColumn("kind", SecretScan.secretKind(col("cand")))
+          .groupBy(col("doc_id"))
+          .agg(
+            count(lit(1)).as("n_candidates"),
+            count(when(col("kind") === "aws_key", 1)).as("n_aws"),
+            count(when(col("kind") === "hex_secret", 1)).as("n_hex"),
+            count(when(col("kind") === "high_entropy", 1)).as("n_entropy"))
+        docs.select(col("doc_id")).join(perCand, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("n_candidates"), lit(0L)).as("n_candidates"),
+            coalesce(col("n_aws"), lit(0L)).as("n_aws"),
+            coalesce(col("n_hex"), lit(0L)).as("n_hex"),
+            coalesce(col("n_entropy"), lit(0L)).as("n_entropy"))
+          .withColumn("has_secret",
+            (col("n_aws") + col("n_hex") + col("n_entropy")) > 0)
+          .orderBy(col("doc_id"))
+      },
+      Some("""
+        WITH docs AS (
+          SELECT doc_id, text FROM documents
+          UNION ALL
+          SELECT doc_id + 200000,
+                 text || ' akid AKIA'
+                      || upper(substr(md5(CAST(doc_id + 200000 AS VARCHAR)), 1, 16))
+                      || ' tok ' || md5('sek' || CAST(doc_id + 200000 AS VARCHAR))
+                      || ' b64 QWxhZGRpbjpvcGVuIHNlc2FtZQ=='
+                      || ' pad aaaaaaaaaaaaaaaaaaaa'
+          FROM documents WHERE doc_id % 10 = 4),
+        cands AS (
+          SELECT doc_id,
+                 unnest(regexp_extract_all(text, '[A-Za-z0-9+/=_-]{16,}'))
+                   AS cand
+          FROM docs),
+        kinds AS (
+          SELECT doc_id,
+                 CASE
+                   WHEN regexp_matches(cand, '^AKIA[0-9A-Z]{16}$')
+                     THEN 'aws_key'
+                   WHEN regexp_matches(cand, '^[0-9a-fA-F]{32,}$')
+                     THEN 'hex_secret'
+                   WHEN len(cand) >= 20 AND
+                        CAST(list_sum(list_transform(
+                          list_distinct(string_split(cand, '')), c ->
+                            CAST((CAST(len(cand) - len(replace(cand, c, ''))
+                                       AS DOUBLE) / CAST(len(cand) AS DOUBLE))
+                                 * (CAST(len(cand) - len(replace(cand, c, ''))
+                                         AS DOUBLE) / CAST(len(cand) AS DOUBLE))
+                                 AS DECIMAL(30,15)))) AS DOUBLE) <= 0.125
+                     THEN 'high_entropy'
+                 END AS kind
+          FROM cands),
+        agg AS (
+          SELECT doc_id,
+                 COUNT(*) AS n_candidates,
+                 COUNT(*) FILTER (kind = 'aws_key') AS n_aws,
+                 COUNT(*) FILTER (kind = 'hex_secret') AS n_hex,
+                 COUNT(*) FILTER (kind = 'high_entropy') AS n_entropy
+          FROM kinds GROUP BY doc_id)
+        SELECT d.doc_id,
+               COALESCE(a.n_candidates, 0) AS n_candidates,
+               COALESCE(a.n_aws, 0) AS n_aws,
+               COALESCE(a.n_hex, 0) AS n_hex,
+               COALESCE(a.n_entropy, 0) AS n_entropy,
+               COALESCE(a.n_aws, 0) + COALESCE(a.n_hex, 0)
+                 + COALESCE(a.n_entropy, 0) > 0 AS has_secret
+        FROM docs d LEFT JOIN agg a USING (doc_id)
+        ORDER BY d.doc_id
       """.trim))
   )
 }
