@@ -1,0 +1,134 @@
+package graft.operators
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextAnalysis
+
+/** Distributed BPE tokenizer TRAINING (Sennrich et al. 2016) — the merge
+  * loop a tokenizer-building pipeline runs over the corpus before any
+  * model sees a token.
+  *
+  * The scale design is the whole point: BPE statistics live on the
+  * WORD-FREQUENCY table, not the corpus. One corpus-sized aggregate
+  * collapses 100 TB of text into a vocabulary-sized `(word, freq)` frame,
+  * and every merge round after that — pair counting, argmax, pair
+  * fusion — is vocabulary-sized work. A naive per-document implementation
+  * would rescan the corpus once per merge; this one touches it once,
+  * total.
+  *
+  * Word state is a SEPARATOR-FRAMED STRING, not an array: symbols joined
+  * with a doubled `␁` separator and wrapped in single ones
+  * (`[a,b,c]` → `␁a␁␁b␁␁c␁`). Fusing the chosen pair (l, r) is then one
+  * engine-portable `replace(repr, ␁l␁␁r␁ → ␁lr␁)`: built-in string
+  * replace scans left-to-right non-overlapping, which IS greedy BPE
+  * application (`aaa` + merge(a,a) → `[aa, a]`), and the doubled
+  * interior separator survives each match so back-to-back pairs still
+  * anchor (`␁aa␁␁a␁`). Lookbehind would express the same thing but RE2
+  * oracles can't run it (the LuhnValid discipline); a fold over symbol
+  * arrays would need an engine-specific struct accumulator. Input tokens
+  * must not contain `␁` — true of any sane corpus and of the repo's
+  * whitespace tokenization.
+  *
+  * Per round: one vocabulary-sized pair aggregate, a 1-row argmax
+  * (`TakeOrderedAndProject`, never a full sort) collected to the driver
+  * — the bounded-scalar contract the stored-index bucket probes
+  * established — and a row-local `replace` projection. Ties break
+  * deterministically: max count, then lexicographic (left, right).
+  */
+object Bpe {
+
+  val Sep = "\u0001"
+  private val SS = Sep + Sep
+
+  /** The corpus collapsed to `(repr, freq)` — the ONLY corpus-sized job
+    * in BPE training. `repr` starts as the word's characters,
+    * separator-framed.
+    */
+  def wordFreq(docs: DataFrame, textCol: String): DataFrame =
+    docs.select(explode(org.apache.spark.sql.functions.filter(
+        TextAnalysis.tokens(lower(col(textCol))), t => t =!= "")).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+      .select(
+        concat(lit(Sep), array_join(split(col("word"), ""), SS), lit(Sep))
+          .as("repr"),
+        col("freq"))
+
+  /** Adjacent-symbol pair counts over the current word state, weighted by
+    * word frequency. Vocabulary-sized in and out.
+    */
+  private def pairCounts(words: DataFrame): DataFrame =
+    words
+      .select(split(expr(s"substring(repr, 2, length(repr) - 2)"), SS)
+          .as("__s"), col("freq"))
+      .filter(size(col("__s")) >= 2)
+      .select(explode(transform(sequence(lit(1), size(col("__s")) - 1),
+        i => struct(element_at(col("__s"), i).as("lhs"),
+          element_at(col("__s"), i + 1).as("rhs")))).as("p"), col("freq"))
+      .groupBy(col("p.lhs"), col("p.rhs")).agg(sum(col("freq")).as("cnt"))
+
+  /** The trained state: the merge table (in order) and the final word
+    * frame `(repr, freq)`. `words` is left UNPERSISTED — derive from it
+    * immediately (both public surfaces below do).
+    */
+  final case class Trained(merges: Seq[(Int, String, String, Long)],
+      words: DataFrame)
+
+  def train(docs: DataFrame, textCol: String, nMerges: Int): Trained = {
+    require(nMerges >= 1, s"nMerges $nMerges must be at least 1")
+    var words = wordFreq(docs, textCol).persist()
+    words.count()
+    val out = mutable.Buffer.empty[(Int, String, String, Long)]
+    var r = 1
+    var exhausted = false
+    while (r <= nMerges && !exhausted) {
+      val top = pairCounts(words)
+        .orderBy(col("cnt").desc, col("lhs"), col("rhs"))
+        .limit(1).collect()
+      if (top.isEmpty) exhausted = true // every word is a single symbol
+      else {
+        val (l, rr, c) =
+          (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        out += ((r, l, rr, c))
+        val next = words.withColumn("repr",
+          org.apache.spark.sql.functions.replace(col("repr"),
+            lit(Sep + l + Sep + Sep + rr + Sep), lit(Sep + l + rr + Sep)))
+          .persist()
+        next.count()
+        words.unpersist()
+        words = next
+        r += 1
+      }
+    }
+    val frozen = words
+    Trained(out.toSeq, frozen)
+  }
+
+  /** The merge table after `nMerges` rounds:
+    * `(merge_round, lhs, rhs, cnt)` — what a tokenizer ships as its
+    * merges file.
+    */
+  def merges(docs: DataFrame, textCol: String, nMerges: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val t = train(docs, textCol, nMerges)
+    t.words.unpersist()
+    t.merges.toDF("merge_round", "lhs", "rhs", "cnt")
+  }
+
+  /** Corpus symbol inventory AFTER `nMerges` rounds: `(symbol, freq)`,
+    * each occurrence weighted by its word's corpus frequency — certifies
+    * the merges were APPLIED, not just chosen.
+    */
+  def symbolInventory(docs: DataFrame, textCol: String,
+      nMerges: Int): DataFrame = {
+    val t = train(docs, textCol, nMerges)
+    val inv = t.words
+      .select(explode(split(expr(s"substring(repr, 2, length(repr) - 2)"),
+        SS)).as("symbol"), col("freq"))
+      .groupBy(col("symbol")).agg(sum(col("freq")).as("freq"))
+    graft.core.Caching.reap(inv, t.words)
+  }
+}

@@ -69,6 +69,30 @@ object CurationQueries extends QueryModule {
           ELSE array_to_string(string_split($hostExpr, '.')[-2:], '.')
         END"""
 
+  /** One unrolled BPE round (the q137/q138 oracle): pair counts over the
+    * separator-framed word state, a deterministic 1-row argmax, and the
+    * greedy string-replace fusion — the exact loop `operators.Bpe.train`
+    * runs distributed.
+    */
+  private def bpeRoundSql(r: Int): String = {
+    val prev = s"w${r - 1}"
+    s"""p$r AS (
+          SELECT s[i] AS lhs, s[i + 1] AS rhs, CAST(SUM(freq) AS BIGINT) AS cnt
+          FROM (SELECT string_split(substr(repr, 2, len(repr) - 2),
+                         repeat(chr(1), 2)) AS s, freq
+                FROM $prev),
+               UNNEST(range(1, len(s))) AS t(i)
+          WHERE len(s) >= 2
+          GROUP BY 1, 2),
+        b$r AS (SELECT lhs, rhs, cnt FROM p$r
+                ORDER BY cnt DESC, lhs, rhs LIMIT 1),
+        w$r AS (
+          SELECT replace(repr,
+                   chr(1) || b.lhs || chr(1) || chr(1) || b.rhs || chr(1),
+                   chr(1) || b.lhs || b.rhs || chr(1)) AS repr, freq
+          FROM $prev CROSS JOIN b$r b)"""
+  }
+
   override def all: Seq[GQuery] = Seq(
 
     // --- URL parse + registered-domain rollup: hosts fold to their
@@ -460,5 +484,62 @@ object CurationQueries extends QueryModule {
         FROM (SELECT doc_id FROM documents) d0
         LEFT JOIN agg a USING (doc_id)
         ORDER BY doc_id
+      """.trim)),
+
+    // --- BPE tokenizer training (Sennrich et al. 2016), 4 merge rounds.
+    // The corpus collapses ONCE to a word-frequency table; every round
+    // after that is vocabulary-sized (see operators.Bpe — the 100 TB
+    // design). The oracle unrolls the same loop as chained CTEs: word
+    // state is a separator-framed string and each round's fusion is one
+    // engine-portable replace(), so greedy application semantics agree
+    // byte-for-byte. Gate = the merge table a tokenizer would ship. ---
+    GQuery(
+      "q137_bpe_merges",
+      (spark, dir) =>
+        graft.operators.Bpe.merges(Tables.docs(spark, dir), "text", 4)
+          .orderBy(col("merge_round")),
+      Some(s"""
+        WITH w0 AS (
+          SELECT chr(1) || array_to_string(string_split(word, ''),
+                   repeat(chr(1), 2)) || chr(1) AS repr,
+                 CAST(COUNT(*) AS BIGINT) AS freq
+          FROM (SELECT unnest(list_filter(string_split(lower(text), ' '),
+                        s2 -> s2 <> '')) AS word
+                FROM documents)
+          GROUP BY word),
+        ${(1 to 4).map(bpeRoundSql).mkString(",\n")}
+        SELECT merge_round, lhs, rhs, cnt FROM (
+          SELECT CAST(1 AS INT) AS merge_round, lhs, rhs, cnt FROM b1
+          UNION ALL SELECT 2, lhs, rhs, cnt FROM b2
+          UNION ALL SELECT 3, lhs, rhs, cnt FROM b3
+          UNION ALL SELECT 4, lhs, rhs, cnt FROM b4)
+        ORDER BY merge_round
+      """.trim)),
+
+    // --- BPE symbol inventory after the same 4 rounds: every symbol
+    // occurrence weighted by its word's corpus frequency. Certifies the
+    // merges were APPLIED (greedy, left-to-right, non-overlapping), not
+    // just chosen — a wrong application changes this table even when the
+    // merge table matches. ---
+    GQuery(
+      "q138_bpe_symbols",
+      (spark, dir) =>
+        graft.operators.Bpe.symbolInventory(Tables.docs(spark, dir), "text", 4)
+          .orderBy(col("symbol")),
+      Some(s"""
+        WITH w0 AS (
+          SELECT chr(1) || array_to_string(string_split(word, ''),
+                   repeat(chr(1), 2)) || chr(1) AS repr,
+                 CAST(COUNT(*) AS BIGINT) AS freq
+          FROM (SELECT unnest(list_filter(string_split(lower(text), ' '),
+                        s2 -> s2 <> '')) AS word
+                FROM documents)
+          GROUP BY word),
+        ${(1 to 4).map(bpeRoundSql).mkString(",\n")}
+        SELECT sym AS symbol, CAST(SUM(freq) AS BIGINT) AS freq
+        FROM (SELECT unnest(string_split(substr(repr, 2, len(repr) - 2),
+                       repeat(chr(1), 2))) AS sym, freq
+              FROM w4)
+        GROUP BY sym ORDER BY symbol
       """.trim)))
 }

@@ -190,6 +190,26 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(out(13L) === ((None, 0L)), "one-token doc: NULL score, 0 bigrams")
   }
 
+  test("bpe: freq-weighted greedy merges, deterministic order, stops when exhausted") {
+    // Words: "aaa" ×2, "ab" ×1.
+    //  round 1: (a,a) cnt 4 (2 adjacent pairs × freq 2); aaa → [aa, a]
+    //           — GREEDY left-to-right, not [a, aa] and not the
+    //           overlapping count 2×3
+    //  round 2: (aa,a) cnt 2 → aaa → [aaa]
+    //  round 3: (a,b) cnt 1 → ab → [ab]
+    //  round 4: no pairs left → training stops at 3 merges
+    val docs = Seq((1L, "aaa ab"), (2L, "aaa")).toDF("doc_id", "text")
+    val m = Bpe.merges(docs, "text", 4)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2),
+        r.getLong(3))).toSeq
+    assert(m === Seq((1, "a", "a", 4L), (2, "aa", "a", 2L),
+      (3, "a", "b", 1L)))
+    val inv = Bpe.symbolInventory(docs, "text", 4)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(inv === Map("aaa" -> 2L, "ab" -> 1L),
+      "after all merges every word is one fused symbol")
+  }
+
   test("secretScan: classifies AWS/hex/entropy by precedence, rejects low-diversity decoys") {
     import graft.functions.SecretScan._
     val rows = Seq(
