@@ -913,6 +913,52 @@ object TextDedup {
     val pairs = graft.core.Caching.reap(verified, bands, withSh)
     new CorpusDedup(pairs, idCol)
   }
+
+  /** Per-document contamination OVERLAP FRACTION against a benchmark set
+    * (the GPT-3 appendix-C discipline, graded instead of boolean): the
+    * share of a doc's distinct n-gram shingles that appear anywhere in
+    * the benchmark. [[decontaminate]]/[[contaminationBloom]] answer
+    * "is this doc contaminated?"; this answers "HOW contaminated?", the
+    * signal a pipeline thresholds when partial overlap (quotes, common
+    * boilerplate) shouldn't cost a whole document.
+    *
+    * Returns one row per corpus doc:
+    * `(corpusIdCol, n_shingles, n_contaminated, overlap_ratio)`; a doc
+    * with no shingles surfaces as `n_shingles = 0, ratio = NULL`
+    * (unscoreable, not silently absent). The ratio is one IEEE division
+    * of exact longs — bit-reproducible.
+    *
+    * Scale: the benchmark's distinct-shingle set is benchmark-sized, not
+    * corpus-sized — broadcast when it fits ([[Broadcasting.ifSmall]]:
+    * probe-bounded, falls back to a shuffle join for pathological
+    * benchmarks); the corpus explodes to narrow (id, shingle) rows and
+    * re-aggregates on the id — one hash shuffle keyed by doc id, text
+    * never rides it.
+    */
+  def contaminationOverlap(corpus: DataFrame, bench: DataFrame,
+      corpusIdCol: String, benchIdCol: String, textCol: String,
+      n: Int): DataFrame = {
+    val benchSh = Broadcasting.ifSmall(
+      bench.select(explode(
+          array_distinct(TextAnalysis.shingles(col(textCol), n))).as("__sh"))
+        .distinct()
+        .withColumn("__hit", lit(1)))
+    val scored = corpus
+      .select(col(corpusIdCol),
+        explode(array_distinct(TextAnalysis.shingles(col(textCol), n)))
+          .as("__sh"))
+      .join(benchSh, Seq("__sh"), "left")
+      .groupBy(col(corpusIdCol))
+      .agg(count(lit(1)).as("n_shingles"),
+        count(col("__hit")).as("n_contaminated"))
+    corpus.select(col(corpusIdCol)).join(scored, Seq(corpusIdCol), "left")
+      .withColumn("n_shingles", coalesce(col("n_shingles"), lit(0L)))
+      .withColumn("n_contaminated", coalesce(col("n_contaminated"), lit(0L)))
+      .withColumn("overlap_ratio",
+        when(col("n_shingles") > 0,
+          col("n_contaminated").cast("double")
+            / col("n_shingles").cast("double")))
+  }
 }
 
 /** Result of [[TextDedup.dedupCorpus]]: verified near-dup `pairs`

@@ -285,6 +285,36 @@ object MedallionQueries extends QueryModule {
         ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
       """.trim)),
 
+    // --- CUBE with GROUPING() ids (the rollup family completed): all
+    // four grouping sets in one pass, and the grouping-id columns
+    // distinguish a subtotal row's NULL from data NULL — the distinction
+    // a BI layer needs before it can render a cube without lying. One
+    // expand + one hash aggregate; Catalyst's Expand keeps it a single
+    // shuffle, not 4 scans. ---
+    GQuery(
+      "q139_cube",
+      (spark, dir) => {
+        val o = t(spark, dir, "orders")
+        o.cube(col("o_orderstatus"), col("o_orderpriority"))
+          .agg(
+            grouping(col("o_orderstatus")).cast("int").as("g_status"),
+            grouping(col("o_orderpriority")).cast("int").as("g_priority"),
+            count(lit(1)).as("n"))
+          .orderBy(col("g_status"), col("g_priority"),
+            col("o_orderstatus").asc_nulls_first,
+            col("o_orderpriority").asc_nulls_first)
+      },
+      Some("""
+        SELECT o_orderstatus, o_orderpriority,
+               CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
+               CAST(GROUPING(o_orderpriority) AS INT) AS g_priority,
+               COUNT(*) AS n
+        FROM orders
+        GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        ORDER BY g_status, g_priority,
+                 o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
+      """.trim)),
+
     // --- measure-metadata-driven aggregation: declared additivity decides
     // the plan. `qty` is flagged semi-additive over time (the reference's
     // inventory pattern) → LAST row per supplier first, THEN summed across

@@ -1531,6 +1531,64 @@ object TextQueries extends QueryModule {
                  + COALESCE(a.n_entropy, 0) > 0 AS has_secret
         FROM docs d LEFT JOIN agg a USING (doc_id)
         ORDER BY d.doc_id
+      """.trim)),
+
+    // --- Graded contamination: per-doc fraction of distinct 5-gram
+    // shingles appearing in a benchmark set (the GPT-3 appendix-C
+    // overlap measure; q29/q89 give the boolean form). The benchmark is
+    // DERIVED — the first half of every 17th doc — so contaminated docs
+    // land at partial ratios (their second half is clean), their
+    // UNSAMPLED neighbors score near 0, and both engines rebuild the
+    // benchmark independently. Ratio = one IEEE division of exact
+    // counts. ---
+    GQuery(
+      "q140_contamination_ratio",
+      (spark, dir) => {
+        val d = Tables.docs(spark, dir).select(col("doc_id"), col("text"))
+        val toks = split(col("text"), " ")
+        val bench = d.filter(col("doc_id") % 17 === 3)
+          .select(col("doc_id").as("bench_id"),
+            concat_ws(" ",
+              slice(toks, lit(1), (size(toks) / 2).cast("int"))).as("text"))
+        TextDedup.contaminationOverlap(d, bench, "doc_id", "bench_id",
+            "text", n = 5)
+          .orderBy(col("doc_id"))
+      },
+      Some("""
+        WITH tk AS (
+          SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        bsh AS (
+          SELECT DISTINCT sh FROM (
+            SELECT unnest(list_distinct(list_transform(
+                     generate_series(1, greatest(len(bt) - 4, 1)),
+                     i -> concat_ws(' ', bt[i], bt[i+1], bt[i+2], bt[i+3],
+                                    bt[i+4])))) AS sh
+            FROM (SELECT string_split(
+                           lower(array_to_string(t[1:(len(t) // 2)], ' ')),
+                           ' ') AS bt
+                  FROM tk WHERE doc_id % 17 = 3))),
+        dsh AS (
+          SELECT doc_id,
+                 unnest(list_distinct(list_transform(
+                   generate_series(1, greatest(len(lt) - 4, 1)),
+                   i -> concat_ws(' ', lt[i], lt[i+1], lt[i+2], lt[i+3],
+                                  lt[i+4])))) AS sh
+          FROM (SELECT doc_id, string_split(lower(text), ' ') AS lt
+                FROM documents)),
+        agg AS (
+          SELECT doc_id, COUNT(*) AS n_shingles,
+                 COUNT(*) FILTER (hit) AS n_contaminated
+          FROM (SELECT d2.doc_id, b.sh IS NOT NULL AS hit
+                FROM dsh d2 LEFT JOIN bsh b USING (sh))
+          GROUP BY doc_id)
+        SELECT d.doc_id,
+               COALESCE(a.n_shingles, 0) AS n_shingles,
+               COALESCE(a.n_contaminated, 0) AS n_contaminated,
+               CASE WHEN COALESCE(a.n_shingles, 0) > 0
+                    THEN CAST(a.n_contaminated AS DOUBLE)
+                         / CAST(a.n_shingles AS DOUBLE) END AS overlap_ratio
+        FROM documents d LEFT JOIN agg a USING (doc_id)
+        ORDER BY d.doc_id
       """.trim))
   )
 }

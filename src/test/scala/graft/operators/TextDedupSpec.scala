@@ -346,4 +346,24 @@ class TextDedupSpec extends AnyFunSuite {
     assert(out.filter($"l".isNull).count() == 0)
     assert(out.filter($"q" < 0 || $"q" > 1).count() == 0)
   }
+
+  test("contaminationOverlap: exact partial ratios, clean docs zero, distinct-shingle counting") {
+    // docA: 10 tokens → 8 distinct 3-shingles; bench holds its first 5
+    // tokens → 3 shingles, all from docA → ratio 3/8. docB shares no
+    // vocabulary → 0. docC repeats one shingle ("x y z x y z" has 4
+    // windows but only... distinct keeps {x y z, y z x, z x y}) — counts
+    // must be DISTINCT-based, not occurrence-based.
+    val corpus = Seq(
+      (1L, "a b c d e f g h i j"),
+      (2L, "p q r s t u v w"),
+      (3L, "x y z x y z")).toDF("doc_id", "text")
+    val bench = Seq((100L, "a b c d e")).toDF("bench_id", "text")
+    val out = TextDedup.contaminationOverlap(
+        corpus, bench, "doc_id", "bench_id", "text", n = 3)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), Option(r.get(3)))).toMap
+    assert(out(1L) === ((8L, 3L, Some(3.0 / 8.0))))
+    assert(out(2L)._2 == 0L && out(2L)._3 === Some(0.0))
+    assert(out(3L)._1 == 3L, "distinct shingles, not sliding-window count")
+  }
 }
