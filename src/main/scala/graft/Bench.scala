@@ -40,12 +40,19 @@ object Bench {
     * emits decimal COMMAS under e.g. a German default locale, silently
     * turning the record into invalid JSON on a differently-configured box.
     */
-  private def fmt3(v: Double): String = {
+  private def fmt3(v: Double, shorten: Boolean = false): String = {
     // Adaptive precision: ms resolution where it means something (sub-10 s
     // medians), centisecond above — a 100 s outlier needs no ms digits,
     // and the saved chars keep the whole record inside the driver's
-    // 2000-char stdout tail buffer as the query count grows.
-    val pattern = if (math.abs(v) < 10) "%.3f" else if (math.abs(v) < 100) "%.2f" else "%.1f"
+    // 2000-char stdout tail buffer as the query count grows. The stdout
+    // form drops to whole seconds past 100 s: at 120+ bench queries the
+    // worst-case line budget is ~2 chars per query, and a 100 s outlier's
+    // fractional second carries no information the recheck didn't.
+    val pattern =
+      if (math.abs(v) < 10) "%.3f"
+      else if (math.abs(v) < 100) "%.2f"
+      else if (shorten) "%.0f"
+      else "%.1f"
     String.format(java.util.Locale.ROOT, pattern, Double.box(v))
   }
 
@@ -54,11 +61,17 @@ object Bench {
       rechecked: Int = 0, raw: Seq[(String, Double)] = Nil,
       builds: Seq[(String, Double)] = Nil): String = {
     def qmap(entries: Seq[(String, Double)]): String = entries.map { case (k, v) =>
-      "\"" + (if (shorten) shortKey(k) else k) + "\":" + fmt3(v)
+      "\"" + (if (shorten) shortKey(k) else k) + "\":" + fmt3(v, shorten)
     }.mkString("{", ",", "}")
-    val total = results.collect { case (_, v) if v >= 0 => v }.sum
+    val totalRaw = results.collect { case (_, v) if v >= 0 => v }.sum
+    // stdout: ms precision on the total (the full double's 17-digit tail
+    // spends ~12 buffer chars saying nothing)
+    val total = if (shorten) fmt3(totalRaw) else totalRaw.toString
     val errors = results.count(_._2 < 0)
-    val calibJson = calib.map(fmt3).mkString("[", ",", "]")
+    val calibJson = calib.map(fmt3(_, shorten)).mkString("[", ",", "]")
+    // The stdout form also trims the sf path to its basename — the driver
+    // sets the dir, so the prefix is redundant there; bench.json keeps it.
+    val sfOut = if (shorten) sfDir.split('/').last else sfDir
     // `raw` holds the PRE-recheck median for every rechecked query. The
     // recheck keeps min(median, fresh samples) — an asymmetric statistic
     // that, with bench.json doubling as the next run's baseline, would
@@ -69,7 +82,7 @@ object Bench {
     // a build/probe split (GQuery.indexed): paid once per bench run, NOT
     // per repeat, and excluded from `value` — the total measures query
     // latency; ingest cost stays auditable in its own field.
-    s"""{"metric":"total","value":$total,"unit":"sec","repeats":$repeats,"errors":$errors,"rechecked":$rechecked,"raw":${qmap(raw)},"build":${qmap(builds)},"calib":$calibJson,"leaked_rdds":$leakedRdds,"queries":${qmap(results)},"sf":"$sfDir"}"""
+    s"""{"metric":"total","value":$total,"unit":"sec","repeats":$repeats,"errors":$errors,"rechecked":$rechecked,"raw":${qmap(raw)},"build":${qmap(builds)},"calib":$calibJson,"leaked_rdds":$leakedRdds,"queries":${qmap(results)},"sf":"$sfOut"}"""
   }
 
   /** Fixed calibration job: 1e8-row range sum over PINNED 32 partitions —
@@ -239,7 +252,7 @@ object Bench {
     // tail buffer; bench.json always carries the full list.
     val stdoutJson = record(ordered, repeats, leakedRdds, sfDir,
       shorten = true, calib = calib, rechecked = rechecked,
-      raw = rawMedians.toSeq.sortBy(-_._2).take(8),
+      raw = rawMedians.toSeq.sortBy(-_._2).take(4),
       builds = builds.toSeq)
     // Drop the full record in well-known files first: sbt may decorate
     // stdout, and the driver needs one clean machine-readable JSON line.

@@ -271,12 +271,18 @@ object CorpusStats {
     * Returns one row per input doc: (idCol, avg_sb, n_bigrams), where
     * `avg_sb` is the MEAN of S — the gate-certified form: every S is one
     * or two IEEE operations on exact integers (a division, or a division
-    * and one multiply by alpha), and the mean is a decimal-exact sum +
-    * one division, bit-reproducible in any engine. The conventional
+    * and one multiply by alpha), and the mean rides 30-fractional-bit
+    * fixed point (`floor(S·2³⁰)` summed as integers — S ≤ 1 always,
+    * since cnt(w1,w2) ≤ cnt(w1)): power-of-two scaling and `floor` are
+    * exact and an integer sum is order-independent, bit-reproducible in
+    * any engine. A decimal(30,15) sum is NOT — double→decimal rounding
+    * of the last kept digit is engine-specific (the
+    * [[graft.operators.Curation.dsirWeights]] finding). The conventional
     * mean-log form pivots on `ln` (math-library-specific last ulp — the
     * [[charBigramScore]]/[[tfidfTopTerms]] discipline), and Stupid
-    * Backoff's scores are already unnormalized, so the exact mean loses
-    * nothing the log form had.
+    * Backoff's scores are already unnormalized, so the quantized mean
+    * loses nothing the log form had (~9 significant decimal digits, far
+    * inside any filtering threshold's tolerance).
     *
     * Contract: one row per input doc; a doc with < 2 tokens surfaces as
     * `avg_sb = NULL, n_bigrams = 0` (unscoreable, not silently absent).
@@ -312,10 +318,11 @@ object CorpusStats {
           .otherwise(lit(alpha)
             * (coalesce(col("__u2"), lit(0L)).cast("double")
               / col("__n").cast("double"))))
+      .withColumn("__sq", floor(col("__s") * lit(1073741824.0)).cast("long"))
       .groupBy(col(idCol))
       .agg(
-        (sum(col("__s").cast("decimal(30,15)")).cast("double")
-          / count(lit(1))).as("avg_sb"),
+        (sum(col("__sq")).cast("double")
+          / (count(lit(1)) * lit(1073741824.0))).as("avg_sb"),
         count(lit(1)).as("n_bigrams"))
     docs.select(col(idCol)).join(scored, Seq(idCol), "left")
       .withColumn("n_bigrams", coalesce(col("n_bigrams"), lit(0L)))

@@ -356,8 +356,10 @@ object CurationQueries extends QueryModule {
     // corpus PLUS two planted probes: an all-OOV doc (every pair backs
     // off to an unseen unigram → exact 0) and a one-token doc (< 2
     // tokens → NULL avg_sb, n_bigrams = 0 — the unscoreable contract).
-    // Gate metric is the exact MEAN of S, not mean-log (ln's last ulp is
-    // math-library-specific — the sourceDiversity/tfidf discipline). ---
+    // Gate metric is the MEAN of S in 2^30 fixed point, not mean-log
+    // (ln's last ulp is math-library-specific) and not a decimal sum
+    // (double→DECIMAL rounding of the last kept digit is
+    // engine-specific — see Curation.dsirWeights). ---
     GQuery(
       "q134_backoff_lm",
       (spark, dir) => {
@@ -414,8 +416,9 @@ object CurationQueries extends QueryModule {
           CROSS JOIN tot),
         agg AS (
           SELECT doc_id,
-                 CAST(SUM(CAST(sv AS DECIMAL(30,15))) AS DOUBLE) / COUNT(*)
-                   AS avg_sb,
+                 CAST(SUM(CAST(FLOOR(sv * 1073741824.0) AS BIGINT))
+                        AS DOUBLE)
+                   / (COUNT(*) * CAST(1073741824 AS DOUBLE)) AS avg_sb,
                  COUNT(*) AS n_bigrams
           FROM s GROUP BY doc_id)
         SELECT d.doc_id, a.avg_sb, COALESCE(a.n_bigrams, 0) AS n_bigrams

@@ -180,10 +180,10 @@ class CurationOpsSpec extends AnyFunSuite {
     val out = CorpusStats.stupidBackoffScore(probes, "doc_id", "text", lm)
       .collect().map(r => r.getLong(0) ->
         (Option(r.get(1)).map(_.asInstanceOf[Double]), r.getLong(2))).toMap
-    // The mean rides a decimal(30,15) sum (cross-engine exactness), so
-    // expectations carry that rounding.
+    // The mean rides a 2^30 fixed-point sum (cross-engine exactness), so
+    // expectations carry that ~1e-9 quantization.
     def close(a: Option[Double], b: Double) =
-      a.exists(v => math.abs(v - b) < 1e-12)
+      a.exists(v => math.abs(v - b) < 2e-9)
     assert(close(out(10L)._1, 2.0 / 3.0) && out(10L)._2 == 1L)
     assert(close(out(11L)._1, 0.4 * (3.0 / 6.0)) && out(11L)._2 == 1L)
     assert(out(12L) === ((Some(0.0), 1L)))
