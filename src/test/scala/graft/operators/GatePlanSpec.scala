@@ -75,7 +75,22 @@ class GatePlanSpec extends AnyFunSuite {
     // branch would scan it twice)
     "q126_url_domains" -> (4, 0),
     "q127_domain_blocklist" -> (4, 1),
-    "q129_temperature_mix" -> (6, 1))
+    "q129_temperature_mix" -> (6, 1),
+    // round-9 LM/curation additions. The high q134/q135 totals are
+    // MODEL-side exchanges (bigram/unigram/bucket count tables + their
+    // broadcast builds — all vocabulary- or bucket-sized); the only
+    // corpus-sized shuffle in each is the per-doc re-aggregate keyed by
+    // id, and the corpus text never rides an exchange (the scored frame
+    // is narrow (id, pair/bucket) rows). q133 = scalar threshold agg +
+    // broadcast fold + sort; q136 = candidate explode + per-doc agg +
+    // join-back; q139 = one Expand + one hash agg + sort; q140 = bench
+    // shingle distinct (broadcast side) + per-doc agg + join-back
+    "q133_curriculum" -> (5, 1),
+    "q134_backoff_lm" -> (17, 5),
+    "q135_dsir_weights" -> (15, 4),
+    "q136_secret_scan" -> (6, 1),
+    "q139_cube" -> (2, 0),
+    "q140_contamination_ratio" -> (6, 2))
 
   test("q107's ORC read-back pushes its predicate and projection into the scan") {
     import org.apache.spark.sql.functions.col
