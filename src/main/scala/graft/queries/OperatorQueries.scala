@@ -544,6 +544,51 @@ object OperatorQueries extends QueryModule {
         GROUP BY o_orderpriority
         ORDER BY o_orderpriority
       """.trim),
-      bench = false)
+      bench = false),
+
+    // --- Incrementally-maintained aggregate state (the gold-refresh
+    // pattern a 100 TB rollup needs): orders split at a date boundary,
+    // each half collapsed to mergeable partial states (count / exact
+    // decimal sum / min / max), states MERGED, report derived at read
+    // time. The oracle recomputes from scratch — equality IS the
+    // merge-correctness proof (monoid law: merge(state(A), state(B)) =
+    // state(A ∪ B)), the property that makes refresh cost O(batch),
+    // independent of history. ---
+    GQuery(
+      "q141_incremental_agg",
+      (spark, dir) => {
+        import graft.operators.IncrementalAgg
+        val o = t(spark, dir, "orders")
+          .withColumn("month", trunc(col("o_orderdate"), "month"))
+        val spec = IncrementalAgg.Spec(Seq("o_orderstatus", "month"),
+          Seq("price" -> dec(col("o_totalprice"))))
+        val hist = IncrementalAgg.partialState(
+          o.filter(col("o_orderdate") < lit("1997-01-01")), spec)
+        val batch = IncrementalAgg.partialState(
+          o.filter(col("o_orderdate") >= lit("1997-01-01")), spec)
+        IncrementalAgg.report(IncrementalAgg.merge(hist, batch))
+          .select(col("o_orderstatus"), col("month"), col("n"),
+            col("price_sum").cast(DoubleType).as("price_sum"),
+            col("price_min").cast(DoubleType).as("price_min"),
+            col("price_max").cast(DoubleType).as("price_max"),
+            col("price_avg"))
+          .orderBy(col("o_orderstatus"), col("month"))
+      },
+      Some("""
+        SELECT o_orderstatus,
+               CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
+                 AS price_sum,
+               CAST(MIN(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
+                 AS price_min,
+               CAST(MAX(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
+                 AS price_max,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
+                 / CAST(COUNT(*) AS DOUBLE) AS price_avg
+        FROM orders
+        GROUP BY 1, 2
+        ORDER BY o_orderstatus, month
+      """.trim))
   )
 }

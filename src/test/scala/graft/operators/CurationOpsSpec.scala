@@ -190,6 +190,25 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(out(13L) === ((None, 0L)), "one-token doc: NULL score, 0 bigrams")
   }
 
+  test("incrementalAgg: merge of split states equals the full recompute (monoid law)") {
+    import graft.operators.IncrementalAgg
+    val o = spark.read.parquet(s"${graft.TestSpark.SfDir}/orders.parquet")
+      .select($"o_orderstatus".as("st"),
+        $"o_totalprice".cast("decimal(12,2)").as("price"),
+        $"o_orderkey")
+    val spec = IncrementalAgg.Spec(Seq("st"), Seq("price" -> col("price")))
+    // Three-way split on an arbitrary key residue — merge must not care
+    // how history was batched.
+    val parts = (0 to 2).map(i =>
+      IncrementalAgg.partialState(o.filter($"o_orderkey" % 3 === i), spec))
+    val merged = IncrementalAgg.report(IncrementalAgg.merge(parts: _*))
+      .orderBy("st").collect()
+    val full = IncrementalAgg.report(IncrementalAgg.partialState(o, spec))
+      .orderBy("st").collect()
+    assert(merged.toSeq === full.toSeq,
+      "merged split states must equal the single-pass state, bit-for-bit")
+  }
+
   test("bpe: freq-weighted greedy merges, deterministic order, stops when exhausted") {
     // Words: "aaa" ×2, "ab" ×1.
     //  round 1: (a,a) cnt 4 (2 adjacent pairs × freq 2); aaa → [aa, a]
