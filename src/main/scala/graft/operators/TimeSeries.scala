@@ -1,0 +1,45 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Calendar gap-filling + forward fill — the time-series regularization
+  * step between a sparse fact table and anything that assumes a dense
+  * daily axis (trend dashboards, window features, semi-additive
+  * balances; the reference's date-dimension spine put to work row-wise).
+  *
+  * Scale: the spine is `explode(sequence(lo, hi))` per key — output is
+  * Σ key-spans rows, generated distributed, never a driver loop; the fill
+  * is one per-key ordered window (running `last` over an ignore-nulls
+  * frame). Nothing corpus-sized crosses an exchange except the (key,
+  * date, value) rows themselves, and the join back to observations is on
+  * the (key, date) grain the spine already carries.
+  */
+object TimeSeries {
+
+  /** Densify `df` — one row per (`keyCol`, `dateCol`), e.g. a daily
+    * aggregate — onto each key's own [min, max] date span, forward-
+    * filling `valueCol` across the introduced gaps. Returns
+    * `(keyCol, dateCol, <valueCol>_filled, observed)`; days before a
+    * key's first observation cannot be forward-filled and stay NULL
+    * (there is deliberately no backfill — a report must not see a value
+    * before it existed).
+    */
+  def gapFillDaily(df: DataFrame, keyCol: String, dateCol: String,
+      valueCol: String): DataFrame = {
+    val bounds = df.groupBy(col(keyCol))
+      .agg(min(col(dateCol)).as("__lo"), max(col(dateCol)).as("__hi"))
+    val spine = bounds.select(col(keyCol),
+      explode(sequence(col("__lo"), col("__hi"), expr("interval 1 day")))
+        .as(dateCol))
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(dateCol))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    spine.join(df.select(col(keyCol), col(dateCol), col(valueCol)),
+        Seq(keyCol, dateCol), "left")
+      .withColumn("observed", col(valueCol).isNotNull)
+      .withColumn(s"${valueCol}_filled",
+        last(col(valueCol), ignoreNulls = true).over(w))
+      .drop(valueCol)
+  }
+}

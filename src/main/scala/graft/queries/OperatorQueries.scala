@@ -589,6 +589,51 @@ object OperatorQueries extends QueryModule {
         FROM orders
         GROUP BY 1, 2
         ORDER BY o_orderstatus, month
+      """.trim)),
+
+    // --- Calendar gap-fill + forward fill: sparse per-priority daily
+    // revenue (high-value orders only, so most days are gaps) densified
+    // onto each key's own date span, carried forward across gaps; days
+    // before the first observation stay NULL (no backfill — a balance
+    // must not exist before it was first observed). The filter makes
+    // ~95% of output rows filled, so the oracle certifies the fill path,
+    // not just the passthrough. ---
+    GQuery(
+      "q142_gap_fill",
+      (spark, dir) => {
+        val daily = t(spark, dir, "orders")
+          .filter(dec(col("o_totalprice")) > 400000)
+          .groupBy(col("o_orderpriority"), col("o_orderdate"))
+          .agg(sum(dec(col("o_totalprice"))).as("rev"))
+        graft.operators.TimeSeries
+          .gapFillDaily(daily, "o_orderpriority", "o_orderdate", "rev")
+          .select(col("o_orderpriority"), col("o_orderdate"),
+            col("rev_filled").cast(DoubleType).as("rev_filled"),
+            col("observed"))
+          .orderBy(col("o_orderpriority"), col("o_orderdate"))
+      },
+      Some("""
+        WITH daily AS (
+          SELECT o_orderpriority AS k, o_orderdate AS d,
+                 SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS v
+          FROM orders
+          WHERE CAST(o_totalprice AS DECIMAL(12,2)) > 400000
+          GROUP BY 1, 2),
+        bounds AS (SELECT k, MIN(d) AS lo, MAX(d) AS hi FROM daily GROUP BY k),
+        spine AS (
+          SELECT k, CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY))
+                         AS DATE) AS d
+          FROM bounds),
+        j AS (
+          SELECT s.k, s.d, daily.v, daily.v IS NOT NULL AS observed
+          FROM spine s LEFT JOIN daily ON s.k = daily.k AND s.d = daily.d)
+        SELECT k AS o_orderpriority, d AS o_orderdate,
+               CAST(last_value(v IGNORE NULLS) OVER (
+                 PARTITION BY k ORDER BY d
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS DOUBLE) AS rev_filled,
+               observed
+        FROM j ORDER BY o_orderpriority, o_orderdate
       """.trim))
   )
 }

@@ -190,6 +190,26 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(out(13L) === ((None, 0L)), "one-token doc: NULL score, 0 bigrams")
   }
 
+  test("gapFillDaily: dense spine, forward fill across gaps, no backfill before first obs") {
+    import java.sql.Date
+    val daily = Seq(
+      ("a", Date.valueOf("2020-01-02"), 10),
+      ("a", Date.valueOf("2020-01-05"), 50),
+      ("b", Date.valueOf("2020-01-01"), 7))
+      .toDF("k", "d", "v")
+    val out = TimeSeries.gapFillDaily(daily, "k", "d", "v")
+      .orderBy("k", "d")
+      .collect().map(r => (r.getString(0), r.getDate(1).toString,
+        Option(r.get(3)).map(_.asInstanceOf[Int]), r.getBoolean(2)))
+    assert(out.toSeq === Seq(
+      ("a", "2020-01-02", Some(10), true),
+      ("a", "2020-01-03", Some(10), false),  // gap: carried forward
+      ("a", "2020-01-04", Some(10), false),
+      ("a", "2020-01-05", Some(50), true),
+      ("b", "2020-01-01", Some(7), true)),   // single-day span: no gaps
+      "spine spans each key's own [min, max]; fills carry the last value")
+  }
+
   test("incrementalAgg: merge of split states equals the full recompute (monoid law)") {
     import graft.operators.IncrementalAgg
     val o = spark.read.parquet(s"${graft.TestSpark.SfDir}/orders.parquet")
