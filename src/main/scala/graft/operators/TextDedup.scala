@@ -935,6 +935,72 @@ object TextDedup {
     * re-aggregates on the id — one hash shuffle keyed by doc id, text
     * never rides it.
     */
+  /** WINNOWING fingerprint selection (Schleimer, Wilkerson & Aiken 2003 —
+    * the MOSS algorithm): hash every k-token gram, slide a w-hash window,
+    * keep each window's MINIMUM hash (ties → rightmost, the paper's
+    * robust variant), dedupe. Guarantees: any shared run of w+k-1 tokens
+    * between two documents shares at least one selected fingerprint, at
+    * ~2/(w+1) of the k-gram density — position-aware overlap detection
+    * (which MinHash discards) at a fraction of the storage.
+    *
+    * Returns `(idCol, pos, fp)` — 0-based gram position of each selected
+    * fingerprint. Hashes are md5 hex; lexicographic min over fixed-width
+    * lowercase hex equals numeric min (the [[minhashSignaturesMd5]]
+    * oracle discipline). Documents shorter than k tokens fingerprint
+    * their single padded gram; shorter than w grams, their single
+    * truncated window — every doc yields ≥ 1 fingerprint.
+    *
+    * Scale: selection is entirely ROW-LOCAL higher-order-function algebra
+    * over the staged token array (O(m·w) per doc, zero exchanges); the
+    * only shuffle is the final distinct keyed by (id, pos, fp). Matching
+    * docs that share fingerprints is then a fingerprint-keyed equi-join —
+    * candidates ∝ collisions, never all-pairs.
+    */
+  /** Optimizer COLLAPSE fence: an always-true non-deterministic filter
+    * between two projections. `CollapseProject` may inline a staged
+    * array alias into the higher-order-function lambdas that consume it
+    * — re-evaluating the whole upstream expression PER LAMBDA ELEMENT in
+    * interpreted mode (the q07 trap's Project-collapse sibling; an
+    * unfenced [[winnowFingerprints]] measured minutes instead of ~1 s at
+    * sf0.001). Predicate pushdown cannot move a non-deterministic
+    * condition below the staging projection, so the Filter node pins the
+    * boundary and each staged alias evaluates once per ROW.
+    */
+  private def collapseFence(df: DataFrame): DataFrame =
+    df.filter(monotonically_increasing_id() >= 0)
+
+  def winnowFingerprints(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 4, w: Int = 4): DataFrame = {
+    require(k >= 1 && w >= 1, s"k=$k and w=$w must be positive")
+    val tk = org.apache.spark.sql.functions.filter(
+      TextAnalysis.tokens(lower(col(textCol))), t => t =!= "")
+    // token array → gram-hash array → window selections, each stage
+    // fenced so the previous stage's array materializes once per row
+    val staged = collapseFence(docs.select(col(idCol), tk.as("__t")))
+      .withColumn("__h", transform(
+        transform(
+          sequence(lit(1), greatest(size(col("__t")) - (k - 1), lit(1))),
+          i => concat_ws(" ",
+            (0 until k).map(j => element_at(col("__t"), i + j)): _*)),
+        g => md5(g)))
+    val m = size(col("__h"))
+    val sel = collapseFence(staged.select(col(idCol), col("__h")))
+      .withColumn("__sel", array_distinct(
+        transform(sequence(lit(1), greatest(m - (w - 1), lit(1))), j => {
+          val mn = array_min(slice(col("__h"), j, lit(w)))
+          // rightmost in-window index holding the min (0 sentinel never
+          // survives: the min is by construction present in the window)
+          val rel = array_max(transform(
+            sequence(lit(0), least(lit(w - 1), m - j)),
+            i => when(element_at(col("__h"), j + i) === mn, i + 1)
+              .otherwise(0)))
+          struct((j + rel - 2).cast("int").as("pos"), mn.as("fp"))
+        })))
+    sel.select(col(idCol), explode(col("__sel")).as("s"))
+      .select(col(idCol), col("s.pos").as("pos"), col("s.fp").as("fp"))
+      .distinct()
+  }
+
   def contaminationOverlap(corpus: DataFrame, bench: DataFrame,
       corpusIdCol: String, benchIdCol: String, textCol: String,
       n: Int): DataFrame = {

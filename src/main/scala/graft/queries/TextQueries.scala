@@ -1589,6 +1589,50 @@ object TextQueries extends QueryModule {
                          / CAST(a.n_shingles AS DOUBLE) END AS overlap_ratio
         FROM documents d LEFT JOIN agg a USING (doc_id)
         ORDER BY d.doc_id
+      """.trim)),
+
+    // --- Winnowing fingerprints (Schleimer et al. 2003, the MOSS
+    // algorithm): per-window rightmost-minimum selection over md5'd
+    // 4-gram hashes, window 4 — position-aware overlap fingerprints at
+    // ~2/(w+1) density with the w+k-1 shared-run guarantee. Selection is
+    // row-local HOF algebra on both engines; lexicographic min over
+    // fixed-width hex ≡ numeric min (the minhash oracle discipline). The
+    // full (doc, pos, fp) table is compared, so window placement, the
+    // rightmost tie rule, and dedup must all agree exactly. ---
+    GQuery(
+      "q143_winnow_fingerprints",
+      (spark, dir) =>
+        TextDedup.winnowFingerprints(
+            Tables.docs(spark, dir), "doc_id", "text", k = 4, w = 4)
+          .orderBy(col("doc_id"), col("pos"), col("fp")),
+      Some("""
+        WITH tk AS (
+          SELECT doc_id,
+                 list_filter(string_split(lower(text), ' '), s -> s <> '')
+                   AS t
+          FROM documents),
+        h AS (
+          SELECT doc_id,
+                 list_transform(
+                   list_transform(generate_series(1, greatest(len(t) - 3, 1)),
+                     i -> concat_ws(' ', t[i], t[i+1], t[i+2], t[i+3])),
+                   x -> md5(x)) AS hs
+          FROM tk),
+        sel AS (
+          -- no list_distinct here (DuckDB can't histogram struct lists);
+          -- the outer SELECT DISTINCT performs the dedup instead
+          SELECT doc_id,
+                 unnest(list_transform(
+                   generate_series(1, greatest(len(hs) - 3, 1)),
+                   j -> {'pos': CAST(j - 2 + list_max(list_transform(
+                             generate_series(0, least(3, len(hs) - j)),
+                             i -> CASE WHEN hs[j + i] =
+                                        list_aggregate(hs[j:j+3], 'min')
+                                  THEN i + 1 ELSE 0 END)) AS INT),
+                         'fp': list_aggregate(hs[j:j+3], 'min')})) AS s
+          FROM h)
+        SELECT DISTINCT doc_id, s.pos AS pos, s.fp AS fp
+        FROM sel ORDER BY doc_id, pos, fp
       """.trim))
   )
 }

@@ -347,6 +347,35 @@ class TextDedupSpec extends AnyFunSuite {
     assert(out.filter($"q" < 0 || $"q" > 1).count() == 0)
   }
 
+  test("winnowing: shared-run guarantee, rightmost tie rule, bounded density") {
+    // Guarantee (Schleimer et al. 2003): docs sharing a run of w+k-1
+    // tokens share at least one fingerprint — here a 12-token passage at
+    // DIFFERENT offsets in two otherwise-disjoint docs (k=4, w=4 → any
+    // 7-token shared run suffices).
+    val passage = "the quick brown fox jumps over the lazy sleeping dog again today"
+    val docs = Seq(
+      (1L, s"alpha beta gamma $passage"),
+      (2L, s"$passage omega psi chi phi upsilon"),
+      (3L, "completely different words with no overlap at all here"))
+      .toDF("doc_id", "text")
+    val fp = TextDedup.winnowFingerprints(docs, "doc_id", "text", k = 4, w = 4)
+    val byDoc = fp.collect().groupBy(_.getLong(0))
+      .map { case (k, v) => k -> v.map(_.getString(2)).toSet }
+    assert((byDoc(1L) & byDoc(2L)).nonEmpty,
+      "docs sharing a 12-token run must share a fingerprint")
+    assert((byDoc(3L) & (byDoc(1L) ++ byDoc(2L))).isEmpty,
+      "disjoint doc shares nothing")
+
+    // Rightmost tie rule: all-equal hashes (k=1 over a repeated token)
+    // select each window's RIGHTMOST position — leftmost would yield
+    // {0,1,...}; robust winnowing yields {w-1, ..., m-1}.
+    val same = Seq((9L, "x x x x x x")).toDF("doc_id", "text")
+    val pos = TextDedup.winnowFingerprints(same, "doc_id", "text", k = 1, w = 3)
+      .collect().map(_.getInt(1)).toSet
+    assert(pos === Set(2, 3, 4, 5),
+      s"rightmost-min selection over 6 equal hashes, got $pos")
+  }
+
   test("contaminationOverlap: exact partial ratios, clean docs zero, distinct-shingle counting") {
     // docA: 10 tokens → 8 distinct 3-shingles; bench holds its first 5
     // tokens → 3 shingles, all from docA → ratio 3/8. docB shares no
