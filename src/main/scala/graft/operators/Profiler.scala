@@ -39,4 +39,49 @@ object Profiler {
       .select(col("p.col_name"), col("p.n_rows"), col("p.n_nulls"),
         col("p.n_distinct"), col("p.min_value"), col("p.max_value"))
   }
+
+  /** Robust per-group outlier statistics — median/MAD instead of
+    * mean/stddev, so one fat-finger row cannot drag the fence it is
+    * judged against (the Iglewicz-Hoaglin modified-z rule: flag when
+    * 0.6745·|x − median| > cutoff·MAD). The comparison is kept in
+    * MULTIPLICATION form — never dividing by MAD — so a zero MAD (>50%
+    * of the group at one value) degrades exactly: any deviation flags,
+    * no NULL/∞ laundering.
+    *
+    * Returns one row per group: `(keys..., n, med, mad, n_outliers)`.
+    * Determinism: `exact = true` uses linear-interpolation `percentile`
+    * (the DuckDB `quantile_cont` definition — bounded-cardinality values
+    * only, the [[Curation.quantileFloor]] contract); deviations and the
+    * flag rule are IEEE multiply/subtract on exact inputs, so the whole
+    * row is bit-reproducible. At unbounded-cardinality 100 TB scale use
+    * `exact = false` (mergeable `approx_percentile` sketch, bounded
+    * memory, rank-error-bounded fences).
+    *
+    * Scale: two grouped percentile aggregates (value, then absolute
+    * deviation) + one broadcast-joined flag count — group-cardinality
+    * frames only; rows cross exactly two hash exchanges keyed by the
+    * group.
+    */
+  def robustOutlierStats(df: DataFrame, keys: Seq[String], valueCol: String,
+      cutoff: Double = 3.5, exact: Boolean = true,
+      accuracy: Int = 10000): DataFrame = {
+    def pct(c: org.apache.spark.sql.Column) =
+      if (exact) percentile(c, lit(0.5))
+      else percentile_approx(c, lit(0.5), lit(accuracy))
+    val k = keys.map(col)
+    val meds = df.groupBy(k: _*)
+      .agg(pct(col(valueCol).cast("double")).as("med"))
+    val withDev = df.join(broadcast(meds), keys)
+      .withColumn("__dev", abs(col(valueCol).cast("double") - col("med")))
+    // med is constant within a group — riding it in the grouping keys
+    // keeps it without a lossy first()
+    val stats = withDev.groupBy(k :+ col("med"): _*)
+      .agg(count(lit(1)).as("n"), pct(col("__dev")).as("mad"))
+    val flagged = withDev.join(broadcast(stats), keys)
+      .filter(col("__dev") * lit(0.6745) > lit(cutoff) * col("mad"))
+      .groupBy(k: _*).agg(count(lit(1)).as("__no"))
+    stats.join(flagged, keys, "left")
+      .select(k ++ Seq(col("n"), col("med"), col("mad"),
+        coalesce(col("__no"), lit(0L)).as("n_outliers")): _*)
+  }
 }

@@ -1,0 +1,49 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** SCD Type 3 — previous-value tracking in place (the reference's SCD
+  * family: type 1 overwrite and type 2 history both ship in [[Scd2]];
+  * type 3 is the "one step of history, no row explosion" middle ground a
+  * dimension owner picks when BI needs before/after comparisons but not
+  * a full version chain).
+  *
+  * For each tracked column `c` the dimension carries `prev_<c>`: when an
+  * update CHANGES `c`, the old current value moves to `prev_<c>`; an
+  * unchanged or absent update leaves both alone (a no-op batch is a
+  * no-op — the [[Scd2]] idempotence discipline); a brand-new key inserts
+  * with `prev_<c>` NULL. Null-safe comparison (`<=>`) so NULL→value and
+  * value→NULL transitions track correctly.
+  *
+  * Scale: one key-equi join per apply (dim ⋈ updates) — broadcast when
+  * the batch is small, shuffle otherwise; no windows, no row
+  * multiplication (output cardinality = |dim ∪ batch keys|).
+  */
+object Scd3 {
+
+  def apply3(dim: DataFrame, updates: DataFrame, key: String,
+      tracked: Seq[String]): DataFrame = {
+    require(tracked.nonEmpty, "track at least one column")
+    // normalize: ensure prev_<c> exists on the dim side (first load)
+    val withPrev = tracked.foldLeft(dim) { (d, c) =>
+      if (d.columns.contains(s"prev_$c")) d
+      else d.withColumn(s"prev_$c", lit(null).cast(d.schema(c).dataType))
+    }
+    val u = updates.select(
+      Seq(col(key), lit(true).as("__in_u")) ++
+        tracked.map(c => col(c).as(s"__u_$c")): _*)
+    val joined = withPrev.withColumn("__in_dim", lit(true))
+      .join(u, Seq(key), "full")
+    val projected = tracked.foldLeft(joined) { (d, c) =>
+      d.withColumn(s"prev_$c",
+          when(col("__in_dim").isNotNull && col("__in_u").isNotNull &&
+               !(col(s"__u_$c") <=> col(c)), col(c))
+            .otherwise(when(col("__in_dim").isNotNull, col(s"prev_$c"))))
+        .withColumn(c,
+          when(col("__in_u").isNotNull, col(s"__u_$c")).otherwise(col(c)))
+    }
+    projected.drop(Seq("__in_dim", "__in_u") ++
+      tracked.map(c => s"__u_$c"): _*)
+  }
+}

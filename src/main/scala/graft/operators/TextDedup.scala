@@ -1001,6 +1001,38 @@ object TextDedup {
       .distinct()
   }
 
+  /** Document pairs sharing ≥ `minShared` winnowing fingerprints — the
+    * MOSS match step over [[winnowFingerprints]]. Fingerprints held by
+    * more than `maxDocFreq` documents are dropped whole before pairing
+    * (boilerplate phrases are non-discriminative, and one pervasive
+    * fingerprint would otherwise contribute O(width²) pairs — the
+    * [[lshCandidates]] `maxBucket` argument applied at the doc-frequency
+    * grain). Returns (`<id>_1`, `<id>_2`, `shared_fps`), id1 < id2.
+    *
+    * Scale: matching is a fingerprint-keyed equi-join over the (already
+    * ~2/(w+1)-dense) fingerprint table — candidates ∝ collisions, never
+    * all-pairs; the df-cap is a count aggregate on the same key the join
+    * uses.
+    */
+  def winnowMatches(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 4, w: Int = 4, minShared: Int = 2,
+      maxDocFreq: Int = 100): DataFrame = {
+    val fp = winnowFingerprints(docs, idCol, textCol, k, w)
+      .select(col(idCol), col("fp")).distinct()
+    val ok = fp.groupBy(col("fp"))
+      .agg(count(lit(1)).as("__df"))
+      .filter(col("__df") <= maxDocFreq)
+      .select(col("fp"))
+    val pruned = fp.join(ok, Seq("fp"))
+    val a = pruned.select(col("fp"), col(idCol).as(s"${idCol}_1"))
+    val b = pruned.select(col("fp"), col(idCol).as(s"${idCol}_2"))
+    a.join(b, Seq("fp"))
+      .filter(col(s"${idCol}_1") < col(s"${idCol}_2"))
+      .groupBy(col(s"${idCol}_1"), col(s"${idCol}_2"))
+      .agg(count(lit(1)).as("shared_fps"))
+      .filter(col("shared_fps") >= minShared)
+  }
+
   def contaminationOverlap(corpus: DataFrame, bench: DataFrame,
       corpusIdCol: String, benchIdCol: String, textCol: String,
       n: Int): DataFrame = {

@@ -265,6 +265,39 @@ object DqQueries extends QueryModule {
         UNION ALL SELECT 'orphans_retained', COUNT(*) FROM orph WHERE f
         UNION ALL SELECT 'valid', COUNT(*) FROM orph
         ORDER BY bucket
+      """.trim)),
+
+    // --- Robust per-group outlier stats (median/MAD, the Iglewicz-
+    // Hoaglin modified-z rule): the DQ fence that one fat-finger value
+    // cannot drag, unlike mean/stddev. The flag rule stays in
+    // multiplication form (0.6745·|x−med| > 3.5·MAD) so a zero MAD
+    // degrades exactly instead of dividing by zero. Exact percentile
+    // path — both engines interpolate lower + (upper−lower)·frac, the
+    // q36/q109 parity. ---
+    GQuery(
+      "q145_robust_outliers",
+      (spark, dir) =>
+        graft.operators.Profiler.robustOutlierStats(
+            t(spark, dir, "orders"), Seq("o_orderpriority"), "o_totalprice")
+          .orderBy(col("o_orderpriority")),
+      Some("""
+        WITH v AS (
+          SELECT o_orderpriority AS k, CAST(o_totalprice AS DOUBLE) AS x
+          FROM orders),
+        m AS (SELECT k, quantile_cont(x, 0.5) AS med FROM v GROUP BY k),
+        d AS (SELECT v.k, m.med, abs(v.x - m.med) AS dev
+              FROM v JOIN m USING (k)),
+        s AS (SELECT k, med, COUNT(*) AS n, quantile_cont(dev, 0.5) AS mad
+              FROM d GROUP BY k, med),
+        f AS (SELECT d.k, COUNT(*) AS no
+              FROM d JOIN s USING (k)
+              WHERE d.dev * CAST(0.6745 AS DOUBLE)
+                    > CAST(3.5 AS DOUBLE) * s.mad
+              GROUP BY d.k)
+        SELECT s.k AS o_orderpriority, s.n, s.med, s.mad,
+               COALESCE(f.no, 0) AS n_outliers
+        FROM s LEFT JOIN f USING (k)
+        ORDER BY o_orderpriority
       """.trim))
   )
 }

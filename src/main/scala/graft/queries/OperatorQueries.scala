@@ -634,6 +634,40 @@ object OperatorQueries extends QueryModule {
                  AS DOUBLE) AS rev_filled,
                observed
         FROM j ORDER BY o_orderpriority, o_orderdate
+      """.trim)),
+
+    // --- SCD Type 3 (previous-value tracking — completes the SCD
+    // family next to q12's type 2 and its type-1 backfill): two chained
+    // update batches; keys hit twice must show the FIRST update as their
+    // previous value (prev tracks one step, not the original), keys hit
+    // once show the original, untouched keys carry NULL. The oracle
+    // replays both applies as one CASE ladder. ---
+    GQuery(
+      "q146_scd3_apply",
+      (spark, dir) => {
+        import graft.operators.Scd3
+        val c = t(spark, dir, "customer")
+          .select(col("c_custkey"), col("c_mktsegment"))
+        val b1 = c.filter(col("c_custkey") % 7 === 0)
+          .select(col("c_custkey"), lit("SEGA").as("c_mktsegment"))
+        val b2 = c.filter(col("c_custkey") % 14 === 0)
+          .select(col("c_custkey"), lit("SEGB").as("c_mktsegment"))
+        val once = Scd3.apply3(c, b1, "c_custkey", Seq("c_mktsegment"))
+        Scd3.apply3(once, b2, "c_custkey", Seq("c_mktsegment"))
+          .select(col("c_custkey"), col("c_mktsegment"),
+            col("prev_c_mktsegment"))
+          .orderBy(col("c_custkey"))
+      },
+      Some("""
+        SELECT c_custkey,
+               CASE WHEN c_custkey % 14 = 0 THEN 'SEGB'
+                    WHEN c_custkey % 7 = 0 THEN 'SEGA'
+                    ELSE c_mktsegment END AS c_mktsegment,
+               CASE WHEN c_custkey % 14 = 0 THEN 'SEGA'
+                    WHEN c_custkey % 7 = 0 THEN c_mktsegment
+                    END AS prev_c_mktsegment
+        FROM customer
+        ORDER BY c_custkey
       """.trim))
   )
 }

@@ -1633,6 +1633,61 @@ object TextQueries extends QueryModule {
           FROM h)
         SELECT DISTINCT doc_id, s.pos AS pos, s.fp AS fp
         FROM sel ORDER BY doc_id, pos, fp
+      """.trim)),
+
+    // --- Winnowing MATCH pairs (the MOSS report): docs sharing ≥3
+    // df-capped fingerprints. Planted offset copies (every 10th doc
+    // re-keyed behind a 3-token pad) must pair with their originals —
+    // winnowing's shared-run guarantee is offset-independent even though
+    // fingerprints are position-aware. The df ≤ 40 cap drops the word-
+    // salad corpus's pervasive 4-grams, certifying the discriminative-
+    // fingerprint pruning both engines must agree on exactly. ---
+    GQuery(
+      "q144_winnow_matches",
+      (spark, dir) => {
+        val d = Tables.docs(spark, dir).select(col("doc_id"), col("text"))
+        val shifted = d.filter(col("doc_id") % 10 === 6)
+          .select((col("doc_id") + 150000).as("doc_id"),
+            concat(lit("zz yy xx "), col("text")).as("text"))
+        TextDedup.winnowMatches(d.unionByName(shifted), "doc_id", "text",
+            k = 4, w = 4, minShared = 3, maxDocFreq = 40)
+          .orderBy(col("doc_id_1"), col("doc_id_2"))
+      },
+      Some("""
+        WITH docs0 AS (
+          SELECT doc_id, text FROM documents
+          UNION ALL
+          SELECT doc_id + 150000, 'zz yy xx ' || text
+          FROM documents WHERE doc_id % 10 = 6),
+        tk AS (
+          SELECT doc_id,
+                 list_filter(string_split(lower(text), ' '), s -> s <> '')
+                   AS t
+          FROM docs0),
+        h AS (
+          SELECT doc_id,
+                 list_transform(
+                   list_transform(generate_series(1, greatest(len(t) - 3, 1)),
+                     i -> concat_ws(' ', t[i], t[i+1], t[i+2], t[i+3])),
+                   x -> md5(x)) AS hs
+          FROM tk),
+        sel AS (
+          SELECT doc_id,
+                 unnest(list_transform(
+                   generate_series(1, greatest(len(hs) - 3, 1)),
+                   j -> list_aggregate(hs[j:j+3], 'min'))) AS fp
+          FROM h),
+        fps AS (SELECT DISTINCT doc_id, fp FROM sel),
+        ok AS (
+          SELECT fp FROM (SELECT fp, COUNT(*) AS c FROM fps GROUP BY fp)
+          WHERE c <= 40),
+        pr AS (SELECT fps.doc_id, fps.fp FROM fps JOIN ok USING (fp))
+        SELECT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2,
+               COUNT(*) AS shared_fps
+        FROM pr a JOIN pr b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+        HAVING COUNT(*) >= 3
+        ORDER BY doc_id_1, doc_id_2
       """.trim))
   )
 }

@@ -190,6 +190,43 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(out(13L) === ((None, 0L)), "one-token doc: NULL score, 0 bigrams")
   }
 
+  test("robustOutlierStats: median/MAD fence resists the outlier it flags; zero MAD degrades") {
+    import graft.operators.Profiler
+    // Group "a": 7 clustered values + one wild outlier. med=10, MAD=1 —
+    // the outlier does NOT drag the fence (mean/stddev would).
+    // Group "b": >50% identical → MAD=0 → ANY deviation flags.
+    val rows = (Seq(8.0, 9.0, 9.5, 10.0, 10.5, 11.0, 12.0, 1000.0).map(("a", _)) ++
+      Seq(5.0, 5.0, 5.0, 99.0).map(("b", _))).toDF("k", "v")
+    val out = Profiler.robustOutlierStats(rows, Seq("k"), "v")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getLong(4))).toMap
+    val (na, medA, madA, noA) = out("a")
+    assert(na == 8L && medA === 10.25 && noA == 1L,
+      s"only the planted outlier flags in group a, got $out")
+    assert(madA < 2.0, "MAD must not be dragged by the outlier")
+    val (_, medB, madB, noB) = out("b")
+    assert(medB === 5.0 && madB === 0.0 && noB == 1L,
+      "zero MAD: any deviation flags, multiplication form never divides")
+  }
+
+  test("scd3: previous value tracks one step; no-op batch is a no-op; inserts carry NULL prev") {
+    import graft.operators.Scd3
+    val dim = Seq((1L, "X"), (2L, "Y"), (3L, "Z")).toDF("k", "seg")
+    val b1 = Seq((1L, "A"), (2L, "Y"), (9L, "N")).toDF("k", "seg")
+    val once = Scd3.apply3(dim, b1, "k", Seq("seg"))
+    val r1 = once.collect().map(r => r.getLong(0) ->
+      (r.getString(1), Option(r.getString(2)))).toMap
+    assert(r1(1L) === (("A", Some("X"))), "change moves old value to prev")
+    assert(r1(2L) === (("Y", None)), "same-value update is a no-op")
+    assert(r1(3L) === (("Z", None)), "untouched key unchanged")
+    assert(r1(9L) === (("N", None)), "insert carries NULL prev")
+    // second change: prev tracks ONE step (A), not the original (X)
+    val twice = Scd3.apply3(once, Seq((1L, "B")).toDF("k", "seg"), "k", Seq("seg"))
+    val r2 = twice.collect().map(r => r.getLong(0) ->
+      (r.getString(1), Option(r.getString(2)))).toMap
+    assert(r2(1L) === (("B", Some("A"))))
+  }
+
   test("gapFillDaily: dense spine, forward fill across gaps, no backfill before first obs") {
     import java.sql.Date
     val daily = Seq(

@@ -376,6 +376,32 @@ class TextDedupSpec extends AnyFunSuite {
       s"rightmost-min selection over 6 equal hashes, got $pos")
   }
 
+  test("winnowMatches: offset copies pair up; pervasive fingerprints are df-capped out") {
+    val passage = "one two three four five six seven eight nine ten eleven twelve"
+    val boiler = "common shared boilerplate phrase used by absolutely every document"
+    // 1↔2 share the passage (different offsets); 3-8 share only the
+    // boilerplate, which the df-cap (≤2 docs) removes — so no 3-8 pairs.
+    val docs = (Seq(
+      (1L, s"$passage unique tail alpha"),
+      (2L, s"front padding here $passage")) ++
+      (3L to 8L).map(i => (i, s"$boiler tail$i word$i")))
+      .toDF("doc_id", "text")
+    val pairs = TextDedup.winnowMatches(docs, "doc_id", "text",
+        k = 4, w = 4, minShared = 1, maxDocFreq = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(pairs.contains((1L, 2L)), "offset copies must pair")
+    // The df-cap drops fingerprints SELECTED in >2 docs; a boundary
+    // window can still select a boiler gram in exactly two docs (their
+    // unique tails shift the minima), so 3-8 pairs may survive — but
+    // only on selection accidents, never on the boilerplate mass. The
+    // passage pair must dominate every such residual pair.
+    val passageShared = pairs((1L, 2L))
+    val residualMax = (pairs - ((1L, 2L))).values.maxOption.getOrElse(0L)
+    assert(passageShared > residualMax,
+      s"true shared passage ($passageShared fps) must outweigh " +
+        s"df-capped boilerplate residue ($residualMax), got $pairs")
+  }
+
   test("contaminationOverlap: exact partial ratios, clean docs zero, distinct-shingle counting") {
     // docA: 10 tokens → 8 distinct 3-shingles; bench holds its first 5
     // tokens → 3 shingles, all from docA → ratio 3/8. docB shares no
