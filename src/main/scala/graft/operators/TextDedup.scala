@@ -1017,8 +1017,12 @@ object TextDedup {
   def winnowMatches(docs: DataFrame, idCol: String, textCol: String,
       k: Int = 4, w: Int = 4, minShared: Int = 2,
       maxDocFreq: Int = 100): DataFrame = {
+    // The narrow (id, fp) table feeds the df-cap AND both self-join
+    // sides — pin it once or the whole winnow selection (and the corpus
+    // scan under it) recomputes per branch (the dedupCorpus staging
+    // discipline; unpinned this plan carried 3× the scans).
     val fp = winnowFingerprints(docs, idCol, textCol, k, w)
-      .select(col(idCol), col("fp")).distinct()
+      .select(col(idCol), col("fp")).distinct().persist()
     val ok = fp.groupBy(col("fp"))
       .agg(count(lit(1)).as("__df"))
       .filter(col("__df") <= maxDocFreq)
@@ -1026,11 +1030,12 @@ object TextDedup {
     val pruned = fp.join(ok, Seq("fp"))
     val a = pruned.select(col("fp"), col(idCol).as(s"${idCol}_1"))
     val b = pruned.select(col("fp"), col(idCol).as(s"${idCol}_2"))
-    a.join(b, Seq("fp"))
+    val pairs = a.join(b, Seq("fp"))
       .filter(col(s"${idCol}_1") < col(s"${idCol}_2"))
       .groupBy(col(s"${idCol}_1"), col(s"${idCol}_2"))
       .agg(count(lit(1)).as("shared_fps"))
       .filter(col("shared_fps") >= minShared)
+    graft.core.Caching.reap(pairs, fp)
   }
 
   def contaminationOverlap(corpus: DataFrame, bench: DataFrame,

@@ -90,7 +90,21 @@ class GatePlanSpec extends AnyFunSuite {
     "q135_dsir_weights" -> (15, 4),
     "q136_secret_scan" -> (6, 1),
     "q139_cube" -> (2, 0),
-    "q140_contamination_ratio" -> (6, 2))
+    "q140_contamination_ratio" -> (6, 2),
+    // q141 = two partial-state aggs + merge agg + sort (AQE fuses the
+    // union sides' shuffles); q142 = bounds agg + spine join + fill
+    // window + sort, daily broadcast; q143 = docs spread + fenced
+    // row-local selection + distinct + sort — the selection itself adds
+    // NOTHING; q144 = post-cache assembly over the pinned fp table (the
+    // q76/q98 convention — winnow runs once behind the persist); q145 =
+    // two percentile aggs + flag count, med/stats broadcasts; q146 = two
+    // chained full joins + sort, no windows
+    "q141_incremental_agg" -> (3, 0),
+    "q142_gap_fill" -> (3, 1),
+    "q143_winnow_fingerprints" -> (3, 0),
+    "q144_winnow_matches" -> (1, 0),
+    "q145_robust_outliers" -> (8, 4),
+    "q146_scd3_apply" -> (5, 0))
 
   test("q107's ORC read-back pushes its predicate and projection into the scan") {
     import org.apache.spark.sql.functions.col
