@@ -1276,6 +1276,75 @@ object Similarity {
       .withColumn("kept", col("dup_of").isNull)
     graft.core.Caching.reap(verdicts, assigned)
   }
+
+  /** MMR diversified re-ranking (Carbonell & Goldstein 1998 — the step a
+    * retrieval pipeline runs AFTER ANN nomination so the k results a
+    * model sees aren't k copies of the same passage): greedily pick
+    *
+    *   argmax  λ·rel(d) − (1−λ)·max_{s ∈ selected} sim(d, s)
+    *
+    * over the candidate set, `kOut` times; the first pick is the plain
+    * relevance argmax. Ties break to the smaller neighbor id, so the
+    * ranking is deterministic.
+    *
+    * `candidates` is any (query_id, neighbor_id, cosine) frame — the
+    * output of [[bruteForceTopK]]/[[ivfTopK]]/[[probeIvfIndex]] — and
+    * THAT is the scale contract: relevance against the corpus is the
+    * ANN's job; MMR touches only the nominated set, so the pairwise
+    * similarity table it needs is |queries|·k² rows, never corpus-sized.
+    * Both small frames pin once ([[graft.core.Caching.reap]] at exit);
+    * the greedy loop is `kOut` joins over them, each a bounded
+    * per-query-group computation.
+    *
+    * Returns `(query_id, neighbor_id, mmr_rank)`.
+    */
+  def mmrRerank(candidates: DataFrame, vectors: DataFrame, idCol: String,
+      vecCol: String, dim: Int, lambda: Double, kOut: Int): DataFrame = {
+    require(kOut >= 1, s"kOut $kOut must be at least 1")
+    require(lambda >= 0 && lambda <= 1, s"lambda $lambda must be in [0,1]")
+    val cand = candidates
+      .select(col("query_id"), col("neighbor_id"), col("cosine")).persist()
+    val v = vectors.select(col(idCol).as("__vid"),
+      asDouble(col(vecCol)).as("__vv"))
+      .withColumn("__vn", norm(col("__vv"), dim))
+    val sims = cand.select(col("query_id"), col("neighbor_id").as("__ida"))
+      .join(cand.select(col("query_id"), col("neighbor_id").as("__idb")),
+        Seq("query_id"))
+      .filter(col("__ida") =!= col("__idb"))
+      .join(v.select(col("__vid").as("__ida"), col("__vv").as("__va"),
+        col("__vn").as("__na")), Seq("__ida"))
+      .join(v.select(col("__vid").as("__idb"), col("__vv").as("__vb"),
+        col("__vn").as("__nb")), Seq("__idb"))
+      .select(col("query_id"), col("__ida"), col("__idb"),
+        cosinePrenormed(col("__va"), col("__vb"), col("__na"), col("__nb"),
+          dim).as("__sim"))
+      .persist()
+    val wRel = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    var selected = cand.withColumn("__rn", row_number().over(wRel))
+      .filter(col("__rn") === 1)
+      .select(col("query_id"), col("neighbor_id"), lit(1).as("mmr_rank"))
+    for (r <- 2 to kOut) {
+      val rem = cand.join(selected.select(col("query_id"),
+          col("neighbor_id")), Seq("query_id", "neighbor_id"), "left_anti")
+      val scored = rem
+        .join(sims.select(col("query_id"), col("__ida").as("neighbor_id"),
+          col("__idb"), col("__sim")), Seq("query_id", "neighbor_id"))
+        .join(selected.select(col("query_id"),
+          col("neighbor_id").as("__idb")), Seq("query_id", "__idb"))
+        .groupBy(col("query_id"), col("neighbor_id"), col("cosine"))
+        .agg(max(col("__sim")).as("__ms"))
+        .withColumn("__score",
+          lit(lambda) * col("cosine") - lit(1 - lambda) * col("__ms"))
+      val wS = Window.partitionBy(col("query_id"))
+        .orderBy(col("__score").desc, col("neighbor_id"))
+      val pick = scored.withColumn("__rn", row_number().over(wS))
+        .filter(col("__rn") === 1)
+        .select(col("query_id"), col("neighbor_id"), lit(r).as("mmr_rank"))
+      selected = selected.unionByName(pick)
+    }
+    graft.core.Caching.reap(selected, cand, sims)
+  }
 }
 
 /** Result of [[Similarity.dedupVectors]]: verified cosine near-dup `pairs`

@@ -895,6 +895,90 @@ object VectorQueries extends QueryModule {
         SELECT query_id, neighbor_id, round(pq_score, 6) AS pq_score_r, rank
         FROM ranked WHERE rank <= 5
         ORDER BY query_id, rank
+      """.trim)),
+
+    // --- MMR diversified re-rank (Carbonell & Goldstein 1998) over
+    // brute-force-nominated candidates: greedy argmax of
+    // λ·rel − (1−λ)·max-sim-to-selected, λ = 0.5 (EXACT in binary — a
+    // 0.7/0.3 split would give the two engines different 1−λ literals),
+    // 3 picks from 10 candidates per query. The oracle unrolls the
+    // greedy loop; every cosine is the q70 index-order fold, so scores —
+    // and therefore every argmax — agree bit-for-bit. MMR's scale
+    // contract: the pairwise table is |q|·k² rows over the NOMINATED
+    // set, never corpus-sized. ---
+    GQuery(
+      "q147_mmr_rerank",
+      (spark, dir) => {
+        val e = Tables.embs(spark, dir)
+        val cand = Similarity.bruteForceTopK(
+          e.filter(col("vec_id") < 8), e, "vec_id", "embedding", Dim, k = 10)
+        Similarity.mmrRerank(cand, e, "vec_id", "embedding", Dim,
+            lambda = 0.5, kOut = 3)
+          .orderBy(col("query_id"), col("mmr_rank"))
+      },
+      Some("""
+        WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        q AS (SELECT vec_id AS query_id, e AS qv FROM v WHERE vec_id < 8),
+        scored AS (
+          SELECT query_id, v.vec_id AS neighbor_id,
+                 list_sum(list_transform(generate_series(1, 64), i -> qv[i] * e[i]))
+                   / (sqrt(list_sum(list_transform(generate_series(1, 64), i -> qv[i] * qv[i])))
+                      * sqrt(list_sum(list_transform(generate_series(1, 64), i -> e[i] * e[i])))) AS cosine
+          FROM q JOIN v ON query_id <> v.vec_id),
+        cand AS (
+          SELECT query_id, neighbor_id, cosine,
+                 row_number() OVER (PARTITION BY query_id
+                   ORDER BY cosine DESC, neighbor_id) AS rn
+          FROM scored QUALIFY rn <= 10),
+        sims AS (
+          SELECT a.query_id, a.neighbor_id AS ida, b.neighbor_id AS idb,
+                 list_sum(list_transform(generate_series(1, 64), i -> va.e[i] * vb.e[i]))
+                   / (sqrt(list_sum(list_transform(generate_series(1, 64), i -> va.e[i] * va.e[i])))
+                      * sqrt(list_sum(list_transform(generate_series(1, 64), i -> vb.e[i] * vb.e[i])))) AS sim
+          FROM cand a
+          JOIN cand b ON a.query_id = b.query_id
+                     AND a.neighbor_id <> b.neighbor_id
+          JOIN v va ON va.vec_id = a.neighbor_id
+          JOIN v vb ON vb.vec_id = b.neighbor_id),
+        s1 AS (SELECT query_id, neighbor_id FROM cand WHERE rn = 1),
+        p2 AS (
+          SELECT c.query_id, c.neighbor_id, c.cosine, MAX(s.sim) AS ms
+          FROM cand c
+          JOIN sims s ON s.query_id = c.query_id AND s.ida = c.neighbor_id
+          JOIN s1 ON s1.query_id = s.query_id AND s1.neighbor_id = s.idb
+          WHERE NOT EXISTS (SELECT 1 FROM s1 x
+                            WHERE x.query_id = c.query_id
+                              AND x.neighbor_id = c.neighbor_id)
+          GROUP BY 1, 2, 3),
+        s2 AS (
+          SELECT query_id, neighbor_id FROM (
+            SELECT query_id, neighbor_id,
+                   row_number() OVER (PARTITION BY query_id ORDER BY
+                     CAST(0.5 AS DOUBLE) * cosine
+                       - CAST(0.5 AS DOUBLE) * ms DESC, neighbor_id) AS rn2
+            FROM p2) WHERE rn2 = 1),
+        sel2 AS (SELECT * FROM s1 UNION ALL SELECT * FROM s2),
+        p3 AS (
+          SELECT c.query_id, c.neighbor_id, c.cosine, MAX(s.sim) AS ms
+          FROM cand c
+          JOIN sims s ON s.query_id = c.query_id AND s.ida = c.neighbor_id
+          JOIN sel2 ON sel2.query_id = s.query_id
+                   AND sel2.neighbor_id = s.idb
+          WHERE NOT EXISTS (SELECT 1 FROM sel2 x
+                            WHERE x.query_id = c.query_id
+                              AND x.neighbor_id = c.neighbor_id)
+          GROUP BY 1, 2, 3),
+        s3 AS (
+          SELECT query_id, neighbor_id FROM (
+            SELECT query_id, neighbor_id,
+                   row_number() OVER (PARTITION BY query_id ORDER BY
+                     CAST(0.5 AS DOUBLE) * cosine
+                       - CAST(0.5 AS DOUBLE) * ms DESC, neighbor_id) AS rn3
+            FROM p3) WHERE rn3 = 1)
+        SELECT query_id, neighbor_id, CAST(1 AS INT) AS mmr_rank FROM s1
+        UNION ALL SELECT query_id, neighbor_id, 2 FROM s2
+        UNION ALL SELECT query_id, neighbor_id, 3 FROM s3
+        ORDER BY query_id, mmr_rank
       """.trim))
   )
 

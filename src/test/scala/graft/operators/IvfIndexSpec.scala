@@ -527,4 +527,30 @@ class IvfIndexSpec extends AnyFunSuite {
     assert(!pairPlan.contains("CartesianProduct"),
       s"semDedup pair scan must be bucket-keyed, got cartesian:\n$pairPlan")
   }
+
+  test("mmrRerank: skips the near-duplicate a relevance ranking would take") {
+    import spark.implicits._
+    // Query 0 = [1, 0]. Candidates: 1 and 2 nearly identical (both ~the
+    // query direction), 3 at −45° — MORE similar to the query (0.707)
+    // than to the already-selected 1 (~0.700, the negative component
+    // cancels 1's positive y). Relevance alone ranks 1, 2, 3; MMR at
+    // λ=0.5 must rank 1, 3, 2: the near-duplicate's
+    // max-sim-to-selected (~1.0) erases its relevance edge, while 3's
+    // rel − sim margin is positive.
+    val vecs = Seq(
+      (0L, Array(1f, 0f)),
+      (1L, Array(1f, 0.010f)),
+      (2L, Array(1f, 0.011f)),
+      (3L, Array(0.6f, -0.6f)))
+      .toDF("vec_id", "embedding")
+    val cand = Similarity.bruteForceTopK(
+      vecs.filter($"vec_id" === 0), vecs, "vec_id", "embedding", 2, k = 3)
+    val rel = cand.orderBy("rank").collect().map(_.getLong(1)).toSeq
+    assert(rel === Seq(1L, 2L, 3L), "relevance order is the trap")
+    val mmr = Similarity.mmrRerank(cand, vecs, "vec_id", "embedding", 2,
+        lambda = 0.5, kOut = 3)
+      .orderBy("mmr_rank").collect().map(_.getLong(1)).toSeq
+    assert(mmr === Seq(1L, 3L, 2L),
+      "MMR must demote the near-duplicate behind the diverse candidate")
+  }
 }
