@@ -104,7 +104,10 @@ class GatePlanSpec extends AnyFunSuite {
     "q143_winnow_fingerprints" -> (3, 0),
     "q144_winnow_matches" -> (1, 0),
     "q145_robust_outliers" -> (8, 4),
-    "q146_scd3_apply" -> (5, 0))
+    "q146_scd3_apply" -> (5, 0),
+    // q147 = post-cache assembly over the pinned candidate/sims frames
+    // (the q144 convention — nomination + pairwise sims run once)
+    "q147_mmr_rerank" -> (1, 0))
 
   test("q107's ORC read-back pushes its predicate and projection into the scan") {
     import org.apache.spark.sql.functions.col
