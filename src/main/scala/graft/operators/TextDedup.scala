@@ -956,27 +956,16 @@ object TextDedup {
     * docs that share fingerprints is then a fingerprint-keyed equi-join —
     * candidates ∝ collisions, never all-pairs.
     */
-  /** Optimizer COLLAPSE fence: an always-true non-deterministic filter
-    * between two projections. `CollapseProject` may inline a staged
-    * array alias into the higher-order-function lambdas that consume it
-    * — re-evaluating the whole upstream expression PER LAMBDA ELEMENT in
-    * interpreted mode (the q07 trap's Project-collapse sibling; an
-    * unfenced [[winnowFingerprints]] measured minutes instead of ~1 s at
-    * sf0.001). Predicate pushdown cannot move a non-deterministic
-    * condition below the staging projection, so the Filter node pins the
-    * boundary and each staged alias evaluates once per ROW.
-    */
-  private def collapseFence(df: DataFrame): DataFrame =
-    df.filter(monotonically_increasing_id() >= 0)
-
   def winnowFingerprints(docs: DataFrame, idCol: String, textCol: String,
       k: Int = 4, w: Int = 4): DataFrame = {
     require(k >= 1 && w >= 1, s"k=$k and w=$w must be positive")
     val tk = org.apache.spark.sql.functions.filter(
       TextAnalysis.tokens(lower(col(textCol))), t => t =!= "")
-    // token array → gram-hash array → window selections, each stage
-    // fenced so the previous stage's array materializes once per row
-    val staged = collapseFence(docs.select(col(idCol), tk.as("__t")))
+    // Staged as three projections (tokens → gram hashes → selections);
+    // CollapseProject leaves each alias materialized because every one
+    // is non-cheap and multiply referenced, so each stage evaluates once
+    // per ROW.
+    val staged = docs.select(col(idCol), tk.as("__t"))
       .withColumn("__h", transform(
         transform(
           sequence(lit(1), greatest(size(col("__t")) - (k - 1), lit(1))),
@@ -984,19 +973,40 @@ object TextDedup {
             (0 until k).map(j => element_at(col("__t"), i + j)): _*)),
         g => md5(g)))
     val m = size(col("__h"))
-    val sel = collapseFence(staged.select(col(idCol), col("__h")))
+    val sel = staged.select(col(idCol), col("__h"))
       .withColumn("__sel", array_distinct(
         transform(sequence(lit(1), greatest(m - (w - 1), lit(1))), j => {
-          val mn = array_min(slice(col("__h"), j, lit(w)))
-          // rightmost in-window index holding the min (0 sentinel never
-          // survives: the min is by construction present in the window)
-          val rel = array_max(transform(
-            sequence(lit(0), least(lit(w - 1), m - j)),
-            i => when(element_at(col("__h"), j + i) === mn, i + 1)
-              .otherwise(0)))
+          // UNROLLED window min + rightmost-tie scan over the staged
+          // hash ATTRIBUTE: w is a small constant, so w element_ats +
+          // one least + a when-chain keep the per-window work flat
+          // (HOFs run interpreted — no codegen — so a slice +
+          // array_min + inner-transform formulation pays full
+          // expression-tree machinery per inner element). element_at
+          // past the end is NULL; least skips NULLs, so a short tail
+          // window (m < w) still takes the min of what exists.
+          val es = (0 until w).map(i => element_at(col("__h"), j + i))
+          val mn = if (w == 1) es(0) else least(es: _*)
+          // rightmost in-window 1-based index holding the min (the min
+          // is by construction one of the entries, so the chain always
+          // matches; NULL tail entries compare false and fall through)
+          val rel = (w - 2 to 0 by -1).foldLeft(
+            when(es(w - 1) === mn, lit(w))) { (acc, i) =>
+            acc.when(es(i) === mn, lit(i + 1))
+          }
           struct((j + rel - 2).cast("int").as("pos"), mn.as("fp"))
         })))
-    sel.select(col(idCol), explode(col("__sel")).as("s"))
+    // explode_OUTER on purpose — the performance trap here is not
+    // Project collapse but InferFiltersFromGenerate: a plain explode
+    // gets a synthesized `size(__sel) > 0` filter whose pushdown
+    // SUBSTITUTES the full selection expression (with __h and __t
+    // re-expanded at every reference) below the staging projections —
+    // one interpreted evaluation of that inlined tree per row measured
+    // ~140 ms/row (73 s for 500 docs). No filter is inferable for an
+    // outer generate; the null guard below runs on the generated
+    // column, above the Generate, and cannot sink. Every doc yields
+    // ≥ 1 fingerprint anyway, so outer ≡ inner here.
+    sel.select(col(idCol), explode_outer(col("__sel")).as("s"))
+      .filter(col("s").isNotNull)
       .select(col(idCol), col("s.pos").as("pos"), col("s.fp").as("fp"))
       .distinct()
   }
