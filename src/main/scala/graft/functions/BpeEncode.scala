@@ -1,0 +1,114 @@
+package graft.functions
+
+import scala.collection.mutable.ArrayBuffer
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.GraftSqlBridge
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** `bpe_encode` — greedy BPE application (Sennrich et al. 2016, the
+  * apply half) as a native Catalyst expression: one WORD in, its
+  * sub-word token array out, against a merge table shared across every
+  * row of the task (SURVEY §2.10 native-expression policy).
+  *
+  * Why an expression and not the [[graft.operators.Bpe.applyMerges]]
+  * replace-fold: the fold compiles the merge list INTO the plan — one
+  * string-replace operator per merge — which is ideal for oracle-sized
+  * lists but quadratic trouble at production vocabularies (32k merges =
+  * a 32k-deep codegen'd expression chain). Here the merge list is a
+  * constructor argument materialized once per task as a rank map; plan
+  * size and codegen are constant in the vocabulary.
+  *
+  * Semantics (pinned byte-identical to the fold by BpeEncodeSpec):
+  * repeatedly find the lowest-RANK adjacent symbol pair present in the
+  * word and fuse every left-to-right non-overlapping occurrence of it,
+  * until no merge applies. For a TRAINED merge list this equals applying
+  * the merges in order, each exhaustively — a fusion never creates a new
+  * adjacency of an earlier-rank pair (neighbors become adjacent to the
+  * composite symbol, never to each other) — which in turn equals the
+  * final training word-state for in-vocabulary words. Initial symbols
+  * are code points (the testdata and the fold's `split(w, "")` agree on
+  * every BMP character; tokens must not contain U+0001, the framing
+  * separator contract).
+  *
+  * Interpreted eval via [[CodegenFallback]] — the loop is branchy
+  * rank-argmin work over a hash map, not string algebra; it still rides
+  * the scan row-locally (zero shuffle, no state).
+  */
+case class BpeEncodeExpr(child: Expression, merges: Seq[(String, String)])
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = child.nullable
+
+  /** First occurrence of a pair wins its rank (a duplicate later entry
+    * is unreachable — by its turn the pair no longer exists).
+    */
+  @transient private lazy val rank: Map[(String, String), Int] =
+    merges.zipWithIndex.reverse.toMap
+
+  override def nullSafeEval(input: Any): Any = {
+    val toks = BpeEncodeExpr.encodeWord(
+      input.asInstanceOf[UTF8String].toString, rank, merges)
+    new GenericArrayData(toks.map(UTF8String.fromString(_)).toArray[Any])
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): BpeEncodeExpr =
+    copy(child = newChild)
+
+  override def prettyName: String = "bpe_encode"
+}
+
+object BpeEncodeExpr {
+
+  /** Greedy lowest-rank-first encode of one word. */
+  def encodeWord(w: String, rank: Map[(String, String), Int],
+      merges: Seq[(String, String)]): ArrayBuffer[String] = {
+    var syms = new ArrayBuffer[String](w.length)
+    var i = 0
+    while (i < w.length) {
+      val cp = w.codePointAt(i)
+      syms += new String(Character.toChars(cp))
+      i += Character.charCount(cp)
+    }
+    var done = syms.length < 2
+    while (!done) {
+      var bestRank = Int.MaxValue
+      var j = 0
+      while (j < syms.length - 1) {
+        val r = rank.getOrElse((syms(j), syms(j + 1)), Int.MaxValue)
+        if (r < bestRank) bestRank = r
+        j += 1
+      }
+      if (bestRank == Int.MaxValue) done = true
+      else {
+        val (l, r) = merges(bestRank)
+        val out = new ArrayBuffer[String](syms.length)
+        var k = 0
+        while (k < syms.length) {
+          if (k < syms.length - 1 && syms(k) == l && syms(k + 1) == r) {
+            out += l + r
+            k += 2
+          } else {
+            out += syms(k)
+            k += 1
+          }
+        }
+        syms = out
+        done = syms.length < 2
+      }
+    }
+    syms
+  }
+}
+
+object BpeFunctions {
+  /** Native greedy BPE application against a shared rank map. */
+  def bpe_encode(word: Column, merges: Seq[(String, String)]): Column =
+    GraftSqlBridge.column(
+      BpeEncodeExpr(GraftSqlBridge.expression(word), merges))
+}

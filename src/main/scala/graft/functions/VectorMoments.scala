@@ -1,0 +1,160 @@
+package graft.functions
+
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream, DataInputStream, DataOutputStream}
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.GraftSqlBridge
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+
+/** First and second moments of an embedding column — count, per-component
+  * sums, and the upper-triangular Gramian (sum of v_i·v_j) — as ONE native
+  * mergeable `TypedImperativeAggregate` (the [[MisraGriesTopK]] family).
+  * This is the statistical primitive behind PCA/whitening, covariance
+  * drift checks, and embedding-quality audits.
+  *
+  * The 100 TB shape: the naive formulation (posexplode pairs → groupBy
+  * (i,j)) shuffles n·d²/2 rows — a scale-killer at corpus n. Here every
+  * partition folds its rows into a single d + d(d+1)/2 long buffer
+  * (d=64 → ~17 KB), partials merge by elementwise add, and the corpus
+  * never shuffles at all: the only exchange is the single-row partial →
+  * final hop. CPU is the O(n·d²/2) inherent to a Gramian; memory and
+  * network are corpus-independent.
+  *
+  * Determinism contract (what lets q151 hash-certify the output): sums
+  * accumulate FIXED-POINT per-row floors — `floor(v_i·v_j · scale)` as a
+  * long — so addition is exact and associative, and the result is
+  * bit-identical under any partitioning, arrival, or merge order AND
+  * reproducible by an external engine running the same IEEE multiply +
+  * floor (the repo's 2^k fixed-point gate discipline). Long capacity
+  * bounds the corpus: with scale=2^20 and |v_i·v_j| ≤ 1, overflow needs
+  * ~9·10¹² rows — raise/lower `scale` to trade precision against
+  * headroom.
+  *
+  * Width contract: rows whose vector length ≠ `dim` (or with any NULL
+  * element) are EXCLUDED — from the count too — matching the
+  * labelCentroids dim-filter discipline; a corrupt vector can't silently
+  * skew one component.
+  *
+  * Output: `struct(n long, sums array<long>, pairs array<struct<i int,
+  * j int, sxy long>>)` with 1-BASED component indices (i ≤ j), ordered
+  * (i, j) — deterministic for the gate and aligned with SQL list
+  * indexing.
+  */
+case class VectorMomentsAgg(
+    child: Expression,
+    dim: Int,
+    scale: Long,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[Array[Long]] {
+
+  require(dim >= 1, s"dim $dim must be positive")
+  require(scale >= 1, s"scale $scale must be positive")
+
+  private val nPairs = dim * (dim + 1) / 2
+  // buffer layout: [0]=count, [1..dim]=sums, [dim+1..]=upper-tri products
+  private val bufLen = 1 + dim + nPairs
+
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = false
+  override def dataType: DataType = StructType(Seq(
+    StructField("n", LongType, nullable = false),
+    StructField("sums", ArrayType(LongType, containsNull = false), nullable = false),
+    StructField("pairs", ArrayType(StructType(Seq(
+      StructField("i", IntegerType, nullable = false),
+      StructField("j", IntegerType, nullable = false),
+      StructField("sxy", LongType, nullable = false))), containsNull = false),
+      nullable = false)))
+
+  override def createAggregationBuffer(): Array[Long] = new Array[Long](bufLen)
+
+  override def update(buf: Array[Long], input: InternalRow): Array[Long] = {
+    val v = child.eval(input)
+    if (v != null) {
+      val arr = v.asInstanceOf[ArrayData]
+      if (arr.numElements() == dim && !(0 until dim).exists(arr.isNullAt)) {
+        val d = new Array[Double](dim)
+        var i = 0
+        while (i < dim) { d(i) = arr.getDouble(i); i += 1 }
+        buf(0) += 1L
+        i = 0
+        var p = 1 + dim
+        while (i < dim) {
+          buf(1 + i) += math.floor(d(i) * scale).toLong
+          var j = i
+          while (j < dim) {
+            buf(p) += math.floor(d(i) * d(j) * scale).toLong
+            p += 1
+            j += 1
+          }
+          i += 1
+        }
+      }
+    }
+    buf
+  }
+
+  override def merge(buf: Array[Long], other: Array[Long]): Array[Long] = {
+    var i = 0
+    while (i < bufLen) { buf(i) += other(i); i += 1 }
+    buf
+  }
+
+  override def eval(buf: Array[Long]): Any = {
+    val sums = new GenericArrayData(
+      java.util.Arrays.copyOfRange(buf, 1, 1 + dim).asInstanceOf[Array[Long]]
+        .map(l => l: Any))
+    val pairs = new Array[Any](nPairs)
+    var p = 0
+    var i = 0
+    while (i < dim) {
+      var j = i
+      while (j < dim) {
+        pairs(p) = InternalRow(i + 1, j + 1, buf(1 + dim + p))
+        p += 1
+        j += 1
+      }
+      i += 1
+    }
+    InternalRow(buf(0), sums, new GenericArrayData(pairs))
+  }
+
+  override def serialize(buf: Array[Long]): Array[Byte] = {
+    val bos = new ByteArrayOutputStream(bufLen * 8)
+    val out = new DataOutputStream(bos)
+    var i = 0
+    while (i < bufLen) { out.writeLong(buf(i)); i += 1 }
+    out.flush()
+    bos.toByteArray
+  }
+
+  override def deserialize(bytes: Array[Byte]): Array[Long] = {
+    val in = new DataInputStream(new ByteArrayInputStream(bytes))
+    val buf = new Array[Long](bufLen)
+    var i = 0
+    while (i < bufLen) { buf(i) = in.readLong(); i += 1 }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): VectorMomentsAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): VectorMomentsAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): VectorMomentsAgg =
+    copy(child = newChildren.head)
+
+  override def prettyName: String = "vector_moments"
+}
+
+object VectorMomentsFunctions {
+  /** One-pass mergeable mean+Gramian accumulation in exact fixed point. */
+  def vector_moments(vec: Column, dim: Int, scale: Long): Column =
+    GraftSqlBridge.column(
+      VectorMomentsAgg(GraftSqlBridge.expression(vec), dim, scale)
+        .toAggregateExpression())
+}

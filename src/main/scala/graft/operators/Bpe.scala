@@ -2,7 +2,7 @@ package graft.operators
 
 import scala.collection.mutable
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextAnalysis
@@ -43,6 +43,18 @@ object Bpe {
   val Sep = "\u0001"
   private val SS = Sep + Sep
 
+  /** A word column rendered as its separator-framed character repr — the
+    * ONE framing definition [[wordFreq]] (training) and [[encode]]
+    * (application) share, so the two sides can never disagree on what a
+    * symbol boundary looks like.
+    */
+  def frame(word: Column): Column =
+    concat(lit(Sep), array_join(split(word, ""), SS), lit(Sep))
+
+  /** The framed repr decoded back to its symbol array. */
+  def unframe(repr: Column): Column =
+    split(repr.substr(lit(2), length(repr) - 2), SS)
+
   /** The corpus collapsed to `(repr, freq)` — the ONLY corpus-sized job
     * in BPE training. `repr` starts as the word's characters,
     * separator-framed.
@@ -51,10 +63,7 @@ object Bpe {
     docs.select(explode(org.apache.spark.sql.functions.filter(
         TextAnalysis.tokens(lower(col(textCol))), t => t =!= "")).as("word"))
       .groupBy(col("word")).agg(count(lit(1)).as("freq"))
-      .select(
-        concat(lit(Sep), array_join(split(col("word"), ""), SS), lit(Sep))
-          .as("repr"),
-        col("freq"))
+      .select(frame(col("word")).as("repr"), col("freq"))
 
   /** Adjacent-symbol pair counts over the current word state, weighted by
     * word frequency. Vocabulary-sized in and out.
@@ -131,4 +140,77 @@ object Bpe {
       .groupBy(col("symbol")).agg(sum(col("freq")).as("freq"))
     graft.core.Caching.reap(inv, t.words)
   }
+
+  /** Fold an ORDERED merge list over a framed repr column: one built-in
+    * `replace` per merge, each applied exhaustively (left-to-right
+    * non-overlapping — one pass removes every adjacency of that exact
+    * pair) before the next rank fires. For a TRAINED merge list this
+    * in-order exhaustive fold is exactly greedy lowest-rank-first BPE
+    * application: a fusion never creates a new adjacency of an
+    * earlier-rank pair (the fused symbol replaces the pair; its
+    * neighbors become adjacent to the composite, never to each other).
+    *
+    * Scale: pure projection — the k merges compile into a k-deep chain
+    * of codegen'd string replaces riding the scan, zero shuffle. The
+    * expression-tree depth bounds k (~10³ before codegen size hurts);
+    * for production vocabularies (32k merges) use
+    * [[encodeNative]], whose plan size is constant in k.
+    */
+  def applyMerges(repr: Column, merges: Seq[(String, String)]): Column =
+    merges.foldLeft(repr) { case (c, (l, r)) =>
+      org.apache.spark.sql.functions.replace(c,
+        lit(Sep + l + Sep + Sep + r + Sep), lit(Sep + l + r + Sep))
+    }
+
+  /** The ordered (lhs, rhs) pairs of a [[Trained]] state. */
+  def mergePairs(t: Trained): Seq[(String, String)] =
+    t.merges.map(m => (m._2, m._3))
+
+  private def encodeFrom(docs: DataFrame, idCol: String, textCol: String,
+      perWord: Column => Column): DataFrame =
+    docs
+      .select(col(idCol),
+        // NULL text surfaces as (0 words, 0 tokens, empty stream) — the
+        // charBigramScore present-not-absent contract.
+        coalesce(
+          org.apache.spark.sql.functions.filter(
+            TextAnalysis.tokens(lower(col(textCol))), t => t =!= ""),
+          array().cast("array<string>"))
+          .as("__ws"))
+      .select(col(idCol),
+        size(col("__ws")).cast("long").as("n_words"),
+        flatten(transform(col("__ws"), perWord)).as("tokens"))
+      .withColumn("n_tokens", size(col("tokens")).cast("long"))
+      .select(col(idCol), col("tokens"), col("n_words"), col("n_tokens"))
+
+  /** ENCODE — the APPLY half of the tokenizer: segment each document with
+    * the repo's one whitespace tokenization, run every word through the
+    * trained merge list, and return the sub-word token stream
+    * `(<idCol>, tokens array<string>, n_words, n_tokens)`.
+    *
+    * Scale: zero shuffle — the whole encode is a per-row projection
+    * (words → framed reprs → merge fold → token arrays), so it rides the
+    * corpus scan at any size. The merge list is vocabulary-sized by
+    * contract (collected once on the driver, folded into the plan as
+    * string literals); see [[applyMerges]] for the k-depth bound and
+    * [[encodeNative]] for the constant-plan-size production variant.
+    */
+  def encode(docs: DataFrame, idCol: String, textCol: String,
+      merges: Seq[(String, String)]): DataFrame =
+    encodeFrom(docs, idCol, textCol,
+      w => unframe(applyMerges(frame(w), merges)))
+
+  /** [[encode]] through the native [[graft.functions.BpeEncodeExpr]]
+    * expression: same output contract, but the merge table lives in ONE
+    * shared rank map instead of a k-deep replace chain, so the plan is
+    * constant-size at any vocabulary (32k merges = 32k map entries, not
+    * 32k operators). Row-local interpreted eval (the expression is
+    * branchy rank-argmin work, not string algebra) — still zero shuffle.
+    * BpeEncodeSpec pins byte-identical agreement with [[encode]] on
+    * trained merge lists.
+    */
+  def encodeNative(docs: DataFrame, idCol: String, textCol: String,
+      merges: Seq[(String, String)]): DataFrame =
+    encodeFrom(docs, idCol, textCol,
+      w => graft.functions.BpeFunctions.bpe_encode(w, merges))
 }

@@ -42,4 +42,38 @@ object Features {
       .withColumn(s"${prefix}_mm",
         when(hi > lo, (x - lo) / (hi - lo)))
   }
+
+  /** Embedding-column moment table: one row per upper-triangular component
+    * pair (i ≤ j, 1-based) with the exact fixed-point sums from
+    * [[graft.functions.VectorMomentsAgg]] and the derived covariance —
+    * the input a PCA/whitening or covariance-drift step consumes.
+    *
+    * Scale: the corpus NEVER shuffles — one mergeable aggregate folds
+    * every partition into a d+d(d+1)/2 long buffer (the only exchange is
+    * the single-row partial→final hop), and the tidy (i, j) explosion
+    * happens on that one row. Contrast with the posexplode-pairs
+    * formulation, which shuffles n·d²/2 rows.
+    *
+    * `cov` is DERIVED from the exact longs by a fixed IEEE sequence
+    * (sxy/scale/n − (sx/scale/n)·(sy/scale/n) — population covariance of
+    * the per-row-floored values), so it is deterministic and
+    * oracle-reproducible; precision is bounded by 1/scale per term.
+    */
+  def vectorMoments(df: DataFrame, vecCol: String, dim: Int,
+      scale: Long = 1L << 20): DataFrame = {
+    val sc = lit(scale.toDouble)
+    df.agg(graft.functions.VectorMomentsFunctions
+        .vector_moments(transform(col(vecCol), x => x.cast(DoubleType)),
+          dim, scale).as("m"))
+      .select(col("m.n").as("n"), col("m.sums").as("__ss"),
+        explode(col("m.pairs")).as("p"))
+      .select(col("n"), col("p.i").as("i"), col("p.j").as("j"),
+        element_at(col("__ss"), col("p.i")).as("sx_fix"),
+        element_at(col("__ss"), col("p.j")).as("sy_fix"),
+        col("p.sxy").as("sxy_fix"))
+      .withColumn("cov",
+        ((col("sxy_fix").cast(DoubleType) / sc) / col("n").cast(DoubleType))
+          - ((col("sx_fix").cast(DoubleType) / sc) / col("n").cast(DoubleType))
+            * ((col("sy_fix").cast(DoubleType) / sc) / col("n").cast(DoubleType)))
+  }
 }

@@ -1,0 +1,88 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextAnalysis
+
+/** BM25 keyword search over the corpus (Robertson-Sparck Jones
+  * probabilistic relevance, the Okapi BM25 form every lexical retrieval
+  * stack ships) — the "find me the docs about X" face of the engine, and
+  * the lexical complement to the vector-ANN family in [[Similarity]].
+  *
+  * Scale design — the reason this needs no inverted index to run at
+  * 100 TB: for a BOUNDED query-term list, every per-document quantity
+  * (per-term tf, doc length) is a row-local projection over the token
+  * array — no explode, no per-term shuffle, the text never leaves its
+  * scan task. The corpus-level statistics BM25 needs (N, Σdl, one df per
+  * query term) collapse into ONE scalar aggregate whose output is a
+  * single broadcast row — |terms|+2 numbers regardless of corpus size.
+  * Scoring is then a pure projection against those broadcast scalars,
+  * and the top-k is `orderBy(score).limit(k)` — Spark plans
+  * TakeOrderedAndProject (per-partition heaps + driver merge of k·P
+  * rows), never a global sort.
+  *
+  * Determinism contract: a document's score is a FIXED left-to-right
+  * fold of per-term contributions (the term list is a compile-time Seq,
+  * not data), so no floating-point sum ever crosses a partition
+  * boundary — scores are partitioning-invariant bit-for-bit. With
+  * `lnIdf = false` the score uses the raw Robertson idf ratio
+  * `(N - df + 0.5) / (df + 0.5)` and the whole computation is IEEE
+  * +,-,*,/ — reproducible by any external engine, which is what lets
+  * q150 hash-certify ranked scores (the repo's ln-free gate discipline:
+  * transcendentals are the one place two correct engines may differ in
+  * the last ulp). The default `lnIdf = true` applies the standard
+  * `ln(1 + ratio)` dampening a production ranker wants.
+  */
+object Search {
+
+  /** Per-term occurrence count inside a token array — row-local. */
+  private def tf(toks: Column, term: String): Column =
+    size(filter(toks, t => t === lit(term))).cast("double")
+
+  /** BM25 scores for `terms` over `docs`, top `k` by (score desc, id).
+    * Returns `(<idCol>, dl, score)`.
+    */
+  def bm25(docs: DataFrame, idCol: String, textCol: String,
+      terms: Seq[String], k: Int, k1: Double = 1.2, b: Double = 0.75,
+      lnIdf: Boolean = true): DataFrame = {
+    require(terms.nonEmpty, "bm25 needs at least one query term")
+    require(terms.distinct.size == terms.size, s"duplicate query terms: $terms")
+    val toked = docs.select(col(idCol),
+      coalesce(
+        filter(TextAnalysis.tokens(lower(col(textCol))), t => t =!= ""),
+        array().cast("array<string>")).as("__toks"))
+      .select(col(idCol), col("__toks"),
+        size(col("__toks")).cast("long").as("dl"))
+
+    // ONE corpus-sized aggregate: N, Σdl, and one df per query term.
+    val statAggs =
+      count(lit(1)).as("__n") +:
+      sum(col("dl")).as("__sumdl") +:
+      terms.zipWithIndex.map { case (t, i) =>
+        sum(when(array_contains(col("__toks"), t), 1L).otherwise(0L))
+          .as(s"__df_$i")
+      }
+    val stats = toked.agg(statAggs.head, statAggs.tail: _*)
+
+    val scored = toked.crossJoin(broadcast(stats))
+      .withColumn("__avgdl",
+        col("__sumdl").cast("double") / col("__n").cast("double"))
+      .withColumn("score",
+        terms.zipWithIndex.map { case (t, i) =>
+          val df = col(s"__df_$i").cast("double")
+          val ratio = (col("__n").cast("double") - df + lit(0.5)) /
+            (df + lit(0.5))
+          val idf = if (lnIdf) log(lit(1.0) + ratio) else ratio
+          val tfT = tf(col("__toks"), t)
+          val denom = tfT +
+            lit(k1) * ((lit(1.0) - lit(b)) +
+              lit(b) * (col("dl").cast("double") / col("__avgdl")))
+          idf * ((tfT * lit(k1 + 1.0)) / denom)
+        }.reduceLeft(_ + _))
+    scored
+      .select(col(idCol), col("dl"), col("score"))
+      .orderBy(col("score").desc, col(idCol))
+      .limit(k)
+  }
+}

@@ -544,5 +544,162 @@ object CurationQueries extends QueryModule {
                        repeat(chr(1), 2))) AS sym, freq
               FROM w4)
         GROUP BY sym ORDER BY symbol
+      """.trim)),
+
+    // --- BPE ENCODE: the apply half of the tokenizer. Train 4 merges,
+    // then run every document through the merge list and emit per-doc
+    // word/token counts plus an md5 over the full ordered token stream —
+    // the signature certifies every token boundary in every document,
+    // not just the totals. The oracle exploits the training identity:
+    // for in-vocabulary words, greedy application of the learned merges
+    // IS the final training word-state, so DuckDB unrolls the same 4
+    // rounds and reads each word's tokens off w4 (word recovered by
+    // stripping the separators). Spark encodes INDEPENDENTLY — a
+    // zero-shuffle projection folding the merges over each word
+    // (operators.Bpe.encode) — so agreement certifies the encoder, not
+    // the shared state. ---
+    GQuery(
+      "q148_bpe_encode",
+      (spark, dir) => {
+        val docs = Tables.docs(spark, dir)
+        val t = graft.operators.Bpe.train(docs, "text", 4)
+        val ms = graft.operators.Bpe.mergePairs(t)
+        t.words.unpersist()
+        graft.operators.Bpe.encode(docs, "doc_id", "text", ms)
+          .select(col("doc_id"), col("n_words"), col("n_tokens"),
+            md5(array_join(col("tokens"), " ")).as("token_sig"))
+          .orderBy(col("doc_id"))
+      },
+      Some(bpeEncodeOracle)),
+
+    // --- BPE encode through the NATIVE expression (BpeEncodeExpr): the
+    // production path whose plan size is constant in the vocabulary (one
+    // shared rank map, not a k-deep replace chain). Same oracle as q148
+    // — DuckDB certifies the greedy lowest-rank-first loop directly,
+    // beyond the fold-parity property BpeEncodeSpec pins. ---
+    GQuery(
+      "q149_bpe_encode_native",
+      (spark, dir) => {
+        val docs = Tables.docs(spark, dir)
+        val t = graft.operators.Bpe.train(docs, "text", 4)
+        val ms = graft.operators.Bpe.mergePairs(t)
+        t.words.unpersist()
+        graft.operators.Bpe.encodeNative(docs, "doc_id", "text", ms)
+          .select(col("doc_id"), col("n_words"), col("n_tokens"),
+            md5(array_join(col("tokens"), " ")).as("token_sig"))
+          .orderBy(col("doc_id"))
+      },
+      Some(bpeEncodeOracle)),
+
+    // --- BM25 keyword search (Okapi form), top-25 for a 3-term query.
+    // No inverted index needed at scale: per-term tf and dl are
+    // row-local token-array projections (no explode), the corpus stats
+    // (N, Σdl, per-term df) collapse to ONE broadcast scalar row, and
+    // the top-k is TakeOrderedAndProject — never a global sort. Gate
+    // uses the raw Robertson idf ratio (lnIdf=false): the whole score is
+    // IEEE +,-,*,/ in a FIXED fold order, so ranked scores hash-match
+    // across engines (the ln-free gate discipline; production keeps the
+    // ln(1+ratio) dampening, spec-covered). ---
+    GQuery(
+      "q150_bm25_search",
+      (spark, dir) =>
+        graft.operators.Search.bm25(Tables.docs(spark, dir), "doc_id",
+            "text", Seq("spark", "customer", "vector"), 25, lnIdf = false)
+          .orderBy(col("score").desc, col("doc_id")),
+      Some("""
+        WITH toked AS (
+          SELECT doc_id,
+                 list_filter(string_split(lower(text), ' '), s2 -> s2 <> '')
+                   AS toks
+          FROM documents),
+        d AS (SELECT doc_id, toks, len(toks) AS dl FROM toked),
+        st AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(dl) AS BIGINT) AS sumdl,
+                 CAST(SUM(CASE WHEN list_contains(toks, 'spark')
+                            THEN 1 ELSE 0 END) AS BIGINT) AS df0,
+                 CAST(SUM(CASE WHEN list_contains(toks, 'customer')
+                            THEN 1 ELSE 0 END) AS BIGINT) AS df1,
+                 CAST(SUM(CASE WHEN list_contains(toks, 'vector')
+                            THEN 1 ELSE 0 END) AS BIGINT) AS df2
+          FROM d),
+        sc AS (
+          SELECT doc_id, CAST(dl AS BIGINT) AS dl,
+                 ((((CAST(n AS DOUBLE) - CAST(df0 AS DOUBLE) + 0.5)
+                      / (CAST(df0 AS DOUBLE) + 0.5))
+                   * ((CAST(len(list_filter(toks, x -> x = 'spark')) AS DOUBLE)
+                        * (1.2 + 1.0))
+                      / (CAST(len(list_filter(toks, x -> x = 'spark')) AS DOUBLE)
+                         + 1.2 * ((1.0 - 0.75)
+                                  + 0.75 * (CAST(dl AS DOUBLE)
+                                            / (CAST(sumdl AS DOUBLE)
+                                               / CAST(n AS DOUBLE))))))
+                  + ((CAST(n AS DOUBLE) - CAST(df1 AS DOUBLE) + 0.5)
+                       / (CAST(df1 AS DOUBLE) + 0.5))
+                    * ((CAST(len(list_filter(toks, x -> x = 'customer')) AS DOUBLE)
+                         * (1.2 + 1.0))
+                       / (CAST(len(list_filter(toks, x -> x = 'customer')) AS DOUBLE)
+                          + 1.2 * ((1.0 - 0.75)
+                                   + 0.75 * (CAST(dl AS DOUBLE)
+                                             / (CAST(sumdl AS DOUBLE)
+                                                / CAST(n AS DOUBLE)))))))
+                  + ((CAST(n AS DOUBLE) - CAST(df2 AS DOUBLE) + 0.5)
+                       / (CAST(df2 AS DOUBLE) + 0.5))
+                    * ((CAST(len(list_filter(toks, x -> x = 'vector')) AS DOUBLE)
+                         * (1.2 + 1.0))
+                       / (CAST(len(list_filter(toks, x -> x = 'vector')) AS DOUBLE)
+                          + 1.2 * ((1.0 - 0.75)
+                                   + 0.75 * (CAST(dl AS DOUBLE)
+                                             / (CAST(sumdl AS DOUBLE)
+                                                / CAST(n AS DOUBLE)))))))
+                   AS score
+          FROM d CROSS JOIN st)
+        SELECT doc_id, dl, score FROM sc
+        ORDER BY score DESC, doc_id LIMIT 25
       """.trim)))
+
+  /** Shared q148/q149 oracle: unroll the 4 training rounds, read each
+    * word's token list off the final state, and rebuild every document's
+    * token stream in word order.
+    */
+  private lazy val bpeEncodeOracle: String = s"""
+    WITH w0 AS (
+      SELECT chr(1) || array_to_string(string_split(word, ''),
+               repeat(chr(1), 2)) || chr(1) AS repr,
+             CAST(COUNT(*) AS BIGINT) AS freq
+      FROM (SELECT unnest(list_filter(string_split(lower(text), ' '),
+                    s2 -> s2 <> '')) AS word
+            FROM documents)
+      GROUP BY word),
+    ${(1 to 4).map(bpeRoundSql).mkString(",\n")},
+    map AS (
+      SELECT replace(repr, chr(1), '') AS word,
+             string_split(substr(repr, 2, len(repr) - 2),
+               repeat(chr(1), 2)) AS toks
+      FROM w4),
+    dw AS (
+      SELECT doc_id,
+             list_filter(string_split(lower(text), ' '), s2 -> s2 <> '')
+               AS ws
+      FROM documents),
+    tok AS (
+      SELECT doc_id, i, ws[i] AS word
+      FROM dw, UNNEST(range(1, len(ws) + 1)) AS t(i)),
+    enc AS (
+      SELECT tok.doc_id, tok.i, m.toks
+      FROM tok JOIN map m ON tok.word = m.word),
+    agg AS (
+      SELECT doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_words,
+             CAST(SUM(len(toks)) AS BIGINT) AS n_tokens,
+             md5(string_agg(array_to_string(toks, ' '), ' ' ORDER BY i))
+               AS token_sig
+      FROM enc GROUP BY doc_id)
+    SELECT d.doc_id,
+           CAST(COALESCE(a.n_words, 0) AS BIGINT) AS n_words,
+           CAST(COALESCE(a.n_tokens, 0) AS BIGINT) AS n_tokens,
+           COALESCE(a.token_sig, md5('')) AS token_sig
+    FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
+    ORDER BY d.doc_id
+  """.trim
 }

@@ -979,6 +979,51 @@ object VectorQueries extends QueryModule {
         UNION ALL SELECT query_id, neighbor_id, 2 FROM s2
         UNION ALL SELECT query_id, neighbor_id, 3 FROM s3
         ORDER BY query_id, mmr_rank
+      """.trim)),
+
+    // --- Embedding moment table (mean + upper-tri Gramian): the PCA /
+    // whitening / covariance-drift primitive, computed by ONE mergeable
+    // native aggregate (functions.VectorMomentsAgg) — the corpus never
+    // shuffles; each partition folds into a d+d(d+1)/2 long buffer and
+    // only the single-row partial→final hop crosses the wire (the
+    // posexplode-pairs formulation would shuffle n·d²/2 rows). Sums are
+    // per-row fixed-point floors (2²⁰), so they are exact, associative,
+    // partitioning-invariant, and replayable by the oracle; `cov` is a
+    // fixed IEEE sequence over those exact longs. 2,080 rows at d=64. ---
+    GQuery(
+      "q151_vector_moments",
+      (spark, dir) =>
+        graft.operators.Features.vectorMoments(
+            t(spark, dir, "embeddings"), "embedding", Dim)
+          .orderBy(col("i"), col("j")),
+      Some("""
+        WITH v AS (
+          SELECT CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+          WHERE len(embedding) = 64
+            AND len(list_filter(embedding, x -> x IS NULL)) = 0),
+        n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM v),
+        sums AS (
+          SELECT i, CAST(SUM(CAST(FLOOR(e[i] * 1048576.0) AS BIGINT))
+                      AS BIGINT) AS s
+          FROM v, UNNEST(range(1, 65)) t(i) GROUP BY i),
+        prods AS (
+          SELECT i, j,
+                 CAST(SUM(CAST(FLOOR((e[i] * e[j]) * 1048576.0) AS BIGINT))
+                   AS BIGINT) AS sxy
+          FROM v, UNNEST(range(1, 65)) t1(i), UNNEST(range(1, 65)) t2(j)
+          WHERE j >= i GROUP BY i, j)
+        SELECT n.n AS n,
+               CAST(p.i AS INT) AS i, CAST(p.j AS INT) AS j,
+               si.s AS sx_fix, sj.s AS sy_fix, p.sxy AS sxy_fix,
+               ((CAST(p.sxy AS DOUBLE) / 1048576.0) / CAST(n.n AS DOUBLE))
+                 - ((CAST(si.s AS DOUBLE) / 1048576.0) / CAST(n.n AS DOUBLE))
+                   * ((CAST(sj.s AS DOUBLE) / 1048576.0) / CAST(n.n AS DOUBLE))
+                 AS cov
+        FROM prods p
+        JOIN sums si ON si.i = p.i
+        JOIN sums sj ON sj.i = p.j
+        CROSS JOIN n
+        ORDER BY p.i, p.j
       """.trim))
   )
 

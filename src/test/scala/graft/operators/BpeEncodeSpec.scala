@@ -1,0 +1,76 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+import graft.functions.BpeEncodeExpr
+
+/** The BPE APPLY half: greedy semantics of the replace-fold, fold/native
+  * parity, the encode↔training-state identity, and the zero-shuffle plan
+  * contract (the q148/q149 oracles certify the corpus-scale happy path).
+  */
+class BpeEncodeSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def enc(word: String, merges: Seq[(String, String)]): Seq[String] =
+    BpeEncodeExpr.encodeWord(word,
+      merges.zipWithIndex.reverse.toMap, merges).toSeq
+
+  test("native encodeWord: greedy left-to-right non-overlapping, rank order") {
+    // aaa + (a,a): leftmost pair fuses, remainder stays — [aa, a]
+    assert(enc("aaa", Seq(("a", "a"))) == Seq("aa", "a"))
+    assert(enc("aaaa", Seq(("a", "a"))) == Seq("aa", "aa"))
+    // rank order: (a,b) before (b,c) — "abc" → [ab, c], never [a, bc]
+    assert(enc("abc", Seq(("a", "b"), ("b", "c"))) == Seq("ab", "c"))
+    // composite follow-up: ab+c fires once ab exists
+    assert(enc("abc", Seq(("a", "b"), ("ab", "c"))) == Seq("abc"))
+    // OOV characters survive as single-char symbols
+    assert(enc("xyz", Seq(("a", "b"))) == Seq("x", "y", "z"))
+    assert(enc("q", Seq(("a", "b"))) == Seq("q"))
+  }
+
+  test("fold and native paths agree token-for-token on trained merges") {
+    val docs = Seq(
+      (1L, "the theme there then the"),
+      (2L, "there then the theatre"),
+      (3L, "then then theme the the the"),
+      (4L, "a lone xylophone"),
+      (5L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val t = Bpe.train(docs, "text", 6)
+    val ms = Bpe.mergePairs(t)
+    t.words.unpersist()
+    val fold = Bpe.encode(docs, "doc_id", "text", ms)
+      .select($"doc_id", array_join($"tokens", " ").as("s"), $"n_words", $"n_tokens")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).sortBy(_._1)
+    val native = Bpe.encodeNative(docs, "doc_id", "text", ms)
+      .select($"doc_id", array_join($"tokens", " ").as("s"), $"n_words", $"n_tokens")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).sortBy(_._1)
+    assert(fold.toSeq == native.toSeq)
+    // NULL text: zero words, zero tokens, empty stream — present, not absent
+    val nullRow = fold.find(_._1 == 5L).get
+    assert(nullRow._2 == "" && nullRow._3 == 0L && nullRow._4 == 0L)
+  }
+
+  test("in-vocabulary encode reproduces the final training word-state") {
+    val docs = Seq((1L, "banana bandana banana band")).toDF("doc_id", "text")
+    val t = Bpe.train(docs, "text", 5)
+    val ms = Bpe.mergePairs(t)
+    // training's final repr per word, decoded
+    val trained = t.words
+      .select(regexp_replace($"repr", Bpe.Sep, "").as("word"),
+        Bpe.unframe($"repr").as("toks"))
+      .collect().map(r => r.getString(0) -> r.getSeq[String](1).toSeq).toMap
+    t.words.unpersist()
+    for ((w, expect) <- trained)
+      assert(enc(w, ms) == expect, s"word $w")
+  }
+
+  test("encode is a zero-shuffle projection (no Exchange below the scan)") {
+    val docs = Seq((1L, "a b c")).toDF("doc_id", "text")
+    val plan = Bpe.encode(docs, "doc_id", "text", Seq(("a", "b")))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+  }
+}

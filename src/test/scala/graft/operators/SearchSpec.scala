@@ -1,0 +1,66 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** BM25 ranking semantics and plan-shape contracts (q150 hash-certifies
+  * the raw-idf scores at corpus scale).
+  */
+class SearchSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  // 'spark' is RARE (df=1), 'table' is common (df=4) — same tf where
+  // they appear, so idf decides.
+  private val docs = Seq(
+    (1L, "spark filter join scan"),
+    (2L, "table filter join scan"),
+    (3L, "table merge merge sort"),
+    (4L, "table group group sort"),
+    (5L, "table window frame sort"),
+    (6L, "filter join scan sort"),           // no query terms
+    (7L, null.asInstanceOf[String])          // unscoreable
+  ).toDF("doc_id", "text")
+
+  private def ranks(lnIdf: Boolean): Seq[(Long, Double)] =
+    Search.bm25(docs, "doc_id", "text", Seq("spark", "table"), 10,
+        lnIdf = lnIdf)
+      .collect().map(r => (r.getLong(0), r.getDouble(2))).toSeq
+
+  test("rare term outranks common term at equal tf; zero-hit docs score 0") {
+    for (ln <- Seq(true, false)) {
+      val r = ranks(ln)
+      val score = r.toMap
+      // doc1 (one hit on rare 'spark') beats doc2 (one hit on common
+      // 'table') at identical tf and dl — pure idf separation
+      assert(score(1L) > score(2L), s"lnIdf=$ln: $r")
+      // no-hit and null docs score exactly 0
+      assert(score(6L) == 0.0 && score(7L) == 0.0, s"lnIdf=$ln: $r")
+      // ties at 0 break by id — deterministic tail
+      assert(r.takeRight(2).map(_._1) == Seq(6L, 7L), s"lnIdf=$ln: $r")
+    }
+  }
+
+  test("scores are partitioning-invariant bit-for-bit") {
+    val a = Search.bm25(docs, "doc_id", "text", Seq("spark", "table"), 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(2))).toSeq
+    val b = Search.bm25(docs.repartition(7), "doc_id", "text",
+        Seq("spark", "table"), 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(2))).toSeq
+    assert(a == b)
+  }
+
+  test("plan: top-k via TakeOrderedAndProject, no explode, no per-term join") {
+    // fixture must exceed k: EliminateLimits drops a limit that already
+    // covers the child's maxRows, leaving a bare (full) Sort
+    val big = (1 to 100)
+      .map(i => (i.toLong, if (i % 9 == 0) "spark filter" else "table scan"))
+      .toDF("doc_id", "text")
+    val plan = Search.bm25(big, "doc_id", "text", Seq("spark", "table"), 5)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    assert(!plan.contains("Generate"), plan) // tf is row-local, never exploded
+    assert(!plan.contains("SortMergeJoin"), plan) // stats broadcast, corpus unshuffled
+  }
+}

@@ -1,0 +1,54 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** Hand-computed moment sums, width-contract exclusion, exact
+  * partitioning invariance, and the single-exchange plan shape (q151
+  * hash-certifies the 64-dim corpus path).
+  */
+class VectorMomentsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val rows = Seq(
+    (1L, Seq(1.0, 2.0)),
+    (2L, Seq(3.0, 4.0)),
+    (3L, Seq(9.0)),                       // short — excluded, n too
+    (4L, null.asInstanceOf[Seq[Double]])  // null — excluded
+  ).toDF("id", "embedding")
+
+  test("hand-computed fixed-point sums and covariance at d=2, scale=4") {
+    val m = Features.vectorMoments(rows, "embedding", dim = 2, scale = 4L)
+      .collect().map(r => ((r.getInt(1), r.getInt(2)),
+        (r.getLong(0), r.getLong(3), r.getLong(4), r.getLong(5), r.getDouble(6)))).toMap
+    // vectors (1,2) and (3,4): sums = (4+12, 8+16) = (16, 24)
+    // prods: (1,1)=4+36=40, (1,2)=8+48=56, (2,2)=16+64=80
+    assert(m((1, 1)) == ((2L, 16L, 16L, 40L, 1.0))) // var{1,3} = 1
+    assert(m((1, 2))._4 == 56L && m((1, 2))._5 == 1.0) // cov{(1,3),(2,4)} = 1
+    assert(m((2, 2))._4 == 80L && m((2, 2))._5 == 1.0)
+    assert(m.size == 3)
+  }
+
+  test("moment longs are exactly partitioning-invariant") {
+    val vecs = (1 to 200)
+      .map(i => (i.toLong, Seq.tabulate(8)(j => math.sin(i * 7.3 + j) * 0.9)))
+      .toDF("id", "embedding")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Features.vectorMoments(df, "embedding", 8)
+        .collect().map(r => (r.getInt(1), r.getInt(2), r.getLong(3),
+          r.getLong(4), r.getLong(5), r.getDouble(6))).sortBy(t => (t._1, t._2)).toSeq
+    assert(run(vecs) == run(vecs.repartition(13)))
+  }
+
+  test("plan: one exchange total — the corpus never shuffles") {
+    val vecs = (1 to 50)
+      .map(i => (i.toLong, Seq.tabulate(4)(j => (i + j).toDouble / 50)))
+      .toDF("id", "embedding")
+    val plan = Features.vectorMoments(vecs, "embedding", 4)
+      .queryExecution.executedPlan.toString
+    assert("Exchange".r.findAllIn(plan).size == 1, plan)
+    assert(plan.contains("vector_moments"), plan)
+  }
+}
