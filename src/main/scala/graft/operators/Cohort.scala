@@ -1,0 +1,71 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Cohort retention analysis over an event stream — the "did week-1
+  * users come back in week 3" matrix every product/BI layer computes
+  * (the events-table sibling of [[Sessionize]] and [[Funnel]]).
+  *
+  * Period semantics: periods are FIXED epoch-aligned windows of
+  * `periodDays` (day 0 = 1970-01-01), not calendar weeks — week
+  * truncation differs across engines (Monday vs Sunday start, ISO vs
+  * locale), while `floor(days_since_epoch / periodDays)` is pure integer
+  * arithmetic every engine reproduces. A user's cohort is the period of
+  * their FIRST event; `periods_since = event_period − cohort_period`.
+  *
+  * Scale: one aggregate keyed by user (first-event date — map-side
+  * partial min), one hash join back on the user key (events-scale but
+  * narrow: the join carries (user, date) pairs, never payload), and one
+  * final aggregate on (cohort, periods_since) whose distinct-user count
+  * shuffles at most one row per (cohort, period, user) — the
+  * distinct-compressed frame, far below events-scale. No windows, no
+  * broadcast assumptions (the user dimension is unbounded).
+  */
+object Cohort {
+
+  private val Epoch = "1970-01-01"
+
+  private def periodIdx(d: Column, periodDays: Int): Column =
+    floor(datediff(d, to_date(lit(Epoch))) / periodDays).cast("long")
+
+  /** The retention matrix: `(cohort_start date, periods_since long,
+    * n_users long, n_events long)`, one row per observed (cohort,
+    * periods_since) cell, `cohort_start` = first day of the cohort's
+    * period.
+    */
+  def retention(events: DataFrame, userCol: String, tsCol: Column,
+      periodDays: Int = 7): DataFrame = {
+    require(periodDays >= 1, s"periodDays $periodDays must be positive")
+    val e = events.select(col(userCol).as("__u"), to_date(tsCol).as("__d"))
+    val first = e.groupBy(col("__u"))
+      .agg(min(col("__d")).as("__d0"))
+      .select(col("__u"), periodIdx(col("__d0"), periodDays).as("__cohort"))
+    e.join(first, "__u")
+      .select(col("__u"), col("__cohort"),
+        (periodIdx(col("__d"), periodDays) - col("__cohort"))
+          .as("periods_since"))
+      .groupBy(col("__cohort"), col("periods_since"))
+      .agg(countDistinct(col("__u")).as("n_users"),
+        count(lit(1)).as("n_events"))
+      .select(
+        date_add(to_date(lit(Epoch)),
+          (col("__cohort") * periodDays).cast("int")).as("cohort_start"),
+        col("periods_since"), col("n_users"), col("n_events"))
+  }
+
+  /** [[retention]] re-expressed as survival FRACTIONS of each cohort's
+    * period-0 size — what a retention curve plots. One extra
+    * cohort-sized self-join (broadcast-safe: cohorts are date-bounded).
+    */
+  def retentionRate(events: DataFrame, userCol: String, tsCol: Column,
+      periodDays: Int = 7): DataFrame = {
+    val m = retention(events, userCol, tsCol, periodDays)
+    val base = m.filter(col("periods_since") === 0)
+      .select(col("cohort_start"), col("n_users").as("__cohort_size"))
+    m.join(broadcast(base), "cohort_start")
+      .withColumn("retention",
+        col("n_users").cast("double") / col("__cohort_size").cast("double"))
+      .drop("__cohort_size")
+  }
+}

@@ -85,6 +85,46 @@ object WindowQueries extends QueryModule {
         ORDER BY user_id, session_seq
       """.trim)),
 
+    // --- cohort retention matrix + survival fractions: users cohorted by
+    // the epoch-aligned 7-day period of their FIRST event (pure integer
+    // period arithmetic — calendar week truncation differs across
+    // engines), each cell = distinct users of that cohort active
+    // periods_since later. One user-keyed min aggregate, one narrow
+    // (user, date) join back, one distinct-compressed final aggregate —
+    // no windows, no broadcast assumption on the user dimension. ---
+    GQuery(
+      "q152_cohort_retention",
+      (spark, dir) =>
+        graft.operators.Cohort.retentionRate(
+            Tables.events(spark, dir)
+              .filter(col("event_type") === "purchase"),
+            "user_id", col("ts"))
+          .orderBy(col("cohort_start"), col("periods_since")),
+      Some("""
+        WITH e AS (SELECT user_id AS u, CAST(ts AS DATE) AS d FROM events
+                   WHERE event_type = 'purchase'),
+        f AS (
+          SELECT u, CAST(FLOOR(datediff('day', DATE '1970-01-01', MIN(d))
+                     / 7.0) AS BIGINT) AS cohort
+          FROM e GROUP BY u),
+        x AS (
+          SELECT e.u, f.cohort,
+                 CAST(FLOOR(datediff('day', DATE '1970-01-01', e.d) / 7.0)
+                   AS BIGINT) - f.cohort AS periods_since
+          FROM e JOIN f ON e.u = f.u),
+        m AS (
+          SELECT cohort, periods_since,
+                 CAST(COUNT(DISTINCT u) AS BIGINT) AS n_users,
+                 CAST(COUNT(*) AS BIGINT) AS n_events
+          FROM x GROUP BY 1, 2)
+        SELECT DATE '1970-01-01' + CAST(w.cohort * 7 AS INT) AS cohort_start,
+               w.periods_since, w.n_users, w.n_events,
+               CAST(w.n_users AS DOUBLE) / CAST(b.n_users AS DOUBLE)
+                 AS retention
+        FROM m w JOIN m b ON b.cohort = w.cohort AND b.periods_since = 0
+        ORDER BY cohort_start, w.periods_since
+      """.trim)),
+
     // --- W1: row_number top-k per group ---
     GQuery(
       "q30_topk_per_group",

@@ -1,0 +1,55 @@
+package graft.operators
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** Hand-built retention matrices: epoch-aligned period boundaries,
+  * distinct-user counting, survival fractions, and the window-free plan
+  * (q152 hash-certifies the events-table path).
+  */
+class CohortSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def ts(day: Int): Timestamp = // day N after 1970-01-01, noon
+    new Timestamp(day * 86400000L + 43200000L)
+
+  // A,B first in period 0 (days 0-6); C first in period 1 (day 7 — the
+  // boundary). A returns in periods 1 and 2, B never, C in period 2.
+  private val events = Seq(
+    ("a", ts(0)), ("a", ts(6)),  // same period — one distinct row
+    ("b", ts(3)),
+    ("a", ts(7)), ("a", ts(20)),
+    ("c", ts(7)), ("c", ts(14)), ("c", ts(15))
+  ).toDF("u", "t")
+
+  test("matrix: epoch-aligned periods, distinct users, event counts") {
+    val m = Cohort.retention(events, "u", col("t"))
+      .collect().map(r => ((r.getDate(0).toString, r.getLong(1)),
+        (r.getLong(2), r.getLong(3)))).toMap
+    assert(m == Map(
+      ("1970-01-01", 0L) -> ((2L, 3L)), // a(x2), b
+      ("1970-01-01", 1L) -> ((1L, 1L)), // a on day 7
+      ("1970-01-01", 2L) -> ((1L, 1L)), // a on day 20
+      ("1970-01-08", 0L) -> ((1L, 1L)), // c cohorts at the day-7 boundary
+      ("1970-01-08", 1L) -> ((1L, 2L)))) // c days 14+15, one distinct user
+  }
+
+  test("rates: period 0 is exactly 1.0, later cells divide by cohort size") {
+    val r = Cohort.retentionRate(events, "u", col("t"))
+      .collect().map(x => ((x.getDate(0).toString, x.getLong(1)), x.getDouble(4))).toMap
+    assert(r(("1970-01-01", 0L)) == 1.0 && r(("1970-01-08", 0L)) == 1.0)
+    assert(r(("1970-01-01", 1L)) == 0.5) // 1 of 2 returned
+    assert(r(("1970-01-08", 1L)) == 1.0)
+  }
+
+  test("plan is window-free (aggregates + one narrow join only)") {
+    val plan = Cohort.retention(events, "u", col("t"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), plan)
+  }
+}
