@@ -1,0 +1,129 @@
+package graft.functions
+
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream, DataInputStream, DataOutputStream}
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.GraftSqlBridge
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Count-Min sketch (Cormode & Muthukrishnan 2005) as a native mergeable
+  * `TypedImperativeAggregate` — the point-frequency counterpart to the
+  * [[MisraGriesTopK]] heavy-hitters summary: MG answers "which items are
+  * frequent", CMS answers "about how often did THIS item occur" for any
+  * item, in `depth × width` longs regardless of key cardinality.
+  *
+  * The 100 TB shape: a full `groupBy(key).count` shuffles every distinct
+  * key; the sketch folds each partition into one `d·w` long array
+  * (d=4, w=1024 → 32 KB), partials merge by elementwise add, and the
+  * only exchange is the single-row partial → final hop. CMS is a LINEAR
+  * sketch — merge is exact and associative, so the array (not just the
+  * estimates) is bit-identical under any partitioning, arrival, or merge
+  * order. That determinism is what lets the gate compare it at all.
+  *
+  * Hash family: row `i` buckets at `pmod(xxhash64(i, key), width)` with
+  * xxhash64's literal-fold seeding — exactly what the Column expression
+  * `xxhash64(lit(i), key)` computes (the [[MinHashSigExpr]] fused-family
+  * discipline), so a DataFrame-algebra replay of the sketch is available
+  * in-engine for self-certification, and `estimate` below can probe the
+  * evaluated array with plain Column algebra.
+  *
+  * Published guarantees (deterministic lower bound; probabilistic upper):
+  *  - never underestimates: est ≥ true count;
+  *  - est ≤ true + ε·n with probability 1−δ for ε = e/w, δ = e^−d.
+  * NULL keys are skipped (SQL aggregate convention), matching the
+  * `COUNT(key)` denominator an oracle uses.
+  */
+case class CountMinAgg(
+    child: Expression,
+    depth: Int,
+    width: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[Array[Long]] {
+
+  require(depth >= 1 && depth <= 64, s"depth $depth outside [1,64]")
+  require(width >= 2, s"width $width must be >= 2")
+
+  private val bufLen = depth * width
+
+  /** xxhash64's fold of the IntegerType literal `i` under seed 42 — the
+    * seed row `i`'s byte hash starts from, identical to what
+    * `functions.xxhash64(lit(i), key)` uses (see MinHashSig.scala).
+    */
+  private lazy val seeds: Array[Long] =
+    Array.tabulate(depth)(i => XXH64.hashInt(i, 42L))
+
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = false
+  override def dataType: DataType =
+    ArrayType(LongType, containsNull = false)
+
+  override def createAggregationBuffer(): Array[Long] = new Array[Long](bufLen)
+
+  override def update(buf: Array[Long], input: InternalRow): Array[Long] = {
+    val v = child.eval(input)
+    if (v != null) {
+      val s = v.asInstanceOf[UTF8String]
+      var i = 0
+      while (i < depth) {
+        val h = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset,
+          s.numBytes(), seeds(i))
+        val b = ((h % width) + width) % width
+        buf(i * width + b.toInt) += 1L
+        i += 1
+      }
+    }
+    buf
+  }
+
+  override def merge(buf: Array[Long], other: Array[Long]): Array[Long] = {
+    var i = 0
+    while (i < bufLen) { buf(i) += other(i); i += 1 }
+    buf
+  }
+
+  override def eval(buf: Array[Long]): Any =
+    new GenericArrayData(buf.map(l => l: Any))
+
+  override def serialize(buf: Array[Long]): Array[Byte] = {
+    val bos = new ByteArrayOutputStream(bufLen * 8)
+    val out = new DataOutputStream(bos)
+    var i = 0
+    while (i < bufLen) { out.writeLong(buf(i)); i += 1 }
+    out.flush()
+    bos.toByteArray
+  }
+
+  override def deserialize(bytes: Array[Byte]): Array[Long] = {
+    val in = new DataInputStream(new ByteArrayInputStream(bytes))
+    val buf = new Array[Long](bufLen)
+    var i = 0
+    while (i < bufLen) { buf(i) = in.readLong(); i += 1 }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): CountMinAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): CountMinAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): CountMinAgg =
+    copy(child = newChildren.head)
+
+  override def prettyName: String = "count_min"
+}
+
+object CountMinFunctions {
+  /** One-pass mergeable Count-Min sketch over a string key column.
+    * Returns the flat `depth × width` long array (row-major).
+    */
+  def count_min(key: Column, depth: Int, width: Int): Column =
+    GraftSqlBridge.column(
+      CountMinAgg(GraftSqlBridge.expression(key), depth, width)
+        .toAggregateExpression())
+}

@@ -327,4 +327,50 @@ object CorpusStats {
     docs.select(col(idCol)).join(scored, Seq(idCol), "left")
       .withColumn("n_bigrams", coalesce(col("n_bigrams"), lit(0L)))
   }
+
+  /** PMI collocation mining (Church & Hanks 1990) — the phrase-discovery
+    * pass a tokenizer/vocabulary pipeline runs before deciding which word
+    * pairs deserve a merged vocabulary entry:
+    *
+    *   PMI(a,b) = log( N · c(a,b) / (c(a) · c(b)) )
+    *
+    * over the [[wordLm]] count tables (same split-on-space lowercased
+    * tokenization as every text gate). `minCount` floors the bigram count
+    * first — the classic guard against hapax pairs, whose ratio is ~N by
+    * construction.
+    *
+    * Determinism: the gate-certified column is `pmi_fp = floor(ratio ·
+    * 2²⁰)` where `ratio = double(c_ab·N) / double(c_a·c_b)` — exact
+    * int64 products, one int64→double conversion per side (round-to-
+    * nearest, engine-independent), one IEEE division, one exact
+    * power-of-two multiply, `floor`. No `ln` (math-library last-ulp —
+    * the [[charBigramScore]] discipline) anywhere near the comparison;
+    * the conventional log-PMI rides alongside as `pmi` for production
+    * ranking. Headroom: `c_ab·N < 2⁶³` (at larger corpora pre-scale the
+    * counts or gate on the double ratio only).
+    *
+    * Scale: bigram counts shuffle once on (t1,t2); the unigram table and
+    * the scalar N are vocabulary-sized broadcasts; top-k is
+    * TakeOrderedAndProject with deterministic ties (ratio desc, then
+    * lexicographic pair).
+    */
+  def collocations(docs: DataFrame, textCol: String, minCount: Long,
+      topK: Int): DataFrame = {
+    val lm = wordLm(docs, textCol)
+    val n = lm.unigrams.agg(sum(col("cnt")).cast("long").as("__n"))
+    val ratio = (col("c_ab") * col("__n")).cast("double") /
+      (col("c1") * col("c2")).cast("double")
+    lm.bigrams.filter(col("cnt") >= minCount)
+      .withColumnRenamed("cnt", "c_ab")
+      .join(broadcast(lm.unigrams.select(col("t").as("t1"),
+        col("cnt").as("c1"))), Seq("t1"))
+      .join(broadcast(lm.unigrams.select(col("t").as("t2"),
+        col("cnt").as("c2"))), Seq("t2"))
+      .crossJoin(broadcast(n))
+      .select(col("t1"), col("t2"), col("c_ab"),
+        floor(ratio * lit(1048576L)).as("pmi_fp"),
+        log(ratio).as("pmi"))
+      .orderBy(col("pmi_fp").desc, col("t1"), col("t2"))
+      .limit(topK)
+  }
 }

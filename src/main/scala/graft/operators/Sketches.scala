@@ -1,0 +1,115 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.CountMinFunctions
+
+/** Count-Min frequency sketching in two hash families (the MinHash q65/q99
+  * discipline):
+  *
+  *  - **md5 oracle family** — the sketch is plain DataFrame algebra over
+  *    `Sampling.hash16` buckets, so an external SQL engine replays every
+  *    bucket count AND every point estimate bit-for-bit. This is the
+  *    correctness-gate surface.
+  *  - **xxhash64 production family** — the native mergeable
+  *    [[graft.functions.CountMinAgg]] (one `d·w` long array per
+  *    partition, zero key shuffle). Certified in-engine against its own
+  *    DataFrame-algebra replay (`xxhash64(lit(i), key)` reproduces the
+  *    agg's seeding exactly) plus the published one-sided guarantee.
+  *
+  * Scale: the md5 family's sketch TABLE is ≤ d·w rows after one
+  * aggregation keyed by (hash row, bucket) — fine for certification, but
+  * it shuffles every input row once. The production family shuffles
+  * nothing but `d·w` longs per partition. Same numbers, different wire
+  * cost; that is the whole point of the pair.
+  */
+object Sketches {
+
+  /** Bucket of `key` on md5 hash row `i`: [[Sampling.hash16]] with a
+    * per-row salt, mod `width`. Replayable as
+    * `md5('cms' || i || ':' || key)` ascii arithmetic in ANSI SQL.
+    */
+  def md5Bucket(key: Column, i: Int, width: Int): Column =
+    Sampling.hash16(key.cast("string"), s"cms$i:") % width
+
+  /** The md5-family sketch table: one row per (hash row, bucket) with its
+    * collision count — at most `depth × width` rows out of one
+    * aggregation. NULL keys are skipped (COUNT(key) convention, matching
+    * the native agg).
+    */
+  def cmsMd5Sketch(df: DataFrame, key: Column, depth: Int, width: Int): DataFrame =
+    df.filter(key.isNotNull)
+      .select(explode(array((0 until depth).map(i =>
+        struct(lit(i).as("hrow"), md5Bucket(key, i, width).as("bucket"))): _*))
+        .as("rb"))
+      .groupBy(col("rb.hrow").as("hrow"), col("rb.bucket").as("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+
+  /** Point estimates for `probes` (distinct keys in column `keyCol`)
+    * against an md5-family sketch table: min over hash rows of the
+    * probed bucket's count. A bucket absent from the sketch is 0 (only
+    * possible for keys the stream never contained).
+    */
+  def cmsMd5Estimate(sketch: DataFrame, probes: DataFrame, keyCol: String,
+      depth: Int, width: Int): DataFrame = {
+    val probed = probes
+      .select(col(keyCol), explode(array((0 until depth).map(i =>
+        struct(lit(i).as("hrow"), md5Bucket(col(keyCol), i, width).as("bucket"))): _*))
+        .as("rb"))
+      .select(col(keyCol), col("rb.hrow").as("hrow"), col("rb.bucket").as("bucket"))
+    probed
+      .join(sketch, Seq("hrow", "bucket"), "left")
+      .groupBy(col(keyCol))
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("cms_est"))
+  }
+
+  /** Native-family point estimate probed out of the EVALUATED sketch
+    * array (`count_min`'s output, 1-based SQL indexing): min over hash
+    * rows of `sketch[i·width + pmod(xxhash64(i, key), width) + 1]`. The
+    * `xxhash64(lit(i), key)` Column expression reproduces the agg's
+    * per-row seeding exactly — same fold, same buckets.
+    */
+  def cmsEstimate(sketchArr: Column, key: Column, depth: Int, width: Int): Column =
+    least((0 until depth).map { i =>
+      element_at(sketchArr,
+        (lit(i * width) + pmod(xxhash64(lit(i), key), lit(width.toLong))
+          + lit(1)).cast("int"))
+    }: _*)
+
+  /** DataFrame-algebra replay of the NATIVE family's sketch — same
+    * xxhash64 buckets, built by groupBy instead of the one-pass agg.
+    * Exists to certify [[graft.functions.CountMinAgg]] in-engine
+    * (CmsSpec + the q-gate's fused_ok column); production uses the agg.
+    */
+  def cmsXxSketchTable(df: DataFrame, key: Column, depth: Int, width: Int): DataFrame =
+    df.filter(key.isNotNull)
+      .select(explode(array((0 until depth).map(i =>
+        struct(lit(i).as("hrow"),
+          pmod(xxhash64(lit(i), key), lit(width.toLong)).as("bucket"))): _*))
+        .as("rb"))
+      .groupBy(col("rb.hrow").as("hrow"), col("rb.bucket").as("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+
+  /** Point estimates against an xxhash64-family sketch TABLE (the
+    * [[cmsXxSketchTable]] shape) — same min-over-rows probe as
+    * [[cmsMd5Estimate]], different hash family.
+    */
+  def cmsXxEstimate(sketch: DataFrame, probes: DataFrame, keyCol: String,
+      depth: Int, width: Int): DataFrame = {
+    val probed = probes
+      .select(col(keyCol), explode(array((0 until depth).map(i =>
+        struct(lit(i).as("hrow"),
+          pmod(xxhash64(lit(i), col(keyCol)), lit(width.toLong)).as("bucket"))): _*))
+        .as("rb"))
+      .select(col(keyCol), col("rb.hrow").as("hrow"), col("rb.bucket").as("bucket"))
+    probed
+      .join(sketch, Seq("hrow", "bucket"), "left")
+      .groupBy(col(keyCol))
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("cms_est"))
+  }
+
+  /** One-row frame holding the native sketch array for `df`'s `key`. */
+  def cmsNativeSketch(df: DataFrame, key: Column, depth: Int, width: Int): DataFrame =
+    df.agg(CountMinFunctions.count_min(key, depth, width).as("sketch"))
+}

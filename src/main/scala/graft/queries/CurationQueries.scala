@@ -656,6 +656,47 @@ object CurationQueries extends QueryModule {
           FROM d CROSS JOIN st)
         SELECT doc_id, dl, score FROM sc
         ORDER BY score DESC, doc_id LIMIT 25
+      """.trim)),
+
+    // --- PMI collocation mining (Church & Hanks 1990): which adjacent
+    // word pairs co-occur far above chance — the phrase-discovery pass
+    // before vocabulary construction. Counts come from the same wordLm
+    // tables as q134; the gate column is the ln-free fixed-point ratio
+    // floor(2²⁰ · double(c_ab·N) / double(c_a·c_b)) — exact int64
+    // products, engine-independent int→double rounding, one IEEE
+    // division, exact power-of-two scale. minCount=5 kills the
+    // hapax-pair ratio≈N artifact; top-50 with lexicographic ties. ---
+    GQuery(
+      "q157_pmi_collocations",
+      (spark, dir) =>
+        graft.operators.CorpusStats.collocations(
+            Tables.docs(spark, dir), "text", minCount = 5L, topK = 50)
+          .select(col("t1"), col("t2"), col("c_ab"), col("pmi_fp")),
+      Some("""
+        WITH tk AS (
+          SELECT list_filter(string_split(lower(text), ' '), x -> x <> '')
+                   AS t
+          FROM documents),
+        uni AS (
+          SELECT w, COUNT(*) AS c
+          FROM (SELECT unnest(t) AS w FROM tk) GROUP BY w),
+        n AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM uni),
+        bi AS (
+          SELECT t1, t2, COUNT(*) AS c_ab
+          FROM (SELECT t[i] AS t1, t[i + 1] AS t2
+                FROM tk, UNNEST(range(1, len(t))) AS r(i)
+                WHERE len(t) >= 2)
+          GROUP BY t1, t2)
+        SELECT bi.t1, bi.t2, bi.c_ab,
+               CAST(FLOOR((CAST(bi.c_ab * n.n AS DOUBLE)
+                             / CAST(u1.c * u2.c AS DOUBLE)) * 1048576)
+                 AS BIGINT) AS pmi_fp
+        FROM bi
+        JOIN uni u1 ON u1.w = bi.t1
+        JOIN uni u2 ON u2.w = bi.t2
+        CROSS JOIN n
+        WHERE bi.c_ab >= 5
+        ORDER BY pmi_fp DESC, t1, t2 LIMIT 50
       """.trim)))
 
   /** Shared q148/q149 oracle: unroll the 4 training rounds, read each

@@ -668,6 +668,116 @@ object OperatorQueries extends QueryModule {
                     END AS prev_c_mktsegment
         FROM customer
         ORDER BY c_custkey
+      """.trim)),
+
+    // --- Range join, point-in-interval: orders land in derived per-nation
+    // campaign windows (variable 6-16 day lengths, 6 per nation). The
+    // operator is RangeJoin.pointInInterval — a blocked EQUI-join (points
+    // bucket once, intervals replicate to covered buckets, exact BETWEEN
+    // as a post-filter) where the naive predicate join is a
+    // BroadcastNestedLoop O(n·m) scan; the oracle IS that naive
+    // inequality join, so agreement proves the blocking loses no pair and
+    // invents none. Integer epoch-day axis keeps both engines exact. ---
+    GQuery(
+      "q155_range_join_point",
+      (spark, dir) => {
+        import graft.operators.RangeJoin
+        val epoch = to_date(lit("1970-01-01"))
+        val base = datediff(to_date(lit("1995-01-01")), epoch)
+        val iv = t(spark, dir, "nation")
+          .select(col("n_nationkey"), explode(sequence(lit(0), lit(5))).as("m"))
+          .select(col("n_nationkey"), col("m").cast("int").as("campaign"),
+            (base + col("n_nationkey") * 11 + col("m") * 47).as("s"))
+          .withColumn("e", col("s") + lit(5) + (col("n_nationkey") + col("campaign")) % 11)
+        val ev = t(spark, dir, "orders")
+          .join(t(spark, dir, "customer"),
+            col("o_custkey") === col("c_custkey"))
+          .select(col("c_nationkey").as("n_nationkey"),
+            datediff(col("o_orderdate"), epoch).as("d"),
+            col("o_totalprice"))
+        RangeJoin.pointInInterval(ev, "d", iv, "s", "e",
+            Seq("n_nationkey"), bucketWidth = 16)
+          .groupBy(col("n_nationkey"), col("campaign"))
+          .agg(count(lit(1)).as("n_orders"),
+            sum(dec(col("o_totalprice"))).as("revenue"))
+          .orderBy(col("n_nationkey"), col("campaign"))
+      },
+      Some("""
+        WITH iv AS (
+          SELECT n_nationkey, CAST(m AS INT) AS campaign,
+                 (DATE '1995-01-01' - DATE '1970-01-01')
+                   + n_nationkey * 11 + m * 47 AS s
+          FROM nation CROSS JOIN (SELECT UNNEST(range(6)) AS m) t),
+        iv2 AS (
+          SELECT n_nationkey, campaign, s,
+                 s + 5 + (n_nationkey + campaign) % 11 AS e
+          FROM iv),
+        ev AS (
+          SELECT c.c_nationkey AS n_nationkey,
+                 (CAST(o.o_orderdate AS DATE) - DATE '1970-01-01') AS d,
+                 o.o_totalprice
+          FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey)
+        SELECT iv2.n_nationkey, iv2.campaign,
+               COUNT(*) AS n_orders,
+               SUM(CAST(ev.o_totalprice AS DECIMAL(12,2))) AS revenue
+        FROM iv2 JOIN ev
+          ON ev.n_nationkey = iv2.n_nationkey AND ev.d BETWEEN iv2.s AND iv2.e
+        GROUP BY 1, 2 ORDER BY 1, 2
+      """.trim)),
+
+    // --- Range join, interval-overlap: per-customer activity windows vs
+    // the same campaign calendar, keyed by nation. Each truly-overlapping
+    // pair is emitted EXACTLY ONCE via the first-shared-bucket rule (no
+    // distinct pass — the scaladoc contract), certified by comparing
+    // pair counts AND summed overlap lengths against the naive
+    // inequality-join oracle. ---
+    GQuery(
+      "q156_range_join_overlap",
+      (spark, dir) => {
+        import graft.operators.RangeJoin
+        val epoch = to_date(lit("1970-01-01"))
+        val base = datediff(to_date(lit("1995-01-01")), epoch)
+        val iv = t(spark, dir, "nation")
+          .select(col("n_nationkey"), explode(sequence(lit(0), lit(5))).as("m"))
+          .select(col("n_nationkey"), col("m").cast("int").as("campaign"),
+            (base + col("n_nationkey") * 11 + col("m") * 47).as("s"))
+          .withColumn("e", col("s") + lit(5) + (col("n_nationkey") + col("campaign")) % 11)
+        val act = t(spark, dir, "customer")
+          .select(col("c_nationkey").as("n_nationkey"), col("c_custkey"),
+            (base + col("c_custkey") % 360).as("a_s"))
+          .withColumn("a_e", col("a_s") + lit(10) + col("c_custkey") % 20)
+        RangeJoin.intervalOverlap(act, "a_s", "a_e", iv, "s", "e",
+            Seq("n_nationkey"), bucketWidth = 16)
+          .groupBy(col("n_nationkey"), col("campaign"))
+          .agg(count(lit(1)).as("n_pairs"),
+            sum(least(col("a_e"), col("e")) - greatest(col("a_s"), col("s"))
+              + lit(1)).as("overlap_days"))
+          .orderBy(col("n_nationkey"), col("campaign"))
+      },
+      Some("""
+        WITH iv AS (
+          SELECT n_nationkey, CAST(m AS INT) AS campaign,
+                 (DATE '1995-01-01' - DATE '1970-01-01')
+                   + n_nationkey * 11 + m * 47 AS s
+          FROM nation CROSS JOIN (SELECT UNNEST(range(6)) AS m) t),
+        iv2 AS (
+          SELECT n_nationkey, campaign, s,
+                 s + 5 + (n_nationkey + campaign) % 11 AS e
+          FROM iv),
+        act AS (
+          SELECT c_nationkey AS n_nationkey, c_custkey,
+                 (DATE '1995-01-01' - DATE '1970-01-01') + c_custkey % 360 AS a_s
+          FROM customer),
+        act2 AS (SELECT n_nationkey, c_custkey, a_s,
+                        a_s + 10 + c_custkey % 20 AS a_e FROM act)
+        SELECT iv2.n_nationkey, iv2.campaign,
+               COUNT(*) AS n_pairs,
+               CAST(SUM(least(act2.a_e, iv2.e) - greatest(act2.a_s, iv2.s) + 1)
+                 AS BIGINT) AS overlap_days
+        FROM iv2 JOIN act2
+          ON act2.n_nationkey = iv2.n_nationkey
+         AND act2.a_s <= iv2.e AND iv2.s <= act2.a_e
+        GROUP BY 1, 2 ORDER BY 1, 2
       """.trim))
   )
 }

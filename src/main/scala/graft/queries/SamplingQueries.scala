@@ -30,6 +30,20 @@ object SamplingQueries extends QueryModule {
   private def hashBucketSql(keyExpr: String): String =
     s"(${hash16Sql(keyExpr, "")}) % 100"
 
+  /** DuckDB rendering of [[graft.operators.Sketches.md5Bucket]]'s 16-bit
+    * hash: md5 salted with the per-hash-row prefix `'cms' || i || ':'`,
+    * first 4 hex digits ascii-decoded (the [[hash16Sql]] arithmetic with
+    * an EXPRESSION salt — `i` is a column of the unrolled hash-row set,
+    * not a literal).
+    */
+  private def cmsBucketSql(keyExpr: String, iExpr: String = "i"): String = {
+    val m = s"md5('cms' || CAST($iExpr AS VARCHAR) || ':' || $keyExpr)"
+    def hv(n: Int) =
+      s"(ascii(substr($m, $n, 1)) - " +
+        s"CASE WHEN ascii(substr($m, $n, 1)) >= 97 THEN 87 ELSE 48 END)"
+    s"(${hv(1)} * 4096 + ${hv(2)} * 256 + ${hv(3)} * 16 + ${hv(4)})"
+  }
+
   /** DuckDB rendering of `Sampling.hash16` (salted md5, ascii-decoded
     * first 4 hex digits) — the shared primitive behind the split, the
     * weighted mix, and shard assignment.
@@ -387,6 +401,95 @@ object SamplingQueries extends QueryModule {
                TRUE AS hll_ok,
                TRUE AS pctl_ok
         FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+      """.trim)),
+
+    // --- Count-Min sketch, md5 oracle family: the sketch table AND every
+    // point estimate are plain hash16 algebra, so DuckDB replays the whole
+    // thing bit-for-bit — buckets, collision counts, min-over-rows
+    // estimates, and the never-underestimates guarantee. d=4, w=256 over
+    // 1.5k distinct custkeys forces real collisions (est > exact on some
+    // probes), so the gate certifies estimation, not just counting. ---
+    GQuery(
+      "q153_cms_md5",
+      (spark, dir) => {
+        val o = t(spark, dir, "orders")
+        val d = 4; val w = 256
+        val sketch = graft.operators.Sketches.cmsMd5Sketch(o, col("o_custkey"), d, w)
+        val probes = o.filter(col("o_custkey") % 10 === 0)
+          .select(col("o_custkey")).distinct()
+        val exact = o.filter(col("o_custkey") % 10 === 0)
+          .groupBy(col("o_custkey")).agg(count(lit(1)).as("exact_cnt"))
+        graft.operators.Sketches.cmsMd5Estimate(sketch, probes, "o_custkey", d, w)
+          .join(exact, Seq("o_custkey"))
+          .select(col("o_custkey"), col("exact_cnt"), col("cms_est"),
+            (col("cms_est") >= col("exact_cnt")).as("over_ok"))
+          .orderBy(col("o_custkey"))
+      },
+      Some(s"""
+        WITH ids AS (SELECT UNNEST(range(4)) AS i),
+        b AS (
+          SELECT i, (${cmsBucketSql("CAST(o_custkey AS VARCHAR)")}) % 256 AS bucket,
+                 COUNT(*) AS cnt
+          FROM orders CROSS JOIN ids
+          GROUP BY 1, 2),
+        p AS (SELECT DISTINCT o_custkey FROM orders WHERE o_custkey % 10 = 0),
+        pb AS (
+          SELECT p.o_custkey, ids.i,
+                 (${cmsBucketSql("CAST(p.o_custkey AS VARCHAR)", "ids.i")}) % 256
+                   AS bucket
+          FROM p CROSS JOIN ids),
+        est AS (
+          SELECT pb.o_custkey, MIN(COALESCE(b.cnt, 0)) AS cms_est
+          FROM pb LEFT JOIN b ON b.i = pb.i AND b.bucket = pb.bucket
+          GROUP BY 1),
+        ex AS (SELECT o_custkey, COUNT(*) AS exact_cnt
+               FROM orders WHERE o_custkey % 10 = 0 GROUP BY 1)
+        SELECT ex.o_custkey, ex.exact_cnt, est.cms_est,
+               est.cms_est >= ex.exact_cnt AS over_ok
+        FROM ex JOIN est USING (o_custkey) ORDER BY o_custkey
+      """.trim)),
+
+    // --- Count-Min sketch, xxhash64 production family (the native
+    // mergeable CountMinAgg): estimates probed out of the one-pass agg's
+    // evaluated array are compared in-engine against a DataFrame-algebra
+    // replay of the same hash family (fused_ok — the q99 fast-family
+    // discipline) plus the published guarantees; the oracle carries the
+    // exact counts and literal TRUEs (the q96 sketch idiom). The ε-bound
+    // uses ε = e/w: deterministic for fixed data, verified locally. ---
+    GQuery(
+      "q154_cms_native",
+      (spark, dir) => {
+        val o = t(spark, dir, "orders")
+        val d = 4; val w = 256
+        val key = col("o_custkey").cast("string")
+        val sk = graft.operators.Sketches.cmsNativeSketch(o, key, d, w)
+        val alg = graft.operators.Sketches.cmsXxSketchTable(o, key, d, w)
+        val probes = o.filter(col("o_custkey") % 10 === 0)
+          .select(key.as("k")).distinct()
+        val algEst = graft.operators.Sketches.cmsXxEstimate(alg, probes, "k", d, w)
+          .withColumnRenamed("cms_est", "est_alg")
+        val n = o.agg(count(lit(1)).as("__n"))
+        val exact = o.filter(col("o_custkey") % 10 === 0)
+          .groupBy(col("o_custkey")).agg(count(lit(1)).as("exact_cnt"))
+        exact
+          .crossJoin(broadcast(sk))
+          .crossJoin(broadcast(n))
+          .withColumn("k", col("o_custkey").cast("string"))
+          .withColumn("est_native",
+            graft.operators.Sketches.cmsEstimate(col("sketch"), col("k"), d, w))
+          .join(algEst, Seq("k"))
+          .select(col("o_custkey"), col("exact_cnt"),
+            (col("est_native") >= col("exact_cnt")).as("over_ok"),
+            (col("est_native") - col("exact_cnt")
+              <= ceil(col("__n") * math.E / w)).as("bound_ok"),
+            (col("est_native") === col("est_alg")).as("fused_ok"))
+          .orderBy(col("o_custkey"))
+      },
+      Some("""
+        SELECT o_custkey, COUNT(*) AS exact_cnt,
+               TRUE AS over_ok, TRUE AS bound_ok, TRUE AS fused_ok
+        FROM orders WHERE o_custkey % 10 = 0
+        GROUP BY o_custkey ORDER BY o_custkey
       """.trim))
   )
 }

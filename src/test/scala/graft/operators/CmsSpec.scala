@@ -1,0 +1,79 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** Count-Min sketch: linearity (merge exactness under any partitioning),
+  * hash-family agreement between the native agg and its DataFrame-algebra
+  * replay, and the published one-sided guarantee. The cross-engine value
+  * check lives in q153/q154's DuckDB gates.
+  */
+class CmsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val D = 4
+  private val W = 64
+
+  private def stream = (1 to 500).map(i => s"k${i % 37}").toDF("k")
+
+  private def nativeArray(df: org.apache.spark.sql.DataFrame): Seq[Long] =
+    Sketches.cmsNativeSketch(df, col("k"), D, W)
+      .head().getSeq[Long](0)
+
+  test("CMS is a linear sketch: identical array under 1, 8, and 16 partitions") {
+    val base = nativeArray(stream.repartition(1))
+    assert(nativeArray(stream.repartition(8)) == base)
+    assert(nativeArray(stream.repartition(16)) == base)
+    assert(base.sum == 500L * D, "every update lands in exactly one bucket per row")
+  }
+
+  test("native agg buckets == xxhash64 Column-algebra buckets (full array)") {
+    val arr = nativeArray(stream)
+    val table = Sketches.cmsXxSketchTable(stream, col("k"), D, W)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    val rebuilt = Array.fill(D * W)(0L)
+    table.foreach { case (h, b, c) => rebuilt(h * W + b.toInt) = c }
+    assert(arr == rebuilt.toSeq)
+  }
+
+  test("estimates never underestimate; exact when width dwarfs cardinality") {
+    val exact = stream.groupBy($"k").count().as[(String, Long)].collect().toMap
+    val probes = exact.keys.toSeq.toDF("k")
+    val sk = Sketches.cmsNativeSketch(stream, col("k"), D, W)
+    val est = probes.crossJoin(sk)
+      .select($"k", Sketches.cmsEstimate(col("sketch"), col("k"), D, W).as("est"))
+      .as[(String, Long)].collect().toMap
+    exact.foreach { case (k, c) =>
+      assert(est(k) >= c, s"$k: est ${est(k)} < exact $c")
+    }
+    // 37 distinct keys in d=4 rows of w=4096 buckets: collisions are
+    // possible in principle but the min over 4 independent rows is exact
+    // here — and MUST be ≥ exact regardless.
+    val wide = 4096
+    val skWide = Sketches.cmsNativeSketch(stream, col("k"), D, wide)
+    val estWide = probes.crossJoin(skWide)
+      .select($"k", Sketches.cmsEstimate(col("sketch"), col("k"), D, wide).as("est"))
+      .as[(String, Long)].collect().toMap
+    assert(estWide == exact)
+  }
+
+  test("absent keys estimate 0 when no row collides; NULL keys are skipped") {
+    val df = Seq(Some("a"), Some("a"), None, Some("b")).toDF("k")
+    val arr = nativeArray(df)
+    assert(arr.sum == 3L * D, "NULL contributed nothing")
+    val md5Sketch = Sketches.cmsMd5Sketch(df, col("k"), D, W)
+    assert(md5Sketch.agg(sum($"cnt")).head().getLong(0) == 3L * D)
+  }
+
+  test("md5 oracle family: estimates >= exact and match a hand filter") {
+    val sketch = Sketches.cmsMd5Sketch(stream, col("k"), D, W)
+    val probes = stream.distinct()
+    val est = Sketches.cmsMd5Estimate(sketch, probes, "k", D, W)
+      .as[(String, Long)].collect().toMap
+    val exact = stream.groupBy($"k").count().as[(String, Long)].collect().toMap
+    exact.foreach { case (k, c) => assert(est(k) >= c) }
+  }
+}

@@ -344,4 +344,20 @@ class CurationOpsSpec extends AnyFunSuite {
       .select($"doc_id").collect().map(_.getLong(0)).toSet
     assert(kept == Set(3L, 10L, 99L), s"got $kept")
   }
+
+  test("collocations: hand-counted PMI ratios, minCount floor, deterministic top-k") {
+    // unigrams a:3 b:3 c:4, N=10; bigrams (a,b):3 (b,a):2 (c,c):3.
+    val docs = Seq((1L, "a b a b a b"), (2L, "c c c c")).toDF("doc_id", "text")
+    def fp(cab: Long, ca: Long, cb: Long): Long =
+      math.floor((cab * 10L).toDouble / (ca * cb).toDouble * 1048576L).toLong
+    val got = CorpusStats.collocations(docs, "text", minCount = 2L, topK = 10)
+      .select($"t1", $"t2", $"c_ab", $"pmi_fp")
+      .as[(String, String, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      ("a", "b", 3L, fp(3, 3, 3)),
+      ("b", "a", 2L, fp(2, 3, 3)),
+      ("c", "c", 3L, fp(3, 4, 4))))
+    assert(CorpusStats.collocations(docs, "text", 2L, 2).count() == 2)
+    assert(CorpusStats.collocations(docs, "text", 4L, 10).count() == 0)
+  }
 }

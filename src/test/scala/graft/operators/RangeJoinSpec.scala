@@ -1,0 +1,95 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** Blocked range joins vs the naive inequality join they replace: same
+  * pairs (exactly once), across bucket widths, boundary-inclusive, and —
+  * the scale claim — the blocked plan is an equi-join (no
+  * BroadcastNestedLoop / CartesianProduct node anywhere).
+  */
+class RangeJoinSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  // Deterministic fixture: intervals of varied lengths (incl. zero-length
+  // and many-bucket spans), points ON both bounds, multiple keys.
+  private def intervals: DataFrame =
+    (0 until 40).map { i =>
+      val s = (i * 13) % 200
+      (i % 3, i, s.toLong, (s + (i * 7) % 50).toLong)
+    }.toDF("key", "iv_id", "s", "e")
+
+  private def points: DataFrame =
+    (0 until 300).map { i => (i % 3, i, ((i * 17) % 260).toLong) }
+      .toDF("key", "pt_id", "d")
+
+  private def naivePoint: Set[(Int, Int)] =
+    points.as("p").join(intervals.as("iv"),
+        $"p.key" === $"iv.key" && $"p.d".between($"iv.s", $"iv.e"))
+      .select($"pt_id", $"iv_id").as[(Int, Int)].collect().toSet
+
+  test("pointInInterval == naive inequality join, each pair exactly once, any width") {
+    val expected = naivePoint
+    assert(expected.nonEmpty)
+    for (w <- Seq(1, 7, 16, 1000)) {
+      val got = RangeJoin.pointInInterval(points, "d", intervals, "s", "e",
+          Seq("key"), w)
+        .select($"pt_id", $"iv_id").as[(Int, Int)].collect()
+      assert(got.length == got.toSet.size, s"duplicate pairs at width $w")
+      assert(got.toSet == expected, s"pair set mismatch at width $w")
+    }
+  }
+
+  test("intervalOverlap == naive, exactly once, touching endpoints included") {
+    val left = (0 until 30).map { i =>
+      val s = (i * 11) % 150
+      (i % 3, i, s.toLong, (s + 5 + i % 40).toLong)
+    }.toDF("key", "l_id", "ls", "le")
+    val expected = left.as("l").join(intervals.as("r"),
+        $"l.key" === $"r.key" && $"ls" <= $"e" && $"s" <= $"le")
+      .select($"l_id", $"iv_id").as[(Int, Int)].collect().toSet
+    assert(expected.nonEmpty)
+    for (w <- Seq(1, 8, 32, 1000)) {
+      val got = RangeJoin.intervalOverlap(left, "ls", "le", intervals, "s", "e",
+          Seq("key"), w)
+        .select($"l_id", $"iv_id").as[(Int, Int)].collect()
+      assert(got.length == got.toSet.size, s"duplicate pairs at width $w")
+      assert(got.toSet == expected, s"pair set mismatch at width $w")
+    }
+    // Touching exactly at one day: [10,20] × [20,25] overlaps; [10,19] does not.
+    val a = Seq((1, 1, 10L, 20L)).toDF("key", "l_id", "ls", "le")
+    val b = Seq((1, 9, 20L, 25L)).toDF("key", "iv_id", "s", "e")
+    assert(RangeJoin.intervalOverlap(a, "ls", "le", b, "s", "e", Seq("key"), 16)
+      .count() == 1)
+    val a2 = Seq((1, 1, 10L, 19L)).toDF("key", "l_id", "ls", "le")
+    assert(RangeJoin.intervalOverlap(a2, "ls", "le", b, "s", "e", Seq("key"), 16)
+      .count() == 0)
+  }
+
+  test("blocked plan is an equi-join: no nested-loop or cartesian node") {
+    val blocked = RangeJoin.pointInInterval(points, "d", intervals, "s", "e",
+      Seq("key"), 16)
+    val plan = blocked.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoop") && !plan.contains("Cartesian"),
+      s"blocked plan fell back to a scan join:\n$plan")
+    // The naive formulation with ONLY the range predicate (no key) IS a
+    // nested-loop — the thing the operator exists to avoid.
+    val naive = points.join(intervals, $"d".between($"s", $"e"))
+    val naivePlan = naive.queryExecution.executedPlan.toString
+    assert(naivePlan.contains("BroadcastNestedLoop") || naivePlan.contains("Cartesian"))
+  }
+
+  test("negative-length intervals drop; NULL bounds and NULL points never match") {
+    val iv = Seq((1, 1, 30L, 20L)).toDF("key", "iv_id", "s", "e")
+    assert(RangeJoin.pointInInterval(points, "d", iv, "s", "e", Seq("key"), 8)
+      .count() == 0)
+    val ivNull = Seq((1, 1, Some(10L), Option.empty[Long]))
+      .toDF("key", "iv_id", "s", "e")
+    assert(RangeJoin.pointInInterval(points, "d", ivNull, "s", "e", Seq("key"), 8)
+      .count() == 0)
+  }
+}
