@@ -1,0 +1,128 @@
+package graft.functions
+
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream, DataInputStream, DataOutputStream}
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.GraftSqlBridge
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types._
+
+/** Top-k rows per group as a native mergeable `TypedImperativeAggregate`
+  * over `(ord, id)` long pairs — the scale-path replacement for
+  * `row_number() OVER (PARTITION BY g ORDER BY ord DESC) <= k`.
+  *
+  * The window form SORTS EVERY GROUP IN FULL: the exchange carries every
+  * row of the fact table and each task sorts its whole groups just to
+  * throw away all but k rows. Here each partition keeps a bounded
+  * min-heap of k pairs per group, partials merge heap-wise, and the
+  * shuffle carries ≤ k pairs per (partition, group) — the same
+  * partial-aggregate shape as any map-side-combined `max`, with the
+  * payload joined back by id afterwards if more columns are needed
+  * (the keepBest narrow-join discipline).
+  *
+  * Ordering contract (deterministic, total): pairs rank by
+  * `(ord DESC, id DESC)` lexicographically — equal `ord` breaks toward
+  * the LARGER id, so the result is partitioning/arrival/merge-order
+  * invariant and replayable as
+  * `ORDER BY ord DESC, id DESC` in any engine. NULL ord or id skips the
+  * row (SQL aggregate convention).
+  *
+  * Output: `array<struct<ord long, id long>>` sorted descending, length
+  * `min(k, group size)`.
+  */
+case class TopKPairsAgg(
+    ord: Expression,
+    id: Expression,
+    k: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[mutable.PriorityQueue[(Long, Long)]] {
+
+  require(k >= 1, s"k $k must be positive")
+
+  override def children: Seq[Expression] = Seq(ord, id)
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("ord", LongType, nullable = false),
+    StructField("id", LongType, nullable = false))), containsNull = false)
+
+  // Min-heap on (ord, id): head is the SMALLEST kept pair, evicted first.
+  private def heapOrdering: Ordering[(Long, Long)] =
+    Ordering.Tuple2(Ordering.Long, Ordering.Long).reverse
+
+  override def createAggregationBuffer(): mutable.PriorityQueue[(Long, Long)] =
+    mutable.PriorityQueue.empty(heapOrdering)
+
+  private def add(buf: mutable.PriorityQueue[(Long, Long)],
+      pair: (Long, Long)): Unit = {
+    if (buf.size < k) buf.enqueue(pair)
+    else if (heapOrdering.lt(pair, buf.head)) { // pair ranks above current min
+      buf.dequeue()
+      buf.enqueue(pair)
+    }
+  }
+
+  override def update(buf: mutable.PriorityQueue[(Long, Long)],
+      input: InternalRow): mutable.PriorityQueue[(Long, Long)] = {
+    val o = ord.eval(input)
+    val i = id.eval(input)
+    if (o != null && i != null)
+      add(buf, (o.asInstanceOf[Long], i.asInstanceOf[Long]))
+    buf
+  }
+
+  override def merge(buf: mutable.PriorityQueue[(Long, Long)],
+      other: mutable.PriorityQueue[(Long, Long)]): mutable.PriorityQueue[(Long, Long)] = {
+    other.foreach(add(buf, _))
+    buf
+  }
+
+  override def eval(buf: mutable.PriorityQueue[(Long, Long)]): Any = {
+    val sorted = buf.toArray.sorted(heapOrdering) // (ord, id) descending
+    new GenericArrayData(sorted.map { case (o, i) => InternalRow(o, i): Any })
+  }
+
+  override def serialize(buf: mutable.PriorityQueue[(Long, Long)]): Array[Byte] = {
+    val bos = new ByteArrayOutputStream(4 + buf.size * 16)
+    val out = new DataOutputStream(bos)
+    out.writeInt(buf.size)
+    buf.foreach { case (o, i) => out.writeLong(o); out.writeLong(i) }
+    out.flush()
+    bos.toByteArray
+  }
+
+  override def deserialize(bytes: Array[Byte]): mutable.PriorityQueue[(Long, Long)] = {
+    val in = new DataInputStream(new ByteArrayInputStream(bytes))
+    val n = in.readInt()
+    val buf = createAggregationBuffer()
+    var i = 0
+    while (i < n) { buf.enqueue((in.readLong(), in.readLong())); i += 1 }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): TopKPairsAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): TopKPairsAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): TopKPairsAgg =
+    copy(ord = newChildren(0), id = newChildren(1))
+
+  override def prettyName: String = "top_k_pairs"
+}
+
+object TopKFunctions {
+  /** Bounded per-partition top-k of `(ord, id)` pairs, mergeable —
+    * shuffles ≤ k pairs per partition per group instead of sorting
+    * whole groups under a window.
+    */
+  def top_k_pairs(ord: Column, id: Column, k: Int): Column =
+    GraftSqlBridge.column(
+      TopKPairsAgg(GraftSqlBridge.expression(ord),
+        GraftSqlBridge.expression(id), k).toAggregateExpression())
+}

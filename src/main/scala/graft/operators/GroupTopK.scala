@@ -1,0 +1,38 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TopKFunctions
+
+/** Top-k per group WITHOUT sorting whole groups.
+  *
+  * `row_number() OVER (PARTITION BY g ORDER BY ord DESC) <= k` shuffles
+  * every row and sorts every group in full — at fact scale that is a
+  * corpus-sized exchange plus an O(n log n) sort per group for a k-row
+  * answer. [[graft.functions.TopKPairsAgg]] turns it into a partially
+  * aggregated hash-agg: each task keeps a k-bounded heap per group,
+  * the exchange carries ≤ k pairs per (task, group), and no sort ever
+  * sees more than k·tasks rows per group.
+  *
+  * The pair is `(ord, id)` longs — callers with decimal order keys
+  * pre-scale to integer (the repo's exact fixed-point discipline), and
+  * wide payloads join back by id afterwards (the keepBest narrow-join
+  * shape) instead of riding the aggregation.
+  */
+object GroupTopK {
+
+  /** One row per kept pair: `groupCols…, rnk (1-based), id, ord`,
+    * ranked by `(ord DESC, id DESC)` — deterministic total order,
+    * replayable as a `ROW_NUMBER` window in any SQL engine.
+    */
+  def groupedTopK(df: DataFrame, groupCols: Seq[String], ordCol: Column,
+      idCol: Column, k: Int): DataFrame =
+    df.groupBy(groupCols.map(col): _*)
+      .agg(TopKFunctions.top_k_pairs(ordCol, idCol, k).as("__topk"))
+      .select(groupCols.map(col) :+
+        posexplode(col("__topk")).as(Seq("pos", "p")): _*)
+      .select(groupCols.map(col) :+
+        (col("pos") + 1).cast("int").as("rnk") :+
+        col("p.id").as("id") :+ col("p.ord").as("ord"): _*)
+}

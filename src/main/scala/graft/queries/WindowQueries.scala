@@ -431,6 +431,40 @@ object WindowQueries extends QueryModule {
                CAST(rank() OVER (ORDER BY revenue DESC, c_nationkey) AS INT) AS rev_rank
         FROM rev
         ORDER BY rev_rank
+      """.trim)),
+
+    // --- grouped top-k via the native mergeable TopKPairsAgg — the
+    // scale-path replacement for `row_number() <= k`: the window form
+    // shuffles and sorts EVERY customer row per nation; this keeps a
+    // k-bounded heap per task and shuffles ≤ k pairs per (task, group).
+    // The oracle IS the window form, so agreement proves the heap
+    // discipline (merge order, eviction, (ord DESC, id DESC) ties)
+    // reproduces the sorted answer exactly. Balances ride as exact
+    // cents (decimal → ×100 → long — no IEEE cast ambiguity). ---
+    GQuery(
+      "q158_grouped_topk",
+      (spark, dir) => {
+        val c = t(spark, dir, "customer")
+          .select(col("c_nationkey"),
+            (dec(col("c_acctbal")) * 100).cast("long").as("bal"),
+            col("c_custkey"))
+        graft.operators.GroupTopK.groupedTopK(c, Seq("c_nationkey"),
+            col("bal"), col("c_custkey"), 3)
+          .select(col("c_nationkey"), col("rnk"),
+            col("id").as("c_custkey"), col("ord").as("bal_cents"))
+          .orderBy(col("c_nationkey"), col("rnk"))
+      },
+      Some("""
+        SELECT c_nationkey, rnk, c_custkey, bal_cents FROM (
+          SELECT c_nationkey,
+                 CAST(row_number() OVER (PARTITION BY c_nationkey
+                   ORDER BY CAST(CAST(c_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT) DESC,
+                            c_custkey DESC) AS INT) AS rnk,
+                 c_custkey,
+                 CAST(CAST(c_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT) AS bal_cents
+          FROM customer)
+        WHERE rnk <= 3
+        ORDER BY c_nationkey, rnk
       """.trim))
   )
 }

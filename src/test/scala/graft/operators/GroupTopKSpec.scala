@@ -1,0 +1,62 @@
+package graft.operators
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** Grouped top-k heap aggregate vs the window row_number it replaces:
+  * identical answers under any partitioning, deterministic ties, bounded
+  * output, and a plan with NO window/sort over the input — the scale
+  * claim.
+  */
+class GroupTopKSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  // Skewed deterministic fixture with deliberate ord ties inside groups.
+  private def rows = (0 until 400).map { i =>
+    (i % 5, (i * 37 % 19).toLong /* many ties */, i.toLong)
+  }.toDF("g", "ord", "id")
+
+  private def windowTopK(k: Int): Set[(Int, Int, Long, Long)] = {
+    val w = Window.partitionBy($"g").orderBy($"ord".desc, $"id".desc)
+    rows.withColumn("rnk", row_number().over(w)).filter($"rnk" <= k)
+      .select($"g", $"rnk".cast("int"), $"id", $"ord")
+      .as[(Int, Int, Long, Long)].collect().toSet
+  }
+
+  test("heap top-k == window row_number under 1, 8, and 16 partitions") {
+    for (k <- Seq(1, 3, 7); parts <- Seq(1, 8, 16)) {
+      val got = GroupTopK.groupedTopK(rows.repartition(parts), Seq("g"),
+          $"ord", $"id", k)
+        .select($"g", $"rnk", $"id", $"ord")
+        .as[(Int, Int, Long, Long)].collect().toSet
+      assert(got == windowTopK(k), s"k=$k parts=$parts")
+    }
+  }
+
+  test("k beyond group size returns the whole group, still ranked") {
+    val small = Seq((1, 10L, 1L), (1, 20L, 2L), (2, 5L, 3L)).toDF("g", "ord", "id")
+    val got = GroupTopK.groupedTopK(small, Seq("g"), $"ord", $"id", 100)
+      .select($"g", $"rnk", $"id").as[(Int, Int, Long)].collect().toSet
+    assert(got == Set((1, 1, 2L), (1, 2, 1L), (2, 1, 3L)))
+  }
+
+  test("NULL ord or id rows are skipped, not ranked") {
+    val df = Seq((1, Some(10L), Some(1L)), (1, None, Some(2L)),
+      (1, Some(30L), None)).toDF("g", "ord", "id")
+    val got = GroupTopK.groupedTopK(df, Seq("g"), $"ord", $"id", 5)
+      .select($"id").as[Long].collect().toSeq
+    assert(got == Seq(1L))
+  }
+
+  test("plan is a partial hash aggregate — no Window, no Sort of the input") {
+    val plan = GroupTopK.groupedTopK(rows, Seq("g"), $"ord", $"id", 3)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"window leaked into the plan:\n$plan")
+    assert(plan.contains("ObjectHashAggregate") || plan.contains("SortAggregate"),
+      s"expected an aggregate-based plan:\n$plan")
+  }
+}
