@@ -107,7 +107,23 @@ class GatePlanSpec extends AnyFunSuite {
     "q146_scd3_apply" -> (5, 0),
     // q147 = post-cache assembly over the pinned candidate/sims frames
     // (the q144 convention — nomination + pairwise sims run once)
-    "q147_mmr_rerank" -> (1, 0))
+    "q147_mmr_rerank" -> (1, 0),
+    // round-9 sketch/join/top-k additions. q153/q154 = sketch-table aggs
+    // + probe joins — every broadcast side is ≤ d·w rows or one scalar
+    // row; q155/q156 = the blocked range joins: intervals/windows are
+    // dimension-sized BROADCASTS, the fact side shuffles only for the
+    // final rollup (RangeJoinSpec separately pins "no nested-loop");
+    // q157's shuffles are MODEL-side (the q134 convention: unigram ×3 +
+    // bigram builds — vocab-sized after partial agg; the only
+    // corpus-sized work is the scans feeding them); q158 = ONE partial
+    // heap-agg shuffle + output sort, no Window anywhere — the entire
+    // point of the operator
+    "q153_cms_md5" -> (4, 2),
+    "q154_cms_native" -> (6, 4),
+    "q155_range_join_point" -> (2, 2),
+    "q156_range_join_overlap" -> (2, 1),
+    "q157_pmi_collocations" -> (9, 3),
+    "q158_grouped_topk" -> (2, 0))
 
   test("q107's ORC read-back pushes its predicate and projection into the scan") {
     import org.apache.spark.sql.functions.col
