@@ -1,0 +1,75 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.GraftSqlBridge
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.{DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** `fold_accents` — diacritic stripping as a native Catalyst expression
+  * (the [[NfcNormalizeExpr]] family): NFD-decompose, drop non-spacing
+  * marks (Unicode category Mn), leave everything else — `café` → `cafe`,
+  * `Zürich` → `Zurich`, while `Ø`/`ß`/fullwidth forms (no canonical
+  * decomposition) pass through unchanged.
+  *
+  * Where it sits in a text pipeline: BETWEEN the byte-canonicalizer and
+  * the matcher. [[NfcNormalizeExpr]] makes equal text byte-equal;
+  * accent folding makes NEAR-equal text equal — the fuzzy-matching /
+  * search-normalization step (deletion-neighborhood blocking, BM25 term
+  * match, language-id token tables) where `resume` should hit `résumé`.
+  * It is lossy by design, so it feeds matchers, never the stored text.
+  *
+  * Exactness contract: this algorithm (NFD + strip Mn) is precisely what
+  * utf8proc-based engines expose as `strip_accents`, which is what lets
+  * the q-gate compare Spark output against an external engine verbatim
+  * rather than on a hash-only basis. ASCII rows short-circuit before the
+  * allocating normalize call (the [[NfcNormalizeExpr]] fast-path
+  * discipline); stays inside whole-stage codegen.
+  */
+case class FoldAccentsExpr(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = child.nullable
+
+  override def nullSafeEval(input: Any): Any =
+    FoldAccentsExpr.fold(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cls = FoldAccentsExpr.getClass.getName.stripSuffix("$")
+    defineCodeGen(ctx, ev, c => s"$cls.fold($c)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): FoldAccentsExpr =
+    copy(child = newChild)
+
+  override def prettyName: String = "fold_accents"
+}
+
+object FoldAccentsExpr {
+  /** Shared by interpreted eval and generated code. */
+  def fold(s: UTF8String): UTF8String = {
+    val str = s.toString
+    var i = 0
+    var ascii = true
+    while (ascii && i < str.length) {
+      if (str.charAt(i) >= 0x80) ascii = false
+      i += 1
+    }
+    if (ascii) return s
+    val nfd = java.text.Normalizer.normalize(str, java.text.Normalizer.Form.NFD)
+    val sb = new java.lang.StringBuilder(nfd.length)
+    var j = 0
+    while (j < nfd.length) {
+      val cp = nfd.codePointAt(j)
+      if (Character.getType(cp) != Character.NON_SPACING_MARK)
+        sb.appendCodePoint(cp)
+      j += Character.charCount(cp)
+    }
+    UTF8String.fromString(sb.toString)
+  }
+
+  /** Codegen'd Catalyst-native accent folding. */
+  def fold_accents(c: Column): Column =
+    GraftSqlBridge.column(FoldAccentsExpr(GraftSqlBridge.expression(c)))
+}

@@ -78,4 +78,41 @@ object IncrementalAgg {
         col(s"${m}_sum").cast("double") / col("n").cast("double"))
     }
   }
+
+  /** Distinct-count partial state: one Apache DataSketches HLL sketch
+    * per group (Spark's `hll_sketch_agg`, binary column).
+    *
+    * COUNT DISTINCT is the aggregate the sum/min/max monoid above cannot
+    * carry exactly — an exact distinct state is the distinct value SET,
+    * which grows with the data instead of the group count. The sketch
+    * closes that hole the 100 TB way: a fixed `≤ 2^lgK`-register state
+    * per group, batch states union with the SAME merge shape as
+    * [[merge]], and refresh cost stays O(batch + groups) regardless of
+    * history. Estimates carry the published ~1.04/√2^lgK relative error
+    * (lgK=12 → ~1.6%); exactness claims ride the gate's bound booleans,
+    * never the estimate itself.
+    */
+  def distinctState(df: DataFrame, keys: Seq[String], value: Column,
+      lgK: Int = 12): DataFrame =
+    df.groupBy(keys.map(col): _*)
+      .agg(hll_sketch_agg(value, lit(lgK)).as("distinct_sketch"))
+
+  /** Fold distinct-count states (the [[merge]] counterpart): sketch
+    * union per group. Input/output schemas identical, so states
+    * roundtrip through a parquet sink unchanged — store one state per
+    * ingest window, merge any range at read time.
+    */
+  def mergeDistinct(states: DataFrame*): DataFrame = {
+    require(states.nonEmpty, "mergeDistinct needs at least one state")
+    val all = states.reduce(_ unionByName _)
+    val keyCols = all.columns.filter(_ != "distinct_sketch").toSeq
+    all.groupBy(keyCols.map(col): _*)
+      .agg(hll_union_agg(col("distinct_sketch"), allowDifferentLgConfigK = false)
+        .as("distinct_sketch"))
+  }
+
+  /** Read-time estimate over a distinct-count state. */
+  def distinctReport(state: DataFrame): DataFrame =
+    state.withColumn("distinct_est",
+      hll_sketch_estimate(col("distinct_sketch")))
 }

@@ -84,4 +84,35 @@ object Profiler {
       .select(k ++ Seq(col("n"), col("med"), col("mad"),
         coalesce(col("__no"), lit(0L)).as("n_outliers")): _*)
   }
+
+  /** Equi-width histogram over an INTEGER axis (pre-scale decimals to
+    * cents upstream — the exact fixed-point discipline): `nBuckets`
+    * buckets spanning `[lo, hi)`, the last bucket additionally catching
+    * `hi` itself; values outside clamp to the edge buckets so every row
+    * is counted exactly once.
+    *
+    * The per-row bucket is `floor(double(v − lo) / width)` clamped —
+    * one int64→double conversion and one IEEE division, identical in
+    * any engine, so the whole histogram is hash-exact (unlike the
+    * engine-internal `width_bucket` variants). One hash aggregate on
+    * ≤ nBuckets keys; empty buckets are absent (left-join a spine at
+    * read time if a dense axis is needed).
+    */
+  def histogramEqWidth(df: DataFrame, value: org.apache.spark.sql.Column,
+      lo: Long, hi: Long, nBuckets: Int): DataFrame = {
+    require(nBuckets >= 1 && hi > lo, s"bad histogram spec [$lo,$hi)×$nBuckets")
+    require((hi - lo) % nBuckets == 0,
+      s"width must be integral: span ${hi - lo} not divisible by $nBuckets " +
+        "(pick a wider [lo,hi) — integer edges are what keeps the histogram " +
+        "hash-exact across engines)")
+    val width = (hi - lo) / nBuckets
+    val raw = floor((value - lit(lo)).cast("double") / lit(width.toDouble))
+      .cast("long")
+    val bucket = least(lit(nBuckets - 1L), greatest(lit(0L), raw))
+    df.filter(value.isNotNull)
+      .groupBy(bucket.as("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("bucket_lo", lit(lo) + col("bucket") * lit(width))
+      .withColumn("bucket_hi", lit(lo) + (col("bucket") + 1) * lit(width))
+  }
 }

@@ -298,6 +298,76 @@ object DqQueries extends QueryModule {
                COALESCE(f.no, 0) AS n_outliers
         FROM s LEFT JOIN f USING (k)
         ORDER BY o_orderpriority
+      """.trim)),
+
+    // --- incrementally-maintained DISTINCT counts via stored HLL sketch
+    // states — the aggregate q141's exact monoid cannot carry (an exact
+    // distinct state is the value SET, which grows with data, not
+    // groups). Two date-split batch states merge by sketch union and
+    // must (a) land within the published HLL error of the exact count
+    // and (b) equal the direct whole-corpus sketch EXACTLY — union of
+    // partials ≡ one pass, the q141 monoid law at sketch level. The
+    // estimates are engine-internal, so the oracle carries exact counts
+    // + literal TRUEs (the q96 idiom); both booleans are deterministic
+    // for fixed data. ---
+    GQuery(
+      "q159_distinct_sketch",
+      (spark, dir) => {
+        import graft.operators.IncrementalAgg
+        val o = t(spark, dir, "orders")
+        val split = lit("1995-01-01 00:00:00")
+        val keys = Seq("o_orderstatus")
+        val merged = IncrementalAgg.distinctReport(IncrementalAgg.mergeDistinct(
+            IncrementalAgg.distinctState(
+              o.filter(col("o_orderdate") < split), keys, col("o_custkey")),
+            IncrementalAgg.distinctState(
+              o.filter(col("o_orderdate") >= split), keys, col("o_custkey"))))
+          .select(col("o_orderstatus"), col("distinct_est").as("est_merged"))
+        val direct = IncrementalAgg.distinctReport(
+            IncrementalAgg.distinctState(o, keys, col("o_custkey")))
+          .select(col("o_orderstatus"), col("distinct_est").as("est_direct"))
+        o.groupBy(col("o_orderstatus"))
+          .agg(countDistinct(col("o_custkey")).as("exact_customers"))
+          .join(merged, keys).join(direct, keys)
+          .select(col("o_orderstatus"), col("exact_customers"),
+            (abs(col("est_merged") - col("exact_customers"))
+              .cast("double") / col("exact_customers") <= 0.05).as("hll_ok"),
+            (col("est_merged") === col("est_direct")).as("merge_eq_direct"))
+          .orderBy(col("o_orderstatus"))
+      },
+      Some("""
+        SELECT o_orderstatus,
+               CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS exact_customers,
+               TRUE AS hll_ok, TRUE AS merge_eq_direct
+        FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+      """.trim)),
+
+    // --- equi-width value histogram (profiler distribution pass):
+    // o_totalprice as exact cents over 24 integer-width buckets. Every
+    // cell is hash-exact cross-engine: decimal→cents is exact, the
+    // bucket is floor of one IEEE division of exact integers, and the
+    // edges stay in int64 — no width_bucket engine internals anywhere.
+    // One hash aggregate on ≤ 24 keys. ---
+    GQuery(
+      "q160_value_histogram",
+      (spark, dir) =>
+        graft.operators.Profiler.histogramEqWidth(t(spark, dir, "orders"),
+            (dec(col("o_totalprice")) * 100).cast("long"),
+            lo = 0L, hi = 50400000L, nBuckets = 24)
+          .orderBy(col("bucket")),
+      Some("""
+        WITH v AS (
+          SELECT CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS c
+          FROM orders WHERE o_totalprice IS NOT NULL),
+        b AS (
+          SELECT least(23, greatest(0,
+                   CAST(FLOOR(CAST(c - 0 AS DOUBLE) / 2100000.0) AS BIGINT)))
+                   AS bucket
+          FROM v)
+        SELECT bucket, COUNT(*) AS cnt,
+               0 + bucket * 2100000 AS bucket_lo,
+               0 + (bucket + 1) * 2100000 AS bucket_hi
+        FROM b GROUP BY bucket ORDER BY bucket
       """.trim))
   )
 }

@@ -1688,6 +1688,53 @@ object TextQueries extends QueryModule {
         GROUP BY 1, 2
         HAVING COUNT(*) >= 3
         ORDER BY doc_id_1, doc_id_2
+      """.trim)),
+
+    // --- accent folding (native fold_accents expression): NFD + strip
+    // non-spacing marks — the search/fuzzy-match normalizer where
+    // `resume` must hit `résumé`. The planted inputs (derived per doc_id
+    // residue, constructed IDENTICALLY in both engines, including a
+    // decomposed-form é built from a combining mark) cover precomposed
+    // accents, Greek/Cyrillic marks, and the pass-through cases (Ø, ß —
+    // no canonical decomposition). The oracle column is the external
+    // engine's own strip_accents — same utf8proc algorithm — compared
+    // VERBATIM, not hash-only. ---
+    GQuery(
+      "q161_fold_accents",
+      (spark, dir) => {
+        val variants = array(
+          lit("café au lait"), lit("Zürich naïve"),
+          lit("São Paulo mañana"), lit("crème brûlée"),
+          lit("Ελλάδα ángel"),
+          lit("Øresund straße"), lit("plain ascii"),
+          lit("e\u0301tude d\u00e9compos\u00e9e"))
+        Tables.docs(spark, dir)
+          .select(col("doc_id"),
+            element_at(variants, (pmod(col("doc_id"), lit(8)) + 1).cast("int"))
+              .as("raw"))
+          .select(col("doc_id"), col("raw"),
+            graft.functions.FoldAccentsExpr.fold_accents(col("raw"))
+              .as("folded"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""
+        SELECT doc_id, raw, strip_accents(raw) AS folded FROM (
+          SELECT doc_id,
+                 CASE doc_id % 8
+                   WHEN 0 THEN 'caf' || chr(233) || ' au lait'
+                   WHEN 1 THEN 'Z' || chr(252) || 'rich na' || chr(239) || 've'
+                   WHEN 2 THEN 'S' || chr(227) || 'o Paulo ma' || chr(241) || 'ana'
+                   WHEN 3 THEN 'cr' || chr(232) || 'me br' || chr(251) || 'l'
+                               || chr(233) || 'e'
+                   WHEN 4 THEN chr(917) || chr(955) || chr(955) || chr(940)
+                               || chr(948) || chr(945) || ' ' || chr(225) || 'ngel'
+                   WHEN 5 THEN chr(216) || 'resund stra' || chr(223) || 'e'
+                   WHEN 6 THEN 'plain ascii'
+                   ELSE 'e' || chr(769) || 'tude d' || chr(233) || 'compos'
+                        || chr(233) || 'e'
+                 END AS raw
+          FROM documents)
+        ORDER BY doc_id
       """.trim))
   )
 }

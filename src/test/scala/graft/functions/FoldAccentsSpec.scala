@@ -1,0 +1,48 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** fold_accents: NFD + strip-Mn semantics (the utf8proc strip_accents
+  * algorithm, which is what the q161 oracle compares verbatim), ASCII
+  * identity fast path, idempotence, NULL propagation — through the
+  * DataFrame path so codegen is exercised.
+  */
+class FoldAccentsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def foldDf(ss: Seq[String]): Seq[String] =
+    ss.toDF("s")
+      .select(FoldAccentsExpr.fold_accents($"s"))
+      .as[String].collect().toSeq
+
+  test("golden pairs: precomposed, decomposed, Greek/Cyrillic, pass-through") {
+    val pairs = Seq(
+      "café" -> "cafe",
+      "Zürich naïve" -> "Zurich naive",
+      "crème brûlée" -> "creme brulee",
+      "mañana" -> "manana",
+      "étude" -> "etude", // decomposed é: base letter + combining acute
+      "Ελλάδα" -> "Ελλαδα",
+      "Москва́" -> "Москва",
+      "Øresund straße" -> "Øresund straße", // no canonical decomposition
+      "ＡＢＣ" -> "ＡＢＣ")
+    assert(foldDf(pairs.map(_._1)) == pairs.map(_._2))
+  }
+
+  test("ASCII is identity and idempotence holds on folded output") {
+    val inputs = Seq("plain ascii 123!", "café", "étude")
+    val once = foldDf(inputs)
+    assert(once.head == "plain ascii 123!")
+    assert(foldDf(once) == once, "folding a folded string must be a no-op")
+  }
+
+  test("NULL propagates") {
+    val out = Seq(Some("café"), None).toDF("s")
+      .select(FoldAccentsExpr.fold_accents($"s")).collect()
+    assert(out(0).getString(0) == "cafe" && out(1).isNullAt(0))
+  }
+}

@@ -345,6 +345,35 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(kept == Set(3L, 10L, 99L), s"got $kept")
   }
 
+  test("distinct sketch states: 3-way split merge == direct build; small-cardinality exact") {
+    val df = (1 to 300).map(i => (i % 2, s"u${i % 41}")).toDF("g", "u")
+    val parts = Seq(df.filter($"u" < "u2"), df.filter($"u" >= "u2" && $"u" < "u4"),
+      df.filter($"u" >= "u4"))
+    val merged = IncrementalAgg.distinctReport(IncrementalAgg.mergeDistinct(
+        parts.map(p => IncrementalAgg.distinctState(p, Seq("g"), $"u")): _*))
+      .select($"g", $"distinct_est").as[(Int, Long)].collect().toMap
+    val direct = IncrementalAgg.distinctReport(
+        IncrementalAgg.distinctState(df, Seq("g"), $"u"))
+      .select($"g", $"distinct_est").as[(Int, Long)].collect().toMap
+    assert(merged == direct, "sketch union must equal the one-pass build")
+    val exact = df.groupBy($"g").agg(countDistinct($"u")).as[(Int, Long)]
+      .collect().toMap
+    assert(merged == exact, "41 values at lgK=12 sit far inside exact range")
+  }
+
+  test("histogramEqWidth: hand counts, edge clamping, integral-width contract") {
+    val df = Seq(-5L, 0L, 9L, 10L, 19L, 20L, 99L, 100L, 250L).toDF("v")
+    val got = Profiler.histogramEqWidth(df, $"v", 0L, 100L, 10)
+      .select($"bucket", $"cnt", $"bucket_lo", $"bucket_hi")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    // -5 clamps into bucket 0; 100 and 250 clamp into bucket 9.
+    assert(got == Set((0L, 3L, 0L, 10L), (1L, 2L, 10L, 20L), (2L, 1L, 20L, 30L),
+      (9L, 3L, 90L, 100L)))
+    intercept[IllegalArgumentException] {
+      Profiler.histogramEqWidth(df, $"v", 0L, 100L, 7)
+    }
+  }
+
   test("collocations: hand-counted PMI ratios, minCount floor, deterministic top-k") {
     // unigrams a:3 b:3 c:4, N=10; bigrams (a,b):3 (b,a):2 (c,c):3.
     val docs = Seq((1L, "a b a b a b"), (2L, "c c c c")).toDF("doc_id", "text")
