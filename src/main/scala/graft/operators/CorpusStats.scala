@@ -123,15 +123,15 @@ object CorpusStats {
     * output) + a top-n on a vocabulary-sized frame. The window is global
     * but runs AFTER the aggregate, on vocabulary rows, not corpus rows —
     * the post-aggregate-few-row exemption (WindowQueries discipline);
-    * partitioned on a literal so the plan carries no
-    * no-partition-defined warning.
+    * partitioned on [[graft.core.Windows.singlePartition]] so the plan
+    * carries no no-partition-defined warning.
     */
   def vocabulary(docs: DataFrame, textCol: String, n: Int): DataFrame = {
     val freq = docs
       .select(explode(TextAnalysis.tokens(lower(col(textCol)))).as("term"))
       .filter(col("term") =!= "")
       .groupBy(col("term")).agg(count(lit(1)).as("cnt"))
-    val w = Window.partitionBy(lit(1))
+    val w = Window.partitionBy(graft.core.Windows.singlePartition(col("term")))
       .orderBy(col("cnt").desc, col("term"))
     freq.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= n)
@@ -196,7 +196,7 @@ object CorpusStats {
           element_at(col("__t"), i + 1).as("t2")))).as("p"))
       .select(col("p.t1"), col("p.t2"))
       .groupBy(col("t1"), col("t2")).agg(count(lit(1)).as("cnt"))
-    val w = Window.partitionBy(lit(1))
+    val w = Window.partitionBy(graft.core.Windows.singlePartition(col("t1")))
       .orderBy(col("cnt").desc, col("t1"), col("t2"))
     pairs.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)

@@ -158,10 +158,12 @@ object Sampling {
       .withColumn("__s",
         floor(sqrt(col("__n").cast("double")) * 1000.0).cast("long"))
     // Source cardinality is vocabulary-sized by contract; the exact total
-    // is a literal-partitioned window over that tiny frame — ONE pass
+    // is a single-partition window over that tiny frame — ONE pass
     // (a scalar-agg branch would compute the counts twice; a self-
-    // crossJoin makes the lineage ambiguous).
-    val wAll = Window.partitionBy(lit(1))
+    // crossJoin makes the lineage ambiguous). Non-foldable key: lit(1)
+    // gets optimized away on Spark 4 and the global-window WARN returns.
+    val wAll = Window.partitionBy(
+      graft.core.Windows.singlePartition(col(sourceCol)))
     val thresholds = counts
       .withColumn("__stot", sum(col("__s")).over(wAll))
       .withColumn("__t",
