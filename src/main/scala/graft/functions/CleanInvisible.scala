@@ -1,0 +1,125 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.GraftSqlBridge
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.{BooleanType, DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Invisible-character hygiene for text/code corpora, as two native
+  * Catalyst expressions (the [[NfcNormalizeExpr]] family).
+  *
+  * `strip_invisible` removes the zero-display FORMATTING characters —
+  * the set that renders as nothing yet makes byte-identical-looking
+  * strings hash differently (defeating digest dedup, fingerprinting,
+  * and blocklist joins) and that smuggles payloads past reviewers:
+  *
+  *  - U+00AD soft hyphen; U+2060 word joiner; U+FEFF BOM/ZWNBSP
+  *  - U+200B ZWSP, U+200C ZWNJ, U+200D ZWJ
+  *  - the bidi set: U+061C ALM, U+200E LRM, U+200F RLM,
+  *    U+202A–U+202E (LRE/RLE/PDF/LRO/RLO), U+2066–U+2069 (isolates)
+  *
+  * Lossy by design (stripping ZWJ breaks emoji families and some Indic
+  * rendering): it feeds HASHERS and MATCHERS — dedup digests, shingles,
+  * blocklists — and code-corpus sanitization, never display text.
+  *
+  * `has_bidi_controls` flags the bidi subset WITHOUT modifying anything
+  * — the Trojan Source detector (Boucher & Anderson 2021): bidi
+  * overrides inside source code reorder what a reviewer sees versus
+  * what a compiler (or a code model training on it) consumes, so a
+  * code-corpus curation pass wants the FLAG for triage even where it
+  * keeps the text verbatim.
+  *
+  * Both are one-pass scans; pure-ASCII rows (every target is > U+7F)
+  * short-circuit without allocating. The exact set is mirrored by one
+  * RE2 character class in the q166 oracle, compared verbatim.
+  */
+case class StripInvisibleExpr(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = child.nullable
+
+  override def nullSafeEval(input: Any): Any =
+    InvisibleChars.strip(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cls = InvisibleChars.getClass.getName.stripSuffix("$")
+    defineCodeGen(ctx, ev, c => s"$cls.strip($c)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): StripInvisibleExpr =
+    copy(child = newChild)
+
+  override def prettyName: String = "strip_invisible"
+}
+
+case class HasBidiControlsExpr(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = BooleanType
+  override def nullable: Boolean = child.nullable
+
+  override def nullSafeEval(input: Any): Any =
+    InvisibleChars.hasBidi(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cls = InvisibleChars.getClass.getName.stripSuffix("$")
+    defineCodeGen(ctx, ev, c => s"$cls.hasBidi($c)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): HasBidiControlsExpr =
+    copy(child = newChild)
+
+  override def prettyName: String = "has_bidi_controls"
+}
+
+object InvisibleChars {
+
+  /** The bidi-control subset (flagged by [[hasBidi]], also stripped). */
+  @inline private def isBidi(c: Char): Boolean =
+    c == 0x061C || c == 0x200E || c == 0x200F ||
+      (c >= 0x202A && c <= 0x202E) ||
+      (c >= 0x2066 && c <= 0x2069)
+
+  /** The full zero-display strip set. */
+  @inline private def isInvisible(c: Char): Boolean =
+    c == 0x00AD || (c >= 0x200B && c <= 0x200D) ||
+      c == 0x2060 || c == 0xFEFF || isBidi(c)
+
+  /** Shared by interpreted eval and generated code. */
+  def strip(s: UTF8String): UTF8String = {
+    val str = s.toString
+    val n = str.length
+    var i = 0
+    while (i < n && !isInvisible(str.charAt(i))) i += 1
+    if (i == n) return s // nothing to strip — zero-allocation fast path
+    val sb = new java.lang.StringBuilder(n - 1)
+    sb.append(str, 0, i)
+    i += 1
+    while (i < n) {
+      val c = str.charAt(i)
+      if (!isInvisible(c)) sb.append(c)
+      i += 1
+    }
+    UTF8String.fromString(sb.toString)
+  }
+
+  /** Shared by interpreted eval and generated code. */
+  def hasBidi(s: UTF8String): java.lang.Boolean = {
+    val str = s.toString
+    var i = 0
+    while (i < str.length) {
+      if (isBidi(str.charAt(i))) return java.lang.Boolean.TRUE
+      i += 1
+    }
+    java.lang.Boolean.FALSE
+  }
+
+  /** Codegen'd Catalyst-native invisible-character stripping. */
+  def strip_invisible(c: Column): Column =
+    GraftSqlBridge.column(StripInvisibleExpr(GraftSqlBridge.expression(c)))
+
+  /** Codegen'd Catalyst-native Trojan-Source bidi flag. */
+  def has_bidi_controls(c: Column): Column =
+    GraftSqlBridge.column(HasBidiControlsExpr(GraftSqlBridge.expression(c)))
+}

@@ -1,0 +1,134 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.GraftSqlBridge
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.{DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** `strip_markup` — HTML/XML tag removal + entity decode + whitespace
+  * collapse as a native Catalyst expression (the [[NfcNormalizeExpr]]
+  * family): the text-extraction step every web-scale corpus pipeline
+  * runs before quality scoring, dedup, and tokenization (CCNet/
+  * RefinedWeb-style cleanup — markup is boilerplate, not training
+  * signal, and tags inflate shingle sets and token counts).
+  *
+  * The transform is a PINNED five-step chain, in order:
+  *  1. drop comments `<!--…-->` (dot-matches-newline, non-greedy);
+  *  2. drop `<script…>…</script>` and `<style…>…</style>` INCLUDING
+  *     their content (case-insensitive, dot-matches-newline) — their
+  *     bodies are code, never prose;
+  *  3. replace every remaining `<…>` tag with a space (a space, not
+  *     empty, so `a<br>b` keeps its word boundary);
+  *  4. decode the six portable entities `&lt; &gt; &quot; &apos;
+  *     &nbsp; &amp;` as a literal replace chain with `&amp;` LAST
+  *     (so `&amp;lt;` yields the literal text `&lt;`, matching how a
+  *     single-pass decoder treats the double-escape); decoding runs
+  *     AFTER tag removal, so a decoded `<` is data, never a tag;
+  *  5. collapse ASCII whitespace runs (`[ \t\n\f\r]+` — exactly RE2's
+  *     `\s`, pinned so Java's wider `\s` class cannot diverge) to one
+  *     space and trim.
+  *
+  * Every step is expressible as the SAME regex/replace chain in any
+  * RE2-based engine (all patterns are lookaround-free — the
+  * [[LuhnValidExpr]] discipline), which is what lets the q162 gate
+  * compare output verbatim rather than hash-only. Not a browser-grade
+  * HTML parser by design: a stray unclosed `<` swallows text to the
+  * next `>` identically in both engines; feed it markup, not math.
+  *
+  * Rows with neither `<` nor `&` skip all regex work and pay only the
+  * whitespace scan (which itself short-circuits to identity when
+  * nothing needs collapsing) — the ASCII-fast-path discipline. Stays
+  * inside whole-stage codegen; one static call per row.
+  */
+case class StripMarkupExpr(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = child.nullable
+
+  override def nullSafeEval(input: Any): Any =
+    StripMarkupExpr.strip(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cls = StripMarkupExpr.getClass.getName.stripSuffix("$")
+    defineCodeGen(ctx, ev, c => s"$cls.strip($c)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): StripMarkupExpr =
+    copy(child = newChild)
+
+  override def prettyName: String = "strip_markup"
+}
+
+object StripMarkupExpr {
+  import java.util.regex.Pattern
+
+  // (?s) dot-matches-newline; (?i) case-insensitive — both inline flags
+  // RE2 honors with identical semantics, so the oracle can carry the
+  // SAME pattern strings.
+  private val Comment = Pattern.compile("(?s)<!--.*?-->")
+  private val Script = Pattern.compile("(?is)<script[^>]*>.*?</script\\s*>")
+  private val Style = Pattern.compile("(?is)<style[^>]*>.*?</style\\s*>")
+  private val Tag = Pattern.compile("(?s)<[^>]*>")
+
+  /** Shared by interpreted eval and generated code. */
+  def strip(s: UTF8String): UTF8String = {
+    val origStr = s.toString
+    var str = origStr
+    if (str.indexOf('<') >= 0) {
+      str = Comment.matcher(str).replaceAll(" ")
+      str = Script.matcher(str).replaceAll(" ")
+      str = Style.matcher(str).replaceAll(" ")
+      str = Tag.matcher(str).replaceAll(" ")
+    }
+    if (str.indexOf('&') >= 0) {
+      str = str.replace("&lt;", "<").replace("&gt;", ">")
+        .replace("&quot;", "\"").replace("&apos;", "'")
+        .replace("&nbsp;", " ").replace("&amp;", "&")
+    }
+    collapseWs(s, origStr, str)
+  }
+
+  /** Collapse `[ \t\n\f\r]+` runs to one space and trim — hand-rolled
+    * (no regex) with an identity fast path: when nothing collapses,
+    * return the ORIGINAL UTF8String untouched (zero allocation for the
+    * overwhelmingly common already-clean row).
+    */
+  private def collapseWs(orig: UTF8String, origStr: String,
+      str: String): UTF8String = {
+    @inline def isWs(c: Char): Boolean =
+      c == ' ' || c == '\t' || c == '\n' || c == '\f' || c == '\r'
+    val n = str.length
+    var clean = true
+    var i = 0
+    while (clean && i < n) {
+      val c = str.charAt(i)
+      if (isWs(c) && (c != ' ' || i == 0 || i == n - 1 ||
+          isWs(str.charAt(i + 1)))) clean = false
+      i += 1
+    }
+    if (clean) {
+      // nothing to collapse; reuse the original buffer when the string
+      // content is unchanged (no '<'/'&' rewrites happened)
+      return if (str eq origStr) orig else UTF8String.fromString(str)
+    }
+    val sb = new java.lang.StringBuilder(n)
+    var pendingSpace = false
+    i = 0
+    while (i < n) {
+      val c = str.charAt(i)
+      if (isWs(c)) pendingSpace = sb.length > 0
+      else {
+        if (pendingSpace) { sb.append(' '); pendingSpace = false }
+        sb.append(c)
+      }
+      i += 1
+    }
+    UTF8String.fromString(sb.toString)
+  }
+
+  /** Codegen'd Catalyst-native markup stripping. */
+  def strip_markup(c: Column): Column =
+    GraftSqlBridge.column(StripMarkupExpr(GraftSqlBridge.expression(c)))
+}

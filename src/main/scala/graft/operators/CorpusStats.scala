@@ -373,4 +373,62 @@ object CorpusStats {
       .orderBy(col("pmi_fp").desc, col("t1"), col("t2"))
       .limit(topK)
   }
+
+  /** Token-distribution drift between two corpus slices as the EXACT
+    * total-variation distance — the distribution-shift monitor a corpus
+    * owner runs between ingest snapshots, sources, or train/eval splits
+    * (did the web crawl's language mix move? did a filter change the
+    * token profile?).
+    *
+    * TV distance `½·Σ|p_i − q_i|` is chosen over KL/JS because it needs
+    * NO logs: with integer counts it is the exact rational
+    * `Σ|c_a·N_b − c_b·N_a| / (2·N_a·N_b)`, so the whole statistic is
+    * exact integer arithmetic followed by ONE parenthesization-pinned
+    * IEEE division — bit-identical in any engine (the temperatureMix
+    * discipline), where KL's per-term `ln` is math-library-specific.
+    * Products are computed in decimal(38,0): two count-sized operands
+    * can exceed int64 at real corpus scale (1e13 tokens each side →
+    * 1e26), and Spark/DuckDB decimal multiplication is exact.
+    *
+    * Returns one row: `n_a, n_b` (token totals), `vocab_a, vocab_b,
+    * vocab_shared` (distinct-term counts), `tv` ∈ [0,1].
+    *
+    * Scale: one token-count aggregate per side (vocabulary-cardinality
+    * output), a full-outer merge on term, totals from a single-partition
+    * window over the merged vocabulary frame, one final scalar
+    * aggregate — ONE pass over each corpus; the corpus text never rides
+    * any wide op; both sides' heavy shuffles carry (term, count) only.
+    */
+  def tokenDriftTV(a: DataFrame, b: DataFrame, textCol: String): DataFrame = {
+    def counts(df: DataFrame) = df
+      .select(explode(TextAnalysis.tokens(lower(col(textCol)))).as("term"))
+      .filter(col("term") =!= "")
+      .groupBy(col("term")).agg(count(lit(1)).as("c"))
+    val merged = counts(a).select(col("term"), col("c").as("__ca"))
+      .join(counts(b).select(col("term"), col("c").as("__cb")),
+        Seq("term"), "full_outer")
+      .select(coalesce(col("__ca"), lit(0L)).as("__ca"),
+        coalesce(col("__cb"), lit(0L)).as("__cb"))
+    // Totals via a single-partition window over the MERGED frame
+    // (vocabulary-sized — the temperatureMix discipline): a scalar-agg
+    // branch would evaluate the whole token-count pipeline TWICE.
+    val wAll = Window.partitionBy(
+      graft.core.Windows.singlePartition(col("__ca")))
+    val d19 = "decimal(19,0)"
+    merged
+      .withColumn("__na", sum(col("__ca")).over(wAll))
+      .withColumn("__nb", sum(col("__cb")).over(wAll))
+      .agg(
+        first(col("__na")).as("n_a"),
+        first(col("__nb")).as("n_b"),
+        sum(when(col("__ca") > 0, 1L).otherwise(0L)).as("vocab_a"),
+        sum(when(col("__cb") > 0, 1L).otherwise(0L)).as("vocab_b"),
+        sum(when(col("__ca") > 0 && col("__cb") > 0, 1L).otherwise(0L))
+          .as("vocab_shared"),
+        sum(abs(col("__ca").cast(d19) * col("__nb").cast(d19)
+          - col("__cb").cast(d19) * col("__na").cast(d19))).as("__num"))
+      .withColumn("tv", col("__num").cast("double")
+        / (lit(2.0) * col("n_a").cast("double") * col("n_b").cast("double")))
+      .drop("__num")
+  }
 }

@@ -215,4 +215,45 @@ object Curation {
     docs.select(col(idCol)).join(scored, Seq(idCol), "left")
       .withColumn("n_feats", coalesce(col("n_feats"), lit(0L)))
   }
+
+  /** Per-domain quality prior with Bayesian shrinkage — the
+    * RefinedWeb-style domain triage signal: a domain's average quality
+    * score, shrunk toward the corpus mean by a pseudo-count
+    * `priorStrength` so a 3-document domain cannot outrank a
+    * 30,000-document one on noise:
+    * `shrunk = (S_d + k·G) / (n_d + k)` with `S_d` the domain's exact
+    * decimal score sum, `G` the corpus mean, `k = priorStrength`.
+    *
+    * Determinism discipline: `S_d` and the corpus totals are EXACT
+    * decimal sums (order-independent, engine-independent); `G`, the
+    * `k·G` product, the numerator add, and the final divide are each
+    * ONE correctly-rounded IEEE op in a pinned parenthesization —
+    * reproducible bit-for-bit by any IEEE-754 engine, the
+    * temperatureMix discipline.
+    *
+    * Scale: one hash aggregate on the domain key (domain-cardinality
+    * output) + corpus totals via a single-partition window over that
+    * SAME domain frame (one pass — a scalar-agg branch would aggregate
+    * the corpus twice). Returns (domainCol, n_docs, mean_score,
+    * shrunk_score) sorted-free; order at the call site.
+    */
+  def domainQualityPrior(docs: DataFrame, domainCol: String,
+      scoreCol: String, priorStrength: Long): DataFrame = {
+    require(priorStrength > 0, s"priorStrength $priorStrength must be positive")
+    val byDomain = docs.groupBy(col(domainCol))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col(scoreCol).cast("decimal(30,15)")).as("__s"))
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy(
+      graft.core.Windows.singlePartition(col(domainCol)))
+    byDomain
+      .withColumn("__gs", sum(col("__s")).over(wAll))
+      .withColumn("__gn", sum(col("n_docs")).over(wAll))
+      .withColumn("__g", col("__gs").cast("double") / col("__gn").cast("double"))
+      .withColumn("mean_score",
+        col("__s").cast("double") / col("n_docs").cast("double"))
+      .withColumn("shrunk_score",
+        (col("__s").cast("double") + (lit(priorStrength.toDouble) * col("__g")))
+          / (col("n_docs") + lit(priorStrength)).cast("double"))
+      .drop("__s", "__gs", "__gn", "__g")
+  }
 }

@@ -1,0 +1,88 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Re-identification-risk scanning over quasi-identifiers — the privacy
+  * side of data quality (complements [[graft.functions.LuhnValidExpr]]
+  * card scanning and the PII regex battery, which find DIRECT
+  * identifiers; this family measures how identifying the "harmless"
+  * columns are in COMBINATION).
+  *
+  * k-anonymity (Sweeney 2002): a release is k-anonymous when every
+  * combination of quasi-identifier values (an equivalence class) is
+  * shared by at least k rows — a class of size 1 is a fingerprint, and
+  * joining it with any external dataset re-identifies the row. Training
+  * corpora carry the same exposure (user/session/geo metadata columns
+  * ride alongside text), so the scan belongs in the curation pass.
+  *
+  * Scale: every operator here is one hash aggregate or one window on the
+  * quasi-identifier key — class-cardinality output, no corpus payload in
+  * any shuffle beyond the suppression filter's own row routing, no
+  * driver involvement, skew bounded by the real class-size distribution
+  * (which is exactly what the scan is measuring).
+  */
+object Privacy {
+
+  /** Equivalence classes over `quasi` with their size and risk flag:
+    * one row per distinct quasi-identifier combination, `class_size` =
+    * rows sharing it, `at_risk` = size < k. NULL quasi values group as
+    * their own class (standard groupBy semantics) — NULL is a value an
+    * adversary can match on too.
+    */
+  def kAnonymityClasses(df: DataFrame, quasi: Seq[String], k: Int): DataFrame = {
+    require(quasi.nonEmpty, "kAnonymityClasses needs at least one quasi-identifier")
+    require(k >= 1, s"k must be >= 1, got $k")
+    df.groupBy(quasi.map(col): _*)
+      .agg(count(lit(1)).as("class_size"))
+      .withColumn("at_risk", col("class_size") < k)
+  }
+
+  /** One-row corpus risk report: the k-anonymity level actually achieved
+    * (`min_class_size` — the release is k-anonymous for every k up to
+    * it), how many classes and rows sit below the requested `k`, and the
+    * totals that contextualize them.
+    */
+  def kAnonymityReport(df: DataFrame, quasi: Seq[String], k: Int): DataFrame =
+    kAnonymityClasses(df, quasi, k).agg(
+      count(lit(1)).as("n_classes"),
+      sum(col("class_size")).as("n_rows"),
+      min(col("class_size")).as("min_class_size"),
+      sum(when(col("at_risk"), 1L).otherwise(0L)).as("risky_classes"),
+      sum(when(col("at_risk"), col("class_size")).otherwise(0L)).as("risky_rows"))
+
+  /** Suppression to k-anonymity: keep only rows whose quasi-identifier
+    * class has at least `k` members — the released subset is k-anonymous
+    * by construction. One window on the quasi key (single shuffle, full
+    * rows ride it once); the alternative classes-then-semi-join shape
+    * pays the shuffle twice.
+    */
+  def suppressSmallClasses(df: DataFrame, quasi: Seq[String], k: Int): DataFrame = {
+    require(quasi.nonEmpty, "suppressSmallClasses needs at least one quasi-identifier")
+    require(k >= 1, s"k must be >= 1, got $k")
+    val w = Window.partitionBy(quasi.map(col): _*)
+    df.withColumn("__cs", count(lit(1)).over(w))
+      .filter(col("__cs") >= k)
+      .drop("__cs")
+  }
+
+  /** l-diversity check layered on the same classes (Machanavajjhala et
+    * al. 2007's simplest instantiation — distinct-l): a k-anonymous class
+    * still leaks when every member shares the SAME sensitive value, so
+    * each class must carry at least `l` distinct values of `sensitive`.
+    * Returns the classes frame extended with `sensitive_distinct` and
+    * `diverse` (exact distinct per class — class-local cardinality, the
+    * scan's own output size; for sketch-bounded state at extreme class
+    * counts see [[IncrementalAgg.distinctState]]).
+    */
+  def lDiversityClasses(df: DataFrame, quasi: Seq[String], sensitive: String,
+      k: Int, l: Int): DataFrame = {
+    require(l >= 1, s"l must be >= 1, got $l")
+    df.groupBy(quasi.map(col): _*)
+      .agg(count(lit(1)).as("class_size"),
+        countDistinct(col(sensitive)).as("sensitive_distinct"))
+      .withColumn("at_risk", col("class_size") < k)
+      .withColumn("diverse", col("sensitive_distinct") >= l)
+  }
+}

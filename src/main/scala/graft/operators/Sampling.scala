@@ -175,4 +175,34 @@ object Sampling {
       .filter(hash16(col(keyCol), salt) < col("__t"))
       .drop("__src", "__t")
   }
+
+  /** LEAKAGE-SAFE train/valid/test assignment: bucket on the document's
+    * CONTENT (md5 of the NFC-normalized text), not its id — so
+    * byte-identical documents land in the same split BY CONSTRUCTION,
+    * no matter how many times the crawl re-collected them under
+    * different ids. Id-keyed splits (the q68 shape) silently leak: a
+    * doc duplicated across sources draws independent buckets per copy,
+    * and its test-set copy scores as memorization. NFC first (the
+    * [[graft.functions.NfcNormalizeExpr]] rationale): byte-distinct
+    * encodings of the same visible text must share a bucket too. For
+    * NEAR-duplicate-safe splits, split on the dedup cluster
+    * representative instead (compose with TextDedup's connected
+    * components upstream).
+    *
+    * Adds a `split` column ∈ {train, valid, test} by the [[hashBucket]]
+    * percentage bands. Row-local projection — zero shuffles, rides the
+    * scan; deterministic across runs, layouts, engines, and corpus
+    * growth.
+    */
+  def contentSplit(df: DataFrame, textCol: String, trainPct: Int = 80,
+      validPct: Int = 10, salt: String = ""): DataFrame = {
+    require(trainPct >= 0 && validPct >= 0 && trainPct + validPct <= 100,
+      s"bad split bands train=$trainPct valid=$validPct")
+    val key = md5(graft.functions.UnicodeFunctions.nfc_normalize(col(textCol)))
+    val bucket = hashBucket(key, 100, salt)
+    df.withColumn("split",
+      when(bucket < trainPct, "train")
+        .when(bucket < trainPct + validPct, "valid")
+        .otherwise("test"))
+  }
 }

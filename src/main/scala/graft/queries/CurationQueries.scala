@@ -697,6 +697,81 @@ object CurationQueries extends QueryModule {
         CROSS JOIN n
         WHERE bi.c_ab >= 5
         ORDER BY pmi_fp DESC, t1, t2 LIMIT 50
+      """.trim)),
+
+    // --- token-distribution drift between two corpus slices as the
+    // EXACT total-variation distance (½·Σ|p−q| computed as the integer
+    // rational Σ|c_a·N_b − c_b·N_a| over 2·N_a·N_b — no logs anywhere,
+    // so the whole statistic is exact decimal arithmetic + ONE pinned
+    // IEEE division, bit-identical cross-engine where KL/JS's ln is
+    // not). The drift monitor a corpus owner runs between snapshots or
+    // sources; here the two slices are the doc_id parities. ---
+    GQuery(
+      "q164_token_drift",
+      (spark, dir) => {
+        val d = Tables.docs(spark, dir)
+        CorpusStats.tokenDriftTV(
+          d.filter(col("doc_id") % 2 === 0),
+          d.filter(col("doc_id") % 2 === 1), "text")
+      },
+      Some("""
+        WITH ta AS (
+          SELECT unnest(string_split(lower(text), ' ')) AS term
+          FROM documents WHERE doc_id % 2 = 0),
+        tb AS (
+          SELECT unnest(string_split(lower(text), ' ')) AS term
+          FROM documents WHERE doc_id % 2 = 1),
+        ca AS (SELECT term, COUNT(*) AS c FROM ta WHERE term <> '' GROUP BY 1),
+        cb AS (SELECT term, COUNT(*) AS c FROM tb WHERE term <> '' GROUP BY 1),
+        m AS (
+          SELECT COALESCE(ca.c, 0) AS ca, COALESCE(cb.c, 0) AS cb
+          FROM ca FULL OUTER JOIN cb USING (term)),
+        t AS (SELECT SUM(ca) AS na, SUM(cb) AS nb FROM m),
+        s AS (
+          SELECT CAST(t.na AS BIGINT) AS n_a, CAST(t.nb AS BIGINT) AS n_b,
+                 CAST(SUM(CASE WHEN m.ca > 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS vocab_a,
+                 CAST(SUM(CASE WHEN m.cb > 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS vocab_b,
+                 CAST(SUM(CASE WHEN m.ca > 0 AND m.cb > 0 THEN 1 ELSE 0 END)
+                   AS BIGINT) AS vocab_shared,
+                 SUM(ABS(CAST(m.ca AS DECIMAL(19,0)) * CAST(t.nb AS DECIMAL(19,0))
+                       - CAST(m.cb AS DECIMAL(19,0)) * CAST(t.na AS DECIMAL(19,0))))
+                   AS num
+          FROM m CROSS JOIN t GROUP BY t.na, t.nb)
+        SELECT n_a, n_b, vocab_a, vocab_b, vocab_shared,
+               CAST(num AS DOUBLE)
+                 / ((2.0 * CAST(n_a AS DOUBLE)) * CAST(n_b AS DOUBLE)) AS tv
+        FROM s
+      """.trim)),
+
+    // --- per-domain quality prior with Bayesian shrinkage
+    // (RefinedWeb-style domain triage): domain mean shrunk toward the
+    // corpus mean by pseudo-count k=100 — (S_d + k·G)/(n_d + k) with
+    // exact decimal sums and each IEEE op parenthesization-pinned, so
+    // mean and shrunk score are bit-identical cross-engine. Here the
+    // score column is n_chars (exact integers); the operator is generic
+    // over any numeric score. One domain aggregate + a single-partition
+    // window over the domain frame — one corpus pass. ---
+    GQuery(
+      "q167_domain_prior",
+      (spark, dir) =>
+        graft.operators.Curation.domainQualityPrior(
+            Tables.docs(spark, dir), "source", "n_chars",
+            priorStrength = 100L)
+          .orderBy(col("source")),
+      Some("""
+        WITH d AS (
+          SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                 SUM(CAST(n_chars AS DECIMAL(30,15))) AS s
+          FROM documents GROUP BY source),
+        g AS (SELECT SUM(s) AS gs, SUM(n_docs) AS gn FROM d)
+        SELECT source, n_docs,
+               CAST(s AS DOUBLE) / CAST(n_docs AS DOUBLE) AS mean_score,
+               (CAST(s AS DOUBLE)
+                  + (100.0 * (CAST(g.gs AS DOUBLE) / CAST(g.gn AS DOUBLE))))
+                 / CAST(n_docs + 100 AS DOUBLE) AS shrunk_score
+        FROM d CROSS JOIN g ORDER BY source
       """.trim)))
 
   /** Shared q148/q149 oracle: unroll the 4 training rounds, read each

@@ -368,6 +368,29 @@ object DqQueries extends QueryModule {
                0 + bucket * 2100000 AS bucket_lo,
                0 + (bucket + 1) * 2100000 AS bucket_hi
         FROM b GROUP BY bucket ORDER BY bucket
+      """.trim)),
+
+    // --- k-anonymity scan (privacy DQ): equivalence classes over the
+    // (nation, market-segment) quasi-identifier pair with size and
+    // at-risk flag at k=10 — the re-identification-risk counterpart to
+    // the direct-identifier PII scans (q06/q115/q136). One hash
+    // aggregate on the quasi key; class-cardinality output. The sf0.01
+    // class-size distribution straddles k, so both flag values appear.
+    // ---
+    GQuery(
+      "q163_k_anonymity",
+      (spark, dir) =>
+        graft.operators.Privacy.kAnonymityClasses(
+            t(spark, dir, "customer"), Seq("c_nationkey", "c_mktsegment"),
+            k = 10)
+          .orderBy(col("c_nationkey"), col("c_mktsegment")),
+      Some("""
+        SELECT c_nationkey, c_mktsegment,
+               CAST(COUNT(*) AS BIGINT) AS class_size,
+               COUNT(*) < 10 AS at_risk
+        FROM customer
+        GROUP BY 1, 2
+        ORDER BY c_nationkey, c_mktsegment
       """.trim))
   )
 }

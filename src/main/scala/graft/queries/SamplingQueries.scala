@@ -447,7 +447,10 @@ object SamplingQueries extends QueryModule {
         SELECT ex.o_custkey, ex.exact_cnt, est.cms_est,
                est.cms_est >= ex.exact_cnt AS over_ok
         FROM ex JOIN est USING (o_custkey) ORDER BY o_custkey
-      """.trim)),
+      """.trim),
+      // md5-replay ORACLE twin of q154 — bench measures the production
+      // xxhash64 family; this family exists for DuckDB certification
+      bench = false),
 
     // --- Count-Min sketch, xxhash64 production family (the native
     // mergeable CountMinAgg): estimates probed out of the one-pass agg's
@@ -490,6 +493,63 @@ object SamplingQueries extends QueryModule {
                TRUE AS over_ok, TRUE AS bound_ok, TRUE AS fused_ok
         FROM orders WHERE o_custkey % 10 = 0
         GROUP BY o_custkey ORDER BY o_custkey
-      """.trim))
+      """.trim)),
+
+    // --- LEAKAGE-SAFE dataset split: bucket on the CONTENT hash
+    // (md5 of NFC-normalized text), not the doc id — planted exact
+    // copies (new ids, same text) MUST land in the same split, which
+    // the q68 id-keyed split cannot guarantee (a test-set duplicate of
+    // a training doc scores as memorization). The gate unions the
+    // corpus with copies of every doc_id % 7 == 0 under id+100000,
+    // splits by content, and reports per-split counts plus the
+    // copy-pair separation count, which the construction forces to 0.
+    // Selection is a row-local projection — zero shuffles beyond the
+    // gate's own count aggregates. ---
+    GQuery(
+      "q165_content_split",
+      (spark, dir) => {
+        val d = Tables.docs(spark, dir).select(col("doc_id"), col("text"))
+        val dup = d.filter(col("doc_id") % 7 === 0)
+          .select((col("doc_id") + 100000).as("doc_id"), col("text"))
+        val s = graft.operators.Sampling
+          .contentSplit(d.unionByName(dup), "text")
+          .select(col("doc_id"), col("split"))
+        val counts = s.groupBy(col("split")).agg(count(lit(1)).as("n"))
+        val pairs = s.filter(col("doc_id") < 100000 && col("doc_id") % 7 === 0)
+          .select(col("doc_id"), col("split").as("__s1"))
+          .join(s.filter(col("doc_id") >= 100000)
+            .select((col("doc_id") - 100000).as("doc_id"),
+              col("split").as("__s2")), Seq("doc_id"))
+          .agg(count(lit(1)).as("pairs"),
+            sum(when(col("__s1") =!= col("__s2"), 1L).otherwise(0L))
+              .as("pairs_apart"))
+        counts.crossJoin(broadcast(pairs)).orderBy(col("split"))
+      },
+      Some(s"""
+        WITH all_docs AS (
+          SELECT doc_id, text FROM documents
+          UNION ALL
+          SELECT doc_id + 100000, text FROM documents WHERE doc_id % 7 = 0),
+        s AS (
+          SELECT doc_id,
+                 CASE WHEN b < 80 THEN 'train'
+                      WHEN b < 90 THEN 'valid' ELSE 'test' END AS split
+          FROM (SELECT doc_id,
+                       ${hashBucketSql("md5(nfc_normalize(text))")} AS b
+                FROM all_docs)),
+        p AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS pairs,
+                 CAST(SUM(CASE WHEN a.split <> c.split THEN 1 ELSE 0 END)
+                   AS BIGINT) AS pairs_apart
+          FROM s a JOIN s c ON c.doc_id = a.doc_id + 100000
+          WHERE a.doc_id < 100000 AND a.doc_id % 7 = 0)
+        SELECT s.split, CAST(COUNT(*) AS BIGINT) AS n, p.pairs, p.pairs_apart
+        FROM s CROSS JOIN p
+        GROUP BY s.split, p.pairs, p.pairs_apart
+        ORDER BY s.split
+      """.trim),
+      // the operator is a zero-shuffle projection; the gate's cost is
+      // all verification machinery — nothing to measure
+      bench = false)
   )
 }

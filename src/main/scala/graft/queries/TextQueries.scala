@@ -1735,6 +1735,130 @@ object TextQueries extends QueryModule {
                  END AS raw
           FROM documents)
         ORDER BY doc_id
-      """.trim))
+      """.trim),
+      bench = false),
+
+    // --- markup stripping (native strip_markup expression): the web-
+    // corpus text-extraction step — comments/script/style dropped WITH
+    // content, tags to spaces, the six portable entities decoded
+    // (&amp; last), whitespace collapsed. The planted inputs (derived
+    // per doc_id residue, constructed IDENTICALLY in both engines)
+    // cover nested tags, a script body containing a bare `<`, a
+    // multi-line comment, double-escaped entities (`&amp;lt;` must
+    // yield literal `&lt;`), and whitespace-run collapse. The oracle
+    // applies the SAME pinned regex/replace chain in the external
+    // engine's RE2 — all patterns lookaround-free — compared VERBATIM,
+    // not hash-only. ---
+    GQuery(
+      "q162_strip_markup",
+      (spark, dir) => {
+        val variants = array(
+          lit("<p>Hello <b>world</b></p>"),
+          lit("<script type=\"text/javascript\">\nvar x = 1 < 2;\n</script>After script"),
+          lit("<style>.a{color:red}</style>Styled body"),
+          lit("<!-- hidden\ncomment --><div class=\"x\">visible</div>"),
+          lit("Tom &amp; Jerry &lt;3 &quot;quoted&quot; it&apos;s here"),
+          lit("a&amp;lt;b and&nbsp;space"),
+          lit("  multi\t whitespace\n\nrun  "),
+          lit("plain text"))
+        Tables.docs(spark, dir)
+          .select(col("doc_id"),
+            element_at(variants, (pmod(col("doc_id"), lit(8)) + 1).cast("int"))
+              .as("raw"))
+          .select(col("doc_id"), col("raw"),
+            graft.functions.StripMarkupExpr.strip_markup(col("raw"))
+              .as("cleaned"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""
+        SELECT doc_id, raw,
+               trim(regexp_replace(
+                 replace(replace(replace(replace(replace(replace(
+                   regexp_replace(
+                     regexp_replace(
+                       regexp_replace(
+                         regexp_replace(raw, '(?s)<!--.*?-->', ' ', 'g'),
+                         '(?is)<script[^>]*>.*?</script\s*>', ' ', 'g'),
+                       '(?is)<style[^>]*>.*?</style\s*>', ' ', 'g'),
+                     '(?s)<[^>]*>', ' ', 'g'),
+                   '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+                   '&apos;', chr(39)), '&nbsp;', ' '), '&amp;', '&'),
+                 '\s+', ' ', 'g')) AS cleaned
+        FROM (
+          SELECT doc_id,
+                 CASE doc_id % 8
+                   WHEN 0 THEN '<p>Hello <b>world</b></p>'
+                   WHEN 1 THEN '<script type="text/javascript">' || chr(10)
+                               || 'var x = 1 < 2;' || chr(10)
+                               || '</script>After script'
+                   WHEN 2 THEN '<style>.a{color:red}</style>Styled body'
+                   WHEN 3 THEN '<!-- hidden' || chr(10)
+                               || 'comment --><div class="x">visible</div>'
+                   WHEN 4 THEN 'Tom &amp; Jerry &lt;3 &quot;quoted&quot; it&apos;s here'
+                   WHEN 5 THEN 'a&amp;lt;b and&nbsp;space'
+                   WHEN 6 THEN '  multi' || chr(9) || ' whitespace'
+                               || chr(10) || chr(10) || 'run  '
+                   ELSE 'plain text'
+                 END AS raw
+          FROM documents)
+        ORDER BY doc_id
+      """.trim),
+      bench = false),
+
+    // --- invisible-character hygiene (native strip_invisible +
+    // has_bidi_controls): zero-width/formatting characters defeat
+    // digest dedup and smuggle Trojan-Source bidi payloads through
+    // code review; the scrub strips the pinned zero-display set and the
+    // flag marks the bidi subset for triage. Planted variants (derived
+    // per doc_id residue, constructed IDENTICALLY in both engines via
+    // chr()) cover ZWSP/ZWJ/ZWNJ, BOM + soft hyphen, an RLO…PDF
+    // override, isolates + LRM, and clean pass-through. The oracle is
+    // ONE RE2 character class per column, compared verbatim. ---
+    GQuery(
+      "q166_invisible_scrub",
+      (spark, dir) => {
+        val variants = array(
+          lit("zero\u200Bwidth space"),
+          lit("joiner\u200Dcombo\u200C"),
+          lit("\uFEFFbom prefix soft\u00ADhyphen"),
+          lit("bidi \u202Eevil\u202C attack"),
+          lit("isolate \u2066x\u2069 marks\u200E"),
+          lit("plain clean text"))
+        Tables.docs(spark, dir)
+          .select(col("doc_id"),
+            element_at(variants, (pmod(col("doc_id"), lit(6)) + 1).cast("int"))
+              .as("raw"))
+          .select(col("doc_id"), col("raw"),
+            graft.functions.InvisibleChars.strip_invisible(col("raw"))
+              .as("cleaned"),
+            graft.functions.InvisibleChars.has_bidi_controls(col("raw"))
+              .as("had_bidi"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""
+        SELECT doc_id, raw,
+               regexp_replace(raw,
+                 '[\x{00AD}\x{061C}\x{200B}-\x{200F}\x{2060}\x{2066}-\x{2069}\x{202A}-\x{202E}\x{FEFF}]',
+                 '', 'g') AS cleaned,
+               regexp_matches(raw,
+                 '[\x{061C}\x{200E}\x{200F}\x{202A}-\x{202E}\x{2066}-\x{2069}]')
+                 AS had_bidi
+        FROM (
+          SELECT doc_id,
+                 CASE doc_id % 6
+                   WHEN 0 THEN 'zero' || chr(8203) || 'width space'
+                   WHEN 1 THEN 'joiner' || chr(8205) || 'combo' || chr(8204)
+                   WHEN 2 THEN chr(65279) || 'bom prefix soft' || chr(173)
+                               || 'hyphen'
+                   WHEN 3 THEN 'bidi ' || chr(8238) || 'evil' || chr(8236)
+                               || ' attack'
+                   WHEN 4 THEN 'isolate ' || chr(8294) || 'x' || chr(8297)
+                               || ' marks' || chr(8206)
+                   ELSE 'plain clean text'
+                 END AS raw
+          FROM documents)
+        ORDER BY doc_id
+      """.trim),
+      bench = false)
   )
 }

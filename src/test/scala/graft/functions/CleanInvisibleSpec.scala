@@ -1,0 +1,52 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** strip_invisible / has_bidi_controls: the pinned zero-display set,
+  * Trojan-Source bidi flagging, clean-row identity fast path, NULL
+  * propagation — through the DataFrame path so codegen is exercised.
+  */
+class CleanInvisibleSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def run(ss: Seq[String]): Seq[(String, Boolean)] =
+    ss.toDF("s")
+      .select(InvisibleChars.strip_invisible($"s"),
+        InvisibleChars.has_bidi_controls($"s"))
+      .as[(String, Boolean)].collect().toSeq
+
+  test("golden set: each strip-set member vanishes; bidi flag covers exactly the bidi subset") {
+    val cases = Seq(
+      ("a\u200Bb", "ab", false), // ZWSP
+      ("a\u200Cb", "ab", false), // ZWNJ
+      ("a\u200Db", "ab", false), // ZWJ
+      ("a\u2060b", "ab", false), // word joiner
+      ("\uFEFFbom", "bom", false), // BOM/ZWNBSP
+      ("so\u00ADft", "soft", false), // soft hyphen
+      ("a\u200Eb", "ab", true), // LRM
+      ("a\u200Fb", "ab", true), // RLM
+      ("a\u061Cb", "ab", true), // ALM
+      ("x\u202Eevil\u202Cy", "xevily", true), // RLO…PDF override
+      ("x\u2066iso\u2069y", "xisoy", true), // LRI…PDI isolate
+      ("visible text stays", "visible text stays", false))
+    assert(run(cases.map(_._1)) == cases.map(c => (c._2, c._3)))
+  }
+
+  test("ordinary unicode is untouched (accents, CJK, emoji base chars)") {
+    val inputs = Seq("café résumé", "日本語テキスト", "tab\tand\nnewline stay")
+    assert(run(inputs).map(_._1) == inputs)
+    assert(run(inputs).forall(!_._2))
+  }
+
+  test("NULL propagates through both expressions") {
+    val out = Seq(Some("a\u200Bb"), None).toDF("s")
+      .select(InvisibleChars.strip_invisible($"s"),
+        InvisibleChars.has_bidi_controls($"s")).collect()
+    assert(out(0).getString(0) == "ab" && !out(0).getBoolean(1))
+    assert(out(1).isNullAt(0) && out(1).isNullAt(1))
+  }
+}

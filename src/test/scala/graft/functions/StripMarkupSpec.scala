@@ -1,0 +1,55 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** strip_markup: the pinned five-step chain (comments, script/style with
+  * content, tags to spaces, six entities with &amp; last, whitespace
+  * collapse), identity fast path, NULL propagation — through the
+  * DataFrame path so codegen is exercised. NOT idempotent by design
+  * (decoded `&lt;` yields a literal `<` that a second pass would treat
+  * as a tag opener): it runs once, at extraction.
+  */
+class StripMarkupSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def stripDf(ss: Seq[String]): Seq[String] =
+    ss.toDF("s")
+      .select(StripMarkupExpr.strip_markup($"s"))
+      .as[String].collect().toSeq
+
+  test("golden pairs: tags, script/style bodies, comments, entities, whitespace") {
+    val pairs = Seq(
+      "<p>Hello <b>world</b></p>" -> "Hello world",
+      // script content dropped even when it contains a bare '<'
+      "<script>\nif (a < b) { f(); }\n</script>kept" -> "kept",
+      "<style>.x{color:red}</style>body" -> "body",
+      "<!-- multi\nline\ncomment -->after" -> "after",
+      // tag-to-space preserves the word boundary
+      "a<br>b" -> "a b",
+      "Tom &amp; Jerry &lt;3 &quot;q&quot; it&apos;s" -> "Tom & Jerry <3 \"q\" it's",
+      // &amp; decodes LAST: the double escape yields the literal entity
+      "a&amp;lt;b" -> "a&lt;b",
+      "x&nbsp;y" -> "x y",
+      "  lots \t of\n\n ws  " -> "lots of ws",
+      // decode runs AFTER tag removal: a decoded '<' is data, not a tag
+      "&lt;p&gt;not a tag&lt;/p&gt;" -> "<p>not a tag</p>",
+      "SCRIPT case: <SCRIPT a=1>x</SCRIPT>done" -> "SCRIPT case: done")
+    assert(stripDf(pairs.map(_._1)) == pairs.map(_._2))
+  }
+
+  test("clean text is identity; NULL propagates") {
+    val inputs = Seq("already clean text", "unicode café stays")
+    assert(stripDf(inputs) == inputs)
+    val out = Seq(Some("<b>x</b>"), None).toDF("s")
+      .select(StripMarkupExpr.strip_markup($"s")).collect()
+    assert(out(0).getString(0) == "x" && out(1).isNullAt(0))
+  }
+
+  test("unclosed tag swallows to next '>' (documented non-parser limitation)") {
+    assert(stripDf(Seq("a < b and c > d")) == Seq("a d"))
+  }
+}

@@ -374,6 +374,56 @@ class CurationOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("tokenDriftTV: hand-computed distance, identity zero, disjoint one, symmetric") {
+    // a: tokens {x:2, y:1} N=3; b: {x:1, z:1} N=2
+    // num = |2·2−1·3| + |1·2−0·3| + |0·2−1·3| = 1+2+3 = 6; tv = 6/12 = 0.5
+    val a = Seq((1L, "x x y")).toDF("doc_id", "text")
+    val b = Seq((2L, "x z")).toDF("doc_id", "text")
+    val r = CorpusStats.tokenDriftTV(a, b, "text").head()
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      == ((3L, 2L, 2L, 2L, 1L)))
+    assert(r.getDouble(5) == 0.5)
+    assert(CorpusStats.tokenDriftTV(a, a, "text").head().getDouble(5) == 0.0)
+    val disjoint = CorpusStats.tokenDriftTV(a,
+      Seq((3L, "p q r")).toDF("doc_id", "text"), "text").head().getDouble(5)
+    assert(disjoint == 1.0)
+    assert(CorpusStats.tokenDriftTV(b, a, "text").head().getDouble(5) == 0.5)
+  }
+
+  test("contentSplit: byte-identical text shares a split regardless of id; bands hold") {
+    val docs = (1 to 300).map(i => (i.toLong, s"document body number ${i % 60}"))
+      .toDF("doc_id", "text")
+    val s = Sampling.contentSplit(docs, "text")
+    // 5 ids per distinct text — every group must be split-pure
+    val impure = s.groupBy($"text")
+      .agg(countDistinct($"split").as("k")).filter($"k" > 1).count()
+    assert(impure == 0, "identical content must never straddle splits")
+    val bands = s.groupBy($"split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bands.values.sum == 300 && bands.keySet.subsetOf(Set("train", "valid", "test")))
+    assert(bands.getOrElse("train", 0L) > bands.getOrElse("test", 0L),
+      s"80/10/10 bands should order train > test on 60 content keys: $bands")
+  }
+
+  test("domainQualityPrior: hand-computed shrinkage; big domains move less; degenerate one-domain fixpoint") {
+    // domains: a = {10, 20} (n=2, mean 15), b = {40} (n=1, mean 40)
+    // G = 70/3; k=1: shrunk_a = (30 + 70/3)/3, shrunk_b = (40 + 70/3)/2
+    val df = Seq(("a", 10L), ("a", 20L), ("b", 40L)).toDF("dom", "score")
+    val got = Curation.domainQualityPrior(df, "dom", "score", priorStrength = 1L)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3)))
+      .toMap
+    val g = 70.0 / 3.0
+    assert(got("a") == ((2L, 15.0, (30.0 + 1.0 * g) / 3.0)))
+    assert(got("b") == ((1L, 40.0, (40.0 + 1.0 * g) / 2.0)))
+    // shrinkage pulls toward G, and the smaller domain moves further
+    assert(math.abs(got("b")._3 - 40.0) > math.abs(got("a")._3 - 15.0))
+    // one domain: G == domain mean, shrinkage is a fixpoint
+    val one = Curation.domainQualityPrior(
+      Seq(("x", 7L), ("x", 9L)).toDF("dom", "score"), "dom", "score", 50L)
+      .head()
+    assert(one.getDouble(2) == 8.0 && one.getDouble(3) == 8.0)
+  }
+
   test("collocations: hand-counted PMI ratios, minCount floor, deterministic top-k") {
     // unigrams a:3 b:3 c:4, N=10; bigrams (a,b):3 (b,a):2 (c,c):3.
     val docs = Seq((1L, "a b a b a b"), (2L, "c c c c")).toDF("doc_id", "text")

@@ -123,7 +123,30 @@ class GatePlanSpec extends AnyFunSuite {
     "q155_range_join_point" -> (2, 2),
     "q156_range_join_overlap" -> (2, 1),
     "q157_pmi_collocations" -> (9, 3),
-    "q158_grouped_topk" -> (2, 0))
+    "q158_grouped_topk" -> (2, 0),
+    // round-9 tail additions. q159 = three HLL state aggs + merge agg +
+    // exact-count agg + two certification joins (broadcast at this
+    // scale) — the production path is ONE state agg + one merge agg;
+    // q160/q163 = one hash aggregate + output sort, the minimal shape;
+    // q161/q162 = pure per-row native-expression projections + sort
+    // (plus the docs spread); q164 = two token-count aggs + full-outer
+    // vocab merge + single-partition totals window + final scalar agg —
+    // ONE pass per corpus, text never rides an exchange; q165 = the
+    // gate's three references to the split frame (counts + both pair
+    // sides) — the operator itself is a zero-shuffle row-local
+    // projection (CurationOpsSpec), the exchanges are all verification
+    "q159_distinct_sketch" -> (6, 2),
+    "q160_value_histogram" -> (2, 0),
+    "q161_fold_accents" -> (2, 0),
+    "q162_strip_markup" -> (2, 0),
+    "q163_k_anonymity" -> (2, 0),
+    "q164_token_drift" -> (7, 0),
+    "q165_content_split" -> (9, 2),
+    // q166 = per-row native-expression projection + sort (docs spread);
+    // q167 = ONE corpus pass: domain agg + single-partition window over
+    // the domain-sized frame + output sort — no scalar-agg double scan
+    "q166_invisible_scrub" -> (2, 0),
+    "q167_domain_prior" -> (5, 0))
 
   test("q107's ORC read-back pushes its predicate and projection into the scan") {
     import org.apache.spark.sql.functions.col
