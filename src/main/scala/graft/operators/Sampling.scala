@@ -198,11 +198,46 @@ object Sampling {
       validPct: Int = 10, salt: String = ""): DataFrame = {
     require(trainPct >= 0 && validPct >= 0 && trainPct + validPct <= 100,
       s"bad split bands train=$trainPct valid=$validPct")
-    val key = md5(graft.functions.UnicodeFunctions.nfc_normalize(col(textCol)))
+    keyedSplit(df,
+      md5(graft.functions.UnicodeFunctions.nfc_normalize(col(textCol))),
+      trainPct, validPct, salt)
+  }
+
+  /** Split assignment by an arbitrary deterministic key column — the
+    * primitive under [[contentSplit]] (key = content hash) and
+    * [[splitByCluster]] (key = cluster representative). Row-local.
+    */
+  def keyedSplit(df: DataFrame, key: Column, trainPct: Int = 80,
+      validPct: Int = 10, salt: String = ""): DataFrame = {
+    require(trainPct >= 0 && validPct >= 0 && trainPct + validPct <= 100,
+      s"bad split bands train=$trainPct valid=$validPct")
     val bucket = hashBucket(key, 100, salt)
     df.withColumn("split",
       when(bucket < trainPct, "train")
         .when(bucket < trainPct + validPct, "valid")
         .otherwise("test"))
+  }
+
+  /** NEAR-duplicate-safe split — the grade above [[contentSplit]]: given
+    * the near-dup cluster assignments from
+    * [[TextDedup.connectedComponents]] (`(idCol, component)`, component =
+    * smallest member id), every member of a cluster splits by the
+    * CLUSTER key, so a mutated near-copy can never land in test while
+    * its sibling trains (contentSplit only guards byte-identical text).
+    * Unclustered documents (no near-dup partner) key on their own id —
+    * identical to the cluster key they'd get as a singleton.
+    *
+    * Scale: clusters carries only documents that appear in a verified
+    * near-dup pair — usually corpus-fraction-sized; the join broadcasts
+    * when the probe says it fits and falls back to a shuffled hash join
+    * (AQE re-plans) when it does not. The split itself stays row-local.
+    */
+  def splitByCluster(docs: DataFrame, idCol: String, clusters: DataFrame,
+      trainPct: Int = 80, validPct: Int = 10, salt: String = ""): DataFrame = {
+    val c = Broadcasting.ifSmall(
+      clusters.select(col(idCol), col("component")))
+    keyedSplit(docs.join(c, Seq(idCol), "left"),
+      coalesce(col("component"), col(idCol)), trainPct, validPct, salt)
+      .drop("component")
   }
 }

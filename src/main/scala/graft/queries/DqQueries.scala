@@ -391,6 +391,61 @@ object DqQueries extends QueryModule {
         FROM customer
         GROUP BY 1, 2
         ORDER BY c_nationkey, c_mktsegment
-      """.trim))
+      """.trim)),
+
+    // --- suppression to k-anonymity: the RELEASED subset (classes with
+    // ≥ k members survive, the rest are withheld) summarized per class —
+    // k=6 so the gate is non-degenerate at BOTH driver scales (sf0.01
+    // suppresses the two size-5 classes; sf0.001 still releases one) —
+    // certifies the window-based filter semantics exactly: the released
+    // class list IS the HAVING >= k list, every surviving class at full
+    // size. One window on the quasi key + one aggregate. ---
+    GQuery(
+      "q168_k_suppression",
+      (spark, dir) =>
+        graft.operators.Privacy.suppressSmallClasses(
+            t(spark, dir, "customer"), Seq("c_nationkey", "c_mktsegment"),
+            k = 6)
+          .groupBy(col("c_nationkey"), col("c_mktsegment"))
+          .agg(count(lit(1)).as("released_rows"))
+          .orderBy(col("c_nationkey"), col("c_mktsegment")),
+      Some("""
+        SELECT c_nationkey, c_mktsegment,
+               CAST(COUNT(*) AS BIGINT) AS released_rows
+        FROM customer
+        GROUP BY 1, 2
+        HAVING COUNT(*) >= 6
+        ORDER BY c_nationkey, c_mktsegment
+      """.trim),
+      bench = false),
+
+    // --- l-diversity layered on the q163 classes (distinct-l): a class
+    // can be size-safe yet leak when every member shares the sensitive
+    // value — here the account-balance sign; at sf0.01, 76 of 125
+    // classes carry both signs and 49 do not, so both flag values
+    // appear. Same single-aggregate shape as q163 plus one exact
+    // class-local distinct. ---
+    GQuery(
+      "q169_l_diversity",
+      (spark, dir) =>
+        graft.operators.Privacy.lDiversityClasses(
+            t(spark, dir, "customer").withColumn("bal_sign",
+              when(col("c_acctbal") >= 0, "pos").otherwise("neg")),
+            Seq("c_nationkey", "c_mktsegment"), "bal_sign", k = 10, l = 2)
+          .orderBy(col("c_nationkey"), col("c_mktsegment")),
+      Some("""
+        SELECT c_nationkey, c_mktsegment,
+               CAST(COUNT(*) AS BIGINT) AS class_size,
+               CAST(COUNT(DISTINCT CASE WHEN c_acctbal >= 0 THEN 'pos'
+                                        ELSE 'neg' END) AS BIGINT)
+                 AS sensitive_distinct,
+               COUNT(*) < 10 AS at_risk,
+               COUNT(DISTINCT CASE WHEN c_acctbal >= 0 THEN 'pos'
+                              ELSE 'neg' END) >= 2 AS diverse
+        FROM customer
+        GROUP BY 1, 2
+        ORDER BY c_nationkey, c_mktsegment
+      """.trim),
+      bench = false)
   )
 }

@@ -550,6 +550,67 @@ object SamplingQueries extends QueryModule {
       """.trim),
       // the operator is a zero-shuffle projection; the gate's cost is
       // all verification machinery — nothing to measure
+      bench = false),
+
+    // --- NEAR-duplicate-safe split (the grade above q165): cluster
+    // members split by the connected-component representative, so a
+    // MUTATED near-copy can never land in test while its sibling trains
+    // — contentSplit only guards byte-identical text. The gate runs the
+    // REAL iterative connectedComponents over planted (id, id+100000)
+    // pairs, whose components are predictable (component = original
+    // id), which is what lets the oracle replay the full per-doc split
+    // assignment — CC wiring, left-join, coalesce key, and bands are
+    // all hash-certified, not boolean-asserted. ---
+    GQuery(
+      "q172_cluster_split",
+      (spark, dir) => {
+        val d = Tables.docs(spark, dir).select(col("doc_id"))
+        val dup = d.filter(col("doc_id") % 7 === 0)
+          .select((col("doc_id") + 100000).as("doc_id"))
+        val pairs = d.filter(col("doc_id") % 7 === 0)
+          .select(col("doc_id").as("id_a"), (col("doc_id") + 100000).as("id_b"))
+        val clusters = graft.operators.TextDedup
+          .connectedComponents(pairs, "id_a", "id_b")
+          .withColumnRenamed("id", "doc_id")
+        val s = graft.operators.Sampling
+          .splitByCluster(d.unionByName(dup), "doc_id", clusters)
+        val counts = s.groupBy(col("split")).agg(count(lit(1)).as("n"))
+        val apart = s.filter(col("doc_id") < 100000 && col("doc_id") % 7 === 0)
+          .select(col("doc_id"), col("split").as("__s1"))
+          .join(s.filter(col("doc_id") >= 100000)
+            .select((col("doc_id") - 100000).as("doc_id"),
+              col("split").as("__s2")), Seq("doc_id"))
+          .agg(count(lit(1)).as("pairs"),
+            sum(when(col("__s1") =!= col("__s2"), 1L).otherwise(0L))
+              .as("pairs_apart"))
+        counts.crossJoin(broadcast(apart)).orderBy(col("split"))
+      },
+      Some(s"""
+        WITH all_docs AS (
+          SELECT doc_id FROM documents
+          UNION ALL
+          SELECT doc_id + 100000 FROM documents WHERE doc_id % 7 = 0),
+        k AS (
+          SELECT doc_id,
+                 CASE WHEN doc_id >= 100000 THEN doc_id - 100000
+                      ELSE doc_id END AS comp
+          FROM all_docs),
+        s AS (
+          SELECT doc_id,
+                 CASE WHEN b < 80 THEN 'train'
+                      WHEN b < 90 THEN 'valid' ELSE 'test' END AS split
+          FROM (SELECT doc_id, ${hashBucketSql("comp")} AS b FROM k)),
+        p AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS pairs,
+                 CAST(SUM(CASE WHEN a.split <> c.split THEN 1 ELSE 0 END)
+                   AS BIGINT) AS pairs_apart
+          FROM s a JOIN s c ON c.doc_id = a.doc_id + 100000
+          WHERE a.doc_id < 100000 AND a.doc_id % 7 = 0)
+        SELECT s.split, CAST(COUNT(*) AS BIGINT) AS n, p.pairs, p.pairs_apart
+        FROM s CROSS JOIN p
+        GROUP BY s.split, p.pairs, p.pairs_apart
+        ORDER BY s.split
+      """.trim),
       bench = false)
   )
 }

@@ -259,6 +259,56 @@ object StreamQueries extends QueryModule {
         WHERE c.fp IS NULL
         ORDER BY d.doc_id
       """.trim),
+      bench = false),
+
+    // --- streaming maintenance of the q159 HLL distinct-count state:
+    // a seed state from the historical slice, then foreachBatch appends
+    // ONE sketch state per micro-batch to the stored state table —
+    // stream state is GROUP-sized (2^lgK registers per group), never
+    // value-set-sized, and the read-time union of stored states must
+    // equal the direct whole-table build EXACTLY (the sketch monoid law
+    // across the batch/stream boundary) and land within the published
+    // error of the exact count. Oracle = exact counts + literal TRUEs
+    // (the q159/q96 idiom). ---
+    GQuery(
+      "q171_stream_distinct_state",
+      (spark, dir) => {
+        import graft.operators.IncrementalAgg
+        val o = Tables.t(spark, dir, "orders")
+        val split = lit("1995-01-01 00:00:00")
+        val keys = Seq("o_orderstatus")
+        val statePath = java.nio.file.Files
+          .createTempDirectory("graft_q171state").toString
+        IncrementalAgg.distinctState(
+            o.filter(col("o_orderdate") < split), keys, col("o_custkey"))
+          .write.mode(SaveMode.Overwrite).parquet(statePath)
+        val incoming = Streams.tableStream(spark, dir, "orders")
+          .filter(col("o_orderdate") >= split)
+        Streams.runForeachBatch(spark, incoming) { (batch, _) =>
+          IncrementalAgg.distinctState(batch, keys, col("o_custkey"))
+            .write.mode(SaveMode.Append).parquet(statePath)
+        }
+        val merged = IncrementalAgg.distinctReport(
+            IncrementalAgg.mergeDistinct(spark.read.parquet(statePath)))
+          .select(col("o_orderstatus"), col("distinct_est").as("est_merged"))
+        val direct = IncrementalAgg.distinctReport(
+            IncrementalAgg.distinctState(o, keys, col("o_custkey")))
+          .select(col("o_orderstatus"), col("distinct_est").as("est_direct"))
+        o.groupBy(col("o_orderstatus"))
+          .agg(countDistinct(col("o_custkey")).as("exact_customers"))
+          .join(merged, keys).join(direct, keys)
+          .select(col("o_orderstatus"), col("exact_customers"),
+            (abs(col("est_merged") - col("exact_customers"))
+              .cast("double") / col("exact_customers") <= 0.05).as("hll_ok"),
+            (col("est_merged") === col("est_direct")).as("merge_eq_direct"))
+          .orderBy(col("o_orderstatus"))
+      },
+      Some("""
+        SELECT o_orderstatus,
+               CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS exact_customers,
+               TRUE AS hll_ok, TRUE AS merge_eq_direct
+        FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+      """.trim),
       bench = false)
   )
 }

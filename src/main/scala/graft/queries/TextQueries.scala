@@ -1859,6 +1859,74 @@ object TextQueries extends QueryModule {
           FROM documents)
         ORDER BY doc_id
       """.trim),
+      bench = false),
+
+    // --- the FUSED text-cleanse chain — the web-corpus normalizer a
+    // pipeline actually runs, as ONE projection: strip_markup →
+    // strip_invisible → nfc_normalize → fold_accents, all four native
+    // codegen'd expressions composing inside a single whole-stage span
+    // (no UDF boundaries, no intermediate materialization — the plan is
+    // scan → project → sort, pinned at 2 exchanges). Planted variants
+    // combine the concerns: tags around accents, ZWSP inside a word,
+    // entity decode feeding the folder, a decomposed é recomposed by
+    // NFC then folded, BOM + script body. The oracle replays the chain
+    // with DuckDB's own primitives (regex chain → class removal →
+    // nfc_normalize → strip_accents), compared verbatim. ---
+    GQuery(
+      "q170_cleanse_chain",
+      (spark, dir) => {
+        val variants = array(
+          lit("<b>Café</b> résumé"),
+          lit("Z\u00FCrich\u200B <i>na\u00EFve</i>"),
+          lit("e\u0301tude &amp; d\u00E9tail"),
+          lit("\uFEFFS\u00E3o <script>x<1</script>Paulo"),
+          lit("plain ascii text"))
+        val raw = element_at(variants,
+          (pmod(col("doc_id"), lit(5)) + 1).cast("int"))
+        Tables.docs(spark, dir)
+          .select(col("doc_id"), raw.as("raw"),
+            graft.functions.FoldAccentsExpr.fold_accents(
+              graft.functions.UnicodeFunctions.nfc_normalize(
+                graft.functions.InvisibleChars.strip_invisible(
+                  graft.functions.StripMarkupExpr.strip_markup(raw))))
+              .as("cleaned"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""
+        SELECT doc_id, raw,
+               strip_accents(nfc_normalize(regexp_replace(
+                 trim(regexp_replace(
+                   replace(replace(replace(replace(replace(replace(
+                     regexp_replace(
+                       regexp_replace(
+                         regexp_replace(
+                           regexp_replace(raw, '(?s)<!--.*?-->', ' ', 'g'),
+                           '(?is)<script[^>]*>.*?</script\s*>', ' ', 'g'),
+                         '(?is)<style[^>]*>.*?</style\s*>', ' ', 'g'),
+                       '(?s)<[^>]*>', ' ', 'g'),
+                     '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+                     '&apos;', chr(39)), '&nbsp;', ' '), '&amp;', '&'),
+                   '\s+', ' ', 'g')),
+                 '[\x{00AD}\x{061C}\x{200B}-\x{200F}\x{2060}\x{2066}-\x{2069}\x{202A}-\x{202E}\x{FEFF}]',
+                 '', 'g'))) AS cleaned
+        FROM (
+          SELECT doc_id,
+                 CASE doc_id % 5
+                   WHEN 0 THEN '<b>Caf' || chr(233) || '</b> r' || chr(233)
+                               || 'sum' || chr(233)
+                   WHEN 1 THEN 'Z' || chr(252) || 'rich' || chr(8203)
+                               || ' <i>na' || chr(239) || 've</i>'
+                   WHEN 2 THEN 'e' || chr(769) || 'tude &amp; d' || chr(233)
+                               || 'tail'
+                   WHEN 3 THEN chr(65279) || 'S' || chr(227)
+                               || 'o <script>x<1</script>Paulo'
+                   ELSE 'plain ascii text'
+                 END AS raw
+          FROM documents)
+        ORDER BY doc_id
+      """.trim),
+      // planted-literal parity gate; the chain's per-expression
+      // throughput is benched via q110 and the plan pin locks the fusion
       bench = false)
   )
 }

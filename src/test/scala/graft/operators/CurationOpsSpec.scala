@@ -405,6 +405,24 @@ class CurationOpsSpec extends AnyFunSuite {
       s"80/10/10 bands should order train > test on 60 content keys: $bands")
   }
 
+  test("splitByCluster: cluster members co-locate; unclustered docs match their singleton key") {
+    val docs = (1L to 60L).toDF("doc_id")
+    // clusters: {1,2,3} -> 1, {10,11} -> 10; everything else unclustered
+    val clusters = Seq((1L, 1L), (2L, 1L), (3L, 1L), (10L, 10L), (11L, 10L))
+      .toDF("doc_id", "component")
+    val s = Sampling.splitByCluster(docs, "doc_id", clusters)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(Set(s(1L), s(2L), s(3L)).size == 1, "cluster {1,2,3} must share a split")
+    assert(s(10L) == s(11L), "cluster {10,11} must share a split")
+    // an unclustered doc keys on its own id — identical to keyedSplit
+    val solo = Sampling.keyedSplit(docs, col("doc_id"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    docs.collect().map(_.getLong(0)).filterNot(Set(1L, 2L, 3L, 10L, 11L))
+      .foreach(id => assert(s(id) == solo(id), s"unclustered $id diverged"))
+    // cluster members inherit the REPRESENTATIVE's singleton assignment
+    assert(s(2L) == solo(1L) && s(11L) == solo(10L))
+  }
+
   test("domainQualityPrior: hand-computed shrinkage; big domains move less; degenerate one-domain fixpoint") {
     // domains: a = {10, 20} (n=2, mean 15), b = {40} (n=1, mean 40)
     // G = 70/3; k=1: shrunk_a = (30 + 70/3)/3, shrunk_b = (40 + 70/3)/2

@@ -146,7 +146,20 @@ class GatePlanSpec extends AnyFunSuite {
     // q167 = ONE corpus pass: domain agg + single-partition window over
     // the domain-sized frame + output sort — no scalar-agg double scan
     "q166_invisible_scrub" -> (2, 0),
-    "q167_domain_prior" -> (5, 0))
+    "q167_domain_prior" -> (5, 0),
+    // q168 = quasi-key window + released-class agg + sort; q169 = one
+    // hash aggregate (distinct folded in) + sort; q170 = the FUSED
+    // four-expression cleanse chain — scan → one projection → sort,
+    // nothing between the native expressions
+    "q168_k_suppression" -> (2, 0),
+    "q169_l_diversity" -> (3, 0),
+    "q170_cleanse_chain" -> (2, 0),
+    // q172 = the real iterative CC run (planted pairs, converges round 1;
+    // checkpoint-truncated lineage) + the gate's three split-frame
+    // references; the split operator itself is one left join + row-local
+    // bands (splitByCluster spec). q171 is unpinned by design — it runs a
+    // streaming job per evaluation (the q87 convention).
+    "q172_cluster_split" -> (11, 4))
 
   test("q107's ORC read-back pushes its predicate and projection into the scan") {
     import org.apache.spark.sql.functions.col
