@@ -252,7 +252,7 @@ object Bench {
     // tail buffer; bench.json always carries the full list.
     val stdoutJson = record(ordered, repeats, leakedRdds, sfDir,
       shorten = true, calib = calib, rechecked = rechecked,
-      raw = rawMedians.toSeq.sortBy(-_._2).take(4),
+      raw = rawMedians.toSeq.sortBy(-_._2).take(3),
       builds = builds.toSeq)
     // Drop the full record in well-known files first: sbt may decorate
     // stdout, and the driver needs one clean machine-readable JSON line.

@@ -696,12 +696,39 @@ object Similarity {
   def ivfPqResidualTopK(queries: DataFrame, corpus: DataFrame,
       centroids: DataFrame, codebook: DataFrame, idCol: String,
       vecCol: String, dim: Int, numSub: Int, k: Int, nProbe: Int,
-      maxBroadcastRows: Long = Broadcasting.DefaultMaxRows): DataFrame = {
+      maxBroadcastRows: Long = Broadcasting.DefaultMaxRows): DataFrame =
+    ivfPqResidualProbe(queries,
+      ivfPqResidualEncode(corpus, centroids, codebook, idCol, vecCol, dim,
+        numSub),
+      centroids, codebook, idCol, vecCol, dim, numSub, k, nProbe,
+      maxBroadcastRows)
+
+  /** The one-time ENCODE half of [[ivfPqResidualTopK]]: residual-coded
+    * corpus rows `(neighbor_id, codes, bucket)`. In production this is
+    * the index-build artifact — persist it (plus centroids + codebook)
+    * and probe with [[ivfPqResidualProbe]]; the per-query cost then
+    * excludes corpus assignment/encoding entirely (the
+    * [[writeIvfPqIndex]]/[[probeIvfPqIndex]] split, residual grade).
+    */
+  def ivfPqResidualEncode(corpus: DataFrame, centroids: DataFrame,
+      codebook: DataFrame, idCol: String, vecCol: String, dim: Int,
+      numSub: Int): DataFrame = {
     val res = ivfResiduals(corpus, centroids, idCol, vecCol, dim)
-    val encB = pqEncode(res.select(col(idCol), col("rv")), codebook,
-        idCol, "rv", dim, numSub)
+    pqEncode(res.select(col(idCol), col("rv")), codebook, idCol, "rv", dim,
+        numSub)
       .join(res.select(col(idCol), col("bucket")), Seq(idCol))
       .select(col(idCol).as("neighbor_id"), col("codes"), col("bucket"))
+  }
+
+  /** The recurring PROBE half of [[ivfPqResidualTopK]] over
+    * already-encoded rows — deterministic given the stored artifacts, so
+    * probe-over-persisted ≡ the in-memory composition (the
+    * [[adcProbe]] one-code-path discipline).
+    */
+  def ivfPqResidualProbe(queries: DataFrame, encB: DataFrame,
+      centroids: DataFrame, codebook: DataFrame, idCol: String,
+      vecCol: String, dim: Int, numSub: Int, k: Int, nProbe: Int,
+      maxBroadcastRows: Long = Broadcasting.DefaultMaxRows): DataFrame = {
     val q = queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv"))
     Broadcasting.requireSmall(q, "ivfPqResidualTopK query set",
       maxBroadcastRows)

@@ -78,6 +78,45 @@ object VectorQueries extends QueryModule {
       .orderBy(col("vec_id"))
   }
 
+  /** q123's index BUILD half: train the residual codebook and encode the
+    * corpus ONCE (the production one-time ingest), persisting centroids +
+    * codebook + coded rows; the probe half reads them back, so Bench
+    * times query latency, not per-repeat codebook retraining (the
+    * q28/q120 build/probe convention).
+    */
+  @volatile private var q123Path: String = _
+  private[queries] def q123Build(spark: org.apache.spark.sql.SparkSession,
+      dir: String): Unit = {
+    val e = Tables.embs(spark, dir)
+    val cents = Similarity.seedCentroids(e, "vec_id", "embedding", m = 16)
+    val rcb = Similarity.pqResidualCodebook(e, cents, "vec_id", "embedding",
+      Dim, numSub = 8, ksub = 16)
+    val enc = Similarity.ivfPqResidualEncode(e, cents, rcb, "vec_id",
+      "embedding", Dim, numSub = 8)
+    val p = java.nio.file.Files.createTempDirectory("graft_q123res").toString
+    cents.write.mode("overwrite").parquet(s"$p/cents")
+    rcb.write.mode("overwrite").parquet(s"$p/rcb")
+    enc.write.mode("overwrite").parquet(s"$p/enc")
+    q123Path = p
+  }
+
+  /** q123's PROBE half: ADC over the persisted residual-coded rows —
+    * deterministic given the stored artifacts, so the result (and the
+    * oracle) is identical to the in-memory ivfPqResidualTopK chain.
+    */
+  private[queries] def q123Probe(spark: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    val e = Tables.embs(spark, dir)
+    Similarity.ivfPqResidualProbe(e.filter(col("vec_id") < 5),
+        spark.read.parquet(s"$q123Path/enc"),
+        spark.read.parquet(s"$q123Path/cents"),
+        spark.read.parquet(s"$q123Path/rcb"),
+        "vec_id", "embedding", Dim, numSub = 8, k = 5, nProbe = 4)
+      .select(col("query_id"), col("neighbor_id"),
+        round(col("pq_score"), 6).as("pq_score_r"), col("rank"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** q120's index BUILD half: a STORED IVF-PQ index — centroids +
     * codebook persisted tiny, codes disk-bucketed on `bucket` — written
     * from half the corpus, the other half absorbed via
@@ -811,17 +850,7 @@ object VectorQueries extends QueryModule {
     // addition → top-5. ---
     GQuery(
       "q123_ivfpq_residual",
-      (spark, dir) => {
-        val e = Tables.embs(spark, dir)
-        val cents = Similarity.seedCentroids(e, "vec_id", "embedding", m = 16)
-        val rcb = Similarity.pqResidualCodebook(e, cents, "vec_id",
-          "embedding", Dim, numSub = 8, ksub = 16)
-        Similarity.ivfPqResidualTopK(e.filter(col("vec_id") < 5), e, cents,
-            rcb, "vec_id", "embedding", Dim, numSub = 8, k = 5, nProbe = 4)
-          .select(col("query_id"), col("neighbor_id"),
-            round(col("pq_score"), 6).as("pq_score_r"), col("rank"))
-          .orderBy(col("query_id"), col("rank"))
-      },
+      (spark, dir) => { q123Build(spark, dir); q123Probe(spark, dir) },
       Some("""
         WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
         subs AS (SELECT unnest(generate_series(0, 7)) AS sub),
@@ -895,7 +924,8 @@ object VectorQueries extends QueryModule {
         SELECT query_id, neighbor_id, round(pq_score, 6) AS pq_score_r, rank
         FROM ranked WHERE rank <= 5
         ORDER BY query_id, rank
-      """.trim)),
+      """.trim),
+      indexed = Some(graft.core.GQuery.IndexedParts(q123Build, q123Probe))),
 
     // --- MMR diversified re-rank (Carbonell & Goldstein 1998) over
     // brute-force-nominated candidates: greedy argmax of

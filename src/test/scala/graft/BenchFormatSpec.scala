@@ -17,13 +17,13 @@ class BenchFormatSpec extends AnyFunSuite {
     // query (no single query should take 1000+ s; if one does, the bench
     // has bigger problems than formatting).
     val worst = names.map(_ -> 999.999)
-    // raw is capped at 4 entries on the stdout record (Bench.main) so a
+    // raw is capped at 3 entries on the stdout record (Bench.main) so a
     // pathologically contended run can't blow the tail buffer; builds
     // carries one entry per GQuery.indexed bench query.
     val worstBuilds = SparkEntry.benchIndexed.keys.toSeq.map(_ -> 999.999)
     val line = Bench.record(worst, repeats = 3, leakedRdds = 0,
       sfDir = "/root/testdata/sf0.1", shorten = true,
-      calib = Seq(999.999, 999.999), rechecked = 99, raw = worst.take(4),
+      calib = Seq(999.999, 999.999), rechecked = 99, raw = worst.take(3),
       builds = worstBuilds)
     assert(line.length <= 1900,
       s"stdout bench line ${line.length} chars — within 100 of the 2000-char " +
@@ -104,7 +104,7 @@ class BenchFormatSpec extends AnyFunSuite {
     // the registry exposes exactly the split queries
     assert(SparkEntry.benchIndexed.keySet ==
       Set("q28_incremental_dedup", "q71_ann_ivf", "q116_semdedup_incremental",
-        "q120_ivfpq_stored"))
+        "q120_ivfpq_stored", "q123_ivfpq_residual"))
   }
 
   test("record stays valid JSON under a comma-decimal default locale") {

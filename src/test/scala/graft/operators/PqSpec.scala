@@ -361,6 +361,30 @@ class PqSpec extends AnyFunSuite {
       s"residual candidates@50 recall ($resR) fell below raw ($rawR)")
   }
 
+  test("residual split: probe over persisted encode == in-memory ivfPqResidualTopK bit-for-bit") {
+    val e = embs
+    val cents = Similarity.seedCentroids(e, "vec_id", "embedding", 16)
+    val rcb = Similarity.pqResidualCodebook(e, cents, "vec_id", "embedding",
+      Dim, NumSub, Ksub)
+    val queries = e.filter(col("vec_id") < 5)
+    val inMem = Similarity.ivfPqResidualTopK(queries, e, cents, rcb,
+      "vec_id", "embedding", Dim, NumSub, k = 5, nProbe = 4)
+    val p = java.nio.file.Files.createTempDirectory("graft_resparity").toString
+    Similarity.ivfPqResidualEncode(e, cents, rcb, "vec_id", "embedding",
+      Dim, NumSub).write.parquet(s"$p/enc")
+    cents.write.parquet(s"$p/cents")
+    rcb.write.parquet(s"$p/rcb")
+    val stored = Similarity.ivfPqResidualProbe(queries,
+      spark.read.parquet(s"$p/enc"), spark.read.parquet(s"$p/cents"),
+      spark.read.parquet(s"$p/rcb"),
+      "vec_id", "embedding", Dim, NumSub, k = 5, nProbe = 4)
+    def rows(df: DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+      .sortBy(t => (t._1, t._4)).toSeq
+    assert(rows(stored) == rows(inMem),
+      "stored residual probe must replay the in-memory chain exactly")
+  }
+
   test("streaming vector ingest maintains the stored IVF-PQ index: foreachBatch appends == one-shot build") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._

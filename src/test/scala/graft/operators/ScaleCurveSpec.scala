@@ -364,4 +364,19 @@ class ScaleCurveSpec extends AnyFunSuite {
     }
     curve("rp_lsh_neardup", op, e, amp)
   }
+
+  test("token-distribution drift (TV) scales ~linearly, one pass per corpus") {
+    // the two slices are the doc_id parities (ampText's id shift is even,
+    // so copies preserve parity and both slices grow 10x together); the
+    // heavy work is the per-side token-count aggregate — vocab-sized
+    // output, totals via the single-partition window over the MERGED
+    // vocab frame, so 10x data must not add exchanges (a scalar-agg
+    // totals branch would also double the corpus scans)
+    val docs = table("documents").select($"doc_id", $"text")
+    val amp = ampText(docs, "doc_id", Seq("text"), 1000000L)
+    def op(d: DataFrame): DataFrame =
+      CorpusStats.tokenDriftTV(
+        d.filter($"doc_id" % 2 === 0), d.filter($"doc_id" % 2 =!= 0), "text")
+    curve("token_drift_tv", op, docs, amp)
+  }
 }
