@@ -41,16 +41,20 @@ object Bench {
     * turning the record into invalid JSON on a differently-configured box.
     */
   private def fmt3(v: Double, shorten: Boolean = false): String = {
-    // Adaptive precision: ms resolution where it means something (sub-10 s
-    // medians), centisecond above — a 100 s outlier needs no ms digits,
-    // and the saved chars keep the whole record inside the driver's
-    // 2000-char stdout tail buffer as the query count grows. The stdout
-    // form drops to whole seconds past 100 s: at 120+ bench queries the
-    // worst-case line budget is ~2 chars per query, and a 100 s outlier's
-    // fractional second carries no information the recheck didn't.
+    // Adaptive precision. The committed bench.json form keeps ms
+    // resolution; the STDOUT form is one digit coarser per band
+    // (centisecond under 10 s, decisecond under 100 s, whole seconds
+    // above) because the driver captures it through a 2000-char tail
+    // buffer: at 145 bench queries the 3-decimal rendering measured
+    // 2012 chars on the committed bench.json values — PAST the buffer —
+    // while the round-to-round contention noise the record exists to
+    // compare against is ≥100 ms, so the dropped digit carried no
+    // signal. (The worst-case spec in BenchFormatSpec models the DENSEST
+    // rendering — all sub-10 s values — not the largest ones; "9.99" is
+    // wider than "1000"'s band budget per entry.)
     val pattern =
-      if (math.abs(v) < 10) "%.3f"
-      else if (math.abs(v) < 100) "%.2f"
+      if (math.abs(v) < 10) { if (shorten) "%.2f" else "%.3f" }
+      else if (math.abs(v) < 100) { if (shorten) "%.1f" else "%.2f" }
       else if (shorten) "%.0f"
       else "%.1f"
     String.format(java.util.Locale.ROOT, pattern, Double.box(v))
@@ -61,7 +65,11 @@ object Bench {
       rechecked: Int = 0, raw: Seq[(String, Double)] = Nil,
       builds: Seq[(String, Double)] = Nil): String = {
     def qmap(entries: Seq[(String, Double)]): String = entries.map { case (k, v) =>
-      "\"" + (if (shorten) shortKey(k) else k) + "\":" + fmt3(v, shorten)
+      // stdout renders the error sentinel as bare "-1": unmistakable, and
+      // it bounds the ALL-errored line (the one a human most needs to
+      // parse) well inside the tail buffer.
+      val fv = if (shorten && v == ErrSentinel) "-1" else fmt3(v, shorten)
+      "\"" + (if (shorten) shortKey(k) else k) + "\":" + fv
     }.mkString("{", ",", "}")
     val totalRaw = results.collect { case (_, v) if v >= 0 => v }.sum
     // stdout: ms precision on the total (the full double's 17-digit tail
@@ -82,7 +90,15 @@ object Bench {
     // a build/probe split (GQuery.indexed): paid once per bench run, NOT
     // per repeat, and excluded from `value` — the total measures query
     // latency; ingest cost stays auditable in its own field.
-    s"""{"metric":"total","value":$total,"unit":"sec","repeats":$repeats,"errors":$errors,"rechecked":$rechecked,"raw":${qmap(raw)},"build":${qmap(builds)},"calib":$calibJson,"leaked_rdds":$leakedRdds,"queries":${qmap(results)},"sf":"$sfOut"}"""
+    // The stdout form drops two constant-when-healthy diagnostics:
+    // `repeats` (fixed per run, preserved in bench.json) always, and
+    // `leaked_rdds` only when 0 (absence = clean; a LEAK always prints).
+    // The driver's parse contract (metric/value/unit/queries/sf) keeps
+    // every required field; bench.json keeps the full shape.
+    val repeatsOut = if (shorten) "" else s""""repeats":$repeats,"""
+    val leakedOut =
+      if (shorten && leakedRdds == 0) "" else s""""leaked_rdds":$leakedRdds,"""
+    s"""{"metric":"total","value":$total,"unit":"sec",$repeatsOut"errors":$errors,"rechecked":$rechecked,"raw":${qmap(raw)},"build":${qmap(builds)},"calib":$calibJson,$leakedOut"queries":${qmap(results)},"sf":"$sfOut"}"""
   }
 
   /** Fixed calibration job: 1e8-row range sum over PINNED 32 partitions —

@@ -26,7 +26,8 @@ object SparkEntry {
     _root_.graft.queries.MedallionQueries,
     _root_.graft.queries.SemiStructuredQueries,
     _root_.graft.queries.SamplingQueries,
-    _root_.graft.queries.CurationQueries)
+    _root_.graft.queries.CurationQueries,
+    _root_.graft.queries.GraphQueries)
 
   lazy val registry: Seq[GQuery] = modules.flatMap(_.all)
 

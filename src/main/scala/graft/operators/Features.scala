@@ -76,4 +76,64 @@ object Features {
           - ((col("sx_fix").cast(DoubleType) / sc) / col("n").cast(DoubleType))
             * ((col("sy_fix").cast(DoubleType) / sc) / col("n").cast(DoubleType)))
   }
+
+  /** Top principal direction of the (uncentered) Gramian by FIXED-round
+    * power iteration over [[vectorMoments]]' exact fixed-point sums —
+    * the eigen step of PCA/whitening, kept inside the engine's
+    * determinism envelope so the q175 oracle can replay every round:
+    *
+    *   v⁰ = 1 (fixed point 2^scaleBits);
+    *   uᵗ = G·vᵗ — exact long matvec (products and sums of the exact
+    *        `sxy_fix` longs: associative, partitioning-invariant);
+    *   vᵗ⁺¹ = floor((u/max|u|)·2^scaleBits) — ONE fixed IEEE
+    *        double-divide + multiply + floor per component (the q151
+    *        `cov` discipline: deterministic, engine-portable), which
+    *        renormalizes to [-2^scaleBits, 2^scaleBits] without the
+    *        long-overflowing exact form (u·2^k needs ~2^76 at corpus n).
+    *
+    * Convergence is the classic power-method geometry (ratio λ₂/λ₁ per
+    * round); `rounds` is a hyperparameter, not data-dependent, so the
+    * plan is a bounded chain.
+    *
+    * Scale shape: everything here is dim²-sized — corpus cost was paid
+    * once inside the one-pass moments aggregate. The iteration could run
+    * driver-side; running it as DataFrame algebra keeps it inside the
+    * gate's replay surface at zero real cost (dim² = 4,096 rows).
+    *
+    * Long capacity: |G·v| ≤ dim · n·maxval²·2^k · 2^k; with k=20, d=64,
+    * unit-bounded components, overflow needs n ≳ 2·10⁹ vectors — raise
+    * the corpus past that by lowering the MOMENTS scale, not this one.
+    *
+    * @param moments output of [[vectorMoments]] (same `scale`)
+    * @return (i int 1-based, vf long) — the direction, fixed-point
+    */
+  def topComponentFixed(moments: DataFrame, dim: Int, rounds: Int,
+      scaleBits: Int = 20): DataFrame = {
+    require(rounds >= 1, s"rounds ($rounds) must be >= 1")
+    val spark = moments.sparkSession
+    val scale = 1L << scaleBits
+    val tri = moments.select(col("i"), col("j"), col("sxy_fix"))
+    // mirror the upper triangle: the matvec needs the full symmetric G
+    val g = tri.unionByName(
+      tri.filter(col("j") > col("i"))
+        .select(col("j").as("i"), col("i").as("j"), col("sxy_fix")))
+    var v = spark.range(1, dim + 1)
+      .select(col("id").cast("int").as("j"), lit(scale).as("vf"))
+    var r = 0
+    while (r < rounds) {
+      val u = g.join(v, "j")
+        .groupBy(col("i"))
+        .agg(sum(col("sxy_fix") * col("vf")).as("u"))
+      val m = u.agg(max(abs(col("u"))).as("m"))
+      v = u.crossJoin(broadcast(m))
+        .select(col("i").as("j"),
+          when(col("m") === 0L, lit(0L))
+            .otherwise(floor(
+              col("u").cast(DoubleType) / col("m").cast(DoubleType)
+                * lit(scale.toDouble)).cast("long"))
+            .as("vf"))
+      r += 1
+    }
+    v.select(col("j").as("i"), col("vf"))
+  }
 }

@@ -1,0 +1,198 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Iterative graph algorithms over plain edge-list DataFrames — PageRank
+  * and label propagation, the two link-structure primitives a web-corpus
+  * curation pipeline runs at crawl scale (Common-Crawl-style pipelines
+  * rank registered domains by link centrality before sampling, and spread
+  * sparse quality/topic labels along the link graph; the reference's BI
+  * layer has no graph surface, so these extend SURVEY §2.12's curation
+  * families — reference scope per `config/gold/schema/README.md`'s
+  * star-schema-only query set).
+  *
+  * Both operators follow [[TextDedup.connectedComponents]]'s iteration
+  * discipline: the edge frame is eager-checkpointed ONCE (it is re-read
+  * every round and its upstream derivation may be arbitrarily expensive),
+  * per-round state is node-sized — never edge-sized — and superseded
+  * round handles are unpersisted immediately so pinned storage stays
+  * O(one round). Per round the only wide ops are one edge×state equi-join
+  * (co-partitioned on the same key every round, so AQE reuses the layout)
+  * and one node-keyed aggregate with map-side partials. Rounds are FIXED
+  * (a hyperparameter, not data-dependent), so the plan is a bounded chain
+  * — at a 1000-executor 100 TB scale the cost is `rounds ×` (one shuffle
+  * of (node, long) pairs), with the edge list shuffled once at the
+  * checkpoint, never re-shuffled.
+  *
+  * Determinism contract (the repo's 2^k fixed-point gate discipline, see
+  * PERF.md's q134/q135 stanza): all per-round arithmetic is exact long
+  * math — integral `div`, integral multiply by the damping percentage —
+  * so results are bit-identical under any partitioning, arrival, or
+  * merge order AND replayable by an external engine's integer ops (the
+  * q173/q174 oracles unroll the rounds as chained CTEs).
+  */
+object Graph {
+
+  /** PageRank in exact fixed point, the classic iterate (Page et al.
+    * 1999; the formulation of Spark's own canonical PageRank example —
+    * scores, not a normalized distribution; dangling mass is not
+    * redistributed, which preserves ranking order and keeps each round a
+    * single join+agg):
+    *
+    *   rank⁰(v)   = 1
+    *   rankᵗ⁺¹(v) = (1 − d) + d · Σ_{u→v} rankᵗ(u) / outdeg(u)
+    *
+    * carried as `rf = rank · 2^scaleBits` in longs, with both divisions
+    * integral (`rf div outdeg`, `(dampingPct · Σ) div 100`) — exact,
+    * associative, engine-portable.
+    *
+    * Capacity: Σ contributions into one node is < |V| · 2^scaleBits;
+    * with the default scaleBits=30 the damping multiply overflows long
+    * only past ~10^8 in-neighbors-weighted mass per node — lower
+    * `scaleBits` for extreme hub graphs (precision trades linearly).
+    *
+    * @param edges      directed edge list; self-loops and duplicate edges
+    *                   are deduplicated (a duplicated edge must not count
+    *                   its contribution twice)
+    * @return (node string, rf long) — rf = rank · 2^scaleBits
+    */
+  def pageRankFixed(edges: DataFrame, srcCol: String, dstCol: String,
+      iterations: Int, dampingPct: Int = 85, scaleBits: Int = 30): DataFrame = {
+    require(iterations >= 1, s"iterations ($iterations) must be >= 1")
+    require(dampingPct >= 0 && dampingPct <= 100,
+      s"dampingPct ($dampingPct) must be in [0, 100]")
+    require(scaleBits >= 1 && scaleBits <= 40,
+      s"scaleBits ($scaleBits) must leave long headroom (1..40)")
+    import org.apache.spark.sql.GraftSqlBridge.eagerCheckpoint
+
+    val scale = 1L << scaleBits
+    val base = (100 - dampingPct) * scale / 100 // exact: (1-d)·2^k floored once
+
+    val e = edges
+      .select(col(srcCol).cast("string").as("src"),
+        col(dstCol).cast("string").as("dst"))
+      .distinct()
+    // Edges + out-degree materialize once; every round re-reads this frame.
+    val (ed, edHandle) = eagerCheckpoint(
+      e.join(e.groupBy("src").agg(count(lit(1)).as("out_deg")), "src"))
+    val (nodes, nodesHandle) = eagerCheckpoint(
+      ed.select(col("src").as("node"))
+        .unionByName(ed.select(col("dst").as("node")))
+        .distinct())
+
+    var (ranks, ranksHandle) = eagerCheckpoint(
+      nodes.withColumn("rf", lit(scale)))
+    var i = 0
+    while (i < iterations) {
+      val contribs = ed
+        .join(ranks.withColumnRenamed("node", "src"), "src")
+        .select(col("dst").as("node"), expr("rf div out_deg").as("c"))
+        .groupBy("node").agg(sum(col("c")).as("cs"))
+      val (next, nextHandle) = eagerCheckpoint(
+        nodes.join(contribs, Seq("node"), "left")
+          .select(col("node"),
+            (lit(base) +
+              expr(s"($dampingPct * coalesce(cs, 0L)) div 100")).as("rf")))
+      ranksHandle.unpersist(blocking = false) // superseded round, free it
+      ranks = next
+      ranksHandle = nextHandle
+      i += 1
+    }
+    edHandle.unpersist(blocking = false)
+    nodesHandle.unpersist(blocking = false)
+    ranks
+  }
+
+  /** Label propagation (Raghavan et al. 2007, synchronous variant) with
+    * clamped seeds: nodes with a seed label never change; every other
+    * node takes, each round, the most frequent label among its labeled
+    * in-neighbors under the SYMMETRIC closure of `edges` (ties broken by
+    * the lexicographically smallest label — the determinism device that
+    * replaces the paper's random tie-break), keeping its current label
+    * (possibly none) when no neighbor is labeled. Synchronous + min-tie
+    * makes every round a pure function of the previous round's state, so
+    * the result is partitioning-invariant and the q174 oracle can unroll
+    * rounds as chained CTEs.
+    *
+    * Per-round shape: edge×labels equi-join → (node, label) count agg →
+    * per-node argmax window over the COUNT FRAME (rows = labeled
+    * neighbors' distinct labels — bounded by label vocabulary × nodes,
+    * never by edges). State is (node, label) — node-sized.
+    *
+    * @param seeds (idCol, labelCol) — the sparse ground-truth labels
+    * @return (node string, label string nullable) for every node of the
+    *         graph; unreached nodes keep NULL
+    */
+  def labelPropagateFixed(edges: DataFrame, srcCol: String, dstCol: String,
+      seeds: DataFrame, idCol: String, labelCol: String,
+      rounds: Int): DataFrame = {
+    require(rounds >= 1, s"rounds ($rounds) must be >= 1")
+    import org.apache.spark.sql.GraftSqlBridge.eagerCheckpoint
+
+    val dir = edges
+      .select(col(srcCol).cast("string").as("src"),
+        col(dstCol).cast("string").as("dst"))
+    val (und, undHandle) = eagerCheckpoint(
+      dir.unionByName(
+          dir.select(col("dst").as("src"), col("src").as("dst")))
+        .distinct())
+    val (nodes, nodesHandle) = eagerCheckpoint(
+      und.select(col("src").as("node")).distinct())
+    val seed = seeds
+      .select(col(idCol).cast("string").as("node"),
+        col(labelCol).cast("string").as("seed_label"))
+      .groupBy("node").agg(min(col("seed_label")).as("seed_label"))
+
+    var (labels, labelsHandle) = eagerCheckpoint(
+      nodes.join(seed, Seq("node"), "left")
+        .select(col("node"), col("seed_label").as("label")))
+    var r = 0
+    while (r < rounds) {
+      val counts = und
+        .join(labels.select(col("node").as("src"), col("label")), "src")
+        .filter(col("label").isNotNull)
+        .groupBy(col("dst").as("node"), col("label"))
+        .agg(count(lit(1)).as("cnt"))
+      val w = Window.partitionBy(col("node"))
+        .orderBy(col("cnt").desc, col("label").asc)
+      val winner = counts
+        .withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1)
+        .select(col("node"), col("label").as("prop_label"))
+      val (next, nextHandle) = eagerCheckpoint(
+        labels.join(winner, Seq("node"), "left")
+          .join(seed, Seq("node"), "left")
+          .select(col("node"),
+            coalesce(col("seed_label"), col("prop_label"), col("label"))
+              .as("label")))
+      labelsHandle.unpersist(blocking = false) // superseded round, free it
+      labels = next
+      labelsHandle = nextHandle
+      r += 1
+    }
+    undHandle.unpersist(blocking = false)
+    nodesHandle.unpersist(blocking = false)
+    labels
+  }
+
+  /** The purchase graph the q173/q174 gates run on: undirected (both
+    * directions materialized) customer↔supplier edges from the order
+    * lines — `c:<custkey> ↔ s:<suppkey>` for every distinct
+    * (customer, supplier) trading pair. Symmetry means no dangling nodes
+    * (every node has out-edges), so [[pageRankFixed]]'s
+    * no-redistribution form loses no mass on it.
+    */
+  def purchaseEdges(orders: DataFrame, lineitem: DataFrame): DataFrame = {
+    val pairs = orders.select(col("o_orderkey"), col("o_custkey"))
+      .join(lineitem.select(col("l_orderkey").as("o_orderkey"),
+        col("l_suppkey")), "o_orderkey")
+      .select(
+        concat(lit("c:"), col("o_custkey").cast("string")).as("a"),
+        concat(lit("s:"), col("l_suppkey").cast("string")).as("b"))
+      .distinct()
+    pairs.select(col("a").as("src"), col("b").as("dst"))
+      .unionByName(pairs.select(col("b").as("src"), col("a").as("dst")))
+  }
+}

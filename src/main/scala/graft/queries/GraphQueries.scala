@@ -1,0 +1,146 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.core.{GQuery, QueryModule, Tables}
+import graft.operators.Graph
+
+/** Link-graph gates: fixed-point PageRank and clamped label propagation
+  * over the customer↔supplier purchase graph ([[Graph.purchaseEdges]]).
+  * Both algorithms run FIXED rounds in exact long arithmetic, so the
+  * DuckDB oracles replay them bit-for-bit as chained CTEs — a hash match
+  * certifies every intermediate round, not just the output shape.
+  */
+object GraphQueries extends QueryModule {
+
+  private def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    Tables.t(spark, dir, name)
+
+  /** Shared oracle prelude: the symmetric purchase graph + out-degrees.
+    * `pair` is the distinct trading relation; the two node namespaces
+    * (`c:`, `s:`) are disjoint so the symmetric union needs no dedup.
+    */
+  private val graphSql = """
+    pair AS (
+      SELECT DISTINCT 'c:' || CAST(o_custkey AS VARCHAR) AS a,
+                      's:' || CAST(l_suppkey AS VARCHAR) AS b
+      FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+    e AS (SELECT a AS src, b AS dst FROM pair
+          UNION ALL
+          SELECT b AS src, a AS dst FROM pair),
+    n AS (SELECT DISTINCT src AS node FROM e)"""
+
+  def all: Seq[GQuery] = Seq(
+
+    // --- PageRank over the purchase graph, 4 fixed rounds in 2^30 fixed
+    // point: rank⁰=1, rankᵗ⁺¹ = 0.15 + 0.85·Σ contrib, every division
+    // integral. The oracle unrolls the rounds as chained CTEs with the
+    // same integer ops (DuckDB `//` = Spark `div` on the all-positive
+    // ranks), so the hash certifies each round's exact fixed-point state.
+    // Scale shape: edges checkpoint once, per-round state is node-sized,
+    // the damping/base arithmetic never leaves long range. ---
+    GQuery(
+      "q173_pagerank",
+      (spark, dir) => {
+        val edges = Graph.purchaseEdges(
+          t(spark, dir, "orders"), t(spark, dir, "lineitem"))
+        Graph.pageRankFixed(edges, "src", "dst", iterations = 4)
+          .orderBy(col("node"))
+      },
+      Some(s"""
+        WITH $graphSql,
+        deg AS (SELECT src, COUNT(*) AS out_deg FROM e GROUP BY src),
+        r0 AS (SELECT node, CAST(1073741824 AS BIGINT) AS rf FROM n),
+        r1 AS (
+          SELECT n.node, 161061273 + (85 * COALESCE(s.cs, 0)) // 100 AS rf
+          FROM n LEFT JOIN (
+            SELECT e.dst AS node, SUM(r.rf // deg.out_deg) AS cs
+            FROM e JOIN r0 r ON r.node = e.src
+                   JOIN deg ON deg.src = e.src
+            GROUP BY e.dst) s USING (node)),
+        r2 AS (
+          SELECT n.node, 161061273 + (85 * COALESCE(s.cs, 0)) // 100 AS rf
+          FROM n LEFT JOIN (
+            SELECT e.dst AS node, SUM(r.rf // deg.out_deg) AS cs
+            FROM e JOIN r1 r ON r.node = e.src
+                   JOIN deg ON deg.src = e.src
+            GROUP BY e.dst) s USING (node)),
+        r3 AS (
+          SELECT n.node, 161061273 + (85 * COALESCE(s.cs, 0)) // 100 AS rf
+          FROM n LEFT JOIN (
+            SELECT e.dst AS node, SUM(r.rf // deg.out_deg) AS cs
+            FROM e JOIN r2 r ON r.node = e.src
+                   JOIN deg ON deg.src = e.src
+            GROUP BY e.dst) s USING (node)),
+        r4 AS (
+          SELECT n.node, 161061273 + (85 * COALESCE(s.cs, 0)) // 100 AS rf
+          FROM n LEFT JOIN (
+            SELECT e.dst AS node, SUM(r.rf // deg.out_deg) AS cs
+            FROM e JOIN r3 r ON r.node = e.src
+                   JOIN deg ON deg.src = e.src
+            GROUP BY e.dst) s USING (node))
+        SELECT node, CAST(rf AS BIGINT) AS rf FROM r4 ORDER BY node
+      """.trim)),
+
+    // --- label propagation, 2 synchronous rounds, seeds clamped: supplier
+    // nodes carry their nation name; customers adopt the most frequent
+    // label among labeled neighbors (ties → smallest label). The min-tie
+    // synchronous variant is a pure function of the previous round, so the
+    // oracle's chained-CTE replay certifies the argmax per round. ---
+    GQuery(
+      "q174_label_prop",
+      (spark, dir) => {
+        val edges = Graph.purchaseEdges(
+          t(spark, dir, "orders"), t(spark, dir, "lineitem"))
+        val seeds = t(spark, dir, "supplier")
+          .join(t(spark, dir, "nation"),
+            col("n_nationkey") === col("s_nationkey"))
+          .select(concat(lit("s:"), col("s_suppkey").cast("string"))
+            .as("node"), col("n_name").as("label"))
+        Graph.labelPropagateFixed(edges, "src", "dst", seeds,
+            "node", "label", rounds = 2)
+          .orderBy(col("node"))
+      },
+      Some(s"""
+        WITH $graphSql,
+        seed AS (
+          SELECT 's:' || CAST(s_suppkey AS VARCHAR) AS node,
+                 MIN(n_name) AS seed_label
+          FROM supplier JOIN nation ON n_nationkey = s_nationkey
+          GROUP BY 1),
+        l0 AS (SELECT n.node, seed.seed_label AS label
+               FROM n LEFT JOIN seed USING (node)),
+        c1 AS (SELECT e.dst AS node, l.label, COUNT(*) AS cnt
+               FROM e JOIN l0 l ON l.node = e.src
+               WHERE l.label IS NOT NULL GROUP BY 1, 2),
+        w1 AS (SELECT node, label AS prop_label,
+                      ROW_NUMBER() OVER (PARTITION BY node
+                        ORDER BY cnt DESC, label ASC) AS rn
+               FROM c1),
+        l1 AS (SELECT l0.node,
+                      COALESCE(seed.seed_label, w.prop_label, l0.label) AS label
+               FROM l0
+               LEFT JOIN (SELECT node, prop_label FROM w1 WHERE rn = 1) w
+                 USING (node)
+               LEFT JOIN seed USING (node)),
+        c2 AS (SELECT e.dst AS node, l.label, COUNT(*) AS cnt
+               FROM e JOIN l1 l ON l.node = e.src
+               WHERE l.label IS NOT NULL GROUP BY 1, 2),
+        w2 AS (SELECT node, label AS prop_label,
+                      ROW_NUMBER() OVER (PARTITION BY node
+                        ORDER BY cnt DESC, label ASC) AS rn
+               FROM c2),
+        l2 AS (SELECT l1.node,
+                      COALESCE(seed.seed_label, w.prop_label, l1.label) AS label
+               FROM l1
+               LEFT JOIN (SELECT node, prop_label FROM w2 WHERE rn = 1) w
+                 USING (node)
+               LEFT JOIN seed USING (node))
+        SELECT node, label FROM l2 ORDER BY node
+      """.trim),
+      // parity-certification surface (same per-round join+agg shape as
+      // q173, which IS benched); rides Verify only — bench-tail policy
+      bench = false)
+  )
+}

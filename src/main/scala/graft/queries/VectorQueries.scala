@@ -1054,7 +1054,62 @@ object VectorQueries extends QueryModule {
         JOIN sums sj ON sj.i = p.j
         CROSS JOIN n
         ORDER BY p.i, p.j
-      """.trim))
+      """.trim)),
+
+    // --- Top principal direction (PCA eigen step) by 2 fixed power-
+    // iteration rounds over the exact Gramian longs from the moments
+    // aggregate: matvec = exact long products/sums (associative), renorm
+    // = one fixed IEEE divide+multiply+floor per component (the q151 cov
+    // discipline). Corpus cost is the one-pass moments aggregate; the
+    // iteration itself is dim²-sized algebra the oracle replays round by
+    // round. ---
+    GQuery(
+      "q175_power_iteration",
+      (spark, dir) => {
+        val moments = graft.operators.Features.vectorMoments(
+          t(spark, dir, "embeddings"), "embedding", Dim)
+        graft.operators.Features.topComponentFixed(moments, Dim, rounds = 2)
+          .orderBy(col("i"))
+      },
+      Some("""
+        WITH v AS (
+          SELECT CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+          WHERE len(embedding) = 64
+            AND len(list_filter(embedding, x -> x IS NULL)) = 0),
+        prods AS (
+          SELECT i, j,
+                 CAST(SUM(CAST(FLOOR((e[i] * e[j]) * 1048576.0) AS BIGINT))
+                   AS BIGINT) AS sxy
+          FROM v, UNNEST(range(1, 65)) t1(i), UNNEST(range(1, 65)) t2(j)
+          WHERE j >= i GROUP BY i, j),
+        g AS (SELECT i, j, sxy FROM prods
+              UNION ALL
+              SELECT j AS i, i AS j, sxy FROM prods WHERE j > i),
+        v0 AS (SELECT t.i AS j, CAST(1048576 AS BIGINT) AS vf
+               FROM UNNEST(range(1, 65)) t(i)),
+        u1 AS (SELECT g.i, CAST(SUM(g.sxy * w.vf) AS BIGINT) AS u
+               FROM g JOIN v0 w ON w.j = g.j GROUP BY g.i),
+        m1 AS (SELECT MAX(ABS(u)) AS m FROM u1),
+        v1 AS (SELECT u1.i AS j,
+                      CASE WHEN m1.m = 0 THEN CAST(0 AS BIGINT)
+                           ELSE CAST(FLOOR(CAST(u AS DOUBLE)
+                                  / CAST(m AS DOUBLE) * 1048576.0) AS BIGINT)
+                      END AS vf
+               FROM u1, m1),
+        u2 AS (SELECT g.i, CAST(SUM(g.sxy * w.vf) AS BIGINT) AS u
+               FROM g JOIN v1 w ON w.j = g.j GROUP BY g.i),
+        m2 AS (SELECT MAX(ABS(u)) AS m FROM u2),
+        v2 AS (SELECT u2.i AS j,
+                      CASE WHEN m2.m = 0 THEN CAST(0 AS BIGINT)
+                           ELSE CAST(FLOOR(CAST(u AS DOUBLE)
+                                  / CAST(m AS DOUBLE) * 1048576.0) AS BIGINT)
+                      END AS vf
+               FROM u2, m2)
+        SELECT CAST(j AS INT) AS i, vf FROM v2 ORDER BY i
+      """.trim),
+      // dim²-sized algebra over q151's already-benched aggregate; a parity
+      // certification surface, not a perf one — rides Verify only
+      bench = false)
   )
 
   /** The deterministic DuckDB replay of the IVF-PQ composition (q119 and

@@ -13,21 +13,29 @@ class BenchFormatSpec extends AnyFunSuite {
   private val names = SparkEntry.benchQueries.keys.toSeq
 
   test("stdout bench record fits the driver's 2000-char tail buffer with margin") {
-    // Worst plausible values: three digits before the decimal for every
-    // query (no single query should take 1000+ s; if one does, the bench
-    // has bigger problems than formatting).
-    val worst = names.map(_ -> 999.999)
-    // raw is capped at 3 entries on the stdout record (Bench.main) so a
-    // pathologically contended run can't blow the tail buffer; builds
-    // carries one entry per GQuery.indexed bench query.
-    val worstBuilds = SparkEntry.benchIndexed.keys.toSeq.map(_ -> 999.999)
-    val line = Bench.record(worst, repeats = 3, leakedRdds = 0,
-      sfDir = "/root/testdata/sf0.1", shorten = true,
-      calib = Seq(999.999, 999.999), rechecked = 99, raw = worst.take(3),
-      builds = worstBuilds)
-    assert(line.length <= 1900,
-      s"stdout bench line ${line.length} chars — within 100 of the 2000-char " +
-        "tail buffer; shorten the record before adding more bench queries")
+    // Two adversarial value profiles — the DENSEST rendering per entry is
+    // what overflows the buffer, and that is NOT the largest value:
+    //  - all sub-10 s ("9.99", the realistic profile that measured 2012
+    //    chars at 3-decimal precision on the real bench.json values and
+    //    motivated the coarser stdout bands),
+    //  - all 100-999 s ("1000" after %.0f — three digits before the
+    //    decimal; past that the bench has bigger problems than format),
+    //  - all errored ("-1.00", the widest sentinel rendering).
+    for (value <- Seq(9.994, 999.999, Bench.ErrSentinel)) {
+      val worst = names.map(_ -> value)
+      // raw is capped at 3 entries on the stdout record (Bench.main) so a
+      // pathologically contended run can't blow the tail buffer; builds
+      // carries one entry per GQuery.indexed bench query.
+      val worstBuilds = SparkEntry.benchIndexed.keys.toSeq.map(_ -> 999.999)
+      val line = Bench.record(worst, repeats = 3, leakedRdds = 0,
+        sfDir = "/root/testdata/sf0.1", shorten = true,
+        calib = Seq(999.999, 999.999), rechecked = 99, raw = worst.take(3),
+        builds = worstBuilds)
+      assert(line.length <= 1900,
+        s"stdout bench line ${line.length} chars at uniform value $value — " +
+          "within 100 of the 2000-char tail buffer; shorten the record " +
+          "before adding more bench queries")
+    }
   }
 
   test("short keys are unique and map 1:1 onto query names") {
@@ -44,8 +52,9 @@ class BenchFormatSpec extends AnyFunSuite {
       assert(line.startsWith("{\"metric\":\"total\"") && line.endsWith("\"}"))
       assert(line.count(_ == '{') == line.count(_ == '}'))
       assert(line.contains("\"queries\":{"))
-      // 3-decimal formatting must never emit locale commas or exponents
-      assert(line.contains(":1.234"))
+      // fixed-decimal formatting must never emit locale commas or
+      // exponents; stdout is centisecond, bench.json millisecond
+      assert(line.contains(if (shorten) ":1.23" else ":1.234"))
     }
   }
 

@@ -1,0 +1,110 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** Graph operator properties: exact fixed-point semantics against an
+  * independent in-memory model, partitioning invariance (the determinism
+  * the q173/q174 oracles rely on), duplicate-edge idempotence, and seed
+  * clamping / deterministic tie-breaks for label propagation.
+  */
+class GraphSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val Scale = 1L << 30
+  private val Base = 15 * Scale / 100
+
+  /** Reference model: same integer arithmetic, plain Scala maps. */
+  private def modelPageRank(edges: Seq[(String, String)], iters: Int): Map[String, Long] = {
+    val e = edges.distinct
+    val deg = e.groupBy(_._1).map { case (s, es) => s -> es.size.toLong }
+    val nodes = (e.map(_._1) ++ e.map(_._2)).distinct
+    var r = nodes.map(_ -> Scale).toMap
+    (1 to iters).foreach { _ =>
+      val in = e.groupBy(_._2).map { case (d, es) =>
+        d -> es.map { case (s, _) => r(s) / deg(s) }.sum
+      }
+      r = nodes.map(n => n -> (Base + 85 * in.getOrElse(n, 0L) / 100)).toMap
+    }
+    r
+  }
+
+  test("pageRankFixed matches the exact integer model on a hub graph") {
+    val edges = Seq(
+      "a" -> "b", "a" -> "c", "a" -> "d", // a is a hub out
+      "b" -> "a", "c" -> "a", "d" -> "a", // all point back
+      "d" -> "c") // asymmetry so ranks differ
+    val got = Graph.pageRankFixed(edges.toDF("src", "dst"), "src", "dst", 4)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == modelPageRank(edges, 4))
+    // the hub receiving three full contributions outranks the leaves
+    assert(got("a") > got("b") && got("a") > got("d"))
+  }
+
+  test("pageRankFixed: duplicate and multi-expressed edges count once") {
+    val dup = Seq("a" -> "b", "a" -> "b", "b" -> "a", "b" -> "a", "a" -> "b")
+    val got = Graph.pageRankFixed(dup.toDF("src", "dst"), "src", "dst", 3)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == modelPageRank(Seq("a" -> "b", "b" -> "a"), 3))
+    // the 2-cycle is symmetric: both nodes carry the same exact rank
+    assert(got("a") == got("b"))
+  }
+
+  test("pageRankFixed is partitioning-invariant (bit-identical)") {
+    val edges = Graph.purchaseEdges(
+      graft.core.Tables.t(spark, TestSpark.SfDir, "orders"),
+      graft.core.Tables.t(spark, TestSpark.SfDir, "lineitem"))
+    val a = Graph.pageRankFixed(edges, "src", "dst", 3)
+      .orderBy("node").collect().toSeq
+    val b = Graph.pageRankFixed(edges.repartition(17), "src", "dst", 3)
+      .orderBy("node").collect().toSeq
+    assert(a == b)
+  }
+
+  test("labelPropagateFixed: seeds clamp, majority wins, ties take the smallest label") {
+    // star: center x with three labeled leaves (2×red beats 1×blue);
+    // y sees exactly one red and one blue neighbor → tie → "blue" < "red"
+    val edges = Seq(
+      "x" -> "r1", "x" -> "r2", "x" -> "b1",
+      "y" -> "r1", "y" -> "b1").toDF("src", "dst")
+    val seeds = Seq(("r1", "red"), ("r2", "red"), ("b1", "blue"))
+      .toDF("id", "lbl")
+    val got = Graph.labelPropagateFixed(edges, "src", "dst", seeds,
+        "id", "lbl", rounds = 1)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(got("x") == "red")   // majority
+    assert(got("y") == "blue")  // tie → lexicographically smallest
+    assert(got("r1") == "red" && got("b1") == "blue") // clamped seeds
+  }
+
+  test("labelPropagateFixed: unlabeled neighborhoods keep NULL; round 2 reaches distance-2 nodes") {
+    // chain: seed -> m -> far  (symmetric closure connects them)
+    val edges = Seq("s" -> "m", "m" -> "far", "iso1" -> "iso2")
+      .toDF("src", "dst")
+    val seeds = Seq(("s", "L")).toDF("id", "lbl")
+    val r1 = Graph.labelPropagateFixed(edges, "src", "dst", seeds, "id", "lbl", 1)
+      .collect().map(r => r.getString(0) -> Option(r.getString(1))).toMap
+    assert(r1("m").contains("L") && r1("far").isEmpty && r1("iso1").isEmpty)
+    val r2 = Graph.labelPropagateFixed(edges, "src", "dst", seeds, "id", "lbl", 2)
+      .collect().map(r => r.getString(0) -> Option(r.getString(1))).toMap
+    assert(r2("far").contains("L") && r2("iso2").isEmpty)
+  }
+
+  test("labelPropagateFixed is partitioning-invariant on the purchase graph") {
+    val edges = Graph.purchaseEdges(
+      graft.core.Tables.t(spark, TestSpark.SfDir, "orders"),
+      graft.core.Tables.t(spark, TestSpark.SfDir, "lineitem"))
+    val seeds = graft.core.Tables.t(spark, TestSpark.SfDir, "supplier")
+      .select(concat(lit("s:"), col("s_suppkey").cast("string")).as("id"),
+        (col("s_nationkey") % 3).cast("string").as("lbl"))
+    val a = Graph.labelPropagateFixed(edges, "src", "dst", seeds, "id", "lbl", 2)
+      .orderBy("node").collect().toSeq
+    val b = Graph.labelPropagateFixed(edges.repartition(13), "src", "dst",
+        seeds, "id", "lbl", 2)
+      .orderBy("node").collect().toSeq
+    assert(a == b)
+  }
+}

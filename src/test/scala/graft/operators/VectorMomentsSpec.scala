@@ -51,4 +51,58 @@ class VectorMomentsSpec extends AnyFunSuite {
     assert("Exchange".r.findAllIn(plan).size == 1, plan)
     assert(plan.contains("vector_moments"), plan)
   }
+
+  // --- power iteration (q175's operator) ---
+
+  /** Deterministic anisotropic fixture: mass concentrated along a known
+    * direction `w` plus small structured off-axis terms.
+    */
+  private def anisotropic(n: Int, d: Int): Seq[(Long, Seq[Double])] = {
+    val w = Seq.tabulate(d)(j => math.cos(j * 0.7) * 0.5)
+    (1 to n).map { i =>
+      val a = math.sin(i * 1.3) // dominant coefficient, varies per row
+      (i.toLong, Seq.tabulate(d)(j =>
+        a * w(j) + 0.05 * math.sin(i * 3.1 + j * 1.7)))
+    }
+  }
+
+  test("topComponentFixed converges to the brute-force dominant eigenvector") {
+    val d = 8
+    val data = anisotropic(300, d)
+    val moments = Features.vectorMoments(data.toDF("id", "embedding"), "embedding", d)
+    val got = Features.topComponentFixed(moments, d, rounds = 6)
+      .orderBy("i").collect().map(_.getLong(1).toDouble)
+
+    // brute force: build the exact same fixed-point Gramian, power-iterate
+    // in plain doubles far past convergence
+    val scale = (1L << 20).toDouble
+    val g = Array.ofDim[Double](d, d)
+    for ((_, e) <- data; i <- 0 until d; j <- i until d) {
+      val v = math.floor(e(i) * e(j) * scale)
+      g(i)(j) += v
+      if (i != j) g(j)(i) += v
+    }
+    var v = Array.fill(d)(1.0)
+    (1 to 200).foreach { _ =>
+      val u = Array.tabulate(d)(i => (0 until d).map(j => g(i)(j) * v(j)).sum)
+      val m = u.map(math.abs).max
+      v = u.map(_ / m)
+    }
+    def cos(a: Seq[Double], b: Seq[Double]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      dot / math.sqrt(a.map(x => x * x).sum * b.map(x => x * x).sum)
+    }
+    assert(math.abs(cos(got.toSeq, v.toSeq)) > 0.999,
+      s"cosine to brute-force eigenvector: ${cos(got.toSeq, v.toSeq)}")
+  }
+
+  test("topComponentFixed is bit-identical under repartitioning") {
+    val d = 8
+    val df = anisotropic(200, d).toDF("id", "embedding")
+    def run(in: org.apache.spark.sql.DataFrame) =
+      Features.topComponentFixed(
+          Features.vectorMoments(in, "embedding", d), d, rounds = 3)
+        .orderBy("i").collect().map(r => (r.getInt(0), r.getLong(1))).toSeq
+    assert(run(df) == run(df.repartition(11)))
+  }
 }
