@@ -91,6 +91,42 @@ object Media {
     * don't parse); everything else goes straight to the stub without
     * paying a codec probe.
     */
+  final case class FrameRow(id: Long, frameIdx: Int, offset: Int,
+      frameMd5: String)
+
+  /** Distributed frame sampling over binary payloads — the video-frame
+    * extraction SHAPE with the codec stubbed ([[frameSampleStub]]'s
+    * contract: no video codec ships in-JVM): each payload yields
+    * `frames` evenly-spaced byte offsets, and each frame is fingerprinted
+    * by the MD5 of its `window`-byte slice (the per-frame dedup key a
+    * real pipeline would compute from decoded frame bytes).
+    *
+    * Scale shape: a pure row-local flatMap — bounded fan-out (`frames`
+    * rows per payload), only small (id, idx, offset, md5) rows flow out;
+    * the payload bytes never cross an exchange. A real decoder swap
+    * changes only the slice→pixels step, not the plumbing.
+    *
+    * Gate parity note (q176): on ASCII payloads byte offsets coincide
+    * with character offsets, so DuckDB replays the slice with `substr` +
+    * `md5` exactly — the gate filters to ASCII rows for that reason and
+    * certifies THIS byte-path code, not an expression rewrite.
+    */
+  def frameFingerprints(spark: SparkSession, media: DataFrame,
+      frames: Int, window: Int = 16): Dataset[FrameRow] = {
+    import spark.implicits._
+    require(frames >= 1, s"frames ($frames) must be positive")
+    media.select(col("id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .flatMap { case (id, payload) =>
+        frameSampleStub(payload, frames).zipWithIndex.map {
+          case (off, idx) =>
+            val end = math.min(payload.length, off + window)
+            FrameRow(id, idx, off,
+              md5Hex(java.util.Arrays.copyOfRange(payload, off, end)))
+        }
+      }
+  }
+
   def featurize(spark: SparkSession, media: DataFrame): Dataset[MediaFeature] = {
     import spark.implicits._
     media.select(col("id"), col("payload"),

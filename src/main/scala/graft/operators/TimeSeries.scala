@@ -42,4 +42,49 @@ object TimeSeries {
         last(col(valueCol), ignoreNulls = true).over(w))
       .drop(valueCol)
   }
+
+  /** Recency-weighted (half-life-decayed) per-key aggregate — the
+    * feature-store primitive behind "recent spend", "activity score",
+    * and curation-side source-freshness weighting: each event
+    * contributes `value · 2^-k`, where `k` is the number of elapsed
+    * `periodDays` periods between the event and `refDate` (one period =
+    * one half-life), clamped to `[0, maxK]`.
+    *
+    * Exactness (the repo's fixed-point gate discipline): a BINARY
+    * half-life makes every weight a power of two, so the decayed sum is
+    * computed as `Σ value_cents · 2^(maxK−k)` in exact long arithmetic —
+    * order-free, partitioning-invariant, engine-replayable — with the
+    * readable double derived by ONE pinned IEEE division at the end.
+    * `value` is cast to `decimal(12,2)` first (the dec() parity rule), so
+    * cents are exact; `2^(maxK−k)` comes from `pow(2, ·)` on integer
+    * arguments, exact in IEEE doubles through 2^52 (maxK ≤ 40 enforced).
+    * Events older than maxK half-lives contribute the 2^0 floor — at
+    * maxK=20 that is < 10⁻⁶ of a fresh event, and the clamp is what
+    * bounds the long: overflow needs Σ value_cents ≳ 2^63/2^maxK
+    * (≈ 8·10¹⁶ cents per key at maxK=20).
+    *
+    * Scale: one hash aggregate with map-side partials — the minimal
+    * distributed shape; nothing else crosses an exchange.
+    *
+    * @return (keyCol, decayed_fp long — cents·2^(maxK−k) units,
+    *         decayed double — value units)
+    */
+  def halfLifeDecay(df: DataFrame, keyCol: String, dateCol: String,
+      valueCol: String, refDate: String, periodDays: Int,
+      maxK: Int = 20): DataFrame = {
+    require(periodDays >= 1, s"periodDays ($periodDays) must be positive")
+    require(maxK >= 0 && maxK <= 40,
+      s"maxK ($maxK) must keep pow(2, maxK) long- and double-exact (0..40)")
+    val k = least(lit(maxK), greatest(lit(0),
+      datediff(lit(refDate).cast("date"), to_date(col(dateCol))))
+      .divide(lit(periodDays)).cast("int"))
+    val cents = (col(valueCol).cast("decimal(12,2)") * 100).cast("long")
+    val w = pow(lit(2.0), lit(maxK) - k).cast("long")
+    df.select(col(keyCol), (cents * w).as("__c"))
+      .groupBy(col(keyCol))
+      .agg(sum(col("__c")).as("decayed_fp"))
+      .withColumn("decayed",
+        col("decayed_fp").cast("double")
+          / lit((1L << maxK).toDouble * 100.0))
+  }
 }

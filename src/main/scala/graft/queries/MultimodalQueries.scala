@@ -28,6 +28,41 @@ object MultimodalQueries extends QueryModule {
         SELECT doc_id AS id, CAST(strlen(text) AS BIGINT) AS byte_len,
                md5(text) AS content_md5
         FROM documents ORDER BY id
-      """.trim))
+      """.trim)),
+
+    // --- frame-sampling plumbing (the video half of the multimodal
+    // surface): 4 evenly-spaced frames per payload, each fingerprinted by
+    // the md5 of its 16-byte slice — the per-frame dedup key a real
+    // pipeline computes from decoded frames, with the codec stubbed
+    // (none ships in-JVM). Row-local bounded fan-out; payloads never
+    // cross an exchange. The ASCII filter makes byte offsets ≡ char
+    // offsets so DuckDB's substr+md5 replays the BYTE-path operator
+    // exactly (it is a no-op on this corpus, kept as the documented
+    // parity guard). ---
+    GQuery(
+      "q176_frame_sample",
+      (spark, dir) => {
+        val docs = t(spark, dir, "documents")
+          .filter(col("text").rlike("^[ -~]*$") && length(col("text")) > 0)
+        Media.frameFingerprints(spark, Media.fromDocuments(docs), frames = 4)
+          .toDF()
+          .select(col("id"), col("frameIdx").as("frame_idx"),
+            col("offset"), col("frameMd5").as("frame_md5"))
+          .orderBy(col("id"), col("frame_idx"))
+      },
+      Some("""
+        WITH a AS (
+          SELECT doc_id, text, LENGTH(text) AS len FROM documents
+          WHERE regexp_matches(text, '^[ -~]*$') AND LENGTH(text) > 0),
+        f AS (
+          SELECT doc_id, CAST(t.i AS INT) AS frame_idx,
+                 CAST((t.i * len) // 4 AS INT) AS "offset"
+          FROM a, UNNEST(range(0, 4)) t(i))
+        SELECT a.doc_id AS id, f.frame_idx, f."offset",
+               md5(substr(a.text, f."offset" + 1, 16)) AS frame_md5
+        FROM f JOIN a USING (doc_id)
+        ORDER BY id, frame_idx
+      """.trim),
+      bench = false)
   )
 }

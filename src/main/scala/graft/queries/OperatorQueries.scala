@@ -636,6 +636,37 @@ object OperatorQueries extends QueryModule {
         FROM j ORDER BY o_orderpriority, o_orderdate
       """.trim)),
 
+    // --- Recency-weighted customer spend (half-life decay): each order
+    // contributes totalprice · 2^-k, k = elapsed 90-day periods before
+    // the reference date, clamped to 20. A BINARY half-life makes every
+    // weight a power of two, so the decayed sum is exact long fixed
+    // point (cents · 2^(20−k)) — order-free, engine-replayable — with
+    // the readable double derived by one pinned IEEE division. One hash
+    // aggregate with map-side partials; the feature-store "recent
+    // activity" primitive. ---
+    GQuery(
+      "q177_decay_features",
+      (spark, dir) =>
+        graft.operators.TimeSeries.halfLifeDecay(
+            t(spark, dir, "orders"), "o_custkey", "o_orderdate",
+            "o_totalprice", refDate = "1998-08-01", periodDays = 90)
+          .orderBy(col("o_custkey")),
+      Some("""
+        WITH o AS (
+          SELECT o_custkey,
+                 LEAST(20, GREATEST(0, DATEDIFF('day',
+                   CAST(o_orderdate AS DATE), DATE '1998-08-01')) // 90) AS k,
+                 CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+                   AS cents
+          FROM orders)
+        SELECT o_custkey,
+               CAST(SUM(cents * CAST(POWER(2, 20 - k) AS BIGINT)) AS BIGINT)
+                 AS decayed_fp,
+               CAST(SUM(cents * CAST(POWER(2, 20 - k) AS BIGINT)) AS DOUBLE)
+                 / 104857600.0 AS decayed
+        FROM o GROUP BY o_custkey ORDER BY o_custkey
+      """.trim)),
+
     // --- SCD Type 3 (previous-value tracking — completes the SCD
     // family next to q12's type 2 and its type-1 backfill): two chained
     // update batches; keys hit twice must show the FIRST update as their

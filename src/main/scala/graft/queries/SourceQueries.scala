@@ -183,6 +183,36 @@ object SourceQueries extends QueryModule {
         FROM supplier WHERE CAST(s_acctbal AS DECIMAL(12,2)) > 0
         ORDER BY s_suppkey
       """.trim),
+      bench = false),
+
+    // --- schema evolution across file generations (the long-lived-table
+    // reality every bronze layer hits: a producer adds a column and
+    // history keeps the old footprint): generation 1 writes (key, name),
+    // generation 2 adds a derived column; `mergeSchema` reconciles the
+    // union schema at read time and back-fills the missing column with
+    // NULL for old files — no rewrite of 100 TB of history. Schema merge
+    // is a LISTING-time operation (footer union), not a data scan. ---
+    GQuery(
+      "q178_schema_evolution",
+      (spark, dir) => {
+        val r = t(spark, dir, "region")
+        val path = tmp("evolve")
+        r.select(col("r_regionkey"), col("r_name"))
+          .write.mode(SaveMode.Overwrite).parquet(s"$path/gen=1")
+        r.select(col("r_regionkey"), col("r_name"),
+            upper(col("r_name")).as("r_name_uc"))
+          .write.mode(SaveMode.Overwrite).parquet(s"$path/gen=2")
+        spark.read.option("mergeSchema", "true")
+          .parquet(s"$path/gen=1", s"$path/gen=2")
+          .select(col("r_regionkey"), col("r_name"), col("r_name_uc"))
+          .orderBy(col("r_regionkey"), col("r_name_uc").asc_nulls_first)
+      },
+      Some("""
+        SELECT r_regionkey, r_name, NULL AS r_name_uc FROM region
+        UNION ALL
+        SELECT r_regionkey, r_name, UPPER(r_name) AS r_name_uc FROM region
+        ORDER BY r_regionkey, r_name_uc NULLS FIRST
+      """.trim),
       bench = false)
   )
 }

@@ -457,4 +457,55 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(CorpusStats.collocations(docs, "text", 2L, 2).count() == 2)
     assert(CorpusStats.collocations(docs, "text", 4L, 10).count() == 0)
   }
+
+  test("halfLifeDecay: hand-computed fixed point, clamp at maxK, zero-age full weight") {
+    // ref 2024-04-10, period 10 days, maxK=4 → scale 2^4=16.
+    //  k1: 100.00 at age 0  → k=0 → 10000·16   = 160000
+    //      50.00  at age 25 → k=2 → 5000·4     =  20000   Σ=180000
+    //  k2: 10.00  at age 1000 → k clamps to 4 → 1000·1 = 1000
+    //  k3: 20.00  at age -5 (future) → k=0 → 2000·16 = 32000
+    val df = Seq(
+      ("k1", "2024-04-10", 100.00), ("k1", "2024-03-16", 50.00),
+      ("k2", "2021-07-15", 10.00), ("k3", "2024-04-15", 20.00)
+    ).toDF("k", "d", "v")
+    val got = TimeSeries.halfLifeDecay(df, "k", "d", "v",
+        refDate = "2024-04-10", periodDays = 10, maxK = 4)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(got("k1") == ((180000L, 180000.0 / 1600.0)))
+    assert(got("k2") == ((1000L, 1000.0 / 1600.0)))
+    assert(got("k3") == ((32000L, 32000.0 / 1600.0)))
+  }
+
+  test("halfLifeDecay is exactly partitioning-invariant") {
+    val df = (1 to 300).map(i =>
+      (s"k${i % 7}", f"2024-${1 + i % 12}%02d-${1 + i % 28}%02d", i * 1.37))
+      .toDF("k", "d", "v")
+    def run(in: org.apache.spark.sql.DataFrame) =
+      TimeSeries.halfLifeDecay(in, "k", "d", "v", "2024-12-31", 30)
+        .orderBy("k").collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(run(df) == run(df.repartition(13)))
+  }
+
+  test("frameFingerprints: byte-path offsets, bounded fan-out, empty payload drops") {
+    import graft.multimodal.Media
+    val media = Seq(
+      (1L, "abcdefghij".getBytes("UTF-8")),          // len 10 → offsets 0,2,5,7
+      (2L, Array.emptyByteArray),                     // empty → no rows
+      (3L, "héllo wörld".getBytes("UTF-8"))           // multibyte: BYTE offsets
+    ).toDF("id", "payload")
+    val got = Media.frameFingerprints(spark, media, frames = 4, window = 4)
+      .collect().map(f => (f.id, f.frameIdx) -> (f.offset, f.frameMd5)).toMap
+    assert(got.size == 8) // 4 + 0 + 4
+    assert(got((1L, 0))._1 == 0 && got((1L, 1))._1 == 2 &&
+      got((1L, 2))._1 == 5 && got((1L, 3))._1 == 7)
+    def md5(s: Array[Byte]) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s).map(b => f"$b%02x").mkString
+    assert(got((1L, 0))._2 == md5("abcd".getBytes("UTF-8")))
+    assert(got((1L, 3))._2 == md5("hij".getBytes("UTF-8"))) // clamped window
+    // multibyte payload: offsets walk BYTES (13 bytes, not 11 chars)
+    val bytes = "héllo wörld".getBytes("UTF-8")
+    assert(bytes.length == 13 && got((3L, 1))._1 == 3)
+    assert(got((3L, 1))._2 ==
+      md5(java.util.Arrays.copyOfRange(bytes, 3, 7)))
+  }
 }
