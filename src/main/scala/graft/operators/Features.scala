@@ -107,6 +107,55 @@ object Features {
     * @param moments output of [[vectorMoments]] (same `scale`)
     * @return (i int 1-based, vf long) — the direction, fixed-point
     */
+  /** Group-modal imputation — fill NULLs in `valueCol` with the group's
+    * most frequent non-NULL value (ties → smallest value, the repo's
+    * deterministic tie-break), the categorical sibling of constant
+    * defaults (P7's `coalesce`) and a standard cleanse step between a
+    * lossy source and anything that one-hot-encodes or groups on the
+    * column. Groups whose values are ALL NULL stay NULL (there is
+    * nothing to learn a mode from — inventing one would hide the gap).
+    *
+    * Scale: one (group, value) hash aggregate with map-side partials;
+    * the argmax window runs over the COUNT frame (group × value
+    * cardinality, never row count), and the mode table joins back
+    * broadcast when small with a shuffled-join fallback
+    * ([[Broadcasting.ifSmall]] — the Medallion dim discipline).
+    */
+  def imputeGroupMode(df: DataFrame, groupCol: String,
+      valueCol: String): DataFrame = {
+    val counts = df.filter(col(valueCol).isNotNull)
+      .groupBy(col(groupCol), col(valueCol))
+      .agg(count(lit(1)).as("__n"))
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(col("__n").desc, col(valueCol).asc)
+    val mode = counts.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(col(groupCol), col(valueCol).as("__mode"))
+    df.join(Broadcasting.ifSmall(mode), Seq(groupCol), "left")
+      .withColumn(valueCol, coalesce(col(valueCol), col("__mode")))
+      .drop("__mode")
+  }
+
+  /** Equi-DEPTH binning (quantile buckets): assigns each row its
+    * `n`-quantile bucket (1-based) of `valueCol` within its group — the
+    * histogram complement of the equi-width binning gate (q160) and the
+    * standard feature-prep discretizer when value distributions are
+    * skewed. Determinism: `ntile` is a pure function of the total order,
+    * so `tieCols` must extend (value) to a total order within each group
+    * — with the tie columns supplied, the assignment is engine-portable
+    * (Spark and ANSI ntile share the earlier-buckets-get-extras rule).
+    *
+    * Scale: one hash shuffle on the group + per-partition sort — the
+    * same minimal shape as every keyed window; never a global sort.
+    */
+  def equiDepthBins(df: DataFrame, groupCol: String, valueCol: String,
+      n: Int, tieCols: Seq[Column]): DataFrame = {
+    require(n >= 1, s"bins ($n) must be positive")
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(col(valueCol).asc +: tieCols.map(_.asc): _*)
+    df.withColumn("bin", ntile(n).over(w))
+  }
+
   def topComponentFixed(moments: DataFrame, dim: Int, rounds: Int,
       scaleBits: Int = 20): DataFrame = {
     require(rounds >= 1, s"rounds ($rounds) must be >= 1")

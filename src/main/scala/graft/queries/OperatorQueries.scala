@@ -667,6 +667,74 @@ object OperatorQueries extends QueryModule {
         FROM o GROUP BY o_custkey ORDER BY o_custkey
       """.trim)),
 
+    // --- group-modal imputation (the categorical cleanse sibling of P7's
+    // constant defaults): NULLs planted on every 7th customer take the
+    // nation's most frequent market segment (ties → smallest). One
+    // (group, value) agg with map-side partials; the argmax window runs
+    // over the count frame, never the rows; mode table broadcasts back. ---
+    GQuery(
+      "q179_impute_mode",
+      (spark, dir) => {
+        val c = t(spark, dir, "customer")
+          .select(col("c_custkey"), col("c_nationkey"),
+            when(col("c_custkey") % 7 === 0, lit(null))
+              .otherwise(col("c_mktsegment")).as("segment"))
+        graft.operators.Features.imputeGroupMode(c, "c_nationkey", "segment")
+          .select(col("c_custkey"), col("c_nationkey"), col("segment"))
+          .orderBy(col("c_custkey"))
+      },
+      Some("""
+        WITH c AS (
+          SELECT c_custkey, c_nationkey,
+                 CASE WHEN c_custkey % 7 = 0 THEN NULL
+                      ELSE c_mktsegment END AS segment
+          FROM customer),
+        m AS (
+          SELECT c_nationkey, segment AS mode_v FROM (
+            SELECT c_nationkey, segment,
+                   ROW_NUMBER() OVER (PARTITION BY c_nationkey
+                     ORDER BY COUNT(*) DESC, segment ASC) AS rn
+            FROM c WHERE segment IS NOT NULL
+            GROUP BY c_nationkey, segment)
+          WHERE rn = 1)
+        SELECT c.c_custkey, c.c_nationkey,
+               COALESCE(c.segment, m.mode_v) AS segment
+        FROM c LEFT JOIN m USING (c_nationkey)
+        ORDER BY c_custkey
+      """.trim),
+      bench = false),
+
+    // --- equi-DEPTH binning (quantile buckets — the skew-robust
+    // discretizer complementing q160's equi-width histogram): per-type
+    // value quartiles via ntile over a TOTAL order (value, event_id);
+    // with the order total, ntile's earlier-buckets-get-extras rule is
+    // engine-portable and the whole assignment hash-certifies. One keyed
+    // shuffle + per-partition sort, never a global sort. ---
+    GQuery(
+      "q180_equi_depth",
+      (spark, dir) => {
+        val e = Tables.events(spark, dir)
+          .select(col("event_id"), col("event_type"), col("value"))
+          .filter(col("value").isNotNull)
+        graft.operators.Features
+          .equiDepthBins(e, "event_type", "value", 4, Seq(col("event_id")))
+          .groupBy(col("event_type"), col("bin"))
+          .agg(count(lit(1)).as("n"),
+            min(col("value")).as("min_v"), max(col("value")).as("max_v"))
+          .orderBy(col("event_type"), col("bin"))
+      },
+      Some("""
+        WITH b AS (
+          SELECT event_type, value,
+                 NTILE(4) OVER (PARTITION BY event_type
+                   ORDER BY value ASC, event_id ASC) AS bin
+          FROM events WHERE value IS NOT NULL)
+        SELECT event_type, CAST(bin AS INT) AS bin, COUNT(*) AS n,
+               MIN(value) AS min_v, MAX(value) AS max_v
+        FROM b GROUP BY 1, 2 ORDER BY 1, 2
+      """.trim),
+      bench = false),
+
     // --- SCD Type 3 (previous-value tracking — completes the SCD
     // family next to q12's type 2 and its type-1 backfill): two chained
     // update batches; keys hit twice must show the FIRST update as their

@@ -486,6 +486,34 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(run(df) == run(df.repartition(13)))
   }
 
+  test("imputeGroupMode: modal fill, min-value tie-break, all-NULL group stays NULL") {
+    val df = Seq(
+      ("g1", Some("b")), ("g1", Some("b")), ("g1", Some("a")), ("g1", None),
+      ("g2", Some("z")), ("g2", Some("y")), ("g2", None), // tie → "y"
+      ("g3", None), ("g3", None)                          // nothing to learn
+    ).toDF("g", "v")
+    val got = Features.imputeGroupMode(df, "g", "v")
+      .collect().map(r => (r.getString(0), Option(r.getString(1))))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSeq.sortBy(_.getOrElse(""))).toMap
+    assert(got("g1").count(_.contains("b")) == 3) // the NULL took the mode
+    assert(got("g2").flatten.sorted == Seq("y", "y", "z"))
+    assert(got("g3") == Seq(None, None)) // no invented values
+  }
+
+  test("equiDepthBins: quartiles balanced per group, deterministic under repartitioning") {
+    val df = (1 to 103).map(i => (s"t${i % 2}", i.toLong, math.pow(1.13, i % 37)))
+      .toDF("id", "ord", "v")
+    def run(in: org.apache.spark.sql.DataFrame) =
+      Features.equiDepthBins(in, "id", "v", 4, Seq($"ord"))
+        .orderBy("id", "ord").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getInt(3))).toSeq
+    val a = run(df)
+    // bucket sizes within each group differ by at most 1 (ntile contract)
+    val sizes = a.groupBy(t => (t._1, t._3)).values.map(_.size)
+    assert(sizes.max - sizes.min <= 1)
+    assert(a == run(df.repartition(9)))
+  }
+
   test("frameFingerprints: byte-path offsets, bounded fan-out, empty payload drops") {
     import graft.multimodal.Media
     val media = Seq(
