@@ -1,0 +1,47 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions.translate
+
+/** Unicode confusable (homoglyph) folding — the dedup-evasion
+  * counterpart of accent folding ([[FoldAccentsExpr]]) and the
+  * invisible-character scrub: spam and contaminated web text swaps Latin
+  * letters for visually identical Cyrillic/Greek codepoints (Cyrillic
+  * `а` U+0430 for Latin `a`), which defeats digest dedup, blocklists,
+  * and decontamination exactly the way zero-width characters do.
+  *
+  * The mapping is a PINNED subset of Unicode TR39's confusables table:
+  * the Cyrillic and Greek letters whose standard glyphs are
+  * indistinguishable from Latin in mainstream fonts (both cases), folded
+  * to their Latin skeleton. Deliberately NOT the full TR39 skeleton
+  * transform — that algorithm folds digits/letters into each other
+  * (`1`→`l`) and is meant for identifier spoof-checking, too lossy for
+  * corpus text. Single-codepoint 1:1 mapping ⇒ `translate`, a codegen'd
+  * builtin both engines implement identically — no custom expression
+  * needed (the (b) tier of the UDF policy only applies when (a)
+  * composition can't express it).
+  *
+  * Scale: pure row-local projection inside whole-stage codegen.
+  */
+object Homoglyphs {
+
+  /** Confusable source codepoints (each unique): Cyrillic lower
+    * а е о р с х у і ѕ ј, Cyrillic upper А В Е К М Н О Р С Т Х,
+    * Greek lower ο ν, Greek upper Α Β Ε Ζ Η Ι Κ Μ Ν Ο Ρ Τ Υ Χ.
+    */
+  val From: String =
+    "аеорсхуіѕј" + // cyr lower
+      "АВЕКМНОРСТХ" + // cyr upper
+      "ον" + // greek lower
+      "ΑΒΕΖΗΙΚΜΝΟΡΤΥΧ" // greek upper
+
+  /** Latin skeletons, positionally aligned with [[From]]. */
+  val To: String =
+    "aeopcxyisj" + "ABEKMHOPCTX" + "ov" + "ABEZHIKMNOPTYX"
+
+  require(From.length == To.length,
+    s"homoglyph map misaligned: from=${From.length} to=${To.length}")
+
+  /** Fold confusables to their Latin skeleton. */
+  def fold_homoglyphs(c: Column): Column = translate(c, From, To)
+}

@@ -256,4 +256,43 @@ object Curation {
           / (col("n_docs") + lit(priorStrength)).cast("double"))
       .drop("__s", "__gs", "__gn", "__g")
   }
+
+  /** C4-style line-level page cleaning (Raffel et al. 2020 §2.2, the
+    * c4.en recipe): keep only lines that end in a terminal punctuation
+    * mark (`. ! ? "`), carry at least `minWords` words, and do not
+    * mention "javascript" (the enable-JS boilerplate); then drop whole
+    * PAGES that retain fewer than `minKeptLines` lines or contain any
+    * `pageDropSubstrings` entry case-insensitively (paper defaults:
+    * "lorem ipsum" placeholder text and `{`, the code marker). Dropped
+    * pages are REMOVED (the paper's behavior); survivors return the
+    * re-joined cleaned text with kept/total line counts for audit.
+    *
+    * Scale: one row-local projection — line split, lambda filters, and
+    * re-join never leave the row, nothing shuffles. The line filters run
+    * inside `filter()` lambdas (interpreted per element), so the split
+    * array is staged once per row as a multi-referenced alias (the q07
+    * HOF discipline); word counting uses `regexp_extract_all('\S+')`,
+    * whose count DuckDB reproduces verbatim for the oracle.
+    */
+  def c4LineClean(docs: DataFrame, idCol: String, textCol: String,
+      minWords: Int = 3, minKeptLines: Int = 5,
+      pageDropSubstrings: Seq[String] = Seq("lorem ipsum", "{")): DataFrame = {
+    // fully qualified: the module's own `filter(docs, …)` shadows the
+    // imported array HOF of the same name
+    val kept = org.apache.spark.sql.functions.filter(col("__lines"), l =>
+      l.rlike("[.!?\"]$") &&
+        size(regexp_extract_all(l, lit("\\S+"), lit(0))) >= minWords &&
+        !lower(l).contains("javascript"))
+    val pageDrop = pageDropSubstrings
+      .map(s => lower(col(textCol)).contains(s.toLowerCase))
+      .reduce(_ || _)
+    docs
+      .withColumn("__lines", split(col(textCol), "\n"))
+      .withColumn("__kept", kept)
+      .filter(!pageDrop && size(col("__kept")) >= minKeptLines)
+      .withColumn("text_clean", array_join(col("__kept"), "\n"))
+      .withColumn("n_lines_kept", size(col("__kept")))
+      .withColumn("n_lines_total", size(col("__lines")))
+      .drop("__lines", "__kept")
+  }
 }

@@ -772,7 +772,69 @@ object CurationQueries extends QueryModule {
                   + (100.0 * (CAST(g.gs AS DOUBLE) / CAST(g.gn AS DOUBLE))))
                  / CAST(n_docs + 100 AS DOUBLE) AS shrunk_score
         FROM d CROSS JOIN g ORDER BY source
-      """.trim)))
+      """.trim)),
+
+    // --- C4 line-level page cleaning (Raffel et al. 2020 §2.2): the
+    // corpus has no line structure, so the gate derives a multi-line
+    // page per doc (IDENTICAL construction both engines — concat_ws
+    // skips the absent CASE parts) planting every rule: a clean
+    // sentence, a short nav line, the enable-Javascript boilerplate
+    // (1/3 of docs), a curly-brace code line (1/4 → page drop), lorem
+    // ipsum (1/11 → page drop), a kept exclamation line, and an
+    // unterminated fragment. Survivors' cleaned text + counts are fully
+    // hash-certified. Row-local HOF algebra, nothing shuffles. ---
+    GQuery(
+      "q181_c4_line_clean",
+      (spark, dir) => {
+        val page = concat_ws("\n",
+          concat(substring(col("text"), 1, 40), lit(".")),
+          lit("Click here"),
+          when(col("doc_id") % 3 === 0,
+            lit("Please enable Javascript to view content.")),
+          when(col("doc_id") % 4 === 0, lit("function f() { return 1; }")),
+          when(col("doc_id") % 11 === 0, lit("Lorem ipsum dolor sit amet.")),
+          concat(substring(col("text"), 10, 60), lit("!")),
+          substring(col("text"), 5, 30))
+        val paged = Tables.docs(spark, dir)
+          .select(col("doc_id"), page.as("page"))
+        graft.operators.Curation
+          .c4LineClean(paged, "doc_id", "page", minKeptLines = 2)
+          .select(col("doc_id"), col("text_clean"),
+            col("n_lines_kept"), col("n_lines_total"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""
+        WITH p AS (
+          SELECT doc_id, concat_ws(chr(10),
+            substr(text, 1, 40) || '.',
+            'Click here',
+            CASE WHEN doc_id % 3 = 0
+                 THEN 'Please enable Javascript to view content.' END,
+            CASE WHEN doc_id % 4 = 0
+                 THEN 'function f() { return 1; }' END,
+            CASE WHEN doc_id % 11 = 0
+                 THEN 'Lorem ipsum dolor sit amet.' END,
+            substr(text, 10, 60) || '!',
+            substr(text, 5, 30)) AS page
+          FROM documents),
+        k AS (
+          SELECT doc_id, page,
+                 list_filter(string_split(page, chr(10)), l ->
+                   regexp_matches(l, '[.!?"]$')
+                   AND len(regexp_extract_all(l, '\S+')) >= 3
+                   AND NOT contains(lower(l), 'javascript')) AS kept,
+                 len(string_split(page, chr(10))) AS n_total
+          FROM p)
+        SELECT doc_id, array_to_string(kept, chr(10)) AS text_clean,
+               CAST(len(kept) AS INT) AS n_lines_kept,
+               CAST(n_total AS INT) AS n_lines_total
+        FROM k
+        WHERE NOT contains(lower(page), 'lorem ipsum')
+          AND NOT contains(lower(page), '{')
+          AND len(kept) >= 2
+        ORDER BY doc_id
+      """.trim),
+      bench = false))
 
   /** Shared q148/q149 oracle: unroll the 4 training rounds, read each
     * word's token list off the final state, and rebuild every document's

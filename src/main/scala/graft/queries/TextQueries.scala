@@ -1927,6 +1927,56 @@ object TextQueries extends QueryModule {
       """.trim),
       // planted-literal parity gate; the chain's per-expression
       // throughput is benched via q110 and the plan pin locks the fusion
+      bench = false),
+
+    // --- homoglyph folding (Unicode TR39 confusables subset): a planted
+    // Cyrillic-substitution attack (latin aeopcx → а е о р с х on every
+    // 5th doc) defeats raw digest dedup; folding restores the merge.
+    // Both the fold map and the attack map are shared Scala constants
+    // interpolated into the oracle, so the two engines translate the
+    // same codepoints. Pure translate() projection — row-local,
+    // codegen'd, no custom expression needed. ---
+    GQuery(
+      "q182_homoglyph_fold",
+      (spark, dir) => {
+        import graft.functions.Homoglyphs
+        val base = Tables.docs(spark, dir)
+          .filter(col("doc_id") % 5 === 0)
+          .select(col("doc_id"), col("text"))
+        val attacked = base.select(col("doc_id"),
+          translate(col("text"), "aeopcx", HomoglyphAttack).as("text_v"))
+        base.join(attacked, Seq("doc_id"))
+          .select(col("doc_id"),
+            (md5(col("text")) =!= md5(col("text_v"))).as("raw_differs"),
+            (md5(Homoglyphs.fold_homoglyphs(col("text"))) ===
+              md5(Homoglyphs.fold_homoglyphs(col("text_v"))))
+              .as("fold_merges"),
+            md5(Homoglyphs.fold_homoglyphs(col("text_v"))).as("folded_md5"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""
+        WITH b AS (
+          SELECT doc_id, text,
+                 translate(text, 'aeopcx', '$HomoglyphAttack') AS text_v
+          FROM documents WHERE doc_id % 5 = 0)
+        SELECT doc_id,
+               md5(text) <> md5(text_v) AS raw_differs,
+               md5(translate(text, '${graft.functions.Homoglyphs.From}',
+                             '${graft.functions.Homoglyphs.To}'))
+                 = md5(translate(text_v, '${graft.functions.Homoglyphs.From}',
+                                 '${graft.functions.Homoglyphs.To}'))
+                 AS fold_merges,
+               md5(translate(text_v, '${graft.functions.Homoglyphs.From}',
+                             '${graft.functions.Homoglyphs.To}'))
+                 AS folded_md5
+        FROM b ORDER BY doc_id
+      """.trim),
       bench = false)
   )
+
+  /** The planted confusable substitution (latin → Cyrillic lookalikes),
+    * one shared constant so Spark and the oracle attack identically:
+    * а U+0430, е U+0435, о U+043E, р U+0440, с U+0441, х U+0445.
+    */
+  private val HomoglyphAttack = "аеорсх"
 }

@@ -48,4 +48,51 @@ class CurationSpec extends AnyFunSuite {
       !col("lang_pred").isin(rules.allowedLangs: _*)).count()
     assert(bad == 0)
   }
+
+  test("c4LineClean: every rule on a hand-built page; page drops remove rows") {
+    import spark.implicits._
+    val pages = Seq(
+      (1L, Seq(
+        "A perfectly normal sentence stays here.", // kept
+        "Click here",                              // < punct
+        "Too short.",                              // < 3 words
+        "Please enable javascript to continue.",   // javascript line
+        "Ends with a bang!",                       // kept
+        "a quoted line some say \"it ends well\"", // kept (quote terminal)
+        "no terminal punctuation at all"           // dropped
+      ).mkString("\n")),
+      (2L, "Contains code marker { inside.\nAnother fine sentence here."), // page drop: {
+      (3L, "Some Lorem Ipsum filler sits here.\nReal sentence follows it."), // page drop
+      (4L, "Only one good sentence survives here.\nClick here")              // < minKeptLines(2)
+    ).toDF("id", "page")
+    val out = Curation.c4LineClean(pages, "id", "page", minKeptLines = 2)
+      .collect().map(r => r.getAs[Long]("id") ->
+        (r.getAs[String]("text_clean"), r.getAs[Int]("n_lines_kept"),
+          r.getAs[Int]("n_lines_total"))).toMap
+    assert(out.keySet == Set(1L))
+    val (clean, kept, total) = out(1L)
+    assert(kept == 3 && total == 7)
+    assert(clean == Seq(
+      "A perfectly normal sentence stays here.",
+      "Ends with a bang!",
+      "a quoted line some say \"it ends well\"").mkString("\n"))
+  }
+
+  test("homoglyph fold merges a Cyrillic-substitution attack; map is aligned and idempotent") {
+    import spark.implicits._
+    import graft.functions.Homoglyphs
+    assert(Homoglyphs.From.length == Homoglyphs.To.length)
+    assert(Homoglyphs.From.toSet.size == Homoglyphs.From.length) // no dup sources
+    val attacked = "pаypаl cоde exаmple" // Cyrillic а/о planted
+    val df = Seq(("paypal code example", attacked)).toDF("a", "b")
+    val r = df.select(
+      Homoglyphs.fold_homoglyphs($"a").as("fa"),
+      Homoglyphs.fold_homoglyphs($"b").as("fb")).head()
+    assert(r.getString(0) == "paypal code example")
+    assert(r.getString(1) == "paypal code example") // attack folded away
+    // idempotent: folding a folded string is a no-op
+    val twice = df.select(Homoglyphs.fold_homoglyphs(
+      Homoglyphs.fold_homoglyphs($"b")).as("f")).head().getString(0)
+    assert(twice == "paypal code example")
+  }
 }
