@@ -10,36 +10,46 @@ import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
   */
 object GraftFunctions {
 
+  /** Every unary scalar native expression, by SQL name — one list drives
+    * both registration paths so the SQL surface cannot drift from the
+    * expression inventory.
+    */
+  private val unaryScalars: Seq[(String, org.apache.spark.sql.catalyst.expressions.Expression =>
+      org.apache.spark.sql.catalyst.expressions.Expression)] = Seq(
+    "format_phone" -> (FormatPhoneExpr(_)),
+    "nfc_normalize" -> (NfcNormalizeExpr(_)),
+    "luhn_valid" -> (LuhnValidExpr(_)),
+    "fold_accents" -> (FoldAccentsExpr(_)),
+    "strip_markup" -> (StripMarkupExpr(_)),
+    "strip_invisible" -> (StripInvisibleExpr(_)),
+    "has_bidi_controls" -> (HasBidiControlsExpr(_)))
+
   /** Imperative registration on an existing session (idempotent). */
-  def register(spark: SparkSession): Unit = {
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "format_phone", exprs => FormatPhoneExpr(exprs.head), "scala_udf")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "nfc_normalize", exprs => NfcNormalizeExpr(exprs.head), "scala_udf")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "luhn_valid", exprs => LuhnValidExpr(exprs.head), "scala_udf")
-  }
+  def register(spark: SparkSession): Unit =
+    unaryScalars.foreach { case (name, build) =>
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        name, exprs => build(exprs.head), "scala_udf")
+    }
+
+  private[functions] def unaryScalarEntries = unaryScalars
 }
 
 /** `SparkSessionExtensions` entry point — usable via
-  * `spark.sql.extensions=graft.functions.GraftExtensions`.
+  * `spark.sql.extensions=graft.functions.GraftExtensions`. Injects every
+  * unary scalar native expression as a SQL function AND the opt-in
+  * [[graft.plans.ApproxPercentileRewrite]] optimizer rule (inert until
+  * its accuracy conf is set).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
-    e.injectFunction((
-      FunctionIdentifier("format_phone"),
-      new ExpressionInfo(classOf[FormatPhoneExpr].getName, "format_phone"),
-      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
-        FormatPhoneExpr(exprs.head)))
-    e.injectFunction((
-      FunctionIdentifier("nfc_normalize"),
-      new ExpressionInfo(classOf[NfcNormalizeExpr].getName, "nfc_normalize"),
-      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
-        NfcNormalizeExpr(exprs.head)))
-    e.injectFunction((
-      FunctionIdentifier("luhn_valid"),
-      new ExpressionInfo(classOf[LuhnValidExpr].getName, "luhn_valid"),
-      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
-        LuhnValidExpr(exprs.head)))
+    GraftFunctions.unaryScalarEntries.foreach { case (name, build) =>
+      e.injectFunction((
+        FunctionIdentifier(name),
+        new ExpressionInfo("graft.functions", name),
+        (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+          build(exprs.head)))
+    }
+    e.injectOptimizerRule(session =>
+      graft.plans.ApproxPercentileRewrite(session))
   }
 }

@@ -53,13 +53,17 @@ object Graph {
     * only past ~10^8 in-neighbors-weighted mass per node — lower
     * `scaleBits` for extreme hub graphs (precision trades linearly).
     *
-    * @param edges      directed edge list; self-loops and duplicate edges
-    *                   are deduplicated (a duplicated edge must not count
-    *                   its contribution twice)
+    * @param edges         directed edge list; duplicate edges are
+    *                      deduplicated (a duplicated edge must not count
+    *                      its contribution twice)
+    * @param edgesDistinct caller vouches `edges` is already
+    *                      duplicate-free (e.g. [[purchaseEdges]], distinct
+    *                      by construction) — skips one edge-sized distinct
     * @return (node string, rf long) — rf = rank · 2^scaleBits
     */
   def pageRankFixed(edges: DataFrame, srcCol: String, dstCol: String,
-      iterations: Int, dampingPct: Int = 85, scaleBits: Int = 30): DataFrame = {
+      iterations: Int, dampingPct: Int = 85, scaleBits: Int = 30,
+      edgesDistinct: Boolean = false): DataFrame = {
     require(iterations >= 1, s"iterations ($iterations) must be >= 1")
     require(dampingPct >= 0 && dampingPct <= 100,
       s"dampingPct ($dampingPct) must be in [0, 100]")
@@ -70,40 +74,69 @@ object Graph {
     val scale = 1L << scaleBits
     val base = (100 - dampingPct) * scale / 100 // exact: (1-d)·2^k floored once
 
-    val e = edges
+    val eRaw = edges
       .select(col(srcCol).cast("string").as("src"),
         col(dstCol).cast("string").as("dst"))
-      .distinct()
-    // Edges + out-degree materialize once; every round re-reads this frame.
-    val (ed, edHandle) = eagerCheckpoint(
-      e.join(e.groupBy("src").agg(count(lit(1)).as("out_deg")), "src"))
-    val (nodes, nodesHandle) = eagerCheckpoint(
-      ed.select(col("src").as("node"))
-        .unionByName(ed.select(col("dst").as("node")))
-        .distinct())
+    // The edge list materializes ONCE (the only edge-sized exchange) and
+    // every later reference — the degree count, the per-round join, the
+    // node set — reads the checkpointed copy instead of re-deriving the
+    // (possibly expensive) upstream pipeline; a duplicated edge must not
+    // contribute twice, so dedup here unless the caller vouches. The
+    // rounds themselves stay LAZY so fixed small iteration counts
+    // execute as ONE pipelined job instead of one synchronous action per
+    // round (the first cut checkpointed every round CC-style and paid 6
+    // serialized jobs — 14-24 s at sf0.1 for what is now a fraction;
+    // CC needs the per-round action for its convergence count,
+    // PageRank's fixed trip count does not).
+    val (e, eHandle) = eagerCheckpoint(
+      if (edgesDistinct) eRaw else eRaw.distinct())
+    // degree attach + node set: lazy caches over the checkpointed edges,
+    // filled inside the first job that touches them
+    val ed = e.join(e.groupBy("src").agg(count(lit(1)).as("out_deg")), "src")
+      .persist()
+    val nodes = e.select(col("src").as("node"))
+      .unionByName(e.select(col("dst").as("node")))
+      .distinct().persist()
 
-    var (ranks, ranksHandle) = eagerCheckpoint(
-      nodes.withColumn("rf", lit(scale)))
+    var ranks = nodes.withColumn("rf", lit(scale))
+    var prevHandle: Option[org.apache.spark.rdd.RDD[_]] = None
     var i = 0
     while (i < iterations) {
       val contribs = ed
         .join(ranks.withColumnRenamed("node", "src"), "src")
         .select(col("dst").as("node"), expr("rf div out_deg").as("c"))
         .groupBy("node").agg(sum(col("c")).as("cs"))
-      val (next, nextHandle) = eagerCheckpoint(
-        nodes.join(contribs, Seq("node"), "left")
-          .select(col("node"),
-            (lit(base) +
-              expr(s"($dampingPct * coalesce(cs, 0L)) div 100")).as("rf")))
-      ranksHandle.unpersist(blocking = false) // superseded round, free it
-      ranks = next
-      ranksHandle = nextHandle
+      ranks = nodes.join(contribs, Seq("node"), "left")
+        .select(col("node"),
+          (lit(base) +
+            expr(s"($dampingPct * coalesce(cs, 0L)) div 100")).as("rf"))
       i += 1
+      // Bound plan depth for LARGE round counts: truncate lineage every
+      // CheckpointEvery rounds (one extra job each), reaping the
+      // superseded truncation so pinned storage stays O(one cut).
+      if (i % CheckpointEvery == 0 && i < iterations) {
+        val (cut, handle) = eagerCheckpoint(ranks)
+        prevHandle.foreach(_.unpersist(blocking = false))
+        prevHandle = Some(handle)
+        ranks = cut
+      }
     }
-    edHandle.unpersist(blocking = false)
-    nodesHandle.unpersist(blocking = false)
-    ranks
+    // One final materialization executes the whole remaining round chain
+    // (edges cached, node frame fills on first touch), then the pinned
+    // inputs are freed — the caller gets a lineage-free node-sized frame.
+    val (out, _) = eagerCheckpoint(ranks)
+    prevHandle.foreach(_.unpersist(blocking = false))
+    eHandle.unpersist(blocking = false)
+    ed.unpersist(blocking = false)
+    nodes.unpersist(blocking = false)
+    out
   }
+
+  /** Lineage-truncation cadence for the iterative operators: deep enough
+    * that small fixed round counts run as one job, shallow enough that a
+    * 100-round run cannot grow an unanalyzable plan.
+    */
+  private val CheckpointEvery = 8
 
   /** Label propagation (Raghavan et al. 2007, synchronous variant) with
     * clamped seeds: nodes with a seed label never change; every other
@@ -134,20 +167,23 @@ object Graph {
     val dir = edges
       .select(col(srcCol).cast("string").as("src"),
         col(dstCol).cast("string").as("dst"))
+    // One eager edge-sized materialization; rounds stay lazy and execute
+    // as one pipelined job at fixed small counts (the pageRankFixed
+    // lesson — a per-round action serializes the whole iterate).
     val (und, undHandle) = eagerCheckpoint(
       dir.unionByName(
           dir.select(col("dst").as("src"), col("src").as("dst")))
         .distinct())
-    val (nodes, nodesHandle) = eagerCheckpoint(
-      und.select(col("src").as("node")).distinct())
+    val nodes = und.select(col("src").as("node")).distinct().persist()
     val seed = seeds
       .select(col(idCol).cast("string").as("node"),
         col(labelCol).cast("string").as("seed_label"))
       .groupBy("node").agg(min(col("seed_label")).as("seed_label"))
+      .persist() // clamped back in every round
 
-    var (labels, labelsHandle) = eagerCheckpoint(
-      nodes.join(seed, Seq("node"), "left")
-        .select(col("node"), col("seed_label").as("label")))
+    var labels = nodes.join(seed, Seq("node"), "left")
+      .select(col("node"), col("seed_label").as("label"))
+    var prevHandle: Option[org.apache.spark.rdd.RDD[_]] = None
     var r = 0
     while (r < rounds) {
       val counts = und
@@ -161,20 +197,25 @@ object Graph {
         .withColumn("__rn", row_number().over(w))
         .filter(col("__rn") === 1)
         .select(col("node"), col("label").as("prop_label"))
-      val (next, nextHandle) = eagerCheckpoint(
-        labels.join(winner, Seq("node"), "left")
-          .join(seed, Seq("node"), "left")
-          .select(col("node"),
-            coalesce(col("seed_label"), col("prop_label"), col("label"))
-              .as("label")))
-      labelsHandle.unpersist(blocking = false) // superseded round, free it
-      labels = next
-      labelsHandle = nextHandle
+      labels = labels.join(winner, Seq("node"), "left")
+        .join(seed, Seq("node"), "left")
+        .select(col("node"),
+          coalesce(col("seed_label"), col("prop_label"), col("label"))
+            .as("label"))
       r += 1
+      if (r % CheckpointEvery == 0 && r < rounds) {
+        val (cut, handle) = eagerCheckpoint(labels)
+        prevHandle.foreach(_.unpersist(blocking = false))
+        prevHandle = Some(handle)
+        labels = cut
+      }
     }
+    val (out, _) = eagerCheckpoint(labels)
+    prevHandle.foreach(_.unpersist(blocking = false))
     undHandle.unpersist(blocking = false)
-    nodesHandle.unpersist(blocking = false)
-    labels
+    nodes.unpersist(blocking = false)
+    seed.unpersist(blocking = false)
+    out
   }
 
   /** The purchase graph the q173/q174 gates run on: undirected (both
@@ -185,13 +226,25 @@ object Graph {
     * no-redistribution form loses no mass on it.
     */
   def purchaseEdges(orders: DataFrame, lineitem: DataFrame): DataFrame = {
+    // Shuffle the fact side onto the join key BEFORE the dim join: the
+    // local testdata is one parquet row group (one scan task), and with
+    // `orders` broadcast the whole 1M-row concat + partial-distinct would
+    // otherwise run single-threaded (the Tables.docs single-row-group
+    // caveat, measured: 10 s → ~1 s at sf0.1). At real scale the scan
+    // has natural parallelism and this one narrow-column shuffle is noise
+    // next to the distinct that follows.
+    val li = lineitem.select(col("l_orderkey").as("o_orderkey"),
+        col("l_suppkey"))
+      .repartition(col("o_orderkey"))
+    // distinct on the raw INT pair, concat after — hashing two ints
+    // through the dedup exchange beats hashing two built strings
     val pairs = orders.select(col("o_orderkey"), col("o_custkey"))
-      .join(lineitem.select(col("l_orderkey").as("o_orderkey"),
-        col("l_suppkey")), "o_orderkey")
+      .join(li, "o_orderkey")
+      .select(col("o_custkey"), col("l_suppkey"))
+      .distinct()
       .select(
         concat(lit("c:"), col("o_custkey").cast("string")).as("a"),
         concat(lit("s:"), col("l_suppkey").cast("string")).as("b"))
-      .distinct()
     pairs.select(col("a").as("src"), col("b").as("dst"))
       .unionByName(pairs.select(col("b").as("src"), col("a").as("dst")))
   }

@@ -1,0 +1,61 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.Literal
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, ApproximatePercentile, Percentile}
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types.DoubleType
+
+/** Opt-in optimizer rule: rewrite EXACT `percentile` aggregates to the
+  * t-digest sketch (`approx_percentile`) at a configured accuracy.
+  *
+  * Why a RULE and not a query rewrite: exact `percentile` holds a
+  * per-distinct-value count map per group — fine at gate scale (and
+  * required by the DuckDB oracle, which is why the gates keep it), but
+  * the memory hazard on a 100 TB column with unbounded value
+  * cardinality. The knob lets an operator swap EVERY exact percentile in
+  * a workload for the bounded-memory sketch — one session conf, zero
+  * query edits, and the queries stay oracle-certifiable when the knob is
+  * off. This is the (c) tier of the UDF policy (custom `Rule[LogicalPlan]`
+  * via `SparkSessionExtensions.injectOptimizerRule` /
+  * `spark.experimental.extraOptimizations`) applied to a genuine
+  * scale trade, not a semantics change smuggled in silently: the rewrite
+  * NEVER fires unless `spark.graft.approxPercentile.accuracy` is set.
+  *
+  * Safety constraints (both checked per expression):
+  *  - only frequency-1 percentiles (the weighted form has no approx
+  *    counterpart);
+  *  - only DOUBLE-typed children — `percentile` always returns double,
+  *    but `approx_percentile` returns the CHILD's type, so rewriting an
+  *    integer column would change the output schema mid-plan.
+  *
+  * Error bound: the sketch guarantees rank error ≤ 1/accuracy — at the
+  * default 10⁴ that is ±0.01% of rows around the requested rank.
+  */
+case class ApproxPercentileRewrite(spark: SparkSession)
+    extends Rule[LogicalPlan] {
+
+  val AccuracyConf = "spark.graft.approxPercentile.accuracy"
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    spark.conf.getOption(AccuracyConf).map(_.trim).filter(_.nonEmpty) match {
+      case None => plan
+      case Some(accStr) =>
+        val acc = accStr.toInt
+        require(acc >= 1, s"$AccuracyConf ($accStr) must be a positive int")
+        plan.transformAllExpressions {
+          case ae: AggregateExpression
+              if ae.aggregateFunction.isInstanceOf[Percentile] &&
+                isRewritable(ae.aggregateFunction.asInstanceOf[Percentile]) =>
+            val p = ae.aggregateFunction.asInstanceOf[Percentile]
+            ae.copy(aggregateFunction = new ApproximatePercentile(
+              p.child, p.percentageExpression, Literal(acc)))
+        }
+    }
+
+  private def isRewritable(p: Percentile): Boolean =
+    p.frequencyExpression == Literal(1L) &&
+      p.child.dataType == DoubleType &&
+      !p.reverse
+}

@@ -45,7 +45,8 @@ object GraphQueries extends QueryModule {
       (spark, dir) => {
         val edges = Graph.purchaseEdges(
           t(spark, dir, "orders"), t(spark, dir, "lineitem"))
-        Graph.pageRankFixed(edges, "src", "dst", iterations = 4)
+        Graph.pageRankFixed(edges, "src", "dst", iterations = 4,
+            edgesDistinct = true) // purchaseEdges dedups by construction
           .orderBy(col("node"))
       },
       Some(s"""

@@ -1,0 +1,72 @@
+package graft.plans
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** The opt-in percentile→sketch rewrite: inert without the conf, swaps
+  * the aggregate under it, declines integer children (schema-changing),
+  * and keeps the sketch's answer inside its rank-error band.
+  */
+class ApproxPercentileRewriteSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val Conf = "spark.graft.approxPercentile.accuracy"
+
+  private def withRule[A](f: => A): A = {
+    val saved = spark.experimental.extraOptimizations
+    spark.experimental.extraOptimizations =
+      saved :+ ApproxPercentileRewrite(spark)
+    try f
+    finally {
+      spark.experimental.extraOptimizations = saved
+      spark.conf.unset(Conf)
+    }
+  }
+
+  private def df = (1 to 10000).map(i => (i % 7, i.toDouble)).toDF("g", "v")
+
+  test("inert without the conf; rewrites under it; result inside the rank-error band") {
+    withRule {
+      val q = df.groupBy($"g").agg(expr("percentile(v, 0.5)").as("p50"))
+      assert(q.queryExecution.optimizedPlan.toString.contains("percentile("))
+      assert(!q.queryExecution.optimizedPlan.toString
+        .contains("percentile_approx"))
+      val exact = q.orderBy($"g").collect().map(_.getDouble(1)).toSeq
+
+      spark.conf.set(Conf, "10000")
+      val q2 = df.groupBy($"g").agg(expr("percentile(v, 0.5)").as("p50"))
+      val opt = q2.queryExecution.optimizedPlan.toString
+      assert(opt.contains("percentile_approx"), opt)
+      val approx = q2.orderBy($"g").collect().map(_.getDouble(1)).toSeq
+      // accuracy 10⁴ on ~1.4k rows/group → rank error < 1 row; values are
+      // a dense integer grid, so the sketch answer lands within one step
+      exact.zip(approx).foreach { case (e, a) =>
+        assert(math.abs(e - a) <= 7.0, s"exact $e vs approx $a")
+      }
+    }
+  }
+
+  test("array-percentage form rewrites too; weighted and integer forms do not") {
+    withRule {
+      spark.conf.set(Conf, "1000")
+      val arr = df.agg(expr("percentile(v, array(0.25, 0.75))"))
+      assert(arr.queryExecution.optimizedPlan.toString
+        .contains("percentile_approx"))
+      assert(arr.head().getSeq[Double](0).length == 2)
+      // weighted percentile has no approx counterpart — left intact
+      val weighted = df.agg(expr("percentile(v, 0.5, 2)"))
+      val wPlan = weighted.queryExecution.optimizedPlan.toString
+      assert(wPlan.contains("percentile(") &&
+        !wPlan.contains("percentile_approx"), wPlan)
+      // integer child would change the output type — left intact
+      val intQ = df.select($"g".cast("long").as("l"))
+        .agg(expr("percentile(l, 0.5)"))
+      val iPlan = intQ.queryExecution.optimizedPlan.toString
+      assert(iPlan.contains("percentile(") &&
+        !iPlan.contains("percentile_approx"), iPlan)
+    }
+  }
+}
