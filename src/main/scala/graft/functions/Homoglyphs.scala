@@ -44,4 +44,18 @@ object Homoglyphs {
 
   /** Fold confusables to their Latin skeleton. */
   def fold_homoglyphs(c: Column): Column = translate(c, From, To)
+
+  /** A token mixing Latin letters with ANY Cyrillic-block codepoint —
+    * the TR39 "mixed-script confusable" detection signal: natural text
+    * keeps scripts token-separated, so an intra-token mix is the
+    * spoofing/evasion fingerprint worth FLAGGING (triage) where
+    * [[fold_homoglyphs]] normalizes. Literal-range character classes
+    * (no `\p{Script}` — spelled differently across regex engines), so
+    * the same pattern string runs verbatim in Java regex and RE2.
+    */
+  val MixedScriptRe: String =
+    "[A-Za-z]\\S*[Ѐ-ӿ]|[Ѐ-ӿ]\\S*[A-Za-z]"
+
+  /** True when any single token mixes Latin and Cyrillic letters. */
+  def has_mixed_script(c: Column): Column = c.rlike(MixedScriptRe)
 }

@@ -1951,7 +1951,9 @@ object TextQueries extends QueryModule {
             (md5(Homoglyphs.fold_homoglyphs(col("text"))) ===
               md5(Homoglyphs.fold_homoglyphs(col("text_v"))))
               .as("fold_merges"),
-            md5(Homoglyphs.fold_homoglyphs(col("text_v"))).as("folded_md5"))
+            md5(Homoglyphs.fold_homoglyphs(col("text_v"))).as("folded_md5"),
+            Homoglyphs.has_mixed_script(col("text_v")).as("attacked_mixed"),
+            Homoglyphs.has_mixed_script(col("text")).as("clean_mixed"))
           .orderBy(col("doc_id"))
       },
       Some(s"""
@@ -1968,7 +1970,13 @@ object TextQueries extends QueryModule {
                  AS fold_merges,
                md5(translate(text_v, '${graft.functions.Homoglyphs.From}',
                              '${graft.functions.Homoglyphs.To}'))
-                 AS folded_md5
+                 AS folded_md5,
+               regexp_matches(text_v,
+                 '${graft.functions.Homoglyphs.MixedScriptRe}')
+                 AS attacked_mixed,
+               regexp_matches(text,
+                 '${graft.functions.Homoglyphs.MixedScriptRe}')
+                 AS clean_mixed
         FROM b ORDER BY doc_id
       """.trim),
       bench = false)

@@ -94,5 +94,17 @@ class CurationSpec extends AnyFunSuite {
     val twice = df.select(Homoglyphs.fold_homoglyphs(
       Homoglyphs.fold_homoglyphs($"b")).as("f")).head().getString(0)
     assert(twice == "paypal code example")
+    // mixed-script flag: intra-token Latin+Cyrillic trips it; clean text
+    // and script-separated text (a fully-Cyrillic word next to a Latin
+    // one) do not
+    val flags = Seq(
+      ("pаypаl", true),           // Cyrillic а inside a Latin token
+      ("paypal", false),
+      ("привет hello", false),    // scripts separated by the token gap
+      ("hexлo", true)
+    ).toDF("s", "want")
+      .select(Homoglyphs.has_mixed_script($"s").as("got"), $"want")
+      .collect()
+    flags.foreach(r => assert(r.getBoolean(0) == r.getBoolean(1), r))
   }
 }

@@ -365,6 +365,23 @@ class ScaleCurveSpec extends AnyFunSuite {
     curve("rp_lsh_neardup", op, e, amp)
   }
 
+  test("fixed-round PageRank scales ~linearly at 10x edges") {
+    // 10 DISJOINT remapped copies of the purchase graph (node ids
+    // prefixed per copy): per-copy structure identical, so true work is
+    // exactly linear; rounds are fixed so the plan is a bounded chain.
+    // The exchange assertion is trivial on the checkpointed output (the
+    // CC precedent) — the time bound is the content here.
+    val edges = Graph.purchaseEdges(table("orders"), table("lineitem"))
+    val amp = (0 until Amp).map(i => edges.select(
+        concat(lit(s"$i:"), $"src").as("src"),
+        concat(lit(s"$i:"), $"dst").as("dst")))
+      .reduce(_ unionByName _)
+    def op(d: DataFrame): DataFrame =
+      Graph.pageRankFixed(d, "src", "dst", iterations = 3,
+        edgesDistinct = true)
+    curve("pagerank_fixed", op, edges, amp)
+  }
+
   test("token-distribution drift (TV) scales ~linearly, one pass per corpus") {
     // the two slices are the doc_id parities (ampText's id shift is even,
     // so copies preserve parity and both slices grow 10x together); the
