@@ -240,4 +240,32 @@ object Sampling {
       coalesce(col("component"), col(idCol)), trainPct, validPct, salt)
       .drop("component")
   }
+
+  /** D4-style diversity-preserving subsample (Tirumala et al. 2023:
+    * dedup, embed, CLUSTER, then sample WITHIN clusters so no region of
+    * embedding space dominates the kept set): keep at most `k` rows per
+    * cluster bucket, chosen by deterministic content-hash order
+    * ([[hash16]] descending, id-descending ties) — layout-invariant, so
+    * the kept set never migrates as the corpus grows or repartitions,
+    * and an external engine replays the selection as a ROW_NUMBER
+    * window over the same md5 arithmetic.
+    *
+    * Scale: selection runs through the mergeable bounded-heap aggregate
+    * ([[GroupTopK.groupedTopK]]) — ≤ k (ord, id) pairs per partition per
+    * bucket cross the shuffle, never whole sorted buckets (the q158
+    * discipline); payloads join back by id afterwards.
+    *
+    * @param assigned (idCol long, bucketCol) cluster assignments, e.g.
+    *                 [[Similarity.ivfAssign]] output
+    * @return (bucketCol, rnk 1-based, idCol, h — the hash the order is
+    *         defined by)
+    */
+  def clusterBalancedSample(assigned: DataFrame, idCol: String,
+      bucketCol: String, k: Int, salt: String = ""): DataFrame =
+    GroupTopK.groupedTopK(
+        assigned.select(col(bucketCol), col(idCol),
+          hash16(col(idCol), salt).cast("long").as("__h")),
+        Seq(bucketCol), col("__h"), col(idCol), k)
+      .select(col(bucketCol), col("rnk"),
+        col("id").as(idCol), col("ord").as("h"))
 }

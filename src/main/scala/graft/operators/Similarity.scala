@@ -66,6 +66,37 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank"))
   }
 
+  /** Hard-negative mining for embedding/retrieval training data
+    * (contrastive training needs negatives that are SIMILAR but
+    * wrong-labeled — random negatives are too easy to carry gradient):
+    * for each query, the top-`k` most cosine-similar corpus rows whose
+    * label DIFFERS from the query's. [[bruteForceTopK]] with the
+    * label-mismatch predicate pushed into the join — the broadcast-query
+    * scan shape, corpus never shuffles; swap the nomination stage for an
+    * IVF/PQ probe at corpus scale and re-use the same mismatch filter.
+    */
+  def hardNegatives(queries: DataFrame, corpus: DataFrame, idCol: String,
+      vecCol: String, labelCol: String, dim: Int, k: Int,
+      maxBroadcastRows: Long = Broadcasting.DefaultMaxRows): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"),
+        col(labelCol).as("q_label"), asDouble(col(vecCol)).as("qv"))
+      .withColumn("qn", norm(col("qv"), dim))
+    Broadcasting.requireSmall(q, "hardNegatives query set", maxBroadcastRows)
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+        col(labelCol).as("n_label"), asDouble(col(vecCol)).as("cv"))
+      .withColumn("cn", norm(col("cv"), dim))
+    val scored = broadcast(q).join(c,
+        col("query_id") =!= col("neighbor_id") &&
+          col("q_label") =!= col("n_label"))
+      .withColumn("cosine",
+        cosinePrenormed(col("qv"), col("cv"), col("qn"), col("cn"), dim))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank"))
+  }
+
   /** IVF bucket assignment: nearest (max dot product) of the `centroids`
     * rows (columns: centroid_id, cv as double array).
     */

@@ -1109,8 +1109,103 @@ object VectorQueries extends QueryModule {
       """.trim),
       // dim²-sized algebra over q151's already-benched aggregate; a parity
       // certification surface, not a perf one — rides Verify only
+      bench = false),
+
+    // --- hard-negative mining (contrastive-training data prep): per
+    // query, the top-5 most similar corpus vectors whose LABEL differs —
+    // similar-but-wrong is what carries gradient; random negatives are
+    // too easy. q70's broadcast-scan shape with the mismatch predicate
+    // in the join; at corpus scale the nomination stage swaps for an
+    // IVF/PQ probe, same filter. ---
+    GQuery(
+      "q183_hard_negatives",
+      (spark, dir) => {
+        val e = Tables.embs(spark, dir)
+        graft.operators.Similarity.hardNegatives(
+            e.filter(col("vec_id") < 10), e, "vec_id", "embedding",
+            "label", Dim, k = 5)
+          .select(col("query_id"), col("neighbor_id"),
+            round(col("cosine"), 6).as("cosine_r"), col("rank"))
+          .orderBy(col("query_id"), col("rank"))
+      },
+      Some("""
+        WITH v AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e
+                   FROM embeddings),
+        q AS (SELECT vec_id AS query_id, label AS ql, e AS qv
+              FROM v WHERE vec_id < 10),
+        scored AS (
+          SELECT query_id, v.vec_id AS neighbor_id,
+                 list_sum(list_transform(generate_series(1, 64), i -> qv[i] * e[i]))
+                   / (sqrt(list_sum(list_transform(generate_series(1, 64), i -> qv[i] * qv[i])))
+                      * sqrt(list_sum(list_transform(generate_series(1, 64), i -> e[i] * e[i])))) AS cosine
+          FROM q JOIN v ON query_id <> v.vec_id AND ql <> v.label),
+        ranked AS (
+          SELECT query_id, neighbor_id, cosine,
+                 CAST(row_number() OVER (PARTITION BY query_id
+                        ORDER BY cosine DESC, neighbor_id) AS INT) AS rank
+          FROM scored)
+        SELECT query_id, neighbor_id, round(cosine, 6) AS cosine_r, rank
+        FROM ranked WHERE rank <= 5
+        ORDER BY query_id, rank
+      """.trim),
+      bench = false),
+
+    // --- D4-style cluster-balanced subsample (Tirumala et al. 2023):
+    // after dedup, cluster the embedding space and sample WITHIN
+    // clusters so no region dominates the kept set. Assignment = the
+    // q71 seed-centroid IVF; selection = ≤ 5 per bucket by md5 hash
+    // order through the mergeable bounded-heap aggregate (≤ k pairs per
+    // partition per bucket cross the shuffle — never whole sorted
+    // buckets). Fully hash-certified: the oracle replays assignment AND
+    // the md5-order pick. ---
+    GQuery(
+      "q184_cluster_sample",
+      (spark, dir) => {
+        val e = Tables.embs(spark, dir)
+        val cents = graft.operators.Similarity
+          .seedCentroids(e, "vec_id", "embedding", 16)
+        val assigned = graft.operators.Similarity
+          .ivfAssign(e, cents, "vec_id", "embedding", Dim)
+        graft.operators.Sampling
+          .clusterBalancedSample(assigned, "vec_id", "bucket", k = 5)
+          .orderBy(col("bucket"), col("rnk"))
+      },
+      Some(s"""
+        WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+                   FROM embeddings),
+        cents AS (
+          SELECT vec_id AS centroid_id, e AS cv FROM v
+          QUALIFY row_number() OVER (ORDER BY vec_id) <= 16),
+        assigned AS (
+          SELECT v.vec_id, c.centroid_id AS bucket
+          FROM v CROSS JOIN cents c
+          QUALIFY row_number() OVER (PARTITION BY v.vec_id
+            ORDER BY list_sum(list_transform(generate_series(1, 64),
+                       i -> v.e[i] * c.cv[i])) DESC, c.centroid_id) = 1),
+        h AS (SELECT bucket, vec_id,
+                     CAST(${VectorHash16Sql("vec_id")} AS BIGINT) AS h
+              FROM assigned),
+        r AS (SELECT bucket, vec_id, h,
+                     CAST(row_number() OVER (PARTITION BY bucket
+                       ORDER BY h DESC, vec_id DESC) AS INT) AS rnk
+              FROM h)
+        SELECT bucket, rnk, vec_id, h FROM r WHERE rnk <= 5
+        ORDER BY bucket, rnk
+      """.trim),
       bench = false)
   )
+
+  /** DuckDB rendering of [[graft.operators.Sampling.hash16]] with the
+    * empty salt (one definition per module — the CurationQueries
+    * convention).
+    */
+  private def VectorHash16Sql(keyExpr: String): String = {
+    val m = s"md5(CAST($keyExpr AS VARCHAR))"
+    def hv(i: Int) =
+      s"(ascii(substr($m, $i, 1)) - " +
+        s"CASE WHEN ascii(substr($m, $i, 1)) >= 97 THEN 87 ELSE 48 END)"
+    s"(${hv(1)} * 4096 + ${hv(2)} * 256 + ${hv(3)} * 16 + ${hv(4)})"
+  }
 
   /** The deterministic DuckDB replay of the IVF-PQ composition (q119 and
     * q120 — the in-memory and stored paths produce identical rows by

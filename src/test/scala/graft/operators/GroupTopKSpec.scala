@@ -59,4 +59,43 @@ class GroupTopKSpec extends AnyFunSuite {
     assert(plan.contains("ObjectHashAggregate") || plan.contains("SortAggregate"),
       s"expected an aggregate-based plan:\n$plan")
   }
+
+  test("clusterBalancedSample: <= k per bucket, layout-invariant, ranks contiguous") {
+    val assigned = (1L to 500L).map(i => (i, s"b${i % 7}")).toDF("id", "bucket")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Sampling.clusterBalancedSample(df, "id", "bucket", k = 5)
+        .orderBy("bucket", "rnk").collect()
+        .map(r => (r.getString(0), r.getInt(1), r.getLong(2))).toSeq
+    val a = run(assigned)
+    val perBucket = a.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    assert(perBucket.size == 7)
+    perBucket.values.foreach(rs => assert(rs.sorted == (1 to 5)))
+    // bit-identical under repartitioning — the kept set never migrates
+    assert(a == run(assigned.repartition(13)))
+    // a bucket smaller than k keeps everything
+    val tiny = Seq((1L, "x"), (2L, "x")).toDF("id", "bucket")
+    assert(Sampling.clusterBalancedSample(tiny, "id", "bucket", 5).count() == 2)
+  }
+
+  test("hardNegatives: every result crosses labels; nearest same-label vector is excluded") {
+    // q1 sits exactly on axis e1. Same-label s1 is nearly identical
+    // (would be rank 1 without the filter); cross-label c1 is close,
+    // c2 farther, c3 opposite.
+    def vec(axis: Int, eps: Double): Seq[Double] =
+      Seq.tabulate(8)(j => (if (j == 0) 1.0 else 0.0) + (if (j == axis) eps else 0.0))
+    val rows = Seq(
+      (1L, "A", vec(1, 0.0)),   // query
+      (2L, "A", vec(1, 0.05)),  // same-label near-twin — must be excluded
+      (3L, "B", vec(1, 0.2)),   // nearest cross-label
+      (4L, "B", vec(2, 0.9)),
+      (5L, "C", Seq.tabulate(8)(j => if (j == 0) -1.0 else 0.1)))
+      .toDF("vec_id", "label", "embedding")
+    val got = Similarity.hardNegatives(
+        rows.filter($"vec_id" === 1L), rows, "vec_id", "embedding",
+        "label", dim = 8, k = 3)
+      .orderBy("rank").collect()
+      .map(r => (r.getLong(1), r.getInt(3))).toSeq
+    assert(got.map(_._1) == Seq(3L, 4L, 5L)) // cross-label only, cosine order
+    assert(!got.map(_._1).contains(2L))
+  }
 }
