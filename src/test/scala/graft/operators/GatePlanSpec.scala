@@ -159,7 +159,34 @@ class GatePlanSpec extends AnyFunSuite {
     // references; the split operator itself is one left join + row-local
     // bands (splitByCluster spec). q171 is unpinned by design — it runs a
     // streaming job per evaluation (the q87 convention).
-    "q172_cluster_split" -> (11, 4))
+    "q172_cluster_split" -> (11, 4),
+    // round-9 session-2 additions. q173/q174/q175 pin only the POST-
+    // checkpoint assembly (sort over the truncated-lineage result — the
+    // q144 post-cache convention; the iterate's internal shape is pinned
+    // by GraphSpec/ScaleCurveSpec). q176 = row-local frame flatMap +
+    // sort; q177 = one hash agg + sort (the minimal decay shape); q178 =
+    // union-schema listing + sort; q179 = counts agg + mode window +
+    // broadcast join-back + sort; q180 = keyed ntile window + agg +
+    // sort; q181 = row-local line algebra + sort; q182 = translate/md5
+    // projections + self-join on id + sort; q183 = broadcast-query scan
+    // + top-k window + sort; q184 = assignment window + ONE heap-agg
+    // shuffle + sort — no whole-bucket Window (GroupTopKSpec pins that).
+    // q175's 22/9 are all DIM-SIZED frames (64-row matvec joins and
+    // broadcast scalars per round) — corpus cost lives in q151's one
+    // aggregate; the count is pinned to catch the iterate growing, not
+    // because the exchanges are expensive
+    "q173_pagerank" -> (1, 0),
+    "q174_label_prop" -> (1, 0),
+    "q175_power_iteration" -> (22, 9),
+    "q176_frame_sample" -> (1, 0),
+    "q177_decay_features" -> (2, 0),
+    "q178_schema_evolution" -> (1, 0),
+    "q179_impute_mode" -> (3, 1),
+    "q180_equi_depth" -> (2, 0),
+    "q181_c4_line_clean" -> (2, 0),
+    "q182_homoglyph_fold" -> (3, 1),
+    "q183_hard_negatives" -> (4, 1),
+    "q184_cluster_sample" -> (5, 1))
 
   test("q107's ORC read-back pushes its predicate and projection into the scan") {
     import org.apache.spark.sql.functions.col
