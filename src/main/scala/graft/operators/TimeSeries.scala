@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -41,6 +41,47 @@ object TimeSeries {
       .withColumn(s"${valueCol}_filled",
         last(col(valueCol), ignoreNulls = true).over(w))
       .drop(valueCol)
+  }
+
+  /** Rolling z-score anomaly detection over an ordered per-key stream —
+    * the monitoring primitive on an event table: each row is scored
+    * against the trailing `window`-row frame (itself included) of its
+    * key, and flagged when it sits more than `threshold` standard
+    * deviations from the frame mean.
+    *
+    * Determinism (the [[Features.scaled]] discipline): frame sums run
+    * over EXACT decimals (order-free — a raw-double running sum drifts
+    * per partitioning), then mean/variance/z are a FIXED IEEE sequence,
+    * so the doubles are bit-identical in any engine replaying the same
+    * shape. A zero-variance frame (constant values) yields z = NULL,
+    * not a division blow-up — and the `sq − s²/n` form can go a last-ulp
+    * negative there, so the guard is `variance > 0`.
+    *
+    * Scale: one hash shuffle on the key + per-partition sort — the
+    * minimal keyed-window shape; the frame is ROWS-bounded so state per
+    * row is O(window), never history.
+    *
+    * @param tieCols extends (orderCol) to a total order within each key
+    *                — same contract as [[Features.equiDepthBins]]
+    */
+  def rollingZScore(df: DataFrame, keyCol: String, orderCol: Column,
+      tieCols: Seq[Column], valueCol: String, window: Int,
+      threshold: Double): DataFrame = {
+    require(window >= 2, s"window ($window) must be >= 2")
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(orderCol.asc +: tieCols.map(_.asc): _*)
+      .rowsBetween(-(window - 1), 0)
+    val d = col(valueCol).cast("decimal(12,2)")
+    val n = count(lit(1)).over(w).cast("double")
+    val s = sum(d).over(w).cast("double")
+    val sq = sum(d * d).over(w).cast("double")
+    val mean = s / n
+    val variance = (sq - s * s / n) / n
+    df.withColumn("z",
+        when(variance > 0,
+          (col(valueCol).cast("double") - mean) / sqrt(variance)))
+      .withColumn("is_anomaly",
+        coalesce(abs(col("z")) > threshold, lit(false)))
   }
 
   /** Recency-weighted (half-life-decayed) per-key aggregate — the

@@ -735,6 +735,47 @@ object OperatorQueries extends QueryModule {
       """.trim),
       bench = false),
 
+    // --- rolling z-score anomaly flags on the event stream: each event
+    // scored against its type's trailing 30-row frame (exact decimal
+    // frame sums → one fixed IEEE mean/variance/z sequence — the q54
+    // discipline, so the doubles replay bit-for-bit); zero-variance
+    // frames yield NULL z, flagged false. One keyed window shuffle. ---
+    GQuery(
+      "q185_rolling_anomaly",
+      (spark, dir) => {
+        val e = Tables.events(spark, dir)
+          .select(col("event_id"), col("event_type"), col("ts"), col("value"))
+          .filter(col("value").isNotNull)
+        graft.operators.TimeSeries.rollingZScore(e, "event_type",
+            col("ts"), Seq(col("event_id")), "value",
+            window = 30, threshold = 3.0)
+          .select(col("event_id"), col("event_type"), col("z"),
+            col("is_anomaly"))
+          .orderBy(col("event_id"))
+      },
+      Some("""
+        WITH b AS (
+          SELECT event_id, event_type, value,
+                 CAST(COUNT(*) OVER w AS DOUBLE) AS n,
+                 CAST(SUM(CAST(value AS DECIMAL(12,2))) OVER w AS DOUBLE) AS s,
+                 CAST(SUM(CAST(value AS DECIMAL(12,2))
+                          * CAST(value AS DECIMAL(12,2))) OVER w AS DOUBLE) AS sq
+          FROM events WHERE value IS NOT NULL
+          WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
+                       ROWS BETWEEN 29 PRECEDING AND CURRENT ROW)),
+        z AS (
+          SELECT event_id, event_type,
+                 CASE WHEN (sq - s * s / n) / n > 0
+                      THEN (CAST(value AS DOUBLE) - s / n)
+                             / sqrt((sq - s * s / n) / n)
+                 END AS z
+          FROM b)
+        SELECT event_id, event_type, z,
+               COALESCE(ABS(z) > 3.0, FALSE) AS is_anomaly
+        FROM z ORDER BY event_id
+      """.trim),
+      bench = false),
+
     // --- SCD Type 3 (previous-value tracking — completes the SCD
     // family next to q12's type 2 and its type-1 backfill): two chained
     // update batches; keys hit twice must show the FIRST update as their

@@ -514,6 +514,25 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(a == run(df.repartition(9)))
   }
 
+  test("rollingZScore: constant frames yield NULL z / false flag; spike flags; partitioning-invariant") {
+    val rows = ((1 to 40).map(i => ("k", i, 10.0)) :+ (("k", 41, 500.0))) ++
+      (42 to 50).map(i => ("k", i, 10.0))
+    val df = rows.toDF("k", "seq", "v")
+    def run(in: org.apache.spark.sql.DataFrame) =
+      // a lone spike in an n-row frame scores exactly √(n−1), so the
+      // window must exceed threshold²+1 for the spike to flag
+      TimeSeries.rollingZScore(in, "k", $"seq", Nil, "v", window = 17,
+          threshold = 3.0)
+        .orderBy("seq").collect()
+        .map(r => (r.getInt(1), Option(r.get(3)).map(_.toString),
+          r.getBoolean(4))).toSeq
+    val a = run(df)
+    val bySeq = a.map(t => t._1 -> ((t._2, t._3))).toMap
+    assert(bySeq(40) == ((None, false))) // constant frame: NULL z, no flag
+    assert(bySeq(41)._2)                 // the spike flags
+    assert(a == run(df.repartition(7)))  // exact decimal frame sums
+  }
+
   test("frameFingerprints: byte-path offsets, bounded fan-out, empty payload drops") {
     import graft.multimodal.Media
     val media = Seq(

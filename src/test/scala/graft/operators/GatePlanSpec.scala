@@ -186,7 +186,10 @@ class GatePlanSpec extends AnyFunSuite {
     "q181_c4_line_clean" -> (2, 0),
     "q182_homoglyph_fold" -> (3, 1),
     "q183_hard_negatives" -> (4, 1),
-    "q184_cluster_sample" -> (5, 1))
+    "q184_cluster_sample" -> (5, 1),
+    // q185 = one keyed window shuffle + output sort — the minimal
+    // rolling-frame shape
+    "q185_rolling_anomaly" -> (2, 0))
 
   test("q107's ORC read-back pushes its predicate and projection into the scan") {
     import org.apache.spark.sql.functions.col

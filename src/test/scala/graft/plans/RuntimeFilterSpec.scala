@@ -1,0 +1,51 @@
+package graft.plans
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** Runtime bloom-filter join pruning (Spark's row-level runtime filter):
+  * when a shuffle join's build side is selective, the optimizer plants a
+  * `bloom_filter_agg` on it and a `might_contain` probe filter on the
+  * scan side, discarding non-joining rows BEFORE the shuffle — at 100 TB
+  * this is the difference between shuffling the whole fact table and
+  * shuffling the joining fraction. The defaults gate it behind a 10 GB
+  * application-side scan threshold, so local toy plans never show it;
+  * this spec lowers the thresholds to prove the engine's join shapes are
+  * eligible (equi-join, creation side under the size cap, selective
+  * predicate) and that the filter is semantics-preserving.
+  */
+class RuntimeFilterSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("selective dim filter plants a bloom probe on the fact side; rows unchanged") {
+    val confs = Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1", // force shuffle join
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "10MB")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      def q = {
+        val li = spark.read.parquet(s"${TestSpark.SfDir}/lineitem.parquet")
+          .select(col("l_orderkey"), col("l_suppkey"), col("l_quantity"))
+        val supp = spark.read.parquet(s"${TestSpark.SfDir}/supplier.parquet")
+          .filter(col("s_acctbal") > 9000) // selective build side
+          .select(col("s_suppkey"), col("s_name"))
+        li.join(supp, col("l_suppkey") === col("s_suppkey"))
+      }
+      val opt = q.queryExecution.optimizedPlan.toString
+      assert(opt.contains("might_contain") || opt.contains("bloom_filter"),
+        s"expected a runtime bloom filter in the optimized plan:\n$opt")
+      // semantics preserved vs the filter disabled
+      val withFilter = q.count()
+      spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "false")
+      assert(q.count() == withFilter)
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+}
