@@ -77,6 +77,44 @@ object Features {
             * ((col("sy_fix").cast(DoubleType) / sc) / col("n").cast(DoubleType)))
   }
 
+  /** Hashing-trick featurizer (Weinberger et al. 2009): lowercased
+    * whitespace tokens hash into `dim` buckets (the repo's md5-derived
+    * [[Sampling.hash16]], so the bucketing is engine-replayable — the
+    * DSIR discipline at general dimensionality), and each document
+    * becomes the SPARSE count vector `(indices asc, counts)` — the
+    * bag-of-words form linear probes/classifiers consume, with no
+    * vocabulary table to build, ship, or keep consistent across a
+    * 100 TB corpus (that absence is the entire point of the trick).
+    *
+    * Scale: docs explode to narrow (id, bucket) rows → ONE hash
+    * aggregate keyed by (id, bucket) with map-side partials → per-doc
+    * sparse assembly via `sort_array(collect_list(struct))` (bounded by
+    * min(dim, tokens-per-doc) entries, never `dim`). Text never rides
+    * an exchange. A doc with no tokens keeps empty arrays (one row per
+    * input doc — the charBigramScore contract).
+    */
+  def hashedCountVector(docs: DataFrame, idCol: String, textCol: String,
+      dim: Int, salt: String = ""): DataFrame = {
+    require(dim >= 2, s"dim ($dim) must be >= 2")
+    val toks = docs.select(col(idCol),
+        explode(split(lower(col(textCol)), " ")).as("__t"))
+      .filter(col("__t") =!= "")
+      .select(col(idCol),
+        (Sampling.hash16(col("__t"), salt) % dim).cast("int").as("__b"))
+    val sparse = toks.groupBy(col(idCol), col("__b"))
+      .agg(count(lit(1)).as("__c"))
+      .groupBy(col(idCol))
+      .agg(sort_array(collect_list(struct(col("__b"), col("__c"))))
+        .as("__p"))
+      .select(col(idCol),
+        transform(col("__p"), p => p.getField("__b")).as("indices"),
+        transform(col("__p"), p => p.getField("__c")).as("counts"))
+    docs.select(col(idCol)).join(sparse, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("indices"), array().cast("array<int>")).as("indices"),
+        coalesce(col("counts"), array().cast("array<bigint>")).as("counts"))
+  }
+
   /** Top principal direction of the (uncentered) Gramian by FIXED-round
     * power iteration over [[vectorMoments]]' exact fixed-point sums —
     * the eigen step of PCA/whitening, kept inside the engine's

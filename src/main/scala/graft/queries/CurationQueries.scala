@@ -834,6 +834,45 @@ object CurationQueries extends QueryModule {
           AND len(kept) >= 2
         ORDER BY doc_id
       """.trim),
+      bench = false),
+
+    // --- hashing-trick featurizer (Weinberger 2009): tokens md5-hash
+    // into 64 buckets and each doc becomes its sparse count vector — the
+    // vocabulary-free bag-of-words linear models consume (no vocab table
+    // to build or ship at 100 TB, which is the point). One (id, bucket)
+    // agg with map-side partials; sparse arrays serialize to CSV strings
+    // for the cross-engine hash (list rendering differs per engine). ---
+    GQuery(
+      "q186_feature_hashing",
+      (spark, dir) => {
+        graft.operators.Features.hashedCountVector(
+            Tables.docs(spark, dir), "doc_id", "text", dim = 64)
+          .select(col("doc_id"),
+            array_join(col("indices"), ",").as("idx_csv"),
+            array_join(col("counts"), ",").as("cnt_csv"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""
+        WITH tok AS (
+          SELECT doc_id,
+                 unnest(list_filter(string_split(lower(text), ' '),
+                        s2 -> s2 <> '')) AS t
+          FROM documents),
+        b AS (SELECT doc_id,
+                     CAST(${hash16Sql("t", "")} % 64 AS INT) AS bkt
+              FROM tok),
+        c AS (SELECT doc_id, bkt, COUNT(*) AS c FROM b GROUP BY 1, 2),
+        s AS (SELECT doc_id,
+                     string_agg(CAST(bkt AS VARCHAR), ',' ORDER BY bkt)
+                       AS idx_csv,
+                     string_agg(CAST(c AS VARCHAR), ',' ORDER BY bkt)
+                       AS cnt_csv
+              FROM c GROUP BY doc_id)
+        SELECT d.doc_id, COALESCE(s.idx_csv, '') AS idx_csv,
+               COALESCE(s.cnt_csv, '') AS cnt_csv
+        FROM documents d LEFT JOIN s USING (doc_id)
+        ORDER BY d.doc_id
+      """.trim),
       bench = false))
 
   /** Shared q148/q149 oracle: unroll the 4 training rounds, read each

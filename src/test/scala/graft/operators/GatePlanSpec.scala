@@ -188,8 +188,11 @@ class GatePlanSpec extends AnyFunSuite {
     "q183_hard_negatives" -> (4, 1),
     "q184_cluster_sample" -> (5, 1),
     // q185 = one keyed window shuffle + output sort — the minimal
-    // rolling-frame shape
-    "q185_rolling_anomaly" -> (2, 0))
+    // rolling-frame shape; q186 = docs spread + (id, bucket) agg +
+    // per-doc sparse assembly agg + join-back + sort — text never rides
+    // an exchange
+    "q185_rolling_anomaly" -> (2, 0),
+    "q186_feature_hashing" -> (5, 1))
 
   test("q107's ORC read-back pushes its predicate and projection into the scan") {
     import org.apache.spark.sql.functions.col
