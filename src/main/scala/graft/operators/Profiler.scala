@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Column profiling: per-column null counts, distinct counts, and min/max
@@ -115,4 +116,50 @@ object Profiler {
       .withColumn("bucket_lo", lit(lo) + col("bucket") * lit(width))
       .withColumn("bucket_hi", lit(lo) + (col("bucket") + 1) * lit(width))
   }
+
+  /** Benford's-law first-digit audit (Benford 1938; the classic
+    * fabricated-amounts / corrupted-feed screen for financial columns —
+    * organically-grown magnitudes put digit d first with probability
+    * log10(1 + 1/d); fabricated or truncated data visibly does not).
+    * Returns one row per leading digit with its count, observed
+    * frequency, the Benford expectation, and |obs − exp|.
+    *
+    * Determinism: the digit is extracted from the decimal(12,2) STRING
+    * rendering (both engines print plain notation with full scale —
+    * `regexp_extract('[1-9]')` takes the first significant digit, no
+    * `log10` whose last ulp is math-library-specific); expectations are
+    * nine shared literal constants; frequency is one IEEE division.
+    * Zero/NULL amounts carry no leading digit and are excluded.
+    *
+    * Scale: one 9-key hash aggregate with map-side partials + the
+    * single-partition total; nothing else.
+    */
+  def benfordAudit(df: DataFrame,
+      value: org.apache.spark.sql.Column): DataFrame = {
+    val digit = regexp_extract(
+      abs(value.cast("decimal(12,2)")).cast("string"), "[1-9]", 0)
+    val counted = df
+      .withColumn("digit", digit)
+      .filter(col("digit") =!= "")
+      .groupBy(col("digit")).agg(count(lit(1)).as("cnt"))
+    val expected = BenfordExpected.foldLeft(lit(null).cast("double")) {
+      case (acc, (d, p)) => when(col("digit") === d.toString, p).otherwise(acc)
+    }
+    val total = sum(col("cnt")).over(Window.partitionBy(
+      graft.core.Windows.singlePartition(col("digit"))))
+    counted
+      .withColumn("freq", col("cnt").cast("double") / total.cast("double"))
+      .withColumn("expected", expected)
+      .withColumn("abs_dev", abs(col("freq") - col("expected")))
+  }
+
+  /** log10(1 + 1/d) for d = 1..9, as shared literals (computed once
+    * here, replayed verbatim by the oracle — never per-engine log10).
+    */
+  val BenfordExpected: Seq[(Int, Double)] = Seq(
+    1 -> 0.30102999566398120, 2 -> 0.17609125905568124,
+    3 -> 0.12493873660829993, 4 -> 0.09691001300805642,
+    5 -> 0.07918124604762482, 6 -> 0.06694678963061322,
+    7 -> 0.05799194697768673, 8 -> 0.05115252244738129,
+    9 -> 0.04575749056067514)
 }

@@ -268,4 +268,64 @@ object Sampling {
         Seq(bucketCol), col("__h"), col(idCol), k)
       .select(col(bucketCol), col("rnk"),
         col("id").as(idCol), col("ord").as("h"))
+
+  /** Neyman-optimal stratified allocation (Neyman 1934, the survey-
+    * sampling standard): split a total sample budget across strata
+    * proportionally to `N_h · S_h` (stratum size × stratum std-dev) —
+    * high-variance strata earn more budget than proportional allocation
+    * gives them, minimizing the estimator variance at fixed cost.
+    * Compose with [[stratifiedTake]] (per-stratum exact-n by hash order)
+    * to materialize the sample itself.
+    *
+    * Determinism: stratum variance comes from exact decimal sums feeding
+    * ONE fixed IEEE sequence (the q54 discipline); the weight is then
+    * immediately FLOORED into 2^20 fixed point, and the allocation is
+    * pure integer arithmetic — base = `(n · wq_h) div Wq` with the
+    * leftover seats assigned by LARGEST REMAINDER (ties → stratum key
+    * asc). Engine-exact at every step. Each stratum's award is finally
+    * capped at its row count; a saturated stratum's surplus is NOT
+    * redistributed (Σ alloc can fall short of n then — rerun with the
+    * saturated stratum excluded if the budget must be exact).
+    *
+    * Scale: one stratum aggregate with map-side partials; everything
+    * after runs on the stratum-sized frame (single-partition window over
+    * strata — the post-aggregate-few-row exemption).
+    *
+    * @return (stratumCol, n_rows, wq — the fixed-point weight, alloc)
+    */
+  def neymanAllocation(df: DataFrame, stratumCol: String, valueCol: String,
+      totalN: Long): DataFrame = {
+    require(totalN >= 0, s"totalN ($totalN) must be non-negative")
+    val d = col(valueCol).cast("decimal(12,2)")
+    val stats = df.groupBy(col(stratumCol))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(d).cast("double").as("__s"),
+        sum(d * d).cast("double").as("__sq"))
+    val nD = col("n_rows").cast("double")
+    val variance = (col("__sq") - col("__s") * col("__s") / nD) / nD
+    val w = nD * sqrt(greatest(variance, lit(0.0)))
+    val weighted = stats
+      .withColumn("wq", floor(w * lit(1048576.0)).cast("long"))
+      .drop("__s", "__sq")
+    val key = graft.core.Windows.singlePartition(col(stratumCol))
+    val win = Window.partitionBy(key)
+    val alloc = weighted
+      .withColumn("__W", sum(col("wq")).over(win))
+      .withColumn("__base",
+        when(col("__W") > 0, expr(s"($totalN * wq) div __W"))
+          .otherwise(lit(0L)))
+      .withColumn("__rem",
+        when(col("__W") > 0, expr(s"($totalN * wq) % __W")).otherwise(lit(0L)))
+      .withColumn("__left", lit(totalN) - sum(col("__base")).over(win))
+      .withColumn("__pos", row_number().over(
+        Window.partitionBy(key)
+          .orderBy(col("__rem").desc, col(stratumCol).asc)))
+      .withColumn("alloc",
+        (col("__base") + when(col("__pos") <= col("__left"), 1L)
+          .otherwise(0L))
+          // a stratum can never be asked for more rows than it has
+          .cast("long"))
+      .withColumn("alloc", least(col("alloc"), col("n_rows")))
+    alloc.select(col(stratumCol), col("n_rows"), col("wq"), col("alloc"))
+  }
 }

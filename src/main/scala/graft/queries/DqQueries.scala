@@ -446,6 +446,41 @@ object DqQueries extends QueryModule {
         GROUP BY 1, 2
         ORDER BY c_nationkey, c_mktsegment
       """.trim),
+      bench = false),
+
+    // --- Benford's-law first-digit audit over order amounts (the
+    // classic fabricated-amounts / corrupted-feed DQ screen): digit from
+    // the decimal(12,2) STRING rendering — no log10, whose last ulp is
+    // mathlib-specific; expectations are nine shared literals; one 9-key
+    // agg + single-partition total. ---
+    GQuery(
+      "q188_benford",
+      (spark, dir) =>
+        graft.operators.Profiler.benfordAudit(
+            t(spark, dir, "orders"), col("o_totalprice"))
+          .orderBy(col("digit")),
+      Some(s"""
+        WITH c AS (
+          SELECT regexp_extract(CAST(ABS(CAST(o_totalprice AS DECIMAL(12,2)))
+                   AS VARCHAR), '[1-9]', 0) AS digit,
+                 COUNT(*) AS cnt
+          FROM orders
+          GROUP BY 1),
+        f AS (SELECT digit, cnt,
+                     CAST(cnt AS DOUBLE) / CAST(SUM(cnt) OVER () AS DOUBLE)
+                       AS freq,
+                     CASE digit ${graft.operators.Profiler.BenfordExpected
+                       .map { case (d, p) =>
+                         // string→double: a BARE numeric literal lexes as
+                         // DECIMAL and double-rounds (measured 1-ulp off
+                         // on digit 3); the quoted form parses correctly
+                         // rounded, matching the Scala literal bit-exactly
+                         s"WHEN '$d' THEN CAST('$p' AS DOUBLE)" }
+                       .mkString(" ")} END AS expected
+              FROM c WHERE digit <> '')
+        SELECT digit, cnt, freq, expected, ABS(freq - expected) AS abs_dev
+        FROM f ORDER BY digit
+      """.trim),
       bench = false)
   )
 }

@@ -611,6 +611,51 @@ object SamplingQueries extends QueryModule {
         GROUP BY s.split, p.pairs, p.pairs_apart
         ORDER BY s.split
       """.trim),
+      bench = false),
+
+    // --- Neyman-optimal stratified allocation (Neyman 1934): a 1,000-row
+    // budget split across order priorities ∝ N_h·S_h, variance from exact
+    // decimal sums → ONE IEEE sequence → floored into 2^20 fixed point,
+    // then pure integer largest-remainder seats (ties → stratum asc) —
+    // engine-exact end to end. Compose with stratifiedTake (q77) to
+    // materialize the sample. ---
+    GQuery(
+      "q187_neyman_alloc",
+      (spark, dir) =>
+        graft.operators.Sampling.neymanAllocation(
+            t(spark, dir, "orders"), "o_orderpriority", "o_totalprice",
+            totalN = 1000L)
+          .orderBy(col("o_orderpriority")),
+      Some("""
+        WITH st AS (
+          SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_rows,
+                 CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS s,
+                 CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))
+                          * CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
+                   AS sq
+          FROM orders GROUP BY 1),
+        w AS (
+          SELECT o_orderpriority, n_rows,
+                 CAST(FLOOR(CAST(n_rows AS DOUBLE)
+                        * sqrt(GREATEST(
+                            (sq - s * s / CAST(n_rows AS DOUBLE))
+                              / CAST(n_rows AS DOUBLE), 0.0))
+                        * 1048576.0) AS BIGINT) AS wq
+          FROM st),
+        t AS (SELECT *, SUM(wq) OVER () AS W FROM w),
+        b AS (SELECT o_orderpriority, n_rows, wq,
+                     CASE WHEN W > 0 THEN (1000 * wq) // W ELSE 0 END AS base,
+                     CASE WHEN W > 0 THEN (1000 * wq) % W ELSE 0 END AS rem
+              FROM t),
+        l AS (SELECT *, 1000 - SUM(base) OVER () AS leftn,
+                     ROW_NUMBER() OVER (ORDER BY rem DESC,
+                       o_orderpriority ASC) AS pos
+              FROM b)
+        SELECT o_orderpriority, n_rows, wq,
+               CAST(LEAST(base + CASE WHEN pos <= leftn THEN 1 ELSE 0 END,
+                          n_rows) AS BIGINT) AS alloc
+        FROM l ORDER BY o_orderpriority
+      """.trim),
       bench = false)
   )
 }

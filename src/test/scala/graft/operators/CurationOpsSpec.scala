@@ -514,6 +514,42 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(a == run(df.repartition(9)))
   }
 
+  test("neymanAllocation: seats sum to the budget, variance pulls budget, caps bind, hand-case exact") {
+    // two strata, same size, one 10x the spread → it takes most seats
+    val df = ((1 to 100).map(i => ("calm", (100 + i % 3).toDouble)) ++
+      (1 to 100).map(i => ("wild", (100 + (i % 41) * 10).toDouble)))
+      .toDF("s", "v")
+    val got = Sampling.neymanAllocation(df, "s", "v", totalN = 50)
+      .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(got.values.sum == 50)
+    assert(got("wild") > got("calm") * 5)
+    // cap binds: a 3-row stratum cannot be awarded more than 3
+    val tiny = (Seq(("t", 1.0), ("t", 100.0), ("t", 10000.0)) ++
+      (1 to 50).map(i => ("big", i.toDouble))).toDF("s", "v")
+    val capped = Sampling.neymanAllocation(tiny, "s", "v", totalN = 40)
+      .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(capped("t") == 3)
+    // partitioning invariance of the full row (wq included)
+    def run(in: org.apache.spark.sql.DataFrame) =
+      Sampling.neymanAllocation(in, "s", "v", 50)
+        .orderBy("s").collect().map(_.toSeq).toSeq
+    assert(run(df) == run(df.repartition(9)))
+  }
+
+  test("benfordAudit: hand-counted digits, frequencies sum to 1, sub-1 amounts use first significant digit") {
+    val df = Seq(123.45, 19.99, 0.07, 2000.0, 0.0, -345.6, 1.01)
+      .toDF("v") // digits: 1, 1, 7, 2, (excluded), 3, 1
+    val got = Profiler.benfordAudit(df, $"v")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(4))).toMap
+    assert(got.keySet == Set("1", "2", "3", "7"))
+    assert(got("1")._1 == 3 && got("2")._1 == 1 && got("7")._1 == 1)
+    assert(math.abs(got.values.map(_._2).sum - 1.0) < 1e-12)
+    // deviation column is |freq - expected| exactly
+    val one = got("1")
+    assert(one._3 == math.abs(one._2 - Profiler.BenfordExpected.head._2))
+  }
+
   test("rollingZScore: constant frames yield NULL z / false flag; spike flags; partitioning-invariant") {
     val rows = ((1 to 40).map(i => ("k", i, 10.0)) :+ (("k", 41, 500.0))) ++
       (42 to 50).map(i => ("k", i, 10.0))

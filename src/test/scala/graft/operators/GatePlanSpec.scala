@@ -192,7 +192,12 @@ class GatePlanSpec extends AnyFunSuite {
     // per-doc sparse assembly agg + join-back + sort — text never rides
     // an exchange
     "q185_rolling_anomaly" -> (2, 0),
-    "q186_feature_hashing" -> (5, 1))
+    "q186_feature_hashing" -> (5, 1),
+    // q187 = one stratum agg + two single-partition windows over the
+    // STRATUM-SIZED frame + sort; q188 = one 9-key agg + the digit-total
+    // window + sort
+    "q187_neyman_alloc" -> (5, 0),
+    "q188_benford" -> (3, 0))
 
   test("q107's ORC read-back pushes its predicate and projection into the scan") {
     import org.apache.spark.sql.functions.col
