@@ -118,7 +118,8 @@ object Media {
     media.select(col("id"), col("payload"))
       .as[(Long, Array[Byte])]
       .flatMap { case (id, payload) =>
-        frameSampleStub(payload, frames).zipWithIndex.map {
+        if (payload == null) Nil // NULL payload ≡ empty: no frames
+        else frameSampleStub(payload, frames).zipWithIndex.map {
           case (off, idx) =>
             val end = math.min(payload.length, off + window)
             FrameRow(id, idx, off,

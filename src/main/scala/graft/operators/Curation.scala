@@ -285,7 +285,7 @@ object Curation {
         !lower(l).contains("javascript"))
     val pageDrop = pageDropSubstrings
       .map(s => lower(col(textCol)).contains(s.toLowerCase))
-      .reduce(_ || _)
+      .reduceOption(_ || _).getOrElse(lit(false)) // empty list = no page rule
     docs
       .withColumn("__lines", split(col(textCol), "\n"))
       .withColumn("__kept", kept)
