@@ -10,23 +10,27 @@ import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
   */
 object GraftFunctions {
 
-  /** Every unary scalar native expression, by SQL name — one list drives
-    * both registration paths so the SQL surface cannot drift from the
-    * expression inventory.
+  /** Every unary scalar native expression — SQL name, implementing
+    * class (for `DESCRIBE FUNCTION`'s introspection surface), builder.
+    * One list drives both registration paths so the SQL surface cannot
+    * drift from the expression inventory.
     */
-  private val unaryScalars: Seq[(String, org.apache.spark.sql.catalyst.expressions.Expression =>
-      org.apache.spark.sql.catalyst.expressions.Expression)] = Seq(
-    "format_phone" -> (FormatPhoneExpr(_)),
-    "nfc_normalize" -> (NfcNormalizeExpr(_)),
-    "luhn_valid" -> (LuhnValidExpr(_)),
-    "fold_accents" -> (FoldAccentsExpr(_)),
-    "strip_markup" -> (StripMarkupExpr(_)),
-    "strip_invisible" -> (StripInvisibleExpr(_)),
-    "has_bidi_controls" -> (HasBidiControlsExpr(_)))
+  private val unaryScalars: Seq[(String, String,
+      org.apache.spark.sql.catalyst.expressions.Expression =>
+        org.apache.spark.sql.catalyst.expressions.Expression)] = Seq(
+    ("format_phone", classOf[FormatPhoneExpr].getName, FormatPhoneExpr(_)),
+    ("nfc_normalize", classOf[NfcNormalizeExpr].getName, NfcNormalizeExpr(_)),
+    ("luhn_valid", classOf[LuhnValidExpr].getName, LuhnValidExpr(_)),
+    ("fold_accents", classOf[FoldAccentsExpr].getName, FoldAccentsExpr(_)),
+    ("strip_markup", classOf[StripMarkupExpr].getName, StripMarkupExpr(_)),
+    ("strip_invisible", classOf[StripInvisibleExpr].getName,
+      StripInvisibleExpr(_)),
+    ("has_bidi_controls", classOf[HasBidiControlsExpr].getName,
+      HasBidiControlsExpr(_)))
 
   /** Imperative registration on an existing session (idempotent). */
   def register(spark: SparkSession): Unit =
-    unaryScalars.foreach { case (name, build) =>
+    unaryScalars.foreach { case (name, _, build) =>
       spark.sessionState.functionRegistry.createOrReplaceTempFunction(
         name, exprs => build(exprs.head), "scala_udf")
     }
@@ -42,10 +46,10 @@ object GraftFunctions {
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
-    GraftFunctions.unaryScalarEntries.foreach { case (name, build) =>
+    GraftFunctions.unaryScalarEntries.foreach { case (name, cls, build) =>
       e.injectFunction((
         FunctionIdentifier(name),
-        new ExpressionInfo("graft.functions", name),
+        new ExpressionInfo(cls, name),
         (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
           build(exprs.head)))
     }

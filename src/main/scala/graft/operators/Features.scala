@@ -77,10 +77,12 @@ object Features {
             * ((col("sy_fix").cast(DoubleType) / sc) / col("n").cast(DoubleType)))
   }
 
-  /** Hashing-trick featurizer (Weinberger et al. 2009): lowercased
-    * whitespace tokens hash into `dim` buckets (the repo's md5-derived
-    * [[Sampling.hash16]], so the bucketing is engine-replayable — the
-    * DSIR discipline at general dimensionality), and each document
+  /** Hashing-trick featurizer (Weinberger et al. 2009): space-delimited
+    * lowercased tokens (the repo's ONE tokenization — q60/q134's
+    * `split(lower(text), " ")`, not a general whitespace class) hash
+    * into `dim` buckets (the md5-derived [[Sampling.hash16]], so the
+    * bucketing is engine-replayable; 16 bits caps dim at 65,536 — use a
+    * wider hash before raising the cap), and each document
     * becomes the SPARSE count vector `(indices asc, counts)` — the
     * bag-of-words form linear probes/classifiers consume, with no
     * vocabulary table to build, ship, or keep consistent across a
@@ -95,7 +97,10 @@ object Features {
     */
   def hashedCountVector(docs: DataFrame, idCol: String, textCol: String,
       dim: Int, salt: String = ""): DataFrame = {
-    require(dim >= 2, s"dim ($dim) must be >= 2")
+    require(dim >= 2 && dim <= 65536,
+      s"dim ($dim) must be in [2, 65536] — hash16 is a 16-bit hash; a " +
+        "larger dim would silently leave buckets >= 65536 empty and " +
+        "double the real collision rate")
     val toks = docs.select(col(idCol),
         explode(split(lower(col(textCol)), " ")).as("__t"))
       .filter(col("__t") =!= "")
@@ -115,36 +120,6 @@ object Features {
         coalesce(col("counts"), array().cast("array<bigint>")).as("counts"))
   }
 
-  /** Top principal direction of the (uncentered) Gramian by FIXED-round
-    * power iteration over [[vectorMoments]]' exact fixed-point sums —
-    * the eigen step of PCA/whitening, kept inside the engine's
-    * determinism envelope so the q175 oracle can replay every round:
-    *
-    *   v⁰ = 1 (fixed point 2^scaleBits);
-    *   uᵗ = G·vᵗ — exact long matvec (products and sums of the exact
-    *        `sxy_fix` longs: associative, partitioning-invariant);
-    *   vᵗ⁺¹ = floor((u/max|u|)·2^scaleBits) — ONE fixed IEEE
-    *        double-divide + multiply + floor per component (the q151
-    *        `cov` discipline: deterministic, engine-portable), which
-    *        renormalizes to [-2^scaleBits, 2^scaleBits] without the
-    *        long-overflowing exact form (u·2^k needs ~2^76 at corpus n).
-    *
-    * Convergence is the classic power-method geometry (ratio λ₂/λ₁ per
-    * round); `rounds` is a hyperparameter, not data-dependent, so the
-    * plan is a bounded chain.
-    *
-    * Scale shape: everything here is dim²-sized — corpus cost was paid
-    * once inside the one-pass moments aggregate. The iteration could run
-    * driver-side; running it as DataFrame algebra keeps it inside the
-    * gate's replay surface at zero real cost (dim² = 4,096 rows).
-    *
-    * Long capacity: |G·v| ≤ dim · n·maxval²·2^k · 2^k; with k=20, d=64,
-    * unit-bounded components, overflow needs n ≳ 2·10⁹ vectors — raise
-    * the corpus past that by lowering the MOMENTS scale, not this one.
-    *
-    * @param moments output of [[vectorMoments]] (same `scale`)
-    * @return (i int 1-based, vf long) — the direction, fixed-point
-    */
   /** Group-modal imputation — fill NULLs in `valueCol` with the group's
     * most frequent non-NULL value (ties → smallest value, the repo's
     * deterministic tie-break), the categorical sibling of constant
@@ -194,6 +169,36 @@ object Features {
     df.withColumn("bin", ntile(n).over(w))
   }
 
+  /** Top principal direction of the (uncentered) Gramian by FIXED-round
+    * power iteration over [[vectorMoments]]' exact fixed-point sums —
+    * the eigen step of PCA/whitening, kept inside the engine's
+    * determinism envelope so the q175 oracle can replay every round:
+    *
+    *   v⁰ = 1 (fixed point 2^scaleBits);
+    *   uᵗ = G·vᵗ — exact long matvec (products and sums of the exact
+    *        `sxy_fix` longs: associative, partitioning-invariant);
+    *   vᵗ⁺¹ = floor((u/max|u|)·2^scaleBits) — ONE fixed IEEE
+    *        double-divide + multiply + floor per component (the q151
+    *        `cov` discipline: deterministic, engine-portable), which
+    *        renormalizes to [-2^scaleBits, 2^scaleBits] without the
+    *        long-overflowing exact form (u·2^k needs ~2^76 at corpus n).
+    *
+    * Convergence is the classic power-method geometry (ratio λ₂/λ₁ per
+    * round); `rounds` is a hyperparameter, not data-dependent, so the
+    * plan is a bounded chain.
+    *
+    * Scale shape: everything here is dim²-sized — corpus cost was paid
+    * once inside the one-pass moments aggregate. The iteration could run
+    * driver-side; running it as DataFrame algebra keeps it inside the
+    * gate's replay surface at zero real cost (dim² = 4,096 rows).
+    *
+    * Long capacity: |G·v| ≤ dim · n·maxval²·2^k · 2^k; with k=20, d=64,
+    * unit-bounded components, overflow needs n ≳ 2·10⁹ vectors — raise
+    * the corpus past that by lowering the MOMENTS scale, not this one.
+    *
+    * @param moments output of [[vectorMoments]] (same `scale`)
+    * @return (i int 1-based, vf long) — the direction, fixed-point
+    */
   def topComponentFixed(moments: DataFrame, dim: Int, rounds: Int,
       scaleBits: Int = 20): DataFrame = {
     require(rounds >= 1, s"rounds ($rounds) must be >= 1")

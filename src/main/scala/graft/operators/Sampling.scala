@@ -282,7 +282,9 @@ object Sampling {
     * immediately FLOORED into 2^20 fixed point, and the allocation is
     * pure integer arithmetic — base = `(n · wq_h) div Wq` with the
     * leftover seats assigned by LARGEST REMAINDER (ties → stratum key
-    * asc). Engine-exact at every step. Each stratum's award is finally
+    * asc). Engine-exact at every step within the guarded capacity
+    * (totalN · max wq must fit a long — a loud in-plan assert enforces
+    * it). Each stratum's award is finally
     * capped at its row count; a saturated stratum's surplus is NOT
     * redistributed (Σ alloc can fall short of n then — rerun with the
     * saturated stratum excluded if the budget must be exact).
@@ -309,10 +311,23 @@ object Sampling {
       .drop("__s", "__sq")
     val key = graft.core.Windows.singlePartition(col(stratumCol))
     val win = Window.partitionBy(key)
+    // Capacity guard (fails LOUDLY, the requireSmall discipline): the
+    // seat arithmetic computes totalN·wq in longs, and wq ≈ N_h·S_h·2^20
+    // reaches ~2^51 on a 30k-row stratum with std ~9·10⁴ — a large
+    // budget or a bigger corpus would WRAP under non-ANSI multiply and
+    // emit garbage allocations. The assert rides the base expression
+    // (coalesce(NULL-typed assert, 0) + base), so column pruning cannot
+    // drop it and the output values are unchanged when in range.
+    val wqGuard = coalesce(
+      assert_true(col("wq") <= lit(Long.MaxValue / math.max(totalN, 1L)),
+        lit(s"neymanAllocation: fixed-point weight × budget ($totalN) " +
+          "would overflow long — shrink the budget or rescale the values"))
+        .cast("long"),
+      lit(0L))
     val alloc = weighted
       .withColumn("__W", sum(col("wq")).over(win))
       .withColumn("__base",
-        when(col("__W") > 0, expr(s"($totalN * wq) div __W"))
+        when(col("__W") > 0, wqGuard + expr(s"($totalN * wq) div __W"))
           .otherwise(lit(0L)))
       .withColumn("__rem",
         when(col("__W") > 0, expr(s"($totalN * wq) % __W")).otherwise(lit(0L)))

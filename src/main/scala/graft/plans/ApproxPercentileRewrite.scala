@@ -42,8 +42,14 @@ case class ApproxPercentileRewrite(spark: SparkSession)
     spark.conf.getOption(AccuracyConf).map(_.trim).filter(_.nonEmpty) match {
       case None => plan
       case Some(accStr) =>
+        // validate BEFORE toInt: a raw NumberFormatException from inside
+        // the optimizer would fail every query in the session with no
+        // pointer to the conf (e.g. "1e4" is a natural way to write 10⁴)
+        require(accStr.matches("[0-9]+") && accStr.toLong >= 1 &&
+            accStr.toLong <= Int.MaxValue,
+          s"$AccuracyConf ('$accStr') must be a positive integer " +
+            "(plain digits — no 1e4 notation)")
         val acc = accStr.toInt
-        require(acc >= 1, s"$AccuracyConf ($accStr) must be a positive int")
         plan.transformAllExpressions {
           case ae: AggregateExpression
               if ae.aggregateFunction.isInstanceOf[Percentile] &&

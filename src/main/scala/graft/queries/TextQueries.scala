@@ -1940,12 +1940,13 @@ object TextQueries extends QueryModule {
       "q182_homoglyph_fold",
       (spark, dir) => {
         import graft.functions.Homoglyphs
-        val base = Tables.docs(spark, dir)
+        Tables.docs(spark, dir)
           .filter(col("doc_id") % 5 === 0)
           .select(col("doc_id"), col("text"))
-        val attacked = base.select(col("doc_id"),
-          translate(col("text"), "aeopcx", HomoglyphAttack).as("text_v"))
-        base.join(attacked, Seq("doc_id"))
+          // same-row derivation — a join to reunite a row with itself
+          // would pay a needless broadcast (review finding, round 9)
+          .withColumn("text_v",
+            translate(col("text"), "aeopcx", HomoglyphAttack))
           .select(col("doc_id"),
             (md5(col("text")) =!= md5(col("text_v"))).as("raw_differs"),
             (md5(Homoglyphs.fold_homoglyphs(col("text"))) ===

@@ -13,14 +13,15 @@ class BenchFormatSpec extends AnyFunSuite {
   private val names = SparkEntry.benchQueries.keys.toSeq
 
   test("stdout bench record fits the driver's 2000-char tail buffer with margin") {
-    // Two adversarial value profiles — the DENSEST rendering per entry is
-    // what overflows the buffer, and that is NOT the largest value:
+    // Three adversarial value profiles — the DENSEST rendering per entry
+    // is what overflows the buffer, and that is NOT the largest value:
     //  - all sub-10 s ("9.99", the realistic profile that measured 2012
     //    chars at 3-decimal precision on the real bench.json values and
-    //    motivated the coarser stdout bands),
+    //    motivated the coarser stdout bands — the binding constraint),
     //  - all 100-999 s ("1000" after %.0f — three digits before the
     //    decimal; past that the bench has bigger problems than format),
-    //  - all errored ("-1.00", the widest sentinel rendering).
+    //  - all errored (the sentinel renders as bare "-1" on stdout — the
+    //    NARROWEST profile, looped to pin that stays true).
     for (value <- Seq(9.994, 999.999, Bench.ErrSentinel)) {
       val worst = names.map(_ -> value)
       // raw is capped at 3 entries on the stdout record (Bench.main) so a

@@ -184,7 +184,7 @@ class GatePlanSpec extends AnyFunSuite {
     "q179_impute_mode" -> (3, 1),
     "q180_equi_depth" -> (2, 0),
     "q181_c4_line_clean" -> (2, 0),
-    "q182_homoglyph_fold" -> (3, 1),
+    "q182_homoglyph_fold" -> (2, 0),
     "q183_hard_negatives" -> (4, 1),
     "q184_cluster_sample" -> (5, 1),
     // q185 = one keyed window shuffle + output sort — the minimal
