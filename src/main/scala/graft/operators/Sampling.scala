@@ -343,4 +343,24 @@ object Sampling {
       .withColumn("alloc", least(col("alloc"), col("n_rows")))
     alloc.select(col(stratumCol), col("n_rows"), col("wq"), col("alloc"))
   }
+
+  /** Materialize a per-stratum allocation (the [[neymanAllocation]]
+    * output, or any `(stratumCol, alloc)` table): keep each stratum's
+    * first `alloc` rows under the caller's deterministic `order`
+    * (typically [[hashOrder]] + the key — the q77 idiom). Adds
+    * `take_rank` (1-based within stratum).
+    *
+    * Scale: [[stratifiedTake]]'s keyed-window shape with the constant n
+    * replaced by a broadcast per-stratum quota ([[Broadcasting.ifSmall]]
+    * — the allocation table is strata-sized by construction).
+    */
+  def takeAllocated(df: DataFrame, stratumCol: String, alloc: DataFrame,
+      order: Seq[Column]): DataFrame = {
+    val w = Window.partitionBy(col(stratumCol)).orderBy(order: _*)
+    df.withColumn("take_rank", row_number().over(w))
+      .join(Broadcasting.ifSmall(alloc.select(col(stratumCol), col("alloc"))),
+        Seq(stratumCol))
+      .filter(col("take_rank") <= col("alloc"))
+      .drop("alloc")
+  }
 }

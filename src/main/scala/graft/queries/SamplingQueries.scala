@@ -656,6 +656,68 @@ object SamplingQueries extends QueryModule {
                           n_rows) AS BIGINT) AS alloc
         FROM l ORDER BY o_orderpriority
       """.trim),
+      bench = false),
+
+    // --- the materialized Neyman sample: q187's allocation table drives
+    // a per-stratum hash-ordered take (the q77 idiom with the constant n
+    // replaced by a broadcast quota) — the full 1,000-key selection is
+    // hash-certified, closing the allocate→take pipeline end to end. ---
+    GQuery(
+      "q189_neyman_take",
+      (spark, dir) => {
+        val orders = t(spark, dir, "orders")
+        val alloc = graft.operators.Sampling.neymanAllocation(
+          orders, "o_orderpriority", "o_totalprice", totalN = 1000L)
+        graft.operators.Sampling.takeAllocated(
+            orders.select(col("o_orderpriority"), col("o_orderkey")),
+            "o_orderpriority", alloc,
+            Seq(graft.operators.Sampling.hashOrder(col("o_orderkey"), "ney"),
+              col("o_orderkey")))
+          .select(col("o_orderpriority"), col("o_orderkey"),
+            col("take_rank"))
+          .orderBy(col("o_orderpriority"), col("take_rank"))
+      },
+      Some("""
+        WITH st AS (
+          SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_rows,
+                 CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS s,
+                 CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))
+                          * CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
+                   AS sq
+          FROM orders GROUP BY 1),
+        w AS (
+          SELECT o_orderpriority, n_rows,
+                 CAST(FLOOR(CAST(n_rows AS DOUBLE)
+                        * sqrt(GREATEST(
+                            (sq - s * s / CAST(n_rows AS DOUBLE))
+                              / CAST(n_rows AS DOUBLE), 0.0))
+                        * 1048576.0) AS BIGINT) AS wq
+          FROM st),
+        t AS (SELECT *, SUM(wq) OVER () AS W FROM w),
+        b AS (SELECT o_orderpriority, n_rows,
+                     CASE WHEN W > 0 THEN (1000 * wq) // W ELSE 0 END AS base,
+                     CASE WHEN W > 0 THEN (1000 * wq) % W ELSE 0 END AS rem
+              FROM t),
+        l AS (SELECT *, 1000 - SUM(base) OVER () AS leftn,
+                     ROW_NUMBER() OVER (ORDER BY rem DESC,
+                       o_orderpriority ASC) AS pos
+              FROM b),
+        a AS (SELECT o_orderpriority,
+                     LEAST(base + CASE WHEN pos <= leftn THEN 1 ELSE 0 END,
+                           n_rows) AS alloc
+              FROM l),
+        sel AS (
+          SELECT o_orderkey, o_orderpriority,
+                 ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                   ORDER BY md5('ney' || CAST(o_orderkey AS VARCHAR)),
+                            o_orderkey) AS rn
+          FROM orders)
+        SELECT sel.o_orderpriority, sel.o_orderkey,
+               CAST(sel.rn AS INT) AS take_rank
+        FROM sel JOIN a USING (o_orderpriority)
+        WHERE sel.rn <= a.alloc
+        ORDER BY sel.o_orderpriority, take_rank
+      """.trim),
       bench = false)
   )
 }

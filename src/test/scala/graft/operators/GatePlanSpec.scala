@@ -197,7 +197,10 @@ class GatePlanSpec extends AnyFunSuite {
     // STRATUM-SIZED frame + sort; q188 = one 9-key agg + the digit-total
     // window + sort
     "q187_neyman_alloc" -> (5, 0),
-    "q188_benford" -> (3, 0))
+    "q188_benford" -> (3, 0),
+    // q189 = the allocation chain + one keyed take window + broadcast
+    // quota join + sort
+    "q189_neyman_take" -> (6, 1))
 
   test("q107's ORC read-back pushes its predicate and projection into the scan") {
     import org.apache.spark.sql.functions.col
