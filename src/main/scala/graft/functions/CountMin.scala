@@ -5,7 +5,7 @@ import java.io.{ByteArrayInputStream, ByteArrayOutputStream, DataInputStream, Da
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.GraftSqlBridge
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Expression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ImplicitCastInputTypes, XXH64}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.types._
@@ -44,7 +44,12 @@ case class CountMinAgg(
     width: Int,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
-  extends TypedImperativeAggregate[Array[Long]] {
+  extends TypedImperativeAggregate[Array[Long]]
+  with ImplicitCastInputTypes {
+
+  // analysis-time coercion: a non-string key column would otherwise die
+  // per-task in update()'s asInstanceOf[UTF8String] (review finding)
+  override def inputTypes: Seq[DataType] = Seq(StringType)
 
   require(depth >= 1 && depth <= 64, s"depth $depth outside [1,64]")
   require(width >= 2, s"width $width must be >= 2")

@@ -20,12 +20,18 @@ import org.apache.spark.unsafe.types.UTF8String
   * match, language-id token tables) where `resume` should hit `résumé`.
   * It is lossy by design, so it feeds matchers, never the stored text.
   *
-  * Exactness contract: this algorithm (NFD + strip Mn) is precisely what
-  * utf8proc-based engines expose as `strip_accents`, which is what lets
-  * the q-gate compare Spark output against an external engine verbatim
-  * rather than on a hash-only basis. ASCII rows short-circuit before the
-  * allocating normalize call (the [[NfcNormalizeExpr]] fast-path
-  * discipline); stays inside whole-stage codegen.
+  * Exactness contract: this algorithm — NFD, strip ALL combining marks
+  * (Mn non-spacing, Mc spacing, Me enclosing — utf8proc's STRIPMARK
+  * set, so Devanagari vowel signs strip like Latin accents), then NFC
+  * recompose (so scripts whose letters canonically decompose, e.g.
+  * Hangul, come back precomposed rather than as bare jamo) — is
+  * precisely what utf8proc-based engines expose as `strip_accents`,
+  * verified empirically against one (Mc: 'की'→'क'; recompose:
+  * '한'→'한'). That is what lets the q-gate compare Spark output
+  * against an external engine verbatim rather than on a hash-only
+  * basis. ASCII rows short-circuit before the allocating normalize call
+  * (the [[NfcNormalizeExpr]] fast-path discipline); stays inside
+  * whole-stage codegen.
   */
 case class FoldAccentsExpr(child: Expression) extends UnaryExpression {
 
@@ -62,11 +68,18 @@ object FoldAccentsExpr {
     var j = 0
     while (j < nfd.length) {
       val cp = nfd.codePointAt(j)
-      if (Character.getType(cp) != Character.NON_SPACING_MARK)
+      val t = Character.getType(cp)
+      if (t != Character.NON_SPACING_MARK &&
+          t != Character.COMBINING_SPACING_MARK &&
+          t != Character.ENCLOSING_MARK)
         sb.appendCodePoint(cp)
       j += Character.charCount(cp)
     }
-    UTF8String.fromString(sb.toString)
+    // recompose: without this, canonically-decomposing letters with no
+    // marks stripped (Hangul syllables) would come back as bare jamo —
+    // mutating text the fold should pass through
+    UTF8String.fromString(java.text.Normalizer.normalize(
+      sb.toString, java.text.Normalizer.Form.NFC))
   }
 
   /** Codegen'd Catalyst-native accent folding. */

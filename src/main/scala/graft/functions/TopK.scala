@@ -7,7 +7,7 @@ import scala.collection.mutable
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.GraftSqlBridge
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.{Expression, ImplicitCastInputTypes}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.types._
@@ -41,9 +41,15 @@ case class TopKPairsAgg(
     k: Int,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
-  extends TypedImperativeAggregate[mutable.PriorityQueue[(Long, Long)]] {
+  extends TypedImperativeAggregate[mutable.PriorityQueue[(Long, Long)]]
+  with ImplicitCastInputTypes {
 
   require(k >= 1, s"k $k must be positive")
+
+  // analysis-time coercion: an IntegerType ord/id column would otherwise
+  // pass analysis and die per-task in update()'s asInstanceOf[Long]
+  // (review finding, round 9)
+  override def inputTypes: Seq[DataType] = Seq(LongType, LongType)
 
   override def children: Seq[Expression] = Seq(ord, id)
   override def nullable: Boolean = false
@@ -52,7 +58,9 @@ case class TopKPairsAgg(
     StructField("id", LongType, nullable = false))), containsNull = false)
 
   // Min-heap on (ord, id): head is the SMALLEST kept pair, evicted first.
-  private def heapOrdering: Ordering[(Long, Long)] =
+  // val, not def: lt() runs once per input row once the heap fills — a def
+  // allocated two Ordering wrappers per row on the hot path
+  private val heapOrdering: Ordering[(Long, Long)] =
     Ordering.Tuple2(Ordering.Long, Ordering.Long).reverse
 
   override def createAggregationBuffer(): mutable.PriorityQueue[(Long, Long)] =

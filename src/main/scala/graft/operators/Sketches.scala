@@ -33,48 +33,67 @@ object Sketches {
   def md5Bucket(key: Column, i: Int, width: Int): Column =
     Sampling.hash16(key.cast("string"), s"cms$i:") % width
 
-  /** The md5-family sketch table: one row per (hash row, bucket) with its
-    * collision count — at most `depth × width` rows out of one
-    * aggregation. NULL keys are skipped (COUNT(key) convention, matching
-    * the native agg).
+  /** Bucket of `key` on xxhash64 hash row `i` — the Column replay of
+    * [[graft.functions.CountMinAgg]]'s per-row seeding (same fold, same
+    * buckets).
     */
-  def cmsMd5Sketch(df: DataFrame, key: Column, depth: Int, width: Int): DataFrame =
+  def xxBucket(key: Column, i: Int, width: Int): Column =
+    pmod(xxhash64(lit(i), key), lit(width.toLong))
+
+  /** The (hrow, bucket) explosion both families share. */
+  private def rowBuckets(key: Column, depth: Int, width: Int,
+      bucket: (Column, Int, Int) => Column): Column =
+    explode(array((0 until depth).map(i =>
+      struct(lit(i).as("hrow"), bucket(key, i, width).as("bucket"))): _*))
+
+  /** One sketch-table builder serves both hash families: at most
+    * `depth × width` rows out of one aggregation. NULL keys are skipped
+    * (COUNT(key) convention, matching the native agg).
+    */
+  private def sketchTable(df: DataFrame, key: Column, depth: Int,
+      width: Int, bucket: (Column, Int, Int) => Column): DataFrame =
     df.filter(key.isNotNull)
-      .select(explode(array((0 until depth).map(i =>
-        struct(lit(i).as("hrow"), md5Bucket(key, i, width).as("bucket"))): _*))
-        .as("rb"))
+      .select(rowBuckets(key, depth, width, bucket).as("rb"))
       .groupBy(col("rb.hrow").as("hrow"), col("rb.bucket").as("bucket"))
       .agg(count(lit(1)).as("cnt"))
 
-  /** Point estimates for `probes` (distinct keys in column `keyCol`)
-    * against an md5-family sketch table: min over hash rows of the
-    * probed bucket's count. A bucket absent from the sketch is 0 (only
-    * possible for keys the stream never contained).
+  /** One probe serves both families: min over hash rows of the probed
+    * bucket's count; a bucket absent from the sketch is 0 (only possible
+    * for keys the stream never contained). The estimate CONTRACT — left
+    * join on (hrow, bucket), min(coalesce(cnt, 0)) — lives here once, so
+    * the families cannot drift apart.
     */
-  def cmsMd5Estimate(sketch: DataFrame, probes: DataFrame, keyCol: String,
-      depth: Int, width: Int): DataFrame = {
-    val probed = probes
-      .select(col(keyCol), explode(array((0 until depth).map(i =>
-        struct(lit(i).as("hrow"), md5Bucket(col(keyCol), i, width).as("bucket"))): _*))
-        .as("rb"))
-      .select(col(keyCol), col("rb.hrow").as("hrow"), col("rb.bucket").as("bucket"))
-    probed
+  private def estimate(sketch: DataFrame, probes: DataFrame, keyCol: String,
+      depth: Int, width: Int,
+      bucket: (Column, Int, Int) => Column): DataFrame =
+    probes
+      .select(col(keyCol),
+        rowBuckets(col(keyCol), depth, width, bucket).as("rb"))
+      .select(col(keyCol), col("rb.hrow").as("hrow"),
+        col("rb.bucket").as("bucket"))
       .join(sketch, Seq("hrow", "bucket"), "left")
       .groupBy(col(keyCol))
       .agg(min(coalesce(col("cnt"), lit(0L))).as("cms_est"))
-  }
+
+  /** The md5-family sketch table — the correctness-gate surface. */
+  def cmsMd5Sketch(df: DataFrame, key: Column, depth: Int, width: Int): DataFrame =
+    sketchTable(df, key, depth, width, md5Bucket)
+
+  /** Point estimates for `probes` (distinct keys in column `keyCol`)
+    * against an md5-family sketch table.
+    */
+  def cmsMd5Estimate(sketch: DataFrame, probes: DataFrame, keyCol: String,
+      depth: Int, width: Int): DataFrame =
+    estimate(sketch, probes, keyCol, depth, width, md5Bucket)
 
   /** Native-family point estimate probed out of the EVALUATED sketch
     * array (`count_min`'s output, 1-based SQL indexing): min over hash
-    * rows of `sketch[i·width + pmod(xxhash64(i, key), width) + 1]`. The
-    * `xxhash64(lit(i), key)` Column expression reproduces the agg's
-    * per-row seeding exactly — same fold, same buckets.
+    * rows of `sketch[i·width + pmod(xxhash64(i, key), width) + 1]`.
     */
   def cmsEstimate(sketchArr: Column, key: Column, depth: Int, width: Int): Column =
     least((0 until depth).map { i =>
       element_at(sketchArr,
-        (lit(i * width) + pmod(xxhash64(lit(i), key), lit(width.toLong))
-          + lit(1)).cast("int"))
+        (lit(i * width) + xxBucket(key, i, width) + lit(1)).cast("int"))
     }: _*)
 
   /** DataFrame-algebra replay of the NATIVE family's sketch — same
@@ -83,31 +102,14 @@ object Sketches {
     * (CmsSpec + the q-gate's fused_ok column); production uses the agg.
     */
   def cmsXxSketchTable(df: DataFrame, key: Column, depth: Int, width: Int): DataFrame =
-    df.filter(key.isNotNull)
-      .select(explode(array((0 until depth).map(i =>
-        struct(lit(i).as("hrow"),
-          pmod(xxhash64(lit(i), key), lit(width.toLong)).as("bucket"))): _*))
-        .as("rb"))
-      .groupBy(col("rb.hrow").as("hrow"), col("rb.bucket").as("bucket"))
-      .agg(count(lit(1)).as("cnt"))
+    sketchTable(df, key, depth, width, xxBucket)
 
   /** Point estimates against an xxhash64-family sketch TABLE (the
-    * [[cmsXxSketchTable]] shape) — same min-over-rows probe as
-    * [[cmsMd5Estimate]], different hash family.
+    * [[cmsXxSketchTable]] shape).
     */
   def cmsXxEstimate(sketch: DataFrame, probes: DataFrame, keyCol: String,
-      depth: Int, width: Int): DataFrame = {
-    val probed = probes
-      .select(col(keyCol), explode(array((0 until depth).map(i =>
-        struct(lit(i).as("hrow"),
-          pmod(xxhash64(lit(i), col(keyCol)), lit(width.toLong)).as("bucket"))): _*))
-        .as("rb"))
-      .select(col(keyCol), col("rb.hrow").as("hrow"), col("rb.bucket").as("bucket"))
-    probed
-      .join(sketch, Seq("hrow", "bucket"), "left")
-      .groupBy(col(keyCol))
-      .agg(min(coalesce(col("cnt"), lit(0L))).as("cms_est"))
-  }
+      depth: Int, width: Int): DataFrame =
+    estimate(sketch, probes, keyCol, depth, width, xxBucket)
 
   /** One-row frame holding the native sketch array for `df`'s `key`. */
   def cmsNativeSketch(df: DataFrame, key: Column, depth: Int, width: Int): DataFrame =

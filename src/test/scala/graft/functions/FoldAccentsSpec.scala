@@ -45,4 +45,13 @@ class FoldAccentsSpec extends AnyFunSuite {
       .select(FoldAccentsExpr.fold_accents($"s")).collect()
     assert(out(0).getString(0) == "cafe" && out(1).isNullAt(0))
   }
+
+  test("spacing marks strip and decomposing scripts recompose (utf8proc parity, verified vs DuckDB)") {
+    // Mc (COMBINING_SPACING_MARK): Devanagari vowel sign II strips like
+    // a Latin accent — DuckDB strip_accents('की') = 'क'
+    assert(foldDf(Seq("की")) == Seq("क"))
+    // Hangul has a canonical decomposition but NO marks: the NFD pass
+    // must not leave bare jamo behind — DuckDB strip_accents('한') = '한'
+    assert(foldDf(Seq("한")) == Seq("한"))
+  }
 }
