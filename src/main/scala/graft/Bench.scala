@@ -40,7 +40,8 @@ object Bench {
     * emits decimal COMMAS under e.g. a German default locale, silently
     * turning the record into invalid JSON on a differently-configured box.
     */
-  private def fmt3(v: Double, shorten: Boolean = false): String = {
+  private def fmt3(v: Double, shorten: Boolean = false,
+      coarse: Boolean = false): String = {
     // Adaptive precision. The committed bench.json form keeps ms
     // resolution; the STDOUT form is one digit coarser per band
     // (centisecond under 10 s, decisecond under 100 s, whole seconds
@@ -51,54 +52,78 @@ object Bench {
     // compare against is ≥100 ms, so the dropped digit carried no
     // signal. (The worst-case spec in BenchFormatSpec models the DENSEST
     // rendering — all sub-10 s values — not the largest ones; "9.99" is
-    // wider than "1000"'s band budget per entry.)
+    // wider than "1000"'s band budget per entry.) `coarse` is the
+    // self-clamp fallback one digit coarser again — see record().
     val pattern =
-      if (math.abs(v) < 10) { if (shorten) "%.2f" else "%.3f" }
-      else if (math.abs(v) < 100) { if (shorten) "%.1f" else "%.2f" }
-      else if (shorten) "%.0f"
+      if (math.abs(v) < 10) {
+        if (coarse) "%.1f" else if (shorten) "%.2f" else "%.3f"
+      } else if (math.abs(v) < 100) {
+        if (coarse) "%.0f" else if (shorten) "%.1f" else "%.2f"
+      } else if (shorten || coarse) "%.0f"
       else "%.1f"
     String.format(java.util.Locale.ROOT, pattern, Double.box(v))
   }
+
+  /** Hard budget for the stdout record: the driver's tail capture is
+    * exactly 2000 chars and the JSON line is the final stdout content
+    * (Spark is stopped before the print), so the budget leaves slack for
+    * the trailing newline plus margin. record() CLAMPS to it — see below.
+    */
+  val StdoutBudget: Int = 1950
 
   def record(results: Seq[(String, Double)], repeats: Int, leakedRdds: Int,
       sfDir: String, shorten: Boolean, calib: Seq[Double] = Nil,
       rechecked: Int = 0, raw: Seq[(String, Double)] = Nil,
       builds: Seq[(String, Double)] = Nil): String = {
-    def qmap(entries: Seq[(String, Double)]): String = entries.map { case (k, v) =>
-      // stdout renders the error sentinel as bare "-1": unmistakable, and
-      // it bounds the ALL-errored line (the one a human most needs to
-      // parse) well inside the tail buffer.
-      val fv = if (shorten && v == ErrSentinel) "-1" else fmt3(v, shorten)
-      "\"" + (if (shorten) shortKey(k) else k) + "\":" + fv
-    }.mkString("{", ",", "}")
-    val totalRaw = results.collect { case (_, v) if v >= 0 => v }.sum
-    // stdout: ms precision on the total (the full double's 17-digit tail
-    // spends ~12 buffer chars saying nothing)
-    val total = if (shorten) fmt3(totalRaw) else totalRaw.toString
-    val errors = results.count(_._2 < 0)
-    val calibJson = calib.map(fmt3(_, shorten)).mkString("[", ",", "]")
-    // The stdout form also trims the sf path to its basename — the driver
-    // sets the dir, so the prefix is redundant there; bench.json keeps it.
-    val sfOut = if (shorten) sfDir.split('/').last else sfDir
-    // `raw` holds the PRE-recheck median for every rechecked query. The
-    // recheck keeps min(median, fresh samples) — an asymmetric statistic
-    // that, with bench.json doubling as the next run's baseline, would
-    // otherwise ratchet reported times down with no audit trail; the judge
-    // can compare raw vs kept and spot a masked genuine regression.
-    //
-    // `builds` holds the one-time stored-index build cost for queries with
-    // a build/probe split (GQuery.indexed): paid once per bench run, NOT
-    // per repeat, and excluded from `value` — the total measures query
-    // latency; ingest cost stays auditable in its own field.
-    // The stdout form drops two constant-when-healthy diagnostics:
-    // `repeats` (fixed per run, preserved in bench.json) always, and
-    // `leaked_rdds` only when 0 (absence = clean; a LEAK always prints).
-    // The driver's parse contract (metric/value/unit/queries/sf) keeps
-    // every required field; bench.json keeps the full shape.
-    val repeatsOut = if (shorten) "" else s""""repeats":$repeats,"""
-    val leakedOut =
-      if (shorten && leakedRdds == 0) "" else s""""leaked_rdds":$leakedRdds,"""
-    s"""{"metric":"total","value":$total,"unit":"sec",$repeatsOut"errors":$errors,"rechecked":$rechecked,"raw":${qmap(raw)},"build":${qmap(builds)},"calib":$calibJson,$leakedOut"queries":${qmap(results)},"sf":"$sfOut"}"""
+    def render(coarse: Boolean): String = {
+      def qmap(entries: Seq[(String, Double)]): String = entries.map { case (k, v) =>
+        // stdout renders the error sentinel as bare "-1": unmistakable, and
+        // it bounds the ALL-errored line (the one a human most needs to
+        // parse) well inside the tail buffer.
+        val fv = if (shorten && v == ErrSentinel) "-1" else fmt3(v, shorten, coarse)
+        "\"" + (if (shorten) shortKey(k) else k) + "\":" + fv
+      }.mkString("{", ",", "}")
+      val totalRaw = results.collect { case (_, v) if v >= 0 => v }.sum
+      // stdout: ms precision on the total (the full double's 17-digit tail
+      // spends ~12 buffer chars saying nothing)
+      val total = if (shorten) fmt3(totalRaw) else totalRaw.toString
+      val errors = results.count(_._2 < 0)
+      val calibJson = calib.map(fmt3(_, shorten, coarse)).mkString("[", ",", "]")
+      // The stdout form also trims the sf path to its basename — the driver
+      // sets the dir, so the prefix is redundant there; bench.json keeps it.
+      val sfOut = if (shorten) sfDir.split('/').last else sfDir
+      // `raw` holds the PRE-recheck median for every rechecked query. The
+      // recheck keeps min(median, fresh samples) — an asymmetric statistic
+      // that, with bench.json doubling as the next run's baseline, would
+      // otherwise ratchet reported times down with no audit trail; the judge
+      // can compare raw vs kept and spot a masked genuine regression.
+      //
+      // `builds` holds the one-time stored-index build cost for queries with
+      // a build/probe split (GQuery.indexed): paid once per bench run, NOT
+      // per repeat, and excluded from `value` — the total measures query
+      // latency; ingest cost stays auditable in its own field.
+      // The stdout form drops three constant-when-healthy diagnostics:
+      // `repeats` (fixed per run, preserved in bench.json) always, plus
+      // `leaked_rdds` and `errors` only when 0 (absence = clean; a leak
+      // or an error always prints). In the COARSE fallback `raw` also
+      // drops (its full list always lives in bench.json). The driver's
+      // parse contract (metric/value/unit/queries/sf) keeps every
+      // required field; bench.json keeps the full shape.
+      val repeatsOut = if (shorten) "" else s""""repeats":$repeats,"""
+      val errorsOut =
+        if (shorten && errors == 0) "" else s""""errors":$errors,"""
+      val leakedOut =
+        if (shorten && leakedRdds == 0) "" else s""""leaked_rdds":$leakedRdds,"""
+      val rawOut = if (coarse) "" else s""""raw":${qmap(raw)},"""
+      s"""{"metric":"total","value":$total,"unit":"sec",$repeatsOut$errorsOut"rechecked":$rechecked,$rawOut"build":${qmap(builds)},"calib":$calibJson,$leakedOut"queries":${qmap(results)},"sf":"$sfOut"}"""
+    }
+    // Self-clamp (stdout only): if the centisecond form would outgrow the
+    // driver's tail buffer, fall back ONE precision band coarser and drop
+    // the stdout raw list — graceful precision degradation, never a
+    // truncated (unparseable) record. bench.json always carries the full
+    // form; the fallback never silently drops a QUERY.
+    val line = render(coarse = false)
+    if (shorten && line.length > StdoutBudget) render(coarse = true) else line
   }
 
   /** Fixed calibration job: 1e8-row range sum over PINNED 32 partitions —

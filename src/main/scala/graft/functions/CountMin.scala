@@ -5,7 +5,7 @@ import java.io.{ByteArrayInputStream, ByteArrayOutputStream, DataInputStream, Da
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.GraftSqlBridge
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Expression, ImplicitCastInputTypes, XXH64}
+import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, XXH64}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.types._
@@ -45,10 +45,19 @@ case class CountMinAgg(
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
   extends TypedImperativeAggregate[Array[Long]]
-  with ImplicitCastInputTypes {
+  with ExpectsInputTypes {
 
-  // analysis-time coercion: a non-string key column would otherwise die
-  // per-task in update()'s asInstanceOf[UTF8String] (review finding)
+  // STRICT string-only typing (round-10 ADVICE): the Column-side
+  // probe/replay family (Sketches.xxBucket, cmsEstimate,
+  // cmsXxSketchTable) hashes `xxhash64(lit(i), key)` over the key's
+  // NATIVE type — xxhash64 of a long and of its string rendering land
+  // in different buckets. The round-9 ImplicitCastInputTypes version
+  // coerced a numeric key to string inside the agg only, so agg and
+  // probe silently bucketed DIFFERENTLY and estimates could come back
+  // 0 — violating CMS's never-underestimates contract. Rejecting
+  // non-string keys at analysis time keeps agg and replay
+  // bucket-identical by construction: callers cast EXPLICITLY on both
+  // sides or not at all.
   override def inputTypes: Seq[DataType] = Seq(StringType)
 
   require(depth >= 1 && depth <= 64, s"depth $depth outside [1,64]")

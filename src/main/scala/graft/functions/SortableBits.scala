@@ -1,0 +1,102 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.GraftSqlBridge
+import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.{DataType, DoubleType, LongType}
+
+/** Order-preserving, exactly invertible `double` ⇄ `long` bit codec — the
+  * bridge that lets float-scored rankings ride the bounded-heap
+  * [[TopKPairsAgg]] (whose pairs are longs) with NO loss and NO changed
+  * tie/order semantics versus sorting the doubles directly.
+  *
+  * Encoding (the classic IEEE-754 total-order trick): take the raw bits;
+  * if the sign bit is set (negative double), flip the low 63 bits so that
+  * more-negative values map to more-negative longs. Positive doubles
+  * already order identically to their bit patterns as signed longs. The
+  * map is:
+  *
+  *   - strictly monotone over all non-NaN doubles (so `ORDER BY d DESC`
+  *     ≡ `ORDER BY sortable_bits(d) DESC` — same set, same order),
+  *   - self-inverse on the negative branch, so decoding is exact
+  *     bit-for-bit (the decoded double is THE original double, not an
+  *     approximation — scores recovered after the heap are identical to
+  *     the scores that went in),
+  *   - NaN-consistent with Spark's sort semantics: `doubleToLongBits`
+  *     canonicalizes every NaN to 0x7ff8000000000000, which exceeds the
+  *     bits of every finite double — NaN ranks greatest, exactly as
+  *     Spark's `ORDER BY … DESC` places it first,
+  *   - zero-normalized: -0.0 encodes as +0.0 so the two compare equal
+  *     (ties break on id), matching Spark's NormalizeFloatingNumbers
+  *     treatment of sort keys.
+  *
+  * NULL in → NULL out (standard unary null semantics); under
+  * [[TopKPairsAgg]] a NULL ord skips the row, the SQL aggregate
+  * convention.
+  */
+case class DoubleSortableBitsExpr(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def dataType: DataType = LongType
+  override def inputTypes: Seq[DataType] = Seq(DoubleType)
+
+  override def nullSafeEval(input: Any): Any = {
+    val d = input.asInstanceOf[Double]
+    val b = java.lang.Double.doubleToLongBits(if (d == 0.0) 0.0 else d)
+    if (b < 0L) b ^ 0x7fffffffffffffffL else b
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, d => {
+      val b = ctx.freshName("bits")
+      s"""
+         |long $b = Double.doubleToLongBits($d == 0.0 ? 0.0 : $d);
+         |${ev.value} = ($b < 0L) ? ($b ^ 0x7fffffffffffffffL) : $b;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): DoubleSortableBitsExpr =
+    copy(child = newChild)
+
+  override def prettyName: String = "double_sortable_bits"
+}
+
+/** Exact inverse of [[DoubleSortableBitsExpr]]: recovers the original
+  * double bit-for-bit from its sortable-long encoding.
+  */
+case class SortableBitsDoubleExpr(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def dataType: DataType = DoubleType
+  override def inputTypes: Seq[DataType] = Seq(LongType)
+
+  override def nullSafeEval(input: Any): Any = {
+    val l = input.asInstanceOf[Long]
+    java.lang.Double.longBitsToDouble(
+      if (l < 0L) l ^ 0x7fffffffffffffffL else l)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, l => {
+      s"""
+         |${ev.value} = Double.longBitsToDouble(
+         |  ($l < 0L) ? ($l ^ 0x7fffffffffffffffL) : $l);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): SortableBitsDoubleExpr =
+    copy(child = newChild)
+
+  override def prettyName: String = "sortable_bits_double"
+}
+
+object SortableBits {
+  /** Monotone exact `double → long` encoding (see [[DoubleSortableBitsExpr]]). */
+  def double_sortable_bits(d: Column): Column =
+    GraftSqlBridge.column(DoubleSortableBitsExpr(GraftSqlBridge.expression(d)))
+
+  /** Exact inverse `long → double` decoding. */
+  def sortable_bits_double(l: Column): Column =
+    GraftSqlBridge.column(SortableBitsDoubleExpr(GraftSqlBridge.expression(l)))
+}

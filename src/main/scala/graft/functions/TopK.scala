@@ -7,7 +7,7 @@ import scala.collection.mutable
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.GraftSqlBridge
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Expression, ImplicitCastInputTypes}
+import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.types._
@@ -42,13 +42,18 @@ case class TopKPairsAgg(
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
   extends TypedImperativeAggregate[mutable.PriorityQueue[(Long, Long)]]
-  with ImplicitCastInputTypes {
+  with ExpectsInputTypes {
 
   require(k >= 1, s"k $k must be positive")
 
-  // analysis-time coercion: an IntegerType ord/id column would otherwise
-  // pass analysis and die per-task in update()'s asInstanceOf[Long]
-  // (review finding, round 9)
+  // STRICT analysis-time typing (round-10 ADVICE): ExpectsInputTypes
+  // without implicit coercion, so a double/decimal/string ord or id
+  // fails analysis with a type error instead of being silently cast —
+  // the round-9 ImplicitCastInputTypes version truncated fractional
+  // order keys toward zero, collapsing them into ties. Callers with
+  // genuinely integral-but-narrower columns widen explicitly (lossless);
+  // [[graft.operators.GroupTopK]] does that check-and-widen for its
+  // callers, and float scores ride [[DoubleSortableBitsExpr]].
   override def inputTypes: Seq[DataType] = Seq(LongType, LongType)
 
   override def children: Seq[Expression] = Seq(ord, id)

@@ -211,11 +211,27 @@ object Features {
         .select(col("j").as("i"), col("i").as("j"), col("sxy_fix")))
     var v = spark.range(1, dim + 1)
       .select(col("id").cast("int").as("j"), lit(scale).as("vf"))
+    // Capacity guard (round-10 ADVICE — the neymanAllocation discipline):
+    // the matvec forms sxy_fix · vf in longs under non-ANSI semantics,
+    // and |vf| ≤ scale after normalization, so each accumulator is
+    // bounded by dim · max|sxy_fix| · scale — out-of-capacity corpora
+    // previously WRAPPED silently and emitted garbage directions. The
+    // assert rides the summed expression (coalesce(NULL-typed assert, 0)
+    // added per row), so column pruning cannot drop it and in-range
+    // values are unchanged.
+    val sxyCap = Long.MaxValue / scale / dim.toLong
+    val sxyGuard = coalesce(
+      assert_true(abs(col("sxy_fix")) <= lit(sxyCap),
+        lit(s"topComponentFixed: |sxy_fix| × scale (2^$scaleBits) × dim " +
+          s"($dim) would overflow long — lower scaleBits or rescale the " +
+          "input values"))
+        .cast("long"),
+      lit(0L))
     var r = 0
     while (r < rounds) {
       val u = g.join(v, "j")
         .groupBy(col("i"))
-        .agg(sum(col("sxy_fix") * col("vf")).as("u"))
+        .agg(sum(sxyGuard + col("sxy_fix") * col("vf")).as("u"))
       val m = u.agg(max(abs(col("u"))).as("m"))
       v = u.crossJoin(broadcast(m))
         .select(col("i").as("j"),

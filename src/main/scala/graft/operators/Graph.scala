@@ -1,8 +1,9 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
 
 /** Iterative graph algorithms over plain edge-list DataFrames — PageRank
   * and label propagation, the two link-structure primitives a web-corpus
@@ -34,6 +35,29 @@ import org.apache.spark.sql.functions._
   * q173/q174 oracles unroll the rounds as chained CTEs).
   */
 object Graph {
+
+  /** Dense long node ids for the iterate (round-10 VERDICT item — the
+    * documented headroom from round 9): every per-round equi-join and
+    * node-keyed aggregate hashes its key once per row per round, so
+    * string keys (`"c:12345"`) pay byte-array hashing/equality ×rounds
+    * while a one-time remap to dense longs pays it once. The dict is the
+    * [[SurrogateKeys]] narrow `zipWithIndex` (no global window); id
+    * VALUES are partitioning-dependent but provably irrelevant — every
+    * downstream op is id-agnostic (join/agg/argmax on exact long or
+    * lexicographic-label math), and results map back to node strings
+    * before anything leaves the operator, so outputs stay bit-identical
+    * to the string-keyed iterate (GraphSpec pins the parity).
+    *
+    * @return (node string, nid long), one row per distinct node
+    */
+  private def nodeDict(nodes: DataFrame): DataFrame = {
+    val spark = nodes.sparkSession
+    val schema = StructType(Seq(StructField("node", StringType),
+      StructField("nid", LongType, nullable = false)))
+    val rdd = nodes.rdd.zipWithIndex()
+      .map { case (row, i) => Row(row.getString(0), i) }
+    spark.createDataFrame(rdd, schema)
+  }
 
   /** PageRank in exact fixed point, the classic iterate (Page et al.
     * 1999; the formulation of Spark's own canonical PageRank example —
@@ -88,15 +112,30 @@ object Graph {
     // serialized jobs — 14-24 s at sf0.1 for what is now a fraction;
     // CC needs the per-round action for its convergence count,
     // PageRank's fixed trip count does not).
-    val (e, eHandle) = eagerCheckpoint(
+    val (eStr, eStrHandle) = eagerCheckpoint(
       if (edgesDistinct) eRaw else eRaw.distinct())
-    // degree attach + node set: lazy caches over the checkpointed edges,
-    // filled inside the first job that touches them
+    // Dense-id remap (see nodeDict): dict + long-keyed edges materialize
+    // once off the checkpointed string edges, then the string copy is
+    // reaped — the iterate below never touches a string key again. The
+    // dict is CHECKPOINTED, not lazily persisted: it outlives the string
+    // edges it derives from, and a cache-evicted persist would try to
+    // recompute through the reaped handle.
+    val (dict, dictHandle) = eagerCheckpoint(nodeDict(
+      eStr.select(col("src").as("node"))
+        .unionByName(eStr.select(col("dst").as("node")))
+        .distinct()))
+    val (e, eHandle) = eagerCheckpoint(
+      eStr
+        .join(dict.select(col("node").as("src"), col("nid").as("__sid")), "src")
+        .join(dict.select(col("node").as("dst"), col("nid").as("__did")), "dst")
+        .select(col("__sid").as("src"), col("__did").as("dst")))
+    eStrHandle.unpersist(blocking = false)
+    // degree attach: a lazy cache over the checkpointed long edges,
+    // filled inside the first job that touches it; the node set is the
+    // dict itself (no second distinct)
     val ed = e.join(e.groupBy("src").agg(count(lit(1)).as("out_deg")), "src")
       .persist()
-    val nodes = e.select(col("src").as("node"))
-      .unionByName(e.select(col("dst").as("node")))
-      .distinct().persist()
+    val nodes = dict.select(col("nid").as("node"))
 
     var ranks = nodes.withColumn("rf", lit(scale))
     var prevHandle: Option[org.apache.spark.rdd.RDD[_]] = None
@@ -122,13 +161,17 @@ object Graph {
       }
     }
     // One final materialization executes the whole remaining round chain
-    // (edges cached, node frame fills on first touch), then the pinned
-    // inputs are freed — the caller gets a lineage-free node-sized frame.
-    val (out, _) = eagerCheckpoint(ranks)
+    // (edges cached) INCLUDING the remap back to node strings — the
+    // caller gets a lineage-free node-sized frame keyed exactly as its
+    // input was; internal long ids never escape.
+    val (out, _) = eagerCheckpoint(
+      ranks.select(col("node").as("nid"), col("rf"))
+        .join(dict, "nid")
+        .select(col("node"), col("rf")))
     prevHandle.foreach(_.unpersist(blocking = false))
     eHandle.unpersist(blocking = false)
     ed.unpersist(blocking = false)
-    nodes.unpersist(blocking = false)
+    dictHandle.unpersist(blocking = false)
     out
   }
 
@@ -170,15 +213,30 @@ object Graph {
     // One eager edge-sized materialization; rounds stay lazy and execute
     // as one pipelined job at fixed small counts (the pageRankFixed
     // lesson — a per-round action serializes the whole iterate).
-    val (und, undHandle) = eagerCheckpoint(
+    val (undStr, undStrHandle) = eagerCheckpoint(
       dir.unionByName(
           dir.select(col("dst").as("src"), col("src").as("dst")))
         .distinct())
-    val nodes = und.select(col("src").as("node")).distinct().persist()
+    // Dense-id remap (the pageRankFixed discipline, see nodeDict): node
+    // keys become longs for the per-round join/agg/argmax; LABELS stay
+    // strings — the lexicographic min tie-break is part of the contract.
+    // Symmetric closure ⇒ every node appears as src, so one side covers
+    // the node set.
+    val (dict, dictHandle) = eagerCheckpoint(nodeDict(
+      undStr.select(col("src").as("node")).distinct()))
+    val (und, undHandle) = eagerCheckpoint(
+      undStr
+        .join(dict.select(col("node").as("src"), col("nid").as("__sid")), "src")
+        .join(dict.select(col("node").as("dst"), col("nid").as("__did")), "dst")
+        .select(col("__sid").as("src"), col("__did").as("dst")))
+    undStrHandle.unpersist(blocking = false)
+    val nodes = dict.select(col("nid").as("node"))
     val seed = seeds
       .select(col(idCol).cast("string").as("node"),
         col(labelCol).cast("string").as("seed_label"))
       .groupBy("node").agg(min(col("seed_label")).as("seed_label"))
+      .join(dict, "node") // off-graph seeds drop here, as they always did
+      .select(col("nid").as("node"), col("seed_label"))
       .persist() // clamped back in every round
 
     var labels = nodes.join(seed, Seq("node"), "left")
@@ -210,10 +268,13 @@ object Graph {
         labels = cut
       }
     }
-    val (out, _) = eagerCheckpoint(labels)
+    val (out, _) = eagerCheckpoint(
+      labels.select(col("node").as("nid"), col("label"))
+        .join(dict, "nid")
+        .select(col("node"), col("label")))
     prevHandle.foreach(_.unpersist(blocking = false))
     undHandle.unpersist(blocking = false)
-    nodes.unpersist(blocking = false)
+    dictHandle.unpersist(blocking = false)
     seed.unpersist(blocking = false)
     out
   }

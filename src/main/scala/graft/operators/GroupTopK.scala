@@ -25,14 +25,34 @@ object GroupTopK {
   /** One row per kept pair: `groupCols…, rnk (1-based), id, ord`,
     * ranked by `(ord DESC, id DESC)` — deterministic total order,
     * replayable as a `ROW_NUMBER` window in any SQL engine.
+    *
+    * Type contract (round-10 ADVICE): `ordCol`/`idCol` must be INTEGRAL
+    * — a fractional/decimal/string expression fails here with a clear
+    * message rather than being truncated toward zero into ties (the
+    * silent hazard the old implicit cast carried). Narrower integrals
+    * widen to long, which is lossless.
     */
   def groupedTopK(df: DataFrame, groupCols: Seq[String], ordCol: Column,
-      idCol: Column, k: Int): DataFrame =
+      idCol: Column, k: Int): DataFrame = {
+    import org.apache.spark.sql.types.{ByteType, DataType, IntegerType, LongType, ShortType}
+    def requireIntegral(what: String, t: DataType): Unit = t match {
+      case ByteType | ShortType | IntegerType | LongType => ()
+      case other => throw new IllegalArgumentException(
+        s"groupedTopK $what must be an integral type (got $other): " +
+          "fractional order keys would truncate into ties — pre-scale to " +
+          "integers (the exact fixed-point discipline) or encode doubles " +
+          "via double_sortable_bits")
+    }
+    val resolved = df.select(ordCol.as("__ord_probe"), idCol.as("__id_probe"))
+    requireIntegral("ordCol", resolved.schema("__ord_probe").dataType)
+    requireIntegral("idCol", resolved.schema("__id_probe").dataType)
     df.groupBy(groupCols.map(col): _*)
-      .agg(TopKFunctions.top_k_pairs(ordCol, idCol, k).as("__topk"))
+      .agg(TopKFunctions.top_k_pairs(ordCol.cast(LongType),
+        idCol.cast(LongType), k).as("__topk"))
       .select(groupCols.map(col) :+
         posexplode(col("__topk")).as(Seq("pos", "p")): _*)
       .select(groupCols.map(col) :+
         (col("pos") + 1).cast("int").as("rnk") :+
         col("p.id").as("id") :+ col("p.ord").as("ord"): _*)
+  }
 }

@@ -35,26 +35,51 @@ object RangeJoin {
 
   private def bucketOf(v: Column, w: Int): Column = floor(v / w).cast("long")
 
-  /** Buckets covered by `[s, e]` as an exploded column. */
-  private def coveredBuckets(s: Column, e: Column, w: Int): Column =
-    explode(sequence(bucketOf(s, w), bucketOf(e, w)))
+  /** Buckets covered by `[s, e]` as an exploded column, with a LOUD
+    * replication-factor guard (round-10 VERDICT item — the no-silent-caps
+    * discipline): an interval replicates to `⌈len/W⌉ + 1` bucket rows, so
+    * a caller passing W=1 against month-long intervals silently 30×es the
+    * interval side of the join — correct answers, quadratic-ish cost.
+    * Past `maxReplication` the plan now fails with the tuning hint
+    * instead. The assert rides the sequence's start expression
+    * (coalesce(NULL-typed assert, 0) — the neymanAllocation trick), so
+    * column pruning cannot drop it and in-range rows are unchanged.
+    */
+  private def coveredBuckets(s: Column, e: Column, w: Int,
+      maxReplication: Int): Column = {
+    val n = bucketOf(e, w) - bucketOf(s, w) + lit(1L)
+    val guard = coalesce(
+      assert_true(n <= lit(maxReplication.toLong),
+        lit(s"RangeJoin: an interval covers more than $maxReplication " +
+          s"buckets at bucketWidth=$w — widen bucketWidth toward the " +
+          "typical interval length (replication ∝ len/W), or raise " +
+          "maxReplication deliberately"))
+        .cast("long"),
+      lit(0L))
+    explode(sequence(bucketOf(s, w) + guard, bucketOf(e, w)))
+  }
 
   /** Inner join of `points` (integer column `ptCol`) to `intervals`
     * (integer `[startCol, endCol]`, inclusive) on equal `keys` AND
     * containment. Output: every points column + every intervals column
     * (keys once). Intervals with NULL bounds and points with NULL
     * position never match (SQL comparison semantics), as in the naive
-    * predicate join.
+    * predicate join. `maxReplication` bounds per-interval bucket fan-out
+    * (fails loudly past it — see [[coveredBuckets]]).
     */
   def pointInInterval(points: DataFrame, ptCol: String,
       intervals: DataFrame, startCol: String, endCol: String,
-      keys: Seq[String], bucketWidth: Int): DataFrame = {
+      keys: Seq[String], bucketWidth: Int,
+      maxReplication: Int = 256): DataFrame = {
     require(bucketWidth >= 1, s"bucketWidth $bucketWidth must be positive")
+    require(maxReplication >= 1,
+      s"maxReplication $maxReplication must be positive")
     val p = points.withColumn("__bucket", bucketOf(col(ptCol), bucketWidth))
     val iv = intervals
       .filter(col(startCol) <= col(endCol))
       .withColumn("__bucket",
-        coveredBuckets(col(startCol), col(endCol), bucketWidth))
+        coveredBuckets(col(startCol), col(endCol), bucketWidth,
+          maxReplication))
     p.join(iv, keys :+ "__bucket")
       .filter(col(ptCol).between(col(startCol), col(endCol)))
       .drop("__bucket")
@@ -68,12 +93,17 @@ object RangeJoin {
     */
   def intervalOverlap(left: DataFrame, lStart: String, lEnd: String,
       right: DataFrame, rStart: String, rEnd: String,
-      keys: Seq[String], bucketWidth: Int): DataFrame = {
+      keys: Seq[String], bucketWidth: Int,
+      maxReplication: Int = 256): DataFrame = {
     require(bucketWidth >= 1, s"bucketWidth $bucketWidth must be positive")
+    require(maxReplication >= 1,
+      s"maxReplication $maxReplication must be positive")
     val l = left.filter(col(lStart) <= col(lEnd))
-      .withColumn("__bucket", coveredBuckets(col(lStart), col(lEnd), bucketWidth))
+      .withColumn("__bucket",
+        coveredBuckets(col(lStart), col(lEnd), bucketWidth, maxReplication))
     val r = right.filter(col(rStart) <= col(rEnd))
-      .withColumn("__bucket", coveredBuckets(col(rStart), col(rEnd), bucketWidth))
+      .withColumn("__bucket",
+        coveredBuckets(col(rStart), col(rEnd), bucketWidth, maxReplication))
     l.join(r, keys :+ "__bucket")
       .filter(col(lStart) <= col(rEnd) && col(rStart) <= col(lEnd))
       .filter(col("__bucket") ===

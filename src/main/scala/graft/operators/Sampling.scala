@@ -287,7 +287,10 @@ object Sampling {
     * it). Each stratum's award is finally
     * capped at its row count; a saturated stratum's surplus is NOT
     * redistributed (Σ alloc can fall short of n then — rerun with the
-    * saturated stratum excluded if the budget must be exact).
+    * saturated stratum excluded if the budget must be exact). If EVERY
+    * stratum's weight floors to zero (all-constant values — Neyman
+    * weights undefined), the allocation is 0 across the board, not an
+    * arbitrary one-seat-per-stratum spread.
     *
     * Scale: one stratum aggregate with map-side partials; everything
     * after runs on the stratum-sized frame (single-partition window over
@@ -331,7 +334,16 @@ object Sampling {
           .otherwise(lit(0L)))
       .withColumn("__rem",
         when(col("__W") > 0, expr(s"($totalN * wq) % __W")).otherwise(lit(0L)))
-      .withColumn("__left", lit(totalN) - sum(col("__base")).over(win))
+      // Degenerate corpus (round-10 ADVICE): when EVERY stratum's
+      // fixed-point weight floors to 0 (all-constant values), Neyman
+      // weights are undefined — allocate NOTHING rather than silently
+      // handing one seat each to the first totalN strata in key order
+      // (the old largest-remainder fallthrough). Σ alloc = 0 then, the
+      // same "can fall short, rerun deliberately" contract the
+      // saturation cap already documents.
+      .withColumn("__left",
+        when(col("__W") > 0, lit(totalN) - sum(col("__base")).over(win))
+          .otherwise(lit(0L)))
       .withColumn("__pos", row_number().over(
         Window.partitionBy(key)
           .orderBy(col("__rem").desc, col(stratumCol).asc)))

@@ -47,6 +47,84 @@ object Similarity {
   def cosinePrenormed(a: Column, b: Column, na: Column, nb: Column, dim: Int): Column =
     dot(a, b, dim) / (na * nb)
 
+  /** The shared per-query top-k TAIL of every flat/probe ANN scan: from
+    * `scored` rows `(query_id, neighbor_id, <scoreName>, …)` keep each
+    * query's best `k` by `(score, neighbor_id ASC)` and emit
+    * `(query_id, neighbor_id, <scoreName>, rank)`.
+    *
+    * Scale path (integral neighbor ids): a bounded-heap
+    * [[graft.functions.TopKPairsAgg]] — each task keeps a k-bounded heap
+    * per query, the exchange carries ≤ k pairs per (task, query), and no
+    * single partition ever holds ALL of one query's scored candidates.
+    * The `row_number` window form it replaces shuffles EVERY scored pair
+    * and parks each query's full candidate set in one partition for an
+    * O(n log n) sort — the first plan that worked, not the right one at
+    * corpus scale.
+    *
+    * Exactness: double scores ride the heap as their order-preserving
+    * IEEE bit encoding ([[graft.functions.DoubleSortableBitsExpr]] —
+    * strictly monotone, exactly invertible), integral scores ride as-is,
+    * and the id tie-break uses bitwise-NOT (order-reversing bijection on
+    * ALL longs, so `(ord DESC, ~id DESC)` ≡ `(score best-first,
+    * id ASC)` with no MinValue edge case). Selected set, order, ranks,
+    * and recovered score VALUES are bit-identical to the window form —
+    * spec-pinned (`AnnTopKTailSpec`).
+    *
+    * Null semantics: a NULL score skips the row (SQL aggregate
+    * convention) where the DESC window form would rank it after all
+    * non-null scores — a difference only visible when a query has fewer
+    * than k scoreable candidates, which no caller's contract permits
+    * (scores are total functions of well-formed vectors). Non-integral
+    * (e.g. string) neighbor-id domains fall back to the window form —
+    * ids there cannot ride the long-pair heap without a collision-prone
+    * re-key.
+    */
+  private[operators] def topKTail(scored: DataFrame, scoreName: String,
+      k: Int, ascending: Boolean = false): DataFrame = {
+    import org.apache.spark.sql.types._
+    import graft.functions.{SortableBits, TopKFunctions}
+    val scoreType = scored.schema(scoreName).dataType
+    val idType = scored.schema("neighbor_id").dataType
+    val idIntegral = idType match {
+      case ByteType | ShortType | IntegerType | LongType => true
+      case _ => false
+    }
+    if (!idIntegral) {
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(if (ascending) col(scoreName).asc else col(scoreName).desc,
+          col("neighbor_id"))
+      scored.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= k)
+        .select(col("query_id"), col("neighbor_id"), col(scoreName), col("rank"))
+    } else {
+      val floating = scoreType == DoubleType || scoreType == FloatType
+      val ord =
+        if (floating) {
+          val d = col(scoreName).cast("double")
+          SortableBits.double_sortable_bits(if (ascending) -d else d)
+        } else {
+          val l = col(scoreName).cast("long")
+          if (ascending) bitwise_not(l) else l
+        }
+      val recovered =
+        if (floating) {
+          val d = SortableBits.sortable_bits_double(col("__p.ord"))
+          (if (ascending) -d else d).cast(scoreType)
+        } else {
+          (if (ascending) bitwise_not(col("__p.ord")) else col("__p.ord"))
+            .cast(scoreType)
+        }
+      scored.groupBy(col("query_id"))
+        .agg(TopKFunctions.top_k_pairs(ord,
+          bitwise_not(col("neighbor_id").cast("long")), k).as("__topk"))
+        .select(col("query_id"), posexplode(col("__topk")).as(Seq("__pos", "__p")))
+        .select(col("query_id"),
+          bitwise_not(col("__p.id")).cast(idType).as("neighbor_id"),
+          recovered.as(scoreName),
+          (col("__pos") + 1).cast("int").as("rank"))
+    }
+  }
+
   /** Brute-force cosine top-k: for each query vector, the k nearest corpus
     * vectors (excluding itself). Queries side is broadcast; norms are
     * computed once per vector, not per pair.
@@ -59,11 +137,7 @@ object Similarity {
       .withColumn("cn", norm(col("cv"), dim))
     val scored = q.join(c, col("query_id") =!= col("neighbor_id"))
       .withColumn("cosine", cosinePrenormed(col("qv"), col("cv"), col("qn"), col("cn"), dim))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("neighbor_id"))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank"))
+    topKTail(scored, "cosine", k)
   }
 
   /** Hard-negative mining for embedding/retrieval training data
@@ -90,11 +164,7 @@ object Similarity {
           col("q_label") =!= col("n_label"))
       .withColumn("cosine",
         cosinePrenormed(col("qv"), col("cv"), col("qn"), col("cn"), dim))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("neighbor_id"))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank"))
+    topKTail(scored, "cosine", k)
   }
 
   /** IVF bucket assignment: nearest (max dot product) of the `centroids`
@@ -287,11 +357,7 @@ object Similarity {
     val c = corpus.select(col(idCol).as("neighbor_id"), col(qvCol).as("__qv"))
     val scored = q.join(c, col("query_id") =!= col("neighbor_id"))
       .withColumn("qdot", quantizedDot(col("__qq"), col("__qv")))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("qdot").desc, col("neighbor_id"))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("neighbor_id"), col("qdot"), col("rank"))
+    topKTail(scored, "qdot", k)
   }
 
   // ---------------------------------------------------------------------
@@ -489,7 +555,7 @@ object Similarity {
     * (`decimal(30,15)`, the [[labelCentroids]] discipline) so scores are
     * bit-identical under any evaluation order AND replayable by an
     * external engine's order-free decimal SUM. Queries' LUTs broadcast;
-    * ranking is the [[bruteForceTopK]] window. Scores are approximate
+    * ranking is the shared bounded-heap [[topKTail]]. Scores are approximate
     * (quantized) dots — re-rank survivors with [[cosinePrenormed]] against
     * the full vectors when exact order matters, as with [[quantizedTopK]].
     */
@@ -516,11 +582,7 @@ object Similarity {
     val c = encoded.select(col(idCol).as("neighbor_id"), col("codes"))
     val scored = broadcast(lut).join(c, col("query_id") =!= col("neighbor_id"))
       .withColumn("pq_score", adcScore(col("codes"), col("lut")))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("pq_score").desc, col("neighbor_id"))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("neighbor_id"), col("pq_score"), col("rank"))
+    topKTail(scored, "pq_score", k)
   }
 
   /** PQ candidate generation + exact re-rank — the deployment shape that
@@ -572,11 +634,7 @@ object Similarity {
     val scored = broadcast(candQ).join(c, Seq("neighbor_id"))
       .withColumn("cosine", cosinePrenormed(col("qv"), col("nv"),
         col("qn"), col("nn"), dim))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("neighbor_id"))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank"))
+    topKTail(scored, "cosine", k)
   }
 
   // ---------------------------------------------------------------------
@@ -628,11 +686,7 @@ object Similarity {
       signWords(asDouble(col(vecCol)), dim).as("nw"))
     val scored = broadcast(q).join(c, col("query_id") =!= col("neighbor_id"))
       .withColumn("hamming", hammingDistance(col("qw"), col("nw")))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("hamming").asc, col("neighbor_id"))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("neighbor_id"), col("hamming"), col("rank"))
+    topKTail(scored, "hamming", k, ascending = true)
   }
 
   /** Binary nomination + exact re-rank: Hamming picks `kCand` candidates
@@ -777,11 +831,7 @@ object Similarity {
     val scored = broadcast(probeLut).join(encB, Seq("bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("pq_score", col("qc") + adcScore(col("codes"), col("lut")))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("pq_score").desc, col("neighbor_id"))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("neighbor_id"), col("pq_score"), col("rank"))
+    topKTail(scored, "pq_score", k)
   }
 
   /** The shared probe half of [[ivfPqTopK]] and [[probeIvfPqIndex]]:
@@ -810,11 +860,7 @@ object Similarity {
     val scored = broadcast(probeLut).join(codedRows, Seq("bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("pq_score", adcScore(col("codes"), col("lut")))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("pq_score").desc, col("neighbor_id"))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("neighbor_id"), col("pq_score"), col("rank"))
+    topKTail(scored, "pq_score", k)
   }
 
   /** Random-projection (sign-bit) LSH bands for cosine similarity — the
@@ -928,10 +974,7 @@ object Similarity {
     val scored = broadcast(probes).join(assigned, Seq("bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("cosine", cosinePrenormed(col("qv"), col("cv_doc"), col("qn"), col("cn"), dim))
-    val w = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("neighbor_id"))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank"))
+    topKTail(scored, "cosine", k)
   }
 
   // ------------------------------------------------------------------
@@ -1032,16 +1075,29 @@ object Similarity {
     * [[semDedup]]'s job (run it on the batch alone); this operator
     * answers only "is it already in the corpus", which is what keeps it
     * O(batch × bucket width).
+    *
+    * `nAssign` (round-10 VERDICT carry-over, the [[semDedup]] boundary-
+    * recall option at the STORED face): each batch vector probes its
+    * top-`nAssign` stored buckets, so a batch copy whose vector
+    * straddles a stored centroid boundary still meets its corpus
+    * original (nAssign=1 missed exactly that case — IvfIndexSpec plants
+    * it). A corpus row lives in ONE stored bucket, so each
+    * (batch, corpus) pair still meets at most once; cost grows ≤
+    * nAssign× the probe scan, the exchange/plan shape unchanged. The
+    * verdict row's `bucket` stays the PRIMARY (rank-1) assignment.
     */
   def semDedupIncremental(index: StoredIvf, batch: DataFrame, idCol: String,
       vecCol: String, dim: Int, threshold: Double,
       pruneBuckets: Boolean = true,
-      maxBroadcastRows: Long = Broadcasting.DefaultMaxRows): DataFrame = {
+      maxBroadcastRows: Long = Broadcasting.DefaultMaxRows,
+      nAssign: Int = 1): DataFrame = {
+    require(nAssign >= 1, s"nAssign ($nAssign) must be >= 1")
     // The batch assignment (n×m score + per-id window) feeds the bucket
     // list, the probe join, and the verdict join — persist it once and
     // reap at the boundary (the semDedup discipline; the batch is small
     // by contract, but 3× its assignment cost is still pure waste).
-    val assigned = ivfAssign(batch, index.centroids, idCol, vecCol, dim)
+    val assigned = ivfAssignN(batch, index.centroids, idCol, vecCol, dim,
+        nAssign)
       .withColumn("__bn", norm(col("dv"), dim))
       .persist()
     // The batch is small-by-contract (it broadcasts below); fail loudly
@@ -1064,7 +1120,8 @@ object Similarity {
         col("__bn"), col("cn"), dim) >= threshold)
       .groupBy(col(idCol))
       .agg(min(col("neighbor_id")).as("dup_of"))
-    val verdicts = assigned.select(col(idCol), col("bucket"))
+    val verdicts = assigned.filter(col("rn") === 1)
+      .select(col(idCol), col("bucket"))
       .join(dups, Seq(idCol), "left")
       .withColumn("kept", col("dup_of").isNull)
     graft.core.Caching.reap(verdicts, assigned)

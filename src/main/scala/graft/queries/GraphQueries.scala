@@ -140,8 +140,9 @@ object GraphQueries extends QueryModule {
                LEFT JOIN seed USING (node))
         SELECT node, label FROM l2 ORDER BY node
       """.trim),
-      // parity-certification surface (same per-round join+agg shape as
-      // q173, which IS benched); rides Verify only — bench-tail policy
-      bench = false)
+      // benched since round 10 (VERDICT item): label propagation is a
+      // genuinely expensive iterative shape — a plan regression here was
+      // invisible while it rode Verify only
+      bench = true)
   )
 }

@@ -839,7 +839,7 @@ object OperatorQueries extends QueryModule {
             Seq("n_nationkey"), bucketWidth = 16)
           .groupBy(col("n_nationkey"), col("campaign"))
           .agg(count(lit(1)).as("n_orders"),
-            sum(dec(col("o_totalprice"))).as("revenue"))
+            sum(dec(col("o_totalprice"))).cast("double").as("revenue"))
           .orderBy(col("n_nationkey"), col("campaign"))
       },
       Some("""
@@ -859,7 +859,7 @@ object OperatorQueries extends QueryModule {
           FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey)
         SELECT iv2.n_nationkey, iv2.campaign,
                COUNT(*) AS n_orders,
-               SUM(CAST(ev.o_totalprice AS DECIMAL(12,2))) AS revenue
+               CAST(SUM(CAST(ev.o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue
         FROM iv2 JOIN ev
           ON ev.n_nationkey = iv2.n_nationkey AND ev.d BETWEEN iv2.s AND iv2.e
         GROUP BY 1, 2 ORDER BY 1, 2

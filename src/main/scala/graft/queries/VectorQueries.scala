@@ -117,6 +117,108 @@ object VectorQueries extends QueryModule {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** The in-memory PQ trio's bench split (round-10 VERDICT item): q118/
+    * q119/q121's `fn` deliberately runs codebook training + corpus encode
+    * inside the gate (the oracle certifies the WHOLE pipeline), but in
+    * production those are one-time ingest costs — so without a split the
+    * three bench rows overstated query latency ~3-4×. Build persists the
+    * trained artifacts (plain parquet — double arrays round-trip
+    * bit-exactly), probe reads them back; both halves compose the exact
+    * same public operators as `fn`, so probe output ≡ fn output.
+    */
+  @volatile private var q118Path: String = _
+  private[queries] def q118Build(spark: org.apache.spark.sql.SparkSession,
+      dir: String): Unit = {
+    val e = Tables.embs(spark, dir)
+    val cb = Similarity.pqCodebook(e, "vec_id", "embedding", Dim,
+      numSub = 8, ksub = 16)
+    val p = java.nio.file.Files.createTempDirectory("graft_q118pq").toString
+    cb.write.mode("overwrite").parquet(s"$p/cb")
+    Similarity.pqEncode(e, spark.read.parquet(s"$p/cb"), "vec_id",
+        "embedding", Dim, 8)
+      .write.mode("overwrite").parquet(s"$p/enc")
+    q118Path = p
+  }
+
+  private[queries] def q118Probe(spark: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    val e = Tables.embs(spark, dir)
+    Similarity.pqTopK(e.filter(col("vec_id") < 5),
+        spark.read.parquet(s"$q118Path/enc"),
+        spark.read.parquet(s"$q118Path/cb"),
+        "vec_id", "embedding", Dim, 8, k = 5)
+      .select(col("query_id"), col("neighbor_id"),
+        round(col("pq_score"), 6).as("pq_score_r"), col("rank"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** q119's split: centroids + codebook + bucketed codes persisted once;
+    * the probe is [[Similarity.probeIvfPqIndex]] over the read-back
+    * artifacts with `pruneBuckets = false` — exactly the `adcProbe` body
+    * `ivfPqTopK` ends in, so probe ≡ fn (q120 separately certifies the
+    * PRUNED stored path).
+    */
+  @volatile private var q119Path: String = _
+  private[queries] def q119Build(spark: org.apache.spark.sql.SparkSession,
+      dir: String): Unit = {
+    val e = Tables.embs(spark, dir)
+    val cb = Similarity.pqCodebook(e, "vec_id", "embedding", Dim,
+      numSub = 8, ksub = 16)
+    val cents = Similarity.seedCentroids(e, "vec_id", "embedding", m = 16)
+    val p = java.nio.file.Files.createTempDirectory("graft_q119ivfpq").toString
+    cb.write.mode("overwrite").parquet(s"$p/cb")
+    cents.write.mode("overwrite").parquet(s"$p/cents")
+    Similarity.pqEncode(e, spark.read.parquet(s"$p/cb"), "vec_id",
+        "embedding", Dim, 8)
+      .join(Similarity.ivfAssign(e, spark.read.parquet(s"$p/cents"),
+          "vec_id", "embedding", Dim)
+        .select(col("vec_id"), col("bucket")), Seq("vec_id"))
+      .select(col("vec_id").as("neighbor_id"), col("codes"), col("bucket"))
+      .write.mode("overwrite").parquet(s"$p/codes")
+    q119Path = p
+  }
+
+  private[queries] def q119Probe(spark: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    val e = Tables.embs(spark, dir)
+    Similarity.probeIvfPqIndex(
+        Similarity.StoredIvfPq(
+          spark.read.parquet(s"$q119Path/cents"),
+          spark.read.parquet(s"$q119Path/cb"),
+          spark.read.parquet(s"$q119Path/codes")),
+        e.filter(col("vec_id") < 5), "vec_id", "embedding", Dim,
+        k = 5, nProbe = 4, pruneBuckets = false)
+      .select(col("query_id"), col("neighbor_id"),
+        round(col("pq_score"), 6).as("pq_score_r"), col("rank"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  @volatile private var q121Path: String = _
+  private[queries] def q121Build(spark: org.apache.spark.sql.SparkSession,
+      dir: String): Unit = {
+    val e = Tables.embs(spark, dir)
+    val cb = Similarity.pqCodebook(e, "vec_id", "embedding", Dim,
+      numSub = 8, ksub = 16)
+    val p = java.nio.file.Files.createTempDirectory("graft_q121pq").toString
+    cb.write.mode("overwrite").parquet(s"$p/cb")
+    Similarity.pqEncode(e, spark.read.parquet(s"$p/cb"), "vec_id",
+        "embedding", Dim, 8)
+      .write.mode("overwrite").parquet(s"$p/enc")
+    q121Path = p
+  }
+
+  private[queries] def q121Probe(spark: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    val e = Tables.embs(spark, dir)
+    Similarity.pqRerankTopK(e.filter(col("vec_id") < 5), e,
+        spark.read.parquet(s"$q121Path/enc"),
+        spark.read.parquet(s"$q121Path/cb"),
+        "vec_id", "embedding", Dim, numSub = 8, k = 5, kCand = 20)
+      .select(col("query_id"), col("neighbor_id"),
+        round(col("cosine"), 6).as("cosine_r"), col("rank"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** q120's index BUILD half: a STORED IVF-PQ index — centroids +
     * codebook persisted tiny, codes disk-bucketed on `bucket` — written
     * from half the corpus, the other half absorbed via
@@ -664,7 +766,8 @@ object VectorQueries extends QueryModule {
         SELECT query_id, neighbor_id, round(pq_score, 6) AS pq_score_r, rank
         FROM ranked WHERE rank <= 5
         ORDER BY query_id, rank
-      """.trim)),
+      """.trim),
+      indexed = Some(graft.core.GQuery.IndexedParts(q118Build, q118Probe))),
 
     // --- IVF-PQ composition (the FAISS architecture): IVF bucket pruning
     // picks WHICH corpus rows each query examines (top-4 of 16 buckets),
@@ -687,7 +790,8 @@ object VectorQueries extends QueryModule {
             round(col("pq_score"), 6).as("pq_score_r"), col("rank"))
           .orderBy(col("query_id"), col("rank"))
       },
-      Some(IvfPqOracleSql)),
+      Some(IvfPqOracleSql),
+      indexed = Some(graft.core.GQuery.IndexedParts(q119Build, q119Probe))),
 
     // --- STORED IVF-PQ (the production serving path): build persists
     // centroids + codebook + disk-bucketed codes, probe reads them back
@@ -782,7 +886,8 @@ object VectorQueries extends QueryModule {
         SELECT query_id, neighbor_id, round(cosine, 6) AS cosine_r, rank
         FROM rranked WHERE rank <= 5
         ORDER BY query_id, rank
-      """.trim)),
+      """.trim),
+      indexed = Some(graft.core.GQuery.IndexedParts(q121Build, q121Probe))),
 
     // --- Binary (sign-bit) quantization + exact re-rank: the 1-bit memory
     // tier (dim=64 → two packed 32-bit words = 8 B/vector). Codes are a
@@ -1107,9 +1212,10 @@ object VectorQueries extends QueryModule {
                FROM u2, m2)
         SELECT CAST(j AS INT) AS i, vf FROM v2 ORDER BY i
       """.trim),
-      // dim²-sized algebra over q151's already-benched aggregate; a parity
-      // certification surface, not a perf one — rides Verify only
-      bench = false),
+      // benched since round 10 (VERDICT item): the corpus-cost half IS
+      // q151's one-pass moments aggregate, but the end-to-end iterate is
+      // an expensive shape worth a standing timing row
+      bench = true),
 
     // --- hard-negative mining (contrastive-training data prep): per
     // query, the top-5 most similar corpus vectors whose LABEL differs —
@@ -1192,7 +1298,10 @@ object VectorQueries extends QueryModule {
         SELECT bucket, rnk, vec_id, h FROM r WHERE rnk <= 5
         ORDER BY bucket, rnk
       """.trim),
-      bench = false)
+      // benched since round 10 (VERDICT item): the IVF-assign + heap-agg
+      // composite is an expensive shape whose plan regressions were
+      // invisible while it rode Verify only
+      bench = true)
   )
 
   /** DuckDB rendering of [[graft.operators.Sampling.hash16]] with the

@@ -26,16 +26,22 @@ class BenchFormatSpec extends AnyFunSuite {
       val worst = names.map(_ -> value)
       // raw is capped at 3 entries on the stdout record (Bench.main) so a
       // pathologically contended run can't blow the tail buffer; builds
-      // carries one entry per GQuery.indexed bench query.
+      // carries one entry per GQuery.indexed bench query. record() itself
+      // SELF-CLAMPS: past StdoutBudget it re-renders one precision band
+      // coarser with the stdout raw list dropped (bench.json keeps the
+      // full form), so the line can never outgrow the driver's capture.
       val worstBuilds = SparkEntry.benchIndexed.keys.toSeq.map(_ -> 999.999)
       val line = Bench.record(worst, repeats = 3, leakedRdds = 0,
         sfDir = "/root/testdata/sf0.1", shorten = true,
         calib = Seq(999.999, 999.999), rechecked = 99, raw = worst.take(3),
         builds = worstBuilds)
-      assert(line.length <= 1900,
+      assert(line.length <= Bench.StdoutBudget,
         s"stdout bench line ${line.length} chars at uniform value $value — " +
-          "within 100 of the 2000-char tail buffer; shorten the record " +
-          "before adding more bench queries")
+          "the self-clamp failed to hold the record inside the 2000-char " +
+          "tail buffer's budget")
+      // still a well-formed record after any clamping
+      assert(line.startsWith("{\"metric\":\"total\"") && line.endsWith("\"}"))
+      assert(line.count(_ == '{') == line.count(_ == '}'))
     }
   }
 
@@ -111,10 +117,13 @@ class BenchFormatSpec extends AnyFunSuite {
     val none = Bench.record(Seq("q01_ok" -> 2.0), repeats = 3, leakedRdds = 0,
       sfDir = "/tmp/sf", shorten = false)
     assert(none.contains("\"build\":{}"))
-    // the registry exposes exactly the split queries
+    // the registry exposes exactly the split queries (round 10 added the
+    // in-memory PQ trio per the VERDICT item: codebook training + corpus
+    // encode are one-time ingest costs, not query latency)
     assert(SparkEntry.benchIndexed.keySet ==
       Set("q28_incremental_dedup", "q71_ann_ivf", "q116_semdedup_incremental",
-        "q120_ivfpq_stored", "q123_ivfpq_residual"))
+        "q118_pq_topk", "q119_ivfpq_topk", "q120_ivfpq_stored",
+        "q121_pq_rerank", "q123_ivfpq_residual"))
   }
 
   test("record stays valid JSON under a comma-decimal default locale") {

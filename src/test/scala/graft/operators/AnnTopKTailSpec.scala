@@ -1,0 +1,171 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.execution.window.WindowExec
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+import graft.functions.SortableBits
+
+/** The round-10 ANN tail swap: every flat/probe top-k
+  * (`bruteForceTopK`, `hardNegatives`, `quantizedTopK`, `pqTopK`,
+  * `rerankExact`, `hammingTopK`, the residual/ADC probes, `ivfTopK`'s
+  * `probeAssigned`) now ranks through the bounded-heap
+  * [[graft.functions.TopKPairsAgg]] instead of a per-query `row_number`
+  * window. What has to hold for that to be a pure plan improvement:
+  *
+  *  1. the sortable-bits codec is strictly monotone over doubles and
+  *     exactly invertible (recovered scores are THE input doubles);
+  *  2. heap output is row-identical — ids, ranks, AND score bits — to
+  *     the window form it replaced, on the real embeddings corpus, for
+  *     both descending-double (cosine) and ascending-int (Hamming)
+  *     orderings;
+  *  3. the physical plan genuinely lost the Window node: no WindowExec
+  *     anywhere, so no single partition ever holds ALL of one query's
+  *     scored candidates (the 100 TB point — a hot query's candidate
+  *     set no longer serializes through one task);
+  *  4. non-integral id domains still work via the window fallback.
+  */
+class AnnTopKTailSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val Dim = 64
+
+  private def embs: DataFrame =
+    spark.read.parquet(s"${TestSpark.SfDir}/embeddings.parquet")
+
+  private def windowCount(df: DataFrame): Int = {
+    def count(p: SparkPlan): Int = p match {
+      case a: AdaptiveSparkPlanExec => count(a.executedPlan)
+      case w: WindowExec => 1 + w.children.map(count).sum
+      case other => other.children.map(count).sum
+    }
+    count(df.queryExecution.executedPlan)
+  }
+
+  test("sortable bits: strictly monotone over doubles, exactly invertible") {
+    import spark.implicits._
+    val vals = Seq(
+      Double.NegativeInfinity, -1.7e308, -3.5, -1.0, -1e-300, -0.0, 0.0,
+      5e-324, 1e-300, 0.25, 0.9999999999999999, 1.0, 3.5, 1.7e308,
+      Double.PositiveInfinity)
+    val enc = vals.toDF("d")
+      .select(col("d"), SortableBits.double_sortable_bits(col("d")).as("l"))
+      .withColumn("back", SortableBits.sortable_bits_double(col("l")))
+      .collect()
+    // Invertible bit-for-bit (with -0.0 normalized to +0.0).
+    enc.foreach { r =>
+      val d = r.getDouble(0); val back = r.getDouble(2)
+      val want = if (d == 0.0) 0.0 else d
+      assert(java.lang.Double.doubleToLongBits(back) ==
+        java.lang.Double.doubleToLongBits(want), s"roundtrip broke at $d")
+    }
+    // Monotone: encoded longs sort exactly as the doubles do.
+    val longs = enc.map(_.getLong(1)).toSeq
+    assert(longs == longs.sorted, "encoding must preserve double order")
+    // -0.0 and 0.0 encode EQUAL (ties break on id, as Spark's sort
+    // normalization would); everything else strictly increases.
+    assert(longs.distinct.size == longs.size - 1)
+    // NaN ranks above every finite/infinite value — Spark's DESC-first
+    // placement.
+    val nan = Seq(Double.NaN).toDF("d")
+      .select(SortableBits.double_sortable_bits(col("d"))).collect()(0).getLong(0)
+    assert(longs.forall(_ < nan))
+  }
+
+  test("bruteForceTopK heap tail ≡ window form (ids, ranks, score bits)") {
+    val e = embs
+    val queries = e.filter(col("vec_id") < 8)
+    val k = 7
+    val got = Similarity.bruteForceTopK(queries, e, "vec_id", "embedding",
+      Dim, k)
+    // The window form it replaced, rebuilt inline.
+    val q = broadcast(queries.select(col("vec_id").as("query_id"),
+        Similarity.asDouble(col("embedding")).as("qv"))
+      .withColumn("qn", Similarity.norm(col("qv"), Dim)))
+    val c = e.select(col("vec_id").as("neighbor_id"),
+        Similarity.asDouble(col("embedding")).as("cv"))
+      .withColumn("cn", Similarity.norm(col("cv"), Dim))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    val want = q.join(c, col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine", Similarity.cosinePrenormed(col("qv"), col("cv"),
+        col("qn"), col("cn"), Dim))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank"))
+    def key(df: DataFrame) = df.collect().map { r =>
+      (r.getLong(0), r.getLong(1),
+        java.lang.Double.doubleToLongBits(r.getDouble(2)), r.getInt(3))
+    }.toSet
+    assert(got.count() == queries.count() * k)
+    assert(key(got) == key(want),
+      "heap tail must be row-identical to the window form, score bits included")
+  }
+
+  test("hammingTopK heap tail ≡ window form (ascending int ordering)") {
+    val e = embs
+    val queries = e.filter(col("vec_id") < 8)
+    val k = 9
+    val got = Similarity.hammingTopK(queries, e, "vec_id", "embedding",
+      Dim, k)
+    val q = broadcast(queries.select(col("vec_id").as("query_id"),
+      Similarity.signWords(Similarity.asDouble(col("embedding")), Dim).as("qw")))
+    val c = e.select(col("vec_id").as("neighbor_id"),
+      Similarity.signWords(Similarity.asDouble(col("embedding")), Dim).as("nw"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("hamming").asc, col("neighbor_id"))
+    val want = q.join(c, col("query_id") =!= col("neighbor_id"))
+      .withColumn("hamming", Similarity.hammingDistance(col("qw"), col("nw")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("hamming"), col("rank"))
+    def key(df: DataFrame) = df.collect().map { r =>
+      (r.getLong(0), r.getLong(1), r.getInt(2), r.getInt(3))
+    }.toSet
+    assert(key(got) == key(want))
+  }
+
+  test("flat ANN paths carry no Window node (the swap's plan contract)") {
+    val e = embs
+    val queries = e.filter(col("vec_id") < 4)
+    assert(windowCount(Similarity.bruteForceTopK(queries, e, "vec_id",
+      "embedding", Dim, 5)) == 0, "bruteForceTopK must not window")
+    assert(windowCount(Similarity.hammingTopK(queries, e, "vec_id",
+      "embedding", Dim, 5)) == 0, "hammingTopK must not window")
+    // pqTopK: train a small codebook, encode, probe — the ADC scan tail.
+    // The ONE window left in the composed plan is pqCodebook's seed
+    // numbering over numSub×ksub rows (128 here — constant-sized, never
+    // corpus-sized); the ranking tail itself adds none.
+    val cb = Similarity.pqCodebook(e, "vec_id", "embedding", Dim,
+      numSub = 8, ksub = 16)
+    val enc = Similarity.pqEncode(e, cb, "vec_id", "embedding", Dim, 8)
+    assert(windowCount(Similarity.pqTopK(queries, enc, cb, "vec_id",
+      "embedding", Dim, 8, 5)) == windowCount(cb),
+      "pqTopK's ranking tail must not add a Window beyond the codebook's " +
+        "constant-sized seed numbering")
+  }
+
+  test("non-integral id domains fall back to the window form, same answer") {
+    val e = embs.withColumn("sid", concat(lit("doc-"),
+      format_string("%05d", col("vec_id"))))
+    val queries = e.filter(col("vec_id") < 6)
+    val got = Similarity.bruteForceTopK(
+      queries.select(col("sid"), col("embedding")),
+      e.select(col("sid"), col("embedding")), "sid", "embedding", Dim, 5)
+    val byLong = Similarity.bruteForceTopK(queries, e, "vec_id",
+      "embedding", Dim, 5)
+    // Zero-padded string ids order exactly as the longs, so the two runs
+    // must pick the same neighbors with the same ranks.
+    def key(df: DataFrame, s: Boolean) = df.collect().map { r =>
+      val q = if (s) r.getString(0).drop(4).toLong else r.getLong(0)
+      val n = if (s) r.getString(1).drop(4).toLong else r.getLong(1)
+      (q, n, java.lang.Double.doubleToLongBits(r.getDouble(2)), r.getInt(3))
+    }.toSet
+    assert(windowCount(got) == 1, "string ids take the window fallback")
+    assert(key(got, s = true) == key(byLong, s = false))
+  }
+}

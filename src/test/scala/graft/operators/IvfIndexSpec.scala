@@ -553,4 +553,50 @@ class IvfIndexSpec extends AnyFunSuite {
     assert(mmr === Seq(1L, 3L, 2L),
       "MMR must demote the near-duplicate behind the diverse candidate")
   }
+
+  test("semDedupIncremental nAssign=2 catches a batch vector straddling a stored centroid boundary; probe shape unchanged") {
+    import spark.implicits._
+    // 2-D stored corpus around the cluster boundary (the in-memory
+    // nAssign test's geometry, moved to the STORED face): centroids are
+    // e1/e2 (the two lowest ids — seedCentroids), and the corpus member
+    // 10 at 44° is stored under centroid 1's bucket. The batch vector at
+    // 46° is its near-copy (cosine = cos 2° ≈ 0.99939) but max-dot
+    // assigns it to centroid 2's bucket — nAssign=1 probes only that
+    // bucket and admits the duplicate (the documented trade); nAssign=2
+    // probes both and finds the original.
+    val rad = math.Pi / 180
+    def v(deg: Double) =
+      Seq(math.cos(deg * rad).toFloat, math.sin(deg * rad).toFloat)
+    val corpus = Seq((1L, v(0)), (2L, v(90)), (10L, v(44)))
+      .toDF("vec_id", "embedding")
+    val cents = Similarity.seedCentroids(corpus, "vec_id", "embedding", m = 2)
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_ividx_boundary").toString
+    Similarity.writeIvfIndex(corpus, cents, "vec_id", "embedding", 2,
+      "ividx_boundary", path, buckets = 4)
+    val idx = Similarity.readIvfIndex(spark, "ividx_boundary")
+    val batch = Seq((100L, v(46))).toDF("vec_id", "embedding")
+    def verdict(n: Int) = Similarity.semDedupIncremental(idx, batch,
+      "vec_id", "embedding", 2, threshold = 0.999, nAssign = n).collect()(0)
+    val v1 = verdict(1)
+    assert(v1.getBoolean(3),
+      s"nAssign=1 must MISS the straddling original (the documented trade): $v1")
+    val v2 = verdict(2)
+    assert(!v2.getBoolean(3) && v2.getLong(2) == 10L,
+      s"nAssign=2 must resolve the batch copy to corpus original 10: $v2")
+    assert(v1.get(1) == v2.get(1),
+      "the verdict's bucket must stay the PRIMARY (rank-1) assignment")
+    // Plan shape: multi-assignment widens bucket MEMBERSHIP (data), never
+    // the probe plan — same exchange count on the reconstructed probe
+    // shape (the operator reaps its result, which hides the scan).
+    def probeShape(n: Int) = {
+      val assigned = Similarity.ivfAssignN(batch, idx.centroids,
+        "vec_id", "embedding", 2, n)
+      broadcast(assigned).join(idx.assignments, Seq("bucket"))
+        .groupBy(col("vec_id")).agg(min(col("neighbor_id")).as("dup_of"))
+    }
+    assert(Bucketing.exchangeCount(probeShape(1)) ==
+      Bucketing.exchangeCount(probeShape(2)),
+      "nAssign must not change the probe's exchange count")
+  }
 }

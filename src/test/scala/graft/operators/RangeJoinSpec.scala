@@ -92,4 +92,32 @@ class RangeJoinSpec extends AnyFunSuite {
     assert(RangeJoin.pointInInterval(points, "d", ivNull, "s", "e", Seq("key"), 8)
       .count() == 0)
   }
+
+  test("degenerate bucketWidth fails LOUDLY past the replication cap") {
+    // A month-long interval at W=1 covers 31 buckets: fine under the
+    // default cap (256), a loud in-plan failure under a tight one — the
+    // silent-30×-replication trap the guard exists for.
+    val iv = Seq((1, 1, 100L, 130L)).toDF("key", "iv_id", "s", "e")
+    val pts = Seq((1, 1, 115L)).toDF("key", "pt_id", "d")
+    // Default cap: passes, answers exact.
+    assert(RangeJoin.pointInInterval(pts, "d", iv, "s", "e", Seq("key"), 1)
+      .count() == 1)
+    // Tight cap: the plan fails with the tuning hint, not silent fan-out.
+    val ex = intercept[Exception] {
+      RangeJoin.pointInInterval(pts, "d", iv, "s", "e", Seq("key"), 1,
+        maxReplication = 8).count()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e =>
+        Option(e.getMessage).toSeq ++ messages(e.getCause))
+    assert(messages(ex).exists(_.contains("widen bucketWidth")),
+      s"expected the replication-guard message, got: ${messages(ex)}")
+    // Same guard on the overlap side.
+    val rIv = Seq((1, 2, 95L, 140L)).toDF("key", "r_id", "rs", "re")
+    val ex2 = intercept[Exception] {
+      RangeJoin.intervalOverlap(iv, "s", "e", rIv, "rs", "re", Seq("key"), 1,
+        maxReplication = 8).count()
+    }
+    assert(messages(ex2).exists(_.contains("widen bucketWidth")))
+  }
 }
