@@ -61,7 +61,15 @@ object Bench {
         if (coarse) "%.0f" else if (shorten) "%.1f" else "%.2f"
       } else if (shorten || coarse) "%.0f"
       else "%.1f"
-    String.format(java.util.Locale.ROOT, pattern, Double.box(v))
+    val s = String.format(java.util.Locale.ROOT, pattern, Double.box(v))
+    // stdout only: strip LOSSLESS trailing zeros ("0.10"→"0.1",
+    // "2.00"→"2") — ~50 chars across a 150-query record, which is what
+    // keeps the real line inside StdoutBudget at centisecond precision
+    // instead of tripping the coarse clamp. bench.json keeps fixed-width
+    // ms rendering.
+    if ((shorten || coarse) && s.contains('.'))
+      s.reverse.dropWhile(_ == '0').dropWhile(_ == '.').reverse
+    else s
   }
 
   /** Hard budget for the stdout record: the driver's tail capture is
@@ -75,7 +83,7 @@ object Bench {
       sfDir: String, shorten: Boolean, calib: Seq[Double] = Nil,
       rechecked: Int = 0, raw: Seq[(String, Double)] = Nil,
       builds: Seq[(String, Double)] = Nil): String = {
-    def render(coarse: Boolean): String = {
+    def render(coarse: Boolean, minimal: Boolean = false): String = {
       def qmap(entries: Seq[(String, Double)]): String = entries.map { case (k, v) =>
         // stdout renders the error sentinel as bare "-1": unmistakable, and
         // it bounds the ALL-errored line (the one a human most needs to
@@ -115,15 +123,23 @@ object Bench {
       val leakedOut =
         if (shorten && leakedRdds == 0) "" else s""""leaked_rdds":$leakedRdds,"""
       val rawOut = if (coarse) "" else s""""raw":${qmap(raw)},"""
-      s"""{"metric":"total","value":$total,"unit":"sec",$repeatsOut$errorsOut"rechecked":$rechecked,$rawOut"build":${qmap(builds)},"calib":$calibJson,$leakedOut"queries":${qmap(results)},"sf":"$sfOut"}"""
+      val buildOut = if (minimal) "" else s""""build":${qmap(builds)},"""
+      val calibOut = if (minimal) "" else s""""calib":$calibJson,"""
+      s"""{"metric":"total","value":$total,"unit":"sec",$repeatsOut$errorsOut"rechecked":$rechecked,$rawOut$buildOut$calibOut$leakedOut"queries":${qmap(results)},"sf":"$sfOut"}"""
     }
-    // Self-clamp (stdout only): if the centisecond form would outgrow the
-    // driver's tail buffer, fall back ONE precision band coarser and drop
-    // the stdout raw list — graceful precision degradation, never a
-    // truncated (unparseable) record. bench.json always carries the full
-    // form; the fallback never silently drops a QUERY.
+    // Self-clamp (stdout only), progressive: if the centisecond form
+    // would outgrow the driver's tail buffer, fall back ONE precision
+    // band coarser with the stdout raw list dropped; if even that is
+    // over (only reachable when every value renders 4+ digits), shed the
+    // optional diagnostic maps (build/calib) too — graceful degradation,
+    // never a truncated (unparseable) record. bench.json always carries
+    // the full form; no fallback ever drops a QUERY.
     val line = render(coarse = false)
-    if (shorten && line.length > StdoutBudget) render(coarse = true) else line
+    if (!shorten || line.length <= StdoutBudget) line
+    else {
+      val c = render(coarse = true)
+      if (c.length <= StdoutBudget) c else render(coarse = true, minimal = true)
+    }
   }
 
   /** Fixed calibration job: 1e8-row range sum over PINNED 32 partitions —

@@ -125,6 +125,59 @@ object TextAnalysis {
   def repetitionFromShingles(sh: Column): Column =
     (size(sh) - size(array_distinct(sh))).cast("double") / size(sh)
 
+  // ---------------------------------------------------------------------
+  // Gopher DUPLICATE-UNIT repetition signals (Rae et al. 2021, §A1.1's
+  // "repetitious text" table, the line/paragraph grade): beyond the
+  // shingle-level repetitionRatio above, MassiveText filters on the
+  // fraction of duplicated LINES/PARAGRAPHS and — weighted by size — the
+  // fraction of CHARACTERS inside them, plus the character share of the
+  // single most frequent word n-gram. All are per-row projections over
+  // exact integers with ONE final IEEE division (cross-engine exact,
+  // zero shuffle, the repetitionRatio discipline). The unit array is a
+  // caller-provided column (split(text, "\n") for lines, split on
+  // "\n\n" for paragraphs, or any synthesized chunking), so one pair of
+  // functions serves every unit grade.
+  // ---------------------------------------------------------------------
+
+  /** Fraction of units (lines/paragraphs/chunks) that duplicate an
+    * earlier occurrence: `(n − distinct) / n`. NULL on an empty array.
+    */
+  def dupUnitFraction(units: Column): Column =
+    (size(units) - size(array_distinct(units))).cast("double") /
+      when(size(units) =!= 0, size(units))
+
+  /** Fraction of CHARACTERS inside duplicate unit occurrences: for each
+    * distinct unit with `c` occurrences and length `len`, the
+    * `(c−1)·len` repeated characters, over the total `Σ c·len`. The
+    * size-weighted companion to [[dupUnitFraction]] — one long repeated
+    * paragraph scores high here even when unit counts look tame. NULL
+    * when the total character mass is 0 (all-empty units).
+    */
+  def dupUnitCharFraction(units: Column): Column = {
+    val dupChars = aggregate(array_distinct(units), lit(0L),
+      (acc, x) => acc +
+        (size(filter(units, y => y === x)) - 1).cast("long") * length(x))
+    val totChars = aggregate(units, lit(0L), (acc, x) => acc + length(x))
+    dupChars.cast("double") / when(totChars =!= 0L, totChars)
+  }
+
+  /** Character share of the most frequent word `n`-gram:
+    * `count(top gram) · length(top gram) / length(text)` — Gopher's
+    * "top n-gram character fraction" (template spam and stutter loops
+    * concentrate mass in one gram). Ties break toward the
+    * lexicographically LARGEST gram (the `array_max` struct order —
+    * deterministic, mirrored by the oracle's `ORDER BY cnt DESC, gram
+    * DESC`). NULL on empty text.
+    */
+  def topNgramCharFraction(text: Column, n: Int): Column = {
+    val sh = shingles(text, n)
+    val best = array_max(transform(array_distinct(sh), x =>
+      struct(size(filter(sh, y => y === x)).cast("long").as("cnt"),
+        x.as("g"))))
+    (best.getField("cnt") * length(best.getField("g"))).cast("double") /
+      when(length(text) =!= 0, length(text))
+  }
+
   /** Gopher/MassiveText repetition-free quality rules (Rae et al. 2021,
     * §A1.1), each a per-row projection over integers with ONE final IEEE
     * division — exact cross-engine, zero shuffle. The composite

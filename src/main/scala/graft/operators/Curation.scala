@@ -295,4 +295,64 @@ object Curation {
       .withColumn("n_lines_total", size(col("__lines")))
       .drop("__lines", "__kept")
   }
+
+  /** CORPUS-LEVEL boilerplate line removal (the RefinedWeb/FineWeb line
+    * dedup step; Penedo et al. 2023 §3.3): a line that appears in at
+    * least `minDocFreq` DISTINCT documents is navigation/cookie/footer
+    * chrome, not content — strip every occurrence, keeping each doc's
+    * remaining lines in order. Complements [[c4LineClean]] (per-line
+    * LOCAL heuristics) and `TextDedup.duplicateSpans` (long shared
+    * passages): this is the frequency-based cross-corpus screen that
+    * catches short template lines neither of those can.
+    *
+    * Scale shape: ONE pass builds the line document-frequency table —
+    * distinct (doc, line) pairs then a line-keyed count agg, both with
+    * map-side partials; the frequent-line table is TINY by construction
+    * (boilerplate vocabulary, not corpus vocabulary — `minDocFreq`
+    * bounds it at `Σ docs / minDocFreq` lines) and BROADCASTS back into
+    * a left-anti join against the exploded (id, pos, line) rows, so the
+    * corpus is never shuffled for the filter itself. The only
+    * corpus-sized exchange is the per-doc reassembly aggregate —
+    * inherent to an operator whose OUTPUT is every document rewritten.
+    * A docs-count scalar rides a broadcast crossJoin (the
+    * [[domainQualityPrior]] convention) when `minDocFreqFraction` is
+    * used instead of the absolute floor.
+    *
+    * Determinism: counts are exact integers; reassembly sorts by the
+    * original line position — bit-exact in any engine.
+    *
+    * @return one row per input doc: `(<idCol>, clean_text,
+    *         n_lines_removed, n_lines_total)` — a doc that was ALL
+    *         boilerplate keeps a row with empty `clean_text`.
+    */
+  def stripBoilerplateLines(docs: DataFrame, idCol: String, textCol: String,
+      minDocFreq: Long, unitSep: String = "\n"): DataFrame = {
+    require(minDocFreq >= 2,
+      s"minDocFreq ($minDocFreq) must be >= 2 — at 1 every line is 'boilerplate'")
+    val lines = docs.select(col(idCol),
+      posexplode(split(col(textCol), java.util.regex.Pattern.quote(unitSep)))
+        .as(Seq("__pos", "__line")))
+    val frequent = lines.select(col(idCol), col("__line")).distinct()
+      .groupBy(col("__line")).agg(count(lit(1)).as("__df"))
+      .filter(col("__df") >= minDocFreq)
+      .select(col("__line"))
+    val kept = lines.join(broadcast(frequent), Seq("__line"), "left_anti")
+    docs.select(col(idCol),
+        size(split(col(textCol), java.util.regex.Pattern.quote(unitSep)))
+          .as("n_lines_total"))
+      .join(
+        kept.groupBy(col(idCol))
+          .agg(array_sort(collect_list(struct(col("__pos"), col("__line"))))
+            .as("__kl")),
+        Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(
+          array_join(transform(col("__kl"), s => s.getField("__line")),
+            unitSep),
+          lit("")).as("clean_text"),
+        (col("n_lines_total") -
+          coalesce(size(col("__kl")), lit(0))).cast("int")
+          .as("n_lines_removed"),
+        col("n_lines_total"))
+  }
 }

@@ -312,7 +312,24 @@ object Sampling {
     val weighted = stats
       .withColumn("wq", floor(w * lit(1048576.0)).cast("long"))
       .drop("__s", "__sq")
-    val key = graft.core.Windows.singlePartition(col(stratumCol))
+    seatAllocate(weighted, stratumCol, totalN, "neymanAllocation")
+      .select(col(stratumCol), col("n_rows"), col("wq"), col("alloc"))
+  }
+
+  /** The exact largest-remainder seat arithmetic shared by
+    * [[neymanAllocation]] and [[temperatureMix]]: `weighted` carries
+    * `(keyCol, n_rows, wq)` with `wq` a non-negative fixed-point weight;
+    * appends `alloc` = `(totalN · wq) div ΣW` base seats plus leftover
+    * seats by largest remainder (ties → key asc), capped at `n_rows`.
+    * Pure integer arithmetic — engine-exact within the guarded capacity.
+    * When EVERY weight floors to 0 the allocation is 0 across the board
+    * (weights undefined — round-10 ADVICE), not an arbitrary
+    * one-seat-per-key spread. Runs on the post-aggregate key-sized frame
+    * (single-partition window — the few-row exemption).
+    */
+  private def seatAllocate(weighted: DataFrame, keyCol: String,
+      totalN: Long, opName: String): DataFrame = {
+    val key = graft.core.Windows.singlePartition(col(keyCol))
     val win = Window.partitionBy(key)
     // Capacity guard (fails LOUDLY, the requireSmall discipline): the
     // seat arithmetic computes totalN·wq in longs, and wq ≈ N_h·S_h·2^20
@@ -323,37 +340,61 @@ object Sampling {
     // drop it and the output values are unchanged when in range.
     val wqGuard = coalesce(
       assert_true(col("wq") <= lit(Long.MaxValue / math.max(totalN, 1L)),
-        lit(s"neymanAllocation: fixed-point weight × budget ($totalN) " +
+        lit(s"$opName: fixed-point weight × budget ($totalN) " +
           "would overflow long — shrink the budget or rescale the values"))
         .cast("long"),
       lit(0L))
-    val alloc = weighted
+    weighted
       .withColumn("__W", sum(col("wq")).over(win))
       .withColumn("__base",
         when(col("__W") > 0, wqGuard + expr(s"($totalN * wq) div __W"))
           .otherwise(lit(0L)))
       .withColumn("__rem",
         when(col("__W") > 0, expr(s"($totalN * wq) % __W")).otherwise(lit(0L)))
-      // Degenerate corpus (round-10 ADVICE): when EVERY stratum's
-      // fixed-point weight floors to 0 (all-constant values), Neyman
-      // weights are undefined — allocate NOTHING rather than silently
-      // handing one seat each to the first totalN strata in key order
-      // (the old largest-remainder fallthrough). Σ alloc = 0 then, the
-      // same "can fall short, rerun deliberately" contract the
-      // saturation cap already documents.
       .withColumn("__left",
         when(col("__W") > 0, lit(totalN) - sum(col("__base")).over(win))
           .otherwise(lit(0L)))
       .withColumn("__pos", row_number().over(
         Window.partitionBy(key)
-          .orderBy(col("__rem").desc, col(stratumCol).asc)))
+          .orderBy(col("__rem").desc, col(keyCol).asc)))
       .withColumn("alloc",
         (col("__base") + when(col("__pos") <= col("__left"), 1L)
           .otherwise(0L))
-          // a stratum can never be asked for more rows than it has
+          // a key can never be asked for more rows than it has
           .cast("long"))
       .withColumn("alloc", least(col("alloc"), col("n_rows")))
-    alloc.select(col(stratumCol), col("n_rows"), col("wq"), col("alloc"))
+  }
+
+  /** Temperature-scaled domain mixing (the multilingual-LM α-sampling
+    * rule — Lample & Conneau 2019 §3.1; mT5/XLM-R's rebalancing):
+    * sampling weight `q_d ∝ p_d^α` with `p_d` the domain's corpus
+    * share, flattening the natural distribution so head domains stop
+    * drowning the tail while still outweighing it. α is FIXED at 0.5:
+    * `√x` is the one fractional power IEEE-754 defines correctly
+    * rounded, so `√n_d` is bit-identical on every engine — a general
+    * `pow(x, α)` is not, and a weights table that cannot be replayed
+    * exactly cannot be gate-certified (generalize via two nested sqrt
+    * for α = 0.25, etc.). The normalizing constant cancels in the
+    * allocation, so weights are `√n_d` directly, fixed-point floored,
+    * and the budget splits by the shared largest-remainder seat
+    * arithmetic ([[neymanAllocation]]'s) — exact, deterministic,
+    * saturation-capped.
+    *
+    * Scale: ONE count aggregate with map-side partials; everything
+    * after runs on the domain-sized frame.
+    *
+    * @return (domainCol, n_rows, wq — the √n fixed-point weight, alloc)
+    */
+  def temperatureMix(df: DataFrame, domainCol: String,
+      totalN: Long): DataFrame = {
+    require(totalN >= 0, s"totalN ($totalN) must be non-negative")
+    val weighted = df.groupBy(col(domainCol))
+      .agg(count(lit(1)).as("n_rows"))
+      .withColumn("wq",
+        floor(sqrt(col("n_rows").cast("double")) * lit(1048576.0))
+          .cast("long"))
+    seatAllocate(weighted, domainCol, totalN, "temperatureMix")
+      .select(col(domainCol), col("n_rows"), col("wq"), col("alloc"))
   }
 
   /** Materialize a per-stratum allocation (the [[neymanAllocation]]

@@ -873,7 +873,78 @@ object CurationQueries extends QueryModule {
         FROM documents d LEFT JOIN s USING (doc_id)
         ORDER BY d.doc_id
       """.trim),
-      bench = false))
+      bench = false),
+
+    // --- corpus-level boilerplate line removal (RefinedWeb/FineWeb line
+    // dedup, Penedo et al. 2023 §3.3): a line appearing in ≥ 75% of
+    // documents is template chrome and every occurrence is stripped,
+    // keeping in-doc order. The newline-free corpus gets a synthesized
+    // line structure: a SHARED header line on every doc (df = N →
+    // stripped), a shared footer on even doc_ids (df = N/2 → kept,
+    // proving the threshold selects), and the doc's own 8-token chunks
+    // (df ≈ 1 → kept). Frequency = distinct-doc count, exact; the
+    // frequent-line table broadcasts (it is boilerplate-sized by
+    // construction); reassembly sorts by original position. ---
+    GQuery(
+      "q192_boilerplate_lines",
+      (spark, dir) => {
+        import graft.operators.Curation
+        val d0 = Tables.docs(spark, dir).select(col("doc_id"), col("text"))
+        val tk = graft.functions.TextAnalysis.tokens(col("text"))
+        val nChunks = floor((size(tk) + lit(7)) / lit(8)).cast("int")
+        val chunks = transform(sequence(lit(0), nChunks - 1),
+          j => concat_ws(" ", slice(tk, j * 8 + lit(1), lit(8))))
+        val withChrome = d0.withColumn("text2",
+          concat_ws("\n",
+            concat(
+              array(lit("nav home about contact")),
+              when(col("doc_id") % 2 === 0,
+                array(lit("cookie notice accept decline")))
+                .otherwise(array().cast("array<string>")),
+              chunks)))
+        val n = d0.count()
+        Curation.stripBoilerplateLines(withChrome, "doc_id", "text2",
+            minDocFreq = math.ceil(0.75 * n).toLong)
+          .select(col("doc_id"), md5(col("clean_text")).as("clean_md5"),
+            col("n_lines_removed"), col("n_lines_total"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""
+        WITH tkr AS (
+          SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        ch AS (
+          SELECT doc_id,
+                 list_transform(range(0, CAST(floor((len(t) + 7) / 8) AS INT)),
+                   j -> array_to_string(list_slice(t, j*8 + 1, j*8 + 8), ' '))
+                   AS chunks
+          FROM tkr),
+        ln AS (
+          SELECT doc_id,
+                 list_concat(
+                   list_concat(
+                     ['nav home about contact'],
+                     CASE WHEN doc_id % 2 = 0
+                          THEN ['cookie notice accept decline']
+                          ELSE CAST([] AS VARCHAR[]) END),
+                   chunks) AS l
+          FROM ch),
+        thr AS (SELECT CAST(CEIL(0.75 * COUNT(*)) AS BIGINT) AS t
+                FROM documents),
+        per AS (SELECT DISTINCT doc_id, unnest(l) AS line FROM ln),
+        df AS (SELECT line, COUNT(*) AS c FROM per GROUP BY 1),
+        fl AS (SELECT COALESCE(list(line), CAST([] AS VARCHAR[])) AS bad
+               FROM df CROSS JOIN thr WHERE c >= thr.t)
+        SELECT ln.doc_id,
+               md5(array_to_string(
+                 list_filter(ln.l, x -> NOT list_contains(fl.bad, x)),
+                 chr(10))) AS clean_md5,
+               CAST(len(ln.l) - len(list_filter(ln.l,
+                 x -> NOT list_contains(fl.bad, x))) AS INT)
+                 AS n_lines_removed,
+               CAST(len(ln.l) AS INT) AS n_lines_total
+        FROM ln CROSS JOIN fl
+        ORDER BY ln.doc_id
+      """.trim)))
 
   /** Shared q148/q149 oracle: unroll the 4 training rounds, read each
     * word's token list off the final state, and rebuild every document's

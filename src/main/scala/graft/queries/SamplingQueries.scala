@@ -718,6 +718,44 @@ object SamplingQueries extends QueryModule {
         WHERE sel.rn <= a.alloc
         ORDER BY sel.o_orderpriority, take_rank
       """.trim),
-      bench = false)
+      bench = false),
+
+    // --- temperature-scaled domain mixing (Lample & Conneau 2019 §3.1,
+    // the multilingual-LM α-sampling rule at α = 0.5): per-source doc
+    // counts → √n fixed-point weights (sqrt is IEEE-correctly-rounded,
+    // so the weights table replays bit-exactly in any engine — the
+    // reason α is fixed rather than a free pow()) → the SAME
+    // largest-remainder seat arithmetic q187 certifies. A 500-doc
+    // budget over the documents table's source domains: head sources
+    // flatten, tail sources gain — the full (count, weight, allocation)
+    // table is hash-certified. ---
+    GQuery(
+      "q191_temperature_mix",
+      (spark, dir) =>
+        graft.operators.Sampling.temperatureMix(
+            t(spark, dir, "documents"), "source", totalN = 500L)
+          .orderBy(col("source")),
+      Some("""
+        WITH st AS (
+          SELECT source, CAST(COUNT(*) AS BIGINT) AS n_rows
+          FROM documents GROUP BY 1),
+        w AS (
+          SELECT source, n_rows,
+                 CAST(FLOOR(sqrt(CAST(n_rows AS DOUBLE)) * 1048576.0)
+                   AS BIGINT) AS wq
+          FROM st),
+        t AS (SELECT *, SUM(wq) OVER () AS W FROM w),
+        b AS (SELECT source, n_rows, wq,
+                     CASE WHEN W > 0 THEN (500 * wq) // W ELSE 0 END AS base,
+                     CASE WHEN W > 0 THEN (500 * wq) % W ELSE 0 END AS rem
+              FROM t),
+        l AS (SELECT *, 500 - SUM(base) OVER () AS leftn,
+                     ROW_NUMBER() OVER (ORDER BY rem DESC, source ASC) AS pos
+              FROM b)
+        SELECT source, n_rows, wq,
+               CAST(LEAST(base + CASE WHEN pos <= leftn THEN 1 ELSE 0 END,
+                          n_rows) AS BIGINT) AS alloc
+        FROM l ORDER BY source
+      """.trim))
   )
 }

@@ -1980,7 +1980,99 @@ object TextQueries extends QueryModule {
                  AS clean_mixed
         FROM b ORDER BY doc_id
       """.trim),
-      bench = false)
+      bench = false),
+
+    // --- Gopher duplicate-unit repetition signals (Rae et al. 2021,
+    // §A1.1's "repetitious text" table, line grade): fraction of
+    // duplicated lines, fraction of CHARACTERS inside duplicate line
+    // occurrences, and the character share of the top word bigram /
+    // trigram. The synthetic corpus is newline-free, so "lines" are
+    // synthesized as fixed 8-token chunks (identical arithmetic in both
+    // engines), and docs with doc_id % 3 == 0 get their first two
+    // chunks RE-APPENDED — planted duplicate mass with known exact
+    // fractions, so the dup columns are provably non-degenerate. Every
+    // signal is a per-row projection over exact integers with one final
+    // IEEE division (zero shuffle at any corpus size); round(…, 6) for
+    // decimal-rendering parity. ---
+    GQuery(
+      "q190_repetition_signals",
+      (spark, dir) => {
+        val d = Tables.docs(spark, dir).select(col("doc_id"), col("text"))
+        val tk = TextAnalysis.tokens(col("text"))
+        val nChunks = floor((size(tk) + lit(7)) / lit(8)).cast("int")
+        val chunks = transform(sequence(lit(0), nChunks - 1),
+          j => concat_ws(" ", slice(tk, j * 8 + lit(1), lit(8))))
+        val lines = when(col("doc_id") % 3 === 0,
+          concat(chunks, slice(chunks, 1, 2))).otherwise(chunks)
+        d.select(col("doc_id"),
+            round(TextAnalysis.dupUnitFraction(lines), 6)
+              .as("dup_line_frac_r"),
+            round(TextAnalysis.dupUnitCharFraction(lines), 6)
+              .as("dup_char_frac_r"),
+            round(TextAnalysis.topNgramCharFraction(col("text"), 2), 6)
+              .as("top2_frac_r"),
+            round(TextAnalysis.topNgramCharFraction(col("text"), 3), 6)
+              .as("top3_frac_r"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""
+        WITH tkr AS (
+          SELECT doc_id, text, string_split(text, ' ') AS t FROM documents),
+        ch AS (
+          SELECT doc_id, text,
+                 list_transform(range(0, CAST(floor((len(t) + 7) / 8) AS INT)),
+                   j -> array_to_string(list_slice(t, j*8 + 1, j*8 + 8), ' '))
+                   AS chunks
+          FROM tkr),
+        ln AS (
+          SELECT doc_id, text,
+                 CASE WHEN doc_id % 3 = 0
+                      THEN list_concat(chunks, chunks[1:2])
+                      ELSE chunks END AS l
+          FROM ch),
+        per AS (SELECT doc_id, unnest(l) AS line FROM ln),
+        cnt AS (SELECT doc_id, line, COUNT(*) AS c, LENGTH(line) AS len
+                FROM per GROUP BY 1, 2),
+        aggd AS (SELECT doc_id, SUM(c) AS nl, SUM(c - 1) AS dl,
+                        SUM(c * len) AS nc, SUM((c - 1) * len) AS dc
+                 FROM cnt GROUP BY 1),
+        tkl AS (
+          SELECT doc_id, string_split(lower(text), ' ') AS tk FROM documents),
+        sh2 AS (
+          SELECT doc_id,
+                 unnest(list_transform(
+                   generate_series(1, greatest(len(tk) - 1, 1)),
+                   i -> concat_ws(' ', tk[i], tk[i+1]))) AS gram
+          FROM tkl),
+        c2 AS (SELECT doc_id, gram, COUNT(*) AS c FROM sh2 GROUP BY 1, 2),
+        t2 AS (SELECT doc_id, gram, c,
+                      ROW_NUMBER() OVER (PARTITION BY doc_id
+                        ORDER BY c DESC, gram DESC) AS rn
+               FROM c2),
+        sh3 AS (
+          SELECT doc_id,
+                 unnest(list_transform(
+                   generate_series(1, greatest(len(tk) - 2, 1)),
+                   i -> concat_ws(' ', tk[i], tk[i+1], tk[i+2]))) AS gram
+          FROM tkl),
+        c3 AS (SELECT doc_id, gram, COUNT(*) AS c FROM sh3 GROUP BY 1, 2),
+        t3 AS (SELECT doc_id, gram, c,
+                      ROW_NUMBER() OVER (PARTITION BY doc_id
+                        ORDER BY c DESC, gram DESC) AS rn
+               FROM c3)
+        SELECT a.doc_id,
+               round(CAST(a.dl AS DOUBLE) / a.nl, 6) AS dup_line_frac_r,
+               round(CAST(a.dc AS DOUBLE) / a.nc, 6) AS dup_char_frac_r,
+               round(CAST(t2.c * LENGTH(t2.gram) AS DOUBLE)
+                 / LENGTH(d.text), 6) AS top2_frac_r,
+               round(CAST(t3.c * LENGTH(t3.gram) AS DOUBLE)
+                 / LENGTH(d.text), 6) AS top3_frac_r
+        FROM aggd a
+        JOIN documents d USING (doc_id)
+        JOIN t2 ON t2.doc_id = a.doc_id AND t2.rn = 1
+        JOIN t3 ON t3.doc_id = a.doc_id AND t3.rn = 1
+        ORDER BY a.doc_id
+      """.trim))
   )
 
   /** The planted confusable substitution (latin → Cyrillic lookalikes),

@@ -1,0 +1,101 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+import graft.operators.Bucketing
+
+/** Gopher duplicate-unit repetition signals (Rae et al. 2021 §A1.1) and
+  * the temperature-mix allocation: hand-computed exact values, edge
+  * cases, and the zero-shuffle/one-aggregate plan contracts.
+  */
+class RepetitionSignalsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("dupUnitFraction / dupUnitCharFraction: hand-computed exact values") {
+    import spark.implicits._
+    // lines: "aaaa" ×3 (4 chars), "bb" ×1, "c" ×2 → 6 lines, 3 distinct.
+    // dup lines = 6 − 3 = 3 → 0.5.
+    // chars: total = 3·4 + 2 + 2·1 = 16; dup = 2·4 + 1·1 = 9 → 0.5625.
+    val df = Seq(Tuple1(Seq("aaaa", "bb", "aaaa", "c", "aaaa", "c")))
+      .toDF("l")
+    val r = df.select(
+      TextAnalysis.dupUnitFraction(col("l")).as("f"),
+      TextAnalysis.dupUnitCharFraction(col("l")).as("cf")).collect()(0)
+    assert(r.getDouble(0) == 0.5)
+    assert(r.getDouble(1) == 9.0 / 16.0)
+    // no duplicates → both 0; empty array → both NULL (not a divide-by-0)
+    val clean = Seq(Tuple1(Seq("x", "y"))).toDF("l").select(
+      TextAnalysis.dupUnitFraction(col("l")),
+      TextAnalysis.dupUnitCharFraction(col("l"))).collect()(0)
+    assert(clean.getDouble(0) == 0.0 && clean.getDouble(1) == 0.0)
+    val empty = Seq(Tuple1(Seq.empty[String])).toDF("l").select(
+      TextAnalysis.dupUnitFraction(col("l")),
+      TextAnalysis.dupUnitCharFraction(col("l"))).collect()(0)
+    assert(empty.isNullAt(0) && empty.isNullAt(1))
+    // all-empty units: char denominator 0 → NULL, line fraction defined
+    val emptyUnits = Seq(Tuple1(Seq("", ""))).toDF("l").select(
+      TextAnalysis.dupUnitFraction(col("l")),
+      TextAnalysis.dupUnitCharFraction(col("l"))).collect()(0)
+    assert(emptyUnits.getDouble(0) == 0.5 && emptyUnits.isNullAt(1))
+  }
+
+  test("topNgramCharFraction: top gram by (count, gram) with exact char share") {
+    import spark.implicits._
+    // "ab ab ab cd" → bigrams: "ab ab"×2, "ab cd"×1 → top = "ab ab"
+    // (5 chars, count 2) over 11 text chars → 10/11.
+    val df = Seq(Tuple1("ab ab ab cd")).toDF("t")
+    val r = df.select(
+      TextAnalysis.topNgramCharFraction(col("t"), 2)).collect()(0)
+    assert(r.getDouble(0) == 10.0 / 11.0)
+    // count tie ("x y"×1, "y x"×1): largest gram wins — "y x".
+    val tie = Seq(Tuple1("x y x")).toDF("t").select(
+      TextAnalysis.topNgramCharFraction(col("t"), 2)).collect()(0)
+    assert(tie.getDouble(0) == 3.0 / 5.0) // either gram is 3 chars, count 1
+  }
+
+  test("signals are zero-shuffle row-local projections over the real corpus") {
+    val d = spark.read.parquet(s"${TestSpark.SfDir}/documents.parquet")
+    val proj = d.select(col("doc_id"),
+      TextAnalysis.dupUnitFraction(split(col("text"), " ")).as("f"),
+      TextAnalysis.dupUnitCharFraction(split(col("text"), " ")).as("cf"),
+      TextAnalysis.topNgramCharFraction(col("text"), 2).as("t2"))
+    assert(Bucketing.exchangeCount(proj) == 0,
+      "repetition signals must be pure row-local projections")
+    val rows = proj.collect()
+    assert(rows.length == d.count())
+    rows.foreach { r =>
+      if (!r.isNullAt(1))
+        assert(r.getDouble(1) >= 0.0 && r.getDouble(1) <= 1.0)
+      if (!r.isNullAt(3))
+        assert(r.getDouble(3) >= 0.0 && r.getDouble(3) <= 1.0)
+    }
+  }
+
+  test("temperatureMix: √n flattening, exact budget, one aggregate") {
+    import spark.implicits._
+    import graft.operators.Sampling
+    // Domains 1600/400/100/... docs: proportional shares 16:4:1 flatten
+    // to √n = 40:20:10 → allocations 4:2:1 (exact at budget 70).
+    val df = (Seq.fill(1600)("head") ++ Seq.fill(400)("mid") ++
+      Seq.fill(100)("tail")).map(Tuple1(_)).toDF("dom")
+    val a = Sampling.temperatureMix(df, "dom", totalN = 70L)
+      .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(a == Map("head" -> 40L, "mid" -> 20L, "tail" -> 10L),
+      s"√n weights 40:20:10 must split 70 exactly 4:2:1, got $a")
+    // budget conservation when no domain saturates
+    val a2 = Sampling.temperatureMix(df, "dom", totalN = 33L)
+      .collect().map(_.getLong(3)).sum
+    assert(a2 == 33L, "largest-remainder must allocate the exact budget")
+    // saturation: a domain is never asked for more rows than it has
+    val a3 = Sampling.temperatureMix(df, "dom", totalN = 2200L)
+      .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(a3.values.forall(_ >= 0) && a3("tail") <= 100L)
+    // plan: one count aggregate (partial + final exchange) feeds a
+    // key-sized single-partition window — no corpus-sized window
+    val plan = Sampling.temperatureMix(df, "dom", 70L)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"))
+  }
+}

@@ -591,4 +591,38 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(got((3L, 1))._2 ==
       md5(java.util.Arrays.copyOfRange(bytes, 3, 7)))
   }
+
+  test("stripBoilerplateLines: df-thresholded chrome strips everywhere, order kept, all-chrome doc survives empty") {
+    import spark.implicits._
+    // "nav" in 3 of 4 docs (df 3), "foot" in 2 (df 2), content unique.
+    val docs = Seq(
+      (1L, "nav\nalpha one\nfoot\nbeta two"),
+      (2L, "nav\ngamma three\nfoot"),
+      (3L, "nav\ndelta four"),
+      (4L, "epsilon five\nnav is content here")).toDF("doc_id", "text")
+    val out = graft.operators.Curation
+      .stripBoilerplateLines(docs, "doc_id", "text", minDocFreq = 3)
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), r.getInt(2), r.getInt(3))).toMap
+    // df("nav") = 3 ≥ 3 → stripped; df("foot") = 2 < 3 → kept; the
+    // similar-but-different line "nav is content here" is untouched.
+    assert(out(1L) == (("alpha one\nfoot\nbeta two", 1, 4)))
+    assert(out(2L) == (("gamma three\nfoot", 1, 3)))
+    assert(out(3L) == (("delta four", 1, 2)))
+    assert(out(4L) == (("epsilon five\nnav is content here", 0, 2)))
+    // a doc that is ALL boilerplate keeps its row with empty clean_text
+    val allChrome = docs.unionByName(Seq((5L, "nav")).toDF("doc_id", "text"))
+    val out5 = graft.operators.Curation
+      .stripBoilerplateLines(allChrome, "doc_id", "text", minDocFreq = 4)
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getInt(2))).toMap
+    assert(out5(5L) == (("", 1)), s"all-chrome doc must survive empty: $out5")
+    assert(out5.size == 5)
+    // the frequent-line join side must be a broadcast (corpus never
+    // shuffles for the FILTER; the reassembly agg is the only
+    // corpus-sized exchange)
+    val plan = graft.operators.Curation
+      .stripBoilerplateLines(docs, "doc_id", "text", minDocFreq = 3)
+    assert(Bucketing.broadcastCount(plan) >= 1,
+      "frequent-line table must broadcast into the anti-join")
+  }
 }

@@ -200,7 +200,19 @@ class GatePlanSpec extends AnyFunSuite {
     "q188_benford" -> (3, 0),
     // q189 = the allocation chain + one keyed take window + broadcast
     // quota join + sort
-    "q189_neyman_take" -> (6, 1))
+    "q189_neyman_take" -> (6, 1),
+    // round-10 additions. q190 = pure row-local repetition projections
+    // + sort (the docs spread) — text never rides an exchange; q191 =
+    // one domain count agg + two single-partition windows over the
+    // DOMAIN-SIZED frame + sort (the q187 seat-arithmetic shape)
+    "q190_repetition_signals" -> (2, 0),
+    "q191_temperature_mix" -> (5, 0),
+    // q192 = docs spread + distinct-(doc,line) + line-df agg feeding the
+    // BROADCAST anti-join (2 broadcasts incl. the threshold scalar) +
+    // the one inherent reassembly agg + join-back + sort — the corpus
+    // never shuffles for the filter itself (CurationOpsSpec pins the
+    // broadcast)
+    "q192_boilerplate_lines" -> (7, 2))
 
   test("q107's ORC read-back pushes its predicate and projection into the scan") {
     import org.apache.spark.sql.functions.col
