@@ -309,14 +309,15 @@ object Curation {
     * distinct (doc, line) pairs then a line-keyed count agg, both with
     * map-side partials; the frequent-line table is TINY by construction
     * (boilerplate vocabulary, not corpus vocabulary — `minDocFreq`
-    * bounds it at `Σ docs / minDocFreq` lines) and BROADCASTS back into
-    * a left-anti join against the exploded (id, pos, line) rows, so the
-    * corpus is never shuffled for the filter itself. The only
+    * bounds it at `Σ doc-lines / minDocFreq` rows) and BROADCASTS back
+    * into a left-anti join against the exploded (id, pos, line) rows,
+    * so the corpus is never shuffled for the filter itself. That
+    * small-by-construction contract is ENFORCED, not assumed: a
+    * `Broadcasting.requireSmall` guard fails loudly if a templated
+    * corpus (or a too-low `minDocFreq`) makes the frequent-line table
+    * corpus-vocabulary-sized, instead of OOMing the driver. The only
     * corpus-sized exchange is the per-doc reassembly aggregate —
     * inherent to an operator whose OUTPUT is every document rewritten.
-    * A docs-count scalar rides a broadcast crossJoin (the
-    * [[domainQualityPrior]] convention) when `minDocFreqFraction` is
-    * used instead of the absolute floor.
     *
     * Determinism: counts are exact integers; reassembly sorts by the
     * original line position — bit-exact in any engine.
@@ -326,7 +327,8 @@ object Curation {
     *         boilerplate keeps a row with empty `clean_text`.
     */
   def stripBoilerplateLines(docs: DataFrame, idCol: String, textCol: String,
-      minDocFreq: Long, unitSep: String = "\n"): DataFrame = {
+      minDocFreq: Long, unitSep: String = "\n",
+      maxBroadcastRows: Long = Broadcasting.DefaultMaxRows): DataFrame = {
     require(minDocFreq >= 2,
       s"minDocFreq ($minDocFreq) must be >= 2 — at 1 every line is 'boilerplate'")
     val lines = docs.select(col(idCol),
@@ -336,6 +338,8 @@ object Curation {
       .groupBy(col("__line")).agg(count(lit(1)).as("__df"))
       .filter(col("__df") >= minDocFreq)
       .select(col("__line"))
+    Broadcasting.requireSmall(frequent, "stripBoilerplateLines frequent-line table",
+      maxBroadcastRows)
     val kept = lines.join(broadcast(frequent), Seq("__line"), "left_anti")
     docs.select(col(idCol),
         size(split(col(textCol), java.util.regex.Pattern.quote(unitSep)))

@@ -48,6 +48,10 @@ object Graph {
     * before anything leaves the operator, so outputs stay bit-identical
     * to the string-keyed iterate (GraphSpec pins the parity).
     *
+    * Input contract: a single StringType `node` column — both operators
+    * cast src/dst to string at entry, so any caller key type arrives
+    * here normalized (the getString below is safe by construction).
+    *
     * @return (node string, nid long), one row per distinct node
     */
   private def nodeDict(nodes: DataFrame): DataFrame = {
@@ -120,10 +124,15 @@ object Graph {
     // dict is CHECKPOINTED, not lazily persisted: it outlives the string
     // edges it derives from, and a cache-evicted persist would try to
     // recompute through the reaped handle.
-    val (dict, dictHandle) = eagerCheckpoint(nodeDict(
-      eStr.select(col("src").as("node"))
-        .unionByName(eStr.select(col("dst").as("node")))
-        .distinct()))
+    // The node frame persists across zipWithIndex's eager
+    // partition-offsets job and the checkpoint's materialization —
+    // without the pin the corpus-edge-sized distinct runs TWICE
+    // (review finding, round 10).
+    val nodeStrs = eStr.select(col("src").as("node"))
+      .unionByName(eStr.select(col("dst").as("node")))
+      .distinct().persist()
+    val (dict, dictHandle) = eagerCheckpoint(nodeDict(nodeStrs))
+    nodeStrs.unpersist(blocking = false)
     val (e, eHandle) = eagerCheckpoint(
       eStr
         .join(dict.select(col("node").as("src"), col("nid").as("__sid")), "src")
@@ -222,8 +231,9 @@ object Graph {
     // strings — the lexicographic min tie-break is part of the contract.
     // Symmetric closure ⇒ every node appears as src, so one side covers
     // the node set.
-    val (dict, dictHandle) = eagerCheckpoint(nodeDict(
-      undStr.select(col("src").as("node")).distinct()))
+    val nodeStrs = undStr.select(col("src").as("node")).distinct().persist()
+    val (dict, dictHandle) = eagerCheckpoint(nodeDict(nodeStrs))
+    nodeStrs.unpersist(blocking = false)
     val (und, undHandle) = eagerCheckpoint(
       undStr
         .join(dict.select(col("node").as("src"), col("nid").as("__sid")), "src")

@@ -98,18 +98,32 @@ object Similarity {
         .select(col("query_id"), col("neighbor_id"), col(scoreName), col("rank"))
     } else {
       val floating = scoreType == DoubleType || scoreType == FloatType
+      // Ascending floats negate before encoding (exact: IEEE negation is
+      // a sign-bit flip), EXCEPT NaN — negation leaves NaN "largest", so
+      // a plain -d encoding would rank NaN FIRST where the ascending
+      // window form ranks it LAST (Spark sorts NaN greatest). NaN maps
+      // to the Long.MinValue sentinel instead: the codec itself never
+      // produces it (doubleToLongBits canonicalizes every NaN to
+      // 0x7ff8…, and no raw-bits input reaches MinValue), so the
+      // mapping is unambiguous and decodes back to NaN exactly.
       val ord =
         if (floating) {
           val d = col(scoreName).cast("double")
-          SortableBits.double_sortable_bits(if (ascending) -d else d)
+          if (ascending)
+            when(isnan(d), lit(Long.MinValue))
+              .otherwise(SortableBits.double_sortable_bits(-d))
+          else SortableBits.double_sortable_bits(d)
         } else {
           val l = col(scoreName).cast("long")
           if (ascending) bitwise_not(l) else l
         }
       val recovered =
         if (floating) {
-          val d = SortableBits.sortable_bits_double(col("__p.ord"))
-          (if (ascending) -d else d).cast(scoreType)
+          val dec = SortableBits.sortable_bits_double(col("__p.ord"))
+          (if (ascending)
+            when(col("__p.ord") === Long.MinValue, lit(Double.NaN))
+              .otherwise(-dec)
+          else dec).cast(scoreType)
         } else {
           (if (ascending) bitwise_not(col("__p.ord")) else col("__p.ord"))
             .cast(scoreType)

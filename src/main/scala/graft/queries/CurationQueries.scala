@@ -944,7 +944,10 @@ object CurationQueries extends QueryModule {
                CAST(len(ln.l) AS INT) AS n_lines_total
         FROM ln CROSS JOIN fl
         ORDER BY ln.doc_id
-      """.trim)))
+      """.trim),
+      // certification surface; also runs a driver-side count() per
+      // evaluation for the fraction threshold — rides Verify only
+      bench = false))
 
   /** Shared q148/q149 oracle: unroll the 4 training rounds, read each
     * word's token list off the final state, and rebuild every document's

@@ -756,6 +756,9 @@ object SamplingQueries extends QueryModule {
                CAST(LEAST(base + CASE WHEN pos <= leftn THEN 1 ELSE 0 END,
                           n_rows) AS BIGINT) AS alloc
         FROM l ORDER BY source
-      """.trim))
+      """.trim),
+      // certification surface (one count agg — q187's already-benched
+      // seat shape); rides Verify only — bench-tail policy
+      bench = false)
   )
 }

@@ -2072,7 +2072,10 @@ object TextQueries extends QueryModule {
         JOIN t2 ON t2.doc_id = a.doc_id AND t2.rn = 1
         JOIN t3 ON t3.doc_id = a.doc_id AND t3.rn = 1
         ORDER BY a.doc_id
-      """.trim))
+      """.trim),
+      // certification surface (per-row projection throughput is q110's
+      // already-benched shape); rides Verify only — bench-tail policy
+      bench = false)
   )
 
   /** The planted confusable substitution (latin → Cyrillic lookalikes),

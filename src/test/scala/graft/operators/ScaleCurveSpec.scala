@@ -396,4 +396,27 @@ class ScaleCurveSpec extends AnyFunSuite {
         d.filter($"doc_id" % 2 === 0), d.filter($"doc_id" % 2 =!= 0), "text")
     curve("token_drift_tv", op, docs, amp)
   }
+
+  test("heap-tail brute-force ANN scales ~linearly over a 10x corpus") {
+    // The round-10 tail swap's empirical half (AnnTopKTailSpec pins the
+    // no-WindowExec plan fact and window parity): a FIXED query set
+    // against a growing corpus. Each scored candidate crosses the heap
+    // aggregate's partial side but only ≤ k pairs per (task, query)
+    // cross the exchange, so 10x corpus = 10x scan/score work at the
+    // SAME exchange count — while the replaced window form would park
+    // each query's 10x candidate set in one partition for a full sort.
+    // Amplified copies are array ROTATIONS (distinct content, norms
+    // preserved), the vector-side ampText convention.
+    val embs = spark.read.parquet(s"$Sf/embeddings.parquet")
+      .select($"vec_id", $"embedding")
+    val queries = embs.filter($"vec_id" < 8)
+    val amp = (0 until Amp).map(i => embs.select(
+        ($"vec_id" + lit(i * 1000000L)).as("vec_id"),
+        concat(slice($"embedding", i + 1, 64 - i),
+          slice($"embedding", 1, i)).as("embedding")))
+      .reduce(_ unionByName _)
+    def op(d: DataFrame): DataFrame =
+      Similarity.bruteForceTopK(queries, d, "vec_id", "embedding", 64, k = 10)
+    curve("heap_tail_bruteforce", op, embs, amp)
+  }
 }
