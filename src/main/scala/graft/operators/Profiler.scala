@@ -162,4 +162,44 @@ object Profiler {
     5 -> 0.07918124604762482, 6 -> 0.06694678963061322,
     7 -> 0.05799194697768673, 8 -> 0.05115252244738129,
     9 -> 0.04575749056067514)
+
+  /** Spearman rank correlation between two columns — the monotone-
+    * association screen a curation pipeline runs to calibrate one quality
+    * signal against another (does the LM score track the heuristic
+    * score? does length track engagement?) without assuming linearity.
+    *
+    * DETERMINISTIC-RANK variant: ranks are the global position under the
+    * total order `(value, id)` — ties broken by the unique id, every
+    * rank distinct — so `ρ = 1 − 6·Σd² / (n(n²−1))` is EXACT (the
+    * classic formula assumes distinct ranks; the average-rank tie
+    * treatment would make it approximate) and the whole computation is
+    * engine-replayable: integer ranks, an exact decimal Σd²
+    * (`decimal(38,0)` — d² can exceed long range past n ≈ 3·10⁹ rows),
+    * and ONE fixed IEEE expression for ρ.
+    *
+    * Scale: each ranking is [[SurrogateKeys.sequential]]'s narrow
+    * range-partitioned zipWithIndex — no single-partition global window
+    * ever sees the table; the final Σ is one aggregate with map-side
+    * partials. `idCol` MUST be unique (the SurrogateKeys assumeUnique
+    * contract); NULL x/y rows are excluded (pairwise-complete, the SQL
+    * convention).
+    *
+    * @return one row: `(n, sum_d2 decimal(38,0), rho)`
+    */
+  def spearmanRank(df: DataFrame, xCol: String, yCol: String,
+      idCol: String): DataFrame = {
+    val base = df.select(col(idCol), col(xCol), col(yCol))
+      .filter(col(xCol).isNotNull && col(yCol).isNotNull)
+    val rx = SurrogateKeys.sequential(base, "__rx",
+      Seq(col(xCol), col(idCol)), assumeUnique = true)
+    val rxy = SurrogateKeys.sequential(rx, "__ry",
+      Seq(col(yCol), col(idCol)), assumeUnique = true)
+    val d = (col("__rx") - col("__ry")).cast("decimal(19,0)")
+    val nD = col("n").cast("double")
+    rxy.agg(count(lit(1)).as("n"),
+        sum((d * d).cast("decimal(38,0)")).as("sum_d2"))
+      .select(col("n"), col("sum_d2"),
+        (lit(1.0) - lit(6.0) * col("sum_d2").cast("double") /
+          (nD * (nD * nD - lit(1.0)))).as("rho"))
+  }
 }

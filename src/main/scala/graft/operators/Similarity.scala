@@ -1474,6 +1474,63 @@ object Similarity {
     }
     graft.core.Caching.reap(selected, cand, sims)
   }
+
+  /** Recall@k of an approximate ANN result against ground truth — the
+    * evaluation every tier of the ladder (int8, PQ, Hamming, IVF
+    * pruning) is tuned by. Both inputs carry the tail contract's
+    * `(query_id, neighbor_id, rank)`; per query the recall is
+    * `|approx ∩ truth within rank ≤ k| / |truth within rank ≤ k|`
+    * (denominator = the truth group size, so a query with fewer than k
+    * true neighbors is scored against what exists, never diluted).
+    * Exact integer math + one IEEE division; one join + one aggregate,
+    * both |queries|·k-sized — never corpus-sized.
+    */
+  def recallAtK(approx: DataFrame, truth: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, s"k ($k) must be positive")
+    val a = approx.filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), lit(1).as("__hit"))
+    truth.filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"))
+      .join(a, Seq("query_id", "neighbor_id"), "left")
+      .groupBy(col("query_id"))
+      .agg(count(lit(1)).as("n_truth"),
+        sum(coalesce(col("__hit"), lit(0))).cast("long").as("n_hit"))
+      .withColumn("recall",
+        col("n_hit").cast("double") / col("n_truth"))
+  }
+
+  /** Matryoshka prefix truncation + L2 renormalization (Kusupati et al.
+    * 2022, MRL): an MRL-trained embedding's first `dimPrefix` dimensions
+    * are themselves a valid lower-capacity embedding, so truncating and
+    * renormalizing buys a dim/dimPrefix memory/compute cut with
+    * graceful recall decay — the cheapest tier of the ANN ladder (above
+    * it: int8, PQ, sign bits). A zero-shuffle row-local projection;
+    * renormalization divides by the PREFIX norm (sqrt of the exact
+    * index-order dot fold), so outputs are unit vectors in the
+    * truncated space. A zero prefix (norm 0) yields NULL elements,
+    * never a division blow-up into ±Infinity rankings.
+    */
+  def truncateRenorm(v: Column, dimPrefix: Int): Column = {
+    require(dimPrefix >= 1, s"dimPrefix ($dimPrefix) must be positive")
+    val p = slice(asDouble(v), 1, dimPrefix)
+    val n = sqrt(graft.functions.VectorFunctions.dot_product(p, p))
+    transform(p, x => x / when(n =!= 0.0, n))
+  }
+
+  /** Brute-force cosine top-k in the truncated Matryoshka space: cosine
+    * is scale-invariant, so ranking truncated-then-renormalized vectors
+    * equals ranking the raw prefixes — the renorm is a STORAGE contract
+    * ([[truncateRenorm]]), not a ranking step, and this path scores raw
+    * prefixes directly (one less pass). Same tail/plan shape as
+    * [[bruteForceTopK]] at dim = dimPrefix.
+    */
+  def matryoshkaTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+      vecCol: String, dimPrefix: Int, k: Int): DataFrame = {
+    def trunc(df: DataFrame) = df.select(col(idCol),
+      slice(asDouble(col(vecCol)), 1, dimPrefix).as(vecCol))
+    bruteForceTopK(trunc(queries), trunc(corpus), idCol, vecCol,
+      dimPrefix, k)
+  }
 }
 
 /** Result of [[Similarity.dedupVectors]]: verified cosine near-dup `pairs`

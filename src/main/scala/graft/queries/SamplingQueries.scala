@@ -759,6 +759,42 @@ object SamplingQueries extends QueryModule {
       """.trim),
       // certification surface (one count agg — q187's already-benched
       // seat shape); rides Verify only — bench-tail policy
+      bench = false),
+
+    // --- Spearman rank correlation, deterministic-rank variant: ranks
+    // are the global position under (value, id) — ties broken by the
+    // unique key, every rank distinct — so the classic
+    // ρ = 1 − 6Σd²/(n(n²−1)) is EXACT and both engines replay it
+    // bit-for-bit: integer ranks (the narrow zipWithIndex path, never a
+    // single-partition global window), decimal-exact Σd², one fixed
+    // IEEE expression. Price rank vs date rank over orders ≈ 0 (they
+    // are independent by construction — the gate certifies arithmetic,
+    // the spec certifies monotone extremes). ---
+    GQuery(
+      "q194_spearman",
+      (spark, dir) =>
+        graft.operators.Profiler.spearmanRank(
+            t(spark, dir, "orders"), "o_totalprice", "o_orderdate",
+            "o_orderkey")
+          .select(col("n"), col("sum_d2").cast("double").as("sum_d2_d"),
+            round(col("rho"), 9).as("rho_r")),
+      Some("""
+        WITH b AS (SELECT o_orderkey AS id, o_totalprice AS x,
+                          o_orderdate AS y FROM orders),
+        r AS (SELECT id,
+                     CAST(ROW_NUMBER() OVER (ORDER BY x, id) AS BIGINT) AS rx,
+                     CAST(ROW_NUMBER() OVER (ORDER BY y, id) AS BIGINT) AS ry
+              FROM b),
+        a AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                     SUM(CAST(rx - ry AS DECIMAL(19,0))
+                         * CAST(rx - ry AS DECIMAL(19,0))) AS sum_d2
+              FROM r)
+        SELECT n, CAST(sum_d2 AS DOUBLE) AS sum_d2_d,
+               round(1.0 - 6.0 * CAST(sum_d2 AS DOUBLE)
+                 / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+                    - 1.0)), 9) AS rho_r
+        FROM a
+      """.trim),
       bench = false)
   )
 }

@@ -1301,7 +1301,102 @@ object VectorQueries extends QueryModule {
       // benched since round 10 (VERDICT item): the IVF-assign + heap-agg
       // composite is an expensive shape whose plan regressions were
       // invisible while it rode Verify only
-      bench = true)
+      bench = true),
+
+    // --- ANN recall@k evaluation: the measurement every approximate
+    // tier is tuned by, as an operator — per query,
+    // |approx ∩ truth| / |truth| at rank ≤ k. Certified end to end by
+    // replaying BOTH pipelines (sign-bit Hamming as the approximate
+    // tier, float brute force as truth — the q122/q70 oracles) and the
+    // exact intersection arithmetic. ---
+    GQuery(
+      "q193_ann_recall",
+      (spark, dir) => {
+        val e = Tables.embs(spark, dir)
+        val q = e.filter(col("vec_id") < 8)
+        val approx = Similarity.hammingTopK(q, e, "vec_id", "embedding",
+          Dim, k = 10)
+        val truth = Similarity.bruteForceTopK(q, e, "vec_id", "embedding",
+          Dim, k = 10)
+        Similarity.recallAtK(approx, truth, k = 10)
+          .orderBy(col("query_id"))
+      },
+      Some("""
+        WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        words AS (
+          SELECT vec_id,
+                 list_transform(generate_series(0, 1), w ->
+                   CAST(list_sum(list_transform(generate_series(0, 31),
+                     j -> CASE WHEN e[w*32 + j + 1] > 0
+                               THEN CAST(1 AS BIGINT) << (31 - j)
+                               ELSE CAST(0 AS BIGINT) END)) AS BIGINT)) AS wds
+          FROM v),
+        qw AS (SELECT vec_id AS query_id, wds AS q FROM words WHERE vec_id < 8),
+        appr AS (
+          SELECT query_id, w.vec_id AS neighbor_id
+          FROM qw JOIN words w ON query_id <> w.vec_id
+          QUALIFY row_number() OVER (PARTITION BY query_id
+            ORDER BY list_sum(list_transform(generate_series(1, 2),
+              i -> bit_count(xor(q[i], w.wds[i])))), w.vec_id) <= 10),
+        qv AS (SELECT vec_id AS query_id, e AS qe FROM v WHERE vec_id < 8),
+        tru AS (
+          SELECT query_id, v.vec_id AS neighbor_id
+          FROM qv JOIN v ON query_id <> v.vec_id
+          QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY
+            list_sum(list_transform(generate_series(1, 64), i -> qe[i] * e[i]))
+              / (sqrt(list_sum(list_transform(generate_series(1, 64), i -> qe[i] * qe[i])))
+                 * sqrt(list_sum(list_transform(generate_series(1, 64), i -> e[i] * e[i]))))
+            DESC, v.vec_id) <= 10)
+        SELECT t.query_id,
+               CAST(COUNT(*) AS BIGINT) AS n_truth,
+               CAST(SUM(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_hit,
+               CAST(SUM(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+                 AS DOUBLE) / COUNT(*) AS recall
+        FROM tru t
+        LEFT JOIN appr a
+          ON a.query_id = t.query_id AND a.neighbor_id = t.neighbor_id
+        GROUP BY t.query_id
+        ORDER BY t.query_id
+      """.trim),
+      bench = false),
+
+    // --- Matryoshka truncation search (Kusupati et al. 2022, MRL): the
+    // first 16 of 64 dimensions rank as a 4× cheaper embedding — the
+    // lowest-cost tier of the ANN ladder. Cosine is scale-invariant, so
+    // the oracle replays raw-prefix cosine directly (renormalization is
+    // the storage contract, certified in spec). ---
+    GQuery(
+      "q195_matryoshka_topk",
+      (spark, dir) => {
+        val e = Tables.embs(spark, dir)
+        Similarity.matryoshkaTopK(e.filter(col("vec_id") < 10), e,
+            "vec_id", "embedding", dimPrefix = 16, k = 5)
+          .select(col("query_id"), col("neighbor_id"),
+            round(col("cosine"), 6).as("cosine_r"), col("rank"))
+          .orderBy(col("query_id"), col("rank"))
+      },
+      Some("""
+        WITH v AS (SELECT vec_id,
+                          list_slice(CAST(embedding AS DOUBLE[]), 1, 16) AS e
+                   FROM embeddings),
+        q AS (SELECT vec_id AS query_id, e AS qv FROM v WHERE vec_id < 10),
+        scored AS (
+          SELECT query_id, v.vec_id AS neighbor_id,
+                 list_sum(list_transform(generate_series(1, 16), i -> qv[i] * e[i]))
+                   / (sqrt(list_sum(list_transform(generate_series(1, 16), i -> qv[i] * qv[i])))
+                      * sqrt(list_sum(list_transform(generate_series(1, 16), i -> e[i] * e[i])))) AS cosine
+          FROM q JOIN v ON query_id <> v.vec_id),
+        ranked AS (
+          SELECT query_id, neighbor_id, cosine,
+                 CAST(row_number() OVER (PARTITION BY query_id
+                        ORDER BY cosine DESC, neighbor_id) AS INT) AS rank
+          FROM scored)
+        SELECT query_id, neighbor_id, round(cosine, 6) AS cosine_r, rank
+        FROM ranked WHERE rank <= 5
+        ORDER BY query_id, rank
+      """.trim),
+      bench = false)
   )
 
   /** DuckDB rendering of [[graft.operators.Sampling.hash16]] with the

@@ -168,4 +168,50 @@ class AnnTopKTailSpec extends AnyFunSuite {
     assert(windowCount(got) == 1, "string ids take the window fallback")
     assert(key(got, s = true) == key(byLong, s = false))
   }
+
+  test("recallAtK: exact intersection arithmetic, self-recall 1, short truth groups undiluted") {
+    import spark.implicits._
+    val e = embs
+    val q = e.filter(col("vec_id") < 6)
+    val truth = Similarity.bruteForceTopK(q, e, "vec_id", "embedding", Dim, 10)
+    // an exact method evaluated against itself recalls 1.0 everywhere
+    val self = Similarity.recallAtK(truth, truth, 10).collect()
+    assert(self.length == 6 && self.forall(_.getDouble(3) == 1.0))
+    // hand case: truth {1,2,3}, approx {2,3,9} at k=3 → 2/3; a query
+    // with only 2 true neighbors scores against 2, not k
+    val t = Seq((10L, 1L, 1), (10L, 2L, 2), (10L, 3L, 3),
+      (11L, 7L, 1), (11L, 8L, 2)).toDF("query_id", "neighbor_id", "rank")
+    val a = Seq((10L, 2L, 1), (10L, 3L, 2), (10L, 9L, 3),
+      (11L, 7L, 1), (11L, 5L, 2), (11L, 6L, 3))
+      .toDF("query_id", "neighbor_id", "rank")
+    val r = Similarity.recallAtK(a, t, 3).collect()
+      .map(x => x.getLong(0) -> (x.getLong(1), x.getLong(2), x.getDouble(3))).toMap
+    assert(r(10L) == ((3L, 2L, 2.0 / 3.0)))
+    assert(r(11L) == ((2L, 1L, 0.5)), s"short truth group must divide by its own size: $r")
+  }
+
+  test("matryoshka: truncated ranking == full-precision ranking on the prefix; renorm yields unit vectors") {
+    val e = embs
+    val q = e.filter(col("vec_id") < 6)
+    val got = Similarity.matryoshkaTopK(q, e, "vec_id", "embedding", 16, 5)
+    // equivalent reference: slice first, then the standard brute force
+    val sliced = e.select(col("vec_id"),
+      slice(Similarity.asDouble(col("embedding")), 1, 16).as("embedding"))
+    val want = Similarity.bruteForceTopK(
+      sliced.filter(col("vec_id") < 6), sliced, "vec_id", "embedding", 16, 5)
+    def key(df: org.apache.spark.sql.DataFrame) = df.collect().map { r =>
+      (r.getLong(0), r.getLong(1),
+        java.lang.Double.doubleToLongBits(r.getDouble(2)), r.getInt(3))
+    }.toSet
+    assert(key(got) == key(want))
+    // truncateRenorm: unit norms in the truncated space, exact
+    val norms = e.limit(50).select(
+      Similarity.dot(Similarity.truncateRenorm(col("embedding"), 16),
+        Similarity.truncateRenorm(col("embedding"), 16), 16).as("n2"))
+      .collect().map(_.getDouble(0))
+    assert(norms.forall(n2 => math.abs(n2 - 1.0) < 1e-12))
+    // zero-shuffle projection
+    assert(Bucketing.exchangeCount(e.select(
+      Similarity.truncateRenorm(col("embedding"), 16))) == 0)
+  }
 }

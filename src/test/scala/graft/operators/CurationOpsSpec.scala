@@ -625,4 +625,31 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(Bucketing.broadcastCount(plan) >= 1,
       "frequent-line table must broadcast into the anti-join")
   }
+
+  test("spearmanRank: monotone extremes exact, hand case exact, NULLs pairwise-excluded") {
+    import spark.implicits._
+    import graft.operators.Profiler
+    def rho(df: org.apache.spark.sql.DataFrame): (Long, Double) = {
+      val r = Profiler.spearmanRank(df, "x", "y", "id").collect()(0)
+      (r.getLong(0), r.getDouble(2))
+    }
+    // perfectly monotone → ρ = 1 exactly (Σd² = 0); reversed → ρ = −1
+    val up = (1 to 20).map(i => (i.toLong, i * 2.0, i * 10.0)).toDF("id", "x", "y")
+    assert(rho(up) == ((20L, 1.0)))
+    val down = (1 to 20).map(i => (i.toLong, i * 2.0, -i * 10.0)).toDF("id", "x", "y")
+    assert(rho(down) == ((20L, -1.0)))
+    // hand case (n=4): x ranks 1,2,3,4; y ranks 2,1,4,3 → Σd² = 4,
+    // ρ = 1 − 24/60 = 0.6
+    val hand = Seq((1L, 1.0, 20.0), (2L, 2.0, 10.0), (3L, 3.0, 40.0),
+      (4L, 4.0, 30.0)).toDF("id", "x", "y")
+    assert(rho(hand) == ((4L, 0.6)))
+    // NULL x or y rows drop (pairwise-complete)
+    val withNull = hand.unionByName(
+      Seq((5L, Option.empty[Double], Option(1.0))).toDF("id", "x", "y"))
+    assert(rho(withNull) == ((4L, 0.6)))
+    // deterministic tie-break: equal x values rank by id, so the result
+    // is partitioning-invariant (same answer at 1 and 7 partitions)
+    val ties = (1 to 30).map(i => (i.toLong, (i % 3).toDouble, i * 1.0)).toDF("id", "x", "y")
+    assert(rho(ties.repartition(1)) == rho(ties.repartition(7)))
+  }
 }

@@ -207,6 +207,14 @@ class GatePlanSpec extends AnyFunSuite {
     // DOMAIN-SIZED frame + sort (the q187 seat-arithmetic shape)
     "q190_repetition_signals" -> (2, 0),
     "q191_temperature_mix" -> (5, 0),
+    // q193 = the two replayed ANN pipelines (hamming + brute, each a
+    // broadcast scan + heap-agg tail) + intersection join + recall agg +
+    // sort; q194 = two narrow rank passes (range shuffle each) + one
+    // final agg — no single-partition global window; q195 = q70's
+    // broadcast-scan + heap-tail shape on the 16-dim prefix
+    "q193_ann_recall" -> (10, 2),
+    "q194_spearman" -> (3, 1),
+    "q195_matryoshka_topk" -> (4, 1),
     // q192 = docs spread + distinct-(doc,line) + line-df agg feeding the
     // BROADCAST anti-join (2 broadcasts incl. the threshold scalar) +
     // the one inherent reassembly agg + join-back + sort — the corpus
