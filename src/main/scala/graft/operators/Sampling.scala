@@ -62,6 +62,77 @@ object Sampling {
   def hashBucket(key: Column, buckets: Int, salt: String = ""): Column =
     hash16(key, salt) % buckets
 
+  /** [[hash16]]'s wide sibling: a deterministic uniform long in
+    * [0, 2^48) from the first 12 hex digits of `md5(salt || key)` — the
+    * resolution a weighted-sampling priority needs (16 bits would tie
+    * thousands of rows at corpus scale). 48 bits is deliberate: the
+    * value +1 stays exactly representable as an IEEE double (< 2^53), so
+    * arithmetic on it is reproducible in any engine with md5 and IEEE
+    * doubles.
+    */
+  def hash48(key: Column, salt: String = ""): Column = {
+    val h = md5(concat(lit(salt), key.cast("string")))
+    def hexVal(c: Column): Column = {
+      val a = ascii(c)
+      (a - when(a >= 97, 87).otherwise(48)).cast("long")
+    }
+    (1 to 12).map(i => hexVal(substring(h, i, 1)))
+      .reduceLeft((acc, v) => acc * 16L + v)
+  }
+
+  /** Priority sampling (Duffield, Lund & Thorup 2007): a weight-aware
+    * k-row sample with unbiased subset-sum estimation — the principled
+    * "keep k documents but let big ones count more" primitive (e.g.
+    * sample shards by byte size, invoices by amount) that a plain
+    * uniform take gets badly wrong under skew.
+    *
+    * Mechanism: each row draws u ~ U(0,1] from its own content
+    * ([[hash48]]+1 scaled by 2^-48) and gets priority q = w/u; the k
+    * highest-priority rows are the sample, and with τ = the (k+1)-th
+    * priority, each sampled row's adjusted weight `est_weight` =
+    * max(w, τ) makes Σ est_weight an unbiased estimator of the
+    * population's Σ w (variance-optimal among threshold schemes — the
+    * paper's result). When the population has ≤ k rows there is no
+    * threshold and est_weight = w exactly.
+    *
+    * Determinism: u is content-derived (stable across runs, layouts, and
+    * engines) and the priority is IEEE arithmetic on exactly-representable
+    * integers — one correctly-rounded division, one exact power-of-two
+    * scale — so the SAMPLE ITSELF is engine-replayable and q197
+    * hash-certifies rows, priorities, and estimates against DuckDB.
+    *
+    * Scale: priorities are a row-local projection; top-(k+1) is
+    * TakeOrderedAndProject (per-partition heaps, k·P driver merge — no
+    * global sort); the threshold/rank pass runs on k+1 rows. `weights`
+    * must be a positive integral column (exact in a double up to 2^53 —
+    * pre-scale decimals to cents the way the repo's fixed-point gates
+    * do).
+    */
+  def prioritySample(df: DataFrame, idCol: String, weight: Column, k: Int,
+      salt: String = ""): DataFrame = {
+    require(k >= 1, s"prioritySample needs k >= 1, got $k")
+    val pri = (weight.cast("double") /
+        (hash48(col(idCol), salt) + lit(1L)).cast("double")) *
+      lit(281474976710656.0) // 2^48 — exact scale back to u ∈ (0,1]
+    val top = df
+      .select(col(idCol), weight.cast("long").as("weight"), pri.as("priority"))
+      .orderBy(col("priority").desc, col(idCol))
+      .limit(k + 1)
+    // k+1 rows from here on: the rank/threshold windows are driver-tiny.
+    val w = Window.orderBy(col("priority").desc, col(idCol))
+    val all = Window.partitionBy(lit(1))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    top
+      .withColumn("__rn", row_number().over(w))
+      .withColumn("__tau",
+        max(when(col("__rn") === k + 1, col("priority"))).over(all))
+      .filter(col("__rn") <= k)
+      .select(col(idCol), col("weight"), col("priority"),
+        when(col("__tau").isNull, col("weight").cast("double"))
+          .otherwise(greatest(col("weight").cast("double"), col("__tau")))
+          .as("est_weight"))
+  }
+
   /** Keep a deterministic `rate` fraction of rows by content hash —
     * the sampling primitive whose output NEVER migrates as the corpus
     * grows (unlike `DataFrame.sample`, which re-draws per layout).

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextAnalysis
@@ -40,6 +40,37 @@ object Search {
   private def tf(toks: Column, term: String): Column =
     size(filter(toks, t => t === lit(term))).cast("double")
 
+  /** Tokenized view of a corpus: `(<idCol>, __toks, dl)`. Shared by the
+    * full-scan scorer and the inverted-index build so the two paths can
+    * never disagree on what a "term" is.
+    */
+  private def tokenized(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame =
+    docs.select(col(idCol),
+      coalesce(
+        filter(TextAnalysis.tokens(lower(col(textCol))), t => t =!= ""),
+        array().cast("array<string>")).as("__toks"))
+      .select(col(idCol), col("__toks"),
+        size(col("__toks")).cast("long").as("dl"))
+
+  /** One query term's BM25 contribution — the SINGLE expression tree both
+    * the full-scan path and the stored-index probe build, so their scores
+    * are bit-identical by construction (every input is a double; the ops
+    * are IEEE +,-,*,/ plus the optional `ln`). A zero `tfT` yields exactly
+    * +0.0 (idf is strictly positive, the denominator strictly positive),
+    * which is why the index probe may skip absent terms and substitute a
+    * literal 0.0 without perturbing the fold.
+    */
+  private def termContribution(tfT: Column, dl: Column, df: Column,
+      n: Column, avgdl: Column, k1: Double, b: Double,
+      lnIdf: Boolean): Column = {
+    val ratio = (n - df + lit(0.5)) / (df + lit(0.5))
+    val idf = if (lnIdf) log(lit(1.0) + ratio) else ratio
+    val denom = tfT +
+      lit(k1) * ((lit(1.0) - lit(b)) + lit(b) * (dl / avgdl))
+    idf * ((tfT * lit(k1 + 1.0)) / denom)
+  }
+
   /** BM25 scores for `terms` over `docs`, top `k` by (score desc, id).
     * Returns `(<idCol>, dl, score)`.
     */
@@ -48,12 +79,7 @@ object Search {
       lnIdf: Boolean = true): DataFrame = {
     require(terms.nonEmpty, "bm25 needs at least one query term")
     require(terms.distinct.size == terms.size, s"duplicate query terms: $terms")
-    val toked = docs.select(col(idCol),
-      coalesce(
-        filter(TextAnalysis.tokens(lower(col(textCol))), t => t =!= ""),
-        array().cast("array<string>")).as("__toks"))
-      .select(col(idCol), col("__toks"),
-        size(col("__toks")).cast("long").as("dl"))
+    val toked = tokenized(docs, idCol, textCol)
 
     // ONE corpus-sized aggregate: N, Σdl, and one df per query term.
     val statAggs =
@@ -70,18 +96,147 @@ object Search {
         col("__sumdl").cast("double") / col("__n").cast("double"))
       .withColumn("score",
         terms.zipWithIndex.map { case (t, i) =>
-          val df = col(s"__df_$i").cast("double")
-          val ratio = (col("__n").cast("double") - df + lit(0.5)) /
-            (df + lit(0.5))
-          val idf = if (lnIdf) log(lit(1.0) + ratio) else ratio
-          val tfT = tf(col("__toks"), t)
-          val denom = tfT +
-            lit(k1) * ((lit(1.0) - lit(b)) +
-              lit(b) * (col("dl").cast("double") / col("__avgdl")))
-          idf * ((tfT * lit(k1 + 1.0)) / denom)
+          termContribution(tf(col("__toks"), t), col("dl").cast("double"),
+            col(s"__df_$i").cast("double"), col("__n").cast("double"),
+            col("__avgdl"), k1, b, lnIdf)
         }.reduceLeft(_ + _))
     scored
       .select(col(idCol), col("dl"), col("score"))
+      .orderBy(col("score").desc, col(idCol))
+      .limit(k)
+  }
+
+  // -------------------------------------------------------------------
+  // STORED inverted index — the 100 TB serving layout for lexical search.
+  //
+  // [[bm25]]'s full-scan shape is the right plan when the QUERY arrives
+  // with the batch (one pass, no index to maintain). A search SERVICE
+  // inverts the cost: the corpus is indexed ONCE and probed for months,
+  // and a probe must touch work proportional to the query's posting
+  // lists, not the corpus. The layout here:
+  //   <name>_postings (term, id, tf, dl) — disk-bucketed on `term`, so a
+  //     probe's `term IN (...)` filter prunes BUCKETS (files) before any
+  //     row is read; within a bucket the term filter rides the sorted
+  //     Parquet scan.
+  //   <name>_stats    (n, sumdl) — one tiny row per build/append SEGMENT;
+  //     probes sum the segments (|appends| rows) so an append never
+  //     rewrites global state — the appendToBandIndex
+  //     merge-at-probe discipline.
+  // df per query term is NOT stored: postings hold one row per
+  // (term, doc), so the pruned posting scan itself yields each term's df
+  // by counting — stored-df staleness across appends is impossible by
+  // construction.
+  //
+  // Score parity: a probe folds per-term contributions in the QUERY
+  // term order with literal +0.0 for terms a document lacks — bit-for-bit
+  // the [[bm25]] fold (see [[termContribution]]) — so the stored path is
+  // certified against the full-scan oracle directly. Documents with NO
+  // query term never surface (their score is exactly 0); callers wanting
+  // zero-score padding rows want a corpus scan, not an index probe.
+  // -------------------------------------------------------------------
+
+  /** Build a stored inverted index over `docs` at `path`, registered as
+    * tables `<name>_postings` / `<name>_stats`. One corpus-sized shuffle
+    * (the (term, id) tf aggregate) — the inherent, one-time build cost.
+    * Empty/NULL-text documents contribute to `n` (BM25's N counts every
+    * document) but produce no postings.
+    */
+  def writeInvertedIndex(docs: DataFrame, idCol: String, textCol: String,
+      name: String, path: String, buckets: Int = 32): Unit = {
+    val toked = tokenized(docs, idCol, textCol)
+    val postings = toked
+      .select(col(idCol), col("dl"), explode(col("__toks")).as("term"))
+      .groupBy(col("term"), col(idCol))
+      .agg(count(lit(1)).as("tf"), first(col("dl")).as("dl"))
+      .select(col("term"), col(idCol), col("tf"), col("dl"))
+    Bucketing.writeBucketed(postings, s"${name}_postings",
+      s"$path/postings", buckets, Seq("term"))
+    toked.agg(count(lit(1)).cast("long").as("n"),
+        coalesce(sum(col("dl")), lit(0L)).cast("long").as("sumdl"))
+      .write.mode(SaveMode.Overwrite).option("path", s"$path/stats")
+      .saveAsTable(s"${name}_stats")
+  }
+
+  /** Absorb a batch into a stored index: append the batch's postings
+    * (bucket count read from the CATALOG so the layout cannot drift) and
+    * ONE stats segment row. Cost is O(batch); nothing global is
+    * rewritten. The batch is materialized once so postings and the stats
+    * row cannot disagree under a non-deterministic upstream. Same
+    * non-transactional caveat as every plain-Parquet append in the repo:
+    * a retried append double-counts; exactly-once lives at the
+    * orchestrator.
+    */
+  def appendToInvertedIndex(spark: SparkSession, batch: DataFrame,
+      idCol: String, textCol: String, name: String): Unit = {
+    import org.apache.spark.sql.catalyst.TableIdentifier
+    val buckets = spark.sessionState.catalog
+      .getTableMetadata(TableIdentifier(s"${name}_postings")).bucketSpec
+      .getOrElse(sys.error(s"${name}_postings is not a bucketed table"))
+      .numBuckets
+    val tk = graft.core.Caching.reap(tokenized(batch, idCol, textCol))
+    tk.select(col(idCol), col("dl"), explode(col("__toks")).as("term"))
+      .groupBy(col("term"), col(idCol))
+      .agg(count(lit(1)).as("tf"), first(col("dl")).as("dl"))
+      .select(col("term"), col(idCol), col("tf"), col("dl"))
+      .repartition(buckets, col("term"))
+      .write.mode(SaveMode.Append)
+      .bucketBy(buckets, "term").sortBy("term")
+      .saveAsTable(s"${name}_postings")
+    tk.agg(count(lit(1)).cast("long").as("n"),
+        coalesce(sum(col("dl")), lit(0L)).cast("long").as("sumdl"))
+      .write.mode(SaveMode.Append).saveAsTable(s"${name}_stats")
+    // foreachBatch appends run on the streaming clone session and refresh
+    // only ITS relation cache — refresh on the caller's handle too.
+    spark.catalog.refreshTable(s"${name}_postings")
+    spark.catalog.refreshTable(s"${name}_stats")
+  }
+
+  /** Probe a stored inverted index: top `k` documents by BM25 for
+    * `terms`, among documents containing at least one query term.
+    * Returns `(<idCol>, dl, score)` — [[bm25]]'s schema, and bit-for-bit
+    * its scores (SearchSpec pins the parity).
+    *
+    * Probe cost: the bucketed `term IN` scan prunes files to the query
+    * terms' buckets; everything after is sized by the matched posting
+    * lists (df from the pruned scan itself, per-doc fold over ≤ |terms|
+    * contributions, TakeOrdered top-k). The corpus is never rescanned
+    * and never reshuffled.
+    */
+  def probeInvertedIndex(spark: SparkSession, name: String, idCol: String,
+      terms: Seq[String], k: Int, k1: Double = 1.2, b: Double = 0.75,
+      lnIdf: Boolean = true): DataFrame = {
+    require(terms.nonEmpty, "probe needs at least one query term")
+    require(terms.distinct.size == terms.size, s"duplicate query terms: $terms")
+    val stats = spark.table(s"${name}_stats")
+      .agg(sum(col("n")).cast("long").as("__n"),
+        sum(col("sumdl")).cast("long").as("__sumdl"))
+    val posts = spark.table(s"${name}_postings")
+      .filter(col("term").isin(terms: _*))
+    val dfTab = posts.groupBy(col("term")).agg(count(lit(1)).as("__df"))
+    val termIdx = map(terms.zipWithIndex.flatMap {
+      case (t, i) => Seq(lit(t), lit(i))
+    }: _*)
+    val contrib = posts.join(broadcast(dfTab), "term")
+      .crossJoin(broadcast(stats))
+      .withColumn("__avgdl",
+        col("__sumdl").cast("double") / col("__n").cast("double"))
+      .select(col(idCol), col("dl"),
+        element_at(termIdx, col("term")).as("__ti"),
+        termContribution(col("tf").cast("double"), col("dl").cast("double"),
+          col("__df").cast("double"), col("__n").cast("double"),
+          col("__avgdl"), k1, b, lnIdf).as("__c"))
+    // Fold contributions in QUERY TERM ORDER (not aggregation order):
+    // collect this doc's ≤ |terms| contributions keyed by term index,
+    // then add them left-to-right with +0.0 for absent terms — the exact
+    // bm25 fold, partition-order-independent.
+    val perDoc = contrib.groupBy(col(idCol))
+      .agg(first(col("dl")).as("dl"),
+        map_from_entries(collect_list(struct(col("__ti"), col("__c"))))
+          .as("__cm"))
+    val score = terms.indices
+      .map(i => coalesce(element_at(col("__cm"), lit(i)), lit(0.0)))
+      .reduceLeft(_ + _)
+    perDoc.select(col(idCol), col("dl"), score.as("score"))
       .orderBy(col("score").desc, col(idCol))
       .limit(k)
   }

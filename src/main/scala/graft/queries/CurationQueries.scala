@@ -947,7 +947,22 @@ object CurationQueries extends QueryModule {
       """.trim),
       // certification surface; also runs a driver-side count() per
       // evaluation for the fraction threshold — rides Verify only
-      bench = false))
+      bench = false),
+
+    // --- STORED inverted-index BM25 (the lexical-search serving layout):
+    // half the corpus indexed at build, half absorbed via append against
+    // the catalog's bucket spec, then a probe whose `term IN` filter
+    // prunes posting-list BUCKETS before any row is read. Scores fold in
+    // query-term order with +0.0 for absent terms, so they are
+    // bit-identical to q150's full-scan fold — the oracle is q150's SQL
+    // restricted to documents containing ≥ 1 query term (an index probe
+    // never surfaces zero-score documents). lnIdf=false: the ln-free
+    // gate discipline. ---
+    GQuery(
+      "q196_bm25_indexed",
+      (spark, dir) => { q196Build(spark, dir); q196Probe(spark, dir) },
+      Some(bm25IndexedOracle),
+      indexed = Some(graft.core.GQuery.IndexedParts(q196Build, q196Probe))))
 
   /** Shared q148/q149 oracle: unroll the 4 training rounds, read each
     * word's token list off the final state, and rebuild every document's
@@ -992,5 +1007,87 @@ object CurationQueries extends QueryModule {
            COALESCE(a.token_sig, md5('')) AS token_sig
     FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
     ORDER BY d.doc_id
+  """.trim
+
+  /** q196's index BUILD half: half the corpus at write, half appended
+    * against the stored layout (the q71/q120 build/probe convention —
+    * append must agree with build by construction, not by luck).
+    */
+  private[queries] def q196Build(spark: org.apache.spark.sql.SparkSession,
+      dir: String): Unit = {
+    val d = Tables.docs(spark, dir)
+    val path = java.nio.file.Files.createTempDirectory("graft_q196inv").toString
+    graft.operators.Search.writeInvertedIndex(
+      d.filter(col("doc_id") % 2 === 0), "doc_id", "text",
+      "q196inv", path, buckets = 8)
+    graft.operators.Search.appendToInvertedIndex(spark,
+      d.filter(col("doc_id") % 2 =!= 0), "doc_id", "text", "q196inv")
+  }
+
+  /** q196's PROBE half: top-25 BM25 over the stored posting lists —
+    * bit-identical scores to q150's full-scan fold among matched docs.
+    */
+  private[queries] def q196Probe(spark: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame =
+    graft.operators.Search.probeInvertedIndex(spark, "q196inv", "doc_id",
+        Seq("spark", "customer", "vector"), k = 25, lnIdf = false)
+      .orderBy(col("score").desc, col("doc_id"))
+
+  /** q150's oracle restricted to documents containing at least one query
+    * term — exactly the population an inverted-index probe can surface.
+    */
+  private def bm25IndexedOracle: String = """
+    WITH toked AS (
+      SELECT doc_id,
+             list_filter(string_split(lower(text), ' '), s2 -> s2 <> '')
+               AS toks
+      FROM documents),
+    d AS (SELECT doc_id, toks, len(toks) AS dl FROM toked),
+    st AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(dl) AS BIGINT) AS sumdl,
+             CAST(SUM(CASE WHEN list_contains(toks, 'spark')
+                        THEN 1 ELSE 0 END) AS BIGINT) AS df0,
+             CAST(SUM(CASE WHEN list_contains(toks, 'customer')
+                        THEN 1 ELSE 0 END) AS BIGINT) AS df1,
+             CAST(SUM(CASE WHEN list_contains(toks, 'vector')
+                        THEN 1 ELSE 0 END) AS BIGINT) AS df2
+      FROM d),
+    sc AS (
+      SELECT doc_id, CAST(dl AS BIGINT) AS dl,
+             ((((CAST(n AS DOUBLE) - CAST(df0 AS DOUBLE) + 0.5)
+                  / (CAST(df0 AS DOUBLE) + 0.5))
+               * ((CAST(len(list_filter(toks, x -> x = 'spark')) AS DOUBLE)
+                    * (1.2 + 1.0))
+                  / (CAST(len(list_filter(toks, x -> x = 'spark')) AS DOUBLE)
+                     + 1.2 * ((1.0 - 0.75)
+                              + 0.75 * (CAST(dl AS DOUBLE)
+                                        / (CAST(sumdl AS DOUBLE)
+                                           / CAST(n AS DOUBLE))))))
+              + ((CAST(n AS DOUBLE) - CAST(df1 AS DOUBLE) + 0.5)
+                   / (CAST(df1 AS DOUBLE) + 0.5))
+                * ((CAST(len(list_filter(toks, x -> x = 'customer')) AS DOUBLE)
+                     * (1.2 + 1.0))
+                   / (CAST(len(list_filter(toks, x -> x = 'customer')) AS DOUBLE)
+                      + 1.2 * ((1.0 - 0.75)
+                               + 0.75 * (CAST(dl AS DOUBLE)
+                                         / (CAST(sumdl AS DOUBLE)
+                                            / CAST(n AS DOUBLE)))))))
+              + ((CAST(n AS DOUBLE) - CAST(df2 AS DOUBLE) + 0.5)
+                   / (CAST(df2 AS DOUBLE) + 0.5))
+                * ((CAST(len(list_filter(toks, x -> x = 'vector')) AS DOUBLE)
+                     * (1.2 + 1.0))
+                   / (CAST(len(list_filter(toks, x -> x = 'vector')) AS DOUBLE)
+                      + 1.2 * ((1.0 - 0.75)
+                               + 0.75 * (CAST(dl AS DOUBLE)
+                                         / (CAST(sumdl AS DOUBLE)
+                                            / CAST(n AS DOUBLE)))))))
+               AS score
+      FROM d CROSS JOIN st
+      WHERE list_contains(toks, 'spark')
+         OR list_contains(toks, 'customer')
+         OR list_contains(toks, 'vector'))
+    SELECT doc_id, dl, score FROM sc
+    ORDER BY score DESC, doc_id LIMIT 25
   """.trim
 }

@@ -56,6 +56,17 @@ object SamplingQueries extends QueryModule {
     s"(${hv(1)} * 4096 + ${hv(2)} * 256 + ${hv(3)} * 16 + ${hv(4)})"
   }
 
+  /** DuckDB rendering of `Sampling.hash48` (salted md5, ascii-decoded
+    * first 12 hex digits → a 48-bit integer, exact in a double).
+    */
+  private def hash48Sql(keyExpr: String, salt: String): String = {
+    val m = s"md5('$salt' || CAST($keyExpr AS VARCHAR))"
+    def hv(i: Int) =
+      s"CAST(ascii(substr($m, $i, 1)) - " +
+        s"CASE WHEN ascii(substr($m, $i, 1)) >= 97 THEN 87 ELSE 48 END AS BIGINT)"
+    (2 to 12).foldLeft(hv(1))((acc, i) => s"($acc * 16 + ${hv(i)})")
+  }
+
   override def all: Seq[GQuery] = Seq(
 
     // --- GPT-style sequence packing: documents concatenated per shard in
@@ -794,6 +805,53 @@ object SamplingQueries extends QueryModule {
                  / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
                     - 1.0)), 9) AS rho_r
         FROM a
+      """.trim),
+      bench = false),
+
+    // --- priority sampling (Duffield-Lund-Thorup 2007): weight-aware
+    // k-sample with unbiased Σ-weight estimation. u is content-derived
+    // (hash48, exact in a double), priority = w/u is one correctly-
+    // rounded IEEE division + an exact 2^48 scale, and est_weight =
+    // max(w, τ) with τ the (k+1)-th priority — so the SAMPLE, the
+    // priorities, and the estimator all hash-match DuckDB exactly.
+    // Weighted by order cents: big orders earn seats, and Σ est_weight
+    // estimates total revenue from 20 rows. ---
+    GQuery(
+      "q197_priority_sample",
+      (spark, dir) => {
+        import graft.operators.Sampling
+        val orders = Tables.t(spark, dir, "orders")
+        Sampling.prioritySample(orders, "o_orderkey",
+            (dec(col("o_totalprice")) * 100).cast("long"), k = 20,
+            salt = "ps")
+          .orderBy(col("priority").desc, col("o_orderkey"))
+      },
+      Some(s"""
+        WITH w AS (
+          SELECT o_orderkey,
+                 CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+                   AS weight
+          FROM orders),
+        p AS (
+          SELECT o_orderkey, weight,
+                 (CAST(weight AS DOUBLE)
+                    / CAST(${hash48Sql("o_orderkey", "ps")} + 1 AS DOUBLE))
+                   * 281474976710656.0 AS priority
+          FROM w),
+        r AS (
+          SELECT o_orderkey, weight, priority,
+                 row_number() OVER (ORDER BY priority DESC, o_orderkey)
+                   AS rn
+          FROM p),
+        t AS (SELECT MAX(CASE WHEN rn = 21 THEN priority END) AS tau
+              FROM r)
+        SELECT r.o_orderkey, r.weight, r.priority,
+               CASE WHEN t.tau IS NULL THEN CAST(r.weight AS DOUBLE)
+                    ELSE GREATEST(CAST(r.weight AS DOUBLE), t.tau) END
+                 AS est_weight
+        FROM r CROSS JOIN t
+        WHERE r.rn <= 20
+        ORDER BY r.priority DESC, r.o_orderkey
       """.trim),
       bench = false)
   )

@@ -652,4 +652,59 @@ class CurationOpsSpec extends AnyFunSuite {
     val ties = (1 to 30).map(i => (i.toLong, (i % 3).toDouble, i * 1.0)).toDF("id", "x", "y")
     assert(rho(ties.repartition(1)) == rho(ties.repartition(7)))
   }
+
+  test("prioritySample: matches a driver-side replay exactly; threshold estimator; small-population identity") {
+    import spark.implicits._
+    val df = (1 to 60).map(i => (i.toLong, (i * 37L % 500) + 1L)).toDF("id", "w")
+    val k = 10
+    // Driver-side replay: same hash48 → u, same IEEE sequence, full sort.
+    val pri = df.select($"id", $"w",
+        (($"w".cast("double") /
+          (Sampling.hash48($"id", "ps") + lit(1L)).cast("double")) *
+          lit(281474976710656.0)).as("p"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .sortBy { case (id, _, p) => (-p, id) }
+    val tau = pri(k)._3
+    val expect = pri.take(k).map { case (id, w, p) =>
+      (id, w, p, math.max(w.toDouble, tau))
+    }.toSeq
+    val got = Sampling.prioritySample(df, "id", $"w", k, salt = "ps")
+      .orderBy($"priority".desc, $"id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3))).toSeq
+    assert(got == expect)
+    // priorities dominate weights: q = w/u ≥ w since u ≤ 1
+    assert(got.forall { case (_, w, p, _) => p >= w.toDouble })
+    // partitioning-invariant bit-for-bit
+    val again = Sampling.prioritySample(df.repartition(7), "id", $"w", k,
+        salt = "ps")
+      .orderBy($"priority".desc, $"id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3))).toSeq
+    assert(again == got)
+    // population ≤ k: every row returned, no threshold, est == weight
+    val tiny = Seq((1L, 5L), (2L, 7L), (3L, 11L)).toDF("id", "w")
+    val all = Sampling.prioritySample(tiny, "id", $"w", 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(3))).toSeq
+      .sortBy(_._1)
+    assert(all == Seq((1L, 5L, 5.0), (2L, 7L, 7.0), (3L, 11L, 11.0)))
+  }
+
+  test("prioritySample: Σ est_weight is unbiased for Σ w across the hash draw") {
+    import spark.implicits._
+    // Skewed population: one whale + many small rows. Average the
+    // estimator over many independent draws (salts) — the mean must land
+    // near the true total (Duffield et al.'s unbiasedness), while any
+    // SINGLE uniform-sample scale-up would need luck to catch the whale.
+    val df = ((1 to 40).map(i => (i.toLong, 10L)) :+ (99L, 4000L)).toDF("id", "w")
+    val trueTotal = 40 * 10L + 4000L
+    val salts = (1 to 40).map(s => s"s$s")
+    val ests = salts.map { s =>
+      Sampling.prioritySample(df, "id", $"w", k = 8, salt = s)
+        .agg(sum($"est_weight")).collect()(0).getDouble(0)
+    }
+    val mean = ests.sum / ests.size
+    assert(math.abs(mean - trueTotal) / trueTotal < 0.15,
+      s"mean estimate $mean vs true $trueTotal")
+  }
 }

@@ -51,6 +51,74 @@ class SearchSpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  // ---- stored inverted index ----
+
+  private def freshName(tag: String): String =
+    s"sspec_${tag}_${System.nanoTime()}"
+
+  private def tmp(tag: String): String =
+    java.nio.file.Files.createTempDirectory(s"graft_$tag").toString
+
+  test("stored probe ≡ full-scan bm25 bit-for-bit on matched docs") {
+    for (ln <- Seq(true, false)) {
+      val name = freshName(s"par$ln")
+      Search.writeInvertedIndex(docs, "doc_id", "text", name, tmp("sinv"),
+        buckets = 4)
+      val probe = Search.probeInvertedIndex(spark, name, "doc_id",
+          Seq("spark", "table"), k = 10, lnIdf = ln)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1),
+          java.lang.Double.doubleToLongBits(r.getDouble(2)))).toSet
+      val full = Search.bm25(docs, "doc_id", "text", Seq("spark", "table"),
+          10, lnIdf = ln)
+        .collect()
+        .filter(_.getDouble(2) != 0.0) // index never surfaces no-hit docs
+        .map(r => (r.getLong(0), r.getLong(1),
+          java.lang.Double.doubleToLongBits(r.getDouble(2)))).toSet
+      assert(probe == full, s"lnIdf=$ln")
+    }
+  }
+
+  test("append == rebuild: half+half probe is row-identical to one-shot") {
+    val whole = freshName("whole")
+    Search.writeInvertedIndex(docs, "doc_id", "text", whole, tmp("sinvw"),
+      buckets = 4)
+    val split = freshName("split")
+    Search.writeInvertedIndex(docs.filter($"doc_id" % 2 === 0),
+      "doc_id", "text", split, tmp("sinvs"), buckets = 4)
+    Search.appendToInvertedIndex(spark, docs.filter($"doc_id" % 2 =!= 0),
+      "doc_id", "text", split)
+    def res(n: String) = Search.probeInvertedIndex(spark, n, "doc_id",
+        Seq("spark", "table"), k = 10)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        java.lang.Double.doubleToLongBits(r.getDouble(2)))).toSeq
+    assert(res(split) == res(whole))
+  }
+
+  test("probe prunes posting buckets; exchanges are posting-sized only") {
+    // Spread terms across buckets with a larger vocabulary so the 2-term
+    // probe cannot touch every bucket.
+    val big = (1 to 200)
+      .map(i => (i.toLong, s"w${i % 40} w${(i * 7) % 40} spark"))
+      .toDF("doc_id", "text")
+    val name = freshName("prune")
+    Search.writeInvertedIndex(big, "doc_id", "text", name, tmp("sinvp"),
+      buckets = 8)
+    val probe = Search.probeInvertedIndex(spark, name, "doc_id",
+      Seq("spark", "w3"), k = 5)
+    probe.count()
+    val plan = probe.queryExecution.executedPlan.toString
+    val sel = "SelectedBucketsCount: (\\d+) out of (\\d+)".r
+    val hits = sel.findAllMatchIn(plan)
+      .map(m => (m.group(1).toInt, m.group(2).toInt)).toSeq
+    assert(hits.nonEmpty, s"expected a bucket-pruned scan in:\n$plan")
+    assert(hits.forall { case (s, t) => s < t },
+      s"probe must read fewer buckets than the table holds, got $hits")
+    // the corpus itself is never in the probe plan — only posting scans
+    assert(!plan.contains("Generate"), plan)
+  }
+
   test("plan: top-k via TakeOrderedAndProject, no explode, no per-term join") {
     // fixture must exceed k: EliminateLimits drops a limit that already
     // covers the child's maxRows, leaving a bare (full) Sort
