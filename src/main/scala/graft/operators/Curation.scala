@@ -359,4 +359,54 @@ object Curation {
           .as("n_lines_removed"),
         col("n_lines_total"))
   }
+
+  /** Sliding token-window chunker — the context-window preparation step
+    * between curation and training/retrieval: long documents become
+    * `window`-token chunks every `stride` tokens (overlap =
+    * `window − stride`, the boundary-context trick RAG splitters and
+    * HF's `return_overflowing_tokens` use so no sentence is ever seen
+    * only cut in half).
+    *
+    * Chunk rule (deterministic, no redundant tails): starts are
+    * 0, stride, 2·stride, …, and a start is emitted iff the PREVIOUS
+    * window did not already reach the document's end — i.e. starts run
+    * through `max(0, n − window + stride − 1)`. Every token lands in
+    * ≥ 1 chunk, every chunk except a short final one has exactly
+    * `window` tokens, and no chunk is a suffix of its predecessor.
+    * Tokens are [[TextAnalysis.tokens]] with empties dropped (the bm25
+    * convention); docs with no tokens produce NO rows — an empty chunk
+    * is not trainable. Chunk text reassembles with single spaces, so
+    * `chunk_text` is canonical whatever the source whitespace.
+    *
+    * Scale: zero shuffle — tokenize, one `sequence` + `posexplode`
+    * Generate, and row-local slices; output volume is
+    * ~`window/stride ×` the corpus (the overlap factor), which the
+    * caller prices, not the operator.
+    *
+    * @return `(<idCol>, chunk_idx, start_token, n_tokens, chunk_text)`
+    */
+  def chunkByTokens(docs: DataFrame, idCol: String, textCol: String,
+      window: Int, stride: Int): DataFrame = {
+    require(window >= 1, s"window ($window) must be >= 1")
+    require(stride >= 1 && stride <= window,
+      s"stride ($stride) must be in [1, window=$window] — a stride past " +
+        "the window would silently drop tokens between chunks")
+    val toked = docs.select(col(idCol),
+      coalesce(org.apache.spark.sql.functions.filter(
+          TextAnalysis.tokens(col(textCol)), t => t =!= ""),
+        array().cast("array<string>")).as("__toks"))
+      .withColumn("__n", size(col("__toks")))
+      .filter(col("__n") > 0)
+    toked
+      .select(col(idCol), col("__toks"), col("__n"),
+        posexplode(sequence(lit(0),
+          greatest(lit(0), col("__n") - lit(window - stride) - lit(1)),
+          lit(stride))).as(Seq("chunk_idx", "start_token")))
+      .select(col(idCol), col("chunk_idx"), col("start_token"),
+        slice(col("__toks"), col("start_token") + lit(1), lit(window))
+          .as("__chunk"))
+      .select(col(idCol), col("chunk_idx"), col("start_token"),
+        size(col("__chunk")).as("n_tokens"),
+        array_join(col("__chunk"), " ").as("chunk_text"))
+  }
 }

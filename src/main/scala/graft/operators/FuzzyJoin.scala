@@ -1,0 +1,97 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Edit-distance similarity self-join — the entity-resolution primitive
+  * ("are these two customer/product/author strings the same thing up to
+  * d typos?") that exact dedup misses and LSH over-matches: all pairs
+  * with `levenshtein ≤ maxDist`, COMPLETE by construction.
+  *
+  * Blocking is the FastSS deletion neighborhood (Bocek et al. 2007;
+  * SymSpell's scheme): if `lev(a,b) ≤ d`, an optimal alignment deletes
+  * the ≤ d substituted/deleted chars from `a` and the ≤ d
+  * substituted/inserted chars from `b`, leaving the SAME matched
+  * subsequence — so `Del≤d(a) ∩ Del≤d(b) ≠ ∅`, and an EQUI-join on
+  * deletion variants finds every true pair (the converse over-matches,
+  * so candidates are verified with one `levenshtein` call). This turns
+  * an inherently quadratic similarity join into hash-join shapes: no
+  * cartesian, no sort-merge over the corpus, no per-pair work outside
+  * matched variant buckets.
+  *
+  * Scale: variant generation is row-local (≤ 1 + L + L(L−1)/2 variants
+  * at d = 2 — why `maxLen` is enforced LOUDLY in-plan: a stray 10 KB
+  * string would fan out 50M variants silently); the only wide ops are
+  * the variant equi-join and the candidate `distinct`, both keyed on
+  * content hashes. Variant buckets inherit the corpus's true near-dup
+  * structure — a pathological corpus (thousands of strings within d of
+  * each other) genuinely HAS quadratically many result pairs, so the
+  * candidate volume is output-sized, not an artifact. Short keys
+  * (names, titles, SKUs) are the intended domain.
+  *
+  * Determinism: candidates are set-shaped (distinct pairs, `id1 < id2`),
+  * verification is exact integer edit distance — results are
+  * partitioning-invariant and the q202 oracle certifies them against an
+  * INDEPENDENT method (DuckDB's naive banded quadratic join), not a
+  * replay of the blocking.
+  *
+  * @return `(id1, id2, dist)` with `id1 < id2`, `dist ≤ maxDist`
+  *         (dist 0 = distinct ids carrying identical strings)
+  */
+object FuzzyJoin {
+
+  /** All strings reachable by deleting up to `d` characters (d ≤ 2),
+    * distinct, as an array column. Row-local; empty/NULL-safe.
+    */
+  private[operators] def deletionVariants(s: Column, d: Int): Column = {
+    val L = length(s)
+    val del1 = when(L >= 1,
+      transform(sequence(lit(0), L - 1), i =>
+        concat(s.substr(lit(1), i), s.substr(i + lit(2), L))))
+      .otherwise(array().cast("array<string>"))
+    val del2 = when(L >= 2,
+      flatten(transform(sequence(lit(0), L - 2), i =>
+        transform(sequence(i + 1, L - 1), j =>
+          concat(s.substr(lit(1), i),
+            s.substr(i + lit(2), j - i - 1),
+            s.substr(j + lit(2), L))))))
+      .otherwise(array().cast("array<string>"))
+    val all = d match {
+      case 1 => concat(array(s), del1)
+      case 2 => concat(array(s), del1, del2)
+    }
+    array_distinct(all)
+  }
+
+  def levenshteinSelfJoin(df: DataFrame, idCol: String, strCol: String,
+      maxDist: Int, maxLen: Int = 128): DataFrame = {
+    require(maxDist >= 1 && maxDist <= 2,
+      s"maxDist ($maxDist) must be 1 or 2 — the deletion neighborhood " +
+        "grows O(L^d); higher radii want a different blocking scheme")
+    require(maxLen >= 1 && maxLen <= 1024, s"maxLen ($maxLen) outside [1,1024]")
+    val base = df.select(col(idCol).as("__id"),
+        col(strCol).cast("string").as("__s"))
+      .filter(col("__s").isNotNull)
+    // Loud in-plan length guard (the zValue/neymanAllocation discipline):
+    // a string past maxLen fails the job instead of silently fanning out
+    // L²/2 variants.
+    val guarded = base.select(col("__id"),
+      concat(col("__s"), coalesce( // concat-with-"" keeps the assert unprunable
+        assert_true(length(col("__s")) <= maxLen,
+          lit(s"levenshteinSelfJoin: string longer than maxLen=$maxLen — " +
+            "truncate or raise maxLen explicitly")).cast("string"),
+        lit(""))).as("__s"))
+    val variants = guarded.select(col("__id"), col("__s"),
+      explode(deletionVariants(col("__s"), maxDist)).as("__v"))
+    val candidates = variants.as("l")
+      .join(variants.as("r"),
+        col("l.__v") === col("r.__v") && col("l.__id") < col("r.__id"))
+      .select(col("l.__id").as("id1"), col("l.__s").as("s1"),
+        col("r.__id").as("id2"), col("r.__s").as("s2"))
+      .distinct()
+    candidates
+      .withColumn("dist", levenshtein(col("s1"), col("s2")))
+      .filter(col("dist") <= maxDist)
+      .select(col("id1"), col("id2"), col("dist"))
+  }
+}

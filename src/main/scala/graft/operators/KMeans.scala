@@ -1,0 +1,111 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, LongType}
+
+/** Lloyd's k-means refinement (Lloyd 1982) over an embedding corpus —
+  * the missing middle of the repo's clustering story: [[Similarity.seedCentroids]]
+  * picks deterministic seeds, [[Similarity.ivfAssign]] buckets vectors
+  * under FIXED centroids, and `refine` is the step between them that
+  * actually moves the centroids toward the data before an IVF index /
+  * SemDeDup / cluster-balanced sample consumes them.
+  *
+  * Determinism contract (the repo's fixed-point gate discipline): the
+  * UPDATE step never averages raw doubles (partition-order-dependent).
+  * Each component is floored to a 2^scaleBits fixed-point long per row,
+  * summed EXACTLY (long addition is associative — partitioning-,
+  * arrival-, and merge-order-invariant), and the new centroid value is
+  * derived by one fixed IEEE sequence `(Σfix / 2^k) / n` — so every
+  * round's centroids, and therefore every round's assignments, are
+  * bit-identical in any engine that replays the same integer ops
+  * (q198's DuckDB oracle unrolls the rounds as chained CTEs).
+  * Assignment is max-dot with ties to the smaller centroid id — exactly
+  * [[Similarity.ivfAssign]]'s verdict — with the dot folded in strict
+  * index order (the `list_sum(list_transform(...))` shape).
+  *
+  * Scale shape (the 100 TB plan): per round the corpus is touched by
+  * ONE pass — a row-local argmax projection against the broadcast
+  * m-centroid array (no join, no window, no per-vector shuffle) feeding
+  * a partial-aggregating `groupBy(bucket)` whose map-side output is
+  * m·(dim+1) longs per task. The only exchange per round is that
+  * m-row partial→final hop; the corpus itself NEVER shuffles. Rounds
+  * are fixed (a hyperparameter), and each round's m-row centroid table
+  * is eager-checkpointed (the [[Graph]] iteration discipline) so round
+  * r's plan reads the corpus once, not r times recursively. Total cost:
+  * `rounds ×` (one corpus scan + one m-row exchange). Empty clusters
+  * keep their previous centroid (n = 0 in the output), so m never
+  * silently shrinks.
+  *
+  * Capacity: |Σfix| ≤ n · max|x| · 2^k per component — with k = 20 and
+  * unit-scale embeddings, ~2^43 rows fit before long overflow; lower
+  * `scaleBits` for larger corpora (the [[Features.vectorMoments]]
+  * capacity note).
+  *
+  * @param seeds `(centroid_id: long, cv: array<double>)` — e.g.
+  *              [[Similarity.seedCentroids]]' output
+  * @return `(centroid_id, n, cv)` after `rounds` Lloyd rounds; `n` is
+  *         the final round's assignment count (0 = empty cluster,
+  *         centroid carried unchanged)
+  */
+object KMeans {
+
+  /** Strict index-order dot fold — bit-identical to
+    * [[graft.functions.VectorFunctions.dot_product]] and the oracle's
+    * `list_sum(list_transform(...))`, but built from HOFs so it can sit
+    * under a lambda variable (the per-centroid loop below).
+    */
+  private def dotHof(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  def refine(corpus: DataFrame, seeds: DataFrame, vecCol: String,
+      dim: Int, rounds: Int, scaleBits: Int = 20): DataFrame = {
+    require(rounds >= 1 && rounds <= 32,
+      s"rounds ($rounds) outside [1,32] — Lloyd rounds are a fixed " +
+        "hyperparameter, not a convergence loop")
+    require(scaleBits >= 4 && scaleBits <= 30,
+      s"scaleBits ($scaleBits) outside [4,30]")
+    val scale = (1L << scaleBits).toDouble
+
+    val v = corpus.select(Similarity.asDouble(col(vecCol)).as("dv"))
+
+    var cents: DataFrame = graft.core.Caching.reap(
+      seeds.select(col("centroid_id").cast(LongType).as("centroid_id"),
+        lit(0L).as("n"), Similarity.asDouble(col("cv")).as("cv")))
+
+    for (_ <- 1 to rounds) {
+      // Broadcast the m centroids as ONE sorted array row: the argmax is
+      // then a pure projection. array_sort on the struct orders by
+      // centroid_id ascending, which (with the strictly-greater fold in
+      // array_max below comparing score first, negated id second) makes
+      // ties land on the SMALLER centroid id — ivfAssign's verdict.
+      val centsRow = cents.agg(array_sort(collect_list(
+        struct(col("centroid_id").as("cid"), col("cv")))).as("__cents"))
+      val best = array_max(transform(col("__cents"), c =>
+        struct(dotHof(col("dv"), c.getField("cv")).as("s"),
+          (-c.getField("cid")).as("nid"))))
+      val assigned = v.crossJoin(broadcast(centsRow))
+        .select(col("dv"), (-best.getField("nid")).as("__bucket"))
+      // Exact fixed-point component sums: dim LONG sums with map-side
+      // partials — m·(dim+1) longs per task cross the one exchange.
+      val sums = (0 until dim).map(i =>
+        sum(floor(element_at(col("dv"), i + 1) * lit(scale))
+          .cast(LongType)).as(s"__s$i"))
+      val upd = assigned.groupBy(col("__bucket"))
+        .agg(count(lit(1)).as("__n"), sums: _*)
+        .select(col("__bucket").as("centroid_id"), col("__n"),
+          array((0 until dim).map(i =>
+            (col(s"__s$i").cast(DoubleType) / lit(scale))
+              / col("__n").cast(DoubleType)): _*).as("__cv"))
+      val next = cents.select(col("centroid_id"), col("cv"))
+        .join(upd, Seq("centroid_id"), "left")
+        .select(col("centroid_id"), coalesce(col("__n"), lit(0L)).as("n"),
+          coalesce(col("__cv"), col("cv")).as("cv"))
+      // m rows: eager-checkpoint truncates the round chain (round r+1's
+      // plan must not inline round r's corpus aggregate) and reaps the
+      // superseded handle — the Graph per-round state discipline.
+      cents = graft.core.Caching.reap(next, cents)
+    }
+    cents
+  }
+}

@@ -48,6 +48,66 @@ object Layout {
       .sortWithinPartitions(sortCols: _*)
       .write.mode(SaveMode.Overwrite).parquet(path)
 
+  /** N-ary CHECKED Morton key (the [[zValue]] bit convention generalized:
+    * column c contributes bit b at output position `b·|cols| + c`).
+    * Unlike [[zValue]]'s masking form — which silently wraps a key wider
+    * than `bitsPerCol` (fine for [[zorderWrite]], where the key is only a
+    * sort locality hint and content is untouched) — this one carries an
+    * in-plan `assert_true` (the neymanAllocation guard discipline): an
+    * out-of-range input FAILS THE JOB loudly, because here the key is the
+    * certified output (q200 hash-matches it against DuckDB's integer
+    * replay), not a hint. Inputs must be integral in `[0, 2^bits)`.
+    */
+  def zValue(cols: Seq[Column], bits: Int): Column = {
+    require(cols.size >= 2, s"zValue interleaves >= 2 columns, got ${cols.size}")
+    require(bits >= 1 && bits * cols.size <= 62,
+      s"bits ($bits) × columns (${cols.size}) must fit a positive long")
+    val n = cols.size
+    val lim = 1L << bits
+    val guarded = cols.map { c =>
+      val v = c.cast("long")
+      // assert_true is NULL when the predicate holds; the coalesce keeps
+      // the guard inside the projected expression so column pruning
+      // cannot drop it.
+      v + coalesce(
+        assert_true(v >= 0 && v < lim,
+          lit(s"zValue: input outside [0, $lim) — rescale or bucket the " +
+            "dimension before interleaving")).cast("long"),
+        lit(0L))
+    }
+    (0 until bits).flatMap { b =>
+      guarded.zipWithIndex.map { case (v, c) =>
+        shiftright(v, b).bitwiseAND(lit(1L)) * lit(1L << (b * n + c))
+      }
+    }.reduceLeft(_ + _)
+  }
+
+  /** Per-bucket dimension envelopes under a z-order layout: bucket =
+    * the key's high bits (`zkey >> shiftOut`), i.e. the file a range
+    * writer ([[zorderWrite]]) would put the row in, and per bucket the
+    * row count plus each dimension's min/max — exactly the parquet
+    * footer stats a reader's file pruning consults. Narrow envelopes on
+    * EVERY dimension are the whole point of z-ordering; q200 certifies
+    * them value-exact and LayoutSpec proves they beat a single-column
+    * sort's envelopes on the non-leading dimension. One zero-shuffle
+    * projection + one hash aggregate.
+    */
+  def zBucketProfile(df: DataFrame, dims: Seq[(String, Column)],
+      bits: Int, shiftOut: Int): DataFrame = {
+    require(shiftOut >= 1 && shiftOut < bits * dims.size,
+      s"shiftOut ($shiftOut) must keep at least one bucket bit")
+    val named = dims.map { case (name, c) => name -> c.cast("long") }
+    val z = zValue(named.map(_._2), bits)
+    val withKey = df.select(
+      (shiftright(z, shiftOut).as("bucket") +:
+        named.map { case (name, c) => c.as(name) }): _*)
+    val aggs = named.flatMap { case (name, _) =>
+      Seq(min(col(name)).as(s"min_$name"), max(col(name)).as(s"max_$name"))
+    }
+    withKey.groupBy(col("bucket"))
+      .agg(count(lit(1)).as("cnt"), aggs: _*)
+  }
+
   /** Table-statistics maintenance (`config/gold/schema/README.md:391`:
     * `ANALYZE TABLE ... COMPUTE STATISTICS` after each load): refresh
     * table-level stats — and per-column min/max/ndv histogram inputs when

@@ -118,9 +118,13 @@ object Sampling {
       .select(col(idCol), weight.cast("long").as("weight"), pri.as("priority"))
       .orderBy(col("priority").desc, col(idCol))
       .limit(k + 1)
-    // k+1 rows from here on: the rank/threshold windows are driver-tiny.
-    val w = Window.orderBy(col("priority").desc, col(idCol))
-    val all = Window.partitionBy(lit(1))
+    // k+1 rows from here on: the rank/threshold windows are driver-tiny,
+    // keyed on the declared single-partition key (graft.core.Windows) so
+    // the global-window warning stays meaningful elsewhere.
+    val onePart = graft.core.Windows.singlePartition(col(idCol))
+    val w = Window.partitionBy(onePart)
+      .orderBy(col("priority").desc, col(idCol))
+    val all = Window.partitionBy(onePart)
       .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     top
       .withColumn("__rn", row_number().over(w))

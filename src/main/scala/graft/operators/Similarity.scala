@@ -1406,6 +1406,52 @@ object Similarity {
     graft.core.Caching.reap(verdicts, assigned)
   }
 
+  /** k-NN similarity graph: every corpus vector's `k` most cosine-similar
+    * neighbors among vectors sharing at least one of its top-`nAssign`
+    * IVF buckets — the bridge from the ANN family to the [[Graph]]
+    * family (a k-NN edge list feeds connected components for near-dup
+    * clusters beyond SemDeDup's verdicts, label propagation over
+    * embedding space, or [[Graph.triangleCounts]] density audits).
+    *
+    * Scale (the [[semDedup]] confinement): the pair scan is
+    * bucket-confined (Σ bucket² pairs, never n²); `nAssign ≥ 2` buys
+    * boundary recall at ≤ nAssign²× pair-scan cost. With `nAssign = 1`
+    * a pair is scored exactly once and the tail is the bounded-heap
+    * [[topKTail]] directly (≤ k pairs per task per query cross the
+    * shuffle); with `nAssign > 1` a pair sharing several buckets would
+    * otherwise occupy several rank slots, so one candidate-keyed
+    * max-dedup exchange rides between scan and tail — the honest cost
+    * of multi-probe. Scores are the exact index-order cosine fold, so
+    * edges are partitioning-invariant and oracle-replayable.
+    *
+    * @return `(query_id, neighbor_id, cosine, rank)`, rank 1..≤k by
+    *         (cosine DESC, neighbor_id ASC); vectors whose buckets hold
+    *         no other vector emit no edges
+    */
+  def knnGraph(corpus: DataFrame, centroids: DataFrame, idCol: String,
+      vecCol: String, dim: Int, k: Int, nAssign: Int = 1): DataFrame = {
+    require(k >= 1, s"knnGraph needs k >= 1, got $k")
+    val assigned = ivfAssignN(corpus, centroids, idCol, vecCol, dim, nAssign)
+      .withColumn("__nrm", norm(col("dv"), dim))
+      .persist()
+    val a = assigned.select(col(idCol).as("query_id"), col("dv").as("__va"),
+      col("__nrm").as("__na"), col("bucket"))
+    val b = assigned.select(col(idCol).as("neighbor_id"),
+      col("dv").as("__vb"), col("__nrm").as("__nb"), col("bucket"))
+    val scored = a.join(b, Seq("bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosinePrenormed(col("__va"), col("__vb"),
+          col("__na"), col("__nb"), dim).as("cosine"))
+    val uniq =
+      if (nAssign == 1) scored
+      else scored.groupBy(col("query_id"), col("neighbor_id"))
+        // duplicate rows carry the SAME bits (pure function of the two
+        // vectors); max is the order-free way to say "keep one"
+        .agg(max(col("cosine")).as("cosine"))
+    graft.core.Caching.reap(topKTail(uniq, "cosine", k), assigned)
+  }
+
   /** MMR diversified re-ranking (Carbonell & Goldstein 1998 — the step a
     * retrieval pipeline runs AFTER ANN nomination so the k results a
     * model sees aren't k copies of the same passage): greedily pick

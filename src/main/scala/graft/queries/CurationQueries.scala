@@ -962,7 +962,42 @@ object CurationQueries extends QueryModule {
       "q196_bm25_indexed",
       (spark, dir) => { q196Build(spark, dir); q196Probe(spark, dir) },
       Some(bm25IndexedOracle),
-      indexed = Some(graft.core.GQuery.IndexedParts(q196Build, q196Probe))))
+      indexed = Some(graft.core.GQuery.IndexedParts(q196Build, q196Probe))),
+
+    // --- sliding token-window chunking (the RAG/context-window splitter):
+    // 40-token chunks every 30 tokens (10-token overlap), no redundant
+    // tail chunks (a start is emitted only if the previous window did
+    // not already reach the document's end), empty docs emit nothing.
+    // Zero-shuffle Generate + row-local slices; the oracle replays the
+    // start rule with generate_series and list slicing, hash-certifying
+    // every chunk's text, position, and width. ---
+    GQuery(
+      "q201_token_chunks",
+      (spark, dir) => graft.operators.Curation.chunkByTokens(
+          Tables.docs(spark, dir), "doc_id", "text",
+          window = 40, stride = 30)
+        .orderBy(col("doc_id"), col("chunk_idx")),
+      Some("""
+        WITH toked AS (
+          SELECT doc_id,
+                 list_filter(string_split(text, ' '), s2 -> s2 <> '') AS toks
+          FROM documents),
+        d AS (SELECT doc_id, toks, len(toks) AS n
+              FROM toked WHERE len(toks) > 0),
+        starts AS (
+          SELECT doc_id, toks, CAST(g.s // 30 AS INT) AS chunk_idx,
+                 CAST(g.s AS INT) AS start_token
+          FROM d, unnest(generate_series(0, greatest(0, n - 10 - 1), 30))
+                    AS g(s))
+        SELECT doc_id, chunk_idx, start_token,
+               CAST(len(toks[start_token + 1 : start_token + 40]) AS INT)
+                 AS n_tokens,
+               array_to_string(toks[start_token + 1 : start_token + 40], ' ')
+                 AS chunk_text
+        FROM starts
+        ORDER BY doc_id, chunk_idx
+      """.trim),
+      bench = true))
 
   /** Shared q148/q149 oracle: unroll the 4 training rounds, read each
     * word's token list off the final state, and rebuild every document's

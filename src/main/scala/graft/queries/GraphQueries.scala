@@ -143,6 +143,59 @@ object GraphQueries extends QueryModule {
       // benched since round 10 (VERDICT item): label propagation is a
       // genuinely expensive iterative shape — a plan regression here was
       // invisible while it rode Verify only
+      bench = true),
+
+    // --- exact triangle counts + local clustering coefficient over the
+    // "bought together" part co-occurrence graph (parts sharing an
+    // order). Degree-ordered orientation bounds wedge volume by
+    // O(m^{3/2}) even at a skewed hub, and each triangle is produced
+    // exactly once; all counts are exact integers and lcc is ONE IEEE
+    // division of exact longs, so the oracle replays the joins verbatim
+    // and the hash certifies every node's (degree, triangles, lcc). ---
+    GQuery(
+      "q199_triangles",
+      (spark, dir) => {
+        val edges = Graph.coOccurrenceEdges(
+          t(spark, dir, "lineitem"), "l_orderkey", "l_partkey")
+        Graph.triangleCounts(edges, "src", "dst")
+          .orderBy(col("node"))
+      },
+      Some("""
+        WITH li AS (
+          SELECT DISTINCT l_orderkey AS g, CAST(l_partkey AS VARCHAR) AS nd
+          FROM lineitem),
+        e AS (SELECT DISTINCT l.nd AS u, r.nd AS v
+              FROM li l JOIN li r ON l.g = r.g AND l.nd < r.nd),
+        deg AS (SELECT node, COUNT(*) AS degree FROM (
+                  SELECT u AS node FROM e UNION ALL SELECT v FROM e)
+                GROUP BY node),
+        wd AS (SELECT e.u, e.v, du.degree AS du, dv.degree AS dv
+               FROM e JOIN deg du ON du.node = e.u
+                      JOIN deg dv ON dv.node = e.v),
+        o AS (SELECT
+                CASE WHEN du < dv OR (du = dv AND u < v) THEN u ELSE v END AS x,
+                CASE WHEN du < dv OR (du = dv AND u < v) THEN v ELSE u END AS y,
+                CASE WHEN du < dv OR (du = dv AND u < v) THEN dv ELSE du END AS dy
+              FROM wd),
+        tri AS (SELECT o1.x AS n1, o1.y AS n2, o2.y AS n3
+                FROM o o1
+                JOIN o o2 ON o2.x = o1.x
+                  AND (o1.dy < o2.dy OR (o1.dy = o2.dy AND o1.y < o2.y))
+                JOIN o o3 ON o3.x = o1.y AND o3.y = o2.y),
+        tc AS (SELECT node, COUNT(*) AS triangles FROM (
+                 SELECT n1 AS node FROM tri UNION ALL
+                 SELECT n2 FROM tri UNION ALL
+                 SELECT n3 FROM tri)
+               GROUP BY node)
+        SELECT deg.node, deg.degree,
+               COALESCE(tc.triangles, 0) AS triangles,
+               CASE WHEN deg.degree >= 2
+                    THEN CAST(2 * COALESCE(tc.triangles, 0) AS DOUBLE)
+                         / CAST(deg.degree * (deg.degree - 1) AS DOUBLE)
+                    ELSE 0.0 END AS lcc
+        FROM deg LEFT JOIN tc ON tc.node = deg.node
+        ORDER BY deg.node
+      """.trim),
       bench = true)
   )
 }

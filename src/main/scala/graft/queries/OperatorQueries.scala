@@ -918,6 +918,30 @@ object OperatorQueries extends QueryModule {
           ON act2.n_nationkey = iv2.n_nationkey
          AND act2.a_s <= iv2.e AND iv2.s <= act2.a_e
         GROUP BY 1, 2 ORDER BY 1, 2
-      """.trim))
+      """.trim)),
+
+    // --- edit-distance similarity self-join (FastSS deletion-neighborhood
+    // blocking, Bocek et al. 2007): every customer-name pair within
+    // levenshtein ≤ 2, found by EQUI-joining ≤2-deletion variants and
+    // verifying candidates — no cartesian, no corpus sort-merge. The
+    // oracle certifies against an INDEPENDENT method (DuckDB's naive
+    // banded quadratic join + its own levenshtein), so a hash match
+    // proves the blocking is complete, not merely self-consistent. ---
+    GQuery(
+      "q202_fuzzy_join",
+      (spark, dir) => graft.operators.FuzzyJoin.levenshteinSelfJoin(
+          t(spark, dir, "customer"), "c_custkey", "c_name", maxDist = 2)
+        .orderBy(col("id1"), col("id2")),
+      Some("""
+        WITH c AS (SELECT c_custkey AS id, c_name AS s FROM customer)
+        SELECT a.id AS id1, b.id AS id2,
+               CAST(levenshtein(a.s, b.s) AS INT) AS dist
+        FROM c a JOIN c b
+          ON a.id < b.id
+         AND abs(length(a.s) - length(b.s)) <= 2
+         AND levenshtein(a.s, b.s) <= 2
+        ORDER BY id1, id2
+      """.trim),
+      bench = true)
   )
 }

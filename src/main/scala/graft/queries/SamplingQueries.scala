@@ -853,6 +853,49 @@ object SamplingQueries extends QueryModule {
         WHERE r.rn <= 20
         ORDER BY r.priority DESC, r.o_orderkey
       """.trim),
-      bench = false)
+      bench = false),
+
+    // --- Z-order (Morton) layout keys: interleave 10 bits of customer
+    // and 10 bits of order-date into one key, bucket by the key's high
+    // 8 bits (the file a range writer would cut), and certify each
+    // bucket's row count + BOTH dimensions' min/max envelopes — the
+    // parquet-footer stats multi-dimensional file pruning reads. Pure
+    // integer bit algebra (shift/mask/multiply-by-2^k/add on disjoint
+    // bits), replayed exactly by DuckDB's integer ops. ---
+    GQuery(
+      "q200_zorder_layout",
+      (spark, dir) => {
+        import graft.operators.Layout
+        val orders = Tables.t(spark, dir, "orders")
+        Layout.zBucketProfile(orders,
+          Seq("x" -> (col("o_custkey") % 1024),
+            "y" -> (datediff(col("o_orderdate"), lit("1990-01-01")) % 1024)),
+          bits = 10, shiftOut = 12)
+          .orderBy(col("bucket"))
+      },
+      Some(s"""
+        WITH d AS (
+          SELECT CAST(o_custkey % 1024 AS BIGINT) AS x,
+                 CAST(date_diff('day', DATE '1990-01-01',
+                        CAST(o_orderdate AS DATE)) % 1024 AS BIGINT) AS y
+          FROM orders),
+        z AS (SELECT x, y, ${zInterleaveSql("x", "y", 10)} AS zv FROM d)
+        SELECT zv >> 12 AS bucket, COUNT(*) AS cnt,
+               MIN(x) AS min_x, MAX(x) AS max_x,
+               MIN(y) AS min_y, MAX(y) AS max_y
+        FROM z GROUP BY 1 ORDER BY bucket
+      """.trim),
+      bench = true)
   )
+
+  /** DuckDB rendering of `Layout.zValue(Seq(x, y), bits)`: each bit b of
+    * x lands at output position 2b, of y at 2b+1 — a sum over disjoint
+    * bit positions, so `+` and `|` coincide and the expression is plain
+    * portable integer arithmetic.
+    */
+  private def zInterleaveSql(x: String, y: String, bits: Int): String =
+    (0 until bits).flatMap { b =>
+      Seq(s"((($x >> $b) & 1) * ${1L << (2 * b)})",
+        s"((($y >> $b) & 1) * ${1L << (2 * b + 1)})")
+    }.mkString("(", " + ", ")")
 }

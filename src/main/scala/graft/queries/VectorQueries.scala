@@ -1396,7 +1396,126 @@ object VectorQueries extends QueryModule {
         FROM ranked WHERE rank <= 5
         ORDER BY query_id, rank
       """.trim),
-      bench = false)
+      bench = false),
+
+    // --- Lloyd k-means refinement (2 exact fixed-point rounds from the
+    // q71 seed centroids): assignment is ivfAssign's max-dot verdict,
+    // the update floors each component to 2^20 fixed point and sums
+    // EXACT longs, and the new centroid is one fixed IEEE sequence
+    // (Σfix/2^20)/n — so both rounds' centroids, the final assignment
+    // counts, and every component value hash-match the oracle's
+    // chained-CTE replay bit for bit. Per round the corpus is ONE
+    // argmax projection against the broadcast centroid array feeding a
+    // m-row groupBy — the corpus never shuffles. ---
+    GQuery(
+      "q198_kmeans_refine",
+      (spark, dir) => {
+        val e = Tables.embs(spark, dir)
+        val seeds = Similarity.seedCentroids(e, "vec_id", "embedding", 8)
+        graft.operators.KMeans.refine(e, seeds, "embedding", Dim, rounds = 2)
+          .select(col("centroid_id"), col("n"),
+            posexplode(col("cv")).as(Seq("i0", "ci")))
+          .select(col("centroid_id"), col("n"),
+            (col("i0") + 1).as("i"), col("ci"))
+          .orderBy(col("centroid_id"), col("i"))
+      },
+      Some("""
+        WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+                   FROM embeddings),
+        c0 AS (SELECT vec_id AS cid, e AS cv FROM v
+               QUALIFY row_number() OVER (ORDER BY vec_id) <= 8),
+        a1 AS (SELECT v.vec_id, v.e, c.cid AS b FROM v CROSS JOIN c0 c
+               QUALIFY row_number() OVER (PARTITION BY v.vec_id ORDER BY
+                 list_sum(list_transform(generate_series(1, 64),
+                   i -> v.e[i] * c.cv[i])) DESC, c.cid) = 1),
+        u1 AS (SELECT b, g.i, COUNT(*) AS n,
+                      SUM(CAST(floor(e[g.i] * 1048576.0) AS BIGINT)) AS s
+               FROM a1, unnest(generate_series(1, 64)) AS g(i)
+               GROUP BY b, g.i),
+        c1 AS (SELECT c0.cid,
+                      CASE WHEN MAX(u1.i) IS NULL THEN c0.cv
+                           ELSE list((CAST(u1.s AS DOUBLE) / 1048576.0)
+                                     / CAST(u1.n AS DOUBLE) ORDER BY u1.i)
+                      END AS cv
+               FROM c0 LEFT JOIN u1 ON u1.b = c0.cid
+               GROUP BY c0.cid, c0.cv),
+        a2 AS (SELECT v.vec_id, v.e, c.cid AS b FROM v CROSS JOIN c1 c
+               QUALIFY row_number() OVER (PARTITION BY v.vec_id ORDER BY
+                 list_sum(list_transform(generate_series(1, 64),
+                   i -> v.e[i] * c.cv[i])) DESC, c.cid) = 1),
+        u2 AS (SELECT b, g.i, COUNT(*) AS n,
+                      SUM(CAST(floor(e[g.i] * 1048576.0) AS BIGINT)) AS s
+               FROM a2, unnest(generate_series(1, 64)) AS g(i)
+               GROUP BY b, g.i),
+        cnt2 AS (SELECT c1.cid, COALESCE(MAX(u2.n), 0) AS n
+                 FROM c1 LEFT JOIN u2 ON u2.b = c1.cid
+                 GROUP BY c1.cid),
+        vals AS (
+          SELECT cg.cid, cg.i,
+                 COALESCE((CAST(u2.s AS DOUBLE) / 1048576.0)
+                            / CAST(u2.n AS DOUBLE),
+                          cg.cvi) AS ci
+          FROM (SELECT c1.cid, g.i, c1.cv[g.i] AS cvi
+                FROM c1, unnest(generate_series(1, 64)) AS g(i)) cg
+          LEFT JOIN u2 ON u2.b = cg.cid AND u2.i = cg.i)
+        SELECT vals.cid AS centroid_id, cnt2.n, CAST(vals.i AS INT) AS i,
+               vals.ci
+        FROM vals JOIN cnt2 ON cnt2.cid = vals.cid
+        ORDER BY vals.cid, vals.i
+      """.trim),
+      bench = true),
+
+    // --- k-NN similarity graph (ANN → Graph bridge): per-vector top-3
+    // cosine neighbors among vectors sharing ≥ 1 of the top-2 IVF
+    // buckets. Bucket-confined pair scan (never n²), candidate-keyed
+    // dedup (a pair sharing both buckets must not occupy two rank
+    // slots), bounded-heap tail. Oracle replays assignment, pair set,
+    // scores, and ranks verbatim. ---
+    GQuery(
+      "q203_knn_graph",
+      (spark, dir) => {
+        val e = Tables.embs(spark, dir)
+        val cents = Similarity.seedCentroids(e, "vec_id", "embedding", 16)
+        Similarity.knnGraph(e, cents, "vec_id", "embedding", Dim,
+            k = 3, nAssign = 2)
+          .select(col("query_id"), col("neighbor_id"),
+            round(col("cosine"), 6).as("cosine_r"), col("rank"))
+          .orderBy(col("query_id"), col("rank"))
+      },
+      Some("""
+        WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+                   FROM embeddings),
+        cents AS (SELECT vec_id AS centroid_id, e AS cv FROM v
+                  QUALIFY row_number() OVER (ORDER BY vec_id) <= 16),
+        asg AS (SELECT v.vec_id, c.centroid_id AS bucket
+                FROM v CROSS JOIN cents c
+                QUALIFY row_number() OVER (PARTITION BY v.vec_id
+                  ORDER BY list_sum(list_transform(generate_series(1, 64),
+                    i -> v.e[i] * c.cv[i])) DESC, c.centroid_id) <= 2),
+        pairs AS (SELECT DISTINCT a.vec_id AS query_id,
+                         b.vec_id AS neighbor_id
+                  FROM asg a JOIN asg b
+                    ON a.bucket = b.bucket AND a.vec_id <> b.vec_id),
+        scored AS (
+          SELECT p.query_id, p.neighbor_id,
+                 list_sum(list_transform(generate_series(1, 64),
+                     i -> qa.e[i] * qb.e[i]))
+                   / (sqrt(list_sum(list_transform(generate_series(1, 64),
+                        i -> qa.e[i] * qa.e[i])))
+                      * sqrt(list_sum(list_transform(generate_series(1, 64),
+                          i -> qb.e[i] * qb.e[i])))) AS cosine
+          FROM pairs p JOIN v qa ON qa.vec_id = p.query_id
+                       JOIN v qb ON qb.vec_id = p.neighbor_id),
+        ranked AS (
+          SELECT query_id, neighbor_id, cosine,
+                 CAST(row_number() OVER (PARTITION BY query_id
+                        ORDER BY cosine DESC, neighbor_id) AS INT) AS rank
+          FROM scored)
+        SELECT query_id, neighbor_id, round(cosine, 6) AS cosine_r, rank
+        FROM ranked WHERE rank <= 3
+        ORDER BY query_id, rank
+      """.trim),
+      bench = true)
   )
 
   /** DuckDB rendering of [[graft.operators.Sampling.hash16]] with the

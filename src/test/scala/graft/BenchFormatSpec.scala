@@ -123,7 +123,7 @@ class BenchFormatSpec extends AnyFunSuite {
     assert(SparkEntry.benchIndexed.keySet ==
       Set("q28_incremental_dedup", "q71_ann_ivf", "q116_semdedup_incremental",
         "q118_pq_topk", "q119_ivfpq_topk", "q120_ivfpq_stored",
-        "q121_pq_rerank", "q123_ivfpq_residual"))
+        "q121_pq_rerank", "q123_ivfpq_residual", "q196_bm25_indexed"))
   }
 
   test("record stays valid JSON under a comma-decimal default locale") {

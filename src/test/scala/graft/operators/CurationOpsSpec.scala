@@ -707,4 +707,72 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(math.abs(mean - trueTotal) / trueTotal < 0.15,
       s"mean estimate $mean vs true $trueTotal")
   }
+
+  // ---- chunkByTokens ----
+
+  private def chunks(docs: Seq[(Long, String)], window: Int, stride: Int) =
+    Curation.chunkByTokens(docs.toDF("doc_id", "text"), "doc_id", "text",
+        window, stride)
+      .orderBy($"doc_id", $"chunk_idx")
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3),
+        r.getString(4)))
+
+  test("chunkByTokens: hand case — overlap, positions, exact texts") {
+    val doc = Seq(1L -> "t1 t2 t3 t4 t5 t6 t7")
+    val got = chunks(doc, window = 4, stride = 3)
+    assert(got.toSeq == Seq(
+      (1L, 0, 0, 4, "t1 t2 t3 t4"),
+      (1L, 1, 3, 4, "t4 t5 t6 t7")))
+  }
+
+  test("chunkByTokens: short doc → one chunk; empty/NULL → none; multi-space canonicalizes") {
+    val got = chunks(Seq(
+      1L -> "a b c",          // shorter than the window: one 3-token chunk
+      2L -> "",               // no tokens → no rows
+      3L -> null,             // NULL text → no rows
+      4L -> "  x   y  "       // runs of spaces: empties dropped, text canonical
+    ), window = 8, stride = 4)
+    assert(got.toSeq == Seq(
+      (1L, 0, 0, 3, "a b c"),
+      (4L, 0, 0, 2, "x y")))
+  }
+
+  test("chunkByTokens: no redundant tail chunk (suffix already covered)") {
+    // n=10, window=8, stride=4: chunk 0 covers 0-7, chunk 1 covers 4-9;
+    // a start at 8 would re-emit a suffix of chunk 1 and must not appear
+    val toks = (1 to 10).map(i => s"w$i").mkString(" ")
+    val got = chunks(Seq(1L -> toks), window = 8, stride = 4)
+    assert(got.length == 2)
+    assert(got(1)._3 == 4 && got(1)._4 == 6)
+  }
+
+  test("chunkByTokens: full coverage, full-width non-final chunks, stride=window partitions") {
+    for (n <- Seq(1, 5, 39, 40, 41, 99, 120); (w, s) <- Seq((40, 30), (16, 16), (10, 3))) {
+      val toks = (0 until n).map(i => s"w$i")
+      val got = chunks(Seq(1L -> toks.mkString(" ")), w, s)
+      // every token index covered by at least one chunk
+      val covered = got.flatMap { case (_, _, st, nt, _) => st until (st + nt) }.toSet
+      assert(covered == (0 until n).toSet, s"n=$n w=$w s=$s")
+      // all but the last chunk carry exactly `w` tokens
+      got.dropRight(1).foreach { c => assert(c._4 == w, s"n=$n w=$w s=$s $c") }
+      // text is exactly the token slice
+      got.foreach { case (_, _, st, nt, txt) =>
+        assert(txt == toks.slice(st, st + nt).mkString(" ")) }
+      if (w == s) {
+        // no overlap: chunk widths sum to n
+        assert(got.map(_._4).sum == n)
+      }
+    }
+  }
+
+  test("chunkByTokens: rejects stride > window or nonpositive params") {
+    val df = Seq(1L -> "a b").toDF("doc_id", "text")
+    intercept[IllegalArgumentException] {
+      Curation.chunkByTokens(df, "doc_id", "text", window = 4, stride = 5)
+    }
+    intercept[IllegalArgumentException] {
+      Curation.chunkByTokens(df, "doc_id", "text", window = 0, stride = 1)
+    }
+  }
 }

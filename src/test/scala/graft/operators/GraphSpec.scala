@@ -107,4 +107,67 @@ class GraphSpec extends AnyFunSuite {
       .orderBy("node").collect().toSeq
     assert(a == b)
   }
+
+  // ---- triangle counting ----
+
+  private def triMap(edges: Seq[(String, String)]) =
+    Graph.triangleCounts(edges.toDF("src", "dst"), "src", "dst")
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+
+  test("triangleCounts: K4 — every node in 3 triangles, lcc = 1") {
+    val nodes = Seq("a", "b", "c", "d")
+    val k4 = for { x <- nodes; y <- nodes if x < y } yield (x, y)
+    val got = triMap(k4)
+    assert(got.keySet == nodes.toSet)
+    // each node: degree 3, C(3,2)=3 wedges all closed, lcc = 2·3/(3·2) = 1
+    assert(got.values.forall(_ == ((3L, 3L, 1.0))))
+  }
+
+  test("triangleCounts: bipartite graphs are triangle-free; path lcc = 0") {
+    val bip = for { l <- Seq("l1", "l2", "l3"); r <- Seq("r1", "r2") } yield (l, r)
+    assert(triMap(bip).values.forall { case (_, t, c) => t == 0L && c == 0.0 })
+    val path = Seq("a" -> "b", "b" -> "c", "c" -> "d")
+    val p = triMap(path)
+    assert(p.values.forall { case (_, t, c) => t == 0L && c == 0.0 })
+    assert(p("b")._1 == 2L && p("a")._1 == 1L)
+  }
+
+  test("triangleCounts: hand graph — exact counts, one open wedge") {
+    // triangle a-b-c plus pendant d on a and edge d-e: one triangle,
+    // a has an open wedge (b,d) that must NOT count
+    val edges = Seq("a" -> "b", "b" -> "c", "c" -> "a", "a" -> "d", "d" -> "e")
+    val got = triMap(edges)
+    assert(got("a") == ((3L, 1L, 1.0 / 3.0)))
+    assert(got("b") == ((2L, 1L, 1.0)))
+    assert(got("c") == ((2L, 1L, 1.0)))
+    assert(got("d") == ((2L, 0L, 0.0)))
+    assert(got("e") == ((1L, 0L, 0.0)))
+  }
+
+  test("triangleCounts: duplicate/reversed edges and self-loops collapse; partitioning-invariant") {
+    val base = Seq("a" -> "b", "b" -> "c", "c" -> "a")
+    val noisy = base ++ base.map(_.swap) ++ Seq("a" -> "a", "b" -> "b") ++ base
+    assert(triMap(noisy) == triMap(base))
+    val edges = Graph.coOccurrenceEdges(
+      graft.core.Tables.t(spark, TestSpark.SfDir, "lineitem"),
+      "l_orderkey", "l_suppkey")
+    val a = Graph.triangleCounts(edges, "src", "dst").orderBy("node").collect().toSeq
+    val b = Graph.triangleCounts(edges.repartition(13), "src", "dst")
+      .orderBy("node").collect().toSeq
+    assert(a == b && a.nonEmpty)
+  }
+
+  test("coOccurrenceEdges: canonical distinct pairs per shared group, NULLs dropped") {
+    val df = Seq(
+      (1L, "b"), (1L, "a"), (1L, "a"), // group 1: pair (a,b) once
+      (2L, "a"), (2L, "b"),            // same pair via group 2: still once
+      (3L, "c"),                       // singleton group: no pair
+      (4L, "d"), (4L, null)            // NULL node never pairs
+    ).toDF("g", "n")
+    val got = Graph.coOccurrenceEdges(df, "g", "n")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(got == Set(("a", "b")))
+  }
 }

@@ -1,0 +1,176 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** Lloyd refinement properties: exact agreement with an independent
+  * in-memory fixed-point model (the determinism q198's oracle relies
+  * on), empty-cluster carry-through, partitioning invariance, and the
+  * separation sanity that refined centroids actually move to cluster
+  * means.
+  */
+class KMeansSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val Dim = 4
+  private val ScaleBits = 20
+  private val Scale = (1L << ScaleBits).toDouble
+
+  /** Reference model: same assignment rule (max dot, strict index-order
+    * fold, ties to the smaller centroid id) and same exact fixed-point
+    * update, in plain Scala.
+    */
+  private def model(vecs: Seq[Array[Double]],
+      seeds: Seq[(Long, Array[Double])],
+      rounds: Int): Seq[(Long, Long, Array[Double])] = {
+    var cents = seeds.sortBy(_._1).map { case (id, cv) => (id, 0L, cv) }
+    (1 to rounds).foreach { _ =>
+      val assigned = vecs.map { v =>
+        var bestS = Double.NegativeInfinity
+        var bestC = -1L
+        cents.foreach { case (cid, _, cv) =>
+          val s = (0 until Dim).foldLeft(0.0)((a, i) => a + v(i) * cv(i))
+          if (s > bestS) { bestS = s; bestC = cid }
+        }
+        bestC -> v
+      }
+      cents = cents.map { case (cid, _, oldCv) =>
+        val mine = assigned.collect { case (c, v) if c == cid => v }
+        if (mine.isEmpty) (cid, 0L, oldCv)
+        else {
+          val nc = Array.tabulate(Dim) { i =>
+            val sfix = mine.map(v => math.floor(v(i) * Scale).toLong).sum
+            (sfix.toDouble / Scale) / mine.size.toDouble
+          }
+          (cid, mine.size.toLong, nc)
+        }
+      }
+    }
+    cents
+  }
+
+  private val vecs: Seq[Array[Double]] = Seq(
+    Array(1.0, 0.1, 0.0, 0.0), Array(0.9, 0.2, 0.1, 0.0),
+    Array(1.1, 0.0, 0.0, 0.1), Array(0.0, 0.1, 1.0, 0.9),
+    Array(0.1, 0.0, 0.9, 1.1), Array(0.0, 0.2, 1.1, 1.0),
+    Array(0.5, 0.5, 0.5, 0.47))
+
+  private def corpusDf = vecs.zipWithIndex
+    .map { case (v, i) => (i.toLong, v.toSeq) }.toDF("vec_id", "embedding")
+
+  private def seedsDf(s: Seq[(Long, Array[Double])]) =
+    s.map { case (id, cv) => (id, cv.toSeq) }.toDF("centroid_id", "cv")
+
+  private def run(rounds: Int, seeds: Seq[(Long, Array[Double])],
+      repart: Int = 0) = {
+    val c = if (repart > 0) corpusDf.repartition(repart) else corpusDf
+    KMeans.refine(c, seedsDf(seeds), "embedding", Dim, rounds, ScaleBits)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        r.getSeq[Double](2).toArray))
+      .sortBy(_._1)
+  }
+
+  private def sameBits(a: Array[Double], b: Array[Double]): Boolean =
+    a.length == b.length && a.indices.forall(i =>
+      java.lang.Double.doubleToLongBits(a(i)) ==
+        java.lang.Double.doubleToLongBits(b(i)))
+
+  test("refine matches the exact fixed-point model bit-for-bit, 1 and 3 rounds") {
+    val seeds = Seq(0L -> vecs(0), 1L -> vecs(3))
+    for (rounds <- Seq(1, 3)) {
+      val exp = model(vecs, seeds, rounds)
+      val got = run(rounds, seeds)
+      assert(got.map(g => (g._1, g._2)).toSeq == exp.map(e => (e._1, e._2)))
+      got.zip(exp).foreach { case (g, e) =>
+        assert(sameBits(g._3, e._3), s"centroid ${g._1} rounds=$rounds")
+      }
+    }
+  }
+
+  test("refine: an unreachable seed keeps its centroid with n = 0") {
+    // all-negative seed never wins a max-dot assignment on the
+    // all-positive corpus
+    val far = Array(-100.0, -100.0, -100.0, -100.0)
+    val seeds = Seq(0L -> vecs(0), 1L -> vecs(3), 9L -> far)
+    val got = run(2, seeds)
+    val dead = got.find(_._1 == 9L).get
+    assert(dead._2 == 0L && sameBits(dead._3, far))
+    assert(got.map(_._2).sum == vecs.size.toLong)
+  }
+
+  test("refine is partitioning-invariant (bit-identical)") {
+    val seeds = Seq(0L -> vecs(0), 1L -> vecs(3))
+    val a = run(2, seeds)
+    val b = run(2, seeds, repart = 7)
+    assert(a.map(x => (x._1, x._2)).toSeq == b.map(x => (x._1, x._2)).toSeq)
+    a.zip(b).foreach { case (x, y) => assert(sameBits(x._3, y._3)) }
+  }
+
+  test("refine on separated clusters lands near the true means") {
+    // two tight blobs; seeds both start inside blob 1 shifted — after 3
+    // rounds the centroids must sit within fixed-point rounding of the
+    // blob means
+    val blob1 = Seq(Array(1.0, 0.0, 0.0, 0.0), Array(1.2, 0.1, 0.0, 0.0),
+      Array(0.8, -0.1, 0.0, 0.0))
+    val blob2 = Seq(Array(0.0, 0.0, 1.0, 1.0), Array(0.0, 0.1, 1.2, 0.8),
+      Array(0.1, -0.1, 0.8, 1.2))
+    val all = blob1 ++ blob2
+    val df = all.zipWithIndex.map { case (v, i) => (i.toLong, v.toSeq) }
+      .toDF("vec_id", "embedding")
+    val seeds = seedsDf(Seq(0L -> blob1.head, 1L -> blob2.head))
+    val got = KMeans.refine(df, seeds, "embedding", Dim, rounds = 3, ScaleBits)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](2).toArray).toMap
+    def mean(b: Seq[Array[Double]]) =
+      Array.tabulate(Dim)(i => b.map(_(i)).sum / b.size)
+    got(0L).zip(mean(blob1)).foreach { case (g, m) =>
+      assert(math.abs(g - m) < 1e-4, s"blob1: $g vs $m") }
+    got(1L).zip(mean(blob2)).foreach { case (g, m) =>
+      assert(math.abs(g - m) < 1e-4, s"blob2: $g vs $m") }
+  }
+
+  test("refine never shuffles the corpus: shuffle record volume is update-partial-sized") {
+    // refine eager-checkpoints each round, so its plan can't be read off
+    // the returned frame — pin the scale contract from runtime metrics
+    // instead: total records written to shuffles during the whole run
+    // must be bounded by the m-row update partials (m × tasks per
+    // round), nowhere near the 20k-row corpus.
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+    val n = 20000
+    // 8 partitions at the SOURCE (no repartition — that would itself be
+    // a counted corpus shuffle)
+    val big = spark.range(0L, n, 1L, 8).select(col("id").as("vec_id"),
+      array(Seq(
+        (col("id") % 97).cast("double") / 97.0,
+        (col("id") % 31).cast("double") / 31.0,
+        (col("id") % 13).cast("double") / 13.0,
+        (col("id") % 7).cast("double") / 7.0): _*).as("embedding"))
+    val shuffled = new java.util.concurrent.atomic.AtomicLong(0L)
+    val listener = new SparkListener {
+      override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
+        val m = t.taskMetrics
+        if (m != null && m.shuffleWriteMetrics != null)
+          shuffled.addAndGet(m.shuffleWriteMetrics.recordsWritten)
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val seeds = Seq(0L -> Array(1.0, 0.0, 0.0, 0.0),
+        1L -> Array(0.0, 0.0, 1.0, 1.0))
+      KMeans.refine(big, seedsDf(seeds), "embedding", Dim,
+        rounds = 2, ScaleBits).collect()
+      // listener delivery is async — settle before reading
+      var last = -1L
+      var tries = 0
+      while (shuffled.get != last && tries < 50) {
+        last = shuffled.get; tries += 1; Thread.sleep(100)
+      }
+      assert(shuffled.get < n / 10,
+        s"refine shuffled ${shuffled.get} records on a $n-row corpus — " +
+          "the corpus is leaking into an exchange")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+}

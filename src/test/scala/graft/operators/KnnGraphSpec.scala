@@ -1,0 +1,93 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** k-NN graph properties: full-probe parity with the brute-force tail,
+  * multi-assign dedup (no pair occupies two rank slots), the boundary
+  * recall nAssign buys, and partitioning invariance.
+  */
+class KnnGraphSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val Dim = 4
+
+  private def vecsDf(vs: Seq[(Long, Seq[Double])]) =
+    vs.toDF("vec_id", "embedding")
+
+  private def centsDf(cs: Seq[(Long, Seq[Double])]) =
+    cs.toDF("centroid_id", "cv")
+
+  private def edges(df: org.apache.spark.sql.DataFrame) =
+    df.collect().map(r => (r.getLong(0), r.getLong(1),
+      java.lang.Double.doubleToLongBits(r.getDouble(2)), r.getInt(3))).toSet
+
+  test("nAssign = m (full probe) is bit-identical to brute-force top-k") {
+    val vs = (0 until 30).map(i => i.toLong -> Seq(
+      math.sin(i * 0.7) + 1.5, math.cos(i * 1.3) + 1.5,
+      (i % 5).toDouble / 5.0 + 0.1, (i % 3).toDouble / 3.0 + 0.1))
+    val corpus = vecsDf(vs)
+    val cents = Similarity.seedCentroids(corpus, "vec_id", "embedding", 4)
+    val knn = Similarity.knnGraph(corpus, cents, "vec_id", "embedding",
+      Dim, k = 3, nAssign = 4)
+    val bf = Similarity.bruteForceTopK(corpus, corpus, "vec_id", "embedding",
+      Dim, k = 3)
+    assert(edges(knn) == edges(bf))
+  }
+
+  test("shared buckets never double-occupy rank slots (nAssign = m = 2)") {
+    // with 2 centroids and nAssign = 2 EVERY pair shares both buckets —
+    // the maximal duplication case
+    val vs = (0 until 12).map(i => i.toLong -> Seq(
+      1.0 + (i % 4) * 0.1, 0.5 + (i % 3) * 0.2, 0.3, 0.2))
+    val corpus = vecsDf(vs)
+    val cents = centsDf(Seq(0L -> Seq(1.0, 0.0, 0.0, 0.0),
+      1L -> Seq(0.0, 1.0, 0.0, 0.0)))
+    val got = Similarity.knnGraph(corpus, cents, "vec_id", "embedding",
+        Dim, k = 5, nAssign = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3)))
+    got.groupBy(_._1).foreach { case (q, rows) =>
+      val nbrs = rows.map(_._2)
+      assert(nbrs.distinct.size == nbrs.size, s"query $q repeats a neighbor")
+      assert(rows.map(_._3).sorted.toSeq == (1 to rows.size).toSeq,
+        s"query $q ranks not contiguous")
+      assert(rows.size == 5)
+    }
+  }
+
+  test("nAssign = 2 recovers the boundary near-dup that nAssign = 1 misses") {
+    val cents = centsDf(Seq(0L -> Seq(1.0, 0.0, 0.0, 0.0),
+      1L -> Seq(0.0, 1.0, 0.0, 0.0)))
+    // x lands in bucket 0, its near-dup y in bucket 1; fillers keep each
+    // bucket non-trivial
+    val vs = Seq(
+      10L -> Seq(0.90, 0.85, 0.0, 0.0), // x → bucket 0
+      11L -> Seq(0.85, 0.90, 0.0, 0.0), // y → bucket 1
+      20L -> Seq(1.0, 0.0, 0.1, 0.0), 21L -> Seq(0.9, 0.1, 0.0, 0.1),
+      30L -> Seq(0.0, 1.0, 0.1, 0.0), 31L -> Seq(0.1, 0.9, 0.0, 0.1))
+    val corpus = vecsDf(vs)
+    def nbrsOf(nAssign: Int): Set[Long] =
+      Similarity.knnGraph(corpus, cents, "vec_id", "embedding", Dim,
+          k = 2, nAssign = nAssign)
+        .filter(col("query_id") === 10L)
+        .collect().map(_.getLong(1)).toSet
+    assert(!nbrsOf(1).contains(11L), "fixture broken: y visible at nAssign=1")
+    assert(nbrsOf(2).contains(11L), "nAssign=2 must surface the straddler")
+  }
+
+  test("partitioning-invariant (bit-identical edges)") {
+    val vs = (0 until 40).map(i => i.toLong -> Seq(
+      (i % 7).toDouble + 0.5, (i % 4).toDouble + 0.5,
+      (i % 3).toDouble + 0.5, 1.0))
+    val corpus = vecsDf(vs)
+    val cents = Similarity.seedCentroids(corpus, "vec_id", "embedding", 3)
+    val a = edges(Similarity.knnGraph(corpus, cents, "vec_id", "embedding",
+      Dim, k = 3, nAssign = 2))
+    val b = edges(Similarity.knnGraph(corpus.repartition(11), cents,
+      "vec_id", "embedding", Dim, k = 3, nAssign = 2))
+    assert(a == b && a.nonEmpty)
+  }
+}

@@ -1,0 +1,92 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** Checked Morton interleave + bucket-envelope properties: exact bit
+  * layout against an in-memory model, deinterleave roundtrip, the loud
+  * out-of-range guard, and the locality claim itself — z-buckets bound
+  * EVERY dimension's min/max envelope while a single-column sort leaves
+  * the non-leading dimension's envelope full-range.
+  */
+class LayoutSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  /** In-memory model of Layout.zValue(Seq(...), bits). */
+  private def zModel(vals: Seq[Long], bits: Int): Long = {
+    val n = vals.size
+    (0 until bits).flatMap { b =>
+      vals.zipWithIndex.map { case (v, c) => ((v >> b) & 1L) << (b * n + c) }
+    }.sum
+  }
+
+  test("zValue(Seq) matches the bit model and roundtrips by deinterleave") {
+    val bits = 10
+    val pts = Seq((0L, 0L), (1L, 0L), (0L, 1L), (1023L, 1023L),
+      (517L, 2L), (33L, 900L), (512L, 511L))
+    val got = pts.toDF("x", "y")
+      .select(col("x"), col("y"),
+        Layout.zValue(Seq(col("x"), col("y")), bits).as("z"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    got.foreach { case (x, y, z) =>
+      assert(z == zModel(Seq(x, y), bits), s"($x,$y)")
+      // deinterleave: even positions rebuild x, odd rebuild y
+      val dx = (0 until bits).map(b => ((z >> (2 * b)) & 1L) << b).sum
+      val dy = (0 until bits).map(b => ((z >> (2 * b + 1)) & 1L) << b).sum
+      assert(dx == x && dy == y, s"roundtrip ($x,$y) → $z")
+    }
+  }
+
+  test("zValue(Seq): three columns interleave at stride 3") {
+    val bits = 4
+    val rows = Seq((5L, 9L, 3L), (15L, 0L, 8L), (0L, 0L, 0L))
+    val got = rows.toDF("a", "b", "c")
+      .select(Layout.zValue(Seq(col("a"), col("b"), col("c")), bits).as("z"))
+      .collect().map(_.getLong(0))
+    got.zip(rows).foreach { case (z, (a, b, c)) =>
+      assert(z == zModel(Seq(a, b, c), bits))
+    }
+  }
+
+  test("zValue(Seq) fails the job loudly on out-of-range input") {
+    val bad = Seq((5L, 1024L)).toDF("x", "y")
+    val ex = intercept[Exception] {
+      bad.select(Layout.zValue(Seq(col("x"), col("y")), 10).as("z")).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(ex).exists(_.contains("zValue: input outside")), ex.toString)
+    val neg = Seq((-1L, 3L)).toDF("x", "y")
+    intercept[Exception] {
+      neg.select(Layout.zValue(Seq(col("x"), col("y")), 10).as("z")).collect()
+    }
+  }
+
+  test("zBucketProfile: buckets tile BOTH dimensions; single-column sort does not") {
+    // full 64×64 grid, 6 bits per dim; shiftOut=8 keeps 4 bucket bits →
+    // 16 buckets, each a 16×16 tile: every dimension's envelope width
+    // must be exactly 16, where bucketing the same data by x alone
+    // leaves y's envelope at the full 64.
+    val grid = (0 until 64).flatMap(x => (0 until 64).map(y => (x.toLong, y.toLong)))
+    val df = grid.toDF("x", "y")
+    val prof = Layout.zBucketProfile(df,
+        Seq("x" -> col("x"), "y" -> col("y")), bits = 6, shiftOut = 8)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(prof.length == 16)
+    assert(prof.map(_._2).sum == 64L * 64L)
+    prof.foreach { case (bkt, _, minX, maxX, minY, maxY) =>
+      assert(maxX - minX + 1 == 16, s"bucket $bkt x-envelope")
+      assert(maxY - minY + 1 == 16, s"bucket $bkt y-envelope")
+    }
+    // contrast: 16 equal buckets by x alone — y stays full-range
+    val sorted = df.select((col("x") / 4).cast("long").as("bucket"), col("y"))
+      .groupBy("bucket").agg(min("y").as("mn"), max("y").as("mx"))
+      .collect()
+    assert(sorted.forall(r => r.getLong(2) - r.getLong(1) + 1 == 64))
+  }
+}
