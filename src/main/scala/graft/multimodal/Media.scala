@@ -5,7 +5,7 @@ import java.security.MessageDigest
 
 import javax.imageio.ImageIO
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Multimodal column plumbing (builder-prompt mandate; SURVEY §2.12).
@@ -126,6 +126,70 @@ object Media {
               md5Hex(java.util.Arrays.copyOfRange(payload, off, end)))
         }
       }
+  }
+
+  /** REAL audio-path operator (no codec required — unlike image/video,
+    * raw PCM needs only integer byte math): interpret the payload as
+    * signed 16-bit little-endian mono samples and emit per-window exact
+    * energy (Σ sample², a long) plus a silence flag — the
+    * voice-activity / silence-trimming primitive an audio curation
+    * pipeline runs before any model sees the clip, and the windowing
+    * plumbing (schema, fan-out, batch shape) a real feature extractor
+    * drops into.
+    *
+    * Everything is Column algebra over `hex(payload)` — ascii-decoded
+    * pairs of hex digits rebuild each byte, so the whole operator is a
+    * zero-shuffle codegen'd projection AND exactly replayable by any
+    * engine with `hex`/`ascii`/`substr` (q204 hash-certifies energies
+    * against DuckDB's integer replay; both engines render hex
+    * uppercase). Energy is exact: |sample| ≤ 2^15, so a 2^16-sample
+    * window stays ≤ 2^46 — no float drift, partitioning-invariant by
+    * construction.
+    *
+    * A trailing odd byte (not a full sample) is ignored; a short final
+    * window carries its true `n_samples`; empty/NULL payloads emit no
+    * rows.
+    *
+    * @return `(<idCol>, window_idx, n_samples, energy, silence)` with
+    *         `silence` = mean square < `silenceMeanSquare`
+    */
+  def pcmEnergyWindows(media: DataFrame, idCol: String, payloadCol: String,
+      windowSamples: Int, silenceMeanSquare: Long): DataFrame = {
+    require(windowSamples >= 1 && windowSamples <= (1 << 16),
+      s"windowSamples ($windowSamples) outside [1, 65536] — the exact " +
+        "long energy bound needs n·2^30 within long range")
+    require(silenceMeanSquare >= 0, "silenceMeanSquare must be >= 0")
+    val ws = windowSamples.toLong
+    // full samples only: a trailing odd byte is ignored
+    val nSamp = shiftright(length(col(payloadCol)).cast("long"), 1)
+    // window START offsets by stride (the chunkByTokens shape) — no
+    // division, exact, empty for nSamp = 0
+    val starts = when(nSamp >= 1, sequence(lit(0L), nSamp - 1, lit(ws)))
+      .otherwise(array().cast("array<long>"))
+    val n = least(lit(ws), col("__n") - col("__s"))
+    val energy = aggregate(
+      sequence(col("__s"), col("__s") + n - 1), lit(0L),
+      (acc, k) => {
+        // one hex digit (UPPERCASE in both engines) at 1-based position p
+        def hv(p: Column): Column = {
+          val a = ascii(col("__h").substr(p.cast("int"), lit(1)))
+          (a - when(a >= 65, 55).otherwise(48)).cast("long")
+        }
+        // byte i (0-based) = hex chars 2i+1, 2i+2; sample k is s16le
+        def byteAt(i: Column): Column = hv(i * 2 + 1) * 16L + hv(i * 2 + 2)
+        val v = byteAt(k * 2) + byteAt(k * 2 + 1) * 256L
+        val s = v - when(v >= 32768L, 65536L).otherwise(0L)
+        acc + s * s
+      })
+    media
+      .select(col(idCol), hex(col(payloadCol)).as("__h"), nSamp.as("__n"),
+        posexplode(starts).as(Seq("__w", "__s")))
+      .select(col(idCol),
+        col("__w").cast("int").as("window_idx"),
+        n.cast("int").as("n_samples"),
+        energy.as("energy"))
+      .withColumn("silence",
+        col("energy") < lit(silenceMeanSquare) * col("n_samples").cast("long"))
   }
 
   def featurize(spark: SparkSession, media: DataFrame): Dataset[MediaFeature] = {

@@ -63,6 +63,56 @@ object MultimodalQueries extends QueryModule {
         FROM f JOIN a USING (doc_id)
         ORDER BY id, frame_idx
       """.trim),
-      bench = false)
+      bench = false),
+
+    // --- PCM window energy (the REAL audio half — raw s16le needs only
+    // integer byte math, no codec): per-256-sample exact Σ sample²
+    // energies + silence flags over the payload bytes, every byte
+    // rebuilt from ascii-decoded hex pairs on BOTH engines, so the gate
+    // hash-certifies the full decode → window → energy path (not just
+    // plumbing shape). Zero shuffle; works on raw UTF-8 payloads —
+    // no ASCII filter needed (hex sees bytes, not characters). ---
+    GQuery(
+      "q204_pcm_energy",
+      (spark, dir) => Media.pcmEnergyWindows(
+          Media.fromDocuments(t(spark, dir, "documents")), "id", "payload",
+          windowSamples = 256, silenceMeanSquare = 500000000L)
+        .orderBy(col("id"), col("window_idx")),
+      Some(s"""
+        WITH m AS (
+          SELECT doc_id AS id, hex(CAST(text AS BLOB)) AS h,
+                 octet_length(CAST(text AS BLOB)) // 2 AS n
+          FROM documents),
+        w AS (
+          SELECT id, h, n, CAST(t.s // 256 AS INT) AS window_idx,
+                 t.s AS s, CAST(LEAST(256, n - t.s) AS INT) AS n_samples
+          FROM m, unnest(generate_series(0, n - 1, 256)) AS t(s)),
+        e AS (
+          SELECT id, window_idx, n_samples,
+                 CAST(list_sum(list_transform(
+                   list_transform(generate_series(s, s + n_samples - 1),
+                     k -> ${pcmSampleSql("h", "k")}),
+                   x -> x * x)) AS BIGINT) AS energy
+          FROM w)
+        SELECT id, window_idx, n_samples, energy,
+               energy < 500000000 * CAST(n_samples AS BIGINT) AS silence
+        FROM e ORDER BY id, window_idx
+      """.trim),
+      bench = true)
   )
+
+  /** DuckDB rendering of one s16le sample at 0-based sample index `k`
+    * over uppercase hex string `h` — byte i = hex chars 2i+1, 2i+2
+    * ascii-decoded, sample = lowByte + 256·highByte, two's-complement
+    * signed. Mirrors `Media.pcmEnergyWindows`' Column algebra exactly.
+    */
+  private def pcmSampleSql(h: String, k: String): String = {
+    def hv(p: String) =
+      s"(ascii(substr($h, CAST($p AS INT), 1)) - " +
+        s"CASE WHEN ascii(substr($h, CAST($p AS INT), 1)) >= 65 " +
+        "THEN 55 ELSE 48 END)"
+    def byteAt(i: String) = s"(${hv(s"($i)*2+1")} * 16 + ${hv(s"($i)*2+2")})"
+    val v = s"(${byteAt(s"($k)*2")} + ${byteAt(s"($k)*2+1")} * 256)"
+    s"($v - CASE WHEN $v >= 32768 THEN 65536 ELSE 0 END)"
+  }
 }

@@ -1,0 +1,84 @@
+package graft.multimodal
+
+import java.nio.{ByteBuffer, ByteOrder}
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** PCM window-energy properties: exact agreement with an independent
+  * ByteBuffer-based s16le decoder on hand and random payloads, the
+  * odd-trailing-byte / empty / short-final-window contracts, and the
+  * silence threshold edge.
+  */
+class MediaPcmSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  /** Independent model: JDK little-endian short decode + exact window sums. */
+  private def model(payload: Array[Byte], ws: Int,
+      floor: Long): Seq[(Int, Int, Long, Boolean)] = {
+    val nSamp = payload.length / 2
+    val bb = ByteBuffer.wrap(payload, 0, nSamp * 2).order(ByteOrder.LITTLE_ENDIAN)
+    val samples = (0 until nSamp).map(i => bb.getShort(i * 2).toLong)
+    samples.grouped(ws).zipWithIndex.map { case (win, idx) =>
+      val e = win.map(s => s * s).sum
+      (idx, win.size, e, e < floor * win.size)
+    }.toSeq
+  }
+
+  private def run(payloads: Seq[(Long, Array[Byte])], ws: Int, floor: Long) =
+    Media.pcmEnergyWindows(payloads.toDF("id", "payload"), "id", "payload",
+        ws, floor)
+      .orderBy($"id", $"window_idx")
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3),
+        r.getBoolean(4)))
+
+  private def s16le(samples: Short*): Array[Byte] = {
+    val bb = ByteBuffer.allocate(samples.size * 2).order(ByteOrder.LITTLE_ENDIAN)
+    samples.foreach(bb.putShort)
+    bb.array()
+  }
+
+  test("hand case: extremes, signs, window split, exact energies") {
+    val pay = s16le(1, -1, 300, -32768, 32767, 0, 5)
+    val got = run(Seq(1L -> pay), ws = 2, floor = 10L)
+    val exp = model(pay, 2, 10L).map { case (w, n, e, s) => (1L, w, n, e, s) }
+    assert(got.toSeq == exp)
+    // spot-check the arithmetic really is what we think
+    assert(exp.map(_._4) == Seq(1L + 1L, 300L * 300 + 32768L * 32768,
+      32767L * 32767 + 0L, 25L))
+    // final window is short (1 sample)
+    assert(exp.last._3 == 1)
+  }
+
+  test("odd trailing byte ignored; empty and NULL payloads emit nothing") {
+    val odd = s16le(100, -200) :+ 0x7f.toByte
+    val got = run(Seq(1L -> odd, 2L -> Array.empty[Byte], 3L -> null),
+      ws = 4, floor = 0L)
+    assert(got.toSeq == Seq((1L, 0, 2, 100L * 100 + 200L * 200, false)))
+  }
+
+  test("random payloads match the ByteBuffer model exactly") {
+    val rnd = new scala.util.Random(42)
+    val payloads = (0 until 20).map { i =>
+      val len = rnd.nextInt(400) // odd lengths included
+      i.toLong -> Array.fill(len)(rnd.nextInt(256).toByte)
+    }
+    val got = run(payloads, ws = 16, floor = 1L << 28)
+      .groupBy(_._1).view.mapValues(_.map(t => (t._2, t._3, t._4, t._5)).toSeq)
+    payloads.foreach { case (id, pay) =>
+      val exp = model(pay, 16, 1L << 28)
+      assert(got.getOrElse(id, Seq.empty) == exp, s"payload $id")
+    }
+  }
+
+  test("silence threshold is strict: mean square exactly at the floor is not silent") {
+    // two samples of value 10 → energy 200, n = 2, mean square 100
+    val pay = s16le(10, 10)
+    assert(run(Seq(1L -> pay), ws = 2, floor = 100L).head._5 == false)
+    assert(run(Seq(1L -> pay), ws = 2, floor = 101L).head._5 == true)
+  }
+}
