@@ -159,35 +159,39 @@ object Media {
       s"windowSamples ($windowSamples) outside [1, 65536] — the exact " +
         "long energy bound needs n·2^30 within long range")
     require(silenceMeanSquare >= 0, "silenceMeanSquare must be >= 0")
-    val ws = windowSamples.toLong
-    // full samples only: a trailing odd byte is ignored
-    val nSamp = shiftright(length(col(payloadCol)).cast("long"), 1)
+    val ws = windowSamples
+    // ONE linear pass splits the hex rendering into 4-hex-digit sample
+    // groups (a trailing lone byte has only 2 digits and never matches —
+    // the odd-byte contract for free). Positional substr on the FULL hex
+    // string would be O(position) per access (UTF8String counts chars
+    // from the front), turning the decode quadratic per document —
+    // measured 106 s at sf0.1 before this; every substr below runs on a
+    // 4-char group instead.
+    val groups = coalesce(
+      regexp_extract_all(hex(col(payloadCol)), lit("[0-9A-F]{4}"), lit(0)),
+      array().cast("array<string>"))
+    // decode each s16le sample once: low byte = digits 1-2, high = 3-4
+    val samples = transform(groups, q => {
+      def hv(p: Int): Column = {
+        val a = ascii(substring(q, p, 1))
+        (a - when(a >= 65, 55).otherwise(48)).cast("long")
+      }
+      val v = (hv(1) * 16L + hv(2)) + (hv(3) * 16L + hv(4)) * 256L
+      v - when(v >= 32768L, 65536L).otherwise(0L)
+    })
     // window START offsets by stride (the chunkByTokens shape) — no
-    // division, exact, empty for nSamp = 0
-    val starts = when(nSamp >= 1, sequence(lit(0L), nSamp - 1, lit(ws)))
+    // division, exact, empty for 0 samples
+    val nSamp = size(samples).cast("long")
+    val starts = when(nSamp >= 1, sequence(lit(0L), nSamp - 1, lit(ws.toLong)))
       .otherwise(array().cast("array<long>"))
-    val n = least(lit(ws), col("__n") - col("__s"))
-    val energy = aggregate(
-      sequence(col("__s"), col("__s") + n - 1), lit(0L),
-      (acc, k) => {
-        // one hex digit (UPPERCASE in both engines) at 1-based position p
-        def hv(p: Column): Column = {
-          val a = ascii(col("__h").substr(p.cast("int"), lit(1)))
-          (a - when(a >= 65, 55).otherwise(48)).cast("long")
-        }
-        // byte i (0-based) = hex chars 2i+1, 2i+2; sample k is s16le
-        def byteAt(i: Column): Column = hv(i * 2 + 1) * 16L + hv(i * 2 + 2)
-        val v = byteAt(k * 2) + byteAt(k * 2 + 1) * 256L
-        val s = v - when(v >= 32768L, 65536L).otherwise(0L)
-        acc + s * s
-      })
+    val win = slice(col("__sm"), col("__s").cast("int") + 1, lit(ws))
     media
-      .select(col(idCol), hex(col(payloadCol)).as("__h"), nSamp.as("__n"),
+      .select(col(idCol), samples.as("__sm"),
         posexplode(starts).as(Seq("__w", "__s")))
       .select(col(idCol),
         col("__w").cast("int").as("window_idx"),
-        n.cast("int").as("n_samples"),
-        energy.as("energy"))
+        size(win).as("n_samples"),
+        aggregate(win, lit(0L), (acc, s) => acc + s * s).as("energy"))
       .withColumn("silence",
         col("energy") < lit(silenceMeanSquare) * col("n_samples").cast("long"))
   }

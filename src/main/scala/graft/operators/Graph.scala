@@ -387,14 +387,20 @@ object Graph {
       .select(least(col("a"), col("b")).as("u"),
         greatest(col("a"), col("b")).as("v"))
       .distinct()
-    // Edges are read three more times (degrees, wedges, close) and the
-    // upstream derivation may be an expensive projection (e.g.
-    // coOccurrenceEdges' self-join) — checkpoint once, the iteration
-    // discipline shared with pageRankFixed.
+    // Edges are re-read (degrees, orientation) and the upstream
+    // derivation may be an expensive projection (e.g. coOccurrenceEdges'
+    // self-join) — checkpoint once, the iteration discipline shared
+    // with pageRankFixed.
     val e = graft.core.Caching.reap(canon)
-    val deg = e.select(col("u").as("node"))
-      .unionAll(e.select(col("v").as("node")))
-      .groupBy(col("node")).agg(count(lit(1)).as("degree"))
+    // deg is consumed three times (both orientation joins + the final
+    // output join); oriented three times (both wedge sides + the close
+    // join) — without their own checkpoints the plan would re-run the
+    // degree aggregate and the edge×degree joins 3× each, edge-sized
+    // work at crawl scale.
+    val deg = graft.core.Caching.reap(
+      e.select(col("u").as("node"))
+        .unionAll(e.select(col("v").as("node")))
+        .groupBy(col("node")).agg(count(lit(1)).as("degree")))
     val withDeg = e
       .join(deg.select(col("node").as("u"), col("degree").as("du")), "u")
       .join(deg.select(col("node").as("v"), col("degree").as("dv")), "v")
@@ -403,10 +409,12 @@ object Graph {
     // x → y with rank(x) < rank(y) under rank = (degree, node); dy
     // rides along so the wedge pair below can order its two spokes
     // without re-joining degrees.
-    val oriented = withDeg.select(
-      when(uLower, col("u")).otherwise(col("v")).as("x"),
-      when(uLower, col("v")).otherwise(col("u")).as("y"),
-      when(uLower, col("dv")).otherwise(col("du")).as("dy"))
+    val oriented = graft.core.Caching.reap(
+      withDeg.select(
+        when(uLower, col("u")).otherwise(col("v")).as("x"),
+        when(uLower, col("v")).otherwise(col("u")).as("y"),
+        when(uLower, col("dv")).otherwise(col("du")).as("dy")),
+      e)
     val o1 = oriented.select(col("x"), col("y").as("w1"), col("dy").as("d1"))
     val o2 = oriented.select(col("x"), col("y").as("w2"), col("dy").as("d2"))
     val wedges = o1.join(o2, "x")
@@ -417,12 +425,16 @@ object Graph {
     val perNode = tri
       .select(explode(array(col("x"), col("w1"), col("w2"))).as("node"))
       .groupBy(col("node")).agg(count(lit(1)).as("triangles"))
-    deg.join(perNode, Seq("node"), "left")
+    val out = deg.join(perNode, Seq("node"), "left")
       .select(col("node"), col("degree"),
         coalesce(col("triangles"), lit(0L)).as("triangles"),
         when(col("degree") >= 2,
           (lit(2L) * coalesce(col("triangles"), lit(0L))).cast("double") /
             (col("degree") * (col("degree") - lit(1L))).cast("double"))
           .otherwise(lit(0.0)).as("lcc"))
+    // node-sized result; reaping it releases the deg/oriented handles
+    // (the semDedup return discipline — pinned footprint after return is
+    // O(result))
+    graft.core.Caching.reap(out, deg, oriented)
   }
 }

@@ -75,7 +75,10 @@ object MultimodalQueries extends QueryModule {
     GQuery(
       "q204_pcm_energy",
       (spark, dir) => Media.pcmEnergyWindows(
-          Media.fromDocuments(t(spark, dir, "documents")), "id", "payload",
+          // Tables.docs, not t(): the decode is CPU-bound and documents
+          // is one parquet row group — without the core spread the whole
+          // corpus decodes on a single task (measured 14 s → ~1 s)
+          Media.fromDocuments(Tables.docs(spark, dir)), "id", "payload",
           windowSamples = 256, silenceMeanSquare = 500000000L)
         .orderBy(col("id"), col("window_idx")),
       Some(s"""

@@ -922,15 +922,26 @@ object OperatorQueries extends QueryModule {
 
     // --- edit-distance similarity self-join (FastSS deletion-neighborhood
     // blocking, Bocek et al. 2007): every customer-name pair within
-    // levenshtein ≤ 2, found by EQUI-joining ≤2-deletion variants and
+    // levenshtein ≤ 1, found by EQUI-joining ≤1-deletion variants and
     // verifying candidates — no cartesian, no corpus sort-merge. The
     // oracle certifies against an INDEPENDENT method (DuckDB's naive
     // banded quadratic join + its own levenshtein), so a hash match
-    // proves the blocking is complete, not merely self-consistent. ---
+    // proves the blocking is complete, not merely self-consistent.
+    // Radius 1 at the gate on purpose: TPC-H names are a digit GRID
+    // (every name within 2 edits of hundreds of others), so d=2 here
+    // has a genuinely ~quadratic-dense answer — millions of true pairs
+    // at sf0.1 whose bench time measures result materialization, not
+    // operator overhead (measured 257 s, all output). d=2 correctness
+    // incl. the dense grid is pinned in FuzzyJoinSpec's completeness
+    // sweep against an in-memory model. ---
     GQuery(
       "q202_fuzzy_join",
       (spark, dir) => graft.operators.FuzzyJoin.levenshteinSelfJoin(
-          t(spark, dir, "customer"), "c_custkey", "c_name", maxDist = 2)
+          // spread first: variant generation is CPU-bound and customer
+          // is one parquet row group (the Tables.docs rationale)
+          t(spark, dir, "customer")
+            .repartition(spark.sparkContext.defaultParallelism),
+          "c_custkey", "c_name", maxDist = 1)
         .orderBy(col("id1"), col("id2")),
       Some("""
         WITH c AS (SELECT c_custkey AS id, c_name AS s FROM customer)
@@ -938,8 +949,8 @@ object OperatorQueries extends QueryModule {
                CAST(levenshtein(a.s, b.s) AS INT) AS dist
         FROM c a JOIN c b
           ON a.id < b.id
-         AND abs(length(a.s) - length(b.s)) <= 2
-         AND levenshtein(a.s, b.s) <= 2
+         AND abs(length(a.s) - length(b.s)) <= 1
+         AND levenshtein(a.s, b.s) <= 1
         ORDER BY id1, id2
       """.trim),
       bench = true)

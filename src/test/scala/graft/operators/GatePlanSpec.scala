@@ -220,7 +220,34 @@ class GatePlanSpec extends AnyFunSuite {
     // the one inherent reassembly agg + join-back + sort — the corpus
     // never shuffles for the filter itself (CurationOpsSpec pins the
     // broadcast)
-    "q192_boilerplate_lines" -> (7, 2))
+    "q192_boilerplate_lines" -> (7, 2),
+    // round-10 session-2 additions. q196 = the stored-index PROBE only
+    // (build runs before the plan is read): pruned posting scan → df agg
+    // broadcast + stats broadcast + per-doc fold agg + top-k — the
+    // corpus never appears; q197 = TakeOrdered(k+1) + driver-tiny
+    // windows, NO exchange at all (the whole point of the
+    // priority-sample shape); q198/q199/q203 pin the POST-checkpoint
+    // assembly (the q173 convention — internal shape is pinned by
+    // KMeansSpec's listener bound / the reap chain / KnnGraphSpec);
+    // q200 = zero-shuffle key projection + ONE envelope agg + sort;
+    // q201 = docs spread + output sort, the chunker itself adds NOTHING;
+    // q202 = variant equi-join (both sides hash) + candidate distinct
+    // fused by AQE + the length-guard scalar broadcast; q204 = docs
+    // spread + output sort — the decode/window/energy path is pure
+    // projection
+    "q196_bm25_indexed" -> (2, 2),
+    "q197_priority_sample" -> (0, 0),
+    "q198_kmeans_refine" -> (1, 0),
+    "q199_triangles" -> (1, 0),
+    "q200_zorder_layout" -> (2, 0),
+    "q201_token_chunks" -> (2, 0),
+    // q202's 4 = the CPU-spread repartition appearing under BOTH variant
+    // join sides in the fresh plan (AQE reuses the exchange at runtime)
+    // + the join's two hash exchanges fused by the candidate distinct;
+    // q204's 2 = the docs spread + output sort (decode is projection)
+    "q202_fuzzy_join" -> (4, 1),
+    "q203_knn_graph" -> (1, 0),
+    "q204_pcm_energy" -> (2, 0))
 
   test("q107's ORC read-back pushes its predicate and projection into the scan") {
     import org.apache.spark.sql.functions.col
