@@ -1,0 +1,115 @@
+package graft.functions
+
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream, DataInputStream, DataOutputStream}
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.GraftSqlBridge
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression}
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types._
+
+/** KMV (k-minimum-values / bottom-k theta) distinct sketch as a native
+  * mergeable `TypedImperativeAggregate` (Bar-Yossef et al. 2002; the
+  * Beyer et al. 2007 unbiased estimator): keep the k SMALLEST DISTINCT
+  * hash values per group. Fixed ≤ k·8-byte state per (partition, group),
+  * exact set-union merge — the same linear-sketch discipline as
+  * [[CountMinAgg]] (counts) and HLL (cardinality-only), but the kept
+  * sample supports SET OPERATIONS downstream: union/intersection/Jaccard
+  * estimates between groups are pure Column algebra over the emitted
+  * arrays (see [[graft.operators.Sketches]]), which HLL cannot do without
+  * inclusion-exclusion error blowup.
+  *
+  * The input is the HASH, not the raw key — callers hash with the
+  * portable md5-derived 48-bit `Sketches.hash48` so sketches are
+  * bit-identical across engines and replayable by a SQL oracle (the
+  * [[TopKPairsAgg]] determinism discipline; no JVM-private seed). The
+  * buffer is a bounded TreeSet: duplicates collapse on entry (KMV is
+  * defined over DISTINCT values — a heap of row hashes would be a
+  * frequency-biased sample), eviction is always the current maximum.
+  *
+  * Output: `array<long>` ascending, length `min(k, |distinct hashes|)`.
+  */
+case class KmvSketchAgg(
+    hash: Expression,
+    k: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[mutable.TreeSet[Long]]
+  with ExpectsInputTypes {
+
+  require(k >= 2, s"k $k must be >= 2 (the estimator divides by the " +
+    "k-th minimum; k=1 has unbounded variance)")
+
+  // Strict long-only input (the round-10 TopKPairsAgg discipline): a
+  // fractional or string hash column is a caller bug, not a cast site.
+  override def inputTypes: Seq[DataType] = Seq(LongType)
+
+  override def children: Seq[Expression] = Seq(hash)
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def createAggregationBuffer(): mutable.TreeSet[Long] =
+    mutable.TreeSet.empty[Long]
+
+  private def add(buf: mutable.TreeSet[Long], v: Long): Unit = {
+    if (buf.size < k) buf.add(v)
+    else if (v < buf.last && buf.add(v)) buf.remove(buf.last)
+  }
+
+  override def update(buf: mutable.TreeSet[Long],
+      input: InternalRow): mutable.TreeSet[Long] = {
+    val h = hash.eval(input)
+    if (h != null) add(buf, h.asInstanceOf[Long])
+    buf
+  }
+
+  override def merge(buf: mutable.TreeSet[Long],
+      other: mutable.TreeSet[Long]): mutable.TreeSet[Long] = {
+    other.foreach(add(buf, _))
+    buf
+  }
+
+  override def eval(buf: mutable.TreeSet[Long]): Any =
+    new GenericArrayData(buf.toArray) // TreeSet iterates ascending
+
+  override def serialize(buf: mutable.TreeSet[Long]): Array[Byte] = {
+    val bos = new ByteArrayOutputStream(4 + buf.size * 8)
+    val out = new DataOutputStream(bos)
+    out.writeInt(buf.size)
+    buf.foreach(out.writeLong)
+    out.flush()
+    bos.toByteArray
+  }
+
+  override def deserialize(bytes: Array[Byte]): mutable.TreeSet[Long] = {
+    val in = new DataInputStream(new ByteArrayInputStream(bytes))
+    val n = in.readInt()
+    val buf = createAggregationBuffer()
+    var i = 0
+    while (i < n) { buf.add(in.readLong()); i += 1 }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): KmvSketchAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): KmvSketchAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): KmvSketchAgg =
+    copy(hash = newChildren(0))
+
+  override def prettyName: String = "kmv_sketch"
+}
+
+object KmvFunctions {
+  /** Bounded distinct-hash bottom-k sketch, mergeable; ≤ k longs per
+    * (partition, group) cross the shuffle.
+    */
+  def kmv_sketch(hash: Column, k: Int): Column =
+    GraftSqlBridge.column(
+      KmvSketchAgg(GraftSqlBridge.expression(hash), k).toAggregateExpression())
+}

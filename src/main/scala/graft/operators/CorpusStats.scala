@@ -431,4 +431,52 @@ object CorpusStats {
         / (lit(2.0) * col("n_a").cast("double") * col("n_b").cast("double")))
       .drop("__num")
   }
+
+  /** Vocabulary-growth (Heaps'-law, V(n) ≈ K·n^β) curve: cumulative
+    * distinct vocabulary vs cumulative token mass at fixed id-prefix
+    * `checkpoints` — the corpus-composition signal that says whether
+    * more data is still buying new vocabulary (β bends toward 0 as a
+    * source exhausts) and sizes tokenizer vocab budgets.
+    *
+    * Exact and prefix-order-deterministic: "first occurrence" is
+    * `min(idCol)` per term — a total function of the data, not of scan
+    * order. Scale: the corpus collapses in TWO one-pass aggregates —
+    * per-doc token counts → one row of conditional sums (checkpoints
+    * are plan-time literals, so every checkpoint rides the same pass),
+    * and the exploded term frame → a vocabulary-sized min/count table.
+    * Nothing doc- or token-sized survives the aggregates; no window,
+    * no per-checkpoint rescan.
+    *
+    * @return (checkpoint, n_docs, n_tokens, vocab) — one row per
+    *         checkpoint, empty-token convention matching [[vocabulary]]
+    */
+  def vocabGrowthCurve(docs: DataFrame, idCol: String, textCol: String,
+      checkpoints: Seq[Long]): DataFrame = {
+    require(checkpoints.nonEmpty, "checkpoints must be non-empty")
+    val toks = TextAnalysis.tokens(lower(col(textCol)))
+    val dExprs = checkpoints.zipWithIndex.flatMap { case (c, i) => Seq(
+      coalesce(sum(when(col("__id") <= c, 1L)), lit(0L)).as(s"__d$i"),
+      coalesce(sum(when(col("__id") <= c, col("__ntok"))), lit(0L))
+        .as(s"__t$i"))
+    }
+    val dAgg = docs
+      .select(col(idCol).cast("long").as("__id"),
+        size(filter(toks, x => x =!= lit(""))).cast("long").as("__ntok"))
+      .agg(dExprs.head, dExprs.tail: _*)
+    val vExprs = checkpoints.zipWithIndex.map { case (c, i) =>
+      coalesce(sum(when(col("__fid") <= c, 1L)), lit(0L)).as(s"__v$i")
+    }
+    val vAgg = docs
+      .select(col(idCol).cast("long").as("__id"), explode(toks).as("__term"))
+      .filter(col("__term") =!= "")
+      .groupBy(col("__term")).agg(min(col("__id")).as("__fid"))
+      .agg(vExprs.head, vExprs.tail: _*)
+    dAgg.crossJoin(vAgg)
+      .select(explode(array(checkpoints.zipWithIndex.map { case (c, i) =>
+        struct(lit(c).as("checkpoint"), col(s"__d$i").as("n_docs"),
+          col(s"__t$i").as("n_tokens"), col(s"__v$i").as("vocab"))
+      }: _*)).as("__r"))
+      .select(col("__r.checkpoint"), col("__r.n_docs"),
+        col("__r.n_tokens"), col("__r.vocab"))
+  }
 }

@@ -1,0 +1,97 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Event-flow analytics over keyed event streams: the session-scoped
+  * transition matrix (where does traffic go next?) and conversion
+  * attribution (which touch gets credit for a purchase?). Together with
+  * [[Funnel]] / [[Sessionize]] / [[Cohort]] these close the classic
+  * clickstream query family (reference events surface:
+  * /root/reference/config/raw/schema/README.md events contract).
+  *
+  * Scale shape shared by both operators: ONE hash shuffle on the event
+  * key (user), per-key ordered windows inside each task, then a final
+  * aggregate whose cardinality is vocabulary-sized (event-type² cells,
+  * or one row per channel) — never event-sized. At 100 TB this is the
+  * standard sessionize-then-reduce plan; AQE absorbs hot keys.
+  */
+object EventFlow {
+
+  /** Session-scoped first-order transition counts (the empirical Markov
+    * chain over event types): for every consecutive pair of events inside
+    * one session (same key, inactivity gap ≤ `gapMicros` — the
+    * [[Sessionize]] boundary rule), count (from_type, to_type), plus each
+    * session's entry as (`"_start"`, first type). `p` is the row-normalized
+    * transition probability — exact long counts with ONE final IEEE
+    * division, so it is bit-identical across engines.
+    *
+    * A session boundary IS "no predecessor within the gap", so one lag
+    * window over the plain key partitioning decides both the predecessor
+    * type and whether it counts — no explicit session id, no second
+    * window (the [[Sessionize]] running sum would only be re-derived
+    * information here).
+    *
+    * Output: (from_type, to_type, n_transitions, p), vocabulary²-sized.
+    */
+  def transitions(df: DataFrame, keys: Seq[Column], tsMicros: Column,
+      tiebreak: Seq[Column], typeCol: Column, gapMicros: Long): DataFrame = {
+    val w = Window.partitionBy(keys: _*).orderBy(tsMicros +: tiebreak: _*)
+    val prevTs = lag(tsMicros, 1).over(w)
+    val prevTy = lag(typeCol, 1).over(w)
+    val from = when(prevTs.isNotNull && tsMicros - prevTs <= gapMicros, prevTy)
+      .otherwise(lit("_start"))
+    val counts = df.withColumn("from_type", from)
+      .groupBy(col("from_type"), typeCol.as("to_type"))
+      .agg(count(lit(1)).as("n_transitions"))
+    // Row totals live on a vocabulary-sized frame — the window is cheap
+    // by construction (|event types| rows), not an event-sized sort.
+    val rowTotal = Window.partitionBy(col("from_type"))
+    counts.withColumn("p",
+      col("n_transitions").cast("double") /
+        sum(col("n_transitions")).over(rowTotal).cast("double"))
+  }
+
+  /** Last-touch conversion attribution: each conversion event (type =
+    * `convType`) credits the MOST RECENT strictly-preceding touch event
+    * (type ∈ `touchTypes`) by the same key within `lookbackMicros`;
+    * conversions with no touch in the window attribute to
+    * `"_unattributed"`. Returns the conversion rows with `channel` (the
+    * crediting touch type) and `touch_ts_us` (its timestamp, NULL when
+    * unattributed) — event-grain for auditability; aggregate by `channel`
+    * downstream.
+    *
+    * One window pass: carry (touch ts, touch type) forward with
+    * `last(ignoreNulls)` over rows preceding — the [[AsOf]] union trick
+    * without the union, since touches and conversions already share the
+    * frame. No join, no second shuffle.
+    */
+  def attributeLastTouch(df: DataFrame, keys: Seq[Column], tsMicros: Column,
+      tiebreak: Seq[Column], typeCol: Column, touchTypes: Seq[String],
+      convType: String, lookbackMicros: Long): DataFrame = {
+    require(touchTypes.nonEmpty, "touchTypes must be non-empty")
+    require(!touchTypes.contains(convType),
+      s"conversion type '$convType' cannot also be a touch type")
+    val w = Window.partitionBy(keys: _*)
+      .orderBy(tsMicros +: tiebreak: _*)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val isTouch = typeCol.isin(touchTypes.map(lit): _*)
+    // both carries in ONE select: sequential withColumn would layer a
+    // Project between them and Catalyst then plans two Window nodes
+    // (same partitioning, but two passes over each key's rows)
+    val carried = df
+      .withColumn("__ts", tsMicros)
+      .select(col("*"),
+        last(when(isTouch, tsMicros), ignoreNulls = true).over(w).as("__lt_ts"),
+        last(when(isTouch, typeCol), ignoreNulls = true).over(w).as("__lt_ty"))
+    carried.filter(typeCol === convType)
+      .withColumn("in_window",
+        col("__lt_ts").isNotNull && col("__ts") - col("__lt_ts") <= lookbackMicros)
+      .withColumn("channel",
+        when(col("in_window"), col("__lt_ty")).otherwise(lit("_unattributed")))
+      .withColumn("touch_ts_us",
+        when(col("in_window"), col("__lt_ts")))
+      .drop("__lt_ts", "__lt_ty", "in_window")
+  }
+}

@@ -472,6 +472,84 @@ object Sampling {
       .select(col(domainCol), col("n_rows"), col("wq"), col("alloc"))
   }
 
+  /** DATA-CONSTRAINED domain mixing with repetition caps (the
+    * Muennighoff et al. 2023 "Scaling Data-Constrained LMs" regime):
+    * like [[temperatureMix]], the budget splits across domains by the
+    * √n temperature weight — but a domain may be allocated up to
+    * `maxRepeat` EPOCHS of itself (repetition is useful up to ~4
+    * epochs), and budget a capped domain cannot absorb REDISTRIBUTES to
+    * the uncapped ones instead of silently vanishing (temperatureMix's
+    * `least(alloc, n)` truncation is correct for its no-replication
+    * contract; here the contract is "spend the budget").
+    *
+    * Water-filling, run as `rounds` fixed rounds of the exact
+    * largest-remainder seat arithmetic ([[neymanAllocation]]'s, same
+    * overflow guard): each round allocates the remaining budget over
+    * un-saturated domains by weight and clamps at `maxRepeat · n_d`.
+    * Every round either spends the remainder or saturates ≥ 1 domain,
+    * so `rounds ≥ #domains` is always exact; extra rounds are no-ops.
+    * If the budget exceeds `maxRepeat` epochs of EVERYTHING, the final
+    * allocation sits at the caps (Σalloc < totalN — the caller asked
+    * for more data than the cap policy admits; a loud shortfall, not a
+    * silent one: `epochs` shows every domain pinned at maxRepeat).
+    *
+    * Pure integer arithmetic throughout; `epochs` = alloc/n is the ONE
+    * final IEEE division per row. Scale: one count aggregate with
+    * map-side partials, then `rounds` window passes over the
+    * domain-sized frame (single-partition by the few-row exemption).
+    *
+    * @return (domainCol, n_rows, wq, cap, alloc, epochs)
+    */
+  def cappedMix(df: DataFrame, domainCol: String, totalN: Long,
+      maxRepeat: Int, rounds: Int = 8): DataFrame = {
+    require(totalN >= 0, s"totalN ($totalN) must be non-negative")
+    require(maxRepeat >= 1, s"maxRepeat ($maxRepeat) must be >= 1")
+    require(rounds >= 1, s"rounds ($rounds) must be >= 1")
+    val key = graft.core.Windows.singlePartition(col(domainCol))
+    val win = Window.partitionBy(key)
+    val wqGuard = coalesce(
+      assert_true(col("wq") <= lit(Long.MaxValue / math.max(totalN, 1L)),
+        lit(s"cappedMix: fixed-point weight × budget ($totalN) would " +
+          "overflow long — shrink the budget or rescale")).cast("long"),
+      lit(0L))
+    val init = df.groupBy(col(domainCol))
+      .agg(count(lit(1)).as("n_rows"))
+      .withColumn("wq",
+        floor(sqrt(col("n_rows").cast("double")) * lit(1048576.0))
+          .cast("long"))
+      .withColumn("cap", col("n_rows") * maxRepeat)
+      .withColumn("alloc", wqGuard)
+    val filled = (1 to rounds).foldLeft(init) { (d, _) =>
+      val unsat = col("alloc") < col("cap")
+      d.withColumn("__remb",
+          greatest(lit(totalN) - sum(col("alloc")).over(win), lit(0L)))
+        .withColumn("__Wp",
+          sum(when(unsat, col("wq")).otherwise(0L)).over(win))
+        .withColumn("__addb",
+          when(unsat && col("__Wp") > 0,
+            expr("(__remb * wq) div __Wp")).otherwise(lit(0L)))
+        // saturated rows sort last (-1 remainder): leftover seats — always
+        // fewer than the unsaturated row count by the mod-sum bound —
+        // can never reach them
+        .withColumn("__addr",
+          when(unsat && col("__Wp") > 0,
+            expr("(__remb * wq) % __Wp")).otherwise(lit(-1L)))
+        .withColumn("__left",
+          when(col("__Wp") > 0,
+            col("__remb") - sum(col("__addb")).over(win)).otherwise(lit(0L)))
+        .withColumn("__pos", row_number().over(
+          Window.partitionBy(key)
+            .orderBy(col("__addr").desc, col(domainCol).asc)))
+        .withColumn("alloc",
+          least(col("alloc") + col("__addb")
+            + when(col("__pos") <= col("__left"), 1L).otherwise(0L),
+            col("cap")))
+        .drop("__remb", "__Wp", "__addb", "__addr", "__left", "__pos")
+    }
+    filled.withColumn("epochs",
+      col("alloc").cast("double") / col("n_rows").cast("double"))
+  }
+
   /** Materialize a per-stratum allocation (the [[neymanAllocation]]
     * output, or any `(stratumCol, alloc)` table): keep each stratum's
     * first `alloc` rows under the caller's deterministic `order`

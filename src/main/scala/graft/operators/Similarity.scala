@@ -181,6 +181,57 @@ object Similarity {
     topKTail(scored, "cosine", k)
   }
 
+  /** SEMANTIC benchmark decontamination — the embedding tier above
+    * [[graft.operators.TextDedup]]'s n-gram screens (an eval item
+    * paraphrased past every shingle overlap still lands at high cosine):
+    * flag each corpus row whose max cosine against ANY benchmark vector
+    * reaches `threshold`, with the nearest benchmark id for audit.
+    *
+    * Scale shape: the benchmark is small by contract (requireSmall) and
+    * ships as ONE broadcast row holding the packed (id, vec, norm)
+    * array; the per-corpus-row max is a row-local `aggregate` fold over
+    * that array — ZERO corpus exchanges, the scan shape [[Curation]]'s
+    * scalar crossJoins use. The fold keeps the lexicographic max of
+    * (cosine, bench id), which is order-independent, so the result does
+    * not depend on `collect_list`'s partition-dependent array order.
+    * At a benchmark too large to broadcast, nominate with an IVF/PQ
+    * probe ([[probeIvfIndex]]) and threshold the re-ranked cosine — the
+    * same contract, bucket-confined.
+    *
+    * @return corpus plus (max_bench_cosine, nearest_bench_id,
+    *         contaminated); NULL score/id when the benchmark is empty.
+    */
+  def semanticDecontaminate(corpus: DataFrame, bench: DataFrame,
+      idCol: String, vecCol: String, dim: Int, threshold: Double,
+      maxBroadcastRows: Long = Broadcasting.DefaultMaxRows): DataFrame = {
+    val b = bench.select(col(idCol).cast("long").as("bid"),
+        asDouble(col(vecCol)).as("bv"))
+      .withColumn("bn", norm(col("bv"), dim))
+    Broadcasting.requireSmall(b, "semanticDecontaminate benchmark",
+      maxBroadcastRows)
+    val packed = b.agg(
+      collect_list(struct(col("bid"), col("bv"), col("bn"))).as("__bench"))
+    val c = corpus
+      .withColumn("__cv", asDouble(col(vecCol)))
+      .withColumn("__cn", norm(col("__cv"), dim))
+    val best = aggregate(col("__bench"),
+      struct(lit(Double.NegativeInfinity).as("cos"), lit(Long.MinValue).as("bid")),
+      (acc, x) => {
+        val cs = cosinePrenormed(col("__cv"), x("bv"), col("__cn"), x("bn"), dim)
+        when(cs > acc("cos") || (cs === acc("cos") && x("bid") > acc("bid")),
+          struct(cs.as("cos"), x("bid").as("bid"))).otherwise(acc)
+      })
+    c.crossJoin(broadcast(packed))
+      .withColumn("__best", best)
+      .withColumn("max_bench_cosine",
+        when(col("__best.cos") =!= lit(Double.NegativeInfinity), col("__best.cos")))
+      .withColumn("nearest_bench_id",
+        when(col("max_bench_cosine").isNotNull, col("__best.bid")))
+      .withColumn("contaminated",
+        coalesce(col("max_bench_cosine") >= threshold, lit(false)))
+      .drop("__cv", "__cn", "__bench", "__best")
+  }
+
   /** IVF bucket assignment: nearest (max dot product) of the `centroids`
     * rows (columns: centroid_id, cv as double array).
     */

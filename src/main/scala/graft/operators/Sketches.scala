@@ -5,8 +5,9 @@ import org.apache.spark.sql.functions._
 
 import graft.functions.CountMinFunctions
 
-/** Count-Min frequency sketching in two hash families (the MinHash q65/q99
-  * discipline):
+/** Linear-sketch surface: Count-Min frequency sketching in two hash
+  * families (the MinHash q65/q99 discipline), plus KMV bottom-k distinct
+  * sketches with set-operation estimates (end of file). The CMS families:
   *
   *  - **md5 oracle family** — the sketch is plain DataFrame algebra over
   *    `Sampling.hash16` buckets, so an external SQL engine replays every
@@ -114,4 +115,66 @@ object Sketches {
   /** One-row frame holding the native sketch array for `df`'s `key`. */
   def cmsNativeSketch(df: DataFrame, key: Column, depth: Int, width: Int): DataFrame =
     df.agg(CountMinFunctions.count_min(key, depth, width).as("sketch"))
+
+  // ------------------------------------------------------------------
+  // KMV (bottom-k theta) distinct sketches — the SET-OPERATION sketch
+  // tier next to CMS (frequencies) and HLL (cardinality only): union /
+  // intersection / Jaccard between groups are Column algebra over the
+  // emitted hash arrays. Hashing is the portable md5-derived 48-bit
+  // value, so every sketch entry — and therefore every estimate — is
+  // replayable bit-for-bit by a SQL oracle (the md5-family discipline
+  // above; no JVM-private seed).
+  // ------------------------------------------------------------------
+
+  /** Portable 48-bit hash: the first 12 md5 hex digits as a long —
+    * `hash16`'s wider sibling for sketches that divide by hash values
+    * (16 bits would collide constantly at corpus scale; 48 keeps the
+    * birthday bound ~n²/2⁴⁹). Replayable as
+    * `CAST('0x' || substr(md5(salt || key), 1, 12) AS BIGINT)`.
+    */
+  def hash48(key: Column, salt: String = ""): Column =
+    conv(substring(md5(concat(lit(salt), key.cast("string"))), 1, 12), 16, 10)
+      .cast("long")
+
+  /** KMV sketch of `key`'s distinct values: the k smallest distinct
+    * [[hash48]] values, ascending — the native mergeable
+    * [[graft.functions.KmvSketchAgg]] (≤ k longs per partition per
+    * group cross the shuffle; no distinct pre-aggregation pass).
+    */
+  def kmvSketch(key: Column, k: Int, salt: String = ""): Column =
+    graft.functions.KmvFunctions.kmv_sketch(hash48(key, salt), k)
+
+  /** Unbiased distinct-count estimate from a KMV sketch (Beyer et al.
+    * 2007): a sketch shorter than k kept EVERY distinct hash — exact —
+    * else `(k−1) · 2⁴⁸ / h_k`. Exact long inputs, ONE IEEE division
+    * (the engine-parity discipline; the numerator is a small-mantissa
+    * power-of-two product, exact in double for k ≤ 2¹⁵).
+    */
+  def kmvEstimate(sketch: Column, k: Int): Column = {
+    require(k >= 2 && k <= (1 << 15), s"k $k out of (1, 32768]")
+    when(size(sketch) < k, size(sketch).cast("double"))
+      .otherwise(lit((k - 1).toDouble * (1L << 48).toDouble)
+        / element_at(sketch, k).cast("double"))
+  }
+
+  /** The KMV union sketch: k smallest of the merged distinct hashes —
+    * closed under union, so estimates compose without re-scanning data.
+    */
+  def kmvUnion(a: Column, b: Column, k: Int): Column =
+    slice(array_sort(array_union(a, b)), 1, k)
+
+  /** Jaccard similarity estimate between two KMV-sketched sets: the
+    * fraction of the UNION sketch's entries present in both inputs
+    * (each union-sketch entry is a uniform sample of A∪B, so membership
+    * in A∩B is a Bernoulli estimate of |A∩B|/|A∪B|).
+    */
+  def kmvJaccardEstimate(a: Column, b: Column, k: Int): Column = {
+    val u = kmvUnion(a, b, k)
+    size(array_intersect(array_intersect(u, a), b)).cast("double") /
+      size(u).cast("double")
+  }
+
+  /** Intersection cardinality estimate: Jaccard × union estimate. */
+  def kmvIntersectEstimate(a: Column, b: Column, k: Int): Column =
+    kmvJaccardEstimate(a, b, k) * kmvEstimate(kmvUnion(a, b, k), k)
 }

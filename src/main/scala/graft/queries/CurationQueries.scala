@@ -699,6 +699,53 @@ object CurationQueries extends QueryModule {
         ORDER BY pmi_fp DESC, t1, t2 LIMIT 50
       """.trim)),
 
+    // --- vocabulary-growth (Heaps'-law) curve: cumulative distinct
+    // vocabulary vs cumulative token mass at fixed doc-id prefixes —
+    // whether more data still buys new vocabulary, and the tokenizer
+    // vocab-budget signal. Exact: first occurrence is min(doc_id) per
+    // term, a total function of the data. Two one-pass aggregates
+    // (per-doc token counts → one conditional-sum row; exploded terms →
+    // vocab-sized min table); every checkpoint rides the same pass as a
+    // plan-time literal. ---
+    GQuery(
+      "q211_vocab_growth",
+      (spark, dir) =>
+        graft.operators.CorpusStats.vocabGrowthCurve(
+            Tables.docs(spark, dir), "doc_id", "text",
+            checkpoints = Seq(0L, 1L, 2L, 10L, 100L, 800L))
+          .orderBy(col("checkpoint")),
+      Some("""
+        WITH cps AS (
+          SELECT CAST(UNNEST([0, 1, 2, 10, 100, 800]) AS BIGINT) AS cp),
+        ds AS (
+          SELECT doc_id,
+                 CAST(len(list_filter(string_split(lower(text), ' '),
+                   x -> x <> '')) AS BIGINT) AS ntok
+          FROM documents),
+        d AS (
+          SELECT cp,
+                 CAST(COALESCE(SUM(CASE WHEN ds.doc_id <= cp THEN 1 END), 0)
+                   AS BIGINT) AS n_docs,
+                 CAST(COALESCE(SUM(CASE WHEN ds.doc_id <= cp THEN ntok END), 0)
+                   AS BIGINT) AS n_tokens
+          FROM cps CROSS JOIN ds GROUP BY cp),
+        fs AS (
+          SELECT term, MIN(doc_id) AS fid FROM (
+            SELECT doc_id, UNNEST(string_split(lower(text), ' ')) AS term
+            FROM documents) t
+          WHERE term <> '' GROUP BY 1),
+        v AS (
+          SELECT cp,
+                 CAST(COALESCE(SUM(CASE WHEN fid <= cp THEN 1 END), 0)
+                   AS BIGINT) AS vocab
+          FROM cps CROSS JOIN fs GROUP BY cp)
+        SELECT d.cp AS checkpoint, d.n_docs, d.n_tokens, v.vocab
+        FROM d JOIN v USING (cp) ORDER BY checkpoint
+      """.trim),
+      // two corpus-collapse aggregates — the q164 shape, already
+      // benched there; rides Verify (bench-tail policy)
+      bench = false),
+
     // --- token-distribution drift between two corpus slices as the
     // EXACT total-variation distance (½·Σ|p−q| computed as the integer
     // rational Σ|c_a·N_b − c_b·N_a| over 2·N_a·N_b — no logs anywhere,

@@ -506,6 +506,138 @@ object SamplingQueries extends QueryModule {
         GROUP BY o_custkey ORDER BY o_custkey
       """.trim)),
 
+    // --- KMV (bottom-k theta) distinct sketch — the set-operation tier
+    // next to CMS (q153/q154) and HLL (q58): the native mergeable
+    // KmvSketchAgg keeps the 128 smallest DISTINCT md5-derived 48-bit
+    // hashes per order priority (≤ k longs per partition per group cross
+    // the shuffle — no distinct pre-pass), and the Beyer 2007 estimator
+    // is exact longs + ONE IEEE division. The oracle replays sketch
+    // entries AND estimates bit-for-bit (48-bit md5 hashing is
+    // engine-portable — no JVM seed). ~950 distinct custkeys per
+    // priority vs k=128 forces the estimator path. ---
+    GQuery(
+      "q207_kmv_distinct",
+      (spark, dir) => {
+        import graft.operators.Sketches
+        val k = 128
+        val o = t(spark, dir, "orders")
+        o.groupBy(col("o_orderpriority"))
+          .agg(Sketches.kmvSketch(col("o_custkey"), k, salt = "kmv").as("sk"),
+            countDistinct(col("o_custkey")).as("exact_distinct"))
+          .select(col("o_orderpriority"),
+            size(col("sk")).as("n_kept"),
+            when(size(col("sk")) >= k, element_at(col("sk"), k)).as("kth_hash"),
+            Sketches.kmvEstimate(col("sk"), k).as("est_distinct"),
+            col("exact_distinct"))
+          .orderBy(col("o_orderpriority"))
+      },
+      Some("""
+        WITH h AS (
+          SELECT DISTINCT o_orderpriority,
+                 CAST('0x' || substr(md5('kmv' || CAST(o_custkey AS VARCHAR)), 1, 12)
+                   AS BIGINT) AS hv
+          FROM orders),
+        r AS (
+          SELECT o_orderpriority, hv,
+                 row_number() OVER (PARTITION BY o_orderpriority ORDER BY hv) AS rn
+          FROM h),
+        s AS (
+          SELECT o_orderpriority,
+                 CAST(COUNT(*) AS INT) AS n_kept,
+                 MAX(CASE WHEN rn = 128 THEN hv END) AS kth_hash
+          FROM r WHERE rn <= 128 GROUP BY 1),
+        e AS (
+          SELECT o_orderpriority, COUNT(DISTINCT o_custkey) AS exact_distinct
+          FROM orders GROUP BY 1)
+        SELECT s.o_orderpriority, s.n_kept, s.kth_hash,
+               CASE WHEN s.n_kept < 128 THEN CAST(s.n_kept AS DOUBLE)
+                    ELSE 35747322042253312.0 / CAST(s.kth_hash AS DOUBLE)
+               END AS est_distinct,
+               e.exact_distinct
+        FROM s JOIN e USING (o_orderpriority) ORDER BY o_orderpriority
+      """.trim)),
+
+    // --- KMV set operations (what HLL cannot do without
+    // inclusion-exclusion blowup): Jaccard / union / intersection
+    // estimates between the URGENT and HIGH customer sets, each a k=256
+    // sketch, all from Column algebra over the emitted hash arrays —
+    // the data is never re-scanned for the set math. Exact counts ride
+    // along, so the gate certifies estimator quality, not just replay.
+    // Union closure (k smallest of merged sketches ≡ sketch of the
+    // union) is what makes the estimates composable. ---
+    GQuery(
+      "q208_kmv_intersect",
+      (spark, dir) => {
+        import graft.operators.Sketches
+        val k = 256
+        val o = t(spark, dir, "orders")
+          .filter(col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
+        val sk = o.groupBy(col("o_orderpriority"))
+          .agg(Sketches.kmvSketch(col("o_custkey"), k, salt = "kmv").as("sk"))
+        val a = sk.filter(col("o_orderpriority") === "1-URGENT")
+          .select(col("sk").as("ska"))
+        val b = sk.filter(col("o_orderpriority") === "2-HIGH")
+          .select(col("sk").as("skb"))
+        val exact = o.agg(countDistinct(col("o_custkey")).as("nu"))
+        val exactI = o.groupBy(col("o_custkey"))
+          .agg(countDistinct(col("o_orderpriority")).as("np"))
+          .agg(sum(when(col("np") === 2, 1L).otherwise(0L)).as("ni"))
+        a.crossJoin(b).crossJoin(exact).crossJoin(exactI)
+          .select(
+            Sketches.kmvJaccardEstimate(col("ska"), col("skb"), k)
+              .as("jaccard_est"),
+            Sketches.kmvEstimate(Sketches.kmvUnion(col("ska"), col("skb"), k), k)
+              .as("union_est"),
+            Sketches.kmvIntersectEstimate(col("ska"), col("skb"), k)
+              .as("intersect_est"),
+            (col("ni").cast("double") / col("nu").cast("double"))
+              .as("jaccard_exact"),
+            col("ni").as("intersect_exact"),
+            col("nu").as("union_exact"))
+      },
+      Some("""
+        WITH o AS (
+          SELECT o_orderpriority, o_custkey FROM orders
+          WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')),
+        h AS (
+          SELECT DISTINCT o_orderpriority,
+                 CAST('0x' || substr(md5('kmv' || CAST(o_custkey AS VARCHAR)), 1, 12)
+                   AS BIGINT) AS hv
+          FROM o),
+        r AS (
+          SELECT o_orderpriority, hv,
+                 row_number() OVER (PARTITION BY o_orderpriority ORDER BY hv) AS rn
+          FROM h),
+        sk AS (
+          SELECT o_orderpriority, list(hv ORDER BY hv) AS sk
+          FROM r WHERE rn <= 256 GROUP BY 1),
+        ab AS (
+          SELECT (SELECT sk FROM sk WHERE o_orderpriority = '1-URGENT') AS ska,
+                 (SELECT sk FROM sk WHERE o_orderpriority = '2-HIGH') AS skb),
+        u AS (
+          SELECT ska, skb,
+                 list_sort(list_distinct(list_concat(ska, skb)))[1:256] AS uk
+          FROM ab),
+        est AS (
+          SELECT CAST(len(list_filter(uk, x -> list_contains(ska, x)
+                        AND list_contains(skb, x))) AS DOUBLE)
+                   / CAST(len(uk) AS DOUBLE) AS jaccard_est,
+                 CASE WHEN len(uk) < 256 THEN CAST(len(uk) AS DOUBLE)
+                      ELSE 71776119061217280.0 / CAST(uk[256] AS DOUBLE)
+                 END AS union_est
+          FROM u),
+        ex AS (SELECT COUNT(DISTINCT o_custkey) AS nu FROM o),
+        ei AS (
+          SELECT COUNT(*) AS ni FROM (
+            SELECT o_custkey FROM o GROUP BY o_custkey
+            HAVING COUNT(DISTINCT o_orderpriority) = 2))
+        SELECT est.jaccard_est, est.union_est,
+               est.jaccard_est * est.union_est AS intersect_est,
+               CAST(ei.ni AS DOUBLE) / CAST(ex.nu AS DOUBLE) AS jaccard_exact,
+               ei.ni AS intersect_exact, ex.nu AS union_exact
+        FROM est, ex, ei
+      """.trim)),
+
     // --- LEAKAGE-SAFE dataset split: bucket on the CONTENT hash
     // (md5 of NFC-normalized text), not the doc id — planted exact
     // copies (new ids, same text) MUST land in the same split, which
@@ -729,6 +861,65 @@ object SamplingQueries extends QueryModule {
         WHERE sel.rn <= a.alloc
         ORDER BY sel.o_orderpriority, take_rank
       """.trim),
+      bench = false),
+
+    // --- DATA-CONSTRAINED mixing with repetition caps (Muennighoff
+    // 2023): an 800-doc budget over the documents table's LANGUAGES
+    // (en 218 … fr 64 at sf0.01 — real skew, unlike the uniform source
+    // column) at maxRepeat = 2. The tail languages SATURATE at 2 epochs
+    // and their unspent budget water-fills back to the head across 4
+    // exact seat-arithmetic rounds; the oracle replays every round as
+    // chained CTEs (generated by the same loop that builds the plan, so
+    // engine and oracle cannot drift). Verify-only: q187/q191 already
+    // bench the seat shape. ---
+    GQuery(
+      "q209_capped_mix",
+      (spark, dir) =>
+        graft.operators.Sampling.cappedMix(
+            t(spark, dir, "documents"), "lang", totalN = 800L,
+            maxRepeat = 2, rounds = 4)
+          .orderBy(col("lang")),
+      Some {
+        val rounds = (1 to 4).map { r =>
+          val p = r - 1
+          s"""
+        r$r AS (
+          SELECT *, GREATEST(800 - SUM(alloc) OVER (), 0) AS remb,
+                 SUM(CASE WHEN alloc < cap THEN wq ELSE 0 END) OVER () AS wp
+          FROM a$p),
+        s$r AS (
+          SELECT *,
+                 CASE WHEN alloc < cap AND wp > 0
+                      THEN (remb * wq) // wp ELSE 0 END AS addb,
+                 CASE WHEN alloc < cap AND wp > 0
+                      THEN (remb * wq) % wp ELSE -1 END AS addr
+          FROM r$r),
+        t$r AS (
+          SELECT *,
+                 CASE WHEN wp > 0 THEN remb - SUM(addb) OVER ()
+                      ELSE 0 END AS leftn,
+                 ROW_NUMBER() OVER (ORDER BY addr DESC, lang ASC) AS pos
+          FROM s$r),
+        a$r AS (
+          SELECT lang, n_rows, wq, cap,
+                 CAST(LEAST(alloc + addb
+                   + CASE WHEN pos <= leftn THEN 1 ELSE 0 END, cap)
+                   AS BIGINT) AS alloc
+          FROM t$r)"""
+        }.mkString(",")
+        s"""
+        WITH a0 AS (
+          SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_rows,
+                 CAST(FLOOR(sqrt(CAST(COUNT(*) AS DOUBLE)) * 1048576.0)
+                   AS BIGINT) AS wq,
+                 CAST(COUNT(*) * 2 AS BIGINT) AS cap,
+                 CAST(0 AS BIGINT) AS alloc
+          FROM documents GROUP BY 1),$rounds
+        SELECT lang, n_rows, wq, cap, alloc,
+               CAST(alloc AS DOUBLE) / CAST(n_rows AS DOUBLE) AS epochs
+        FROM a4 ORDER BY lang
+        """.trim
+      },
       bench = false),
 
     // --- temperature-scaled domain mixing (Lample & Conneau 2019 §3.1,

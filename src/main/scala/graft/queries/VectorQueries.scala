@@ -1256,6 +1256,48 @@ object VectorQueries extends QueryModule {
       """.trim),
       bench = false),
 
+    // --- SEMANTIC benchmark decontamination — the embedding tier above
+    // the n-gram screens (q87 catches shared shingles; a paraphrased
+    // eval item does not shingle-overlap but still lands at high
+    // cosine): every corpus row scores its max cosine against a planted
+    // 20-vector benchmark (every 25th embedding, re-keyed), flagging at
+    // 0.999. The benchmark ships as ONE broadcast packed-array row and
+    // the max is a row-local order-independent fold — ZERO corpus
+    // exchanges (pinned in GatePlanSpec); the copies flag themselves,
+    // nearest ids audit the match. ---
+    GQuery(
+      "q210_semantic_decontam",
+      (spark, dir) => {
+        val e = Tables.embs(spark, dir)
+        val bench = e.filter(col("vec_id") % 25 === 0)
+          .withColumn("vec_id", col("vec_id") + 100000)
+        graft.operators.Similarity.semanticDecontaminate(
+            e.select(col("vec_id"), col("embedding")), bench,
+            "vec_id", "embedding", Dim, threshold = 0.999)
+          .select(col("vec_id"),
+            round(col("max_bench_cosine"), 6).as("max_bench_cosine"),
+            col("nearest_bench_id"), col("contaminated"))
+          .orderBy(col("vec_id"))
+      },
+      Some("""
+        WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        b AS (SELECT vec_id + 100000 AS bid, e AS bv FROM v WHERE vec_id % 25 = 0),
+        sc AS (
+          SELECT v.vec_id, b.bid,
+                 list_sum(list_transform(generate_series(1, 64), i -> v.e[i] * b.bv[i]))
+                   / (sqrt(list_sum(list_transform(generate_series(1, 64), i -> v.e[i] * v.e[i])))
+                      * sqrt(list_sum(list_transform(generate_series(1, 64), i -> b.bv[i] * b.bv[i])))) AS cos
+          FROM v CROSS JOIN b),
+        m AS (
+          SELECT vec_id, bid, cos,
+                 row_number() OVER (PARTITION BY vec_id
+                   ORDER BY cos DESC, bid DESC) AS rn
+          FROM sc)
+        SELECT vec_id, round(cos, 6) AS max_bench_cosine,
+               bid AS nearest_bench_id, cos >= 0.999 AS contaminated
+        FROM m WHERE rn = 1 ORDER BY vec_id
+      """.trim)),
+
     // --- D4-style cluster-balanced subsample (Tirumala et al. 2023):
     // after dedup, cluster the embedding space and sample WITHIN
     // clusters so no region dominates the kept set. Assignment = the

@@ -125,6 +125,82 @@ object WindowQueries extends QueryModule {
         ORDER BY cohort_start, w.periods_since
       """.trim)),
 
+    // --- session-scoped event-type transition matrix (the empirical
+    // Markov chain after q38's sessionization): consecutive-pair counts
+    // inside 30-min-gap sessions plus "_start" entry rows; p is exact
+    // long counts with ONE final IEEE division (bit-identical across
+    // engines). One user-keyed window + a vocabulary²-sized aggregate. ---
+    GQuery(
+      "q205_event_transitions",
+      (spark, dir) => {
+        val e = Tables.events(spark, dir)
+        graft.operators.EventFlow.transitions(
+            e.withColumn("tus", unix_micros(col("ts"))),
+            keys = Seq(col("user_id")), tsMicros = col("tus"),
+            tiebreak = Seq(col("event_id")), typeCol = col("event_type"),
+            gapMicros = 1800L * 1000000L)
+          .orderBy(col("from_type"), col("to_type"))
+      },
+      Some("""
+        WITH e AS (
+          SELECT user_id, event_id, epoch_us(ts) AS tus, event_type FROM events),
+        m AS (
+          SELECT event_type AS to_type,
+                 CASE WHEN lag(tus) OVER w IS NOT NULL
+                        AND tus - lag(tus) OVER w <= 1800000000
+                      THEN lag(event_type) OVER w ELSE '_start' END AS from_type
+          FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id)),
+        c AS (
+          SELECT from_type, to_type, COUNT(*) AS n_transitions
+          FROM m GROUP BY 1, 2)
+        SELECT from_type, to_type, n_transitions,
+               CAST(n_transitions AS DOUBLE)
+                 / CAST(SUM(n_transitions) OVER (PARTITION BY from_type) AS DOUBLE) AS p
+        FROM c ORDER BY from_type, to_type
+      """.trim)),
+
+    // --- last-touch conversion attribution: each purchase credits the
+    // most recent preceding view/click by the same user within 24 h,
+    // else "_unattributed". One carry-forward window (last ignoreNulls
+    // over rows preceding — no join), then a channel-sized revenue
+    // aggregate under the decimal-parity cast. ---
+    GQuery(
+      "q206_attribution",
+      (spark, dir) => {
+        val e = Tables.events(spark, dir)
+        graft.operators.EventFlow.attributeLastTouch(
+            e.withColumn("tus", unix_micros(col("ts"))),
+            keys = Seq(col("user_id")), tsMicros = col("tus"),
+            tiebreak = Seq(col("event_id")), typeCol = col("event_type"),
+            touchTypes = Seq("view", "click"), convType = "purchase",
+            lookbackMicros = 24L * 3600L * 1000000L)
+          .groupBy(col("channel"))
+          .agg(count(lit(1)).as("n_conversions"),
+            sum(dec(col("value"))).cast(DoubleType).as("attributed_value"))
+          .orderBy(col("channel"))
+      },
+      Some("""
+        WITH e AS (
+          SELECT user_id, event_id, epoch_us(ts) AS tus, event_type, value
+          FROM events),
+        m AS (
+          SELECT *,
+                 last_value(CASE WHEN event_type IN ('view', 'click')
+                                 THEN tus END IGNORE NULLS) OVER w AS lt_ts,
+                 last_value(CASE WHEN event_type IN ('view', 'click')
+                                 THEN event_type END IGNORE NULLS) OVER w AS lt_ty
+          FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+        c AS (
+          SELECT CASE WHEN lt_ts IS NOT NULL AND tus - lt_ts <= 86400000000
+                      THEN lt_ty ELSE '_unattributed' END AS channel,
+                 value
+          FROM m WHERE event_type = 'purchase')
+        SELECT channel, COUNT(*) AS n_conversions,
+               CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS attributed_value
+        FROM c GROUP BY 1 ORDER BY 1
+      """.trim)),
+
     // --- W1: row_number top-k per group ---
     GQuery(
       "q30_topk_per_group",

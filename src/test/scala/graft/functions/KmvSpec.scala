@@ -1,0 +1,91 @@
+package graft.functions
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+import graft.operators.Sketches
+
+/** KMV sketch properties: agg ≡ sort-and-take replay, duplicate
+  * insensitivity, merge/partitioning invariance, exact under-full path,
+  * estimator accuracy, union closure, and set-operation estimates on
+  * known overlaps (q207/q208 hash-certify the orders-table paths).
+  */
+class KmvSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def sketchOf(df: DataFrame, k: Int): Seq[Long] =
+    df.agg(Sketches.kmvSketch(col("v"), k, salt = "t").as("sk"))
+      .collect()(0).getSeq[Long](0)
+
+  /** DataFrame-algebra replay: k smallest distinct hash48 values. */
+  private def replay(df: DataFrame, k: Int): Seq[Long] =
+    df.select(Sketches.hash48(col("v"), "t").as("h")).distinct()
+      .orderBy(col("h")).limit(k).collect().map(_.getLong(0)).toSeq
+
+  test("sketch equals the k smallest distinct hashes (agg ≡ replay)") {
+    val df = (1 to 500).toDF("v")
+    assert(sketchOf(df, 32) == replay(df, 32))
+  }
+
+  test("duplicates are invisible (distinct semantics, not a sample)") {
+    val once = (1 to 200).toDF("v")
+    val thrice = ((1 to 200) ++ (1 to 200) ++ (1 to 200)).toDF("v")
+    assert(sketchOf(thrice, 16) == sketchOf(once, 16))
+  }
+
+  test("merge is partitioning-invariant") {
+    val df = (1 to 1000).toDF("v")
+    assert(sketchOf(df.repartition(1), 64) == sketchOf(df.repartition(7), 64))
+  }
+
+  test("under-full sketch keeps everything and estimates exactly") {
+    val df = (1 to 40).toDF("v")
+    val sk = df.agg(Sketches.kmvSketch(col("v"), 64, "t").as("sk"))
+    val est = sk.select(Sketches.kmvEstimate(col("sk"), 64)).collect()(0).getDouble(0)
+    assert(est == 40.0)
+    assert(sk.collect()(0).getSeq[Long](0).size == 40)
+  }
+
+  test("estimator lands near the truth on 5000 distinct values") {
+    val df = (1 to 5000).toDF("v")
+    val sk = df.agg(Sketches.kmvSketch(col("v"), 128, "t").as("sk"))
+    val est = sk.select(Sketches.kmvEstimate(col("sk"), 128)).collect()(0).getDouble(0)
+    // σ ≈ n/√k ≈ 442; deterministic data, so this is a fixed fact
+    assert(math.abs(est - 5000.0) < 3 * 5000.0 / math.sqrt(128.0), est.toString)
+  }
+
+  test("union closure: merged sketches ≡ sketch of the unioned data") {
+    val a = (1 to 300).toDF("v")
+    val b = (200 to 500).toDF("v")
+    val both = (1 to 500).toDF("v")
+    val merged = a.agg(Sketches.kmvSketch(col("v"), 48, "t").as("ska"))
+      .crossJoin(b.agg(Sketches.kmvSketch(col("v"), 48, "t").as("skb")))
+      .select(Sketches.kmvUnion(col("ska"), col("skb"), 48).as("u"))
+      .collect()(0).getSeq[Long](0)
+    assert(merged == sketchOf(both, 48))
+  }
+
+  test("jaccard estimate: identical sets 1.0, disjoint sets 0.0") {
+    val a = (1 to 400).toDF("v")
+    val b = (1001 to 1400).toDF("v")
+    def sk(df: DataFrame, name: String) =
+      df.agg(Sketches.kmvSketch(col("v"), 64, "t").as(name))
+    val same = sk(a, "x").crossJoin(sk(a, "y"))
+      .select(Sketches.kmvJaccardEstimate(col("x"), col("y"), 64))
+      .collect()(0).getDouble(0)
+    val disj = sk(a, "x").crossJoin(sk(b, "y"))
+      .select(Sketches.kmvJaccardEstimate(col("x"), col("y"), 64))
+      .collect()(0).getDouble(0)
+    assert(same == 1.0 && disj == 0.0)
+  }
+
+  test("fractional or string hash input fails analysis (strict typing)") {
+    val df = (1 to 10).toDF("v")
+    intercept[Exception] {
+      df.agg(KmvFunctions.kmv_sketch(col("v").cast("double"), 8)).collect()
+    }
+  }
+}

@@ -1,0 +1,52 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** Hand-computed water-filling: exact seat shares on power-of-two
+  * weights, cap clamping with redistribution, the all-capped shortfall,
+  * and round idempotence (q209 hash-certifies the documents-table path).
+  */
+class CappedMixSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  // counts 100/16/4 → √n weights 10/4/2 (exact), caps ×2 = 200/32/8
+  private val df = (
+    (1 to 100).map(i => (s"r$i", "big")) ++
+    (1 to 16).map(i => (s"m$i", "mid")) ++
+    (1 to 4).map(i => (s"t$i", "tiny"))
+  ).toDF("id", "d")
+
+  private def allocOf(totalN: Long, rounds: Int = 4): Map[String, Long] =
+    Sampling.cappedMix(df, "d", totalN, maxRepeat = 2, rounds = rounds)
+      .collect().map(r => r.getString(0) -> r.getLong(4)).toMap
+
+  test("no saturation: pure temperature shares (10:4:2 of 16)") {
+    assert(allocOf(16L) == Map("big" -> 10L, "mid" -> 4L, "tiny" -> 2L))
+  }
+
+  test("caps clamp and the surplus water-fills back to the head") {
+    // round 1: 100/40/20 → mid clamps at 32, tiny at 8 (surplus 20)
+    // round 2: the 20 goes to big (the only unsaturated domain)
+    assert(allocOf(160L) == Map("big" -> 120L, "mid" -> 32L, "tiny" -> 8L))
+  }
+
+  test("budget past every cap: allocation pins at maxRepeat epochs") {
+    val out = Sampling.cappedMix(df, "d", 300L, maxRepeat = 2, rounds = 4)
+      .collect().map(r => r.getString(0) -> ((r.getLong(4), r.getDouble(5)))).toMap
+    assert(out == Map("big" -> ((200L, 2.0)), "mid" -> ((32L, 2.0)),
+      "tiny" -> ((8L, 2.0))))
+  }
+
+  test("extra rounds are no-ops once the budget is spent") {
+    assert(allocOf(160L, rounds = 2) == allocOf(160L, rounds = 8))
+  }
+
+  test("epochs column divides exactly") {
+    val e = Sampling.cappedMix(df, "d", 160L, maxRepeat = 2, rounds = 4)
+      .collect().map(r => r.getString(0) -> r.getDouble(5)).toMap
+    assert(e == Map("big" -> 1.2, "mid" -> 2.0, "tiny" -> 2.0))
+  }
+}

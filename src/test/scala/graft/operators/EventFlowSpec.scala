@@ -1,0 +1,88 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** Hand-built transition matrices and attribution credit: session-gap
+  * boundary handling, _start entry rows, row-normalized probabilities,
+  * lookback expiry, and the one-window plan shape (q205/q206
+  * hash-certify the events-table paths).
+  */
+class EventFlowSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  // (user, eventId, tsMicros, type, value); gap/lookback = 1000 µs in tests.
+  private val events = Seq(
+    ("a", 1L, 0L, "view", 10.0),
+    ("a", 2L, 500L, "click", 0.0),
+    ("a", 3L, 2000L, "purchase", 30.0), // gap 1500 > 1000: new session
+    ("a", 4L, 2100L, "click", 0.0),
+    ("a", 5L, 2200L, "view", 0.0),
+    ("a", 6L, 2300L, "purchase", 40.0),
+    ("b", 7L, 10L, "purchase", 5.0) // no touch at all
+  ).toDF("u", "eid", "tus", "ty", "v")
+
+  private def trans = EventFlow.transitions(events,
+    Seq(col("u")), col("tus"), Seq(col("eid")), col("ty"), gapMicros = 1000L)
+
+  private def attr = EventFlow.attributeLastTouch(events,
+    Seq(col("u")), col("tus"), Seq(col("eid")), col("ty"),
+    touchTypes = Seq("view", "click"), convType = "purchase",
+    lookbackMicros = 1000L)
+
+  test("transitions: gap splits sessions, _start rows, counts") {
+    val m = trans.collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(m == Map(
+      ("_start", "view") -> 1L, // a@0
+      ("view", "click") -> 1L, // a 0→500
+      ("_start", "purchase") -> 2L, // a@2000 (gap), b@10 (first)
+      ("purchase", "click") -> 1L, // a 2000→2100
+      ("click", "view") -> 1L, // a 2100→2200
+      ("view", "purchase") -> 1L)) // a 2200→2300
+  }
+
+  test("transitions: p row-normalizes by from_type with exact division") {
+    val p = trans.collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(3)).toMap
+    assert(p(("_start", "view")) == 1.0 / 3.0) // _start row total = 3
+    assert(p(("_start", "purchase")) == 2.0 / 3.0)
+    assert(p(("view", "click")) == 0.5) // view row total = 2
+    assert(p(("view", "purchase")) == 0.5)
+  }
+
+  test("attribution: last touch wins, lookback expires, no-touch user") {
+    val rows = attr.select(col("eid"), col("channel"), col("touch_ts_us"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), if (r.isNullAt(2)) -1L else r.getLong(2)))).toMap
+    assert(rows(3L) == (("_unattributed", -1L))) // view@0 is 2000 µs stale
+    assert(rows(6L) == (("view", 2200L))) // view@2200 beats click@2100
+    assert(rows(7L) == (("_unattributed", -1L))) // b never touched
+  }
+
+  test("attribution keeps conversion grain (one row per purchase)") {
+    assert(attr.count() == 3)
+    assert(attr.columns.contains("v")) // payload columns survive
+  }
+
+  test("conversion type may not double as a touch type") {
+    intercept[IllegalArgumentException] {
+      EventFlow.attributeLastTouch(events, Seq(col("u")), col("tus"),
+        Seq(col("eid")), col("ty"), Seq("view", "purchase"), "purchase", 1000L)
+    }
+  }
+
+  test("plan shape: one event-sized window each; transitions adds only " +
+      "the vocabulary-sized row-total window") {
+    def windows(df: org.apache.spark.sql.DataFrame): Int = {
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("Cartesian"), plan)
+      plan.sliding(7).count(_ == "Window ")
+    }
+    assert(windows(attr) == 1)
+    assert(windows(trans) == 2) // lag window + post-agg row-total window
+  }
+}

@@ -1,0 +1,69 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** Hand-built cosine geometry for semantic decontamination: exact copies
+  * flag, orthogonal rows don't, the near-miss sits under the threshold,
+  * ties break to the larger bench id independent of array order, the
+  * empty benchmark degrades to NULLs, and the corpus never rides a wide
+  * join (q210 hash-certifies the embeddings-table path).
+  */
+class SemanticDecontamSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val corpus = Seq(
+    (1L, Seq(1f, 0f, 0f, 0f)), // exact copy of bench 100/102
+    (2L, Seq(0f, 1f, 0f, 0f)), // orthogonal to every bench row
+    (3L, Seq(0.9f, 0.1f, 0f, 0f)) // cos vs bench 100 ≈ 0.9938 < 0.995
+  ).toDF("vec_id", "embedding")
+
+  private val bench = Seq(
+    (100L, Seq(1f, 0f, 0f, 0f)),
+    (101L, Seq(0f, 0f, 1f, 0f)),
+    (102L, Seq(1f, 0f, 0f, 0f)) // duplicate of 100: the tie row
+  ).toDF("vec_id", "embedding")
+
+  private def run(b: org.apache.spark.sql.DataFrame) =
+    Similarity.semanticDecontaminate(corpus, b, "vec_id", "embedding",
+      dim = 4, threshold = 0.995)
+
+  test("copies flag, orthogonal and near-miss rows don't") {
+    val m = run(bench).collect()
+      .map(r => r.getLong(0) -> ((r.getBoolean(4), r.getLong(3)))).toMap
+    assert(m(1L)._1 && !m(2L)._1 && !m(3L)._1)
+  }
+
+  test("ties break to the LARGER bench id, independent of array order") {
+    for (b <- Seq(bench, bench.orderBy(col("vec_id").desc).repartition(3))) {
+      val near = run(b).filter(col("vec_id") === 1L)
+        .select(col("nearest_bench_id")).collect()(0).getLong(0)
+      assert(near == 102L)
+    }
+  }
+
+  test("empty benchmark: NULL score/id, contaminated = false everywhere") {
+    val out = run(bench.filter(col("vec_id") < 0L)).collect()
+    assert(out.length == 3)
+    assert(out.forall(r => r.isNullAt(2) && r.isNullAt(3) && !r.getBoolean(4)))
+  }
+
+  test("scores are exact cosines") {
+    val s = run(bench).filter(col("vec_id") === 3L)
+      .select(col("max_bench_cosine")).collect()(0).getDouble(0)
+    // fixture vectors are float32: the widened doubles are the floats'
+    // exact values, not the decimal literals'
+    val (x, y) = (0.9f.toDouble, 0.1f.toDouble)
+    val expect = x / (math.sqrt(x * x + y * y) * 1.0)
+    assert(s == expect, s"$s vs $expect")
+  }
+
+  test("plan: benchmark broadcasts; the corpus joins nothing wide") {
+    val plan = run(bench).queryExecution.executedPlan.toString
+    assert(!plan.contains("SortMergeJoin"), plan)
+    assert(plan.contains("Broadcast"), plan)
+  }
+}
