@@ -79,12 +79,29 @@ class ScaleCurveSpec extends AnyFunSuite {
     spark.conf.set(key, "-1")
     try {
       op(spread(base)).count() // warm: codegen + scan path out of the measurement
-      val (t1, x1) = timed(op(spread(base)))
-      val (tN, xN) = timed(op(spread(amp)))
-      info(f"$label: 1x=$t1%.2fs ${Amp}x=$tN%.2fs exchanges=$x1/$xN")
-      assert(xN == x1, s"$label: ${Amp}x plan changed exchange count ($x1 -> $xN)")
-      assert(tN <= math.max(4.0 * Amp * t1, Amp * t1 + 5.0),
-        f"$label: super-linear growth 1x=$t1%.2fs ${Amp}x=$tN%.2fs")
+      // Contention recheck (the Bench median-of-repeats discipline, in
+      // min-of-2 form): one ambient-contended sample inside a long full-
+      // suite run can inflate a measurement ~30× (measured: the near-dup
+      // 10x case at 174 s in-suite vs 6.7 s isolated, identical plan) —
+      // a retry absorbs that, while a truly super-linear operator fails
+      // BOTH attempts (quadratic blowup is not luck-sensitive).
+      var attempt = 0
+      var done = false
+      while (!done) {
+        attempt += 1
+        val (t1, x1) = timed(op(spread(base)))
+        val (tN, xN) = timed(op(spread(amp)))
+        info(f"$label: 1x=$t1%.2fs ${Amp}x=$tN%.2fs exchanges=$x1/$xN" +
+          (if (attempt > 1) " (recheck)" else ""))
+        assert(xN == x1, s"$label: ${Amp}x plan changed exchange count ($x1 -> $xN)")
+        val bound = math.max(4.0 * Amp * t1, Amp * t1 + 5.0)
+        if (tN <= bound) done = true
+        else if (attempt >= 2)
+          fail(f"$label: super-linear growth 1x=$t1%.2fs ${Amp}x=$tN%.2fs " +
+            "(persisted across a recheck)")
+        else info(s"$label: over bound on attempt 1 — rechecking once " +
+          "(contention defense)")
+      }
     } finally saved match {
       case Some(v) => spark.conf.set(key, v)
       case None => spark.conf.unset(key)
