@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 /** Ordered-funnel analysis over an event stream: for a declared step
   * sequence (view → click → purchase), each step counts only events
@@ -49,4 +50,38 @@ object Funnel {
         d.agg(count(lit(1)).as("users"))
           .select(lit(s"${i + 1}_${stepTypes(i)}").as("stage"), col("users"))
     }.reduce(_ unionByName _)
+
+  /** Step-latency profile: for each consecutive step pair, how long the
+    * users who completed both took (first-completion to first-completion
+    * — strictly positive by [[steps]]' gating). The time-to-convert
+    * companion of [[counts]]: a funnel that converts everyone but takes
+    * three weeks on one hop is a different product problem than one that
+    * loses everyone instantly.
+    *
+    * Exactness: gaps are exact long time units; `avg` is the decimal-sum
+    * over exact count with ONE final IEEE division. Scale: each pair is a
+    * user-keyed equi-join of two already-materialized per-user minima
+    * frames (shrinking down the funnel) + one scalar aggregate.
+    *
+    * @return (stage, n_users, avg_gap, min_gap, max_gap) — one row per
+    *         arrival step (stage i names the (i−1)→i hop), gaps in
+    *         `tsCol`'s unit
+    */
+  def stepLatency(events: DataFrame, userCol: String, typeCol: String,
+      tsCol: Column, stepTypes: Seq[String]): DataFrame = {
+    require(stepTypes.size >= 2, "stepLatency needs at least two steps")
+    val st = steps(events, userCol, typeCol, tsCol, stepTypes)
+    st.zip(st.tail).zipWithIndex.map { case ((prev, next), i) =>
+      prev.select(col(userCol), col("t").as("__t1"))
+        .join(next.select(col(userCol), col("t").as("__t2")), userCol)
+        .select((col("__t2") - col("__t1")).as("__gap"))
+        .agg(count(lit(1)).as("n_users"),
+          (sum(col("__gap").cast(DecimalType(38, 0))).cast("double")
+            / count(lit(1)).cast("double")).as("avg_gap"),
+          min(col("__gap")).as("min_gap"),
+          max(col("__gap")).as("max_gap"))
+        .select(lit(s"${i + 2}_${stepTypes(i + 1)}").as("stage"),
+          col("n_users"), col("avg_gap"), col("min_gap"), col("max_gap"))
+    }.reduce(_ unionByName _)
+  }
 }

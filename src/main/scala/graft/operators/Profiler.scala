@@ -202,4 +202,49 @@ object Profiler {
         (lit(1.0) - lit(6.0) * col("sum_d2").cast("double") /
           (nD * (nD * nD - lit(1.0)))).as("rho"))
   }
+
+  /** QUANTILE NORMALIZATION across groups (Bolstad et al. 2003, the
+    * microarray standard, applied to per-source quality scores): every
+    * group's score distribution is forced onto the shared reference
+    * distribution — rank within group, reference value at rank r = the
+    * cross-group mean of the rank-r values, each row gets the reference
+    * at its own rank. After it, "quality ≥ x" means the same thing in
+    * every source — a per-source threshold stops encoding source
+    * generosity.
+    *
+    * STRICT equal-size contract (the method is only well-defined when
+    * every group has a value at every rank): the group count is
+    * materialized once (one narrow distinct — the Funnel eager-step
+    * discipline) and an in-plan assert on the reference frame requires
+    * every rank to carry exactly that many values — unequal groups fail
+    * LOUDLY, they do not silently interpolate. Exactness: integer ranks
+    * (deterministic `idCol` tie-break), reference = exact decimal sum
+    * over the group count with ONE IEEE division per rank.
+    *
+    * Scale: one group-keyed rank window, one rank-keyed aggregate
+    * (output = rows/|groups| reference rows), one equi-join back on
+    * rank. All three hash shapes; nothing is single-partition.
+    *
+    * @return df plus (rank within group, normalized double)
+    */
+  def quantileNormalize(df: DataFrame, groupCol: String, valueCol: String,
+      idCol: String): DataFrame = {
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(col(valueCol), col(idCol))
+    val ranked = df.withColumn("rank", row_number().over(w))
+    val nGroups = ranked.select(col(groupCol)).distinct().count()
+    val sizeGuard = coalesce(
+      assert_true(col("__cnt") === lit(nGroups),
+        lit("quantileNormalize: unequal group sizes — every group must " +
+          "have a value at every rank (pad or trim groups first)"))
+        .cast("double"),
+      lit(0.0))
+    val refs = ranked.groupBy(col("rank"))
+      .agg(count(lit(1)).as("__cnt"),
+        sum(col(valueCol).cast("decimal(38,6)")).as("__sum"))
+      .select(col("rank"),
+        (sizeGuard + col("__sum").cast("double")
+          / col("__cnt").cast("double")).as("normalized"))
+    ranked.join(refs, Seq("rank"))
+  }
 }

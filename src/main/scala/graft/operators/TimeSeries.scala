@@ -128,4 +128,38 @@ object TimeSeries {
         col("decayed_fp").cast("double")
           / lit((1L << maxK).toDouble * 100.0))
   }
+
+  /** Seasonal-naive forecast backtest — the baseline every fancier
+    * forecaster must beat, and the cheapest load-shift drift monitor:
+    * forecast v̂(t) = v(t − `periodDays`), evaluated on every date where
+    * both sides exist. Reports per-key MAE and BIAS (mean signed error:
+    * a one-sided bias at MAE scale means the series shifted level, not
+    * got noisier).
+    *
+    * Input contract: `df` is already at series grain — one row per
+    * (keyCol, dateCol), e.g. a daily-total aggregate. Exactness: errors
+    * are exact decimals; mae/bias are decimal sums over the exact eval
+    * count with ONE final IEEE division each. Scale: one self-equi-join
+    * on (key, date+period) — both sides hash-partition on the same key
+    * expression — plus a key-sized aggregate. Nothing else shuffles.
+    *
+    * @return (keyCol, n_evals, mae double, bias double)
+    */
+  def seasonalNaiveEval(df: DataFrame, keyCol: String, dateCol: String,
+      valueCol: String, periodDays: Int): DataFrame = {
+    require(periodDays >= 1, s"periodDays ($periodDays) must be positive")
+    val d = "decimal(38,2)"
+    val actual = df.select(col(keyCol), to_date(col(dateCol)).as("__d"),
+      col(valueCol).cast(d).as("__v"))
+    val forecast = df.select(col(keyCol),
+      date_add(to_date(col(dateCol)), periodDays).as("__d"),
+      col(valueCol).cast(d).as("__f"))
+    actual.join(forecast, Seq(keyCol, "__d"))
+      .groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n_evals"),
+        (sum(abs(col("__v") - col("__f"))).cast("double")
+          / count(lit(1)).cast("double")).as("mae"),
+        (sum(col("__v") - col("__f")).cast("double")
+          / count(lit(1)).cast("double")).as("bias"))
+  }
 }

@@ -201,6 +201,80 @@ object WindowQueries extends QueryModule {
         FROM c GROUP BY 1 ORDER BY 1
       """.trim)),
 
+    // --- funnel step-latency profile (the time-to-convert companion of
+    // q39's counts): per hop, how long the users who completed both
+    // steps took between FIRST completions — strictly positive by the
+    // funnel gating. Exact long gaps; avg is a decimal sum over the
+    // exact count with one IEEE division. Each hop is a user-keyed join
+    // of two materialized per-user minima + one scalar agg. ---
+    GQuery(
+      "q212_funnel_latency",
+      (spark, dir) => {
+        val e = Tables.events(spark, dir)
+          .select(col("user_id"), col("event_type"),
+            unix_micros(col("ts")).as("tus"))
+        graft.operators.Funnel.stepLatency(e, "user_id", "event_type",
+            col("tus"), Seq("view", "click", "purchase"))
+          .orderBy(col("stage"))
+      },
+      Some("""
+        WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS tus FROM events),
+        v AS (SELECT user_id, MIN(tus) AS t1 FROM e WHERE event_type = 'view' GROUP BY 1),
+        c AS (SELECT e.user_id, MIN(tus) AS t2 FROM e JOIN v USING (user_id)
+              WHERE event_type = 'click' AND tus > t1 GROUP BY 1),
+        p AS (SELECT e.user_id, MIN(tus) AS t3 FROM e JOIN c USING (user_id)
+              WHERE event_type = 'purchase' AND tus > t2 GROUP BY 1),
+        g1 AS (SELECT c.t2 - v.t1 AS gap FROM v JOIN c USING (user_id)),
+        g2 AS (SELECT p.t3 - c.t2 AS gap FROM c JOIN p USING (user_id))
+        SELECT '2_click' AS stage, COUNT(*) AS n_users,
+               CAST(SUM(CAST(gap AS DECIMAL(38,0))) AS DOUBLE)
+                 / CAST(COUNT(*) AS DOUBLE) AS avg_gap,
+               MIN(gap) AS min_gap, MAX(gap) AS max_gap
+        FROM g1
+        UNION ALL
+        SELECT '3_purchase', COUNT(*),
+               CAST(SUM(CAST(gap AS DECIMAL(38,0))) AS DOUBLE)
+                 / CAST(COUNT(*) AS DOUBLE),
+               MIN(gap), MAX(gap)
+        FROM g2
+        ORDER BY stage
+      """.trim)),
+
+    // --- seasonal-naive forecast backtest (v̂(t) = v(t−7d) over daily
+    // per-type revenue): the baseline every forecaster must beat and
+    // the cheapest level-shift drift monitor — bias at MAE scale means
+    // the series moved, not noised. One self-equi-join on
+    // (series, day+7) + a series-sized aggregate; decimal-exact errors,
+    // one IEEE division per metric. ---
+    GQuery(
+      "q213_seasonal_naive",
+      (spark, dir) => {
+        val daily = Tables.events(spark, dir)
+          .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+          .agg(sum(dec(col("value"))).as("daily_value"))
+        graft.operators.TimeSeries.seasonalNaiveEval(
+            daily, "event_type", "day", "daily_value", periodDays = 7)
+          .orderBy(col("event_type"))
+      },
+      Some("""
+        WITH daily AS (
+          SELECT event_type, CAST(ts AS DATE) AS day,
+                 SUM(CAST(value AS DECIMAL(12,2))) AS v
+          FROM events GROUP BY 1, 2),
+        j AS (
+          SELECT a.event_type,
+                 CAST(a.v AS DECIMAL(38,2)) AS va,
+                 CAST(f.v AS DECIMAL(38,2)) AS vf
+          FROM daily a JOIN daily f
+            ON a.event_type = f.event_type AND a.day = f.day + 7)
+        SELECT event_type, COUNT(*) AS n_evals,
+               CAST(SUM(ABS(va - vf)) AS DOUBLE)
+                 / CAST(COUNT(*) AS DOUBLE) AS mae,
+               CAST(SUM(va - vf) AS DOUBLE)
+                 / CAST(COUNT(*) AS DOUBLE) AS bias
+        FROM j GROUP BY 1 ORDER BY 1
+      """.trim)),
+
     // --- W1: row_number top-k per group ---
     GQuery(
       "q30_topk_per_group",

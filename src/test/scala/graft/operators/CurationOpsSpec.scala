@@ -775,4 +775,44 @@ class CurationOpsSpec extends AnyFunSuite {
       Curation.chunkByTokens(df, "doc_id", "text", window = 0, stride = 1)
     }
   }
+
+  test("seasonalNaiveEval: hand-computed MAE/bias, no-pair series absent") {
+    val daily = Seq(
+      ("s", "2024-01-01", 10.0), ("s", "2024-01-08", 12.5),
+      ("s", "2024-01-15", 11.0), ("s", "2024-01-09", 5.0),
+      ("lone", "2024-02-01", 3.0) // nothing 7 days earlier: no eval rows
+    ).toDF("k", "day", "v")
+    val out = TimeSeries.seasonalNaiveEval(daily, "k", "day", "v", 7)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+    // evals: (01-08 vs 01-01) err +2.5; (01-15 vs 01-08) err −1.5
+    assert(out == Map("s" -> ((2L, 2.0, 0.5))))
+  }
+
+  test("quantileNormalize: rank-mean reference, deterministic ties") {
+    val df = Seq(
+      (1L, "g1", 1.0), (2L, "g1", 3.0), (3L, "g1", 5.0),
+      (4L, "g2", 2.0), (5L, "g2", 4.0), (6L, "g2", 100.0)
+    ).toDF("id", "g", "v")
+    val out = Profiler.quantileNormalize(df, "g", "v", "id")
+      .collect().map(r => r.getLong(1) -> r.getDouble(4)).toMap
+    // rank means: (1+2)/2=1.5, (3+4)/2=3.5, (5+100)/2=52.5
+    assert(out == Map(1L -> 1.5, 4L -> 1.5, 2L -> 3.5, 5L -> 3.5,
+      3L -> 52.5, 6L -> 52.5))
+    // both groups now carry the IDENTICAL distribution
+    val byGroup = Profiler.quantileNormalize(df, "g", "v", "id")
+      .collect().groupBy(_.getString(2))
+      .map { case (g, rs) => g -> rs.map(_.getDouble(4)).sorted.toSeq }
+    assert(byGroup("g1") == byGroup("g2"))
+  }
+
+  test("quantileNormalize: unequal group sizes fail LOUDLY") {
+    val df = Seq(
+      (1L, "g1", 1.0), (2L, "g1", 3.0), (4L, "g2", 2.0)
+    ).toDF("id", "g", "v")
+    val e = intercept[Exception] {
+      Profiler.quantileNormalize(df, "g", "v", "id").collect()
+    }
+    assert(e.getMessage != null)
+  }
 }

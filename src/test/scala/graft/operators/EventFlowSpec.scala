@@ -75,6 +75,16 @@ class EventFlowSpec extends AnyFunSuite {
     }
   }
 
+  test("stepLatency: first-completion gaps, funnel-gated, per-hop rows") {
+    val lat = Funnel.stepLatency(events, "u", "ty", col("tus"),
+      Seq("view", "click", "purchase"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getLong(3), r.getLong(4)))).toMap
+    // only user a completes the funnel: view@0 -> click@500 -> purchase@2000
+    assert(lat("2_click") == ((1L, 500.0, 500L, 500L)))
+    assert(lat("3_purchase") == ((1L, 1500.0, 1500L, 1500L)))
+  }
+
   test("plan shape: one event-sized window each; transitions adds only " +
       "the vocabulary-sized row-total window") {
     def windows(df: org.apache.spark.sql.DataFrame): Int = {
