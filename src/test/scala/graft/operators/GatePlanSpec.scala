@@ -247,7 +247,34 @@ class GatePlanSpec extends AnyFunSuite {
     // q204's 2 = the docs spread + output sort (decode is projection)
     "q202_fuzzy_join" -> (4, 1),
     "q203_knn_graph" -> (1, 0),
-    "q204_pcm_energy" -> (2, 0))
+    "q204_pcm_energy" -> (2, 0),
+    // round-10 session-3 additions. q205 = ONE event-sized lag-window
+    // shuffle + (from,to) agg + the vocabulary-sized row-total window +
+    // sort; q206 = ONE carry-forward window + channel agg + sort — no
+    // join anywhere (the operator's whole point); q207 = one partial
+    // heap-style sketch agg + sort — the corpus never shuffles raw keys;
+    // q208 = two sketch aggs + the 1×1 scalar crossJoins (broadcast) +
+    // exact-count sides; q209's 18 are ALL on the DOMAIN-SIZED (5-row)
+    // frame — 4 seat rounds × (2 running-sum + 1 row_number) windows,
+    // the q187 single-partition exemption at water-filling depth — the
+    // corpus contributes exactly ONE count aggregate; q210 = embeddings
+    // scan + bench pack agg + broadcast scalar crossJoin + sort — the
+    // CORPUS side carries no wide op (the fold is row-local); q211 =
+    // two corpus-collapse aggregates + the 1×1 checkpoint crossJoin +
+    // explode; q212 = the funnel's post-checkpoint per-hop joins + the
+    // scalar latency aggs; q213 = daily agg + self-join both sides +
+    // series agg + sort; q214 = rank window + rank-keyed reference agg
+    // + join-back + sort
+    "q205_event_transitions" -> (4, 0),
+    "q206_attribution" -> (3, 0),
+    "q207_kmv_distinct" -> (3, 0),
+    "q208_kmv_intersect" -> (7, 3),
+    "q209_capped_mix" -> (18, 0),
+    "q210_semantic_decontam" -> (4, 1),
+    "q211_vocab_growth" -> (5, 1),
+    "q212_funnel_latency" -> (4, 1),
+    "q213_seasonal_naive" -> (4, 1),
+    "q214_quantile_norm" -> (6, 1))
 
   test("q107's ORC read-back pushes its predicate and projection into the scan") {
     import org.apache.spark.sql.functions.col
