@@ -409,4 +409,46 @@ object Curation {
         size(col("__chunk")).as("n_tokens"),
         array_join(col("__chunk"), " ").as("chunk_text"))
   }
+
+  /** RELEASE-GATE report — the composed go/no-go a corpus owner reads
+    * before shipping a training snapshot, one row per source: exact-dup
+    * mass (md5 content groups — corpus-wide, so a source copying another
+    * source's docs is charged too), direct-identifier PII incidence
+    * (email/phone — the q06 battery), mean composite quality, and an
+    * integer-arithmetic verdict: `release_ok` ⇔ dup docs ≤
+    * `dupPermilleMax`‰ of the source AND zero PII docs. Composes the
+    * dedup / PII / quality families into the single screen each gate
+    * certifies separately.
+    *
+    * Scale: ONE corpus pass derives hash + PII counts + quality
+    * projections; the dup flag is one count window on the content hash
+    * (the [[TextDedup.exactGroups]] exchange — inherent to exact dup
+    * detection); then one source-sized aggregate. Quality means use the
+    * q111 decimal-sum discipline (order-independent, one IEEE division).
+    */
+  def releaseReport(docs: DataFrame, idCol: String, textCol: String,
+      sourceCol: String, dupPermilleMax: Int): DataFrame = {
+    require(dupPermilleMax >= 0 && dupPermilleMax <= 1000,
+      s"dupPermilleMax ($dupPermilleMax) must be a permille in [0, 1000]")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("__h"))
+    docs
+      .withColumn("__h", md5(col(textCol)))
+      .withColumn("__tk", TextAnalysis.tokens(lower(col(textCol))))
+      .withColumn("__raw_tc", TextAnalysis.tokenCount(col(textCol)))
+      .withColumn("__pii",
+        TextAnalysis.emailHits(col(textCol)) +
+          TextAnalysis.phoneHits(col(textCol)) > 0)
+      .withColumn("__q",
+        TextAnalysis.qualityScoreTk(col("__tk"), col("__raw_tc")))
+      .withColumn("__dup", count(lit(1)).over(w) > 1)
+      .groupBy(col(sourceCol))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("__dup"), 1L).otherwise(0L)).as("dup_docs"),
+        sum(when(col("__pii"), 1L).otherwise(0L)).as("pii_docs"),
+        (sum(col("__q").cast("decimal(20,10)")).cast("double")
+          / count(lit(1))).as("mean_quality"))
+      .withColumn("release_ok",
+        col("dup_docs") * 1000 <= lit(dupPermilleMax.toLong) * col("n_docs")
+          && col("pii_docs") === 0)
+  }
 }

@@ -177,4 +177,31 @@ object Sketches {
   /** Intersection cardinality estimate: Jaccard × union estimate. */
   def kmvIntersectEstimate(a: Column, b: Column, k: Int): Column =
     kmvJaccardEstimate(a, b, k) * kmvEstimate(kmvUnion(a, b, k), k)
+
+  /** STORED KMV sketches — distinct-count maintenance without rescans
+    * (the stored-index discipline of the band/IVF/BM25 indexes, at
+    * sketch size): each batch appends its own per-group sketch rows;
+    * a read merges per group by re-sketching the stored HASHES (KMV
+    * over already-hashed values IS set-union-then-bottom-k, so merge ≡
+    * rebuild bit-for-bit — no rehash, no staleness). A year of daily
+    * batches costs 365·k longs per group on disk and one
+    * vocabulary-sized merge at read; the raw data is never re-scanned.
+    */
+  def kmvWriteBatch(df: DataFrame, groupCol: String, key: Column, k: Int,
+      salt: String, path: String, batchId: String): Unit =
+    df.groupBy(col(groupCol))
+      .agg(kmvSketch(key, k, salt).as("sk"))
+      .withColumn("batch_id", lit(batchId))
+      .write.mode("append").parquet(path)
+
+  /** Merged per-group sketch across every stored batch (see
+    * [[kmvWriteBatch]]): explode stored hashes, re-sketch. Bit-identical
+    * to a from-scratch rebuild over the union of the batches' data.
+    */
+  def kmvReadMerged(spark: org.apache.spark.sql.SparkSession, path: String,
+      groupCol: String, k: Int): DataFrame =
+    spark.read.parquet(path)
+      .select(col(groupCol), explode(col("sk")).as("__h"))
+      .groupBy(col(groupCol))
+      .agg(graft.functions.KmvFunctions.kmv_sketch(col("__h"), k).as("sk"))
 }

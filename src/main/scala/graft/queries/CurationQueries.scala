@@ -746,37 +746,44 @@ object CurationQueries extends QueryModule {
       // benched there; rides Verify (bench-tail policy)
       bench = false),
 
-    // --- quantile normalization of per-source quality scores (Bolstad
-    // 2003, the microarray standard): every source's n_chars
-    // distribution is forced onto the shared cross-source reference, so
-    // one quality threshold means the same thing in every source. Rank
-    // within source (deterministic doc_id tie-break) → rank-keyed
-    // cross-source decimal mean (one IEEE division per rank, with the
-    // loud equal-size assert riding the frame) → join back. The
-    // documents table's 20 equal sources satisfy the strict contract by
-    // construction. ---
+    // --- quantile normalization of per-shard quality scores (Bolstad
+    // 2003, the microarray standard): every shard's n_chars
+    // distribution is forced onto the shared cross-shard reference, so
+    // one quality threshold means the same thing everywhere. Rank
+    // within shard (deterministic doc_id tie-break) → rank-keyed
+    // cross-shard decimal mean (one IEEE division per rank, with the
+    // loud equal-size assert riding the frame) → join back. Shards are
+    // doc_id residues mod 5 — equal-sized at EVERY sf by construction
+    // (the strict contract; the natural source column is equal-sized
+    // only at some scale factors, and the operator refuses to guess). ---
     GQuery(
       "q214_quantile_norm",
       (spark, dir) =>
         graft.operators.Profiler.quantileNormalize(
             Tables.docs(spark, dir)
-              .select(col("doc_id"), col("source"), col("n_chars")),
-            "source", "n_chars", "doc_id")
-          .select(col("doc_id"), col("source"), col("n_chars"),
+              .select(col("doc_id"),
+                concat(lit("s"), (col("doc_id") % 5).cast("string"))
+                  .as("shard"),
+                col("n_chars")),
+            "shard", "n_chars", "doc_id")
+          .select(col("doc_id"), col("shard"), col("n_chars"),
             col("rank"), col("normalized"))
           .orderBy(col("doc_id")),
       Some("""
-        WITH r AS (
-          SELECT doc_id, source, n_chars,
-                 CAST(row_number() OVER (PARTITION BY source
-                   ORDER BY n_chars, doc_id) AS INT) AS rank
+        WITH d AS (
+          SELECT doc_id, 's' || CAST(doc_id % 5 AS VARCHAR) AS shard, n_chars
           FROM documents),
+        r AS (
+          SELECT doc_id, shard, n_chars,
+                 CAST(row_number() OVER (PARTITION BY shard
+                   ORDER BY n_chars, doc_id) AS INT) AS rank
+          FROM d),
         ref AS (
           SELECT rank,
                  CAST(SUM(CAST(n_chars AS DECIMAL(38,6))) AS DOUBLE)
                    / CAST(COUNT(*) AS DOUBLE) AS normalized
           FROM r GROUP BY 1)
-        SELECT r.doc_id, r.source, r.n_chars, r.rank, ref.normalized
+        SELECT r.doc_id, r.shard, r.n_chars, r.rank, ref.normalized
         FROM r JOIN ref USING (rank) ORDER BY doc_id
       """.trim)),
 

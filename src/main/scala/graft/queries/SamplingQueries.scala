@@ -638,6 +638,63 @@ object SamplingQueries extends QueryModule {
         FROM est, ex, ei
       """.trim)),
 
+    // --- STORED KMV sketches: distinct-count maintenance WITHOUT
+    // rescans (the stored-index discipline at sketch size). Two batches
+    // (order-key parity halves) write their per-priority sketch rows;
+    // the read merges by RE-SKETCHING stored hashes — KMV over
+    // already-hashed values is set-union-then-bottom-k, so merge ≡
+    // from-scratch rebuild BIT-FOR-BIT (merge_ok certifies it in-engine;
+    // the oracle carries the full-corpus sketch values, which equal the
+    // merged ones by that identity, + the literal TRUE — the q154
+    // idiom). Verify-only: each run writes fresh temp batches. ---
+    GQuery(
+      "q216_kmv_stored",
+      (spark, dir) => {
+        import graft.operators.Sketches
+        val k = 128
+        val path = java.nio.file.Files
+          .createTempDirectory("graft_q216kmv").toString
+        val o = t(spark, dir, "orders")
+        Sketches.kmvWriteBatch(o.filter(col("o_orderkey") % 2 === 0),
+          "o_orderpriority", col("o_custkey"), k, "kmv", path, "b0")
+        Sketches.kmvWriteBatch(o.filter(col("o_orderkey") % 2 === 1),
+          "o_orderpriority", col("o_custkey"), k, "kmv", path, "b1")
+        val merged = Sketches.kmvReadMerged(spark, path, "o_orderpriority", k)
+        val rebuilt = o.groupBy(col("o_orderpriority"))
+          .agg(Sketches.kmvSketch(col("o_custkey"), k, salt = "kmv").as("sk2"))
+        merged.join(rebuilt, Seq("o_orderpriority"))
+          .select(col("o_orderpriority"),
+            size(col("sk")).as("n_kept"),
+            when(size(col("sk")) >= k, element_at(col("sk"), k)).as("kth_hash"),
+            Sketches.kmvEstimate(col("sk"), k).as("est_distinct"),
+            (col("sk") === col("sk2")).as("merge_ok"))
+          .orderBy(col("o_orderpriority"))
+      },
+      Some("""
+        WITH h AS (
+          SELECT DISTINCT o_orderpriority,
+                 CAST('0x' || substr(md5('kmv' || CAST(o_custkey AS VARCHAR)), 1, 12)
+                   AS BIGINT) AS hv
+          FROM orders),
+        r AS (
+          SELECT o_orderpriority, hv,
+                 row_number() OVER (PARTITION BY o_orderpriority ORDER BY hv) AS rn
+          FROM h),
+        s AS (
+          SELECT o_orderpriority,
+                 CAST(COUNT(*) AS INT) AS n_kept,
+                 MAX(CASE WHEN rn = 128 THEN hv END) AS kth_hash
+          FROM r WHERE rn <= 128 GROUP BY 1)
+        SELECT o_orderpriority, n_kept, kth_hash,
+               CASE WHEN n_kept < 128 THEN CAST(n_kept AS DOUBLE)
+                    ELSE 35747322042253312.0 / CAST(kth_hash AS DOUBLE)
+               END AS est_distinct,
+               TRUE AS merge_ok
+        FROM s ORDER BY o_orderpriority
+      """.trim),
+      // writes fresh temp batches each run — ingest, not query latency
+      bench = false),
+
     // --- LEAKAGE-SAFE dataset split: bucket on the CONTENT hash
     // (md5 of NFC-normalized text), not the doc id — planted exact
     // copies (new ids, same text) MUST land in the same split, which

@@ -1154,6 +1154,72 @@ object TextQueries extends QueryModule {
         ORDER BY source
       """.trim)),
 
+    // --- RELEASE-GATE report (the composed go/no-go before shipping a
+    // training snapshot — dedup + PII + quality families in ONE screen):
+    // per source, exact-dup mass (corpus-wide md5 groups), PII doc
+    // incidence (the q06 battery), q111's decimal-exact mean quality,
+    // and the integer-arithmetic verdict dup ≤ 100‰ AND pii = 0. The
+    // fixture exploits source = src(doc_id % 20): planted copies all
+    // land in src0 (fails on dups), planted PII all in src3 (fails on
+    // PII), every other source passes — the verdict column carries all
+    // three outcomes. ---
+    GQuery(
+      "q215_release_gate",
+      (spark, dir) => {
+        val d = Tables.docs(spark, dir)
+          .select(col("doc_id"), col("text"), col("source"))
+        val copies = d.filter(col("doc_id") % 20 === 0)
+          .withColumn("doc_id", col("doc_id") + 200000)
+        val pii = d.filter(col("doc_id") % 20 === 3)
+          .withColumn("doc_id", col("doc_id") + 300000)
+          .withColumn("text", concat(col("text"),
+            lit(" contact: user"), col("doc_id").cast("string"),
+            lit("@example.com or 555-123-4567")))
+        graft.operators.Curation.releaseReport(
+            d.unionByName(copies).unionByName(pii),
+            "doc_id", "text", "source", dupPermilleMax = 100)
+          .orderBy(col("source"))
+      },
+      Some(s"""
+        WITH all_docs AS (
+          SELECT doc_id, text, source FROM documents
+          UNION ALL
+          SELECT doc_id + 200000, text, source
+          FROM documents WHERE doc_id % 20 = 0
+          UNION ALL
+          SELECT doc_id + 300000,
+                 text || ' contact: user' || CAST(doc_id + 300000 AS VARCHAR)
+                      || '@example.com or 555-123-4567',
+                 source
+          FROM documents WHERE doc_id % 20 = 3),
+        h AS (
+          SELECT source, md5(text) AS h,
+                 string_split(lower(text), ' ') AS tk,
+                 CAST(len(regexp_extract_all(text,
+                   '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}')) AS INT)
+                   + CAST(len(regexp_extract_all(text,
+                       '\\d{3}-\\d{3}-\\d{4}')) AS INT) > 0 AS pii
+          FROM all_docs),
+        m AS (
+          SELECT source, pii,
+                 COUNT(*) OVER (PARTITION BY h) > 1 AS dup,
+                 0.4 * least(1.0, CAST(CAST(len(tk) AS INT) AS DOUBLE) / 100.0)
+                   + 0.3 * (1.0 - CAST(len(list_filter(tk,
+                       x -> list_contains($allMarkers, x))) AS DOUBLE) / len(tk))
+                   + 0.3 * CAST(len(list_distinct(tk)) AS DOUBLE) / len(tk) AS q
+          FROM h),
+        r AS (
+          SELECT source, COUNT(*) AS n_docs,
+                 CAST(SUM(CASE WHEN dup THEN 1 ELSE 0 END) AS BIGINT) AS dup_docs,
+                 CAST(SUM(CASE WHEN pii THEN 1 ELSE 0 END) AS BIGINT) AS pii_docs,
+                 CAST(SUM(CAST(q AS DECIMAL(20,10))) AS DOUBLE) / COUNT(*)
+                   AS mean_quality
+          FROM m GROUP BY 1)
+        SELECT source, n_docs, dup_docs, pii_docs, mean_quality,
+               dup_docs * 1000 <= 100 * n_docs AND pii_docs = 0 AS release_ok
+        FROM r ORDER BY source
+      """.trim)),
+
     // --- Gopher rule battery (Rae et al. 2021 §A1.1): mean word length,
     // symbol-to-word ratio, bullet/ellipsis line fractions, alphabetic-
     // word fraction, and the composite pass flag at the published

@@ -82,6 +82,31 @@ class KmvSpec extends AnyFunSuite {
     assert(same == 1.0 && disj == 0.0)
   }
 
+  test("stored batches merge to the from-scratch rebuild bit-for-bit") {
+    val path = java.nio.file.Files.createTempDirectory("kmvspec").toString
+    val all = (1 to 300).map(i => ("g", i)).toDF("g", "v")
+    Sketches.kmvWriteBatch(all.filter(col("v") <= 150), "g", col("v"),
+      32, "t", path, "b0")
+    Sketches.kmvWriteBatch(all.filter(col("v") > 150), "g", col("v"),
+      32, "t", path, "b1")
+    val merged = Sketches.kmvReadMerged(spark, path, "g", 32)
+      .collect()(0).getSeq[Long](1)
+    assert(merged == sketchOf(all.select(col("v")), 32))
+  }
+
+  test("batch split point does not change the merged sketch") {
+    def mergedAt(cut: Int): Seq[Long] = {
+      val path = java.nio.file.Files.createTempDirectory("kmvcut").toString
+      val all = (1 to 200).map(i => ("g", i)).toDF("g", "v")
+      Sketches.kmvWriteBatch(all.filter(col("v") <= cut), "g", col("v"),
+        24, "t", path, "b0")
+      Sketches.kmvWriteBatch(all.filter(col("v") > cut), "g", col("v"),
+        24, "t", path, "b1")
+      Sketches.kmvReadMerged(spark, path, "g", 24).collect()(0).getSeq[Long](1)
+    }
+    assert(mergedAt(10) == mergedAt(190))
+  }
+
   test("fractional or string hash input fails analysis (strict typing)") {
     val df = (1 to 10).toDF("v")
     intercept[Exception] {

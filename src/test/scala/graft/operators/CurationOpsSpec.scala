@@ -776,6 +776,25 @@ class CurationOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("releaseReport: dup/PII verdicts, cross-source dup charge") {
+    val docs = Seq(
+      (1L, "dup text", "s1"), (2L, "dup text", "s1"), (3L, "clean a", "s1"),
+      (4L, "mail me a@b.com now", "s2"), (5L, "clean b", "s2"),
+      (6L, "clean c", "s3"), (7L, "clean d", "s3"), (8L, "dup text", "s3"),
+      (9L, "clean e", "s4"), (10L, "clean f", "s4")
+    ).toDF("doc_id", "text", "source")
+    val r = Curation.releaseReport(docs, "doc_id", "text", "source",
+        dupPermilleMax = 100)
+      .collect().map(x => x.getString(0) ->
+        ((x.getLong(1), x.getLong(2), x.getLong(3), x.getBoolean(5)))).toMap
+    assert(r("s1") == ((3L, 2L, 0L, false))) // in-source dup pair
+    assert(r("s2") == ((2L, 0L, 1L, false))) // PII doc
+    // s3's copy of s1's text is charged even though the twin lives
+    // elsewhere — dup detection is corpus-wide
+    assert(r("s3") == ((3L, 1L, 0L, false)))
+    assert(r("s4") == ((2L, 0L, 0L, true)))
+  }
+
   test("seasonalNaiveEval: hand-computed MAE/bias, no-pair series absent") {
     val daily = Seq(
       ("s", "2024-01-01", 10.0), ("s", "2024-01-08", 12.5),

@@ -274,7 +274,14 @@ class GatePlanSpec extends AnyFunSuite {
     "q211_vocab_growth" -> (5, 1),
     "q212_funnel_latency" -> (4, 1),
     "q213_seasonal_naive" -> (4, 1),
-    "q214_quantile_norm" -> (6, 1))
+    "q214_quantile_norm" -> (6, 1),
+    // q215 = union + ONE content-hash count window + source agg + sort
+    // (the PII/quality battery is pure projection); q216 = the stored-
+    // batch merged READ (explode + re-sketch agg) + rebuild agg + the
+    // priority-keyed join (broadcast at this scale) + sort — batch
+    // writes run before the plan is read (the q196 convention)
+    "q215_release_gate" -> (6, 0),
+    "q216_kmv_stored" -> (3, 1))
 
   test("q107's ORC read-back pushes its predicate and projection into the scan") {
     import org.apache.spark.sql.functions.col
