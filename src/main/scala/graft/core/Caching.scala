@@ -18,10 +18,25 @@ object Caching {
 
   /** Materialize `result` eagerly (cutting lineage), then unpersist every
     * `scratch` frame it was derived from. Returns the checkpointed result.
+    *
+    * CONTRACT: `scratch` frames must be CACHE-backed (`Dataset.persist`)
+    * — `Dataset.unpersist` on a checkpoint-backed frame (a [[reap]]
+    * product) is a NO-OP, because localCheckpoint blocks live outside
+    * the CacheManager. A caller that needs to free a reaped frame later
+    * must hold its RDD handle from [[reapKeep]] and unpersist THAT (the
+    * pageRankFixed handle discipline; the Bench sweeps at the RDD level
+    * for the same reason).
     */
-  def reap(result: DataFrame, scratch: DataFrame*): DataFrame = {
-    val (out, _) = GraftSqlBridge.eagerCheckpoint(result)
+  def reap(result: DataFrame, scratch: DataFrame*): DataFrame =
+    reapKeep(result, scratch: _*)._1
+
+  /** [[reap]] plus the checkpoint RDD handle backing the result — the
+    * only object whose `unpersist` actually frees the reaped blocks.
+    */
+  def reapKeep(result: DataFrame,
+      scratch: DataFrame*): (DataFrame, org.apache.spark.rdd.RDD[_]) = {
+    val (out, handle) = GraftSqlBridge.eagerCheckpoint(result)
     scratch.foreach(_.unpersist(blocking = false))
-    out
+    (out, handle)
   }
 }

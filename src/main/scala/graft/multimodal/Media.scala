@@ -180,18 +180,30 @@ object Media {
       v - when(v >= 32768L, 65536L).otherwise(0L)
     })
     // window START offsets by stride (the chunkByTokens shape) — no
-    // division, exact, empty for 0 samples
-    val nSamp = size(samples).cast("long")
+    // division, exact, empty for 0 samples. The (n_samples, energy)
+    // pair is computed ROW-LOCALLY inside a transform over the starts
+    // and only the small struct array rides the explode: a first cut
+    // projected the full decoded sample array alongside posexplode, and
+    // GenerateExec copies child output per generated row — an n-sample
+    // clip materialized n/ws copies of the whole n-element array
+    // (O(n²/ws) bytes per clip; a 10-minute 16 kHz mono clip ≈ TBs
+    // through one projection). `samples` is staged as an attribute
+    // first so the decode runs once per row, not once per window.
+    val nSamp = size(col("__sm")).cast("long")
     val starts = when(nSamp >= 1, sequence(lit(0L), nSamp - 1, lit(ws.toLong)))
       .otherwise(array().cast("array<long>"))
-    val win = slice(col("__sm"), col("__s").cast("int") + 1, lit(ws))
+    val windows = transform(starts, s => {
+      val win = slice(col("__sm"), s.cast("int") + 1, lit(ws))
+      struct(size(win).as("n"),
+        aggregate(win, lit(0L), (acc, x) => acc + x * x).as("e"))
+    })
     media
-      .select(col(idCol), samples.as("__sm"),
-        posexplode(starts).as(Seq("__w", "__s")))
+      .select(col(idCol), samples.as("__sm"))
+      .select(col(idCol), posexplode(windows).as(Seq("__w", "__win")))
       .select(col(idCol),
         col("__w").cast("int").as("window_idx"),
-        size(win).as("n_samples"),
-        aggregate(win, lit(0L), (acc, s) => acc + s * s).as("energy"))
+        col("__win.n").as("n_samples"),
+        col("__win.e").as("energy"))
       .withColumn("silence",
         col("energy") < lit(silenceMeanSquare) * col("n_samples").cast("long"))
   }

@@ -92,6 +92,6 @@ object EventFlow {
         when(col("in_window"), col("__lt_ty")).otherwise(lit("_unattributed")))
       .withColumn("touch_ts_us",
         when(col("in_window"), col("__lt_ts")))
-      .drop("__lt_ts", "__lt_ty", "in_window")
+      .drop("__ts", "__lt_ts", "__lt_ty", "in_window")
   }
 }

@@ -63,6 +63,48 @@ object Graph {
     spark.createDataFrame(rdd, schema)
   }
 
+  /** The dense-id remap BOTH iterative operators run (one definition —
+    * the two verbatim copies drifted apart would desynchronize the
+    * handle lifecycle): persist the node frame across zipWithIndex's
+    * eager offsets job AND the dict checkpoint (without the pin the
+    * node-derivation runs twice), checkpoint the dict (it outlives the
+    * string edges — a cache-evicted persist would recompute through the
+    * reaped handle), remap the checkpointed string edges to long keys,
+    * then release the string copy through its RDD handle.
+    *
+    * @return (dict, dictHandle, longEdges, longEdgesHandle)
+    */
+  private def remapToDense(strEdges: DataFrame,
+      strHandle: org.apache.spark.rdd.RDD[_], nodeStrs: DataFrame):
+      (DataFrame, org.apache.spark.rdd.RDD[_], DataFrame,
+        org.apache.spark.rdd.RDD[_]) = {
+    import org.apache.spark.sql.GraftSqlBridge.eagerCheckpoint
+    val pinned = nodeStrs.persist()
+    val (dict, dictHandle) = eagerCheckpoint(nodeDict(pinned))
+    pinned.unpersist(blocking = false)
+    val (e, eHandle) = eagerCheckpoint(
+      strEdges
+        .join(dict.select(col("node").as("src"), col("nid").as("__sid")), "src")
+        .join(dict.select(col("node").as("dst"), col("nid").as("__did")), "dst")
+        .select(col("__sid").as("src"), col("__did").as("dst")))
+    strHandle.unpersist(blocking = false)
+    (dict, dictHandle, e, eHandle)
+  }
+
+  /** The shared epilogue: execute the remaining (lazy) round chain once,
+    * remapping the long-keyed per-node state back to the caller's node
+    * strings — internal ids never escape. Returns a lineage-free frame.
+    */
+  private def remapBack(state: DataFrame, valueCol: String,
+      dict: DataFrame): DataFrame = {
+    import org.apache.spark.sql.GraftSqlBridge.eagerCheckpoint
+    val (out, _) = eagerCheckpoint(
+      state.select(col("node").as("nid"), col(valueCol))
+        .join(dict, "nid")
+        .select(col("node"), col(valueCol)))
+    out
+  }
+
   /** PageRank in exact fixed point, the classic iterate (Page et al.
     * 1999; the formulation of Spark's own canonical PageRank example —
     * scores, not a normalized distribution; dangling mass is not
@@ -118,27 +160,12 @@ object Graph {
     // PageRank's fixed trip count does not).
     val (eStr, eStrHandle) = eagerCheckpoint(
       if (edgesDistinct) eRaw else eRaw.distinct())
-    // Dense-id remap (see nodeDict): dict + long-keyed edges materialize
-    // once off the checkpointed string edges, then the string copy is
-    // reaped — the iterate below never touches a string key again. The
-    // dict is CHECKPOINTED, not lazily persisted: it outlives the string
-    // edges it derives from, and a cache-evicted persist would try to
-    // recompute through the reaped handle.
-    // The node frame persists across zipWithIndex's eager
-    // partition-offsets job and the checkpoint's materialization —
-    // without the pin the corpus-edge-sized distinct runs TWICE
-    // (review finding, round 10).
-    val nodeStrs = eStr.select(col("src").as("node"))
-      .unionByName(eStr.select(col("dst").as("node")))
-      .distinct().persist()
-    val (dict, dictHandle) = eagerCheckpoint(nodeDict(nodeStrs))
-    nodeStrs.unpersist(blocking = false)
-    val (e, eHandle) = eagerCheckpoint(
-      eStr
-        .join(dict.select(col("node").as("src"), col("nid").as("__sid")), "src")
-        .join(dict.select(col("node").as("dst"), col("nid").as("__did")), "dst")
-        .select(col("__sid").as("src"), col("__did").as("dst")))
-    eStrHandle.unpersist(blocking = false)
+    // Dense-id remap (the shared remapToDense): directed edges — the
+    // node set needs BOTH endpoints.
+    val (dict, dictHandle, e, eHandle) = remapToDense(eStr, eStrHandle,
+      eStr.select(col("src").as("node"))
+        .unionByName(eStr.select(col("dst").as("node")))
+        .distinct())
     // degree attach: a lazy cache over the checkpointed long edges,
     // filled inside the first job that touches it; the node set is the
     // dict itself (no second distinct)
@@ -169,14 +196,7 @@ object Graph {
         ranks = cut
       }
     }
-    // One final materialization executes the whole remaining round chain
-    // (edges cached) INCLUDING the remap back to node strings — the
-    // caller gets a lineage-free node-sized frame keyed exactly as its
-    // input was; internal long ids never escape.
-    val (out, _) = eagerCheckpoint(
-      ranks.select(col("node").as("nid"), col("rf"))
-        .join(dict, "nid")
-        .select(col("node"), col("rf")))
+    val out = remapBack(ranks, "rf", dict)
     prevHandle.foreach(_.unpersist(blocking = false))
     eHandle.unpersist(blocking = false)
     ed.unpersist(blocking = false)
@@ -226,20 +246,12 @@ object Graph {
       dir.unionByName(
           dir.select(col("dst").as("src"), col("src").as("dst")))
         .distinct())
-    // Dense-id remap (the pageRankFixed discipline, see nodeDict): node
-    // keys become longs for the per-round join/agg/argmax; LABELS stay
-    // strings — the lexicographic min tie-break is part of the contract.
-    // Symmetric closure ⇒ every node appears as src, so one side covers
-    // the node set.
-    val nodeStrs = undStr.select(col("src").as("node")).distinct().persist()
-    val (dict, dictHandle) = eagerCheckpoint(nodeDict(nodeStrs))
-    nodeStrs.unpersist(blocking = false)
-    val (und, undHandle) = eagerCheckpoint(
-      undStr
-        .join(dict.select(col("node").as("src"), col("nid").as("__sid")), "src")
-        .join(dict.select(col("node").as("dst"), col("nid").as("__did")), "dst")
-        .select(col("__sid").as("src"), col("__did").as("dst")))
-    undStrHandle.unpersist(blocking = false)
+    // Dense-id remap (the shared remapToDense): node keys become longs
+    // for the per-round join/agg/argmax; LABELS stay strings — the
+    // lexicographic min tie-break is part of the contract. Symmetric
+    // closure ⇒ every node appears as src, so one side covers the set.
+    val (dict, dictHandle, und, undHandle) = remapToDense(undStr,
+      undStrHandle, undStr.select(col("src").as("node")).distinct())
     val nodes = dict.select(col("nid").as("node"))
     val seed = seeds
       .select(col(idCol).cast("string").as("node"),
@@ -278,10 +290,7 @@ object Graph {
         labels = cut
       }
     }
-    val (out, _) = eagerCheckpoint(
-      labels.select(col("node").as("nid"), col("label"))
-        .join(dict, "nid")
-        .select(col("node"), col("label")))
+    val out = remapBack(labels, "label", dict)
     prevHandle.foreach(_.unpersist(blocking = false))
     undHandle.unpersist(blocking = false)
     dictHandle.unpersist(blocking = false)
@@ -390,14 +399,18 @@ object Graph {
     // Edges are re-read (degrees, orientation) and the upstream
     // derivation may be an expensive projection (e.g. coOccurrenceEdges'
     // self-join) — checkpoint once, the iteration discipline shared
-    // with pageRankFixed.
-    val e = graft.core.Caching.reap(canon)
+    // with pageRankFixed. Handles are KEPT (reapKeep): Dataset.unpersist
+    // on a checkpoint-backed frame is a no-op, so only the RDD handles
+    // can actually free these edge-sized block sets when the operator
+    // returns (round-10 review finding — the first cut leaked all three
+    // per call in a long-lived session).
+    val (e, eHandle) = graft.core.Caching.reapKeep(canon)
     // deg is consumed three times (both orientation joins + the final
     // output join); oriented three times (both wedge sides + the close
     // join) — without their own checkpoints the plan would re-run the
     // degree aggregate and the edge×degree joins 3× each, edge-sized
     // work at crawl scale.
-    val deg = graft.core.Caching.reap(
+    val (deg, degHandle) = graft.core.Caching.reapKeep(
       e.select(col("u").as("node"))
         .unionAll(e.select(col("v").as("node")))
         .groupBy(col("node")).agg(count(lit(1)).as("degree")))
@@ -409,12 +422,13 @@ object Graph {
     // x → y with rank(x) < rank(y) under rank = (degree, node); dy
     // rides along so the wedge pair below can order its two spokes
     // without re-joining degrees.
-    val oriented = graft.core.Caching.reap(
+    val (oriented, orientedHandle) = graft.core.Caching.reapKeep(
       withDeg.select(
         when(uLower, col("u")).otherwise(col("v")).as("x"),
         when(uLower, col("v")).otherwise(col("u")).as("y"),
-        when(uLower, col("dv")).otherwise(col("du")).as("dy")),
-      e)
+        when(uLower, col("dv")).otherwise(col("du")).as("dy")))
+    // e is fully consumed (deg + orientation) once oriented materializes
+    eHandle.unpersist(blocking = false)
     val o1 = oriented.select(col("x"), col("y").as("w1"), col("dy").as("d1"))
     val o2 = oriented.select(col("x"), col("y").as("w2"), col("dy").as("d2"))
     val wedges = o1.join(o2, "x")
@@ -432,9 +446,13 @@ object Graph {
           (lit(2L) * coalesce(col("triangles"), lit(0L))).cast("double") /
             (col("degree") * (col("degree") - lit(1L))).cast("double"))
           .otherwise(lit(0.0)).as("lcc"))
-    // node-sized result; reaping it releases the deg/oriented handles
-    // (the semDedup return discipline — pinned footprint after return is
-    // O(result))
-    graft.core.Caching.reap(out, deg, oriented)
+    // node-sized result; materialize it, THEN free the edge-sized
+    // deg/oriented blocks through their RDD handles (the only unpersist
+    // that works on checkpoint-backed frames) — pinned footprint after
+    // return is O(result)
+    val reaped = graft.core.Caching.reap(out)
+    degHandle.unpersist(blocking = false)
+    orientedHandle.unpersist(blocking = false)
+    reaped
   }
 }

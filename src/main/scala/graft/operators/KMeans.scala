@@ -69,9 +69,19 @@ object KMeans {
 
     val v = corpus.select(Similarity.asDouble(col(vecCol)).as("dv"))
 
-    var cents: DataFrame = graft.core.Caching.reap(
-      seeds.select(col("centroid_id").cast(LongType).as("centroid_id"),
-        lit(0L).as("n"), Similarity.asDouble(col("cv")).as("cv")))
+    var cents: DataFrame = null
+    // handle discipline (round-10 review finding): reap's Dataset-level
+    // unpersist is a no-op on the checkpoint-backed previous round, so
+    // superseded rounds are freed through their RDD handles — the
+    // pageRankFixed pattern; the final round's blocks belong to the
+    // returned frame and stay
+    var centsHandle: Option[org.apache.spark.rdd.RDD[_]] = None
+    locally {
+      val (c0, h0) = graft.core.Caching.reapKeep(
+        seeds.select(col("centroid_id").cast(LongType).as("centroid_id"),
+          lit(0L).as("n"), Similarity.asDouble(col("cv")).as("cv")))
+      cents = c0; centsHandle = Some(h0)
+    }
 
     for (_ <- 1 to rounds) {
       // Broadcast the m centroids as ONE sorted array row: the argmax is
@@ -102,9 +112,13 @@ object KMeans {
         .select(col("centroid_id"), coalesce(col("__n"), lit(0L)).as("n"),
           coalesce(col("__cv"), col("cv")).as("cv"))
       // m rows: eager-checkpoint truncates the round chain (round r+1's
-      // plan must not inline round r's corpus aggregate) and reaps the
-      // superseded handle — the Graph per-round state discipline.
-      cents = graft.core.Caching.reap(next, cents)
+      // plan must not inline round r's corpus aggregate); the superseded
+      // round frees through its RDD handle — the Graph per-round state
+      // discipline.
+      val (cut, handle) = graft.core.Caching.reapKeep(next)
+      centsHandle.foreach(_.unpersist(blocking = false))
+      centsHandle = Some(handle)
+      cents = cut
     }
     cents
   }

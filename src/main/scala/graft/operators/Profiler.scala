@@ -232,7 +232,9 @@ object Profiler {
     val w = Window.partitionBy(col(groupCol))
       .orderBy(col(valueCol), col(idCol))
     val ranked = df.withColumn("rank", row_number().over(w))
-    val nGroups = ranked.select(col(groupCol)).distinct().count()
+    // count groups off the RAW input — counting off `ranked` would run
+    // the rank window (a corpus shuffle+sort) just to count groups
+    val nGroups = df.select(col(groupCol)).distinct().count()
     val sizeGuard = coalesce(
       assert_true(col("__cnt") === lit(nGroups),
         lit("quantileNormalize: unequal group sizes — every group must " +

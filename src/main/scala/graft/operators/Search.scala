@@ -173,7 +173,11 @@ object Search {
       .getTableMetadata(TableIdentifier(s"${name}_postings")).bucketSpec
       .getOrElse(sys.error(s"${name}_postings is not a bucketed table"))
       .numBuckets
-    val tk = graft.core.Caching.reap(tokenized(batch, idCol, textCol))
+    // keep the handle: the tokenized batch is checkpoint-backed, and
+    // only its RDD unpersist frees the batch-sized blocks after both
+    // writes (round-10 review finding)
+    val (tk, tkHandle) =
+      graft.core.Caching.reapKeep(tokenized(batch, idCol, textCol))
     tk.select(col(idCol), col("dl"), explode(col("__toks")).as("term"))
       .groupBy(col("term"), col(idCol))
       .agg(count(lit(1)).as("tf"), first(col("dl")).as("dl"))
@@ -189,6 +193,7 @@ object Search {
     // only ITS relation cache — refresh on the caller's handle too.
     spark.catalog.refreshTable(s"${name}_postings")
     spark.catalog.refreshTable(s"${name}_stats")
+    tkHandle.unpersist(blocking = false)
   }
 
   /** Probe a stored inverted index: top `k` documents by BM25 for

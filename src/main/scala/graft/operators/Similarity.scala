@@ -120,9 +120,15 @@ object Similarity {
       val recovered =
         if (floating) {
           val dec = SortableBits.sortable_bits_double(col("__p.ord"))
+          // ascending zero normalization: a +0.0 score encodes as -0.0,
+          // which the codec zero-normalizes, so a bare -dec would decode
+          // it back as -0.0 — breaking the bit-identical-recovery
+          // contract ('-0.0' renders differently in a hash oracle).
+          // Both zeros recover as +0.0, matching Spark's sort semantics
+          // where ±0.0 tie.
           (if (ascending)
             when(col("__p.ord") === Long.MinValue, lit(Double.NaN))
-              .otherwise(-dec)
+              .otherwise(when(dec === 0.0, lit(0.0)).otherwise(-dec))
           else dec).cast(scoreType)
         } else {
           (if (ascending) bitwise_not(col("__p.ord")) else col("__p.ord"))

@@ -126,15 +126,17 @@ object Sketches {
   // above; no JVM-private seed).
   // ------------------------------------------------------------------
 
-  /** Portable 48-bit hash: the first 12 md5 hex digits as a long —
-    * `hash16`'s wider sibling for sketches that divide by hash values
-    * (16 bits would collide constantly at corpus scale; 48 keeps the
-    * birthday bound ~n²/2⁴⁹). Replayable as
+  /** Portable 48-bit hash — ONE definition, [[Sampling.hash48]] (the
+    * first 12 md5 hex digits as a long): sketches that divide by hash
+    * values need its width (16 bits would collide constantly at corpus
+    * scale; 48 keeps the birthday bound ~n²/2⁴⁹) and samplers need its
+    * double-exactness. Re-exported here so sketch call sites read
+    * locally; a second implementation would eventually desynchronize
+    * samplers from sketches. SQL replay:
     * `CAST('0x' || substr(md5(salt || key), 1, 12) AS BIGINT)`.
     */
   def hash48(key: Column, salt: String = ""): Column =
-    conv(substring(md5(concat(lit(salt), key.cast("string"))), 1, 12), 16, 10)
-      .cast("long")
+    Sampling.hash48(key, salt)
 
   /** KMV sketch of `key`'s distinct values: the k smallest distinct
     * [[hash48]] values, ascending — the native mergeable
