@@ -94,4 +94,67 @@ object EventFlow {
         when(col("in_window"), col("__lt_ts")))
       .drop("__ts", "__lt_ts", "__lt_ty", "in_window")
   }
+
+  /** POSITION-BASED (U-shaped) multi-touch attribution — the 40/40/20
+    * rule: each conversion splits its credit over ALL lookback touches,
+    * first 400‰, last 400‰, the middle 200‰ shared by largest-remainder
+    * (earliest middles get the odd permille — deterministic); one touch
+    * takes 1000‰, two split 500/500, none attributes to
+    * `"_unattributed"`. Credits are EXACT integer permille — the float
+    * credit splits most tools use cannot be replayed cross-engine.
+    *
+    * Scale: touches collect under a RANGE frame bounded by the lookback
+    * (`rangeBetween(−lookback, −1)` on the timestamp — per-row window
+    * state is the lookback's touches, NOT the user's whole history),
+    * sorted row-locally for determinism (frame order leaves equal-ts
+    * touches unordered), then one row-local explode to touch grain.
+    * A same-microsecond touch is OUTSIDE the frame (range, not rows):
+    * strictly-earlier semantics at microsecond resolution.
+    *
+    * @return one row per (conversion, crediting touch): conversion
+    *         columns + (channel, touch_pos 1-based, n_touches,
+    *         credit_permille)
+    */
+  def attributePosition(df: DataFrame, keys: Seq[Column], tsMicros: Column,
+      tiebreak: Seq[Column], typeCol: Column, touchTypes: Seq[String],
+      convType: String, lookbackMicros: Long): DataFrame = {
+    require(touchTypes.nonEmpty, "touchTypes must be non-empty")
+    require(!touchTypes.contains(convType),
+      s"conversion type '$convType' cannot also be a touch type")
+    require(lookbackMicros >= 1, "lookbackMicros must be positive")
+    val w = Window.partitionBy(keys: _*).orderBy(tsMicros)
+      .rangeBetween(-lookbackMicros, -1)
+    val isTouch = typeCol.isin(touchTypes.map(lit): _*)
+    val touches = array_sort(collect_list(
+      when(isTouch, struct(tsMicros.as("ts"),
+        (tiebreak.headOption.getOrElse(tsMicros)).as("tb"),
+        typeCol.as("ty")))).over(w))
+    val conv = df
+      .withColumn("__touches", touches)
+      .filter(typeCol === convType)
+      .withColumn("n_touches", size(col("__touches")))
+    val n = col("n_touches")
+    // pos is 1-based; middle count m = n−2, pool 200‰:
+    // base = 200 div m, first (200 mod m) middles get +1
+    val credit = when(n === 1, lit(1000))
+      .when(col("__pos") === 1 || col("__pos") === n,
+        when(n === 2, lit(500)).otherwise(lit(400)))
+      .otherwise(expr("200 div (n_touches - 2)") +
+        when(col("__pos") - 1 <= (lit(200) % (n - 2)), 1).otherwise(0))
+    val touched = conv.filter(n >= 1)
+      .select(col("*"), posexplode(col("__touches")).as(Seq("__p0", "__t")))
+      .withColumn("__pos", col("__p0") + 1)
+      .select(col("*"),
+        col("__t.ty").as("channel"),
+        col("__pos").cast("int").as("touch_pos"),
+        credit.cast("int").as("credit_permille"))
+      .drop("__touches", "__p0", "__t", "__pos")
+    val untouched = conv.filter(n === 0)
+      .select(col("*"),
+        lit("_unattributed").as("channel"),
+        lit(0).as("touch_pos"),
+        lit(1000).as("credit_permille"))
+      .drop("__touches")
+    touched.unionByName(untouched)
+  }
 }

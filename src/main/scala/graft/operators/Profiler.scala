@@ -203,6 +203,49 @@ object Profiler {
           (nD * (nD * nD - lit(1.0)))).as("rho"))
   }
 
+  /** KEY-SKEW report — the one-row profile a pipeline owner reads before
+    * keying a 100 TB shuffle on a column (a whale key turns one task
+    * into the stage's critical path; AQE mitigates but pre-measuring
+    * beats re-planning): distinct key count, total rows, the heaviest
+    * key's share, the top-10 share, and the exact GINI coefficient of
+    * the key-frequency distribution (0 = uniform, →1 = one whale).
+    *
+    * Gini is exact: counts ranked ascending by the narrow
+    * range-partitioned zipWithIndex (deterministic (count, key) order,
+    * never a single-partition window), then
+    * `G = (2·Σ i·xᵢ − (n+1)·Σx) / (n·Σx)` — exact decimal numerator,
+    * ONE IEEE division. Top shares divide exact longs. Scale: one
+    * key-sized count aggregate, one narrow rank pass, a TakeOrdered
+    * top-10, two scalar aggs.
+    *
+    * @return one row: (n_keys, n_rows, top1_share, top10_share, gini)
+    */
+  def keySkewReport(df: DataFrame, keyCol: String): DataFrame = {
+    val counts = df.groupBy(col(keyCol)).agg(count(lit(1)).as("__c"))
+    val ranked = SurrogateKeys.sequential(counts, "__i",
+      Seq(col("__c"), col(keyCol)), assumeUnique = true)
+    val d38 = "decimal(38,0)"
+    val base = ranked.agg(
+      count(lit(1)).as("n_keys"),
+      sum(col("__c")).as("n_rows"),
+      max(col("__c")).as("__top1"),
+      sum((col("__i").cast(d38) * col("__c").cast(d38)).cast(d38))
+        .as("__sixi"))
+    val top10 = counts.orderBy(col("__c").desc, col(keyCol)).limit(10)
+      .agg(sum(col("__c")).as("__top10"))
+    base.crossJoin(top10)
+      .select(col("n_keys"), col("n_rows"),
+        (col("__top1").cast("double") / col("n_rows").cast("double"))
+          .as("top1_share"),
+        (col("__top10").cast("double") / col("n_rows").cast("double"))
+          .as("top10_share"),
+        ((lit(2).cast(d38) * col("__sixi")
+          - ((col("n_keys") + 1).cast(d38)
+            * col("n_rows").cast(d38)).cast(d38)).cast("double")
+          / (col("n_keys").cast("double") * col("n_rows").cast("double")))
+          .as("gini"))
+  }
+
   /** QUANTILE NORMALIZATION across groups (Bolstad et al. 2003, the
     * microarray standard, applied to per-source quality scores): every
     * group's score distribution is forced onto the shared reference

@@ -785,7 +785,10 @@ object CurationQueries extends QueryModule {
           FROM r GROUP BY 1)
         SELECT r.doc_id, r.shard, r.n_chars, r.rank, ref.normalized
         FROM r JOIN ref USING (rank) ORDER BY doc_id
-      """.trim)),
+      """.trim),
+      // Verify-only (bench-tail policy — the stdout record must fit
+      // the driver's 2000-char tail): rank window + rank-keyed agg + join — q30/q194 shapes
+      bench = false),
 
     // --- token-distribution drift between two corpus slices as the
     // EXACT total-variation distance (½·Σ|p−q| computed as the integer

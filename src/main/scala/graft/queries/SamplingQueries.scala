@@ -555,7 +555,10 @@ object SamplingQueries extends QueryModule {
                END AS est_distinct,
                e.exact_distinct
         FROM s JOIN e USING (o_orderpriority) ORDER BY o_orderpriority
-      """.trim)),
+      """.trim),
+      // Verify-only (bench-tail policy — the stdout record must fit
+      // the driver's 2000-char tail): one partial-agg sketch shuffle — q154/q158 bench the shape
+      bench = false),
 
     // --- KMV set operations (what HLL cannot do without
     // inclusion-exclusion blowup): Jaccard / union / intersection
@@ -636,7 +639,10 @@ object SamplingQueries extends QueryModule {
                CAST(ei.ni AS DOUBLE) / CAST(ex.nu AS DOUBLE) AS jaccard_exact,
                ei.ni AS intersect_exact, ex.nu AS union_exact
         FROM est, ex, ei
-      """.trim)),
+      """.trim),
+      // Verify-only (bench-tail policy — the stdout record must fit
+      // the driver's 2000-char tail): two sketch aggs + scalar crossJoins
+      bench = false),
 
     // --- STORED KMV sketches: distinct-count maintenance WITHOUT
     // rescans (the stored-index discipline at sketch size). Two batches
@@ -1018,6 +1024,49 @@ object SamplingQueries extends QueryModule {
       """.trim),
       // certification surface (one count agg — q187's already-benched
       // seat shape); rides Verify only — bench-tail policy
+      bench = false),
+
+    // --- key-skew report with EXACT Gini: the one-row profile read
+    // before keying a 100 TB shuffle on a column — distinct keys, total
+    // rows, top-1/top-10 shares, and the Gini coefficient of the
+    // key-frequency distribution from integer ranks (the narrow
+    // zipWithIndex, never a single-partition window) and an exact
+    // decimal numerator with ONE IEEE division. Orders per customer:
+    // near-uniform, Gini ≈ 0.2 — the number certifies arithmetic; the
+    // spec certifies the whale extremes. ---
+    GQuery(
+      "q218_key_skew",
+      (spark, dir) =>
+        graft.operators.Profiler.keySkewReport(
+          t(spark, dir, "orders"), "o_custkey"),
+      Some("""
+        WITH c AS (
+          SELECT o_custkey AS k, COUNT(*) AS c FROM orders GROUP BY 1),
+        r AS (
+          SELECT c, row_number() OVER (ORDER BY c, k) AS i FROM c),
+        base AS (
+          SELECT COUNT(*) AS n_keys, SUM(c) AS n_rows, MAX(c) AS top1,
+                 SUM(CAST(i AS DECIMAL(38,0)) * CAST(c AS DECIMAL(38,0)))
+                   AS sixi
+          FROM r),
+        t10 AS (
+          SELECT SUM(c) AS top10 FROM (
+            SELECT c FROM c ORDER BY c DESC, k LIMIT 10))
+        SELECT CAST(base.n_keys AS BIGINT) AS n_keys,
+               CAST(base.n_rows AS BIGINT) AS n_rows,
+               CAST(base.top1 AS DOUBLE) / CAST(base.n_rows AS DOUBLE)
+                 AS top1_share,
+               CAST(t10.top10 AS DOUBLE) / CAST(base.n_rows AS DOUBLE)
+                 AS top10_share,
+               CAST(CAST(2 AS DECIMAL(38,0)) * base.sixi
+                      - CAST((base.n_keys + 1) AS DECIMAL(38,0))
+                        * CAST(base.n_rows AS DECIMAL(38,0)) AS DOUBLE)
+                 / (CAST(base.n_keys AS DOUBLE) * CAST(base.n_rows AS DOUBLE))
+                 AS gini
+        FROM base, t10
+      """.trim),
+      // Verify-only (bench-tail policy — the stdout record must fit
+      // the driver's 2000-char tail): narrow rank pass + aggs — q194 benches the shape
       bench = false),
 
     // --- Spearman rank correlation, deterministic-rank variant: ranks

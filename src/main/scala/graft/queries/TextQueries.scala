@@ -1218,7 +1218,10 @@ object TextQueries extends QueryModule {
         SELECT source, n_docs, dup_docs, pii_docs, mean_quality,
                dup_docs * 1000 <= 100 * n_docs AND pii_docs = 0 AS release_ok
         FROM r ORDER BY source
-      """.trim)),
+      """.trim),
+      // Verify-only (bench-tail policy — the stdout record must fit
+      // the driver's 2000-char tail): content-hash window + source agg — q63/q111 shapes
+      bench = false),
 
     // --- Gopher rule battery (Rae et al. 2021 §A1.1): mean word length,
     // symbol-to-word ratio, bullet/ellipsis line fractions, alphabetic-

@@ -157,7 +157,10 @@ object WindowQueries extends QueryModule {
                CAST(n_transitions AS DOUBLE)
                  / CAST(SUM(n_transitions) OVER (PARTITION BY from_type) AS DOUBLE) AS p
         FROM c ORDER BY from_type, to_type
-      """.trim)),
+      """.trim),
+      // Verify-only (bench-tail policy — the stdout record must fit
+      // the driver's 2000-char tail): one lag window + vocab agg — q38 benches the lag-window shape
+      bench = false),
 
     // --- last-touch conversion attribution: each purchase credits the
     // most recent preceding view/click by the same user within 24 h,
@@ -238,7 +241,10 @@ object WindowQueries extends QueryModule {
                MIN(gap), MAX(gap)
         FROM g2
         ORDER BY stage
-      """.trim)),
+      """.trim),
+      // Verify-only (bench-tail policy — the stdout record must fit
+      // the driver's 2000-char tail): funnel min-chain joins — q39 benches the funnel shape
+      bench = false),
 
     // --- seasonal-naive forecast backtest (v̂(t) = v(t−7d) over daily
     // per-type revenue): the baseline every forecaster must beat and
@@ -273,6 +279,72 @@ object WindowQueries extends QueryModule {
                CAST(SUM(va - vf) AS DOUBLE)
                  / CAST(COUNT(*) AS DOUBLE) AS bias
         FROM j GROUP BY 1 ORDER BY 1
+      """.trim),
+      // Verify-only (bench-tail policy — the stdout record must fit
+      // the driver's 2000-char tail): daily agg + keyed self-join — standard benched shapes
+      bench = false),
+
+    // --- position-based (U-shaped 40/40/20) multi-touch attribution:
+    // each purchase splits EXACT integer-permille credit over all
+    // lookback touches (first 400, last 400, middles share 200 by
+    // largest remainder; 1 touch = 1000, 2 = 500/500, none =
+    // _unattributed). Touches collect under a RANGE frame bounded by
+    // the 24 h lookback — per-row window state is the lookback, not the
+    // user's history. Credited revenue = Σ dec(value)·permille, one
+    // final IEEE division by 1000. ---
+    GQuery(
+      "q217_position_attribution",
+      (spark, dir) => {
+        val e = Tables.events(spark, dir)
+        graft.operators.EventFlow.attributePosition(
+            e.withColumn("tus", unix_micros(col("ts"))),
+            keys = Seq(col("user_id")), tsMicros = col("tus"),
+            tiebreak = Seq(col("event_id")), typeCol = col("event_type"),
+            touchTypes = Seq("view", "click"), convType = "purchase",
+            lookbackMicros = 24L * 3600L * 1000000L)
+          .groupBy(col("channel"))
+          .agg(count(lit(1)).as("n_touchpoints"),
+            sum(col("credit_permille").cast("long")).as("sum_permille"),
+            (sum(dec(col("value")) * col("credit_permille")).cast(DoubleType)
+              / lit(1000.0)).as("credited_value"))
+          .orderBy(col("channel"))
+      },
+      Some("""
+        WITH e AS (
+          SELECT user_id, event_id, epoch_us(ts) AS tus, event_type, value
+          FROM events),
+        c AS (
+          SELECT user_id, event_id, tus, event_type, value,
+                 list_sort(list_filter(
+                   array_agg(CASE WHEN event_type IN ('view', 'click')
+                     THEN {'ts': tus, 'tb': event_id, 'ty': event_type} END)
+                     OVER (PARTITION BY user_id ORDER BY tus
+                           RANGE BETWEEN 86400000000 PRECEDING
+                             AND 1 PRECEDING),
+                   x -> x IS NOT NULL)) AS touches
+          FROM e),
+        p AS (
+          SELECT value, COALESCE(touches, []) AS touches,
+                 len(COALESCE(touches, [])) AS n
+          FROM c WHERE event_type = 'purchase'),
+        t AS (
+          SELECT p.value, p.n, s.pos, p.touches[s.pos].ty AS channel,
+                 CASE WHEN n = 1 THEN 1000
+                      WHEN s.pos = 1 OR s.pos = n
+                        THEN CASE WHEN n = 2 THEN 500 ELSE 400 END
+                      ELSE 200 // (n - 2)
+                           + CASE WHEN s.pos - 1 <= 200 % (n - 2)
+                                  THEN 1 ELSE 0 END
+                 END AS credit
+          FROM p, UNNEST(generate_series(1,
+                 CASE WHEN n >= 1 THEN n ELSE 0 END)) AS s(pos)
+          UNION ALL
+          SELECT value, n, 0, '_unattributed', 1000 FROM p WHERE n = 0)
+        SELECT channel, COUNT(*) AS n_touchpoints,
+               CAST(SUM(credit) AS BIGINT) AS sum_permille,
+               CAST(SUM(CAST(value AS DECIMAL(12,2)) * credit) AS DOUBLE)
+                 / 1000.0 AS credited_value
+        FROM t GROUP BY 1 ORDER BY 1
       """.trim)),
 
     // --- W1: row_number top-k per group ---

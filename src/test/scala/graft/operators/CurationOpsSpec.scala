@@ -825,6 +825,24 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(byGroup("g1") == byGroup("g2"))
   }
 
+  test("keySkewReport: uniform keys score Gini 0, a whale dominates") {
+    val uniform = (1 to 100).map(i => (s"k${i % 10}", i)).toDF("k", "v")
+    val u = Profiler.keySkewReport(uniform, "k").collect()(0)
+    assert(u.getLong(0) == 10L && u.getLong(1) == 100L)
+    assert(u.getDouble(4) == 0.0) // exact: equal counts
+    assert(u.getDouble(2) == 0.1)
+
+    // counts 1/1/98: sorted [1,1,98], sum(i*x)=297,
+    // G=(594-4*100)/300=0.6466..
+    val whale = (Seq(("a", 0), ("b", 0)) ++
+      (1 to 98).map(i => ("c", i))).toDF("k", "v")
+    val w = Profiler.keySkewReport(whale, "k").collect()(0)
+    assert(w.getLong(0) == 3L && w.getLong(1) == 100L)
+    assert(w.getDouble(2) == 0.98)
+    assert(w.getDouble(3) == 1.0) // only 3 keys: top10 covers everything
+    assert(w.getDouble(4) == (2.0 * 297 - 4 * 100) / 300.0)
+  }
+
   test("quantileNormalize: unequal group sizes fail LOUDLY") {
     val df = Seq(
       (1L, "g1", 1.0), (2L, "g1", 3.0), (4L, "g2", 2.0)

@@ -75,6 +75,44 @@ class EventFlowSpec extends AnyFunSuite {
     }
   }
 
+  test("attributePosition: U-shaped permille splits, exact and complete") {
+    // a: 3 touches -> 400/200/400; b: 2 -> 500/500; c: 5 -> 400,67,67,66,400
+    val ev = Seq(
+      ("a", 1L, 0L, "view", 0.0), ("a", 2L, 100L, "click", 0.0),
+      ("a", 3L, 200L, "view", 0.0), ("a", 4L, 300L, "purchase", 10.0),
+      ("b", 5L, 0L, "view", 0.0), ("b", 6L, 50L, "click", 0.0),
+      ("b", 7L, 60L, "purchase", 20.0),
+      ("c", 8L, 0L, "view", 0.0), ("c", 9L, 1L, "view", 0.0),
+      ("c", 10L, 2L, "view", 0.0), ("c", 11L, 3L, "view", 0.0),
+      ("c", 12L, 4L, "view", 0.0), ("c", 13L, 5L, "purchase", 30.0),
+      ("d", 14L, 9000L, "purchase", 5.0) // no touches in window
+    ).toDF("u", "eid", "tus", "ty", "v")
+    val out = EventFlow.attributePosition(ev, Seq(col("u")), col("tus"),
+        Seq(col("eid")), col("ty"), Seq("view", "click"), "purchase", 1000L)
+      .collect()
+      .groupBy(_.getString(0)) // keyed by u
+      .map { case (u, rs) => // cols: ..., 5 n_touches, 6 channel,
+        // 7 touch_pos, 8 credit_permille
+        u -> rs.sortBy(_.getInt(7)).map(_.getInt(8)).toSeq }
+    assert(out("a") == Seq(400, 200, 400))
+    assert(out("b") == Seq(500, 500))
+    assert(out("c") == Seq(400, 67, 67, 66, 400))
+    assert(out("d") == Seq(1000))
+    // every conversion's credit sums to exactly 1000 permille
+    out.values.foreach(cs => assert(cs.sum == 1000))
+  }
+
+  test("attributePosition: same-microsecond touch is outside the frame") {
+    val ev = Seq(
+      ("a", 1L, 100L, "view", 0.0),
+      ("a", 2L, 100L, "purchase", 1.0) // touch at the SAME ts
+    ).toDF("u", "eid", "tus", "ty", "v")
+    val out = EventFlow.attributePosition(ev, Seq(col("u")), col("tus"),
+        Seq(col("eid")), col("ty"), Seq("view"), "purchase", 1000L)
+      .select(col("channel")).collect().map(_.getString(0)).toSeq
+    assert(out == Seq("_unattributed"))
+  }
+
   test("stepLatency: first-completion gaps, funnel-gated, per-hop rows") {
     val lat = Funnel.stepLatency(events, "u", "ty", col("tus"),
       Seq("view", "click", "purchase"))

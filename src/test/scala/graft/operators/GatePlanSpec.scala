@@ -281,7 +281,13 @@ class GatePlanSpec extends AnyFunSuite {
     // priority-keyed join (broadcast at this scale) + sort — batch
     // writes run before the plan is read (the q196 convention)
     "q215_release_gate" -> (6, 0),
-    "q216_kmv_stored" -> (3, 1))
+    "q216_kmv_stored" -> (3, 1),
+    // q217 = ONE range-frame collect window + row-local explode +
+    // channel agg + sort (the untouched branch unions plan-side); q218 =
+    // key-count agg + the narrow rank pass + TakeOrdered top-10 (its
+    // scalar side broadcasts) + the 1×1 crossJoin
+    "q217_position_attribution" -> (4, 0),
+    "q218_key_skew" -> (3, 2))
 
   test("q107's ORC read-back pushes its predicate and projection into the scan") {
     import org.apache.spark.sql.functions.col
