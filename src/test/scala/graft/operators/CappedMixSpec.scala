@@ -49,4 +49,47 @@ class CappedMixSpec extends AnyFunSuite {
       .collect().map(r => r.getString(0) -> r.getDouble(5)).toMap
     assert(e == Map("big" -> 1.2, "mid" -> 2.0, "tiny" -> 2.0))
   }
+
+  /** In-memory replay of the exact water-filling seat arithmetic. */
+  private def model(counts: Map[String, Long], totalN: Long,
+      maxRepeat: Int, rounds: Int): Map[String, Long] = {
+    val wq = counts.map { case (k, n) =>
+      k -> math.floor(math.sqrt(n.toDouble) * 1048576.0).toLong }
+    val cap = counts.map { case (k, n) => k -> n * maxRepeat }
+    var alloc = counts.map { case (k, _) => k -> 0L }
+    for (_ <- 1 to rounds) {
+      val remb = math.max(totalN - alloc.values.sum, 0L)
+      val unsat = alloc.keys.filter(k => alloc(k) < cap(k)).toSeq.sorted
+      val wp = unsat.map(wq).sum
+      if (wp > 0) {
+        val addb = unsat.map(k => k -> (remb * wq(k)) / wp).toMap
+        val addr = unsat.map(k => k -> (remb * wq(k)) % wp).toMap
+        val left = remb - addb.values.sum
+        val seats = unsat.sortBy(k => (-addr(k), k)).take(left.toInt).toSet
+        alloc = alloc.map { case (k, a) =>
+          if (!unsat.contains(k)) k -> a
+          else k -> math.min(a + addb(k) + (if (seats(k)) 1L else 0L), cap(k))
+        }
+      }
+    }
+    alloc
+  }
+
+  test("matches the in-memory model across budget/cap sweeps") {
+    val counts = Map("big" -> 100L, "mid" -> 16L, "tiny" -> 4L)
+    for (total <- Seq(0L, 1L, 16L, 100L, 160L, 239L, 240L, 300L);
+         rep <- Seq(1, 2, 3)) {
+      val got = Sampling.cappedMix(df, "d", total, rep, rounds = 4)
+        .collect().map(r => r.getString(0) -> r.getLong(4)).toMap
+      assert(got == model(counts, total, rep, 4), s"total=$total rep=$rep")
+    }
+  }
+
+  test("partitioning-invariant") {
+    val a = Sampling.cappedMix(df.repartition(1), "d", 160L, 2, 4)
+      .collect().map(r => r.getString(0) -> r.getLong(4)).toMap
+    val b = Sampling.cappedMix(df.repartition(7), "d", 160L, 2, 4)
+      .collect().map(r => r.getString(0) -> r.getLong(4)).toMap
+    assert(a == b)
+  }
 }

@@ -75,6 +75,16 @@ class EventFlowSpec extends AnyFunSuite {
     }
   }
 
+  test("transitions and attribution are partitioning-invariant") {
+    def run(df: org.apache.spark.sql.DataFrame) = (
+      EventFlow.transitions(df, Seq(col("u")), col("tus"), Seq(col("eid")),
+        col("ty"), 1000L).collect().map(_.toString).sorted.toSeq,
+      EventFlow.attributeLastTouch(df, Seq(col("u")), col("tus"),
+        Seq(col("eid")), col("ty"), Seq("view", "click"), "purchase", 1000L)
+        .collect().map(_.toString).sorted.toSeq)
+    assert(run(events.repartition(1)) == run(events.repartition(5)))
+  }
+
   test("attributePosition: U-shaped permille splits, exact and complete") {
     // a: 3 touches -> 400/200/400; b: 2 -> 500/500; c: 5 -> 400,67,67,66,400
     val ev = Seq(
