@@ -162,4 +162,95 @@ object TimeSeries {
         (sum(col("__v") - col("__f")).cast("double")
           / count(lit(1)).cast("double")).as("bias"))
   }
+
+  /** Per-series OLS trend line — the drift detector that says HOW FAST a
+    * metric is moving (the rolling z-score flags points; this fits the
+    * line): slope and intercept of y over an integer x axis from the
+    * closed form `β = (nΣxy − ΣxΣy) / (nΣx² − (Σx)²)`. All four moments
+    * are EXACT decimal sums with map-side partials (one key-sized
+    * exchange — the minimal distributed shape), the slope is ONE IEEE
+    * division of exactly-computed decimals, the intercept one multiply
+    * + subtract + divide on the same operands — bit-replayable in any
+    * engine. A constant-x series (denominator 0) yields NULL slope and
+    * intercept, never an IEEE infinity.
+    *
+    * @param xCol integer axis (e.g. epoch day) — exactness needs it
+    * @return (keyCol, n, slope, intercept)
+    */
+  def trendSlopes(df: DataFrame, keyCol: String, xCol: String,
+      valueCol: String): DataFrame = {
+    // Decimal-width discipline: moments are cast to NARROW decimals so
+    // every product stays under precision 38 in BOTH engines (Spark
+    // would silently round a capped product; DuckDB errors outright).
+    // Capacity: Σx and Σx² within 18 digits, Σy / Σxy within 16 integer
+    // digits — an epoch-day axis and money-scaled values sit orders of
+    // magnitude inside this; rescale the axis upstream if not.
+    val x = col(xCol).cast("long")
+    val y = col(valueCol).cast("decimal(12,2)")
+    val agg = df.groupBy(col(keyCol)).agg(
+      count(lit(1)).as("n"),
+      sum(x).cast("decimal(18,0)").as("__sx"),
+      sum(y).cast("decimal(18,2)").as("__sy"),
+      sum(x.cast("decimal(16,0)") * y).cast("decimal(18,2)").as("__sxy"),
+      sum(x * x).cast("decimal(18,0)").as("__sxx"))
+    val nN = col("n").cast("decimal(9,0)")
+    val denom = nN * col("__sxx") - col("__sx") * col("__sx")
+    val numer = nN * col("__sxy") - col("__sx") * col("__sy")
+    agg
+      .withColumn("slope",
+        when(denom =!= 0, numer.cast("double") / denom.cast("double")))
+      .withColumn("intercept",
+        when(denom =!= 0,
+          (col("__sy").cast("double")
+            - col("slope") * col("__sx").cast("double"))
+            / col("n").cast("double")))
+      .select(col(keyCol), col("n"), col("slope"), col("intercept"))
+  }
+
+  /** CUSUM changepoint scan, EXACT integer form: for each series, the
+    * position k maximizing |n·S_k − k·T| (S_k the value prefix sum, T
+    * the total — the classic Σ(xᵢ−x̄) cumulative deviation multiplied
+    * through by n, so a LEVEL SHIFT peaks exactly at the shift point
+    * with no floating-point drift anywhere in the scan; Page 1954).
+    * Output `max_dev` rescales by n for display — the ONE IEEE division.
+    * Ties break to the smallest k (deterministic). Series shorter than
+    * 2 points report position 0 and deviation 0.
+    *
+    * Scale: one keyed window pass (prefix sums ride the same exchange
+    * as the total via an unbounded frame), then a key-sized argmax
+    * aggregate — no second scan, nothing driver-side.
+    *
+    * @return (keyCol, n, cp_pos 1-based, max_dev double)
+    */
+  def cusumChangepoint(df: DataFrame, keyCol: String, orderCol: Column,
+      valueCol: String): DataFrame = {
+    // narrow-decimal discipline (see trendSlopes): prefix/total sums at
+    // (22,2), n and k at (9,0) — products stay well under precision 38
+    // in both engines; capacity = series of < 10⁹ points with money-
+    // scaled values
+    val w = Window.partitionBy(col(keyCol)).orderBy(orderCol)
+    val wAll = Window.partitionBy(col(keyCol))
+    val v = col(valueCol).cast("decimal(12,2)")
+    val staged = df
+      .withColumn("__k", row_number().over(w))
+      .withColumn("__s", sum(v).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("decimal(22,2)"))
+      .withColumn("__t", sum(v).over(wAll).cast("decimal(22,2)"))
+      .withColumn("__n", count(lit(1)).over(wAll))
+      .withColumn("__dev",
+        abs(col("__n").cast("decimal(9,0)") * col("__s")
+          - col("__k").cast("decimal(9,0)") * col("__t")))
+    staged
+      .groupBy(col(keyCol))
+      .agg(max(col("__n")).as("n"),
+        max_by(struct(col("__k").as("k"), col("__dev").as("dev")),
+          struct(col("__dev"), -col("__k"))).as("__best"))
+      .select(col(keyCol), col("n"),
+        when(col("n") >= 2, col("__best.k")).otherwise(lit(0)).cast("int")
+          .as("cp_pos"),
+        when(col("n") >= 2,
+          col("__best.dev").cast("double") / col("n").cast("double"))
+          .otherwise(lit(0.0)).as("max_dev"))
+  }
 }

@@ -347,6 +347,101 @@ object WindowQueries extends QueryModule {
         FROM t GROUP BY 1 ORDER BY 1
       """.trim)),
 
+    // --- per-series OLS trend line over daily revenue (the drift-rate
+    // detector next to q185's point flags): slope/intercept from the
+    // closed form over EXACT narrow-decimal moments (products stay
+    // under precision 38 in both engines — Spark would silently round a
+    // capped product, DuckDB errors), one IEEE division each.
+    // Constant-x series yield NULL, never an infinity. ---
+    GQuery(
+      "q219_trend_slopes",
+      (spark, dir) => {
+        val daily = Tables.events(spark, dir)
+          .groupBy(col("event_type"),
+            datediff(to_date(col("ts")), to_date(lit("1970-01-01"))).as("x"))
+          .agg(sum(dec(col("value"))).as("daily_value"))
+        graft.operators.TimeSeries.trendSlopes(
+            daily, "event_type", "x", "daily_value")
+          .orderBy(col("event_type"))
+      },
+      Some("""
+        WITH daily AS (
+          SELECT event_type,
+                 CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS x,
+                 SUM(CAST(value AS DECIMAL(12,2))) AS v
+          FROM events GROUP BY 1, 2),
+        m AS (SELECT event_type, x, CAST(v AS DECIMAL(12,2)) AS y FROM daily),
+        a AS (
+          SELECT event_type, COUNT(*) AS n,
+                 CAST(SUM(x) AS DECIMAL(18,0)) AS sx,
+                 CAST(SUM(y) AS DECIMAL(18,2)) AS sy,
+                 CAST(SUM(CAST(x AS DECIMAL(16,0)) * y) AS DECIMAL(18,2)) AS sxy,
+                 CAST(SUM(x * x) AS DECIMAL(18,0)) AS sxx
+          FROM m GROUP BY 1),
+        s AS (
+          SELECT event_type, n, sx, sy,
+                 CASE WHEN CAST(n AS DECIMAL(9,0)) * sxx - sx * sx <> 0
+                      THEN CAST(CAST(n AS DECIMAL(9,0)) * sxy - sx * sy AS DOUBLE)
+                           / CAST(CAST(n AS DECIMAL(9,0)) * sxx - sx * sx AS DOUBLE)
+                 END AS slope
+          FROM a)
+        SELECT event_type, n, slope,
+               CASE WHEN slope IS NOT NULL
+                    THEN (CAST(sy AS DOUBLE) - slope * CAST(sx AS DOUBLE))
+                         / CAST(n AS DOUBLE)
+               END AS intercept
+        FROM s ORDER BY event_type
+      """.trim),
+      // Verify-only (bench-tail policy): one hash aggregate — q01's shape
+      bench = false),
+
+    // --- CUSUM changepoint scan (Page 1954) in EXACT integer form:
+    // |n·S_k − k·T| peaks at a level shift with zero float drift in the
+    // scan; position + rescaled deviation per series, ties to the
+    // smallest k. One keyed window pass + a key-sized argmax. ---
+    GQuery(
+      "q220_cusum",
+      (spark, dir) => {
+        val daily = Tables.events(spark, dir)
+          .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+          .agg(sum(dec(col("value"))).as("daily_value"))
+        graft.operators.TimeSeries.cusumChangepoint(
+            daily, "event_type", col("day"), "daily_value")
+          .orderBy(col("event_type"))
+      },
+      Some("""
+        WITH daily AS (
+          SELECT event_type, CAST(ts AS DATE) AS day,
+                 SUM(CAST(value AS DECIMAL(12,2))) AS v
+          FROM events GROUP BY 1, 2),
+        m AS (SELECT event_type, day, CAST(v AS DECIMAL(12,2)) AS y FROM daily),
+        c AS (
+          SELECT event_type,
+                 row_number() OVER w AS k,
+                 CAST(SUM(y) OVER (PARTITION BY event_type ORDER BY day
+                   ROWS UNBOUNDED PRECEDING) AS DECIMAL(22,2)) AS s,
+                 CAST(SUM(y) OVER (PARTITION BY event_type)
+                   AS DECIMAL(22,2)) AS t,
+                 COUNT(*) OVER (PARTITION BY event_type) AS n
+          FROM m WINDOW w AS (PARTITION BY event_type ORDER BY day)),
+        d AS (
+          SELECT *, ABS(CAST(n AS DECIMAL(9,0)) * s
+                        - CAST(k AS DECIMAL(9,0)) * t) AS dev
+          FROM c),
+        r AS (
+          SELECT *, row_number() OVER (PARTITION BY event_type
+                      ORDER BY dev DESC, k ASC) AS rn
+          FROM d)
+        SELECT event_type, CAST(n AS BIGINT) AS n,
+               CAST(CASE WHEN n >= 2 THEN k ELSE 0 END AS INT) AS cp_pos,
+               CASE WHEN n >= 2 THEN CAST(dev AS DOUBLE) / CAST(n AS DOUBLE)
+                    ELSE 0.0 END AS max_dev
+        FROM r WHERE rn = 1 ORDER BY event_type
+      """.trim),
+      // Verify-only (bench-tail policy): keyed window + argmax agg —
+      // q185's benched rolling-frame shape
+      bench = false),
+
     // --- W1: row_number top-k per group ---
     GQuery(
       "q30_topk_per_group",

@@ -825,6 +825,28 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(byGroup("g1") == byGroup("g2"))
   }
 
+  test("trendSlopes: exact fit on a perfect line; constant x degrades to NULL") {
+    val line = Seq(1L, 2L, 3L, 4L, 5L).map(x => ("s", x, 2.0 * x + 3.0))
+      .toDF("k", "x", "y")
+    val r = TimeSeries.trendSlopes(line, "k", "x", "y").collect()(0)
+    assert(r.getLong(1) == 5L)
+    assert(r.getDouble(2) == 2.0 && r.getDouble(3) == 3.0) // exact moments
+    val flat = Seq(("s", 7L, 1.0), ("s", 7L, 9.0)).toDF("k", "x", "y")
+    val f = TimeSeries.trendSlopes(flat, "k", "x", "y").collect()(0)
+    assert(f.isNullAt(2) && f.isNullAt(3))
+  }
+
+  test("cusumChangepoint: level shift peaks at the shift, short series degrade") {
+    val shift = Seq(1.0, 1.0, 1.0, 9.0, 9.0, 9.0).zipWithIndex
+      .map { case (v, i) => ("s", i, v) }.toDF("k", "o", "y")
+    val r = TimeSeries.cusumChangepoint(shift, "k", col("o"), "y").collect()(0)
+    // dev_k = |6*S_k - k*30| peaks at k=3 (the last pre-shift point): 72
+    assert(r.getLong(1) == 6L && r.getInt(2) == 3 && r.getDouble(3) == 12.0)
+    val one = Seq(("s", 1, 5.0)).toDF("k", "o", "y")
+    val o = TimeSeries.cusumChangepoint(one, "k", col("o"), "y").collect()(0)
+    assert(o.getLong(1) == 1L && o.getInt(2) == 0 && o.getDouble(3) == 0.0)
+  }
+
   test("keySkewReport: uniform keys score Gini 0, a whale dominates") {
     val uniform = (1 to 100).map(i => (s"k${i % 10}", i)).toDF("k", "v")
     val u = Profiler.keySkewReport(uniform, "k").collect()(0)

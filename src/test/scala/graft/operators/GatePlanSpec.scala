@@ -287,7 +287,12 @@ class GatePlanSpec extends AnyFunSuite {
     // key-count agg + the narrow rank pass + TakeOrdered top-10 (its
     // scalar side broadcasts) + the 1×1 crossJoin
     "q217_position_attribution" -> (4, 0),
-    "q218_key_skew" -> (3, 2))
+    "q218_key_skew" -> (3, 2),
+    // q219 = daily agg + moments agg + sort; q220 = daily agg + ONE
+    // keyed window pass (prefix + total share the exchange) + argmax
+    // agg + sort
+    "q219_trend_slopes" -> (3, 0),
+    "q220_cusum" -> (3, 0))
 
   test("q107's ORC read-back pushes its predicate and projection into the scan") {
     import org.apache.spark.sql.functions.col
