@@ -125,6 +125,35 @@ class ScaleCurveSpec extends AnyFunSuite {
     curve("neardup_pipeline", op, docs, amp)
   }
 
+  test("position attribution scales ~linearly") {
+    // event-stream amplification: disjoint user-id blocks per copy, so
+    // per-user structure (and therefore true output) grows exactly 10×
+    val ev = table("events").select($"user_id", $"event_id",
+      unix_micros($"ts".cast("timestamp")).as("tus"), // raw scan reads NTZ
+      $"event_type", $"value")
+    val amp = (0 until Amp).map(i =>
+      ev.withColumn("user_id", $"user_id" + lit(i * 1000000L))
+        .withColumn("event_id", $"event_id" + lit(i * 10000000L)))
+      .reduce(_ unionByName _)
+    def op(d: DataFrame): DataFrame =
+      EventFlow.attributePosition(d, Seq(col("user_id")), col("tus"),
+        Seq(col("event_id")), col("event_type"), Seq("view", "click"),
+        "purchase", 24L * 3600L * 1000000L)
+    curve("position_attribution", op, ev, amp)
+  }
+
+  test("release-gate report scales ~linearly") {
+    // per-copy character bijections: content stays distinct across
+    // copies, so the content-hash dup window sees 10× groups of the
+    // same widths, never cross-copy mega-groups
+    val docs = table("documents").select($"doc_id", $"text", $"source")
+    val amp = ampText(docs, "doc_id", Seq("text"), 1000000L)
+    def op(d: DataFrame): DataFrame =
+      Curation.releaseReport(d, "doc_id", "text", "source",
+        dupPermilleMax = 100)
+    curve("release_gate", op, docs, amp)
+  }
+
   test("composed curation filter scales ~linearly") {
     // THE first pass over a raw corpus (q07 shape): language allowlist +
     // quality floor + repetition ceiling + length band, tokenize-once
