@@ -133,7 +133,35 @@ object Graph {
     */
   def pageRankFixed(edges: DataFrame, srcCol: String, dstCol: String,
       iterations: Int, dampingPct: Int = 85, scaleBits: Int = 30,
-      edgesDistinct: Boolean = false): DataFrame = {
+      edgesDistinct: Boolean = false): DataFrame =
+    prFixed(edges, srcCol, dstCol, iterations, dampingPct, scaleBits,
+      edgesDistinct, seeds = None)
+
+  /** PERSONALIZED PageRank (Haveliwala 2002): the restart mass lands
+    * only on the `seeds` node set —
+    *
+    *   rank⁰(v)   = 1[v ∈ S]
+    *   rankᵗ⁺¹(v) = (1 − d)·1[v ∈ S] + d · Σ contribs
+    *
+    * — so scores measure importance RELATIVE to the seed neighborhood
+    * (topic-sensitive authority; "what matters near these trusted
+    * domains" in a crawl-curation pass). Same exact fixed-point iterate,
+    * capacity, and handle lifecycle as [[pageRankFixed]]; the seed flag
+    * is a node-sized frame joined per round. Off-graph seeds drop (the
+    * labelPropagateFixed convention).
+    */
+  def personalizedPageRank(edges: DataFrame, srcCol: String, dstCol: String,
+      seeds: DataFrame, seedCol: String, iterations: Int,
+      dampingPct: Int = 85, scaleBits: Int = 30,
+      edgesDistinct: Boolean = false): DataFrame =
+    prFixed(edges, srcCol, dstCol, iterations, dampingPct, scaleBits,
+      edgesDistinct,
+      seeds = Some(seeds.select(col(seedCol).cast("string").as("node"))
+        .distinct()))
+
+  private def prFixed(edges: DataFrame, srcCol: String, dstCol: String,
+      iterations: Int, dampingPct: Int, scaleBits: Int,
+      edgesDistinct: Boolean, seeds: Option[DataFrame]): DataFrame = {
     require(iterations >= 1, s"iterations ($iterations) must be >= 1")
     require(dampingPct >= 0 && dampingPct <= 100,
       s"dampingPct ($dampingPct) must be in [0, 100]")
@@ -172,8 +200,26 @@ object Graph {
     val ed = e.join(e.groupBy("src").agg(count(lit(1)).as("out_deg")), "src")
       .persist()
     val nodes = dict.select(col("nid").as("node"))
+    // Personalization: the seed flag is a node-sized frame (off-graph
+    // seeds drop at the dict join); the classic path keeps its exact
+    // original plan (no join, literal base).
+    val seedFlag = seeds.map(sd => sd.join(dict, "node")
+      .select(col("nid").as("node"), lit(1).as("__seed")).persist())
+    val nodesR = seedFlag match {
+      case None => nodes
+      case Some(sf) => nodes.join(sf, Seq("node"), "left")
+    }
+    val baseCol = seedFlag match {
+      case None => lit(base)
+      case Some(_) =>
+        when(col("__seed") === 1, lit(base)).otherwise(lit(0L))
+    }
 
-    var ranks = nodes.withColumn("rf", lit(scale))
+    var ranks = seedFlag match {
+      case None => nodes.withColumn("rf", lit(scale))
+      case Some(_) => nodesR.select(col("node"),
+        when(col("__seed") === 1, lit(scale)).otherwise(lit(0L)).as("rf"))
+    }
     var prevHandle: Option[org.apache.spark.rdd.RDD[_]] = None
     var i = 0
     while (i < iterations) {
@@ -181,9 +227,9 @@ object Graph {
         .join(ranks.withColumnRenamed("node", "src"), "src")
         .select(col("dst").as("node"), expr("rf div out_deg").as("c"))
         .groupBy("node").agg(sum(col("c")).as("cs"))
-      ranks = nodes.join(contribs, Seq("node"), "left")
+      ranks = nodesR.join(contribs, Seq("node"), "left")
         .select(col("node"),
-          (lit(base) +
+          (baseCol +
             expr(s"($dampingPct * coalesce(cs, 0L)) div 100")).as("rf"))
       i += 1
       // Bound plan depth for LARGE round counts: truncate lineage every
@@ -200,6 +246,7 @@ object Graph {
     prevHandle.foreach(_.unpersist(blocking = false))
     eHandle.unpersist(blocking = false)
     ed.unpersist(blocking = false)
+    seedFlag.foreach(_.unpersist(blocking = false))
     dictHandle.unpersist(blocking = false)
     out
   }

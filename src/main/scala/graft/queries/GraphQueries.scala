@@ -84,6 +84,65 @@ object GraphQueries extends QueryModule {
         SELECT node, CAST(rf AS BIGINT) AS rf FROM r4 ORDER BY node
       """.trim)),
 
+    // --- PERSONALIZED PageRank (Haveliwala 2002), 3 fixed rounds:
+    // restart mass lands only on the SUPPLIER nodes, so scores rank
+    // customers by proximity to the supplier set (topic-sensitive
+    // authority — "what matters near these trusted domains"). Same
+    // exact fixed-point iterate as q173; the oracle unrolls the rounds
+    // with the seed indicator in both the initial state and the per-
+    // round base term. ---
+    GQuery(
+      "q221_personalized_pr",
+      (spark, dir) => {
+        val edges = Graph.purchaseEdges(
+          t(spark, dir, "orders"), t(spark, dir, "lineitem"))
+        val seeds = t(spark, dir, "lineitem")
+          .select(concat(lit("s:"), col("l_suppkey").cast("string"))
+            .as("node")).distinct()
+        Graph.personalizedPageRank(edges, "src", "dst", seeds, "node",
+            iterations = 3, edgesDistinct = true)
+          .orderBy(col("node"))
+      },
+      Some(s"""
+        WITH $graphSql,
+        deg AS (SELECT src, COUNT(*) AS out_deg FROM e GROUP BY src),
+        r0 AS (SELECT node,
+                 CASE WHEN node LIKE 's:%' THEN CAST(1073741824 AS BIGINT)
+                      ELSE CAST(0 AS BIGINT) END AS rf
+               FROM n),
+        r1 AS (
+          SELECT n.node,
+                 CASE WHEN n.node LIKE 's:%' THEN 161061273 ELSE 0 END
+                   + (85 * COALESCE(s.cs, 0)) // 100 AS rf
+          FROM n LEFT JOIN (
+            SELECT e.dst AS node, SUM(r.rf // deg.out_deg) AS cs
+            FROM e JOIN r0 r ON r.node = e.src
+                   JOIN deg ON deg.src = e.src
+            GROUP BY e.dst) s USING (node)),
+        r2 AS (
+          SELECT n.node,
+                 CASE WHEN n.node LIKE 's:%' THEN 161061273 ELSE 0 END
+                   + (85 * COALESCE(s.cs, 0)) // 100 AS rf
+          FROM n LEFT JOIN (
+            SELECT e.dst AS node, SUM(r.rf // deg.out_deg) AS cs
+            FROM e JOIN r1 r ON r.node = e.src
+                   JOIN deg ON deg.src = e.src
+            GROUP BY e.dst) s USING (node)),
+        r3 AS (
+          SELECT n.node,
+                 CASE WHEN n.node LIKE 's:%' THEN 161061273 ELSE 0 END
+                   + (85 * COALESCE(s.cs, 0)) // 100 AS rf
+          FROM n LEFT JOIN (
+            SELECT e.dst AS node, SUM(r.rf // deg.out_deg) AS cs
+            FROM e JOIN r2 r ON r.node = e.src
+                   JOIN deg ON deg.src = e.src
+            GROUP BY e.dst) s USING (node))
+        SELECT node, CAST(rf AS BIGINT) AS rf FROM r3 ORDER BY node
+      """.trim),
+      // Verify-only (bench-tail policy): q173 benches the identical
+      // iterate; the seed flag adds one node-sized join per round
+      bench = false),
+
     // --- label propagation, 2 synchronous rounds, seeds clamped: supplier
     // nodes carry their nation name; customers adopt the most frequent
     // label among labeled neighbors (ties → smallest label). The min-tie

@@ -292,7 +292,9 @@ class GatePlanSpec extends AnyFunSuite {
     // keyed window pass (prefix + total share the exchange) + argmax
     // agg + sort
     "q219_trend_slopes" -> (3, 0),
-    "q220_cusum" -> (3, 0))
+    "q220_cusum" -> (3, 0),
+    // q221 pins the post-checkpoint assembly (the q173 convention)
+    "q221_personalized_pr" -> (1, 0))
 
   test("q107's ORC read-back pushes its predicate and projection into the scan") {
     import org.apache.spark.sql.functions.col

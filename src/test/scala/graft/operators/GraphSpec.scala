@@ -64,6 +64,29 @@ class GraphSpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  test("personalizedPageRank: all-node seeds reduce to classic bit-for-bit") {
+    val edges = Seq("a" -> "b", "a" -> "c", "b" -> "a", "c" -> "a", "c" -> "b")
+    val df = edges.toDF("src", "dst")
+    val allNodes = (edges.map(_._1) ++ edges.map(_._2)).distinct.toDF("node")
+    val classic = Graph.pageRankFixed(df, "src", "dst", 3)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val ppr = Graph.personalizedPageRank(df, "src", "dst", allNodes, "node", 3)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(ppr == classic)
+  }
+
+  test("personalizedPageRank: mass never leaves the seed component; " +
+      "off-graph seeds drop") {
+    // two disconnected 2-cycles; seed only in the {a,b} component
+    val edges = Seq("a" -> "b", "b" -> "a", "x" -> "y", "y" -> "x")
+      .toDF("src", "dst")
+    val got = Graph.personalizedPageRank(edges, "src", "dst",
+        Seq("a", "ghost").toDF("node"), "node", iterations = 4)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got("x") == 0L && got("y") == 0L) // no restart mass, no inflow
+    assert(got("a") > 0L && got("b") > 0L)
+  }
+
   test("labelPropagateFixed: seeds clamp, majority wins, ties take the smallest label") {
     // star: center x with three labeled leaves (2×red beats 1×blue);
     // y sees exactly one red and one blue neighbor → tie → "blue" < "red"
