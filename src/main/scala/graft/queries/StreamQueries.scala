@@ -309,6 +309,68 @@ object StreamQueries extends QueryModule {
                TRUE AS hll_ok, TRUE AS merge_eq_direct
         FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
       """.trim),
+      bench = false),
+
+    // --- streaming maintenance of the q207 KMV distinct state (the
+    // q171 shape at the set-operation sketch tier): seed state from the
+    // historical slice, foreachBatch appends one sketch row per group
+    // per micro-batch, and the read-time merge re-sketches stored
+    // hashes. Because KMV merge ≡ rebuild BIT-FOR-BIT (set-union-then-
+    // bottom-k — no estimation error crosses the batch/stream
+    // boundary), the oracle carries the ACTUAL sketch values, not
+    // tolerance TRUEs: the streamed state must equal the direct
+    // whole-table sketch exactly. ---
+    GQuery(
+      "q222_stream_kmv_state",
+      (spark, dir) => {
+        import graft.operators.Sketches
+        val k = 128
+        val o = Tables.t(spark, dir, "orders")
+        val split = lit("1995-01-01 00:00:00")
+        val statePath = java.nio.file.Files
+          .createTempDirectory("graft_q222kmv").toString
+        Sketches.kmvWriteBatch(o.filter(col("o_orderdate") < split),
+          "o_orderpriority", col("o_custkey"), k, "kmv", statePath, "seed")
+        val incoming = Streams.tableStream(spark, dir, "orders")
+          .filter(col("o_orderdate") >= split)
+        Streams.runForeachBatch(spark, incoming) { (batch, id) =>
+          Sketches.kmvWriteBatch(batch, "o_orderpriority",
+            col("o_custkey"), k, "kmv", statePath, s"b$id")
+        }
+        val merged = Sketches.kmvReadMerged(spark, statePath,
+          "o_orderpriority", k)
+        val direct = o.groupBy(col("o_orderpriority"))
+          .agg(Sketches.kmvSketch(col("o_custkey"), k, salt = "kmv").as("sk2"))
+        merged.join(direct, Seq("o_orderpriority"))
+          .select(col("o_orderpriority"),
+            size(col("sk")).as("n_kept"),
+            when(size(col("sk")) >= k, element_at(col("sk"), k)).as("kth_hash"),
+            Sketches.kmvEstimate(col("sk"), k).as("est_distinct"),
+            (col("sk") === col("sk2")).as("stream_eq_direct"))
+          .orderBy(col("o_orderpriority"))
+      },
+      Some("""
+        WITH h AS (
+          SELECT DISTINCT o_orderpriority,
+                 CAST('0x' || substr(md5('kmv' || CAST(o_custkey AS VARCHAR)), 1, 12)
+                   AS BIGINT) AS hv
+          FROM orders),
+        r AS (
+          SELECT o_orderpriority, hv,
+                 row_number() OVER (PARTITION BY o_orderpriority ORDER BY hv) AS rn
+          FROM h),
+        s AS (
+          SELECT o_orderpriority,
+                 CAST(COUNT(*) AS INT) AS n_kept,
+                 MAX(CASE WHEN rn = 128 THEN hv END) AS kth_hash
+          FROM r WHERE rn <= 128 GROUP BY 1)
+        SELECT o_orderpriority, n_kept, kth_hash,
+               CASE WHEN n_kept < 128 THEN CAST(n_kept AS DOUBLE)
+                    ELSE 35747322042253312.0 / CAST(kth_hash AS DOUBLE)
+               END AS est_distinct,
+               TRUE AS stream_eq_direct
+        FROM s ORDER BY o_orderpriority
+      """.trim),
       bench = false)
   )
 }
