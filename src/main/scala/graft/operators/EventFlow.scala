@@ -66,6 +66,20 @@ object EventFlow {
     * `last(ignoreNulls)` over rows preceding — the [[AsOf]] union trick
     * without the union, since touches and conversions already share the
     * frame. No join, no second shuffle.
+    *
+    * BOUNDARY SEMANTICS — intentionally diverges from
+    * [[attributePosition]] (round-11 ADVICE call-out): this ROWS frame
+    * with the tiebreak ordering admits a touch at the SAME microsecond
+    * as the conversion (gap 0 ≤ lookback) provided the tiebreak orders
+    * it first, while attributePosition's RANGE frame is strictly
+    * earlier-timestamp and excludes it. Rationale: last-touch reads the
+    * event LOG ORDER (a click logged in the same microsecond as its
+    * purchase is causally prior — collapsing log resolution shouldn't
+    * orphan the conversion), whereas position-based credit splits over a
+    * TIME window where "strictly before" is the only self-consistent
+    * range bound. Do not expect the two operators' credit to agree on
+    * same-microsecond events; a comparison job must align on one rule
+    * first.
     */
   def attributeLastTouch(df: DataFrame, keys: Seq[Column], tsMicros: Column,
       tiebreak: Seq[Column], typeCol: Column, touchTypes: Seq[String],
@@ -109,7 +123,11 @@ object EventFlow {
     * sorted row-locally for determinism (frame order leaves equal-ts
     * touches unordered), then one row-local explode to touch grain.
     * A same-microsecond touch is OUTSIDE the frame (range, not rows):
-    * strictly-earlier semantics at microsecond resolution.
+    * strictly-earlier semantics at microsecond resolution — NOTE this
+    * intentionally diverges from [[attributeLastTouch]], whose ROWS
+    * frame admits a same-microsecond touch in log order (see its
+    * scaladoc for the rationale); don't compare the two operators'
+    * credit on same-timestamp events without aligning the rule.
     *
     * @return one row per (conversion, crediting touch): conversion
     *         columns + (channel, touch_pos 1-based, n_touches,

@@ -169,16 +169,49 @@ object Sketches {
     * fraction of the UNION sketch's entries present in both inputs
     * (each union-sketch entry is a uniform sample of A∪B, so membership
     * in A∩B is a Bernoulli estimate of |A∩B|/|A∪B|).
+    *
+    * Empty-set edge (round-10 ADVICE — previously an undocumented NULL
+    * from Spark's Divide): when BOTH sketches are empty (both groups
+    * empty) the Jaccard of two empty sets is defined here as 0.0 — the
+    * "no evidence of overlap" convention, and the value that keeps
+    * [[kmvIntersectEstimate]]'s product at an exact 0.0 instead of
+    * propagating NULL through downstream arithmetic.
     */
-  def kmvJaccardEstimate(a: Column, b: Column, k: Int): Column = {
+  def kmvJaccardEstimate(a: Column, b: Column, k: Int): Column =
+    jaccardOfUnion(kmvUnion(a, b, k), a, b)
+
+  /** Jaccard from an already-built union sketch — shared by the public
+    * estimators so [[kmvIntersectEstimate]] builds the union ONCE.
+    */
+  private def jaccardOfUnion(u: Column, a: Column, b: Column): Column =
+    when(size(u) > 0,
+      size(array_intersect(array_intersect(u, a), b)).cast("double") /
+        size(u).cast("double"))
+      .otherwise(lit(0.0))
+
+  /** Intersection cardinality estimate: Jaccard × union estimate (one
+    * shared union sketch; empty inputs yield exact 0.0 — see
+    * [[kmvJaccardEstimate]]).
+    */
+  def kmvIntersectEstimate(a: Column, b: Column, k: Int): Column = {
     val u = kmvUnion(a, b, k)
-    size(array_intersect(array_intersect(u, a), b)).cast("double") /
-      size(u).cast("double")
+    jaccardOfUnion(u, a, b) * kmvEstimate(u, k)
   }
 
-  /** Intersection cardinality estimate: Jaccard × union estimate. */
-  def kmvIntersectEstimate(a: Column, b: Column, k: Int): Column =
-    kmvJaccardEstimate(a, b, k) * kmvEstimate(kmvUnion(a, b, k), k)
+  /** Relative standard error of [[kmvEstimate]] at sketch parameter `k`
+    * (Beyer et al. 2007 §4: RSE ≈ 1/√(k−2) for the unbiased bottom-k
+    * estimator). A report column, not a probabilistic bound — surfaced so
+    * a consumer reading an estimate next to an exact count can see the
+    * sketch's resolution (a k=64 sketch carries ~13% error; mistaking it
+    * for an exact count is the failure mode this column exists to stop).
+    * When the sketch is UNDER-FULL the estimate is exact, so the error
+    * is exactly 0.0.
+    */
+  def kmvRelError(sketch: Column, k: Int): Column = {
+    require(k >= 3, s"k ($k) must be >= 3 for a finite error bound")
+    when(size(sketch) < k, lit(0.0))
+      .otherwise(lit(1.0) / sqrt(lit((k - 2).toDouble)))
+  }
 
   /** STORED KMV sketches — distinct-count maintenance without rescans
     * (the stored-index discipline of the band/IVF/BM25 indexes, at
@@ -194,16 +227,36 @@ object Sketches {
     df.groupBy(col(groupCol))
       .agg(kmvSketch(key, k, salt).as("sk"))
       .withColumn("batch_id", lit(batchId))
+      // The write-k rides every batch row (round-10 ADVICE): a read
+      // merging with k' > the stored k CANNOT recover the true k'-th
+      // minimum from a bottom-k sketch, so the merge≡rebuild contract
+      // silently breaks — kmvReadMerged asserts against this column.
+      .withColumn("k", lit(k))
       .write.mode("append").parquet(path)
 
   /** Merged per-group sketch across every stored batch (see
     * [[kmvWriteBatch]]): explode stored hashes, re-sketch. Bit-identical
-    * to a from-scratch rebuild over the union of the batches' data.
+    * to a from-scratch rebuild over the union of the batches' data —
+    * PROVIDED the requested `k` is ≤ every stored batch's write-k (a
+    * bottom-k sketch holds no information past its k-th minimum); an
+    * in-plan assert fails the read loudly otherwise instead of returning
+    * a silently-not-rebuild-equal sketch.
     */
   def kmvReadMerged(spark: org.apache.spark.sql.SparkSession, path: String,
-      groupCol: String, k: Int): DataFrame =
+      groupCol: String, k: Int): DataFrame = {
+    // Guard rides the exploded hash (the topComponentFixed idiom: added
+    // zero, NULL-typed assert under coalesce — column pruning can't drop
+    // it, in-range values unchanged).
+    val kGuard = coalesce(
+      assert_true(col("k") >= lit(k),
+        lit(s"kmvReadMerged: requested k ($k) exceeds a stored batch's " +
+          "write-k — a bottom-k sketch cannot recover minima past its " +
+          "own k; re-write the batches at the larger k")).cast("long"),
+      lit(0L))
     spark.read.parquet(path)
-      .select(col(groupCol), explode(col("sk")).as("__h"))
+      .select(col(groupCol), col("k"), explode(col("sk")).as("__h0"))
+      .select(col(groupCol), (col("__h0") + kGuard).as("__h"))
       .groupBy(col(groupCol))
       .agg(graft.functions.KmvFunctions.kmv_sketch(col("__h"), k).as("sk"))
+  }
 }

@@ -18,6 +18,41 @@ import org.apache.spark.sql.functions._
   */
 object TimeSeries {
 
+  /** In-plan capacity guard riding a value column (the
+    * [[Features.topComponentFixed]] / cappedMix idiom, added here per the
+    * round-11 ADVICE): under non-ANSI semantics an overflowing decimal
+    * cast yields NULL, which `sum()` SKIPS — moments silently computed
+    * over a subset, results wrong with no error. The check runs on the
+    * RAW column (a numeric→double cast never nulls, so an out-of-range
+    * value cannot hide behind its own overflowed cast); the assert is an
+    * added zero under `coalesce`, so in-range values are unchanged, the
+    * type is preserved by the explicit cast at each call site, and column
+    * pruning cannot drop the check. NULL inputs pass (they were always
+    * skipped — the documented aggregate semantics, not an overflow).
+    */
+  private def guarded(raw: Column, absCap: Double, msg: String): Column =
+    raw + coalesce(
+      assert_true(raw.isNull || abs(raw.cast("double")) < lit(absCap),
+        lit(msg)).cast("int"),
+      lit(0))
+
+  /** Guard a NARROWING decimal cast of an aggregate: assert the wide sum
+    * fits the target's integer digits before casting, so a pathological
+    * row count fails loudly instead of nulling the sum.
+    */
+  private def guardedCast(wide: Column, target: String,
+      what: String): Column = {
+    val digits = "decimal\\((\\d+),(\\d+)\\)".r.findFirstMatchIn(target)
+      .map(m => m.group(1).toInt - m.group(2).toInt)
+      .getOrElse(sys.error(s"guardedCast: unparseable decimal type $target"))
+    val cap = math.pow(10.0, digits.toDouble)
+    (wide + coalesce(
+      assert_true(wide.isNull || abs(wide.cast("double")) < lit(cap),
+        lit(s"$what exceeds $target capacity — rescale inputs upstream"))
+        .cast("int"),
+      lit(0))).cast(target)
+  }
+
   /** Densify `df` — one row per (`keyCol`, `dateCol`), e.g. a daily
     * aggregate — onto each key's own [min, max] date span, forward-
     * filling `valueCol` across the introduced gaps. Returns
@@ -149,11 +184,18 @@ object TimeSeries {
       valueCol: String, periodDays: Int): DataFrame = {
     require(periodDays >= 1, s"periodDays ($periodDays) must be positive")
     val d = "decimal(38,2)"
+    // Row guard (round-11 ADVICE, the trendSlopes discipline): |v| < 1e12
+    // keeps the (38,2) error sums exact to ~10²⁴ evaluation rows instead
+    // of letting an extreme value null its cast and silently vanish from
+    // the MAE/BIAS sums.
+    val vg = guarded(col(valueCol), 1e12,
+      s"seasonalNaiveEval: |$valueCol| >= 1e12 exceeds the decimal(38,2) " +
+        "error-sum capacity — rescale the values upstream")
     val actual = df.select(col(keyCol), to_date(col(dateCol)).as("__d"),
-      col(valueCol).cast(d).as("__v"))
+      vg.cast(d).as("__v"))
     val forecast = df.select(col(keyCol),
       date_add(to_date(col(dateCol)), periodDays).as("__d"),
-      col(valueCol).cast(d).as("__f"))
+      vg.cast(d).as("__f"))
     actual.join(forecast, Seq(keyCol, "__d"))
       .groupBy(col(keyCol))
       .agg(count(lit(1)).as("n_evals"),
@@ -185,14 +227,29 @@ object TimeSeries {
     // Capacity: Σx and Σx² within 18 digits, Σy / Σxy within 16 integer
     // digits — an epoch-day axis and money-scaled values sit orders of
     // magnitude inside this; rescale the axis upstream if not.
-    val x = col(xCol).cast("long")
-    val y = col(valueCol).cast("decimal(12,2)")
+    //
+    // Capacity is GUARDED, not just documented (round-11 ADVICE — the
+    // cappedMix wqGuard idiom): under non-ANSI semantics an overflowing
+    // cast yields NULL, which sum() then SKIPS, so an out-of-range input
+    // silently drops rows from the moment sums and the slope comes out
+    // wrong with no error. Row guard: |value| < 10^9 and |x| < 10^7
+    // (epoch days ≈ 2·10^4) keep every row term exact; sum guards on the
+    // narrowing casts below catch pathological row counts.
+    val x = guarded(col(xCol), 1e7,
+      s"trendSlopes: |$xCol| >= 1e7 would overflow the exact moment " +
+        "decimals — rescale the axis upstream").cast("long")
+    val y = guarded(col(valueCol), 1e9,
+      s"trendSlopes: |$valueCol| >= 1e9 exceeds the decimal(12,2) " +
+        "moment capacity — rescale the values upstream")
+      .cast("decimal(12,2)")
     val agg = df.groupBy(col(keyCol)).agg(
       count(lit(1)).as("n"),
-      sum(x).cast("decimal(18,0)").as("__sx"),
-      sum(y).cast("decimal(18,2)").as("__sy"),
-      sum(x.cast("decimal(16,0)") * y).cast("decimal(18,2)").as("__sxy"),
-      sum(x * x).cast("decimal(18,0)").as("__sxx"))
+      guardedCast(sum(x), "decimal(18,0)", "trendSlopes Σx").as("__sx"),
+      guardedCast(sum(y), "decimal(18,2)", "trendSlopes Σy").as("__sy"),
+      guardedCast(sum(x.cast("decimal(16,0)") * y), "decimal(18,2)",
+        "trendSlopes Σxy").as("__sxy"),
+      guardedCast(sum(x * x), "decimal(18,0)", "trendSlopes Σx²")
+        .as("__sxx"))
     val nN = col("n").cast("decimal(9,0)")
     val denom = nN * col("__sxx") - col("__sx") * col("__sx")
     val numer = nN * col("__sxy") - col("__sx") * col("__sy")
@@ -227,17 +284,28 @@ object TimeSeries {
     // narrow-decimal discipline (see trendSlopes): prefix/total sums at
     // (22,2), n and k at (9,0) — products stay well under precision 38
     // in both engines; capacity = series of < 10⁹ points with money-
-    // scaled values
+    // scaled values. Guarded like trendSlopes (round-11 ADVICE): the
+    // row guard bounds |v| so the (22,2) window sums stay exact up to
+    // the 10⁹-row series the (9,0) n cap enforces below.
     val w = Window.partitionBy(col(keyCol)).orderBy(orderCol)
     val wAll = Window.partitionBy(col(keyCol))
-    val v = col(valueCol).cast("decimal(12,2)")
+    val v = guarded(col(valueCol), 1e9,
+      s"cusumChangepoint: |$valueCol| >= 1e9 exceeds the decimal(12,2) " +
+        "capacity — rescale the values upstream")
+      .cast("decimal(12,2)")
+    val nGuard = coalesce(
+      assert_true(col("__n0") < lit(1000000000L),
+        lit("cusumChangepoint: series longer than 1e9 points exceeds " +
+          "the decimal(9,0) rank capacity")).cast("long"),
+      lit(0L))
     val staged = df
       .withColumn("__k", row_number().over(w))
       .withColumn("__s", sum(v).over(
         w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
         .cast("decimal(22,2)"))
       .withColumn("__t", sum(v).over(wAll).cast("decimal(22,2)"))
-      .withColumn("__n", count(lit(1)).over(wAll))
+      .withColumn("__n0", count(lit(1)).over(wAll))
+      .withColumn("__n", col("__n0") + nGuard)
       .withColumn("__dev",
         abs(col("__n").cast("decimal(9,0)") * col("__s")
           - col("__k").cast("decimal(9,0)") * col("__t")))

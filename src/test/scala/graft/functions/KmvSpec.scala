@@ -107,6 +107,42 @@ class KmvSpec extends AnyFunSuite {
     assert(mergedAt(10) == mergedAt(190))
   }
 
+  test("reading stored batches with k above the write-k fails loudly") {
+    val path = java.nio.file.Files.createTempDirectory("kmvbigk").toString
+    val all = (1 to 300).map(i => ("g", i)).toDF("g", "v")
+    Sketches.kmvWriteBatch(all, "g", col("v"), 16, "t", path, "b0")
+    // k <= write-k reads fine
+    assert(Sketches.kmvReadMerged(spark, path, "g", 16)
+      .collect()(0).getSeq[Long](1).size == 16)
+    // k > write-k cannot be rebuild-equal — must throw, not silently merge
+    val e = intercept[Exception] {
+      Sketches.kmvReadMerged(spark, path, "g", 32).collect()
+    }
+    assert(e.getMessage != null || e.getCause != null)
+  }
+
+  test("jaccard and intersection estimates are 0.0 on two empty sketches") {
+    val empty = spark.range(0).toDF("v")
+      .agg(Sketches.kmvSketch(col("v"), 16, "t").as("sk"))
+    val out = empty.select(col("sk").as("x")).crossJoin(
+        empty.select(col("sk").as("y")))
+      .select(Sketches.kmvJaccardEstimate(col("x"), col("y"), 16).as("j"),
+        Sketches.kmvIntersectEstimate(col("x"), col("y"), 16).as("i"))
+      .collect()(0)
+    assert(out.getDouble(0) == 0.0 && out.getDouble(1) == 0.0)
+  }
+
+  test("relative-error column: 1/sqrt(k-2) when estimating, 0 when exact") {
+    val full = (1 to 500).toDF("v")
+      .agg(Sketches.kmvSketch(col("v"), 64, "t").as("sk"))
+      .select(Sketches.kmvRelError(col("sk"), 64)).collect()(0).getDouble(0)
+    assert(full == 1.0 / math.sqrt(62.0))
+    val underfull = (1 to 10).toDF("v")
+      .agg(Sketches.kmvSketch(col("v"), 64, "t").as("sk"))
+      .select(Sketches.kmvRelError(col("sk"), 64)).collect()(0).getDouble(0)
+    assert(underfull == 0.0)
+  }
+
   test("fractional or string hash input fails analysis (strict typing)") {
     val df = (1 to 10).toDF("v")
     intercept[Exception] {

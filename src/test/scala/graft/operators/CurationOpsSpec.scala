@@ -836,6 +836,35 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(f.isNullAt(2) && f.isNullAt(3))
   }
 
+  test("TimeSeries capacity guards fail loudly instead of dropping rows") {
+    // round-11 ADVICE: an overflowing narrow-decimal cast yields NULL
+    // under non-ANSI semantics and sum() SKIPS it — wrong moments, no
+    // error. The in-plan assert must throw instead.
+    val hugeY = Seq(("s", 1L, 1e11), ("s", 2L, 2.0)).toDF("k", "x", "y")
+    intercept[Exception] {
+      TimeSeries.trendSlopes(hugeY, "k", "x", "y").collect()
+    }
+    val hugeX = Seq(("s", 20000000L, 1.0), ("s", 2L, 2.0)).toDF("k", "x", "y")
+    intercept[Exception] {
+      TimeSeries.trendSlopes(hugeX, "k", "x", "y").collect()
+    }
+    intercept[Exception] {
+      TimeSeries.cusumChangepoint(
+        Seq(("s", 1, 1e10), ("s", 2, 2.0)).toDF("k", "o", "y"),
+        "k", col("o"), "y").collect()
+    }
+    intercept[Exception] {
+      TimeSeries.seasonalNaiveEval(
+        Seq(("s", "2024-01-01", 1e13), ("s", "2024-01-08", 2.0))
+          .toDF("k", "day", "v"), "k", "day", "v", 7).collect()
+    }
+    // a NULL value is NOT an overflow: the guard lets it through to the
+    // plain (documented) aggregate skip instead of throwing
+    val withNull = Seq(("s", 1L, Some(5.0)), ("s", 2L, Some(7.0)),
+      ("s", 3L, None)).toDF("k", "x", "y")
+    TimeSeries.trendSlopes(withNull, "k", "x", "y").collect()
+  }
+
   test("cusumChangepoint: level shift peaks at the shift, short series degrade") {
     val shift = Seq(1.0, 1.0, 1.0, 9.0, 9.0, 9.0).zipWithIndex
       .map { case (v, i) => ("s", i, v) }.toDF("k", "o", "y")
