@@ -124,8 +124,23 @@ object Bench {
         if (shorten && leakedRdds == 0) "" else s""""leaked_rdds":$leakedRdds,"""
       val rawOut = if (coarse) "" else s""""raw":${qmap(raw)},"""
       val buildOut = if (minimal) "" else s""""build":${qmap(builds)},"""
+      // calib_norm: the total rescaled to a box whose canary runs at
+      // RefCalib seconds — calib-NORMALIZED seconds (round-10 verdict
+      // item: r10's driver record was contention-poisoned and needed a
+      // judge re-run to adjudicate; this field lets driver and judge
+      // compare rounds without one). The canary is the same fixed job
+      // everywhere, so total/canary is box-independent up to workload
+      // mix; RefCalib just keeps the unit near quiet-box seconds.
+      val calibNormOut = {
+        val mean = if (calib.isEmpty) 0.0 else calib.sum / calib.size
+        if (minimal || mean <= 0) ""
+        else {
+          val totalRaw = results.collect { case (_, v) if v >= 0 => v }.sum
+          s""""calib_norm":${fmt3(totalRaw * RefCalib / mean, shorten, coarse)},"""
+        }
+      }
       val calibOut = if (minimal) "" else s""""calib":$calibJson,"""
-      s"""{"metric":"total","value":$total,"unit":"sec",$repeatsOut$errorsOut"rechecked":$rechecked,$rawOut$buildOut$calibOut$leakedOut"queries":${qmap(results)},"sf":"$sfOut"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec",$repeatsOut$errorsOut"rechecked":$rechecked,$rawOut$buildOut$calibOut$calibNormOut$leakedOut"queries":${qmap(results)},"sf":"$sfOut"}"""
     }
     // Self-clamp (stdout only), progressive: if the centisecond form
     // would outgrow the driver's tail buffer, fall back ONE precision
@@ -141,6 +156,15 @@ object Bench {
       if (c.length <= StdoutBudget) c else render(coarse = true, minimal = true)
     }
   }
+
+  /** Reference canary time for `calib_norm` (seconds): the unit pin for
+    * the calib-normalized total. Arbitrary but FIXED across rounds —
+    * chosen near the observed quiet-box canary (judge r7 baseline 0.34,
+    * committed r10 start 1.01/builder 0.57) so normalized totals read
+    * like quiet-box seconds. Changing it rescales every round's
+    * calib_norm equally, so comparisons survive; still, don't.
+    */
+  val RefCalib: Double = 0.5
 
   /** Fixed calibration job: 1e8-row range sum over PINNED 32 partitions —
     * data-independent, scan-free, CPU-bound, identical every round and on
@@ -265,10 +289,25 @@ object Bench {
       // sandbox than a real regression (r3, r5). Two fresh samples; keep
       // the best evidence. A genuine regression reproduces and survives;
       // a contention spike does not.
+      //
+      // GATED on the canary (round-10 verdict item 1): r10's driver run
+      // fired 21 rechecks that re-sampled UNDER THE SAME burst and kept
+      // inflated minima (q50 reported 40× its committed time; the judge
+      // had to re-run isolated to adjudicate). Before re-sampling, wait
+      // — bounded exponential backoff — until the canary returns near
+      // the run's starting value, so the fresh samples measure the
+      // query, not the burst. If the box never quiets within the
+      // attempts, the re-samples still run (best evidence available) and
+      // the raw median stays in the record for the audit trail.
       prior.get(name).foreach { p =>
         if (sec > 0 && p > 0.05 && sec > 3 * p && sec > 0.2) {
           rechecked += 1
           rawMedians += name -> sec
+          var attempt = 0
+          while (calibrate(spark) > 1.5 * calibStart && attempt < 3) {
+            Thread.sleep(2000L << attempt) // 2 s, 4 s, 8 s
+            attempt += 1
+          }
           val re = Seq(once(), once()).filter(_ >= 0)
           if (re.nonEmpty) sec = math.min(sec, re.min)
         }

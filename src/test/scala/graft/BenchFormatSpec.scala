@@ -83,7 +83,16 @@ class BenchFormatSpec extends AnyFunSuite {
     assert(line.contains("\"calib\":[0.123,0.568]"),
       "the start/end calibration pair must be in the record for the judge to normalize by")
     assert(line.contains("\"rechecked\":2"))
+    // calib_norm = total · RefCalib / mean(calib): 2.0·0.5/0.3456 = 2.894
+    assert(line.contains("\"calib_norm\":2.894"),
+      s"the calib-normalized total must ride the record: $line")
     assert(line.count(_ == '[') == line.count(_ == ']'))
+    // without a canary there is nothing to normalize by — field absent,
+    // record still balanced
+    val noCalib = Bench.record(Seq("q01_ok" -> 2.0), repeats = 3,
+      leakedRdds = 0, sfDir = "/tmp/sf", shorten = false)
+    assert(!noCalib.contains("calib_norm"))
+    assert(noCalib.count(_ == '{') == noCalib.count(_ == '}'))
   }
 
   test("rechecked queries carry their pre-recheck median in the raw field") {
