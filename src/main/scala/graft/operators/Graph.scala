@@ -436,22 +436,41 @@ object Graph {
     */
   def triangleCounts(edges: DataFrame, srcCol: String,
       dstCol: String): DataFrame = {
-    val canon = edges.select(col(srcCol).cast(StringType).as("a"),
-        col(dstCol).cast(StringType).as("b"))
-      .filter(col("a").isNotNull && col("b").isNotNull &&
-        col("a") =!= col("b"))
-      .select(least(col("a"), col("b")).as("u"),
-        greatest(col("a"), col("b")).as("v"))
-      .distinct()
-    // Edges are re-read (degrees, orientation) and the upstream
-    // derivation may be an expensive projection (e.g. coOccurrenceEdges'
-    // self-join) — checkpoint once, the iteration discipline shared
-    // with pageRankFixed. Handles are KEPT (reapKeep): Dataset.unpersist
-    // on a checkpoint-backed frame is a no-op, so only the RDD handles
-    // can actually free these edge-sized block sets when the operator
-    // returns (round-10 review finding — the first cut leaked all three
-    // per call in a long-lived session).
-    val (e, eHandle) = graft.core.Caching.reapKeep(canon)
+    import org.apache.spark.sql.GraftSqlBridge.eagerCheckpoint
+    // Dense-id remap (round-10 verdict item 3 — the pageRankFixed
+    // discipline via the shared remapToDense): the degree joins, both
+    // wedge joins, and the close join each hash/compare node keys per
+    // row, so string keys ("12345") pay byte-array hashing ×5 join
+    // sides while a one-time remap to dense longs pays it once. Id
+    // VALUES are partitioning-dependent but provably irrelevant: per-
+    // node triangle counts, degrees, and lcc are graph properties
+    // invariant to the total order used for orientation (any consistent
+    // (degree, id) rank produces each triangle exactly once), and
+    // results map back to node strings before anything escapes — q199's
+    // oracle replays the STRING-keyed joins verbatim, so its hash match
+    // is the bit-parity proof.
+    val strEdges = edges.select(col(srcCol).cast(StringType).as("src"),
+        col(dstCol).cast(StringType).as("dst"))
+      .filter(col("src").isNotNull && col("dst").isNotNull &&
+        col("src") =!= col("dst"))
+    val (eStr, eStrHandle) = eagerCheckpoint(strEdges)
+    val (dict, dictHandle, eLong, eLongHandle) = remapToDense(eStr,
+      eStrHandle,
+      eStr.select(col("src").as("node"))
+        .unionByName(eStr.select(col("dst").as("node")))
+        .distinct())
+    // Canonical undirected distinct on the LONG keys (cheaper than the
+    // string distinct it replaces; the undirected edge SET is identical
+    // whichever key domain canonicalizes it). Checkpointed once — edges
+    // are re-read by degrees + orientation — with the handle KEPT
+    // (reapKeep): Dataset.unpersist on a checkpoint-backed frame is a
+    // no-op, so only the RDD handles can actually free these edge-sized
+    // block sets when the operator returns (round-10 review finding).
+    val (e, eHandle) = graft.core.Caching.reapKeep(
+      eLong.select(least(col("src"), col("dst")).as("u"),
+          greatest(col("src"), col("dst")).as("v"))
+        .distinct())
+    eLongHandle.unpersist(blocking = false)
     // deg is consumed three times (both orientation joins + the final
     // output join); oriented three times (both wedge sides + the close
     // join) — without their own checkpoints the plan would re-run the
@@ -487,19 +506,24 @@ object Graph {
       .select(explode(array(col("x"), col("w1"), col("w2"))).as("node"))
       .groupBy(col("node")).agg(count(lit(1)).as("triangles"))
     val out = deg.join(perNode, Seq("node"), "left")
-      .select(col("node"), col("degree"),
+      .select(col("node").as("nid"), col("degree"),
         coalesce(col("triangles"), lit(0L)).as("triangles"),
         when(col("degree") >= 2,
           (lit(2L) * coalesce(col("triangles"), lit(0L))).cast("double") /
             (col("degree") * (col("degree") - lit(1L))).cast("double"))
           .otherwise(lit(0.0)).as("lcc"))
+      // remap back to the caller's node strings (the remapBack
+      // discipline — internal dense ids never escape)
+      .join(dict, "nid")
+      .select(col("node"), col("degree"), col("triangles"), col("lcc"))
     // node-sized result; materialize it, THEN free the edge-sized
-    // deg/oriented blocks through their RDD handles (the only unpersist
-    // that works on checkpoint-backed frames) — pinned footprint after
-    // return is O(result)
+    // deg/oriented blocks (and the dict) through their RDD handles (the
+    // only unpersist that works on checkpoint-backed frames) — pinned
+    // footprint after return is O(result)
     val reaped = graft.core.Caching.reap(out)
     degHandle.unpersist(blocking = false)
     orientedHandle.unpersist(blocking = false)
+    dictHandle.unpersist(blocking = false)
     reaped
   }
 }
