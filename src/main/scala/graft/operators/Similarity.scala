@@ -74,13 +74,28 @@ object Similarity {
     * convention) where the DESC window form would rank it after all
     * non-null scores — a difference only visible when a query has fewer
     * than k scoreable candidates, which no caller's contract permits
-    * (scores are total functions of well-formed vectors). Non-integral
-    * (e.g. string) neighbor-id domains fall back to the window form —
-    * ids there cannot ride the long-pair heap without a collision-prone
-    * re-key.
+    * (scores are total functions of well-formed vectors).
+    *
+    * Non-integral (e.g. string) neighbor-id domains (round-10 verdict
+    * item 2 — previously a `row_number` window fallback): ids re-key
+    * through an ORDER-PRESERVING dense dict — the [[SurrogateKeys]]
+    * narrow range-partitioned `zipWithIndex` over the sorted distinct id
+    * domain, so the assigned long is each id's global ascending rank.
+    * Rank order ≡ id order makes the heap's `(ord DESC, ~nid DESC)`
+    * tie-break EXACTLY the window form's `(score best, id ASC)` —
+    * bit-identical selection, order, ranks, and score values, with no
+    * hash-collision hazard (the dict is a bijection by construction).
+    * The heap then ranks with ≤ k pairs per (task, query) crossing the
+    * exchange; map-back is one small-result × dict equi-join. Pass
+    * `idDomain` (any frame whose `neighbor_id` column covers the scored
+    * ids — typically the corpus id projection, pre-join) so the dict
+    * derives from a CHEAP scan; without it the dict falls back to
+    * `scored` itself, which re-evaluates the pair scan once per dict
+    * consumption (correct, but wire the domain on any hot path).
     */
   private[operators] def topKTail(scored: DataFrame, scoreName: String,
-      k: Int, ascending: Boolean = false): DataFrame = {
+      k: Int, ascending: Boolean = false,
+      idDomain: Option[DataFrame] = None): DataFrame = {
     import org.apache.spark.sql.types._
     import graft.functions.{SortableBits, TopKFunctions}
     val scoreType = scored.schema(scoreName).dataType
@@ -90,12 +105,20 @@ object Similarity {
       case _ => false
     }
     if (!idIntegral) {
-      val w = Window.partitionBy(col("query_id"))
-        .orderBy(if (ascending) col(scoreName).asc else col(scoreName).desc,
-          col("neighbor_id"))
-      scored.withColumn("rank", row_number().over(w))
-        .filter(col("rank") <= k)
-        .select(col("query_id"), col("neighbor_id"), col(scoreName), col("rank"))
+      val domain = idDomain.getOrElse(scored).select(col("neighbor_id"))
+      val dict = SurrogateKeys.sequential(domain.distinct(), "__nid",
+        Seq(col("neighbor_id")), assumeUnique = true)
+      val rekeyed = scored
+        .select(col("query_id"), col("neighbor_id"), col(scoreName))
+        .join(dict, "neighbor_id")
+        .select(col("query_id"), col("__nid").as("neighbor_id"),
+          col(scoreName))
+      topKTail(rekeyed, scoreName, k, ascending)
+        .select(col("query_id"), col("neighbor_id").as("__nid"),
+          col(scoreName), col("rank"))
+        .join(dict, "__nid")
+        .select(col("query_id"), col("neighbor_id"), col(scoreName),
+          col("rank"))
     } else {
       val floating = scoreType == DoubleType || scoreType == FloatType
       // Ascending floats negate before encoding (exact: IEEE negation is
@@ -157,7 +180,7 @@ object Similarity {
       .withColumn("cn", norm(col("cv"), dim))
     val scored = q.join(c, col("query_id") =!= col("neighbor_id"))
       .withColumn("cosine", cosinePrenormed(col("qv"), col("cv"), col("qn"), col("cn"), dim))
-    topKTail(scored, "cosine", k)
+    topKTail(scored, "cosine", k, idDomain = Some(c))
   }
 
   /** Hard-negative mining for embedding/retrieval training data
@@ -184,7 +207,7 @@ object Similarity {
           col("q_label") =!= col("n_label"))
       .withColumn("cosine",
         cosinePrenormed(col("qv"), col("cv"), col("qn"), col("cn"), dim))
-    topKTail(scored, "cosine", k)
+    topKTail(scored, "cosine", k, idDomain = Some(c))
   }
 
   /** SEMANTIC benchmark decontamination — the embedding tier above
@@ -428,7 +451,7 @@ object Similarity {
     val c = corpus.select(col(idCol).as("neighbor_id"), col(qvCol).as("__qv"))
     val scored = q.join(c, col("query_id") =!= col("neighbor_id"))
       .withColumn("qdot", quantizedDot(col("__qq"), col("__qv")))
-    topKTail(scored, "qdot", k)
+    topKTail(scored, "qdot", k, idDomain = Some(c))
   }
 
   // ---------------------------------------------------------------------
@@ -653,7 +676,7 @@ object Similarity {
     val c = encoded.select(col(idCol).as("neighbor_id"), col("codes"))
     val scored = broadcast(lut).join(c, col("query_id") =!= col("neighbor_id"))
       .withColumn("pq_score", adcScore(col("codes"), col("lut")))
-    topKTail(scored, "pq_score", k)
+    topKTail(scored, "pq_score", k, idDomain = Some(c))
   }
 
   /** PQ candidate generation + exact re-rank — the deployment shape that
@@ -705,7 +728,7 @@ object Similarity {
     val scored = broadcast(candQ).join(c, Seq("neighbor_id"))
       .withColumn("cosine", cosinePrenormed(col("qv"), col("nv"),
         col("qn"), col("nn"), dim))
-    topKTail(scored, "cosine", k)
+    topKTail(scored, "cosine", k, idDomain = Some(c))
   }
 
   // ---------------------------------------------------------------------
@@ -757,7 +780,7 @@ object Similarity {
       signWords(asDouble(col(vecCol)), dim).as("nw"))
     val scored = broadcast(q).join(c, col("query_id") =!= col("neighbor_id"))
       .withColumn("hamming", hammingDistance(col("qw"), col("nw")))
-    topKTail(scored, "hamming", k, ascending = true)
+    topKTail(scored, "hamming", k, ascending = true, idDomain = Some(c))
   }
 
   /** Binary nomination + exact re-rank: Hamming picks `kCand` candidates
@@ -902,7 +925,7 @@ object Similarity {
     val scored = broadcast(probeLut).join(encB, Seq("bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("pq_score", col("qc") + adcScore(col("codes"), col("lut")))
-    topKTail(scored, "pq_score", k)
+    topKTail(scored, "pq_score", k, idDomain = Some(encB))
   }
 
   /** The shared probe half of [[ivfPqTopK]] and [[probeIvfPqIndex]]:
@@ -931,7 +954,7 @@ object Similarity {
     val scored = broadcast(probeLut).join(codedRows, Seq("bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("pq_score", adcScore(col("codes"), col("lut")))
-    topKTail(scored, "pq_score", k)
+    topKTail(scored, "pq_score", k, idDomain = Some(codedRows))
   }
 
   /** Random-projection (sign-bit) LSH bands for cosine similarity — the
@@ -1045,7 +1068,7 @@ object Similarity {
     val scored = broadcast(probes).join(assigned, Seq("bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("cosine", cosinePrenormed(col("qv"), col("cv_doc"), col("qn"), col("cn"), dim))
-    topKTail(scored, "cosine", k)
+    topKTail(scored, "cosine", k, idDomain = Some(assigned.select(col("neighbor_id"))))
   }
 
   // ------------------------------------------------------------------
@@ -1506,7 +1529,7 @@ object Similarity {
         // duplicate rows carry the SAME bits (pure function of the two
         // vectors); max is the order-free way to say "keep one"
         .agg(max(col("cosine")).as("cosine"))
-    graft.core.Caching.reap(topKTail(uniq, "cosine", k), assigned)
+    graft.core.Caching.reap(topKTail(uniq, "cosine", k, idDomain = Some(b)), assigned)
   }
 
   /** MMR diversified re-ranking (Carbonell & Goldstein 1998 — the step a

@@ -149,7 +149,7 @@ class AnnTopKTailSpec extends AnyFunSuite {
         "constant-sized seed numbering")
   }
 
-  test("non-integral id domains fall back to the window form, same answer") {
+  test("non-integral ids ride the heap through the order-preserving dict, same answer") {
     val e = embs.withColumn("sid", concat(lit("doc-"),
       format_string("%05d", col("vec_id"))))
     val queries = e.filter(col("vec_id") < 6)
@@ -165,8 +165,45 @@ class AnnTopKTailSpec extends AnyFunSuite {
       val n = if (s) r.getString(1).drop(4).toLong else r.getLong(1)
       (q, n, java.lang.Double.doubleToLongBits(r.getDouble(2)), r.getInt(3))
     }.toSet
-    assert(windowCount(got) == 1, "string ids take the window fallback")
+    // round-11: the window fallback is GONE — string ids re-key through
+    // the SurrogateKeys dict (assumeUnique ⇒ no window there either) and
+    // ride the same bounded heap as longs
+    assert(windowCount(got) == 0,
+      "string ids must rank through the heap, not a window fallback")
     assert(key(got, s = true) == key(byLong, s = false))
+  }
+
+  test("string-id heap tail ≡ window form on score TIES (dict preserves id order)") {
+    import spark.implicits._
+    // ids whose STRING order differs from hash order and scores with
+    // deliberate ties at the k boundary: only an order-preserving re-key
+    // picks the same survivors the window form picks.
+    val scored = Seq(
+      (1L, "zz", 0.9), (1L, "aa", 0.5), (1L, "mm", 0.5), (1L, "bb", 0.5),
+      (1L, "cc", 0.1),
+      (2L, "x", 0.7), (2L, "w", 0.7), (2L, "y", 0.7), (2L, "v", 0.2))
+      .toDF("query_id", "neighbor_id", "score")
+    val got = Similarity.topKTail(scored, "score", 3)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("neighbor_id"))
+    val want = scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select(col("query_id"), col("neighbor_id"), col("score"), col("rank"))
+    def key(df: DataFrame) = df.collect().map { r =>
+      (r.getLong(0), r.getString(1),
+        java.lang.Double.doubleToLongBits(r.getDouble(2)), r.getInt(3))
+    }.toSet
+    assert(windowCount(got) == 0)
+    assert(key(got) == key(want),
+      "tie-break must follow STRING id order through the dict re-key")
+    // ascending ordering takes the same path
+    val gotAsc = Similarity.topKTail(scored, "score", 3, ascending = true)
+    val wAsc = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").asc, col("neighbor_id"))
+    val wantAsc = scored.withColumn("rank", row_number().over(wAsc))
+      .filter(col("rank") <= 3)
+      .select(col("query_id"), col("neighbor_id"), col("score"), col("rank"))
+    assert(key(gotAsc) == key(wantAsc))
   }
 
   test("recallAtK: exact intersection arithmetic, self-recall 1, short truth groups undiluted") {
