@@ -1,0 +1,144 @@
+package graft.functions
+
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream, DataInputStream, DataOutputStream}
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.GraftSqlBridge
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+
+/** Mergeable linear-model gradient for the trained quality classifier
+  * ([[graft.operators.Classifier]]) — the [[VectorMomentsAgg]] discipline
+  * at bag-of-words width: every partition folds its documents into ONE
+  * `dim + 2` long buffer (n, bias gradient, per-bucket gradients),
+  * partials merge by elementwise add, and the corpus never shuffles — the
+  * only exchange is the single-row partial → final hop. This is what
+  * makes full-batch training one corpus scan per epoch at any corpus
+  * size.
+  *
+  * Inputs per document: its hashed token-bucket array (one entry PER
+  * TOKEN OCCURRENCE — the per-bucket gradient Σ err·count is accumulated
+  * by adding `err` once per occurrence, which needs no pre-counting) and
+  * its fixed-point prediction error `err = p_fx − y·scale`. All sums are
+  * exact longs, so the gradient — and therefore the whole training
+  * trajectory — is associative, partitioning-invariant, and replayable
+  * bit-for-bit by a SQL engine grouping the exploded tokens.
+  *
+  * Null semantics: a NULL error or NULL bucket array skips the document
+  * entirely (n excluded — the caller's NULL-text contract); a NULL
+  * ELEMENT inside the array is a broken featurizer and fails loudly, as
+  * does an out-of-range bucket.
+  *
+  * Output: `struct(n long, g array<long>)` with `g(0)` the bias gradient
+  * and `g(b + 1)` the gradient of bucket `b` — dim + 1 entries, zeros for
+  * buckets no document touched.
+  */
+case class LinearGradAgg(
+    buckets: Expression,
+    err: Expression,
+    dim: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[Array[Long]] {
+
+  require(dim >= 1 && dim <= (1 << 20), s"dim $dim out of [1, 2^20]")
+
+  // buffer layout: [0]=n docs, [1]=bias gradient, [2..dim+1]=bucket grads
+  private val bufLen = 2 + dim
+
+  override def children: Seq[Expression] = Seq(buckets, err)
+  override def nullable: Boolean = false
+  override def dataType: DataType = StructType(Seq(
+    StructField("n", LongType, nullable = false),
+    StructField("g", ArrayType(LongType, containsNull = false),
+      nullable = false)))
+
+  /** Strict typing (the CountMin/TopK discipline): a silently-cast input
+    * would silently change the training arithmetic.
+    */
+  override def checkInputDataTypes(): TypeCheckResult =
+    (buckets.dataType, err.dataType) match {
+      case (ArrayType(IntegerType, _), LongType) => TypeCheckResult.TypeCheckSuccess
+      case (b, e) => TypeCheckResult.TypeCheckFailure(
+        s"linear_grad expects (array<int> buckets, bigint err), got ($b, $e)")
+    }
+
+  override def createAggregationBuffer(): Array[Long] = new Array[Long](bufLen)
+
+  override def update(buf: Array[Long], input: InternalRow): Array[Long] = {
+    val bks = buckets.eval(input)
+    val e = err.eval(input)
+    if (bks != null && e != null) {
+      val arr = bks.asInstanceOf[ArrayData]
+      val ef = e.asInstanceOf[Long]
+      buf(0) += 1L
+      buf(1) += ef
+      var i = 0
+      val n = arr.numElements()
+      while (i < n) {
+        if (arr.isNullAt(i))
+          throw new IllegalArgumentException(
+            "linear_grad: NULL bucket element — broken featurizer")
+        val b = arr.getInt(i)
+        if (b < 0 || b >= dim)
+          throw new IllegalArgumentException(
+            s"linear_grad: bucket $b outside [0, $dim)")
+        buf(2 + b) += ef
+        i += 1
+      }
+    }
+    buf
+  }
+
+  override def merge(buf: Array[Long], other: Array[Long]): Array[Long] = {
+    var i = 0
+    while (i < bufLen) { buf(i) += other(i); i += 1 }
+    buf
+  }
+
+  override def eval(buf: Array[Long]): Any = {
+    val g = new Array[Any](dim + 1)
+    var i = 0
+    while (i <= dim) { g(i) = buf(1 + i); i += 1 }
+    InternalRow(buf(0), new GenericArrayData(g))
+  }
+
+  override def serialize(buf: Array[Long]): Array[Byte] = {
+    val bos = new ByteArrayOutputStream(bufLen * 8)
+    val out = new DataOutputStream(bos)
+    var i = 0
+    while (i < bufLen) { out.writeLong(buf(i)); i += 1 }
+    out.flush()
+    bos.toByteArray
+  }
+
+  override def deserialize(bytes: Array[Byte]): Array[Long] = {
+    val in = new DataInputStream(new ByteArrayInputStream(bytes))
+    val buf = new Array[Long](bufLen)
+    var i = 0
+    while (i < bufLen) { buf(i) = in.readLong(); i += 1 }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): LinearGradAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): LinearGradAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): LinearGradAgg =
+    copy(buckets = newChildren(0), err = newChildren(1))
+
+  override def prettyName: String = "linear_grad"
+}
+
+object LinearGradFunctions {
+  /** One-pass mergeable linear-gradient accumulation in exact longs. */
+  def linear_grad(buckets: Column, err: Column, dim: Int): Column =
+    GraftSqlBridge.column(
+      LinearGradAgg(GraftSqlBridge.expression(buckets),
+        GraftSqlBridge.expression(err), dim).toAggregateExpression())
+}

@@ -1,0 +1,174 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Trained discriminative quality classifier — the CCNet/GPT-3 "looks
+  * like the reference corpus" linear filter (Wenzek et al. 2019 §4.3;
+  * Brown et al. 2020 appendix A), the one standard LLM-curation component
+  * the heuristic battery (Gopher rules, DSIR, LM perplexity) does not
+  * cover: learn from LABELED examples which token patterns mark
+  * reference-like vs low-quality text, then score the whole corpus with
+  * the learned weights.
+  *
+  * Model: linear bag-of-words over the repo's hashing-trick buckets
+  * ([[Sampling.hash16]] mod dim — vocabulary-free, nothing to ship at
+  * 100 TB), with a bias term; trained by full-batch gradient descent.
+  *
+  * DETERMINISM — the whole training trajectory is engine-replayable,
+  * which no float-SGD implementation is:
+  *  - weights are 2^20 fixed-point longs; the per-doc margin
+  *    `z_fx = w_bias + Σ_tokens w[bucket]` is an exact long sum
+  *    (order-free);
+  *  - the link is the saturating rational `σ(z) = 0.5 + (z/2)/(1+|z|)`
+  *    (Elliott 1993) — division, abs, add, multiply are all
+  *    correctly-rounded IEEE ops, so given the same `z_fx` every engine
+  *    computes the same double, where `exp`-based logistic would drift
+  *    by platform libm;
+  *  - the prediction quantizes back to fixed point by one exact
+  *    power-of-two multiply + floor; the error `e_fx = p_fx − y·2^20`
+  *    and the gradient `Σ e_fx` per bucket are exact longs;
+  *  - the update `w ← w − (lrNum·g) div (lrDen·n)` is TRUNCATING
+  *    integer division — Spark's `div` and DuckDB's `//` both truncate
+  *    toward zero (probed on negatives), so updates are exact and
+  *    portable with no rounding-mode ambiguity on negative gradients.
+  * Deterministic + order-free at every step ⇒ training is
+  * partitioning-invariant bit-for-bit and a SQL oracle can replay every
+  * epoch as chained CTEs (the q173 PageRank discipline).
+  *
+  * SCALE SHAPE: featurization is one row-local projection (tokenize +
+  * hash — zero shuffle), checkpointed once; each epoch is ONE corpus
+  * scan folding into the dim-sized mergeable
+  * [[graft.functions.LinearGradAgg]] (n + dim+1 longs per partition
+  * cross the exchange — the VectorMoments discipline; the corpus never
+  * shuffles), plus dim-sized weight algebra. Scoring is a zero-shuffle
+  * projection against the broadcast/literal weights.
+  */
+object Classifier {
+
+  /** Fixed-point scale for weights, predictions, and errors. */
+  val ScaleBits: Int = 20
+  val Scale: Long = 1L << ScaleBits
+
+  /** Per-token hashed bucket array (one entry per token OCCURRENCE —
+    * [[Features.hashedCountVector]]'s tokenization: space-split
+    * lowercase, empty tokens dropped). Row-local; NULL text stays NULL
+    * (excluded from training, NULL score).
+    */
+  def bucketize(text: Column, dim: Int, salt: String): Column =
+    transform(filter(split(lower(text), " "), t => t =!= ""),
+      t => (Sampling.hash16(t, salt) % dim).cast("int"))
+
+  /** Fixed-point margin from a weight ARRAY column: `wf(1)` is the bias,
+    * `wf(b + 2)` the weight of bucket `b` (1-based SQL array indexing).
+    */
+  private def zFx(bks: Column, wf: Column): Column =
+    element_at(wf, 1) +
+      aggregate(transform(bks, b => element_at(wf, b + 2)),
+        lit(0L), (s, x) => s + x)
+
+  /** The saturating rational link on the double margin — one fixed IEEE
+    * sequence, bit-identical in any engine given the same `z_fx`.
+    */
+  def sigmoidP(zfx: Column): Column = {
+    val zd = zfx.cast("double") / lit(Scale.toDouble)
+    lit(0.5) + (zd / lit(2.0)) / (lit(1.0) + abs(zd))
+  }
+
+  /** Prediction quantized to fixed point: exact power-of-two multiply +
+    * floor (p < 1 ⇒ p·2^20 is exact in double).
+    */
+  private def pFx(zfx: Column): Column =
+    floor(sigmoidP(zfx) * lit(Scale.toDouble)).cast("long")
+
+  /** Train `epochs` rounds of full-batch gradient descent at learning
+    * rate `lrNum/lrDen`; returns the ONE-ROW weights frame
+    * `(wf array<long>)` of length dim + 1 (index 0 = bias in Scala
+    * terms; `element_at(wf, 1)` in SQL terms), eagerly materialized with
+    * the feature checkpoint released.
+    *
+    * Labels must be 0 (low-quality) or 1 (reference-like) — guarded
+    * in-plan; NULL-text/NULL-label docs are excluded from training
+    * (gradient-aggregate NULL skip).
+    *
+    * Capacity: |w| is guarded below 2^40 each update (z then stays exact
+    * for docs up to ~2^23 tokens); a diverging run fails loudly instead
+    * of wrapping.
+    */
+  def train(docs: DataFrame, idCol: String, textCol: String,
+      labelCol: String, dim: Int, epochs: Int, lrNum: Long = 1L,
+      lrDen: Long = 2L, salt: String = ""): DataFrame = {
+    require(dim >= 2 && dim <= 65536,
+      s"dim ($dim) must be in [2, 65536] — hash16 is a 16-bit hash")
+    require(epochs >= 1 && epochs <= 64, s"epochs ($epochs) out of [1, 64]")
+    require(lrNum >= 1 && lrDen >= 1, "learning rate must be positive")
+    import org.apache.spark.sql.GraftSqlBridge.eagerCheckpoint
+    val spark = docs.sparkSession
+    val yGuard = coalesce(
+      assert_true(col("__y").isNull || col("__y").isin(0, 1),
+        lit(s"Classifier.train: $labelCol must be 0 or 1")).cast("int"),
+      lit(0))
+    // One row-local featurize pass, checkpointed — each epoch re-reads
+    // the hashed buckets, not the raw text.
+    val (feats, featsHandle) = eagerCheckpoint(
+      docs.select(col(idCol),
+          col(labelCol).cast("int").as("__y"),
+          bucketize(col(textCol), dim, salt).as("__bks"))
+        .withColumn("__y", col("__y") + yGuard))
+    var w: DataFrame = spark.range(1)
+      .select(array_repeat(lit(0L), dim + 1).as("wf"))
+    val wCap = 1L << 40
+    var e = 0
+    while (e < epochs) {
+      val errs = feats.crossJoin(broadcast(w))
+        .select(col("__bks"),
+          when(col("__y").isNotNull,
+            pFx(zFx(col("__bks"), col("wf")))
+              - col("__y").cast("long") * lit(Scale)).as("__e"))
+      val grad = errs.agg(graft.functions.LinearGradFunctions
+          .linear_grad(col("__bks"), col("__e"), dim).as("gr"))
+        .select(col("gr.n").as("n"), col("gr.g").as("g"))
+      // truncating integer division on exact longs: Spark's `div` and
+      // DuckDB's `//` BOTH truncate toward zero on negatives (probed,
+      // not assumed — floor-division idioms here would diverge from the
+      // oracle's `//`); the weight-capacity guard rides the updated
+      // value (the TimeSeries guard idiom), and n = 0 (no trainable
+      // docs) fails loudly rather than dividing by zero.
+      w = grad.crossJoin(broadcast(w)).selectExpr(
+        s"""transform(wf, (wj, j) ->
+             wj - (($lrNum * element_at(g, j + 1)) div ($lrDen * n))
+                + coalesce(cast(assert_true(n > 0,
+                    'Classifier.train: no trainable documents') as bigint),
+                  cast(0 as bigint))
+                + coalesce(cast(assert_true(abs(wj) < ${wCap}L,
+                    'Classifier.train: weight magnitude exceeds 2^40 - lower the learning rate or epochs') as bigint),
+                  cast(0 as bigint))) AS wf""")
+      e += 1
+    }
+    // dim-sized result; materialize, then free the feature checkpoint
+    val (out, _) = eagerCheckpoint(w)
+    featsHandle.unpersist(blocking = false)
+    out
+  }
+
+  /** Driver-side weight extraction (dim + 1 longs — the codebook-collect
+    * precedent) for [[score]]'s literal-array projection.
+    */
+  def weights(trained: DataFrame): Seq[Long] =
+    trained.collect()(0).getSeq[Long](0)
+
+  /** Score documents with trained weights: zero-shuffle row-local
+    * projection (the per-occurrence weight sum equals the per-bucket
+    * count·weight sum exactly). Adds `z_fx` (exact long margin) and
+    * `quality_p` (the deterministic double link; NULL text ⇒ NULL).
+    */
+  def score(docs: DataFrame, textCol: String, weightsFx: Seq[Long],
+      dim: Int, salt: String = ""): DataFrame = {
+    require(weightsFx.size == dim + 1,
+      s"weights size ${weightsFx.size} != dim + 1 (${dim + 1})")
+    val wLit = array(weightsFx.map(lit(_)): _*)
+    docs
+      .withColumn("z_fx", zFx(bucketize(col(textCol), dim, salt), wLit))
+      .withColumn("quality_p", sigmoidP(col("z_fx")))
+  }
+}

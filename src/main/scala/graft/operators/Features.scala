@@ -244,4 +244,74 @@ object Features {
     }
     v.select(col("j").as("i"), col("vf"))
   }
+
+  /** χ² FEATURE ATTRIBUTION over the hashing-trick buckets — "which
+    * token buckets actually separate the classes": the standard
+    * feature-selection statistic (Yang & Pedersen 1997) computed per
+    * bucket from the 2×2 document-frequency table against a 0/1 label,
+    * the interpretability companion of [[graft.operators.Classifier]]
+    * (its weights say WHAT the model learned; χ² says what the DATA
+    * supports, model-free). Presence-based: a bucket counts once per
+    * document containing it (`array_distinct` before the explode),
+    * matching the textbook DF formulation.
+    *
+    * With a = df⁺(bucket), b = df⁻(bucket), c = P − a, d = N − b,
+    * n = P + N:  χ² = n·(a·d − b·c)² / ((a+b)·(c+d)·P·N).
+    *
+    * Determinism: all eight counters are exact longs; χ² is ONE fixed
+    * IEEE sequence over their double casts — each of a/b/c/d is ≤ n and
+    * exact in double below 2⁵³; products round, but identically in any
+    * IEEE engine given the same op ORDER, which the oracle mirrors
+    * operation for operation (the q54 discipline). Single-class inputs
+    * fail loudly (P·N = 0 leaves nothing to attribute); a bucket present
+    * in EVERY document has c+d = 0 and yields NULL χ², never an error.
+    *
+    * Scale: one row-local distinct-bucketize + explode (narrow
+    * (id-free!) bucket rows — the doc id never rides the exchange), ONE
+    * dim-bounded hash aggregate with map-side partials, a broadcast
+    * one-row totals join, and a TakeOrdered over the ≤ dim-sized frame.
+    * The corpus never shuffles.
+    *
+    * @return topK rows: (bucket, n_docs, pos_docs, chi2), χ² descending,
+    *         ties to the smallest bucket id.
+    */
+  def chiSquareBuckets(docs: DataFrame, textCol: String, labelCol: String,
+      dim: Int, topK: Int, salt: String = ""): DataFrame = {
+    require(dim >= 2 && dim <= 65536, s"dim ($dim) out of [2, 65536]")
+    require(topK >= 1, "topK must be positive")
+    val yGuard = coalesce(
+      assert_true(col("__y").isin(0, 1),
+        lit(s"chiSquareBuckets: $labelCol must be 0 or 1")).cast("int"),
+      lit(0))
+    val base = docs.select(col(labelCol).cast("int").as("__y"),
+        graft.operators.Classifier.bucketize(col(textCol), dim, salt)
+          .as("__bks"))
+      .filter(col("__y").isNotNull && col("__bks").isNotNull)
+      .withColumn("__y", col("__y") + yGuard)
+    val totals = base.agg(
+      sum(col("__y").cast("long")).as("__P"),
+      sum(lit(1L) - col("__y").cast("long")).as("__N"))
+    val pnGuard = coalesce(
+      assert_true(col("__P") > 0 && col("__N") > 0,
+        lit("chiSquareBuckets: need both classes present")).cast("long"),
+      lit(0L))
+    val perBucket = base
+      .select(col("__y"), explode(array_distinct(col("__bks"))).as("bucket"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("__y").cast("long")).as("pos_docs"))
+    val aD = col("pos_docs").cast(DoubleType)
+    val bD = (col("n_docs") - col("pos_docs")).cast(DoubleType)
+    val cD = (col("__P") - col("pos_docs")).cast(DoubleType)
+    val dD = (col("__N") - (col("n_docs") - col("pos_docs"))).cast(DoubleType)
+    val nD = (col("__P") + col("__N") + pnGuard).cast(DoubleType)
+    val cross = aD * dD - bD * cD
+    perBucket.crossJoin(broadcast(totals))
+      .select(col("bucket"), col("n_docs"), col("pos_docs"),
+        when((col("__P") + col("__N")) - col("n_docs") > 0,
+          (nD * (cross * cross)) /
+            (((aD + bD) * (cD + dD)) * (col("__P").cast(DoubleType)
+              * col("__N").cast(DoubleType)))).as("chi2"))
+      .orderBy(col("chi2").desc_nulls_last, col("bucket"))
+      .limit(topK)
+  }
 }

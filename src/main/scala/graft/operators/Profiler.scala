@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 /** Column profiling: per-column null counts, distinct counts, and min/max
   * rendered to strings — the "what is in this table?" first pass every
@@ -201,6 +202,206 @@ object Profiler {
       .select(col("n"), col("sum_d2"),
         (lit(1.0) - lit(6.0) * col("sum_d2").cast("double") /
           (nD * (nD * nD - lit(1.0)))).as("rho"))
+  }
+
+  /** Exact ROC AUC (Mann-Whitney U with MIDRANK tie handling — the
+    * textbook definition: P(score⁺ > score⁻) + ½·P(tie)) — the
+    * evaluation companion every trained filter ([[Classifier]]) is
+    * judged by before it gates a corpus: 0.5 = chance, 1.0 = perfect
+    * separation.
+    *
+    * Exactness & portability: deterministic total-order ranks via the
+    * narrow range-partitioned zipWithIndex over `(score, id)` (never a
+    * single-partition window), midranks kept INTEGRAL as
+    * `midrank2 = min + max rank` per tie group (2× the average — no
+    * fractional rank arithmetic anywhere), Σ as exact narrow decimals,
+    * and ONE fixed IEEE sequence for the final value:
+    * `AUC = (Σ⁺midrank2 − n⁺(n⁺+1)) / (2·n⁺·n⁻)` — hash-replayable in
+    * any engine's window SQL.
+    *
+    * Scale: one ranking pass + one score-keyed aggregate (map-side
+    * partials) + one scalar aggregate. `idCol` MUST be unique (the
+    * SurrogateKeys assumeUnique contract); NULL scores/labels are
+    * excluded; labels outside {0, 1} fail loudly in-plan. A single-class
+    * input yields NULL auc (there is no ranking question to answer).
+    *
+    * @return one row: `(n_pos, n_neg, auc)`
+    */
+  def aucExact(df: DataFrame, scoreCol: String, labelCol: String,
+      idCol: String): DataFrame = {
+    val yGuard = coalesce(
+      assert_true(col("__y").isin(0, 1),
+        lit(s"aucExact: $labelCol must be 0 or 1")).cast("long"),
+      lit(0L))
+    val base = df.select(col(idCol), col(scoreCol).as("__s"),
+        col(labelCol).cast("int").as("__y"))
+      .filter(col("__s").isNotNull && col("__y").isNotNull)
+      .withColumn("__y", col("__y") + yGuard)
+    val ranked = SurrogateKeys.sequential(base, "__r",
+      Seq(col("__s"), col(idCol)), assumeUnique = true)
+    // per distinct score: the tie group's rank span and its positives —
+    // midrank2 = lo + hi is 2× the group's average rank, integral
+    val grouped = ranked.groupBy(col("__s"))
+      .agg(min(col("__r")).as("__lo"), max(col("__r")).as("__hi"),
+        sum(col("__y").cast("long")).as("__pos"),
+        count(lit(1)).as("__cnt"))
+    grouped.agg(
+        sum(col("__pos")).as("n_pos"),
+        sum(col("__cnt") - col("__pos")).as("n_neg"),
+        sum((col("__pos").cast("decimal(12,0)")
+          * (col("__lo") + col("__hi")).cast("decimal(14,0)"))
+          .cast("decimal(30,0)")).as("__smr2"))
+      .select(col("n_pos"), col("n_neg"),
+        when(col("n_pos") > 0 && col("n_neg") > 0,
+          (col("__smr2") - (col("n_pos").cast("decimal(12,0)")
+            * (col("n_pos") + 1).cast("decimal(14,0)")).cast("decimal(30,0)"))
+            .cast("double")
+            / (lit(2.0) * col("n_pos").cast("double")
+              * col("n_neg").cast("double")))
+          .as("auc"))
+  }
+
+  /** PRECISION/RECALL/F1 at a FIXED THRESHOLD GRID — the operating-point
+    * table behind [[aucExact]]'s single ranking number: a trained filter
+    * ([[Classifier]]) ships with ONE threshold, and this is the table
+    * that threshold is picked from.
+    *
+    * Scale contract — why a grid and not every distinct score: the
+    * classic per-distinct-score PR curve needs a prefix sum over the
+    * sorted score domain, which for a continuous score is corpus-sized
+    * (the global-ORDER-BY trap). A fixed grid instead computes ALL
+    * thresholds' counters in ONE corpus scan as 2·T aggregate columns
+    * (map-side partials; one counters row crosses the exchange), then
+    * fans out to T rows — T is yours to choose and the plan never
+    * depends on the corpus size.
+    *
+    * Thresholds are passed as STRINGS ("0.35") and parsed to double —
+    * the same correctly-rounded decimal→binary parse DuckDB applies to
+    * its literals, so `score >= t` compares identical bits in both
+    * engines (a Scala `0.05 * i` loop would accumulate float error the
+    * oracle's literals don't have). Counters are exact longs;
+    * precision/recall/f1 are each ONE IEEE division of exact longs.
+    * Empty-side edges stay NULL, never a division error: precision at a
+    * threshold nothing clears, recall/f1 on a positive-free input.
+    *
+    * @return one row per threshold: (threshold, tp, fp, fn, precision,
+    *         recall, f1)
+    */
+  def prAtThresholds(df: DataFrame, scoreCol: String, labelCol: String,
+      thresholds: Seq[String]): DataFrame = {
+    require(thresholds.nonEmpty, "need at least one threshold")
+    require(thresholds.distinct.size == thresholds.size,
+      "thresholds must be distinct")
+    // counter columns keyed by INDEX, not the threshold string — a '.'
+    // in a column name reads as struct-field access under col()
+    val ts = thresholds.map(_.toDouble).zipWithIndex
+    val base = labeledScores(df, scoreCol, labelCol)
+    val counters = ts.flatMap { case (t, i) =>
+      Seq(
+        sum(when(col("__s") >= lit(t) && col("__y") === 1, 1L)
+          .otherwise(0L)).as(s"__tp_$i"),
+        sum(when(col("__s") >= lit(t), 1L).otherwise(0L)).as(s"__pp_$i"))
+    } ++ Seq(sum(col("__y").cast("long")).as("__p"))
+    base.agg(counters.head, counters.tail: _*)
+      .select(explode(array(ts.map { case (t, i) =>
+        struct(lit(t).as("threshold"),
+          col(s"__tp_$i").as("tp"),
+          (col(s"__pp_$i") - col(s"__tp_$i")).as("fp"),
+          (col("__p") - col(s"__tp_$i")).as("fn"))
+      }: _*)).as("r"))
+      .select(col("r.threshold"), col("r.tp"), col("r.fp"), col("r.fn"),
+        when(col("r.tp") + col("r.fp") > 0,
+          col("r.tp").cast("double") /
+            (col("r.tp") + col("r.fp")).cast("double")).as("precision"),
+        when(col("r.tp") + col("r.fn") > 0,
+          col("r.tp").cast("double") /
+            (col("r.tp") + col("r.fn")).cast("double")).as("recall"),
+        when(lit(2L) * col("r.tp") + col("r.fp") + col("r.fn") > 0,
+          (lit(2L) * col("r.tp")).cast("double") /
+            (lit(2L) * col("r.tp") + col("r.fp") + col("r.fn"))
+              .cast("double")).as("f1"))
+  }
+
+  /** The deployment threshold: the [[prAtThresholds]] row with maximal
+    * f1, ties to the SMALLEST threshold (deterministic; NULL f1 rows —
+    * a degenerate grid point — sort last). T-row input ⇒ this is a
+    * TakeOrdered over a frame that never scales with the corpus.
+    */
+  def bestF1Threshold(df: DataFrame, scoreCol: String, labelCol: String,
+      thresholds: Seq[String]): DataFrame =
+    prAtThresholds(df, scoreCol, labelCol, thresholds)
+      .orderBy(col("f1").desc_nulls_last, col("threshold"))
+      .limit(1)
+
+  /** RELIABILITY TABLE (calibration bins) — "when the filter says 0.8,
+    * is it right 80% of the time?": scores binned on a fixed [0,1] grid,
+    * each bin reporting its size, mean predicted probability, and
+    * empirical positive rate. The gap between the last two IS the
+    * calibration error a consumer reads before trusting [[Classifier]]
+    * probabilities as sampling weights (scores are only guaranteed
+    * ORDER-correct by AUC; probability-correctness is this table).
+    *
+    * Determinism: bin = least(floor(s·bins), bins−1) — one double
+    * multiply + floor, identical IEEE ops in any engine; mean_p sums
+    * exact DECIMAL(20,10) casts of the scores (the q111 mean-quality
+    * discipline — order-free), ONE IEEE division each for mean_p and
+    * pos_rate. Scores outside [0,1] fail loudly in-plan. One bins-sized
+    * hash aggregate with map-side partials; empty bins are absent (a
+    * consumer joins against a spine if it needs zeros).
+    */
+  def calibrationBins(df: DataFrame, scoreCol: String, labelCol: String,
+      bins: Int): DataFrame = {
+    require(bins >= 2 && bins <= 10000, s"bins ($bins) out of [2, 10000]")
+    val sGuard = coalesce(
+      assert_true(col("__s") >= 0.0 && col("__s") <= 1.0,
+        lit(s"calibrationBins: $scoreCol must be a probability in [0,1]"))
+        .cast("double"),
+      lit(0.0))
+    labeledScores(df, scoreCol, labelCol)
+      .withColumn("__s", col("__s") + sGuard)
+      .groupBy(least(floor(col("__s") * lit(bins.toDouble)),
+        lit((bins - 1).toDouble)).cast("int").as("bin"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("__y").cast("long")).as("pos"),
+        sum(col("__s").cast(DecimalType(20, 10))).as("__sp"))
+      .select(col("bin"), col("n"), col("pos"),
+        (col("__sp").cast("double") / col("n").cast("double")).as("mean_p"),
+        (col("pos").cast("double") / col("n").cast("double")).as("pos_rate"))
+  }
+
+  /** BRIER SCORE — mean squared error of the predicted probability
+    * against the 0/1 label (Brier 1950): the single proper-scoring-rule
+    * number next to [[calibrationBins]]' table. Per row the residual
+    * square `(s − y)²` is a fixed two-op IEEE sequence; the mean rides
+    * the exact-decimal-sum discipline (DECIMAL(20,10) casts, order-free)
+    * with ONE final IEEE division. One counters row crosses the
+    * exchange. Empty input yields NULL, not an error.
+    *
+    * @return one row: (n, brier)
+    */
+  def brierScore(df: DataFrame, scoreCol: String, labelCol: String): DataFrame =
+    labeledScores(df, scoreCol, labelCol)
+      .select((col("__s") - col("__y").cast("double")).as("__r"))
+      .agg(count(lit(1)).as("n"),
+        sum((col("__r") * col("__r")).cast(DecimalType(20, 10))).as("__se"))
+      .select(col("n"),
+        when(col("n") > 0,
+          col("__se").cast("double") / col("n").cast("double")).as("brier"))
+
+  /** Shared eval-input framing: (score double, label int) with NULLs
+    * excluded and labels outside {0, 1} failing loudly in-plan (the
+    * [[aucExact]] guard).
+    */
+  private def labeledScores(df: DataFrame, scoreCol: String,
+      labelCol: String): DataFrame = {
+    val yGuard = coalesce(
+      assert_true(col("__y").isin(0, 1),
+        lit(s"$labelCol must be 0 or 1")).cast("int"),
+      lit(0))
+    df.select(col(scoreCol).cast("double").as("__s"),
+        col(labelCol).cast("int").as("__y"))
+      .filter(col("__s").isNotNull && col("__y").isNotNull)
+      .withColumn("__y", col("__y") + yGuard)
   }
 
   /** KEY-SKEW report — the one-row profile a pipeline owner reads before

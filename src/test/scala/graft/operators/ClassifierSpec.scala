@@ -1,0 +1,176 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** Trained quality classifier: planted low-quality docs must rank below
+  * planted reference-like docs after training; the fixed-point training
+  * trajectory is bit-exact against an independent in-memory model (the
+  * KMeansSpec discipline), partitioning-invariant, and loud on contract
+  * violations. Scoring is a zero-shuffle projection. aucExact: hand-
+  * computed midrank ties, extremes, degenerate classes.
+  */
+class ClassifierSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val RefWords = Seq("the", "model", "reads", "clean", "prose",
+    "about", "distributed", "query", "engines", "and", "storage")
+  private val SpamWords = Seq("click", "here", "free", "winner", "casino",
+    "bonus", "claim", "prize", "buy", "cheap", "now")
+
+  /** Deterministic synthetic corpus: id < 100 reference-like (label 1),
+    * id >= 100 low-quality (label 0); both mix in a shared connective so
+    * the classes are not trivially disjoint token sets.
+    */
+  private def corpus(nPerClass: Int): Seq[(Long, Int, String)] = {
+    val ref = (0 until nPerClass).map { i =>
+      val ws = (0 until 12).map(j => RefWords((i * 5 + j * 3) % RefWords.size))
+      (i.toLong, 1, (ws :+ "and").mkString(" "))
+    }
+    val spam = (0 until nPerClass).map { i =>
+      val ws = (0 until 12).map(j => SpamWords((i * 7 + j * 2) % SpamWords.size))
+      ((100 + i).toLong, 0, (ws :+ "and").mkString(" "))
+    }
+    ref ++ spam
+  }
+
+  // ---- independent in-memory replica of the fixed-point trainer ----
+  private def hash16Ref(token: String, salt: String): Int = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest((salt + token).getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    Integer.parseInt(hex.take(4), 16)
+  }
+
+  private def refTrain(docs: Seq[(Long, Int, String)], dim: Int,
+      epochs: Int, lrNum: Long, lrDen: Long, salt: String): Array[Long] = {
+    val s = Classifier.Scale
+    val feats = docs.map { case (_, y, text) =>
+      (y, text.toLowerCase.split(" ", -1).filter(_.nonEmpty)
+        .map(t => hash16Ref(t, salt) % dim))
+    }
+    val w = new Array[Long](dim + 1) // w(0) = bias
+    for (_ <- 1 to epochs) {
+      val g = new Array[Long](dim + 1)
+      var n = 0L
+      feats.foreach { case (y, bks) =>
+        val zfx = w(0) + bks.map(b => w(b + 1)).sum
+        val zd = zfx.toDouble / s
+        val p = 0.5 + (zd / 2.0) / (1.0 + math.abs(zd))
+        val efx = math.floor(p * s).toLong - y.toLong * s
+        n += 1
+        g(0) += efx
+        bks.foreach(b => g(b + 1) += efx)
+      }
+      // plain Java long division — truncation toward zero, matching
+      // Spark `div` and DuckDB `//` (probed, not assumed)
+      for (j <- w.indices)
+        w(j) -= (lrNum * g(j)) / (lrDen * n)
+    }
+    w
+  }
+
+  test("planted low-quality docs rank below planted reference-like docs") {
+    val docs = corpus(40).toDF("id", "y", "text")
+    val trained = Classifier.train(docs, "id", "text", "y",
+      dim = 64, epochs = 3, lrNum = 1, lrDen = 2, salt = "cs")
+    val wfx = Classifier.weights(trained)
+    val scored = Classifier.score(docs, "text", wfx, 64, "cs")
+      .select(col("y"), col("quality_p")).collect()
+      .map(r => r.getInt(0) -> r.getDouble(1))
+    val refMin = scored.collect { case (1, p) => p }.min
+    val spamMax = scored.collect { case (0, p) => p }.max
+    assert(spamMax < refMin,
+      s"every low-quality doc must score below every reference doc " +
+        s"(spam max $spamMax vs ref min $refMin)")
+    assert(refMin > 0.5 && spamMax < 0.5,
+      "the decision boundary must sit between the classes")
+  }
+
+  test("training is bit-exact against the independent in-memory model") {
+    val docs = corpus(15)
+    val got = Classifier.weights(Classifier.train(
+      docs.toDF("id", "y", "text"), "id", "text", "y",
+      dim = 32, epochs = 3, lrNum = 1, lrDen = 2, salt = "m"))
+    val want = refTrain(docs, 32, 3, 1, 2, "m").toSeq
+    assert(got == want, "fixed-point trajectory must match the model exactly")
+  }
+
+  test("training is partitioning-invariant bit-for-bit") {
+    val docs = corpus(25).toDF("id", "y", "text")
+    def weightsAt(parts: Int): Seq[Long] =
+      Classifier.weights(Classifier.train(docs.repartition(parts),
+        "id", "text", "y", dim = 48, epochs = 2, salt = "p"))
+    assert(weightsAt(1) == weightsAt(7))
+  }
+
+  test("NULL text is excluded from training; empty text scores bias-only") {
+    val docs = (corpus(10) ++ Seq((900L, 1, null: String), (901L, 0, "")))
+      .toDF("id", "y", "text")
+    val trained = Classifier.train(docs, "id", "text", "y",
+      dim = 32, epochs = 2, salt = "n")
+    // NULL-text doc must not shift training: same weights without it
+    val without = Classifier.train(
+      (corpus(10) :+ ((901L, 0, ""))).toDF("id", "y", "text"),
+      "id", "text", "y", dim = 32, epochs = 2, salt = "n")
+    assert(Classifier.weights(trained) == Classifier.weights(without))
+    val wfx = Classifier.weights(trained)
+    val s = Classifier.score(docs.filter(col("id") >= 900), "text", wfx, 32, "n")
+      .select(col("id"), col("z_fx")).collect()
+      .map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    assert(s(900L).isEmpty, "NULL text must score NULL")
+    assert(s(901L).contains(wfx.head), "empty text must score the bias alone")
+  }
+
+  test("labels outside {0,1} fail loudly") {
+    val docs = Seq((1L, 2, "some text"), (2L, 0, "other text"))
+      .toDF("id", "y", "text")
+    intercept[Exception] {
+      Classifier.train(docs, "id", "text", "y", dim = 16, epochs = 1).collect()
+    }
+  }
+
+  test("scoring is a zero-shuffle projection") {
+    val docs = corpus(10).toDF("id", "y", "text")
+    val wfx = Seq.fill(33)(1000L)
+    assert(Bucketing.exchangeCount(
+      Classifier.score(docs, "text", wfx, 32, "z")) == 0)
+  }
+
+  test("aucExact: midrank ties hand case, extremes, degenerate class") {
+    // scores 1(y0), 2(y0), 2(y1), 3(y1): pairs 3 wins + 1 tie → 3.5/4
+    val df = Seq((1L, 1.0, 0), (2L, 2.0, 0), (3L, 2.0, 1), (4L, 3.0, 1))
+      .toDF("id", "s", "y")
+    val r = Profiler.aucExact(df, "s", "y", "id").collect()(0)
+    assert(r.getLong(0) == 2L && r.getLong(1) == 2L)
+    assert(r.getDouble(2) == 0.875)
+    // perfect separation and its mirror
+    val sep = Seq((1L, 1.0, 0), (2L, 2.0, 0), (3L, 3.0, 1), (4L, 4.0, 1))
+      .toDF("id", "s", "y")
+    assert(Profiler.aucExact(sep, "s", "y", "id").collect()(0).getDouble(2) == 1.0)
+    val rev = Seq((1L, 4.0, 0), (2L, 3.0, 0), (3L, 2.0, 1), (4L, 1.0, 1))
+      .toDF("id", "s", "y")
+    assert(Profiler.aucExact(rev, "s", "y", "id").collect()(0).getDouble(2) == 0.0)
+    // one class only → NULL auc
+    val mono = Seq((1L, 1.0, 1), (2L, 2.0, 1)).toDF("id", "s", "y")
+    assert(Profiler.aucExact(mono, "s", "y", "id").collect()(0).isNullAt(2))
+    // bad label fails loudly
+    intercept[Exception] {
+      Profiler.aucExact(Seq((1L, 1.0, 3)).toDF("id", "s", "y"),
+        "s", "y", "id").collect()
+    }
+  }
+
+  test("trained classifier separates the classes by AUC 1.0 on the fixture") {
+    val docs = corpus(30).toDF("id", "y", "text")
+    val wfx = Classifier.weights(Classifier.train(docs, "id", "text", "y",
+      dim = 64, epochs = 3, salt = "a"))
+    val scored = Classifier.score(docs, "text", wfx, 64, "a")
+    val auc = Profiler.aucExact(scored, "quality_p", "y", "id")
+      .collect()(0).getDouble(2)
+    assert(auc == 1.0, s"fixture classes are separable; got AUC $auc")
+  }
+}

@@ -1,0 +1,158 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** Classifier-evaluation family beyond AUC: PR grid (hand-computed
+  * counters incl. NULL edges), best-F1 threshold (tie-break), reliability
+  * bins (boundary bin, exact mean, loud range guard), Brier score, and
+  * χ² feature attribution (bit-exact vs an independent in-memory model,
+  * presence semantics, all-docs bucket NULL, loud single-class guard).
+  */
+class EvalSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  // scores: (id, score, label) — 2 positives at 0.8/0.6, 2 negatives at 0.4/0.2
+  private def sep = Seq((1L, 0.8, 1), (2L, 0.6, 1), (3L, 0.4, 0), (4L, 0.2, 0))
+    .toDF("id", "s", "y")
+
+  test("prAtThresholds: hand counters, NULL precision above max score") {
+    val r = Profiler.prAtThresholds(sep, "s", "y", Seq("0.5", "0.1", "0.9"))
+      .orderBy(col("threshold")).collect()
+    // t=0.1: everything positive-predicted
+    assert(r(0).getLong(1) == 2 && r(0).getLong(2) == 2 && r(0).getLong(3) == 0)
+    assert(r(0).getDouble(4) == 0.5 && r(0).getDouble(5) == 1.0)
+    assert(r(0).getDouble(6) == 2.0 * 2 / (2 * 2 + 2 + 0))
+    // t=0.5: perfect split
+    assert(r(1).getLong(1) == 2 && r(1).getLong(2) == 0 && r(1).getLong(3) == 0)
+    assert(r(1).getDouble(4) == 1.0 && r(1).getDouble(5) == 1.0 && r(1).getDouble(6) == 1.0)
+    // t=0.9: nothing clears → precision NULL, recall 0, f1 0
+    assert(r(2).getLong(1) == 0 && r(2).getLong(2) == 0 && r(2).getLong(3) == 2)
+    assert(r(2).isNullAt(4))
+    assert(r(2).getDouble(5) == 0.0 && r(2).getDouble(6) == 0.0)
+  }
+
+  test("prAtThresholds: positive-free input leaves recall NULL, not an error") {
+    val neg = Seq((1L, 0.9, 0), (2L, 0.1, 0)).toDF("id", "s", "y")
+    val r = Profiler.prAtThresholds(neg, "s", "y", Seq("0.5")).collect()(0)
+    assert(r.isNullAt(5), "recall undefined with zero positives")
+    assert(r.getDouble(4) == 0.0, "precision = 0 when only negatives clear")
+    assert(r.getDouble(6) == 0.0, "f1 = 0 while fp > 0")
+    // entirely empty predicate side AND no positives → f1 NULL too
+    val r2 = Profiler.prAtThresholds(neg, "s", "y", Seq("0.95")).collect()(0)
+    assert(r2.isNullAt(4) && r2.isNullAt(5) && r2.isNullAt(6))
+  }
+
+  test("bestF1Threshold: max f1 wins, ties to the smallest threshold") {
+    // 0.5 and 0.55 both give the perfect split → f1 tie → pick 0.5
+    val r = Profiler.bestF1Threshold(sep, "s", "y",
+      Seq("0.9", "0.55", "0.5", "0.1")).collect()
+    assert(r.length == 1)
+    assert(r(0).getDouble(0) == 0.5)
+    assert(r(0).getDouble(6) == 1.0)
+  }
+
+  test("calibrationBins: boundary s=1.0 lands in the top bin; exact means; range guard") {
+    val df = Seq((1L, 1.0, 1), (2L, 0.95, 1), (3L, 0.25, 0), (4L, 0.0, 0))
+      .toDF("id", "s", "y")
+    val r = Profiler.calibrationBins(df, "s", "y", 10)
+      .orderBy(col("bin")).collect()
+    assert(r.map(_.getInt(0)).toSeq == Seq(0, 2, 9))
+    val top = r(2)
+    assert(top.getLong(1) == 2 && top.getLong(2) == 2)
+    assert(top.getDouble(3) == 0.975 && top.getDouble(4) == 1.0)
+    assert(r(0).getDouble(4) == 0.0)
+    intercept[Exception] {
+      Profiler.calibrationBins(Seq((1L, 1.5, 1)).toDF("id", "s", "y"),
+        "s", "y", 10).collect()
+    }
+  }
+
+  test("brierScore: hand value; empty input yields NULL") {
+    val df = Seq((1L, 0.9, 1), (2L, 0.2, 0)).toDF("id", "s", "y")
+    val r = Profiler.brierScore(df, "s", "y").collect()(0)
+    assert(r.getLong(0) == 2L)
+    // (0.1² + 0.2²)/2 = 0.025 — exact through the DECIMAL(20,10) path
+    assert(r.getDouble(1) == 0.025)
+    val e = Profiler.brierScore(
+      spark.emptyDataset[(Long, Double, Int)].toDF("id", "s", "y"),
+      "s", "y").collect()(0)
+    assert(e.getLong(0) == 0L && e.isNullAt(1))
+  }
+
+  // independent hash replica (the ClassifierSpec discipline)
+  private def hash16Ref(token: String, salt: String): Int = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest((salt + token).getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    Integer.parseInt(hex.take(4), 16)
+  }
+
+  test("chiSquareBuckets: bit-exact vs the in-memory model; presence semantics; all-docs bucket NULL") {
+    val dim = 32
+    val docs = Seq(
+      (1L, 1, "alpha alpha alpha shared"), // 'alpha' thrice counts once
+      (2L, 1, "alpha beta shared"),
+      (3L, 0, "gamma shared"),
+      (4L, 0, "gamma delta shared"))
+    val got = Features.chiSquareBuckets(docs.toDF("id", "y", "text"),
+        "text", "y", dim, topK = dim, salt = "x2")
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3))))
+    // in-memory model
+    val feats = docs.map { case (_, y, t) =>
+      (y, t.split(" ").map(w => hash16Ref(w, "x2") % dim).distinct) }
+    val p = feats.count(_._1 == 1).toLong
+    val n = feats.count(_._1 == 0).toLong
+    val byBucket = feats.flatMap { case (y, bs) => bs.map(_ -> y) }
+      .groupBy(_._1).map { case (b, ys) =>
+        val nd = ys.size.toLong
+        val a = ys.count(_._2 == 1).toLong
+        val chi2 =
+          if ((p + n) - nd == 0) None
+          else {
+            val aD = a.toDouble; val bD = (nd - a).toDouble
+            val cD = (p - a).toDouble; val dD = (n - (nd - a)).toDouble
+            val cross = aD * dD - bD * cD
+            Some(((p + n).toDouble * (cross * cross)) /
+              (((aD + bD) * (cD + dD)) * (p.toDouble * n.toDouble)))
+          }
+        (b, nd, a, chi2)
+      }.toSeq
+      .sortBy { case (b, _, _, c) => (-c.getOrElse(-1.0), b) }
+    // Spark sorts NULL chi2 last; mirror: None → treated as smallest
+    val want = byBucket.sortWith { case ((b1, _, _, c1), (b2, _, _, c2)) =>
+      (c1, c2) match {
+        case (Some(x), Some(y2)) => if (x != y2) x > y2 else b1 < b2
+        case (Some(_), None) => true
+        case (None, Some(_)) => false
+        case (None, None) => b1 < b2
+      }
+    }
+    assert(got.toSeq == want,
+      s"chi2 table must match the in-memory model\n got=${got.toSeq}\n want=$want")
+    // the shared token is in every doc → its bucket carries NULL chi2
+    val sharedBucket = hash16Ref("shared", "x2") % dim
+    assert(got.find(_._1 == sharedBucket).exists(_._4.isEmpty))
+    // 'alpha' appears in 2 docs (not 4 occurrences) — presence semantics
+    val alphaBucket = hash16Ref("alpha", "x2") % dim
+    assert(got.find(_._1 == alphaBucket).exists(_._2 == 2L))
+  }
+
+  test("chiSquareBuckets: single-class input fails loudly; bad label fails loudly") {
+    intercept[Exception] {
+      Features.chiSquareBuckets(
+        Seq((1L, 1, "a"), (2L, 1, "b")).toDF("id", "y", "text"),
+        "text", "y", 16, topK = 5).collect()
+    }
+    intercept[Exception] {
+      Features.chiSquareBuckets(
+        Seq((1L, 2, "a"), (2L, 0, "b")).toDF("id", "y", "text"),
+        "text", "y", 16, topK = 5).collect()
+    }
+  }
+}
