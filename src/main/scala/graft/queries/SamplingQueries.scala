@@ -528,6 +528,12 @@ object SamplingQueries extends QueryModule {
             size(col("sk")).as("n_kept"),
             when(size(col("sk")) >= k, element_at(col("sk"), k)).as("kth_hash"),
             Sketches.kmvEstimate(col("sk"), k).as("est_distinct"),
+            // the estimator's resolution rides NEXT TO the estimate
+            // (round-10 verdict item 6): RSE ≈ 1/√(k−2), exactly 0.0 on
+            // the under-full (exact) path — a consumer reading
+            // est_distinct can no longer mistake a k=128 sketch (~8.9%
+            // error) for an exact count
+            Sketches.kmvRelError(col("sk"), k).as("rel_err"),
             col("exact_distinct"))
           .orderBy(col("o_orderpriority"))
       },
@@ -553,6 +559,8 @@ object SamplingQueries extends QueryModule {
                CASE WHEN s.n_kept < 128 THEN CAST(s.n_kept AS DOUBLE)
                     ELSE 35747322042253312.0 / CAST(s.kth_hash AS DOUBLE)
                END AS est_distinct,
+               CASE WHEN s.n_kept < 128 THEN 0e0
+                    ELSE 1e0 / sqrt(126e0) END AS rel_err,
                e.exact_distinct
         FROM s JOIN e USING (o_orderpriority) ORDER BY o_orderpriority
       """.trim),
