@@ -369,6 +369,57 @@ object Profiler {
         (col("pos").cast("double") / col("n").cast("double")).as("pos_rate"))
   }
 
+  /** ISOTONIC CALIBRATION over the fixed score bins — the standard
+    * monotone recalibration (Zadrozny & Elkan 2002): fit the
+    * best-monotone step function to the per-bin empirical positive
+    * rates, weighted by bin size. Where [[calibrationBins]] DIAGNOSES
+    * miscalibration, this fits the correction a deployment applies.
+    *
+    * Computed by the minimax CLOSED FORM rather than the sequential
+    * pool-adjacent-violators sweep:
+    * `iso_p(i) = max_{j≤i} min_{k≥i} rate(j..k)` over bin-range
+    * weighted averages — mathematically identical to PAV, but a fixed
+    * plan shape (no data-dependent iteration), so the oracle replays it
+    * as three joins over the B-sized bin frame. B is bounded (≤ 128
+    * here: the closed form is B³ PAIRS of bin-frame rows — trivially
+    * small, and NEVER corpus-sized; the corpus contributes exactly the
+    * one binning aggregate of [[calibrationBins]]).
+    *
+    * Determinism: range sums are exact longs; each range rate is ONE
+    * IEEE division (identical bits in any engine given the same longs),
+    * and min/max over identical doubles are engine-independent.
+    *
+    * @return one row per NON-EMPTY bin: (bin, n, pos, raw_rate, iso_p),
+    *         with iso_p monotone non-decreasing in bin.
+    */
+  def isotonicCalibration(df: DataFrame, scoreCol: String, labelCol: String,
+      bins: Int): DataFrame = {
+    require(bins >= 2 && bins <= 128,
+      s"bins ($bins) out of [2, 128] — the closed form is cubic in bins")
+    val binned = calibrationBins(df, scoreCol, labelCol, bins)
+      .select(col("bin"), col("n"), col("pos"))
+    // all (j ≤ k) bin ranges with their weighted rates: one IEEE division
+    // over exact long range sums
+    val ranges = binned.select(col("bin").as("__j"))
+      .join(binned.select(col("bin").as("__k")), col("__j") <= col("__k"))
+      .join(binned.select(col("bin").as("__b"), col("n"), col("pos")),
+        col("__b") >= col("__j") && col("__b") <= col("__k"))
+      .groupBy(col("__j"), col("__k"))
+      .agg((sum(col("pos")).cast("double") / sum(col("n")).cast("double"))
+        .as("__rate"))
+    // iso_p(i) = max over j ≤ i of (min over k ≥ i of rate(j, k))
+    val inner = binned.select(col("bin").as("__i"))
+      .join(ranges, col("__j") <= col("__i") && col("__k") >= col("__i"))
+      .groupBy(col("__i"), col("__j"))
+      .agg(min(col("__rate")).as("__m"))
+      .groupBy(col("__i"))
+      .agg(max(col("__m")).as("iso_p"))
+    binned.join(inner, col("bin") === col("__i"))
+      .select(col("bin"), col("n"), col("pos"),
+        (col("pos").cast("double") / col("n").cast("double")).as("raw_rate"),
+        col("iso_p"))
+  }
+
   /** BRIER SCORE — mean squared error of the predicted probability
     * against the 0/1 label (Brier 1950): the single proper-scoring-rule
     * number next to [[calibrationBins]]' table. Per row the residual

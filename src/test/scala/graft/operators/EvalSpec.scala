@@ -83,6 +83,30 @@ class EvalSpec extends AnyFunSuite {
     assert(e.getLong(0) == 0L && e.isNullAt(1))
   }
 
+  test("isotonicCalibration: PAV hand case — violators pool, totals preserved, monotone") {
+    // bin0 rate 0.5 (n=2), bin1 rate 0.0 (n=2) — violation → pool to
+    // 0.25; bin9 rate 1.0 stands: iso = [0.25, 0.25, 1.0]
+    val df = Seq((1L, 0.05, 1), (2L, 0.06, 0), (3L, 0.15, 0), (4L, 0.16, 0),
+      (5L, 0.95, 1)).toDF("id", "s", "y")
+    val r = Profiler.isotonicCalibration(df, "s", "y", 10)
+      .orderBy(col("bin")).collect()
+    assert(r.map(_.getInt(0)).toSeq == Seq(0, 1, 9))
+    assert(r.map(_.getDouble(4)).toSeq == Seq(0.25, 0.25, 1.0))
+    assert(r(0).getDouble(3) == 0.5 && r(1).getDouble(3) == 0.0)
+    // weighted total preserved exactly on this fixture: Σ n·iso = Σ pos
+    assert(r.map(x => x.getLong(1) * x.getDouble(4)).sum ==
+      r.map(_.getLong(2)).sum.toDouble)
+    // already-monotone input is a fixpoint (iso == raw)
+    val mono = Seq((1L, 0.05, 0), (2L, 0.15, 0), (3L, 0.16, 1),
+      (4L, 0.95, 1)).toDF("id", "s", "y")
+    val m = Profiler.isotonicCalibration(mono, "s", "y", 10)
+      .orderBy(col("bin")).collect()
+    assert(m.forall(x => x.getDouble(3) == x.getDouble(4)))
+    // monotone non-decreasing always
+    val seq = r.map(_.getDouble(4)).toSeq
+    assert(seq == seq.sorted)
+  }
+
   // independent hash replica (the ClassifierSpec discipline)
   private def hash16Ref(token: String, salt: String): Int = {
     val md = java.security.MessageDigest.getInstance("MD5")
