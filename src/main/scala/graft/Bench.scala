@@ -82,7 +82,8 @@ object Bench {
   def record(results: Seq[(String, Double)], repeats: Int, leakedRdds: Int,
       sfDir: String, shorten: Boolean, calib: Seq[Double] = Nil,
       rechecked: Int = 0, raw: Seq[(String, Double)] = Nil,
-      builds: Seq[(String, Double)] = Nil): String = {
+      builds: Seq[(String, Double)] = Nil,
+      rotation: Seq[String] = Nil, dropped: Seq[String] = Nil): String = {
     def render(coarse: Boolean, minimal: Boolean = false): String = {
       def qmap(entries: Seq[(String, Double)]): String = entries.map { case (k, v) =>
         // stdout renders the error sentinel as bare "-1": unmistakable, and
@@ -140,7 +141,27 @@ object Bench {
         }
       }
       val calibOut = if (minimal) "" else s""""calib":$calibJson,"""
-      s"""{"metric":"total","value":$total,"unit":"sec",$repeatsOut$errorsOut"rechecked":$rechecked,$rawOut$buildOut$calibOut$calibNormOut$leakedOut"queries":${qmap(results)},"sf":"$sfOut"}"""
+      // Rotation audit (round-10 verdict item 4): `rot` marks this
+      // round's Verify-only cohort rows (end-to-end certification costs,
+      // not steady query-latency rows); `drop` lists the cheap stable
+      // rows removed to make stdout room. bench.json carries both as
+      // full-name arrays; stdout compresses rot to a short-key '+'
+      // string and derives drop by diffing against the committed record.
+      val rotOut =
+        if (shorten) {
+          if (rotation.isEmpty || minimal) ""
+          else s""""rot":"${rotation.map(shortKey).mkString("+")}","""
+        } else {
+          val r = rotation.map("\"" + _ + "\"").mkString("[", ",", "]")
+          val d = dropped.map("\"" + _ + "\"").mkString("[", ",", "]")
+          s""""rot":$r,"drop":$d,"""
+        }
+      // minimal (the last clamp level) sheds `rechecked` too — a
+      // diagnostic, not part of the driver's parse contract; bench.json
+      // always carries it
+      val recheckedOut =
+        if (shorten && minimal) "" else s""""rechecked":$rechecked,"""
+      s"""{"metric":"total","value":$total,"unit":"sec",$repeatsOut$errorsOut$recheckedOut$rawOut$buildOut$calibOut$calibNormOut$rotOut$leakedOut"queries":${qmap(results)},"sf":"$sfOut"}"""
     }
     // Self-clamp (stdout only), progressive: if the centisecond form
     // would outgrow the driver's tail buffer, fall back ONE precision
@@ -234,6 +255,26 @@ object Bench {
         if (priorSf.contains(sfDir)) p else Map.empty
       }
     }
+    // Rotation headroom, ONE-FOR-ONE: a cohort row enters only when a
+    // cheap STABLE row (smallest committed median — the row a regression
+    // is least likely to hide in, and whose absence costs the least
+    // signal) makes room for it, so the bench list NEVER exceeds the
+    // steady size — the stdout tail budget is sized to the steady list
+    // and the self-clamp must stay a fallback, not the regular path.
+    // Indexed split queries and the cohort itself are never dropped;
+    // with no usable prior (first run at an sf) there is nothing to rank
+    // drops by and the whole cohort sits out.
+    val cohortAll = SparkEntry.rotationCohort
+    val dropped: Seq[String] =
+      if (prior.isEmpty) Nil
+      else SparkEntry.benchQueries.keys.toSeq
+        .filterNot(cohortAll.contains)
+        .filterNot(SparkEntry.benchIndexed.contains)
+        .flatMap(n => prior.get(n).filter(_ > 0).map(n -> _))
+        .sortBy(_._2).take(cohortAll.size).map(_._1)
+    val rotation = cohortAll.take(dropped.size)
+    val benchList =
+      SparkEntry.benchQueries -- cohortAll.drop(dropped.size) -- dropped
     var rechecked = 0
     val rawMedians = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
     // Per query: run `repeats` times and keep the MEDIAN, so one contended
@@ -244,7 +285,7 @@ object Bench {
     // InternalRow RDD must produce ALL output columns, so projection-shaped
     // queries (q60-q62, q49) actually execute their expressions.
     val builds = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
-    val results = SparkEntry.benchQueries.map { case (name, fn) =>
+    val results = benchList.map { case (name, fn) =>
       // Index-certifying queries build their stored index ONCE here, then
       // the repeats time only the probe — re-paying the certification
       // writes per repeat measured ingest, not query latency (and was the
@@ -332,7 +373,8 @@ object Bench {
     // The committed record keeps full query names for humans and the judge.
     val fileJson = record(ordered, repeats, leakedRdds, sfDir,
       shorten = false, calib = calib, rechecked = rechecked,
-      raw = rawMedians.toSeq, builds = builds.toSeq)
+      raw = rawMedians.toSeq, builds = builds.toSeq,
+      rotation = rotation, dropped = dropped)
     // The STDOUT line is what the driver tail-captures, and its buffer is
     // exactly 2000 chars (BENCH_r03: 2.5 KB line → truncated → parsed:null
     // three rounds running). Full names + full-precision doubles cannot
@@ -349,7 +391,7 @@ object Bench {
     val stdoutJson = record(ordered, repeats, leakedRdds, sfDir,
       shorten = true, calib = calib, rechecked = rechecked,
       raw = rawMedians.toSeq.sortBy(-_._2).take(3),
-      builds = builds.toSeq)
+      builds = builds.toSeq, rotation = rotation, dropped = dropped)
     // Drop the full record in well-known files first: sbt may decorate
     // stdout, and the driver needs one clean machine-readable JSON line.
     for (p <- Seq("/tmp/bench.json", "bench.json")) {

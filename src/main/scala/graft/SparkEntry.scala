@@ -27,7 +27,8 @@ object SparkEntry {
     _root_.graft.queries.SemiStructuredQueries,
     _root_.graft.queries.SamplingQueries,
     _root_.graft.queries.CurationQueries,
-    _root_.graft.queries.GraphQueries)
+    _root_.graft.queries.GraphQueries,
+    _root_.graft.queries.ClassifierQueries)
 
   lazy val registry: Seq[GQuery] = modules.flatMap(_.all)
 
@@ -45,13 +46,48 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     registry.flatMap(q => q.oracle.map(q.name -> _)).toMap
 
-  /** Subset used by Bench at sf0.1. */
-  def benchQueries: Map[String, (SparkSession, String) => DataFrame] =
-    registry.filter(_.bench).map(q => q.name -> q.fn).toMap
+  /** BENCH ROTATION (round-10 verdict item 4): ~60 of the gates ride
+    * Verify-only under the bounded ~160-row bench list, so a plan
+    * regression in them would be invisible between rounds (GatePlanSpec
+    * pins exchange counts but not wall time). Each round a deterministic
+    * cohort of [[RotationSize]] Verify-only gates joins the bench list —
+    * and Bench drops the cheapest stable rows from the committed
+    * baseline to stay inside the driver's 2000-char stdout tail budget.
+    * Bump [[rotationRound]] once per round; the cohort is a wrapping
+    * slice of the SORTED Verify-only names, so over ~8 rounds every
+    * Verify-only gate gets a timing row. Rotation rows are certification
+    * -shaped (layout writes, sink roundtrips, streaming micro-runs) —
+    * their number measures the gate end-to-end (ingest included), which
+    * is exactly the regression canary the rotation exists to provide;
+    * the record marks them in its `rot` field so a reader never
+    * confuses them with steady query-latency rows.
+    */
+  val rotationRound: Int = 11
+  val RotationSize: Int = 8
+
+  def rotationCohort: Seq[String] = {
+    val pool = registry.filterNot(_.bench).map(_.name).sorted
+    if (pool.isEmpty) Nil
+    else {
+      val start = ((rotationRound - 11) * RotationSize) % pool.size
+      (0 until math.min(RotationSize, pool.size))
+        .map(i => pool((start + i) % pool.size))
+    }
+  }
+
+  /** Subset used by Bench at sf0.1: the steady bench-flagged rows plus
+    * this round's rotation cohort.
+    */
+  def benchQueries: Map[String, (SparkSession, String) => DataFrame] = {
+    val rot = rotationCohort.toSet
+    registry.filter(q => q.bench || rot(q.name)).map(q => q.name -> q.fn).toMap
+  }
 
   /** Bench queries with a build/probe split (stored-index certification):
     * Bench runs build once outside its repeat loop and times the probe,
     * so the recorded median is query latency, not re-paid ingest writes.
+    * (Rotation-cohort gates keep their full self-building fn — the
+    * one-round end-to-end number IS the rotation's purpose.)
     */
   def benchIndexed: Map[String, GQuery.IndexedParts] =
     registry.filter(_.bench)

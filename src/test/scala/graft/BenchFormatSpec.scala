@@ -23,7 +23,13 @@ class BenchFormatSpec extends AnyFunSuite {
     //  - all errored (the sentinel renders as bare "-1" on stdout — the
     //    NARROWEST profile, looped to pin that stays true).
     for (value <- Seq(9.994, 999.999, Bench.ErrSentinel)) {
-      val worst = names.map(_ -> value)
+      // Bench.main's HARD row-count invariant: a rotation-cohort row
+      // enters only one-for-one with a dropped steady row (no prior →
+      // the whole cohort sits out), so the timed list never exceeds
+      // steady size = benchQueries minus the cohort. Model exactly that
+      // many rows — row COUNT, not which names, is what the budget sees.
+      val worst = names.take(names.size - SparkEntry.RotationSize)
+        .map(_ -> value)
       // raw is capped at 3 entries on the stdout record (Bench.main) so a
       // pathologically contended run can't blow the tail buffer; builds
       // carries one entry per GQuery.indexed bench query. record() itself
@@ -31,10 +37,13 @@ class BenchFormatSpec extends AnyFunSuite {
       // coarser with the stdout raw list dropped (bench.json keeps the
       // full form), so the line can never outgrow the driver's capture.
       val worstBuilds = SparkEntry.benchIndexed.keys.toSeq.map(_ -> 999.999)
+      // rotation rides the stdout record too — model the full cohort
+      // (worst case: benchQueries already includes it AND nothing was
+      // droppable, e.g. a first run at an sf with no committed prior)
       val line = Bench.record(worst, repeats = 3, leakedRdds = 0,
         sfDir = "/root/testdata/sf0.1", shorten = true,
         calib = Seq(999.999, 999.999), rechecked = 99, raw = worst.take(3),
-        builds = worstBuilds)
+        builds = worstBuilds, rotation = SparkEntry.rotationCohort)
       assert(line.length <= Bench.StdoutBudget,
         s"stdout bench line ${line.length} chars at uniform value $value — " +
           "the self-clamp failed to hold the record inside the 2000-char " +
@@ -133,6 +142,39 @@ class BenchFormatSpec extends AnyFunSuite {
       Set("q28_incremental_dedup", "q71_ann_ivf", "q116_semdedup_incremental",
         "q118_pq_topk", "q119_ivfpq_topk", "q120_ivfpq_stored",
         "q121_pq_rerank", "q123_ivfpq_residual", "q196_bm25_indexed"))
+  }
+
+  test("rotation cohort and dropped rows ride the record; cohort is deterministic") {
+    val rot = Seq("q09_shard_roundtrip", "q40_csv_roundtrip")
+    val drop = Seq("q05_dim_date")
+    val full = Bench.record(Seq("q01_ok" -> 2.0), repeats = 3, leakedRdds = 0,
+      sfDir = "/tmp/sf", shorten = false, rotation = rot, dropped = drop)
+    assert(full.contains(""""rot":["q09_shard_roundtrip","q40_csv_roundtrip"]"""),
+      s"bench.json must name the rotation cohort in full: $full")
+    assert(full.contains(""""drop":["q05_dim_date"]"""),
+      s"bench.json must name the dropped rows: $full")
+    // stdout compresses rot to short keys and omits drop (derivable by
+    // diffing against the committed record)
+    val stdout = Bench.record(Seq("q01_ok" -> 2.0), repeats = 3, leakedRdds = 0,
+      sfDir = "/tmp/sf", shorten = true, rotation = rot, dropped = drop)
+    assert(stdout.contains(""""rot":"q09+q40""""), s"stdout rot short form: $stdout")
+    assert(!stdout.contains("drop"))
+    // empty-rotation records keep a constant full-form shape, no stdout field
+    val none = Bench.record(Seq("q01_ok" -> 2.0), repeats = 3, leakedRdds = 0,
+      sfDir = "/tmp/sf", shorten = false)
+    assert(none.contains(""""rot":[],"drop":[]"""))
+    assert(!Bench.record(Seq("q01_ok" -> 2.0), repeats = 3, leakedRdds = 0,
+      sfDir = "/tmp/sf", shorten = true).contains("rot"))
+    // the registry's cohort: RotationSize Verify-only gates, all present
+    // in this round's bench list, none of them steady bench rows
+    val cohort = SparkEntry.rotationCohort
+    assert(cohort.size == SparkEntry.RotationSize)
+    val verifyOnly = SparkEntry.registry.filterNot(_.bench).map(_.name).toSet
+    assert(cohort.forall(verifyOnly), s"cohort must be Verify-only gates: $cohort")
+    assert(cohort.forall(SparkEntry.benchQueries.contains),
+      "cohort gates must ride this round's bench list")
+    assert(cohort.distinct == cohort,
+      "cohort must not repeat a gate within a round")
   }
 
   test("record stays valid JSON under a comma-decimal default locale") {
