@@ -439,6 +439,51 @@ object Profiler {
         when(col("n") > 0,
           col("__se").cast("double") / col("n").cast("double")).as("brier"))
 
+  /** CATEGORICAL DRIFT between two snapshots — the χ² test of
+    * homogeneity over a category column (did the event-type / language /
+    * source mix CHANGE between last week's corpus and this week's?), the
+    * monitoring check a pipeline owner runs before retraining on a new
+    * snapshot. Chosen over PSI deliberately: PSI needs ln, which is NOT
+    * correctly rounded in libm and would drift across engines; χ² is
+    * pure arithmetic (the repo's entropy-avoidance precedent).
+    *
+    * Per category i with counts (aᵢ, bᵢ), side totals (A, B), N = A + B:
+    * expected eₐ = A·(aᵢ+bᵢ)/N, e_b = B·(aᵢ+bᵢ)/N, contribution
+    * `(aᵢ−eₐ)²/eₐ + (bᵢ−e_b)²/e_b` — exact long counts, ONE fixed IEEE
+    * sequence per row (mirrored operation for operation by the oracle).
+    * Σ contributions ~ χ²(categories−1) under "no drift". An empty side
+    * fails loudly (there is nothing to compare); a category absent from
+    * one side contributes its full expected mass — the standard table.
+    *
+    * Scale: ONE union scan → category-bounded hash aggregate (map-side
+    * partials) → broadcast one-row totals → row-local projection. The
+    * snapshots never shuffle.
+    *
+    * @return one row per category: (category, n_a, n_b, chi2_part)
+    */
+  def categoryDrift(a: DataFrame, b: DataFrame, keyCol: String): DataFrame = {
+    val u = a.select(col(keyCol).as("category"), lit(1L).as("__ia"))
+      .unionByName(b.select(col(keyCol).as("category"), lit(0L).as("__ia")))
+    val perCat = u.groupBy(col("category"))
+      .agg(sum(col("__ia")).as("n_a"), sum(lit(1L) - col("__ia")).as("n_b"))
+    val totals = u.agg(sum(col("__ia")).as("__A"),
+      sum(lit(1L) - col("__ia")).as("__B"))
+    val abGuard = coalesce(
+      assert_true(col("__A") > 0 && col("__B") > 0,
+        lit("categoryDrift: both snapshots must be non-empty"))
+        .cast("double"),
+      lit(0.0))
+    val nD = (col("__A") + col("__B")).cast("double") + abGuard
+    val rowD = (col("n_a") + col("n_b")).cast("double")
+    val eA = (col("__A").cast("double") * rowD) / nD
+    val eB = (col("__B").cast("double") * rowD) / nD
+    val dA = col("n_a").cast("double") - eA
+    val dB = col("n_b").cast("double") - eB
+    perCat.crossJoin(broadcast(totals))
+      .select(col("category"), col("n_a"), col("n_b"),
+        ((dA * dA) / eA + (dB * dB) / eB).as("chi2_part"))
+  }
+
   /** Shared eval-input framing: (score double, label int) with NULLs
     * excluded and labels outside {0, 1} failing loudly in-plan (the
     * [[aucExact]] guard).

@@ -481,6 +481,67 @@ object DqQueries extends QueryModule {
         SELECT digit, cnt, freq, expected, ABS(freq - expected) AS abs_dev
         FROM f ORDER BY digit
       """.trim),
+      bench = false),
+
+    // --- Categorical drift (χ² homogeneity) between two snapshots — the
+    // "did the mix change before I retrain?" monitor: even-keyed events
+    // vs odd-keyed events with extra purchase rows PLANTED into the
+    // second snapshot, so the purchase row carries visible drift mass
+    // while the untouched types sit near zero. χ² (not PSI): PSI needs
+    // ln, whose last ulp is mathlib-specific; χ² is exact longs + one
+    // pinned IEEE sequence per category the oracle mirrors exactly. ---
+    GQuery(
+      "q232_category_drift",
+      (spark, dir) => {
+        val e = Tables.events(spark, dir)
+          .select(col("event_id"), col("event_type"))
+        val a = e.filter(col("event_id") % 2 === 0)
+        val b = e.filter(col("event_id") % 2 === 1)
+          .unionByName(e.filter(col("event_type") === "purchase"
+              && col("event_id") % 4 === 0)
+            .select((col("event_id") + 1000000000L).as("event_id"),
+              col("event_type")))
+          .select(col("event_id"), col("event_type"))
+        graft.operators.Profiler.categoryDrift(a, b, "event_type")
+          .orderBy(col("category"))
+      },
+      Some("""
+        WITH a AS (SELECT event_type FROM events WHERE event_id % 2 = 0),
+        b AS (SELECT event_type FROM events WHERE event_id % 2 = 1
+              UNION ALL
+              SELECT event_type FROM events
+              WHERE event_type = 'purchase' AND event_id % 4 = 0),
+        cat AS (
+          SELECT category,
+                 CAST(SUM(ia) AS BIGINT) AS n_a,
+                 CAST(SUM(1 - ia) AS BIGINT) AS n_b
+          FROM (SELECT event_type AS category, 1 AS ia FROM a
+                UNION ALL
+                SELECT event_type, 0 FROM b)
+          GROUP BY 1),
+        tot AS (SELECT CAST(SUM(n_a) AS BIGINT) AS ta,
+                       CAST(SUM(n_b) AS BIGINT) AS tb
+                FROM cat)
+        SELECT category, n_a, n_b,
+               ((CAST(n_a AS DOUBLE)
+                   - (CAST(ta AS DOUBLE) * CAST(n_a + n_b AS DOUBLE))
+                     / CAST(ta + tb AS DOUBLE))
+                * (CAST(n_a AS DOUBLE)
+                   - (CAST(ta AS DOUBLE) * CAST(n_a + n_b AS DOUBLE))
+                     / CAST(ta + tb AS DOUBLE)))
+               / ((CAST(ta AS DOUBLE) * CAST(n_a + n_b AS DOUBLE))
+                  / CAST(ta + tb AS DOUBLE))
+               + ((CAST(n_b AS DOUBLE)
+                   - (CAST(tb AS DOUBLE) * CAST(n_a + n_b AS DOUBLE))
+                     / CAST(ta + tb AS DOUBLE))
+                * (CAST(n_b AS DOUBLE)
+                   - (CAST(tb AS DOUBLE) * CAST(n_a + n_b AS DOUBLE))
+                     / CAST(ta + tb AS DOUBLE)))
+               / ((CAST(tb AS DOUBLE) * CAST(n_a + n_b AS DOUBLE))
+                  / CAST(ta + tb AS DOUBLE)) AS chi2_part
+        FROM cat CROSS JOIN tot
+        ORDER BY category
+      """.trim),
       bench = false)
   )
 }

@@ -107,6 +107,29 @@ class EvalSpec extends AnyFunSuite {
     assert(seq == seq.sorted)
   }
 
+  test("categoryDrift: hand χ² contributions, one-sided category, loud empty side") {
+    // A: x,x,x,y — B: x,y,y,y → per category e = 2, dev = 1 → 0.5+0.5 = 1.0
+    val a = Seq("x", "x", "x", "y").toDF("k")
+    val b = Seq("x", "y", "y", "y").toDF("k")
+    val r = Profiler.categoryDrift(a, b, "k").orderBy(col("category"))
+      .collect().map(x => (x.getString(0), x.getLong(1), x.getLong(2),
+        x.getDouble(3)))
+    assert(r.toSeq == Seq(("x", 3L, 1L, 1.0), ("y", 1L, 3L, 1.0)))
+    // identical mixes → zero drift everywhere
+    val z = Profiler.categoryDrift(a, a, "k").collect().map(_.getDouble(3))
+    assert(z.forall(_ == 0.0))
+    // a category absent from one side still contributes its expected mass
+    val c = Seq("x", "z").toDF("k")
+    val oneSided = Profiler.categoryDrift(c, Seq("x").toDF("k"), "k")
+      .collect().map(x => x.getString(0) -> x.getDouble(3)).toMap
+    // z: row=1, eA=2/3, eB=1/3 → (1/3)²/(2/3) + (1/3)²/(1/3) = 1/6 + 1/3
+    assert(math.abs(oneSided("z") - 0.5) < 1e-12)
+    intercept[Exception] {
+      Profiler.categoryDrift(a, spark.emptyDataset[String].toDF("k"), "k")
+        .collect()
+    }
+  }
+
   // independent hash replica (the ClassifierSpec discipline)
   private def hash16Ref(token: String, salt: String): Int = {
     val md = java.security.MessageDigest.getInstance("MD5")
