@@ -396,8 +396,15 @@ object Profiler {
       bins: Int): DataFrame = {
     require(bins >= 2 && bins <= 128,
       s"bins ($bins) out of [2, 128] — the closed form is cubic in bins")
-    val binned = calibrationBins(df, scoreCol, labelCol, bins)
-      .select(col("bin"), col("n"), col("pos"))
+    // checkpoint the B-row bin frame ONCE: it feeds five plan arms (j, k,
+    // range membership, the outer frame, and the final join) and an
+    // un-materialized lineage would replay the CORPUS binning aggregate
+    // per arm — 5 corpus scans instead of 1 (caught by the plan probe:
+    // 17 exchanges → 5). B ≤ 128 rows; the pinned footprint is trivial
+    // and backs the returned frame itself (the reap contract).
+    val binned = graft.core.Caching.reap(
+      calibrationBins(df, scoreCol, labelCol, bins)
+        .select(col("bin"), col("n"), col("pos")))
     // all (j ≤ k) bin ranges with their weighted rates: one IEEE division
     // over exact long range sums
     val ranges = binned.select(col("bin").as("__j"))

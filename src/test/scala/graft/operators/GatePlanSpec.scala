@@ -294,7 +294,29 @@ class GatePlanSpec extends AnyFunSuite {
     "q219_trend_slopes" -> (3, 0),
     "q220_cusum" -> (3, 0),
     // q221 pins the post-checkpoint assembly (the q173 convention)
-    "q221_personalized_pr" -> (1, 0))
+    "q221_personalized_pr" -> (1, 0),
+    // round-11 classifier/eval family. Training happens DRIVER-SIDE in
+    // the gate fn (weights collect — the codebook precedent), so these
+    // pin the returned SCORING/EVAL plan: q223 = docs spread ×2 union
+    // branches + output sort (scoring itself is the zero-shuffle
+    // projection ClassifierSpec pins); q224 adds the rank pass; q225/
+    // q226/q228 = spread ×2 + ONE counters aggregate (the whole PR grid
+    // in one corpus scan — no per-threshold or per-distinct-score
+    // shuffles); q227 adds the bin aggregate; q229 = spread ×2 +
+    // presence agg + dim-bounded agg + TakeOrdered, totals broadcast;
+    // q230 pins the post-checkpoint assembly over the B-row bin frame
+    // (the corpus's ONE binning aggregate runs at reap time — an
+    // unmaterialized lineage measured 17 exchanges = 5 corpus replays);
+    // q232 = ONE union scan + category agg + sort, totals broadcast
+    "q223_quality_classifier" -> (3, 0),
+    "q224_classifier_auc" -> (4, 1),
+    "q225_pr_curve" -> (3, 0),
+    "q226_best_f1" -> (3, 0),
+    "q227_calibration" -> (4, 0),
+    "q228_brier" -> (3, 0),
+    "q229_chi2_features" -> (6, 1),
+    "q230_isotonic" -> (5, 0),
+    "q232_category_drift" -> (3, 1))
 
   test("q107's ORC read-back pushes its predicate and projection into the scan") {
     import org.apache.spark.sql.functions.col
