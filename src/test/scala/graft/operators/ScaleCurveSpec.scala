@@ -465,4 +465,22 @@ class ScaleCurveSpec extends AnyFunSuite {
       Similarity.bruteForceTopK(queries, d, "vec_id", "embedding", 64, k = 10)
     curve("heap_tail_bruteforce", op, embs, amp)
   }
+
+  test("classifier training scales ~linearly (one corpus scan per epoch)") {
+    // Full-batch fixed-point training's scale claim: each epoch is ONE
+    // corpus scan folding into the dim-sized LinearGradAgg (n + dim + 1
+    // longs per partition cross the exchange) plus dim-sized weight
+    // algebra, so 10x documents = 10x scan work and nothing else. The
+    // returned frame is the post-checkpoint weights row, so the exchange
+    // equality here pins the assembly; the timing curve is the claim.
+    // ampText's id shift is even → doc_id parity (the label) survives
+    // amplification and both classes grow 10x together.
+    val docs = table("documents").select($"doc_id", $"text")
+    val amp = ampText(docs, "doc_id", Seq("text"), 1000000L)
+    def op(d: DataFrame): DataFrame =
+      Classifier.train(
+        d.withColumn("y", (col("doc_id") % 2).cast("int")),
+        "doc_id", "text", "y", dim = 64, epochs = 2, salt = "sc")
+    curve("classifier_train", op, docs, amp)
+  }
 }
