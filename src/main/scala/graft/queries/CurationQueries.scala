@@ -591,6 +591,92 @@ object CurationQueries extends QueryModule {
       },
       Some(bpeEncodeOracle)),
 
+    // --- Tokenizer FERTILITY / compression report — the tokenizer-eval
+    // metric read per language before shipping a vocabulary: fertility =
+    // tokens per word (a high-fertility language is under-served by the
+    // learned merges and pays more sequence length for the same text),
+    // compression = characters per token. Train 4 BPE rounds, encode
+    // with the native expression (zero-shuffle projection), aggregate
+    // exact longs per language, ONE IEEE division per ratio. The oracle
+    // replays training + encode through the q148 CTE chain and the same
+    // aggregation. ---
+    GQuery(
+      "q233_tokenizer_fertility",
+      (spark, dir) => {
+        val docs = Tables.docs(spark, dir)
+        val t = graft.operators.Bpe.train(docs, "text", 4)
+        val ms = graft.operators.Bpe.mergePairs(t)
+        t.words.unpersist()
+        val enc = graft.operators.Bpe.encodeNative(docs, "doc_id", "text", ms)
+        val chars = docs.select(col("doc_id"), col("lang"),
+          aggregate(
+            org.apache.spark.sql.functions.filter(
+              split(lower(col("text")), " "), w => w =!= ""),
+            lit(0L), (s, w) => s + length(w).cast("long")).as("n_chars"))
+        chars.join(enc, "doc_id")
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_words")).as("words"),
+            sum(col("n_tokens")).as("tokens"),
+            sum(col("n_chars")).as("chars"))
+          .select(col("lang"), col("n_docs"), col("words"), col("tokens"),
+            col("chars"),
+            when(col("words") > 0,
+              col("tokens").cast("double") / col("words").cast("double"))
+              .as("fertility"),
+            when(col("tokens") > 0,
+              col("chars").cast("double") / col("tokens").cast("double"))
+              .as("compression"))
+          .orderBy(col("lang"))
+      },
+      Some(s"""
+        WITH w0 AS (
+          SELECT chr(1) || array_to_string(string_split(word, ''),
+                   repeat(chr(1), 2)) || chr(1) AS repr,
+                 CAST(COUNT(*) AS BIGINT) AS freq
+          FROM (SELECT unnest(list_filter(string_split(lower(text), ' '),
+                        s2 -> s2 <> '')) AS word
+                FROM documents)
+          GROUP BY word),
+        ${(1 to 4).map(bpeRoundSql).mkString(",\n")},
+        map AS (
+          SELECT replace(repr, chr(1), '') AS word,
+                 string_split(substr(repr, 2, len(repr) - 2),
+                   repeat(chr(1), 2)) AS toks
+          FROM w4),
+        dw AS (
+          SELECT doc_id,
+                 list_filter(string_split(lower(text), ' '), s2 -> s2 <> '')
+                   AS ws
+          FROM documents),
+        tok AS (
+          SELECT doc_id, ws[i] AS word
+          FROM dw, UNNEST(range(1, len(ws) + 1)) AS t(i)),
+        enc AS (
+          SELECT tok.doc_id, len(m.toks) AS ntok, len(tok.word) AS nchr
+          FROM tok JOIN map m ON tok.word = m.word),
+        perdoc AS (
+          SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS nw,
+                 CAST(SUM(ntok) AS BIGINT) AS nt,
+                 CAST(SUM(nchr) AS BIGINT) AS nc
+          FROM enc GROUP BY 1)
+        SELECT d.lang, COUNT(*) AS n_docs,
+               CAST(SUM(COALESCE(p.nw, 0)) AS BIGINT) AS words,
+               CAST(SUM(COALESCE(p.nt, 0)) AS BIGINT) AS tokens,
+               CAST(SUM(COALESCE(p.nc, 0)) AS BIGINT) AS chars,
+               CASE WHEN SUM(COALESCE(p.nw, 0)) > 0 THEN
+                 CAST(SUM(COALESCE(p.nt, 0)) AS DOUBLE)
+                   / CAST(SUM(COALESCE(p.nw, 0)) AS DOUBLE)
+               END AS fertility,
+               CASE WHEN SUM(COALESCE(p.nt, 0)) > 0 THEN
+                 CAST(SUM(COALESCE(p.nc, 0)) AS DOUBLE)
+                   / CAST(SUM(COALESCE(p.nt, 0)) AS DOUBLE)
+               END AS compression
+        FROM documents d LEFT JOIN perdoc p USING (doc_id)
+        GROUP BY 1 ORDER BY lang
+      """.trim),
+      bench = false),
+
     // --- BM25 keyword search (Okapi form), top-25 for a 3-term query.
     // No inverted index needed at scale: per-term tf and dl are
     // row-local token-array projections (no explode), the corpus stats
