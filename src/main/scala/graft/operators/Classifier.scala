@@ -118,6 +118,14 @@ object Classifier {
     var w: DataFrame = spark.range(1)
       .select(array_repeat(lit(0L), dim + 1).as("wf"))
     val wCap = 1L << 40
+    // Each epoch references w TWICE (the error projection and the update
+    // crossJoin), so an unmaterialized lineage doubles the weight
+    // subplan per epoch — ReuseExchange collapses the duplicate
+    // broadcasts at execution, but the logical tree itself would still
+    // grow 2^epochs and blow PLANNING time at the higher end of the
+    // allowed range. Checkpoint the one-row weights frame per epoch:
+    // bounded plans, identical values, one tiny handle swapped per round.
+    var wHandle: Option[org.apache.spark.rdd.RDD[_]] = None
     var e = 0
     while (e < epochs) {
       val errs = feats.crossJoin(broadcast(w))
@@ -134,7 +142,7 @@ object Classifier {
       // oracle's `//`); the weight-capacity guard rides the updated
       // value (the TimeSeries guard idiom), and n = 0 (no trainable
       // docs) fails loudly rather than dividing by zero.
-      w = grad.crossJoin(broadcast(w)).selectExpr(
+      val wNext = grad.crossJoin(broadcast(w)).selectExpr(
         s"""transform(wf, (wj, j) ->
              wj - (($lrNum * element_at(g, j + 1)) div ($lrDen * n))
                 + coalesce(cast(assert_true(n > 0,
@@ -143,12 +151,16 @@ object Classifier {
                 + coalesce(cast(assert_true(abs(wj) < ${wCap}L,
                     'Classifier.train: weight magnitude exceeds 2^40 - lower the learning rate or epochs') as bigint),
                   cast(0 as bigint))) AS wf""")
+      val (wc, h) = eagerCheckpoint(wNext)
+      wHandle.foreach(_.unpersist(blocking = false))
+      wHandle = Some(h)
+      w = wc
       e += 1
     }
-    // dim-sized result; materialize, then free the feature checkpoint
-    val (out, _) = eagerCheckpoint(w)
+    // the final epoch's checkpoint backs the returned frame (its handle
+    // stays pinned — the reap contract); free the feature checkpoint
     featsHandle.unpersist(blocking = false)
-    out
+    w
   }
 
   /** Driver-side weight extraction (dim + 1 longs — the codebook-collect

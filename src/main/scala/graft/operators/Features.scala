@@ -266,11 +266,15 @@ object Features {
     * fail loudly (P·N = 0 leaves nothing to attribute); a bucket present
     * in EVERY document has c+d = 0 and yields NULL χ², never an error.
     *
-    * Scale: one row-local distinct-bucketize + explode (narrow
-    * (id-free!) bucket rows — the doc id never rides the exchange), ONE
-    * dim-bounded hash aggregate with map-side partials, a broadcast
-    * one-row totals join, and a TakeOrdered over the ≤ dim-sized frame.
-    * The corpus never shuffles.
+    * Scale: TWO shuffle-free corpus scans — one collapsing to the
+    * one-row class totals, one row-local distinct-bucketize + explode
+    * (narrow, id-free bucket rows — the doc id never rides the
+    * exchange) into the dim-bounded hash aggregate with map-side
+    * partials — then a broadcast one-row totals join and a TakeOrdered
+    * over the ≤ dim-sized frame. The corpus never SHUFFLES; the second
+    * scan is the price of counting zero-token documents in the totals
+    * (a single-scan grouping-sets form would Expand-replay every row
+    * twice anyway).
     *
     * @return topK rows: (bucket, n_docs, pos_docs, chi2), χ² descending,
     *         ties to the smallest bucket id.
