@@ -1657,6 +1657,59 @@ object Similarity {
     bruteForceTopK(trunc(queries), trunc(corpus), idCol, vecCol,
       dimPrefix, k)
   }
+
+  /** EMBEDDING (centroid) DRIFT between two snapshots — the vector
+    * sibling of [[Profiler.categoryDrift]]'s mix monitor: did the
+    * embedding distribution MOVE between last week's corpus and this
+    * week's (a new topic cluster, an encoder version change, a crawl
+    * shift)? Reports the cosine between the snapshot centroids and the
+    * L2 distance between the mean vectors — 1.0 / 0.0 under "no drift".
+    *
+    * Determinism: per-dimension sums are EXACT decimals (order-free;
+    * ties against the half-up rounding boundary are impossible for
+    * binary-fraction inputs, so the double→decimal cast agrees in any
+    * engine), each mean is ONE IEEE division, and the dot/norm folds run
+    * in strict index order through the native [[graft.functions
+    * .VectorFunctions.dot_product]] — the q70 cosine-parity discipline.
+    * Ragged vector widths fail loudly (a silent skip would skew the
+    * centroid); an empty snapshot yields NULL metrics, never an error.
+    *
+    * Scale: ONE posexplode scan per snapshot into a dim-bounded hash
+    * aggregate (map-side partials — dim·partitions rows cross, never the
+    * corpus), then all remaining algebra runs on two dim-row frames.
+    *
+    * @return one row: (n_a, n_b, centroid_cosine, mean_l2_shift)
+    */
+  def centroidDrift(a: DataFrame, b: DataFrame, vecCol: String,
+      dim: Int): DataFrame = {
+    require(dim >= 1 && dim <= 4096, s"dim ($dim) out of [1, 4096]")
+    def centroid(df: DataFrame) = {
+      val raggedGuard = coalesce(
+        assert_true(col("n").isNull || col("__nmin") === col("n"),
+          lit("centroidDrift: ragged vector widths — every vector must " +
+            "carry the same element count")).cast("long"),
+        lit(0L))
+      df.select(posexplode(asDouble(col(vecCol))).as(Seq("__p", "__x")))
+        .groupBy(col("__p"))
+        .agg(sum(col("__x").cast(org.apache.spark.sql.types.DecimalType(20, 10)))
+            .as("__s"),
+          count(lit(1)).as("__n"))
+        .agg(max(col("__n")).as("n"), min(col("__n")).as("__nmin"),
+          sort_array(collect_list(struct(col("__p"),
+            (col("__s").cast("double") / col("__n").cast("double"))
+              .as("__m")))).as("__pm"))
+        .select((col("n") + raggedGuard).as("n"),
+          transform(col("__pm"), e => e.getField("__m")).as("m"))
+    }
+    val ca = centroid(a).select(col("n").as("n_a"), col("m").as("__ma"))
+    val cb = centroid(b).select(col("n").as("n_b"), col("m").as("__mb"))
+    val diff = zip_with(col("__ma"), col("__mb"), (x, y) => x - y)
+    ca.crossJoin(broadcast(cb))
+      .select(col("n_a"), col("n_b"),
+        cosine(col("__ma"), col("__mb"), dim).as("centroid_cosine"),
+        sqrt(graft.functions.VectorFunctions.dot_product(diff, diff))
+          .as("mean_l2_shift"))
+  }
 }
 
 /** Result of [[Similarity.dedupVectors]]: verified cosine near-dup `pairs`

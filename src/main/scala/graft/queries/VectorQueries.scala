@@ -1557,7 +1557,66 @@ object VectorQueries extends QueryModule {
         FROM ranked WHERE rank <= 3
         ORDER BY query_id, rank
       """.trim),
-      bench = true)
+      bench = true),
+
+    // --- EMBEDDING (centroid) DRIFT between two snapshots — the vector
+    // sibling of q232's categorical mix monitor: even-keyed vectors vs
+    // odd-keyed vectors plus PLANTED reversed copies (a reversed
+    // embedding points elsewhere, pulling the second centroid visibly
+    // off axis). Per-dim sums are exact decimals (ties against the
+    // half-up boundary are impossible for binary-fraction inputs), one
+    // IEEE division per mean, and the cosine/L2 folds run in strict
+    // index order — the q70 parity discipline, here over the two
+    // dim-row centroid frames. ---
+    GQuery(
+      "q234_embedding_drift",
+      (spark, dir) => {
+        val e = Tables.embs(spark, dir).select(col("vec_id"), col("embedding"))
+        val a = e.filter(col("vec_id") % 2 === 0)
+        val b = e.filter(col("vec_id") % 2 === 1)
+          .unionByName(e.filter(col("vec_id") % 8 === 1)
+            .select((col("vec_id") + 1000000L).as("vec_id"),
+              reverse(col("embedding")).as("embedding")))
+        graft.operators.Similarity.centroidDrift(a, b, "embedding", Dim)
+          // the q70 convention for float-fold scores: DuckDB's list_sum
+          // is not a strict left fold, so the last ~2 ulps of a 64-term
+          // double fold are engine-specific — gate the 6-dp rounding
+          // (per-dim decimal sums and counts stay exact upstream)
+          .select(col("n_a"), col("n_b"),
+            round(col("centroid_cosine"), 6).as("cosine_r"),
+            round(col("mean_l2_shift"), 6).as("l2_shift_r"))
+      },
+      Some("""
+        WITH av AS (SELECT embedding AS e FROM embeddings WHERE vec_id % 2 = 0),
+        bv AS (SELECT embedding AS e FROM embeddings WHERE vec_id % 2 = 1
+               UNION ALL
+               SELECT list_reverse(embedding) FROM embeddings
+               WHERE vec_id % 8 = 1),
+        pa AS (SELECT i, SUM(CAST(CAST(e[i] AS DOUBLE) AS DECIMAL(20,10))) AS s,
+                      COUNT(*) AS n
+               FROM av, UNNEST(generate_series(1, 64)) AS t(i) GROUP BY i),
+        pb AS (SELECT i, SUM(CAST(CAST(e[i] AS DOUBLE) AS DECIMAL(20,10))) AS s,
+                      COUNT(*) AS n
+               FROM bv, UNNEST(generate_series(1, 64)) AS t(i) GROUP BY i),
+        ma AS (SELECT CAST(MAX(n) AS BIGINT) AS n_a,
+                      list(CAST(s AS DOUBLE) / CAST(n AS DOUBLE) ORDER BY i) AS m
+               FROM pa),
+        mb AS (SELECT CAST(MAX(n) AS BIGINT) AS n_b,
+                      list(CAST(s AS DOUBLE) / CAST(n AS DOUBLE) ORDER BY i) AS m
+               FROM pb)
+        SELECT n_a, n_b,
+               round(list_sum(list_transform(generate_series(1, 64),
+                   i -> ma.m[i] * mb.m[i]))
+                 / (sqrt(list_sum(list_transform(generate_series(1, 64),
+                      i -> ma.m[i] * ma.m[i])))
+                    * sqrt(list_sum(list_transform(generate_series(1, 64),
+                        i -> mb.m[i] * mb.m[i])))), 6) AS cosine_r,
+               round(sqrt(list_sum(list_transform(generate_series(1, 64),
+                 i -> (ma.m[i] - mb.m[i]) * (ma.m[i] - mb.m[i])))), 6)
+                 AS l2_shift_r
+        FROM ma, mb
+      """.trim),
+      bench = false)
   )
 
   /** DuckDB rendering of [[graft.operators.Sampling.hash16]] with the

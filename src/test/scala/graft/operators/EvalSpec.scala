@@ -130,6 +130,33 @@ class EvalSpec extends AnyFunSuite {
     }
   }
 
+  test("centroidDrift: hand cosine/L2, no-drift identity, ragged guard, empty NULL") {
+    val a = Seq((1L, Seq(1.0f, 0.0f)), (2L, Seq(0.0f, 1.0f)))
+      .toDF("id", "embedding")
+    val b = Seq((3L, Seq(1.0f, 0.0f))).toDF("id", "embedding")
+    val r = Similarity.centroidDrift(a, b, "embedding", 2).collect()(0)
+    assert(r.getLong(0) == 2L && r.getLong(1) == 1L)
+    // centroids (0.5, 0.5) vs (1, 0): cos = 0.5/(√0.5·1), L2 = √0.5 —
+    // asserted through the SAME IEEE op sequence the operator pins
+    assert(r.getDouble(2) ==
+      0.5 / (math.sqrt(0.5 * 0.5 + 0.5 * 0.5) * math.sqrt(1.0)))
+    assert(r.getDouble(3) == math.sqrt(0.5 * 0.5 + 0.5 * 0.5))
+    // identical snapshots → shift exactly 0.0; cosine is x/(√x·√x) in
+    // IEEE — one ulp under 1.0 here, pinned as the exact replayed value
+    val same = Similarity.centroidDrift(a, a, "embedding", 2).collect()(0)
+    assert(same.getDouble(2) == 0.5 / (math.sqrt(0.5) * math.sqrt(0.5)))
+    assert(same.getDouble(3) == 0.0)
+    // ragged widths fail loudly
+    val ragged = Seq((1L, Seq(1.0f, 2.0f)), (2L, Seq(1.0f))).toDF("id", "embedding")
+    intercept[Exception] {
+      Similarity.centroidDrift(ragged, b, "embedding", 2).collect()
+    }
+    // empty snapshot → NULL drift metrics, not an error
+    val empty = spark.emptyDataset[(Long, Seq[Float])].toDF("id", "embedding")
+    val e = Similarity.centroidDrift(a, empty, "embedding", 2).collect()(0)
+    assert(e.isNullAt(2))
+  }
+
   // independent hash replica (the ClassifierSpec discipline)
   private def hash16Ref(token: String, salt: String): Int = {
     val md = java.security.MessageDigest.getInstance("MD5")
