@@ -446,6 +446,94 @@ object Profiler {
         when(col("n") > 0,
           col("__se").cast("double") / col("n").cast("double")).as("brier"))
 
+  /** EXACT per-group quantiles at corpus scale — order statistics
+    * without the per-group window sort: q180's `ntile` form parks each
+    * group's ENTIRE row set in one partition (a language with 40% of a
+    * 100 TB corpus becomes one task), while this rides the narrow
+    * range-partitioned zipWithIndex (the Gini/AUC rank discipline) —
+    * ONE distributed global sort over (group, value, id), a
+    * group-cardinality-sized offset frame, and a broadcast target join.
+    *
+    * Type-1 (inverted-CDF) quantiles: the value at per-group rank
+    * `max(1, ceil(q·n_g))` — exact, and replayable in any engine's
+    * window SQL. Quantile fractions are passed as STRINGS (the
+    * prAtThresholds parse-parity rule); `ceil` runs on the same IEEE
+    * product both engines compute. NULL values are excluded (no order
+    * position to give them); `idCol` must be unique (the assumeUnique
+    * contract — it is the tie-break that makes ranks total).
+    *
+    * @return one row per (group, q): (groupCol, q, n, value)
+    */
+  def exactQuantiles(df: DataFrame, groupCol: String, valueCol: String,
+      idCol: String, qs: Seq[String]): DataFrame = {
+    require(qs.nonEmpty && qs.distinct.size == qs.size,
+      "need distinct quantile fractions")
+    val base = df.select(col(groupCol), col(valueCol).as("value"),
+        col(idCol))
+      .filter(col("value").isNotNull)
+    val ranked = SurrogateKeys.sequential(base, "__gr",
+      Seq(col(groupCol), col("value"), col(idCol)), assumeUnique = true)
+    // group offsets: counts per group, cumulated over the SORTED
+    // group frame — group-cardinality-sized, never corpus-sized (the
+    // declared small-by-contract single-partition window)
+    val counts = base.groupBy(col(groupCol)).agg(count(lit(1)).as("n"))
+    val offW = Window
+      .partitionBy(graft.core.Windows.singlePartition(col(groupCol)))
+      .orderBy(col(groupCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = counts.withColumn("__off",
+      coalesce(sum(col("n")).over(offW), lit(0L)))
+    val spark = df.sparkSession
+    val qFrame = qs.map(q =>
+        spark.range(1).select(lit(q.toDouble).as("q")))
+      .reduce(_ unionByName _)
+    val targets = offsets.select(col(groupCol), col("n"), col("__off"))
+      .crossJoin(qFrame)
+      .withColumn("__tr",
+        greatest(ceil(col("q") * col("n").cast("double")), lit(1L)))
+    ranked.join(
+        broadcast(targets.withColumn("__gr",
+          col("__off") + col("__tr"))),
+        Seq(groupCol, "__gr"))
+      .select(col(groupCol), col("q"), col("n"), col("value"))
+  }
+
+  /** EQUI-DEPTH LABELING at corpus scale — the CCNet head/middle/tail
+    * shape (Wenzek 2019 §4.2: split each language's corpus into thirds
+    * by LM score and treat the best third differently): label every row
+    * by which side of its GROUP's exact quantile cuts its value falls.
+    * Built on [[exactQuantiles]] — the cut table is group-sized and
+    * broadcasts back, so no group ever serializes through one task the
+    * way q180's `ntile` window form would.
+    *
+    * `labels(i)` applies when `value <= cut_i` (ascending cuts, type-1
+    * semantics: the cut value itself closes the lower bucket);
+    * `labels.last` catches the rest. NULL values label NULL.
+    *
+    * @return df plus a `label` column
+    */
+  def labelByQuantiles(df: DataFrame, groupCol: String, valueCol: String,
+      idCol: String, cuts: Seq[String], labels: Seq[String]): DataFrame = {
+    require(labels.size == cuts.size + 1,
+      s"need exactly ${cuts.size + 1} labels for ${cuts.size} cuts")
+    require(cuts.map(_.toDouble) == cuts.map(_.toDouble).sorted,
+      "cuts must be ascending")
+    val cutsWide = exactQuantiles(df, groupCol, valueCol, idCol, cuts)
+      .groupBy(col(groupCol))
+      .agg(sort_array(collect_list(struct(col("q"), col("value"))))
+        .as("__cv"))
+      .select(col(groupCol),
+        transform(col("__cv"), e => e.getField("value")).as("__cuts"))
+    val labeled = cuts.indices.foldLeft(
+        when(col(valueCol).isNull, lit(null).cast("string"))) { (acc, i) =>
+      acc.when(col(valueCol) <= element_at(col("__cuts"), i + 1),
+        lit(labels(i)))
+    }.otherwise(lit(labels.last))
+    df.join(broadcast(cutsWide), Seq(groupCol))
+      .withColumn("label", labeled)
+      .drop("__cuts")
+  }
+
   /** CATEGORICAL DRIFT between two snapshots — the χ² test of
     * homogeneity over a category column (did the event-type / language /
     * source mix CHANGE between last week's corpus and this week's?), the

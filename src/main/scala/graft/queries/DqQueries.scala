@@ -542,6 +542,93 @@ object DqQueries extends QueryModule {
         FROM cat CROSS JOIN tot
         ORDER BY category
       """.trim),
+      bench = false),
+
+    // --- EXACT per-language token-count quartiles via the narrow
+    // range-partitioned rank pass — order statistics WITHOUT the q180
+    // ntile window's one-partition-per-group trap (a language holding
+    // 40% of a 100 TB corpus must not become one task). Type-1 value at
+    // per-group rank max(1, ceil(q·n)); the oracle replays it with its
+    // own window SQL, certifying the narrow pass against the textbook
+    // form. ---
+    GQuery(
+      "q235_exact_quantiles",
+      (spark, dir) => {
+        val d = Tables.docs(spark, dir).select(col("lang"), col("doc_id"),
+          size(org.apache.spark.sql.functions.filter(
+            split(lower(col("text")), " "), w => w =!= ""))
+            .cast("long").as("n_tokens"))
+        graft.operators.Profiler.exactQuantiles(d, "lang", "n_tokens",
+            "doc_id", Seq("0.25", "0.5", "0.75"))
+          .orderBy(col("lang"), col("q"))
+      },
+      Some("""
+        WITH d AS (
+          SELECT lang, doc_id,
+                 CAST(len(list_filter(string_split(lower(text), ' '),
+                   s2 -> s2 <> '')) AS BIGINT) AS v
+          FROM documents),
+        n AS (SELECT lang, COUNT(*) AS n FROM d GROUP BY 1),
+        r AS (SELECT lang, doc_id, v,
+                ROW_NUMBER() OVER (PARTITION BY lang ORDER BY v, doc_id) AS rk
+              FROM d),
+        t AS (SELECT lang, n, q,
+                GREATEST(CAST(CEIL(q * n) AS BIGINT), 1) AS tr
+              FROM n CROSS JOIN
+                (SELECT unnest([0.25e0, 0.5e0, 0.75e0]) AS q) g)
+        SELECT t.lang, t.q, CAST(t.n AS BIGINT) AS n, r.v AS value
+        FROM t JOIN r ON r.lang = t.lang AND r.rk = t.tr
+        ORDER BY t.lang, t.q
+      """.trim),
+      bench = false),
+
+    // --- Equi-depth LABELING at scale (the CCNet head/middle/tail
+    // shape, Wenzek 2019 §4.2): every document labeled by its
+    // language's exact tercile cuts of token count — the cut table is
+    // group-sized and broadcasts back, so no language ever serializes
+    // through one task. Ties close the LOWER bucket (type-1
+    // semantics), so counts per label are deterministic, not exactly
+    // n/3. ---
+    GQuery(
+      "q236_quantile_labels",
+      (spark, dir) => {
+        val d = Tables.docs(spark, dir).select(col("lang"), col("doc_id"),
+          size(org.apache.spark.sql.functions.filter(
+            split(lower(col("text")), " "), w => w =!= ""))
+            .cast("long").as("n_tokens"))
+        graft.operators.Profiler.labelByQuantiles(d, "lang", "n_tokens",
+            "doc_id", Seq("0.3333333333333333", "0.6666666666666666"),
+            Seq("tail", "middle", "head"))
+          .select(col("doc_id"), col("lang"), col("n_tokens"), col("label"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""
+        WITH d AS (
+          SELECT lang, doc_id,
+                 CAST(len(list_filter(string_split(lower(text), ' '),
+                   s2 -> s2 <> '')) AS BIGINT) AS v
+          FROM documents),
+        n AS (SELECT lang, COUNT(*) AS n FROM d GROUP BY 1),
+        r AS (SELECT lang, doc_id, v,
+                ROW_NUMBER() OVER (PARTITION BY lang ORDER BY v, doc_id) AS rk
+              FROM d),
+        t AS (SELECT lang, n, q,
+                GREATEST(CAST(CEIL(q * n) AS BIGINT), 1) AS tr
+              FROM n CROSS JOIN
+                (SELECT unnest([0.3333333333333333e0,
+                                0.6666666666666666e0]) AS q) g),
+        cuts AS (SELECT t.lang,
+                   MIN(CASE WHEN t.q < 0.5e0 THEN r.v END) AS c1,
+                   MIN(CASE WHEN t.q > 0.5e0 THEN r.v END) AS c2
+                 FROM t JOIN r ON r.lang = t.lang AND r.rk = t.tr
+                 GROUP BY 1)
+        SELECT d.doc_id, d.lang, d.v AS n_tokens,
+               CASE WHEN d.v <= cuts.c1 THEN 'tail'
+                    WHEN d.v <= cuts.c2 THEN 'middle'
+                    ELSE 'head' END AS label
+        FROM d JOIN cuts ON d.lang = cuts.lang
+        ORDER BY d.doc_id
+      """.trim),
       bench = false)
   )
 }

@@ -125,6 +125,28 @@ class ClassifierSpec extends AnyFunSuite {
     assert(s(901L).contains(wfx.head), "empty text must score the bias alone")
   }
 
+  test("weight-capacity and no-trainable-documents guards fire loudly") {
+    // a large-but-non-overflowing learning rate drives |w| past 2^40 on
+    // the first update; the guard (which rides the NEXT epoch's read of
+    // the weights) must fail loudly rather than let z_fx overflow later
+    val docs = corpus(10).toDF("id", "y", "text")
+    val eCap = intercept[Exception] {
+      Classifier.train(docs, "id", "text", "y", dim = 16, epochs = 4,
+        lrNum = 1L << 22, lrDen = 1).collect()
+    }
+    def mentions(t: Throwable): Boolean = t != null &&
+      (Option(t.getMessage).exists(_.contains("weight magnitude")) ||
+        mentions(t.getCause))
+    assert(mentions(eCap), s"expected the weight-capacity guard, got: $eCap")
+    // all-NULL text → zero trainable docs → loud, not a division by zero
+    val nulls = Seq((1L, 1, null: String), (2L, 0, null: String))
+      .toDF("id", "y", "text")
+    intercept[Exception] {
+      Classifier.train(nulls, "id", "text", "y", dim = 16, epochs = 1)
+        .collect()
+    }
+  }
+
   test("labels outside {0,1} fail loudly") {
     val docs = Seq((1L, 2, "some text"), (2L, 0, "other text"))
       .toDF("id", "y", "text")

@@ -157,6 +157,59 @@ class EvalSpec extends AnyFunSuite {
     assert(e.isNullAt(2))
   }
 
+  test("exactQuantiles: hand order statistics, per-group ranks, NULL exclusion") {
+    // group g: values 10..100 step 10 (n=10); group h: 1,2,3 (n=3)
+    val df = ((1 to 10).map(i => ("g", i.toLong * 10, i.toLong)) ++
+      Seq(("h", 1L, 11L), ("h", 2L, 12L), ("h", 3L, 13L)))
+      .toDF("grp", "v", "id")
+    val r = Profiler.exactQuantiles(df, "grp", "v", "id",
+        Seq("0.25", "0.5", "1"))
+      .orderBy(col("grp"), col("q")).collect()
+      .map(x => (x.getString(0), x.getDouble(1), x.getLong(2), x.getLong(3)))
+    // g: ceil(2.5)=3 → 30; ceil(5)=5 → 50; q=1 → 100. h: ceil(.75)=1 → 1;
+    // ceil(1.5)=2 → 2; q=1 → 3
+    assert(r.toSeq == Seq(("g", 0.25, 10L, 30L), ("g", 0.5, 10L, 50L),
+      ("g", 1.0, 10L, 100L), ("h", 0.25, 3L, 1L), ("h", 0.5, 3L, 2L),
+      ("h", 1.0, 3L, 3L)))
+    // NULL values are excluded from the order entirely
+    val withNull = df.unionByName(Seq(("g", null.asInstanceOf[java.lang.Long],
+      99L)).toDF("grp", "v", "id"))
+    val m = Profiler.exactQuantiles(withNull, "grp", "v", "id", Seq("1"))
+      .filter(col("grp") === "g").collect()(0)
+    assert(m.getLong(2) == 10L && m.getLong(3) == 100L)
+  }
+
+  test("labelByQuantiles: tercile hand case, tie closes the lower bucket, NULL labels NULL") {
+    // 9 values → cuts at ranks 3 and 6: values 1-3 tail, 4-6 middle, 7-9 head
+    val df = (1 to 9).map(i => ("g", i.toLong, i.toLong)).toDF("grp", "v", "id")
+    val r = Profiler.labelByQuantiles(df, "grp", "v", "id",
+        Seq("0.3333333333333333", "0.6666666666666666"),
+        Seq("tail", "middle", "head"))
+      .select(col("v"), col("label")).collect()
+      .map(x => x.getLong(0) -> x.getString(1)).toMap
+    assert((1L to 3L).forall(r(_) == "tail"))
+    assert((4L to 6L).forall(r(_) == "middle"))
+    assert((7L to 9L).forall(r(_) == "head"))
+    // a tie ON the cut value closes the lower bucket for every tied row
+    val tied = Seq(("g", 1L, 1L), ("g", 2L, 2L), ("g", 2L, 3L),
+      ("g", 2L, 4L), ("g", 9L, 5L), ("g", 9L, 6L))
+      .toDF("grp", "v", "id")
+    val t = Profiler.labelByQuantiles(tied, "grp", "v", "id",
+        Seq("0.5"), Seq("low", "high"))
+      .select(col("id"), col("label")).collect()
+      .map(x => x.getLong(0) -> x.getString(1)).toMap
+    // n=6, cut rank ceil(3)=3 → cut value 2; ALL v=2 rows are low
+    assert(t(1L) == "low" && t(2L) == "low" && t(3L) == "low" && t(4L) == "low")
+    assert(t(5L) == "high" && t(6L) == "high")
+    // NULL value → NULL label (excluded from the cuts too)
+    val withNull = df.unionByName(Seq(("g",
+      null.asInstanceOf[java.lang.Long], 99L)).toDF("grp", "v", "id"))
+    val n = Profiler.labelByQuantiles(withNull, "grp", "v", "id",
+        Seq("0.5"), Seq("low", "high"))
+      .filter(col("id") === 99L).collect()(0)
+    assert(n.isNullAt(n.fieldIndex("label")))
+  }
+
   // independent hash replica (the ClassifierSpec discipline)
   private def hash16Ref(token: String, salt: String): Int = {
     val md = java.security.MessageDigest.getInstance("MD5")
