@@ -316,7 +316,17 @@ class GatePlanSpec extends AnyFunSuite {
     "q228_brier" -> (3, 0),
     "q229_chi2_features" -> (6, 1),
     "q230_isotonic" -> (5, 0),
-    "q232_category_drift" -> (3, 1))
+    "q232_category_drift" -> (3, 1),
+    // q233 = docs spread + encode projection + lang agg + sort, LM word
+    // table broadcast; q234 = per-snapshot spread/agg arms (the union
+    // fixture reads embeddings twice on the planted side) + the
+    // broadcast dim-row centroid crossJoin; q235/q236 = spread + the
+    // narrow rank pass (range repartition) + group-sized offsets/cuts
+    // (broadcast back) + output sort
+    "q233_tokenizer_fertility" -> (4, 1),
+    "q234_embedding_drift" -> (7, 1),
+    "q235_exact_quantiles" -> (5, 3),
+    "q236_quantile_labels" -> (7, 4))
 
   test("q107's ORC read-back pushes its predicate and projection into the scan") {
     import org.apache.spark.sql.functions.col
