@@ -266,14 +266,16 @@ object Features {
     * fail loudly (P·N = 0 leaves nothing to attribute); a bucket present
     * in EVERY document has c+d = 0 and yields NULL χ², never an error.
     *
-    * Scale: TWO shuffle-free corpus scans — one collapsing to the
-    * one-row class totals, one row-local distinct-bucketize + explode
-    * (narrow, id-free bucket rows — the doc id never rides the
-    * exchange) into the dim-bounded hash aggregate with map-side
-    * partials — then a broadcast one-row totals join and a TakeOrdered
-    * over the ≤ dim-sized frame. The corpus never SHUFFLES; the second
-    * scan is the price of counting zero-token documents in the totals
-    * (a single-scan grouping-sets form would Expand-replay every row
+    * Scale: TWO shuffle-free corpus scans — a label-only pass collapsing
+    * to the one-row class totals (NULL-eligibility decided on the raw
+    * columns, so this arm never pays tokenization), and ONE tokenizing
+    * pass: row-local distinct-bucketize + explode (narrow, id-free
+    * bucket rows — the doc id never rides the exchange) into the
+    * dim-bounded hash aggregate with map-side partials — then a
+    * broadcast one-row totals join and a TakeOrdered over the ≤
+    * dim-sized frame. The corpus never SHUFFLES; the cheap second scan
+    * is the price of counting zero-token documents in the totals (a
+    * single-scan grouping-sets form would Expand-replay every row
     * twice anyway).
     *
     * @return topK rows: (bucket, n_docs, pos_docs, chi2), χ² descending,
@@ -287,10 +289,13 @@ object Features {
       assert_true(col("__y").isin(0, 1),
         lit(s"chiSquareBuckets: $labelCol must be 0 or 1")).cast("int"),
       lit(0))
+    // NULL-eligibility decided on the RAW columns so the one-row totals
+    // arm never tokenizes: a filter on the bucket array would force the
+    // per-token hashing into BOTH scans (measured 2× the gate's cost —
+    // tokenization dominates this operator at any corpus size)
     val base = docs.select(col(labelCol).cast("int").as("__y"),
-        graft.operators.Classifier.bucketize(col(textCol), dim, salt)
-          .as("__bks"))
-      .filter(col("__y").isNotNull && col("__bks").isNotNull)
+        col(textCol).as("__txt"))
+      .filter(col("__y").isNotNull && col("__txt").isNotNull)
       .withColumn("__y", col("__y") + yGuard)
     val totals = base.agg(
       sum(col("__y").cast("long")).as("__P"),
@@ -300,7 +305,9 @@ object Features {
         lit("chiSquareBuckets: need both classes present")).cast("long"),
       lit(0L))
     val perBucket = base
-      .select(col("__y"), explode(array_distinct(col("__bks"))).as("bucket"))
+      .select(col("__y"), explode(array_distinct(
+        graft.operators.Classifier.bucketize(col("__txt"), dim, salt)))
+        .as("bucket"))
       .groupBy(col("bucket"))
       .agg(count(lit(1)).as("n_docs"), sum(col("__y").cast("long")).as("pos_docs"))
     val aD = col("pos_docs").cast(DoubleType)
