@@ -466,6 +466,37 @@ class ScaleCurveSpec extends AnyFunSuite {
     curve("heap_tail_bruteforce", op, embs, amp)
   }
 
+  test("exact quantiles scale ~linearly (narrow rank pass, no per-group window)") {
+    // THE claim: a dominant group (one lang holds ~1/5 of the corpus and
+    // grows 10x with it) must not serialize through one task the way an
+    // ntile window would — the range-partitioned rank pass spreads every
+    // group across partitions, so 10x data = 10x sort work at the same
+    // exchange count.
+    val docs = table("documents").select($"doc_id", $"lang", $"text")
+    val amp = ampText(docs, "doc_id", Seq("text"), 1000000L)
+    def op(d: DataFrame): DataFrame =
+      Profiler.exactQuantiles(
+        d.select($"lang", $"doc_id",
+          size(org.apache.spark.sql.functions.filter(
+            split(lower($"text"), " "), w => w =!= "")).cast("long")
+            .as("v")),
+        "lang", "v", "doc_id", Seq("0.25", "0.5", "0.75"))
+    curve("exact_quantiles", op, docs, amp)
+  }
+
+  test("chi-square feature attribution scales ~linearly (dim-bounded aggregate)") {
+    // ampText preserves doc_id parity (the label), so both classes grow
+    // 10x; the only corpus-sized work is the tokenizing presence scan —
+    // per-partition partials cap the exchange at dim rows per task.
+    val docs = table("documents").select($"doc_id", $"text")
+    val amp = ampText(docs, "doc_id", Seq("text"), 1000000L)
+    def op(d: DataFrame): DataFrame =
+      Features.chiSquareBuckets(
+        d.withColumn("y", ($"doc_id" % 2).cast("int")),
+        "text", "y", dim = 64, topK = 64, salt = "sc2")
+    curve("chi2_buckets", op, docs, amp)
+  }
+
   test("classifier training scales ~linearly (one corpus scan per epoch)") {
     // Full-batch fixed-point training's scale claim: each epoch is ONE
     // corpus scan folding into the dim-sized LinearGradAgg (n + dim + 1
