@@ -561,8 +561,18 @@ object Profiler {
       .unionByName(b.select(col(keyCol).as("category"), lit(0L).as("__ia")))
     val perCat = u.groupBy(col("category"))
       .agg(sum(col("__ia")).as("n_a"), sum(lit(1L) - col("__ia")).as("n_b"))
-    val totals = u.agg(sum(col("__ia")).as("__A"),
-      sum(lit(1L) - col("__ia")).as("__B"))
+    categoryDriftFromCounts(perCat)
+  }
+
+  /** [[categoryDrift]] from an already-counted `(category, n_a, n_b)`
+    * frame — the STORED/STREAMING entry point: per-batch count tables
+    * (exact longs — merge ≡ recount by associativity) sum into this
+    * shape without ever rescanning the row-level snapshots. Same χ²
+    * algebra, same guards.
+    */
+  def categoryDriftFromCounts(perCat: DataFrame): DataFrame = {
+    val totals = perCat.agg(sum(col("n_a")).as("__A"),
+      sum(col("n_b")).as("__B"))
     val abGuard = coalesce(
       assert_true(col("__A") > 0 && col("__B") > 0,
         lit("categoryDrift: both snapshots must be non-empty"))
@@ -578,6 +588,26 @@ object Profiler {
       .select(col("category"), col("n_a"), col("n_b"),
         ((dA * dA) / eA + (dB * dB) / eB).as("chi2_part"))
   }
+
+  /** Per-batch category-count sink for STREAMING drift maintenance (the
+    * kmvWriteBatch stored-state discipline at count granularity): each
+    * micro-batch appends its own exact `(category, n, batch_id)` rows —
+    * long counts are associative, so the read-time merge equals a
+    * direct recount BIT-FOR-BIT regardless of batch boundaries, and the
+    * raw events are never rescanned.
+    */
+  def writeCategoryCounts(df: DataFrame, keyCol: String, path: String,
+      batchId: String): Unit =
+    df.select(col(keyCol).as("category"))
+      .groupBy(col("category")).agg(count(lit(1)).as("n"))
+      .withColumn("batch_id", lit(batchId))
+      .write.mode("append").parquet(path)
+
+  /** Merge stored per-batch counts back to one `(category, n)` frame. */
+  def readCategoryCounts(spark: org.apache.spark.sql.SparkSession,
+      path: String): DataFrame =
+    spark.read.parquet(path)
+      .groupBy(col("category")).agg(sum(col("n")).as("n"))
 
   /** Shared eval-input framing: (score double, label int) with NULLs
     * excluded and labels outside {0, 1} failing loudly in-plan (the

@@ -629,6 +629,85 @@ object DqQueries extends QueryModule {
         FROM d JOIN cuts ON d.lang = cuts.lang
         ORDER BY d.doc_id
       """.trim),
+      bench = false),
+
+    // --- STREAMING drift maintenance (§2.9 × the q232 monitor): the
+    // baseline mix is a batch frame; the live side arrives as a file
+    // stream whose per-batch exact category counts append to a stored
+    // count table (the kmvWriteBatch discipline at count granularity —
+    // long counts are associative, so the read-time merge equals a
+    // direct recount BIT-FOR-BIT regardless of batch boundaries, and
+    // the raw events are never rescanned). χ² then runs from the COUNTS
+    // entry point; stream_eq_direct certifies merge ≡ recount
+    // in-engine, and the oracle carries the actual χ² values. ---
+    GQuery(
+      "q237_stream_drift",
+      (spark, dir) => {
+        import graft.operators.Profiler
+        val e = Tables.events(spark, dir)
+          .select(col("event_id"), col("event_type"))
+        val path = java.nio.file.Files
+          .createTempDirectory("graft_q237drift").toString
+        val incoming = graft.streaming.Streams.tableStream(spark, dir, "events")
+          .select(col("event_id"), col("event_type"))
+          .filter(col("event_id") % 2 === 1)
+        graft.streaming.Streams.runForeachBatch(spark, incoming) { (batch, id) =>
+          Profiler.writeCategoryCounts(batch, "event_type", path, s"b$id")
+        }
+        val streamed = Profiler.readCategoryCounts(spark, path)
+        val baseCounts = e.filter(col("event_id") % 2 === 0)
+          .select(col("event_type").as("category"))
+          .groupBy(col("category")).agg(count(lit(1)).as("n_a"))
+        val direct = e.filter(col("event_id") % 2 === 1)
+          .select(col("event_type").as("category"))
+          .groupBy(col("category")).agg(count(lit(1)).as("__nd"))
+        val perCat = baseCounts
+          .join(streamed, Seq("category"), "full_outer")
+          .select(col("category"),
+            coalesce(col("n_a"), lit(0L)).as("n_a"),
+            coalesce(col("n"), lit(0L)).as("n_b"))
+        Profiler.categoryDriftFromCounts(perCat)
+          .join(direct, Seq("category"), "left")
+          .select(col("category"), col("n_a"), col("n_b"), col("chi2_part"),
+            (col("n_b") === coalesce(col("__nd"), lit(0L)))
+              .as("stream_eq_direct"))
+          .orderBy(col("category"))
+      },
+      Some("""
+        WITH a AS (SELECT event_type FROM events WHERE event_id % 2 = 0),
+        b AS (SELECT event_type FROM events WHERE event_id % 2 = 1),
+        cat AS (
+          SELECT category,
+                 CAST(SUM(ia) AS BIGINT) AS n_a,
+                 CAST(SUM(1 - ia) AS BIGINT) AS n_b
+          FROM (SELECT event_type AS category, 1 AS ia FROM a
+                UNION ALL
+                SELECT event_type, 0 FROM b)
+          GROUP BY 1),
+        tot AS (SELECT CAST(SUM(n_a) AS BIGINT) AS ta,
+                       CAST(SUM(n_b) AS BIGINT) AS tb
+                FROM cat)
+        SELECT category, n_a, n_b,
+               ((CAST(n_a AS DOUBLE)
+                   - (CAST(ta AS DOUBLE) * CAST(n_a + n_b AS DOUBLE))
+                     / CAST(ta + tb AS DOUBLE))
+                * (CAST(n_a AS DOUBLE)
+                   - (CAST(ta AS DOUBLE) * CAST(n_a + n_b AS DOUBLE))
+                     / CAST(ta + tb AS DOUBLE)))
+               / ((CAST(ta AS DOUBLE) * CAST(n_a + n_b AS DOUBLE))
+                  / CAST(ta + tb AS DOUBLE))
+               + ((CAST(n_b AS DOUBLE)
+                   - (CAST(tb AS DOUBLE) * CAST(n_a + n_b AS DOUBLE))
+                     / CAST(ta + tb AS DOUBLE))
+                * (CAST(n_b AS DOUBLE)
+                   - (CAST(tb AS DOUBLE) * CAST(n_a + n_b AS DOUBLE))
+                     / CAST(ta + tb AS DOUBLE)))
+               / ((CAST(tb AS DOUBLE) * CAST(n_a + n_b AS DOUBLE))
+                  / CAST(ta + tb AS DOUBLE)) AS chi2_part,
+               TRUE AS stream_eq_direct
+        FROM cat CROSS JOIN tot
+        ORDER BY category
+      """.trim),
       bench = false)
   )
 }

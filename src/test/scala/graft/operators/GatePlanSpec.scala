@@ -316,7 +316,11 @@ class GatePlanSpec extends AnyFunSuite {
     "q228_brier" -> (3, 0),
     "q229_chi2_features" -> (6, 1),
     "q230_isotonic" -> (5, 0),
-    "q232_category_drift" -> (3, 1),
+    // q232 re-pinned 3 -> 4 with the counts-entry-point refactor: side
+    // totals now aggregate the CATEGORY-SIZED count frame (one tiny
+    // extra exchange) instead of re-scanning the corpus union — one
+    // corpus aggregate total, strictly better at scale
+    "q232_category_drift" -> (4, 1),
     // q233 = docs spread + encode projection + lang agg + sort, LM word
     // table broadcast; q234 = per-snapshot spread/agg arms (the union
     // fixture reads embeddings twice on the planted side) + the
