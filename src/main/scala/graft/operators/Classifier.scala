@@ -139,16 +139,19 @@ object Classifier {
       // truncating integer division on exact longs: Spark's `div` and
       // DuckDB's `//` BOTH truncate toward zero on negatives (probed,
       // not assumed — floor-division idioms here would diverge from the
-      // oracle's `//`); the weight-capacity guard rides the updated
-      // value (the TimeSeries guard idiom), and n = 0 (no trainable
-      // docs) fails loudly rather than dividing by zero.
+      // oracle's `//`); the weight-capacity guard asserts on the UPDATED
+      // value `wj - step` (the step expression is repeated inside abs —
+      // SQL lambdas have no let-binding — so the FINAL epoch's weights
+      // are guarded too, not just every epoch's input), and n = 0 (no
+      // trainable docs) fails loudly rather than dividing by zero.
+      val step = s"(($lrNum * element_at(g, j + 1)) div ($lrDen * n))"
       val wNext = grad.crossJoin(broadcast(w)).selectExpr(
         s"""transform(wf, (wj, j) ->
-             wj - (($lrNum * element_at(g, j + 1)) div ($lrDen * n))
+             wj - $step
                 + coalesce(cast(assert_true(n > 0,
                     'Classifier.train: no trainable documents') as bigint),
                   cast(0 as bigint))
-                + coalesce(cast(assert_true(abs(wj) < ${wCap}L,
+                + coalesce(cast(assert_true(abs(wj - $step) < ${wCap}L,
                     'Classifier.train: weight magnitude exceeds 2^40 - lower the learning rate or epochs') as bigint),
                   cast(0 as bigint))) AS wf""")
       val (wc, h) = eagerCheckpoint(wNext)

@@ -411,31 +411,46 @@ object Graph {
     * Strogatz 1998 for the coefficient, Schank & Wagner 2005 for the
     * degree-ordered counting).
     *
-    * Algorithm (the MapReduce-folklore compact-forward / node-iterator
-    * with degree ordering): canonicalize to distinct undirected edges,
+    * Algorithm (compact-forward with degree ordering — Latapy 2008;
+    * Schank & Wagner 2005): canonicalize to distinct undirected edges,
     * orient every edge from its lower-(degree, node) endpoint to the
-    * higher, enumerate wedges from the oriented lists, and close each
-    * wedge against the oriented edge set. Orientation is the whole
-    * scale story: out-degree after orienting is bounded by ~√m even at
-    * a celebrity node (a degree-10^6 hub emits NO wedges unless its
-    * neighbor out-ranks it), so wedge volume is O(m^{3/2}) worst case
-    * instead of Σ deg² — the difference between feasible and not on a
-    * skewed 100 TB web graph. Each triangle is produced exactly once
-    * (its endpoints appear in strict rank order).
+    * higher, aggregate each oriented node's out-neighbors into ONE
+    * SORTED array, and close triangles per oriented edge (x,y) by the
+    * row-local intersection N⁺(x) ∩ N⁺(y) — for the triangle with rank
+    * order a < b < c, only edge (a,b) finds z = c, so each triangle is
+    * produced exactly once. Orientation is the whole scale story:
+    * out-degree after orienting is bounded by ~√(2m) even at a
+    * celebrity node, so adjacency arrays are √-bounded and total
+    * intersection work is O(m^{3/2}) worst case instead of Σ deg².
     *
-    * Shuffles: canonical distinct, degree agg, two equi-joins (wedge
-    * build keyed on the spoke node, wedge close keyed on the (v,w)
-    * pair), and the final explode-count — all hash-partitioned
-    * aggregates/joins with map-side partials, no window, no cartesian.
+    * This form supersedes the round-11 wedge SELF-JOIN (which
+    * materialized every oriented 2-path as a shuffled row, then paid a
+    * SECOND edge-keyed join to close them — measured flat at ~12-14 s
+    * on the q199 bench row): wedges never cross an exchange here.
+    * Shuffles: canonical distinct, degree agg, the adjacency aggregate
+    * (edge-sized: m longs packed into node rows), ONE equi-join of the
+    * explode-regenerated oriented edges against the y-side adjacency,
+    * and the final credit aggregate (map-side partials) — no window, no
+    * cartesian, no wedge-sized exchange. Per-edge credit rows (x and y
+    * get |I|, each z ∈ I gets 1) are emitted by one explode so the
+    * intersection plan runs ONCE per edge.
+    *
     * All math is exact integers; `lcc` is ONE IEEE division of exact
     * longs (`2t / (deg·(deg−1))`), so results are bit-identical in any
-    * engine (q199's oracle replays the joins verbatim).
+    * engine — q199's oracle replays the (algorithm-independent) per-node
+    * counts via the wedge-join SQL form, and GraphSpec pins parity
+    * against planted graphs.
     *
+    * @param edgesDistinct caller vouches each undirected pair appears
+    *                      exactly once (e.g. [[coOccurrenceEdges]]'
+    *                      canonical output) — skips one edge-sized
+    *                      distinct shuffle; a lying caller gets inflated
+    *                      counts, same contract as [[pageRankFixed]]
     * @return `(node, degree, triangles, lcc)`; `lcc` = 0.0 when
     *         degree < 2
     */
   def triangleCounts(edges: DataFrame, srcCol: String,
-      dstCol: String): DataFrame = {
+      dstCol: String, edgesDistinct: Boolean = false): DataFrame = {
     import org.apache.spark.sql.GraftSqlBridge.eagerCheckpoint
     // Dense-id remap (round-10 verdict item 3 — the pageRankFixed
     // discipline via the shared remapToDense): the degree joins, both
@@ -461,21 +476,26 @@ object Graph {
         .distinct())
     // Canonical undirected distinct on the LONG keys (cheaper than the
     // string distinct it replaces; the undirected edge SET is identical
-    // whichever key domain canonicalizes it). Checkpointed once — edges
-    // are re-read by degrees + orientation — with the handle KEPT
+    // whichever key domain canonicalizes it). `edgesDistinct = true` is
+    // the caller's vouch (the pageRankFixed contract) that each
+    // undirected pair appears exactly ONCE in the input — e.g.
+    // [[coOccurrenceEdges]]' canonical output — and skips the edge-sized
+    // distinct shuffle (least/greatest alone canonicalizes a
+    // duplicate-free pair set; the remap is a bijection so string
+    // distinctness carries to the long domain). Checkpointed once —
+    // edges are re-read by degrees + orientation — with the handle KEPT
     // (reapKeep): Dataset.unpersist on a checkpoint-backed frame is a
     // no-op, so only the RDD handles can actually free these edge-sized
     // block sets when the operator returns (round-10 review finding).
+    val canonical = eLong.select(least(col("src"), col("dst")).as("u"),
+      greatest(col("src"), col("dst")).as("v"))
     val (e, eHandle) = graft.core.Caching.reapKeep(
-      eLong.select(least(col("src"), col("dst")).as("u"),
-          greatest(col("src"), col("dst")).as("v"))
-        .distinct())
+      if (edgesDistinct) canonical else canonical.distinct())
     eLongHandle.unpersist(blocking = false)
     // deg is consumed three times (both orientation joins + the final
-    // output join); oriented three times (both wedge sides + the close
-    // join) — without their own checkpoints the plan would re-run the
-    // degree aggregate and the edge×degree joins 3× each, edge-sized
-    // work at crawl scale.
+    // output join) — without its own checkpoint the plan would re-run
+    // the degree aggregate and the edge×degree joins per consumer,
+    // edge-sized work at crawl scale.
     val (deg, degHandle) = graft.core.Caching.reapKeep(
       e.select(col("u").as("node"))
         .unionAll(e.select(col("v").as("node")))
@@ -485,26 +505,45 @@ object Graph {
       .join(deg.select(col("node").as("v"), col("degree").as("dv")), "v")
     val uLower = col("du") < col("dv") ||
       (col("du") === col("dv") && col("u") < col("v"))
-    // x → y with rank(x) < rank(y) under rank = (degree, node); dy
-    // rides along so the wedge pair below can order its two spokes
-    // without re-joining degrees.
-    val (oriented, orientedHandle) = graft.core.Caching.reapKeep(
-      withDeg.select(
-        when(uLower, col("u")).otherwise(col("v")).as("x"),
-        when(uLower, col("v")).otherwise(col("u")).as("y"),
-        when(uLower, col("dv")).otherwise(col("du")).as("dy")))
-    // e is fully consumed (deg + orientation) once oriented materializes
+    // x → y with rank(x) < rank(y) under rank = (degree, node); oriented
+    // stays LAZY — its single consumer is the adjacency aggregate below.
+    val oriented = withDeg.select(
+      when(uLower, col("u")).otherwise(col("v")).as("x"),
+      when(uLower, col("v")).otherwise(col("u")).as("y"))
+    // Forward adjacency: each oriented node's out-neighbors as ONE
+    // sorted long array — array length bounded by the orientation's
+    // √(2m) out-degree guarantee, total payload m longs. Checkpointed:
+    // consumed by BOTH sides of the close join.
+    val (adj, adjHandle) = graft.core.Caching.reapKeep(
+      oriented.groupBy(col("x"))
+        .agg(sort_array(collect_list(col("y"))).as("nbrs")))
+    // e is fully consumed (deg + orientation→adj) once adj materializes
     eHandle.unpersist(blocking = false)
-    val o1 = oriented.select(col("x"), col("y").as("w1"), col("dy").as("d1"))
-    val o2 = oriented.select(col("x"), col("y").as("w2"), col("dy").as("d2"))
-    val wedges = o1.join(o2, "x")
-      .filter(col("d1") < col("d2") ||
-        (col("d1") === col("d2") && col("w1") < col("w2")))
-    val tri = wedges.join(
-      oriented.select(col("x").as("w1"), col("y").as("w2")), Seq("w1", "w2"))
-    val perNode = tri
-      .select(explode(array(col("x"), col("w1"), col("w2"))).as("node"))
-      .groupBy(col("node")).agg(count(lit(1)).as("triangles"))
+    // Re-derive the oriented edges COLLOCATED with x's adjacency by
+    // exploding adj against itself (no second join keyed on x), then ONE
+    // equi-join on y attaches y's adjacency; the triangle closure
+    // N⁺(x) ∩ N⁺(y) is a row-local sorted-array intersection — wedges
+    // never cross an exchange.
+    val closed = adj
+      .select(col("x"), explode(col("nbrs")).as("y"), col("nbrs").as("ax"))
+      .join(adj.select(col("x").as("y"), col("nbrs").as("ay")), Seq("y"))
+      .select(col("x"), col("y"),
+        array_intersect(col("ax"), col("ay")).as("zs"))
+      .filter(size(col("zs")) > 0)
+    // Per-edge triangle credit in ONE pass (x and y each get |I|, every
+    // z in the intersection gets 1) so the intersection above is not
+    // re-evaluated per credit arm.
+    val perNode = closed
+      .select(explode(concat(
+        array(
+          struct(col("x").as("node"),
+            size(col("zs")).cast("long").as("t")),
+          struct(col("y").as("node"),
+            size(col("zs")).cast("long").as("t"))),
+        transform(col("zs"),
+          z => struct(z.as("node"), lit(1L).as("t"))))).as("c"))
+      .groupBy(col("c.node").as("node"))
+      .agg(sum(col("c.t")).as("triangles"))
     val out = deg.join(perNode, Seq("node"), "left")
       .select(col("node").as("nid"), col("degree"),
         coalesce(col("triangles"), lit(0L)).as("triangles"),
@@ -517,12 +556,12 @@ object Graph {
       .join(dict, "nid")
       .select(col("node"), col("degree"), col("triangles"), col("lcc"))
     // node-sized result; materialize it, THEN free the edge-sized
-    // deg/oriented blocks (and the dict) through their RDD handles (the
+    // deg/adjacency blocks (and the dict) through their RDD handles (the
     // only unpersist that works on checkpoint-backed frames) — pinned
     // footprint after return is O(result)
     val reaped = graft.core.Caching.reap(out)
     degHandle.unpersist(blocking = false)
-    orientedHandle.unpersist(blocking = false)
+    adjHandle.unpersist(blocking = false)
     dictHandle.unpersist(blocking = false)
     reaped
   }

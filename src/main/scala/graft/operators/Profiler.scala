@@ -468,6 +468,11 @@ object Profiler {
       idCol: String, qs: Seq[String]): DataFrame = {
     require(qs.nonEmpty && qs.distinct.size == qs.size,
       "need distinct quantile fractions")
+    // a fraction outside (0, 1] would target a rank past the group end
+    // and the broadcast join would silently emit NO row for that
+    // (group, q) — a typo like "1.5" must fail loudly, not drop output
+    require(qs.map(_.toDouble).forall(q => q > 0.0 && q <= 1.0),
+      s"quantile fractions must be in (0, 1]: ${qs.mkString(", ")}")
     val base = df.select(col(groupCol), col(valueCol).as("value"),
         col(idCol))
       .filter(col("value").isNotNull)
@@ -579,7 +584,17 @@ object Profiler {
         .cast("double"),
       lit(0.0))
     val nD = (col("__A") + col("__B")).cast("double") + abGuard
-    val rowD = (col("n_a") + col("n_b")).cast("double")
+    // a zero-total category (possible only via the stored/streaming
+    // entry point — categoryDrift's union counts are always ≥ 1) would
+    // make both expected masses 0 and emit NaN chi2_part; fail loudly
+    // with the same assert-under-coalesce idiom as the side totals
+    val rowGuard = coalesce(
+      assert_true(col("n_a") + col("n_b") > 0,
+        lit("categoryDrift: category with n_a + n_b = 0 — drop " +
+          "zero-count categories before calling"))
+        .cast("double"),
+      lit(0.0))
+    val rowD = (col("n_a") + col("n_b")).cast("double") + rowGuard
     val eA = (col("__A").cast("double") * rowD) / nD
     val eB = (col("__B").cast("double") * rowD) / nD
     val dA = col("n_a").cast("double") - eA

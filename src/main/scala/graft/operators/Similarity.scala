@@ -92,6 +92,10 @@ object Similarity {
     * derives from a CHEAP scan; without it the dict falls back to
     * `scored` itself, which re-evaluates the pair scan once per dict
     * consumption (correct, but wire the domain on any hot path).
+    * Coverage is ENFORCED: a scored neighbor_id missing from the dict
+    * (under-covering domain, or a NULL id — which the old window
+    * fallback would have ranked) fails loudly in-plan rather than being
+    * silently dropped from the top-k.
     */
   private[operators] def topKTail(scored: DataFrame, scoreName: String,
       k: Int, ascending: Boolean = false,
@@ -108,10 +112,21 @@ object Similarity {
       val domain = idDomain.getOrElse(scored).select(col("neighbor_id"))
       val dict = SurrogateKeys.sequential(domain.distinct(), "__nid",
         Seq(col("neighbor_id")), assumeUnique = true)
+      // LEFT join + in-plan assert: an idDomain that under-covers the
+      // scored neighbor_ids (or a NULL id, which never equi-matches the
+      // dict) must fail LOUDLY — an inner join here would silently drop
+      // the row from the top-k, turning a caller's wiring bug into a
+      // quietly-wrong result.
+      val nidGuard = coalesce(
+        assert_true(col("__nid").isNotNull,
+          lit("topKTail: scored neighbor_id missing from idDomain " +
+            "(under-covering domain or NULL id)")).cast("long"),
+        lit(0L))
       val rekeyed = scored
         .select(col("query_id"), col("neighbor_id"), col(scoreName))
-        .join(dict, "neighbor_id")
-        .select(col("query_id"), col("__nid").as("neighbor_id"),
+        .join(dict, Seq("neighbor_id"), "left")
+        .select(col("query_id"),
+          (col("__nid") + nidGuard).as("neighbor_id"),
           col(scoreName))
       topKTail(rekeyed, scoreName, k, ascending)
         .select(col("query_id"), col("neighbor_id").as("__nid"),

@@ -216,7 +216,9 @@ object GraphQueries extends QueryModule {
       (spark, dir) => {
         val edges = Graph.coOccurrenceEdges(
           t(spark, dir, "lineitem"), "l_orderkey", "l_partkey")
-        Graph.triangleCounts(edges, "src", "dst")
+        // coOccurrenceEdges guarantees canonical distinct pairs — vouch
+        // it so triangleCounts skips one edge-sized distinct shuffle
+        Graph.triangleCounts(edges, "src", "dst", edgesDistinct = true)
           .orderBy(col("node"))
       },
       Some("""
