@@ -478,16 +478,16 @@ object Profiler {
       .filter(col("value").isNotNull)
     val ranked = SurrogateKeys.sequential(base, "__gr",
       Seq(col(groupCol), col("value"), col(idCol)), assumeUnique = true)
-    // group offsets: counts per group, cumulated over the SORTED
-    // group frame — group-cardinality-sized, never corpus-sized (the
-    // declared small-by-contract single-partition window)
+    // group offsets: counts per group, cumulated over the SORTED group
+    // frame by the distributed prefix-sum pass (round-11 verdict item 6:
+    // the previous single-partition window was correct for
+    // languages/sources but would serialize a million-group per-DOMAIN
+    // quantile job through one task; prefixSumLong keeps the offsets
+    // frame range-partitioned end to end — only P partition totals
+    // touch the driver)
     val counts = base.groupBy(col(groupCol)).agg(count(lit(1)).as("n"))
-    val offW = Window
-      .partitionBy(graft.core.Windows.singlePartition(col(groupCol)))
-      .orderBy(col(groupCol))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val offsets = counts.withColumn("__off",
-      coalesce(sum(col("n")).over(offW), lit(0L)))
+    val offsets = SurrogateKeys.prefixSumLong(counts, "n",
+      Seq(col(groupCol)), "__off")
     val spark = df.sparkSession
     val qFrame = qs.map(q =>
         spark.range(1).select(lit(q.toDouble).as("q")))

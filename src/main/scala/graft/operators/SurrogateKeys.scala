@@ -97,4 +97,52 @@ object SurrogateKeys {
     joined.drop(order.indices.flatMap(i => Seq(s"__sk_o$i", s"__sk_k$i")) ++
       Seq("__sk_d", "__sk_kd"): _*)
   }
+
+  /** Adds `outCol` = EXCLUSIVE prefix sum of `valueCol` (exact longs)
+    * over the global `order` — the running-offset cumulation without a
+    * single-partition window (a `sum().over(orderBy)` frame serializes
+    * the whole input through ONE task; fine for a 20-row group frame,
+    * the stage's critical path for a million-group domain).
+    *
+    * Same discipline as [[sequential]]'s zipWithIndex: one distributed
+    * range-partitioned sort, then per-partition totals (ONE lightweight
+    * job collecting P longs to the driver — the zipWithIndex offsets-job
+    * shape) seed a second pass over the SAME materialized shuffle
+    * (shuffle map outputs are reused across the two jobs and the range
+    * bounds are sampled once, so the passes cannot disagree).
+    *
+    * Contract: `order` must be a TOTAL order of `df` (the result is
+    * order-dependent); `valueCol` must be a non-null LongType column
+    * (a NULL fails loudly in the pass). Intended for NARROW frames —
+    * every column round-trips through rows here, so project first.
+    */
+  def prefixSumLong(df: DataFrame, valueCol: String, order: Seq[Column],
+      outCol: String, numPartitions: Option[Int] = None): DataFrame = {
+    val spark = df.sparkSession
+    val parts = numPartitions.getOrElse(
+      spark.conf.get("spark.sql.shuffle.partitions", "200").toInt)
+    val base = if (df.columns.contains(outCol)) df.drop(outCol) else df
+    val sorted = base.repartitionByRange(parts, order: _*)
+      .sortWithinPartitions(order: _*)
+    val vIdx = sorted.schema.fieldIndex(valueCol)
+    val schema = sorted.schema.add(outCol, LongType, nullable = false)
+    val rddSorted = sorted.rdd
+    val partTotals = rddSorted.mapPartitionsWithIndex { (i, it) =>
+      var s = 0L
+      it.foreach(r => s += r.getLong(vIdx))
+      Iterator((i, s))
+    }.collect().sortBy(_._1).map(_._2)
+    // exclusive per-partition starting offsets (P + 1 longs in the
+    // closure — partition-count-sized, never data-sized)
+    val starts = partTotals.scanLeft(0L)(_ + _)
+    val out = rddSorted.mapPartitionsWithIndex { (i, it) =>
+      var run = starts(i)
+      it.map { r =>
+        val row = Row.fromSeq(r.toSeq :+ run)
+        run += r.getLong(vIdx)
+        row
+      }
+    }
+    spark.createDataFrame(out, schema)
+  }
 }

@@ -40,10 +40,13 @@ class BenchFormatSpec extends AnyFunSuite {
       // rotation rides the stdout record too — model the full cohort
       // (worst case: benchQueries already includes it AND nothing was
       // droppable, e.g. a first run at an sf with no committed prior)
+      // hot is capped at 5 on the stdout record (Bench.main), same
+      // rationale as the raw cap
       val line = Bench.record(worst, repeats = 3, leakedRdds = 0,
         sfDir = "/root/testdata/sf0.1", shorten = true,
         calib = Seq(999.999, 999.999), rechecked = 99, raw = worst.take(3),
-        builds = worstBuilds, rotation = SparkEntry.rotationCohort)
+        builds = worstBuilds, rotation = SparkEntry.rotationCohort,
+        hot = worst.take(5).map(_._1))
       assert(line.length <= Bench.StdoutBudget,
         s"stdout bench line ${line.length} chars at uniform value $value — " +
           "the self-clamp failed to hold the record inside the 2000-char " +
@@ -117,6 +120,33 @@ class BenchFormatSpec extends AnyFunSuite {
     val none = Bench.record(Seq("q01_ok" -> 2.0), repeats = 3, leakedRdds = 0,
       sfDir = "/tmp/sf", shorten = false)
     assert(none.contains("\"raw\":{}"))
+  }
+
+  test("contention-poisoned rows self-identify in the hot field") {
+    // A recheck that exhausts its calib-gated backoff with the canary
+    // still inflated re-sampled UNDER the burst — the record must mark
+    // the row so a reader can tell it from a genuine regression without
+    // an isolated re-run (BENCH_r11's q19 at 8.26 s vs 1.09 s isolated
+    // needed a judge re-run to adjudicate).
+    val line = Bench.record(Seq("q19_snapshot_diff" -> 8.26), repeats = 3,
+      leakedRdds = 0, sfDir = "/tmp/sf", shorten = false,
+      rechecked = 1, raw = Seq("q19_snapshot_diff" -> 8.26),
+      hot = Seq("q19_snapshot_diff"))
+    assert(line.contains(""""hot":["q19_snapshot_diff"]"""),
+      s"a burst-poisoned row must be self-identifying: $line")
+    // kept-minimum behavior unchanged: the queries entry is still the row
+    assert(line.contains("\"q19_snapshot_diff\":8.260"))
+    // stdout compresses to short keys
+    val stdout = Bench.record(Seq("q19_snapshot_diff" -> 8.26), repeats = 3,
+      leakedRdds = 0, sfDir = "/tmp/sf", shorten = true,
+      hot = Seq("q19_snapshot_diff", "q89_bloom_decontam"))
+    assert(stdout.contains(""""hot":"q19+q89""""), s"stdout hot short form: $stdout")
+    // quiet runs keep a constant full-form shape and no stdout field
+    val none = Bench.record(Seq("q01_ok" -> 2.0), repeats = 3, leakedRdds = 0,
+      sfDir = "/tmp/sf", shorten = false)
+    assert(none.contains(""""hot":[]"""))
+    assert(!Bench.record(Seq("q01_ok" -> 2.0), repeats = 3, leakedRdds = 0,
+      sfDir = "/tmp/sf", shorten = true).contains("hot"))
   }
 
   test("index build components ride the record and stay out of the total") {

@@ -484,6 +484,24 @@ class ScaleCurveSpec extends AnyFunSuite {
     curve("exact_quantiles", op, docs, amp)
   }
 
+  test("exact quantiles scale ~linearly in GROUP COUNT (distributed offsets)") {
+    // The round-11 headroom item: the offsets cumulation previously rode
+    // a single-partition window over the group frame — fine for
+    // languages/sources, one task's critical path for a 10^4+-group
+    // per-DOMAIN job. prefixSumLong keeps the offsets range-partitioned
+    // end to end (only partition totals touch the driver), so 10x groups
+    // (with 10x rows) must hold the exchange count and ~linear time.
+    val base = spark.range(0, 50000).select(
+      pmod($"id", lit(1000L)).as("g"), $"id".as("rid"),
+      pmod($"id" * 2654435761L, lit(10007L)).as("v"))
+    val amp = spark.range(0, 500000).select(
+      pmod($"id", lit(10000L)).as("g"), $"id".as("rid"),
+      pmod($"id" * 2654435761L, lit(10007L)).as("v"))
+    def op(d: DataFrame): DataFrame =
+      Profiler.exactQuantiles(d, "g", "v", "rid", Seq("0.5", "0.9"))
+    curve("exact_quantiles_groups", op, base, amp)
+  }
+
   test("chi-square feature attribution scales ~linearly (dim-bounded aggregate)") {
     // ampText preserves doc_id parity (the label), so both classes grow
     // 10x; the only corpus-sized work is the tokenizing presence scan —

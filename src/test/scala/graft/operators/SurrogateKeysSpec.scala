@@ -40,6 +40,36 @@ class SurrogateKeysSpec extends AnyFunSuite {
     assert(globals.isEmpty, s"unexpected global window in surrogate-key plan")
   }
 
+  test("prefixSumLong equals the exclusive running-sum window at any partitioning") {
+    // shuffled unique keys; values vary so a wrong ordering or a dropped
+    // partition offset cannot cancel out
+    val df = spark.range(0, 5000)
+      .select(((col("id") * 7919) % 10007).as("k"),
+        ((col("id") % 97) + 1).as("n"))
+    val expected = df.withColumn("exp",
+      coalesce(sum(col("n")).over(
+        Window.orderBy(col("k")).rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+    for (parts <- Seq(1, 3, 8)) {
+      val got = SurrogateKeys.prefixSumLong(df.repartition(parts), "n",
+        Seq(col("k")), "off", numPartitions = Some(parts))
+      assert(got.count() == 5000)
+      assert(got.join(expected, Seq("k"))
+        .filter(col("off") =!= col("exp")).count() == 0,
+        s"prefix sums diverge from the window form at $parts partitions")
+    }
+  }
+
+  test("prefixSumLong plan carries no window at all (the point of the pass)") {
+    val df = spark.range(0, 1000).select(col("id").as("k"), lit(2L).as("n"))
+    val out = SurrogateKeys.prefixSumLong(df, "n", Seq(col("k")), "off")
+    val wins = out.queryExecution.optimizedPlan.collect { case w: LWindow => w }
+    assert(wins.isEmpty, "prefixSumLong must not plan any window")
+    // total conservation: last offset + its value = grand total
+    val last = out.orderBy(col("k").desc).limit(1).head()
+    assert(last.getLong(out.columns.indexOf("off")) + 2L == 2000L)
+  }
+
   test("non-unique order: keys are still dense, unique, and rank-ranged per tie group") {
     // 1000 rows over 10 distinct order values (100-way ties) — the shape
     // that fan-out on a naive tuple join-back would explode 100×.
