@@ -54,10 +54,32 @@ object Classifier {
     * [[Features.hashedCountVector]]'s tokenization: space-split
     * lowercase, empty tokens dropped). Row-local; NULL text stays NULL
     * (excluded from training, NULL score).
+    *
+    * `bigrams = true` adds a WORD-BIGRAM arm (round-11 verdict item 5 —
+    * the CCNet/fastText-grade featurization: Joulin et al. 2016 §2.1
+    * hash word n-grams alongside unigrams): every adjacent token pair
+    * hashes as the single string `tok_i ++ " " ++ tok_{i+1}` into the
+    * SAME dim space, so word-ORDER signal ("free click here" vs "click
+    * here free") reaches the linear model that a pure bag of words
+    * cannot see. Still one row-local projection — the bigram list is a
+    * `zip_with` of the token array against its own tail; the weight
+    * vector, gradient aggregate, and every downstream step are
+    * unchanged (a bucket is a bucket).
     */
-  def bucketize(text: Column, dim: Int, salt: String): Column =
-    transform(filter(split(lower(text), " "), t => t =!= ""),
-      t => (Sampling.hash16(t, salt) % dim).cast("int"))
+  def bucketize(text: Column, dim: Int, salt: String,
+      bigrams: Boolean = false): Column = {
+    val toks = filter(split(lower(text), " "), t => t =!= "")
+    def bucket(t: Column): Column = (Sampling.hash16(t, salt) % dim).cast("int")
+    val uni = transform(toks, t => bucket(t))
+    if (!bigrams) uni
+    else {
+      val nBi = greatest(size(toks) - 1, lit(0)).cast("int")
+      val bi = zip_with(
+        slice(toks, lit(1), nBi), slice(toks, lit(2), nBi),
+        (a, b) => bucket(concat(a, lit(" "), b)))
+      concat(uni, bi)
+    }
+  }
 
   /** Fixed-point margin from a weight ARRAY column: `wf(1)` is the bias,
     * `wf(b + 2)` the weight of bucket `b` (1-based SQL array indexing).
@@ -97,7 +119,8 @@ object Classifier {
     */
   def train(docs: DataFrame, idCol: String, textCol: String,
       labelCol: String, dim: Int, epochs: Int, lrNum: Long = 1L,
-      lrDen: Long = 2L, salt: String = ""): DataFrame = {
+      lrDen: Long = 2L, salt: String = "",
+      bigrams: Boolean = false): DataFrame = {
     require(dim >= 2 && dim <= 65536,
       s"dim ($dim) must be in [2, 65536] — hash16 is a 16-bit hash")
     require(epochs >= 1 && epochs <= 64, s"epochs ($epochs) out of [1, 64]")
@@ -113,7 +136,7 @@ object Classifier {
     val (feats, featsHandle) = eagerCheckpoint(
       docs.select(col(idCol),
           col(labelCol).cast("int").as("__y"),
-          bucketize(col(textCol), dim, salt).as("__bks"))
+          bucketize(col(textCol), dim, salt, bigrams).as("__bks"))
         .withColumn("__y", col("__y") + yGuard))
     var w: DataFrame = spark.range(1)
       .select(array_repeat(lit(0L), dim + 1).as("wf"))
@@ -178,12 +201,13 @@ object Classifier {
     * `quality_p` (the deterministic double link; NULL text ⇒ NULL).
     */
   def score(docs: DataFrame, textCol: String, weightsFx: Seq[Long],
-      dim: Int, salt: String = ""): DataFrame = {
+      dim: Int, salt: String = "", bigrams: Boolean = false): DataFrame = {
     require(weightsFx.size == dim + 1,
       s"weights size ${weightsFx.size} != dim + 1 (${dim + 1})")
     val wLit = array(weightsFx.map(lit(_)): _*)
     docs
-      .withColumn("z_fx", zFx(bucketize(col(textCol), dim, salt), wLit))
+      .withColumn("z_fx",
+        zFx(bucketize(col(textCol), dim, salt, bigrams), wLit))
       .withColumn("quality_p", sigmoidP(col("z_fx")))
   }
 }

@@ -640,6 +640,72 @@ object Profiler {
       .withColumn("__y", col("__y") + yGuard)
   }
 
+  /** COHEN'S κ inter-annotator agreement (Cohen 1960) — the labeling-QA
+    * number a training-data pipeline reads before trusting ANY label
+    * column (q223's classifier is only as good as its labels; two
+    * heuristic labelers that agree at chance carry no signal): observed
+    * agreement corrected for the agreement two INDEPENDENT raters with
+    * these marginals would reach by luck.
+    *
+    * Exact-integer form: with confusion counts n(a,b), n = Σ n(a,b),
+    * D = Σ n(c,c), S = Σ_c row_c·col_c,
+    *
+    *   κ = (n·D − S) / (n² − S)
+    *
+    * — numerator and denominator are EXACT (DECIMAL(38,0) products: at
+    * n = 10^12 rows n² is 10^24, far inside 38 digits where a long
+    * would wrap), so κ is ONE IEEE division of exact integers and
+    * bit-identical in any engine; `po`/`pe` are one exact-over-exact
+    * division each. Both-raters-constant (n² = S: pe = 1, chance
+    * explains everything) yields NULL, not a 0/0. Rows where either
+    * rating is NULL are excluded (an unrated item has no agreement to
+    * measure).
+    *
+    * Scale: ONE corpus scan into the category²-bounded confusion
+    * aggregate (map-side partials); everything after runs on that tiny
+    * frame — marginal aggs, a category-keyed join, two scalar rows.
+    * The corpus never shuffles.
+    *
+    * @return one row: (n, agree, po, pe, kappa)
+    */
+  def cohenKappa(df: DataFrame, raterA: String, raterB: String): DataFrame = {
+    import org.apache.spark.sql.GraftSqlBridge.eagerCheckpoint
+    val d38 = DecimalType(38, 0)
+    // the confusion frame feeds THREE plan arms (row marginals, column
+    // marginals, the totals row) — checkpoint the category²-sized frame
+    // once or the corpus scan (and the caller's featurization) replays
+    // per arm (the q230 unmaterialized-lineage lesson)
+    val (conf, confHandle) = eagerCheckpoint(df
+      .select(col(raterA).cast("string").as("__a"),
+        col(raterB).cast("string").as("__b"))
+      .filter(col("__a").isNotNull && col("__b").isNotNull)
+      .groupBy(col("__a"), col("__b")).agg(count(lit(1)).as("__c")))
+    // marginals over the confusion frame; a category one rater never
+    // uses has a zero product, so the inner join dropping it is exact
+    val s = conf.groupBy(col("__a").as("__k")).agg(sum(col("__c")).as("__ra"))
+      .join(conf.groupBy(col("__b").as("__k")).agg(sum(col("__c")).as("__cb")),
+        Seq("__k"))
+      .agg(coalesce(sum((col("__ra").cast(d38) * col("__cb").cast(d38))
+        .cast(d38)), lit(0L).cast(d38)).as("__s"))
+    val base = conf.agg(
+      coalesce(sum(col("__c")), lit(0L)).as("__n"),
+      coalesce(sum(when(col("__a") === col("__b"), col("__c"))
+        .otherwise(lit(0L))), lit(0L)).as("__d"))
+    val n2 = (col("__n").cast(d38) * col("__n").cast(d38)).cast(d38)
+    val out = graft.core.Caching.reap(base.crossJoin(s)
+      .select(col("__n").as("n"), col("__d").as("agree"),
+        when(col("__n") > 0,
+          col("__d").cast("double") / col("__n").cast("double")).as("po"),
+        when(col("__n") > 0, col("__s").cast("double") / n2.cast("double"))
+          .as("pe"),
+        when(n2 =!= col("__s"),
+          ((col("__n").cast(d38) * col("__d").cast(d38)).cast(d38)
+            - col("__s")).cast("double")
+            / (n2 - col("__s")).cast("double")).as("kappa")))
+    confHandle.unpersist(blocking = false)
+    out
+  }
+
   /** KEY-SKEW report — the one-row profile a pipeline owner reads before
     * keying a 100 TB shuffle on a column (a whale key turns one task
     * into the stage's critical path; AQE mitigates but pre-measuring

@@ -213,6 +213,67 @@ object TextQueries extends QueryModule {
         FROM sc ORDER BY doc_id
       """.trim)),
 
+    // --- Cohen's κ inter-annotator agreement (Cohen 1960) between the
+    // stored gold language labels and q61's heuristic lang-id — THE
+    // labeling-QA read before trusting a label column (raw accuracy
+    // flatters any skewed label distribution; κ subtracts the agreement
+    // the marginals would produce by chance). Exact-integer form:
+    // κ = (n·D − S)/(n² − S) over exact decimal products — one IEEE
+    // division per reported ratio, so the oracle (q61's prediction CTE +
+    // the same integer algebra in HUGEINT) matches bit-for-bit. One
+    // corpus scan into the category²-bounded confusion aggregate;
+    // everything after is category-sized. ---
+    GQuery(
+      "q240_cohen_kappa",
+      (spark, dir) => {
+        val pred = Tables.docs(spark, dir)
+          .withColumn("__tk", TextAnalysis.tokens(lower(col("text"))))
+          .select(col("lang"),
+            TextAnalysis.langIdTk(col("__tk")).as("lang_pred"))
+        graft.operators.Profiler.cohenKappa(pred, "lang", "lang_pred")
+      },
+      Some("""
+        WITH s AS (
+          SELECT doc_id, lang, string_split(lower(text), ' ') AS tk FROM documents),
+        sc AS (
+          SELECT doc_id, lang,
+            len(list_filter(tk, x -> list_contains(['the','a','and','of','is'], x))) AS s_en,
+            len(list_filter(tk, x -> list_contains(['le','la','et','de','un'], x))) AS s_fr,
+            len(list_filter(tk, x -> list_contains(['el','los','y','que','un'], x))) AS s_es,
+            len(list_filter(tk, x -> list_contains(['der','die','und','das','ein'], x))) AS s_de,
+            len(list_filter(tk, x -> list_contains(['的','是','了','在','我'], x))) AS s_zh
+          FROM s),
+        pred AS (
+          SELECT lang AS a,
+            CASE WHEN s_en=0 AND s_fr=0 AND s_es=0 AND s_de=0 AND s_zh=0 THEN 'und'
+                 WHEN s_en >= s_fr AND s_en >= s_es AND s_en >= s_de AND s_en >= s_zh THEN 'en'
+                 WHEN s_fr >= s_es AND s_fr >= s_de AND s_fr >= s_zh THEN 'fr'
+                 WHEN s_es >= s_de AND s_es >= s_zh THEN 'es'
+                 WHEN s_de >= s_zh THEN 'de'
+                 ELSE 'zh' END AS b
+          -- NULL text predicts NULL on the Spark side (tokens
+          -- null-propagate) where the CASE here would fall to ELSE —
+          -- exclude it the way cohenKappa's both-non-null filter does
+          FROM sc WHERE lang IS NOT NULL AND s_en IS NOT NULL),
+        cf AS (SELECT a, b, COUNT(*) AS c FROM pred GROUP BY 1, 2),
+        mg AS (
+          SELECT r.ra, q.cb
+          FROM (SELECT a AS k, SUM(c) AS ra FROM cf GROUP BY 1) r
+          JOIN (SELECT b AS k, SUM(c) AS cb FROM cf GROUP BY 1) q USING (k)),
+        tots AS (
+          SELECT (SELECT COALESCE(SUM(c), 0) FROM cf) AS n,
+                 (SELECT COALESCE(SUM(CASE WHEN a = b THEN c ELSE 0 END), 0)
+                  FROM cf) AS d,
+                 (SELECT COALESCE(SUM(ra * cb), 0) FROM mg) AS s2)
+        SELECT CAST(n AS BIGINT) AS n, CAST(d AS BIGINT) AS agree,
+               CASE WHEN n > 0 THEN CAST(d AS DOUBLE) / CAST(n AS DOUBLE) END AS po,
+               CASE WHEN n > 0 THEN CAST(s2 AS DOUBLE) / CAST(n * n AS DOUBLE) END AS pe,
+               CASE WHEN n * n <> s2 THEN
+                 CAST(n * d - s2 AS DOUBLE) / CAST(n * n - s2 AS DOUBLE)
+               END AS kappa
+        FROM tots
+      """.trim)),
+
     // --- quality scoring (length saturation + stopword + diversity) ---
     GQuery(
       "q62_quality_score",

@@ -186,6 +186,46 @@ class ClassifierSpec extends AnyFunSuite {
     }
   }
 
+  test("bigram-only signal: word ORDER separates classes unigram training cannot") {
+    // Both classes carry the IDENTICAL token multiset — only the order
+    // differs — so unigram features are equal row-for-row: training sees
+    // identical feature vectors with balanced labels, gradients cancel
+    // exactly, weights stay zero, and every score is exactly 0.5 (the
+    // provable unigram ceiling). The bigram arm sees disjoint adjacent
+    // pairs ("free click"/"click here" vs "here free"/"click here") and
+    // must fully separate the same corpus.
+    val docs = ((0 until 20).map(i => ((i.toLong, 1, "click here free")))
+      ++ (0 until 20).map(i => ((100 + i).toLong, 0, "free click here")))
+      .toDF("id", "y", "text")
+    val wUni = Classifier.weights(Classifier.train(docs, "id", "text", "y",
+      dim = 64, epochs = 3, salt = "bg"))
+    assert(wUni.forall(_ == 0L),
+      "identical unigram features with balanced labels must cancel to zero weights")
+    val uniScores = Classifier.score(docs, "text", wUni, 64, "bg")
+      .select(col("quality_p")).collect().map(_.getDouble(0)).distinct
+    assert(uniScores.toSeq == Seq(0.5), "unigram model cannot tell the classes apart")
+    val wBi = Classifier.weights(Classifier.train(docs, "id", "text", "y",
+      dim = 64, epochs = 3, salt = "bg", bigrams = true))
+    val scored = Classifier.score(docs, "text", wBi, 64, "bg", bigrams = true)
+    val auc = Profiler.aucExact(scored, "quality_p", "y", "id")
+      .collect()(0).getDouble(2)
+    assert(auc == 1.0, s"bigram features must fully separate the order-only classes; got AUC $auc")
+  }
+
+  test("bigram bucketize: adjacent pairs hash as single strings into the same space") {
+    // 4 tokens → 4 unigram + 3 bigram buckets, in order; 1/0 tokens → no
+    // bigram arm; the bigram bucket equals hashing the joined pair string
+    val df = Seq(("a b c d"), ("solo"), ("")).toDF("text")
+    val got = df.select(
+        Classifier.bucketize(col("text"), 64, "bb", bigrams = true).as("bk"))
+      .collect().map(_.getSeq[Int](0).toList)
+    def h(t: String) = hash16Ref(t, "bb") % 64
+    assert(got(0) == List("a", "b", "c", "d").map(h) ++
+      List("a b", "b c", "c d").map(h))
+    assert(got(1) == List(h("solo")))
+    assert(got(2).isEmpty)
+  }
+
   test("trained classifier separates the classes by AUC 1.0 on the fixture") {
     val docs = corpus(30).toDF("id", "y", "text")
     val wfx = Classifier.weights(Classifier.train(docs, "id", "text", "y",

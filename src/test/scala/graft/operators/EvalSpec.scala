@@ -218,6 +218,37 @@ class EvalSpec extends AnyFunSuite {
     Integer.parseInt(hex.take(4), 16)
   }
 
+  test("cohenKappa: hand confusion table, perfect/constant edges, NULL exclusion") {
+    // Cohen's textbook-shaped table [[20,5],[10,15]]: n=50, D=35,
+    // marginals A (25,25) × B (30,20) → S=1250, po=0.7, pe=0.5,
+    // κ = (50·35−1250)/(2500−1250) = 0.4 — all ratios exact in double
+    def rep(a: String, b: String, k: Int) = Seq.fill(k)((a, b))
+    val hand = (rep("yes", "yes", 20) ++ rep("yes", "no", 5) ++
+      rep("no", "yes", 10) ++ rep("no", "no", 15)).toDF("ra", "rb")
+    val r = Profiler.cohenKappa(hand, "ra", "rb").collect()(0)
+    assert(r.getLong(0) == 50L && r.getLong(1) == 35L)
+    assert(r.getDouble(2) == 0.7 && r.getDouble(3) == 0.5)
+    assert(r.getDouble(4) == 0.4)
+    // NULL ratings are excluded — padding with unrated rows changes nothing
+    val padded = hand.unionByName(
+      Seq((null: String, "yes"), ("no", null: String)).toDF("ra", "rb"))
+    assert(Profiler.cohenKappa(padded, "ra", "rb").collect()(0).toSeq
+      == r.toSeq)
+    // perfect agreement with non-constant marginals → exactly 1.0
+    val perfect = (rep("a", "a", 30) ++ rep("b", "b", 20)).toDF("ra", "rb")
+    assert(Profiler.cohenKappa(perfect, "ra", "rb")
+      .collect()(0).getDouble(4) == 1.0)
+    // both raters constant: pe = 1, chance explains everything → NULL
+    val const = rep("a", "a", 10).toDF("ra", "rb")
+    assert(Profiler.cohenKappa(const, "ra", "rb").collect()(0).isNullAt(4))
+    // a category only ONE rater uses contributes a zero product: A says
+    // 'x' (never predicted), penalizing po but not pe's cross terms
+    val oneSided = (rep("a", "a", 8) ++ rep("x", "a", 2)).toDF("ra", "rb")
+    val o = Profiler.cohenKappa(oneSided, "ra", "rb").collect()(0)
+    // n=10, D=8, S = row_a·col_a = 8·10 = 80; κ = (80−80)/(100−80) = 0
+    assert(o.getDouble(2) == 0.8 && o.getDouble(4) == 0.0)
+  }
+
   test("chiSquareBuckets: bit-exact vs the in-memory model; presence semantics; all-docs bucket NULL") {
     val dim = 32
     val docs = Seq(

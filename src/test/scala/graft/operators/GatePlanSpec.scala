@@ -326,11 +326,28 @@ class GatePlanSpec extends AnyFunSuite {
     // fixture reads embeddings twice on the planted side) + the
     // broadcast dim-row centroid crossJoin; q235/q236 = spread + the
     // narrow rank pass (range repartition) + group-sized offsets/cuts
-    // (broadcast back) + output sort
+    // (broadcast back) + output sort. Re-pinned 5->2 / 7->4 with the
+    // round-12 distributed-offsets change: the counts aggregate + the
+    // prefix-sum range shuffle run EAGERLY inside prefixSumLong (its
+    // partition-totals collect — the eagerCheckpoint convention), so the
+    // returned plan sees the offsets frame as a LogicalRDD; the offsets
+    // cumulation itself no longer plans any window (SurrogateKeysSpec
+    // pins that fact and ScaleCurveSpec the 10x-groups curve).
     "q233_tokenizer_fertility" -> (4, 1),
     "q234_embedding_drift" -> (7, 1),
-    "q235_exact_quantiles" -> (5, 3),
-    "q236_quantile_labels" -> (7, 4))
+    "q235_exact_quantiles" -> (2, 3),
+    "q236_quantile_labels" -> (4, 4),
+    // round-12 additions. q238 = q223's scoring shape (training is
+    // driver-side; the bigram arm is row-local); q239 = the five-stage
+    // composite: scoring projection + the median's eager rank pass
+    // (LogicalRDD boundary) + broadcast cut + dedup agg/semi-join +
+    // budget window + pack window + output sort
+    "q238_bigram_classifier" -> (3, 0),
+    "q239_curation_pipeline" -> (10, 8),
+    // q240 pins the post-reap one-row frame (the q199/q221 convention);
+    // the internal shape — one corpus scan into the checkpointed
+    // category²-sized confusion aggregate — is EvalSpec/operator-doc'd
+    "q240_cohen_kappa" -> (0, 0))
 
   test("q107's ORC read-back pushes its predicate and projection into the scan") {
     import org.apache.spark.sql.functions.col

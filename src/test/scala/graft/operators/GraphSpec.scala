@@ -182,6 +182,26 @@ class GraphSpec extends AnyFunSuite {
     assert(a == b && a.nonEmpty)
   }
 
+  test("triangleCounts: edgesDistinct vouch matches the general path on a distinct input") {
+    // the q199 wiring: coOccurrenceEdges guarantees canonical distinct
+    // pairs, so the vouch (which skips one edge-sized distinct shuffle)
+    // must be result-identical — including on a REVERSED-orientation
+    // presentation of the same distinct pair set (least/greatest alone
+    // must canonicalize it)
+    val edges = Graph.coOccurrenceEdges(
+      graft.core.Tables.t(spark, TestSpark.SfDir, "lineitem"),
+      "l_orderkey", "l_suppkey")
+    val general = Graph.triangleCounts(edges, "src", "dst")
+      .orderBy("node").collect().toSeq
+    val vouched = Graph.triangleCounts(edges, "src", "dst",
+      edgesDistinct = true).orderBy("node").collect().toSeq
+    assert(vouched == general && general.nonEmpty)
+    val reversed = edges.select(col("dst").as("src"), col("src").as("dst"))
+    val vouchedRev = Graph.triangleCounts(reversed, "src", "dst",
+      edgesDistinct = true).orderBy("node").collect().toSeq
+    assert(vouchedRev == general)
+  }
+
   test("coOccurrenceEdges: canonical distinct pairs per shared group, NULLs dropped") {
     val df = Seq(
       (1L, "b"), (1L, "a"), (1L, "a"), // group 1: pair (a,b) once

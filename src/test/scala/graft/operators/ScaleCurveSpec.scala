@@ -411,6 +411,26 @@ class ScaleCurveSpec extends AnyFunSuite {
     curve("rp_lsh_neardup", op, e, amp)
   }
 
+  test("exact triangle counting scales ~linearly (adjacency intersection)") {
+    // 10 DISJOINT remapped copies of the co-occurrence graph: per-copy
+    // triangle structure is identical, so true work is exactly linear.
+    // The compact-forward claim under test: wedges never cross an
+    // exchange — a wedge-shuffling implementation pays the 2-path volume
+    // (~m^1.5) through the shuffle and drifts super-linear here, while
+    // the adjacency-array form moves only m array-packed longs. The
+    // exchange assertion is trivial on the checkpointed output (the
+    // pagerank_fixed precedent) — the time bound is the content.
+    val edges = Graph.coOccurrenceEdges(table("lineitem"),
+      "l_orderkey", "l_partkey")
+    val amp = (0 until Amp).map(i => edges.select(
+        concat(lit(s"$i:"), $"src").as("src"),
+        concat(lit(s"$i:"), $"dst").as("dst")))
+      .reduce(_ unionByName _)
+    def op(d: DataFrame): DataFrame =
+      Graph.triangleCounts(d, "src", "dst", edgesDistinct = true)
+    curve("triangles", op, edges, amp)
+  }
+
   test("fixed-round PageRank scales ~linearly at 10x edges") {
     // 10 DISJOINT remapped copies of the purchase graph (node ids
     // prefixed per copy): per-copy structure identical, so true work is
