@@ -268,10 +268,13 @@ object Graph {
     * the result is partitioning-invariant and the q174 oracle can unroll
     * rounds as chained CTEs.
     *
-    * Per-round shape: edge×labels equi-join → (node, label) count agg →
-    * per-node argmax window over the COUNT FRAME (rows = labeled
-    * neighbors' distinct labels — bounded by label vocabulary × nodes,
-    * never by edges). State is (node, label) — node-sized.
+    * Per-round shape: edge×labels equi-join (edge side pinned to the
+    * join layout once — see below — so only the node-sized state
+    * exchanges per round) → (node, label) count agg → per-node argmax
+    * as a `min_by` AGGREGATE over the count frame (map-side partials;
+    * the previous row_number window paid a second full sort of the
+    * count frame per round and parked each node's labels in one task).
+    * State is (node, label) — node-sized.
     *
     * @param seeds (idCol, labelCol) — the sparse ground-truth labels
     * @return (node string, label string nullable) for every node of the
@@ -299,6 +302,13 @@ object Graph {
     // closure ⇒ every node appears as src, so one side covers the set.
     val (dict, dictHandle, und, undHandle) = remapToDense(undStr,
       undStrHandle, undStr.select(col("src").as("node")).distinct())
+    // und is checkpoint-backed (a LogicalRDD carries no partitioning
+    // metadata), so every round's edge×labels join would RE-SHUFFLE the
+    // edge side. Pin the join layout ONCE: repartition on the join key
+    // and persist — the cached relation PRESERVES hashpartitioning(src),
+    // so each round exchanges only the node-sized state. (prFixed's `ed`
+    // gets the same property for free from its persisted degree join.)
+    val undP = und.repartition(col("src")).persist()
     val nodes = dict.select(col("nid").as("node"))
     val seed = seeds
       .select(col(idCol).cast("string").as("node"),
@@ -313,17 +323,21 @@ object Graph {
     var prevHandle: Option[org.apache.spark.rdd.RDD[_]] = None
     var r = 0
     while (r < rounds) {
-      val counts = und
+      val counts = undP
         .join(labels.select(col("node").as("src"), col("label")), "src")
         .filter(col("label").isNotNull)
         .groupBy(col("dst").as("node"), col("label"))
         .agg(count(lit(1)).as("cnt"))
-      val w = Window.partitionBy(col("node"))
-        .orderBy(col("cnt").desc, col("label").asc)
+      // argmax with the (cnt DESC, label ASC) tie-break as ONE hash
+      // aggregate: min over the (−cnt, label) struct ≡ the row the old
+      // row_number window ranked first — identical winner per node,
+      // bit-for-bit (labels are distinct within a node, so the struct
+      // order is total), without the window's second sort-shuffle.
       val winner = counts
-        .withColumn("__rn", row_number().over(w))
-        .filter(col("__rn") === 1)
-        .select(col("node"), col("label").as("prop_label"))
+        .groupBy(col("node"))
+        .agg(min_by(col("label"),
+          struct((-col("cnt")).as("nc"), col("label").as("lb")))
+          .as("prop_label"))
       labels = labels.join(winner, Seq("node"), "left")
         .join(seed, Seq("node"), "left")
         .select(col("node"),
@@ -339,6 +353,7 @@ object Graph {
     }
     val out = remapBack(labels, "label", dict)
     prevHandle.foreach(_.unpersist(blocking = false))
+    undP.unpersist(blocking = false)
     undHandle.unpersist(blocking = false)
     dictHandle.unpersist(blocking = false)
     seed.unpersist(blocking = false)

@@ -182,6 +182,53 @@ class GraphSpec extends AnyFunSuite {
     assert(a == b && a.nonEmpty)
   }
 
+  test("the edge layout pin: a cached repartition is join-co-partitioned, a bare checkpoint is not") {
+    // The mechanism labelPropagateFixed's round-12 layout pin relies on
+    // (and the regression a Spark upgrade could introduce): a
+    // checkpoint-backed frame is a LogicalRDD with NO partitioning
+    // metadata, so every join over it re-plans an edge-sized exchange —
+    // across lineage-cut segments that re-shuffle re-EXECUTES per
+    // segment (measured on the 50k-edge fixture: rounds=10 wrote 658k
+    // shuffle records unpinned vs 560k pinned — one full closure pass
+    // saved per extra segment). repartition(key)+persist restores the
+    // metadata: the InMemoryRelation preserves hashpartitioning(key), so
+    // the join exchanges ONLY the other side.
+    import org.apache.spark.sql.GraftSqlBridge.eagerCheckpoint
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val saved = spark.conf.getOption(key)
+    spark.conf.set(key, "-1") // force the shuffle join the iterate uses
+    val (ckpt, h) = eagerCheckpoint(
+      spark.range(0L, 20000L, 1L, 8)
+        .select((col("id") % 500).as("src"), col("id").as("dst")))
+    val state = spark.range(0L, 500L).select(col("id").as("src"),
+      (col("id") * 7).as("rf"))
+    val pinned = ckpt.repartition(col("src")).persist()
+    try {
+      pinned.count()
+      def q(edgeSide: org.apache.spark.sql.DataFrame) = edgeSide
+        .join(state, "src").groupBy("dst").agg(sum(col("rf")).as("s"))
+      // negative control: the bare checkpoint join exchanges BOTH sides
+      // (edge + state) before the agg's exchange
+      val bare = Bucketing.exchangeCount(q(ckpt))
+      // the pin: only the state side + the agg exchange — the cached
+      // relation's preserved hashpartitioning(src) feeds the join as-is
+      val got = Bucketing.exchangeCount(q(pinned))
+      info(s"exchanges: bare-checkpoint join = $bare, pinned join = $got")
+      assert(bare == 3, s"control drifted: expected 3 exchanges, got $bare")
+      assert(got == 2,
+        s"the cached repartition must eliminate the edge-side exchange " +
+          s"(bare = $bare, pinned = $got) — InMemoryRelation stopped " +
+          "preserving its child partitioning")
+    } finally {
+      pinned.unpersist(blocking = false)
+      h.unpersist(blocking = false)
+      saved match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("triangleCounts: edgesDistinct vouch matches the general path on a distinct input") {
     // the q199 wiring: coOccurrenceEdges guarantees canonical distinct
     // pairs, so the vouch (which skips one edge-sized distinct shuffle)
