@@ -360,6 +360,105 @@ object Graph {
     out
   }
 
+  /** Fixed-round k-CORE peel (Seidman 1983; the Batagelj-Zaveršnik peel
+    * distributed): the k-core is the maximal induced subgraph where
+    * every node keeps degree ≥ k — the link-graph cohesion filter a
+    * crawl-curation pass runs next to [[pageRankFixed]]'s centrality
+    * (low-core pages are the tendrils and isolated clusters; spam farms
+    * sit in anomalously deep cores for their rank).
+    *
+    * Each round removes EVERY node whose current induced degree is
+    * below k simultaneously (the synchronous peel — deterministic, no
+    * removal-order dependence), then repairs survivors' degrees
+    * INCREMENTALLY: only edges INTO this round's removed set are
+    * touched, so across all rounds each edge crosses the wire at most
+    * once (its dst is removed at most once) — the sequential peel's
+    * O(m) total work, distributed. Rounds are FIXED (the house iterate
+    * discipline — the oracle unrolls them as chained CTEs); a rounds
+    * budget too small to reach the fixpoint fails LOUDLY via an in-plan
+    * assert on the output degrees (all-degrees-≥-k is exactly the
+    * fixpoint predicate, so the guard is complete: an unconverged state
+    * always carries a violating row).
+    *
+    * Scale: the symmetric edge frame checkpoints once and pins ONE
+    * dst-keyed layout (the labelPropagateFixed persist discipline), so
+    * each round exchanges only the node-sized removed set plus the
+    * (src, long) partial counts of that round's touched edges;
+    * per-round state is node-sized, checkpointed every
+    * [[CheckpointEvery]] rounds. Degrees are exact longs end to end.
+    *
+    * @param closureDistinct caller vouches the symmetric closure of its
+    *                        input is duplicate-free (e.g. a distinct
+    *                        bipartite relation with disjoint node
+    *                        namespaces) — skips one edge-sized distinct
+    *                        shuffle; a lying caller gets inflated
+    *                        degrees, the [[pageRankFixed]] contract
+    * @return `(node, degree)` — the k-core members with their induced
+    *         degrees (empty when the graph has no k-core)
+    */
+  def kCoreFixed(edges: DataFrame, srcCol: String, dstCol: String,
+      k: Int, rounds: Int, closureDistinct: Boolean = false): DataFrame = {
+    require(k >= 1, s"k ($k) must be >= 1")
+    require(rounds >= 1, s"rounds ($rounds) must be >= 1")
+    import org.apache.spark.sql.GraftSqlBridge.eagerCheckpoint
+
+    val dir = edges
+      .select(col(srcCol).cast(StringType).as("src"),
+        col(dstCol).cast(StringType).as("dst"))
+      .filter(col("src").isNotNull && col("dst").isNotNull &&
+        col("src") =!= col("dst"))
+    val closure = dir.unionByName(
+      dir.select(col("dst").as("src"), col("src").as("dst")))
+    val (und, undHandle) = eagerCheckpoint(
+      if (closureDistinct) closure else closure.distinct())
+    // One dst-keyed pinned layout: every round's loss join probes it
+    // with the node-sized removed set — the edges themselves never
+    // re-shuffle (a LogicalRDD carries no partitioning metadata, so
+    // without the pin each round would re-exchange the edge side).
+    val undD = und.repartition(col("dst")).persist()
+    // state: (node, deg) — induced degree over the CURRENTLY-alive set;
+    // symmetric closure ⇒ the src side covers every non-isolated node
+    // (isolated nodes are in no k-core for k ≥ 1 by construction)
+    var state = und.groupBy(col("src"))
+      .agg(count(lit(1)).as("deg"))
+      .select(col("src").as("node"), col("deg"))
+    var prevHandle: Option[org.apache.spark.rdd.RDD[_]] = None
+    var r = 0
+    while (r < rounds) {
+      val removed = state.filter(col("deg") < k)
+        .select(col("node").as("dst"))
+      val loss = undD.join(removed, "dst")
+        .groupBy(col("src"))
+        .agg(count(lit(1)).as("__lost"))
+        .select(col("src").as("node"), col("__lost"))
+      state = state.filter(col("deg") >= k)
+        .join(loss, Seq("node"), "left")
+        .select(col("node"),
+          (col("deg") - coalesce(col("__lost"), lit(0L))).as("deg"))
+      r += 1
+      if (r % CheckpointEvery == 0 && r < rounds) {
+        val (cut, handle) = eagerCheckpoint(state)
+        prevHandle.foreach(_.unpersist(blocking = false))
+        prevHandle = Some(handle)
+        state = cut
+      }
+    }
+    // fixpoint guard (prune-proof: added zero under coalesce) — a
+    // rounds budget that stopped mid-peel leaves a deg < k row, which
+    // must fail loudly instead of shipping a non-maximal "core"
+    val guard = coalesce(
+      assert_true(col("deg") >= k,
+        lit(s"kCoreFixed: peel not converged after $rounds rounds — a " +
+          "surviving node still has degree < k; raise rounds")).cast("long"),
+      lit(0L))
+    val out = state.select(col("node"), (col("deg") + guard).as("degree"))
+    val reaped = graft.core.Caching.reap(out)
+    prevHandle.foreach(_.unpersist(blocking = false))
+    undD.unpersist(blocking = false)
+    undHandle.unpersist(blocking = false)
+    reaped
+  }
+
   /** The purchase graph the q173/q174 gates run on: undirected (both
     * directions materialized) customer↔supplier edges from the order
     * lines — `c:<custkey> ↔ s:<suppkey>` for every distinct

@@ -539,6 +539,56 @@ object Profiler {
       .drop("__cuts")
   }
 
+  /** ROBUST per-group outlier flagging — the Hampel/median-MAD filter
+    * (Leys et al. 2013 "Detecting outliers: do not use standard
+    * deviation around the mean"): flag rows where
+    * `|value − median_g| > k · MAD_g`, with both the median and the MAD
+    * (median absolute deviation) the EXACT type-1 order statistics of
+    * [[exactQuantiles]] — so a single whale row cannot drag the fence
+    * the way a mean/stddev z-score lets it (the curation failure mode:
+    * one 500 MB document inflates σ until nothing else flags).
+    *
+    * Deliberate choices, both caller-visible:
+    *  - the 1.4826 normal-consistency constant is NOT baked in — the
+    *    threshold is raw MAD multiples; a caller wanting "≈3σ under
+    *    normality" passes k = 3·1.4826 = "4.4478". Keeping the constant
+    *    out keeps the arithmetic exact (decimal deviations, one double
+    *    product at the comparison) and the semantics distribution-free.
+    *  - MAD = 0 (over half the group shares one value) flags EVERY row
+    *    off the median — the filter's textbook degeneracy. It is loud by
+    *    construction, not silent; callers with near-constant groups
+    *    should gate on `mad > 0` downstream.
+    *
+    * `k` rides as a STRING (the prAtThresholds parse-parity rule); NULL
+    * values carry a NULL flag (no order position). Deviations stay in
+    * the value's exact DECIMAL algebra until the one comparison, which
+    * casts both sides to double (exact for ≤2-dp values under 2^41) and
+    * multiplies once — the same IEEE sequence an external engine
+    * replays.
+    *
+    * Scale: two [[exactQuantiles]] passes (each a narrow
+    * range-partitioned rank — no group ever parks in one task) + two
+    * broadcast joins of the group-sized med/MAD tables. The corpus is
+    * scanned, never window-sorted per group.
+    *
+    * @return df plus `med`, `mad`, `abs_dev`, `is_outlier`
+    */
+  def robustOutliers(df: DataFrame, groupCol: String, valueCol: String,
+      idCol: String, k: String): DataFrame = {
+    require(k.toDouble > 0, s"k ($k) must be positive")
+    val med = exactQuantiles(df, groupCol, valueCol, idCol, Seq("0.5"))
+      .select(col(groupCol), col("value").as("med"))
+    val withMed = df.join(broadcast(med), Seq(groupCol))
+      .withColumn("abs_dev", abs(col(valueCol) - col("med")))
+    val mad = exactQuantiles(withMed, groupCol, "abs_dev", idCol,
+        Seq("0.5"))
+      .select(col(groupCol), col("value").as("mad"))
+    withMed.join(broadcast(mad), Seq(groupCol))
+      .withColumn("is_outlier",
+        col("abs_dev").cast("double") >
+          lit(k.toDouble) * col("mad").cast("double"))
+  }
+
   /** CATEGORICAL DRIFT between two snapshots — the χ² test of
     * homogeneity over a category column (did the event-type / language /
     * source mix CHANGE between last week's corpus and this week's?), the

@@ -259,4 +259,147 @@ object Sketches {
       .groupBy(col(groupCol))
       .agg(graft.functions.KmvFunctions.kmv_sketch(col("__h"), k).as("sk"))
   }
+
+  // -----------------------------------------------------------------------
+  // HyperLogLog (Flajolet, Fusy, Gandouet & Meunier 2007) — the register
+  // family next to KMV. Same portable 48-bit md5 hash ([[hash48]]), so an
+  // external SQL engine replays registers AND estimates bit-for-bit.
+  //
+  // Representation: a register TABLE (group, reg, rho) holding only the
+  // NON-EMPTY registers (the cmsXxSketchTable precedent) — at most
+  // m = 2^p rows per group after one aggregation, merge = union + re-max
+  // (max is associative AND idempotent, so any batch slicing merges back
+  // to the from-scratch table bit-for-bit, duplicates included free: a
+  // repeated key maxes into the same register).
+  //
+  // Determinism: the estimator never sums IEEE doubles. The harmonic
+  // denominator Σ_j 2^(−M_j) is carried SCALED by 2^(49−p) (the maximum
+  // register value), making every term an exact BIGINT power of two —
+  // the sum is associative, shuffle-order-proof, and ≤ m·2^(49−p) = 2^49
+  // (< 2^53, so the one cast to double is exact). The estimate is then
+  // literal-constant α_m arithmetic times ONE IEEE division — identical
+  // bits in any engine, like kmvEstimate.
+  //
+  // NO small-range (linear-counting) correction: LC = m·ln(m/V) needs a
+  // libm ln, which the certified paths deliberately avoid (the χ²-over-PSI
+  // precedent — libm transcendentals are not bit-portable across engines).
+  // The `zeros` column (empty-register count V) rides next to the raw
+  // estimate so a downstream consumer CAN apply LC where bit-parity is
+  // not required; [[hllRelError]] rides alongside so a reader cannot
+  // mistake a ±1.04/√m estimate for an exact count (the kmvRelError
+  // discipline). Prefer KMV (q207/q208) when set INTERSECTIONS matter —
+  // HLL unions are exact-mergeable but intersections only reachable via
+  // inclusion-exclusion, whose error compounds.
+
+  /** Maximum register value at precision `p`: a 48-bit hash spends `p`
+    * bits on the register index, leaving a (48−p)-bit pattern whose
+    * leading-zero count +1 is at most 49−p (the all-zero pattern).
+    */
+  private def hllVMax(p: Int): Int = 49 - p
+
+  /** Per-group HyperLogLog register table: `(groupCol, reg, rho)` with one
+    * row per NON-EMPTY register — `reg` = low `p` bits of [[hash48]],
+    * `rho` = leading zeros of the remaining 48−p bits + 1, maxed per
+    * register. Bit-length via `length(bin(w))` (both engines render
+    * binary without leading zeros; the oracle strips a lone '0' with
+    * ltrim so the w=0 row folds into the same formula).
+    */
+  def hllRegisters(df: DataFrame, groupCol: String, key: Column, p: Int,
+      salt: String = ""): DataFrame = {
+    require(p >= 4 && p <= 14, s"p ($p) out of [4, 14]")
+    val h = hash48(key, salt)
+    val w = shiftright(h, p) // top 48−p bits; h is non-negative 48-bit
+    val rho = when(w === 0L, lit(hllVMax(p)))
+      .otherwise(lit(hllVMax(p)) - length(bin(w)))
+    df.groupBy(col(groupCol),
+        h.bitwiseAND(lit((1L << p) - 1L)).cast("int").as("reg"))
+      .agg(max(rho).cast("int").as("rho"))
+  }
+
+  /** Raw HLL estimate per group from a register table: α_m·m²/Σ 2^(−M_j),
+    * empty registers contributing 2^0 each. `(groupCol, est_distinct,
+    * used, zeros)` — see the family scaladoc for the exact-integer
+    * denominator and the no-LC-correction decision.
+    */
+  def hllEstimate(regs: DataFrame, groupCol: String, p: Int): DataFrame = {
+    require(p >= 4 && p <= 14, s"p ($p) out of [4, 14]")
+    val m = 1L << p
+    val vmax = hllVMax(p)
+    // α_m for m ≥ 128 (Flajolet 2007 §4); both engines fold the same
+    // literals through the same two IEEE ops → identical bits.
+    val alpha = lit(0.7213) / (lit(1.0) + lit(1.079) / lit(m.toDouble))
+    // numerator m²·2^vmax = 2^(p+49): exact as a double for p ≤ 14
+    val num = lit(math.pow(2.0, (p + 49).toDouble))
+    regs.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("used"),
+        // 2^(vmax−rho) per non-empty register, exact BIGINT — the Scala
+        // API's shiftleft takes a literal shift, so the variable shift
+        // goes through expr (same codegen'd ShiftLeft expression)
+        sum(expr(s"shiftleft(CAST(1 AS BIGINT), $vmax - rho)")).as("__s"))
+      .select(col(groupCol),
+        (alpha * (num /
+          (col("__s") + (lit(m) - col("used")) * lit(1L << vmax))
+            .cast("double"))).as("est_distinct"),
+        col("used").cast("int").as("used"),
+        (lit(m) - col("used")).cast("int").as("zeros"))
+  }
+
+  /** Relative standard error of [[hllEstimate]] at precision `p`
+    * (Flajolet 2007 §4: RSE ≈ 1.04/√m) — a report column, not a bound
+    * (the kmvRelError discipline). Unlike KMV there is no under-full
+    * exact path: the raw estimator is approximate at every fill level.
+    */
+  def hllRelError(p: Int): Column =
+    lit(1.04) / sqrt(lit((1L << p).toDouble))
+
+  /** Union of register tables: merge = union + per-register max, which
+    * equals the from-scratch table of the concatenated inputs bit-for-bit
+    * (max is associative and idempotent — see family scaladoc). All
+    * inputs must share `p` (caller contract; [[hllReadMerged]] enforces
+    * it in-plan for the stored path, where the mistake is latent).
+    */
+  def hllMerge(groupCol: String, regs: DataFrame*): DataFrame = {
+    require(regs.nonEmpty, "hllMerge: need at least one register table")
+    regs.reduce(_ unionByName _)
+      .groupBy(col(groupCol), col("reg"))
+      .agg(max(col("rho")).as("rho"))
+  }
+
+  /** STORED HLL registers — distinct-count maintenance without rescans
+    * (the [[kmvWriteBatch]] discipline at register granularity): each
+    * batch appends its own per-group non-empty registers; the read merges
+    * by re-maxing. A year of daily batches costs ≤ 365·m rows per group
+    * on disk and one register-sized merge at read; the raw data is never
+    * re-scanned. The write-p rides every row: registers at different
+    * precisions index DIFFERENT hash bits and must never be maxed
+    * together — [[hllReadMerged]] asserts against the column.
+    */
+  def hllWriteBatch(df: DataFrame, groupCol: String, key: Column, p: Int,
+      salt: String, path: String, batchId: String): Unit =
+    hllRegisters(df, groupCol, key, p, salt)
+      .withColumn("batch_id", lit(batchId))
+      .withColumn("p", lit(p))
+      .write.mode("append").parquet(path)
+
+  /** Merged per-group register table across every stored batch (see
+    * [[hllWriteBatch]]): bit-identical to a from-scratch build over the
+    * union of the batches' data PROVIDED every stored batch was written
+    * at the requested `p` — an in-plan assert fails the read loudly
+    * otherwise (the kmvReadMerged guard idiom: added zero, NULL-typed
+    * assert under coalesce, prune-proof).
+    */
+  def hllReadMerged(spark: org.apache.spark.sql.SparkSession, path: String,
+      groupCol: String, p: Int): DataFrame = {
+    val pGuard = coalesce(
+      assert_true(col("p") === lit(p),
+        lit(s"hllReadMerged: requested p ($p) differs from a stored " +
+          "batch's write-p — registers at different precisions index " +
+          "different hash bits and cannot be merged; re-write the " +
+          "batches at one p")).cast("int"),
+      lit(0))
+    spark.read.parquet(path)
+      .select(col(groupCol), col("reg"), (col("rho") + pGuard).as("rho"))
+      .groupBy(col(groupCol), col("reg"))
+      .agg(max(col("rho")).cast("int").as("rho"))
+  }
 }

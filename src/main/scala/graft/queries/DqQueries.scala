@@ -708,6 +708,69 @@ object DqQueries extends QueryModule {
         FROM cat CROSS JOIN tot
         ORDER BY category
       """.trim),
+      bench = false),
+
+    // --- ROBUST outlier fences (Hampel median/MAD filter, Leys 2013) —
+    // the whale-proof complement to the rolling z-score (q185): a
+    // mean/stddev fence lets one extreme row inflate sigma until nothing
+    // else flags; the median/MAD fence is breakdown-point-0.5 robust.
+    // Both order statistics are the EXACT type-1 quantiles of the q235
+    // narrow rank pass (no per-group window sort), the deviations stay
+    // in the price's DECIMAL algebra until ONE double product at the
+    // comparison, and the oracle replays both rank passes with its own
+    // window SQL. k=3.5 raw MAD multiples (the 1.4826 normal-consistency
+    // constant deliberately NOT baked in — see the operator scaladoc). ---
+    GQuery(
+      "q244_mad_outliers",
+      (spark, dir) => {
+        val l = t(spark, dir, "lineitem")
+          .select(col("l_returnflag").as("g"),
+            col("l_extendedprice").as("v"),
+            (col("l_orderkey") * 10 + col("l_linenumber")).as("rid"))
+        graft.operators.Profiler.robustOutliers(l, "g", "v", "rid",
+            k = "3.5")
+          .groupBy(col("g"))
+          .agg(count(lit(1)).as("n"),
+            max(col("med").cast("double")).as("med"),
+            max(col("mad").cast("double")).as("mad"),
+            sum(when(col("is_outlier"), 1L).otherwise(0L))
+              .as("n_outliers"))
+          .orderBy(col("g"))
+      },
+      Some("""
+        WITH b AS (
+          SELECT l_returnflag AS g, l_extendedprice AS v,
+                 l_orderkey * 10 + l_linenumber AS rid
+          FROM lineitem),
+        n AS (SELECT g, COUNT(*) AS n FROM b GROUP BY 1),
+        r AS (SELECT g, v,
+                ROW_NUMBER() OVER (PARTITION BY g ORDER BY v, rid) AS rk
+              FROM b),
+        med AS (
+          SELECT n.g, r.v AS med
+          FROM n JOIN r ON r.g = n.g
+            AND r.rk = GREATEST(CAST(CEIL(0.5 * n.n) AS BIGINT), 1)),
+        d AS (
+          SELECT b.g, b.rid, abs(b.v - med.med) AS dv, med.med AS med
+          FROM b JOIN med ON b.g = med.g),
+        r2 AS (SELECT g, dv,
+                 ROW_NUMBER() OVER (PARTITION BY g ORDER BY dv, rid) AS rk
+               FROM d),
+        mad AS (
+          SELECT n.g, r2.dv AS mad
+          FROM n JOIN r2 ON r2.g = n.g
+            AND r2.rk = GREATEST(CAST(CEIL(0.5 * n.n) AS BIGINT), 1))
+        SELECT d.g, COUNT(*) AS n,
+               CAST(MAX(d.med) AS DOUBLE) AS med,
+               CAST(MAX(mad.mad) AS DOUBLE) AS mad,
+               CAST(SUM(CASE WHEN CAST(d.dv AS DOUBLE)
+                      > 3.5 * CAST(mad.mad AS DOUBLE)
+                      THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+        FROM d JOIN mad ON d.g = mad.g
+        GROUP BY d.g ORDER BY d.g
+      """.trim),
+      // Verify-only (bench-tail policy): two narrow rank passes — q235
+      // benches the identical shape via rotation
       bench = false)
   )
 }

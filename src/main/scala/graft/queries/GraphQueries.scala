@@ -257,6 +257,68 @@ object GraphQueries extends QueryModule {
         FROM deg LEFT JOIN tc ON tc.node = deg.node
         ORDER BY deg.node
       """.trim),
-      bench = true)
+      bench = true),
+
+    // --- k-CORE of the high-quantity trading graph (Seidman 1983): the
+    // purchase relation thinned to quantity ≥ 50 lines is sparse enough
+    // to CASCADE — removing degree-1 tendrils drops more nodes under
+    // the k=2 floor, so the gate exercises a genuine multi-round peel
+    // (round 4 is slack; the in-plan fixpoint assert makes a too-small
+    // budget loud). Degrees are exact longs; the oracle unrolls the
+    // synchronous peel round by round, so the hash certifies every
+    // round's removal set, not just the final membership. Disjoint c:/s:
+    // namespaces over a distinct pair relation make the symmetric
+    // closure duplicate-free — vouched, skipping the edge distinct. ---
+    GQuery(
+      "q245_kcore",
+      (spark, dir) => {
+        val o = t(spark, dir, "orders")
+        val l = t(spark, dir, "lineitem").filter(col("l_quantity") >= 50)
+        val pair = o.join(l, col("l_orderkey") === col("o_orderkey"))
+          .select(
+            concat(lit("c:"), col("o_custkey").cast("string")).as("src"),
+            concat(lit("s:"), col("l_suppkey").cast("string")).as("dst"))
+          .distinct()
+        Graph.kCoreFixed(pair, "src", "dst", k = 2, rounds = 4,
+            closureDistinct = true)
+          .orderBy(col("node"))
+      },
+      Some(s"""
+        WITH pair AS (
+          SELECT DISTINCT 'c:' || CAST(o_custkey AS VARCHAR) AS a,
+                          's:' || CAST(l_suppkey AS VARCHAR) AS b
+          FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+          WHERE l_quantity >= 50),
+        e AS (SELECT a AS src, b AS dst FROM pair
+              UNION ALL
+              SELECT b AS src, a AS dst FROM pair),
+        ${kcorePeelSql(k = 2, rounds = 4)}
+        SELECT node, deg AS degree FROM s4 ORDER BY node
+      """.trim),
+      // Verify-only (bench-tail policy): per-round shape is q174's
+      // pinned-layout join + node agg, already benched
+      bench = false)
   )
+
+  /** DuckDB rendering of [[Graph.kCoreFixed]]'s synchronous peel,
+    * unrolled: each round removes every node under degree k and repairs
+    * survivors' degrees by subtracting edges into the removed set — the
+    * exact per-round state the Spark iterate computes.
+    */
+  private def kcorePeelSql(k: Int, rounds: Int): String = {
+    val sb = new StringBuilder(
+      "s0 AS (SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS deg " +
+        "FROM e GROUP BY 1)")
+    (1 to rounds).foreach { i =>
+      sb.append(s""",
+        rm$i AS (SELECT node FROM s${i - 1} WHERE deg < $k),
+        s$i AS (
+          SELECT s.node, s.deg - COALESCE(l.lost, 0) AS deg
+          FROM (SELECT * FROM s${i - 1} WHERE deg >= $k) s
+          LEFT JOIN (SELECT e.src AS node, CAST(COUNT(*) AS BIGINT) AS lost
+                     FROM e JOIN rm$i r ON e.dst = r.node
+                     GROUP BY 1) l USING (node))""")
+    }
+    sb.toString
+  }
 }

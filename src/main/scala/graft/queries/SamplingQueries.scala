@@ -507,7 +507,7 @@ object SamplingQueries extends QueryModule {
       """.trim)),
 
     // --- KMV (bottom-k theta) distinct sketch — the set-operation tier
-    // next to CMS (q153/q154) and HLL (q58): the native mergeable
+    // next to CMS (q153/q154) and HLL (q241): the native mergeable
     // KmvSketchAgg keeps the 128 smallest DISTINCT md5-derived 48-bit
     // hashes per order priority (≤ k longs per partition per group cross
     // the shuffle — no distinct pre-pass), and the Beyer 2007 estimator
@@ -1190,7 +1190,216 @@ object SamplingQueries extends QueryModule {
                MIN(y) AS min_y, MAX(y) AS max_y
         FROM z GROUP BY 1 ORDER BY bucket
       """.trim),
-      bench = true)
+      bench = true),
+
+    // --- HyperLogLog distinct sketch (Flajolet et al. 2007) — the
+    // register tier next to KMV (q207): 512 registers (p=9) over the
+    // portable 48-bit md5 hash, harmonic denominator carried as an EXACT
+    // BIGINT (every term a power of two scaled by 2^40), so the whole
+    // estimate is literal-α arithmetic times ONE IEEE division — the
+    // oracle replays registers AND estimate bit-for-bit. ~950 distinct
+    // custkeys per priority against m=512 exercises the biased n≈2m
+    // regime honestly: `zeros` (the linear-counting input the certified
+    // path deliberately does NOT consume — libm ln) and the ±1.04/√m
+    // `rel_err` ride next to the exact count so the resolution is
+    // readable in-row. ---
+    GQuery(
+      "q241_hll_distinct",
+      (spark, dir) => {
+        import graft.operators.Sketches
+        val p = 9
+        val o = t(spark, dir, "orders")
+        val regs = Sketches.hllRegisters(o, "o_orderpriority",
+          col("o_custkey"), p, salt = "hll")
+        val est = Sketches.hllEstimate(regs, "o_orderpriority", p)
+        val exact = o.groupBy(col("o_orderpriority"))
+          .agg(countDistinct(col("o_custkey")).as("exact_distinct"))
+        est.join(exact, Seq("o_orderpriority"))
+          .select(col("o_orderpriority"), col("est_distinct"),
+            col("used"), col("zeros"),
+            Sketches.hllRelError(p).as("rel_err"),
+            col("exact_distinct"))
+          .orderBy(col("o_orderpriority"))
+      },
+      Some(s"""
+        WITH h AS (
+          SELECT o_orderpriority,
+                 ${hash48Sql("o_custkey", "hll")} AS hv
+          FROM orders),
+        r AS (
+          SELECT o_orderpriority, hv % 512 AS reg,
+                 MAX(40 - length(ltrim(bin(hv // 512), '0'))) AS rho
+          FROM h GROUP BY 1, 2),
+        s AS (
+          SELECT o_orderpriority,
+                 CAST(COUNT(*) AS INT) AS used,
+                 SUM(CAST(1 AS BIGINT) << (40 - rho)) AS ss
+          FROM r GROUP BY 1),
+        e AS (
+          SELECT o_orderpriority,
+                 COUNT(DISTINCT o_custkey) AS exact_distinct
+          FROM orders GROUP BY 1)
+        SELECT s.o_orderpriority,
+               (0.7213 / (1.0 + 1.079 / 512.0)) *
+                 (CAST(288230376151711744 AS DOUBLE) /
+                  CAST(ss + (512 - used) * CAST(1099511627776 AS BIGINT)
+                    AS DOUBLE)) AS est_distinct,
+               used, CAST(512 - used AS INT) AS zeros,
+               1.04 / sqrt(512e0) AS rel_err,
+               e.exact_distinct
+        FROM s JOIN e USING (o_orderpriority)
+        ORDER BY o_orderpriority
+      """.trim),
+      // Verify-only (bench-tail policy): one partial-agg register
+      // shuffle — q154/q158 bench the shape
+      bench = false),
+
+    // --- STORED HLL registers: distinct-count maintenance WITHOUT
+    // rescans (the q216 KMV discipline at register granularity). Two
+    // batches (order-key parity halves) write their per-priority
+    // non-empty registers; the read merges by re-MAXING — max is
+    // associative AND idempotent, so merge ≡ from-scratch rebuild
+    // BIT-FOR-BIT regardless of batch slicing (merge_ok certifies it
+    // in-engine over the sorted register structs; the oracle carries the
+    // full-corpus values, equal by that identity, + the literal TRUE —
+    // the q154/q216 idiom). Verify-only: writes fresh temp batches. ---
+    GQuery(
+      "q242_hll_stored",
+      (spark, dir) => {
+        import graft.operators.Sketches
+        val p = 9
+        val path = java.nio.file.Files
+          .createTempDirectory("graft_q242hll").toString
+        val o = t(spark, dir, "orders")
+        Sketches.hllWriteBatch(o.filter(col("o_orderkey") % 2 === 0),
+          "o_orderpriority", col("o_custkey"), p, "hll", path, "b0")
+        Sketches.hllWriteBatch(o.filter(col("o_orderkey") % 2 === 1),
+          "o_orderpriority", col("o_custkey"), p, "hll", path, "b1")
+        val merged = Sketches.hllReadMerged(spark, path, "o_orderpriority", p)
+        val direct = Sketches.hllRegisters(o, "o_orderpriority",
+          col("o_custkey"), p, salt = "hll")
+        def regArr(regs: org.apache.spark.sql.DataFrame, as: String) =
+          regs.groupBy(col("o_orderpriority"))
+            .agg(sort_array(collect_list(struct(col("reg"), col("rho"))))
+              .as(as))
+        Sketches.hllEstimate(merged, "o_orderpriority", p)
+          .join(regArr(merged, "__ma"), Seq("o_orderpriority"))
+          .join(regArr(direct, "__da"), Seq("o_orderpriority"))
+          .select(col("o_orderpriority"), col("est_distinct"),
+            col("used"), col("zeros"),
+            (col("__ma") === col("__da")).as("merge_ok"))
+          .orderBy(col("o_orderpriority"))
+      },
+      Some(s"""
+        WITH h AS (
+          SELECT o_orderpriority,
+                 ${hash48Sql("o_custkey", "hll")} AS hv
+          FROM orders),
+        r AS (
+          SELECT o_orderpriority, hv % 512 AS reg,
+                 MAX(40 - length(ltrim(bin(hv // 512), '0'))) AS rho
+          FROM h GROUP BY 1, 2),
+        s AS (
+          SELECT o_orderpriority,
+                 CAST(COUNT(*) AS INT) AS used,
+                 SUM(CAST(1 AS BIGINT) << (40 - rho)) AS ss
+          FROM r GROUP BY 1)
+        SELECT o_orderpriority,
+               (0.7213 / (1.0 + 1.079 / 512.0)) *
+                 (CAST(288230376151711744 AS DOUBLE) /
+                  CAST(ss + (512 - used) * CAST(1099511627776 AS BIGINT)
+                    AS DOUBLE)) AS est_distinct,
+               used, CAST(512 - used AS INT) AS zeros,
+               TRUE AS merge_ok
+        FROM s ORDER BY o_orderpriority
+      """.trim),
+      // writes fresh temp batches each run — ingest, not query latency
+      bench = false),
+
+    // --- HLL set operations via register-max union (what KMV q208 does
+    // with bottom-k): the URGENT and HIGH customer sets each sketch to
+    // 512 registers; their register-wise max IS the sketch of the union
+    // (no rescan), and the intersection estimate falls out of
+    // inclusion-exclusion est_a + est_b − est_union. The caveat is the
+    // point of the gate: inclusion-exclusion COMPOUNDS the ±1.04/√m
+    // errors (three estimates, signs mixed), so KMV stays the preferred
+    // intersection tier — exact counts ride alongside to make the
+    // quality readable. One-row-frame crossJoins broadcast scalars (the
+    // house pattern). ---
+    GQuery(
+      "q243_hll_union",
+      (spark, dir) => {
+        import graft.operators.Sketches
+        val p = 9
+        val o = t(spark, dir, "orders")
+        def regsFor(pri: String, side: String) = Sketches.hllRegisters(
+          o.filter(col("o_orderpriority") === pri)
+            .withColumn("side", lit(side)),
+          "side", col("o_custkey"), p, salt = "hll")
+        val a = regsFor("1-URGENT", "a")
+        val b = regsFor("2-HIGH", "b")
+        val u = Sketches.hllMerge("side",
+          a.withColumn("side", lit("u")), b.withColumn("side", lit("u")))
+        def est1(regs: org.apache.spark.sql.DataFrame, as: String) =
+          Sketches.hllEstimate(regs, "side", p)
+            .select(col("est_distinct").as(as))
+        val exact = o
+          .filter(col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
+          .agg(countDistinct(col("o_custkey")).as("exact_union"),
+            countDistinct(when(col("o_orderpriority") === "1-URGENT",
+              col("o_custkey"))).as("exact_a"),
+            countDistinct(when(col("o_orderpriority") === "2-HIGH",
+              col("o_custkey"))).as("exact_b"))
+        est1(a, "est_a").crossJoin(est1(b, "est_b"))
+          .crossJoin(est1(u, "est_union"))
+          .crossJoin(exact)
+          .select(col("est_a"), col("est_b"), col("est_union"),
+            (col("est_a") + col("est_b") - col("est_union"))
+              .as("est_intersect"),
+            col("exact_a"), col("exact_b"), col("exact_union"))
+      },
+      Some(s"""
+        WITH h AS (
+          SELECT CASE WHEN o_orderpriority = '1-URGENT' THEN 'a'
+                      ELSE 'b' END AS side,
+                 ${hash48Sql("o_custkey", "hll")} AS hv
+          FROM orders
+          WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')),
+        r AS (
+          SELECT side, hv % 512 AS reg,
+                 MAX(40 - length(ltrim(bin(hv // 512), '0'))) AS rho
+          FROM h GROUP BY 1, 2),
+        ru AS (
+          SELECT 'u' AS side, reg, MAX(rho) AS rho FROM r GROUP BY 2),
+        s AS (
+          SELECT side, CAST(COUNT(*) AS INT) AS used,
+                 SUM(CAST(1 AS BIGINT) << (40 - rho)) AS ss
+          FROM (SELECT * FROM r UNION ALL SELECT * FROM ru) GROUP BY 1),
+        est AS (
+          SELECT side,
+                 (0.7213 / (1.0 + 1.079 / 512.0)) *
+                   (CAST(288230376151711744 AS DOUBLE) /
+                    CAST(ss + (512 - used) * CAST(1099511627776 AS BIGINT)
+                      AS DOUBLE)) AS e
+          FROM s),
+        ex AS (
+          SELECT COUNT(DISTINCT o_custkey) AS exact_union,
+                 COUNT(DISTINCT CASE WHEN o_orderpriority = '1-URGENT'
+                   THEN o_custkey END) AS exact_a,
+                 COUNT(DISTINCT CASE WHEN o_orderpriority = '2-HIGH'
+                   THEN o_custkey END) AS exact_b
+          FROM orders
+          WHERE o_orderpriority IN ('1-URGENT', '2-HIGH'))
+        SELECT ea.e AS est_a, eb.e AS est_b, eu.e AS est_union,
+               ea.e + eb.e - eu.e AS est_intersect,
+               ex.exact_a, ex.exact_b, ex.exact_union
+        FROM (SELECT e FROM est WHERE side = 'a') ea,
+             (SELECT e FROM est WHERE side = 'b') eb,
+             (SELECT e FROM est WHERE side = 'u') eu, ex
+      """.trim),
+      // Verify-only (bench-tail policy): register-sized set math over
+      // the q241 shape
+      bench = false)
   )
 
   /** DuckDB rendering of `Layout.zValue(Seq(x, y), bits)`: each bit b of

@@ -1,0 +1,99 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** HyperLogLog register family (Sketches.hll*): merge algebra, estimator
+  * accuracy, and the stored-path guards. The q241-q243 oracle gates
+  * certify bit-parity with DuckDB; THIS spec certifies the properties the
+  * oracle cannot see — merge ≡ rebuild under arbitrary batch slicing,
+  * idempotence under duplicates, estimator error against exact counts in
+  * the regime the gate data does not reach, and loud failure on a
+  * precision-mismatched stored read.
+  */
+class HllSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val P = 9
+
+  private def regsOf(df: org.apache.spark.sql.DataFrame) =
+    Sketches.hllRegisters(df, "g", col("k"), P, salt = "t")
+
+  private def asSet(regs: org.apache.spark.sql.DataFrame) =
+    regs.collect().map(r => (r.getString(0), r.getInt(1), r.getInt(2))).toSet
+
+  test("merge of arbitrary batch slices equals the from-scratch table") {
+    val base = spark.range(0, 3000)
+      .select((col("id") % 3).cast("string").as("g"), col("id").as("k"))
+    val slices = (0 until 4).map(i => base.filter(col("k") % 4 === i))
+    val merged = Sketches.hllMerge("g", slices.map(regsOf): _*)
+    assert(asSet(merged) == asSet(regsOf(base)))
+  }
+
+  test("duplicates never move a register (sketch is a set function)") {
+    val base = spark.range(0, 500)
+      .select(lit("g0").as("g"), (col("id") % 100).as("k"))
+    val once = base.dropDuplicates("g", "k")
+    assert(asSet(regsOf(base)) == asSet(regsOf(once)))
+  }
+
+  test("estimate within 3x RSE of exact well past the LC regime") {
+    // n/m ~ 98: the raw estimator's own regime (no linear-counting bias)
+    val n = 50000
+    val df = spark.range(0, n)
+      .select(lit("g0").as("g"), col("id").as("k"))
+    val est = Sketches.hllEstimate(regsOf(df), "g", P)
+      .head().getAs[Double]("est_distinct")
+    val rse = 1.04 / math.sqrt((1 << P).toDouble)
+    assert(math.abs(est - n) / n < 3 * rse, s"est=$est exact=$n")
+  }
+
+  test("union registers estimate the union; inclusion-exclusion tracks " +
+    "the exact intersection within compounded error") {
+    // |A| = 30k (0..30k), |B| = 30k (15k..45k), |A∩B| = 15k
+    val a = spark.range(0, 30000)
+      .select(lit("a").as("g"), col("id").as("k"))
+    val b = spark.range(15000, 45000)
+      .select(lit("b").as("g"), col("id").as("k"))
+    val ra = regsOf(a)
+    val rb = regsOf(b)
+    val ru = Sketches.hllMerge("g",
+      ra.withColumn("g", lit("u")), rb.withColumn("g", lit("u")))
+    // union registers ≡ registers of the concatenated data
+    val direct = regsOf(a.unionByName(b).withColumn("g", lit("u")))
+    assert(asSet(ru) == asSet(direct))
+    def est(r: org.apache.spark.sql.DataFrame) =
+      Sketches.hllEstimate(r, "g", P).head().getAs[Double]("est_distinct")
+    val ix = est(ra) + est(rb) - est(ru)
+    // three ±4.6% estimates against a 15k target: allow the compounded
+    // 3x bound over the LARGEST operand (45k union), not the target
+    assert(math.abs(ix - 15000) < 3 * (1.04 / math.sqrt(512.0)) * 45000,
+      s"ix=$ix")
+  }
+
+  test("stored read-merge equals direct build; p mismatch fails loudly") {
+    val path = java.nio.file.Files.createTempDirectory("hllspec").toString
+    val df = spark.range(0, 2000)
+      .select((col("id") % 2).cast("string").as("g"), col("id").as("k"))
+    Sketches.hllWriteBatch(df.filter(col("k") < 1000), "g", col("k"), P,
+      "t", path, "b0")
+    Sketches.hllWriteBatch(df.filter(col("k") >= 1000), "g", col("k"), P,
+      "t", path, "b1")
+    val merged = Sketches.hllReadMerged(spark, path, "g", P)
+    assert(asSet(merged) == asSet(regsOf(df)))
+    val boom = intercept[Exception] {
+      Sketches.hllReadMerged(spark, path, "g", P + 1).collect()
+    }
+    assert(boom.getMessage != null)
+  }
+
+  test("zeros + used always partition the register space") {
+    val df = spark.range(0, 300)
+      .select(lit("g0").as("g"), col("id").as("k"))
+    val row = Sketches.hllEstimate(regsOf(df), "g", P).head()
+    assert(row.getAs[Int]("used") + row.getAs[Int]("zeros") == (1 << P))
+  }
+}

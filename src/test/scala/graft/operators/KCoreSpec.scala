@@ -1,0 +1,91 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** k-core peel (Graph.kCoreFixed): planted-cascade parity against a
+  * reference sequential peel, partitioning invariance, the loud
+  * non-convergence guard, and the closure vouch. The q245 gate certifies
+  * the round-by-round DuckDB replay; this spec certifies semantics the
+  * oracle cannot (arbitrary graphs, the assert path).
+  */
+class KCoreSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  /** Reference synchronous peel on the driver. */
+  private def refKCore(edges: Seq[(String, String)], k: Int)
+      : Map[String, Int] = {
+    val adj = collection.mutable.Map[String, collection.mutable.Set[String]]()
+    edges.foreach { case (a, b) =>
+      adj.getOrElseUpdate(a, collection.mutable.Set()) += b
+      adj.getOrElseUpdate(b, collection.mutable.Set()) += a
+    }
+    var deg = adj.map { case (n, s) => n -> s.size }
+    var alive = deg.keySet.toSet
+    var changed = true
+    while (changed) {
+      val rm = alive.filter(n => deg(n) < k)
+      changed = rm.nonEmpty
+      alive = alive -- rm
+      rm.foreach(n => adj(n).foreach(nb =>
+        if (alive(nb)) deg = deg.updated(nb, deg(nb) - 1)))
+    }
+    alive.map(n => n -> deg(n)).toMap
+  }
+
+  private def run(edges: Seq[(String, String)], k: Int, rounds: Int) =
+    Graph.kCoreFixed(edges.toDF("src", "dst"), "src", "dst", k, rounds)
+      .collect().map(r => r.getString(0) -> r.getLong(1).toInt).toMap
+
+  test("planted cascade matches the sequential peel") {
+    // chain a-b-c hanging off a triangle d-e-f: k=2 peels the chain in
+    // a 3-round cascade and keeps exactly the triangle at degree 2
+    val edges = Seq("a" -> "b", "b" -> "c", "c" -> "d",
+      "d" -> "e", "e" -> "f", "f" -> "d")
+    val got = run(edges, k = 2, rounds = 5)
+    assert(got == refKCore(edges, 2))
+    assert(got == Map("d" -> 2, "e" -> 2, "f" -> 2))
+  }
+
+  test("random graph parity with the reference peel, both k") {
+    // deterministic pseudo-random sparse graph (no Math.random: seeded)
+    val rnd = new scala.util.Random(7)
+    val edges = (1 to 300).map(_ =>
+      (s"n${rnd.nextInt(60)}", s"n${rnd.nextInt(60)}"))
+      .filter(e => e._1 != e._2).distinct
+    Seq(2, 3, 5).foreach { k =>
+      assert(run(edges, k, rounds = 12) == refKCore(edges, k), s"k=$k")
+    }
+  }
+
+  test("result is invariant to input partitioning") {
+    val rnd = new scala.util.Random(11)
+    val edges = (1 to 200).map(_ =>
+      (s"n${rnd.nextInt(40)}", s"n${rnd.nextInt(40)}"))
+      .filter(e => e._1 != e._2).distinct
+    val base = edges.toDF("src", "dst")
+    val a = Graph.kCoreFixed(base.repartition(1), "src", "dst", 3, 10)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val b = Graph.kCoreFixed(base.repartition(13), "src", "dst", 3, 10)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(a == b)
+  }
+
+  test("too-small rounds budget fails loudly, never a silent non-core") {
+    // 4-chain cascade at k=2 needs 3 peel rounds; 1 round must throw
+    val edges = Seq("a" -> "b", "b" -> "c", "c" -> "d",
+      "d" -> "e", "e" -> "f", "f" -> "d")
+    val boom = intercept[Exception] {
+      run(edges, k = 2, rounds = 1)
+    }
+    assert(boom.getMessage != null)
+  }
+
+  test("empty core returns zero rows (not a failure)") {
+    val edges = Seq("a" -> "b", "b" -> "c") // max degree 2, no 3-core
+    assert(run(edges, k = 3, rounds = 4).isEmpty)
+  }
+}

@@ -1,0 +1,74 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** Hampel median/MAD fence (Profiler.robustOutliers): planted-value
+  * medians, whale resistance (the property a mean/σ fence lacks), the
+  * documented MAD=0 degeneracy, and NULL propagation. The q244 gate
+  * certifies DuckDB bit-parity; this spec certifies the semantics.
+  */
+class RobustOutliersSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def run(rows: Seq[(String, java.lang.Double, Long)], k: String) =
+    Profiler.robustOutliers(
+      rows.toDF("g", "v", "id"), "g", "v", "id", k)
+
+  test("planted median and MAD; only the planted outlier flags") {
+    // g0: values 1..9 plus one whale. median of 1..9,1000 (type-1,
+    // n=10, rank ceil(5)=5) = 5; devs {4,3,2,1,0,1,2,3,4,995} sorted
+    // {0,1,1,2,2,3,3,4,4,995} -> MAD at rank 5 = 2. Fence k=3.5: 7.
+    val rows = (1 to 9).map(i => ("g0", i.toDouble: java.lang.Double,
+      i.toLong)) :+ (("g0", 1000.0: java.lang.Double, 10L))
+    val got = run(rows, "3.5").collect()
+    val byId = got.map(r => r.getAs[Long]("id") -> r).toMap
+    assert(byId(10L).getAs[Boolean]("is_outlier"))
+    (1L to 9L).foreach(i => assert(!byId(i).getAs[Boolean]("is_outlier"),
+      s"id=$i should be inside the fence"))
+    assert(byId(1L).getAs[Double]("med") == 5.0)
+    assert(byId(1L).getAs[Double]("mad") == 2.0)
+  }
+
+  test("whale resistance: the fence is unchanged when the whale grows") {
+    val base = (1 to 9).map(i => ("g0", i.toDouble: java.lang.Double,
+      i.toLong))
+    def flags(whale: Double) =
+      run(base :+ (("g0", whale: java.lang.Double, 10L)), "3.5")
+        .filter(col("id") < 10).agg(sum(when(col("is_outlier"), 1)
+          .otherwise(0))).head().getLong(0)
+    // a mean/sigma fence widens as the whale grows; the MAD fence doesn't
+    assert(flags(1000.0) == flags(1.0e9))
+  }
+
+  test("MAD = 0 flags every off-median row (documented degeneracy)") {
+    val rows = Seq.fill(6)(5.0).zipWithIndex.map { case (v, i) =>
+      ("g0", v: java.lang.Double, i.toLong)
+    } :+ (("g0", 6.0: java.lang.Double, 99L))
+    val got = run(rows, "3.5").collect()
+    got.foreach { r =>
+      val expected = r.getAs[Long]("id") == 99L
+      assert(r.getAs[Boolean]("is_outlier") == expected)
+    }
+  }
+
+  test("NULL value carries a NULL flag and never moves the fence") {
+    val rows = (1 to 5).map(i => ("g0", i.toDouble: java.lang.Double,
+      i.toLong)) :+ (("g0", null: java.lang.Double, 9L))
+    val got = run(rows, "3.5").collect()
+    val nullRow = got.find(_.getAs[Long]("id") == 9L).get
+    assert(nullRow.isNullAt(nullRow.fieldIndex("is_outlier")))
+    // median over the 5 non-null values = 3 (rank ceil(2.5)=3)
+    assert(got.find(_.getAs[Long]("id") == 1L).get
+      .getAs[Double]("med") == 3.0)
+  }
+
+  test("non-positive k fails loudly") {
+    intercept[IllegalArgumentException] {
+      run(Seq(("g0", 1.0: java.lang.Double, 1L)), "0")
+    }
+  }
+}
