@@ -245,4 +245,57 @@ object Search {
       .orderBy(col("score").desc, col(idCol))
       .limit(k)
   }
+
+  /** RECIPROCAL-RANK FUSION (Cormack, Clarke & Büttcher 2009, "Reciprocal
+    * rank fusion outperforms Condorcet and individual rank learning
+    * methods") — the standard hybrid-retrieval combiner: given several
+    * top-N rankings of the same id space (lexical BM25, dense cosine,
+    * ...), score each id by
+    *
+    *   rrf(d) = Σ_i 1 / (kConst + rank_i(d))
+    *
+    * with an id absent from a ranking contributing exactly 0. Rank-based
+    * (not score-based) fusion needs NO score calibration between
+    * rankers — BM25's unbounded scores and cosine's [−1,1] fuse without
+    * normalization, which is why RRF is the default hybrid combiner in
+    * production search stacks.
+    *
+    * Determinism: the fused score is a FIXED left-to-right fold in the
+    * caller's ranking order (one division per ranker, one add per step)
+    * — the same IEEE sequence an external engine replays; the final
+    * order ties on id.
+    *
+    * Scale: inputs are top-N lists — bounded by construction — so the
+    * full-outer join chain and the final rank window run on at most
+    * Σ Nᵢ rows (the declared small-by-contract window discipline; the
+    * corpus itself was reduced by each RANKER, which is where the scale
+    * machinery lives: the stored inverted index for BM25, the IVF/PQ
+    * probes for dense).
+    *
+    * @param rankings (name, frame) pairs; each frame carries `idCol`
+    *                 and `rankCol` (1-based). Output keeps each input
+    *                 rank as `rank_<name>` (NULL when absent).
+    * @return `(idCol, rank_<name>..., rrf, rank)` ordered by
+    *         (rrf desc, id)
+    */
+  def rrfFuse(rankings: Seq[(String, DataFrame)], idCol: String,
+      rankCol: String, kConst: Int = 60): DataFrame = {
+    require(rankings.nonEmpty, "rrfFuse needs at least one ranking")
+    require(rankings.map(_._1).distinct.size == rankings.size,
+      s"duplicate ranking names: ${rankings.map(_._1)}")
+    require(kConst >= 1, s"kConst ($kConst) must be >= 1")
+    val prepared = rankings.map { case (name, df) =>
+      df.select(col(idCol), col(rankCol).cast("int").as(s"rank_$name"))
+    }
+    val joined = prepared.reduce((a, b) => a.join(b, Seq(idCol), "full_outer"))
+    val score = rankings.map { case (name, _) =>
+      coalesce(lit(1.0) /
+        (lit(kConst.toDouble) + col(s"rank_$name").cast("double")),
+        lit(0.0))
+    }.reduceLeft(_ + _)
+    joined.withColumn("rrf", score)
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("rrf").desc, col(idCol))))
+  }
 }

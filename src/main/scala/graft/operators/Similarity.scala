@@ -225,6 +225,91 @@ object Similarity {
     topKTail(scored, "cosine", k, idDomain = Some(c))
   }
 
+  /** Mean of each query's top-k cosines, folded in RANK order — the
+    * deterministic sequence both engines replay (rank-sorted struct
+    * array, left fold seeded 0.0, ONE division by the actual neighbor
+    * count) — shared by [[marginTopK]]'s two average passes.
+    */
+  private def rankOrderedAvg(topk: DataFrame, outName: String): DataFrame =
+    topk.groupBy(col("query_id"))
+      .agg(sort_array(collect_list(struct(col("rank"), col("cosine"))))
+        .as("__rc"))
+      .select(col("query_id"),
+        (aggregate(col("__rc"), lit(0.0),
+          (acc, e) => acc + e.getField("cosine"))
+          / size(col("__rc")).cast("double")).as(outName))
+
+  /** MARGIN-based neighbor scoring (Artetxe & Schwenk 2019, "Margin-based
+    * Parallel Corpus Mining with Multilingual Sentence Embeddings" —
+    * the ratio margin, eq. 4; the scoring LASER/CCMatrix mine bitext
+    * with): absolute cosine is a poor mining signal because some
+    * vectors sit in dense neighborhooods where EVERYTHING scores high
+    * (hubness) — the margin renormalizes each pair by its endpoints'
+    * local density:
+    *
+    *   margin(x,y) = cos(x,y) / ((avgK(x) + avgK(y)) / 2)
+    *
+    * where avgK(v) is the mean cosine of v's top-`kAvg` corpus
+    * neighbors. A pair scores high only when it stands OUT of both
+    * endpoints' neighborhoods, which is what separates true translations
+    * / near-duplicates from generic hub proximity.
+    *
+    * Determinism: each avgK is the rank-ordered fold of
+    * [[rankOrderedAvg]] (bit-replayable), and the margin is one add,
+    * one halving, one division — a fixed IEEE sequence per pair.
+    *
+    * Scale: `corpus` here is the NOMINATION set, bounded by contract
+    * (requireSmall fails loudly) — the shape at 100 TB is: nominate
+    * candidates per query from the stored IVF/PQ index
+    * ([[probeIvfIndex]]), compute avgK(y) for corpus items from the
+    * same probes, then apply this exact margin arithmetic to the
+    * bounded candidate frame. Queries broadcast; the corpus never
+    * shuffles (the [[bruteForceTopK]] scan shape, run twice: query×
+    * corpus and corpus×corpus for the neighbor-side averages).
+    *
+    * Caveat (documented, not guarded): the ratio form assumes positive
+    * neighborhood averages, the regime real embedding corpora live in;
+    * a corpus whose top-kAvg cosines average ≤ 0 divides by a
+    * non-positive number and the margin ordering loses meaning.
+    *
+    * @return `(query_id, neighbor_id, margin, rank)` — top `k` by
+    *         (margin desc, id)
+    */
+  def marginTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+      vecCol: String, dim: Int, k: Int, kAvg: Int,
+      maxBroadcastRows: Long = Broadcasting.DefaultMaxRows): DataFrame = {
+    require(k >= 1, s"k ($k) must be >= 1")
+    require(kAvg >= 1, s"kAvg ($kAvg) must be >= 1")
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+        asDouble(col(vecCol)).as("cv"))
+      .withColumn("cn", norm(col("cv"), dim))
+    Broadcasting.requireSmall(c, "marginTopK corpus (nomination set)",
+      maxBroadcastRows)
+    val q = broadcast(queries.select(col(idCol).as("query_id"),
+        asDouble(col(vecCol)).as("qv"))
+      .withColumn("qn", norm(col("qv"), dim)))
+    val qScored = q.join(c, col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine",
+        cosinePrenormed(col("qv"), col("cv"), col("qn"), col("cn"), dim))
+    val cAsQ = broadcast(c.select(col("neighbor_id").as("query_id"),
+      col("cv").as("qv"), col("cn").as("qn")))
+    val cScored = cAsQ.join(c, col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine",
+        cosinePrenormed(col("qv"), col("cv"), col("qn"), col("cn"), dim))
+    val qAvg = rankOrderedAvg(
+      topKTail(qScored, "cosine", kAvg, idDomain = Some(c)), "__qa")
+    val cAvg = rankOrderedAvg(
+      topKTail(cScored, "cosine", kAvg, idDomain = Some(c)), "__ca")
+      .withColumnRenamed("query_id", "neighbor_id")
+    val margins = qScored
+      .join(broadcast(qAvg), Seq("query_id"))
+      .join(broadcast(cAvg), Seq("neighbor_id"))
+      .withColumn("margin",
+        col("cosine") / ((col("__qa") + col("__ca")) / lit(2.0)))
+      .select(col("query_id"), col("neighbor_id"), col("margin"))
+    topKTail(margins, "margin", k, idDomain = Some(c))
+  }
+
   /** SEMANTIC benchmark decontamination — the embedding tier above
     * [[graft.operators.TextDedup]]'s n-gram screens (an eval item
     * paraphrased past every shingle overlap still lands at high cosine):

@@ -1616,6 +1616,189 @@ object VectorQueries extends QueryModule {
                  AS l2_shift_r
         FROM ma, mb
       """.trim),
+      bench = false),
+
+    // --- MARGIN-based neighbor scoring (Artetxe & Schwenk 2019 ratio
+    // margin — the LASER/CCMatrix bitext-mining score): raw cosine is a
+    // poor mining signal in dense neighborhoods (hubness), so each pair
+    // renormalizes by its endpoints' top-8 neighborhood averages,
+    // margin = cos / ((avg8(x) + avg8(y)) / 2). Both averages fold in
+    // RANK order (the deterministic sequence DuckDB's ordered list_sum
+    // replays), the margin is a fixed IEEE sequence per pair, and the
+    // final top-5 rides the bounded heap — so the oracle's window replay
+    // hash-certifies selection, order, and VALUES. Corpus = the bounded
+    // nomination set by contract (requireSmall); at 100 TB candidates
+    // and neighbor averages come from the stored IVF/PQ probes, then
+    // this exact arithmetic re-scores the bounded frame. ---
+    GQuery(
+      "q246_margin_neighbors",
+      (spark, dir) => {
+        val e = Tables.embs(spark, dir)
+        graft.operators.Similarity.marginTopK(
+            e.filter(col("vec_id") < 10), e, "vec_id", "embedding", Dim,
+            k = 5, kAvg = 8)
+          .select(col("query_id"), col("neighbor_id"),
+            round(col("margin"), 6).as("margin_r"), col("rank"))
+          .orderBy(col("query_id"), col("rank"))
+      },
+      Some("""
+        WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+                   FROM embeddings),
+        nv AS (SELECT vec_id, e,
+                      sqrt(list_sum(list_transform(generate_series(1, 64),
+                        i -> e[i] * e[i]))) AS nrm
+               FROM v),
+        ss AS (
+          SELECT a.vec_id AS qid, b.vec_id AS nid,
+                 list_sum(list_transform(generate_series(1, 64),
+                   i -> a.e[i] * b.e[i])) / (a.nrm * b.nrm) AS cosine
+          FROM nv a JOIN nv b ON a.vec_id <> b.vec_id),
+        rs AS (SELECT qid, nid, cosine,
+                      row_number() OVER (PARTITION BY qid
+                        ORDER BY cosine DESC, nid) AS rnk
+               FROM ss),
+        avgs AS (SELECT qid,
+                        list_sum(list(cosine ORDER BY rnk))
+                          / CAST(COUNT(*) AS DOUBLE) AS av
+                 FROM rs WHERE rnk <= 8 GROUP BY qid),
+        m AS (SELECT s.qid AS query_id, s.nid AS neighbor_id,
+                     s.cosine / ((aq.av + ac.av) / 2.0) AS margin
+              FROM ss s JOIN avgs aq ON aq.qid = s.qid
+                        JOIN avgs ac ON ac.qid = s.nid
+              WHERE s.qid < 10),
+        r AS (SELECT query_id, neighbor_id, margin,
+                     CAST(row_number() OVER (PARTITION BY query_id
+                            ORDER BY margin DESC, neighbor_id) AS INT)
+                       AS rank
+              FROM m)
+        SELECT query_id, neighbor_id, round(margin, 6) AS margin_r, rank
+        FROM r WHERE rank <= 5
+        ORDER BY query_id, rank
+      """.trim),
+      // Verify-only (bench-tail policy): two bounded pair scans — the
+      // q70 shape twice
+      bench = false),
+
+    // --- HYBRID retrieval via reciprocal-rank fusion (Cormack 2009):
+    // BM25's top-30 (ln-free Robertson idf, the q150 arithmetic) fused
+    // with dense cosine's top-30 for query doc 0 — rank-based fusion
+    // needs NO score calibration between the unbounded BM25 scale and
+    // cosine's [−1,1], which is why RRF is the default hybrid combiner.
+    // rrf = 1/(60+rank_lex) + 1/(60+rank_sem), absent list ⇒ exactly 0;
+    // a FIXED two-term IEEE fold the oracle mirrors term for term. The
+    // fusion inputs are top-N lists (bounded by construction — the
+    // rankers own the scale machinery: stored inverted index, IVF/PQ
+    // probes), so the join chain and final rank window are
+    // small-by-contract. ---
+    GQuery(
+      "q247_hybrid_rrf",
+      (spark, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val lex = graft.operators.Search.bm25(Tables.docs(spark, dir),
+            "doc_id", "text", Seq("spark", "customer", "vector"), 30,
+            lnIdf = false)
+          .withColumn("rank", row_number().over(
+            Window.orderBy(col("score").desc, col("doc_id"))))
+          .select(col("doc_id"), col("rank"))
+        val e = Tables.embs(spark, dir)
+        val sem = graft.operators.Similarity.bruteForceTopK(
+            e.filter(col("vec_id") === 0), e, "vec_id", "embedding", Dim,
+            k = 30)
+          .select(col("neighbor_id").as("doc_id"), col("rank"))
+        graft.operators.Search.rrfFuse(
+            Seq("lex" -> lex, "sem" -> sem), "doc_id", "rank")
+          .filter(col("rank") <= 15)
+          .select(col("doc_id"), col("rank_lex"), col("rank_sem"),
+            col("rrf"), col("rank"))
+          .orderBy(col("rank"))
+      },
+      Some("""
+        WITH toked AS (
+          SELECT doc_id,
+                 list_filter(string_split(lower(text), ' '), s2 -> s2 <> '')
+                   AS toks
+          FROM documents),
+        d AS (SELECT doc_id, toks, len(toks) AS dl FROM toked),
+        st AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(dl) AS BIGINT) AS sumdl,
+                 CAST(SUM(CASE WHEN list_contains(toks, 'spark')
+                            THEN 1 ELSE 0 END) AS BIGINT) AS df0,
+                 CAST(SUM(CASE WHEN list_contains(toks, 'customer')
+                            THEN 1 ELSE 0 END) AS BIGINT) AS df1,
+                 CAST(SUM(CASE WHEN list_contains(toks, 'vector')
+                            THEN 1 ELSE 0 END) AS BIGINT) AS df2
+          FROM d),
+        sc AS (
+          SELECT doc_id,
+                 ((((CAST(n AS DOUBLE) - CAST(df0 AS DOUBLE) + 0.5)
+                      / (CAST(df0 AS DOUBLE) + 0.5))
+                   * ((CAST(len(list_filter(toks, x -> x = 'spark')) AS DOUBLE)
+                        * (1.2 + 1.0))
+                      / (CAST(len(list_filter(toks, x -> x = 'spark')) AS DOUBLE)
+                         + 1.2 * ((1.0 - 0.75)
+                                  + 0.75 * (CAST(dl AS DOUBLE)
+                                            / (CAST(sumdl AS DOUBLE)
+                                               / CAST(n AS DOUBLE))))))
+                  + ((CAST(n AS DOUBLE) - CAST(df1 AS DOUBLE) + 0.5)
+                       / (CAST(df1 AS DOUBLE) + 0.5))
+                    * ((CAST(len(list_filter(toks, x -> x = 'customer')) AS DOUBLE)
+                         * (1.2 + 1.0))
+                       / (CAST(len(list_filter(toks, x -> x = 'customer')) AS DOUBLE)
+                          + 1.2 * ((1.0 - 0.75)
+                                   + 0.75 * (CAST(dl AS DOUBLE)
+                                             / (CAST(sumdl AS DOUBLE)
+                                                / CAST(n AS DOUBLE)))))))
+                  + ((CAST(n AS DOUBLE) - CAST(df2 AS DOUBLE) + 0.5)
+                       / (CAST(df2 AS DOUBLE) + 0.5))
+                    * ((CAST(len(list_filter(toks, x -> x = 'vector')) AS DOUBLE)
+                         * (1.2 + 1.0))
+                       / (CAST(len(list_filter(toks, x -> x = 'vector')) AS DOUBLE)
+                          + 1.2 * ((1.0 - 0.75)
+                                   + 0.75 * (CAST(dl AS DOUBLE)
+                                             / (CAST(sumdl AS DOUBLE)
+                                                / CAST(n AS DOUBLE)))))))
+                   AS score
+          FROM d CROSS JOIN st),
+        lex AS (
+          SELECT doc_id,
+                 CAST(row_number() OVER (ORDER BY score DESC, doc_id)
+                   AS INT) AS rank_lex
+          FROM sc ORDER BY score DESC, doc_id LIMIT 30),
+        v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+              FROM embeddings),
+        q AS (SELECT e AS qv FROM v WHERE vec_id = 0),
+        semsc AS (
+          SELECT v.vec_id AS doc_id,
+                 list_sum(list_transform(generate_series(1, 64),
+                   i -> qv[i] * e[i]))
+                   / (sqrt(list_sum(list_transform(generate_series(1, 64),
+                        i -> qv[i] * qv[i])))
+                      * sqrt(list_sum(list_transform(generate_series(1, 64),
+                          i -> e[i] * e[i])))) AS cosine
+          FROM q JOIN v ON v.vec_id <> 0),
+        sem AS (
+          SELECT doc_id,
+                 CAST(row_number() OVER (ORDER BY cosine DESC, doc_id)
+                   AS INT) AS rank_sem
+          FROM semsc ORDER BY cosine DESC, doc_id LIMIT 30),
+        fused AS (
+          SELECT COALESCE(lex.doc_id, sem.doc_id) AS doc_id,
+                 lex.rank_lex, sem.rank_sem,
+                 COALESCE(1.0 / (60.0 + CAST(lex.rank_lex AS DOUBLE)), 0.0)
+                   + COALESCE(1.0 / (60.0 + CAST(sem.rank_sem AS DOUBLE)),
+                       0.0) AS rrf
+          FROM lex FULL OUTER JOIN sem ON lex.doc_id = sem.doc_id),
+        ranked AS (
+          SELECT doc_id, rank_lex, rank_sem, rrf,
+                 CAST(row_number() OVER (ORDER BY rrf DESC, doc_id) AS INT)
+                   AS rank
+          FROM fused)
+        SELECT doc_id, rank_lex, rank_sem, rrf, rank
+        FROM ranked WHERE rank <= 15 ORDER BY rank
+      """.trim),
+      // Verify-only (bench-tail policy): two bounded rankers + a ≤60-row
+      // fusion — q150/q70 bench the ranker shapes
       bench = false)
   )
 

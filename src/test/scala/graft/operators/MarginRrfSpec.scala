@@ -1,0 +1,121 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** Margin-based neighbor scoring (Similarity.marginTopK) and
+  * reciprocal-rank fusion (Search.rrfFuse): driver-side reference parity
+  * on seeded vectors, the hubness demotion the margin exists for,
+  * hand-computed RRF fusion, and the loud guards. The q246/q247 gates
+  * certify DuckDB bit-parity; this spec certifies semantics.
+  */
+class MarginRrfSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val Dim = 4
+
+  /** Driver reference: exact ratio margin over a full cosine matrix,
+    * averages over top-kAvg in rank (cos desc, id) order.
+    */
+  private def refMargin(vecs: Seq[(Long, Array[Double])], kAvg: Int)
+      : Map[(Long, Long), Double] = {
+    def cos(a: Array[Double], b: Array[Double]) = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      d / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    val cosines = (for {
+      (i, vi) <- vecs; (j, vj) <- vecs if i != j
+    } yield (i, j) -> cos(vi, vj)).toMap
+    val avg = vecs.map { case (i, _) =>
+      val top = vecs.collect { case (j, _) if j != i => (cosines((i, j)), j) }
+        .sortBy { case (c, j) => (-c, j) }.take(kAvg)
+      i -> top.map(_._1).sum / top.size
+    }.toMap
+    cosines.map { case ((i, j), c) => (i, j) -> c / ((avg(i) + avg(j)) / 2.0) }
+  }
+
+  private def seededVecs(n: Int, seed: Int): Seq[(Long, Array[Double])] = {
+    val rnd = new scala.util.Random(seed)
+    (0L until n.toLong).map(i =>
+      i -> Array.fill(Dim)(rnd.nextDouble() + 0.05))
+  }
+
+  test("marginTopK matches the driver reference on seeded vectors") {
+    val vecs = seededVecs(12, seed = 3)
+    val df = vecs.map { case (i, v) => (i, v.toSeq) }.toDF("id", "vec")
+    val got = Similarity.marginTopK(df, df, "id", "vec", Dim, k = 3,
+        kAvg = 4)
+      .collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"),
+        r.getAs[Double]("margin"), r.getAs[Int]("rank")))
+    val ref = refMargin(vecs, kAvg = 4)
+    // every returned margin equals the reference to double precision,
+    // and per query the returned ids are the reference's top-3
+    got.foreach { case (q, n, m, _) =>
+      assert(math.abs(m - ref((q, n))) < 1e-12, s"pair ($q,$n)")
+    }
+    got.groupBy(_._1).foreach { case (q, rows) =>
+      val want = ref.collect { case ((`q`, j), m) => (m, j) }
+        .toSeq.sortBy { case (m, j) => (-m, j) }.take(3).map(_._2)
+      assert(rows.sortBy(_._4).map(_._2).toSeq == want, s"query $q")
+    }
+  }
+
+  test("the margin demotes a hub that raw cosine over-ranks") {
+    // 10 spread vectors plus a centroid hub: the hub scores high cosine
+    // against EVERYONE (that is what a hub is), but its neighborhood
+    // average is equally high, so its margin hovers near 1 while a
+    // genuine near-duplicate pair stands out above it.
+    val base = seededVecs(10, seed = 7)
+    val centroid = (0 until Dim)
+      .map(d => base.map(_._2(d)).sum / base.size).toArray
+    val dup = base.head._2.map(_ * 1.001) // near-copy of id 0
+    val all = base ++ Seq(100L -> centroid, 101L -> dup)
+    val ref = refMargin(all, kAvg = 4)
+    val hubMargin = ref((0L, 100L))
+    val dupMargin = ref((0L, 101L))
+    assert(dupMargin > hubMargin,
+      s"dup=$dupMargin hub=$hubMargin — margin must prefer the true pair")
+    // and the operator agrees with the reference's verdict
+    val df = all.map { case (i, v) => (i, v.toSeq) }.toDF("id", "vec")
+    val top1 = Similarity.marginTopK(df.filter(col("id") === 0), df,
+      "id", "vec", Dim, k = 1, kAvg = 4)
+    assert(top1.head().getAs[Long]("neighbor_id") == 101L)
+  }
+
+  test("rrfFuse: hand-computed fusion, absent lists contribute zero") {
+    val lex = Seq((1L, 1), (2L, 2), (3L, 3)).toDF("id", "rank")
+    val sem = Seq((2L, 1), (4L, 2)).toDF("id", "rank")
+    val got = Search.rrfFuse(Seq("lex" -> lex, "sem" -> sem), "id", "rank")
+      .collect()
+      .map(r => r.getAs[Long]("id") ->
+        (r.getAs[Double]("rrf"), r.getAs[Int]("rank"))).toMap
+    def t(r: Int) = 1.0 / (60.0 + r)
+    assert(got(2L)._1 == t(2) + t(1)) // both lists
+    assert(got(1L)._1 == t(1))        // lex only
+    assert(got(4L)._1 == t(2))        // sem only
+    // fused order: id 2 (two contributions) first
+    assert(got(2L)._2 == 1)
+    // ties broken by id: ids 1 and 4... 1/61 > 1/62, so 1 then 3-vs-4
+    assert(got(1L)._2 == 2)
+  }
+
+  test("rrfFuse rejects duplicate ranking names") {
+    val r = Seq((1L, 1)).toDF("id", "rank")
+    intercept[IllegalArgumentException] {
+      Search.rrfFuse(Seq("a" -> r, "a" -> r), "id", "rank")
+    }
+  }
+
+  test("marginTopK enforces the bounded-nomination-corpus contract") {
+    val df = seededVecs(50, seed = 5)
+      .map { case (i, v) => (i, v.toSeq) }.toDF("id", "vec")
+    intercept[Exception] {
+      Similarity.marginTopK(df, df, "id", "vec", Dim, k = 2, kAvg = 2,
+        maxBroadcastRows = 10)
+    }
+  }
+}
