@@ -371,6 +371,74 @@ object StreamQueries extends QueryModule {
                TRUE AS stream_eq_direct
         FROM s ORDER BY o_orderpriority
       """.trim),
+      bench = false),
+
+    // --- streaming maintenance of the q241 PORTABLE-HLL registers —
+    // the bit-certifiable tier next to q171's built-in HLL++ state
+    // (whose oracle can only carry tolerance TRUEs because Spark's
+    // sketch is engine-internal): md5-derived registers are
+    // max-mergeable, so seed + per-micro-batch appends read-merge to
+    // EXACTLY the direct whole-table register table (the sketch monoid
+    // law across the batch/stream boundary, certified in-engine by
+    // stream_eq_direct over sorted register structs), and the oracle
+    // replays the ACTUAL estimate values bit-for-bit, not TRUEs. ---
+    GQuery(
+      "q248_stream_hll_state",
+      (spark, dir) => {
+        import graft.operators.Sketches
+        val p = 9
+        val o = Tables.t(spark, dir, "orders")
+        val split = lit("1995-01-01 00:00:00")
+        val statePath = java.nio.file.Files
+          .createTempDirectory("graft_q248hll").toString
+        Sketches.hllWriteBatch(o.filter(col("o_orderdate") < split),
+          "o_orderpriority", col("o_custkey"), p, "hll", statePath, "seed")
+        val incoming = Streams.tableStream(spark, dir, "orders")
+          .filter(col("o_orderdate") >= split)
+        Streams.runForeachBatch(spark, incoming) { (batch, id) =>
+          Sketches.hllWriteBatch(batch, "o_orderpriority",
+            col("o_custkey"), p, "hll", statePath, s"b$id")
+        }
+        val merged = Sketches.hllReadMerged(spark, statePath,
+          "o_orderpriority", p)
+        val direct = Sketches.hllRegisters(o, "o_orderpriority",
+          col("o_custkey"), p, salt = "hll")
+        def regArr(regs: org.apache.spark.sql.DataFrame, as: String) =
+          regs.groupBy(col("o_orderpriority"))
+            .agg(sort_array(collect_list(struct(col("reg"), col("rho"))))
+              .as(as))
+        Sketches.hllEstimate(merged, "o_orderpriority", p)
+          .join(regArr(merged, "__ma"), Seq("o_orderpriority"))
+          .join(regArr(direct, "__da"), Seq("o_orderpriority"))
+          .select(col("o_orderpriority"), col("est_distinct"),
+            col("used"), col("zeros"),
+            (col("__ma") === col("__da")).as("stream_eq_direct"))
+          .orderBy(col("o_orderpriority"))
+      },
+      Some(s"""
+        WITH h AS (
+          SELECT o_orderpriority,
+                 CAST('0x' || substr(md5('hll' || CAST(o_custkey AS VARCHAR)), 1, 12)
+                   AS BIGINT) AS hv
+          FROM orders),
+        r AS (
+          SELECT o_orderpriority, hv % 512 AS reg,
+                 MAX(40 - length(ltrim(bin(hv // 512), '0'))) AS rho
+          FROM h GROUP BY 1, 2),
+        s AS (
+          SELECT o_orderpriority,
+                 CAST(COUNT(*) AS INT) AS used,
+                 SUM(CAST(1 AS BIGINT) << (40 - rho)) AS ss
+          FROM r GROUP BY 1)
+        SELECT o_orderpriority,
+               (0.7213 / (1.0 + 1.079 / 512.0)) *
+                 (CAST(288230376151711744 AS DOUBLE) /
+                  CAST(ss + (512 - used) * CAST(1099511627776 AS BIGINT)
+                    AS DOUBLE)) AS est_distinct,
+               used, CAST(512 - used AS INT) AS zeros,
+               TRUE AS stream_eq_direct
+        FROM s ORDER BY o_orderpriority
+      """.trim),
       bench = false)
   )
 }
