@@ -269,4 +269,52 @@ object TextAnalysis {
     regexp_replace(
       regexp_replace(text, EmailPattern, "<EMAIL>"),
       PhonePattern, "<PHONE>")
+
+  // -----------------------------------------------------------------
+  // Readability (Flesch 1948; Kincaid et al. 1975) — the classic
+  // surface-statistics quality signals a curation pass reads next to
+  // the stopword/length heuristics: both are pure arithmetic over three
+  // row-local counts, so they scan a 100 TB corpus shuffle-free and an
+  // external engine replays them bit-for-bit (fixed operation order,
+  // exact long counts, IEEE doubles only at the final formulas).
+  //
+  // The three counts, each a deliberate portable heuristic:
+  //  - words: non-empty whitespace tokens (the corpus tokenization);
+  //  - sentences: runs of sentence punctuation `[.!?]+`, floored at 1
+  //    (punctuation-free text — transcripts, code, this repo's
+  //    synthetic corpus — reads as ONE sentence rather than dividing
+  //    by zero; documented convention, not a silent NULL);
+  //  - syllables: vowel-group runs `[aeiouy]+` over the lowercased
+  //    text (the standard cheap proxy; vowel-free tokens contribute 0,
+  //    no +1-per-word correction — both engines count the same runs).
+
+  /** Sentence count: runs of `[.!?]+`, floored at 1 (see above). */
+  def sentenceCount(text: Column): Column =
+    greatest(size(regexp_extract_all(text, lit("[.!?]+"), lit(0)))
+      .cast("long"), lit(1L))
+
+  /** Vowel-group syllable proxy over the lowercased text. */
+  def syllableCount(text: Column): Column =
+    size(regexp_extract_all(lower(text), lit("[aeiouy]+"), lit(0)))
+      .cast("long")
+
+  /** Flesch reading ease: 206.835 − 1.015·(W/S) − 84.6·(Syl/W).
+    * NULL when the text has no words (nothing to read).
+    */
+  def fleschReadingEase(words: Column, sentences: Column,
+      syllables: Column): Column =
+    when(words > 0L,
+      lit(206.835)
+        - lit(1.015) * (words.cast("double") / sentences.cast("double"))
+        - lit(84.6) * (syllables.cast("double") / words.cast("double")))
+
+  /** Flesch-Kincaid grade level: 0.39·(W/S) + 11.8·(Syl/W) − 15.59.
+    * NULL when the text has no words.
+    */
+  def fkGradeLevel(words: Column, sentences: Column,
+      syllables: Column): Column =
+    when(words > 0L,
+      lit(0.39) * (words.cast("double") / sentences.cast("double"))
+        + lit(11.8) * (syllables.cast("double") / words.cast("double"))
+        - lit(15.59))
 }

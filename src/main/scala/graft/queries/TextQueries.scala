@@ -2205,6 +2205,62 @@ object TextQueries extends QueryModule {
       """.trim),
       // certification surface (per-row projection throughput is q110's
       // already-benched shape); rides Verify only — bench-tail policy
+      bench = false),
+
+    // --- READABILITY (Flesch 1948 reading ease; Kincaid 1975 grade
+    // level) — the classic surface-statistics quality pair next to the
+    // stopword/length heuristics (q60-q62): three row-local counts
+    // (whitespace words, `[.!?]+` sentence runs floored at 1 — this
+    // punctuation-free corpus reads as one sentence per doc by the
+    // documented convention — and `[aeiouy]+` vowel-group syllables),
+    // then two fixed IEEE formulas the oracle mirrors operation for
+    // operation. Zero shuffles: pure projection over the corpus. ---
+    GQuery(
+      "q249_readability",
+      (spark, dir) => {
+        import graft.functions.TextAnalysis
+        Tables.docs(spark, dir)
+          .select(col("doc_id"),
+            size(org.apache.spark.sql.functions.filter(
+              split(lower(col("text")), " "), w => w =!= ""))
+              .cast("long").as("words"),
+            TextAnalysis.sentenceCount(col("text")).as("sentences"),
+            TextAnalysis.syllableCount(col("text")).as("syllables"))
+          .select(col("doc_id"), col("words"), col("sentences"),
+            col("syllables"),
+            round(TextAnalysis.fleschReadingEase(col("words"),
+              col("sentences"), col("syllables")), 6).as("flesch_r"),
+            round(TextAnalysis.fkGradeLevel(col("words"),
+              col("sentences"), col("syllables")), 6).as("fk_grade_r"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""
+        WITH c AS (
+          SELECT doc_id,
+                 CAST(len(list_filter(string_split(lower(text), ' '),
+                   s2 -> s2 <> '')) AS BIGINT) AS words,
+                 GREATEST(CAST(len(regexp_extract_all(text, '[.!?]+'))
+                   AS BIGINT), 1) AS sentences,
+                 CAST(len(regexp_extract_all(lower(text), '[aeiouy]+'))
+                   AS BIGINT) AS syllables
+          FROM documents)
+        SELECT doc_id, words, sentences, syllables,
+               round(CASE WHEN words > 0 THEN
+                 206.835
+                   - 1.015 * (CAST(words AS DOUBLE)
+                              / CAST(sentences AS DOUBLE))
+                   - 84.6 * (CAST(syllables AS DOUBLE)
+                             / CAST(words AS DOUBLE)) END, 6) AS flesch_r,
+               round(CASE WHEN words > 0 THEN
+                 0.39 * (CAST(words AS DOUBLE)
+                         / CAST(sentences AS DOUBLE))
+                   + 11.8 * (CAST(syllables AS DOUBLE)
+                             / CAST(words AS DOUBLE))
+                   - 15.59 END, 6) AS fk_grade_r
+        FROM c ORDER BY doc_id
+      """.trim),
+      // Verify-only (bench-tail policy): row-local projection — q110's
+      // benched shape
       bench = false)
   )
 

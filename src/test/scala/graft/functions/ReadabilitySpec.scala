@@ -1,0 +1,63 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** Flesch / Flesch-Kincaid readability (TextAnalysis): hand-counted
+  * fixtures on punctuated text (which the synthetic gate corpus lacks),
+  * the floor-at-1 sentence convention, and NULL on wordless text.
+  */
+class ReadabilitySpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def measure(text: String) = {
+    import TextAnalysis._
+    val words = size(org.apache.spark.sql.functions.filter(
+      split(lower(col("t")), " "), w => w =!= "")).cast("long")
+    Seq(text).toDF("t")
+      .select(words.as("w"), sentenceCount(col("t")).as("s"),
+        syllableCount(col("t")).as("y"))
+      .select(col("w"), col("s"), col("y"),
+        fleschReadingEase(col("w"), col("s"), col("y")).as("fre"),
+        fkGradeLevel(col("w"), col("s"), col("y")).as("fk"))
+      .head()
+  }
+
+  test("hand-counted punctuated fixture") {
+    // "the cat sat. it purred!" — 5 words, 2 sentences, vowel groups:
+    // e, a, a, i, u+e -> the(1) cat(1) sat(1) it(1) purred(2) = 6
+    val r = measure("the cat sat. it purred!")
+    assert(r.getAs[Long]("w") == 5L)
+    assert(r.getAs[Long]("s") == 2L)
+    assert(r.getAs[Long]("y") == 6L)
+    val wps = 5.0 / 2.0
+    val spw = 6.0 / 5.0
+    assert(math.abs(r.getAs[Double]("fre")
+      - (206.835 - 1.015 * wps - 84.6 * spw)) < 1e-12)
+    assert(math.abs(r.getAs[Double]("fk")
+      - (0.39 * wps + 11.8 * spw - 15.59)) < 1e-12)
+  }
+
+  test("punctuation-free text floors to one sentence") {
+    val r = measure("just words no stops")
+    assert(r.getAs[Long]("s") == 1L)
+    assert(r.getAs[Long]("w") == 4L)
+  }
+
+  test("multi-punctuation runs count as one boundary") {
+    assert(measure("wait... what?! ok.").getAs[Long]("s") == 3L)
+  }
+
+  test("wordless text yields NULL scores, not a division error") {
+    val r = measure("")
+    assert(r.isNullAt(r.fieldIndex("fre")))
+    assert(r.isNullAt(r.fieldIndex("fk")))
+  }
+
+  test("vowel-free tokens contribute zero syllables (documented)") {
+    assert(measure("tsk tsk hmm").getAs[Long]("y") == 0L)
+  }
+}
