@@ -1,0 +1,114 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** MMR diversified re-ranking (Similarity.mmrRerank): driver-reference
+  * parity on seeded vectors and the diversity property the operator
+  * exists for — a planted duplicate cluster monopolizes plain top-k but
+  * not the MMR picks. The q250 gate certifies the DuckDB unrolled-step
+  * replay; this spec certifies semantics.
+  */
+class MmrSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val Dim = 4
+
+  private def cos(a: Array[Double], b: Array[Double]) = {
+    val d = a.zip(b).map { case (x, y) => x * y }.sum
+    d / (math.sqrt(a.map(x => x * x).sum) *
+      math.sqrt(b.map(x => x * x).sum))
+  }
+
+  /** Driver reference: exact greedy MMR over the full candidate list. */
+  private def refMmr(qv: Array[Double], cands: Seq[(Long, Array[Double])],
+      n: Int, k: Int, lam: Double): Seq[Long] = {
+    val top = cands.map { case (i, v) => (i, v, cos(qv, v)) }
+      .sortBy { case (i, _, r) => (-r, i) }.take(n)
+    var sel = Vector.empty[(Long, Array[Double])]
+    (1 to k).foreach { _ =>
+      val best = top.filterNot(c => sel.exists(_._1 == c._1))
+        .map { case (i, v, r) =>
+          val red = if (sel.isEmpty) 0.0
+            else sel.map(s => cos(v, s._2)).max
+          (i, v, lam * r - (1 - lam) * red)
+        }.minBy { case (i, _, s) => (-s, i) }
+      sel = sel :+ ((best._1, best._2))
+    }
+    sel.map(_._1)
+  }
+
+  test("matches the driver reference greedy selection on seeded vectors") {
+    val rnd = new scala.util.Random(13)
+    val vecs = (0L until 20L).map(i =>
+      i -> Array.fill(Dim)(rnd.nextDouble() + 0.05))
+    val df = vecs.map { case (i, v) => (i, v.toSeq) }.toDF("id", "vec")
+    val got = Similarity.mmrRerank(df.filter(col("id") < 3), df, "id",
+        "vec", Dim, n = 8, k = 4, lambda = "0.6")
+      .collect()
+      .groupBy(_.getAs[Long]("query_id"))
+      .map { case (q, rows) =>
+        q -> rows.sortBy(_.getAs[Int]("rank"))
+          .map(_.getAs[Long]("neighbor_id")).toSeq
+      }
+    (0L until 3L).foreach { q =>
+      val ref = refMmr(vecs(q.toInt)._2,
+        vecs.filterNot(_._1 == q), n = 8, k = 4, lam = 0.6)
+      assert(got(q) == ref, s"query $q")
+    }
+  }
+
+  test("a planted duplicate cluster monopolizes top-k but not MMR") {
+    // query q; a 4-copy near-duplicate cluster very close to q; three
+    // moderately-relevant but mutually-distant singletons
+    val q = Array(1.0, 0.0, 0.0, 0.0)
+    val dups = (1L to 4L).map(i =>
+      i -> Array(1.0, 0.001 * i, 0.0, 0.0))
+    val singles = Seq(
+      10L -> Array(0.9, 0.4, 0.0, 0.0),
+      11L -> Array(0.9, 0.0, 0.4, 0.0),
+      12L -> Array(0.9, 0.0, 0.0, 0.4))
+    val all = (Seq(0L -> q) ++ dups ++ singles)
+      .map { case (i, v) => (i, v.toSeq) }.toDF("id", "vec")
+    val queries = all.filter(col("id") === 0)
+    // plain top-3: all three slots go to the duplicate cluster
+    val plain = Similarity.bruteForceTopK(queries, all, "id", "vec", Dim,
+        k = 3).collect().map(_.getAs[Long]("neighbor_id")).toSet
+    assert(plain.subsetOf((1L to 4L).toSet), s"plain=$plain")
+    // MMR at λ=0.5: one duplicate, then diverse singletons
+    val mmr = Similarity.mmrRerank(queries, all, "id", "vec", Dim,
+        n = 7, k = 3, lambda = "0.5")
+      .collect().map(_.getAs[Long]("neighbor_id")).toSet
+    assert(mmr.count(i => i >= 1L && i <= 4L) == 1, s"mmr=$mmr")
+    assert(mmr.count(_ >= 10L) == 2, s"mmr=$mmr")
+  }
+
+  test("rank 1 equals the plain relevance argmax (no redundancy term)") {
+    val rnd = new scala.util.Random(5)
+    val vecs = (0L until 10L).map(i =>
+      i -> Array.fill(Dim)(rnd.nextDouble() + 0.05))
+    val df = vecs.map { case (i, v) => (i, v.toSeq) }.toDF("id", "vec")
+    val q = df.filter(col("id") === 0)
+    val mmr1 = Similarity.mmrRerank(q, df, "id", "vec", Dim, n = 5,
+        k = 1, lambda = "0.3")
+      .head().getAs[Long]("neighbor_id")
+    val top1 = Similarity.bruteForceTopK(q, df, "id", "vec", Dim, k = 1)
+      .head().getAs[Long]("neighbor_id")
+    assert(mmr1 == top1)
+  }
+
+  test("invalid lambda and k fail loudly") {
+    val df = Seq((1L, Seq(1.0, 0.0, 0.0, 0.0))).toDF("id", "vec")
+    intercept[IllegalArgumentException] {
+      Similarity.mmrRerank(df, df, "id", "vec", Dim, n = 2, k = 1,
+        lambda = "0")
+    }
+    intercept[IllegalArgumentException] {
+      Similarity.mmrRerank(df, df, "id", "vec", Dim, n = 2, k = 3,
+        lambda = "0.5")
+    }
+  }
+}
