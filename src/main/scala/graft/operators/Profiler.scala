@@ -63,6 +63,13 @@ object Profiler {
     * deviation) + one broadcast-joined flag count — group-cardinality
     * frames only; rows cross exactly two hash exchanges keyed by the
     * group.
+    *
+    * Sibling surface: [[robustOutliers]] is the ROW-LEVEL form (a
+    * per-row `is_outlier` flag a filter can act on, type-1 order
+    * statistics via the exactQuantiles narrow rank pass — no per-group
+    * percentile buffer); THIS is the group-stats monitoring form. Same
+    * fence family, different consumers — a monitor reads counts, a
+    * curation pass drops rows.
     */
   def robustOutlierStats(df: DataFrame, keys: Seq[String], valueCol: String,
       cutoff: Double = 3.5, exact: Boolean = true,
@@ -547,6 +554,15 @@ object Profiler {
     * [[exactQuantiles]] — so a single whale row cannot drag the fence
     * the way a mean/stddev z-score lets it (the curation failure mode:
     * one 500 MB document inflates σ until nothing else flags).
+    *
+    * Sibling surface: [[robustOutlierStats]] (q145) is the GROUP-STATS
+    * monitoring form — interpolated `percentile` medians (per-group
+    * value buffers, the bounded-cardinality contract) and outlier
+    * COUNTS. This is the row-level FILTERING form: a per-row flag a
+    * curation pass drops on, order statistics from the narrow
+    * range-partitioned rank pass (no per-group buffer, so a group
+    * holding 40% of a 100 TB corpus never concentrates in one
+    * aggregation buffer), exact type-1 quantile semantics end to end.
     *
     * Deliberate choices, both caller-visible:
     *  - the 1.4826 normal-consistency constant is NOT baked in — the

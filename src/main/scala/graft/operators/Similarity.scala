@@ -310,118 +310,6 @@ object Similarity {
     topKTail(margins, "margin", k, idDomain = Some(c))
   }
 
-  /** MMR — Maximal Marginal Relevance diversified re-ranking (Carbonell
-    * & Goldstein 1998): plain top-k returns near-duplicates of the best
-    * hit; MMR greedily selects `k` of the top-`n` nominated candidates
-    * trading relevance against redundancy with what is ALREADY selected:
-    *
-    *   pick_i = argmax_{c ∉ S} [ λ·rel(c) − (1−λ)·max_{s∈S} sim(c, s) ]
-    *
-    * (pick 1 has no redundancy term — its score is exactly λ·rel). The
-    * selection a RAG retriever / training-example sampler runs after
-    * nomination so the k slots don't collapse onto one duplicate
-    * cluster.
-    *
-    * Determinism: rel and sim are the [[cosinePrenormed]] index-order
-    * folds; each step's score is one multiply-subtract-multiply on
-    * doubles with `λ` and `1−λ` built from the SAME literal both engines
-    * parse (`lambda` rides as a STRING — the parse-parity rule — and
-    * `1−λ` is computed IN-PLAN as `1.0 - λ`, never pre-folded on the
-    * driver, so its rounding matches the oracle's SQL literal); argmax
-    * ties on id via the min_by struct idiom. The oracle unrolls the k
-    * greedy steps as chained CTEs, so a hash match certifies every
-    * intermediate pick.
-    *
-    * Scale: nomination (top-`n` per query) is where corpus-scale
-    * machinery lives ([[bruteForceTopK]] here; swap for IVF/PQ probes
-    * at 100 TB — same contract). Everything after nomination runs on
-    * BOUNDED frames: candidates are queries×n rows (checkpointed once —
-    * the greedy steps must not re-derive the corpus scan), pairwise sims
-    * queries×n² rows, and each greedy step is one join + one aggregate
-    * over those; the selected frame re-checkpoints every few steps so
-    * the unrolled plan stays bounded (the Graph iterate discipline).
-    *
-    * @return `(query_id, neighbor_id, rel, mmr, rank)` — `rank` is the
-    *         greedy pick order (1-based), `mmr` the score that won the
-    *         pick (λ·rel for rank 1)
-    */
-  def mmrRerank(queries: DataFrame, corpus: DataFrame, idCol: String,
-      vecCol: String, dim: Int, n: Int, k: Int,
-      lambda: String): DataFrame = {
-    require(n >= 2, s"n ($n) must be >= 2")
-    require(k >= 1 && k <= n, s"k ($k) must be in [1, n=$n]")
-    val lam = lambda.toDouble
-    require(lam > 0.0 && lam <= 1.0, s"lambda ($lambda) must be in (0, 1]")
-    // 1−λ IN-PLAN from the same literals the oracle SQL writes — a
-    // driver-side `1 - lam` would fold the subtraction before Catalyst
-    // sees it (same bits here, but the in-plan form IS the contract)
-    val oneMinus = lit(1.0) - lit(lam)
-    val c = corpus.select(col(idCol).as("neighbor_id"),
-        asDouble(col(vecCol)).as("cv"))
-      .withColumn("cn", norm(col("cv"), dim))
-    val (cands, candsHandle) = graft.core.Caching.reapKeep(
-      bruteForceTopK(queries, corpus, idCol, vecCol, dim, n)
-        .select(col("query_id"), col("neighbor_id"),
-          col("cosine").as("rel")))
-    val cv = cands.join(c, Seq("neighbor_id"))
-    val (sims, simsHandle) = graft.core.Caching.reapKeep(
-      cv.as("a").join(cv.as("b"),
-          col("a.query_id") === col("b.query_id") &&
-            col("a.neighbor_id") =!= col("b.neighbor_id"))
-        .select(col("a.query_id").as("query_id"),
-          col("a.neighbor_id").as("nid_a"),
-          col("b.neighbor_id").as("nid_b"),
-          cosinePrenormed(col("a.cv"), col("b.cv"),
-            col("a.cn"), col("b.cn"), dim).as("sim")))
-    // greedy pick 1: score = λ·rel, argmax by (score desc, id asc) via
-    // the label-prop min_by struct idiom
-    def argmax(scored: DataFrame, pick: Int): DataFrame =
-      scored.groupBy(col("query_id"))
-        .agg(min_by(
-          struct(col("neighbor_id"), col("rel"), col("mmr")),
-          struct((-col("mmr")).as("ns"), col("neighbor_id").as("nb")))
-          .as("__w"))
-        .select(col("query_id"), col("__w.neighbor_id").as("neighbor_id"),
-          col("__w.rel").as("rel"), col("__w.mmr").as("mmr"),
-          lit(pick).as("rank"))
-    var selected = argmax(
-      cands.withColumn("mmr", lit(lam) * col("rel")), pick = 1)
-    var prevHandle: Option[org.apache.spark.rdd.RDD[_]] = None
-    var i = 2
-    while (i <= k) {
-      val selKeys = selected.select(col("query_id"),
-        col("neighbor_id").as("nid_b"))
-      val maxSim = sims.join(selKeys, Seq("query_id", "nid_b"))
-        .groupBy(col("query_id"), col("nid_a"))
-        .agg(max(col("sim")).as("__ms"))
-        .select(col("query_id"), col("nid_a").as("neighbor_id"),
-          col("__ms"))
-      val scored = cands
-        .join(maxSim, Seq("query_id", "neighbor_id"))
-        .join(selected.select(col("query_id"), col("neighbor_id")),
-          Seq("query_id", "neighbor_id"), "left_anti")
-        .withColumn("mmr",
-          lit(lam) * col("rel") - oneMinus * col("__ms"))
-      selected = selected.unionByName(argmax(scored, pick = i))
-      i += 1
-      // selected appears twice per step (redundancy join + anti-join),
-      // so the lazy plan doubles per step — re-checkpoint every 4 picks
-      // to keep it bounded (the Graph CheckpointEvery discipline)
-      if (i % 4 == 0 && i <= k) {
-        val (cut, handle) =
-          org.apache.spark.sql.GraftSqlBridge.eagerCheckpoint(selected)
-        prevHandle.foreach(_.unpersist(blocking = false))
-        prevHandle = Some(handle)
-        selected = cut
-      }
-    }
-    val out = graft.core.Caching.reap(selected)
-    prevHandle.foreach(_.unpersist(blocking = false))
-    candsHandle.unpersist(blocking = false)
-    simsHandle.unpersist(blocking = false)
-    out
-  }
-
   /** SEMANTIC benchmark decontamination — the embedding tier above
     * [[graft.operators.TextDedup]]'s n-gram screens (an eval item
     * paraphrased past every shingle overlap still lands at high cosine):

@@ -710,16 +710,19 @@ object DqQueries extends QueryModule {
       """.trim),
       bench = false),
 
-    // --- ROBUST outlier fences (Hampel median/MAD filter, Leys 2013) —
-    // the whale-proof complement to the rolling z-score (q185): a
-    // mean/stddev fence lets one extreme row inflate sigma until nothing
-    // else flags; the median/MAD fence is breakdown-point-0.5 robust.
-    // Both order statistics are the EXACT type-1 quantiles of the q235
-    // narrow rank pass (no per-group window sort), the deviations stay
-    // in the price's DECIMAL algebra until ONE double product at the
-    // comparison, and the oracle replays both rank passes with its own
-    // window SQL. k=3.5 raw MAD multiples (the 1.4826 normal-consistency
-    // constant deliberately NOT baked in — see the operator scaladoc). ---
+    // --- ROW-LEVEL robust outlier fences (Hampel median/MAD filter,
+    // Leys 2013) — the FILTERING tier next to q145's group-stats
+    // monitor: q145 buffers each group through the interpolated
+    // percentile aggregate and reports counts; this gate flags the ROWS
+    // a curation pass drops, with both order statistics the EXACT
+    // type-1 quantiles of the q235 narrow rank pass (no per-group
+    // buffer — a whale group never concentrates in one task). The
+    // deviations stay in the price's DECIMAL algebra until ONE double
+    // product at the comparison, and the oracle replays both rank
+    // passes with its own window SQL. k=3.5 raw MAD multiples (the
+    // 1.4826 normal-consistency constant deliberately NOT baked in —
+    // see the operator scaladoc; q145 bakes 0.6745 into its
+    // modified-z form instead, the other convention). ---
     GQuery(
       "q244_mad_outliers",
       (spark, dir) => {

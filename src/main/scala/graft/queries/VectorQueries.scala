@@ -1799,113 +1799,8 @@ object VectorQueries extends QueryModule {
       """.trim),
       // Verify-only (bench-tail policy): two bounded rankers + a ≤60-row
       // fusion — q150/q70 bench the ranker shapes
-      bench = false),
-
-    // --- MMR diversified re-ranking (Carbonell & Goldstein 1998):
-    // plain top-k collapses onto duplicate clusters; MMR's greedy
-    // trade-off λ·rel − (1−λ)·max-sim-to-selected spreads the k slots.
-    // Nomination = exact top-10 (the q70 scan; IVF/PQ probes at scale);
-    // the 5 greedy picks then run on BOUNDED frames, and the oracle
-    // unrolls them as chained CTEs — the hash certifies every
-    // intermediate pick, redundancy max, and score, not just the final
-    // membership. λ and 1−λ come from the same literals in both engines
-    // (parse-parity; 1−λ subtracted in-plan). ---
-    GQuery(
-      "q250_mmr_rerank",
-      (spark, dir) => {
-        val e = Tables.embs(spark, dir)
-        graft.operators.Similarity.mmrRerank(
-            e.filter(col("vec_id") < 6), e, "vec_id", "embedding", Dim,
-            n = 10, k = 5, lambda = "0.7")
-          .select(col("query_id"), col("neighbor_id"),
-            round(col("rel"), 6).as("rel_r"),
-            round(col("mmr"), 6).as("mmr_r"), col("rank"))
-          .orderBy(col("query_id"), col("rank"))
-      },
-      Some(s"""
-        WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
-                   FROM embeddings),
-        nv AS (SELECT vec_id, e,
-                      sqrt(list_sum(list_transform(generate_series(1, 64),
-                        i -> e[i] * e[i]))) AS nrm
-               FROM v),
-        allsc AS (
-          SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-                 list_sum(list_transform(generate_series(1, 64),
-                   i -> q.e[i] * c.e[i])) / (q.nrm * c.nrm) AS rel
-          FROM nv q JOIN nv c
-            ON q.vec_id < 6 AND q.vec_id <> c.vec_id),
-        cands AS (
-          SELECT query_id, neighbor_id, rel FROM (
-            SELECT query_id, neighbor_id, rel,
-                   row_number() OVER (PARTITION BY query_id
-                     ORDER BY rel DESC, neighbor_id) AS rn
-            FROM allsc) WHERE rn <= 10),
-        sims AS (
-          SELECT a.query_id, a.neighbor_id AS nid_a,
-                 b.neighbor_id AS nid_b,
-                 list_sum(list_transform(generate_series(1, 64),
-                   i -> va.e[i] * vb.e[i])) / (va.nrm * vb.nrm) AS sim
-          FROM cands a
-          JOIN cands b ON a.query_id = b.query_id
-            AND a.neighbor_id <> b.neighbor_id
-          JOIN nv va ON va.vec_id = a.neighbor_id
-          JOIN nv vb ON vb.vec_id = b.neighbor_id),
-        ${mmrStepsSql(k = 5, lam = "0.7")}
-        SELECT query_id, neighbor_id, round(rel, 6) AS rel_r,
-               round(mmr, 6) AS mmr_r, rank
-        FROM selu5 ORDER BY query_id, rank
-      """.trim),
-      // Verify-only (bench-tail policy): bounded greedy steps over the
-      // q70 nomination shape
       bench = false)
   )
-
-  /** DuckDB rendering of [[graft.operators.Similarity.mmrRerank]]'s
-    * greedy selection, unrolled: pick 1 is argmax λ·rel; each later
-    * pick re-scores the unselected candidates against the selected
-    * set's max similarity — the exact per-step state the Spark iterate
-    * computes.
-    */
-  private def mmrStepsSql(k: Int, lam: String): String = {
-    val sb = new StringBuilder(s"""
-      sel1 AS (
-        SELECT query_id, neighbor_id, rel, mmr, CAST(1 AS INT) AS rank
-        FROM (
-          SELECT query_id, neighbor_id, rel, mmr,
-                 row_number() OVER (PARTITION BY query_id
-                   ORDER BY mmr DESC, neighbor_id) AS rn
-          FROM (SELECT query_id, neighbor_id, rel, $lam * rel AS mmr
-                FROM cands))
-        WHERE rn = 1),
-      selu1 AS (SELECT * FROM sel1)""")
-    (2 to k).foreach { i =>
-      sb.append(s""",
-      ms$i AS (
-        SELECT s.query_id, s.nid_a AS neighbor_id, MAX(s.sim) AS ms
-        FROM sims s JOIN selu${i - 1} p
-          ON p.query_id = s.query_id AND p.neighbor_id = s.nid_b
-        GROUP BY 1, 2),
-      sc$i AS (
-        SELECT c.query_id, c.neighbor_id, c.rel,
-               $lam * c.rel - (1.0 - $lam) * m.ms AS mmr
-        FROM cands c
-        JOIN ms$i m ON m.query_id = c.query_id
-          AND m.neighbor_id = c.neighbor_id
-        LEFT JOIN selu${i - 1} p ON p.query_id = c.query_id
-          AND p.neighbor_id = c.neighbor_id
-        WHERE p.neighbor_id IS NULL),
-      sel$i AS (
-        SELECT query_id, neighbor_id, rel, mmr, CAST($i AS INT) AS rank
-        FROM (
-          SELECT query_id, neighbor_id, rel, mmr,
-                 row_number() OVER (PARTITION BY query_id
-                   ORDER BY mmr DESC, neighbor_id) AS rn
-          FROM sc$i) WHERE rn = 1),
-      selu$i AS (SELECT * FROM selu${i - 1} UNION ALL SELECT * FROM sel$i)""")
-    }
-    sb.toString
-  }
 
   /** DuckDB rendering of [[graft.operators.Sampling.hash16]] with the
     * empty salt (one definition per module — the CurationQueries

@@ -552,4 +552,41 @@ class ScaleCurveSpec extends AnyFunSuite {
         "doc_id", "text", "y", dim = 64, epochs = 2, salt = "sc")
     curve("classifier_train", op, docs, amp)
   }
+
+  test("k-core peel scales ~linearly at 10x edges (incremental repair)") {
+    // disjoint node-namespace copies: each copy peels independently with
+    // the SAME cascade depth, so rounds stay fixed and the true core
+    // grows exactly 10x — linear time is the incremental-repair claim
+    // (each edge crosses the wire at most once across all rounds)
+    val o = table("orders").select($"o_orderkey", $"o_custkey")
+    val l = table("lineitem").filter($"l_quantity" >= 50)
+      .select($"l_orderkey", $"l_suppkey")
+    val pair = o.join(l, $"l_orderkey" === $"o_orderkey")
+      .select(concat(lit("c:"), $"o_custkey".cast("string")).as("src"),
+        concat(lit("s:"), $"l_suppkey".cast("string")).as("dst"))
+      .distinct()
+    val amp = (0 until Amp).map(i =>
+      pair.select(concat(lit(s"$i."), $"src").as("src"),
+        concat(lit(s"$i."), $"dst").as("dst")))
+      .reduce(_ unionByName _)
+    def op(d: DataFrame): DataFrame =
+      Graph.kCoreFixed(d, "src", "dst", k = 2, rounds = 4,
+        closureDistinct = true)
+    curve("kcore_peel", op, pair, amp)
+  }
+
+  test("HLL register build scales ~linearly over 10x keys") {
+    // per-copy disjoint custkey blocks: register tables saturate toward
+    // m rows per group while input grows 10x — one partial-agg shuffle
+    // whose width is register-bounded, never value-set-sized
+    val o = table("orders").select($"o_orderpriority", $"o_custkey")
+    val amp = (0 until Amp).map(i =>
+      o.withColumn("o_custkey", $"o_custkey" + lit(i * 10000000L)))
+      .reduce(_ unionByName _)
+    def op(d: DataFrame): DataFrame =
+      Sketches.hllEstimate(
+        Sketches.hllRegisters(d, "o_orderpriority", col("o_custkey"),
+          p = 9, salt = "sc"), "o_orderpriority", p = 9)
+    curve("hll_registers", op, o, amp)
+  }
 }
