@@ -290,6 +290,15 @@ object Sketches {
   // discipline). Prefer KMV (q207/q208) when set INTERSECTIONS matter —
   // HLL unions are exact-mergeable but intersections only reachable via
   // inclusion-exclusion, whose error compounds.
+  //
+  // Tier map vs the BUILT-IN HLL++ surfaces (q159 distinctState /
+  // q171's streamed form): Spark's approx_count_distinct sketch is
+  // engine-internal, so those gates can only certify counts within a
+  // tolerance band (literal-TRUE oracles). THIS family exists for the
+  // other contract — external bit-certifiability: every register and
+  // every estimate replays in any engine owning md5 + integer ops. Use
+  // the built-in for raw speed on Spark-only paths, this one where the
+  // estimate itself must be auditable across engines.
 
   /** Maximum register value at precision `p`: a 48-bit hash spends `p`
     * bits on the register index, leaving a (48−p)-bit pattern whose

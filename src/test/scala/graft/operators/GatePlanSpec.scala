@@ -35,6 +35,21 @@ class GatePlanSpec extends AnyFunSuite {
     *    partial agg, the best possible shape.
     */
   private val pinned: Map[String, (Int, Int)] = Map(
+    // round-12 additions. q241 = register partial-agg + estimate agg +
+    // exact-count agg + certification join + sort; q244 = the two
+    // narrow rank passes' bounded frames (offsets/targets broadcasts) +
+    // summary agg + sort; q245 = post-checkpoint assembly (the peel
+    // runs behind eager checkpoints — ScaleCurveSpec pins its per-round
+    // shape) + output sort; q246 = the two bounded pair scans + the two
+    // rank-ordered average aggs + margin joins + heap tail; q247 = two
+    // bounded rankers + the ≤60-row fusion window; q249 = pure per-row
+    // projection + output sort
+    "q241_hll_distinct" -> (5, 1),
+    "q244_mad_outliers" -> (4, 11),
+    "q245_kcore" -> (1, 0),
+    "q246_margin_neighbors" -> (10, 5),
+    "q247_hybrid_rrf" -> (8, 2),
+    "q249_readability" -> (2, 0),
     "q07_curation_filter" -> (3, 0),
     "q16_fact_lookup" -> (2, 1),
     "q28_incremental_dedup" -> (11, 14),
