@@ -605,6 +605,50 @@ object Profiler {
           lit(k.toDouble) * col("mad").cast("double"))
   }
 
+  /** NUMERIC drift between two snapshots — the Mann-Whitney two-sample
+    * test (Mann & Whitney 1947) through [[aucExact]]: label snapshot B's
+    * rows 1 and A's 0, and the exact midrank AUC IS the common-language
+    * effect size P(B > A) + ½P(B = A) — 0.5 = no location shift. The
+    * monitoring read a pipeline owner runs on a NUMERIC column (price,
+    * score, token count) next to [[categoryDrift]]'s χ² on categorical
+    * mixes — rank-based, so one whale value cannot fake or mask a shift
+    * the way a mean-difference test lets it.
+    *
+    * `z` is the normal approximation WITHOUT the tie-variance
+    * correction: σ² = n_a·n_b·(n+1)/12 OVERSTATES the variance under
+    * ties, so |z| is conservative (a drift alarm fires late, never
+    * spuriously early from this choice) — documented, not hidden; the
+    * tie correction needs Σt³ per tie group, a second aggregate a
+    * caller can add when ties dominate. Arithmetic: exact long counts,
+    * ONE fixed IEEE sequence (subtract, two multiplies, one sqrt —
+    * correctly rounded, the house-safe transcendental — one division),
+    * mirrored operation for operation by the oracle.
+    *
+    * Scale: [[aucExact]]'s shape — one narrow range-partitioned rank
+    * pass over the union + one value-keyed aggregate; the snapshots
+    * never window-sort in one task. Ids are disambiguated with an
+    * `a:`/`b:` prefix, so the two snapshots may share an id space.
+    *
+    * @return one row: `(n_a, n_b, auc_shift, z)` — NULL auc/z when a
+    *         side is empty (no comparison to make)
+    */
+  def numericDrift(a: DataFrame, b: DataFrame, valueCol: String,
+      idCol: String): DataFrame = {
+    val ua = a.select(
+      concat(lit("a:"), col(idCol).cast("string")).as("__id"),
+      col(valueCol).as("__v"), lit(0).as("__y"))
+    val ub = b.select(
+      concat(lit("b:"), col(idCol).cast("string")).as("__id"),
+      col(valueCol).as("__v"), lit(1).as("__y"))
+    val aucRow = aucExact(ua.unionByName(ub), "__v", "__y", "__id")
+    val npnnD = col("n_pos").cast("double") * col("n_neg").cast("double")
+    val nD = (col("n_pos") + col("n_neg")).cast("double")
+    aucRow.select(col("n_neg").as("n_a"), col("n_pos").as("n_b"),
+      col("auc").as("auc_shift"),
+      (((col("auc") - lit(0.5)) * npnnD) /
+        sqrt(npnnD * (nD + lit(1.0)) / lit(12.0))).as("z"))
+  }
+
   /** CATEGORICAL DRIFT between two snapshots — the χ² test of
     * homogeneity over a category column (did the event-type / language /
     * source mix CHANGE between last week's corpus and this week's?), the

@@ -774,6 +774,61 @@ object DqQueries extends QueryModule {
       """.trim),
       // Verify-only (bench-tail policy): two narrow rank passes — q235
       // benches the identical shape via rotation
+      bench = false),
+
+    // --- NUMERIC drift via the Mann-Whitney two-sample test (the
+    // rank-based monitor next to q232's categorical χ² and q234's
+    // embedding drift): order totalprice, pre-1995 snapshot vs
+    // 1995-onward, through the q224 exact-midrank AUC machinery — the
+    // AUC IS the common-language effect size P(B > A) + ½P(tie), 0.5 =
+    // no shift. One whale price cannot fake or mask a shift (rank-based,
+    // unlike a mean test). z rides WITHOUT tie correction (conservative
+    // |z| — see the operator scaladoc); sqrt is the house-safe
+    // correctly-rounded transcendental, so the whole row hash-matches. ---
+    GQuery(
+      "q250_numeric_drift",
+      (spark, dir) => {
+        val o = t(spark, dir, "orders")
+        val split = lit("1995-01-01 00:00:00")
+        graft.operators.Profiler.numericDrift(
+          o.filter(col("o_orderdate") < split),
+          o.filter(col("o_orderdate") >= split),
+          "o_totalprice", "o_orderkey")
+      },
+      Some("""
+        WITH u AS (
+          SELECT 'a:' || CAST(o_orderkey AS VARCHAR) AS id,
+                 o_totalprice AS v, 0 AS y
+          FROM orders WHERE o_orderdate < '1995-01-01 00:00:00'
+          UNION ALL
+          SELECT 'b:' || CAST(o_orderkey AS VARCHAR), o_totalprice, 1
+          FROM orders WHERE o_orderdate >= '1995-01-01 00:00:00'),
+        rk AS (SELECT id, y, v,
+                 ROW_NUMBER() OVER (ORDER BY v, id) AS r
+               FROM u),
+        grp AS (SELECT v, MIN(r) AS lo, MAX(r) AS hi, SUM(y) AS pos,
+                  COUNT(*) AS cnt
+                FROM rk GROUP BY v),
+        ag AS (SELECT SUM(pos) AS np, SUM(cnt - pos) AS nn,
+                 SUM(CAST(pos AS DECIMAL(12,0))
+                   * CAST(lo + hi AS DECIMAL(14,0))) AS smr2
+               FROM grp),
+        av AS (
+          SELECT CAST(nn AS BIGINT) AS n_a, CAST(np AS BIGINT) AS n_b,
+                 CASE WHEN np > 0 AND nn > 0 THEN
+                   CAST(smr2 - CAST(np AS DECIMAL(12,0))
+                        * CAST(np + 1 AS DECIMAL(14,0)) AS DOUBLE)
+                     / (2e0 * CAST(np AS DOUBLE) * CAST(nn AS DOUBLE))
+                 END AS auc_shift
+          FROM ag)
+        SELECT n_a, n_b, auc_shift,
+               ((auc_shift - 0.5)
+                  * (CAST(n_b AS DOUBLE) * CAST(n_a AS DOUBLE)))
+                 / sqrt(CAST(n_b AS DOUBLE) * CAST(n_a AS DOUBLE)
+                        * (CAST(n_b + n_a AS DOUBLE) + 1.0) / 12.0) AS z
+        FROM av
+      """.trim),
+      // Verify-only (bench-tail policy): one rank pass — the q224 shape
       bench = false)
   )
 }

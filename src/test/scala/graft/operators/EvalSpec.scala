@@ -313,4 +313,35 @@ class EvalSpec extends AnyFunSuite {
         "text", "y", 16, topK = 5).collect()
     }
   }
+
+  test("numericDrift: clean shift hits auc 1, identity sits at exactly " +
+    "0.5, one whale cannot fake a shift") {
+    def df(vs: Seq[Double]) = vs.zipWithIndex
+      .map { case (v, i) => (i.toLong, v) }.toDF("id", "v")
+    // disjoint ranges: every B value beats every A value
+    val shifted = Profiler.numericDrift(
+      df(Seq(1.0, 2.0, 3.0)), df(Seq(10.0, 11.0, 12.0)), "v", "id").head()
+    assert(shifted.getAs[Double]("auc_shift") == 1.0)
+    assert(shifted.getAs[Double]("z") > 0.0)
+    // identical snapshots: all ties, midrank AUC exactly 0.5, z exactly 0
+    val same = Profiler.numericDrift(
+      df(Seq(1.0, 2.0, 3.0, 4.0)), df(Seq(1.0, 2.0, 3.0, 4.0)),
+      "v", "id").head()
+    assert(same.getAs[Double]("auc_shift") == 0.5)
+    assert(same.getAs[Double]("z") == 0.0)
+    // rank-based: one 10^9 whale in B moves auc no further than any
+    // other single winning value would (1 of 16 comparisons)
+    val base = Seq(1.0, 2.0, 3.0, 4.0)
+    val whale = Profiler.numericDrift(
+      df(base), df(Seq(1.0, 2.0, 3.0, 1.0e9)), "v", "id").head()
+    val tame = Profiler.numericDrift(
+      df(base), df(Seq(1.0, 2.0, 3.0, 5.0)), "v", "id").head()
+    assert(whale.getAs[Double]("auc_shift") ==
+      tame.getAs[Double]("auc_shift"))
+    // empty side: NULL auc and z, not an error
+    val empty = Profiler.numericDrift(
+      df(Seq(1.0)), df(Seq.empty), "v", "id").head()
+    assert(empty.isNullAt(empty.fieldIndex("auc_shift")))
+    assert(empty.isNullAt(empty.fieldIndex("z")))
+  }
 }
