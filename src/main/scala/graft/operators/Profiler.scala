@@ -605,6 +605,71 @@ object Profiler {
           lit(k.toDouble) * col("mad").cast("double"))
   }
 
+  /** Benford's-law first-digit expectations: P(d) = log₁₀(1 + 1/d),
+    * pinned as the shortest-round-trip double literals so both engines
+    * parse the SAME bits (never computed through a libm log at
+    * runtime — the house transcendental rule).
+    */
+  val BenfordP: Seq[(Int, Double)] = Seq(
+    1 -> 0.3010299956639812, 2 -> 0.17609125905568124,
+    3 -> 0.12493873660829992, 4 -> 0.09691001300805642,
+    5 -> 0.07918124604762482, 6 -> 0.06694678963061322,
+    7 -> 0.05799194697768673, 8 -> 0.05115252244738129,
+    9 -> 0.04575749056067514)
+
+  /** BENFORD first-digit conformance (Newcomb 1881; Benford 1938; Nigrini
+    * 2012 for the audit practice) — the data-quality fraud/fabrication
+    * signal: naturally-occurring multiplicative quantities (prices,
+    * populations, file sizes) lead with digit d at P(d) = log₁₀(1+1/d);
+    * fabricated or truncated-at-source data does not. One χ² row per
+    * digit against the pinned [[BenfordP]] expectations.
+    *
+    * The first SIGNIFICANT digit is taken WITHOUT float math or string
+    * formatting of fractions: the value is cast to an exact
+    * DECIMAL(38,6) (values with ≤ 6 dp — the caller contract; more
+    * precision would round and could flip a leading 9/1 boundary),
+    * scaled to an integer by 10⁶ (leading significant digit invariant
+    * under power-of-ten scaling), and rendered as a plain integer
+    * string — canonical digits in any engine — whose first character is
+    * the digit. Non-positive values are excluded (Benford is defined on
+    * positive magnitudes); a digit with no observations still emits its
+    * row (expected mass is part of the statistic).
+    *
+    * χ² arithmetic: exact long counts, expected e = n·P(d) (one IEEE
+    * multiply on the pinned literal), contribution (obs − e)²/e — the
+    * [[categoryDrift]] fixed-sequence discipline. Σ contributions ~
+    * χ²(8) under conformance.
+    *
+    * Scale: one projection + one 9-key hash aggregate (map-side
+    * partials) + a broadcast one-row total — the corpus never shuffles.
+    *
+    * @return 9 rows: `(digit, n_obs, expected_p, chi2_part)`
+    */
+  def benfordFirstDigit(df: DataFrame, valueCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val digit = substring(
+      (col(valueCol).cast(DecimalType(38, 6)) * lit(1000000L))
+        .cast(DecimalType(38, 0)).cast("string"), 1, 1).cast("int")
+    val obs = df.filter(col(valueCol) > 0)
+      .select(digit.as("digit"))
+      .groupBy(col("digit")).agg(count(lit(1)).as("n_obs"))
+    val expected = BenfordP.map { case (d, p) =>
+        spark.range(1).select(lit(d).as("digit"), lit(p).as("expected_p"))
+      }.reduce(_ unionByName _)
+    val total = obs.agg(sum(col("n_obs")).as("__n"))
+    expected.join(obs, Seq("digit"), "left")
+      .crossJoin(broadcast(total))
+      .select(col("digit"),
+        coalesce(col("n_obs"), lit(0L)).as("n_obs"),
+        col("expected_p"),
+        (((coalesce(col("n_obs"), lit(0L)).cast("double")
+          - col("__n").cast("double") * col("expected_p"))
+          * (coalesce(col("n_obs"), lit(0L)).cast("double")
+            - col("__n").cast("double") * col("expected_p")))
+          / (col("__n").cast("double") * col("expected_p")))
+          .as("chi2_part"))
+  }
+
   /** NUMERIC drift between two snapshots — the Mann-Whitney two-sample
     * test (Mann & Whitney 1947) through [[aucExact]]: label snapshot B's
     * rows 1 and A's 0, and the exact midrank AUC IS the common-language

@@ -829,6 +829,50 @@ object DqQueries extends QueryModule {
         FROM av
       """.trim),
       // Verify-only (bench-tail policy): one rank pass — the q224 shape
+      bench = false),
+
+    // --- BENFORD first-digit conformance (Nigrini's audit test) — the
+    // fabrication/truncation signal a DQ pass reads over a
+    // naturally-multiplicative column: χ² per digit against the pinned
+    // log₁₀(1+1/d) literals (never a runtime libm log). First digit
+    // extracted with NO float math: exact decimal scaled to an integer
+    // whose canonical string leads with the digit — identical in any
+    // engine. TPC-H totalprice is synthetic, so the gate certifies the
+    // REPLAY (counts, expectations, χ² parts), not conformance; the
+    // statistic reading is the operator's job, not the fixture's. ---
+    GQuery(
+      "q251_benford",
+      (spark, dir) =>
+        graft.operators.Profiler.benfordFirstDigit(
+            t(spark, dir, "orders"), "o_totalprice")
+          .orderBy(col("digit")),
+      Some("""
+        WITH obs AS (
+          SELECT CAST(substr(CAST(CAST(CAST(o_totalprice AS DECIMAL(38,6))
+                   * 1000000 AS DECIMAL(38,0)) AS VARCHAR), 1, 1) AS INT)
+                   AS digit,
+                 COUNT(*) AS n_obs
+          FROM orders WHERE o_totalprice > 0 GROUP BY 1),
+        ex AS (SELECT unnest([1, 2, 3, 4, 5, 6, 7, 8, 9]) AS digit,
+                      unnest([0.3010299956639812, 0.17609125905568124,
+                              0.12493873660829992, 0.09691001300805642,
+                              0.07918124604762482, 0.06694678963061322,
+                              0.05799194697768673, 0.05115252244738129,
+                              0.04575749056067514]) AS expected_p),
+        tot AS (SELECT SUM(n_obs) AS n FROM obs)
+        SELECT e.digit,
+               CAST(COALESCE(o.n_obs, 0) AS BIGINT) AS n_obs,
+               e.expected_p,
+               ((CAST(COALESCE(o.n_obs, 0) AS DOUBLE)
+                   - CAST(n AS DOUBLE) * e.expected_p)
+                * (CAST(COALESCE(o.n_obs, 0) AS DOUBLE)
+                   - CAST(n AS DOUBLE) * e.expected_p))
+               / (CAST(n AS DOUBLE) * e.expected_p) AS chi2_part
+        FROM ex e LEFT JOIN obs o USING (digit) CROSS JOIN tot
+        ORDER BY e.digit
+      """.trim),
+      // Verify-only (bench-tail policy): one 9-key aggregate — q160's
+      // histogram shape
       bench = false)
   )
 }

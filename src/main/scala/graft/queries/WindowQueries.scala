@@ -782,6 +782,76 @@ object WindowQueries extends QueryModule {
           FROM customer)
         WHERE rnk <= 3
         ORDER BY c_nationkey, rnk
-      """.trim))
+      """.trim)),
+
+    // --- THEIL-SEN robust trend (Theil 1950; Sen 1968) — the rank-based
+    // sibling of q219's OLS slopes: the monthly-revenue trend per order
+    // priority as the exact MEDIAN of all pairwise slopes (breakdown
+    // point ~29% — a corrupted month bends the OLS line, not this one).
+    // Monthly sums ride the decimal-cast discipline (the raw column is
+    // DOUBLE — a float SUM would be shuffle-order-dependent); each
+    // pairwise slope is one IEEE division of exact deltas; both medians
+    // are the q235 type-1 rank machinery with the pair/point id
+    // tie-break, fully window-replayed by the oracle. 80 monthly points
+    // per priority → ~3.2k pairs per group: the pair frame is bounded by
+    // the TIME AXIS squared, never corpus-sized. ---
+    GQuery(
+      "q252_theil_sen",
+      (spark, dir) => {
+        val m = t(spark, dir, "orders")
+          .select(col("o_orderpriority").as("g"),
+            (year(col("o_orderdate")) * 12 + month(col("o_orderdate")))
+              .cast("long").as("x"),
+            col("o_totalprice"))
+          .groupBy(col("g"), col("x"))
+          .agg(sum(col("o_totalprice").cast(DecimalType(12, 2))).as("y"))
+        graft.operators.TimeSeries.theilSen(m, "g", "x", "y")
+          .select(col("g").as("o_orderpriority"), col("n_points"),
+            col("n_pairs"),
+            round(col("slope"), 6).as("slope_r"),
+            round(col("intercept"), 6).as("intercept_r"))
+          .orderBy(col("o_orderpriority"))
+      },
+      Some("""
+        WITH m AS (
+          SELECT o_orderpriority AS g,
+                 CAST(year(o_orderdate) * 12 + month(o_orderdate)
+                   AS BIGINT) AS x,
+                 SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS y
+          FROM orders GROUP BY 1, 2),
+        p AS (
+          SELECT a.g,
+                 CAST(a.x AS VARCHAR) || ':' || CAST(b.x AS VARCHAR)
+                   AS pid,
+                 CAST(b.y - a.y AS DOUBLE) / CAST(b.x - a.x AS DOUBLE)
+                   AS s
+          FROM m a JOIN m b ON a.g = b.g AND a.x < b.x),
+        np AS (SELECT g, COUNT(*) AS n FROM p GROUP BY 1),
+        rp AS (SELECT g, s,
+                 ROW_NUMBER() OVER (PARTITION BY g ORDER BY s, pid) AS rk
+               FROM p),
+        sl AS (SELECT np.g, np.n AS n_pairs, rp.s AS slope
+               FROM np JOIN rp ON rp.g = np.g
+                 AND rp.rk = GREATEST(CAST(CEIL(0.5 * np.n) AS BIGINT), 1)),
+        res AS (SELECT m.g, CAST(m.x AS VARCHAR) AS rid,
+                  CAST(m.y AS DOUBLE) - sl.slope * CAST(m.x AS DOUBLE)
+                    AS r
+                FROM m JOIN sl ON m.g = sl.g),
+        nn AS (SELECT g, COUNT(*) AS n FROM res GROUP BY 1),
+        rr AS (SELECT g, r,
+                 ROW_NUMBER() OVER (PARTITION BY g ORDER BY r, rid) AS rk
+               FROM res),
+        ic AS (SELECT nn.g, nn.n AS n_points, rr.r AS intercept
+               FROM nn JOIN rr ON rr.g = nn.g
+                 AND rr.rk = GREATEST(CAST(CEIL(0.5 * nn.n) AS BIGINT), 1))
+        SELECT sl.g AS o_orderpriority, ic.n_points, sl.n_pairs,
+               round(sl.slope, 6) AS slope_r,
+               round(ic.intercept, 6) AS intercept_r
+        FROM sl JOIN ic ON sl.g = ic.g
+        ORDER BY o_orderpriority
+      """.trim),
+      // Verify-only (bench-tail policy): group-keyed pair join + two
+      // q235 rank passes, all benched shapes
+      bench = false)
   )
 }

@@ -1,0 +1,63 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** Theil-Sen robust trend (TimeSeries.theilSen): exact recovery on a
+  * planted line, hand-computed pairwise-slope medians, and the
+  * robustness property it exists for — one corrupted point bends the
+  * OLS sibling (trendSlopes) and leaves this estimator alone. The q252
+  * gate certifies the DuckDB window replay; this spec the semantics.
+  */
+class TheilSenSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def series(pts: (Long, Double)*) =
+    pts.map { case (x, y) =>
+      ("g0", x, BigDecimal(y).setScale(2))
+    }.toDF("g", "x", "y")
+
+  test("exact line recovered: slope 2, intercept 1") {
+    val got = TimeSeries.theilSen(
+      series((1L, 3.0), (2L, 5.0), (3L, 7.0), (4L, 9.0)),
+      "g", "x", "y").head()
+    assert(got.getAs[Double]("slope") == 2.0)
+    assert(got.getAs[Double]("intercept") == 1.0)
+    assert(got.getAs[Long]("n_pairs") == 6L)
+    assert(got.getAs[Long]("n_points") == 4L)
+  }
+
+  test("hand-computed pairwise-slope median on a bent series") {
+    // points (1,1) (2,2) (3,6): slopes 1, 2.5, 4 -> type-1 median
+    // (rank ceil(1.5)=2) = 2.5
+    val got = TimeSeries.theilSen(
+      series((1L, 1.0), (2L, 2.0), (3L, 6.0)), "g", "x", "y").head()
+    assert(got.getAs[Double]("slope") == 2.5)
+  }
+
+  test("one corrupted point: OLS bends, Theil-Sen holds") {
+    // clean line y = 2x over 9 points, last point corrupted to 10^6
+    val clean = (1L to 9L).map(x => (x, 2.0 * x))
+    val corrupted = clean.init :+ ((9L, 1.0e6))
+    val ts = TimeSeries.theilSen(series(corrupted: _*), "g", "x", "y")
+      .head().getAs[Double]("slope")
+    // 28 of 36 pairwise slopes are exactly 2 -> median untouched
+    assert(ts == 2.0)
+    val ols = TimeSeries.trendSlopes(series(corrupted: _*)
+        .select($"g", $"x", $"y".cast("double").as("y")), "g", "x", "y")
+      .head().getAs[Double]("slope")
+    assert(math.abs(ols - 2.0) > 1000.0,
+      s"OLS should be wrecked by the whale, got $ols")
+  }
+
+  test("a 1-point series is absent (no pairwise slope exists)") {
+    val df = series((1L, 5.0))
+      .unionByName(Seq(("g1", 1L, BigDecimal(1.0).setScale(2)),
+        ("g1", 2L, BigDecimal(2.0).setScale(2))).toDF("g", "x", "y"))
+    val got = TimeSeries.theilSen(df, "g", "x", "y").collect()
+    assert(got.map(_.getString(0)).toSet == Set("g1"))
+  }
+}
