@@ -670,6 +670,70 @@ object Profiler {
           .as("chi2_part"))
   }
 
+  /** Exact two-sample Kolmogorov-Smirnov statistic (Kolmogorov 1933;
+    * Smirnov 1939) — the SHAPE-drift companion to [[numericDrift]]'s
+    * location test: D = sup_x |F_a(x) − F_b(x)|. Mann-Whitney reads 0.5
+    * on a variance doubling (symmetric rank gains cancel); KS does not —
+    * run both, they answer different questions.
+    *
+    * Exactness: D is a RATIONAL with denominator n_a·n_b, so the sup is
+    * taken over exact integers — per distinct value v,
+    * `dnum(v) = cumA(v)·n_b − cumB(v)·n_a` (inclusive cumulative counts)
+    * — and only the reported statistic pays ONE IEEE division. The
+    * argmax value rides along for audit (ties break to the smallest v).
+    * Capacity: |dnum| ≤ n_a·n_b must fit a long — guarded in-plan
+    * (≈ 3·10⁹ rows per side at the boundary; shard the test upstream
+    * past that).
+    *
+    * Scale: one union scan → value-keyed count aggregate (map-side
+    * partials) → the [[SurrogateKeys.prefixSumLong]] range-partitioned
+    * prefix pass twice over the DISTINCT-VALUE frame (never a
+    * single-partition window over the corpus) → a scalar argmax
+    * aggregate. NULLs are excluded (no position in either CDF).
+    *
+    * @return one row: `(n_a, n_b, d_stat, at_value)` — NULL d_stat when
+    *         a side is empty
+    */
+  def ksTest(a: DataFrame, b: DataFrame, valueCol: String): DataFrame = {
+    val u = a.select(col(valueCol).as("__v"), lit(1L).as("__ia"))
+      .unionByName(b.select(col(valueCol).as("__v"), lit(0L).as("__ia")))
+      .filter(col("__v").isNotNull)
+    val perVal = u.groupBy(col("__v"))
+      .agg(sum(col("__ia")).as("__ca"), sum(lit(1L) - col("__ia")).as("__cb"))
+    val pa = SurrogateKeys.prefixSumLong(perVal, "__ca", Seq(col("__v")),
+      "__offa")
+    val pb = SurrogateKeys.prefixSumLong(pa, "__cb", Seq(col("__v")),
+      "__offb")
+    val tot = perVal.agg(sum(col("__ca")).as("n_a"),
+      sum(col("__cb")).as("n_b"))
+    // capacity guard (the trendSlopes discipline): the double product is
+    // exact enough to CHECK the bound even where the long product would
+    // already have wrapped
+    val capGuard = coalesce(
+      assert_true(col("n_a").cast("double") * col("n_b").cast("double")
+        < lit(4.0e18),
+        lit("ksTest: n_a*n_b exceeds exact long capacity — shard the " +
+          "test upstream")).cast("long"),
+      lit(0L))
+    val scored = pb.crossJoin(broadcast(tot))
+      .select(col("__v"),
+        ((col("__offa") + col("__ca")) * col("n_b")
+          - (col("__offb") + col("__cb")) * col("n_a") + capGuard)
+          .as("__dnum"),
+        col("n_a"), col("n_b"))
+    scored.agg(max(col("n_a")).as("n_a"), max(col("n_b")).as("n_b"),
+        max(abs(col("__dnum"))).as("__dmax"),
+        min_by(col("__v"),
+          struct((-abs(col("__dnum"))).as("nd"), col("__v").as("v")))
+          .as("at_value"))
+      .select(col("n_a"), col("n_b"),
+        when(col("n_a") > 0 && col("n_b") > 0,
+          col("__dmax").cast("double") /
+            (col("n_a").cast("double") * col("n_b").cast("double")))
+          .as("d_stat"),
+        col("at_value"))
+  }
+
   /** NUMERIC drift between two snapshots — the Mann-Whitney two-sample
     * test (Mann & Whitney 1947) through [[aucExact]]: label snapshot B's
     * rows 1 and A's 0, and the exact midrank AUC IS the common-language

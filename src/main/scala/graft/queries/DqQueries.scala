@@ -873,6 +873,53 @@ object DqQueries extends QueryModule {
       """.trim),
       // Verify-only (bench-tail policy): one 9-key aggregate — q160's
       // histogram shape
+      bench = false),
+
+    // --- Exact two-sample Kolmogorov-Smirnov (the SHAPE-drift companion
+    // to q250's Mann-Whitney location test — a variance doubling reads
+    // 0.5 on MW and lights up here): D over the same pre/post-1995
+    // totalprice snapshots as exact integer CDF differences
+    // cumA·n_b − cumB·n_a per distinct value (ONE IEEE division at the
+    // end), cumulatives via the q235 range-partitioned prefix pass —
+    // never a single-partition window over the value domain. The argmax
+    // value rides along for audit. ---
+    GQuery(
+      "q253_ks_test",
+      (spark, dir) => {
+        val o = t(spark, dir, "orders")
+        val split = lit("1995-01-01 00:00:00")
+        graft.operators.Profiler.ksTest(
+          o.filter(col("o_orderdate") < split),
+          o.filter(col("o_orderdate") >= split),
+          "o_totalprice")
+      },
+      Some("""
+        WITH u AS (
+          SELECT v, SUM(ia) AS ca, SUM(1 - ia) AS cb FROM (
+            SELECT o_totalprice AS v, 1 AS ia
+            FROM orders WHERE o_orderdate < '1995-01-01 00:00:00'
+            UNION ALL
+            SELECT o_totalprice, 0
+            FROM orders WHERE o_orderdate >= '1995-01-01 00:00:00')
+          WHERE v IS NOT NULL GROUP BY v),
+        c AS (SELECT v, ca, cb,
+                SUM(ca) OVER (ORDER BY v) AS cuma,
+                SUM(cb) OVER (ORDER BY v) AS cumb
+              FROM u),
+        t AS (SELECT SUM(ca) AS na, SUM(cb) AS nb FROM u),
+        s AS (SELECT v, cuma * nb - cumb * na AS dnum, na, nb
+              FROM c CROSS JOIN t),
+        m AS (SELECT na, nb, abs(dnum) AS adnum, v,
+                ROW_NUMBER() OVER (ORDER BY abs(dnum) DESC, v) AS rk
+              FROM s)
+        SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+               CAST(adnum AS DOUBLE)
+                 / (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)) AS d_stat,
+               v AS at_value
+        FROM m WHERE rk = 1
+      """.trim),
+      // Verify-only (bench-tail policy): value-keyed agg + two prefix
+      // passes — the q235 shape
       bench = false)
   )
 }

@@ -344,4 +344,29 @@ class EvalSpec extends AnyFunSuite {
     assert(empty.isNullAt(empty.fieldIndex("auc_shift")))
     assert(empty.isNullAt(empty.fieldIndex("z")))
   }
+
+  test("ksTest: hand D on a shape change Mann-Whitney cannot see; " +
+    "identity 0; disjoint 1; empty NULL") {
+    def df(vs: Seq[Double]) = vs.zipWithIndex
+      .map { case (v, i) => (i.toLong, v) }.toDF("id", "v")
+    // same location, wider spread: every B>A comparison pairs off
+    // symmetrically (MW auc = exactly 0.5, z = 0) but the CDFs separate
+    val a = Seq(1.0, 2.0, 3.0, 4.0)
+    val b = Seq(-5.0, 2.4, 2.6, 10.0)
+    val mw = Profiler.numericDrift(df(a), df(b), "v", "id").head()
+    assert(mw.getAs[Double]("auc_shift") == 0.5)
+    assert(mw.getAs[Double]("z") == 0.0)
+    val ks = Profiler.ksTest(df(a), df(b), "v").head()
+    assert(ks.getAs[Double]("d_stat") == 0.25)
+    assert(ks.getAs[Double]("at_value") == -5.0) // tie to smallest v
+    // identical samples: D exactly 0
+    assert(Profiler.ksTest(df(a), df(a), "v").head()
+      .getAs[Double]("d_stat") == 0.0)
+    // disjoint ranges: D exactly 1
+    assert(Profiler.ksTest(df(Seq(1.0, 2.0)), df(Seq(9.0, 10.0)), "v")
+      .head().getAs[Double]("d_stat") == 1.0)
+    // empty side: NULL, not an error
+    val e = Profiler.ksTest(df(Seq(1.0)), df(Seq.empty), "v").head()
+    assert(e.isNullAt(e.fieldIndex("d_stat")))
+  }
 }
