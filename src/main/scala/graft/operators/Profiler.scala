@@ -670,6 +670,47 @@ object Profiler {
           .as("chi2_part"))
   }
 
+  /** ECDF / percentile-rank transform — F_g(v) = #{v' ≤ v} / n_g per
+    * group, the cross-domain score normalizer (a quality score's
+    * percentile within its OWN language is comparable across languages
+    * where the raw score is not — the read before a global floor).
+    * Ties share their percentile (the ECDF convention — `cume_dist`
+    * semantics), unlike [[exactQuantiles]]' type-1 total-order ranks;
+    * NULL values carry a NULL percentile.
+    *
+    * Sibling surfaces: [[quantileNormalize]] maps onto the global
+    * quantile VALUES (equal group sizes required); [[labelByQuantiles]]
+    * buckets at fixed cuts; this is the continuous per-row transform.
+    *
+    * Exactness & scale: one (group, value)-keyed count aggregate, the
+    * [[SurrogateKeys.prefixSumLong]] range-partitioned prefix pass
+    * (ordered by (group, value) — the group-start offsets subtract off
+    * the same ordered pass over group counts), ONE IEEE division per
+    * distinct value, and a co-keyed join back to rows. Equivalent to
+    * `cume_dist() OVER (PARTITION BY g ORDER BY v)` — which is exactly
+    * what the oracle replays — WITHOUT the per-group window sort that
+    * would park a whale group in one task.
+    *
+    * @return df plus `pct_rank` in (0, 1]
+    */
+  def percentileRank(df: DataFrame, groupCol: String,
+      valueCol: String): DataFrame = {
+    val perVal = df.filter(col(valueCol).isNotNull)
+      .groupBy(col(groupCol), col(valueCol))
+      .agg(count(lit(1)).as("__c"))
+    val pv = SurrogateKeys.prefixSumLong(perVal, "__c",
+      Seq(col(groupCol), col(valueCol)), "__pv")
+    val counts = perVal.groupBy(col(groupCol)).agg(sum(col("__c")).as("__n"))
+    val offs = SurrogateKeys.prefixSumLong(counts, "__n",
+      Seq(col(groupCol)), "__goff")
+    val cum = pv.join(broadcast(offs.select(col(groupCol), col("__n"),
+        col("__goff"))), Seq(groupCol))
+      .select(col(groupCol), col(valueCol),
+        ((col("__pv") + col("__c") - col("__goff")).cast("double") /
+          col("__n").cast("double")).as("pct_rank"))
+    df.join(cum, Seq(groupCol, valueCol), "left")
+  }
+
   /** Exact two-sample Kolmogorov-Smirnov statistic (Kolmogorov 1933;
     * Smirnov 1939) — the SHAPE-drift companion to [[numericDrift]]'s
     * location test: D = sup_x |F_a(x) − F_b(x)|. Mann-Whitney reads 0.5

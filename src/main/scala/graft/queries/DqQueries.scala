@@ -920,6 +920,41 @@ object DqQueries extends QueryModule {
       """.trim),
       // Verify-only (bench-tail policy): value-keyed agg + two prefix
       // passes — the q235 shape
+      bench = false),
+
+    // --- ECDF percentile-rank transform (the continuous sibling of
+    // q236's bucket labels and q214's quantile normalization): each
+    // document's token count as a percentile WITHIN ITS LANGUAGE — the
+    // cross-domain normalizer a curation floor reads where raw scores
+    // aren't comparable across languages. Ties share their percentile
+    // (cume_dist semantics — which is exactly the oracle's one-liner);
+    // the Spark side gets the same numbers from the range-partitioned
+    // prefix pass with NO per-group window sort, so a language holding
+    // 40% of a 100 TB corpus never parks in one task. ---
+    GQuery(
+      "q254_percentile_rank",
+      (spark, dir) => {
+        val d = Tables.docs(spark, dir).select(col("lang"), col("doc_id"),
+          size(org.apache.spark.sql.functions.filter(
+            split(lower(col("text")), " "), w => w =!= ""))
+            .cast("long").as("n_tokens"))
+        graft.operators.Profiler.percentileRank(d, "lang", "n_tokens")
+          .select(col("doc_id"), col("lang"), col("n_tokens"),
+            round(col("pct_rank"), 6).as("pct_r"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""
+        WITH d AS (
+          SELECT lang, doc_id,
+                 CAST(len(list_filter(string_split(lower(text), ' '),
+                   s2 -> s2 <> '')) AS BIGINT) AS n_tokens
+          FROM documents)
+        SELECT doc_id, lang, n_tokens,
+               round(cume_dist() OVER (PARTITION BY lang
+                 ORDER BY n_tokens), 6) AS pct_r
+        FROM d ORDER BY doc_id
+      """.trim),
+      // Verify-only (bench-tail policy): the q235 prefix-pass shape
       bench = false)
   )
 }

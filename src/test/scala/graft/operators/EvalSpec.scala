@@ -369,4 +369,31 @@ class EvalSpec extends AnyFunSuite {
     val e = Profiler.ksTest(df(Seq(1.0)), df(Seq.empty), "v").head()
     assert(e.isNullAt(e.fieldIndex("d_stat")))
   }
+
+  test("percentileRank: ties share (cume_dist semantics), top is 1.0, " +
+    "matches the window form, NULL value stays NULL") {
+    val rows = Seq(("a", 1.0), ("a", 2.0), ("a", 2.0), ("a", 5.0),
+      ("b", 7.0), ("b", 8.0)).zipWithIndex
+      .map { case ((g, v), i) => (g, v: java.lang.Double, i.toLong) }
+    val df = (rows :+ (("a", null: java.lang.Double, 99L)))
+      .toDF("g", "v", "id")
+    val got = Profiler.percentileRank(df, "g", "v").collect()
+      .map(r => r.getAs[Long]("id") ->
+        (if (r.isNullAt(r.fieldIndex("pct_rank"))) None
+         else Some(r.getAs[Double]("pct_rank")))).toMap
+    assert(got(0L) == Some(0.25))          // 1 of 4
+    assert(got(1L) == got(2L))             // tied 2.0s share
+    assert(got(1L) == Some(0.75))          // 3 of 4 at or below
+    assert(got(3L) == Some(1.0))           // group max
+    assert(got(4L) == Some(0.5) && got(5L) == Some(1.0))
+    assert(got(99L).isEmpty)               // NULL value -> NULL pct
+    // window-form parity on the same frame
+    import org.apache.spark.sql.expressions.Window
+    val win = df.filter($"v".isNotNull)
+      .withColumn("w", cume_dist().over(
+        Window.partitionBy($"g").orderBy($"v")))
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Double]("w"))
+      .toMap
+    win.foreach { case (id, w) => assert(got(id) == Some(w), s"id=$id") }
+  }
 }
