@@ -44,6 +44,15 @@ class GatePlanSpec extends AnyFunSuite {
     // rank-ordered average aggs + margin joins + heap tail; q247 = two
     // bounded rankers + the ≤60-row fusion window; q249 = pure per-row
     // projection + output sort
+    // q250/q253 = union scan + rank/prefix passes + scalar agg (drift
+    // pair); q251 = 9-key agg + literal-frame join + one-row total;
+    // q252 = monthly agg + pair join + two rank passes' bounded frames;
+    // q254 = the prefix-pass transform + join-back
+    "q250_numeric_drift" -> (2, 1),
+    "q251_benford" -> (4, 2),
+    "q252_theil_sen" -> (14, 9),
+    "q253_ks_test" -> (3, 1),
+    "q254_percentile_rank" -> (4, 1),
     "q241_hll_distinct" -> (5, 1),
     "q244_mad_outliers" -> (4, 11),
     "q245_kcore" -> (1, 0),
