@@ -647,9 +647,24 @@ object Profiler {
     */
   def benfordFirstDigit(df: DataFrame, valueCol: String): DataFrame = {
     val spark = df.sparkSession
+    // ≤6-dp contract guarded in-plan (prune-proof added zero): a value
+    // with more precision would ROUND in the decimal cast, and rounding
+    // can flip a leading 9/1 boundary — the digit table would be
+    // silently wrong instead of loudly refused. Round-trip equality
+    // through DECIMAL(38,6) holds exactly for intended-≤6-dp values
+    // (the cast rounds the double's true binary value back onto the
+    // intended decimal, whose nearest double is the input).
+    val dpGuard = coalesce(
+      assert_true(
+        col(valueCol).cast(DecimalType(38, 6)).cast("double")
+          === col(valueCol).cast("double"),
+        lit(s"benfordFirstDigit: $valueCol carries more than 6 decimal " +
+          "places — the digit extraction would round; rescale upstream"))
+        .cast("int"),
+      lit(0))
     val digit = substring(
       (col(valueCol).cast(DecimalType(38, 6)) * lit(1000000L))
-        .cast(DecimalType(38, 0)).cast("string"), 1, 1).cast("int")
+        .cast(DecimalType(38, 0)).cast("string"), 1, 1).cast("int") + dpGuard
     val obs = df.filter(col(valueCol) > 0)
       .select(digit.as("digit"))
       .groupBy(col("digit")).agg(count(lit(1)).as("n_obs"))

@@ -285,7 +285,16 @@ object Search {
       s"duplicate ranking names: ${rankings.map(_._1)}")
     require(kConst >= 1, s"kConst ($kConst) must be >= 1")
     val prepared = rankings.map { case (name, df) =>
-      df.select(col(idCol), col(rankCol).cast("int").as(s"rank_$name"))
+      // 1-based contract guarded in-plan (prune-proof added zero): a
+      // 0-based ranking would silently shift every contribution one
+      // reciprocal step instead of erroring
+      val oneBased = coalesce(
+        assert_true(col(rankCol) >= 1,
+          lit(s"rrfFuse: ranking '$name' carries a rank < 1 — ranks " +
+            "are 1-based")).cast("int"),
+        lit(0))
+      df.select(col(idCol),
+        (col(rankCol).cast("int") + oneBased).as(s"rank_$name"))
     }
     val joined = prepared.reduce((a, b) => a.join(b, Seq(idCol), "full_outer"))
     val score = rankings.map { case (name, _) =>

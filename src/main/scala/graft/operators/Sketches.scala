@@ -339,12 +339,24 @@ object Sketches {
     val alpha = lit(0.7213) / (lit(1.0) + lit(1.079) / lit(m.toDouble))
     // numerator m²·2^vmax = 2^(p+49): exact as a double for p ≤ 14
     val num = lit(math.pow(2.0, (p + 49).toDouble))
+    // range guard (prune-proof added zero): a register value outside
+    // [1, vmax] — a corrupted stored file, or registers built at a
+    // DIFFERENT p fed in directly past hllReadMerged's check — would
+    // reach shiftleft with a negative count, which the JVM reduces mod
+    // 64 into silent garbage instead of an error. Fail loudly.
+    val rhoGuard = coalesce(
+      assert_true(col("rho") >= 1 && col("rho") <= vmax,
+        lit(s"hllEstimate: register value outside [1, ${vmax}] — " +
+          "corrupted register table, or registers built at a different " +
+          "p than requested")).cast("int"),
+      lit(0))
     regs.groupBy(col(groupCol))
       .agg(count(lit(1)).as("used"),
         // 2^(vmax−rho) per non-empty register, exact BIGINT — the Scala
         // API's shiftleft takes a literal shift, so the variable shift
         // goes through expr (same codegen'd ShiftLeft expression)
-        sum(expr(s"shiftleft(CAST(1 AS BIGINT), $vmax - rho)")).as("__s"))
+        sum(expr(s"shiftleft(CAST(1 AS BIGINT), $vmax - rho)")
+          + rhoGuard.cast("long")).as("__s"))
       .select(col(groupCol),
         (alpha * (num /
           (col("__s") + (lit(m) - col("used")) * lit(1L << vmax))

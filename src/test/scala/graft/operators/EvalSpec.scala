@@ -370,6 +370,24 @@ class EvalSpec extends AnyFunSuite {
     assert(e.isNullAt(e.fieldIndex("d_stat")))
   }
 
+  test("benfordFirstDigit: planted digits counted exactly, non-positive " +
+    "excluded, >6dp fails loudly") {
+    val df = Seq(190.0, 12.5, 1.01, 250.0, 3.0, 0.0, -7.0, 0.0042)
+      .zipWithIndex.map { case (v, i) => (i.toLong, v) }.toDF("id", "v")
+    val got = Profiler.benfordFirstDigit(df, "v").collect()
+      .map(r => r.getAs[Int]("digit") -> r.getAs[Long]("n_obs")).toMap
+    // digits: 190->1, 12.5->1, 1.01->1, 250->2, 3->3, 0.0042->4;
+    // zero and negative excluded
+    assert(got(1) == 3L && got(2) == 1L && got(3) == 1L && got(4) == 1L)
+    assert((5 to 9).forall(d => got(d) == 0L))
+    assert(got.values.sum == 6L)
+    val boom = intercept[Exception] {
+      Profiler.benfordFirstDigit(
+        Seq((1L, 0.1234567)).toDF("id", "v"), "v").collect()
+    }
+    assert(boom.getMessage != null)
+  }
+
   test("percentileRank: ties share (cume_dist semantics), top is 1.0, " +
     "matches the window form, NULL value stays NULL") {
     val rows = Seq(("a", 1.0), ("a", 2.0), ("a", 2.0), ("a", 5.0),

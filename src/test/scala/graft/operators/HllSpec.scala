@@ -90,6 +90,17 @@ class HllSpec extends AnyFunSuite {
     assert(boom.getMessage != null)
   }
 
+  test("corrupted register values fail loudly, never a silent estimate") {
+    // rho outside [1, 49-p] would reach shiftleft with a negative count
+    // (JVM shifts reduce mod 64 — silent garbage without the guard)
+    val bad = Seq(("g0", 3, 45), ("g0", 7, 2))
+      .toDF("g", "reg", "rho")
+    val boom = intercept[Exception] {
+      Sketches.hllEstimate(bad, "g", P).collect()
+    }
+    assert(boom.getMessage != null)
+  }
+
   test("zeros + used always partition the register space") {
     val df = spark.range(0, 300)
       .select(lit("g0").as("g"), col("id").as("k"))

@@ -110,6 +110,14 @@ class MarginRrfSpec extends AnyFunSuite {
     }
   }
 
+  test("rrfFuse refuses 0-based ranks loudly (1-based contract)") {
+    val zeroBased = Seq((1L, 0), (2L, 1)).toDF("id", "rank")
+    val boom = intercept[Exception] {
+      Search.rrfFuse(Seq("a" -> zeroBased), "id", "rank").collect()
+    }
+    assert(boom.getMessage != null)
+  }
+
   test("marginTopK enforces the bounded-nomination-corpus contract") {
     val df = seededVecs(50, seed = 5)
       .map { case (i, v) => (i, v.toSeq) }.toDF("id", "vec")
