@@ -479,4 +479,55 @@ object CorpusStats {
       .select(col("__r.checkpoint"), col("__r.n_docs"),
         col("__r.n_tokens"), col("__r.vocab"))
   }
+
+  /** VOCABULARY RICHNESS and unseen mass per group — the two classical
+    * frequency-of-frequencies estimators a corpus report reads next to
+    * the Heaps-law growth curve ([[vocabGrowthCurve]]):
+    *
+    *  - **Chao1** (Chao 1984, bias-corrected form):
+    *    `D + f₁·(f₁−1) / (2·(f₂+1))` — a lower bound on the TRUE
+    *    vocabulary size including never-observed types, from the
+    *    singleton/doubleton counts (the +1 keeps it defined at f₂ = 0).
+    *  - **Good-Turing unseen mass** (Good 1953): `P₀ = f₁/N` — the
+    *    probability the NEXT token is a never-seen type; the number
+    *    that says whether a corpus slice is big enough for its
+    *    vocabulary to have converged.
+    *
+    * Exactness: all counts exact longs off ONE token scan (type counts
+    * → frequency-of-frequencies → four sums), each estimator ONE IEEE
+    * division over exact integer operands — mirrored operation for
+    * operation by the oracle. f₁² stays far inside long range
+    * (f₁ ≤ vocabulary size).
+    *
+    * Scale: token explode → vocabulary-sized (group, type) aggregate
+    * (map-side partials) → count-of-counts aggregate (≤ max-count keys
+    * per group) → group-sized output. The corpus text crosses no
+    * exchange; the widest frame is vocabulary-, never corpus-, sized.
+    *
+    * @return one row per group: `(groupCol, n_tokens, n_types, f1, f2,
+    *         chao1, good_turing_p0)`
+    */
+  def vocabularyRichness(docs: DataFrame, groupCol: String,
+      textCol: String): DataFrame = {
+    val toks = docs.select(col(groupCol),
+        explode(filter(TextAnalysis.tokens(lower(col(textCol))),
+          t => t =!= "")).as("__t"))
+    val types = toks.groupBy(col(groupCol), col("__t"))
+      .agg(count(lit(1)).as("__c"))
+    val fof = types.groupBy(col(groupCol), col("__c"))
+      .agg(count(lit(1)).as("__f"))
+    fof.groupBy(col(groupCol))
+      .agg(sum(col("__c") * col("__f")).as("n_tokens"),
+        sum(col("__f")).as("n_types"),
+        sum(when(col("__c") === 1, col("__f")).otherwise(0L)).as("f1"),
+        sum(when(col("__c") === 2, col("__f")).otherwise(0L)).as("f2"))
+      .select(col(groupCol), col("n_tokens"), col("n_types"), col("f1"),
+        col("f2"),
+        (col("n_types").cast("double")
+          + (col("f1") * (col("f1") - 1)).cast("double")
+            / (lit(2.0) * (col("f2") + lit(1L)).cast("double")))
+          .as("chao1"),
+        (col("f1").cast("double") / col("n_tokens").cast("double"))
+          .as("good_turing_p0"))
+  }
 }

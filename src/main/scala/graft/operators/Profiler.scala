@@ -685,6 +685,42 @@ object Profiler {
           .as("chi2_part"))
   }
 
+  /** WINSORIZE — clamp each row's value to its group's exact
+    * [lo, hi]-quantile fence (Dixon & Tukey 1968 for the trimming
+    * family): the TRANSFORM tier of the outlier toolkit — where
+    * [[robustOutliers]] flags rows a filter drops and
+    * [[robustOutlierStats]] counts them for a monitor, winsorizing
+    * KEEPS every row but caps its leverage, the standard move before a
+    * mean/variance-based downstream stage that cannot tolerate dropped
+    * data.
+    *
+    * Both fences are [[exactQuantiles]] type-1 order statistics (narrow
+    * rank pass — no per-group buffer); the clamp is
+    * `greatest(least(v, hi), lo)` in the value's own algebra (decimals
+    * stay exact — no float detour); NULL values stay NULL. Fractions
+    * ride as STRINGS (parse parity); `lo < hi` required.
+    *
+    * @return df plus `<valueCol>_w`
+    */
+  def winsorize(df: DataFrame, groupCol: String, valueCol: String,
+      idCol: String, lo: String, hi: String): DataFrame = {
+    require(lo.toDouble < hi.toDouble,
+      s"winsorize: lo ($lo) must be < hi ($hi)")
+    val cutsWide = exactQuantiles(df, groupCol, valueCol, idCol,
+        Seq(lo, hi))
+      .groupBy(col(groupCol))
+      .agg(min(when(col("q") === lo.toDouble, col("value"))).as("__lo"),
+        min(when(col("q") === hi.toDouble, col("value"))).as("__hi"))
+    df.join(broadcast(cutsWide), Seq(groupCol))
+      // least/greatest SKIP nulls (they return the extreme of the
+      // non-null operands), so a bare clamp would quietly pin a NULL
+      // value to the hi fence — gate NULL explicitly
+      .withColumn(s"${valueCol}_w",
+        when(col(valueCol).isNotNull,
+          greatest(least(col(valueCol), col("__hi")), col("__lo"))))
+      .drop("__lo", "__hi")
+  }
+
   /** ECDF / percentile-rank transform — F_g(v) = #{v' ≤ v} / n_g per
     * group, the cross-domain score normalizer (a quality score's
     * percentile within its OWN language is comparable across languages

@@ -955,6 +955,69 @@ object DqQueries extends QueryModule {
         FROM d ORDER BY doc_id
       """.trim),
       // Verify-only (bench-tail policy): the q235 prefix-pass shape
+      bench = false),
+
+    // --- WINSORIZED extended prices (the TRANSFORM tier of the outlier
+    // toolkit — q244 flags, q145 counts, this CAPS): every lineitem
+    // price clamped to its return-flag group's exact [5%, 95%] type-1
+    // fences, then a bounded per-group certificate: row count, both
+    // fences, clamp counts each side, and the exact DECIMAL-cast sum of
+    // the winsorized column (the raw column is DOUBLE, so the sum rides
+    // the dec() discipline — a float SUM would be shuffle-order-
+    // dependent; the clamp itself is pure comparison, exact on any
+    // type). The oracle replays fences, clamps, and sums bit-for-bit. ---
+    GQuery(
+      "q256_winsorize",
+      (spark, dir) => {
+        val l = t(spark, dir, "lineitem")
+          .select(col("l_returnflag").as("g"),
+            col("l_extendedprice").as("v"),
+            (col("l_orderkey") * 10 + col("l_linenumber")).as("rid"))
+        graft.operators.Profiler.winsorize(l, "g", "v", "rid",
+            lo = "0.05", hi = "0.95")
+          .groupBy(col("g"))
+          .agg(count(lit(1)).as("n"),
+            max(col("v_w")).cast("double").as("hi_fence"),
+            min(col("v_w")).cast("double").as("lo_fence"),
+            sum(when(col("v") < col("v_w"), 1L).otherwise(0L))
+              .as("n_lo_clamped"),
+            sum(when(col("v") > col("v_w"), 1L).otherwise(0L))
+              .as("n_hi_clamped"),
+            sum(col("v_w").cast(
+              org.apache.spark.sql.types.DecimalType(20, 2))).as("sum_w"))
+          .orderBy(col("g"))
+      },
+      Some("""
+        WITH b AS (
+          SELECT l_returnflag AS g, l_extendedprice AS v,
+                 l_orderkey * 10 + l_linenumber AS rid
+          FROM lineitem),
+        n AS (SELECT g, COUNT(*) AS n FROM b GROUP BY 1),
+        r AS (SELECT g, v,
+                ROW_NUMBER() OVER (PARTITION BY g ORDER BY v, rid) AS rk
+              FROM b),
+        cuts AS (
+          SELECT n.g,
+                 MAX(CASE WHEN r.rk = GREATEST(CAST(CEIL(0.05 * n.n)
+                   AS BIGINT), 1) THEN r.v END) AS lo,
+                 MAX(CASE WHEN r.rk = GREATEST(CAST(CEIL(0.95 * n.n)
+                   AS BIGINT), 1) THEN r.v END) AS hi
+          FROM n JOIN r ON r.g = n.g GROUP BY n.g),
+        w AS (SELECT b.g, b.v,
+                GREATEST(LEAST(b.v, c.hi), c.lo) AS vw
+              FROM b JOIN cuts c ON b.g = c.g)
+        SELECT g, COUNT(*) AS n,
+               CAST(MAX(vw) AS DOUBLE) AS hi_fence,
+               CAST(MIN(vw) AS DOUBLE) AS lo_fence,
+               CAST(SUM(CASE WHEN v < vw THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_lo_clamped,
+               CAST(SUM(CASE WHEN v > vw THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_hi_clamped,
+               SUM(CAST(vw AS DECIMAL(20,2))) AS sum_w
+        FROM w GROUP BY g ORDER BY g
+      """.trim),
+      // Verify-only (bench-tail policy): one rank pass + broadcast
+      // clamp — the q235/q244 shapes
       bench = false)
   )
 }

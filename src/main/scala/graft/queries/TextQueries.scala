@@ -2261,6 +2261,49 @@ object TextQueries extends QueryModule {
       """.trim),
       // Verify-only (bench-tail policy): row-local projection — q110's
       // benched shape
+      bench = false),
+
+    // --- VOCABULARY RICHNESS + unseen mass per language (Chao 1984;
+    // Good 1953) — the frequency-of-frequencies report next to q138's
+    // Heaps-law growth curve: bias-corrected Chao1 lower-bounds the TRUE
+    // vocabulary (never-observed types included) from the singleton /
+    // doubleton counts, and Good-Turing P₀ = f₁/N is the probability
+    // the next token is brand new — the "has this slice's vocabulary
+    // converged" number a corpus sizing decision reads. Exact longs off
+    // one token scan, one IEEE division per estimator, widest frame
+    // vocabulary-sized. ---
+    GQuery(
+      "q255_vocab_richness",
+      (spark, dir) =>
+        graft.operators.CorpusStats.vocabularyRichness(
+            Tables.docs(spark, dir), "lang", "text")
+          .orderBy(col("lang")),
+      Some("""
+        WITH tok AS (
+          SELECT lang,
+                 unnest(list_filter(string_split(lower(text), ' '),
+                   s2 -> s2 <> '')) AS t
+          FROM documents),
+        ty AS (SELECT lang, t, COUNT(*) AS c FROM tok GROUP BY 1, 2),
+        ff AS (SELECT lang, c, COUNT(*) AS f FROM ty GROUP BY 1, 2),
+        ag AS (SELECT lang,
+                 CAST(SUM(c * f) AS BIGINT) AS n_tokens,
+                 CAST(SUM(f) AS BIGINT) AS n_types,
+                 CAST(SUM(CASE WHEN c = 1 THEN f ELSE 0 END) AS BIGINT)
+                   AS f1,
+                 CAST(SUM(CASE WHEN c = 2 THEN f ELSE 0 END) AS BIGINT)
+                   AS f2
+               FROM ff GROUP BY 1)
+        SELECT lang, n_tokens, n_types, f1, f2,
+               CAST(n_types AS DOUBLE)
+                 + CAST(f1 * (f1 - 1) AS DOUBLE)
+                   / (2.0 * CAST(f2 + 1 AS DOUBLE)) AS chao1,
+               CAST(f1 AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+                 AS good_turing_p0
+        FROM ag ORDER BY lang
+      """.trim),
+      // Verify-only (bench-tail policy): vocab-sized aggregates — the
+      // q111/q138 shapes
       bench = false)
   )
 

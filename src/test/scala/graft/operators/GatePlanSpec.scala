@@ -48,6 +48,11 @@ class GatePlanSpec extends AnyFunSuite {
     // pair); q251 = 9-key agg + literal-frame join + one-row total;
     // q252 = monthly agg + pair join + two rank passes' bounded frames;
     // q254 = the prefix-pass transform + join-back
+    // q255 = token explode → vocab-sized type agg → count-of-counts →
+    // group agg + sort; q256 = the q244 rank-pass fences + broadcast
+    // clamp + summary agg + sort
+    "q255_vocab_richness" -> (5, 0),
+    "q256_winsorize" -> (3, 4),
     "q250_numeric_drift" -> (2, 1),
     "q251_benford" -> (4, 2),
     "q252_theil_sen" -> (14, 9),

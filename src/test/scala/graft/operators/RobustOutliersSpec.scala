@@ -71,4 +71,39 @@ class RobustOutliersSpec extends AnyFunSuite {
       run(Seq(("g0", 1.0: java.lang.Double, 1L)), "0")
     }
   }
+
+  test("winsorize: planted fences clamp exactly, NULL stays NULL, " +
+    "bad fractions fail loudly") {
+    // values 1..20: type-1 fences at [0.1, 0.9] are ranks 2 and 18
+    val rows = (1 to 20).map(i =>
+      ("g0", i.toDouble: java.lang.Double, i.toLong)) :+
+      (("g0", null: java.lang.Double, 99L))
+    val got = Profiler.winsorize(rows.toDF("g", "v", "id"), "g", "v",
+        "id", lo = "0.1", hi = "0.9")
+      .collect().map(r => r.getAs[Long]("id") ->
+        (if (r.isNullAt(r.fieldIndex("v_w"))) None
+         else Some(r.getAs[Double]("v_w")))).toMap
+    assert(got(1L) == Some(2.0))   // clamped up to the lo fence
+    assert(got(19L) == Some(18.0)) // clamped down
+    assert(got(20L) == Some(18.0))
+    assert(got(2L) == Some(2.0) && got(18L) == Some(18.0)) // fences keep
+    assert(got(10L) == Some(10.0)) // interior untouched
+    assert(got(99L).isEmpty)       // NULL propagates
+    intercept[IllegalArgumentException] {
+      Profiler.winsorize(rows.toDF("g", "v", "id"), "g", "v", "id",
+        lo = "0.9", hi = "0.1")
+    }
+  }
+
+  test("vocabularyRichness: hand frequency-of-frequencies estimators") {
+    // tokens "a a b c": N=4, D=3, f1=2 (b,c), f2=1 (a)
+    // chao1 = 3 + 2*1/(2*(1+1)) = 3.5 ; P0 = f1/N = 0.5
+    val docs = Seq(("en", "a a"), ("en", "b c")).toDF("lang", "text")
+    val r = CorpusStats.vocabularyRichness(docs, "lang", "text").head()
+    assert(r.getAs[Long]("n_tokens") == 4L)
+    assert(r.getAs[Long]("n_types") == 3L)
+    assert(r.getAs[Long]("f1") == 2L && r.getAs[Long]("f2") == 1L)
+    assert(r.getAs[Double]("chao1") == 3.5)
+    assert(r.getAs[Double]("good_turing_p0") == 0.5)
+  }
 }
