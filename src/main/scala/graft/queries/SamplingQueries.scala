@@ -1399,6 +1399,53 @@ object SamplingQueries extends QueryModule {
       """.trim),
       // Verify-only (bench-tail policy): register-sized set math over
       // the q241 shape
+      bench = false),
+
+    // --- SHARD content-integrity manifests (the verification artifact
+    // that ships WITH q88's shards): per shard a digest triple — row
+    // count, bit-XOR and exact-decimal SUM of the portable row hashes —
+    // ORDER-FREE (partitioning/arrival-order-proof) and append-
+    // mergeable. The gate certifies the property the operator exists
+    // for: the manifest of a violently re-partitioned copy verifies
+    // 'ok' against the original, shard for shard (an in-engine check;
+    // the oracle recomputes the manifest from scratch + the literal —
+    // the q154 idiom). Error DETECTION, not tamper resistance — the
+    // scaladoc threat model. ---
+    GQuery(
+      "q257_shard_manifest",
+      (spark, dir) => {
+        import graft.operators.Sharding
+        val cols = Seq("doc_id", "lang", "text")
+        val sharded = Sharding.assign(
+          Tables.docs(spark, dir).select(col("doc_id"), col("lang"),
+            col("text")), "doc_id", numShards = 8, salt = "mani")
+        val expected = Sharding.shardManifest(sharded, "shard", cols)
+        val actual = Sharding.shardManifest(sharded.repartition(13),
+          "shard", cols)
+        Sharding.verifyShards(expected, actual, "shard")
+          .join(expected, Seq("shard"))
+          .select(col("shard"), col("n_rows"), col("xor_digest"),
+            col("sum_digest"), col("status"))
+          .orderBy(col("shard"))
+      },
+      Some(s"""
+        WITH s AS (
+          SELECT ${hash16Sql("doc_id", "mani")} % 8 AS shard,
+                 ${hash48Sql(
+          "coalesce(CAST(doc_id AS VARCHAR), chr(0)) || chr(1) || " +
+            "coalesce(lang, chr(0)) || chr(1) || " +
+            "coalesce(text, chr(0))", "man")} AS hv
+          FROM documents)
+        SELECT shard,
+               COUNT(*) AS n_rows,
+               bit_xor(hv) AS xor_digest,
+               CAST(SUM(CAST(hv AS DECIMAL(38,0))) AS DECIMAL(38,0))
+                 AS sum_digest,
+               'ok' AS status
+        FROM s GROUP BY shard ORDER BY shard
+      """.trim),
+      // Verify-only (bench-tail policy): one digest aggregate — the
+      // q160 histogram shape
       bench = false)
   )
 

@@ -53,6 +53,9 @@ class GatePlanSpec extends AnyFunSuite {
     // clamp + summary agg + sort
     "q255_vocab_richness" -> (5, 0),
     "q256_winsorize" -> (3, 4),
+    // q257 = two digest aggregates (expected + repartitioned actual) +
+    // the full-outer verify join + expected join-back + sort
+    "q257_shard_manifest" -> (8, 1),
     "q250_numeric_drift" -> (2, 1),
     "q251_benford" -> (4, 2),
     "q252_theil_sen" -> (14, 9),

@@ -114,4 +114,53 @@ class ShardingSpec extends AnyFunSuite {
     assert(Sampling.keepFraction(en, "doc_id", 1.0).count() == en.count())
     assert(Sampling.keepFraction(en, "doc_id", 0.0).count() == 0)
   }
+
+  test("shard manifests: order-free, append-mergeable, and every " +
+    "corruption class detected by name") {
+    val cols = Seq("id", "payload")
+    val base = (1L to 200L).map(i => (i, s"row-$i"))
+      .toDF("id", "payload")
+    val sharded = Sharding.assign(base, "id", numShards = 4, salt = "t")
+    val m = Sharding.shardManifest(sharded, "shard", cols)
+    // order-free: a violently repartitioned copy manifests identically
+    val m2 = Sharding.shardManifest(sharded.repartition(17), "shard", cols)
+    assert(Sharding.verifyShards(m, m2, "shard").collect()
+      .forall(_.getAs[String]("status") == "ok"))
+    // append-mergeable: manifest(a union b) == component-wise combine
+    val a = sharded.filter($"id" <= 100)
+    val b = sharded.filter($"id" > 100)
+    val ma = Sharding.shardManifest(a, "shard", cols).collect()
+      .map(r => r.getInt(0) -> r).toMap
+    val mb = Sharding.shardManifest(b, "shard", cols).collect()
+      .map(r => r.getInt(0) -> r).toMap
+    Sharding.shardManifest(sharded, "shard", cols).collect().foreach { r =>
+      val s = r.getInt(0)
+      assert(r.getAs[Long]("n_rows") ==
+        ma(s).getAs[Long]("n_rows") + mb(s).getAs[Long]("n_rows"))
+      assert(r.getAs[Long]("xor_digest") ==
+        (ma(s).getAs[Long]("xor_digest") ^ mb(s).getAs[Long]("xor_digest")))
+      assert(r.getAs[java.math.BigDecimal]("sum_digest") ==
+        ma(s).getAs[java.math.BigDecimal]("sum_digest")
+          .add(mb(s).getAs[java.math.BigDecimal]("sum_digest")))
+    }
+    // corruption classes, each named: a dropped shard, an extra shard,
+    // a dropped row, and a flipped payload byte
+    def statusOf(actual: org.apache.spark.sql.DataFrame) =
+      Sharding.verifyShards(m,
+        Sharding.shardManifest(actual, "shard", cols), "shard")
+        .collect().map(r => r.getInt(0) -> r.getAs[String]("status")).toMap
+    val someShard = sharded.head().getAs[Int]("shard")
+    assert(statusOf(sharded.filter($"shard" =!= someShard))
+      .apply(someShard) == "missing")
+    val extra = sharded.unionByName(
+      sharded.limit(1).withColumn("shard", lit(99)))
+    assert(statusOf(extra)(99) == "unexpected")
+    val dropOne = sharded.filter($"id" =!= 1L)
+    val shardOf1 = sharded.filter($"id" === 1L).head().getAs[Int]("shard")
+    assert(statusOf(dropOne)(shardOf1) == "count_mismatch")
+    val flipped = sharded.withColumn("payload",
+      when($"id" === 2L, lit("row-CORRUPT")).otherwise($"payload"))
+    val shardOf2 = sharded.filter($"id" === 2L).head().getAs[Int]("shard")
+    assert(statusOf(flipped)(shardOf2) == "digest_mismatch")
+  }
 }
