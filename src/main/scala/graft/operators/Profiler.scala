@@ -685,6 +685,50 @@ object Profiler {
           .as("chi2_part"))
   }
 
+  /** WILSON score interval for a per-group proportion (Wilson 1927) —
+    * the confidence bounds a DQ pass-rate or eval accuracy should be
+    * read with (the naive ±z√(p(1−p)/n) Wald interval collapses to
+    * zero width at p ∈ {0, 1} and escapes [0, 1] near the edges; Wilson
+    * does neither, which is why it is the reporting standard):
+    *
+    *   (p̂ + z²/2n ± z·√(p̂(1−p̂)/n + z²/4n²)) / (1 + z²/n)
+    *
+    * Determinism: exact long counts, `z` a pinned literal riding as a
+    * STRING (parse parity; default = the 95% two-sided normal quantile
+    * to double precision — a constant, never a runtime erf⁻¹), one
+    * fixed IEEE sequence per group with sqrt the house-safe
+    * transcendental — mirrored operation for operation by the oracle.
+    * NULL flags are excluded; an empty group yields NULL bounds.
+    *
+    * Scale: ONE group-keyed count aggregate (map-side partials); the
+    * corpus never shuffles wider than (group, two longs).
+    *
+    * @return one row per group: `(groupCol, n, k, rate, wilson_lo,
+    *         wilson_hi)`
+    */
+  def wilsonInterval(df: DataFrame, groupCol: String, flagCol: String,
+      z: String = "1.959963984540054"): DataFrame = {
+    require(z.toDouble > 0, s"z ($z) must be positive")
+    val zc = lit(z.toDouble)
+    val agg = df.filter(col(flagCol).isNotNull)
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col(flagCol), 1L).otherwise(0L)).as("k"))
+    val nD = col("n").cast("double")
+    val p = col("k").cast("double") / nD
+    val z2 = zc * zc
+    // ONE division per bound (numerator assembled first): dividing
+    // center and half separately would round differently from the
+    // single-division form an external engine naturally writes
+    val denom = lit(1.0) + z2 / nD
+    val centerNum = p + z2 / (lit(2.0) * nD)
+    val halfNum = zc * sqrt(p * (lit(1.0) - p) / nD
+      + z2 / (lit(4.0) * nD * nD))
+    agg.select(col(groupCol), col("n"), col("k"), p.as("rate"),
+      ((centerNum - halfNum) / denom).as("wilson_lo"),
+      ((centerNum + halfNum) / denom).as("wilson_hi"))
+  }
+
   /** WINSORIZE — clamp each row's value to its group's exact
     * [lo, hi]-quantile fence (Dixon & Tukey 1968 for the trimming
     * family): the TRANSFORM tier of the outlier toolkit — where

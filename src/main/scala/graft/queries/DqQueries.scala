@@ -1018,6 +1018,69 @@ object DqQueries extends QueryModule {
       """.trim),
       // Verify-only (bench-tail policy): one rank pass + broadcast
       // clamp — the q235/q244 shapes
+      bench = false),
+
+    // --- WILSON 95% bounds on a per-language pass rate (the reporting
+    // tier for every DQ metric and eval accuracy in the repo: a rate of
+    // 1.0 over 12 docs and over 12,000 docs print identically without
+    // bounds, and the naive Wald interval collapses to zero width
+    // exactly there). Pass = the min-length rule (≥ 30 tokens); z is
+    // the pinned 95% normal quantile literal — never a runtime erf⁻¹ —
+    // and the whole row is one fixed IEEE sequence the oracle mirrors. ---
+    GQuery(
+      "q258_wilson_ci",
+      (spark, dir) => {
+        val d = Tables.docs(spark, dir).select(col("lang"),
+          (size(org.apache.spark.sql.functions.filter(
+            split(lower(col("text")), " "), w => w =!= ""))
+            .cast("long") >= 30L).as("passed"))
+        graft.operators.Profiler.wilsonInterval(d, "lang", "passed")
+          .select(col("lang"), col("n"), col("k"),
+            round(col("rate"), 6).as("rate_r"),
+            round(col("wilson_lo"), 6).as("lo_r"),
+            round(col("wilson_hi"), 6).as("hi_r"))
+          .orderBy(col("lang"))
+      },
+      Some("""
+        WITH d AS (
+          SELECT lang,
+                 CASE WHEN CAST(len(list_filter(string_split(lower(text),
+                   ' '), s2 -> s2 <> '')) AS BIGINT) >= 30
+                   THEN 1 ELSE 0 END AS passed
+          FROM documents),
+        ag AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(passed) AS BIGINT) AS k
+               FROM d GROUP BY 1)
+        SELECT lang, n, k,
+               round(CAST(k AS DOUBLE) / CAST(n AS DOUBLE), 6) AS rate_r,
+               round(((CAST(k AS DOUBLE) / CAST(n AS DOUBLE))
+                   + (1.959963984540054 * 1.959963984540054)
+                     / (2.0 * CAST(n AS DOUBLE))
+                  - (1.959963984540054
+                     * sqrt((CAST(k AS DOUBLE) / CAST(n AS DOUBLE))
+                         * (1.0 - CAST(k AS DOUBLE) / CAST(n AS DOUBLE))
+                         / CAST(n AS DOUBLE)
+                       + (1.959963984540054 * 1.959963984540054)
+                         / (4.0 * CAST(n AS DOUBLE)
+                            * CAST(n AS DOUBLE)))))
+                 / (1.0 + (1.959963984540054 * 1.959963984540054)
+                     / CAST(n AS DOUBLE)), 6) AS lo_r,
+               round(((CAST(k AS DOUBLE) / CAST(n AS DOUBLE))
+                   + (1.959963984540054 * 1.959963984540054)
+                     / (2.0 * CAST(n AS DOUBLE))
+                  + (1.959963984540054
+                     * sqrt((CAST(k AS DOUBLE) / CAST(n AS DOUBLE))
+                         * (1.0 - CAST(k AS DOUBLE) / CAST(n AS DOUBLE))
+                         / CAST(n AS DOUBLE)
+                       + (1.959963984540054 * 1.959963984540054)
+                         / (4.0 * CAST(n AS DOUBLE)
+                            * CAST(n AS DOUBLE)))))
+                 / (1.0 + (1.959963984540054 * 1.959963984540054)
+                     / CAST(n AS DOUBLE)), 6) AS hi_r
+        FROM ag ORDER BY lang
+      """.trim),
+      // Verify-only (bench-tail policy): one group aggregate — the
+      // minimal shape
       bench = false)
   )
 }

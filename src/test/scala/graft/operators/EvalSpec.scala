@@ -388,6 +388,28 @@ class EvalSpec extends AnyFunSuite {
     assert(boom.getMessage != null)
   }
 
+  test("wilsonInterval: literature value at 8/10, sane at the edges " +
+    "where Wald collapses, NULL flags excluded") {
+    def run(flags: Seq[java.lang.Boolean]) =
+      Profiler.wilsonInterval(flags.zipWithIndex
+        .map { case (f, i) => ("g", f, i.toLong) }.toDF("g", "f", "id"),
+        "g", "f").head()
+    // 8 of 10 at 95%: Wilson = (0.4901, 0.9433) (standard reference)
+    val r = run(Seq.fill(8)(true: java.lang.Boolean)
+      ++ Seq.fill(2)(false: java.lang.Boolean))
+    assert(math.abs(r.getAs[Double]("wilson_lo") - 0.4901) < 5e-4)
+    assert(math.abs(r.getAs[Double]("wilson_hi") - 0.9433) < 5e-4)
+    // p = 1: Wald width is zero; Wilson stays strictly below 1-closed
+    val perfect = run(Seq.fill(12)(true: java.lang.Boolean))
+    assert(perfect.getAs[Double]("wilson_lo") > 0.7
+      && perfect.getAs[Double]("wilson_lo") < 1.0)
+    assert(perfect.getAs[Double]("wilson_hi") == 1.0 ||
+      perfect.getAs[Double]("wilson_hi") < 1.0 + 1e-12)
+    // NULL flags excluded from n
+    val withNull = run(Seq[java.lang.Boolean](true, false, null))
+    assert(withNull.getAs[Long]("n") == 2L)
+  }
+
   test("percentileRank: ties share (cume_dist semantics), top is 1.0, " +
     "matches the window form, NULL value stays NULL") {
     val rows = Seq(("a", 1.0), ("a", 2.0), ("a", 2.0), ("a", 5.0),

@@ -54,8 +54,10 @@ class GatePlanSpec extends AnyFunSuite {
     "q255_vocab_richness" -> (5, 0),
     "q256_winsorize" -> (3, 4),
     // q257 = two digest aggregates (expected + repartitioned actual) +
-    // the full-outer verify join + expected join-back + sort
+    // the full-outer verify join + expected join-back + sort; q258 =
+    // one group aggregate + sort, the minimal shape
     "q257_shard_manifest" -> (8, 1),
+    "q258_wilson_ci" -> (3, 0),
     "q250_numeric_drift" -> (2, 1),
     "q251_benford" -> (4, 2),
     "q252_theil_sen" -> (14, 9),
