@@ -71,7 +71,13 @@ object Sharding {
   // with content bytes is the standard caveat; both sentinels are
   // scrubbed from curated text by the invisible-character cleanse).
 
-  /** Order-free row content digest over `cols` (see above). */
+  /** Order-free row content digest over `cols` (see above). Columns are
+    * digested through their STRING rendering: cross-engine manifest
+    * parity holds for string/integer/decimal renderings (canonical in
+    * both engines — the q257 oracle proves it); TIMESTAMP renderings
+    * differ between engines, so cast temporal columns to an explicit
+    * format upstream before digesting.
+    */
   def rowDigest(cols: Seq[Column]): Column =
     Sampling.hash48(concat_ws("\u0001",
       cols.map(c => coalesce(c.cast("string"), lit("\u0000"))): _*),
