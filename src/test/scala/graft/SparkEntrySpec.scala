@@ -14,6 +14,20 @@ class SparkEntrySpec extends AnyFunSuite {
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
   }
 
+  test("gate numbers are contiguous q1..qN — no gaps, no collisions") {
+    // the driver's correctness record is read as a contiguous block; a
+    // renumbering slip (duplicate or skipped number) should fail the
+    // suite, not surface as a judge counting discrepancy
+    val nums = SparkEntry.registry.map(_.name)
+      .map(n => n.drop(1).takeWhile(_.isDigit).toInt)
+    assert(nums.distinct.size == nums.size,
+      s"duplicate gate numbers: ${nums.groupBy(identity).collect {
+        case (k, v) if v.size > 1 => k }.toSeq.sorted}")
+    assert(nums.sorted == (1 to nums.max).toList,
+      s"gaps in gate numbering: ${
+        ((1 to nums.max).toSet -- nums.toSet).toSeq.sorted}")
+  }
+
   test("entry() returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
