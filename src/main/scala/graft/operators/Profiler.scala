@@ -594,12 +594,16 @@ object Profiler {
     require(k.toDouble > 0, s"k ($k) must be positive")
     val med = exactQuantiles(df, groupCol, valueCol, idCol, Seq("0.5"))
       .select(col(groupCol), col("value").as("med"))
-    val withMed = df.join(broadcast(med), Seq(groupCol))
+    // LEFT joins: a group whose values are all NULL has no quantile row
+    // (exactQuantiles drops NULL values) — an inner join would silently
+    // drop its rows, contradicting the NULL-flag contract above. Left
+    // keeps them with NULL med/mad/flag.
+    val withMed = df.join(broadcast(med), Seq(groupCol), "left")
       .withColumn("abs_dev", abs(col(valueCol) - col("med")))
     val mad = exactQuantiles(withMed, groupCol, "abs_dev", idCol,
         Seq("0.5"))
       .select(col(groupCol), col("value").as("mad"))
-    withMed.join(broadcast(mad), Seq(groupCol))
+    withMed.join(broadcast(mad), Seq(groupCol), "left")
       .withColumn("is_outlier",
         col("abs_dev").cast("double") >
           lit(k.toDouble) * col("mad").cast("double"))
@@ -698,7 +702,10 @@ object Profiler {
     * to double precision — a constant, never a runtime erf⁻¹), one
     * fixed IEEE sequence per group with sqrt the house-safe
     * transcendental — mirrored operation for operation by the oracle.
-    * NULL flags are excluded; an empty group yields NULL bounds.
+    * NULL flags are excluded from the counts but NOT from the groupBy:
+    * a group whose flags are all NULL still surfaces, with n = 0, k = 0
+    * and NULL rate/bounds — a monitor reading the report sees the group
+    * exists and has no evidence, rather than not seeing it at all.
     *
     * Scale: ONE group-keyed count aggregate (map-side partials); the
     * corpus never shuffles wider than (group, two longs).
@@ -710,9 +717,10 @@ object Profiler {
       z: String = "1.959963984540054"): DataFrame = {
     require(z.toDouble > 0, s"z ($z) must be positive")
     val zc = lit(z.toDouble)
-    val agg = df.filter(col(flagCol).isNotNull)
-      .groupBy(col(groupCol))
-      .agg(count(lit(1)).as("n"),
+    // count NULL flags out INSIDE the aggregate (not a pre-filter) so an
+    // all-NULL group still emits its row — n = 0 with NULL bounds below
+    val agg = df.groupBy(col(groupCol))
+      .agg(sum(when(col(flagCol).isNotNull, 1L).otherwise(0L)).as("n"),
         sum(when(col(flagCol), 1L).otherwise(0L)).as("k"))
     val nD = col("n").cast("double")
     val p = col("k").cast("double") / nD
@@ -724,9 +732,11 @@ object Profiler {
     val centerNum = p + z2 / (lit(2.0) * nD)
     val halfNum = zc * sqrt(p * (lit(1.0) - p) / nD
       + z2 / (lit(4.0) * nD * nD))
-    agg.select(col(groupCol), col("n"), col("k"), p.as("rate"),
-      ((centerNum - halfNum) / denom).as("wilson_lo"),
-      ((centerNum + halfNum) / denom).as("wilson_hi"))
+    val hasObs = col("n") > 0L
+    agg.select(col(groupCol), col("n"), col("k"),
+      when(hasObs, p).as("rate"),
+      when(hasObs, (centerNum - halfNum) / denom).as("wilson_lo"),
+      when(hasObs, (centerNum + halfNum) / denom).as("wilson_hi"))
   }
 
   /** WINSORIZE — clamp each row's value to its group's exact
@@ -755,7 +765,10 @@ object Profiler {
       .groupBy(col(groupCol))
       .agg(min(when(col("q") === lo.toDouble, col("value"))).as("__lo"),
         min(when(col("q") === hi.toDouble, col("value"))).as("__hi"))
-    df.join(broadcast(cutsWide), Seq(groupCol))
+    // LEFT join (robustOutliers discipline): an all-NULL group has no
+    // fence row; inner would drop its rows instead of keeping them with
+    // a NULL clamp.
+    df.join(broadcast(cutsWide), Seq(groupCol), "left")
       // least/greatest SKIP nulls (they return the extreme of the
       // non-null operands), so a bare clamp would quietly pin a NULL
       // value to the hi fence — gate NULL explicitly

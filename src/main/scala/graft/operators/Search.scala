@@ -293,8 +293,22 @@ object Search {
           lit(s"rrfFuse: ranking '$name' carries a rank < 1 — ranks " +
             "are 1-based")).cast("int"),
         lit(0))
+      // unique-id contract guarded in-plan (same idiom): a duplicate id
+      // in one ranking would fan out through the full-outer join chain
+      // and contribute multiple reciprocal terms to every OTHER list's
+      // scores — silently, since the join can't tell a dup from a tie.
+      // The frames are top-N (bounded), so the id-partitioned count
+      // window is small by contract.
+      val uniqueIds = coalesce(
+        assert_true(
+          count(lit(1)).over(org.apache.spark.sql.expressions.Window
+            .partitionBy(col(idCol))) === 1L,
+          lit(s"rrfFuse: ranking '$name' lists an id more than once — " +
+            "each ranking must be a function from id to rank")).cast("int"),
+        lit(0))
       df.select(col(idCol),
-        (col(rankCol).cast("int") + oneBased).as(s"rank_$name"))
+        (col(rankCol).cast("int") + oneBased + uniqueIds)
+          .as(s"rank_$name"))
     }
     val joined = prepared.reduce((a, b) => a.join(b, Seq(idCol), "full_outer"))
     val score = rankings.map { case (name, _) =>

@@ -334,9 +334,17 @@ object Sketches {
     require(p >= 4 && p <= 14, s"p ($p) out of [4, 14]")
     val m = 1L << p
     val vmax = hllVMax(p)
-    // α_m for m ≥ 128 (Flajolet 2007 §4); both engines fold the same
-    // literals through the same two IEEE ops → identical bits.
-    val alpha = lit(0.7213) / (lit(1.0) + lit(1.079) / lit(m.toDouble))
+    // α_m (Flajolet 2007 §4): the 0.7213/(1+1.079/m) closed form is the
+    // m ≥ 128 approximation; the paper pins α_16=0.673, α_32=0.697,
+    // α_64=0.709 for the small precisions — using the closed form there
+    // carries a ~0.5–1% systematic bias. Both branches are literals
+    // folded through the same IEEE ops → identical bits cross-engine.
+    val alpha = p match {
+      case 4 => lit(0.673)
+      case 5 => lit(0.697)
+      case 6 => lit(0.709)
+      case _ => lit(0.7213) / (lit(1.0) + lit(1.079) / lit(m.toDouble))
+    }
     // numerator m²·2^vmax = 2^(p+49): exact as a double for p ≤ 14
     val num = lit(math.pow(2.0, (p + 49).toDouble))
     // range guard (prune-proof added zero): a register value outside
@@ -352,6 +360,12 @@ object Sketches {
       lit(0))
     regs.groupBy(col(groupCol))
       .agg(count(lit(1)).as("used"),
+        // merged-input contract guard: duplicate (group, reg) rows — a
+        // raw stored parquet read that skipped hllReadMerged, or two
+        // tables concatenated without hllMerge — would silently inflate
+        // both `used` and the harmonic sum. Register tables are at most
+        // m rows per group, so the distinct count is free at this point.
+        countDistinct(col("reg")).as("__dreg"),
         // 2^(vmax−rho) per non-empty register, exact BIGINT — the Scala
         // API's shiftleft takes a literal shift, so the variable shift
         // goes through expr (same codegen'd ShiftLeft expression)
@@ -360,7 +374,15 @@ object Sketches {
       .select(col(groupCol),
         (alpha * (num /
           (col("__s") + (lit(m) - col("used")) * lit(1L << vmax))
-            .cast("double"))).as("est_distinct"),
+            .cast("double"))
+          // prune-proof added zero: fail loudly on a non-merged input
+          // instead of emitting a wrong estimate with no error
+          + coalesce(assert_true(
+              col("used") === col("__dreg") && col("used") <= m,
+              lit("hllEstimate: duplicate (group, reg) rows — input is " +
+                "not a merged register table (read stored registers via " +
+                "hllReadMerged, or union tables via hllMerge)"))
+              .cast("double"), lit(0.0))).as("est_distinct"),
         col("used").cast("int").as("used"),
         (lit(m) - col("used")).cast("int").as("zeros"))
   }

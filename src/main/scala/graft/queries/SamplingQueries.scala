@@ -1424,8 +1424,13 @@ object SamplingQueries extends QueryModule {
           "shard", cols)
         Sharding.verifyShards(expected, actual, "shard")
           .join(expected, Seq("shard"))
+          // Driver-hash canon: the manifest keeps DECIMAL(38,0) inside
+          // the operator; the GATE emits it as a string — a raw wide
+          // decimal is the one output type the driver's comparator
+          // renders differently per engine (round-12 lesson).
           .select(col("shard"), col("n_rows"), col("xor_digest"),
-            col("sum_digest"), col("status"))
+            col("sum_digest").cast("string").as("sum_digest"),
+            col("status"))
           .orderBy(col("shard"))
       },
       Some(s"""
@@ -1439,8 +1444,8 @@ object SamplingQueries extends QueryModule {
         SELECT shard,
                COUNT(*) AS n_rows,
                bit_xor(hv) AS xor_digest,
-               CAST(SUM(CAST(hv AS DECIMAL(38,0))) AS DECIMAL(38,0))
-                 AS sum_digest,
+               CAST(CAST(SUM(CAST(hv AS DECIMAL(38,0))) AS DECIMAL(38,0))
+                 AS VARCHAR) AS sum_digest,
                'ok' AS status
         FROM s GROUP BY shard ORDER BY shard
       """.trim),

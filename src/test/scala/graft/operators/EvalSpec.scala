@@ -410,6 +410,24 @@ class EvalSpec extends AnyFunSuite {
     assert(withNull.getAs[Long]("n") == 2L)
   }
 
+  test("wilsonInterval: an all-NULL group surfaces with n = 0 and NULL " +
+    "bounds, not as a missing row") {
+    val df = Seq(("g0", true: java.lang.Boolean, 0L),
+      ("g0", null: java.lang.Boolean, 1L),
+      ("g1", null: java.lang.Boolean, 2L),
+      ("g1", null: java.lang.Boolean, 3L)).toDF("g", "f", "id")
+    val got = Profiler.wilsonInterval(df, "g", "f").collect()
+      .map(r => r.getAs[String]("g") -> r).toMap
+    assert(got.keySet == Set("g0", "g1"))
+    assert(got("g1").getAs[Long]("n") == 0L)
+    assert(got("g1").getAs[Long]("k") == 0L)
+    assert(got("g1").isNullAt(got("g1").fieldIndex("rate")))
+    assert(got("g1").isNullAt(got("g1").fieldIndex("wilson_lo")))
+    assert(got("g1").isNullAt(got("g1").fieldIndex("wilson_hi")))
+    assert(got("g0").getAs[Long]("n") == 1L)
+    assert(got("g0").getAs[Double]("rate") == 1.0)
+  }
+
   test("percentileRank: ties share (cume_dist semantics), top is 1.0, " +
     "matches the window form, NULL value stays NULL") {
     val rows = Seq(("a", 1.0), ("a", 2.0), ("a", 2.0), ("a", 5.0),

@@ -101,6 +101,42 @@ class HllSpec extends AnyFunSuite {
     assert(boom.getMessage != null)
   }
 
+  test("a non-merged register table (duplicate group,reg rows) fails " +
+    "loudly instead of inflating the estimate") {
+    val regs = regsOf(spark.range(0, 500)
+      .select(lit("g0").as("g"), col("id").as("k")))
+    // concatenating two register tables WITHOUT hllMerge duplicates
+    // every (g, reg) row — exactly the raw-stored-read mistake
+    val boom = intercept[Exception] {
+      Sketches.hllEstimate(regs.unionByName(regs), "g", P).collect()
+    }
+    assert(boom.getMessage != null)
+    // the properly merged union still estimates cleanly
+    val est = Sketches.hllEstimate(Sketches.hllMerge("g", regs, regs),
+      "g", P).head().getAs[Double]("est_distinct")
+    assert(est > 0.0)
+  }
+
+  test("small-p alpha uses the paper constants (p=4..6), not the " +
+    "m>=128 closed form") {
+    // one item -> exactly one used register with a known rho; the
+    // estimate is then alpha * m^2 * 2^vmax / (sum + (m-1)*2^vmax),
+    // linear in alpha -- recover alpha and pin it to Flajolet's 0.673.
+    val one = Seq(("g0", "x")).toDF("g", "k")
+    val regs = Sketches.hllRegisters(one, "g", col("k"), 4, salt = "t")
+    val reg = regs.head()
+    val rho = reg.getAs[Int]("rho")
+    val m = 16L
+    val vmax = 49 - 4
+    val est = Sketches.hllEstimate(regs, "g", 4)
+      .head().getAs[Double]("est_distinct")
+    val denom = math.pow(2.0, (vmax - rho).toDouble) +
+      (m - 1).toDouble * math.pow(2.0, vmax.toDouble)
+    val alpha = est * denom / (m.toDouble * m.toDouble *
+      math.pow(2.0, vmax.toDouble))
+    assert(math.abs(alpha - 0.673) < 1e-9, s"alpha=$alpha")
+  }
+
   test("zeros + used always partition the register space") {
     val df = spark.range(0, 300)
       .select(lit("g0").as("g"), col("id").as("k"))

@@ -118,6 +118,16 @@ class MarginRrfSpec extends AnyFunSuite {
     assert(boom.getMessage != null)
   }
 
+  test("rrfFuse refuses a ranking that lists an id twice (a dup would " +
+    "fan out through the join and double-count other lists)") {
+    val dup = Seq((1L, 1), (1L, 2), (2L, 3)).toDF("id", "rank")
+    val clean = Seq((1L, 1), (2L, 2)).toDF("id", "rank")
+    val boom = intercept[Exception] {
+      Search.rrfFuse(Seq("a" -> dup, "b" -> clean), "id", "rank").collect()
+    }
+    assert(boom.getMessage != null)
+  }
+
   test("marginTopK enforces the bounded-nomination-corpus contract") {
     val df = seededVecs(50, seed = 5)
       .map { case (i, v) => (i, v.toSeq) }.toDF("id", "vec")

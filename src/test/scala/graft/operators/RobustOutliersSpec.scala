@@ -95,6 +95,24 @@ class RobustOutliersSpec extends AnyFunSuite {
     }
   }
 
+  test("an all-NULL group keeps its rows with NULL flag/clamp instead " +
+    "of vanishing (left-join contract)") {
+    val rows = Seq(("g0", 1.0: java.lang.Double, 1L),
+      ("g0", 2.0: java.lang.Double, 2L),
+      ("gNull", null: java.lang.Double, 10L),
+      ("gNull", null: java.lang.Double, 11L))
+    val flagged = run(rows, "3.5").collect()
+    assert(flagged.length == 4, "no row may be dropped")
+    val f10 = flagged.find(_.getAs[Long]("id") == 10L).get
+    assert(f10.isNullAt(f10.fieldIndex("med")))
+    assert(f10.isNullAt(f10.fieldIndex("is_outlier")))
+    val clamped = Profiler.winsorize(rows.toDF("g", "v", "id"), "g", "v",
+      "id", lo = "0.1", hi = "0.9").collect()
+    assert(clamped.length == 4, "no row may be dropped")
+    val c10 = clamped.find(_.getAs[Long]("id") == 10L).get
+    assert(c10.isNullAt(c10.fieldIndex("v_w")))
+  }
+
   test("vocabularyRichness: hand frequency-of-frequencies estimators") {
     // tokens "a a b c": N=4, D=3, f1=2 (b,c), f2=1 (a)
     // chao1 = 3 + 2*1/(2*(1+1)) = 3.5 ; P0 = f1/N = 0.5
