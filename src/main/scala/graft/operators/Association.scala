@@ -1,0 +1,294 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Association & agreement statistics — the CALIBRATION tier that sits
+  * next to the drift monitors ([[Profiler.categoryDrift]],
+  * [[Profiler.numericDrift]], [[Profiler.ksTest]]) and the eval metrics
+  * ([[Profiler.aucExact]], Cohen's κ): before a pipeline trusts two
+  * quality signals, two categorical facets, two corpus snapshots, or
+  * three labeling heuristics, it should measure how strongly they agree.
+  *
+  *  - [[pearsonCorr]] — linear association between two numeric signals
+  *    (Pearson 1895), the companion to [[Profiler.spearmanRank]]'s
+  *    monotone screen: Spearman high + Pearson low = monotone but
+  *    curved; both high = safely interchangeable signals.
+  *  - [[cramersV]] — effect size of an r×c categorical association
+  *    (Cramér 1946 §21.9): χ² grows with n even for a trivial
+  *    association; V = √(χ²/(n·(min(r,c)−1))) ∈ [0, 1] does not — the
+  *    number a facet-dependence audit should report.
+  *  - [[hellinger]] — bounded [0, 1] distance between two categorical
+  *    distributions (Hellinger 1909; Bhattacharyya 1943 for the
+  *    coefficient), the SUMMARY companion to categoryDrift's per-cell
+  *    χ² report: symmetric, defined even when a category is absent on
+  *    one side (where χ²'s expected-mass division degenerates).
+  *  - [[fleissKappa]] — chance-corrected agreement among n ≥ 2 raters
+  *    (Fleiss 1971), the multi-rater generalization of the repo's
+  *    Cohen's κ: the gate a labeling-heuristic ensemble passes before
+  *    its majority vote is trusted as training signal.
+  *
+  * House determinism rules throughout: exact integer/decimal sums
+  * (values cast to DECIMAL(18,6) — the ≤6-dp caller contract; doubles
+  * are pre-cast by the caller with the dec() policy), ONE fixed IEEE
+  * sequence per output with sqrt the only (correctly-rounded)
+  * transcendental, per-cell folds in sorted key order (never
+  * partition-arrival order), degenerate denominators → NULL (documented
+  * per operator), contract violations → loud in-plan asserts.
+  */
+object Association {
+
+  private val Dec18_6 = DecimalType(18, 6)
+
+  /** Per-group PEARSON product-moment correlation between two numeric
+    * columns, from the five exact sufficient sums:
+    *
+    *   r = (n·Σxy − Σx·Σy) / (√(n·Σx² − (Σx)²) · √(n·Σy² − (Σy)²))
+    *
+    * Exactness: x and y are cast to DECIMAL(18,6) (≤6-dp contract) so
+    * Σx, Σy, Σx², Σy², Σxy are EXACT decimals; the formula is then one
+    * fixed IEEE sequence over their double casts — engine-replayable.
+    * Pairwise-complete: rows with a NULL x or y are excluded (the SQL
+    * convention, matching [[Profiler.spearmanRank]]). A group with
+    * n < 2 or zero variance on either side has no defined correlation
+    * and yields NULL `pearson_r` (never ±∞ or NaN).
+    *
+    * Scale: ONE group-keyed aggregate with map-side partials — the
+    * corpus never shuffles wider than (group, five decimals).
+    *
+    * @return one row per group: `(groupCol, n, pearson_r)`
+    */
+  def pearsonCorr(df: DataFrame, groupCol: String, xCol: String,
+      yCol: String): DataFrame = {
+    val base = df.select(col(groupCol),
+        col(xCol).cast(Dec18_6).as("__x"),
+        col(yCol).cast(Dec18_6).as("__y"))
+      .filter(col("__x").isNotNull && col("__y").isNotNull)
+    val agg = base.groupBy(col(groupCol)).agg(
+      count(lit(1)).as("n"),
+      sum(col("__x")).as("__sx"), sum(col("__y")).as("__sy"),
+      sum(col("__x") * col("__x")).as("__sxx"),
+      sum(col("__y") * col("__y")).as("__syy"),
+      sum(col("__x") * col("__y")).as("__sxy"))
+    val nD = col("n").cast("double")
+    val sx = col("__sx").cast("double")
+    val sy = col("__sy").cast("double")
+    val num = nD * col("__sxy").cast("double") - sx * sy
+    val vx = nD * col("__sxx").cast("double") - sx * sx
+    val vy = nD * col("__syy").cast("double") - sy * sy
+    agg.select(col(groupCol), col("n"),
+      when(col("n") >= 2L && vx > 0.0 && vy > 0.0,
+        num / (sqrt(vx) * sqrt(vy))).as("pearson_r"))
+  }
+
+  /** CRAMÉR'S V effect size of the association between two categorical
+    * columns (Cramér 1946 §21.9): the full r×c contingency χ² against
+    * independence, normalized to [0, 1] by χ²_max = n·(min(r,c)−1).
+    * 0 = independent facets, 1 = one facet determines the other — the
+    * sample-size-free number a corpus facet audit (does source
+    * determine language? does priority determine status?) reports.
+    *
+    * Exactness: cell/row/column totals are exact longs; each expected
+    * mass is ONE IEEE division of an exact DECIMAL(37,0) product
+    * (row·col never overflows long range at 100 TB counts); the χ² is a
+    * fixed LEFT-TO-RIGHT fold of the per-cell contributions in sorted
+    * (a, b) order — never partition-arrival order — so the whole row is
+    * engine-replayable. NULL categories are excluded. A 1×c or r×1
+    * table has no association question to answer and FAILS LOUDLY
+    * (the [[Profiler]] chiSquareBuckets single-class discipline).
+    *
+    * Scale: the corpus is aggregated exactly ONCE (the cell-keyed count
+    * with map-side partials); marginals and the grand total are WINDOWS
+    * over the resulting r×c frame — BOUNDED-CARDINALITY by contract
+    * (facets, not ids), so the single-partition total window is free.
+    * Zero-count cells are never materialized: a missing cell's χ²
+    * contribution is exactly its expected mass e (o = 0 ⇒ (0−e)²/e = e),
+    * and Σ_all-cells e = n, so the missing-cell mass is the IDENTITY
+    * n − Σ_observed e — no r×c grid join, no second corpus pass
+    * (clamped at 0: the observed Σe can land one ulp past n when no
+    * cell is missing).
+    *
+    * @return one row: `(n, n_rows, n_cols, chi2, cramers_v)`
+    */
+  def cramersV(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = df.select(col(aCol).cast("string").as("__a"),
+        col(bCol).cast("string").as("__b"))
+      .filter(col("__a").isNotNull && col("__b").isNotNull)
+    val cells = base.groupBy(col("__a"), col("__b"))
+      .agg(count(lit(1)).as("__o"))
+    val withM = cells
+      .withColumn("__ra", sum(col("__o")).over(
+        Window.partitionBy(col("__a"))))
+      .withColumn("__cb", sum(col("__o")).over(
+        Window.partitionBy(col("__b"))))
+      .withColumn("__n", sum(col("__o")).over(Window.partitionBy(
+        graft.core.Windows.singlePartition(col("__a")))))
+    val e = (col("__ra").cast(DecimalType(18, 0))
+        * col("__cb").cast(DecimalType(18, 0))).cast("double") /
+      col("__n").cast("double")
+    val d = col("__o").cast("double") - e
+    val withPart = withM.select(col("__a"), col("__b"), col("__n"),
+      e.as("__e"), (d * d / e).as("__part"))
+    val folded = withPart.agg(
+      first(col("__n")).as("n"),
+      countDistinct(col("__a")).as("n_rows"),
+      countDistinct(col("__b")).as("n_cols"),
+      sort_array(collect_list(struct(col("__a"), col("__b"),
+        col("__part")))).as("__parts"),
+      sort_array(collect_list(struct(col("__a"), col("__b"),
+        col("__e")))).as("__es"))
+    def fold(c: Column, field: String): Column =
+      aggregate(c, lit(0.0), (acc, x) => acc + x.getField(field))
+    val chi2 = fold(col("__parts"), "__part") +
+      greatest(lit(0.0),
+        col("n").cast("double") - fold(col("__es"), "__e"))
+    // 1×c / r×1: V's denominator is 0 — a degenerate audit input, loud
+    val shapeGuard = coalesce(
+      assert_true(col("n_rows") >= 2 && col("n_cols") >= 2,
+        lit("cramersV: a 1×c or r×1 table has no association to " +
+          "measure — both columns need at least two observed values"))
+        .cast("double"),
+      lit(0.0))
+    folded.select(col("n"), col("n_rows"), col("n_cols"),
+      (chi2 + shapeGuard).as("chi2"),
+      sqrt((chi2 + shapeGuard) / (col("n").cast("double") *
+        (least(col("n_rows"), col("n_cols")) - lit(1)).cast("double")))
+        .as("cramers_v"))
+  }
+
+  /** HELLINGER distance between the categorical distributions of two
+    * snapshots (Hellinger 1909): H = √(1 − BC) with the Bhattacharyya
+    * coefficient BC = Σ√(p_i·q_i) (Bhattacharyya 1943). Bounded [0, 1]
+    * (0 = identical, 1 = disjoint support), symmetric, and defined even
+    * where a category is absent on one side (its term is simply 0) —
+    * the one-number summary next to [[Profiler.categoryDrift]]'s
+    * per-cell χ² report, which is unbounded in n and degenerates on
+    * one-sided categories.
+    *
+    * Determinism: exact long counts; p_i and q_i are ONE IEEE division
+    * each; BC is a fixed LEFT-TO-RIGHT fold in sorted category order;
+    * 1 − BC is clamped at 0 before the outer sqrt (BC can land one ulp
+    * above 1 for identical inputs — the clamp keeps H = 0 exact, never
+    * NaN). Both snapshots must be non-empty (loud, the categoryDrift
+    * guard). NULL categories are excluded.
+    *
+    * Scale: each snapshot is counted exactly ONCE (the union count
+    * aggregate, map-side partials); the side totals are a
+    * single-partition WINDOW over the resulting category-sized frame —
+    * free by the bounded-cardinality contract, and no second pass over
+    * either snapshot; the fold is bounded by category cardinality.
+    *
+    * @return one row: `(n_categories, bc, hellinger)`
+    */
+  def hellinger(a: DataFrame, b: DataFrame, keyCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val u = a.select(col(keyCol).cast("string").as("category"),
+        lit(1L).as("__ia"))
+      .unionByName(b.select(col(keyCol).cast("string").as("category"),
+        lit(0L).as("__ia")))
+      .filter(col("category").isNotNull)
+    val oneP = Window.partitionBy(
+      graft.core.Windows.singlePartition(col("category")))
+    val perCat = u.groupBy(col("category"))
+      .agg(sum(col("__ia")).as("__na"),
+        sum(lit(1L) - col("__ia")).as("__nb"))
+      .withColumn("__A", sum(col("__na")).over(oneP))
+      .withColumn("__B", sum(col("__nb")).over(oneP))
+    val abGuard = coalesce(
+      assert_true(col("__A") > 0 && col("__B") > 0,
+        lit("hellinger: both snapshots must be non-empty"))
+        .cast("double"),
+      lit(0.0))
+    val p = col("__na").cast("double") / (col("__A").cast("double") + abGuard)
+    val q = col("__nb").cast("double") / (col("__B").cast("double") + abGuard)
+    val parts = perCat
+      .select(col("category"), sqrt(p * q).as("__bc_part"))
+    val folded = parts.agg(count(lit(1)).as("n_categories"),
+      sort_array(collect_list(struct(col("category"), col("__bc_part"))))
+        .as("__parts"))
+    val bc = aggregate(col("__parts"), lit(0.0),
+      (acc, x) => acc + x.getField("__bc_part"))
+    folded.select(col("n_categories"), bc.as("bc"),
+      sqrt(greatest(lit(0.0), lit(1.0) - bc)).as("hellinger"))
+  }
+
+  /** FLEISS' KAPPA — chance-corrected agreement among a FIXED number of
+    * raters per item (Fleiss 1971), the multi-rater generalization of
+    * Cohen's κ: the ensemble-trust gate for labeling heuristics (three
+    * quality rules vote per document; κ near 0 means their majority
+    * vote is chance-level noise, not signal).
+    *
+    * With n_ij = raters assigning item i to category j, n raters per
+    * item, N items, c_j = Σ_i n_ij:
+    *
+    *   P̄  = (Σ_ij n_ij² − N·n) / (N·n·(n−1))     observed agreement
+    *   P̄e = Σ_j c_j² / (N·n)²                    chance agreement
+    *   κ  = (P̄ − P̄e) / (1 − P̄e)
+    *
+    * Exactness: every Σ is an exact long/decimal (c_j² as
+    * DECIMAL(37,0) — c_j can pass √(long max) at 100 TB item counts);
+    * P̄ and P̄e are ONE IEEE division each over exact operands; κ is the
+    * final fixed sequence. When every rating lands in one category,
+    * 1 − P̄e = 0 and agreement is vacuous: κ is NULL (the Cohen's-κ
+    * constant-edge convention), never a division blow-up.
+    *
+    * Contracts, loud in-plan: every item must carry EXACTLY n raters
+    * (Fleiss' design assumption — a melt that dropped a rater's row
+    * would silently bias P̄ down), n ≥ 2. One label per (item, rater)
+    * is the caller's melt contract (a duplicate shows up as an item
+    * with more raters than the rest and trips the same assert; it can
+    * hide only if every item duplicates identically — document, don't
+    * pay a second global distinct for it). NULL items/raters/labels are
+    * excluded before counting.
+    *
+    * Scale: two narrow count aggregates ((item, category)-keyed, then
+    * item- and category-keyed) with map-side partials; nothing wider
+    * than (id, two longs) ever shuffles; the final row is a scalar agg.
+    * The item- and category-keyed branches both read the (item,
+    * category) count table — its shuffle subtree is byte-identical on
+    * both sides, so exchange/stage reuse serves the second branch from
+    * the first's map outputs rather than re-scanning the melt.
+    *
+    * @return one row: `(n_items, n_raters, n_categories, p_bar, p_e,
+    *         kappa)`
+    */
+  def fleissKappa(df: DataFrame, itemCol: String, raterCol: String,
+      categoryCol: String): DataFrame = {
+    val base = df.select(col(itemCol).as("__i"), col(raterCol).as("__r"),
+        col(categoryCol).cast("string").as("__c"))
+      .filter(col("__i").isNotNull && col("__r").isNotNull &&
+        col("__c").isNotNull)
+    val nij = base.groupBy(col("__i"), col("__c"))
+      .agg(count(lit(1)).as("__nij"))
+    val perItem = nij.groupBy(col("__i"))
+      .agg(sum(col("__nij")).as("__ni"),
+        sum(col("__nij") * col("__nij")).as("__s2i"))
+    val catTot = nij.groupBy(col("__c")).agg(sum(col("__nij")).as("__cj"))
+    val itemAgg = perItem.agg(
+      count(lit(1)).as("n_items"),
+      min(col("__ni")).as("__nmin"), max(col("__ni")).as("__nmax"),
+      sum(col("__s2i")).as("__s2"))
+    val catAgg = catTot.agg(
+      count(lit(1)).as("n_categories"),
+      sum((col("__cj").cast(DecimalType(18, 0))
+        * col("__cj").cast(DecimalType(18, 0)))).as("__sc2"))
+    val joined = itemAgg.crossJoin(catAgg)
+    val ratersGuard = coalesce(
+      assert_true(col("__nmin") === col("__nmax") && col("__nmin") >= 2L,
+        lit("fleissKappa: every item must carry the same n >= 2 " +
+          "ratings — a melt dropped a rater's row, or a (item, rater) " +
+          "pair is duplicated")).cast("double"),
+      lit(0.0))
+    val nD = col("__nmin").cast("double") + ratersGuard
+    val bigND = col("n_items").cast("double")
+    val pBar = (col("__s2").cast("double") - bigND * nD) /
+      (bigND * nD * (nD - lit(1.0)))
+    val pE = col("__sc2").cast("double") / ((bigND * nD) * (bigND * nD))
+    joined.select(col("n_items"), col("__nmin").as("n_raters"),
+      col("n_categories"), pBar.as("p_bar"), pE.as("p_e"),
+      when(lit(1.0) - pE =!= 0.0, (pBar - pE) / (lit(1.0) - pE))
+        .as("kappa"))
+  }
+}

@@ -778,6 +778,68 @@ object Profiler {
       .drop("__lo", "__hi")
   }
 
+  /** GINI COEFFICIENT of concentration per group (Gini 1912; the
+    * rank-sum form e.g. Sen 1973 §2.8): how unequally a group's mass is
+    * spread over its members — the corpus-balance audit next to
+    * [[graft.operators.CorpusStats.sourceDiversity]]'s Simpson index
+    * (Simpson asks "how many effective sources?", Gini asks "how skewed
+    * is the mass WITHIN one?"): G near 1 = a few whale documents carry
+    * the source, G = 0 = perfectly even.
+    *
+    * With r_i the 1-based ascending rank of value x_i within its group
+    * (ties broken by the unique `idCol` — Σ r_i·x_i is tie-break
+    * invariant, since swapped positions hold equal values):
+    *
+    *   G = (2·Σ r_i·x_i − (n+1)·Σ x_i) / (n·Σ x_i)
+    *
+    * Exactness: values cast to DECIMAL(18,6) (≤6-dp contract), ranks
+    * exact longs from the narrow range-partitioned pass — so Σ r·x and
+    * Σ x are EXACT decimals and G is one fixed IEEE sequence over their
+    * double casts. Values must be ≥ 0 (Gini's domain — loud in-plan
+    * assert); NULL values are excluded; a group with Σ x = 0 (all
+    * zeros) has no mass to concentrate and yields NULL.
+    *
+    * Scale: the [[exactQuantiles]] discipline — one
+    * [[SurrogateKeys.sequential]] global rank over (group, value, id)
+    * plus the range-partitioned group-offset prefix pass; no per-group
+    * window sort, so a group holding 40% of the corpus never parks in
+    * one task. The offsets frame is group-sized and broadcasts back.
+    *
+    * @return one row per group: `(groupCol, n, gini)`
+    */
+  def giniCoefficient(df: DataFrame, groupCol: String, valueCol: String,
+      idCol: String): DataFrame = {
+    val base = df.select(col(groupCol),
+        col(valueCol).cast(DecimalType(18, 6)).as("__v"), col(idCol))
+      .filter(col("__v").isNotNull)
+    val ranked = SurrogateKeys.sequential(base, "__gr",
+      Seq(col(groupCol), col("__v"), col(idCol)), assumeUnique = true)
+    val counts = base.groupBy(col(groupCol)).agg(count(lit(1)).as("n"))
+    val offsets = SurrogateKeys.prefixSumLong(counts, "n",
+      Seq(col(groupCol)), "__off")
+    // negative mass makes G escape [0, 1] and the rank-sum identity
+    // meaningless — fail loudly, never a silently-wrong coefficient
+    val negGuard = coalesce(
+      assert_true(col("__v") >= 0,
+        lit("giniCoefficient: negative value — Gini is defined over " +
+          "non-negative mass; shift or clamp upstream")).cast("long"),
+      lit(0L))
+    val withRank = ranked
+      .join(broadcast(offsets.select(col(groupCol), col("__off"))),
+        Seq(groupCol))
+      .withColumn("__r", col("__gr") - col("__off") + negGuard)
+    val agg = withRank.groupBy(col(groupCol)).agg(
+      count(lit(1)).as("n"),
+      sum(col("__v")).as("__sv"),
+      sum(col("__r").cast(DecimalType(18, 0)) * col("__v")).as("__srv"))
+    val nD = col("n").cast("double")
+    val sv = col("__sv").cast("double")
+    agg.select(col(groupCol), col("n"),
+      when(sv > 0.0,
+        (lit(2.0) * col("__srv").cast("double") - (nD + lit(1.0)) * sv) /
+          (nD * sv)).as("gini"))
+  }
+
   /** ECDF / percentile-rank transform — F_g(v) = #{v' ≤ v} / n_g per
     * group, the cross-domain score normalizer (a quality score's
     * percentile within its OWN language is comparable across languages

@@ -1081,6 +1081,337 @@ object DqQueries extends QueryModule {
       """.trim),
       // Verify-only (bench-tail policy): one group aggregate — the
       // minimal shape
+      bench = false),
+
+    // --- PEARSON correlation between two quality signals (char count
+    // vs token count) per language — the linear-association companion
+    // to q230's Spearman screen: both high = the signals are
+    // interchangeable, Spearman high + Pearson low = monotone but
+    // curved. Five exact DECIMAL sufficient sums, one fixed IEEE
+    // sequence per group. ---
+    GQuery(
+      "q259_pearson_signals",
+      (spark, dir) => {
+        val d = Tables.docs(spark, dir).select(col("lang"), col("n_chars"),
+          size(org.apache.spark.sql.functions.filter(
+            split(col("text"), " "), w => w =!= ""))
+            .cast("long").as("n_tokens"))
+        graft.operators.Association.pearsonCorr(d, "lang", "n_chars",
+            "n_tokens")
+          .select(col("lang"), col("n"),
+            round(col("pearson_r"), 6).as("r_r"))
+          .orderBy(col("lang"))
+      },
+      Some("""
+        WITH d AS (
+          SELECT lang,
+                 CAST(n_chars AS DECIMAL(18,6)) AS x,
+                 CAST(CAST(len(list_filter(string_split(text, ' '),
+                   s -> s <> '')) AS BIGINT) AS DECIMAL(18,6)) AS y
+          FROM documents),
+        ag AS (
+          SELECT lang, CAST(COUNT(*) AS BIGINT) AS n,
+                 SUM(x) AS sx, SUM(y) AS sy, SUM(x * x) AS sxx,
+                 SUM(y * y) AS syy, SUM(x * y) AS sxy
+          FROM d WHERE x IS NOT NULL AND y IS NOT NULL GROUP BY lang)
+        SELECT lang, n,
+               CASE WHEN n >= 2
+                     AND CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                         - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0
+                     AND CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                         - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) > 0
+                 THEN round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                         - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                     / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                             - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                        * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                             - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))),
+                     6)
+               END AS r_r
+        FROM ag ORDER BY lang
+      """.trim),
+      // Verify-only (bench-tail policy): one group aggregate — the
+      // q258 shape
+      bench = false),
+
+    // --- GINI concentration of document length per source — the
+    // corpus-balance audit next to q202's Simpson diversity: Simpson
+    // asks "how many effective sources?", this asks "how skewed is the
+    // mass WITHIN one?". Ranks from the narrow range-partitioned pass
+    // (no per-group window sort), exact decimal Σr·x and Σx, one fixed
+    // IEEE sequence per group. ---
+    GQuery(
+      "q260_gini_length",
+      (spark, dir) => {
+        val d = Tables.docs(spark, dir).select(col("source"),
+          col("n_chars"), col("doc_id"))
+        graft.operators.Profiler.giniCoefficient(d, "source", "n_chars",
+            "doc_id")
+          .select(col("source"), col("n"),
+            round(col("gini"), 6).as("gini_r"))
+          .orderBy(col("source"))
+      },
+      Some("""
+        WITH d AS (
+          SELECT source, CAST(n_chars AS DECIMAL(18,6)) AS v, doc_id,
+                 ROW_NUMBER() OVER (PARTITION BY source
+                   ORDER BY CAST(n_chars AS DECIMAL(18,6)), doc_id) AS r
+          FROM documents WHERE n_chars IS NOT NULL),
+        ag AS (
+          SELECT source, CAST(COUNT(*) AS BIGINT) AS n, SUM(v) AS sv,
+                 SUM(CAST(r AS DECIMAL(18,0)) * v) AS srv
+          FROM d GROUP BY source)
+        SELECT source, n,
+               CASE WHEN CAST(sv AS DOUBLE) > 0 THEN
+                 round((2.0 * CAST(srv AS DOUBLE)
+                     - (CAST(n AS DOUBLE) + 1.0) * CAST(sv AS DOUBLE))
+                   / (CAST(n AS DOUBLE) * CAST(sv AS DOUBLE)), 6)
+               END AS gini_r
+        FROM ag ORDER BY source
+      """.trim),
+      // Verify-only (bench-tail policy): the q244 narrow rank pass +
+      // one group aggregate
+      bench = false),
+
+    // --- CRAMÉR'S V of order priority × status — the facet-dependence
+    // audit (χ² normalized to [0,1] by n·(min(r,c)−1), so the number
+    // does not grow with the corpus the way raw χ² does). Full r×c
+    // grid including zero cells; per-cell parts folded in sorted (a,b)
+    // order — never partition-arrival order. ---
+    GQuery(
+      "q261_cramers_v",
+      (spark, dir) =>
+        graft.operators.Association.cramersV(t(spark, dir, "orders"),
+            "o_orderpriority", "o_orderstatus")
+          .select(col("n"), col("n_rows"), col("n_cols"),
+            round(col("chi2"), 6).as("chi2_r"),
+            round(col("cramers_v"), 6).as("v_r")),
+      Some("""
+        WITH base AS (
+          SELECT CAST(o_orderpriority AS VARCHAR) AS a,
+                 CAST(o_orderstatus AS VARCHAR) AS b
+          FROM orders
+          WHERE o_orderpriority IS NOT NULL AND o_orderstatus IS NOT NULL),
+        cells AS (
+          SELECT a, b, CAST(COUNT(*) AS BIGINT) AS o
+          FROM base GROUP BY a, b),
+        wm AS (
+          SELECT a, b, o,
+                 CAST(SUM(o) OVER (PARTITION BY a) AS BIGINT) AS ra,
+                 CAST(SUM(o) OVER (PARTITION BY b) AS BIGINT) AS cb,
+                 CAST(SUM(o) OVER () AS BIGINT) AS n
+          FROM cells),
+        parts AS (
+          SELECT a, b, n, e,
+                 (CAST(o AS DOUBLE) - e) * (CAST(o AS DOUBLE) - e) / e
+                   AS part
+          FROM (SELECT a, b, o, n,
+                  CAST(CAST(ra AS DECIMAL(18,0)) * CAST(cb AS DECIMAL(18,0))
+                    AS DOUBLE) / CAST(n AS DOUBLE) AS e
+                FROM wm)),
+        s AS (
+          SELECT CAST(MIN(n) AS BIGINT) AS n,
+                 CAST(COUNT(DISTINCT a) AS BIGINT) AS n_rows,
+                 CAST(COUNT(DISTINCT b) AS BIGINT) AS n_cols,
+                 list_sum(list(part ORDER BY a, b))
+                   + GREATEST(0.0, CAST(MIN(n) AS DOUBLE)
+                       - list_sum(list(e ORDER BY a, b))) AS chi2
+          FROM parts)
+        SELECT n, n_rows, n_cols, round(chi2, 6) AS chi2_r,
+               round(sqrt(chi2 / (CAST(n AS DOUBLE)
+                 * CAST(LEAST(n_rows, n_cols) - 1 AS DOUBLE))), 6)
+                 AS v_r
+        FROM s
+      """.trim),
+      // Verify-only (bench-tail policy): two count aggregates + a
+      // table-sized grid fold
+      bench = false),
+
+    // --- HELLINGER distance between the source distributions of the
+    // even/odd doc_id halves — the bounded [0,1] one-number summary
+    // next to q232's per-cell χ² drift report (χ² is unbounded in n
+    // and degenerates on one-sided categories; Hellinger does
+    // neither). BC folded in sorted category order; 1−BC clamped at 0
+    // before the outer sqrt. ---
+    GQuery(
+      "q262_hellinger_sources",
+      (spark, dir) => {
+        val d = Tables.docs(spark, dir).select(col("doc_id"), col("source"))
+        graft.operators.Association.hellinger(
+            d.filter(col("doc_id") % 2 === 0),
+            d.filter(col("doc_id") % 2 === 1), "source")
+          .select(col("n_categories"), round(col("bc"), 6).as("bc_r"),
+            round(col("hellinger"), 6).as("h_r"))
+      },
+      Some("""
+        WITH u AS (
+          SELECT CAST(source AS VARCHAR) AS category, 1 AS ia
+          FROM documents WHERE doc_id % 2 = 0 AND source IS NOT NULL
+          UNION ALL
+          SELECT CAST(source AS VARCHAR), 0
+          FROM documents WHERE doc_id % 2 = 1 AND source IS NOT NULL),
+        pc AS (
+          SELECT category, CAST(SUM(ia) AS BIGINT) AS na,
+                 CAST(SUM(1 - ia) AS BIGINT) AS nb
+          FROM u GROUP BY category),
+        tt AS (SELECT CAST(SUM(na) AS BIGINT) AS ta,
+                      CAST(SUM(nb) AS BIGINT) AS tb FROM pc),
+        parts AS (
+          SELECT category,
+                 sqrt((CAST(na AS DOUBLE) / CAST(ta AS DOUBLE))
+                   * (CAST(nb AS DOUBLE) / CAST(tb AS DOUBLE))) AS part
+          FROM pc CROSS JOIN tt),
+        s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_categories,
+                     list_sum(list(part ORDER BY category)) AS bc
+              FROM parts)
+        SELECT n_categories, round(bc, 6) AS bc_r,
+               round(sqrt(GREATEST(0.0, 1.0 - bc)), 6) AS h_r
+        FROM s
+      """.trim),
+      // Verify-only (bench-tail policy): one union count aggregate +
+      // a category-sized fold
+      bench = false),
+
+    // --- FLEISS' KAPPA over three deterministic quality "raters"
+    // (token count ≥ 30, char count ≥ 150, contains a period) voting
+    // pass/fail per document — the ensemble-trust gate before a
+    // heuristic majority vote is used as training signal (κ near 0 =
+    // the vote is chance-level noise). Exact integer sums, two IEEE
+    // divisions, the Cohen's-κ NULL convention on a single-category
+    // degenerate. ---
+    GQuery(
+      "q263_fleiss_kappa",
+      (spark, dir) => {
+        val d = Tables.docs(spark, dir).select(col("doc_id"), col("text"),
+          col("n_chars"))
+        val toks = size(org.apache.spark.sql.functions.filter(
+          split(col("text"), " "), w => w =!= "")).cast("long")
+        // melt via ONE scan + a row-local explode (a 3-way UNION of
+        // selects would read the corpus three times per reference)
+        val melted = d.select(col("doc_id").as("item"), explode(array(
+            struct(lit("tok30").as("rater"),
+              when(toks >= 30L, "pass").otherwise("fail").as("label")),
+            struct(lit("chars150").as("rater"),
+              when(col("n_chars") >= 150L, "pass").otherwise("fail")
+                .as("label")),
+            struct(lit("period").as("rater"),
+              when(instr(col("text"), ".") > 0, "pass").otherwise("fail")
+                .as("label")))).as("rl"))
+          .select(col("item"), col("rl.rater").as("rater"),
+            col("rl.label").as("label"))
+        graft.operators.Association.fleissKappa(melted,
+            "item", "rater", "label")
+          .select(col("n_items"), col("n_raters"), col("n_categories"),
+            round(col("p_bar"), 6).as("p_bar_r"),
+            round(col("p_e"), 6).as("p_e_r"),
+            round(col("kappa"), 6).as("kappa_r"))
+      },
+      Some("""
+        WITH d AS (SELECT doc_id, text, n_chars FROM documents),
+        r AS (
+          SELECT doc_id AS item, 'tok30' AS rater,
+                 CASE WHEN CAST(len(list_filter(string_split(text, ' '),
+                   s -> s <> '')) AS BIGINT) >= 30
+                   THEN 'pass' ELSE 'fail' END AS label
+          FROM d
+          UNION ALL
+          SELECT doc_id, 'chars150',
+                 CASE WHEN n_chars >= 150 THEN 'pass' ELSE 'fail' END
+          FROM d
+          UNION ALL
+          SELECT doc_id, 'period',
+                 CASE WHEN position('.' IN text) > 0
+                   THEN 'pass' ELSE 'fail' END
+          FROM d),
+        nij AS (
+          SELECT item, label, CAST(COUNT(*) AS BIGINT) AS m
+          FROM r WHERE item IS NOT NULL AND label IS NOT NULL
+          GROUP BY item, label),
+        pi AS (SELECT item, CAST(SUM(m) AS BIGINT) AS ni,
+                      CAST(SUM(m * m) AS BIGINT) AS s2i
+               FROM nij GROUP BY item),
+        cj AS (SELECT label, CAST(SUM(m) AS BIGINT) AS c
+               FROM nij GROUP BY label),
+        ia AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_items,
+                      MIN(ni) AS nmin, CAST(SUM(s2i) AS BIGINT) AS s2
+               FROM pi),
+        ca AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_categories,
+                      SUM(CAST(c AS DECIMAL(18,0))
+                        * CAST(c AS DECIMAL(18,0))) AS sc2
+               FROM cj),
+        fin AS (
+          SELECT n_items, nmin, n_categories,
+                 (CAST(s2 AS DOUBLE)
+                   - CAST(n_items AS DOUBLE) * CAST(nmin AS DOUBLE))
+                 / (CAST(n_items AS DOUBLE) * CAST(nmin AS DOUBLE)
+                   * (CAST(nmin AS DOUBLE) - 1.0)) AS p_bar,
+                 CAST(sc2 AS DOUBLE)
+                 / ((CAST(n_items AS DOUBLE) * CAST(nmin AS DOUBLE))
+                   * (CAST(n_items AS DOUBLE) * CAST(nmin AS DOUBLE)))
+                   AS p_e
+          FROM ia CROSS JOIN ca)
+        SELECT n_items, nmin AS n_raters, n_categories,
+               round(p_bar, 6) AS p_bar_r, round(p_e, 6) AS p_e_r,
+               CASE WHEN 1.0 - p_e <> 0.0
+                 THEN round((p_bar - p_e) / (1.0 - p_e), 6) END
+                 AS kappa_r
+        FROM fin
+      """.trim),
+      // Verify-only (bench-tail policy): two narrow count aggregates +
+      // a scalar row
+      bench = false),
+
+    // --- LAG-1 AUTOCORRELATION of the daily order-count series —
+    // pearsonCorr re-used as the time-series memory probe (a mixture
+    // shift or weekly seasonality shows up here before a mean monitor
+    // moves). Pairs by a calendar-bounded date self-join (only present
+    // consecutive days pair — the daily frame is calendar-sized, never
+    // corpus-sized), not a single-partition lag window. ---
+    GQuery(
+      "q264_acf_lag1",
+      (spark, dir) => {
+        val daily = t(spark, dir, "orders")
+          .groupBy(to_date(col("o_orderdate")).as("d"))
+          .agg(count(lit(1)).as("c"))
+        val pairs = daily
+          .join(daily.select(date_add(col("d"), 1).as("d"),
+            col("c").as("c_prev")), Seq("d"))
+          .withColumn("g", lit("daily"))
+        graft.operators.Association.pearsonCorr(pairs, "g", "c_prev", "c")
+          .select(col("n"), round(col("pearson_r"), 6).as("acf1_r"))
+      },
+      Some("""
+        WITH daily AS (
+          SELECT CAST(o_orderdate AS DATE) AS d,
+                 CAST(COUNT(*) AS BIGINT) AS c
+          FROM orders GROUP BY 1),
+        p AS (
+          SELECT CAST(a.c AS DECIMAL(18,6)) AS y,
+                 CAST(b.c AS DECIMAL(18,6)) AS x
+          FROM daily a JOIN daily b ON a.d = b.d + INTERVAL 1 DAY),
+        ag AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                 SUM(x) AS sx, SUM(y) AS sy, SUM(x * x) AS sxx,
+                 SUM(y * y) AS syy, SUM(x * y) AS sxy
+          FROM p)
+        SELECT n,
+               CASE WHEN n >= 2
+                     AND CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                         - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0
+                     AND CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                         - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) > 0
+                 THEN round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                         - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                     / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                             - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                        * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                             - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))),
+                     6)
+               END AS acf1_r
+        FROM ag
+      """.trim),
+      // Verify-only (bench-tail policy): calendar-sized aggregate +
+      // self-join
       bench = false)
   )
 }

@@ -1,0 +1,205 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** Association & agreement tier (Association.scala + Profiler.gini):
+  * hand-computed values, closed-form edges (perfect/degenerate), NULL
+  * discipline, and the loud-contract guards. The q259-q264 gates certify
+  * DuckDB bit-parity; this spec certifies the semantics.
+  */
+class AssociationSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  // ---------------- pearsonCorr ----------------
+
+  test("pearsonCorr: exact ±1 on linear data, hand value, NULL " +
+    "exclusion, zero-variance and n<2 yield NULL") {
+    val lin = (1 to 10).map(i => ("g", i.toDouble, 3.0 * i + 7.0))
+      .toDF("g", "x", "y")
+    val up = Association.pearsonCorr(lin, "g", "x", "y").head()
+    assert(math.abs(up.getAs[Double]("pearson_r") - 1.0) < 1e-12)
+    val down = Association.pearsonCorr(
+      lin.withColumn("y", -col("y")), "g", "x", "y").head()
+    assert(math.abs(down.getAs[Double]("pearson_r") + 1.0) < 1e-12)
+    // hand case: x=(1,2,3), y=(1,3,2) -> r = 1/2
+    val hand = Seq(("g", 1.0, 1.0), ("g", 2.0, 3.0), ("g", 3.0, 2.0))
+      .toDF("g", "x", "y")
+    val r = Association.pearsonCorr(hand, "g", "x", "y").head()
+    assert(math.abs(r.getAs[Double]("pearson_r") - 0.5) < 1e-12)
+    // NULL rows excluded pairwise-complete; n reflects it
+    val withNull = hand.unionByName(
+      Seq(("g", null: java.lang.Double, 9.0)).toDF("g", "x", "y"))
+    val rn = Association.pearsonCorr(withNull, "g", "x", "y").head()
+    assert(rn.getAs[Long]("n") == 3L)
+    assert(math.abs(rn.getAs[Double]("pearson_r") - 0.5) < 1e-12)
+    // constant x -> zero variance -> NULL, not NaN
+    val flat = Seq(("g", 1.0, 1.0), ("g", 1.0, 2.0)).toDF("g", "x", "y")
+    val rf = Association.pearsonCorr(flat, "g", "x", "y").head()
+    assert(rf.isNullAt(rf.fieldIndex("pearson_r")))
+    // single pair -> NULL
+    val one = Seq(("g", 1.0, 1.0)).toDF("g", "x", "y")
+    val r1 = Association.pearsonCorr(one, "g", "x", "y").head()
+    assert(r1.isNullAt(r1.fieldIndex("pearson_r")))
+  }
+
+  // ---------------- cramersV ----------------
+
+  test("cramersV: 1 on a determined 2x2, 0 on exact independence, " +
+    "hand chi2, degenerate 1xc fails loudly") {
+    // perfect association: a determines b
+    val det = (Seq.fill(5)(("x", "p")) ++ Seq.fill(7)(("y", "q")))
+      .toDF("a", "b")
+    val vd = Association.cramersV(det, "a", "b").head()
+    assert(math.abs(vd.getAs[Double]("cramers_v") - 1.0) < 1e-12)
+    // exact independence: counts = outer product -> chi2 = 0
+    val ind = (Seq.fill(4)(("x", "p")) ++ Seq.fill(2)(("x", "q"))
+      ++ Seq.fill(8)(("y", "p")) ++ Seq.fill(4)(("y", "q")))
+      .toDF("a", "b")
+    val vi = Association.cramersV(ind, "a", "b").head()
+    assert(math.abs(vi.getAs[Double]("chi2")) < 1e-12)
+    assert(math.abs(vi.getAs[Double]("cramers_v")) < 1e-12)
+    // hand 2x2: cells (10,0 / 5,5): n=20, ra=(10,10), cb=(15,5)
+    // e = (7.5,2.5 / 7.5,2.5); chi2 = 2*(2.5^2/7.5) + 2*(2.5^2/2.5)
+    //    = 20/3 + ... = 0.8333+0.8333+2.5+2.5 = 6.6667; V = sqrt(chi2/20)
+    val hand = (Seq.fill(10)(("x", "p"))
+      ++ Seq.fill(5)(("y", "p")) ++ Seq.fill(5)(("y", "q")))
+      .toDF("a", "b")
+    val vh = Association.cramersV(hand, "a", "b").head()
+    val expChi2 = 2 * (2.5 * 2.5 / 7.5) + 2 * (2.5 * 2.5 / 2.5)
+    assert(math.abs(vh.getAs[Double]("chi2") - expChi2) < 1e-9)
+    assert(math.abs(vh.getAs[Double]("cramers_v")
+      - math.sqrt(expChi2 / 20.0)) < 1e-9)
+    assert(vh.getAs[Long]("n") == 20L)
+    // single-valued column: no association question -> loud
+    val flat = Seq(("x", "p"), ("x", "q")).toDF("a", "b")
+    val boom = intercept[Exception] {
+      Association.cramersV(flat, "a", "b").collect()
+    }
+    assert(boom.getMessage != null)
+  }
+
+  // ---------------- hellinger ----------------
+
+  test("hellinger: 0 on identical, 1 on disjoint, hand value, empty " +
+    "side fails loudly") {
+    val s1 = Seq("a", "a", "b", "b").toDF("k")
+    assert(Association.hellinger(s1, s1, "k").head()
+      .getAs[Double]("hellinger") == 0.0)
+    val s2 = Seq("c", "c").toDF("k")
+    assert(math.abs(Association.hellinger(s1, s2, "k").head()
+      .getAs[Double]("hellinger") - 1.0) < 1e-12)
+    // hand: p=(3/4, 1/4), q=(1/4, 3/4): BC = 2*sqrt(3)/4
+    val a = Seq("a", "a", "a", "b").toDF("k")
+    val b = Seq("a", "b", "b", "b").toDF("k")
+    val h = Association.hellinger(a, b, "k").head()
+    val bc = 2.0 * math.sqrt(3.0) / 4.0
+    assert(math.abs(h.getAs[Double]("bc") - bc) < 1e-12)
+    assert(math.abs(h.getAs[Double]("hellinger")
+      - math.sqrt(1.0 - bc)) < 1e-12)
+    assert(h.getAs[Long]("n_categories") == 2L)
+    val boom = intercept[Exception] {
+      Association.hellinger(s1, s1.filter(lit(false)), "k").collect()
+    }
+    assert(boom.getMessage != null)
+  }
+
+  // ---------------- fleissKappa ----------------
+
+  /** Melt an items×categories count table into (item, rater, label)
+    * rows; rater ids are arbitrary but unique within an item.
+    */
+  private def melt(table: Seq[Seq[Int]]): org.apache.spark.sql.DataFrame =
+    table.zipWithIndex.flatMap { case (row, i) =>
+      var rater = 0
+      row.zipWithIndex.flatMap { case (m, j) =>
+        (0 until m).map { _ =>
+          rater += 1
+          (i.toLong, rater, s"c$j")
+        }
+      }
+    }.toDF("item", "rater", "label")
+
+  test("fleissKappa: Fleiss 1971 worked table, perfect agreement = 1, " +
+    "single-category NULL, ragged raters fail loudly") {
+    // the classic 10-item / 14-rater / 5-category table
+    val table = Seq(
+      Seq(0, 0, 0, 0, 14), Seq(0, 2, 6, 4, 2), Seq(0, 0, 3, 5, 6),
+      Seq(0, 3, 9, 2, 0), Seq(2, 2, 8, 1, 1), Seq(7, 7, 0, 0, 0),
+      Seq(3, 2, 6, 3, 0), Seq(2, 5, 3, 2, 2), Seq(6, 5, 2, 1, 0),
+      Seq(0, 2, 2, 3, 7))
+    // independent in-memory model
+    val bigN = table.size.toDouble
+    val n = 14.0
+    val s2 = table.flatten.map(m => m.toLong * m).sum.toDouble
+    val pBar = (s2 - bigN * n) / (bigN * n * (n - 1.0))
+    val cj = table.transpose.map(_.sum.toLong)
+    val pE = cj.map(c => c.toDouble * c.toDouble).sum / ((bigN * n) * (bigN * n))
+    val expKappa = (pBar - pE) / (1.0 - pE)
+    val got = Association.fleissKappa(melt(table), "item", "rater",
+      "label").head()
+    assert(got.getAs[Long]("n_items") == 10L)
+    assert(got.getAs[Long]("n_raters") == 14L)
+    assert(got.getAs[Long]("n_categories") == 5L)
+    assert(math.abs(got.getAs[Double]("p_bar") - pBar) < 1e-12)
+    assert(math.abs(got.getAs[Double]("p_e") - pE) < 1e-12)
+    assert(math.abs(got.getAs[Double]("kappa") - expKappa) < 1e-12)
+    // the published value of this table is ~0.21 — sanity anchor
+    assert(math.abs(expKappa - 0.21) < 0.01)
+    // perfect agreement (every rater, same category per item, >1 cat)
+    val perfect = melt(Seq(Seq(3, 0), Seq(0, 3)))
+    assert(Association.fleissKappa(perfect, "item", "rater", "label")
+      .head().getAs[Double]("kappa") == 1.0)
+    // all mass in ONE category: 1 - pE = 0 -> NULL, not a blow-up
+    val mono = melt(Seq(Seq(3), Seq(3)))
+    val km = Association.fleissKappa(mono, "item", "rater", "label").head()
+    assert(km.isNullAt(km.fieldIndex("kappa")))
+    // ragged rater counts -> loud
+    val ragged = melt(Seq(Seq(3, 0), Seq(0, 2)))
+    val boom = intercept[Exception] {
+      Association.fleissKappa(ragged, "item", "rater", "label").collect()
+    }
+    assert(boom.getMessage != null)
+  }
+
+  // ---------------- giniCoefficient ----------------
+
+  test("giniCoefficient: 0 on equal mass, (n-1)/n on one owner, hand " +
+    "value, NULL/zero/negative discipline") {
+    def run(rows: Seq[(String, java.lang.Double, Long)]) =
+      Profiler.giniCoefficient(rows.toDF("g", "v", "id"), "g", "v", "id")
+        .collect().map(r => r.getAs[String]("g") -> r).toMap
+    val equal = (1L to 5L).map(i => ("eq", 7.0: java.lang.Double, i))
+    assert(math.abs(run(equal)("eq").getAs[Double]("gini")) < 1e-12)
+    // one owner of everything: G = (n-1)/n = 0.75 at n=4
+    val owner = Seq(("ow", 0.0: java.lang.Double, 1L),
+      ("ow", 0.0: java.lang.Double, 2L),
+      ("ow", 0.0: java.lang.Double, 3L),
+      ("ow", 10.0: java.lang.Double, 4L))
+    assert(math.abs(run(owner)("ow").getAs[Double]("gini") - 0.75) < 1e-12)
+    // hand: values (1,2,3,4): sum=10, sum r*x = 1+4+9+16 = 30
+    // G = (60 - 5*10) / (4*10) = 0.25
+    val hand = (1L to 4L).map(i => ("h", i.toDouble: java.lang.Double, i))
+    assert(math.abs(run(hand)("h").getAs[Double]("gini") - 0.25) < 1e-12)
+    // NULL excluded from n and the sums
+    val withNull = hand :+ (("h", null: java.lang.Double, 99L))
+    val gn = run(withNull)("h")
+    assert(gn.getAs[Long]("n") == 4L)
+    assert(math.abs(gn.getAs[Double]("gini") - 0.25) < 1e-12)
+    // all-zero mass: nothing to concentrate -> NULL
+    val zero = Seq(("z", 0.0: java.lang.Double, 1L),
+      ("z", 0.0: java.lang.Double, 2L))
+    val gz = run(zero)("z")
+    assert(gz.isNullAt(gz.fieldIndex("gini")))
+    // negative mass -> loud
+    val boom = intercept[Exception] {
+      Profiler.giniCoefficient(
+        Seq(("n", -1.0: java.lang.Double, 1L)).toDF("g", "v", "id"),
+        "g", "v", "id").collect()
+    }
+    assert(boom.getMessage != null)
+  }
+}

@@ -58,6 +58,23 @@ class GatePlanSpec extends AnyFunSuite {
     // one group aggregate + sort, the minimal shape
     "q257_shard_manifest" -> (8, 1),
     "q258_wilson_ci" -> (3, 0),
+    // round-13 additions (docs/orders spread + output sort included).
+    // q259 = ONE sufficient-sums group agg + sort; q260 = the q244
+    // narrow rank pass + offsets/targets broadcasts + group agg +
+    // sort; q261 = ONE corpus cell agg + marginal/total windows over
+    // the r×c frame + sorted scalar fold (one scan — the missing-cell
+    // identity replaces the grid join); q262 = the two-snapshot union
+    // agg + total window + scalar fold; q263 = row-local explode melt
+    // (one scan per branch) → (item,label) agg → item/category
+    // branches (byte-identical nij subtree — stage reuse) → scalar
+    // row; q264 = calendar-sized daily agg + broadcast pair self-join
+    // + sufficient-sums agg
+    "q259_pearson_signals" -> (3, 0),
+    "q260_gini_length" -> (3, 2),
+    "q261_cramers_v" -> (6, 0),
+    "q262_hellinger_sources" -> (6, 0),
+    "q263_fleiss_kappa" -> (8, 1),
+    "q264_acf_lag1" -> (3, 1),
     "q250_numeric_drift" -> (2, 1),
     "q251_benford" -> (4, 2),
     "q252_theil_sen" -> (14, 9),
