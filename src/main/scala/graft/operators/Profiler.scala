@@ -945,6 +945,86 @@ object Profiler {
         col("at_value"))
   }
 
+  /** 1-WASSERSTEIN (earth-mover) distance between two numeric snapshots
+    * (Monge 1781 / Kantorovich 1942; Ramdas et al. 2017 for the
+    * one-dimensional CDF form): W₁ = ∫ |F_A(v) − F_B(v)| dv — the
+    * MAGNITUDE-carrying drift number that completes the family: KS
+    * ([[ksTest]]) is the worst-case CDF gap (shape-sensitive,
+    * scale-free), Mann-Whitney ([[numericDrift]]) is rank-only
+    * (location, unit-free), W₁ answers "HOW FAR did the mass move, in
+    * the column's own units" — the number a cost model or SLA reads.
+    *
+    * EXACT until one division: over the sorted distinct values v_1..v_m,
+    * W₁·n_a·n_b = Σᵢ |cumA_i·n_b − cumB_i·n_a| · (v_{i+1} − v_i) — every
+    * factor an exact long/decimal (values in the house DECIMAL(12,2)
+    * policy: ≤2-dp contract, |v| < 1e10; the final segment needs no
+    * term, its CDF gap is identically 0). ONE IEEE division at the end.
+    *
+    * Scale: the [[ksTest]] shape — one value-keyed count aggregate +
+    * the range-partitioned prefix pass — plus segment widths via an
+    * EQUI-JOIN on the distinct-value rank (rank r joins rank r−1; the
+    * ksTest sequential pass supplies r), NOT a single-partition lead
+    * window over the value domain (distinct prices at corpus scale are
+    * themselves corpus-sized). The ranked frame is consumed by BOTH
+    * join sides and the totals, so it is eagerly checkpointed once
+    * (the reapKeep discipline) and the side totals read off its last
+    * cumulatives — the corpus is aggregated exactly ONCE. Same
+    * n_a·n_b < 4e18 capacity guard.
+    *
+    * @return one row: `(n_a, n_b, w1)` — NULL w1 when a side is empty;
+    *         0 when both sides share a single point mass
+    */
+  def wasserstein1(a: DataFrame, b: DataFrame, valueCol: String): DataFrame = {
+    val dec = DecimalType(12, 2)
+    val u = a.select(col(valueCol).cast(dec).as("__v"), lit(1L).as("__ia"))
+      .unionByName(
+        b.select(col(valueCol).cast(dec).as("__v"), lit(0L).as("__ia")))
+      .filter(col("__v").isNotNull)
+    val perVal = u.groupBy(col("__v"))
+      .agg(sum(col("__ia")).as("__ca"), sum(lit(1L) - col("__ia")).as("__cb"))
+    val pa = SurrogateKeys.prefixSumLong(perVal, "__ca", Seq(col("__v")),
+      "__offa")
+    val pb = SurrogateKeys.prefixSumLong(pa, "__cb", Seq(col("__v")),
+      "__offb")
+    val (ranked, rankedHandle) = graft.core.Caching.reapKeep(
+      SurrogateKeys.sequential(pb, "__r", Seq(col("__v")),
+        assumeUnique = true))
+    // side totals = the LAST cumulatives of the checkpointed frame —
+    // no second pass over the raw union
+    val tot = ranked.agg(max(col("__offa") + col("__ca")).as("n_a"),
+      max(col("__offb") + col("__cb")).as("n_b"))
+    val capGuard = coalesce(
+      assert_true(col("n_a").cast("double") * col("n_b").cast("double")
+        < lit(4.0e18),
+        lit("wasserstein1: n_a*n_b exceeds exact long capacity — shard " +
+          "the comparison upstream")).cast("long"),
+      lit(0L))
+    // segment [v_r, v_{r+1}): width from the NEXT distinct value by
+    // rank equi-join; the top value has no successor and inner-join
+    // drops it (its gap is 0 — both CDFs have reached 1)
+    val nxt = ranked.select((col("__r") - 1L).as("__r"),
+      col("__v").as("__vn"))
+    val segs = ranked.join(nxt, Seq("__r"))
+      .crossJoin(broadcast(tot))
+      .select((abs((col("__offa") + col("__ca")) * col("n_b")
+          - (col("__offb") + col("__cb")) * col("n_a") + capGuard)
+          .cast(DecimalType(20, 0))
+        * (col("__vn") - col("__v")).cast(DecimalType(13, 2)))
+        .as("__seg"))
+    val segSum = segs.agg(
+      coalesce(sum(col("__seg")), lit(0).cast(DecimalType(38, 2)))
+        .as("__s"))
+    val result = tot.crossJoin(segSum)
+      .select(col("n_a"), col("n_b"),
+        when(col("n_a") > 0 && col("n_b") > 0,
+          col("__s").cast("double") /
+            (col("n_a").cast("double") * col("n_b").cast("double")))
+          .as("w1"))
+    val (reaped, _) = graft.core.Caching.reapKeep(result)
+    rankedHandle.unpersist(blocking = false)
+    reaped
+  }
+
   /** NUMERIC drift between two snapshots — the Mann-Whitney two-sample
     * test (Mann & Whitney 1947) through [[aucExact]]: label snapshot B's
     * rows 1 and A's 0, and the exact midrank AUC IS the common-language

@@ -321,4 +321,122 @@ object Search {
         org.apache.spark.sql.expressions.Window
           .orderBy(col("rrf").desc, col(idCol))))
   }
+
+  /** 1/log₂(i+1) DCG gain weights for ranks 1..20, pinned as
+    * shortest-round-trip double literals (the BenfordP discipline —
+    * never a runtime libm log; both engines parse the SAME bits). 20 is
+    * the supported rank-cutoff ceiling, far past the k ∈ {5, 10} every
+    * retrieval eval actually reports.
+    */
+  val DcgWeights: Seq[Double] = Seq(
+    1.0, 0.6309297535714575, 0.5, 0.43067655807339306,
+    0.38685280723454163, 0.3562071871080222, 0.3333333333333333,
+    0.31546487678572877, 0.3010299956639812, 0.2890648263178879,
+    0.27894294565112987, 0.27023815442731974, 0.26264953503719357,
+    0.2559580248098155, 0.25, 0.24465054211822604, 0.23981246656813146,
+    0.23540891336663824, 0.23137821315975915, 0.227670248696953)
+
+  /** Ideal-DCG prefix sums of [[DcgWeights]]: `IdcgPrefix(j-1)` = the
+    * DCG of j relevant documents at ranks 1..j. Computed ONCE here by a
+    * fixed left fold and rendered into the oracle as the SAME literals
+    * — both engines look the value up, neither re-sums.
+    */
+  val IdcgPrefix: Seq[Double] =
+    DcgWeights.scanLeft(0.0)(_ + _).tail
+
+  /** RANKED-RETRIEVAL EVALUATION — per-query NDCG@k (Järvelin &
+    * Kekäläinen 2002, binary gains) and reciprocal rank (the MRR
+    * numerator), judged against a binary-relevance truth set: the
+    * metric pair every retrieval stack in the repo (BM25, IVF/PQ,
+    * margin, RRF) reports before its ranking is trusted —
+    * [[graft.operators.Similarity.recallAtK]] answers "did the right
+    * ids surface", this answers "did they surface NEAR THE TOP".
+    *
+    *   DCG@k  = Σ_{i ≤ k, result_i relevant} 1/log₂(i+1)
+    *   NDCG@k = DCG@k / IDCG@k,  IDCG@k = Σ_{i ≤ min(k, n_rel)} w_i
+    *   rr     = 1/rank of the first relevant result in the top k
+    *            (0 when none made it)
+    *
+    * Determinism: the gains are PINNED literals ([[DcgWeights]]), DCG
+    * is a fixed left-to-right fold over rank positions 1..k (the bm25
+    * query-term-order discipline — never aggregation order), IDCG is a
+    * table lookup ([[IdcgPrefix]]), rr is one IEEE division. A query
+    * with NO relevant documents anywhere has no ranking question:
+    * NDCG and rr are NULL (never 0/0). Contracts, loud in-plan: ranks
+    * 1-based and unique per query (the [[rrfFuse]] guards). Truth
+    * pairs are deduplicated internally (a doubled pair must not count
+    * twice).
+    *
+    * Scale: `results` is top-N bounded by construction and `truth` is
+    * judgment-sized; every join and window here is query-keyed over
+    * those bounded frames — the corpus was reduced by the RANKER.
+    *
+    * @param results `(queryCol, idCol, rankCol)` — one ranking per query
+    * @param truth   `(queryCol, idCol)` — the relevant pairs
+    * @return one row per ranked query: `(queryCol, n_rel, dcg, ndcg,
+    *         rr)`
+    */
+  def rankEval(results: DataFrame, truth: DataFrame, queryCol: String,
+      idCol: String, rankCol: String, k: Int): DataFrame = {
+    require(k >= 1 && k <= DcgWeights.size,
+      s"k ($k) out of [1, ${DcgWeights.size}]")
+    val oneBased = coalesce(
+      assert_true(col(rankCol) >= 1,
+        lit("rankEval: rank < 1 — ranks are 1-based")).cast("int"),
+      lit(0))
+    val uniqueRanks = coalesce(
+      assert_true(
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col(queryCol), col(rankCol))) === 1L,
+        lit("rankEval: duplicate rank within a query — each ranking " +
+          "must be a permutation")).cast("int"),
+      lit(0))
+    // both inputs are bounded by contract and consumed by multiple
+    // branches (r: hits + the query spine; tr: relCounts + the hit
+    // join) — checkpoint each once so the RANKER that produced
+    // `results` (a corpus-scale scoring pass) never re-runs per branch
+    val (r, rHandle) = graft.core.Caching.reapKeep(
+      results.select(col(queryCol).as("__q"), col(idCol).as("__id"),
+        (col(rankCol).cast("int") + oneBased + uniqueRanks).as("__rank")))
+    val (tr, trHandle) = graft.core.Caching.reapKeep(
+      truth.select(col(queryCol).as("__q"), col(idCol).as("__id"))
+        .filter(col("__q").isNotNull && col("__id").isNotNull)
+        .dropDuplicates("__q", "__id"))
+    val relCounts = tr.groupBy(col("__q"))
+      .agg(count(lit(1)).as("n_rel"))
+    val hits = r.filter(col("__rank") <= k)
+      .join(tr, Seq("__q", "__id"))
+      .groupBy(col("__q"))
+      .agg(map_from_entries(collect_list(struct(col("__rank"), lit(1))))
+        .as("__hm"),
+        min(col("__rank")).as("__minr"))
+    // fixed left-to-right fold over rank positions 1..k — the bm25
+    // term-order idiom; absent positions add exactly 0.0
+    val dcg = (1 to k).map(i =>
+        when(element_at(col("__hm"), lit(i)).isNotNull,
+          lit(DcgWeights(i - 1))).otherwise(lit(0.0)))
+      .reduceLeft(_ + _)
+    val idcgArr = array(IdcgPrefix.map(lit): _*)
+    val queries = r.select(col("__q")).distinct()
+    val result = queries
+      .join(relCounts, Seq("__q"), "left")
+      .join(hits, Seq("__q"), "left")
+      .select(col("__q").as(queryCol),
+        coalesce(col("n_rel"), lit(0L)).as("n_rel"),
+        dcg.as("dcg"), col("__minr"))
+      .withColumn("ndcg",
+        when(col("n_rel") >= 1L,
+          col("dcg") / element_at(idcgArr,
+            least(lit(k), col("n_rel")).cast("int"))))
+      .withColumn("rr",
+        when(col("n_rel") === 0L, lit(null).cast("double"))
+          .when(col("__minr").isNotNull,
+            lit(1.0) / col("__minr").cast("double"))
+          .otherwise(lit(0.0)))
+      .drop("__minr")
+    val (reaped, _) = graft.core.Caching.reapKeep(result)
+    rHandle.unpersist(blocking = false)
+    trHandle.unpersist(blocking = false)
+    reaped
+  }
 }

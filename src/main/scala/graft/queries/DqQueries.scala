@@ -1412,6 +1412,123 @@ object DqQueries extends QueryModule {
       """.trim),
       // Verify-only (bench-tail policy): calendar-sized aggregate +
       // self-join
+      bench = false),
+
+    // --- 1-WASSERSTEIN drift on the q250/q253 pre/post-1995 totalprice
+    // snapshots — the MAGNITUDE number completing the drift family (MW
+    // = did ranks move, KS = worst CDF gap, W₁ = how much mass moved,
+    // in dollars). Exact integer·decimal segment sums until ONE IEEE
+    // division; segment widths by rank equi-join, never a
+    // single-partition lead window over the value domain. ---
+    GQuery(
+      "q265_wasserstein",
+      (spark, dir) => {
+        val o = t(spark, dir, "orders")
+        val split = lit("1995-01-01 00:00:00")
+        graft.operators.Profiler.wasserstein1(
+            o.filter(col("o_orderdate") < split),
+            o.filter(col("o_orderdate") >= split), "o_totalprice")
+          .select(col("n_a"), col("n_b"), round(col("w1"), 6).as("w1_r"))
+      },
+      Some("""
+        WITH u AS (
+          SELECT CAST(o_totalprice AS DECIMAL(12,2)) AS v, 1 AS ia
+          FROM orders WHERE o_orderdate < '1995-01-01 00:00:00'
+          UNION ALL
+          SELECT CAST(o_totalprice AS DECIMAL(12,2)), 0
+          FROM orders WHERE o_orderdate >= '1995-01-01 00:00:00'),
+        pv AS (
+          SELECT v, CAST(SUM(ia) AS BIGINT) AS ca,
+                 CAST(SUM(1 - ia) AS BIGINT) AS cb
+          FROM u WHERE v IS NOT NULL GROUP BY v),
+        cum AS (
+          SELECT v,
+                 CAST(SUM(ca) OVER w AS BIGINT) AS cuma,
+                 CAST(SUM(cb) OVER w AS BIGINT) AS cumb,
+                 LEAD(v) OVER (ORDER BY v) AS vn
+          FROM pv
+          WINDOW w AS (ORDER BY v
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        tot AS (SELECT CAST(SUM(ca) AS BIGINT) AS n_a,
+                       CAST(SUM(cb) AS BIGINT) AS n_b FROM pv),
+        segs AS (
+          SELECT CAST(abs(cuma * n_b - cumb * n_a) AS DECIMAL(20,0))
+                   * CAST(vn - v AS DECIMAL(13,2)) AS seg
+          FROM cum CROSS JOIN tot WHERE vn IS NOT NULL),
+        s AS (SELECT COALESCE(SUM(seg), 0) AS ssum FROM segs)
+        SELECT n_a, n_b,
+               CASE WHEN n_a > 0 AND n_b > 0 THEN
+                 round(CAST(ssum AS DOUBLE)
+                   / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)), 6)
+               END AS w1_r
+        FROM tot CROSS JOIN s
+      """.trim),
+      // Verify-only (bench-tail policy): the q253 prefix-pass shape +
+      // one narrow rank join
+      bench = false),
+
+    // --- t-CLOSENESS classes (Li 2007) completing the privacy trio
+    // over q163's k-anonymity and q169's l-diversity: per return-flag
+    // class, the ordered earth-mover distance between its quantity
+    // distribution and the corpus's — l-diverse classes still leak
+    // when their sensitive mix is SKEWED. Exact integer cumulative
+    // differences over the bounded value domain, ONE IEEE division per
+    // class. ---
+    GQuery(
+      "q266_t_closeness",
+      (spark, dir) => {
+        val li = t(spark, dir, "lineitem")
+          .select(col("l_returnflag"),
+            col("l_quantity").cast("long").as("qty"))
+        graft.operators.Privacy.tClosenessClasses(li,
+            Seq("l_returnflag"), "qty", ordered = true)
+          .select(col("l_returnflag"), col("class_size"),
+            col("n_values"), round(col("t"), 6).as("t_r"))
+          .orderBy(col("l_returnflag"))
+      },
+      Some("""
+        WITH b AS (
+          SELECT l_returnflag AS g, CAST(l_quantity AS BIGINT) AS s
+          FROM lineitem WHERE l_quantity IS NOT NULL),
+        cnts AS (SELECT g, s, CAST(COUNT(*) AS BIGINT) AS cnt
+                 FROM b GROUP BY g, s),
+        grid AS (
+          SELECT cls.g, dom.s, COALESCE(c.cnt, 0) AS cnt
+          FROM (SELECT DISTINCT g FROM cnts) cls
+          CROSS JOIN (SELECT DISTINCT s FROM cnts) dom
+          LEFT JOIN cnts c ON c.g = cls.g AND c.s = dom.s),
+        wt AS (
+          SELECT g, s, cnt,
+                 CAST(SUM(cnt) OVER (PARTITION BY g) AS BIGINT) AS nc,
+                 CAST(SUM(cnt) OVER (PARTITION BY s) AS BIGINT) AS gl,
+                 CAST(SUM(cnt) OVER () AS BIGINT) AS nn
+          FROM grid),
+        sc AS (
+          SELECT g, nc, nn,
+                 CAST(cnt AS DECIMAL(18,0)) * CAST(nn AS DECIMAL(18,0))
+                   - CAST(gl AS DECIMAL(18,0)) * CAST(nc AS DECIMAL(18,0))
+                   AS d,
+                 SUM(CAST(cnt AS DECIMAL(18,0)) * CAST(nn AS DECIMAL(18,0))
+                   - CAST(gl AS DECIMAL(18,0)) * CAST(nc AS DECIMAL(18,0)))
+                   OVER (PARTITION BY g ORDER BY s
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS cum
+          FROM wt),
+        pc AS (
+          SELECT g, CAST(MIN(nc) AS BIGINT) AS class_size,
+                 CAST(MIN(nn) AS BIGINT) AS nn,
+                 CAST(COUNT(*) AS BIGINT) AS n_values,
+                 SUM(abs(cum)) AS cumabs
+          FROM sc GROUP BY g)
+        SELECT g AS l_returnflag, class_size, n_values,
+               round(CAST(cumabs AS DOUBLE)
+                 / ((CAST(n_values AS DOUBLE) - 1.0)
+                    * (CAST(class_size AS DOUBLE) * CAST(nn AS DOUBLE))),
+                 6) AS t_r
+        FROM pc ORDER BY l_returnflag
+      """.trim),
+      // Verify-only (bench-tail policy): one corpus aggregate + the
+      // classes×domain grid windows
       bench = false)
   )
 }

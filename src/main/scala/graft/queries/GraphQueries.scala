@@ -297,6 +297,62 @@ object GraphQueries extends QueryModule {
       """.trim),
       // Verify-only (bench-tail policy): per-round shape is q174's
       // pinned-layout join + node agg, already benched
+      bench = false),
+
+    // --- LINK PREDICTION over the q199 part co-occurrence graph: top
+    // 15 non-edges by Jaccard-of-neighborhoods (common neighbors
+    // counted through ≤ maxDegree wedge centers — the documented hub
+    // cap; full degrees in the denominator). The related-item /
+    // missing-edge audit next to q199's density and q245's cohesion
+    // reads. Exact integer counts, ONE IEEE division per pair, heap
+    // top-k — never a full sort. ---
+    GQuery(
+      "q268_link_prediction",
+      (spark, dir) => {
+        val edges = Graph.coOccurrenceEdges(
+          t(spark, dir, "lineitem"), "l_orderkey", "l_partkey")
+        Graph.linkPrediction(edges, "src", "dst", maxDegree = 50,
+            k = 15, edgesDistinct = true)
+          .select(col("node_a"), col("node_b"), col("common_neighbors"),
+            col("degree_a"), col("degree_b"),
+            round(col("jaccard"), 6).as("jaccard_r"))
+      },
+      Some("""
+        WITH li AS (
+          SELECT DISTINCT l_orderkey AS g, CAST(l_partkey AS VARCHAR) AS nd
+          FROM lineitem),
+        e AS (SELECT DISTINCT l.nd AS u, r.nd AS v
+              FROM li l JOIN li r ON l.g = r.g AND l.nd < r.nd),
+        nb AS (SELECT u AS w, v AS n FROM e
+               UNION ALL SELECT v, u FROM e),
+        deg AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS degree
+                FROM nb GROUP BY w),
+        centers AS (SELECT w FROM deg WHERE degree <= 50),
+        pairs AS (
+          SELECT n1.n AS a, n2.n AS b
+          FROM nb n1
+          JOIN nb n2 ON n1.w = n2.w AND n1.n < n2.n
+          JOIN centers c ON c.w = n1.w),
+        cn AS (SELECT a, b, CAST(COUNT(*) AS BIGINT) AS common_neighbors
+               FROM pairs GROUP BY a, b),
+        cand AS (SELECT cn.* FROM cn WHERE NOT EXISTS (
+                   SELECT 1 FROM e WHERE e.u = cn.a AND e.v = cn.b)),
+        scored AS (
+          SELECT a AS node_a, b AS node_b, common_neighbors,
+                 da.degree AS degree_a, db.degree AS degree_b,
+                 CAST(common_neighbors AS DOUBLE)
+                   / CAST(da.degree + db.degree - common_neighbors
+                       AS DOUBLE) AS jaccard
+          FROM cand
+          JOIN deg da ON da.w = cand.a
+          JOIN deg db ON db.w = cand.b)
+        SELECT node_a, node_b, common_neighbors, degree_a, degree_b,
+               round(jaccard, 6) AS jaccard_r
+        FROM scored
+        ORDER BY jaccard DESC, node_a, node_b LIMIT 15
+      """.trim),
+      // Verify-only (bench-tail policy): one wedge pass over the q199
+      // fixture (whose heavy shapes q199 benches) + a pair aggregate
       bench = false)
   )
 

@@ -1799,8 +1799,102 @@ object VectorQueries extends QueryModule {
       """.trim),
       // Verify-only (bench-tail policy): two bounded rankers + a ≤60-row
       // fusion — q150/q70 bench the ranker shapes
+      bench = false),
+
+    // --- NDCG@10 + reciprocal rank of the q70 brute-force cosine
+    // ranking against label-match relevance — the position-weighted
+    // companion to q79's recall@k (recall asks "did the right ids
+    // surface", this asks "near the TOP?"). Gains are the pinned
+    // 1/log₂(i+1) literals; DCG is a fixed rank-order fold; IDCG is a
+    // prefix-table lookup — both rendered into this oracle from the
+    // SAME Scala constants, so neither engine ever runs a log. ---
+    GQuery(
+      "q267_rank_eval",
+      (spark, dir) => {
+        val e = Tables.embs(spark, dir)
+        val queries = e.filter(col("vec_id") < 8)
+        val results = Similarity.bruteForceTopK(queries, e, "vec_id",
+          "embedding", Dim, k = 10)
+        val truth = queries
+          .select(col("vec_id").as("query_id"), col("label").as("ql"))
+          .join(e.select(col("vec_id").as("neighbor_id"), col("label")),
+            col("label") === col("ql") &&
+              col("neighbor_id") =!= col("query_id"))
+          .select(col("query_id"), col("neighbor_id"))
+        graft.operators.Search.rankEval(results, truth, "query_id",
+            "neighbor_id", "rank", k = 10)
+          .select(col("query_id"), col("n_rel"),
+            round(col("dcg"), 6).as("dcg_r"),
+            round(col("ndcg"), 6).as("ndcg_r"),
+            round(col("rr"), 6).as("rr_r"))
+          .orderBy(col("query_id"))
+      },
+      Some(rankEvalSql),
+      // Verify-only (bench-tail policy): the q70 ranking (benched
+      // there) + judgment-sized joins and a per-query literal fold
       bench = false)
   )
+
+  /** q267's oracle, assembled from [[graft.operators.Search.DcgWeights]]
+    * / IdcgPrefix so both engines fold the SAME pinned literals in the
+    * same rank order — the constants exist in exactly one place.
+    */
+  private def rankEvalSql: String = {
+    import graft.operators.Search
+    val dcgExpr = (1 to 10).map(i =>
+        s"(CASE WHEN list_contains(rks, $i) THEN ${Search.DcgWeights(i - 1)} ELSE 0.0 END)")
+      .mkString("\n                 + ")
+    val prefixList = Search.IdcgPrefix.take(10).mkString("[", ", ", "]")
+    s"""
+        WITH v AS (SELECT vec_id, label,
+                          CAST(embedding AS DOUBLE[]) AS e
+                   FROM embeddings),
+        q AS (SELECT vec_id AS query_id, label AS ql, e AS qv
+              FROM v WHERE vec_id < 8),
+        scored AS (
+          SELECT query_id, v.vec_id AS neighbor_id, v.label AS nl, ql,
+                 list_sum(list_transform(generate_series(1, 64), i -> qv[i] * e[i]))
+                   / (sqrt(list_sum(list_transform(generate_series(1, 64), i -> qv[i] * qv[i])))
+                      * sqrt(list_sum(list_transform(generate_series(1, 64), i -> e[i] * e[i])))) AS cosine
+          FROM q JOIN v ON query_id <> v.vec_id),
+        ranked AS (
+          SELECT query_id, neighbor_id, nl, ql,
+                 CAST(row_number() OVER (PARTITION BY query_id
+                        ORDER BY cosine DESC, neighbor_id) AS INT) AS rank
+          FROM scored),
+        nrel AS (
+          SELECT q.query_id, CAST(COUNT(*) AS BIGINT) AS n_rel
+          FROM q JOIN v t ON t.label = q.ql AND t.vec_id <> q.query_id
+          GROUP BY q.query_id),
+        hits AS (
+          SELECT query_id, list(rank ORDER BY rank) AS rks,
+                 MIN(rank) AS minr
+          FROM ranked WHERE rank <= 10 AND nl = ql
+          GROUP BY query_id),
+        fin AS (
+          SELECT q.query_id,
+                 COALESCE(n.n_rel, 0) AS n_rel,
+                 COALESCE(rks, []) AS rks, minr
+          FROM (SELECT DISTINCT query_id, ql FROM q) q
+          LEFT JOIN nrel n ON n.query_id = q.query_id
+          LEFT JOIN hits h ON h.query_id = q.query_id),
+        dc AS (
+          SELECT query_id, n_rel, minr,
+                 $dcgExpr AS dcg
+          FROM fin)
+        SELECT query_id, n_rel,
+               round(dcg, 6) AS dcg_r,
+               CASE WHEN n_rel >= 1 THEN
+                 round(dcg / list_extract($prefixList,
+                   LEAST(10, CAST(n_rel AS INT))), 6)
+               END AS ndcg_r,
+               CASE WHEN n_rel = 0 THEN NULL
+                    WHEN minr IS NOT NULL
+                      THEN round(1.0 / CAST(minr AS DOUBLE), 6)
+                    ELSE 0.0 END AS rr_r
+        FROM dc ORDER BY query_id
+    """.trim
+  }
 
   /** DuckDB rendering of [[graft.operators.Sampling.hash16]] with the
     * empty salt (one definition per module — the CurationQueries

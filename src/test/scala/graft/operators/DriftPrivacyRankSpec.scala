@@ -1,0 +1,182 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** Round-13 batch 2: Wasserstein-1 drift (Profiler), t-closeness
+  * (Privacy), ranked-retrieval eval (Search), link prediction (Graph).
+  * Hand-computed values, closed-form edges, loud-contract guards; the
+  * q265-q268 gates certify DuckDB bit-parity.
+  */
+class DriftPrivacyRankSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  // ---------------- wasserstein1 ----------------
+
+  test("wasserstein1: identity 0, point masses distance, unit shift, " +
+    "hand case, NULL/empty discipline") {
+    def run(a: Seq[java.lang.Double], b: Seq[java.lang.Double]) =
+      Profiler.wasserstein1(a.toDF("v"), b.toDF("v"), "v").head()
+    val same = run(Seq(1.0, 2.0, 5.0), Seq(1.0, 2.0, 5.0))
+    assert(same.getAs[Double]("w1") == 0.0)
+    // all mass at 0 vs all mass at 1 -> W1 = 1 exactly
+    assert(run(Seq(0.0, 0.0), Seq(1.0, 1.0)).getAs[Double]("w1") == 1.0)
+    // {1,2,3} shifted by 1 -> W1 = 1
+    assert(run(Seq(1.0, 2.0, 3.0), Seq(2.0, 3.0, 4.0))
+      .getAs[Double]("w1") == 1.0)
+    // hand: a={0,0}, b={0,2}: |F| gap is 1/2 over [0,2) -> 1.0
+    assert(run(Seq(0.0, 0.0), Seq(0.0, 2.0)).getAs[Double]("w1") == 1.0)
+    // single shared point mass -> 0 (not NULL, not NaN)
+    assert(run(Seq(7.0, 7.0), Seq(7.0)).getAs[Double]("w1") == 0.0)
+    // NULLs excluded from the distributions
+    val withNull = run(Seq(1.0, 2.0, 3.0, null), Seq(2.0, 3.0, 4.0))
+    assert(withNull.getAs[Long]("n_a") == 3L)
+    assert(withNull.getAs[Double]("w1") == 1.0)
+    // empty side -> NULL (no comparison to make)
+    val empty = run(Seq(1.0), Seq.empty)
+    assert(empty.isNullAt(empty.fieldIndex("w1")))
+  }
+
+  // ---------------- tClosenessClasses ----------------
+
+  private def tdf(rows: Seq[(String, Int)]) = rows.toDF("g", "s")
+
+  test("tClosenessClasses: hand ordered EMD, ordered vs categorical " +
+    "diverge on a far-moved mass, zero at no skew, m=1 loud") {
+    // classes c1=[1,1,2], c2=[2,3,3]; global (2,2,2); per class t = 1/3
+    val df = tdf(Seq(("c1", 1), ("c1", 1), ("c1", 2),
+      ("c2", 2), ("c2", 3), ("c2", 3)))
+    val got = Privacy.tClosenessClasses(df, Seq("g"), "s", ordered = true)
+      .collect().map(r => r.getAs[String]("g") -> r).toMap
+    assert(got("c1").getAs[Long]("class_size") == 3L)
+    assert(got("c1").getAs[Long]("n_values") == 3L)
+    assert(math.abs(got("c1").getAs[Double]("t") - 1.0 / 3.0) < 1e-12)
+    assert(math.abs(got("c2").getAs[Double]("t") - 1.0 / 3.0) < 1e-12)
+    // c1=[1,3], c2=[2,2]: ordered t(c1) = 0.25, categorical = 0.5 —
+    // the ordered distance sees HOW FAR the mass moved
+    val far = tdf(Seq(("c1", 1), ("c1", 3), ("c2", 2), ("c2", 2)))
+    val ord = Privacy.tClosenessClasses(far, Seq("g"), "s", ordered = true)
+      .collect().map(r => r.getAs[String]("g") -> r.getAs[Double]("t"))
+      .toMap
+    val cat = Privacy.tClosenessClasses(far, Seq("g"), "s",
+        ordered = false)
+      .collect().map(r => r.getAs[String]("g") -> r.getAs[Double]("t"))
+      .toMap
+    assert(math.abs(ord("c1") - 0.25) < 1e-12)
+    assert(math.abs(cat("c1") - 0.5) < 1e-12)
+    // identical class distributions -> t = 0 everywhere
+    val flat = tdf(Seq(("c1", 1), ("c1", 2), ("c2", 1), ("c2", 2)))
+    Privacy.tClosenessClasses(flat, Seq("g"), "s").collect()
+      .foreach(r => assert(r.getAs[Double]("t") == 0.0))
+    // single observed sensitive value -> loud
+    val mono = tdf(Seq(("c1", 5), ("c2", 5)))
+    val boom = intercept[Exception] {
+      Privacy.tClosenessClasses(mono, Seq("g"), "s").collect()
+    }
+    assert(boom.getMessage != null)
+  }
+
+  // ---------------- rankEval ----------------
+
+  test("rankEval: hand DCG/NDCG/RR, perfect ranking = 1, no-relevant " +
+    "NULL vs missed-relevant 0, contract guards") {
+    val results = Seq(
+      ("q1", "d1", 1), ("q1", "d2", 2), ("q1", "d3", 3),
+      ("q1", "d4", 4), ("q1", "d5", 5),
+      ("q2", "d1", 1), ("q2", "d2", 2),
+      ("q3", "d1", 1), ("q3", "d2", 2)).toDF("q", "id", "rank")
+    val truth = Seq(
+      // q1: relevant at ranks 2 and 5, plus one never retrieved
+      ("q1", "d2"), ("q1", "d5"), ("q1", "dX"),
+      // q2: nothing relevant anywhere
+      // q3: relevant exists but not retrieved
+      ("q3", "dZ")).toDF("q", "id")
+    val got = Search.rankEval(results, truth, "q", "id", "rank", k = 5)
+      .collect().map(r => r.getAs[String]("q") -> r).toMap
+    val w = Search.DcgWeights
+    val q1 = got("q1")
+    assert(q1.getAs[Long]("n_rel") == 3L)
+    val expDcg = w(1) + w(4)
+    assert(math.abs(q1.getAs[Double]("dcg") - expDcg) < 1e-15)
+    assert(math.abs(q1.getAs[Double]("ndcg")
+      - expDcg / Search.IdcgPrefix(2)) < 1e-15)
+    assert(q1.getAs[Double]("rr") == 0.5)
+    // q2: no relevant docs exist -> NULL ndcg and rr, not zero
+    val q2 = got("q2")
+    assert(q2.getAs[Long]("n_rel") == 0L)
+    assert(q2.isNullAt(q2.fieldIndex("ndcg")))
+    assert(q2.isNullAt(q2.fieldIndex("rr")))
+    // q3: relevant exists but missed -> hard zeros
+    val q3 = got("q3")
+    assert(q3.getAs[Double]("ndcg") == 0.0 && q3.getAs[Double]("rr") == 0.0)
+    // perfect ranking -> ndcg exactly 1
+    val perfect = Search.rankEval(
+      Seq(("p", "a", 1), ("p", "b", 2)).toDF("q", "id", "rank"),
+      Seq(("p", "a"), ("p", "b")).toDF("q", "id"),
+      "q", "id", "rank", k = 5).head()
+    assert(perfect.getAs[Double]("ndcg") == 1.0)
+    assert(perfect.getAs[Double]("rr") == 1.0)
+    // duplicated truth pair must not double-count n_rel
+    val dupTruth = Search.rankEval(
+      Seq(("p", "a", 1)).toDF("q", "id", "rank"),
+      Seq(("p", "a"), ("p", "a")).toDF("q", "id"),
+      "q", "id", "rank", k = 5).head()
+    assert(dupTruth.getAs[Long]("n_rel") == 1L)
+    // 0-based ranks and duplicate ranks fail loudly
+    intercept[Exception] {
+      Search.rankEval(Seq(("p", "a", 0)).toDF("q", "id", "rank"),
+        truth, "q", "id", "rank", k = 5).collect()
+    }
+    intercept[Exception] {
+      Search.rankEval(
+        Seq(("p", "a", 1), ("p", "b", 1)).toDF("q", "id", "rank"),
+        truth, "q", "id", "rank", k = 5).collect()
+    }
+  }
+
+  test("rankEval: pinned weights really are 1/log2(i+1) and the prefix " +
+    "table is their fold") {
+    Search.DcgWeights.zipWithIndex.foreach { case (w, i) =>
+      assert(math.abs(w - 1.0 / (math.log(i + 2.0) / math.log(2.0)))
+        < 1e-15, s"rank ${i + 1}")
+    }
+    assert(Search.IdcgPrefix ==
+      Search.DcgWeights.scanLeft(0.0)(_ + _).tail)
+  }
+
+  // ---------------- linkPrediction ----------------
+
+  test("linkPrediction: path closes, square closes both diagonals, " +
+    "existing edges excluded, hub cap, k respected") {
+    def run(edges: Seq[(String, String)], maxDeg: Int = 10, k: Int = 100) =
+      Graph.linkPrediction(edges.toDF("src", "dst"), "src", "dst",
+        maxDegree = maxDeg, k = k).collect()
+    // path a-b-c: predict (a,c) through b with jaccard 1
+    val path = run(Seq(("a", "b"), ("b", "c")))
+    assert(path.length == 1)
+    assert(path.head.getAs[String]("node_a") == "a")
+    assert(path.head.getAs[String]("node_b") == "c")
+    assert(path.head.getAs[Long]("common_neighbors") == 1L)
+    assert(path.head.getAs[Double]("jaccard") == 1.0)
+    // square a-b-c-d: diagonals (a,c) and (b,d), cn=2, jaccard 1;
+    // existing edges never appear
+    val sq = run(Seq(("a", "b"), ("b", "c"), ("c", "d"), ("a", "d")))
+    val pairs = sq.map(r => (r.getAs[String]("node_a"),
+      r.getAs[String]("node_b"))).toSet
+    assert(pairs == Set(("a", "c"), ("b", "d")))
+    sq.foreach { r =>
+      assert(r.getAs[Long]("common_neighbors") == 2L)
+      assert(r.getAs[Double]("jaccard") == 1.0)
+    }
+    // star: center above maxDegree is no longer wedge evidence
+    val star = Seq(("s", "x1"), ("s", "x2"), ("s", "x3"), ("s", "x4"),
+      ("s", "x5"))
+    assert(run(star, maxDeg = 4).isEmpty)
+    val open = run(star, maxDeg = 5)
+    assert(open.length == 10) // C(5,2) leaf pairs through s
+    assert(run(star, maxDeg = 5, k = 3).length == 3) // top-k cap
+  }
+}

@@ -75,6 +75,14 @@ class GatePlanSpec extends AnyFunSuite {
     "q262_hellinger_sources" -> (6, 0),
     "q263_fleiss_kappa" -> (8, 1),
     "q264_acf_lag1" -> (3, 1),
+    // q265/q268 pin only the post-checkpoint assembly (the q144/q173
+    // convention — the rank-pass / wedge internals run behind reapKeep
+    // and are exercised by DriftPrivacyRankSpec); q266/q267 = the
+    // output sort over their reaped class-/query-sized results
+    "q265_wasserstein" -> (0, 0),
+    "q266_t_closeness" -> (1, 0),
+    "q267_rank_eval" -> (1, 0),
+    "q268_link_prediction" -> (0, 0),
     "q250_numeric_drift" -> (2, 1),
     "q251_benford" -> (4, 2),
     "q252_theil_sen" -> (14, 9),
