@@ -530,4 +530,69 @@ object CorpusStats {
         (col("f1").cast("double") / col("n_tokens").cast("double"))
           .as("good_turing_p0"))
   }
+
+  /** PER-SOURCE GOVERNANCE SHEET — the one-call composite the release
+    * owner reads (round-12 verdict item: the statistics tier existed as
+    * separate gates; this wires them into the corpus report): for every
+    * source, the size/pass/uncertainty/concentration/richness columns
+    * that previously took four queries —
+    *
+    *  - volume: `n_docs`, `total_tokens` (exact longs);
+    *  - the min-length pass rate WITH its Wilson 95% bounds
+    *    ([[Profiler.wilsonInterval]] — a 1.0 rate over 12 docs and over
+    *    12,000 prints identically without them);
+    *  - `length_gini` ([[Profiler.giniCoefficient]] over per-doc token
+    *    counts — is the source's mass a few whale documents?);
+    *  - vocabulary `n_types` / `chao1` / `good_turing_p0`
+    *    ([[vocabularyRichness]] — how much unseen vocabulary remains).
+    *
+    * Each constituent keeps its own exactness contract (exact counts,
+    * pinned z, one IEEE division per statistic); this operator adds NO
+    * new arithmetic — only the joins — so the composite hash-matches
+    * wherever the constituents do.
+    *
+    * Scale: TWO corpus passes — the narrow per-doc (source, id, tokens)
+    * projection (checkpointed once, feeding the volume aggregate, the
+    * Wilson counts, and the gini rank pass) and the token explode
+    * richness needs (type-level information is not in the per-doc
+    * frame) — then source-sized joins. NULL text carries NULL tokens:
+    * excluded from token sums, the pass-rate counts, and the gini mass,
+    * while the document still counts in `n_docs`.
+    *
+    * @return one row per source: `(source, n_docs, total_tokens, n,
+    *         k, rate, wilson_lo, wilson_hi, length_gini, n_types,
+    *         chao1, good_turing_p0)`
+    */
+  def governanceSheet(docs: DataFrame, sourceCol: String, textCol: String,
+      idCol: String, minTokens: Int): DataFrame = {
+    require(minTokens >= 1, s"minTokens ($minTokens) must be >= 1")
+    val perDoc0 = docs.select(col(sourceCol).as("source"),
+      col(idCol).as("__id"),
+      size(filter(TextAnalysis.tokens(lower(col(textCol))),
+        t => t =!= "")).cast("long").as("__tok"))
+    val (perDoc, pdHandle) = graft.core.Caching.reapKeep(perDoc0)
+    val volume = perDoc.groupBy(col("source")).agg(
+      count(lit(1)).as("n_docs"),
+      sum(col("__tok")).as("total_tokens"))
+    val wil = Profiler.wilsonInterval(
+      perDoc.withColumn("__pass", col("__tok") >= minTokens),
+      "source", "__pass")
+    val gin = Profiler.giniCoefficient(perDoc, "source", "__tok", "__id")
+      .select(col("source"), col("gini").as("length_gini"))
+    val rich = vocabularyRichness(docs.select(col(sourceCol).as("source"),
+        col(textCol).as("__text")), "source", "__text")
+      .select(col("source"), col("n_types"), col("chao1"),
+        col("good_turing_p0"))
+    // LEFT joins for the token-derived branches: a source whose texts
+    // are ALL NULL has no gini/richness rows (no token mass) but must
+    // still appear on the sheet — with NULL statistics, not silently
+    // absent (the robustOutliers left-join discipline)
+    val sheet = volume
+      .join(wil, Seq("source"))
+      .join(gin, Seq("source"), "left")
+      .join(rich, Seq("source"), "left")
+    val (reaped, _) = graft.core.Caching.reapKeep(sheet)
+    pdHandle.unpersist(blocking = false)
+    reaped
+  }
 }

@@ -76,7 +76,10 @@ object Sharding {
     * parity holds for string/integer/decimal renderings (canonical in
     * both engines — the q257 oracle proves it); TIMESTAMP renderings
     * differ between engines, so cast temporal columns to an explicit
-    * format upstream before digesting.
+    * format upstream before digesting. Bare-Column callers carry that
+    * caveat by contract (a Column has no resolved type to check);
+    * [[shardManifest]] — which holds the schema — REJECTS temporal
+    * content columns loudly.
     */
   def rowDigest(cols: Seq[Column]): Column =
     Sampling.hash48(concat_ws("\u0001",
@@ -85,10 +88,25 @@ object Sharding {
 
   /** Per-shard digest-triple manifest: `(shardCol, n_rows, xor_digest,
     * sum_digest)` — one hash aggregate, map-side partials, payload never
-    * wider than the digest long.
+    * wider than the digest long. Temporal content columns are REJECTED
+    * (not just documented): their string renderings differ across
+    * engines, so a manifest digesting one would silently fail to verify
+    * against an external recomputation — cast to a pinned format
+    * upstream (e.g. `date_format(c, "yyyy-MM-dd HH:mm:ss")`).
     */
   def shardManifest(df: DataFrame, shardCol: String,
-      contentCols: Seq[String]): DataFrame =
+      contentCols: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.types.{DateType, TimestampNTZType, TimestampType}
+    val temporal = contentCols.filter(n => df.schema(n).dataType match {
+      case TimestampType | TimestampNTZType | DateType => true
+      case _ => false
+    })
+    require(temporal.isEmpty,
+      s"shardManifest: temporal content columns ${temporal.mkString(", ")}" +
+        " — TIMESTAMP/DATE string renderings differ across engines and" +
+        " the manifest would silently fail cross-engine verification;" +
+        " cast to a pinned format upstream" +
+        " (e.g. date_format(c, \"yyyy-MM-dd HH:mm:ss\"))")
     df.select(col(shardCol), rowDigest(contentCols.map(col)).as("__h"))
       .groupBy(col(shardCol))
       .agg(count(lit(1)).as("n_rows"),
@@ -96,6 +114,7 @@ object Sharding {
         sum(col("__h").cast(org.apache.spark.sql.types.DecimalType(38, 0)))
           .cast(org.apache.spark.sql.types.DecimalType(38, 0))
           .as("sum_digest"))
+  }
 
   /** Verify an `actual` manifest against the `expected` one: full-outer
     * join on the shard id with a per-shard status — `ok`,

@@ -2304,6 +2304,119 @@ object TextQueries extends QueryModule {
       """.trim),
       // Verify-only (bench-tail policy): vocab-sized aggregates — the
       // q111/q138 shapes
+      bench = false),
+
+    // --- PER-SOURCE GOVERNANCE SHEET (round-12 verdict item 5): the
+    // statistics tier wired into ONE call — volume, the ≥30-token pass
+    // rate WITH Wilson 95% bounds (q258), token-mass Gini (q260), and
+    // vocabulary richness (q255) — so the release owner reads one table
+    // instead of four. No new arithmetic: the oracle replays the
+    // constituent gates' own expressions per source. ---
+    GQuery(
+      "q269_governance_sheet",
+      (spark, dir) =>
+        graft.operators.CorpusStats.governanceSheet(
+            Tables.docs(spark, dir), "source", "text", "doc_id",
+            minTokens = 30)
+          .select(col("source"), col("n_docs"), col("total_tokens"),
+            col("n"), col("k"), round(col("rate"), 6).as("rate_r"),
+            round(col("wilson_lo"), 6).as("lo_r"),
+            round(col("wilson_hi"), 6).as("hi_r"),
+            round(col("length_gini"), 6).as("gini_r"),
+            col("n_types"), round(col("chao1"), 6).as("chao1_r"),
+            round(col("good_turing_p0"), 6).as("p0_r"))
+          .orderBy(col("source")),
+      Some("""
+        WITH pd AS (
+          SELECT source, doc_id,
+                 CAST(len(list_filter(string_split(lower(text), ' '),
+                   s2 -> s2 <> '')) AS BIGINT) AS tok
+          FROM documents),
+        vol AS (
+          SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                 CAST(SUM(tok) AS BIGINT) AS total_tokens
+          FROM pd GROUP BY source),
+        wl AS (
+          SELECT source,
+                 CAST(SUM(CASE WHEN tok IS NOT NULL THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n,
+                 CAST(SUM(CASE WHEN tok >= 30 THEN 1 ELSE 0 END)
+                   AS BIGINT) AS k
+          FROM pd GROUP BY source),
+        gr AS (
+          SELECT source, CAST(tok AS DECIMAL(18,6)) AS v, doc_id,
+                 ROW_NUMBER() OVER (PARTITION BY source
+                   ORDER BY CAST(tok AS DECIMAL(18,6)), doc_id) AS r
+          FROM pd WHERE tok IS NOT NULL),
+        gag AS (
+          SELECT source, CAST(COUNT(*) AS BIGINT) AS gn, SUM(v) AS sv,
+                 SUM(CAST(r AS DECIMAL(18,0)) * v) AS srv
+          FROM gr GROUP BY source),
+        gini AS (
+          SELECT source,
+                 CASE WHEN CAST(sv AS DOUBLE) > 0 THEN
+                   (2.0 * CAST(srv AS DOUBLE)
+                     - (CAST(gn AS DOUBLE) + 1.0) * CAST(sv AS DOUBLE))
+                   / (CAST(gn AS DOUBLE) * CAST(sv AS DOUBLE))
+                 END AS length_gini
+          FROM gag),
+        tok2 AS (
+          SELECT source,
+                 unnest(list_filter(string_split(lower(text), ' '),
+                   s2 -> s2 <> '')) AS t
+          FROM documents),
+        ty AS (SELECT source, t, COUNT(*) AS c FROM tok2 GROUP BY 1, 2),
+        ff AS (SELECT source, c, COUNT(*) AS f FROM ty GROUP BY 1, 2),
+        rich AS (
+          SELECT source,
+                 CAST(SUM(c * f) AS BIGINT) AS n_tokens,
+                 CAST(SUM(f) AS BIGINT) AS n_types,
+                 CAST(SUM(CASE WHEN c = 1 THEN f ELSE 0 END) AS BIGINT)
+                   AS f1,
+                 CAST(SUM(CASE WHEN c = 2 THEN f ELSE 0 END) AS BIGINT)
+                   AS f2
+          FROM ff GROUP BY 1)
+        SELECT vol.source, vol.n_docs, vol.total_tokens, wl.n, wl.k,
+               round(CAST(k AS DOUBLE) / CAST(n AS DOUBLE), 6) AS rate_r,
+               round(((CAST(k AS DOUBLE) / CAST(n AS DOUBLE))
+                   + (1.959963984540054 * 1.959963984540054)
+                     / (2.0 * CAST(n AS DOUBLE))
+                  - (1.959963984540054
+                     * sqrt((CAST(k AS DOUBLE) / CAST(n AS DOUBLE))
+                         * (1.0 - CAST(k AS DOUBLE) / CAST(n AS DOUBLE))
+                         / CAST(n AS DOUBLE)
+                       + (1.959963984540054 * 1.959963984540054)
+                         / (4.0 * CAST(n AS DOUBLE)
+                            * CAST(n AS DOUBLE)))))
+                 / (1.0 + (1.959963984540054 * 1.959963984540054)
+                     / CAST(n AS DOUBLE)), 6) AS lo_r,
+               round(((CAST(k AS DOUBLE) / CAST(n AS DOUBLE))
+                   + (1.959963984540054 * 1.959963984540054)
+                     / (2.0 * CAST(n AS DOUBLE))
+                  + (1.959963984540054
+                     * sqrt((CAST(k AS DOUBLE) / CAST(n AS DOUBLE))
+                         * (1.0 - CAST(k AS DOUBLE) / CAST(n AS DOUBLE))
+                         / CAST(n AS DOUBLE)
+                       + (1.959963984540054 * 1.959963984540054)
+                         / (4.0 * CAST(n AS DOUBLE)
+                            * CAST(n AS DOUBLE)))))
+                 / (1.0 + (1.959963984540054 * 1.959963984540054)
+                     / CAST(n AS DOUBLE)), 6) AS hi_r,
+               round(gini.length_gini, 6) AS gini_r,
+               rich.n_types,
+               round(CAST(rich.n_types AS DOUBLE)
+                 + CAST(rich.f1 * (rich.f1 - 1) AS DOUBLE)
+                   / (2.0 * CAST(rich.f2 + 1 AS DOUBLE)), 6) AS chao1_r,
+               round(CAST(rich.f1 AS DOUBLE)
+                 / CAST(rich.n_tokens AS DOUBLE), 6) AS p0_r
+        FROM vol
+        JOIN wl ON wl.source = vol.source
+        LEFT JOIN gini ON gini.source = vol.source
+        LEFT JOIN rich ON rich.source = vol.source
+        ORDER BY vol.source
+      """.trim),
+      // Verify-only (bench-tail policy): constituent shapes benched at
+      // q111/q255/q258/q260
       bench = false)
   )
 

@@ -903,4 +903,36 @@ class CurationOpsSpec extends AnyFunSuite {
     }
     assert(e.getMessage != null)
   }
+
+  test("governanceSheet: constituents agree with their standalone " +
+    "operators; an all-NULL-text source stays on the sheet with NULL " +
+    "statistics") {
+    import spark.implicits._
+    val docs = Seq(
+      ("s1", 1L, "alpha beta gamma delta"),
+      ("s1", 2L, "alpha alpha"),
+      ("s2", 3L, null: String),
+      ("s2", 4L, null: String)).toDF("source", "doc_id", "text")
+    val sheet = CorpusStats.governanceSheet(docs, "source", "text",
+        "doc_id", minTokens = 3)
+      .collect().map(r => r.getAs[String]("source") -> r).toMap
+    val s1 = sheet("s1")
+    assert(s1.getAs[Long]("n_docs") == 2L)
+    assert(s1.getAs[Long]("total_tokens") == 6L)
+    assert(s1.getAs[Long]("n") == 2L && s1.getAs[Long]("k") == 1L)
+    assert(s1.getAs[Double]("rate") == 0.5)
+    // tokens (2, 4): sum=6, sum r*x = 2 + 8 = 10; G = (20-18)/12 = 1/6
+    assert(math.abs(s1.getAs[Double]("length_gini") - 1.0 / 6.0) < 1e-12)
+    // types: alpha(3), beta, gamma, delta -> 4 types, f1=3, f2=0
+    assert(s1.getAs[Long]("n_types") == 4L)
+    assert(math.abs(s1.getAs[Double]("chao1") - (4.0 + 3.0 * 2 / 2.0))
+      < 1e-12)
+    // the all-NULL source is PRESENT with n_docs but NULL statistics
+    val s2 = sheet("s2")
+    assert(s2.getAs[Long]("n_docs") == 2L)
+    assert(s2.getAs[Long]("n") == 0L)
+    assert(s2.isNullAt(s2.fieldIndex("rate")))
+    assert(s2.isNullAt(s2.fieldIndex("length_gini")))
+    assert(s2.isNullAt(s2.fieldIndex("chao1")))
+  }
 }

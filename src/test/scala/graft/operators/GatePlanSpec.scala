@@ -83,6 +83,9 @@ class GatePlanSpec extends AnyFunSuite {
     "q266_t_closeness" -> (1, 0),
     "q267_rank_eval" -> (1, 0),
     "q268_link_prediction" -> (0, 0),
+    // q269 = post-checkpoint assembly (the composite reaps its sheet;
+    // constituent shapes pinned at q111/q255/q258/q260) + output sort
+    "q269_governance_sheet" -> (1, 0),
     "q250_numeric_drift" -> (2, 1),
     "q251_benford" -> (4, 2),
     "q252_theil_sen" -> (14, 9),

@@ -163,4 +163,25 @@ class ShardingSpec extends AnyFunSuite {
     val shardOf2 = sharded.filter($"id" === 2L).head().getAs[Int]("shard")
     assert(statusOf(flipped)(shardOf2) == "digest_mismatch")
   }
+
+  test("shardManifest rejects temporal content columns loudly (their " +
+    "string renderings differ across engines)") {
+    val df = Seq((1L, "a")).toDF("id", "payload")
+      .withColumn("ts", current_timestamp())
+      .withColumn("d", current_date())
+      .withColumn("shard", lit(0))
+    val boomTs = intercept[IllegalArgumentException] {
+      Sharding.shardManifest(df, "shard", Seq("id", "ts"))
+    }
+    assert(boomTs.getMessage.contains("temporal"))
+    val boomDate = intercept[IllegalArgumentException] {
+      Sharding.shardManifest(df, "shard", Seq("d"))
+    }
+    assert(boomDate.getMessage.contains("temporal"))
+    // the documented escape hatch digests fine: a pinned format string
+    val pinned = df.withColumn("ts_s",
+      date_format($"ts", "yyyy-MM-dd HH:mm:ss"))
+    assert(Sharding.shardManifest(pinned, "shard", Seq("id", "ts_s"))
+      .count() == 1L)
+  }
 }
