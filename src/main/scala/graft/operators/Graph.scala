@@ -277,12 +277,22 @@ object Graph {
     * State is (node, label) — node-sized.
     *
     * @param seeds (idCol, labelCol) — the sparse ground-truth labels
+    * @param symmetricDistinct caller vouches `edges` is ALREADY a
+    *                          duplicate-free symmetric closure (e.g.
+    *                          [[purchaseEdges]], which emits both
+    *                          directions of each distinct bipartite
+    *                          pair) — skips the re-symmetrize and its
+    *                          edge-sized distinct shuffle (which would
+    *                          otherwise double the frame to dedupe it
+    *                          right back); a lying caller gets inflated
+    *                          neighbor counts, the [[pageRankFixed]]
+    *                          contract
     * @return (node string, label string nullable) for every node of the
     *         graph; unreached nodes keep NULL
     */
   def labelPropagateFixed(edges: DataFrame, srcCol: String, dstCol: String,
       seeds: DataFrame, idCol: String, labelCol: String,
-      rounds: Int): DataFrame = {
+      rounds: Int, symmetricDistinct: Boolean = false): DataFrame = {
     require(rounds >= 1, s"rounds ($rounds) must be >= 1")
     import org.apache.spark.sql.GraftSqlBridge.eagerCheckpoint
 
@@ -293,7 +303,8 @@ object Graph {
     // as one pipelined job at fixed small counts (the pageRankFixed
     // lesson — a per-round action serializes the whole iterate).
     val (undStr, undStrHandle) = eagerCheckpoint(
-      dir.unionByName(
+      if (symmetricDistinct) dir
+      else dir.unionByName(
           dir.select(col("dst").as("src"), col("src").as("dst")))
         .distinct())
     // Dense-id remap (the shared remapToDense): node keys become longs
@@ -316,10 +327,14 @@ object Graph {
       .groupBy("node").agg(min(col("seed_label")).as("seed_label"))
       .join(dict, "node") // off-graph seeds drop here, as they always did
       .select(col("nid").as("node"), col("seed_label"))
-      .persist() // clamped back in every round
 
+    // the seed label RIDES the state frame (one string column on the
+    // node-sized state) instead of joining back every round — the clamp
+    // becomes a row-local coalesce, saving one node-sized shuffle join
+    // per round (round-12 verdict item 4)
     var labels = nodes.join(seed, Seq("node"), "left")
-      .select(col("node"), col("seed_label").as("label"))
+      .select(col("node"), col("seed_label"),
+        col("seed_label").as("label"))
     var prevHandle: Option[org.apache.spark.rdd.RDD[_]] = None
     var r = 0
     while (r < rounds) {
@@ -339,8 +354,7 @@ object Graph {
           struct((-col("cnt")).as("nc"), col("label").as("lb")))
           .as("prop_label"))
       labels = labels.join(winner, Seq("node"), "left")
-        .join(seed, Seq("node"), "left")
-        .select(col("node"),
+        .select(col("node"), col("seed_label"),
           coalesce(col("seed_label"), col("prop_label"), col("label"))
             .as("label"))
       r += 1
@@ -351,12 +365,12 @@ object Graph {
         labels = cut
       }
     }
-    val out = remapBack(labels, "label", dict)
+    val out = remapBack(labels.select(col("node"), col("label")),
+      "label", dict)
     prevHandle.foreach(_.unpersist(blocking = false))
     undP.unpersist(blocking = false)
     undHandle.unpersist(blocking = false)
     dictHandle.unpersist(blocking = false)
-    seed.unpersist(blocking = false)
     out
   }
 

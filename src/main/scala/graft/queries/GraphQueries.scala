@@ -158,8 +158,11 @@ object GraphQueries extends QueryModule {
             col("n_nationkey") === col("s_nationkey"))
           .select(concat(lit("s:"), col("s_suppkey").cast("string"))
             .as("node"), col("n_name").as("label"))
+        // purchaseEdges emits both directions of each distinct pair —
+        // vouch it so the iterate skips the edge-sized re-symmetrize
+        // distinct (the q199/q245 edgesDistinct lesson)
         Graph.labelPropagateFixed(edges, "src", "dst", seeds,
-            "node", "label", rounds = 2)
+            "node", "label", rounds = 2, symmetricDistinct = true)
           .orderBy(col("node"))
       },
       Some(s"""
