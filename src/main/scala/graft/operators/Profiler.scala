@@ -510,6 +510,127 @@ object Profiler {
       .select(col(groupCol), col("q"), col("n"), col("value"))
   }
 
+  /** WEIGHTED exact quantiles — order statistics where each row carries
+    * a MASS (token count, byte size, cost): the curation read "half the
+    * TOKENS sit in documents shorter than X" differs materially from
+    * the unweighted "half the DOCUMENTS are shorter than Y" whenever
+    * length and mass correlate — which in a text corpus they always do.
+    * Weighted type-1 semantics: the q-quantile is the value of the row
+    * where the running weight first reaches ⌈q·W⌉ (W = the group's
+    * total weight; integer weights by contract — token/byte counts —
+    * so targets and cumulative sums are EXACT longs).
+    *
+    * Selection is ROW-LOCAL: after the narrow range-partitioned rank
+    * pass attaches each row's inclusive cumulative weight `c` (and its
+    * own weight `w`), the target t = max(⌈q·W⌉, 1) falls in EXACTLY one
+    * row's interval (c − w, c] (weights are strictly positive — loud
+    * guard), so the pick is a broadcast join + per-row predicate, no
+    * window re-sort and no per-group buffer. NULL values/weights are
+    * excluded; `idCol` must be unique (the assumeUnique contract).
+    *
+    * Scale: the [[exactQuantiles]] discipline — one global rank pass
+    * (prefix sums over weights instead of row counts) + a group-sized
+    * broadcast of targets.
+    *
+    * @param qs fractions in (0, 1] as STRINGS (parse parity)
+    * @return one row per (group, q): `(groupCol, q, w_total, value)`
+    */
+  def weightedQuantiles(df: DataFrame, groupCol: String, valueCol: String,
+      weightCol: String, idCol: String, qs: Seq[String]): DataFrame = {
+    require(qs.nonEmpty && qs.distinct.size == qs.size,
+      "need distinct quantile fractions")
+    require(qs.map(_.toDouble).forall(q => q > 0.0 && q <= 1.0),
+      s"quantile fractions must be in (0, 1]: ${qs.mkString(", ")}")
+    val w0 = col(weightCol).cast("long")
+    // NULL weights are excluded (below); a present zero/negative one is
+    // a contract violation and fails loudly
+    val wGuard = coalesce(
+      assert_true(w0.isNull || w0 > 0L,
+        lit("weightedQuantiles: weight must be a positive integer — a " +
+          "zero or negative mass makes the running-weight target " +
+          "ambiguous")).cast("long"),
+      lit(0L))
+    val base = df.select(col(groupCol), col(valueCol).as("value"),
+        (w0 + wGuard).as("__w"), col(idCol))
+      .filter(col("value").isNotNull && col("__w").isNotNull)
+    val cum = SurrogateKeys.prefixSumLong(base, "__w",
+      Seq(col(groupCol), col("value"), col(idCol)), "__cx")
+    val totals = base.groupBy(col(groupCol)).agg(sum(col("__w")).as("__wt"))
+    val offsets = SurrogateKeys.prefixSumLong(totals, "__wt",
+      Seq(col(groupCol)), "__off")
+    val spark = df.sparkSession
+    val qFrame = qs.map(q =>
+        spark.range(1).select(lit(q.toDouble).as("q")))
+      .reduce(_ unionByName _)
+    val targets = offsets.crossJoin(qFrame)
+      .withColumn("__t",
+        greatest(ceil(col("q") * col("__wt").cast("double")), lit(1L)))
+    cum.join(broadcast(targets), Seq(groupCol))
+      // t lands in exactly one row's (c−w, c] interval; `__gc` is the
+      // group-local inclusive cumulative weight
+      .withColumn("__gc", col("__cx") + col("__w") - col("__off"))
+      .filter(col("__gc") >= col("__t") &&
+        col("__gc") - col("__w") < col("__t"))
+      .select(col(groupCol), col("q"), col("__wt").as("w_total"),
+        col("value"))
+  }
+
+  /** TWO-PROPORTION comparison (the classic pooled z-test, e.g.
+    * Fleiss, Levin & Paik 2003 §2.3) — did the pass rate MOVE between
+    * two snapshots, beyond what their sizes explain? The inferential
+    * companion to [[wilsonInterval]]'s per-group bounds:
+    *
+    *   z = (p_a − p_b) / √(p̂(1−p̂)·(1/n_a + 1/n_b)),  p̂ pooled
+    *
+    * plus the two effect sizes that survive exact arithmetic: the odds
+    * ratio (k_a·(n_b−k_b)) / ((n_a−k_a)·k_b) — DECIMAL(37,0) cross
+    * products, ONE division — and the risk ratio p_a/p_b. (Their
+    * log-based confidence intervals are deliberately absent: runtime
+    * transcendentals are banned from certified paths; pair the point
+    * estimates with [[wilsonInterval]] bounds per side instead.)
+    *
+    * Determinism: exact long counts, one fixed IEEE sequence per
+    * statistic, sqrt the house-safe transcendental. NULL flags are
+    * excluded. Degenerate denominators yield NULL (empty side → NULL
+    * everything derived; all-pass/all-fail pooled p̂ → NULL z; a zero
+    * cell → NULL odds/risk ratio) — never ±∞ or NaN.
+    *
+    * Scale: one scalar aggregate per side (map-side partials), then a
+    * one-row cross join.
+    *
+    * @return one row: `(n_a, k_a, n_b, k_b, rate_a, rate_b, z,
+    *         odds_ratio, risk_ratio)`
+    */
+  def twoProportionTest(a: DataFrame, b: DataFrame,
+      flagCol: String): DataFrame = {
+    def side(df: DataFrame, suffix: String) =
+      df.filter(col(flagCol).isNotNull).agg(
+        count(lit(1)).as(s"n_$suffix"),
+        sum(when(col(flagCol), 1L).otherwise(0L)).as(s"k_$suffix"))
+    val d18 = DecimalType(18, 0)
+    val joined = side(a, "a").crossJoin(side(b, "b"))
+    val na = col("n_a").cast("double")
+    val nb = col("n_b").cast("double")
+    val pa = col("k_a").cast("double") / na
+    val pb = col("k_b").cast("double") / nb
+    val pooled = (col("k_a") + col("k_b")).cast("double") /
+      (col("n_a") + col("n_b")).cast("double")
+    val z = (pa - pb) /
+      sqrt(pooled * (lit(1.0) - pooled) * (lit(1.0) / na + lit(1.0) / nb))
+    val orNum = col("k_a").cast(d18) * (col("n_b") - col("k_b")).cast(d18)
+    val orDen = (col("n_a") - col("k_a")).cast(d18) * col("k_b").cast(d18)
+    val bothSides = col("n_a") > 0L && col("n_b") > 0L
+    joined.select(col("n_a"), col("k_a"), col("n_b"), col("k_b"),
+      when(col("n_a") > 0L, pa).as("rate_a"),
+      when(col("n_b") > 0L, pb).as("rate_b"),
+      when(bothSides &&
+        (col("k_a") + col("k_b")) > 0L &&
+        (col("k_a") + col("k_b")) < (col("n_a") + col("n_b")), z).as("z"),
+      when(bothSides && orDen > 0,
+        orNum.cast("double") / orDen.cast("double")).as("odds_ratio"),
+      when(bothSides && col("k_b") > 0L, pa / pb).as("risk_ratio"))
+  }
+
   /** EQUI-DEPTH LABELING at corpus scale — the CCNet head/middle/tail
     * shape (Wenzek 2019 §4.2: split each language's corpus into thirds
     * by LM score and treat the best third differently): label every row

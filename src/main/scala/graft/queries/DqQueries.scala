@@ -1529,6 +1529,120 @@ object DqQueries extends QueryModule {
       """.trim),
       // Verify-only (bench-tail policy): one corpus aggregate + the
       // classes×domain grid windows
+      bench = false),
+
+    // --- TOKEN-WEIGHTED exact quantiles of document length per source
+    // — "half the TOKENS sit in documents shorter than X" (the
+    // curation read that differs from q-unweighted whenever mass and
+    // length correlate, i.e. always). Exact long running weights,
+    // row-local interval pick, no per-group window sort. ---
+    GQuery(
+      "q270_weighted_quantiles",
+      (spark, dir) => {
+        val pd = Tables.docs(spark, dir).select(col("source"),
+          col("n_chars"), col("doc_id"),
+          size(org.apache.spark.sql.functions.filter(
+            split(col("text"), " "), w => w =!= ""))
+            .cast("long").as("tok"))
+        graft.operators.Profiler.weightedQuantiles(pd, "source",
+            "n_chars", "tok", "doc_id", Seq("0.5", "0.9"))
+          .select(col("source"), col("q"), col("w_total"), col("value"))
+          .orderBy(col("source"), col("q"))
+      },
+      Some("""
+        WITH pd AS (
+          SELECT source, n_chars AS v, doc_id,
+                 CAST(len(list_filter(string_split(text, ' '),
+                   s -> s <> '')) AS BIGINT) AS w
+          FROM documents),
+        f AS (SELECT * FROM pd WHERE v IS NOT NULL AND w IS NOT NULL),
+        cum AS (
+          SELECT source, v, w, doc_id,
+                 CAST(SUM(w) OVER (PARTITION BY source ORDER BY v, doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS c,
+                 CAST(SUM(w) OVER (PARTITION BY source) AS BIGINT) AS wt
+          FROM f),
+        qs AS (SELECT unnest([CAST(0.5 AS DOUBLE),
+                              CAST(0.9 AS DOUBLE)]) AS q),
+        tg AS (
+          SELECT s.source, qs.q, s.wt,
+                 GREATEST(CAST(CEIL(qs.q * CAST(s.wt AS DOUBLE))
+                   AS BIGINT), 1) AS t
+          FROM (SELECT DISTINCT source, wt FROM cum) s CROSS JOIN qs)
+        SELECT c.source, tg.q, tg.wt AS w_total, c.v AS value
+        FROM cum c
+        JOIN tg ON tg.source = c.source
+               AND c.c >= tg.t AND c.c - c.w < tg.t
+        ORDER BY c.source, tg.q
+      """.trim),
+      // Verify-only (bench-tail policy): the q244 rank-pass shape with
+      // weight prefix sums
+      bench = false),
+
+    // --- TWO-PROPORTION z-test of the ≥30-token pass rate between the
+    // even/odd doc_id halves — "did the rate MOVE beyond what the
+    // sizes explain", the inferential companion to q258's per-group
+    // Wilson bounds, with the exact-arithmetic effect sizes (odds
+    // ratio, risk ratio) alongside. ---
+    GQuery(
+      "q271_two_proportion",
+      (spark, dir) => {
+        val d = Tables.docs(spark, dir).select(col("doc_id"),
+          (size(org.apache.spark.sql.functions.filter(
+            split(col("text"), " "), w => w =!= ""))
+            .cast("long") >= 30L).as("passed"))
+        graft.operators.Profiler.twoProportionTest(
+            d.filter(col("doc_id") % 2 === 0),
+            d.filter(col("doc_id") % 2 === 1), "passed")
+          .select(col("n_a"), col("k_a"), col("n_b"), col("k_b"),
+            round(col("rate_a"), 6).as("rate_a_r"),
+            round(col("rate_b"), 6).as("rate_b_r"),
+            round(col("z"), 6).as("z_r"),
+            round(col("odds_ratio"), 6).as("or_r"),
+            round(col("risk_ratio"), 6).as("rr_r"))
+      },
+      Some("""
+        WITH pd AS (
+          SELECT doc_id,
+                 CAST(len(list_filter(string_split(text, ' '),
+                   s -> s <> '')) AS BIGINT) >= 30 AS f
+          FROM documents),
+        sa AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_a,
+                      CAST(SUM(CASE WHEN f THEN 1 ELSE 0 END) AS BIGINT)
+                        AS k_a
+               FROM pd WHERE doc_id % 2 = 0 AND f IS NOT NULL),
+        sb AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_b,
+                      CAST(SUM(CASE WHEN f THEN 1 ELSE 0 END) AS BIGINT)
+                        AS k_b
+               FROM pd WHERE doc_id % 2 = 1 AND f IS NOT NULL),
+        j AS (SELECT * FROM sa CROSS JOIN sb),
+        fin AS (
+          SELECT n_a, k_a, n_b, k_b,
+                 CAST(k_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS pa,
+                 CAST(k_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS pb,
+                 CAST(k_a + k_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE)
+                   AS pp
+          FROM j)
+        SELECT n_a, k_a, n_b, k_b,
+               round(pa, 6) AS rate_a_r, round(pb, 6) AS rate_b_r,
+               CASE WHEN k_a + k_b > 0 AND k_a + k_b < n_a + n_b THEN
+                 round((pa - pb)
+                   / sqrt(pp * (1.0 - pp)
+                       * (1.0 / CAST(n_a AS DOUBLE)
+                          + 1.0 / CAST(n_b AS DOUBLE))), 6)
+               END AS z_r,
+               CASE WHEN (n_a - k_a) * k_b > 0 THEN
+                 round(CAST(CAST(k_a AS DECIMAL(18,0))
+                       * CAST(n_b - k_b AS DECIMAL(18,0)) AS DOUBLE)
+                   / CAST(CAST(n_a - k_a AS DECIMAL(18,0))
+                       * CAST(k_b AS DECIMAL(18,0)) AS DOUBLE), 6)
+               END AS or_r,
+               CASE WHEN k_b > 0 THEN round(pa / pb, 6) END AS rr_r
+        FROM fin
+      """.trim),
+      // Verify-only (bench-tail policy): two scalar aggregates — the
+      // minimal shape
       bench = false)
   )
 }

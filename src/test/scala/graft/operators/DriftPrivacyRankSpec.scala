@@ -147,6 +147,83 @@ class DriftPrivacyRankSpec extends AnyFunSuite {
       Search.DcgWeights.scanLeft(0.0)(_ + _).tail)
   }
 
+  // ---------------- weightedQuantiles ----------------
+
+  test("weightedQuantiles: mass moves the median, unit weights reduce " +
+    "to exactQuantiles, NULL excluded, zero weight loud") {
+    val rows = Seq(("g", 1.0, 1L, 1L), ("g", 2.0, 1L, 2L),
+      ("g", 3.0, 1L, 3L), ("g", 4.0, 7L, 4L))
+      .toDF("g", "v", "w", "id")
+    val got = Profiler.weightedQuantiles(rows, "g", "v", "w", "id",
+        Seq("0.1", "0.3", "0.5"))
+      .collect().map(r => r.getAs[Double]("q") -> r).toMap
+    assert(got(0.5).getAs[Double]("value") == 4.0) // 7/10 of mass at 4
+    assert(got(0.5).getAs[Long]("w_total") == 10L)
+    assert(got(0.3).getAs[Double]("value") == 3.0)
+    assert(got(0.1).getAs[Double]("value") == 1.0)
+    // unit weights ≡ exactQuantiles (type-1)
+    val vals = Seq(5.0, 1.0, 4.0, 2.0, 3.0, 9.0, 7.0).zipWithIndex
+      .map { case (v, i) => ("g", v, 1L, i.toLong) }
+      .toDF("g", "v", "w", "id")
+    val wq = Profiler.weightedQuantiles(vals, "g", "v", "w", "id",
+        Seq("0.25", "0.5", "1.0"))
+      .collect().map(r => r.getAs[Double]("q") -> r.getAs[Double]("value"))
+      .toMap
+    val eq = Profiler.exactQuantiles(vals, "g", "v", "id",
+        Seq("0.25", "0.5", "1.0"))
+      .collect().map(r => r.getAs[Double]("q") -> r.getAs[Double]("value"))
+      .toMap
+    assert(wq == eq)
+    // NULL weight/value rows are excluded from the mass
+    val withNull = rows.unionByName(
+      Seq(("g", 9.0, null.asInstanceOf[java.lang.Long], 9L))
+        .toDF("g", "v", "w", "id"))
+    assert(Profiler.weightedQuantiles(withNull, "g", "v", "w", "id",
+      Seq("1.0")).head().getAs[Long]("w_total") == 10L)
+    // zero weight: loud, never a silently-skipped mass
+    val boom = intercept[Exception] {
+      Profiler.weightedQuantiles(
+        Seq(("g", 1.0, 0L, 1L)).toDF("g", "v", "w", "id"),
+        "g", "v", "w", "id", Seq("0.5")).collect()
+    }
+    assert(boom.getMessage != null)
+  }
+
+  // ---------------- twoProportionTest ----------------
+
+  test("twoProportionTest: hand z/OR/RR, degenerate NULLs, NULL flags " +
+    "excluded") {
+    def flags(k: Int, n: Int) =
+      (Seq.fill(k)(true) ++ Seq.fill(n - k)(false))
+        .map(b => Tuple1(b: java.lang.Boolean)).toDF("f")
+    val r = Profiler.twoProportionTest(flags(8, 10), flags(4, 10), "f")
+      .head()
+    assert(r.getAs[Long]("n_a") == 10L && r.getAs[Long]("k_a") == 8L)
+    assert(r.getAs[Double]("rate_a") == 0.8)
+    val expZ = (0.8 - 0.4) / math.sqrt(0.6 * 0.4 * (0.1 + 0.1))
+    assert(math.abs(r.getAs[Double]("z") - expZ) < 1e-12)
+    assert(r.getAs[Double]("odds_ratio") == 6.0) // (8*6)/(2*4)
+    assert(r.getAs[Double]("risk_ratio") == 2.0)
+    // all-pass on both sides: no variance -> NULL z, NULL OR, RR = 1
+    val perfect = Profiler.twoProportionTest(flags(3, 3), flags(2, 2), "f")
+      .head()
+    assert(perfect.isNullAt(perfect.fieldIndex("z")))
+    assert(perfect.isNullAt(perfect.fieldIndex("odds_ratio")))
+    assert(perfect.getAs[Double]("risk_ratio") == 1.0)
+    // NULL flags excluded from the counts
+    val withNull = Profiler.twoProportionTest(
+      flags(1, 2).unionByName(Seq(Tuple1(null: java.lang.Boolean))
+        .toDF("f")),
+      flags(1, 2), "f").head()
+    assert(withNull.getAs[Long]("n_a") == 2L)
+    // empty side -> NULL everything derived
+    val empty = Profiler.twoProportionTest(
+      flags(1, 2).filter(lit(false)), flags(1, 2), "f").head()
+    assert(empty.getAs[Long]("n_a") == 0L)
+    assert(empty.isNullAt(empty.fieldIndex("rate_a")))
+    assert(empty.isNullAt(empty.fieldIndex("z")))
+  }
+
   // ---------------- linkPrediction ----------------
 
   test("linkPrediction: path closes, square closes both diagonals, " +

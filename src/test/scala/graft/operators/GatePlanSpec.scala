@@ -86,6 +86,12 @@ class GatePlanSpec extends AnyFunSuite {
     // q269 = post-checkpoint assembly (the composite reaps its sheet;
     // constituent shapes pinned at q111/q255/q258/q260) + output sort
     "q269_governance_sheet" -> (1, 0),
+    // q270 = the narrow weight-prefix rank pass (its exchanges ride
+    // the prefix passes' materialized shuffles) + targets/offsets
+    // broadcasts + output sort; q271 = two scalar side aggregates +
+    // the one-row cross join (broadcast) — the minimal pair shape
+    "q270_weighted_quantiles" -> (1, 2),
+    "q271_two_proportion" -> (4, 1),
     "q250_numeric_drift" -> (2, 1),
     "q251_benford" -> (4, 2),
     "q252_theil_sen" -> (14, 9),
