@@ -291,4 +291,75 @@ object Association {
       when(lit(1.0) - pE =!= 0.0, (pBar - pE) / (lit(1.0) - pE))
         .as("kappa"))
   }
+
+  /** COCHRAN's Q (Cochran 1950) — do k binary raters/rules PASS AT
+    * DIFFERENT RATES on the same items? The rate-difference question
+    * [[fleissKappa]] deliberately does not answer (κ measures
+    * AGREEMENT; three rules can agree perfectly yet one still passes
+    * everything — Q catches the marginal difference, κ the per-item
+    * consensus; read them together). The k-treatment generalization of
+    * McNemar's paired test.
+    *
+    * Integer form (the S²/k rearrangement keeps every term exact):
+    *
+    *   Q = (k−1)·(k·Σ_j T_j² − S²) / (k·Σ_i R_i − Σ_i R_i²)
+    *
+    * with T_j = rater j's pass total, R_i = item i's pass count,
+    * S = ΣT = ΣR — all exact longs/decimals (squares as DECIMAL(37,0);
+    * T_j can pass √(long max) at 100 TB item counts), ONE IEEE
+    * division. Q ~ χ²_{k−1} under the null.
+    *
+    * Contracts, loud in-plan: every item carries EXACTLY k flags
+    * (NULL-flag rows are excluded FIRST, so a NULL rating makes its
+    * item ragged and trips the assert — partially-rated items cannot
+    * silently bias the marginals), and the distinct-rater count must
+    * equal k (a duplicated (item, rater) flag trips this one). All
+    * items unanimous (every R_i ∈ {0, k}) → zero denominator → NULL Q
+    * (no within-item variation to test against).
+    *
+    * Scale: two narrow count aggregates (item- and rater-keyed, map-
+    * side partials) + a one-row cross join — nothing wider than
+    * (id, long) shuffles.
+    *
+    * @return one row: `(n_items, n_raters, total_passes, q_stat)`
+    */
+  def cochranQ(df: DataFrame, itemCol: String, raterCol: String,
+      flagCol: String): DataFrame = {
+    val d18 = DecimalType(18, 0)
+    val base = df.select(col(itemCol).as("__i"), col(raterCol).as("__r"),
+        col(flagCol).cast("boolean").as("__f"))
+      .filter(col("__i").isNotNull && col("__r").isNotNull &&
+        col("__f").isNotNull)
+    val perItem = base.groupBy(col("__i")).agg(
+      count(lit(1)).as("__ni"),
+      sum(when(col("__f"), 1L).otherwise(0L)).as("__ri"))
+    val itemAgg = perItem.agg(
+      count(lit(1)).as("n_items"),
+      min(col("__ni")).as("__kmin"), max(col("__ni")).as("__kmax"),
+      sum(col("__ri")).as("__s"),
+      sum(col("__ri") * col("__ri")).as("__sr2"))
+    val perRater = base.groupBy(col("__r")).agg(
+      sum(when(col("__f"), 1L).otherwise(0L)).as("__tj"))
+    val raterAgg = perRater.agg(
+      count(lit(1)).as("n_raters"),
+      sum(col("__tj").cast(d18) * col("__tj").cast(d18)).as("__st2"))
+    val joined = itemAgg.crossJoin(raterAgg)
+    val kGuard = coalesce(
+      assert_true(col("__kmin") === col("__kmax") &&
+        col("__kmin") === col("n_raters") && col("__kmin") >= 2L,
+        lit("cochranQ: every item must carry exactly one flag from " +
+          "each of the k >= 2 raters — a NULL rating, a missing " +
+          "(item, rater) pair, or a duplicate one makes the marginals " +
+          "biased")).cast("double"),
+      lit(0.0))
+    val k = col("n_raters").cast("double") + kGuard
+    val qNum = (k - lit(1.0)) *
+      (k * col("__st2").cast("double") -
+        (col("__s").cast(d18) * col("__s").cast(d18)).cast("double"))
+    val qDen = k * col("__s").cast("double") -
+      col("__sr2").cast("double")
+    joined.select(col("n_items"), col("n_raters"),
+      col("__s").as("total_passes"),
+      when(qDen > 0.0, qNum / qDen).as("q_stat"))
+  }
 }

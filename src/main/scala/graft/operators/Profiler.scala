@@ -631,6 +631,50 @@ object Profiler {
       when(bothSides && col("k_b") > 0L, pa / pb).as("risk_ratio"))
   }
 
+  /** McNEMAR's test (McNemar 1947) — the PAIRED companion to
+    * [[twoProportionTest]]: when two rule versions are evaluated on the
+    * SAME documents, only the DISCORDANT pairs carry information (a
+    * document both versions pass says nothing about which is stricter),
+    * and the unpaired z-test wastes the pairing. χ² = (b − c)²/(b + c)
+    * over b = A-only passes, c = B-only passes — exact longs, ONE IEEE
+    * division (the continuity-corrected variant is deliberately absent:
+    * report the exact discordant counts and let the reader pick a
+    * correction; the uncorrected statistic is the one the χ²₁ reference
+    * distribution matches asymptotically).
+    *
+    * Pairwise-complete: rows where EITHER flag is NULL are excluded
+    * from all four cells (a one-sided NULL is an unpaired observation).
+    * No discordant pairs (b + c = 0) → NULL chi2 — the rules are
+    * indistinguishable on this data, not infinitely similar.
+    *
+    * Scale: ONE scalar aggregate with map-side partials.
+    *
+    * @return one row: `(n, n_both, n_a_only, n_b_only, n_neither,
+    *         chi2)`
+    */
+  def mcnemarTest(df: DataFrame, flagACol: String,
+      flagBCol: String): DataFrame = {
+    val base = df
+      .select(col(flagACol).as("__a"), col(flagBCol).as("__b"))
+      .filter(col("__a").isNotNull && col("__b").isNotNull)
+    val agg = base.agg(
+      count(lit(1)).as("n"),
+      sum(when(col("__a") && col("__b"), 1L).otherwise(0L)).as("n_both"),
+      sum(when(col("__a") && !col("__b"), 1L).otherwise(0L))
+        .as("n_a_only"),
+      sum(when(!col("__a") && col("__b"), 1L).otherwise(0L))
+        .as("n_b_only"),
+      sum(when(!col("__a") && !col("__b"), 1L).otherwise(0L))
+        .as("n_neither"))
+    val b = col("n_a_only")
+    val c = col("n_b_only")
+    agg.select(col("n"), col("n_both"), col("n_a_only"), col("n_b_only"),
+      col("n_neither"),
+      when(b + c > 0L,
+        ((b - c) * (b - c)).cast("double") / (b + c).cast("double"))
+        .as("chi2"))
+  }
+
   /** EQUI-DEPTH LABELING at corpus scale — the CCNet head/middle/tail
     * shape (Wenzek 2019 §4.2: split each language's corpus into thirds
     * by LM score and treat the best third differently): label every row

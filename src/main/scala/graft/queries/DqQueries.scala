@@ -1643,6 +1643,125 @@ object DqQueries extends QueryModule {
       """.trim),
       // Verify-only (bench-tail policy): two scalar aggregates — the
       // minimal shape
+      bench = false),
+
+    // --- McNEMAR's paired test between two quality rules evaluated on
+    // the SAME documents (token count ≥ 30 vs char count ≥ 150): only
+    // the discordant cells carry information — the paired companion to
+    // q271's unpaired z. Exact cell counts, one IEEE division. ---
+    GQuery(
+      "q272_mcnemar",
+      (spark, dir) => {
+        val d = Tables.docs(spark, dir).select(
+          (size(org.apache.spark.sql.functions.filter(
+            split(col("text"), " "), w => w =!= ""))
+            .cast("long") >= 30L).as("fa"),
+          (col("n_chars") >= 150L).as("fb"))
+        graft.operators.Profiler.mcnemarTest(d, "fa", "fb")
+          .select(col("n"), col("n_both"), col("n_a_only"),
+            col("n_b_only"), col("n_neither"),
+            round(col("chi2"), 6).as("chi2_r"))
+      },
+      Some("""
+        WITH pd AS (
+          SELECT CAST(len(list_filter(string_split(text, ' '),
+                   s -> s <> '')) AS BIGINT) >= 30 AS fa,
+                 n_chars >= 150 AS fb
+          FROM documents),
+        f AS (SELECT * FROM pd WHERE fa IS NOT NULL AND fb IS NOT NULL),
+        ag AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(CASE WHEN fa AND fb THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_both,
+                 CAST(SUM(CASE WHEN fa AND NOT fb THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_a_only,
+                 CAST(SUM(CASE WHEN NOT fa AND fb THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_b_only,
+                 CAST(SUM(CASE WHEN NOT fa AND NOT fb THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_neither
+          FROM f)
+        SELECT n, n_both, n_a_only, n_b_only, n_neither,
+               CASE WHEN n_a_only + n_b_only > 0 THEN
+                 round(CAST((n_a_only - n_b_only) * (n_a_only - n_b_only)
+                     AS DOUBLE)
+                   / CAST(n_a_only + n_b_only AS DOUBLE), 6)
+               END AS chi2_r
+        FROM ag
+      """.trim),
+      // Verify-only (bench-tail policy): one scalar aggregate — the
+      // minimal shape
+      bench = false),
+
+    // --- COCHRAN's Q over q263's three deterministic raters: do the
+    // rules PASS AT DIFFERENT RATES on the same documents? The
+    // rate-difference question Fleiss' κ (agreement) does not answer —
+    // read the pair together. Exact integer marginals via the S²/k
+    // rearrangement, ONE IEEE division. ---
+    GQuery(
+      "q273_cochran_q",
+      (spark, dir) => {
+        val d = Tables.docs(spark, dir).select(col("doc_id"), col("text"),
+          col("n_chars"))
+        val toks = size(org.apache.spark.sql.functions.filter(
+          split(col("text"), " "), w => w =!= "")).cast("long")
+        val melted = d.select(col("doc_id").as("item"), explode(array(
+            struct(lit("tok30").as("rater"),
+              coalesce(toks >= 30L, lit(false)).as("f")),
+            struct(lit("chars150").as("rater"),
+              coalesce(col("n_chars") >= 150L, lit(false)).as("f")),
+            struct(lit("period").as("rater"),
+              coalesce(instr(col("text"), ".") > 0, lit(false)).as("f"))))
+            .as("rf"))
+          .select(col("item"), col("rf.rater").as("rater"),
+            col("rf.f").as("f"))
+        graft.operators.Association.cochranQ(melted, "item", "rater", "f")
+          .select(col("n_items"), col("n_raters"), col("total_passes"),
+            round(col("q_stat"), 6).as("q_r"))
+      },
+      Some("""
+        WITH d AS (SELECT doc_id, text, n_chars FROM documents),
+        r AS (
+          SELECT doc_id AS item, 'tok30' AS rater,
+                 COALESCE(CAST(len(list_filter(string_split(text, ' '),
+                   s -> s <> '')) AS BIGINT) >= 30, FALSE) AS f
+          FROM d
+          UNION ALL
+          SELECT doc_id, 'chars150', COALESCE(n_chars >= 150, FALSE)
+          FROM d
+          UNION ALL
+          SELECT doc_id, 'period',
+                 COALESCE(position('.' IN text) > 0, FALSE)
+          FROM d),
+        pi AS (SELECT item,
+                      CAST(SUM(CASE WHEN f THEN 1 ELSE 0 END) AS BIGINT)
+                        AS ri
+               FROM r GROUP BY item),
+        ia AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_items,
+                      CAST(SUM(ri) AS BIGINT) AS s,
+                      CAST(SUM(ri * ri) AS BIGINT) AS sr2
+               FROM pi),
+        pr AS (SELECT rater,
+                      CAST(SUM(CASE WHEN f THEN 1 ELSE 0 END) AS BIGINT)
+                        AS tj
+               FROM r GROUP BY rater),
+        ra AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_raters,
+                      SUM(CAST(tj AS DECIMAL(18,0))
+                        * CAST(tj AS DECIMAL(18,0))) AS st2
+               FROM pr)
+        SELECT n_items, n_raters, s AS total_passes,
+               CASE WHEN CAST(n_raters AS DOUBLE) * CAST(s AS DOUBLE)
+                      - CAST(sr2 AS DOUBLE) > 0 THEN
+                 round((CAST(n_raters AS DOUBLE) - 1.0)
+                     * (CAST(n_raters AS DOUBLE) * CAST(st2 AS DOUBLE)
+                        - CAST(CAST(s AS DECIMAL(18,0))
+                            * CAST(s AS DECIMAL(18,0)) AS DOUBLE))
+                   / (CAST(n_raters AS DOUBLE) * CAST(s AS DOUBLE)
+                      - CAST(sr2 AS DOUBLE)), 6)
+               END AS q_r
+        FROM ia CROSS JOIN ra
+      """.trim),
+      // Verify-only (bench-tail policy): two narrow count aggregates —
+      // the q263 shape
       bench = false)
   )
 }

@@ -224,6 +224,73 @@ class DriftPrivacyRankSpec extends AnyFunSuite {
     assert(empty.isNullAt(empty.fieldIndex("z")))
   }
 
+  // ---------------- mcnemarTest ----------------
+
+  test("mcnemarTest: hand cells and chi2, one-sided NULL unpairs the " +
+    "row, no discordance NULL") {
+    def bb(a: Boolean, b: Boolean) =
+      (a: java.lang.Boolean, b: java.lang.Boolean)
+    val rows = (Seq.fill(3)(bb(true, true)) ++ Seq.fill(4)(bb(true, false))
+      ++ Seq.fill(1)(bb(false, true)) ++ Seq.fill(2)(bb(false, false)))
+      .toDF("fa", "fb")
+    val r = Profiler.mcnemarTest(rows, "fa", "fb").head()
+    assert(r.getAs[Long]("n") == 10L)
+    assert(r.getAs[Long]("n_both") == 3L)
+    assert(r.getAs[Long]("n_a_only") == 4L)
+    assert(r.getAs[Long]("n_b_only") == 1L)
+    assert(r.getAs[Long]("n_neither") == 2L)
+    assert(math.abs(r.getAs[Double]("chi2") - 9.0 / 5.0) < 1e-15)
+    // a NULL on either side unpairs the whole row
+    val withNull = Profiler.mcnemarTest(rows.unionByName(
+      Seq((null: java.lang.Boolean, true: java.lang.Boolean))
+        .toDF("fa", "fb")), "fa", "fb").head()
+    assert(withNull.getAs[Long]("n") == 10L)
+    // concordant-only input: the rules are indistinguishable -> NULL
+    val same = Profiler.mcnemarTest(
+      Seq(bb(true, true), bb(false, false)).toDF("fa", "fb"), "fa", "fb")
+      .head()
+    assert(same.isNullAt(same.fieldIndex("chi2")))
+  }
+
+  // ---------------- cochranQ ----------------
+
+  test("cochranQ: hand table, unanimous-only NULL, ragged and " +
+    "duplicated ratings fail loudly") {
+    def melt(table: Seq[Seq[Int]]) =
+      table.zipWithIndex.flatMap { case (row, i) =>
+        row.zipWithIndex.map { case (f, j) =>
+          (i.toLong, s"r$j", f == 1)
+        }
+      }.toDF("item", "rater", "f")
+    // T = (4,2,1), S = 7, sumT2 = 21, sumR2 = 15, k = 3:
+    // Q = 2*(63-49)/(21-15) = 28/6
+    val table = Seq(Seq(1, 1, 0), Seq(1, 0, 0), Seq(1, 1, 1),
+      Seq(1, 0, 0))
+    val r = Association.cochranQ(melt(table), "item", "rater", "f").head()
+    assert(r.getAs[Long]("n_items") == 4L)
+    assert(r.getAs[Long]("n_raters") == 3L)
+    assert(r.getAs[Long]("total_passes") == 7L)
+    assert(math.abs(r.getAs[Double]("q_stat") - 28.0 / 6.0) < 1e-12)
+    // every item unanimous: no within-item variation -> NULL
+    val mono = Association.cochranQ(
+      melt(Seq(Seq(1, 1, 1), Seq(0, 0, 0))), "item", "rater", "f").head()
+    assert(mono.isNullAt(mono.fieldIndex("q_stat")))
+    // a NULL rating makes its item ragged -> loud
+    val ragged = melt(table).unionByName(
+      Seq((99L, "r0", true), (99L, "r1", true)).toDF("item", "rater", "f"))
+    val boom = intercept[Exception] {
+      Association.cochranQ(ragged, "item", "rater", "f").collect()
+    }
+    assert(boom.getMessage != null)
+    // a duplicated (item, rater) flag -> loud
+    val dup = melt(table).unionByName(
+      Seq((0L, "r0", true)).toDF("item", "rater", "f"))
+    val boom2 = intercept[Exception] {
+      Association.cochranQ(dup, "item", "rater", "f").collect()
+    }
+    assert(boom2.getMessage != null)
+  }
+
   // ---------------- linkPrediction ----------------
 
   test("linkPrediction: path closes, square closes both diagonals, " +

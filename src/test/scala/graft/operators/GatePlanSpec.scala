@@ -92,6 +92,11 @@ class GatePlanSpec extends AnyFunSuite {
     // the one-row cross join (broadcast) — the minimal pair shape
     "q270_weighted_quantiles" -> (1, 2),
     "q271_two_proportion" -> (4, 1),
+    // q272 = the docs spread + one scalar cell aggregate; q273 = melt
+    // explode → item agg + rater agg branches (byte-identical melt
+    // subtree — the q263 stage-reuse note) + one-row cross join
+    "q272_mcnemar" -> (2, 0),
+    "q273_cochran_q" -> (6, 1),
     "q250_numeric_drift" -> (2, 1),
     "q251_benford" -> (4, 2),
     "q252_theil_sen" -> (14, 9),

@@ -589,4 +589,46 @@ class ScaleCurveSpec extends AnyFunSuite {
           p = 9, salt = "sc"), "o_orderpriority", p = 9)
     curve("hll_registers", op, o, amp)
   }
+
+  test("1-Wasserstein drift scales ~linearly over 10x distinct values") {
+    // per-copy value offsets keep the distinct-value domain growing 10x
+    // (the operator's real axis — cumulatives and the rank equi-join run
+    // over DISTINCT values, not rows). The claim under test: segment
+    // widths come from a rank equi-join over the checkpointed narrow
+    // frame, never a single-partition lead window that would serialize
+    // the value domain through one task. Exchange assertion is trivial
+    // on the reaped output (the pagerank_fixed precedent) — the time
+    // bound is the content.
+    val o = table("orders").select($"o_orderkey", $"o_totalprice")
+    val amp = (0 until Amp).map(i =>
+      o.withColumn("o_totalprice", $"o_totalprice" + lit(i * 1000000.0))
+        .withColumn("o_orderkey", $"o_orderkey" + lit(i * 100000000L)))
+      .reduce(_ unionByName _)
+    def op(d: DataFrame): DataFrame =
+      Profiler.wasserstein1(
+        d.filter($"o_orderkey" % 2 === 0),
+        d.filter($"o_orderkey" % 2 =!= 0), "o_totalprice")
+    curve("wasserstein1", op, o, amp)
+  }
+
+  test("link prediction scales ~linearly at 10x edges (wedge-bounded " +
+    "candidates)") {
+    // 10 disjoint remapped copies of the co-occurrence graph: per-copy
+    // wedge structure identical, so true candidate volume is exactly
+    // linear. The claim under test: pairs are generated by a ROW-LOCAL
+    // explode over ≤ maxDegree adjacency arrays — an all-pairs or
+    // wedge-shuffling form would pay Σ deg² through an exchange and
+    // drift super-linear. Exchange assertion trivial on the reaped
+    // top-k output; the time bound is the content.
+    val edges = Graph.coOccurrenceEdges(table("lineitem"),
+      "l_orderkey", "l_partkey")
+    val amp = (0 until Amp).map(i => edges.select(
+        concat(lit(s"$i:"), $"src").as("src"),
+        concat(lit(s"$i:"), $"dst").as("dst")))
+      .reduce(_ unionByName _)
+    def op(d: DataFrame): DataFrame =
+      Graph.linkPrediction(d, "src", "dst", maxDegree = 50, k = 15,
+        edgesDistinct = true)
+    curve("link_prediction", op, edges, amp)
+  }
 }
