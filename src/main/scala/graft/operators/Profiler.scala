@@ -631,6 +631,81 @@ object Profiler {
       when(bothSides && col("k_b") > 0L, pa / pb).as("risk_ratio"))
   }
 
+  /** KRUSKAL-WALLIS H (Kruskal & Wallis 1952) — the k-GROUP
+    * generalization of [[numericDrift]]'s Mann-Whitney: does a numeric
+    * column's distribution DIFFER ACROSS k sources/languages/shards,
+    * rank-based so one whale value cannot fake or mask it (the reason
+    * this and not a k-group mean test is the corpus monitor). With
+    * pooled midranks R̄ and group rank sums R_j over n_j rows:
+    *
+    *   H = 12/(N(N+1)) · Σ_j R_j²/n_j − 3(N+1),   H_c = H / C,
+    *   C = 1 − Σ_ties (t³ − t)/(N³ − N)           (tie correction)
+    *
+    * Exactness: midranks kept INTEGRAL as midrank2 = lo + hi per tie
+    * group (the [[aucExact]] device — 2× the average, no fractional
+    * rank anywhere), so each R2_j = 2·R_j is an exact decimal; tie
+    * masses t³ are exact DECIMAL(38,0) (t < 1e12 contract). The only
+    * floating arithmetic is the final fixed sequence: per-group terms
+    * R2_j²/(4·n_j) folded in SORTED group order (group count is
+    * bounded — facets, not ids), then the H assembly and ONE division
+    * by C. NULL values/groups are excluded; fewer than 2 groups FAILS
+    * LOUDLY; all values identical (C = 0) → NULL (no ranking question).
+    *
+    * Scale: the [[ksTest]] shape — one (value, group)-keyed count
+    * aggregate, value-domain windows for tie extents via the
+    * range-partitioned prefix pass, group-sized finishing. No global
+    * sort of rows, no per-group buffer.
+    *
+    * @return one row: `(n, n_groups, h, tie_c, h_corrected)`
+    */
+  def kruskalWallis(df: DataFrame, groupCol: String,
+      valueCol: String): DataFrame = {
+    val d12 = DecimalType(12, 0)
+    val d18 = DecimalType(18, 0)
+    val base = df.select(col(groupCol).cast("string").as("__g"),
+        col(valueCol).as("__v"))
+      .filter(col("__g").isNotNull && col("__v").isNotNull)
+    val pvg = base.groupBy(col("__v"), col("__g"))
+      .agg(count(lit(1)).as("__c"))
+    val tv = pvg.groupBy(col("__v")).agg(sum(col("__c")).as("__t"))
+    val cum = SurrogateKeys.prefixSumLong(tv, "__t", Seq(col("__v")),
+      "__off")
+    // midrank2 = lo + hi = 2·off + t + 1 — integral, exact
+    val perGroup = pvg.join(cum.select(col("__v"), col("__off"),
+        col("__t").as("__tt")), Seq("__v"))
+      .groupBy(col("__g"))
+      .agg(sum(col("__c")).as("__n"),
+        sum(col("__c").cast(d18) *
+          (lit(2L) * col("__off") + col("__tt") + lit(1L)).cast(d18))
+          .as("__r2"))
+    val gAgg = perGroup.agg(
+      count(lit(1)).as("n_groups"),
+      sum(col("__n")).as("n"),
+      sort_array(collect_list(struct(col("__g"),
+        ((col("__r2").cast("double") * col("__r2").cast("double")) /
+          (lit(4.0) * col("__n").cast("double"))).as("__term"))))
+        .as("__terms"))
+    val ties = tv.agg(
+      coalesce(sum(col("__t").cast(d12) * col("__t").cast(d12) *
+          col("__t").cast(d12) - col("__t").cast(DecimalType(38, 0))),
+        lit(0).cast(DecimalType(38, 0))).as("__tsum"))
+    val joined = gAgg.crossJoin(ties)
+    val kGuard = coalesce(
+      assert_true(col("n_groups") >= 2L,
+        lit("kruskalWallis: need at least 2 groups — there is no " +
+          "between-group question to test")).cast("double"),
+      lit(0.0))
+    val nD = col("n").cast("double") + kGuard
+    val sumTerms = aggregate(col("__terms"), lit(0.0),
+      (acc, x) => acc + x.getField("__term"))
+    val h = lit(12.0) * sumTerms / (nD * (nD + lit(1.0))) -
+      lit(3.0) * (nD + lit(1.0))
+    val c = lit(1.0) - col("__tsum").cast("double") /
+      (nD * nD * nD - nD)
+    joined.select(col("n"), col("n_groups"), h.as("h"), c.as("tie_c"),
+      when(c > 0.0, h / c).as("h_corrected"))
+  }
+
   /** McNEMAR's test (McNemar 1947) — the PAIRED companion to
     * [[twoProportionTest]]: when two rule versions are evaluated on the
     * SAME documents, only the DISCORDANT pairs carry information (a

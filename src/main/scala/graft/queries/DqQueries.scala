@@ -1762,6 +1762,66 @@ object DqQueries extends QueryModule {
       """.trim),
       // Verify-only (bench-tail policy): two narrow count aggregates —
       // the q263 shape
+      bench = false),
+
+    // --- KRUSKAL-WALLIS H across order priorities — the k-group
+    // generalization of q250's Mann-Whitney: does totalprice differ
+    // across the five priorities, rank-based (one whale cannot fake or
+    // mask it). Integral midrank2 device, exact tie masses, per-group
+    // terms folded in sorted group order, tie-corrected H. ---
+    GQuery(
+      "q274_kruskal_wallis",
+      (spark, dir) =>
+        graft.operators.Profiler.kruskalWallis(t(spark, dir, "orders"),
+            "o_orderpriority", "o_totalprice")
+          .select(col("n"), col("n_groups"), round(col("h"), 6).as("h_r"),
+            round(col("tie_c"), 6).as("c_r"),
+            round(col("h_corrected"), 6).as("hc_r")),
+      Some("""
+        WITH b AS (
+          SELECT CAST(o_orderpriority AS VARCHAR) AS g, o_totalprice AS v
+          FROM orders
+          WHERE o_orderpriority IS NOT NULL AND o_totalprice IS NOT NULL),
+        pvg AS (SELECT v, g, CAST(COUNT(*) AS BIGINT) AS c
+                FROM b GROUP BY v, g),
+        tv AS (SELECT v, CAST(SUM(c) AS BIGINT) AS t FROM pvg GROUP BY v),
+        cum AS (
+          SELECT v, t,
+                 CAST(SUM(t) OVER (ORDER BY v
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - t
+                   AS BIGINT) AS o
+          FROM tv),
+        pg AS (
+          SELECT g, CAST(SUM(c) AS BIGINT) AS n,
+                 SUM(CAST(c AS DECIMAL(18,0))
+                   * CAST(2 * o + t + 1 AS DECIMAL(18,0))) AS r2
+          FROM pvg JOIN cum USING (v) GROUP BY g),
+        ga AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n_groups,
+                 CAST(SUM(n) AS BIGINT) AS nn,
+                 list_sum(list((CAST(r2 AS DOUBLE) * CAST(r2 AS DOUBLE))
+                   / (4.0 * CAST(n AS DOUBLE)) ORDER BY g)) AS st
+          FROM pg),
+        tt AS (
+          SELECT COALESCE(SUM(CAST(t AS DECIMAL(12,0))
+                   * CAST(t AS DECIMAL(12,0)) * CAST(t AS DECIMAL(12,0))
+                   - CAST(t AS DECIMAL(38,0))), 0) AS tsum
+          FROM tv),
+        fin AS (
+          SELECT nn, n_groups,
+                 12.0 * st / (CAST(nn AS DOUBLE)
+                   * (CAST(nn AS DOUBLE) + 1.0))
+                   - 3.0 * (CAST(nn AS DOUBLE) + 1.0) AS h,
+                 1.0 - CAST(tsum AS DOUBLE)
+                   / (CAST(nn AS DOUBLE) * CAST(nn AS DOUBLE)
+                      * CAST(nn AS DOUBLE) - CAST(nn AS DOUBLE)) AS c
+          FROM ga CROSS JOIN tt)
+        SELECT nn AS n, n_groups, round(h, 6) AS h_r, round(c, 6) AS c_r,
+               CASE WHEN c > 0 THEN round(h / c, 6) END AS hc_r
+        FROM fin
+      """.trim),
+      // Verify-only (bench-tail policy): the q250/q253 value-keyed
+      // aggregate + prefix shape
       bench = false)
   )
 }

@@ -224,6 +224,55 @@ class DriftPrivacyRankSpec extends AnyFunSuite {
     assert(empty.isNullAt(empty.fieldIndex("z")))
   }
 
+  // ---------------- kruskalWallis ----------------
+
+  test("kruskalWallis: hand H, identical distributions give 0, " +
+    "all-tied NULL, independent-model parity, k=1 loud") {
+    def run(rows: Seq[(String, Double)]) =
+      Profiler.kruskalWallis(rows.toDF("g", "v"), "g", "v").head()
+    // A=(1,2), B=(3,4): H = 12/20*(9/2+49/2) - 15 = 2.4, no ties
+    val clean = run(Seq(("a", 1.0), ("a", 2.0), ("b", 3.0), ("b", 4.0)))
+    assert(math.abs(clean.getAs[Double]("h") - 2.4) < 1e-12)
+    assert(clean.getAs[Double]("tie_c") == 1.0)
+    assert(math.abs(clean.getAs[Double]("h_corrected") - 2.4) < 1e-12)
+    // identical group distributions -> H = 0 exactly (tied midranks)
+    val same = run(Seq(("a", 1.0), ("a", 2.0), ("b", 1.0), ("b", 2.0)))
+    assert(same.getAs[Double]("h") == 0.0)
+    assert(math.abs(same.getAs[Double]("tie_c") - 0.8) < 1e-12)
+    // every value identical: C = 0, no ranking question -> NULL
+    val flat = run(Seq(("a", 5.0), ("a", 5.0), ("b", 5.0), ("b", 5.0)))
+    assert(flat.isNullAt(flat.fieldIndex("h_corrected")))
+    // independent in-memory midrank model on a messier fixture
+    val rows = Seq(("a", 3.0), ("a", 7.0), ("a", 7.0), ("a", 1.0),
+      ("b", 7.0), ("b", 2.0), ("b", 9.0),
+      ("c", 4.0), ("c", 4.0), ("c", 11.0))
+    val n = rows.size.toDouble
+    val sorted = rows.map(_._2).sorted
+    def midrank(v: Double) = {
+      val lo = sorted.indexOf(v) + 1
+      val hi = sorted.lastIndexOf(v) + 1
+      (lo + hi) / 2.0
+    }
+    val byG = rows.groupBy(_._1).view.mapValues { vs =>
+      (vs.size.toDouble, vs.map(t => midrank(t._2)).sum)
+    }.toMap
+    val expH = 12.0 / (n * (n + 1.0)) *
+      byG.values.map { case (nj, rj) => rj * rj / nj }.sum - 3.0 * (n + 1.0)
+    val ties = rows.map(_._2).groupBy(identity).values.map(_.size.toLong)
+      .filter(_ > 1).map(t => t * t * t - t).sum.toDouble
+    val expC = 1.0 - ties / (n * n * n - n)
+    val got = run(rows)
+    assert(math.abs(got.getAs[Double]("h") - expH) < 1e-9, s"h=$got")
+    assert(math.abs(got.getAs[Double]("tie_c") - expC) < 1e-12)
+    assert(math.abs(got.getAs[Double]("h_corrected") - expH / expC) < 1e-9)
+    assert(got.getAs[Long]("n_groups") == 3L)
+    // a single group has no between-group question -> loud
+    val boom = intercept[Exception] {
+      run(Seq(("a", 1.0), ("a", 2.0)))
+    }
+    assert(boom.getMessage != null)
+  }
+
   // ---------------- mcnemarTest ----------------
 
   test("mcnemarTest: hand cells and chi2, one-sided NULL unpairs the " +

@@ -97,6 +97,10 @@ class GatePlanSpec extends AnyFunSuite {
     // subtree — the q263 stage-reuse note) + one-row cross join
     "q272_mcnemar" -> (2, 0),
     "q273_cochran_q" -> (6, 1),
+    // q274 = (value,group) agg + value-domain prefix/tie frames +
+    // group agg + the two scalar fold/tie branches (group- and
+    // value-domain-sized; the corpus shuffles once into the cell agg)
+    "q274_kruskal_wallis" -> (6, 2),
     "q250_numeric_drift" -> (2, 1),
     "q251_benford" -> (4, 2),
     "q252_theil_sen" -> (14, 9),
