@@ -210,8 +210,14 @@ object Association {
         .as("__parts"))
     val bc = aggregate(col("__parts"), lit(0.0),
       (acc, x) => acc + x.getField("__bc_part"))
-    folded.select(col("n_categories"), bc.as("bc"),
-      sqrt(greatest(lit(0.0), lit(1.0) - bc)).as("hellinger"))
+    // TWO empty snapshots produce an empty category frame, which the
+    // per-row non-empty guard never sees — without this gate the fold
+    // would report BC = 0, i.e. "maximally distant", for NO DATA
+    val hasData = col("n_categories") > 0L
+    folded.select(col("n_categories"),
+      when(hasData, bc).as("bc"),
+      when(hasData, sqrt(greatest(lit(0.0), lit(1.0) - bc)))
+        .as("hellinger"))
   }
 
   /** FLEISS' KAPPA — chance-corrected agreement among a FIXED number of

@@ -732,15 +732,16 @@ object Profiler {
     val base = df
       .select(col(flagACol).as("__a"), col(flagBCol).as("__b"))
       .filter(col("__a").isNotNull && col("__b").isNotNull)
+    // coalesce: SUM over an EMPTY input is NULL — the n = 0 row should
+    // carry zero cells, not NULL ones
+    def cell(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      coalesce(sum(when(c, 1L).otherwise(0L)), lit(0L))
     val agg = base.agg(
       count(lit(1)).as("n"),
-      sum(when(col("__a") && col("__b"), 1L).otherwise(0L)).as("n_both"),
-      sum(when(col("__a") && !col("__b"), 1L).otherwise(0L))
-        .as("n_a_only"),
-      sum(when(!col("__a") && col("__b"), 1L).otherwise(0L))
-        .as("n_b_only"),
-      sum(when(!col("__a") && !col("__b"), 1L).otherwise(0L))
-        .as("n_neither"))
+      cell(col("__a") && col("__b")).as("n_both"),
+      cell(col("__a") && !col("__b")).as("n_a_only"),
+      cell(!col("__a") && col("__b")).as("n_b_only"),
+      cell(!col("__a") && !col("__b")).as("n_neither"))
     val b = col("n_a_only")
     val c = col("n_b_only")
     agg.select(col("n"), col("n_both"), col("n_a_only"), col("n_b_only"),

@@ -105,6 +105,12 @@ class AssociationSpec extends AnyFunSuite {
       Association.hellinger(s1, s1.filter(lit(false)), "k").collect()
     }
     assert(boom.getMessage != null)
+    // BOTH snapshots empty: no categories for the per-row guard to see
+    // -> NULL distance, never a confident "maximally distant"
+    val none = Association.hellinger(s1.filter(lit(false)),
+      s1.filter(lit(false)), "k").head()
+    assert(none.getAs[Long]("n_categories") == 0L)
+    assert(none.isNullAt(none.fieldIndex("hellinger")))
   }
 
   // ---------------- fleissKappa ----------------

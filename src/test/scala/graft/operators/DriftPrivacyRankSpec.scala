@@ -299,6 +299,12 @@ class DriftPrivacyRankSpec extends AnyFunSuite {
       Seq(bb(true, true), bb(false, false)).toDF("fa", "fb"), "fa", "fb")
       .head()
     assert(same.isNullAt(same.fieldIndex("chi2")))
+    // empty input: zero cells, not NULL ones
+    val empty = Profiler.mcnemarTest(
+      rows.filter(lit(false)), "fa", "fb").head()
+    assert(empty.getAs[Long]("n") == 0L)
+    assert(empty.getAs[Long]("n_both") == 0L)
+    assert(empty.isNullAt(empty.fieldIndex("chi2")))
   }
 
   // ---------------- cochranQ ----------------
