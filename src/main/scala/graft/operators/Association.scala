@@ -41,6 +41,23 @@ object Association {
 
   private val Dec18_6 = DecimalType(18, 6)
 
+  /** Loud ≤6-dp/range contract for a DECIMAL(18,6)-cast value: a value
+    * past the precision NULLs out of the cast and a >6-dp value rounds
+    * — either would SILENTLY change the statistic. The round-trip
+    * compare catches both (an overflow-NULL fails the equality, a
+    * rounded value differs from its original); prune-proof added-zero
+    * folded into the cast column itself.
+    */
+  private[operators] def dec6Guarded(c: Column, what: String): Column = {
+    val cast = c.cast(Dec18_6)
+    cast + coalesce(
+      assert_true(c.isNull || cast.cast("double") === c.cast("double"),
+        lit(s"$what exceeds the DECIMAL(18,6) contract (|v| < 1e12, " +
+          "<= 6 decimal places) — rescale or round upstream"))
+        .cast(Dec18_6),
+      lit(0).cast(Dec18_6))
+  }
+
   /** Per-group PEARSON product-moment correlation between two numeric
     * columns, from the five exact sufficient sums:
     *
@@ -62,8 +79,8 @@ object Association {
   def pearsonCorr(df: DataFrame, groupCol: String, xCol: String,
       yCol: String): DataFrame = {
     val base = df.select(col(groupCol),
-        col(xCol).cast(Dec18_6).as("__x"),
-        col(yCol).cast(Dec18_6).as("__y"))
+        dec6Guarded(col(xCol), s"pearsonCorr: $xCol").as("__x"),
+        dec6Guarded(col(yCol), s"pearsonCorr: $yCol").as("__y"))
       .filter(col("__x").isNotNull && col("__y").isNotNull)
     val agg = base.groupBy(col(groupCol)).agg(
       count(lit(1)).as("n"),

@@ -542,13 +542,17 @@ object Profiler {
     require(qs.map(_.toDouble).forall(q => q > 0.0 && q <= 1.0),
       s"quantile fractions must be in (0, 1]: ${qs.mkString(", ")}")
     val w0 = col(weightCol).cast("long")
-    // NULL weights are excluded (below); a present zero/negative one is
-    // a contract violation and fails loudly
+    // NULL weights are excluded (below); a present zero/negative weight
+    // is a contract violation, and so is a FRACTIONAL one (the long
+    // cast would silently floor it, quietly shrinking that row's mass)
+    // — both fail loudly
     val wGuard = coalesce(
-      assert_true(w0.isNull || w0 > 0L,
+      assert_true(w0.isNull ||
+        (w0 > 0L && w0.cast("double") === col(weightCol).cast("double")),
         lit("weightedQuantiles: weight must be a positive integer — a " +
-          "zero or negative mass makes the running-weight target " +
-          "ambiguous")).cast("long"),
+          "zero/negative mass makes the running-weight target " +
+          "ambiguous, and a fractional one would silently floor"))
+        .cast("long"),
       lit(0L))
     val base = df.select(col(groupCol), col(valueCol).as("value"),
         (w0 + wGuard).as("__w"), col(idCol))
@@ -1051,7 +1055,8 @@ object Profiler {
   def giniCoefficient(df: DataFrame, groupCol: String, valueCol: String,
       idCol: String): DataFrame = {
     val base = df.select(col(groupCol),
-        col(valueCol).cast(DecimalType(18, 6)).as("__v"), col(idCol))
+        Association.dec6Guarded(col(valueCol),
+          s"giniCoefficient: $valueCol").as("__v"), col(idCol))
       .filter(col("__v").isNotNull)
     val ranked = SurrogateKeys.sequential(base, "__gr",
       Seq(col(groupCol), col("__v"), col(idCol)), assumeUnique = true)
@@ -1217,9 +1222,22 @@ object Profiler {
     */
   def wasserstein1(a: DataFrame, b: DataFrame, valueCol: String): DataFrame = {
     val dec = DecimalType(12, 2)
-    val u = a.select(col(valueCol).cast(dec).as("__v"), lit(1L).as("__ia"))
+    // ≤2-dp/range contract LOUD: an out-of-range value NULLs out of the
+    // cast (silently vanishing from the distribution) and a >2-dp value
+    // rounds (silently moving mass) — the round-trip compare catches
+    // both, prune-proof added-zero folded into the cast
+    def guarded(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+      val cast = c.cast(dec)
+      cast + coalesce(
+        assert_true(c.isNull || cast.cast("double") === c.cast("double"),
+          lit(s"wasserstein1: $valueCol exceeds the DECIMAL(12,2) " +
+            "contract (|v| < 1e10, <= 2 decimal places) — rescale " +
+            "upstream")).cast(dec),
+        lit(0).cast(dec))
+    }
+    val u = a.select(guarded(col(valueCol)).as("__v"), lit(1L).as("__ia"))
       .unionByName(
-        b.select(col(valueCol).cast(dec).as("__v"), lit(0L).as("__ia")))
+        b.select(guarded(col(valueCol)).as("__v"), lit(0L).as("__ia")))
       .filter(col("__v").isNotNull)
     val perVal = u.groupBy(col("__v"))
       .agg(sum(col("__ia")).as("__ca"), sum(lit(1L) - col("__ia")).as("__cb"))

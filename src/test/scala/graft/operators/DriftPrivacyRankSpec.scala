@@ -187,6 +187,35 @@ class DriftPrivacyRankSpec extends AnyFunSuite {
         "g", "v", "w", "id", Seq("0.5")).collect()
     }
     assert(boom.getMessage != null)
+    // fractional weight: the long cast would silently floor -> loud
+    val boomFrac = intercept[Exception] {
+      Profiler.weightedQuantiles(
+        Seq(("g", 1.0, 2.7, 1L)).toDF("g", "v", "w", "id"),
+        "g", "v", "w", "id", Seq("0.5")).collect()
+    }
+    assert(boomFrac.getMessage != null)
+  }
+
+  test("decimal-contract guards: a >2-dp wasserstein value and an " +
+    "out-of-range pearson/gini value fail loudly instead of silently " +
+    "rounding or vanishing") {
+    val boomW = intercept[Exception] {
+      Profiler.wasserstein1(Seq(1.234).toDF("v"), Seq(1.0).toDF("v"), "v")
+        .collect()
+    }
+    assert(boomW.getMessage != null)
+    val boomP = intercept[Exception] {
+      Association.pearsonCorr(
+        Seq(("g", 1.0e13, 1.0), ("g", 2.0e13, 2.0)).toDF("g", "x", "y"),
+        "g", "x", "y").collect()
+    }
+    assert(boomP.getMessage != null)
+    val boomG = intercept[Exception] {
+      Profiler.giniCoefficient(
+        Seq(("g", 1.0e13, 1L)).toDF("g", "v", "id"), "g", "v", "id")
+        .collect()
+    }
+    assert(boomG.getMessage != null)
   }
 
   // ---------------- twoProportionTest ----------------
