@@ -600,8 +600,13 @@ class ScaleCurveSpec extends AnyFunSuite {
     // on the reaped output (the pagerank_fixed precedent) — the time
     // bound is the content.
     val o = table("orders").select($"o_orderkey", $"o_totalprice")
+    // round(…, 2) after the shift: the raw double addition drifts off
+    // the exact-2-dp grid by an ulp, which the operator's ≤2-dp
+    // round-trip guard rightly rejects — the fixture must produce
+    // contract-clean values, the guard is the feature
     val amp = (0 until Amp).map(i =>
-      o.withColumn("o_totalprice", $"o_totalprice" + lit(i * 1000000.0))
+      o.withColumn("o_totalprice",
+          round($"o_totalprice" + lit(i * 1000000.0), 2))
         .withColumn("o_orderkey", $"o_orderkey" + lit(i * 100000000L)))
       .reduce(_ unionByName _)
     def op(d: DataFrame): DataFrame =
