@@ -62,7 +62,7 @@ object SparkEntry {
     * the record marks them in its `rot` field so a reader never
     * confuses them with steady query-latency rows.
     */
-  val rotationRound: Int = 13
+  val rotationRound: Int = 14
   val RotationSize: Int = 8
 
   def rotationCohort: Seq[String] = {
