@@ -116,12 +116,21 @@ object Privacy {
     * Scale: ONE corpus aggregate (the (class, value) count, map-side
     * partials); everything downstream runs on the classes×m grid — m is
     * BOUNDED by contract (a sensitive ATTRIBUTE's domain: bands, codes,
-    * grades — not an id), so the per-class ordered window is m rows and
-    * the value/total windows partition into class-count-sized slices.
-    * The count table feeds three branches (classes, domain, grid), so
-    * it is eagerly checkpointed once (the reapKeep discipline) — the
+    * grades — not an id), so the per-class ordered window is m rows.
+    * The CLASS count is NOT bounded (near-unique quasi combinations are
+    * exactly the regime the scan screens for), so the two marginals
+    * that span classes are never windows over the grid: the grand total
+    * `__N` is a one-row scalar aggregate `crossJoin(broadcast(…))`-ed in
+    * and the per-sensitive-value totals `__g` an m-row aggregate
+    * broadcast-joined on `__s` (the [[Profiler.wasserstein1]] totals
+    * pattern) — the grid meets them without any wide window task. The
+    * count table feeds four branches (classes, domain, marginals, grid),
+    * so it is eagerly checkpointed once (the reapKeep discipline) — the
     * corpus is scanned once, not once per branch — and its blocks are
-    * freed before the class-sized result returns.
+    * freed before the class-sized result returns. The grid joins back to
+    * the counts NULL-SAFELY on (quasi, __s): NULL quasi values are a
+    * class like any other ([[kAnonymityClasses]] convention) and must
+    * find their own counts, not zero-fill.
     *
     * @return one row per class: `(quasi..., class_size, n_values, t)`
     */
@@ -141,16 +150,27 @@ object Privacy {
         .agg(count(lit(1)).as("__cnt")))
     val classes = counts.select(qCols: _*).distinct()
     val domain = counts.select(col("__s")).distinct()
+    // marginals off the checkpointed counts — scalar / m-row frames, so
+    // they broadcast; NEVER windows over the (unbounded-class) grid
+    val grandTotal = counts.agg(sum(col("__cnt")).as("__N"))
+    val perValue = counts.groupBy(col("__s")).agg(
+      sum(col("__cnt")).as("__g"))
+    // null-safe join keys: a NULL quasi value is its own class and must
+    // match its own counts (plain equality would zero-fill it)
+    val keyed = counts.select(
+      quasi.map(q => col(q).as(s"__k_$q")) ++
+        Seq(col("__s").as("__ks"), col("__cnt")): _*)
+    val backCond = quasi.map(q => col(q) <=> col(s"__k_$q"))
+      .reduce(_ && _) && (col("__s") <=> col("__ks"))
     val grid = classes.crossJoin(broadcast(domain))
-      .join(counts, quasi :+ "__s", "left")
+      .join(keyed, backCond, "left")
+      .drop(quasi.map(q => s"__k_$q") :+ "__ks": _*)
       .withColumn("__cnt", coalesce(col("__cnt"), lit(0L)))
     val withTot = grid
       .withColumn("__nc", sum(col("__cnt")).over(
         Window.partitionBy(qCols: _*)))
-      .withColumn("__g", sum(col("__cnt")).over(
-        Window.partitionBy(col("__s"))))
-      .withColumn("__N", sum(col("__cnt")).over(Window.partitionBy(
-        graft.core.Windows.singlePartition(col("__s")))))
+      .join(broadcast(perValue), Seq("__s"))
+      .crossJoin(broadcast(grandTotal))
     val d = col("__cnt").cast(d18) * col("__N").cast(d18) -
       col("__g").cast(d18) * col("__nc").cast(d18)
     val wCum = Window.partitionBy(qCols: _*).orderBy(col("__s"))

@@ -79,6 +79,28 @@ class DriftPrivacyRankSpec extends AnyFunSuite {
     assert(boom.getMessage != null)
   }
 
+  test("tClosenessClasses: a NULL quasi class keeps its own counts " +
+    "(null-safe grid join) and weighs into the global distribution") {
+    // classes: c1=[1,1,2], NULL=[2,3,3]; mirrors the hand case above
+    // with c2 renamed to NULL — same t = 1/3 per class, and the NULL
+    // class must appear with class_size 3 (plain-equality join would
+    // zero-fill it into class_size 0 / t NaN and skew c1's global)
+    val rows = Seq(
+      (Option("c1"), 1), (Option("c1"), 1), (Option("c1"), 2),
+      (Option.empty[String], 2), (Option.empty[String], 3),
+      (Option.empty[String], 3))
+    val df = rows.toDF("g", "s")
+    val got = Privacy.tClosenessClasses(df, Seq("g"), "s", ordered = true)
+      .collect().map(r => Option(r.getAs[String]("g")) -> r).toMap
+    assert(got.size == 2)
+    val nullClass = got(None)
+    assert(nullClass.getAs[Long]("class_size") == 3L)
+    assert(nullClass.getAs[Long]("n_values") == 3L)
+    assert(math.abs(nullClass.getAs[Double]("t") - 1.0 / 3.0) < 1e-12)
+    assert(math.abs(got(Some("c1")).getAs[Double]("t") - 1.0 / 3.0)
+      < 1e-12)
+  }
+
   // ---------------- rankEval ----------------
 
   test("rankEval: hand DCG/NDCG/RR, perfect ranking = 1, no-relevant " +

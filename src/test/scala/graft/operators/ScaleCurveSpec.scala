@@ -636,4 +636,25 @@ class ScaleCurveSpec extends AnyFunSuite {
         edgesDistinct = true)
     curve("link_prediction", op, edges, amp)
   }
+
+  test("t-closeness scales ~linearly over 10x equivalence classes at " +
+    "fixed m") {
+    // disjoint custkey blocks per copy: class count (the UNBOUNDED axis
+    // — near-unique quasi combinations are the regime the scan screens
+    // for) grows 10x while the sensitive domain m stays the 5 order
+    // priorities. The claim under test: the grand-total and per-value
+    // marginals are broadcast scalars / m-row frames, never windows
+    // over the classes×m grid that would funnel it through ≤ m+1
+    // tasks. Exchange assertion trivial on the reaped class-sized
+    // output (the pagerank_fixed precedent); the time bound is the
+    // content.
+    val o = table("orders").select($"o_custkey", $"o_orderpriority")
+    val amp = (0 until Amp).map(i =>
+      o.withColumn("o_custkey", $"o_custkey" + lit(i * 100000000L)))
+      .reduce(_ unionByName _)
+    def op(d: DataFrame): DataFrame =
+      Privacy.tClosenessClasses(d, Seq("o_custkey"), "o_orderpriority",
+        ordered = false)
+    curve("t_closeness", op, o, amp)
+  }
 }
