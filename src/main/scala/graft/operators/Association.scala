@@ -50,12 +50,17 @@ object Association {
     */
   private[operators] def dec6Guarded(c: Column, what: String): Column = {
     val cast = c.cast(Dec18_6)
-    cast + coalesce(
+    // the added-zero guard widens the sum to DECIMAL(19,6) — cast back
+    // to the contract type, or downstream products leave the exact
+    // precision-37/scale-12 envelope (Spark would reduce them to
+    // scale 11 under allowPrecisionLoss, breaking the "sufficient sums
+    // are EXACT" claim and rounding tiny-magnitude products to 0)
+    (cast + coalesce(
       assert_true(c.isNull || cast.cast("double") === c.cast("double"),
         lit(s"$what exceeds the DECIMAL(18,6) contract (|v| < 1e12, " +
           "<= 6 decimal places) — rescale or round upstream"))
         .cast(Dec18_6),
-      lit(0).cast(Dec18_6))
+      lit(0).cast(Dec18_6))).cast(Dec18_6)
   }
 
   /** Per-group PEARSON product-moment correlation between two numeric
@@ -259,20 +264,26 @@ object Association {
     *
     * Contracts, loud in-plan: every item must carry EXACTLY n raters
     * (Fleiss' design assumption — a melt that dropped a rater's row
-    * would silently bias P̄ down), n ≥ 2. One label per (item, rater)
-    * is the caller's melt contract (a duplicate shows up as an item
-    * with more raters than the rest and trips the same assert; it can
-    * hide only if every item duplicates identically — document, don't
-    * pay a second global distinct for it). NULL items/raters/labels are
-    * excluded before counting.
+    * would silently bias P̄ down), n ≥ 2, and one label per (item,
+    * rater) — the per-pair label count is derived from the same
+    * (item, rater, category) base aggregate the cell counts come from
+    * and its max asserted 1, so a duplicated pair is loud even when
+    * every item duplicates identically (the pattern the per-item
+    * rater-count assert alone cannot see). The degenerate
+    * single-category input (1 − P̄e = 0) is detected on the EXACT
+    * integer `n_categories`, not the post-division double — at
+    * N·n > 2²⁶ the double casts can land 1 − P̄e an ulp off zero and a
+    * float gate would let a garbage κ through. NULL
+    * items/raters/labels are excluded before counting.
     *
-    * Scale: two narrow count aggregates ((item, category)-keyed, then
-    * item- and category-keyed) with map-side partials; nothing wider
-    * than (id, two longs) ever shuffles; the final row is a scalar agg.
-    * The item- and category-keyed branches both read the (item,
-    * category) count table — its shuffle subtree is byte-identical on
-    * both sides, so exchange/stage reuse serves the second branch from
-    * the first's map outputs rather than re-scanning the melt.
+    * Scale: narrow count aggregates ((item, rater, category)-keyed
+    * melt base, then (item, category)-, (item, rater)-, item- and
+    * category-keyed reductions) with map-side partials; nothing wider
+    * than (id, two longs) ever shuffles; the final row is a scalar
+    * agg. Every reduction reads the same base count table — its
+    * shuffle subtree is byte-identical across branches, so
+    * exchange/stage reuse serves them from the first's map outputs
+    * rather than re-scanning the melt.
     *
     * @return one row: `(n_items, n_raters, n_categories, p_bar, p_e,
     *         kappa)`
@@ -283,8 +294,16 @@ object Association {
         col(categoryCol).cast("string").as("__c"))
       .filter(col("__i").isNotNull && col("__r").isNotNull &&
         col("__c").isNotNull)
-    val nij = base.groupBy(col("__i"), col("__c"))
-      .agg(count(lit(1)).as("__nij"))
+    val triple = base.groupBy(col("__i"), col("__r"), col("__c"))
+      .agg(count(lit(1)).as("__t"))
+    val nij = triple.groupBy(col("__i"), col("__c"))
+      .agg(sum(col("__t")).as("__nij"))
+    // duplicate-pair witness: labels per (item, rater) must be exactly
+    // one — catches the identical-everywhere duplication the per-item
+    // rater-count assert below cannot (same base subtree, stage-reused)
+    val pairMax = triple.groupBy(col("__i"), col("__r"))
+      .agg(sum(col("__t")).as("__pr"))
+      .agg(max(col("__pr")).as("__prmax"))
     val perItem = nij.groupBy(col("__i"))
       .agg(sum(col("__nij")).as("__ni"),
         sum(col("__nij") * col("__nij")).as("__s2i"))
@@ -297,12 +316,14 @@ object Association {
       count(lit(1)).as("n_categories"),
       sum((col("__cj").cast(DecimalType(18, 0))
         * col("__cj").cast(DecimalType(18, 0)))).as("__sc2"))
-    val joined = itemAgg.crossJoin(catAgg)
+    val joined = itemAgg.crossJoin(catAgg).crossJoin(pairMax)
     val ratersGuard = coalesce(
-      assert_true(col("__nmin") === col("__nmax") && col("__nmin") >= 2L,
+      assert_true(col("__nmin") === col("__nmax") && col("__nmin") >= 2L
+          && col("__prmax") === 1L,
         lit("fleissKappa: every item must carry the same n >= 2 " +
-          "ratings — a melt dropped a rater's row, or a (item, rater) " +
-          "pair is duplicated")).cast("double"),
+          "ratings with one label per (item, rater) — a melt dropped " +
+          "a rater's row, or a (item, rater) pair is duplicated"))
+        .cast("double"),
       lit(0.0))
     val nD = col("__nmin").cast("double") + ratersGuard
     val bigND = col("n_items").cast("double")
@@ -311,8 +332,11 @@ object Association {
     val pE = col("__sc2").cast("double") / ((bigND * nD) * (bigND * nD))
     joined.select(col("n_items"), col("__nmin").as("n_raters"),
       col("n_categories"), pBar.as("p_bar"), pE.as("p_e"),
-      when(lit(1.0) - pE =!= 0.0, (pBar - pE) / (lit(1.0) - pE))
-        .as("kappa"))
+      // degenerate = single category, decided on the exact integer;
+      // the float conjunct stays only as a division-by-zero belt
+      // against P̄e rounding to 1.0 at extreme N·n
+      when(col("n_categories") > 1L && lit(1.0) - pE =!= 0.0,
+        (pBar - pE) / (lit(1.0) - pE)).as("kappa"))
   }
 
   /** COCHRAN's Q (Cochran 1950) — do k binary raters/rules PASS AT

@@ -1352,7 +1352,7 @@ object DqQueries extends QueryModule {
           FROM ia CROSS JOIN ca)
         SELECT n_items, nmin AS n_raters, n_categories,
                round(p_bar, 6) AS p_bar_r, round(p_e, 6) AS p_e_r,
-               CASE WHEN 1.0 - p_e <> 0.0
+               CASE WHEN n_categories > 1 AND 1.0 - p_e <> 0.0
                  THEN round((p_bar - p_e) / (1.0 - p_e), 6) END
                  AS kappa_r
         FROM fin

@@ -171,6 +171,37 @@ class AssociationSpec extends AnyFunSuite {
     assert(boom.getMessage != null)
   }
 
+  test("fleissKappa: an identically-duplicated (item, rater) pair is " +
+    "loud even when every item's rating count stays uniform") {
+    // r1 duplicated on EVERY item — per-item counts are uniform (3),
+    // so the ragged-raters assert alone would let it through; the
+    // per-pair witness must trip
+    val dup = Seq(
+      ("i1", "r1", "a"), ("i1", "r1", "a"), ("i1", "r2", "b"),
+      ("i2", "r1", "a"), ("i2", "r1", "a"), ("i2", "r2", "b"))
+      .toDF("item", "rater", "label")
+    val boom = intercept[Exception] {
+      Association.fleissKappa(dup, "item", "rater", "label").collect()
+    }
+    assert(boom.getMessage != null)
+  }
+
+  test("pearsonCorr: tiny-magnitude values (1e-6 grid) keep their " +
+    "exact products — r matches the same data scaled up") {
+    // products are 1e-12-sized; under the pre-fix DECIMAL(38,11)
+    // reduction they rounded to 0 and r silently NULLed via vx > 0
+    val tiny = Seq((1, 0.000001, 0.000002), (1, 0.000002, 0.000004),
+      (1, 0.000003, 0.000007)).toDF("g", "x", "y")
+    val scaled = Seq((1, 1.0, 2.0), (1, 2.0, 4.0), (1, 3.0, 7.0))
+      .toDF("g", "x", "y")
+    val rTiny = Association.pearsonCorr(tiny, "g", "x", "y")
+      .head().getAs[Double]("pearson_r")
+    val rScaled = Association.pearsonCorr(scaled, "g", "x", "y")
+      .head().getAs[Double]("pearson_r")
+    assert(math.abs(rTiny - rScaled) < 1e-9)
+    assert(rTiny > 0.99 && rTiny < 1.0)
+  }
+
   // ---------------- giniCoefficient ----------------
 
   test("giniCoefficient: 0 on equal mass, (n-1)/n on one owner, hand " +

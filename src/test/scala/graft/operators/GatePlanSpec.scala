@@ -65,15 +65,17 @@ class GatePlanSpec extends AnyFunSuite {
     // the r×c frame + sorted scalar fold (one scan — the missing-cell
     // identity replaces the grid join); q262 = the two-snapshot union
     // agg + total window + scalar fold; q263 = row-local explode melt
-    // (one scan per branch) → (item,label) agg → item/category
-    // branches (byte-identical nij subtree — stage reuse) → scalar
-    // row; q264 = calendar-sized daily agg + broadcast pair self-join
-    // + sufficient-sums agg
+    // (one scan per branch) → (item,rater,label) base agg →
+    // (item,label) / (item,rater) / item / category reductions
+    // (byte-identical triple subtree on every branch — stage reuse
+    // serves it at runtime; the static count pays each branch's copy)
+    // → scalar row; q264 = calendar-sized daily agg + broadcast pair
+    // self-join + sufficient-sums agg
     "q259_pearson_signals" -> (3, 0),
     "q260_gini_length" -> (3, 2),
     "q261_cramers_v" -> (6, 0),
     "q262_hellinger_sources" -> (6, 0),
-    "q263_fleiss_kappa" -> (8, 1),
+    "q263_fleiss_kappa" -> (14, 2),
     "q264_acf_lag1" -> (3, 1),
     // q265/q268 pin only the post-checkpoint assembly (the q144/q173
     // convention — the rank-pass / wedge internals run behind reapKeep
