@@ -363,9 +363,11 @@ object Search {
     * table lookup ([[IdcgPrefix]]), rr is one IEEE division. A query
     * with NO relevant documents anywhere has no ranking question:
     * NDCG and rr are NULL (never 0/0). Contracts, loud in-plan: ranks
-    * 1-based and unique per query (the [[rrfFuse]] guards). Truth
-    * pairs are deduplicated internally (a doubled pair must not count
-    * twice).
+    * 1-based, and BOTH ranks and ids unique per query — the ranking
+    * is a permutation (the [[rrfFuse]] guard, mirrored on each axis;
+    * a duplicated id would join its truth pair twice and push NDCG
+    * past 1). Truth pairs are deduplicated internally (a doubled pair
+    * must not count twice).
     *
     * Scale: `results` is top-N bounded by construction and `truth` is
     * judgment-sized; every join and window here is query-keyed over
@@ -391,13 +393,24 @@ object Search {
         lit("rankEval: duplicate rank within a query — each ranking " +
           "must be a permutation")).cast("int"),
       lit(0))
+    // the permutation contract cuts both ways: a duplicated ID at two
+    // ranks would join the truth pair twice and double-count one
+    // relevant judgment in DCG (NDCG > 1) — mirror rrfFuse's guard
+    val uniqueIds = coalesce(
+      assert_true(
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col(queryCol), col(idCol))) === 1L,
+        lit("rankEval: duplicate id within a query — each ranking " +
+          "must be a permutation")).cast("int"),
+      lit(0))
     // both inputs are bounded by contract and consumed by multiple
     // branches (r: hits + the query spine; tr: relCounts + the hit
     // join) — checkpoint each once so the RANKER that produced
     // `results` (a corpus-scale scoring pass) never re-runs per branch
     val (r, rHandle) = graft.core.Caching.reapKeep(
       results.select(col(queryCol).as("__q"), col(idCol).as("__id"),
-        (col(rankCol).cast("int") + oneBased + uniqueRanks).as("__rank")))
+        (col(rankCol).cast("int") + oneBased + uniqueRanks + uniqueIds)
+          .as("__rank")))
     val (tr, trHandle) = graft.core.Caching.reapKeep(
       truth.select(col(queryCol).as("__q"), col(idCol).as("__id"))
         .filter(col("__q").isNotNull && col("__id").isNotNull)

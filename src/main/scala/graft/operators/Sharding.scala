@@ -96,11 +96,18 @@ object Sharding {
     */
   def shardManifest(df: DataFrame, shardCol: String,
       contentCols: Seq[String]): DataFrame = {
-    import org.apache.spark.sql.types.{DateType, TimestampNTZType, TimestampType}
-    val temporal = contentCols.filter(n => df.schema(n).dataType match {
+    import org.apache.spark.sql.types.{ArrayType, DataType, DateType,
+      MapType, StructType, TimestampNTZType, TimestampType}
+    // recursive: a TIMESTAMP nested in a struct/array/map renders
+    // through the same engine-specific formatter as a top-level one
+    def isTemporal(dt: DataType): Boolean = dt match {
       case TimestampType | TimestampNTZType | DateType => true
+      case s: StructType => s.fields.exists(f => isTemporal(f.dataType))
+      case a: ArrayType => isTemporal(a.elementType)
+      case m: MapType => isTemporal(m.keyType) || isTemporal(m.valueType)
       case _ => false
-    })
+    }
+    val temporal = contentCols.filter(n => isTemporal(df.schema(n).dataType))
     require(temporal.isEmpty,
       s"shardManifest: temporal content columns ${temporal.mkString(", ")}" +
         " — TIMESTAMP/DATE string renderings differ across engines and" +

@@ -157,6 +157,13 @@ class DriftPrivacyRankSpec extends AnyFunSuite {
         Seq(("p", "a", 1), ("p", "b", 1)).toDF("q", "id", "rank"),
         truth, "q", "id", "rank", k = 5).collect()
     }
+    // the same id at two ranks (unique ranks, duplicate id) would
+    // join its truth pair twice and push NDCG past 1 — loud
+    intercept[Exception] {
+      Search.rankEval(
+        Seq(("p", "a", 1), ("p", "a", 2)).toDF("q", "id", "rank"),
+        truth, "q", "id", "rank", k = 5).collect()
+    }
   }
 
   test("rankEval: pinned weights really are 1/log2(i+1) and the prefix " +

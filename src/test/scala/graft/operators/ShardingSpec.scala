@@ -183,5 +183,24 @@ class ShardingSpec extends AnyFunSuite {
       date_format($"ts", "yyyy-MM-dd HH:mm:ss"))
     assert(Sharding.shardManifest(pinned, "shard", Seq("id", "ts_s"))
       .count() == 1L)
+    // NESTED temporals hit the same cross-engine formatter — the walk
+    // must see through struct/array/map
+    val nestedStruct = df.withColumn("s", struct($"id", $"ts"))
+    val boomStruct = intercept[IllegalArgumentException] {
+      Sharding.shardManifest(nestedStruct, "shard", Seq("s"))
+    }
+    assert(boomStruct.getMessage.contains("temporal"))
+    val nestedArr = df.withColumn("arr", array($"d"))
+    assert(intercept[IllegalArgumentException] {
+      Sharding.shardManifest(nestedArr, "shard", Seq("arr"))
+    }.getMessage.contains("temporal"))
+    val nestedMap = df.withColumn("m", map($"payload", $"ts"))
+    assert(intercept[IllegalArgumentException] {
+      Sharding.shardManifest(nestedMap, "shard", Seq("m"))
+    }.getMessage.contains("temporal"))
+    // a temporal-free struct still digests
+    val okStruct = df.withColumn("s2", struct($"id", $"payload"))
+    assert(Sharding.shardManifest(okStruct, "shard", Seq("s2"))
+      .count() == 1L)
   }
 }
