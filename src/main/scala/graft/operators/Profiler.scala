@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
@@ -235,7 +235,31 @@ object Profiler {
     * @return one row: `(n_pos, n_neg, auc)`
     */
   def aucExact(df: DataFrame, scoreCol: String, labelCol: String,
-      idCol: String): DataFrame = {
+      idCol: String): DataFrame =
+    midrankStats(df, scoreCol, labelCol, idCol)
+      .select(col("n_pos"), col("n_neg"), aucFromStats.as("auc"))
+
+  /** The midrank AUC expression over a [[midrankStats]] row. */
+  private def aucFromStats: Column =
+    when(col("n_pos") > 0 && col("n_neg") > 0,
+      (col("__smr2") - (col("n_pos").cast("decimal(12,0)")
+        * (col("n_pos") + 1).cast("decimal(14,0)")).cast("decimal(30,0)"))
+        .cast("double")
+        / (lit(2.0) * col("n_pos").cast("double")
+          * col("n_neg").cast("double")))
+
+  /** Shared midrank sufficient statistics behind [[aucExact]] and
+    * [[numericDrift]]: ONE rank pass + one score-keyed aggregate +
+    * one scalar aggregate, returning a single row
+    * `(n_pos, n_neg, __smr2, __tsum)` — Σ⁺midrank2 (2× the positive
+    * rank sum, integral) and the tie mass Σ(t³ − t) (exact
+    * DECIMAL(38,0), the [[kruskalWallis]] device) folded into the SAME
+    * scalar aggregate, so a caller needing the tie-corrected variance
+    * pays no second scan.
+    */
+  private def midrankStats(df: DataFrame, scoreCol: String,
+      labelCol: String, idCol: String): DataFrame = {
+    val d12 = DecimalType(12, 0)
     val yGuard = coalesce(
       assert_true(col("__y").isin(0, 1),
         lit(s"aucExact: $labelCol must be 0 or 1")).cast("long"),
@@ -253,19 +277,15 @@ object Profiler {
         sum(col("__y").cast("long")).as("__pos"),
         count(lit(1)).as("__cnt"))
     grouped.agg(
-        sum(col("__pos")).as("n_pos"),
-        sum(col("__cnt") - col("__pos")).as("n_neg"),
-        sum((col("__pos").cast("decimal(12,0)")
-          * (col("__lo") + col("__hi")).cast("decimal(14,0)"))
-          .cast("decimal(30,0)")).as("__smr2"))
-      .select(col("n_pos"), col("n_neg"),
-        when(col("n_pos") > 0 && col("n_neg") > 0,
-          (col("__smr2") - (col("n_pos").cast("decimal(12,0)")
-            * (col("n_pos") + 1).cast("decimal(14,0)")).cast("decimal(30,0)"))
-            .cast("double")
-            / (lit(2.0) * col("n_pos").cast("double")
-              * col("n_neg").cast("double")))
-          .as("auc"))
+      sum(col("__pos")).as("n_pos"),
+      sum(col("__cnt") - col("__pos")).as("n_neg"),
+      sum((col("__pos").cast("decimal(12,0)")
+        * (col("__lo") + col("__hi")).cast("decimal(14,0)"))
+        .cast("decimal(30,0)")).as("__smr2"),
+      coalesce(sum(col("__cnt").cast(d12) * col("__cnt").cast(d12)
+          * col("__cnt").cast(d12)
+          - col("__cnt").cast(DecimalType(38, 0))),
+        lit(0).cast(DecimalType(38, 0))).as("__tsum"))
   }
 
   /** PRECISION/RECALL/F1 at a FIXED THRESHOLD GRID — the operating-point
@@ -1294,22 +1314,26 @@ object Profiler {
     * the way a mean-difference test lets it.
     *
     * `z` is the normal approximation WITHOUT the tie-variance
-    * correction: σ² = n_a·n_b·(n+1)/12 OVERSTATES the variance under
-    * ties, so |z| is conservative (a drift alarm fires late, never
-    * spuriously early from this choice) — documented, not hidden; the
-    * tie correction needs Σt³ per tie group, a second aggregate a
-    * caller can add when ties dominate. Arithmetic: exact long counts,
-    * ONE fixed IEEE sequence (subtract, two multiplies, one sqrt —
-    * correctly rounded, the house-safe transcendental — one division),
-    * mirrored operation for operation by the oracle.
+    * correction (kept for its monitoring history: σ² =
+    * n_a·n_b·(n+1)/12 OVERSTATES the variance under ties, so |z| is
+    * conservative — fires late, never spuriously early).
+    * `z_corrected` applies the standard tie correction
+    * σ²_c = (n_a·n_b/12)·((n+1) − Σ(t³−t)/(n(n−1))) from the SAME
+    * value-keyed aggregate the rank pass already performs (the
+    * [[kruskalWallis]] tie-mass device — no second scan); an
+    * all-tied input has σ²_c = 0 and yields NULL (no ranking
+    * question), never a division blow-up. Arithmetic: exact long/
+    * decimal counts, ONE fixed IEEE sequence per output column (sqrt
+    * — correctly rounded — the only transcendental), mirrored
+    * operation for operation by the oracle.
     *
     * Scale: [[aucExact]]'s shape — one narrow range-partitioned rank
     * pass over the union + one value-keyed aggregate; the snapshots
     * never window-sort in one task. Ids are disambiguated with an
     * `a:`/`b:` prefix, so the two snapshots may share an id space.
     *
-    * @return one row: `(n_a, n_b, auc_shift, z)` — NULL auc/z when a
-    *         side is empty (no comparison to make)
+    * @return one row: `(n_a, n_b, auc_shift, z, z_corrected)` — NULL
+    *         auc/z when a side is empty (no comparison to make)
     */
   def numericDrift(a: DataFrame, b: DataFrame, valueCol: String,
       idCol: String): DataFrame = {
@@ -1319,13 +1343,23 @@ object Profiler {
     val ub = b.select(
       concat(lit("b:"), col(idCol).cast("string")).as("__id"),
       col(valueCol).as("__v"), lit(1).as("__y"))
-    val aucRow = aucExact(ua.unionByName(ub), "__v", "__y", "__id")
+    val aucRow = midrankStats(ua.unionByName(ub), "__v", "__y", "__id")
+      .withColumn("auc", aucFromStats)
     val npnnD = col("n_pos").cast("double") * col("n_neg").cast("double")
     val nD = (col("n_pos") + col("n_neg")).cast("double")
+    val tieTerm = col("__tsum").cast("double") / (nD * (nD - lit(1.0)))
+    // lazy behind n > 1: the tie term is 0/0 on a degenerate union
+    // (ANSI divide-by-zero), and with n <= 1 a side is empty anyway —
+    // auc is NULL and so must z_corrected be
+    val varCorr = when(nD > lit(1.0),
+      npnnD / lit(12.0) * ((nD + lit(1.0)) - tieTerm))
     aucRow.select(col("n_neg").as("n_a"), col("n_pos").as("n_b"),
       col("auc").as("auc_shift"),
       (((col("auc") - lit(0.5)) * npnnD) /
-        sqrt(npnnD * (nD + lit(1.0)) / lit(12.0))).as("z"))
+        sqrt(npnnD * (nD + lit(1.0)) / lit(12.0))).as("z"),
+      when(varCorr > 0.0,
+        ((col("auc") - lit(0.5)) * npnnD) / sqrt(varCorr))
+        .as("z_corrected"))
   }
 
   /** CATEGORICAL DRIFT between two snapshots — the χ² test of

@@ -782,9 +782,10 @@ object DqQueries extends QueryModule {
     // 1995-onward, through the q224 exact-midrank AUC machinery — the
     // AUC IS the common-language effect size P(B > A) + ½P(tie), 0.5 =
     // no shift. One whale price cannot fake or mask a shift (rank-based,
-    // unlike a mean test). z rides WITHOUT tie correction (conservative
-    // |z| — see the operator scaladoc); sqrt is the house-safe
-    // correctly-rounded transcendental, so the whole row hash-matches. ---
+    // unlike a mean test). z (uncorrected, conservative) and
+    // z_corrected (tie-variance from the same value-keyed aggregate)
+    // both ride; sqrt is the house-safe correctly-rounded
+    // transcendental, so the whole row hash-matches. ---
     GQuery(
       "q250_numeric_drift",
       (spark, dir) => {
@@ -811,22 +812,41 @@ object DqQueries extends QueryModule {
                 FROM rk GROUP BY v),
         ag AS (SELECT SUM(pos) AS np, SUM(cnt - pos) AS nn,
                  SUM(CAST(pos AS DECIMAL(12,0))
-                   * CAST(lo + hi AS DECIMAL(14,0))) AS smr2
+                   * CAST(lo + hi AS DECIMAL(14,0))) AS smr2,
+                 COALESCE(SUM(CAST(cnt AS DECIMAL(12,0))
+                   * CAST(cnt AS DECIMAL(12,0))
+                   * CAST(cnt AS DECIMAL(12,0))
+                   - CAST(cnt AS DECIMAL(38,0))), 0) AS tsum
                FROM grp),
         av AS (
           SELECT CAST(nn AS BIGINT) AS n_a, CAST(np AS BIGINT) AS n_b,
+                 tsum,
                  CASE WHEN np > 0 AND nn > 0 THEN
                    CAST(smr2 - CAST(np AS DECIMAL(12,0))
                         * CAST(np + 1 AS DECIMAL(14,0)) AS DOUBLE)
                      / (2e0 * CAST(np AS DOUBLE) * CAST(nn AS DOUBLE))
                  END AS auc_shift
-          FROM ag)
+          FROM ag),
+        zz AS (
+          SELECT n_a, n_b, auc_shift,
+                 CAST(n_b AS DOUBLE) * CAST(n_a AS DOUBLE) / 12.0
+                   * ((CAST(n_b + n_a AS DOUBLE) + 1.0)
+                      - CAST(tsum AS DOUBLE)
+                        / (CAST(n_b + n_a AS DOUBLE)
+                           * (CAST(n_b + n_a AS DOUBLE) - 1.0)))
+                   AS var_c
+          FROM av)
         SELECT n_a, n_b, auc_shift,
                ((auc_shift - 0.5)
                   * (CAST(n_b AS DOUBLE) * CAST(n_a AS DOUBLE)))
                  / sqrt(CAST(n_b AS DOUBLE) * CAST(n_a AS DOUBLE)
-                        * (CAST(n_b + n_a AS DOUBLE) + 1.0) / 12.0) AS z
-        FROM av
+                        * (CAST(n_b + n_a AS DOUBLE) + 1.0) / 12.0) AS z,
+               CASE WHEN var_c > 0 THEN
+                 ((auc_shift - 0.5)
+                    * (CAST(n_b AS DOUBLE) * CAST(n_a AS DOUBLE)))
+                   / sqrt(var_c)
+               END AS z_corrected
+        FROM zz
       """.trim),
       // Verify-only (bench-tail policy): one rank pass — the q224 shape
       bench = false),
@@ -1822,6 +1842,89 @@ object DqQueries extends QueryModule {
       """.trim),
       // Verify-only (bench-tail policy): the q250/q253 value-keyed
       // aggregate + prefix shape
+      bench = false),
+
+    // --- NUMERIC drift on a HEAVILY TIED column — o_totalprice bucketed
+    // to thousands is ~500 integral values over 15k orders (~30-row tie
+    // groups), so the tie-variance correction genuinely moves z: the
+    // gate certifies both variances (q250's uncorrected z stays the
+    // conservative monitor; z_corrected is the one that fires on time
+    // when ties dominate, the Kruskal-Wallis C device at k = 2). The
+    // bucket is floor(price/1000.0) — one IEEE division + floor,
+    // identical integers in both engines; o_orderkey is the unique id
+    // the midrank rank pass requires (the synthetic lineitem's
+    // (orderkey, linenumber) is NOT unique — checked). ---
+    GQuery(
+      "q275_numeric_drift_ties",
+      (spark, dir) => {
+        val o = t(spark, dir, "orders")
+          .withColumn("v1k", floor(col("o_totalprice") / lit(1000.0)))
+        val split = lit("1997-01-01 00:00:00")
+        graft.operators.Profiler.numericDrift(
+            o.filter(col("o_orderdate") < split),
+            o.filter(col("o_orderdate") >= split),
+            "v1k", "o_orderkey")
+          .select(col("n_a"), col("n_b"),
+            round(col("auc_shift"), 6).as("auc_r"),
+            round(col("z"), 6).as("z_r"),
+            round(col("z_corrected"), 6).as("zc_r"))
+      },
+      Some("""
+        WITH u AS (
+          SELECT 'a:' || CAST(o_orderkey AS VARCHAR) AS id,
+                 CAST(FLOOR(o_totalprice / 1000.0) AS BIGINT) AS v,
+                 0 AS y
+          FROM orders WHERE o_orderdate < '1997-01-01 00:00:00'
+          UNION ALL
+          SELECT 'b:' || CAST(o_orderkey AS VARCHAR),
+                 CAST(FLOOR(o_totalprice / 1000.0) AS BIGINT), 1
+          FROM orders WHERE o_orderdate >= '1997-01-01 00:00:00'),
+        rk AS (SELECT id, y, v,
+                 ROW_NUMBER() OVER (ORDER BY v, id) AS r
+               FROM u),
+        grp AS (SELECT v, MIN(r) AS lo, MAX(r) AS hi, SUM(y) AS pos,
+                  COUNT(*) AS cnt
+                FROM rk GROUP BY v),
+        ag AS (SELECT SUM(pos) AS np, SUM(cnt - pos) AS nn,
+                 SUM(CAST(pos AS DECIMAL(12,0))
+                   * CAST(lo + hi AS DECIMAL(14,0))) AS smr2,
+                 COALESCE(SUM(CAST(cnt AS DECIMAL(12,0))
+                   * CAST(cnt AS DECIMAL(12,0))
+                   * CAST(cnt AS DECIMAL(12,0))
+                   - CAST(cnt AS DECIMAL(38,0))), 0) AS tsum
+               FROM grp),
+        av AS (
+          SELECT CAST(nn AS BIGINT) AS n_a, CAST(np AS BIGINT) AS n_b,
+                 tsum,
+                 CASE WHEN np > 0 AND nn > 0 THEN
+                   CAST(smr2 - CAST(np AS DECIMAL(12,0))
+                        * CAST(np + 1 AS DECIMAL(14,0)) AS DOUBLE)
+                     / (2e0 * CAST(np AS DOUBLE) * CAST(nn AS DOUBLE))
+                 END AS auc_shift
+          FROM ag),
+        zz AS (
+          SELECT n_a, n_b, auc_shift,
+                 CAST(n_b AS DOUBLE) * CAST(n_a AS DOUBLE) / 12.0
+                   * ((CAST(n_b + n_a AS DOUBLE) + 1.0)
+                      - CAST(tsum AS DOUBLE)
+                        / (CAST(n_b + n_a AS DOUBLE)
+                           * (CAST(n_b + n_a AS DOUBLE) - 1.0)))
+                   AS var_c
+          FROM av)
+        SELECT n_a, n_b, round(auc_shift, 6) AS auc_r,
+               round(((auc_shift - 0.5)
+                  * (CAST(n_b AS DOUBLE) * CAST(n_a AS DOUBLE)))
+                 / sqrt(CAST(n_b AS DOUBLE) * CAST(n_a AS DOUBLE)
+                        * (CAST(n_b + n_a AS DOUBLE) + 1.0) / 12.0), 6)
+                 AS z_r,
+               CASE WHEN var_c > 0 THEN
+                 round(((auc_shift - 0.5)
+                    * (CAST(n_b AS DOUBLE) * CAST(n_a AS DOUBLE)))
+                   / sqrt(var_c), 6)
+               END AS zc_r
+        FROM zz
+      """.trim),
+      // Verify-only (bench-tail policy): the q250 rank-pass shape
       bench = false)
   )
 }

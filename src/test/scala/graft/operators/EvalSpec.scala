@@ -343,6 +343,42 @@ class EvalSpec extends AnyFunSuite {
       df(Seq(1.0)), df(Seq.empty), "v", "id").head()
     assert(empty.isNullAt(empty.fieldIndex("auc_shift")))
     assert(empty.isNullAt(empty.fieldIndex("z")))
+    assert(empty.isNullAt(empty.fieldIndex("z_corrected")))
+  }
+
+  test("numericDrift: tie-variance correction — hand variance on a " +
+    "tied sample, |z_c| >= |z|, tie-free equality, all-tied NULL") {
+    def df(vs: Seq[Double]) = vs.zipWithIndex
+      .map { case (v, i) => (i.toLong, v) }.toDF("id", "v")
+    // heavy ties: A = {1,1,2}, B = {1,2,2} — hand model
+    val a = Seq(1.0, 1.0, 2.0)
+    val b = Seq(1.0, 2.0, 2.0)
+    val got = Profiler.numericDrift(df(a), df(b), "v", "id").head()
+    val (na, nb) = (3.0, 3.0)
+    val n = na + nb
+    // tie groups: value 1 has t=3, value 2 has t=3 -> tsum = 2*(27-3)
+    val tsum = 48.0
+    val auc = got.getAs[Double]("auc_shift")
+    val varU = na * nb * (n + 1.0) / 12.0
+    val varC = na * nb / 12.0 * ((n + 1.0) - tsum / (n * (n - 1.0)))
+    assert(math.abs(got.getAs[Double]("z")
+      - (auc - 0.5) * na * nb / math.sqrt(varU)) < 1e-12)
+    assert(math.abs(got.getAs[Double]("z_corrected")
+      - (auc - 0.5) * na * nb / math.sqrt(varC)) < 1e-12)
+    // corrected variance is smaller under ties -> |z_c| >= |z|
+    assert(math.abs(got.getAs[Double]("z_corrected"))
+      >= math.abs(got.getAs[Double]("z")))
+    // no ties at all: tsum = 0, the two z's coincide (same variance,
+    // different but algebraically-equal IEEE sequences -> tolerance)
+    val free = Profiler.numericDrift(
+      df(Seq(1.0, 3.0, 5.0)), df(Seq(2.0, 4.0, 6.0)), "v", "id").head()
+    assert(math.abs(free.getAs[Double]("z_corrected")
+      - free.getAs[Double]("z")) < 1e-12)
+    // every value identical: corrected variance 0 -> NULL, never Inf
+    val allTied = Profiler.numericDrift(
+      df(Seq(7.0, 7.0)), df(Seq(7.0, 7.0)), "v", "id").head()
+    assert(allTied.getAs[Double]("z") == 0.0)
+    assert(allTied.isNullAt(allTied.fieldIndex("z_corrected")))
   }
 
   test("ksTest: hand D on a shape change Mann-Whitney cannot see; " +

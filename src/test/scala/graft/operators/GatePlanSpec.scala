@@ -103,6 +103,9 @@ class GatePlanSpec extends AnyFunSuite {
     // group agg + the two scalar fold/tie branches (group- and
     // value-domain-sized; the corpus shuffles once into the cell agg)
     "q274_kruskal_wallis" -> (6, 2),
+    // q275 = the q250 shape on the bucketed-price union (the tie sum
+    // rides the same scalar aggregate — no extra exchange)
+    "q275_numeric_drift_ties" -> (2, 1),
     "q250_numeric_drift" -> (2, 1),
     "q251_benford" -> (4, 2),
     "q252_theil_sen" -> (14, 9),
