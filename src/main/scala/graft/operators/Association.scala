@@ -242,6 +242,65 @@ object Association {
         .as("hellinger"))
   }
 
+  /** PER-GROUP Hellinger distance — [[hellinger]]'s algebra with a
+    * group key prepended, for the per-source mix-drift row of a
+    * governance DIFF (did THIS source's language mix move between
+    * snapshots?). Same fixed arithmetic: exact long counts, one IEEE
+    * division per (group, category) cell, sorted-category BC fold per
+    * group, the ulp clamp before the outer sqrt.
+    *
+    * One contract DIFFERS from the global operator, deliberately: a
+    * group empty on ONE side (a source that appeared or vanished
+    * between snapshots) is a legitimate diff outcome, not a caller
+    * error — it surfaces with NULL bc/hellinger (there is no second
+    * distribution to compare) instead of failing loudly. NULL
+    * categories and NULL groups are excluded.
+    *
+    * Scale: each snapshot is counted exactly once ((group, category)
+    * hash aggregate, map-side partials); the side totals are windows
+    * PARTITIONED BY GROUP over the category-sized cell frame (m rows
+    * per partition — bounded by the category contract, never
+    * corpus-funneling); the fold is per-group category-bounded.
+    *
+    * @return one row per group seen on either side: `(groupCol,
+    *         n_categories, n_a, n_b, bc, hellinger)`
+    */
+  def hellingerByGroup(a: DataFrame, b: DataFrame, groupCol: String,
+      keyCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def sidePrep(df: DataFrame, ia: Long) = df.select(
+        col(groupCol).as("__g"),
+        col(keyCol).cast("string").as("category"), lit(ia).as("__ia"))
+      .filter(col("__g").isNotNull && col("category").isNotNull)
+    val u = sidePrep(a, 1L).unionByName(sidePrep(b, 0L))
+    val byGroup = Window.partitionBy(col("__g"))
+    val perCat = u.groupBy(col("__g"), col("category"))
+      .agg(sum(col("__ia")).as("__na"),
+        sum(lit(1L) - col("__ia")).as("__nb"))
+      .withColumn("__A", sum(col("__na")).over(byGroup))
+      .withColumn("__B", sum(col("__nb")).over(byGroup))
+    // one-sided groups surface with NULL parts (lazy — the divisions
+    // never evaluate on the 0-total side, no ANSI 0/0)
+    val part = when(col("__A") > 0L && col("__B") > 0L,
+      sqrt((col("__na").cast("double") / col("__A").cast("double"))
+        * (col("__nb").cast("double") / col("__B").cast("double"))))
+    val parts = perCat.select(col("__g"), col("category"),
+      col("__A"), col("__B"), part.as("__bc_part"))
+    val folded = parts.groupBy(col("__g")).agg(
+      count(lit(1)).as("n_categories"),
+      max(col("__A")).as("n_a"), max(col("__B")).as("n_b"),
+      sort_array(collect_list(struct(col("category"),
+        col("__bc_part")))).as("__parts"))
+    val bc = aggregate(col("__parts"), lit(0.0),
+      (acc, x) => acc + x.getField("__bc_part"))
+    val bothSides = col("n_a") > 0L && col("n_b") > 0L
+    folded.select(col("__g").as(groupCol), col("n_categories"),
+      col("n_a"), col("n_b"),
+      when(bothSides, bc).as("bc"),
+      when(bothSides, sqrt(greatest(lit(0.0), lit(1.0) - bc)))
+        .as("hellinger"))
+  }
+
   /** FLEISS' KAPPA — chance-corrected agreement among a FIXED number of
     * raters per item (Fleiss 1971), the multi-rater generalization of
     * Cohen's κ: the ensemble-trust gate for labeling heuristics (three

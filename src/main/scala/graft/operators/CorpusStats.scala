@@ -595,4 +595,83 @@ object CorpusStats {
     pdHandle.unpersist(blocking = false)
     reaped
   }
+
+  /** PER-SOURCE GOVERNANCE DIFF — [[governanceSheet]] reports ONE
+    * snapshot; the release decision compares TWO (previous corpus vs
+    * candidate). One row per source composing the drift tier:
+    *
+    *  - volume movement: `n_docs` / `total_tokens` per side (exact
+    *    longs; a source present on one side shows the other at 0);
+    *  - the min-length PASS RATE diff with its pooled z
+    *    ([[Profiler.twoProportionByGroup]] — did the rate move beyond
+    *    what the two sizes explain?);
+    *  - LENGTH drift magnitude: per-source 1-Wasserstein on the
+    *    per-doc token count ([[Profiler.wasserstein1ByGroup]] — how
+    *    far did the length mass move, in tokens);
+    *  - MIX drift: per-source Hellinger on a categorical facet
+    *    (`mixCol`, e.g. language — [[Association.hellingerByGroup]]).
+    *
+    * Each constituent keeps its own exactness contract; this operator
+    * adds NO new arithmetic — only the source-keyed joins — so the
+    * composite hash-matches wherever the constituents do (the
+    * [[governanceSheet]] q269 pattern). LEFT joins off the volume
+    * spine: a source whose stats degenerate (all-NULL text, one-sided)
+    * surfaces with NULL statistics, never silently absent. NULL
+    * sources are excluded (the grouped constituents' shared contract).
+    *
+    * Scale: ONE narrow per-doc projection per side (checkpointed once
+    * each, feeding all four branches), then source-keyed aggregates
+    * and source-sized joins; the W₁ rank pass is the only
+    * corpus-domain stage and it is range-partitioned, never
+    * single-task.
+    *
+    * @return one row per source seen on either side: `(source,
+    *         n_docs_prev, n_docs_next, total_tokens_prev,
+    *         total_tokens_next, pass_rate_prev, pass_rate_next,
+    *         pass_z, length_w1, mix_categories, mix_hellinger)`
+    */
+  def governanceDiff(prev: DataFrame, next: DataFrame, sourceCol: String,
+      textCol: String, idCol: String, minTokens: Int,
+      mixCol: String): DataFrame = {
+    require(minTokens >= 1, s"minTokens ($minTokens) must be >= 1")
+    def perDocOf(docs: DataFrame) = graft.core.Caching.reapKeep(
+      docs.select(col(sourceCol).as("source"), col(idCol).as("__id"),
+        col(mixCol).as("__mix"),
+        size(filter(TextAnalysis.tokens(lower(col(textCol))),
+          t => t =!= "")).cast("long").as("__tok"))
+        .filter(col("source").isNotNull))
+    val (pd, pdH) = perDocOf(prev)
+    val (nd, ndH) = perDocOf(next)
+    def volumeOf(d: DataFrame, sfx: String) = d.groupBy(col("source"))
+      .agg(count(lit(1)).as(s"__nd_$sfx"),
+        sum(col("__tok")).as(s"__tt_$sfx"))
+    val volume = volumeOf(pd, "p")
+      .join(volumeOf(nd, "n"), Seq("source"), "full_outer")
+      .select(col("source"),
+        coalesce(col("__nd_p"), lit(0L)).as("n_docs_prev"),
+        coalesce(col("__nd_n"), lit(0L)).as("n_docs_next"),
+        coalesce(col("__tt_p"), lit(0L)).as("total_tokens_prev"),
+        coalesce(col("__tt_n"), lit(0L)).as("total_tokens_next"))
+    def passFrame(d: DataFrame) =
+      d.withColumn("__pass", col("__tok") >= minTokens)
+    val rate = Profiler.twoProportionByGroup(passFrame(pd), passFrame(nd),
+        "source", "__pass")
+      .select(col("source"), col("rate_a").as("pass_rate_prev"),
+        col("rate_b").as("pass_rate_next"), col("z").as("pass_z"))
+    val w1 = Profiler.wasserstein1ByGroup(
+        pd.filter(col("__tok").isNotNull),
+        nd.filter(col("__tok").isNotNull), "source", "__tok")
+      .select(col("source"), col("w1").as("length_w1"))
+    val mix = Association.hellingerByGroup(pd, nd, "source", "__mix")
+      .select(col("source"), col("n_categories").as("mix_categories"),
+        col("hellinger").as("mix_hellinger"))
+    val sheet = volume
+      .join(rate, Seq("source"), "left")
+      .join(w1, Seq("source"), "left")
+      .join(mix, Seq("source"), "left")
+    val (reaped, _) = graft.core.Caching.reapKeep(sheet)
+    pdH.unpersist(blocking = false)
+    ndH.unpersist(blocking = false)
+    reaped
+  }
 }

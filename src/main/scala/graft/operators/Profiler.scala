@@ -631,8 +631,18 @@ object Profiler {
       df.filter(col(flagCol).isNotNull).agg(
         count(lit(1)).as(s"n_$suffix"),
         sum(when(col(flagCol), 1L).otherwise(0L)).as(s"k_$suffix"))
+    twoPropSelect(side(a, "a").crossJoin(side(b, "b")), Nil)
+  }
+
+  /** The [[twoProportionTest]] finishing select over a frame carrying
+    * exact `(n_a, k_a, n_b, k_b)` counts — shared with the grouped
+    * variant so the per-row arithmetic is literally the same
+    * expressions. `keyCols` are prepended (empty for the one-row
+    * global test).
+    */
+  private def twoPropSelect(joined: DataFrame,
+      keyCols: Seq[Column]): DataFrame = {
     val d18 = DecimalType(18, 0)
-    val joined = side(a, "a").crossJoin(side(b, "b"))
     val na = col("n_a").cast("double")
     val nb = col("n_b").cast("double")
     val pa = col("k_a").cast("double") / na
@@ -644,7 +654,8 @@ object Profiler {
     val orNum = col("k_a").cast(d18) * (col("n_b") - col("k_b")).cast(d18)
     val orDen = (col("n_a") - col("k_a")).cast(d18) * col("k_b").cast(d18)
     val bothSides = col("n_a") > 0L && col("n_b") > 0L
-    joined.select(col("n_a"), col("k_a"), col("n_b"), col("k_b"),
+    joined.select(keyCols ++ Seq(col("n_a"), col("k_a"), col("n_b"),
+      col("k_b"),
       when(col("n_a") > 0L, pa).as("rate_a"),
       when(col("n_b") > 0L, pb).as("rate_b"),
       when(bothSides &&
@@ -652,7 +663,42 @@ object Profiler {
         (col("k_a") + col("k_b")) < (col("n_a") + col("n_b")), z).as("z"),
       when(bothSides && orDen > 0,
         orNum.cast("double") / orDen.cast("double")).as("odds_ratio"),
-      when(bothSides && col("k_b") > 0L, pa / pb).as("risk_ratio"))
+      when(bothSides && col("k_b") > 0L, pa / pb).as("risk_ratio")): _*)
+  }
+
+  /** PER-GROUP two-proportion comparison — [[twoProportionTest]]'s
+    * exact per-row arithmetic (the shared [[twoPropSelect]]) over
+    * per-group side counts, for the per-source pass-rate row of a
+    * governance DIFF: did THIS source's rate move, beyond what its two
+    * sizes explain? A group present on only one side surfaces with the
+    * other side's counts at 0 and NULL statistics (the left-join
+    * surface-don't-vanish discipline), never silently absent. NULL
+    * flags are excluded; NULL GROUPS are excluded (the equi-join would
+    * drop them silently — map to a sentinel upstream).
+    *
+    * Scale: one group-keyed aggregate per side (map-side partials),
+    * then a group-sized full outer join — the snapshots shuffle
+    * nothing wider than (group, two longs).
+    *
+    * @return one row per group seen on either side: `(groupCol, n_a,
+    *         k_a, n_b, k_b, rate_a, rate_b, z, odds_ratio,
+    *         risk_ratio)`
+    */
+  def twoProportionByGroup(a: DataFrame, b: DataFrame, groupCol: String,
+      flagCol: String): DataFrame = {
+    def side(df: DataFrame, suffix: String) = df
+      .select(col(groupCol).as("__g"), col(flagCol).as("__f"))
+      .filter(col("__g").isNotNull && col("__f").isNotNull)
+      .groupBy(col("__g")).agg(
+        count(lit(1)).as(s"__n_$suffix"),
+        sum(when(col("__f"), 1L).otherwise(0L)).as(s"__k_$suffix"))
+    val joined = side(a, "a").join(side(b, "b"), Seq("__g"), "full_outer")
+      .select(col("__g"),
+        coalesce(col("__n_a"), lit(0L)).as("n_a"),
+        coalesce(col("__k_a"), lit(0L)).as("k_a"),
+        coalesce(col("__n_b"), lit(0L)).as("n_b"),
+        coalesce(col("__k_b"), lit(0L)).as("k_b"))
+    twoPropSelect(joined, Seq(col("__g").as(groupCol)))
   }
 
   /** KRUSKAL-WALLIS H (Kruskal & Wallis 1952) — the k-GROUP
@@ -1297,6 +1343,99 @@ object Profiler {
       .select(col("n_a"), col("n_b"),
         when(col("n_a") > 0 && col("n_b") > 0,
           col("__s").cast("double") /
+            (col("n_a").cast("double") * col("n_b").cast("double")))
+          .as("w1"))
+    val (reaped, _) = graft.core.Caching.reapKeep(result)
+    rankedHandle.unpersist(blocking = false)
+    reaped
+  }
+
+  /** PER-GROUP 1-Wasserstein distance — [[wasserstein1]]'s algebra with
+    * a group key prepended to every stage, for the per-source /
+    * per-language drift row a governance DIFF report reads (one W₁ per
+    * facet, not one for the blended corpus — Simpson's reversal hides
+    * in the blend). Identical exactness contract: ≤2-dp DECIMAL(12,2)
+    * values (loud round-trip guard), exact integer segment sums,
+    * per-group n_a·n_b < 4e18 capacity assert, ONE IEEE division per
+    * group.
+    *
+    * Scale: the global operator's shape with `(group, value)` as the
+    * range-partition key — the prefix passes stay narrow and
+    * distributed, group-LOCAL cumulatives are the global cumulatives
+    * minus the group's starting offset (read off the same checkpointed
+    * frame: groups are contiguous under the (g, v) total order), and
+    * segment widths join on `(group, rank)` so each group's top value
+    * finds no successor and drops (its CDF gap is identically 0 —
+    * exactly the global operator's inner-join device). The group
+    * totals frame is group-count-sized and broadcasts. NULL values are
+    * excluded per side; NULL GROUPS are excluded entirely (equi-join
+    * stages would silently drop their segments — map NULL to a
+    * sentinel upstream if "unknown" is a real facet).
+    *
+    * @return one row per group seen on EITHER side:
+    *         `(groupCol, n_a, n_b, w1)` — NULL w1 when that group is
+    *         empty on a side; 0 when the group is a shared point mass
+    */
+  def wasserstein1ByGroup(a: DataFrame, b: DataFrame, groupCol: String,
+      valueCol: String): DataFrame = {
+    val dec = DecimalType(12, 2)
+    def guarded(c: Column): Column = {
+      val cast = c.cast(dec)
+      cast + coalesce(
+        assert_true(c.isNull || cast.cast("double") === c.cast("double"),
+          lit(s"wasserstein1ByGroup: $valueCol exceeds the " +
+            "DECIMAL(12,2) contract (|v| < 1e10, <= 2 decimal places)" +
+            " — rescale upstream")).cast(dec),
+        lit(0).cast(dec))
+    }
+    def sidePrep(df: DataFrame, ia: Long) = df.select(
+        col(groupCol).as("__g"), guarded(col(valueCol)).as("__v"),
+        lit(ia).as("__ia"))
+      .filter(col("__g").isNotNull && col("__v").isNotNull)
+    val u = sidePrep(a, 1L).unionByName(sidePrep(b, 0L))
+    val perVal = u.groupBy(col("__g"), col("__v"))
+      .agg(sum(col("__ia")).as("__ca"), sum(lit(1L) - col("__ia")).as("__cb"))
+    val pa = SurrogateKeys.prefixSumLong(perVal, "__ca",
+      Seq(col("__g"), col("__v")), "__offa")
+    val pb = SurrogateKeys.prefixSumLong(pa, "__cb",
+      Seq(col("__g"), col("__v")), "__offb")
+    val (ranked, rankedHandle) = graft.core.Caching.reapKeep(
+      SurrogateKeys.sequential(pb, "__r", Seq(col("__g"), col("__v")),
+        assumeUnique = true))
+    // groups are contiguous under the (g, v) order, so each group's
+    // side totals and starting offsets read off the SAME checkpointed
+    // frame — no second pass over the raw union
+    val gtot = ranked.groupBy(col("__g")).agg(
+      min(col("__offa")).as("__ga0"), min(col("__offb")).as("__gb0"),
+      (max(col("__offa") + col("__ca")) - min(col("__offa"))).as("n_a"),
+      (max(col("__offb") + col("__cb")) - min(col("__offb"))).as("n_b"))
+    val capGuard = coalesce(
+      assert_true(col("n_a").cast("double") * col("n_b").cast("double")
+        < lit(4.0e18),
+        lit("wasserstein1ByGroup: n_a*n_b exceeds exact long capacity " +
+          "in a group — shard the comparison upstream")).cast("long"),
+      lit(0L))
+    val nxt = ranked.select(col("__g"), (col("__r") - 1L).as("__r"),
+      col("__v").as("__vn"))
+    val segs = ranked.join(nxt, Seq("__g", "__r"))
+      .join(broadcast(gtot), Seq("__g"))
+      .select(col("__g"),
+        (abs((col("__offa") + col("__ca") - col("__ga0")) * col("n_b")
+          - (col("__offb") + col("__cb") - col("__gb0")) * col("n_a")
+          + capGuard)
+          .cast(DecimalType(20, 0))
+        * (col("__vn") - col("__v")).cast(DecimalType(13, 2)))
+        .as("__seg"))
+    val segSum = segs.groupBy(col("__g")).agg(
+      coalesce(sum(col("__seg")), lit(0).cast(DecimalType(38, 2)))
+        .as("__s"))
+    // left join: a single-point-mass group has NO segment rows (its
+    // top value dropped with no successor) but must surface with w1 0
+    val result = gtot.join(segSum, Seq("__g"), "left")
+      .select(col("__g").as(groupCol), col("n_a"), col("n_b"),
+        when(col("n_a") > 0 && col("n_b") > 0,
+          coalesce(col("__s"), lit(0).cast(DecimalType(38, 2)))
+            .cast("double") /
             (col("n_a").cast("double") * col("n_b").cast("double")))
           .as("w1"))
     val (reaped, _) = graft.core.Caching.reapKeep(result)

@@ -1925,6 +1925,200 @@ object DqQueries extends QueryModule {
         FROM zz
       """.trim),
       // Verify-only (bench-tail policy): the q250 rank-pass shape
+      bench = false),
+
+    // --- PER-SOURCE 1-Wasserstein on document length between the two
+    // id-block snapshot halves (doc_id % 40 splits every source 13/12
+    // — plain parity correlates with source in this fixture) — the
+    // per-facet drift magnitude a governance diff reads; q265's
+    // algebra with the group key prepended (group-local cumulatives =
+    // global prefix minus the group's starting offset). ---
+    GQuery(
+      "q276_w1_by_group",
+      (spark, dir) => {
+        val d = Tables.docs(spark, dir)
+          .select(col("doc_id"), col("source"), col("n_chars"))
+        graft.operators.Profiler.wasserstein1ByGroup(
+            d.filter(col("doc_id") % 40 < 20),
+            d.filter(col("doc_id") % 40 >= 20), "source", "n_chars")
+          .select(col("source"), col("n_a"), col("n_b"),
+            round(col("w1"), 6).as("w1_r"))
+          .orderBy(col("source"))
+      },
+      Some("""
+        WITH u AS (
+          SELECT source AS g, CAST(n_chars AS DECIMAL(12,2)) AS v,
+                 1 AS ia
+          FROM documents WHERE doc_id % 40 < 20
+          UNION ALL
+          SELECT source, CAST(n_chars AS DECIMAL(12,2)), 0
+          FROM documents WHERE doc_id % 40 >= 20),
+        pv AS (
+          SELECT g, v, CAST(SUM(ia) AS BIGINT) AS ca,
+                 CAST(SUM(1 - ia) AS BIGINT) AS cb
+          FROM u WHERE v IS NOT NULL AND g IS NOT NULL GROUP BY g, v),
+        cum AS (
+          SELECT g, v,
+                 CAST(SUM(ca) OVER w AS BIGINT) AS cuma,
+                 CAST(SUM(cb) OVER w AS BIGINT) AS cumb,
+                 LEAD(v) OVER (PARTITION BY g ORDER BY v) AS vn
+          FROM pv
+          WINDOW w AS (PARTITION BY g ORDER BY v
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        tot AS (SELECT g, CAST(SUM(ca) AS BIGINT) AS n_a,
+                       CAST(SUM(cb) AS BIGINT) AS n_b
+                FROM pv GROUP BY g),
+        segs AS (
+          SELECT cum.g,
+                 CAST(abs(cuma * n_b - cumb * n_a) AS DECIMAL(20,0))
+                   * CAST(vn - v AS DECIMAL(13,2)) AS seg
+          FROM cum JOIN tot ON tot.g = cum.g WHERE vn IS NOT NULL),
+        s AS (SELECT g, COALESCE(SUM(seg), 0) AS ssum
+              FROM segs GROUP BY g)
+        SELECT tot.g AS source, n_a, n_b,
+               CASE WHEN n_a > 0 AND n_b > 0 THEN
+                 round(CAST(COALESCE(ssum, 0) AS DOUBLE)
+                   / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)), 6)
+               END AS w1_r
+        FROM tot LEFT JOIN s ON s.g = tot.g
+        ORDER BY source
+      """.trim),
+      // Verify-only (bench-tail policy): the q265 prefix-pass shape,
+      // group-keyed
+      bench = false),
+
+    // --- PER-SOURCE Hellinger distance of the LANGUAGE mix between
+    // the same snapshot halves — q262's algebra per group, with the
+    // diff-specific contract that a one-sided source surfaces with
+    // NULL distance instead of failing the whole report. ---
+    GQuery(
+      "q277_hellinger_by_group",
+      (spark, dir) => {
+        val d = Tables.docs(spark, dir)
+          .select(col("doc_id"), col("source"), col("lang"))
+        graft.operators.Association.hellingerByGroup(
+            d.filter(col("doc_id") % 40 < 20),
+            d.filter(col("doc_id") % 40 >= 20), "source", "lang")
+          .select(col("source"), col("n_categories"), col("n_a"),
+            col("n_b"), round(col("bc"), 6).as("bc_r"),
+            round(col("hellinger"), 6).as("h_r"))
+          .orderBy(col("source"))
+      },
+      Some("""
+        WITH u AS (
+          SELECT source AS g, CAST(lang AS VARCHAR) AS category, 1 AS ia
+          FROM documents
+          WHERE doc_id % 40 < 20 AND source IS NOT NULL
+            AND lang IS NOT NULL
+          UNION ALL
+          SELECT source, CAST(lang AS VARCHAR), 0
+          FROM documents
+          WHERE doc_id % 40 >= 20 AND source IS NOT NULL
+            AND lang IS NOT NULL),
+        pc AS (
+          SELECT g, category, CAST(SUM(ia) AS BIGINT) AS na,
+                 CAST(SUM(1 - ia) AS BIGINT) AS nb
+          FROM u GROUP BY g, category),
+        wt AS (
+          SELECT g, category, na, nb,
+                 CAST(SUM(na) OVER (PARTITION BY g) AS BIGINT) AS ta,
+                 CAST(SUM(nb) OVER (PARTITION BY g) AS BIGINT) AS tb
+          FROM pc),
+        parts AS (
+          SELECT g, category, ta, tb,
+                 CASE WHEN ta > 0 AND tb > 0 THEN
+                   sqrt((CAST(na AS DOUBLE) / CAST(ta AS DOUBLE))
+                     * (CAST(nb AS DOUBLE) / CAST(tb AS DOUBLE)))
+                 END AS part
+          FROM wt),
+        f AS (
+          SELECT g, CAST(COUNT(*) AS BIGINT) AS n_categories,
+                 MAX(ta) AS n_a, MAX(tb) AS n_b,
+                 list_sum(list(part ORDER BY category)) AS bc
+          FROM parts GROUP BY g)
+        SELECT g AS source, n_categories, n_a, n_b,
+               CASE WHEN n_a > 0 AND n_b > 0 THEN round(bc, 6) END
+                 AS bc_r,
+               CASE WHEN n_a > 0 AND n_b > 0 THEN
+                 round(sqrt(greatest(0.0, 1.0 - bc)), 6)
+               END AS h_r
+        FROM f ORDER BY source
+      """.trim),
+      // Verify-only (bench-tail policy): the q262 cell-aggregate shape,
+      // group-keyed
+      bench = false),
+
+    // --- PER-SOURCE two-proportion z of the n_chars >= 200 pass rate
+    // between the same snapshot halves — q271's exact per-row
+    // arithmetic over per-group side counts; a source one-sided in the
+    // split shows the other side at 0 with NULL statistics. ---
+    GQuery(
+      "q278_two_prop_by_group",
+      (spark, dir) => {
+        val d = Tables.docs(spark, dir)
+          .select(col("doc_id"), col("source"),
+            (col("n_chars") >= 200L).as("passed"))
+        graft.operators.Profiler.twoProportionByGroup(
+            d.filter(col("doc_id") % 40 < 20),
+            d.filter(col("doc_id") % 40 >= 20), "source", "passed")
+          .select(col("source"), col("n_a"), col("k_a"), col("n_b"),
+            col("k_b"),
+            round(col("rate_a"), 6).as("rate_a_r"),
+            round(col("rate_b"), 6).as("rate_b_r"),
+            round(col("z"), 6).as("z_r"),
+            round(col("odds_ratio"), 6).as("or_r"),
+            round(col("risk_ratio"), 6).as("rr_r"))
+          .orderBy(col("source"))
+      },
+      Some("""
+        WITH pd AS (
+          SELECT doc_id, source, n_chars >= 200 AS f
+          FROM documents
+          WHERE source IS NOT NULL AND n_chars IS NOT NULL),
+        sa AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS na,
+                      CAST(SUM(CASE WHEN f THEN 1 ELSE 0 END) AS BIGINT)
+                        AS ka
+               FROM pd WHERE doc_id % 40 < 20 GROUP BY source),
+        sb AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS nb,
+                      CAST(SUM(CASE WHEN f THEN 1 ELSE 0 END) AS BIGINT)
+                        AS kb
+               FROM pd WHERE doc_id % 40 >= 20 GROUP BY source),
+        j AS (
+          SELECT COALESCE(sa.source, sb.source) AS source,
+                 COALESCE(na, 0) AS n_a, COALESCE(ka, 0) AS k_a,
+                 COALESCE(nb, 0) AS n_b, COALESCE(kb, 0) AS k_b
+          FROM sa FULL OUTER JOIN sb ON sa.source = sb.source),
+        fin AS (
+          SELECT source, n_a, k_a, n_b, k_b,
+                 CAST(k_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS pa,
+                 CAST(k_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS pb,
+                 CAST(k_a + k_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE)
+                   AS pp
+          FROM j)
+        SELECT source, n_a, k_a, n_b, k_b,
+               CASE WHEN n_a > 0 THEN round(pa, 6) END AS rate_a_r,
+               CASE WHEN n_b > 0 THEN round(pb, 6) END AS rate_b_r,
+               CASE WHEN n_a > 0 AND n_b > 0
+                     AND k_a + k_b > 0 AND k_a + k_b < n_a + n_b THEN
+                 round((pa - pb)
+                   / sqrt(pp * (1.0 - pp)
+                       * (1.0 / CAST(n_a AS DOUBLE)
+                          + 1.0 / CAST(n_b AS DOUBLE))), 6)
+               END AS z_r,
+               CASE WHEN n_a > 0 AND n_b > 0
+                     AND (n_a - k_a) * k_b > 0 THEN
+                 round(CAST(CAST(k_a AS DECIMAL(18,0))
+                       * CAST(n_b - k_b AS DECIMAL(18,0)) AS DOUBLE)
+                   / CAST(CAST(n_a - k_a AS DECIMAL(18,0))
+                       * CAST(k_b AS DECIMAL(18,0)) AS DOUBLE), 6)
+               END AS or_r,
+               CASE WHEN n_a > 0 AND n_b > 0 AND k_b > 0 THEN
+                 round(pa / pb, 6)
+               END AS rr_r
+        FROM fin ORDER BY source
+      """.trim),
+      // Verify-only (bench-tail policy): two group aggregates + the
+      // group-sized outer join — the q271 shape, group-keyed
       bench = false)
   )
 }

@@ -2417,6 +2417,145 @@ object TextQueries extends QueryModule {
       """.trim),
       // Verify-only (bench-tail policy): constituent shapes benched at
       // q111/q255/q258/q260
+      bench = false),
+
+    // --- PER-SOURCE GOVERNANCE DIFF (round-13 verdict item 5): q269
+    // reports ONE snapshot; the release decision compares TWO. One row
+    // per source composing volume movement, the ≥30-token pass-rate z
+    // (q271/q278), length W₁ in tokens (q265/q276), and the language-
+    // mix Hellinger (q262/q277) between the doc_id % 40 snapshot
+    // halves. No new arithmetic — the oracle replays the constituent
+    // gates' own expressions per source off the shared token frame. ---
+    GQuery(
+      "q279_governance_diff",
+      (spark, dir) => {
+        val d = Tables.docs(spark, dir)
+        graft.operators.CorpusStats.governanceDiff(
+            d.filter(col("doc_id") % 40 < 20),
+            d.filter(col("doc_id") % 40 >= 20),
+            "source", "text", "doc_id", minTokens = 30, mixCol = "lang")
+          .select(col("source"), col("n_docs_prev"), col("n_docs_next"),
+            col("total_tokens_prev"), col("total_tokens_next"),
+            round(col("pass_rate_prev"), 6).as("rate_p_r"),
+            round(col("pass_rate_next"), 6).as("rate_n_r"),
+            round(col("pass_z"), 6).as("z_r"),
+            round(col("length_w1"), 6).as("w1_r"),
+            col("mix_categories"),
+            round(col("mix_hellinger"), 6).as("h_r"))
+          .orderBy(col("source"))
+      },
+      Some("""
+        WITH pd AS (
+          SELECT source, doc_id, lang,
+                 CAST(len(list_filter(string_split(lower(text), ' '),
+                   s2 -> s2 <> '')) AS BIGINT) AS tok,
+                 CASE WHEN doc_id % 40 < 20 THEN 1 ELSE 0 END AS ia
+          FROM documents WHERE source IS NOT NULL),
+        vol AS (
+          SELECT source,
+                 CAST(SUM(ia) AS BIGINT) AS n_docs_prev,
+                 CAST(SUM(1 - ia) AS BIGINT) AS n_docs_next,
+                 CAST(COALESCE(SUM(CASE WHEN ia = 1 THEN tok END), 0)
+                   AS BIGINT) AS total_tokens_prev,
+                 CAST(COALESCE(SUM(CASE WHEN ia = 0 THEN tok END), 0)
+                   AS BIGINT) AS total_tokens_next
+          FROM pd GROUP BY source),
+        rj AS (
+          SELECT source,
+                 CAST(SUM(ia) AS BIGINT) AS n_a,
+                 CAST(SUM(CASE WHEN ia = 1 AND tok >= 30
+                   THEN 1 ELSE 0 END) AS BIGINT) AS k_a,
+                 CAST(SUM(1 - ia) AS BIGINT) AS n_b,
+                 CAST(SUM(CASE WHEN ia = 0 AND tok >= 30
+                   THEN 1 ELSE 0 END) AS BIGINT) AS k_b
+          FROM pd WHERE tok IS NOT NULL GROUP BY source),
+        rate AS (
+          SELECT source,
+                 CASE WHEN n_a > 0 THEN
+                   round(CAST(k_a AS DOUBLE) / CAST(n_a AS DOUBLE), 6)
+                 END AS rate_p_r,
+                 CASE WHEN n_b > 0 THEN
+                   round(CAST(k_b AS DOUBLE) / CAST(n_b AS DOUBLE), 6)
+                 END AS rate_n_r,
+                 CASE WHEN n_a > 0 AND n_b > 0
+                       AND k_a + k_b > 0 AND k_a + k_b < n_a + n_b THEN
+                   round((CAST(k_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+                       - CAST(k_b AS DOUBLE) / CAST(n_b AS DOUBLE))
+                     / sqrt((CAST(k_a + k_b AS DOUBLE)
+                         / CAST(n_a + n_b AS DOUBLE))
+                       * (1.0 - CAST(k_a + k_b AS DOUBLE)
+                           / CAST(n_a + n_b AS DOUBLE))
+                       * (1.0 / CAST(n_a AS DOUBLE)
+                          + 1.0 / CAST(n_b AS DOUBLE))), 6)
+                 END AS z_r
+          FROM rj),
+        pv AS (
+          SELECT source AS g, CAST(tok AS DECIMAL(12,2)) AS v,
+                 CAST(SUM(ia) AS BIGINT) AS ca,
+                 CAST(SUM(1 - ia) AS BIGINT) AS cb
+          FROM pd WHERE tok IS NOT NULL GROUP BY g, v),
+        cum AS (
+          SELECT g, v,
+                 CAST(SUM(ca) OVER w AS BIGINT) AS cuma,
+                 CAST(SUM(cb) OVER w AS BIGINT) AS cumb,
+                 LEAD(v) OVER (PARTITION BY g ORDER BY v) AS vn
+          FROM pv
+          WINDOW w AS (PARTITION BY g ORDER BY v
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        tot AS (SELECT g, CAST(SUM(ca) AS BIGINT) AS wna,
+                       CAST(SUM(cb) AS BIGINT) AS wnb
+                FROM pv GROUP BY g),
+        segs AS (
+          SELECT cum.g,
+                 CAST(abs(cuma * wnb - cumb * wna) AS DECIMAL(20,0))
+                   * CAST(vn - v AS DECIMAL(13,2)) AS seg
+          FROM cum JOIN tot ON tot.g = cum.g WHERE vn IS NOT NULL),
+        sg AS (SELECT g, COALESCE(SUM(seg), 0) AS ssum
+               FROM segs GROUP BY g),
+        w1 AS (
+          SELECT tot.g AS source,
+                 CASE WHEN wna > 0 AND wnb > 0 THEN
+                   round(CAST(COALESCE(ssum, 0) AS DOUBLE)
+                     / (CAST(wna AS DOUBLE) * CAST(wnb AS DOUBLE)), 6)
+                 END AS w1_r
+          FROM tot LEFT JOIN sg ON sg.g = tot.g),
+        pc AS (
+          SELECT source AS g, CAST(lang AS VARCHAR) AS category,
+                 CAST(SUM(ia) AS BIGINT) AS na,
+                 CAST(SUM(1 - ia) AS BIGINT) AS nb
+          FROM pd WHERE lang IS NOT NULL GROUP BY g, category),
+        wt AS (
+          SELECT g, category, na, nb,
+                 CAST(SUM(na) OVER (PARTITION BY g) AS BIGINT) AS ta,
+                 CAST(SUM(nb) OVER (PARTITION BY g) AS BIGINT) AS tb
+          FROM pc),
+        parts AS (
+          SELECT g, category, ta, tb,
+                 CASE WHEN ta > 0 AND tb > 0 THEN
+                   sqrt((CAST(na AS DOUBLE) / CAST(ta AS DOUBLE))
+                     * (CAST(nb AS DOUBLE) / CAST(tb AS DOUBLE)))
+                 END AS part
+          FROM wt),
+        mix AS (
+          SELECT g AS source,
+                 CAST(COUNT(*) AS BIGINT) AS mix_categories,
+                 CASE WHEN MAX(ta) > 0 AND MAX(tb) > 0 THEN
+                   round(sqrt(greatest(0.0,
+                     1.0 - list_sum(list(part ORDER BY category)))), 6)
+                 END AS h_r
+          FROM parts GROUP BY g)
+        SELECT vol.source, n_docs_prev, n_docs_next,
+               total_tokens_prev, total_tokens_next,
+               rate.rate_p_r, rate.rate_n_r, rate.z_r,
+               w1.w1_r, mix.mix_categories, mix.h_r
+        FROM vol
+        LEFT JOIN rate ON rate.source = vol.source
+        LEFT JOIN w1 ON w1.source = vol.source
+        LEFT JOIN mix ON mix.source = vol.source
+        ORDER BY vol.source
+      """.trim),
+      // Verify-only (bench-tail policy): constituent shapes gated at
+      // q276/q277/q278; this certifies the composite joins
       bench = false)
   )
 

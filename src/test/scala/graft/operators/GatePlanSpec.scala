@@ -106,6 +106,14 @@ class GatePlanSpec extends AnyFunSuite {
     // q275 = the q250 shape on the bucketed-price union (the tie sum
     // rides the same scalar aggregate — no extra exchange)
     "q275_numeric_drift_ties" -> (2, 1),
+    // q276/q279 pin the post-checkpoint output sort (the reaped-result
+    // convention); q277 = the two-side union cell agg + per-group
+    // total windows + group fold + sort; q278 = two group aggregates +
+    // the group-sized outer join + sort
+    "q276_w1_by_group" -> (1, 0),
+    "q277_hellinger_by_group" -> (5, 0),
+    "q278_two_prop_by_group" -> (5, 0),
+    "q279_governance_diff" -> (1, 0),
     "q250_numeric_drift" -> (2, 1),
     "q251_benford" -> (4, 2),
     "q252_theil_sen" -> (14, 9),

@@ -1,0 +1,167 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** Round-14: the grouped drift constituents (per-group W₁, Hellinger,
+  * two-proportion) and the governanceDiff composite. Each grouped
+  * operator is checked against its GLOBAL sibling per group — the
+  * grouped algebra must be the same arithmetic with a key prepended —
+  * plus the one-sided-group contracts the global operators don't have.
+  */
+class GovernanceDiffSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  // ---------------- wasserstein1ByGroup ----------------
+
+  test("wasserstein1ByGroup: per-group values match the global operator " +
+    "group by group; one-sided NULL; point mass 0") {
+    val a = Seq(("g1", 0.0), ("g1", 0.0), ("g2", 1.0), ("g2", 2.0),
+      ("g3", 7.0), ("g3", 7.0), ("g4", 1.0)).toDF("g", "v")
+    val b = Seq(("g1", 0.0), ("g1", 2.0), ("g2", 1.0), ("g2", 2.0),
+      ("g3", 7.0), ("g5", 3.0)).toDF("g", "v")
+    val got = Profiler.wasserstein1ByGroup(a, b, "g", "v")
+      .collect().map(r => r.getAs[String]("g") -> r).toMap
+    assert(got.size == 5)
+    // g1 mirrors the global hand case {0,0} vs {0,2} -> 1.0
+    assert(got("g1").getAs[Double]("w1") == 1.0)
+    // g2 identical -> 0; g3 shared point mass -> 0
+    assert(got("g2").getAs[Double]("w1") == 0.0)
+    assert(got("g3").getAs[Double]("w1") == 0.0)
+    // one-sided groups surface with the missing side at 0 and NULL w1
+    assert(got("g4").getAs[Long]("n_b") == 0L)
+    assert(got("g4").isNullAt(got("g4").fieldIndex("w1")))
+    assert(got("g5").getAs[Long]("n_a") == 0L)
+    assert(got("g5").isNullAt(got("g5").fieldIndex("w1")))
+    // group-by-group equality with the global operator on a shifted
+    // asymmetric case
+    val a2 = Seq(("x", 1.0), ("x", 2.0), ("x", 3.0),
+      ("y", 10.0), ("y", 20.0)).toDF("g", "v")
+    val b2 = Seq(("x", 2.0), ("x", 3.0), ("x", 4.0),
+      ("y", 15.0), ("y", 30.0)).toDF("g", "v")
+    val grouped = Profiler.wasserstein1ByGroup(a2, b2, "g", "v")
+      .collect().map(r => r.getAs[String]("g") -> r.getAs[Double]("w1"))
+      .toMap
+    Seq("x", "y").foreach { g =>
+      val glob = Profiler.wasserstein1(
+        a2.filter($"g" === g), b2.filter($"g" === g), "v")
+        .head().getAs[Double]("w1")
+      assert(grouped(g) == glob, s"group $g")
+    }
+  }
+
+  // ---------------- hellingerByGroup ----------------
+
+  test("hellingerByGroup: matches the global operator per group; " +
+    "identical 0, disjoint 1, one-sided NULL") {
+    val a = Seq(("s1", "en"), ("s1", "en"), ("s1", "fr"),
+      ("s2", "en"), ("s3", "de")).toDF("g", "k")
+    val b = Seq(("s1", "en"), ("s1", "fr"), ("s1", "fr"),
+      ("s2", "zh"), ("s4", "es")).toDF("g", "k")
+    val got = Association.hellingerByGroup(a, b, "g", "k")
+      .collect().map(r => r.getAs[String]("g") -> r).toMap
+    assert(got.size == 4)
+    // s1 replays the global arithmetic
+    val glob = Association.hellinger(
+      a.filter($"g" === "s1"), b.filter($"g" === "s1"), "k").head()
+    assert(got("s1").getAs[Double]("hellinger")
+      == glob.getAs[Double]("hellinger"))
+    assert(got("s1").getAs[Long]("n_categories")
+      == glob.getAs[Long]("n_categories"))
+    // s2 disjoint categories -> 1
+    assert(got("s2").getAs[Double]("hellinger") == 1.0)
+    // one-sided sources -> NULL distance, sides visible
+    assert(got("s3").getAs[Long]("n_b") == 0L)
+    assert(got("s3").isNullAt(got("s3").fieldIndex("hellinger")))
+    assert(got("s4").isNullAt(got("s4").fieldIndex("hellinger")))
+    // identical mix -> exactly 0 (the ulp clamp)
+    val same = Association.hellingerByGroup(a, a, "g", "k")
+      .collect()
+    same.foreach(r => assert(r.getAs[Double]("hellinger") == 0.0))
+  }
+
+  // ---------------- twoProportionByGroup ----------------
+
+  test("twoProportionByGroup: matches the global test per group; " +
+    "one-sided zeros with NULL stats; NULL flags excluded") {
+    val a = Seq(("g1", true), ("g1", true), ("g1", false),
+      ("g2", true), ("g2", false), ("g3", true)).toDF("g", "f")
+    val b = Seq(("g1", true), ("g1", false), ("g1", false),
+      ("g2", true), ("g2", true), ("g4", false)).toDF("g", "f")
+    val got = Profiler.twoProportionByGroup(a, b, "g", "f")
+      .collect().map(r => r.getAs[String]("g") -> r).toMap
+    assert(got.size == 4)
+    Seq("g1", "g2").foreach { g =>
+      val glob = Profiler.twoProportionTest(
+        a.filter($"g" === g), b.filter($"g" === g), "f").head()
+      val r = got(g)
+      Seq("n_a", "k_a", "n_b", "k_b").foreach(c =>
+        assert(r.getAs[Long](c) == glob.getAs[Long](c), s"$g.$c"))
+      Seq("rate_a", "rate_b", "z").foreach(c =>
+        assert(r.getAs[Double](c) == glob.getAs[Double](c), s"$g.$c"))
+    }
+    // one-sided groups: the missing side at 0, stats NULL
+    assert(got("g3").getAs[Long]("n_b") == 0L)
+    assert(got("g3").isNullAt(got("g3").fieldIndex("z")))
+    assert(got("g3").isNullAt(got("g3").fieldIndex("rate_b")))
+    assert(got("g4").getAs[Long]("n_a") == 0L)
+    assert(got("g4").isNullAt(got("g4").fieldIndex("z")))
+    // NULL flags excluded from the counts
+    val withNull = Profiler.twoProportionByGroup(
+      Seq(("g", Option(true)), ("g", Option.empty[Boolean]))
+        .toDF("g", "f"),
+      Seq(("g", Option(false))).toDF("g", "f"), "g", "f")
+      .head()
+    assert(withNull.getAs[Long]("n_a") == 1L)
+  }
+
+  // ---------------- governanceDiff ----------------
+
+  test("governanceDiff: volume, pass-rate, length W1 and mix rows per " +
+    "source; vanished source surfaces with zeros and NULL stats") {
+    val prev = Seq(
+      ("web", 1L, "one two three four", "en"),
+      ("web", 2L, "one two", "en"),
+      ("book", 3L, "a b c d e f", "fr"),
+      ("gone", 4L, "x y z", "de")).toDF("src", "id", "text", "lang")
+    val next = Seq(
+      ("web", 5L, "one two three four", "en"),
+      ("web", 6L, "one two three", "fr"),
+      ("book", 7L, "a b c d e f", "fr")).toDF("src", "id", "text", "lang")
+    val got = CorpusStats.governanceDiff(prev, next, "src", "text",
+        "id", minTokens = 3, mixCol = "lang")
+      .collect().map(r => r.getAs[String]("source") -> r).toMap
+    assert(got.size == 3)
+    val web = got("web")
+    assert(web.getAs[Long]("n_docs_prev") == 2L)
+    assert(web.getAs[Long]("n_docs_next") == 2L)
+    assert(web.getAs[Long]("total_tokens_prev") == 6L)
+    assert(web.getAs[Long]("total_tokens_next") == 7L)
+    // pass rates: prev 1/2 pass (>= 3 tokens), next 2/2
+    assert(web.getAs[Double]("pass_rate_prev") == 0.5)
+    assert(web.getAs[Double]("pass_rate_next") == 1.0)
+    // length W1 on token counts {4,2} vs {4,3}: replay the global op
+    val w1 = Profiler.wasserstein1(
+      Seq(4.0, 2.0).toDF("v"), Seq(4.0, 3.0).toDF("v"), "v")
+      .head().getAs[Double]("w1")
+    assert(web.getAs[Double]("length_w1") == w1)
+    // mix: en/en vs en/fr — a real distance
+    assert(web.getAs[Double]("mix_hellinger") > 0.0)
+    // book is identical on both sides: W1 0, hellinger 0, z NULL
+    // (all-pass pooled rate is degenerate)
+    val book = got("book")
+    assert(book.getAs[Double]("length_w1") == 0.0)
+    assert(book.getAs[Double]("mix_hellinger") == 0.0)
+    assert(book.isNullAt(book.fieldIndex("pass_z")))
+    // the vanished source: next side at 0, all stats NULL
+    val gone = got("gone")
+    assert(gone.getAs[Long]("n_docs_next") == 0L)
+    assert(gone.getAs[Long]("total_tokens_next") == 0L)
+    assert(gone.isNullAt(gone.fieldIndex("pass_z")))
+    assert(gone.isNullAt(gone.fieldIndex("length_w1")))
+    assert(gone.isNullAt(gone.fieldIndex("mix_hellinger")))
+  }
+}

@@ -657,4 +657,25 @@ class ScaleCurveSpec extends AnyFunSuite {
         ordered = false)
     curve("t_closeness", op, o, amp)
   }
+
+  test("grouped 1-Wasserstein scales ~linearly over 10x groups") {
+    // disjoint custkey-block copies: group count grows 10x with
+    // identical per-group structure. The claim under test: group-local
+    // cumulatives come from the range-partitioned prefix passes minus
+    // broadcast group offsets — never a per-group window sort, and the
+    // marginals never funnel through one task. Exchange assertion
+    // trivial on the reaped output; the time bound is the content.
+    val o = table("orders").select($"o_custkey", $"o_orderkey",
+      $"o_totalprice")
+    val amp = (0 until Amp).map(i =>
+      o.withColumn("o_custkey", $"o_custkey" + lit(i * 100000000L))
+        .withColumn("o_orderkey", $"o_orderkey" + lit(i * 100000000L)))
+      .reduce(_ unionByName _)
+    def op(d: DataFrame): DataFrame =
+      Profiler.wasserstein1ByGroup(
+        d.filter($"o_orderkey" % 2 === 0),
+        d.filter($"o_orderkey" % 2 =!= 0),
+        "o_custkey", "o_totalprice")
+    curve("w1_by_group", op, o, amp)
+  }
 }
