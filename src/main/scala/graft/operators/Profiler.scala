@@ -1257,6 +1257,73 @@ object Profiler {
         col("at_value"))
   }
 
+  /** PER-GROUP Kolmogorov-Smirnov — [[ksTest]]'s algebra with a group
+    * key prepended, completing the grouped drift trio next to
+    * [[wasserstein1ByGroup]] (magnitude) and [[kruskalWallis]]
+    * (location, k-group): per source/language, the worst CDF gap
+    * between two snapshots. Same exactness: D is a rational with
+    * per-group denominator n_a·n_b, the sup taken over exact integer
+    * dnums; the argmax value rides along (ties to the smallest v);
+    * per-group capacity assert; ONE IEEE division per group.
+    *
+    * Scale: the [[wasserstein1ByGroup]] device — the prefix passes run
+    * over the (group, value) order, group-LOCAL cumulatives are the
+    * global cumulatives minus the group's starting offsets (min over
+    * the contiguous group slice), and the sup is a per-group hash
+    * aggregate. NULL values are excluded per side; NULL GROUPS are
+    * excluded (the grouped constituents' shared contract).
+    *
+    * @return one row per group seen on either side: `(groupCol, n_a,
+    *         n_b, d_stat, at_value)` — NULL d_stat when the group is
+    *         empty on a side
+    */
+  def ksTestByGroup(a: DataFrame, b: DataFrame, groupCol: String,
+      valueCol: String): DataFrame = {
+    def sidePrep(df: DataFrame, ia: Long) = df.select(
+        col(groupCol).as("__g"), col(valueCol).as("__v"),
+        lit(ia).as("__ia"))
+      .filter(col("__g").isNotNull && col("__v").isNotNull)
+    val u = sidePrep(a, 1L).unionByName(sidePrep(b, 0L))
+    val perVal = u.groupBy(col("__g"), col("__v"))
+      .agg(sum(col("__ia")).as("__ca"), sum(lit(1L) - col("__ia")).as("__cb"))
+    val pa = SurrogateKeys.prefixSumLong(perVal, "__ca",
+      Seq(col("__g"), col("__v")), "__offa")
+    val pb = SurrogateKeys.prefixSumLong(pa, "__cb",
+      Seq(col("__g"), col("__v")), "__offb")
+    val (cum, cumHandle) = graft.core.Caching.reapKeep(pb)
+    val gtot = cum.groupBy(col("__g")).agg(
+      min(col("__offa")).as("__ga0"), min(col("__offb")).as("__gb0"),
+      (max(col("__offa") + col("__ca")) - min(col("__offa"))).as("n_a"),
+      (max(col("__offb") + col("__cb")) - min(col("__offb"))).as("n_b"))
+    val capGuard = coalesce(
+      assert_true(col("n_a").cast("double") * col("n_b").cast("double")
+        < lit(4.0e18),
+        lit("ksTestByGroup: n_a*n_b exceeds exact long capacity in a " +
+          "group — shard the test upstream")).cast("long"),
+      lit(0L))
+    val scored = cum.join(broadcast(gtot), Seq("__g"))
+      .select(col("__g"), col("__v"),
+        ((col("__offa") + col("__ca") - col("__ga0")) * col("n_b")
+          - (col("__offb") + col("__cb") - col("__gb0")) * col("n_a")
+          + capGuard).as("__dnum"),
+        col("n_a"), col("n_b"))
+    val result = scored.groupBy(col("__g")).agg(
+        max(col("n_a")).as("n_a"), max(col("n_b")).as("n_b"),
+        max(abs(col("__dnum"))).as("__dmax"),
+        min_by(col("__v"),
+          struct((-abs(col("__dnum"))).as("nd"), col("__v").as("v")))
+          .as("at_value"))
+      .select(col("__g").as(groupCol), col("n_a"), col("n_b"),
+        when(col("n_a") > 0 && col("n_b") > 0,
+          col("__dmax").cast("double") /
+            (col("n_a").cast("double") * col("n_b").cast("double")))
+          .as("d_stat"),
+        col("at_value"))
+    val (reaped, _) = graft.core.Caching.reapKeep(result)
+    cumHandle.unpersist(blocking = false)
+    reaped
+  }
+
   /** 1-WASSERSTEIN (earth-mover) distance between two numeric snapshots
     * (Monge 1781 / Kantorovich 1942; Ramdas et al. 2017 for the
     * one-dimensional CDF form): W₁ = ∫ |F_A(v) − F_B(v)| dv — the
@@ -1564,6 +1631,54 @@ object Profiler {
     perCat.crossJoin(broadcast(totals))
       .select(col("category"), col("n_a"), col("n_b"),
         ((dA * dA) / eA + (dB * dB) / eB).as("chi2_part"))
+  }
+
+  /** PER-GROUP categorical drift — [[categoryDrift]]'s χ² homogeneity
+    * cells with a group key prepended: per source/shard, did THIS
+    * facet's category mix move between snapshots? The categorical
+    * sibling of [[ksTestByGroup]]/[[wasserstein1ByGroup]] in the
+    * grouped drift tier. Same fixed per-row IEEE sequence over exact
+    * long counts; a category absent on one side contributes its full
+    * expected mass (the standard table); NULL categories form their
+    * own cell (the global operator's convention).
+    *
+    * Contract difference from the global operator, deliberate: a group
+    * EMPTY on one side (an appeared/vanished source) is a legitimate
+    * diff outcome — its cells surface with NULL `chi2_part` (there is
+    * no homogeneity question) instead of failing the whole report.
+    * NULL groups are excluded (the grouped constituents' shared
+    * contract).
+    *
+    * Scale: ONE union scan → (group, category)-bounded hash aggregate
+    * (map-side partials) → group-partitioned total windows over the
+    * cell frame (m rows per partition, bounded by the category
+    * contract) → row-local projection. The snapshots never shuffle.
+    *
+    * @return one row per (group, category): `(groupCol, category,
+    *         n_a, n_b, chi2_part)`
+    */
+  def categoryDriftByGroup(a: DataFrame, b: DataFrame, groupCol: String,
+      keyCol: String): DataFrame = {
+    def sidePrep(df: DataFrame, ia: Long) = df.select(
+        col(groupCol).as("__g"), col(keyCol).as("category"),
+        lit(ia).as("__ia"))
+      .filter(col("__g").isNotNull)
+    val u = sidePrep(a, 1L).unionByName(sidePrep(b, 0L))
+    val byGroup = Window.partitionBy(col("__g"))
+    val perCat = u.groupBy(col("__g"), col("category"))
+      .agg(sum(col("__ia")).as("n_a"), sum(lit(1L) - col("__ia")).as("n_b"))
+      .withColumn("__A", sum(col("n_a")).over(byGroup))
+      .withColumn("__B", sum(col("n_b")).over(byGroup))
+    val nD = (col("__A") + col("__B")).cast("double")
+    val rowD = (col("n_a") + col("n_b")).cast("double")
+    val eA = (col("__A").cast("double") * rowD) / nD
+    val eB = (col("__B").cast("double") * rowD) / nD
+    val dA = col("n_a").cast("double") - eA
+    val dB = col("n_b").cast("double") - eB
+    perCat.select(col("__g").as(groupCol), col("category"), col("n_a"),
+      col("n_b"),
+      when(col("__A") > 0L && col("__B") > 0L,
+        (dA * dA) / eA + (dB * dB) / eB).as("chi2_part"))
   }
 
   /** Per-batch category-count sink for STREAMING drift maintenance (the

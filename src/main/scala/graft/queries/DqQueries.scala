@@ -2119,6 +2119,129 @@ object DqQueries extends QueryModule {
       """.trim),
       // Verify-only (bench-tail policy): two group aggregates + the
       // group-sized outer join — the q271 shape, group-keyed
+      bench = false),
+
+    // --- PER-SOURCE Kolmogorov-Smirnov on document length between the
+    // snapshot halves — the worst-CDF-gap row completing the grouped
+    // drift trio (q276 W₁ = magnitude, q278 z = rate, this = shape);
+    // q253's algebra per group, exact integer dnums, argmax value
+    // rides with ties to the smallest v. ---
+    GQuery(
+      "q280_ks_by_group",
+      (spark, dir) => {
+        val d = Tables.docs(spark, dir)
+          .select(col("doc_id"), col("source"), col("n_chars"))
+        graft.operators.Profiler.ksTestByGroup(
+            d.filter(col("doc_id") % 40 < 20),
+            d.filter(col("doc_id") % 40 >= 20), "source", "n_chars")
+          .select(col("source"), col("n_a"), col("n_b"),
+            round(col("d_stat"), 6).as("d_r"), col("at_value"))
+          .orderBy(col("source"))
+      },
+      Some("""
+        WITH u AS (
+          SELECT source AS g, n_chars AS v, 1 AS ia
+          FROM documents
+          WHERE doc_id % 40 < 20 AND source IS NOT NULL
+            AND n_chars IS NOT NULL
+          UNION ALL
+          SELECT source, n_chars, 0
+          FROM documents
+          WHERE doc_id % 40 >= 20 AND source IS NOT NULL
+            AND n_chars IS NOT NULL),
+        pv AS (
+          SELECT g, v, CAST(SUM(ia) AS BIGINT) AS ca,
+                 CAST(SUM(1 - ia) AS BIGINT) AS cb
+          FROM u GROUP BY g, v),
+        cum AS (
+          SELECT g, v,
+                 CAST(SUM(ca) OVER w AS BIGINT) AS cuma,
+                 CAST(SUM(cb) OVER w AS BIGINT) AS cumb
+          FROM pv
+          WINDOW w AS (PARTITION BY g ORDER BY v
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        tot AS (SELECT g, CAST(SUM(ca) AS BIGINT) AS n_a,
+                       CAST(SUM(cb) AS BIGINT) AS n_b
+                FROM pv GROUP BY g),
+        scored AS (
+          SELECT cum.g, v, abs(cuma * n_b - cumb * n_a) AS adnum,
+                 n_a, n_b,
+                 ROW_NUMBER() OVER (PARTITION BY cum.g
+                   ORDER BY abs(cuma * n_b - cumb * n_a) DESC, v)
+                   AS rn
+          FROM cum JOIN tot ON tot.g = cum.g)
+        SELECT g AS source, n_a, n_b,
+               CASE WHEN n_a > 0 AND n_b > 0 THEN
+                 round(CAST(adnum AS DOUBLE)
+                   / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)), 6)
+               END AS d_r,
+               v AS at_value
+        FROM scored WHERE rn = 1 ORDER BY source
+      """.trim),
+      // Verify-only (bench-tail policy): the q253 prefix-pass shape,
+      // group-keyed
+      bench = false),
+
+    // --- PER-SOURCE categorical drift cells of the LANGUAGE mix
+    // between the snapshot halves — q232's χ² homogeneity table per
+    // source, the per-cell detail behind q277's one-number Hellinger
+    // (read them together: Hellinger says HOW FAR, the cells say
+    // WHICH categories moved). ---
+    GQuery(
+      "q281_category_drift_by_group",
+      (spark, dir) => {
+        val d = Tables.docs(spark, dir)
+          .select(col("doc_id"), col("source"), col("lang"))
+        graft.operators.Profiler.categoryDriftByGroup(
+            d.filter(col("doc_id") % 40 < 20),
+            d.filter(col("doc_id") % 40 >= 20), "source", "lang")
+          .select(col("source"), col("category"), col("n_a"),
+            col("n_b"), round(col("chi2_part"), 6).as("chi2_r"))
+          .orderBy(col("source"), col("category"))
+      },
+      Some("""
+        WITH u AS (
+          SELECT source AS g, lang AS category, 1 AS ia
+          FROM documents WHERE doc_id % 40 < 20 AND source IS NOT NULL
+          UNION ALL
+          SELECT source, lang, 0
+          FROM documents WHERE doc_id % 40 >= 20 AND source IS NOT NULL),
+        pc AS (
+          SELECT g, category, CAST(SUM(ia) AS BIGINT) AS n_a,
+                 CAST(SUM(1 - ia) AS BIGINT) AS n_b
+          FROM u GROUP BY g, category),
+        wt AS (
+          SELECT g, category, n_a, n_b,
+                 CAST(SUM(n_a) OVER (PARTITION BY g) AS BIGINT) AS ta,
+                 CAST(SUM(n_b) OVER (PARTITION BY g) AS BIGINT) AS tb
+          FROM pc)
+        SELECT g AS source, category, n_a, n_b,
+               CASE WHEN ta > 0 AND tb > 0 THEN
+                 round((CAST(n_a AS DOUBLE)
+                     - (CAST(ta AS DOUBLE)
+                        * CAST(n_a + n_b AS DOUBLE)
+                        / CAST(ta + tb AS DOUBLE)))
+                   * (CAST(n_a AS DOUBLE)
+                     - (CAST(ta AS DOUBLE)
+                        * CAST(n_a + n_b AS DOUBLE)
+                        / CAST(ta + tb AS DOUBLE)))
+                   / (CAST(ta AS DOUBLE) * CAST(n_a + n_b AS DOUBLE)
+                      / CAST(ta + tb AS DOUBLE))
+                 + (CAST(n_b AS DOUBLE)
+                     - (CAST(tb AS DOUBLE)
+                        * CAST(n_a + n_b AS DOUBLE)
+                        / CAST(ta + tb AS DOUBLE)))
+                   * (CAST(n_b AS DOUBLE)
+                     - (CAST(tb AS DOUBLE)
+                        * CAST(n_a + n_b AS DOUBLE)
+                        / CAST(ta + tb AS DOUBLE)))
+                   / (CAST(tb AS DOUBLE) * CAST(n_a + n_b AS DOUBLE)
+                      / CAST(ta + tb AS DOUBLE)), 6)
+               END AS chi2_r
+        FROM wt ORDER BY source, category
+      """.trim),
+      // Verify-only (bench-tail policy): one union cell aggregate +
+      // group-partitioned total windows — the q232 shape, group-keyed
       bench = false)
   )
 }

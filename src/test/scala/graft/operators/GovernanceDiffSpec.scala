@@ -83,6 +83,75 @@ class GovernanceDiffSpec extends AnyFunSuite {
     same.foreach(r => assert(r.getAs[Double]("hellinger") == 0.0))
   }
 
+  // ---------------- ksTestByGroup ----------------
+
+  test("ksTestByGroup: matches the global KS per group; identity 0; " +
+    "one-sided NULL; argmax value rides") {
+    val a = Seq(("x", 1.0), ("x", 2.0), ("x", 3.0), ("x", 4.0),
+      ("y", 1.0), ("y", 2.0), ("z", 5.0)).toDF("g", "v")
+    val b = Seq(("x", -5.0), ("x", 2.4), ("x", 2.6), ("x", 10.0),
+      ("y", 1.0), ("y", 2.0), ("w", 9.0)).toDF("g", "v")
+    val got = Profiler.ksTestByGroup(a, b, "g", "v")
+      .collect().map(r => r.getAs[String]("g") -> r).toMap
+    assert(got.size == 4)
+    // x replays the global hand case (D = 0.25 at the variance widen)
+    val glob = Profiler.ksTest(
+      a.filter($"g" === "x"), b.filter($"g" === "x"), "v").head()
+    assert(got("x").getAs[Double]("d_stat")
+      == glob.getAs[Double]("d_stat"))
+    assert(got("x").getAs[Double]("at_value")
+      == glob.getAs[Double]("at_value"))
+    assert(got("x").getAs[Double]("d_stat") == 0.25)
+    // y identical -> 0
+    assert(got("y").getAs[Double]("d_stat") == 0.0)
+    // one-sided groups: the missing side 0, NULL d
+    assert(got("z").getAs[Long]("n_b") == 0L)
+    assert(got("z").isNullAt(got("z").fieldIndex("d_stat")))
+    assert(got("w").getAs[Long]("n_a") == 0L)
+    assert(got("w").isNullAt(got("w").fieldIndex("d_stat")))
+  }
+
+  // ---------------- categoryDriftByGroup ----------------
+
+  test("categoryDriftByGroup: matches the global chi2 cells per group; " +
+    "one-sided group NULL parts; NULL category is its own cell") {
+    val a = Seq(("s1", "en"), ("s1", "en"), ("s1", "fr"),
+      ("s2", "de")).toDF("g", "k")
+    val b = Seq(("s1", "en"), ("s1", "fr"), ("s1", "fr"),
+      ("s3", "zh")).toDF("g", "k")
+    val got = Profiler.categoryDriftByGroup(a, b, "g", "k")
+      .collect()
+      .map(r => (r.getAs[String]("g"), r.getAs[String]("category")) -> r)
+      .toMap
+    // s1 cells replay the global operator
+    val glob = Profiler.categoryDrift(
+        a.filter($"g" === "s1"), b.filter($"g" === "s1"), "k")
+      .collect().map(r => r.getAs[String]("category") -> r).toMap
+    Seq("en", "fr").foreach { c =>
+      assert(got(("s1", c)).getAs[Double]("chi2_part")
+        == glob(c).getAs[Double]("chi2_part"), s"cell $c")
+      assert(got(("s1", c)).getAs[Long]("n_a")
+        == glob(c).getAs[Long]("n_a"), s"cell $c n_a")
+    }
+    // one-sided groups: cells present, chi2 NULL (no homogeneity
+    // question), never a loud failure in the DIFF report
+    assert(got(("s2", "de")).isNullAt(
+      got(("s2", "de")).fieldIndex("chi2_part")))
+    assert(got(("s3", "zh")).isNullAt(
+      got(("s3", "zh")).fieldIndex("chi2_part")))
+    // NULL category forms its own cell (the global convention)
+    val withNull = Profiler.categoryDriftByGroup(
+      Seq(("g", Option("en")), ("g", Option.empty[String]))
+        .toDF("g", "k"),
+      Seq(("g", Option.empty[String])).toDF("g", "k"), "g", "k")
+      .collect()
+    assert(withNull.length == 2)
+    val nullCell = withNull.find(r => r.isNullAt(r.fieldIndex("category")))
+    assert(nullCell.isDefined)
+    assert(nullCell.get.getAs[Long]("n_a") == 1L)
+    assert(nullCell.get.getAs[Long]("n_b") == 1L)
+  }
+
   // ---------------- twoProportionByGroup ----------------
 
   test("twoProportionByGroup: matches the global test per group; " +
