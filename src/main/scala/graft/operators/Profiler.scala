@@ -1551,6 +1551,16 @@ object Profiler {
       col(valueCol).as("__v"), lit(1).as("__y"))
     val aucRow = midrankStats(ua.unionByName(ub), "__v", "__y", "__id")
       .withColumn("auc", aucFromStats)
+    mwSelect(aucRow, Nil)
+  }
+
+  /** The [[numericDrift]] finishing select over a frame carrying the
+    * midrank sufficient statistics `(n_pos, n_neg, __smr2, __tsum,
+    * auc)` — shared with the grouped variant so the per-row arithmetic
+    * is literally the same expressions.
+    */
+  private def mwSelect(aucRow: DataFrame,
+      keyCols: Seq[Column]): DataFrame = {
     val npnnD = col("n_pos").cast("double") * col("n_neg").cast("double")
     val nD = (col("n_pos") + col("n_neg")).cast("double")
     val tieTerm = col("__tsum").cast("double") / (nD * (nD - lit(1.0)))
@@ -1559,13 +1569,70 @@ object Profiler {
     // auc is NULL and so must z_corrected be
     val varCorr = when(nD > lit(1.0),
       npnnD / lit(12.0) * ((nD + lit(1.0)) - tieTerm))
-    aucRow.select(col("n_neg").as("n_a"), col("n_pos").as("n_b"),
+    aucRow.select(keyCols ++ Seq(col("n_neg").as("n_a"),
+      col("n_pos").as("n_b"),
       col("auc").as("auc_shift"),
       (((col("auc") - lit(0.5)) * npnnD) /
         sqrt(npnnD * (nD + lit(1.0)) / lit(12.0))).as("z"),
       when(varCorr > 0.0,
         ((col("auc") - lit(0.5)) * npnnD) / sqrt(varCorr))
-        .as("z_corrected"))
+        .as("z_corrected")): _*)
+  }
+
+  /** PER-GROUP Mann-Whitney drift — [[numericDrift]]'s exact midrank
+    * arithmetic per group, the LOCATION row of the grouped drift trio
+    * (next to [[ksTestByGroup]] shape and [[wasserstein1ByGroup]]
+    * magnitude): per source/language, did the numeric column's ranks
+    * move between snapshots? Same fixed sequences, both z's
+    * (uncorrected + tie-corrected), same degenerate contracts (a
+    * one-sided group has NULL auc/z; an all-tied group NULL
+    * z_corrected).
+    *
+    * Midranks need NO per-row id here: lo + hi per (group, value) tie
+    * group is `2·off_local + t + 1` from the group-local exclusive
+    * cumulative (the [[kruskalWallis]] integral-midrank2 device), and
+    * off_local is the global range-partitioned prefix minus the
+    * group's starting offset — the [[wasserstein1ByGroup]] device, so
+    * no per-group window sort anywhere. Tie masses fold into the same
+    * per-group aggregate. NULL values excluded per side; NULL groups
+    * excluded (the grouped constituents' shared contract).
+    *
+    * @return one row per group seen on either side: `(groupCol, n_a,
+    *         n_b, auc_shift, z, z_corrected)`
+    */
+  def numericDriftByGroup(a: DataFrame, b: DataFrame, groupCol: String,
+      valueCol: String): DataFrame = {
+    val d12 = DecimalType(12, 0)
+    def sidePrep(df: DataFrame, y: Long) = df.select(
+        col(groupCol).as("__g"), col(valueCol).as("__v"),
+        lit(y).as("__y"))
+      .filter(col("__g").isNotNull && col("__v").isNotNull)
+    val u = sidePrep(a, 0L).unionByName(sidePrep(b, 1L))
+    val perVal = u.groupBy(col("__g"), col("__v"))
+      .agg(sum(col("__y")).as("__pos"), count(lit(1)).as("__cnt"))
+    val pv = SurrogateKeys.prefixSumLong(perVal, "__cnt",
+      Seq(col("__g"), col("__v")), "__off")
+    val (cum, cumHandle) = graft.core.Caching.reapKeep(pv)
+    val g0 = cum.groupBy(col("__g")).agg(min(col("__off")).as("__g0"))
+    // midrank2 = lo + hi = 2·(off − g0) + cnt + 1 — integral, exact
+    val mr2 = (lit(2L) * (col("__off") - col("__g0")) + col("__cnt")
+      + lit(1L))
+    val stats = cum.join(broadcast(g0), Seq("__g"))
+      .groupBy(col("__g")).agg(
+        sum(col("__pos")).as("n_pos"),
+        sum(col("__cnt") - col("__pos")).as("n_neg"),
+        sum((col("__pos").cast("decimal(12,0)")
+          * mr2.cast("decimal(14,0)"))
+          .cast("decimal(30,0)")).as("__smr2"),
+        coalesce(sum(col("__cnt").cast(d12) * col("__cnt").cast(d12)
+            * col("__cnt").cast(d12)
+            - col("__cnt").cast(DecimalType(38, 0))),
+          lit(0).cast(DecimalType(38, 0))).as("__tsum"))
+      .withColumn("auc", aucFromStats)
+    val result = mwSelect(stats, Seq(col("__g").as(groupCol)))
+    val (reaped, _) = graft.core.Caching.reapKeep(result)
+    cumHandle.unpersist(blocking = false)
+    reaped
   }
 
   /** CATEGORICAL DRIFT between two snapshots — the χ² test of

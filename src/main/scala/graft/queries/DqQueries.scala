@@ -2242,6 +2242,92 @@ object DqQueries extends QueryModule {
       """.trim),
       // Verify-only (bench-tail policy): one union cell aggregate +
       // group-partitioned total windows — the q232 shape, group-keyed
+      bench = false),
+
+    // --- PER-SOURCE Mann-Whitney drift on document length between the
+    // snapshot halves — the LOCATION row completing the grouped drift
+    // trio (q280 KS = shape, q276 W₁ = magnitude): per source, did
+    // length ranks move? Midrank2 from the per-(group, value)
+    // cumulative (2·o + t + 1, the q274 device — no per-row id
+    // needed), both z's (uncorrected + tie-corrected), exact until one
+    // IEEE sequence per column. ---
+    GQuery(
+      "q282_mw_by_group",
+      (spark, dir) => {
+        val d = Tables.docs(spark, dir)
+          .select(col("doc_id"), col("source"), col("n_chars"))
+        graft.operators.Profiler.numericDriftByGroup(
+            d.filter(col("doc_id") % 40 < 20),
+            d.filter(col("doc_id") % 40 >= 20), "source", "n_chars")
+          .select(col("source"), col("n_a"), col("n_b"),
+            round(col("auc_shift"), 6).as("auc_r"),
+            round(col("z"), 6).as("z_r"),
+            round(col("z_corrected"), 6).as("zc_r"))
+          .orderBy(col("source"))
+      },
+      Some("""
+        WITH u AS (
+          SELECT source AS g, n_chars AS v, 0 AS y
+          FROM documents
+          WHERE doc_id % 40 < 20 AND source IS NOT NULL
+            AND n_chars IS NOT NULL
+          UNION ALL
+          SELECT source, n_chars, 1
+          FROM documents
+          WHERE doc_id % 40 >= 20 AND source IS NOT NULL
+            AND n_chars IS NOT NULL),
+        pv AS (
+          SELECT g, v, CAST(SUM(y) AS BIGINT) AS pos,
+                 CAST(COUNT(*) AS BIGINT) AS cnt
+          FROM u GROUP BY g, v),
+        cum AS (
+          SELECT g, v, pos, cnt,
+                 CAST(SUM(cnt) OVER (PARTITION BY g ORDER BY v
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   - cnt AS BIGINT) AS o
+          FROM pv),
+        ag AS (
+          SELECT g, CAST(SUM(pos) AS BIGINT) AS np,
+                 CAST(SUM(cnt - pos) AS BIGINT) AS nn,
+                 SUM(CAST(pos AS DECIMAL(12,0))
+                   * CAST(2 * o + cnt + 1 AS DECIMAL(14,0))) AS smr2,
+                 COALESCE(SUM(CAST(cnt AS DECIMAL(12,0))
+                   * CAST(cnt AS DECIMAL(12,0))
+                   * CAST(cnt AS DECIMAL(12,0))
+                   - CAST(cnt AS DECIMAL(38,0))), 0) AS tsum
+          FROM cum GROUP BY g),
+        av AS (
+          SELECT g, nn AS n_a, np AS n_b, tsum,
+                 CASE WHEN np > 0 AND nn > 0 THEN
+                   CAST(smr2 - CAST(np AS DECIMAL(12,0))
+                        * CAST(np + 1 AS DECIMAL(14,0)) AS DOUBLE)
+                     / (2e0 * CAST(np AS DOUBLE) * CAST(nn AS DOUBLE))
+                 END AS auc_shift
+          FROM ag),
+        zz AS (
+          SELECT g, n_a, n_b, auc_shift,
+                 CASE WHEN n_b + n_a > 1 THEN
+                   CAST(n_b AS DOUBLE) * CAST(n_a AS DOUBLE) / 12.0
+                     * ((CAST(n_b + n_a AS DOUBLE) + 1.0)
+                        - CAST(tsum AS DOUBLE)
+                          / (CAST(n_b + n_a AS DOUBLE)
+                             * (CAST(n_b + n_a AS DOUBLE) - 1.0)))
+                 END AS var_c
+          FROM av)
+        SELECT g AS source, n_a, n_b, round(auc_shift, 6) AS auc_r,
+               round(((auc_shift - 0.5)
+                  * (CAST(n_b AS DOUBLE) * CAST(n_a AS DOUBLE)))
+                 / sqrt(CAST(n_b AS DOUBLE) * CAST(n_a AS DOUBLE)
+                        * (CAST(n_b + n_a AS DOUBLE) + 1.0) / 12.0), 6)
+                 AS z_r,
+               CASE WHEN var_c > 0 THEN
+                 round(((auc_shift - 0.5)
+                    * (CAST(n_b AS DOUBLE) * CAST(n_a AS DOUBLE)))
+                   / sqrt(var_c), 6)
+               END AS zc_r
+        FROM zz ORDER BY source
+      """.trim),
+      // Verify-only (bench-tail policy): the q275 shape, group-keyed
       bench = false)
   )
 }

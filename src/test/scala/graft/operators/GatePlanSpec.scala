@@ -114,11 +114,12 @@ class GatePlanSpec extends AnyFunSuite {
     "q277_hellinger_by_group" -> (5, 0),
     "q278_two_prop_by_group" -> (5, 0),
     "q279_governance_diff" -> (1, 0),
-    // q280 pins the post-checkpoint output sort (reaped result);
+    // q280/q282 pin the post-checkpoint output sort (reaped result);
     // q281 = the two-side union cell agg + per-group total windows +
     // output sort (the q277 shape)
     "q280_ks_by_group" -> (1, 0),
     "q281_category_drift_by_group" -> (5, 0),
+    "q282_mw_by_group" -> (1, 0),
     "q250_numeric_drift" -> (2, 1),
     "q251_benford" -> (4, 2),
     "q252_theil_sen" -> (14, 9),

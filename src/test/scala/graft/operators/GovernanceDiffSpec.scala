@@ -111,6 +111,42 @@ class GovernanceDiffSpec extends AnyFunSuite {
     assert(got("w").isNullAt(got("w").fieldIndex("d_stat")))
   }
 
+  // ---------------- numericDriftByGroup ----------------
+
+  test("numericDriftByGroup: matches the global Mann-Whitney per group " +
+    "(auc, z, z_corrected); one-sided NULL; all-tied NULL z_c") {
+    val a = Seq(("x", 1.0), ("x", 1.0), ("x", 2.0),
+      ("y", 5.0), ("y", 6.0), ("z", 1.0), ("t", 7.0), ("t", 7.0))
+      .toDF("g", "v")
+    val b = Seq(("x", 1.0), ("x", 2.0), ("x", 2.0),
+      ("y", 7.0), ("y", 8.0), ("t", 7.0)).toDF("g", "v")
+    val got = Profiler.numericDriftByGroup(a, b, "g", "v")
+      .collect().map(r => r.getAs[String]("g") -> r).toMap
+    assert(got.size == 4)
+    // x (tied) and y (clean shift) replay the global operator exactly
+    Seq("x", "y").foreach { g =>
+      def withId(d: org.apache.spark.sql.DataFrame) = d
+        .filter($"g" === g)
+        .withColumn("id", monotonically_increasing_id())
+      val glob = Profiler.numericDrift(withId(a), withId(b), "v", "id")
+        .head()
+      val r = got(g)
+      Seq("n_a", "n_b").foreach(c =>
+        assert(r.getAs[Long](c) == glob.getAs[Long](c), s"$g.$c"))
+      Seq("auc_shift", "z", "z_corrected").foreach(c =>
+        assert(r.getAs[Double](c) == glob.getAs[Double](c), s"$g.$c"))
+    }
+    assert(got("y").getAs[Double]("auc_shift") == 1.0)
+    // one-sided group: NULL everything derived
+    assert(got("z").getAs[Long]("n_b") == 0L)
+    assert(got("z").isNullAt(got("z").fieldIndex("auc_shift")))
+    assert(got("z").isNullAt(got("z").fieldIndex("z_corrected")))
+    // all-tied group: auc exactly 0.5, z 0, corrected NULL
+    assert(got("t").getAs[Double]("auc_shift") == 0.5)
+    assert(got("t").getAs[Double]("z") == 0.0)
+    assert(got("t").isNullAt(got("t").fieldIndex("z_corrected")))
+  }
+
   // ---------------- categoryDriftByGroup ----------------
 
   test("categoryDriftByGroup: matches the global chi2 cells per group; " +
