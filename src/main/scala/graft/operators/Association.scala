@@ -254,7 +254,10 @@ object Association {
     * between snapshots) is a legitimate diff outcome, not a caller
     * error — it surfaces with NULL bc/hellinger (there is no second
     * distribution to compare) instead of failing loudly. NULL
-    * categories and NULL groups are excluded.
+    * categories and NULL groups are excluded — a group whose
+    * categories are ALL NULL therefore has no cells and is absent
+    * from this frame (a composite that must surface it left-joins
+    * off its own spine, the [[CorpusStats.governanceDiff]] pattern).
     *
     * Scale: each snapshot is counted exactly once ((group, category)
     * hash aggregate, map-side partials); the side totals are windows

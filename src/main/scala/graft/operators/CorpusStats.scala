@@ -645,13 +645,20 @@ object CorpusStats {
     def volumeOf(d: DataFrame, sfx: String) = d.groupBy(col("source"))
       .agg(count(lit(1)).as(s"__nd_$sfx"),
         sum(col("__tok")).as(s"__tt_$sfx"))
+    // token totals: an ABSENT side reads 0 (the source genuinely has
+    // no docs there); a PRESENT side whose texts are all NULL keeps
+    // NULL (unknown mass, the governanceSheet left-join discipline) —
+    // coalescing both would disguise a broken extractor as an empty
+    // source
+    def tokTotal(nd0: Column, tt: Column): Column =
+      when(nd0.isNull, lit(0L)).otherwise(tt)
     val volume = volumeOf(pd, "p")
       .join(volumeOf(nd, "n"), Seq("source"), "full_outer")
       .select(col("source"),
         coalesce(col("__nd_p"), lit(0L)).as("n_docs_prev"),
         coalesce(col("__nd_n"), lit(0L)).as("n_docs_next"),
-        coalesce(col("__tt_p"), lit(0L)).as("total_tokens_prev"),
-        coalesce(col("__tt_n"), lit(0L)).as("total_tokens_next"))
+        tokTotal(col("__nd_p"), col("__tt_p")).as("total_tokens_prev"),
+        tokTotal(col("__nd_n"), col("__tt_n")).as("total_tokens_next"))
     def passFrame(d: DataFrame) =
       d.withColumn("__pass", col("__tok") >= minTokens)
     val rate = Profiler.twoProportionByGroup(passFrame(pd), passFrame(nd),

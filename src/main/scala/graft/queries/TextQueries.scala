@@ -2455,9 +2455,11 @@ object TextQueries extends QueryModule {
           SELECT source,
                  CAST(SUM(ia) AS BIGINT) AS n_docs_prev,
                  CAST(SUM(1 - ia) AS BIGINT) AS n_docs_next,
-                 CAST(COALESCE(SUM(CASE WHEN ia = 1 THEN tok END), 0)
+                 CAST(CASE WHEN SUM(ia) = 0 THEN 0
+                   ELSE SUM(CASE WHEN ia = 1 THEN tok END) END
                    AS BIGINT) AS total_tokens_prev,
-                 CAST(COALESCE(SUM(CASE WHEN ia = 0 THEN tok END), 0)
+                 CAST(CASE WHEN SUM(1 - ia) = 0 THEN 0
+                   ELSE SUM(CASE WHEN ia = 0 THEN tok END) END
                    AS BIGINT) AS total_tokens_next
           FROM pd GROUP BY source),
         rj AS (

@@ -269,4 +269,33 @@ class GovernanceDiffSpec extends AnyFunSuite {
     assert(gone.isNullAt(gone.fieldIndex("length_w1")))
     assert(gone.isNullAt(gone.fieldIndex("mix_hellinger")))
   }
+
+  test("governanceDiff: a present side whose texts are ALL NULL keeps " +
+    "NULL token mass (broken extractor), not a disguised 0") {
+    val prev = Seq(
+      ("web", 1L, Option("one two three"), "en"),
+      ("bad", 2L, Option.empty[String], "en"),
+      ("bad", 3L, Option.empty[String], "en"))
+      .toDF("src", "id", "text", "lang")
+    val next = Seq(
+      ("web", 4L, Option("one two three"), "en"),
+      ("bad", 5L, Option.empty[String], "en"))
+      .toDF("src", "id", "text", "lang")
+    val got = CorpusStats.governanceDiff(prev, next, "src", "text",
+        "id", minTokens = 2, mixCol = "lang")
+      .collect().map(r => r.getAs[String]("source") -> r).toMap
+    val bad = got("bad")
+    // docs exist on both sides, but no measurable token mass — NULL,
+    // distinguishable from an absent side's genuine 0
+    assert(bad.getAs[Long]("n_docs_prev") == 2L)
+    assert(bad.isNullAt(bad.fieldIndex("total_tokens_prev")))
+    assert(bad.isNullAt(bad.fieldIndex("total_tokens_next")))
+    // NULL tok -> NULL pass flag -> excluded -> NULL rates/W1
+    assert(bad.isNullAt(bad.fieldIndex("pass_rate_prev")))
+    assert(bad.isNullAt(bad.fieldIndex("length_w1")))
+    // the mix column is still present: hellinger computes
+    assert(bad.getAs[Double]("mix_hellinger") == 0.0)
+    // the healthy source still reads exact totals
+    assert(got("web").getAs[Long]("total_tokens_prev") == 3L)
+  }
 }
