@@ -471,4 +471,103 @@ object Association {
       col("__s").as("total_passes"),
       when(qDen > 0.0, qNum / qDen).as("q_stat"))
   }
+
+  /** ASSOCIATION RULES at the PAIR tier (Agrawal & Srikant 1994's
+    * support/confidence frame; Brin et al. 1997 for lift) — the
+    * market-basket read over any (basket, item) containment: which
+    * items CO-OCCUR beyond chance, and in which direction is the
+    * implication strong? Pair rules only, deliberately: the 2-itemset
+    * tier is what a co-occurrence audit reports, and higher orders
+    * explode combinatorially for marginal reporting value.
+    *
+    * For each ordered rule A → B whose PAIR basket count n_AB ≥
+    * `minSupportCount` (both directions of a qualifying pair are
+    * emitted — confidence is directional, support/lift symmetric):
+    *
+    *   support = n_AB / N    confidence = n_AB / n_A
+    *   lift    = n_AB·N / (n_A·n_B)
+    *
+    * Exact long counts; support/confidence are ONE IEEE division each;
+    * lift's numerator and denominator are exact DECIMAL(38,0) products
+    * with ONE division between them. Presence semantics: items are
+    * deduplicated within a basket (multiplicity is [[cochranQ]]-family
+    * territory, not co-occurrence). NULL baskets/items are excluded.
+    * The support threshold is a COUNT, not a fraction — exact, no
+    * float threshold ambiguity; callers with a rate contract multiply
+    * it out upstream.
+    *
+    * Scale: ONE (basket, item) distinct (checkpointed — consumed by
+    * the N scalar, the item-support aggregate, and the pair fan-out),
+    * basket-local sorted adjacency arrays, then the ROW-LOCAL
+    * double-explode pair fan-out (the linkPrediction device): nothing
+    * quadratic crosses an exchange unaggregated — pair counts reduce
+    * with map-side partials. A basket wider than `maxBasketItems`
+    * FAILS LOUDLY (the fan-out is quadratic in basket width; one
+    * 10⁶-item mega-basket would emit 10¹² pairs — cap it consciously
+    * upstream, don't let it happen silently). Rules join the
+    * item-domain-sized support frame; N rides a one-row broadcast.
+    *
+    * @return one row per qualifying directed rule: `(antecedent,
+    *         consequent, pair_count, antecedent_count,
+    *         consequent_count, support, confidence, lift)`
+    */
+  def associationRules(df: DataFrame, basketCol: String, itemCol: String,
+      minSupportCount: Long, maxBasketItems: Int = 10000): DataFrame = {
+    require(minSupportCount >= 1L,
+      s"minSupportCount ($minSupportCount) must be >= 1")
+    require(maxBasketItems >= 2,
+      s"maxBasketItems ($maxBasketItems) must be >= 2")
+    val d19 = DecimalType(19, 0)
+    val bi = df.select(col(basketCol).as("__b"),
+        col(itemCol).cast("string").as("__i"))
+      .filter(col("__b").isNotNull && col("__i").isNotNull)
+      .distinct()
+    val (biC, biHandle) = graft.core.Caching.reapKeep(bi)
+    val nB = biC.agg(countDistinct(col("__b")).as("__N"))
+    val supp = biC.groupBy(col("__i")).agg(count(lit(1)).as("__s"))
+    val adj = biC.groupBy(col("__b"))
+      .agg(sort_array(collect_list(col("__i"))).as("__items"))
+    // the cap assert rides the consumed array expression (slice by a
+    // guard that is always 0 when the contract holds) — prune-proof
+    val capGuard = coalesce(
+      assert_true(size(col("__items")) <= maxBasketItems,
+        lit(s"associationRules: basket wider than $maxBasketItems " +
+          "items — the pair fan-out is quadratic in basket width; " +
+          "split or cap the basket upstream")).cast("int"),
+      lit(0))
+    val itemsG = slice(col("__items"), lit(1) + capGuard,
+      size(col("__items")))
+    val pairs = adj
+      .select(explode(itemsG).as("__a"), col("__items"))
+      .select(col("__a"),
+        explode(filter(col("__items"), n => n > col("__a"))).as("__c"))
+    val pairCnt = pairs.groupBy(col("__a"), col("__c"))
+      .agg(count(lit(1)).as("pair_count"))
+      .filter(col("pair_count") >= minSupportCount)
+    val rules = pairCnt
+      .select(col("__a").as("antecedent"), col("__c").as("consequent"),
+        col("pair_count"))
+      .unionByName(pairCnt.select(col("__c").as("antecedent"),
+        col("__a").as("consequent"), col("pair_count")))
+    val joined = rules
+      .join(supp.select(col("__i").as("antecedent"),
+        col("__s").as("antecedent_count")), "antecedent")
+      .join(supp.select(col("__i").as("consequent"),
+        col("__s").as("consequent_count")), "consequent")
+      .crossJoin(broadcast(nB))
+    val result = joined.select(col("antecedent"), col("consequent"),
+      col("pair_count"), col("antecedent_count"), col("consequent_count"),
+      (col("pair_count").cast("double") / col("__N").cast("double"))
+        .as("support"),
+      (col("pair_count").cast("double") /
+        col("antecedent_count").cast("double")).as("confidence"),
+      ((col("pair_count").cast(d19) * col("__N").cast(d19))
+        .cast(DecimalType(38, 0)).cast("double") /
+        (col("antecedent_count").cast(d19)
+          * col("consequent_count").cast(d19))
+          .cast(DecimalType(38, 0)).cast("double")).as("lift"))
+    val (reaped, _) = graft.core.Caching.reapKeep(result)
+    biHandle.unpersist(blocking = false)
+    reaped
+  }
 }

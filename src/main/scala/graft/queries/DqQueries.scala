@@ -2328,6 +2328,64 @@ object DqQueries extends QueryModule {
         FROM zz ORDER BY source
       """.trim),
       // Verify-only (bench-tail policy): the q275 shape, group-keyed
+      bench = false),
+
+    // --- ASSOCIATION RULES at the pair tier (Agrawal & Srikant 1994;
+    // lift per Brin 1997) over order baskets of suppliers: which
+    // suppliers co-occur in an order beyond chance, and how strong is
+    // each direction's implication? Exact counts, one division per
+    // statistic, lift through exact DECIMAL products; pair fan-out is
+    // row-local over the capped basket adjacency (the linkPrediction
+    // device — nothing quadratic crosses an exchange unaggregated). ---
+    GQuery(
+      "q283_association_rules",
+      (spark, dir) =>
+        graft.operators.Association.associationRules(
+            t(spark, dir, "lineitem"), "l_orderkey", "l_suppkey",
+            minSupportCount = 30L)
+          .select(col("antecedent"), col("consequent"),
+            col("pair_count"), col("antecedent_count"),
+            col("consequent_count"),
+            round(col("support"), 6).as("support_r"),
+            round(col("confidence"), 6).as("conf_r"),
+            round(col("lift"), 6).as("lift_r"))
+          .orderBy(col("antecedent"), col("consequent")),
+      Some("""
+        WITH bi AS (
+          SELECT DISTINCT l_orderkey AS b,
+                 CAST(l_suppkey AS VARCHAR) AS i
+          FROM lineitem
+          WHERE l_orderkey IS NOT NULL AND l_suppkey IS NOT NULL),
+        nb AS (SELECT CAST(COUNT(DISTINCT b) AS BIGINT) AS n FROM bi),
+        supp AS (SELECT i, CAST(COUNT(*) AS BIGINT) AS s
+                 FROM bi GROUP BY i),
+        pc AS (
+          SELECT x.i AS a, y.i AS c, CAST(COUNT(*) AS BIGINT) AS nab
+          FROM bi x JOIN bi y ON x.b = y.b AND y.i > x.i
+          GROUP BY 1, 2 HAVING COUNT(*) >= 30),
+        rules AS (
+          SELECT a AS antecedent, c AS consequent, nab FROM pc
+          UNION ALL
+          SELECT c, a, nab FROM pc)
+        SELECT r.antecedent, r.consequent, r.nab AS pair_count,
+               sa.s AS antecedent_count, sc.s AS consequent_count,
+               round(CAST(r.nab AS DOUBLE) / CAST(n AS DOUBLE), 6)
+                 AS support_r,
+               round(CAST(r.nab AS DOUBLE) / CAST(sa.s AS DOUBLE), 6)
+                 AS conf_r,
+               round(CAST(CAST(r.nab AS DECIMAL(19,0))
+                     * CAST(n AS DECIMAL(19,0)) AS DOUBLE)
+                 / CAST(CAST(sa.s AS DECIMAL(19,0))
+                     * CAST(sc.s AS DECIMAL(19,0)) AS DOUBLE), 6)
+                 AS lift_r
+        FROM rules r
+        JOIN supp sa ON sa.i = r.antecedent
+        JOIN supp sc ON sc.i = r.consequent
+        CROSS JOIN nb
+        ORDER BY antecedent, consequent
+      """.trim),
+      // Verify-only (bench-tail policy): one containment distinct +
+      // basket-local fan-out + pair agg — the q268 wedge shape
       bench = false)
   )
 }

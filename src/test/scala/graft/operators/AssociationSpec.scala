@@ -186,6 +186,51 @@ class AssociationSpec extends AnyFunSuite {
     assert(boom.getMessage != null)
   }
 
+  test("associationRules: hand support/confidence/lift, direction " +
+    "asymmetry, presence semantics, threshold, wide basket loud") {
+    // baskets: {x,y}, {x,y}, {x}, {y,z} -> N=4; n_x=3, n_y=3, n_z=1
+    // pair (x,y): n=2 -> supp 0.5; conf x->y = 2/3, y->x = 2/3;
+    // lift = 2*4/(3*3) = 8/9. pair (y,z): n=1 (cut by threshold 2)
+    val df = Seq(
+      (1L, "x"), (1L, "y"), (1L, "y"), // duplicate (1,y): presence only
+      (2L, "x"), (2L, "y"),
+      (3L, "x"),
+      (4L, "y"), (4L, "z")).toDF("b", "i")
+    val got = Association.associationRules(df, "b", "i",
+        minSupportCount = 2L)
+      .collect()
+      .map(r => (r.getAs[String]("antecedent"),
+        r.getAs[String]("consequent")) -> r).toMap
+    assert(got.size == 2) // x->y and y->x only
+    val xy = got(("x", "y"))
+    assert(xy.getAs[Long]("pair_count") == 2L)
+    assert(xy.getAs[Long]("antecedent_count") == 3L)
+    assert(xy.getAs[Double]("support") == 0.5)
+    assert(math.abs(xy.getAs[Double]("confidence") - 2.0 / 3.0) < 1e-15)
+    assert(math.abs(xy.getAs[Double]("lift") - 8.0 / 9.0) < 1e-15)
+    val yx = got(("y", "x"))
+    assert(math.abs(yx.getAs[Double]("confidence") - 2.0 / 3.0) < 1e-15)
+    assert(yx.getAs[Double]("lift") == xy.getAs[Double]("lift"))
+    // directional confidence really differs on an asymmetric fixture:
+    // {p,q} {p,q} {p} {p} -> conf p->q = 1/2, q->p = 1
+    val asym = Seq((1L, "p"), (1L, "q"), (2L, "p"), (2L, "q"),
+      (3L, "p"), (4L, "p")).toDF("b", "i")
+    val ag = Association.associationRules(asym, "b", "i", 1L)
+      .collect()
+      .map(r => (r.getAs[String]("antecedent"),
+        r.getAs[String]("consequent")) -> r.getAs[Double]("confidence"))
+      .toMap
+    assert(ag(("p", "q")) == 0.5)
+    assert(ag(("q", "p")) == 1.0)
+    // a basket wider than the cap fails loudly
+    val wide = (1 to 5).map(i => (1L, s"i$i")).toDF("b", "i")
+    val boom = intercept[Exception] {
+      Association.associationRules(wide, "b", "i", 1L,
+        maxBasketItems = 4).collect()
+    }
+    assert(boom.getMessage != null)
+  }
+
   test("pearsonCorr: tiny-magnitude values (1e-6 grid) keep their " +
     "exact products — r matches the same data scaled up") {
     // products are 1e-12-sized; under the pre-fix DECIMAL(38,11)

@@ -120,6 +120,9 @@ class GatePlanSpec extends AnyFunSuite {
     "q280_ks_by_group" -> (1, 0),
     "q281_category_drift_by_group" -> (5, 0),
     "q282_mw_by_group" -> (1, 0),
+    // q283 pins the post-checkpoint output sort (reaped result; the
+    // containment distinct + basket fan-out run behind reapKeep)
+    "q283_association_rules" -> (1, 0),
     "q250_numeric_drift" -> (2, 1),
     "q251_benford" -> (4, 2),
     "q252_theil_sen" -> (14, 9),
