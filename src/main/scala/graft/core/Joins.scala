@@ -1,0 +1,34 @@
+package graft.core
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.col
+
+/** NULL-SAFE using-join for per-group join-backs.
+  *
+  * Spark's own `groupBy` and window `PARTITION BY` treat NULL as a
+  * group (so does SQL — and [[graft.operators.Privacy.kAnonymityClasses]]
+  * documents NULL as a value an adversary can match on), but a plain
+  * equi-join NEVER matches NULL keys: the classic per-group pipeline
+  * "aggregate per group → join the stats back" silently DROPS or NULLS
+  * the NULL group's rows at the join even though its statistics were
+  * just computed — the round-13 tClosenessClasses defect class, found
+  * again in round 14's audit across the quantile/fence join-backs.
+  *
+  * [[nullSafe]] is `left.join(right, keys, how)` with `<=>` matching:
+  * right-side keys are renamed, the condition is null-safe per key, and
+  * the renamed copies are dropped — key columns in the result come from
+  * the LEFT side, matching using-join output shape. Extra non-key
+  * column order also matches the plain using-join (left columns then
+  * right non-key columns).
+  */
+object Joins {
+
+  def nullSafe(left: DataFrame, right: DataFrame, keys: Seq[String],
+      how: String = "inner"): DataFrame = {
+    require(keys.nonEmpty, "nullSafe join needs at least one key")
+    val renamed = keys.foldLeft(right)((d, k) =>
+      d.withColumnRenamed(k, s"__ns_$k"))
+    val cond = keys.map(k => col(k) <=> col(s"__ns_$k")).reduce(_ && _)
+    left.join(renamed, cond, how).drop(keys.map(k => s"__ns_$k"): _*)
+  }
+}

@@ -587,10 +587,14 @@ object CorpusStats {
     // are ALL NULL has no gini/richness rows (no token mass) but must
     // still appear on the sheet — with NULL statistics, not silently
     // absent (the robustOutliers left-join discipline)
-    val sheet = volume
-      .join(wil, Seq("source"))
-      .join(gin, Seq("source"), "left")
-      .join(rich, Seq("source"), "left")
+    // null-safe joins (the round-14 Joins.nullSafe audit): a NULL
+    // source is a group like any other — groupBy just computed its
+    // statistics; a plain equi-join would silently drop its sheet row
+    val sheet = graft.core.Joins.nullSafe(
+      graft.core.Joins.nullSafe(
+        graft.core.Joins.nullSafe(volume, wil, Seq("source")),
+        gin, Seq("source"), "left"),
+      rich, Seq("source"), "left")
     val (reaped, _) = graft.core.Caching.reapKeep(sheet)
     pdHandle.unpersist(blocking = false)
     reaped

@@ -144,7 +144,8 @@ object Features {
     val mode = counts.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)
       .select(col(groupCol), col(valueCol).as("__mode"))
-    df.join(Broadcasting.ifSmall(mode), Seq(groupCol), "left")
+    graft.core.Joins.nullSafe(df, Broadcasting.ifSmall(mode),
+        Seq(groupCol), "left")
       .withColumn(valueCol, coalesce(col(valueCol), col("__mode")))
       .drop("__mode")
   }

@@ -523,7 +523,7 @@ object Profiler {
       .crossJoin(qFrame)
       .withColumn("__tr",
         greatest(ceil(col("q") * col("n").cast("double")), lit(1L)))
-    ranked.join(
+    graft.core.Joins.nullSafe(ranked,
         broadcast(targets.withColumn("__gr",
           col("__off") + col("__tr"))),
         Seq(groupCol, "__gr"))
@@ -589,7 +589,7 @@ object Profiler {
     val targets = offsets.crossJoin(qFrame)
       .withColumn("__t",
         greatest(ceil(col("q") * col("__wt").cast("double")), lit(1L)))
-    cum.join(broadcast(targets), Seq(groupCol))
+    graft.core.Joins.nullSafe(cum, broadcast(targets), Seq(groupCol))
       // t lands in exactly one row's (c−w, c] interval; `__gc` is the
       // group-local inclusive cumulative weight
       .withColumn("__gc", col("__cx") + col("__w") - col("__off"))
@@ -852,7 +852,7 @@ object Profiler {
       acc.when(col(valueCol) <= element_at(col("__cuts"), i + 1),
         lit(labels(i)))
     }.otherwise(lit(labels.last))
-    df.join(broadcast(cutsWide), Seq(groupCol))
+    graft.core.Joins.nullSafe(df, broadcast(cutsWide), Seq(groupCol))
       .withColumn("label", labeled)
       .drop("__cuts")
   }
@@ -909,12 +909,14 @@ object Profiler {
     // (exactQuantiles drops NULL values) — an inner join would silently
     // drop its rows, contradicting the NULL-flag contract above. Left
     // keeps them with NULL med/mad/flag.
-    val withMed = df.join(broadcast(med), Seq(groupCol), "left")
+    val withMed = graft.core.Joins.nullSafe(df, broadcast(med),
+        Seq(groupCol), "left")
       .withColumn("abs_dev", abs(col(valueCol) - col("med")))
     val mad = exactQuantiles(withMed, groupCol, "abs_dev", idCol,
         Seq("0.5"))
       .select(col(groupCol), col("value").as("mad"))
-    withMed.join(broadcast(mad), Seq(groupCol), "left")
+    graft.core.Joins.nullSafe(withMed, broadcast(mad), Seq(groupCol),
+        "left")
       .withColumn("is_outlier",
         col("abs_dev").cast("double") >
           lit(k.toDouble) * col("mad").cast("double"))
@@ -1079,7 +1081,8 @@ object Profiler {
     // LEFT join (robustOutliers discipline): an all-NULL group has no
     // fence row; inner would drop its rows instead of keeping them with
     // a NULL clamp.
-    df.join(broadcast(cutsWide), Seq(groupCol), "left")
+    graft.core.Joins.nullSafe(df, broadcast(cutsWide), Seq(groupCol),
+        "left")
       // least/greatest SKIP nulls (they return the extreme of the
       // non-null operands), so a bare clamp would quietly pin a NULL
       // value to the hi fence — gate NULL explicitly
@@ -1136,8 +1139,8 @@ object Profiler {
         lit("giniCoefficient: negative value — Gini is defined over " +
           "non-negative mass; shift or clamp upstream")).cast("long"),
       lit(0L))
-    val withRank = ranked
-      .join(broadcast(offsets.select(col(groupCol), col("__off"))),
+    val withRank = graft.core.Joins.nullSafe(ranked,
+        broadcast(offsets.select(col(groupCol), col("__off"))),
         Seq(groupCol))
       .withColumn("__r", col("__gr") - col("__off") + negGuard)
     val agg = withRank.groupBy(col(groupCol)).agg(
@@ -1185,12 +1188,17 @@ object Profiler {
     val counts = perVal.groupBy(col(groupCol)).agg(sum(col("__c")).as("__n"))
     val offs = SurrogateKeys.prefixSumLong(counts, "__n",
       Seq(col(groupCol)), "__goff")
-    val cum = pv.join(broadcast(offs.select(col(groupCol), col("__n"),
-        col("__goff"))), Seq(groupCol))
+    val cum = graft.core.Joins.nullSafe(pv,
+        broadcast(offs.select(col(groupCol), col("__n"),
+          col("__goff"))), Seq(groupCol))
       .select(col(groupCol), col(valueCol),
         ((col("__pv") + col("__c") - col("__goff")).cast("double") /
           col("__n").cast("double")).as("pct_rank"))
-    df.join(cum, Seq(groupCol, valueCol), "left")
+    // null-safe on the GROUP key only: a NULL group is a partition
+    // (the cume_dist equivalence this operator documents); a NULL
+    // VALUE row still matches nothing in cum (values were excluded)
+    // and keeps its documented NULL percentile
+    graft.core.Joins.nullSafe(df, cum, Seq(groupCol, valueCol), "left")
   }
 
   /** Exact two-sample Kolmogorov-Smirnov statistic (Kolmogorov 1933;

@@ -196,7 +196,15 @@ object TimeSeries {
     val forecast = df.select(col(keyCol),
       date_add(to_date(col(dateCol)), periodDays).as("__d"),
       vg.cast(d).as("__f"))
-    actual.join(forecast, Seq(keyCol, "__d"))
+    // null-safe on the series KEY only (a NULL key is a series — the
+    // Joins.nullSafe audit); __d stays STRICT equi in the same join
+    // condition (both conjuncts remain hash keys) so NULL dates drop
+    // (a NULL date is not an observation, not a matchable value)
+    val fc = forecast.withColumnRenamed(keyCol, "__kf")
+      .withColumnRenamed("__d", "__df")
+    actual.join(fc,
+        col(keyCol) <=> col("__kf") && col("__d") === col("__df"))
+      .drop("__kf", "__df")
       .groupBy(col(keyCol))
       .agg(count(lit(1)).as("n_evals"),
         (sum(abs(col("__v") - col("__f"))).cast("double")
@@ -302,7 +310,7 @@ object TimeSeries {
       col("__yv").as("__y1"))
     val r = pts.select(col(keyCol), col("__x").as("__x2"),
       col("__yv").as("__y2"))
-    val pairs = l.join(r, Seq(keyCol))
+    val pairs = graft.core.Joins.nullSafe(l, r, Seq(keyCol))
       .filter(col("__x1") < col("__x2"))
       .select(col(keyCol),
         concat_ws(":", col("__x1"), col("__x2")).as("__pid"),
@@ -312,8 +320,8 @@ object TimeSeries {
         "__pid", Seq("0.5"))
       .select(col(keyCol), col("n").as("n_pairs"),
         col("value").as("slope"))
-    val resid = pts
-      .join(broadcast(slope.select(col(keyCol), col("slope"))),
+    val resid = graft.core.Joins.nullSafe(pts,
+        broadcast(slope.select(col(keyCol), col("slope"))),
         Seq(keyCol))
       .select(col(keyCol), col("__x").cast("string").as("__rid"),
         (col("__yv").cast("double")
@@ -322,7 +330,7 @@ object TimeSeries {
         Seq("0.5"))
       .select(col(keyCol), col("n").as("n_points"),
         col("value").as("intercept"))
-    slope.join(icept, Seq(keyCol))
+    graft.core.Joins.nullSafe(slope, icept, Seq(keyCol))
       .select(col(keyCol), col("n_points"), col("n_pairs"),
         col("slope"), col("intercept"))
   }

@@ -381,6 +381,36 @@ class EvalSpec extends AnyFunSuite {
     assert(allTied.isNullAt(allTied.fieldIndex("z_corrected")))
   }
 
+  test("NULL group keys survive the per-group join-backs (the " +
+    "Joins.nullSafe audit): quantiles, labels, fences, percentiles") {
+    val df = Seq(
+      (Option("g1"), 1.0, 1L), (Option("g1"), 2.0, 2L),
+      (Option("g1"), 3.0, 3L),
+      (Option.empty[String], 10.0, 4L), (Option.empty[String], 20.0, 5L),
+      (Option.empty[String], 30.0, 6L)).toDF("g", "v", "id")
+    // exactQuantiles: the NULL group emits its quantile rows (groupBy
+    // computed them; the join-back must not silently drop them)
+    val eq = Profiler.exactQuantiles(df, "g", "v", "id", Seq("0.5"))
+      .collect().map(r => Option(r.getAs[String]("g")) -> r).toMap
+    assert(eq.size == 2)
+    assert(eq(None).getAs[Double]("value") == 20.0)
+    // robustOutliers: NULL-group rows keep their own median, not NULL
+    val ro = Profiler.robustOutliers(df, "g", "v", "id", k = "3.0")
+      .filter($"g".isNull).collect()
+    assert(ro.length == 3)
+    ro.foreach(r => assert(r.getAs[Double]("med") == 20.0))
+    // percentileRank: the NULL group is a partition (cume_dist
+    // equivalence), its rows carry real percentiles
+    val pr = Profiler.percentileRank(df, "g", "v")
+      .filter($"g".isNull).collect()
+    assert(pr.forall(!_.isNullAt(3)))
+    // giniCoefficient: the NULL group reports its own coefficient
+    val gc = Profiler.giniCoefficient(df, "g", "v", "id")
+      .collect().map(r => Option(r.getAs[String]("g")) -> r).toMap
+    assert(gc.contains(None) && !gc(None).isNullAt(
+      gc(None).fieldIndex("gini")))
+  }
+
   test("ksTest: hand D on a shape change Mann-Whitney cannot see; " +
     "identity 0; disjoint 1; empty NULL") {
     def df(vs: Seq[Double]) = vs.zipWithIndex
