@@ -246,7 +246,10 @@ object Sampling {
           / (col("__stot").cast("double") * col("__n").cast("double")))
           .cast("long"))
       .select(col(sourceCol).as("__src"), col("__t"))
-    df.join(broadcast(thresholds), col(sourceCol) === col("__src"))
+    // null-safe (the Joins.nullSafe audit): a NULL source is a stratum
+    // — its threshold was just computed; plain equality would silently
+    // drop every row of it from the sample
+    df.join(broadcast(thresholds), col(sourceCol) <=> col("__src"))
       .filter(hash16(col(keyCol), salt) < col("__t"))
       .drop("__src", "__t")
   }
@@ -563,8 +566,11 @@ object Sampling {
   def takeAllocated(df: DataFrame, stratumCol: String, alloc: DataFrame,
       order: Seq[Column]): DataFrame = {
     val w = Window.partitionBy(col(stratumCol)).orderBy(order: _*)
-    df.withColumn("take_rank", row_number().over(w))
-      .join(Broadcasting.ifSmall(alloc.select(col(stratumCol), col("alloc"))),
+    // null-safe (the Joins.nullSafe audit): window PARTITION BY just
+    // ranked the NULL stratum — the quota join must not drop it
+    graft.core.Joins.nullSafe(
+        df.withColumn("take_rank", row_number().over(w)),
+        Broadcasting.ifSmall(alloc.select(col(stratumCol), col("alloc"))),
         Seq(stratumCol))
       .filter(col("take_rank") <= col("alloc"))
       .drop("alloc")
