@@ -678,4 +678,24 @@ class ScaleCurveSpec extends AnyFunSuite {
         "o_custkey", "o_totalprice")
     curve("w1_by_group", op, o, amp)
   }
+
+  test("grouped Mann-Whitney drift scales ~linearly over 10x groups") {
+    // same disjoint custkey-block amplification as the grouped W1 —
+    // the claim under test: per-group midranks come from the shared
+    // range-partitioned prefix pass minus broadcast group starts, and
+    // the tie masses fold into the same per-group aggregate (no
+    // per-group window sort, no second scan for ties).
+    val o = table("orders").select($"o_custkey", $"o_orderkey",
+      $"o_totalprice")
+    val amp = (0 until Amp).map(i =>
+      o.withColumn("o_custkey", $"o_custkey" + lit(i * 100000000L))
+        .withColumn("o_orderkey", $"o_orderkey" + lit(i * 100000000L)))
+      .reduce(_ unionByName _)
+    def op(d: DataFrame): DataFrame =
+      Profiler.numericDriftByGroup(
+        d.filter($"o_orderkey" % 2 === 0),
+        d.filter($"o_orderkey" % 2 =!= 0),
+        "o_custkey", "o_totalprice")
+    curve("mw_by_group", op, o, amp)
+  }
 }
